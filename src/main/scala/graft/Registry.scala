@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark implementation plus (when SQL-expressible)
+  * an equivalent DuckDB oracle over the same parquet tables.
+  *
+  * `bench = true` marks headline queries timed by [[Bench]] — pure
+  * analytics only (no temp-table setup), so the DuckDB-wall-time
+  * comparison is apples-to-apples.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    bench: Boolean = false,
+    doc: String = "")
+
+object Registry {
+  lazy val all: Seq[Q] =
+    queries.CoreQueries.all ++
+      queries.LakeQueries.all ++
+      queries.TextQueries.all ++
+      queries.DedupQueries.all ++
+      queries.SimilarityQueries.all ++
+      queries.MultimodalQueries.all ++
+      queries.StreamingQueries.all
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

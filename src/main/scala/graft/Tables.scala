@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loads the driver-generated testdata tables (TESTDATA.md).
+  *
+  * All timestamps are normalized to TIMESTAMP_NTZ so that query results
+  * written to parquet carry `isAdjustedToUTC=false`, matching what the
+  * DuckDB oracle produces from the same (naive-timestamp) inputs.
+  *
+  * `events.parquet` stores nanosecond timestamps; Spark's parquet reader
+  * historically rejects NANOS, so we fall back to
+  * `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to micros —
+  * the same truncation DuckDB applies when reading nanos.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def normalize(df: DataFrame): DataFrame = {
+    val needs = df.schema.fields.exists(_.dataType == TimestampType)
+    if (!needs) df
+    else df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case TimestampType => col(f.name).cast(TimestampNTZType).as(f.name)
+        case _             => col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case _        => normalize(spark.read.parquet(s"$dir/$name.parquet"))
+    }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    // Spark's vectorized reader rejects TIMESTAMP(NANOS) at execution time;
+    // read nanos as long and floor-divide to micros (DuckDB truncates the same).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    raw.schema("ts").dataType match {
+      case LongType => // nanos read as long: floor to micros like DuckDB does
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ => normalize(raw)
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,525 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational surface: scans, filters, joins (inner/outer/semi/anti),
+  * aggregations (hash agg, distinct, rollup/cube), window functions, sorts,
+  * limits, set ops, scalar functions — the DuckDB pass-through surface of
+  * the reference (SURVEY §2.3–§2.5), expressed Spark-first and verified
+  * against a DuckDB oracle.
+  *
+  * Determinism rules used throughout (for hash-compare parity):
+  *  - money/qty sums go through DECIMAL casts (exact, order-independent);
+  *  - avgs of doubles are rounded;
+  *  - every result has a total ORDER BY with unique tie-breakers;
+  *  - timestamps stay TIMESTAMP_NTZ end-to-end (see [[graft.Tables]]).
+  */
+object CoreQueries {
+
+  /** Exact decimal sum of a (possibly computed) double column, surfaced as
+    * DOUBLE: the decimal intermediate makes the sum order-independent, the
+    * final cast gives a bit-identical representation in Spark and DuckDB. */
+  private def dsum(c: Column, scale: Int, alias: String): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType).as(alias)
+
+  private def ts(s: String): Column = expr(s"TIMESTAMP_NTZ '$s'")
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    Q("q1_pricing_summary",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity"), 2, "sum_qty"),
+            dsum(col("l_extendedprice"), 2, "sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6, "sum_charge"),
+            round(avg("l_quantity"), 2).as("avg_qty"),
+            round(avg("l_extendedprice"), 2).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+          round(avg(l_quantity), 2) AS avg_qty,
+          round(avg(l_extendedprice), 2) AS avg_price,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      bench = true,
+      doc = "TPC-H Q1-shaped scan+hash-agg (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
+    Q("q3_shipping_priority",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+        val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+          .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+          .orderBy(desc("revenue"), asc("l_orderkey"))
+          .limit(10)
+      },
+      oracle = Some("""
+        SELECT l_orderkey,
+          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          o_orderdate, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+      bench = true,
+      doc = "3-way join + agg + top-k (SURVEY §2.3 J1)"),
+
+    // ------------------------------------------------------------------
+    Q("q5_local_supplier",
+      (s, d) => {
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val n = Tables.nation(s, d)
+        val c = Tables.customer(s, d)
+        val su = Tables.supplier(s, d)
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        val l = Tables.lineitem(s, d)
+        // region/nation are bounded dims -> broadcast them explicitly.
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+          .orderBy(desc("revenue"), asc("n_name"))
+      },
+      oracle = Some("""
+        SELECT n_name,
+          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      bench = true,
+      doc = "6-way star join with broadcast dims (SURVEY §2.3)"),
+
+    // ------------------------------------------------------------------
+    Q("q6_forecast_revenue",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(dsum(col("l_extendedprice") * col("l_discount"), 4, "revenue"))
+      },
+      oracle = Some("""
+        SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
+      bench = true,
+      doc = "selective filter + scalar agg; pushdown showcase (SURVEY §7.2)"),
+
+    // ------------------------------------------------------------------
+    Q("q_window_rank",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("c_mktsegment", "rn")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+            CAST(row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+          FROM orders JOIN customer ON o_custkey = c_custkey) t
+        WHERE rn <= 3 ORDER BY c_mktsegment, rn"""),
+      bench = true,
+      doc = "ranking window function (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_window_running",
+      (s, d) => {
+        val e = Tables.events(s, d).filter(col("user_id") < 20)
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.select(col("event_id"), col("user_id"),
+            round(sum(col("value").cast(DecimalType(18, 6))).over(w), 4)
+              .cast(DoubleType).as("running_value"),
+            count(lit(1)).over(w).as("running_n"))
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id,
+          CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_value,
+          count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        FROM events WHERE user_id < 20 ORDER BY user_id, event_id"""),
+      doc = "running-total window frame over event stream (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_semi_join",
+      (s, d) => {
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        Tables.customer(s, d)
+          .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey"""),
+      doc = "left-semi join / EXISTS (SURVEY §2.3 J1)"),
+
+    // ------------------------------------------------------------------
+    Q("q_anti_join",
+      (s, d) => {
+        val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        Tables.customer(s, d)
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey"""),
+      doc = "left-anti join / NOT EXISTS (SURVEY §2.3 J1)"),
+
+    // ------------------------------------------------------------------
+    Q("q_outer_join",
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val c = Tables.customer(s, d)
+        n.join(c, col("c_nationkey") === col("n_nationkey"), "left_outer")
+          .groupBy("n_name")
+          .agg(count(col("c_custkey")).as("n_cust"),
+            dsum(coalesce(col("c_acctbal"), lit(0d)), 2, "sum_bal"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        SELECT n_name, count(c_custkey) AS n_cust,
+          CAST(sum(CAST(coalesce(c_acctbal, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name"""),
+      doc = "left-outer join + agg over null-extended rows (SURVEY §2.3 J1)"),
+
+    // ------------------------------------------------------------------
+    Q("q_intersect",
+      (s, d) => {
+        val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val b = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("c_custkey"))
+        a.intersect(b).orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+        ORDER BY c_custkey"""),
+      doc = "INTERSECT set op (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_except",
+      (s, d) => {
+        val a = Tables.customer(s, d).filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_custkey"))
+        val b = Tables.orders(s, d).filter(col("o_totalprice") > 350000)
+          .select(col("o_custkey").as("c_custkey"))
+        a.except(b).orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 350000
+        ORDER BY c_custkey"""),
+      doc = "EXCEPT set op (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_union_by_name",
+      (s, d) => {
+        val a = Tables.customer(s, d)
+          .select(col("c_custkey").as("key"), col("c_name").as("name"),
+            col("c_acctbal").as("acctbal"))
+        val b = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("key"), col("s_acctbal").as("acctbal"),
+            col("s_name").as("name"))
+        // schema-aligned union regardless of column order; missing cols -> NULL
+        a.withColumn("side", lit("c"))
+          .unionByName(b.withColumn("side", lit("s")), allowMissingColumns = true)
+          .groupBy("side").agg(count(lit(1)).as("n"), dsum(col("acctbal"), 2, "bal"))
+          .orderBy("side")
+      },
+      oracle = Some("""
+        SELECT side, count(*) AS n,
+               CAST(sum(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        FROM (
+          SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal, 'c' AS side FROM customer
+          UNION ALL BY NAME
+          SELECT s_suppkey AS key, s_acctbal AS acctbal, s_name AS name, 's' AS side FROM supplier)
+        GROUP BY side ORDER BY side"""),
+      doc = "UNION ALL BY NAME (SURVEY §2.5 set ops; reference SchemaEvolution.java:216)"),
+
+    // ------------------------------------------------------------------
+    Q("q_rollup",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2, "qty"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("n"), col("qty"))
+          .orderBy("flag", "status")
+      },
+      oracle = Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+          count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY flag, status"""),
+      doc = "ROLLUP grouping sets (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
+    Q("q_cube",
+      (s, d) => {
+        Tables.orders(s, d)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("n"))
+          .orderBy("status", "priority")
+      },
+      oracle = Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority"""),
+      doc = "CUBE grouping sets (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
+    Q("q_distinct_agg",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            countDistinct(col("l_orderkey")).as("n_ord"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+          count(DISTINCT l_partkey) AS n_part, count(DISTINCT l_orderkey) AS n_ord
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      bench = true,
+      doc = "multi distinct aggregation (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
+    Q("q_topk",
+      (s, d) => {
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(20)
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""),
+      doc = "global top-k (TakeOrderedAndProject) (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_scalar_fns",
+      (s, d) => {
+        Tables.part(s, d)
+          .filter(col("p_size").between(10, 20))
+          .select(col("p_partkey"),
+            upper(col("p_brand")).as("brand_u"),
+            length(col("p_name")).as("name_len"),
+            substring(col("p_type"), 1, 5).as("type5"),
+            round(abs(col("p_retailprice") - 1000.0).cast(DecimalType(18, 2)), 2)
+              .cast(DoubleType).as("absdiff"),
+            (col("p_size") % 7).as("size_mod"),
+            concat_ws("-", col("p_brand"), col("p_type")).as("tag"))
+          .orderBy("p_partkey")
+      },
+      oracle = Some("""
+        SELECT p_partkey, upper(p_brand) AS brand_u, length(p_name) AS name_len,
+          substr(p_type, 1, 5) AS type5,
+          CAST(round(CAST(abs(p_retailprice - 1000.0) AS DECIMAL(18,2)), 2) AS DOUBLE) AS absdiff,
+          p_size % 7 AS size_mod,
+          concat_ws('-', p_brand, p_type) AS tag
+        FROM part WHERE p_size BETWEEN 10 AND 20 ORDER BY p_partkey"""),
+      doc = "string/math scalar functions (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_date_extract",
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2, "total"))
+          .orderBy("y", "m")
+      },
+      oracle = Some("""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m,
+          count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1, 2 ORDER BY y, m"""),
+      bench = true,
+      doc = "date part extraction + agg (SURVEY §2.5; transform parity for year())"),
+
+    // ------------------------------------------------------------------
+    Q("q_case_expr",
+      (s, d) => {
+        Tables.orders(s, d)
+          .select(col("o_orderstatus"),
+            when(col("o_totalprice") > 300000, "big")
+              .when(col("o_totalprice") > 100000, "mid")
+              .otherwise("small").as("bucket"))
+          .groupBy("o_orderstatus", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("o_orderstatus", "bucket")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus,
+          CASE WHEN o_totalprice > 300000 THEN 'big'
+               WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+          count(*) AS n
+        FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, bucket"""),
+      doc = "CASE WHEN expression (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_in_between_not",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_returnflag").isin("A", "R") &&
+            col("l_quantity").between(10, 20) &&
+            !(col("l_discount") < 0.02) &&
+            col("l_shipdate").isNotNull)
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2, "price"))
+      },
+      oracle = Some("""
+        SELECT count(*) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+        FROM lineitem
+        WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 20
+          AND NOT (l_discount < 0.02) AND l_shipdate IS NOT NULL"""),
+      doc = "IN / BETWEEN / NOT / IS NOT NULL predicate algebra (SURVEY §2.2 P1–P4)"),
+
+    // ------------------------------------------------------------------
+    Q("q_like_pred",
+      (s, d) => {
+        Tables.part(s, d)
+          .filter(col("p_name").like("%gre%") || col("p_type").startsWith("SMALL"))
+          .agg(count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT count(*) AS n FROM part
+        WHERE p_name LIKE '%gre%' OR p_type LIKE 'SMALL%'"""),
+      doc = "LIKE / startsWith predicates (SURVEY §2.2 P4, P8)"),
+
+    // ------------------------------------------------------------------
+    Q("q_having",
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2, "total"))
+          .filter(col("n") >= 15)
+          .orderBy("o_custkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey"""),
+      doc = "HAVING post-agg filter (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
+    Q("q_events_hourly",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+          .orderBy("hour", "event_type")
+      },
+      oracle = Some("""
+        SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""),
+      bench = true,
+      doc = "tumbling-window-shaped batch agg over the stream fixture (SURVEY §2.7)"),
+
+    // ------------------------------------------------------------------
+    Q("q_array_fns",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id"),
+            size(col("embedding")).as("dim"),
+            round(aggregate(col("embedding"), lit(0.0d),
+              (acc, x) => acc + x.cast(DoubleType)).cast(DecimalType(18, 6)), 4)
+              .cast(DoubleType).as("vsum"),
+            round(sqrt(aggregate(col("embedding"), lit(0.0d),
+              (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+              .cast(DecimalType(18, 6)), 4)
+              .cast(DoubleType).as("vnorm"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+          CAST(round(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS DECIMAL(18,6)), 4) AS DOUBLE) AS vsum,
+          CAST(round(CAST(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS DECIMAL(18,6)), 4) AS DOUBLE) AS vnorm
+        FROM embeddings WHERE vec_id < 50 ORDER BY vec_id"""),
+      doc = "higher-order array functions: size/aggregate fold (SURVEY §2.5; embeddings fixture)"),
+
+    // ------------------------------------------------------------------
+    Q("q_corr_subquery",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val avgBySeg = o.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(avg("o_totalprice").as("seg_avg"))
+        o.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(avgBySeg), "c_mktsegment")
+          .filter(col("o_totalprice") > col("seg_avg") * 2)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_above"))
+          .orderBy("c_mktsegment")
+      },
+      oracle = Some("""
+        WITH seg AS (
+          SELECT c_mktsegment, avg(o_totalprice) AS seg_avg
+          FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+        SELECT c.c_mktsegment, count(*) AS n_above
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN seg ON seg.c_mktsegment = c.c_mktsegment
+        WHERE o.o_totalprice > seg.seg_avg * 2
+        GROUP BY 1 ORDER BY c.c_mktsegment"""),
+      doc = "decorrelated aggregate subquery as broadcast join (SURVEY §4)")
+  )
+}

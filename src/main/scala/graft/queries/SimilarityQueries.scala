@@ -1,0 +1,5 @@
+package graft.queries
+import graft.Q
+object SimilarityQueries {
+  val all: Seq[Q] = Seq()
+}

@@ -1,0 +1,5 @@
+package graft.queries
+import graft.Q
+object StreamingQueries {
+  val all: Seq[Q] = Seq()
+}

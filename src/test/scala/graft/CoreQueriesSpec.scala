@@ -1,0 +1,52 @@
+package graft
+
+/** Smoke-level checks of the core query registry on sf0.001. The real
+  * correctness arbiter is the driver's DuckDB-oracle hash compare
+  * (mirrored locally by tools/selfcheck.py at sf0.01); here we pin basic
+  * invariants so `sbt test` catches regressions fast.
+  */
+class CoreQueriesSpec extends SparkSpec {
+
+  test("registry names are unique and oracles reference declared queries") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size === names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 groups are the 6 returnflag/linestatus combos") {
+    val rows = Registry.byName("q1_pricing_summary").run(spark, sf).collect()
+    assert(rows.length === 6)
+    val flags = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(flags === Set(("A", "F"), ("A", "O"), ("N", "F"), ("N", "O"), ("R", "F"), ("R", "O")))
+  }
+
+  test("q6 returns a single positive revenue") {
+    val r = Registry.byName("q6_forecast_revenue").run(spark, sf).collect()
+    assert(r.length === 1 && r(0).getDouble(0) > 0)
+  }
+
+  test("q_topk is sorted desc and bounded") {
+    val r = Registry.byName("q_topk").run(spark, sf).collect()
+    assert(r.length === 20)
+    val prices = r.map(_.getDouble(1))
+    assert(prices.sameElements(prices.sortBy(-(_: Double))))
+  }
+
+  test("q_window_rank emits <=3 rows per segment") {
+    val r = Registry.byName("q_window_rank").run(spark, sf)
+      .groupBy("c_mktsegment").count().collect()
+    assert(r.forall(_.getLong(1) <= 3))
+  }
+
+  test("all core queries execute and have stable schemas") {
+    queries.CoreQueries.all.foreach { q =>
+      val df = q.run(spark, sf)
+      assert(df.schema.nonEmpty, q.name)
+      df.write.format("noop").mode("overwrite").save()
+    }
+  }
+}

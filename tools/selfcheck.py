@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL
+in DuckDB over the sfDir parquet tables, load the Spark result parquet,
+and compare (columns sorted by name, rows sorted, values stringified).
+Usage: selfcheck.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    t = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].map(lambda v: repr(v))
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    if sorted(got.columns) != sorted(exp.columns):
+        print(f"FAIL {name}: cols spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
+        fails += 1; continue
+    cg, ce = canon(got), canon(exp)
+    if len(cg) != len(ce):
+        print(f"FAIL {name}: rows spark={len(cg)} oracle={len(ce)}"); fails += 1; continue
+    if not cg.equals(ce):
+        diff = (cg != ce).any(axis=1)
+        idx = diff[diff].index[:3]
+        print(f"FAIL {name}: value mismatch at rows {list(idx)}")
+        for i in idx:
+            print(f"  spark : {cg.loc[i].to_dict()}")
+            print(f"  oracle: {ce.loc[i].to_dict()}")
+        fails += 1; continue
+    print(f"OK   {name} ({len(cg)} rows)")
+# queries without oracle: rows-only check
+for d in sorted(glob.glob(f"{out}/*/")):
+    name = os.path.basename(d.rstrip('/'))
+    if name not in oracle:
+        files = glob.glob(f"{d}/*.parquet")
+        n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+        print(f"ROWS {name}: {n}")
+print(f"\n{fails} failures / {len(oracle)} oracle queries")
+sys.exit(1 if fails else 0)
