@@ -1,0 +1,163 @@
+package graft.commands
+
+import graft.format._
+import graft.scan._
+import graft.write.LakeWriter
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine facade (SURVEY §2.8): session + catalog + the copy-on-write DML
+  * command set D1–D4 (Insert/InsertOverwrite/Update/Delete). The SCD
+  * merges (D5–D8) live in [[Merge]].
+  *
+  * The key performance behavior reproduced from the reference is
+  * write-amplification control (SURVEY §4): UPDATE/DELETE first prune
+  * candidate files by metadata, then probe which candidates actually
+  * contain matching rows (distinct `_file`, a file-path-bounded collect),
+  * and rewrite ONLY those files. Untouched files survive the commit.
+  */
+final class LakeEngine(
+    val spark: SparkSession,
+    val catalog: LakeCatalog,
+    val allowFullTableScan: Boolean = true,
+    val totalFileSizePerScanLimitInMiB: Option[Long] = None) {
+
+  def table(name: String): LakeTable = catalog.loadTable(name)
+
+  def scan(table: LakeTable, filterSql: String = "true",
+      ref: TableRef = TableRef.Head, withFileColumns: Boolean = false): TableScan = {
+    val pred =
+      if (filterSql.trim.equalsIgnoreCase("true")) AlwaysTrue
+      else PredSql.compile(spark, filterSql)
+    new TableScan(spark, table, pred, ref, allowFullTableScan,
+      totalFileSizePerScanLimitInMiB, withFileColumns)
+  }
+
+  def read(tableName: String, filterSql: String = "true", ref: TableRef = TableRef.Head): DataFrame =
+    scan(table(tableName), filterSql, ref).toDF()
+
+  // ------------------------------------------------------------- D1
+  def insert(table: LakeTable, source: DataFrame): CommitMetrics = {
+    val files = LakeWriter.write(spark, table, source)
+    table.appendFiles(files)
+  }
+
+  // ------------------------------------------------------------- D2
+  /** Strict overwrite: replaced files must FULLY match the filter (files
+    * partially matching -> error), and the new data must match it too
+    * (reference validateAddedFilesMatchOverwriteFilter,
+    * writer/Transaction.java:237-298). */
+  def insertOverwrite(table: LakeTable, source: DataFrame, filterSql: String): CommitMetrics = {
+    val pred = PredSql.compile(spark, filterSql)
+    val cond = expr(filterSql)
+    require(!Pred.isTrue(pred) || allowFullTableScan, "full-table overwrite not allowed")
+    if (!source.filter(!coalesce(cond, lit(false))).isEmpty)
+      throw new ValidationException(s"source rows violate overwrite filter: $filterSql")
+    val evalr = new StatsEvaluator(table.schema, table.metadata.partitionSpec)
+    val files = table.currentFiles()
+    val full = files.filter(f => evalr.provablyAll(pred, f))
+    val unproven = files.filterNot(f => evalr.provablyAll(pred, f))
+      .filter(f => evalr.mayContain(pred, f))
+    // metadata can't prove these either way -> one batched row probe
+    val provenByRows: Seq[String] =
+      if (unproven.isEmpty) Seq.empty
+      else {
+        val probeScan = new TableScan(spark, table,
+          explicitFiles = Some(unproven), withFileColumns = true)
+        val probe = probeScan.toDF()
+          .groupBy(col(probeScan.FileCol).as("f"))
+          .agg(
+            sum(when(coalesce(cond, lit(false)), 1L).otherwise(0L)).as("inMatch"),
+            sum(when(!coalesce(cond, lit(false)), 1L).otherwise(0L)).as("outMatch"))
+          .collect()
+        val partial = probe.filter(r => r.getLong(1) > 0 && r.getLong(2) > 0)
+        if (partial.nonEmpty)
+          throw new ValidationException(
+            s"cannot overwrite: ${partial.length} file(s) only partially match $filterSql")
+        probe.filter(r => r.getLong(1) > 0 && r.getLong(2) == 0).map(_.getString(0)).toSeq
+      }
+    val remove = full.map(_.path).toSet ++ provenByRows
+    val newFiles = LakeWriter.write(spark, table, source)
+    table.overwriteFiles(newFiles, remove)
+  }
+
+  /** D2 variant: overwrite the partitions/values present in the source
+    * (filter derived from distinct source values of `cols` — A5,
+    * reference commands/WriteUtil.java:228-264). */
+  def insertOverwriteByColumns(table: LakeTable, source: DataFrame, cols: Seq[String]): CommitMetrics = {
+    val distinct = source.select(cols.map(col): _*).distinct().collect()
+    require(distinct.nonEmpty, "source is empty; nothing to overwrite")
+    require(distinct.length <= 10000, s"too many distinct overwrite keys: ${distinct.length}")
+    val pred = distinct.map { r =>
+      cols.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        if (v == null) IsNull(c): Pred else Eq(c, v): Pred
+      }.reduce[Pred](And.apply)
+    }.reduce[Pred](Or.apply)
+    val sql = distinct.map { r =>
+      cols.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        if (v == null) s"$c IS NULL" else s"$c = ${sqlLit(v)}"
+      }.mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    insertOverwrite(table, source, sql)
+  }
+
+  private def sqlLit(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case t: java.time.LocalDateTime => s"TIMESTAMP_NTZ'$t'".replace("T", " ")
+    case t: java.sql.Timestamp => s"TIMESTAMP'$t'"
+    case d: java.time.LocalDate => s"DATE'$d'"
+    case other => other.toString
+  }
+
+  // ------------------------------------------------------------- D3
+  /** UPDATE t SET col = <sql expr> WHERE <condition>: rewrites only files
+    * that actually contain matching rows (reference commands/Update.java:129-238). */
+  def update(table: LakeTable, conditionSql: String, set: Map[String, String]): CommitMetrics = {
+    val schema = table.schema
+    set.keys.foreach(c => require(schema.fieldNames.contains(c), s"unknown column $c"))
+    rewriteTouched(table, conditionSql) { (rows, cond) =>
+      rows.select(schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) => when(cond, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None    => col(f.name)
+        }
+      }.toSeq: _*)
+    }
+  }
+
+  // ------------------------------------------------------------- D4
+  /** DELETE FROM t WHERE <condition> (reference commands/Delete.java:121-207). */
+  def delete(table: LakeTable, conditionSql: String): CommitMetrics =
+    rewriteTouched(table, conditionSql) { (rows, cond) =>
+      rows.filter(!coalesce(cond, lit(false)))
+        .select(table.schema.fieldNames.map(col).toSeq: _*)
+    }
+
+  /** Shared two-phase rewrite: prune candidates -> probe actually-touched
+    * files -> rebuild only those. */
+  private def rewriteTouched(table: LakeTable, conditionSql: String)(
+      rebuild: (DataFrame, Column) => DataFrame): CommitMetrics = {
+    val fromSnapshot = table.metadata.currentSnapshotId
+    val pred = PredSql.compile(spark, conditionSql)
+    val cond = expr(conditionSql)
+    val candScan = new TableScan(spark, table, pred, TableRef.Head,
+      allowFullTableScan, totalFileSizePerScanLimitInMiB, withFileColumns = true)
+    val candidates = candScan.planFiles()
+    if (candidates.isEmpty)
+      return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
+    val candDF = new TableScan(spark, table, explicitFiles = Some(candidates),
+      withFileColumns = true).toDF()
+    val touched = candDF.filter(coalesce(cond, lit(false)))
+      .select(candScan.FileCol).distinct().collect().map(_.getString(0)).toSet
+    if (touched.isEmpty)
+      return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
+    val touchedEntries = candidates.filter(f => touched.contains(f.path))
+    val rows = new TableScan(spark, table, explicitFiles = Some(touchedEntries)).toDF()
+    val rebuilt = rebuild(rows, cond)
+    val newFiles = LakeWriter.write(spark, table, rebuilt)
+    table.commit(CommitOp.Overwrite(newFiles, touched,
+      fromSnapshotId = fromSnapshot, conflictFilter = Some(pred)))
+  }
+}

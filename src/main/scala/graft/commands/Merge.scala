@@ -1,0 +1,302 @@
+package graft.commands
+
+import graft.format._
+import graft.scan._
+import graft.write.LakeWriter
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+class MergeCardinalityException(msg: String) extends RuntimeException(msg)
+class OutOfOrderMergeException(msg: String) extends RuntimeException(msg)
+
+/** SCD1 / SCD2 merges, snapshot & changes modes (reference D5–D8:
+  * commands/SCD1Merge.java, commands/SCD2Merge.java and the generated SQL
+  * in dao/scd1_merge.xml, dao/scd2_merge.xml) re-expressed as DataFrame
+  * pipelines:
+  *
+  *  - null-safe key join (`<=>`) target vs source (J3)
+  *  - op classification I/U/D/N with per-column maxDelta /
+  *    nullReplacement change tracking (ValueColumnMetadata)
+  *  - merge-cardinality guard: a target row matched by >1 source rows
+  *    aborts (J4)
+  *  - write-amplification control: only files containing U/D rows are
+  *    rebuilt; rebuild preserves untouched rows (history rows and rows
+  *    outside the boundary filter) via an anti-join on (_file, _pos)
+  *
+  * All joins/aggregations shuffle on the merge keys; the only driver-side
+  * collect is the modified-file path list (metadata-bounded).
+  */
+object Merge {
+
+  final case class ValueColumnSpec(
+      maxDelta: Option[Double] = None,
+      nullReplacement: Option[Any] = None)
+
+  final case class Scd1Options(
+      keyCols: Seq[String],
+      valueCols: Option[Seq[String]] = None, // default: all non-key columns
+      tableFilterSql: String = "true",
+      valueSpecs: Map[String, ValueColumnSpec] = Map.empty,
+      operationTypeColumn: Option[String] = None, // changes mode marker column
+      deleteOperationValue: String = "D")
+
+  final case class Scd2Options(
+      keyCols: Seq[String],
+      changeCols: Option[Seq[String]] = None, // change-tracking columns
+      effectiveTimestamp: java.time.LocalDateTime,
+      effectiveStartCol: String = "effective_start",
+      effectiveEndCol: String = "effective_end",
+      currentFlagCol: Option[String] = None,
+      tableFilterSql: String = "true",
+      valueSpecs: Map[String, ValueColumnSpec] = Map.empty,
+      operationTypeColumn: Option[String] = None,
+      deleteOperationValue: String = "D")
+
+  private val OpCol = "__op"
+  private val SrcOpCol = "__src_op"
+  private val SPresent = "__s_present"
+
+  private def tp(c: String) = s"t_$c"
+  private def sp(c: String) = s"s_$c"
+
+  /** Change detector for one value column (reference dao/scd1_merge.xml:73-103
+    * + ValueColumnMetadata: maxDelta / nullReplacement semantics). */
+  private def differsExpr(c: String, spec: Option[ValueColumnSpec]): Column =
+    spec match {
+      case Some(ValueColumnSpec(Some(delta), _)) =>
+        abs(coalesce(col(tp(c)), lit(0)) - coalesce(col(sp(c)), lit(0))) > delta
+      case Some(ValueColumnSpec(_, Some(repl))) =>
+        !(coalesce(col(tp(c)), lit(repl)) <=> coalesce(col(sp(c)), lit(repl)))
+      case _ => !(col(tp(c)) <=> col(sp(c)))
+    }
+
+  // ===================================================================
+  // SCD1 (D5 snapshot / D6 changes)
+  // ===================================================================
+  def scd1(engine: LakeEngine, table: LakeTable, source: DataFrame,
+      opts: Scd1Options): CommitMetrics = {
+    val spark = engine.spark
+    val schema = table.schema
+    val fromSnapshot = table.metadata.currentSnapshotId
+    val changesMode = opts.operationTypeColumn.isDefined
+    opts.keyCols.foreach(k => require(schema.fieldNames.contains(k), s"unknown key column $k"))
+    val valueCols = opts.valueCols.getOrElse(schema.fieldNames.toSeq.filterNot(opts.keyCols.contains))
+
+    val boundaryPred =
+      if (opts.tableFilterSql.trim.equalsIgnoreCase("true")) AlwaysTrue
+      else PredSql.compile(spark, opts.tableFilterSql)
+    val boundaryCol = expr(opts.tableFilterSql)
+
+    // target rows inside the boundary, with file identity
+    val scan0 = new TableScan(spark, table, boundaryPred, withFileColumns = true)
+    val candidates = scan0.planFiles()
+    val target = new TableScan(spark, table, explicitFiles = Some(candidates),
+      withFileColumns = true).toDF()
+      .filter(coalesce(boundaryCol, lit(false)))
+    val t = target.toDF(target.columns.map(tp).toSeq: _*)
+
+    // source projected to table schema (+ op marker in changes mode)
+    val sWithOp = opts.operationTypeColumn match {
+      case Some(oc) =>
+        val in = source.columns.toSet
+        source.select(schema.fields.map { f =>
+          (if (in.contains(f.name)) col(f.name) else lit(null)).cast(f.dataType).as(f.name)
+        }.toSeq :+ col(oc).cast("string").as(SrcOpCol): _*)
+      case None => LakeWriter.castProjection(source, schema)
+        .withColumn(SrcOpCol, lit(null).cast("string"))
+    }
+    val sBounded =
+      if (Pred.isTrue(boundaryPred)) sWithOp
+      else sWithOp.filter(coalesce(boundaryCol, lit(false)))
+    val s = sBounded.toDF(sBounded.columns.map(sp).toSeq: _*)
+      .withColumn(SPresent, lit(true))
+
+    val joinCond = opts.keyCols.map(k => col(tp(k)) <=> col(sp(k))).reduce(_ && _)
+    val tPresent = col(tp("_file")).isNotNull
+    val sPresent = coalesce(col(SPresent), lit(false))
+    val isDelete = col(sp(SrcOpCol)) === lit(opts.deleteOperationValue)
+    val differs = valueCols.map(c => differsExpr(c, opts.valueSpecs.get(c)))
+      .foldLeft(lit(false))(_ || _)
+
+    val op =
+      if (!changesMode)
+        when(!tPresent, "I").when(!sPresent, "D").when(differs, "U").otherwise("N")
+      else
+        when(!tPresent && !isDelete, "I")
+          .when(!tPresent && isDelete, "X") // delete for a missing key: no-op
+          .when(sPresent && isDelete, "D")
+          .when(sPresent && differs, "U")
+          .when(sPresent, "NS") // matched, no change: keep target row untouched
+          .otherwise("N")
+
+    val diff = t.join(s, joinCond, "full_outer").withColumn(OpCol, op)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      cardinalityCheck(diff, tPresent && sPresent, tp("_file"), tp("_pos"))
+
+      val modified = diff.filter(col(OpCol).isin("U", "D"))
+        .select(tp("_file")).distinct().collect().map(_.getString(0)).toSet
+      val upserts = diff.filter(col(OpCol).isin("I", "U"))
+        .select(schema.fieldNames.map(c => col(sp(c)).as(c)).toSeq: _*)
+
+      if (modified.isEmpty && upserts.isEmpty)
+        return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
+
+      // rebuild modified files: every original row except replaced/deleted ones
+      val retained =
+        if (modified.isEmpty) None
+        else {
+          val entries = candidates.filter(f => modified.contains(f.path))
+          val full = new TableScan(spark, table, explicitFiles = Some(entries),
+            withFileColumns = true).toDF()
+          val removedKeys = diff.filter(col(OpCol).isin("U", "D"))
+            .select(col(tp("_file")).as("_file"), col(tp("_pos")).as("_pos"))
+          Some(full.join(removedKeys, Seq("_file", "_pos"), "left_anti")
+            .select(schema.fieldNames.map(col).toSeq: _*))
+        }
+      val newData = retained.map(_.unionByName(upserts)).getOrElse(upserts)
+      val newFiles = LakeWriter.write(spark, table, newData)
+      table.commit(CommitOp.Overwrite(newFiles, modified,
+        fromSnapshotId = fromSnapshot, conflictFilter = Some(boundaryPred)))
+    } finally diff.unpersist()
+  }
+
+  // ===================================================================
+  // SCD2 (D7 snapshot / D8 changes)
+  // ===================================================================
+  def scd2(engine: LakeEngine, table: LakeTable, source: DataFrame,
+      opts: Scd2Options): CommitMetrics = {
+    val spark = engine.spark
+    val schema = table.schema
+    val fromSnapshot = table.metadata.currentSnapshotId
+    val changesMode = opts.operationTypeColumn.isDefined
+    val effTs = opts.effectiveTimestamp
+    val startC = opts.effectiveStartCol
+    val endC = opts.effectiveEndCol
+    Seq(startC, endC).foreach(c =>
+      require(schema.fieldNames.contains(c), s"missing SCD2 column $c"))
+    opts.currentFlagCol.foreach(c =>
+      require(schema.fieldNames.contains(c), s"missing current-flag column $c"))
+    val scdCols = Set(startC, endC) ++ opts.currentFlagCol
+    val changeCols = opts.changeCols.getOrElse(
+      schema.fieldNames.toSeq.filterNot(c => opts.keyCols.contains(c) || scdCols.contains(c)))
+
+    val boundaryPred =
+      if (opts.tableFilterSql.trim.equalsIgnoreCase("true")) AlwaysTrue
+      else PredSql.compile(spark, opts.tableFilterSql)
+    val boundaryCol = expr(opts.tableFilterSql)
+    val effLit = lit(effTs).cast(schema(startC).dataType)
+
+    val scan0 = new TableScan(spark, table, boundaryPred, withFileColumns = true)
+    val candidates = scan0.planFiles()
+    val allRows = new TableScan(spark, table, explicitFiles = Some(candidates),
+      withFileColumns = true).toDF()
+    val boundaryRows = allRows.filter(coalesce(boundaryCol, lit(false)))
+
+    // out-of-order guard (reference dao/scd2_merge.xml:4-11)
+    val outOfOrder = boundaryRows.filter(
+      col(startC) >= effLit || (col(endC).isNotNull && col(endC) >= effLit))
+    if (!outOfOrder.isEmpty)
+      throw new OutOfOrderMergeException(
+        s"target has rows with $startC/$endC >= effective timestamp $effTs; " +
+          "apply changes in chronological order")
+
+    val current = boundaryRows.filter(col(endC).isNull)
+    val t = current.toDF(current.columns.map(tp).toSeq: _*)
+
+    val sWithOp = opts.operationTypeColumn match {
+      case Some(oc) =>
+        val in = source.columns.toSet
+        source.select(schema.fields.map { f =>
+          (if (in.contains(f.name)) col(f.name) else lit(null)).cast(f.dataType).as(f.name)
+        }.toSeq :+ col(oc).cast("string").as(SrcOpCol): _*)
+      case None => LakeWriter.castProjection(source, schema)
+        .withColumn(SrcOpCol, lit(null).cast("string"))
+    }
+    val sBounded =
+      if (Pred.isTrue(boundaryPred)) sWithOp
+      else sWithOp.filter(coalesce(boundaryCol, lit(false)))
+    val s = sBounded.toDF(sBounded.columns.map(sp).toSeq: _*)
+      .withColumn(SPresent, lit(true))
+
+    val joinCond = opts.keyCols.map(k => col(tp(k)) <=> col(sp(k))).reduce(_ && _)
+    val tPresent = col(tp("_file")).isNotNull
+    val sPresent = coalesce(col(SPresent), lit(false))
+    val isDelete = col(sp(SrcOpCol)) === lit(opts.deleteOperationValue)
+    val differs = changeCols.map(c => differsExpr(c, opts.valueSpecs.get(c)))
+      .foldLeft(lit(false))(_ || _)
+
+    val op =
+      if (!changesMode)
+        when(!tPresent, "I").when(!sPresent, "D").when(differs, "U").otherwise("N")
+      else
+        when(!tPresent && !isDelete, "I")
+          .when(!tPresent && isDelete, "X")
+          .when(sPresent && isDelete, "D")
+          .when(sPresent && differs, "U")
+          .when(sPresent, "NS")
+          .otherwise("N")
+
+    val diff = t.join(s, joinCond, "full_outer").withColumn(OpCol, op)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      cardinalityCheck(diff, tPresent && sPresent, tp("_file"), tp("_pos"))
+
+      val modified = diff.filter(col(OpCol).isin("U", "D"))
+        .select(tp("_file")).distinct().collect().map(_.getString(0)).toSet
+
+      // new versions for I/U rows: start = effTs, end = NULL, flag = true
+      val newVersions0 = diff.filter(col(OpCol).isin("I", "U"))
+        .select(schema.fieldNames.map {
+          case `startC` => effLit.as(startC)
+          case `endC`   => lit(null).cast(schema(endC).dataType).as(endC)
+          case c if opts.currentFlagCol.contains(c) => lit(true).cast(schema(c).dataType).as(c)
+          case c        => col(sp(c)).as(c)
+        }.toSeq: _*)
+
+      if (modified.isEmpty && newVersions0.isEmpty)
+        return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
+
+      // rebuild modified files: close U/D current rows, keep everything else
+      // (history rows and out-of-boundary rows included, via (_file,_pos) match)
+      val rebuilt =
+        if (modified.isEmpty) None
+        else {
+          val entries = candidates.filter(f => modified.contains(f.path))
+          val full = new TableScan(spark, table, explicitFiles = Some(entries),
+            withFileColumns = true).toDF()
+          val closingKeys = diff.filter(col(OpCol).isin("U", "D"))
+            .select(col(tp("_file")).as("_file"), col(tp("_pos")).as("_pos"),
+              lit(true).as("__close"))
+          Some(full.join(closingKeys, Seq("_file", "_pos"), "left_outer")
+            .select(schema.fieldNames.map {
+              case `endC` => when(col("__close"), effLit).otherwise(col(endC)).as(endC)
+              case c if opts.currentFlagCol.contains(c) =>
+                when(col("__close"), lit(false).cast(schema(c).dataType))
+                  .otherwise(col(c)).as(c)
+              case c => col(c)
+            }.toSeq: _*))
+        }
+      val newData = rebuilt.map(_.unionByName(newVersions0)).getOrElse(newVersions0)
+      val newFiles = LakeWriter.write(spark, table, newData)
+      // conflict filter mirrors the reference scan filter: boundary OR still-open rows
+      val conflict = Or(boundaryPred, Or(IsNull(endC), Ge(endC, effTs)))
+      table.commit(CommitOp.Overwrite(newFiles, modified,
+        fromSnapshotId = fromSnapshot, conflictFilter = Some(conflict)))
+    } finally diff.unpersist()
+  }
+
+  /** J4: a target row matched by more than one source row is an error
+    * (reference dao/common.xml:21-30). */
+  private def cardinalityCheck(diff: DataFrame, bothPresent: Column,
+      fileCol: String, posCol: String): Unit = {
+    val dup = diff.filter(bothPresent)
+      .groupBy(col(fileCol), col(posCol)).count()
+      .filter(col("count") > 1).limit(1)
+    if (!dup.isEmpty)
+      throw new MergeCardinalityException(
+        "merge source matches a target row more than once; " +
+          "deduplicate the source on the merge keys")
+  }
+}

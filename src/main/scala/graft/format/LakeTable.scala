@@ -1,0 +1,319 @@
+package graft.format
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.types._
+import scala.util.Random
+
+/** A snapshot-log table over parquet: load, commit (optimistic, atomic),
+  * time travel, branches/tags, schema evolution.
+  *
+  * Replaces the reference's Iceberg table + Transaction
+  * (writer/Transaction.java:198-335): commits write `v<N+1>.json` via an
+  * exclusive hard-link (atomic on POSIX), so concurrent committers race on
+  * the version file and the loser retries against refreshed metadata.
+  */
+object Json {
+  val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+  def write(v: Any): String = mapper.writeValueAsString(v)
+  def read[T](s: String, c: Class[T]): T = mapper.readValue(s, c)
+}
+
+object FieldIds {
+  val Key = "field-id"
+  def of(f: StructField): Int =
+    if (f.metadata.contains(Key)) f.metadata.getLong(Key).toInt else -1
+  def withId(f: StructField, id: Int): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata).putLong(Key, id.toLong).build())
+
+  /** Assign sequential field ids to a fresh schema (top-level only; nested
+    * struct fields get dotted ids derived from the parent). */
+  def assign(schema: StructType, from: Int = 1): (StructType, Int) = {
+    var next = from
+    val fields = schema.fields.map { f =>
+      val withTop = withId(f, next)
+      next += 1
+      withTop
+    }
+    (StructType(fields), next - 1)
+  }
+}
+
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+class ValidationException(msg: String) extends RuntimeException(msg)
+
+sealed trait CommitOp
+object CommitOp {
+  /** Append files to the branch head. */
+  final case class Append(files: Seq[FileEntry], branch: Option[String] = None) extends CommitOp
+  /** Copy-on-write swap: remove `removePaths`, add `files`. */
+  final case class Overwrite(
+      files: Seq[FileEntry],
+      removePaths: Set[String],
+      branch: Option[String] = None,
+      // D11 isolation: snapshot id the writer planned from + a conflict
+      // predicate evaluated against files added/removed since then.
+      fromSnapshotId: Option[Long] = None,
+      conflictFilter: Option[graft.scan.Pred] = None,
+      serializable: Boolean = true) extends CommitOp
+  final case class SetSchema(schema: StructType, lastFieldId: Int) extends CommitOp
+  final case class SetRef(name: String, ref: Ref) extends CommitOp
+}
+
+class LakeTable private (val location: String, @volatile private var meta: TableMetadata) {
+
+  def metadata: TableMetadata = meta
+  def schema: StructType = schemaFor(meta.currentSchemaId)
+  def schemaFor(id: Int): StructType =
+    DataType.fromJson(meta.schemas(id.toString)).asInstanceOf[StructType]
+  def properties: Map[String, String] = meta.properties
+
+  def refresh(): LakeTable = { meta = LakeTable.loadMeta(location); this }
+
+  def snapshot(ref: TableRef): Option[Snapshot] = meta.resolve(ref)
+
+  def manifest(s: Snapshot): Seq[FileEntry] = {
+    val p = Paths.get(location, "metadata", s.manifestFile)
+    Json.mapper.readValue(Files.readString(p), classOf[Array[FileEntry]]).toSeq
+  }
+
+  def currentFiles(ref: TableRef = TableRef.Head): Seq[FileEntry] =
+    snapshot(ref).map(manifest).getOrElse(Seq.empty)
+
+  // -------------------------------------------------------------------
+  // Commit protocol (optimistic with retries)
+  // -------------------------------------------------------------------
+  def commit(op: CommitOp, retries: Int = 5): CommitMetrics = {
+    val t0 = System.currentTimeMillis()
+    var attempt = 0
+    while (true) {
+      refresh()
+      val cur = meta
+      val (next, metrics) = applyOp(cur, op, t0)
+      val curV = LakeTable.currentVersion(location)
+      val target = Paths.get(location, "metadata", s"v${curV + 1}.json")
+      val tmp = Paths.get(location, "metadata", s".tmp-${Random.alphanumeric.take(8).mkString}.json")
+      Files.writeString(tmp, Json.write(next))
+      try {
+        Files.createLink(target, tmp) // atomic-exclusive: fails if vN+1 exists
+        Files.deleteIfExists(tmp)
+        Files.writeString(Paths.get(location, "metadata", "version-hint.txt"), (curV + 1).toString)
+        meta = next
+        return metrics.copy(elapsedMs = System.currentTimeMillis() - t0)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1
+          if (attempt > retries)
+            throw new CommitConflictException(s"commit lost the race $retries times at $location")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def newSnapshotId(m: TableMetadata): Long =
+    m.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+
+  private def headOf(m: TableMetadata, branch: Option[String]): Option[Snapshot] =
+    branch match {
+      case None => m.currentSnapshot
+      case Some(b) => m.refs.get(b).filter(_.isBranch).flatMap(r => m.snapshotById(r.snapshotId))
+    }
+
+  private def writeManifest(files: Seq[FileEntry], sid: Long): String = {
+    val name = s"manifest-$sid.json"
+    Files.writeString(Paths.get(location, "metadata", name), Json.write(files))
+    name
+  }
+
+  private def applyOp(m: TableMetadata, op: CommitOp, t0: Long): (TableMetadata, CommitMetrics) = op match {
+    case CommitOp.Append(files, branch) =>
+      val head = headOf(m, branch)
+      val base = head.map(manifest).getOrElse(Seq.empty)
+      val sid = newSnapshotId(m)
+      val mf = writeManifest(base ++ files, sid)
+      val snap = Snapshot(sid, head.map(_.id), System.currentTimeMillis(), "append", mf,
+        Map("added-files" -> files.size.toString, "added-records" -> files.map(_.recordCount).sum.toString))
+      (advance(m, snap, branch),
+        CommitMetrics(sid, files.size, 0, files.map(_.recordCount).sum, 0, 0))
+
+    case CommitOp.Overwrite(files, removePaths, branch, fromSnap, conflictFilter, serializable) =>
+      val head = headOf(m, branch)
+      validateNoConflicts(m, head, fromSnap, conflictFilter, serializable)
+      val base = head.map(manifest).getOrElse(Seq.empty)
+      val missing = removePaths -- base.map(_.path).toSet
+      if (missing.nonEmpty)
+        throw new ValidationException(
+          s"cannot overwrite: ${missing.size} file(s) no longer in table (concurrently rewritten?): ${missing.take(3)}")
+      val kept = base.filterNot(f => removePaths.contains(f.path))
+      val removed = base.filter(f => removePaths.contains(f.path))
+      val sid = newSnapshotId(m)
+      val mf = writeManifest(kept ++ files, sid)
+      val snap = Snapshot(sid, head.map(_.id), System.currentTimeMillis(),
+        if (files.isEmpty) "delete" else "overwrite", mf,
+        Map("added-files" -> files.size.toString, "removed-files" -> removed.size.toString))
+      (advance(m, snap, branch),
+        CommitMetrics(sid, files.size, removed.size,
+          files.map(_.recordCount).sum, removed.map(_.recordCount).sum, 0))
+
+    case CommitOp.SetSchema(schema, lastFieldId) =>
+      val nextId = m.currentSchemaId + 1
+      (m.copy(
+        schemas = m.schemas + (nextId.toString -> schema.json),
+        currentSchemaId = nextId,
+        lastAssignedFieldId = math.max(lastFieldId, m.lastAssignedFieldId)),
+        CommitMetrics(m.currentSnapshotId.getOrElse(0L), 0, 0, 0, 0, 0))
+
+    case CommitOp.SetRef(name, ref) =>
+      (m.copy(refs = m.refs + (name -> ref)),
+        CommitMetrics(ref.snapshotId, 0, 0, 0, 0, 0))
+  }
+
+  /** D11 isolation: between the writer's from-snapshot and the head, look
+    * for committed file adds/removes that match the conflict filter
+    * (serializable checks adds+removes; snapshot isolation removes only). */
+  private def validateNoConflicts(
+      m: TableMetadata, head: Option[Snapshot], fromSnap: Option[Long],
+      filter: Option[graft.scan.Pred], serializable: Boolean): Unit = {
+    (fromSnap, head) match {
+      case (Some(from), Some(h)) if h.id != from =>
+        // walk parent chain head..from
+        val chain = Iterator.iterate(Option(h))(s => s.flatMap(_.parentId).flatMap(m.snapshotById))
+          .takeWhile(s => s.isDefined && !s.exists(_.id == from)).flatten.toSeq
+        val fromManifest = m.snapshotById(from).map(manifest).getOrElse(Seq.empty).map(_.path).toSet
+        val headManifest = manifest(h)
+        val added = headManifest.filterNot(f => fromManifest.contains(f.path))
+        val removedPaths = fromManifest -- headManifest.map(_.path).toSet
+        val schemaNow = schema
+        val hit = filter match {
+          case None => added.nonEmpty || removedPaths.nonEmpty
+          case Some(p) =>
+            val eval = new graft.scan.StatsEvaluator(schemaNow, metadata.partitionSpec)
+            (serializable && added.exists(f => eval.mayContain(p, f))) || removedPaths.nonEmpty
+        }
+        if (hit && chain.nonEmpty)
+          throw new ValidationException(
+            s"serializable conflict: snapshots ${chain.map(_.id).mkString(",")} committed since $from touch rows matching the filter")
+      case _ => ()
+    }
+  }
+
+  private def advance(m: TableMetadata, snap: Snapshot, branch: Option[String]): TableMetadata = {
+    val withSnap = m.copy(snapshots = m.snapshots :+ snap)
+    branch match {
+      case None => withSnap.copy(currentSnapshotId = Some(snap.id))
+      case Some(b) => withSnap.copy(refs = withSnap.refs + (b -> Ref(snap.id, isBranch = true)))
+    }
+  }
+
+  // convenience
+  def appendFiles(files: Seq[FileEntry], branch: Option[String] = None): CommitMetrics =
+    commit(CommitOp.Append(files, branch))
+  def overwriteFiles(add: Seq[FileEntry], removePaths: Set[String],
+      fromSnapshotId: Option[Long] = None, conflictFilter: Option[graft.scan.Pred] = None): CommitMetrics =
+    commit(CommitOp.Overwrite(add, removePaths, None, fromSnapshotId, conflictFilter))
+  def evolveSchema(f: StructType => (StructType, Int)): Unit = {
+    val (s, last) = f(schema)
+    commit(CommitOp.SetSchema(s, last))
+  }
+  // schema evolution by field-id identity (SURVEY §1.2: add/drop/rename/
+  // widen handled at read time, never by rewriting data)
+  def addColumn(name: String, dt: DataType): Unit = evolveSchema { s =>
+    require(!s.fieldNames.contains(name), s"column $name exists")
+    val id = metadata.lastAssignedFieldId + 1
+    (StructType(s.fields :+ FieldIds.withId(StructField(name, dt), id)), id)
+  }
+  def renameColumn(from: String, to: String): Unit = evolveSchema { s =>
+    require(s.fieldNames.contains(from), s"no column $from")
+    (StructType(s.fields.map(f => if (f.name == from) f.copy(name = to) else f)),
+      metadata.lastAssignedFieldId)
+  }
+  def dropColumn(name: String): Unit = evolveSchema { s =>
+    (StructType(s.fields.filterNot(_.name == name)), metadata.lastAssignedFieldId)
+  }
+  def widenColumn(name: String, dt: DataType): Unit = evolveSchema { s =>
+    (StructType(s.fields.map(f => if (f.name == name) f.copy(dataType = dt) else f)),
+      metadata.lastAssignedFieldId)
+  }
+
+  def createTag(name: String, snapshotId: Long): Unit =
+    commit(CommitOp.SetRef(name, Ref(snapshotId, isBranch = false)))
+  def createBranch(name: String, snapshotId: Long): Unit =
+    commit(CommitOp.SetRef(name, Ref(snapshotId, isBranch = true)))
+
+  def dataDir: Path = Paths.get(location, "data")
+}
+
+object LakeTable {
+  def currentVersion(location: String): Int = {
+    val dir = Paths.get(location, "metadata")
+    if (!Files.isDirectory(dir)) return 0
+    val vs = Files.list(dir).iterator()
+    var max = 0
+    vs.forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("v") && n.endsWith(".json")) {
+        val v = n.stripPrefix("v").stripSuffix(".json")
+        try max = math.max(max, v.toInt) catch { case _: NumberFormatException => () }
+      }
+    }
+    max
+  }
+
+  private def loadMeta(location: String): TableMetadata = {
+    val v = currentVersion(location)
+    require(v > 0, s"no table at $location")
+    Json.read(Files.readString(Paths.get(location, "metadata", s"v$v.json")), classOf[TableMetadata])
+  }
+
+  def load(location: String): LakeTable = new LakeTable(location, loadMeta(location))
+
+  def exists(location: String): Boolean = currentVersion(location) > 0
+
+  def create(
+      location: String,
+      schema: StructType,
+      partitionSpec: Seq[PartitionField] = Seq.empty,
+      sortOrder: Seq[SortField] = Seq.empty,
+      properties: Map[String, String] = Map.empty): LakeTable = {
+    require(!exists(location), s"table already exists at $location")
+    val (withIds, lastId) = FieldIds.assign(schema)
+    val names = schema.fieldNames.toSet
+    partitionSpec.foreach(pf => require(names.contains(pf.sourceColumn),
+      s"partition source ${pf.sourceColumn} not in schema"))
+    Files.createDirectories(Paths.get(location, "metadata"))
+    Files.createDirectories(Paths.get(location, "data"))
+    val meta = TableMetadata(1, location, Map("1" -> withIds.json), 1, lastId,
+      partitionSpec, sortOrder, properties, Seq.empty, None, Map.empty)
+    Files.writeString(Paths.get(location, "metadata", "v1.json"), Json.write(meta))
+    Files.writeString(Paths.get(location, "metadata", "version-hint.txt"), "1")
+    new LakeTable(location, meta)
+  }
+}
+
+/** Directory-tree catalog: warehouse/<db>/<table> (SURVEY §2.8). */
+class LakeCatalog(val warehouse: String) {
+  private def loc(name: String) = Paths.get(warehouse, name.split('.'): _*).toString
+  def createTable(name: String, schema: StructType,
+      partitionSpec: Seq[PartitionField] = Seq.empty,
+      sortOrder: Seq[SortField] = Seq.empty,
+      properties: Map[String, String] = Map.empty): LakeTable =
+    LakeTable.create(loc(name), schema, partitionSpec, sortOrder, properties)
+  def loadTable(name: String): LakeTable = LakeTable.load(loc(name))
+  def tableExists(name: String): Boolean = LakeTable.exists(loc(name))
+  def dropTable(name: String): Unit = {
+    val p = Paths.get(loc(name))
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+}

@@ -462,7 +462,7 @@ object CoreQueries {
     Q("q_events_hourly",
       (s, d) => {
         Tables.events(s, d)
-          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
           .orderBy("hour", "event_type")

@@ -1,5 +1,261 @@
 package graft.queries
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.commands.{LakeEngine, Merge}
+import graft.format._
+import graft.scan.TableScan
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lake-layer DML queries for the driver's oracle gate: each one creates a
+  * throwaway snapshot-log table under java.io.tmpdir, runs real engine DML
+  * (insert / overwrite / update / delete / SCD merges / time travel /
+  * schema evolution), reads the committed end-state back through the
+  * pruning scan, and the DuckDB oracle recomputes that end-state in pure
+  * SQL over the original parquet tables (SURVEY §2.6 D1–D8, §2.1 S1–S8).
+  */
 object LakeQueries {
-  val all: Seq[Q] = Seq()
+
+  private def freshEngine(s: SparkSession, prefix: String): (LakeEngine, String) = {
+    val wh = Files.createTempDirectory(s"graft-$prefix-").toString
+    (new LakeEngine(s, new LakeCatalog(wh)), wh)
+  }
+
+  private val ts0 = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
+  private val ts1 = java.time.LocalDateTime.parse("2024-02-01T00:00:00")
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    Q("lake_roundtrip_pruned_read",
+      (s, d) => {
+        val (e, _) = freshEngine(s, "rt")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders", orders.schema,
+          partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")),
+          sortOrder = Seq(SortField("o_orderkey")))
+        e.insert(t, orders)
+        e.scan(t,
+          "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'")
+          .toDF().orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT * FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        ORDER BY o_orderkey"""),
+      doc = "D1 insert + S1 pruned scan round-trip (partition+stats pruning)"),
+
+    // ------------------------------------------------------------------
+    Q("lake_update",
+      (s, d) => {
+        val (e, _) = freshEngine(s, "upd")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders", orders.schema,
+          partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+        e.insert(t, orders)
+        e.update(t, "o_totalprice > 400000", Map("o_orderpriority" -> "'0-REWRITTEN'"))
+        e.scan(t).toDF().orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+          CASE WHEN o_totalprice > 400000 THEN '0-REWRITTEN' ELSE o_orderpriority END AS o_orderpriority
+        FROM orders ORDER BY o_orderkey"""),
+      doc = "D3 UPDATE with touched-file minimization"),
+
+    // ------------------------------------------------------------------
+    Q("lake_delete",
+      (s, d) => {
+        val (e, _) = freshEngine(s, "del")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders", orders.schema,
+          partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+        e.insert(t, orders)
+        e.delete(t, "o_orderstatus = 'P' AND o_totalprice < 50000")
+        e.scan(t).toDF().orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT * FROM orders
+        WHERE NOT (o_orderstatus = 'P' AND o_totalprice < 50000)
+        ORDER BY o_orderkey"""),
+      doc = "D4 DELETE with touched-file minimization"),
+
+    // ------------------------------------------------------------------
+    Q("lake_overwrite_partition",
+      (s, d) => {
+        val (e, _) = freshEngine(s, "ovw")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders", orders.schema,
+          partitionSpec = Seq(PartitionField("o_status", "o_orderstatus", "identity")))
+        e.insert(t, orders)
+        val replacement = orders.filter(col("o_orderstatus") === "P")
+          .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+        e.insertOverwriteByColumns(t, replacement, Seq("o_orderstatus"))
+        e.scan(t).toDF().orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 0.5 ELSE o_totalprice END AS o_totalprice,
+          o_orderdate, o_orderpriority
+        FROM orders ORDER BY o_orderkey"""),
+      doc = "D2 INSERT OVERWRITE by derived partition filter (A5)"),
+
+    // ------------------------------------------------------------------
+    Q("lake_scd1_snapshot",
+      (s, d) => {
+        val (e, _) = freshEngine(s, "scd1s")
+        val customer = Tables.customer(s, d)
+        val t = e.catalog.createTable("customer", customer.schema,
+          partitionSpec = Seq(PartitionField("c_seg", "c_mktsegment", "identity")))
+        e.insert(t, customer)
+        val building = customer.filter(col("c_mktsegment") === "BUILDING")
+        val source = building.filter(col("c_custkey") % 10 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+          .unionByName(building.filter(col("c_custkey") % 7 === 0)
+            .select((col("c_custkey") + 100000).as("c_custkey"),
+              concat(lit("new_"), col("c_custkey").cast("string")).as("c_name"),
+              col("c_nationkey"), lit(1000.0).as("c_acctbal"), col("c_mktsegment")))
+        Merge.scd1(e, t, source, Merge.Scd1Options(
+          keyCols = Seq("c_custkey"), tableFilterSql = "c_mktsegment = 'BUILDING'"))
+        e.scan(t).toDF().orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT * FROM customer WHERE c_mktsegment <> 'BUILDING'
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, c_mktsegment
+        FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 <> 0
+        UNION ALL
+        SELECT c_custkey + 100000, 'new_' || CAST(c_custkey AS VARCHAR), c_nationkey, 1000.0, c_mktsegment
+        FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0
+        ORDER BY c_custkey"""),
+      doc = "D5 SCD1 snapshot merge: I/U/D/N + boundary filter + out-of-boundary preservation"),
+
+    // ------------------------------------------------------------------
+    Q("lake_scd1_changes",
+      (s, d) => {
+        val (e, _) = freshEngine(s, "scd1c")
+        val customer = Tables.customer(s, d)
+        val t = e.catalog.createTable("customer", customer.schema)
+        e.insert(t, customer)
+        val updates = customer.filter(col("c_custkey") % 5 === 1)
+          .withColumn("c_acctbal", lit(0.0)).withColumn("op", lit("U"))
+        val deletes = customer.filter(col("c_custkey") % 5 === 2)
+          .withColumn("op", lit("D"))
+        val inserts = customer.filter(col("c_custkey") % 5 === 3)
+          .select((col("c_custkey") + 200000).as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+          .withColumn("op", lit("I"))
+        val changes = updates.unionByName(deletes).unionByName(inserts)
+        Merge.scd1(e, t, changes, Merge.Scd1Options(
+          keyCols = Seq("c_custkey"), operationTypeColumn = Some("op"),
+          deleteOperationValue = "D"))
+        e.scan(t).toDF().orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_nationkey,
+          CASE WHEN c_custkey % 5 = 1 THEN 0.0 ELSE c_acctbal END AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 5 <> 2
+        UNION ALL
+        SELECT c_custkey + 200000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 5 = 3
+        ORDER BY c_custkey"""),
+      doc = "D6 SCD1 changes merge with operation-type column"),
+
+    // ------------------------------------------------------------------
+    Q("lake_scd2_snapshot",
+      (s, d) => {
+        val (e, _) = freshEngine(s, "scd2s")
+        val customer = Tables.customer(s, d)
+        val schema = StructType(customer.schema.fields ++ Seq(
+          StructField("effective_start", TimestampNTZType),
+          StructField("effective_end", TimestampNTZType),
+          StructField("is_current", BooleanType)))
+        val t = e.catalog.createTable("customer_dim", schema,
+          partitionSpec = Seq(
+            PartitionField("cur", "is_current", "identity"),
+            PartitionField("end_b", "effective_end", "bucket[1]")))
+        e.insert(t, customer
+          .withColumn("effective_start", lit(ts0).cast(TimestampNTZType))
+          .withColumn("effective_end", lit(null).cast(TimestampNTZType))
+          .withColumn("is_current", lit(true)))
+        val source = customer.filter(col("c_custkey") % 25 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 4 === 0, col("c_acctbal") + 50.0).otherwise(col("c_acctbal")))
+          .unionByName(customer.filter(col("c_custkey") % 30 === 0)
+            .select((col("c_custkey") + 300000).as("c_custkey"), col("c_name"),
+              col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+        Merge.scd2(e, t, source, Merge.Scd2Options(
+          keyCols = Seq("c_custkey"), effectiveTimestamp = ts1,
+          currentFlagCol = Some("is_current")))
+        e.scan(t).toDF().orderBy("c_custkey", "effective_start")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT * FROM customer)
+        -- unchanged current rows
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+          TIMESTAMP '2024-01-01' AS effective_start, CAST(NULL AS TIMESTAMP) AS effective_end,
+          TRUE AS is_current
+        FROM base WHERE c_custkey % 25 <> 0 AND c_custkey % 4 <> 0
+        UNION ALL
+        -- closed versions of changed rows
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+          TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', FALSE
+        FROM base WHERE c_custkey % 25 <> 0 AND c_custkey % 4 = 0
+        UNION ALL
+        -- new versions of changed rows
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 50.0, c_mktsegment,
+          TIMESTAMP '2024-02-01', NULL, TRUE
+        FROM base WHERE c_custkey % 25 <> 0 AND c_custkey % 4 = 0
+        UNION ALL
+        -- closed versions of deleted rows
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+          TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', FALSE
+        FROM base WHERE c_custkey % 25 = 0
+        UNION ALL
+        -- brand-new keys
+        SELECT c_custkey + 300000, c_name, c_nationkey, c_acctbal, c_mktsegment,
+          TIMESTAMP '2024-02-01', NULL, TRUE
+        FROM base WHERE c_custkey % 30 = 0
+        ORDER BY c_custkey, effective_start"""),
+      doc = "D7 SCD2 snapshot merge: close U/D + insert versions; SCD2 partition rules (currentFlag identity, effectiveEnd bucket[1])"),
+
+    // ------------------------------------------------------------------
+    Q("lake_time_travel",
+      (s, d) => {
+        val (e, _) = freshEngine(s, "tt")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders", orders.schema)
+        e.insert(t, orders.filter(year(col("o_orderdate")) < 1998))
+        val snap1 = t.metadata.currentSnapshotId.get
+        t.createTag("v1", snap1)
+        e.insert(t, orders.filter(year(col("o_orderdate")) >= 1998))
+        new TableScan(s, t, ref = TableRef.Tag("v1")).toDF().orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT * FROM orders WHERE year(o_orderdate) < 1998 ORDER BY o_orderkey"""),
+      doc = "S2 time travel: tag/snapshot reads"),
+
+    // ------------------------------------------------------------------
+    Q("lake_schema_evolution",
+      (s, d) => {
+        val (e, _) = freshEngine(s, "evo")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders_lite", StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType))))
+        e.insert(t, orders.filter(year(col("o_orderdate")) < 1998)
+          .select("o_orderkey", "o_totalprice"))
+        t.renameColumn("o_totalprice", "price_usd")
+        t.addColumn("note", StringType)
+        e.insert(t, orders.filter(year(col("o_orderdate")) >= 1998)
+          .select(col("o_orderkey"), col("o_totalprice").as("price_usd"), lit("v2").as("note")))
+        e.scan(t).toDF().orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice AS price_usd, CAST(NULL AS VARCHAR) AS note
+        FROM orders WHERE year(o_orderdate) < 1998
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'v2' FROM orders WHERE year(o_orderdate) >= 1998
+        ORDER BY o_orderkey"""),
+      doc = "S4 schema evolution: rename+add resolved at read by field id")
+  )
 }

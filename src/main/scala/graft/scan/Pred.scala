@@ -1,0 +1,100 @@
+package graft.scan
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine predicate ADT, mirroring the reference's expression algebra
+  * (expressions/Expressions.java:53-465 — P1–P5) but kept deliberately
+  * small: it exists ONLY for metadata pruning (partition values + file
+  * stats). Row-level filtering is Catalyst's job — every Pred renders to a
+  * Spark Column via [[Pred.toColumn]] and is pushed into the parquet scan.
+  */
+sealed trait Pred {
+  def &&(o: Pred): Pred = And(this, o)
+  def ||(o: Pred): Pred = Or(this, o)
+  def unary_! : Pred = Pred.negate(this)
+}
+
+case object AlwaysTrue extends Pred
+case object AlwaysFalse extends Pred
+final case class And(l: Pred, r: Pred) extends Pred
+final case class Or(l: Pred, r: Pred) extends Pred
+final case class Eq(col: String, v: Any) extends Pred
+final case class Ne(col: String, v: Any) extends Pred
+final case class Lt(col: String, v: Any) extends Pred
+final case class Le(col: String, v: Any) extends Pred
+final case class Gt(col: String, v: Any) extends Pred
+final case class Ge(col: String, v: Any) extends Pred
+final case class In(col: String, vs: Seq[Any]) extends Pred
+final case class NotIn(col: String, vs: Seq[Any]) extends Pred
+final case class IsNull(col: String) extends Pred
+final case class NotNull(col: String) extends Pred
+final case class IsNan(col: String) extends Pred
+final case class NotNan(col: String) extends Pred
+final case class StartsWith(col: String, prefix: String) extends Pred
+/** A condition the pruner can't reason about; pruning treats it as
+  * always-possibly-true, rows still get the full filter. */
+final case class Opaque(sql: String) extends Pred
+
+object Pred {
+  /** NOT pushdown (reference Expressions.java negate / resolveWithNullHandling).
+    * Note 3VL: NOT(x < v) keeps NULL rows out in SQL, and so does (x >= v),
+    * so comparison flips are sound for row semantics AND for pruning. */
+  def negate(p: Pred): Pred = p match {
+    case AlwaysTrue      => AlwaysFalse
+    case AlwaysFalse     => AlwaysTrue
+    case And(l, r)       => Or(negate(l), negate(r))
+    case Or(l, r)        => And(negate(l), negate(r))
+    case Eq(c, v)        => Ne(c, v)
+    case Ne(c, v)        => Eq(c, v)
+    case Lt(c, v)        => Ge(c, v)
+    case Le(c, v)        => Gt(c, v)
+    case Gt(c, v)        => Le(c, v)
+    case Ge(c, v)        => Lt(c, v)
+    case In(c, vs)       => NotIn(c, vs)
+    case NotIn(c, vs)    => In(c, vs)
+    case IsNull(c)       => NotNull(c)
+    case NotNull(c)      => IsNull(c)
+    case IsNan(c)        => NotNan(c)
+    case NotNan(c)       => IsNan(c)
+    case StartsWith(c, s) => Opaque(s"NOT startswith($c, '${s.replace("'", "''")}')")
+    case Opaque(sql)     => Opaque(s"NOT ($sql)")
+  }
+
+  def toColumn(p: Pred): Column = p match {
+    case AlwaysTrue      => lit(true)
+    case AlwaysFalse     => lit(false)
+    case And(l, r)       => toColumn(l) && toColumn(r)
+    case Or(l, r)        => toColumn(l) || toColumn(r)
+    case Eq(c, v)        => col(c) === lit(v)
+    case Ne(c, v)        => col(c) =!= lit(v)
+    case Lt(c, v)        => col(c) < lit(v)
+    case Le(c, v)        => col(c) <= lit(v)
+    case Gt(c, v)        => col(c) > lit(v)
+    case Ge(c, v)        => col(c) >= lit(v)
+    case In(c, vs)       => col(c).isin(vs: _*)
+    case NotIn(c, vs)    => !col(c).isin(vs: _*)
+    case IsNull(c)       => col(c).isNull
+    case NotNull(c)      => col(c).isNotNull
+    case IsNan(c)        => isnan(col(c))
+    case NotNan(c)       => !isnan(col(c))
+    case StartsWith(c, s) => col(c).startsWith(s)
+    case Opaque(sql)     => expr(sql)
+  }
+
+  /** Columns referenced (for projection pushdown bookkeeping). */
+  def references(p: Pred): Set[String] = p match {
+    case And(l, r) => references(l) ++ references(r)
+    case Or(l, r)  => references(l) ++ references(r)
+    case Eq(c, _) => Set(c); case Ne(c, _) => Set(c)
+    case Lt(c, _) => Set(c); case Le(c, _) => Set(c)
+    case Gt(c, _) => Set(c); case Ge(c, _) => Set(c)
+    case In(c, _) => Set(c); case NotIn(c, _) => Set(c)
+    case IsNull(c) => Set(c); case NotNull(c) => Set(c)
+    case IsNan(c) => Set(c); case NotNan(c) => Set(c)
+    case StartsWith(c, _) => Set(c)
+    case _ => Set.empty
+  }
+
+  def isTrue(p: Pred): Boolean = p == AlwaysTrue
+}

@@ -1,0 +1,260 @@
+package graft.scan
+
+import graft.format.{ColumnStats, FileEntry, PartitionField}
+import graft.transforms.Transform
+import org.apache.spark.sql.types._
+
+/** Canonical string encoding of stats/partition values per data type.
+  * Numerics/temporal encode to forms whose BigDecimal parse preserves
+  * order; strings stay raw (lexicographic).
+  */
+object StatsCodec {
+  /** Literal (Scala/Java value from the API or Catalyst) -> comparison key. */
+  def literalKey(dt: DataType, v: Any): Any = dt match {
+    case StringType => v.toString
+    case BooleanType => if (v.asInstanceOf[Boolean]) BigDecimal(1) else BigDecimal(0)
+    case TimestampType | TimestampNTZType => BigDecimal(graft.transforms.Transform.toEpochMicros(v))
+    case DateType => BigDecimal(v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate => d.toEpochDay
+      case n: Number => n.longValue()
+    })
+    case _: NumericType => BigDecimal(v.toString)
+    case _ => v.toString
+  }
+
+  /** Canonical stats string (as stored in FileEntry) -> comparison key. */
+  def statsKey(dt: DataType, s: String): Any = dt match {
+    case StringType => s
+    case BooleanType => if (s == "true") BigDecimal(1) else BigDecimal(0)
+    case TimestampType | TimestampNTZType | DateType => BigDecimal(s) // epoch micros / days
+    case _: NumericType => BigDecimal(s)
+    case _ => s
+  }
+
+  /** Canonical string for a literal, matching what the writer harvests. */
+  def literalToStats(dt: DataType, v: Any): String = dt match {
+    case TimestampType | TimestampNTZType => graft.transforms.Transform.toEpochMicros(v).toString
+    case DateType => (v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate => d.toEpochDay
+      case n: Number => n.longValue()
+    }).toString
+    case _ => v.toString
+  }
+
+  @inline def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+    case (x: String, y: String)         => x.compareTo(y)
+    case _ => throw new IllegalStateException(s"incomparable keys: $a vs $b")
+  }
+}
+
+/** Metadata file pruning: decides from partition values + footer stats
+  * whether a file MAY contain matching rows (inclusive) or provably has
+  * ALL rows matching (strict). The Spark-side equivalent of Iceberg's
+  * InclusiveMetricsEvaluator/StrictMetricsEvaluator used by the reference
+  * scan (sql/IcebergScanExecutor.java:453-505) and batch-commit conflict
+  * checks (writer/TableBatchTransaction.java:96-230).
+  */
+final class StatsEvaluator(schema: StructType, spec: Seq[PartitionField]) {
+  import StatsCodec._
+
+  private val fieldByName: Map[String, StructField] =
+    schema.fields.map(f => f.name -> f).toMap
+  private val idByName: Map[String, Int] =
+    schema.fields.map(f => f.name -> graft.format.FieldIds.of(f)).toMap
+  private val specBySource: Map[String, Seq[(PartitionField, Transform)]] =
+    spec.groupBy(_.sourceColumn).view.mapValues(_.map(pf => pf -> Transform.parse(pf.transform))).toMap
+
+  private def dtOf(c: String): Option[DataType] = fieldByName.get(c).map(_.dataType)
+  private def statsOf(f: FileEntry, c: String): Option[ColumnStats] =
+    idByName.get(c).filter(_ > 0).flatMap(id => f.stats.get(id.toString))
+
+  private def isFloating(c: String): Boolean =
+    dtOf(c).exists(d => d == FloatType || d == DoubleType)
+
+  /** Identity partition value for column c, if identity-partitioned. */
+  private def identityValue(f: FileEntry, c: String): Option[String] =
+    specBySource.getOrElse(c, Seq.empty).collectFirst {
+      case (pf, graft.transforms.Identity) if f.partition.contains(pf.name) => f.partition(pf.name)
+    }
+
+  // ---------------------------------------------------------------- may
+  def mayContain(p: Pred, f: FileEntry): Boolean = p match {
+    case AlwaysTrue   => true
+    case AlwaysFalse  => false
+    case Opaque(_)    => true
+    case And(l, r)    => mayContain(l, f) && mayContain(r, f)
+    case Or(l, r)     => mayContain(l, f) || mayContain(r, f)
+    case IsNull(c)    =>
+      identityValue(f, c) match {
+        case Some(v) => v == Transform.NullValue
+        case None => statsOf(f, c).forall(_.nullCount > 0)
+      }
+    case NotNull(c)   =>
+      identityValue(f, c) match {
+        case Some(v) => v != Transform.NullValue
+        case None => statsOf(f, c).forall(_.nullCount < f.recordCount)
+      }
+    case IsNan(c)     => isFloating(c) // no NaN counts: conservative
+    case NotNan(c)    => isFloating(c) || { // non-float: isnan() is never true, so NOT isnan is all rows
+      dtOf(c).isEmpty || true
+    }
+    case Eq(c, v)     => rangeMay(f, c, v, lo = true, hi = true, strictLo = false, strictHi = false)
+    case Ne(c, v)     => !provablyAll(Eq(c, v), f)
+    case Lt(c, v)     => rangeMay(f, c, v, lo = true, hi = false, strictLo = true, strictHi = false)
+    case Le(c, v)     => rangeMay(f, c, v, lo = true, hi = false, strictLo = false, strictHi = false)
+    case Gt(c, v)     => rangeMay(f, c, v, lo = false, hi = true, strictLo = false, strictHi = true)
+    case Ge(c, v)     => rangeMay(f, c, v, lo = false, hi = true, strictLo = false, strictHi = false)
+    case In(c, vs)    => vs.exists(v => mayContain(Eq(c, v), f))
+    case NotIn(c, vs) => !vs.exists(v => provablyAll(Eq(c, v), f))
+    case StartsWith(c, s) => startsWithMay(f, c, s)
+  }
+
+  /** lo: require some value <= v-ish (v above min); hi: some value >= v-ish. */
+  private def rangeMay(f: FileEntry, c: String, v: Any,
+      lo: Boolean, hi: Boolean, strictLo: Boolean, strictHi: Boolean): Boolean = {
+    if (v == null) return false // comparisons with NULL match nothing (3VL)
+    val dt = dtOf(c).getOrElse(return true)
+    // identity partition: every row carries this exact value
+    identityValue(f, c) match {
+      case Some(Transform.NullValue) => return false
+      case Some(pv) =>
+        val k = statsKey(dt, canonPartToStats(dt, pv))
+        val kv = literalKey(dt, v)
+        val okLo = !lo || (if (strictLo) cmp(k, kv) < 0 else cmp(k, kv) <= 0)
+        val okHi = !hi || (if (strictHi) cmp(k, kv) > 0 else cmp(k, kv) >= 0)
+        return okLo && okHi
+      case None => ()
+    }
+    // monotonic transform partition projection (year/month/day/hour/truncate)
+    val projOk = specBySource.getOrElse(c, Seq.empty).forall { case (pf, t) =>
+      if (!t.monotonic || t == graft.transforms.Identity) true
+      else f.partition.get(pf.name) match {
+        case None | Some(Transform.NullValue) => true
+        case Some(pv) =>
+          val tv = t.applyLiteral(v, dt)
+          // rows in this file have t(c) == pv; c <(=) v  =>  t(c) <= t(v)
+          val okLo = !lo || pv <= tv
+          val okHi = !hi || pv >= tv
+          okLo && okHi
+      }
+    }
+    if (!projOk) return false
+    statsOf(f, c) match {
+      case None => true
+      case Some(st) =>
+        if (st.nullCount >= f.recordCount) return false
+        val kv = literalKey(dt, v)
+        val okLo = !lo || (st.min match {
+          case None => true
+          case Some(mn) =>
+            val k = statsKey(dt, mn)
+            if (strictLo) cmp(k, kv) < 0 else cmp(k, kv) <= 0
+        })
+        val okHi = !hi || (st.max match {
+          case None => true
+          case Some(mx) =>
+            val k = statsKey(dt, mx)
+            if (strictHi) cmp(k, kv) > 0 else cmp(k, kv) >= 0
+        })
+        okLo && okHi
+    }
+  }
+
+  /** Partition canonical value -> stats canonical (temporal partitions are
+    * formatted strings while stats are epoch numbers; identity over
+    * timestamp needs re-encoding). */
+  private def canonPartToStats(dt: DataType, pv: String): String = dt match {
+    case TimestampType | TimestampNTZType =>
+      val norm = pv.replace(' ', 'T')
+      graft.transforms.Transform.toEpochMicros(java.time.LocalDateTime.parse(norm)).toString
+    case DateType => java.time.LocalDate.parse(pv).toEpochDay.toString
+    case _ => pv
+  }
+
+  private def startsWithMay(f: FileEntry, c: String, s: String): Boolean = {
+    identityValue(f, c) match {
+      case Some(Transform.NullValue) => return false
+      case Some(pv) => return pv.startsWith(s)
+      case None => ()
+    }
+    statsOf(f, c) match {
+      case None => true
+      case Some(st) =>
+        if (st.nullCount >= f.recordCount) false
+        else {
+          val okHi = st.max.forall { mx => mx.take(s.length) >= s }
+          val okLo = st.min.forall { mn => mn.take(s.length) <= s }
+          okHi && okLo
+        }
+    }
+  }
+
+  // ------------------------------------------------------------- strict
+  /** True only if EVERY row in the file provably matches p. */
+  def provablyAll(p: Pred, f: FileEntry): Boolean = p match {
+    case AlwaysTrue  => true
+    case AlwaysFalse => false
+    case Opaque(_)   => false
+    case And(l, r)   => provablyAll(l, f) && provablyAll(r, f)
+    case Or(l, r)    => provablyAll(l, f) || provablyAll(r, f)
+    case IsNull(c)   =>
+      identityValue(f, c).map(_ == Transform.NullValue)
+        .orElse(statsOf(f, c).map(_.nullCount >= f.recordCount)).getOrElse(false)
+    case NotNull(c)  =>
+      identityValue(f, c).map(_ != Transform.NullValue)
+        .orElse(statsOf(f, c).map(_.nullCount == 0)).getOrElse(false)
+    case IsNan(_)    => false
+    case NotNan(c)   => !isFloating(c)
+    case Eq(c, v)    =>
+      if (v == null) false
+      else identityValue(f, c) match {
+        case Some(Transform.NullValue) => false
+        case Some(pv) =>
+          val dt = dtOf(c).getOrElse(return false)
+          cmp(statsKey(dt, canonPartToStats(dt, pv)), literalKey(dt, v)) == 0
+        case None =>
+          statsOf(f, c).exists { st =>
+            st.nullCount == 0 && st.min.isDefined && st.min == st.max && {
+              val dt = dtOf(c).getOrElse(return false)
+              cmp(statsKey(dt, st.min.get), literalKey(dt, v)) == 0
+            }
+          }
+      }
+    case Ne(c, v)    => !mayContain(Eq(c, v), f) && provablyAll(NotNull(c), f)
+    case Lt(c, v)    => boundAll(f, c, v, upper = true, strict = true)
+    case Le(c, v)    => boundAll(f, c, v, upper = true, strict = false)
+    case Gt(c, v)    => boundAll(f, c, v, upper = false, strict = true)
+    case Ge(c, v)    => boundAll(f, c, v, upper = false, strict = false)
+    case In(c, vs)   => vs.exists(v => provablyAll(Eq(c, v), f))
+    case NotIn(c, vs) => vs.forall(v => !mayContain(Eq(c, v), f)) && provablyAll(NotNull(c), f)
+    case StartsWith(c, s) =>
+      identityValue(f, c).map(pv => pv != Transform.NullValue && pv.startsWith(s)).getOrElse {
+        statsOf(f, c).exists(st => st.nullCount == 0 &&
+          st.min.exists(_.startsWith(s)) && st.max.exists(_.startsWith(s)))
+      }
+  }
+
+  private def boundAll(f: FileEntry, c: String, v: Any, upper: Boolean, strict: Boolean): Boolean = {
+    if (v == null) return false
+    val dt = dtOf(c).getOrElse(return false)
+    identityValue(f, c) match {
+      case Some(Transform.NullValue) => return false
+      case Some(pv) =>
+        val k = cmp(statsKey(dt, canonPartToStats(dt, pv)), literalKey(dt, v))
+        return if (upper) (if (strict) k < 0 else k <= 0) else (if (strict) k > 0 else k >= 0)
+      case None => ()
+    }
+    statsOf(f, c).exists { st =>
+      st.nullCount == 0 && {
+        val bound = if (upper) st.max else st.min
+        bound.exists { b =>
+          val k = cmp(statsKey(dt, b), literalKey(dt, v))
+          if (upper) (if (strict) k < 0 else k <= 0) else (if (strict) k > 0 else k >= 0)
+        }
+      }
+    }
+  }
+}

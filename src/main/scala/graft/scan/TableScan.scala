@@ -1,0 +1,113 @@
+package graft.scan
+
+import graft.format.{FileEntry, LakeTable, TableRef}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class FullTableScanException(msg: String) extends RuntimeException(msg)
+class ScanSizeLimitException(msg: String) extends RuntimeException(msg)
+
+/** Pruning scan: predicate -> (partition + stats) file pruning -> DataFrame
+  * assembly with schema-evolution projection and residual filter.
+  *
+  * Spark rebuild of the reference read path (SURVEY §3.1 steps 2–5):
+  * SqlQueryProcessor/IcebergScanExecutor collapse into [[planFiles]], and
+  * SchemaEvolution.getSelectSQLForDataFiles (S4) into [[toDF]] — per-schema
+  * file groups, field-id projection casting/renaming/NULL-filling, then
+  * unionByName. Everything after that is Catalyst: the residual predicate
+  * is a plain Column, so pushdown/codegen apply.
+  */
+final class TableScan(
+    spark: SparkSession,
+    table: LakeTable,
+    pred: Pred = AlwaysTrue,
+    ref: TableRef = TableRef.Head,
+    allowFullTableScan: Boolean = true,
+    sizeLimitMiB: Option[Long] = None,
+    withFileColumns: Boolean = false,
+    // DML rebuild path: scan exactly these files (no pruning, no residual)
+    explicitFiles: Option[Seq[FileEntry]] = None) {
+
+  val FileCol = "_file"
+  val PosCol = "_pos"
+
+  private lazy val evaluator = new StatsEvaluator(table.schema, table.metadata.partitionSpec)
+
+  /** Metadata-only planning: no data read (S1). */
+  def planFiles(): Seq[FileEntry] = {
+    explicitFiles.foreach(fs => return fs)
+    if (!allowFullTableScan && Pred.isTrue(pred))
+      throw new FullTableScanException(
+        s"full table scan not allowed on ${table.location} (P10 guard)")
+    val all = table.currentFiles(ref)
+    val matched = all.filter(f => evaluator.mayContain(pred, f))
+    sizeLimitMiB.foreach { lim =>
+      val mib = matched.map(_.sizeBytes).sum / (1024.0 * 1024.0)
+      if (mib > lim)
+        throw new ScanSizeLimitException(f"scan would read $mib%.1f MiB > limit $lim MiB (P11)")
+    }
+    matched
+  }
+
+  def toDF(): DataFrame = {
+    val files = planFiles()
+    val cur = table.schema
+    if (files.isEmpty) return emptyDF(cur)
+    val groups = files.groupBy(_.schemaId)
+    val parts = groups.toSeq.sortBy(_._1).map { case (sid, fs) =>
+      val written = table.schemaFor(sid)
+      val clean = StructType(written.fields.map(f => f.copy(metadata = Metadata.empty)))
+      val base = spark.read.schema(clean).parquet(fs.map(_.path): _*)
+      val projected = project(base, written, cur)
+      if (withFileColumns) // normalize file:/ URIs to plain paths (manifest form)
+        projected.withColumn(FileCol,
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+          .withColumn(PosCol, col("_metadata.row_index"))
+      else projected
+    }
+    val unioned = parts.reduce(_.unionByName(_))
+    if (Pred.isTrue(pred) || explicitFiles.isDefined) unioned
+    else unioned.filter(Pred.toColumn(pred))
+  }
+
+  private def emptyDF(cur: StructType): DataFrame = {
+    val schema =
+      if (!withFileColumns) cur
+      else StructType(cur.fields :+ StructField(FileCol, StringType) :+ StructField(PosCol, LongType))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Field-id based projection from the written schema to the current one:
+    * rename via id match, cast widened types, NULL-fill added columns —
+    * recursing into structs and arrays-of-struct (S4;
+    * reference sql/SchemaEvolution.java:328-457). */
+  private def project(df: DataFrame, written: StructType, cur: StructType): DataFrame = {
+    val byId = written.fields.map(f => graft.format.FieldIds.of(f) -> f).toMap
+    val cols = cur.fields.map { nf =>
+      val id = graft.format.FieldIds.of(nf)
+      byId.get(id) match {
+        case Some(of) => evolve(col(of.name), of.dataType, nf.dataType).as(nf.name)
+        case None     => lit(null).cast(nf.dataType).as(nf.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  private def evolve(c: Column, from: DataType, to: DataType): Column = (from, to) match {
+    case (f, t) if f == t => c
+    case (f: StructType, t: StructType) =>
+      val byId = f.fields.map(x => graft.format.FieldIds.of(x) -> x).toMap
+      val parts = t.fields.map { nf =>
+        val id = graft.format.FieldIds.of(nf)
+        byId.get(id) match {
+          case Some(of) => evolve(c.getField(of.name), of.dataType, nf.dataType).as(nf.name)
+          case None     => lit(null).cast(nf.dataType).as(nf.name)
+        }
+      }
+      when(c.isNull, lit(null).cast(to)).otherwise(struct(parts.toSeq: _*))
+    case (ArrayType(fe: StructType, _), ArrayType(te: StructType, n)) =>
+      transform(c, x => evolve(x, fe, te)).cast(ArrayType(te, n))
+    case _ => c.cast(to)
+  }
+}

@@ -1,0 +1,213 @@
+package graft.transforms
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Partition transforms: identity / bucket[N] / truncate[W] / year / month /
+  * day / hour — the hidden-partitioning surface of the reference
+  * (expressions/Expressions.java:438-465, PartitionedDataFileWriter.java:557-605).
+  *
+  * Canonical partition VALUES are strings (they become hive dir names and
+  * FileEntry.partition entries). Temporal transforms use zero-padded forms
+  * so lexicographic order == chronological order, which lets the pruner
+  * compare range predicates directly on the canonical strings.
+  */
+sealed trait Transform {
+  def name: String
+  /** Spark column computing the canonical partition value (string). */
+  def column(c: Column, dt: DataType): Column
+  /** Apply to a literal (for predicate projection in the pruner). */
+  def applyLiteral(v: Any, dt: DataType): String
+  /** Monotonic non-decreasing in the source column (range projection valid). */
+  def monotonic: Boolean
+}
+
+object Transform {
+  val NullValue = "__NULL__"
+
+  def parse(s: String): Transform = s.trim match {
+    case "identity" => Identity
+    case "year"     => Year
+    case "month"    => Month
+    case "day"      => Day
+    case "hour"     => Hour
+    case b if b.startsWith("bucket[")   => Bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt)
+    case t if t.startsWith("truncate[") => Truncate(t.stripPrefix("truncate[").stripSuffix("]").toInt)
+    case other => throw new IllegalArgumentException(s"unknown transform: $other")
+  }
+
+  private[transforms] def canon(c: Column): Column =
+    when(c.isNull, lit(NullValue)).otherwise(c.cast(StringType))
+
+  /** Format a literal the same way Spark's cast-to-string would. */
+  def lit2str(v: Any): String = v match {
+    case null => NullValue
+    case t: java.sql.Timestamp  => t.toLocalDateTime.toString.replace('T', ' ')
+    case t: java.time.LocalDateTime => t.toString.replace('T', ' ')
+    case d: java.sql.Date => d.toString
+    case d: java.time.LocalDate => d.toString
+    case other => other.toString
+  }
+
+  def toEpochMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    case t: java.time.LocalDateTime => t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L + t.getNano / 1000
+    case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000
+    case d: java.sql.Date => d.toLocalDate.toEpochDay * 86400L * 1000000L
+    case d: java.time.LocalDate => d.toEpochDay * 86400L * 1000000L
+    case other => throw new IllegalArgumentException(s"not a temporal literal: $other (${other.getClass})")
+  }
+}
+
+case object Identity extends Transform {
+  val name = "identity"
+  def column(c: Column, dt: DataType): Column = Transform.canon(c)
+  def applyLiteral(v: Any, dt: DataType): String = Transform.lit2str(v)
+  val monotonic = true
+}
+
+/** Iceberg-spec bucket: murmur3_x86_32 over type-specific byte layouts,
+  * then (hash & Int.MaxValue) % N. Kept hash-compatible with Iceberg so
+  * layouts can be cross-checked against the reference (SURVEY §7.4.2). */
+final case class Bucket(n: Int) extends Transform {
+  val name = s"bucket[$n]"
+  private val u = udf { (s: String, kind: String) =>
+    if (s == null) null
+    else {
+      val h = kind match {
+        case "long"   => IcebergHash.hashLong(s.toLong)
+        case "string" => IcebergHash.hashString(s)
+        case "double" => IcebergHash.hashDouble(s.toDouble)
+      }
+      ((h & Int.MaxValue) % n).toString
+    }
+  }
+  private def kind(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "long"
+    case FloatType | DoubleType                        => "double"
+    case StringType                                    => "string"
+    case DateType                                      => "long" // epoch days as long (Iceberg spec)
+    case TimestampType | TimestampNTZType              => "long" // epoch micros as long
+    case _ => throw new IllegalArgumentException(s"bucket unsupported for $dt")
+  }
+  /** Temporal columns hash via their epoch long (Iceberg spec). */
+  private def asHashable(c: Column, dt: DataType): Column = dt match {
+    case DateType                         => unix_date(c).cast(StringType)
+    case TimestampType                    => unix_micros(c).cast(StringType)
+    case TimestampNTZType                 => unix_micros(c.cast(TimestampType)).cast(StringType) // UTC session: wall clock preserved
+    case _                                => c.cast(StringType)
+  }
+  def column(c: Column, dt: DataType): Column =
+    when(c.isNull, lit(Transform.NullValue)).otherwise(u(asHashable(c, dt), lit(kind(dt))))
+  def applyLiteral(v: Any, dt: DataType): String =
+    if (v == null) Transform.NullValue
+    else {
+      val h = dt match {
+        case DateType => IcebergHash.hashLong(v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+          case n: Number => n.longValue()
+        })
+        case TimestampType | TimestampNTZType =>
+          IcebergHash.hashLong(Transform.toEpochMicros(v))
+        case _ => kind(dt) match {
+          case "long"   => IcebergHash.hashLong(v.toString.toLong)
+          case "string" => IcebergHash.hashString(v.toString)
+          case "double" => IcebergHash.hashDouble(v.toString.toDouble)
+        }
+      }
+      ((h & Int.MaxValue) % n).toString
+    }
+  val monotonic = false
+}
+
+final case class Truncate(w: Int) extends Transform {
+  val name = s"truncate[$w]"
+  def column(c: Column, dt: DataType): Column = dt match {
+    case StringType => Transform.canon(substring(c, 1, w))
+    case ByteType | ShortType | IntegerType | LongType =>
+      // floor division truncation (Iceberg spec: v - (v % W adjusted))
+      Transform.canon(c.cast(LongType) - pmod(c.cast(LongType), lit(w.toLong)))
+    case _ => throw new IllegalArgumentException(s"truncate unsupported for $dt")
+  }
+  def applyLiteral(v: Any, dt: DataType): String =
+    if (v == null) Transform.NullValue
+    else dt match {
+      case StringType => v.toString.take(w)
+      case _ =>
+        val l = v.toString.toLong
+        (l - java.lang.Math.floorMod(l, w.toLong)).toString
+    }
+  val monotonic = true
+}
+
+sealed abstract class TemporalTransform(val name: String, pattern: String) extends Transform {
+  def column(c: Column, dt: DataType): Column =
+    when(c.isNull, lit(Transform.NullValue)).otherwise(date_format(c, pattern))
+  def applyLiteral(v: Any, dt: DataType): String =
+    if (v == null) Transform.NullValue
+    else {
+      val micros = Transform.toEpochMicros(v)
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        java.lang.Math.floorDiv(micros, 1000000L),
+        (java.lang.Math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      java.time.format.DateTimeFormatter.ofPattern(javaPattern).format(ldt)
+    }
+  protected def javaPattern: String = pattern
+  val monotonic = true
+}
+case object Year  extends TemporalTransform("year", "yyyy")
+case object Month extends TemporalTransform("month", "yyyy-MM")
+case object Day   extends TemporalTransform("day", "yyyy-MM-dd")
+case object Hour  extends TemporalTransform("hour", "yyyy-MM-dd-HH")
+
+/** Murmur3-x86-32 (seed 0) with Iceberg's byte layouts: ints/longs/dates/
+  * times/timestamps hash as 8-byte little-endian longs; strings as UTF-8;
+  * doubles as long bits with -0.0 normalized (Iceberg spec "Appendix B"). */
+object IcebergHash {
+  def hashLong(v: Long): Int = {
+    val bytes = new Array[Byte](8)
+    var i = 0
+    var x = v
+    while (i < 8) { bytes(i) = (x & 0xff).toByte; x >>>= 8; i += 1 }
+    murmur3(bytes, 0)
+  }
+  def hashString(s: String): Int = murmur3(s.getBytes(UTF_8), 0)
+  def hashDouble(d: Double): Int = {
+    val norm = if (d == 0.0d) 0.0d else d // -0.0 -> 0.0
+    hashLong(java.lang.Double.doubleToLongBits(norm))
+  }
+  def hashBytes(b: Array[Byte]): Int = murmur3(b, 0)
+
+  /** murmur3_x86_32 reference implementation. */
+  def murmur3(data: Array[Byte], seed: Int): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h1 = seed
+    val nblocks = data.length / 4
+    var i = 0
+    while (i < nblocks) {
+      val base = i * 4
+      var k1 = (data(base) & 0xff) | ((data(base + 1) & 0xff) << 8) |
+        ((data(base + 2) & 0xff) << 16) | ((data(base + 3) & 0xff) << 24)
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2
+      h1 ^= k1; h1 = Integer.rotateLeft(h1, 13); h1 = h1 * 5 + 0xe6546b64
+      i += 1
+    }
+    var k1 = 0
+    val tail = nblocks * 4
+    val rem = data.length & 3
+    if (rem == 3) k1 ^= (data(tail + 2) & 0xff) << 16
+    if (rem >= 2) k1 ^= (data(tail + 1) & 0xff) << 8
+    if (rem >= 1) {
+      k1 ^= data(tail) & 0xff
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= data.length
+    h1 ^= h1 >>> 16; h1 *= 0x85ebca6b; h1 ^= h1 >>> 13; h1 *= 0xc2b2ae35; h1 ^= h1 >>> 16
+    h1
+  }
+}

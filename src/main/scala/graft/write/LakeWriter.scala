@@ -1,0 +1,186 @@
+package graft.write
+
+import graft.format._
+import graft.transforms.Transform
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Write pipeline (SURVEY §7.1.4; mirrors reference S6–S8 + D10):
+  * cast-projection to table schema (P9) -> partition transform columns ->
+  * clustering repartition -> sorted write to a staged dir -> parquet footer
+  * stats harvest -> FileEntry list for the commit.
+  *
+  * Scale design: one Spark job does the whole write; parallelism is tasks
+  * (not the reference's partitionWriterThreadPool). Partitioned tables
+  * hash-distribute on the transformed partition columns so each partition's
+  * rows land in few tasks (small-file control); sorted unpartitioned tables
+  * range-distribute on the sort key so file min/max ranges don't overlap —
+  * that's what makes the stats pruner effective. AQE coalesces the shuffle
+  * when the batch is small.
+  */
+object LakeWriter {
+
+  def partColName(pf: PartitionField): String = s"__p_${pf.name}"
+
+  /** P9 cast-projection: every table column present (missing -> NULL),
+    * cast to the table type (reference SchemaEvolution.java:283-319). */
+  def castProjection(df: DataFrame, schema: StructType): DataFrame = {
+    val in = df.columns.toSet
+    df.select(schema.fields.map { f =>
+      (if (in.contains(f.name)) col(f.name) else lit(null)).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+  }
+
+  def write(spark: SparkSession, table: LakeTable, input: DataFrame): Seq[FileEntry] = {
+    val schema = table.schema
+    val spec = table.metadata.partitionSpec
+    val props = table.properties
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+    val casted = castProjection(input, schema)
+    val partCols = spec.map { pf =>
+      Transform.parse(pf.transform)
+        .column(col(pf.sourceColumn), schema(pf.sourceColumn).dataType)
+        .as(partColName(pf))
+    }
+    val withParts =
+      if (spec.isEmpty) casted
+      else casted.select(col("*") +: partCols: _*)
+
+    val sortExprs: Seq[Column] = table.metadata.sortOrder.map { sf =>
+      (sf.ascending, sf.nullsFirst) match {
+        case (true, true)   => col(sf.column).asc_nulls_first
+        case (true, false)  => col(sf.column).asc_nulls_last
+        case (false, true)  => col(sf.column).desc_nulls_first
+        case (false, false) => col(sf.column).desc_nulls_last
+      }
+    }
+
+    val distributed = (spec.nonEmpty, sortExprs.nonEmpty) match {
+      case (true, _) if props.getOrElse("write.distribution-mode", "hash") == "hash" =>
+        withParts.repartition(spec.map(pf => col(partColName(pf))): _*)
+      case (false, true) => // sorted table: range-cluster so file ranges don't overlap
+        withParts.repartitionByRange(sortExprs: _*)
+      case _ => withParts
+    }
+    val sorted =
+      if (sortExprs.isEmpty) distributed
+      else if (spec.isEmpty) distributed.sortWithinPartitions(sortExprs: _*)
+      else distributed.sortWithinPartitions(spec.map(pf => col(partColName(pf))) ++ sortExprs: _*)
+
+    val staging = table.dataDir.resolve(s"stage-${UUID.randomUUID().toString.take(8)}")
+    var w = sorted.write.mode("overwrite")
+      .option("compression", props.getOrElse("write.parquet.compression", "zstd"))
+      .option("parquet.block.size", props.getOrElse("write.parquet.row-group-size-bytes", (128 * 1024 * 1024).toString))
+    props.get("write.max-records-per-file").foreach(v => w = w.option("maxRecordsPerFile", v))
+    if (spec.nonEmpty) w = w.partitionBy(spec.map(partColName): _*)
+    w.parquet(staging.toString)
+
+    harvest(spark, table, staging)
+  }
+
+  /** S8: read footers of every staged parquet file -> FileEntry with
+    * per-column min/max/null-count keyed by field id. Driver-side but
+    * metadata-bounded (one footer per file). */
+  def harvest(spark: SparkSession, table: LakeTable, staging: Path): Seq[FileEntry] = {
+    val schema = table.schema
+    val idByName = schema.fields.map(f => f.name -> FieldIds.of(f)).toMap
+    val typeByName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val conf = spark.sessionState.newHadoopConf()
+    val spec = table.metadata.partitionSpec
+
+    val files = Files.walk(staging).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toSeq.sortBy(_.toString)
+
+    files.map { p =>
+      val partition: Map[String, String] = spec.map { pf =>
+        val needle = s"${partColName(pf)}="
+        val seg = staging.relativize(p).iterator().asScala
+          .map(_.toString).find(_.startsWith(needle))
+          .getOrElse(throw new IllegalStateException(s"no partition dir for ${pf.name} in $p"))
+        pf.name -> unescapePath(seg.stripPrefix(needle))
+      }.toMap
+
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(p.toString), conf))
+      try {
+        val footer = reader.getFooter
+        val blocks = footer.getBlocks.asScala
+        val rowCount = blocks.map(_.getRowCount).sum
+        val statsByCol = scala.collection.mutable.Map[String, (Option[String], Option[String], Long)]()
+        blocks.foreach { b =>
+          b.getColumns.asScala.foreach { cc =>
+            val dotPath = cc.getPath.toDotString
+            if (!dotPath.contains('.') && idByName.contains(dotPath)) {
+              val st = cc.getStatistics
+              val dt = typeByName(dotPath)
+              val (mn, mx, nulls) =
+                if (st == null || st.isEmpty) (None, None, 0L)
+                else {
+                  val n = if (st.isNumNullsSet) st.getNumNulls else 0L
+                  if (!st.hasNonNullValue) (None, None, n)
+                  else (statToCanon(st.genericGetMin.asInstanceOf[AnyRef], dt), statToCanon(st.genericGetMax.asInstanceOf[AnyRef], dt), n)
+                }
+              val prev = statsByCol.getOrElse(dotPath, (None: Option[String], None: Option[String], 0L))
+              statsByCol(dotPath) = (
+                mergeBound(prev._1, mn, dt, isMin = true),
+                mergeBound(prev._2, mx, dt, isMin = false),
+                prev._3 + nulls)
+            }
+          }
+        }
+        val stats = statsByCol.flatMap { case (name, (mn, mx, nc)) =>
+          idByName.get(name).filter(_ > 0).map(id => id.toString -> ColumnStats(mn, mx, nc))
+        }.toMap
+        FileEntry(p.toString, partition, rowCount, Files.size(p),
+          table.metadata.currentSchemaId, stats)
+      } finally reader.close()
+    }
+  }
+
+  private def mergeBound(a: Option[String], b: Option[String], dt: DataType, isMin: Boolean): Option[String] =
+    (a, b) match {
+      case (None, x) => x
+      case (x, None) => x
+      case (Some(x), Some(y)) =>
+        val c = graft.scan.StatsCodec.cmp(
+          graft.scan.StatsCodec.statsKey(dt, x), graft.scan.StatsCodec.statsKey(dt, y))
+        Some(if ((c <= 0) == isMin) x else y)
+    }
+
+  /** Parquet statistics value -> canonical stats string (see StatsCodec). */
+  private def statToCanon(v: AnyRef, dt: DataType): Option[String] = dt match {
+    case StringType =>
+      val s = v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+      if (s.length > 64) None else Some(s) // long bounds dropped rather than unsafely truncated
+    case BinaryType => None
+    case _: DecimalType => None
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+         ShortType | ByteType | DateType | TimestampType | TimestampNTZType =>
+      val s = v.toString
+      // non-finite float bounds don't fit the numeric codec; drop them
+      if (s == "NaN" || s.endsWith("Infinity")) None else Some(s)
+    case _ => None
+  }
+
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+        } catch { case _: Exception => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
