@@ -1,0 +1,105 @@
+package graft.extras
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training corpora: exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine (SURVEY §7.1.7).
+  *
+  * Scale design: every variant is a shuffle-on-key pipeline — exact dedup
+  * hashes the text, LSH variants shuffle on (band, bandHash) buckets so
+  * candidate generation is linear in corpus size (never an O(n²) cross
+  * join), and only bucket-mates pay the exact verification cost. At 100 TB
+  * the bucket join is the standard MinHash-LSH plan; banding parameters
+  * (b=16, r=4 by default) target Jaccard ~0.7+ recall.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per identical text. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Exact dedup keeping one row per text (the min-id representative). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Exact pairwise n-gram Jaccard for candidate pairs (a, b). Expects
+    * columns sh_a / sh_b of distinct shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) > 0,
+      size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b)))
+      .otherwise(lit(0.0))
+
+  /** MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket join
+    * -> exact Jaccard verification. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard >= threshold. */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val rows = numHashes / bands
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = df.select(
+        col(idCol).as("id"),
+        array_distinct(TextAnalysis.shingles(toks, shingleSize)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", TextAnalysis.minhashSignature(col("sh"), numHashes))
+      .withColumn("bands", TextAnalysis.bandHashes(col("sig"), bands, rows))
+      // materialize signatures once: they feed the bucket self-join AND the
+      // verification joins, and re-deriving the hash tree through each join
+      // branch blows up the optimizer (and recomputes real work at scale)
+      .localCheckpoint()
+    val buckets = base.select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
+    // bucket-mates only: shuffle on (band, bh), never a global cross join
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val withSh = cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    withSh.select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, 4×16-bit band buckets,
+    * hamming-distance verification via bit_count(xor). */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        TextAnalysis.simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
+      .withColumn("bands", TextAnalysis.simhashBands(col("sim")))
+      .localCheckpoint()
+    val buckets = base.select(col("id"), col("sim"),
+      posexplode(col("bands")).as(Seq("band", "bh")))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs via signed-random-projection buckets +
+    * exact cosine verification (unit-norm vectors: cosine == dot). */
+  def embeddingPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, srpBits: Int = 16): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", Similarity.srpSignature(col("v"), srpBits))
+      .localCheckpoint()
+    base.as("a").join(base.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.dot(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

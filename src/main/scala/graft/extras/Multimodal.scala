@@ -1,0 +1,92 @@
+package graft.extras
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling (SURVEY §7.1.7): media payloads travel as
+  * opaque `binary` columns + a typed metadata struct; decode / feature-
+  * extract / resize / frame-sample run as per-partition batch functions
+  * (the Scala analogue of `mapInPandas`: one iterator per partition,
+  * batched work, Arrow-friendly shapes).
+  *
+  * The actual codec step is a clearly-marked STUB — this container has no
+  * image/audio libraries — but everything Spark-side is real: the schema
+  * convention, the partition-parallel batch plumbing, and deterministic
+  * fake features (byte histograms) that tests can pin down.
+  */
+object Multimodal {
+
+  /** Schema convention for a media column. */
+  val mediaType: StructType = StructType(Seq(
+    StructField("bytes", BinaryType),
+    StructField("mime", StringType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("mime", StringType),
+    StructField("byte_len", IntegerType),
+    StructField("histogram", ArrayType(LongType)),
+    StructField("feature_norm", DoubleType)))
+
+  /** Attach a deterministic fake media column derived from text bytes
+    * (stands in for real image/audio payloads in the fixtures). */
+  def withFakeMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bytes = encode(col(textCol), "UTF-8")
+    val mime = element_at(
+      array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+      (col(idCol) % 3 + 1).cast(IntegerType))
+    docs.withColumn("media", struct(
+      bytes.as("bytes"), mime.as("mime"),
+      struct(
+        (col(idCol) % 640 + 1).cast(IntegerType).as("width"),
+        (col(idCol) % 480 + 1).cast(IntegerType).as("height"),
+        (col(idCol) * 40L).as("duration_ms")).as("meta")))
+  }
+
+  /** STUB decode step: a real implementation would decode the payload
+    * with an image/audio codec here. The deterministic stand-in builds a
+    * 16-bin byte histogram so the batch plumbing has verifiable output. */
+  private def decodeStub(bytes: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) / 16) += 1; i += 1 }
+    hist
+  }
+
+  /** Per-partition batched feature extraction over the media column —
+    * the mapInPandas-shaped seam: iterator in, iterator out, no
+    * per-row closure dispatch overhead beyond the partition loop. */
+  def extractFeatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    val input = df.select(col(idCol).cast(LongType).as("doc_id"),
+      col("media.bytes").as("bytes"), col("media.mime").as("mime"))
+    input.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val mime = r.getString(2)
+        val hist = decodeStub(bytes)
+        val norm = math.sqrt(hist.map(h => h.toDouble * h).sum)
+        Row(id, mime, bytes.length, hist.toSeq, norm)
+      }
+    }(enc)
+  }
+
+  /** STUB frame sampler: deterministic byte-range slices standing in for
+    * decoded video frames (n evenly spaced windows). */
+  def sampleFrames(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    val len = octet_length(col("media.bytes"))
+    val step = greatest(floor(len / n).cast(IntegerType), lit(1)) // integer stride
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(n - 1)), i =>
+          substring(col("media.bytes"), (i * step + 1).cast(IntegerType), lit(16))))
+        .as(Seq("frame_no", "frame_bytes")))
+      .withColumn("frame_len", octet_length(col("frame_bytes")))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.extras
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §7.1.7):
+  * tokenization, BPE-ish regex tokens, quality scoring, n-gram language
+  * ID, fingerprinting, MinHash signatures, SimHash.
+  *
+  * Everything here is built from Spark's codegen'd higher-order functions
+  * (`transform`/`filter`/`aggregate`) and `xxhash64` — no UDFs, so whole-
+  * stage codegen applies and the operators scale per-partition with zero
+  * driver involvement. Deliberately deterministic: every hash is seeded
+  * xxhash64, so results are reproducible across runs and cluster sizes.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, single punct. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpePattern), lit(0))
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]. Empty if < n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** 64-bit full-document fingerprint over normalized text (rolling-hash
+    * equivalent; xxhash64 is codegen'd). */
+  def fingerprint(c: Column): Column =
+    xxhash64(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** MinHash signature: k minimums of per-shingle hashes re-seeded per
+    * row of the signature (2-level hashing: h_i(s) = xxhash64(i, xxhash64(s))). */
+  def minhashSignature(sh: Column, k: Int): Column = {
+    val shingleHashes = transform(sh, s => xxhash64(s))
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleHashes, h => xxhash64(i, h))))
+  }
+
+  /** LSH band hashes for a signature: b hashes of r-row slices. */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(j, slice(sig, j * rows + 1, lit(rows))))
+
+  private val bitPowers: Array[Long] = (0 until 64).map(i => 1L << i).toArray
+
+  /** 64-bit SimHash over whitespace tokens: single-pass fold — one
+    * aggregate carries a 64-slot vote vector (bit i tested via AND with a
+    * precomputed power array; disjoint bits sum == OR). Keeps the
+    * expression tree linear instead of 64 unrolled aggregates. */
+  def simhash64(toks: Column): Column = {
+    val th = transform(toks, t => xxhash64(t))
+    val powers = lit(bitPowers)
+    val votes = aggregate(th, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, powers,
+        (a, p) => a + when(h.bitwiseAND(p) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
+  /** 16-bit SimHash band slices (for hamming-bucketed near-dup joins). */
+  def simhashBands(sim: Column): Column =
+    array((0 until 4).map(j => shiftright(sim, j * 16).bitwiseAND(lit(0xffffL))): _*)
+
+  // ------------------------------------------------------------------
+  // Quality scoring (length / punctuation / stopword ratios)
+  // ------------------------------------------------------------------
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "be", "this", "are")
+
+  def stopwordRatio(toks: Column, stops: Seq[String]): Column = {
+    val hits = size(filter(toks, t => array_contains(lit(stops.toArray), lower(t))))
+    when(size(toks) > 0, hits.cast(DoubleType) / size(toks)).otherwise(lit(0.0))
+  }
+
+  def punctRatio(c: Column): Column = {
+    val noPunct = regexp_replace(c, "[.,!?;:'\"()\\[\\]{}-]", "")
+    when(length(c) > 0, (length(c) - length(noPunct)).cast(DoubleType) / length(c))
+      .otherwise(lit(0.0))
+  }
+
+  def digitRatio(c: Column): Column = {
+    val noDigit = regexp_replace(c, "[0-9]", "")
+    when(length(c) > 0, (length(c) - length(noDigit)).cast(DoubleType) / length(c))
+      .otherwise(lit(0.0))
+  }
+
+  def meanTokenLen(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast(DoubleType) / size(toks))
+      .otherwise(lit(0.0))
+
+  /** Composite [0,1] quality score — deterministic heuristic blending
+    * length, token shape, and noise ratios (for corpus filtering). */
+  def qualityScore(c: Column): Column = {
+    val toks = tokens(c)
+    val lenScore = least(length(c).cast(DoubleType) / 500.0, lit(1.0))
+    val tokScore = least(size(toks).cast(DoubleType) / 50.0, lit(1.0))
+    val shapeOk = when(meanTokenLen(toks).between(2.0, 12.0), 1.0).otherwise(0.3)
+    val noise = punctRatio(c) + digitRatio(c)
+    greatest(lit(0.0), least(lit(1.0),
+      lenScore * 0.3 + tokScore * 0.3 + shapeOk * 0.3 - noise * 0.5 + lit(0.1)))
+  }
+
+  // ------------------------------------------------------------------
+  // Language ID (n-gram / marker-word heuristic)
+  // ------------------------------------------------------------------
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "that", "for", "on", "with", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den", "von", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour", "des", "du"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "una", "por", "con", "para"))
+
+  def cjkRatio(c: Column): Column = {
+    val noCjk = regexp_replace(c, "[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]", "")
+    when(length(c) > 0, (length(c) - length(noCjk)).cast(DoubleType) / length(c))
+      .otherwise(lit(0.0))
+  }
+
+  /** Best-effort language tag: CJK ratio first, then marker-word argmax
+    * (ties broken by profile order), "und" (undetermined) when nothing hits. */
+  def langId(c: Column): Column = {
+    val toks = tokens(lower(c))
+    val scores = profiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => array_contains(lit(words.toArray), t)))
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"),
+          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    when(cjkRatio(c) > 0.2, "zh")
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise("und")
+  }
+}

@@ -1,5 +1,126 @@
 package graft.queries
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.extras.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operator queries (SURVEY §7.1.7). The documents fixture
+  * has all-distinct texts, so each query injects deterministic duplicates
+  * (doc_id % 5 == 0 re-appears as doc_id + 10000) — the same construction
+  * the DuckDB oracle uses.
+  */
 object DedupQueries {
-  val all: Seq[Q] = Seq()
+
+  /** documents ∪ exact copies of every 5th doc under a shifted id. */
+  def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+  private val corpusSql = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)"""
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    Q("dedup_exact",
+      (s, d) => {
+        Dedup.exactGroups(corpus(s, d), "doc_id", "text")
+          .orderBy("keep_id")
+      },
+      oracle = Some(s"""
+        WITH $corpusSql
+        SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        FROM corpus GROUP BY md5(text) ORDER BY keep_id"""),
+      bench = true,
+      doc = "exact dedup: hash-groupBy with min-id representative"),
+
+    // ------------------------------------------------------------------
+    Q("dedup_ngram_jaccard",
+      (s, d) => {
+        val sub = corpus(s, d)
+          .filter(col("doc_id") < 60 || (col("doc_id") >= 10000 && col("doc_id") < 10060))
+        val sh = sub.select(col("doc_id"),
+          array_distinct(TextAnalysis.shingles(
+            TextAnalysis.tokens(col("text")), 3)).as("sh"))
+        val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(s"""
+        WITH $corpusSql,
+        sub AS (SELECT * FROM corpus WHERE doc_id < 60 OR (doc_id >= 10000 AND doc_id < 10060)),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+          FROM (SELECT doc_id,
+            list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+            FROM sub))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        ORDER BY id_a, id_b"""),
+      doc = "exact n-gram Jaccard near-dup on a bounded subset (oracle baseline for LSH)"),
+
+    // ------------------------------------------------------------------
+    Q("dedup_minhash_lsh",
+      (s, d) => {
+        Dedup.minhashPairs(corpus(s, d), "doc_id", "text",
+            shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      oracle = None, // xxhash64-based banding; recall vs exact Jaccard pinned in DedupSpec
+      bench = true,
+      doc = "MinHash+LSH near-dup: shingle -> minhash -> band bucket join -> verify"),
+
+    // ------------------------------------------------------------------
+    Q("dedup_simhash",
+      (s, d) => {
+        Dedup.simhashPairs(corpus(s, d), "doc_id", "text", maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = None,
+      doc = "SimHash near-dup: 64-bit signature, banded hamming join"),
+
+    // ------------------------------------------------------------------
+    Q("dedup_embedding_cosine",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val withDups = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        Dedup.embeddingPairs(withDups, "vec_id", "embedding", threshold = 0.95)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some("""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 5 = 0)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_dot_product(
+            list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+        FROM corpus a, corpus b
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(
+            list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.95
+        ORDER BY id_a, id_b"""),
+      doc = "embedding-cosine near-dup via SRP buckets + exact verification")
+  )
 }

@@ -1,5 +1,50 @@
 package graft.queries
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.extras.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries (SURVEY §7.1.7): binary payload + metadata
+  * struct convention, per-partition batched feature extraction (decode
+  * step stubbed — no codecs in this container; plumbing is real).
+  */
 object MultimodalQueries {
-  val all: Seq[Q] = Seq()
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    Q("multimodal_features",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
+        Multimodal.extractFeatures(s, media, "doc_id")
+          .select(col("doc_id"), col("mime"), col("byte_len"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4'
+          END AS mime,
+          CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
+        FROM documents ORDER BY doc_id"""),
+      doc = "binary media column + batched (mapInPandas-shaped) feature extraction; decode stubbed"),
+
+    // ------------------------------------------------------------------
+    Q("multimodal_frame_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
+        val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
+        Multimodal.sampleFrames(media, "doc_id", n = 4)
+          .select(col("doc_id"), col("frame_no"), col("frame_len"))
+          .orderBy("doc_id", "frame_no")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS blen
+                   FROM documents WHERE doc_id < 50)
+        SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+          CAST(least(16, greatest(0, blen - i * greatest(blen // 4, 1))) AS INTEGER) AS frame_len
+        FROM d, range(0, 4) t(i)
+        ORDER BY doc_id, frame_no"""),
+      doc = "deterministic frame sampling over binary payloads (video stub)")
+  )
 }

@@ -1,5 +1,58 @@
 package graft.queries
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.extras.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operator queries over the embeddings fixture
+  * (SURVEY §7.1.7): brute-force cosine top-k (exact baseline, with a
+  * DuckDB oracle) and SRP-bucketed ANN (the scale path; recall pinned by
+  * SimilaritySpec).
+  */
 object SimilarityQueries {
-  val all: Seq[Q] = Seq()
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    Q("sim_bruteforce_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.bruteForceTopK(
+            emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 10)
+          .select(col("qid"), col("cid"), col("sim"), col("rank").cast("int").as("rank"))
+          .orderBy("qid", "rank")
+      },
+      oracle = Some("""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+        sims AS (
+          SELECT qid, cid,
+            round(list_dot_product(
+              list_transform(qv, x -> CAST(x AS DOUBLE)),
+              list_transform(cv, x -> CAST(x AS DOUBLE))), 6) AS sim
+          FROM q, c),
+        ranked AS (
+          SELECT qid, cid, sim,
+            CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+          FROM sims)
+        SELECT * FROM ranked WHERE rank <= 10 ORDER BY qid, rank"""),
+      bench = true,
+      doc = "brute-force cosine top-k: broadcast queries x partitioned corpus"),
+
+    // ------------------------------------------------------------------
+    Q("sim_srp_ann_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.srpTopK(
+            emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding",
+            k = 10, bits = 16, maxHamming = 6)
+          .select(col("qid"), col("cid"), col("sim"), col("rank").cast("int").as("rank"))
+          .orderBy("qid", "rank")
+      },
+      oracle = None, // approximate; recall vs brute force pinned in SimilaritySpec
+      doc = "SRP-bucketed ANN top-k (hamming-probe candidate set)")
+  )
 }

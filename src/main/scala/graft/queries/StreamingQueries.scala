@@ -1,5 +1,35 @@
 package graft.queries
+
 import graft.Q
+import graft.commands.LakeEngine
+import graft.format.LakeCatalog
+import graft.streaming.StreamPipeline
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming queries (SURVEY §2.7 extension): the events
+  * fixture streamed through watermark + tumbling window into a
+  * transactional lake-table sink; the oracle recomputes the same
+  * aggregate in batch SQL.
+  */
 object StreamingQueries {
-  val all: Seq[Q] = Seq()
+
+  val all: Seq[Q] = Seq(
+    Q("streaming_hourly_ingest",
+      (s, d) => {
+        val wh = Files.createTempDirectory("graft-stream-").toString
+        val engine = new LakeEngine(s, new LakeCatalog(wh))
+        val t = engine.catalog.createTable("hourly", StructType(Seq(
+          StructField("hour", TimestampNTZType), StructField("event_type", StringType),
+          StructField("n", LongType), StructField("sum_value", DoubleType))))
+        StreamPipeline.ingestHourlyAgg(s, engine, t, d, s"$wh/checkpoint")
+        engine.scan(t).toDF().orderBy("hour", "event_type")
+      },
+      oracle = Some("""
+        SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""),
+      doc = "readStream -> watermark -> tumbling window -> foreachBatch lake commit")
+  )
 }

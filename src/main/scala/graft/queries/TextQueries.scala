@@ -1,5 +1,101 @@
 package graft.queries
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.extras.TextAnalysis._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operator queries over the documents fixture (language
+  * ID, quality scoring, token counting, fingerprinting — SURVEY §7.1.7).
+  */
 object TextQueries {
-  val all: Seq[Q] = Seq()
+
+  // same marker list inlined in the DuckDB oracle below
+  private val stops = EnStopwords
+  private val stopsSql = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    Q("text_tokens",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"),
+            tokenCount(col("text")).as("n_ws_tokens"),
+            bpeTokenCount(col("text")).as("n_bpe_tokens"),
+            length(col("text")).as("n_chars_obs"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+          CAST(length(text) AS INTEGER) AS n_chars_obs
+        FROM documents ORDER BY doc_id"""),
+      bench = true,
+      doc = "token counting: whitespace + BPE-ish regex pre-tokenization"),
+
+    // ------------------------------------------------------------------
+    Q("text_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = tokens(col("text"))
+        docs.select(col("doc_id"),
+            length(col("text")).as("n_chars_obs"),
+            size(toks).as("n_tokens"),
+            round(meanTokenLen(toks), 6).as("mean_tok_len"),
+            round(stopwordRatio(toks, stops), 6).as("stopword_ratio"),
+            round(punctRatio(col("text")), 6).as("punct_ratio"),
+            round(digitRatio(col("text")), 6).as("digit_ratio"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents)
+        SELECT doc_id,
+          CAST(length(text) AS INTEGER) AS n_chars_obs,
+          CAST(len(toks) AS INTEGER) AS n_tokens,
+          round(CASE WHEN len(toks) > 0 THEN
+            CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks)
+            ELSE 0.0 END, 6) AS mean_tok_len,
+          round(CASE WHEN len(toks) > 0 THEN
+            CAST(len(list_filter(toks, x -> list_contains($stopsSql, lower(x)))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END, 6) AS stopword_ratio,
+          round(CASE WHEN length(text) > 0 THEN
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text)
+            ELSE 0.0 END, 6) AS punct_ratio,
+          round(CASE WHEN length(text) > 0 THEN
+            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)
+            ELSE 0.0 END, 6) AS digit_ratio
+        FROM t ORDER BY doc_id"""),
+      doc = "quality scoring: length / token shape / stopword / noise ratios"),
+
+    // ------------------------------------------------------------------
+    Q("text_langid",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"), col("lang").as("tagged_lang"),
+            langId(col("text")).as("predicted_lang"),
+            round(cjkRatio(col("text")), 6).as("cjk_ratio"))
+          .orderBy("doc_id")
+      },
+      oracle = None, // heuristic output; determinism pinned by TextSpec
+      doc = "n-gram/marker-word language ID heuristic (rows-only check)"),
+
+    // ------------------------------------------------------------------
+    Q("text_fingerprint",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = tokens(col("text"))
+        docs.select(col("doc_id"),
+            fingerprint(col("text")).as("fp64"),
+            slice(minhashSignature(array_distinct(shingles(toks, 3)), 8), 1, 4).as("minhash4"),
+            simhash64(toks).as("simhash"))
+          .orderBy("doc_id")
+      },
+      oracle = None, // xxhash64-based; DuckDB has no xxhash64 (TextSpec pins determinism)
+      bench = true,
+      doc = "document fingerprinting: rolling-hash fp + minhash + simhash")
+  )
 }

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.commands.LakeEngine
+import graft.format.LakeTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingestion over the `events` fixture
+  * (SURVEY §2.7 / §7.1.7 — net-new vs the reference, which has no
+  * streaming surface at all).
+  *
+  * Pipeline: file-source stream -> event-time watermark -> tumbling
+  * window aggregate -> `foreachBatch` commit into a snapshot-log table.
+  * The demo runs with Trigger.AvailableNow (drains the fixture and
+  * stops); on an unbounded stream the same plan runs in append mode and
+  * each finalized window batch becomes one lake commit — the sink is the
+  * engine's transactional insert, so exactly-once lands on the snapshot
+  * log's atomic commit.
+  */
+object StreamPipeline {
+
+  /** events.parquet stores NANOS timestamps; stream-read them as longs
+    * (same truncation to micros that the batch reader applies). */
+  val eventsLongSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source wants a directory; expose the fixture file
+    // through a temp dir symlink
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-src-")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    spark.readStream
+      .schema(eventsLongSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Hourly tumbling-window aggregate of the full fixture, committed to a
+    * lake table. Complete mode (bounded fixture) so the final commit IS
+    * the full answer; with an unbounded source you'd run append mode and
+    * the watermark below finalizes windows. */
+  def ingestHourlyAgg(
+      spark: SparkSession, engine: LakeEngine, table: LakeTable,
+      eventsDir: String, checkpoint: String): Unit = {
+    val agg = readEventsStream(spark, eventsDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").cast(TimestampNTZType).as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // transactional sink: full-refresh overwrite of the aggregate table
+        engine.insertOverwrite(table, batch, "true")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Append-mode variant returning the finalized-window stream (windows
+    * emitted once the watermark passes them) into an in-memory sink —
+    * exercised by tests to pin watermark/late-data semantics. */
+  def appendModeWindows(spark: SparkSession, eventsDir: String, name: String): DataFrame = {
+    val agg = readEventsStream(spark, eventsDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast(TimestampNTZType).as("hour"),
+        col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

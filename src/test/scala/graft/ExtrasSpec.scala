@@ -1,0 +1,115 @@
+package graft
+
+import graft.extras.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class ExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = queries.DedupQueries.corpus(spark, sf)
+
+  test("minhash-LSH recall: every injected exact duplicate pair is found") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val injected = Tables.documents(spark, sf).filter(col("doc_id") % 5 === 0)
+      .select("doc_id").as[Long].collect()
+      .map(id => (id, id + 10000)).toSet
+    assert(injected.subsetOf(pairs),
+      s"missing ${injected -- pairs} of ${injected.size} injected dup pairs")
+  }
+
+  test("simhash finds exact duplicates at hamming 0") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val injected = Tables.documents(spark, sf).filter(col("doc_id") % 5 === 0)
+      .select("doc_id").as[Long].collect()
+      .map(id => (id, id + 10000)).toSet
+    assert(injected.subsetOf(pairs))
+  }
+
+  test("exact dedup drops exactly the injected duplicates") {
+    val n = Tables.documents(spark, sf).count()
+    val deduped = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
+    assert(deduped.count() === n) // one representative per original text
+    assert(deduped.filter(col("doc_id") >= 10000).isEmpty) // min-id kept
+  }
+
+  test("SRP ANN: rank-1 is the query itself with sim ~1") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val top = Similarity.srpTopK(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, maxHamming = 6)
+      .filter(col("rank") === 1)
+      .select("qid", "cid", "sim").collect()
+    assert(top.length === 5)
+    top.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), s"rank-1 for ${r.getLong(0)} is ${r.getLong(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-3)
+    }
+  }
+
+  test("SRP ANN recall vs brute force is reasonable") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5))
+    val approx = pairs(Similarity.srpTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, maxHamming = 6))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall") // hamming-6 probe of 16-bit SRP
+  }
+
+  test("language ID: CJK routing and marker words") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it was happy that day"),
+      (2L, "der hund ist nicht mit der katze und das ist gut"),
+      (3L, "le chat est dans la maison et les oiseaux"),
+      (4L, "el perro y el gato en la casa que es grande"),
+      (5L, "中文文本处理测试样例")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.langId(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "en" && got(2L) === "de" && got(3L) === "fr" &&
+      got(4L) === "es" && got(5L) === "zh")
+  }
+
+  test("quality score is bounded and favors clean text") {
+    val df = Seq(
+      (1L, "a well formed document with many sensible words in a row " * 5),
+      (2L, "@@@@ 12 !!! 99 ### 00 $$$ 11 %% 22")).toDF("id", "text")
+    val scores = df.select(col("id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(1L) > scores(2L))
+  }
+
+  test("fingerprint is whitespace-normalization invariant") {
+    val df = Seq((1L, "hello   world foo"), (2L, " hello world\tfoo ")).toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    assert(fps(0) === fps(1))
+  }
+
+  test("multimodal: histogram mass equals byte length; frames deterministic") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media, "doc_id")
+    val bad = feats.filter(
+      aggregate(col("histogram"), lit(0L), (a, x) => a + x) =!= col("byte_len"))
+    assert(bad.isEmpty)
+    def frames() = Multimodal.sampleFrames(media, "doc_id", 4)
+      .select(col("doc_id"), col("frame_no"), col("frame_len"),
+        base64(col("frame_bytes")).as("b64"))
+      .orderBy("doc_id", "frame_no").collect().map(_.toString)
+    assert(frames().sameElements(frames()))
+  }
+
+  test("streaming append mode emits only watermark-finalized windows") {
+    val done = streaming.StreamPipeline.appendModeWindows(spark, sf, "append_test")
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // append-mode output must be a subset of the batch answer, row-exact
+    assert(done.join(batch, Seq("hour", "event_type", "n"), "left_anti").isEmpty)
+  }
+}
