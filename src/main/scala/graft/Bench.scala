@@ -31,9 +31,13 @@ object Bench {
       try exec(q) catch { case _: Throwable => () }
     }
     val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      try exec(q) catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      // min of repeated runs: steady-state cost without GC/JIT noise
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try exec(q) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

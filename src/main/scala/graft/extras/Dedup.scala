@@ -42,10 +42,9 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     val rows = numHashes / bands
-    val toks = TextAnalysis.tokens(col(textCol))
     val base = df.select(
         col(idCol).as("id"),
-        array_distinct(TextAnalysis.shingles(toks, shingleSize)).as("sh"))
+        TextAnalysis.distinctShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", TextAnalysis.minhashSignature(col("sh"), numHashes))
       .withColumn("bands", TextAnalysis.bandHashes(col("sig"), bands, rows))

@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * tokenization, BPE-ish regex tokens, quality scoring, n-gram language
   * ID, fingerprinting, MinHash signatures, SimHash.
   *
-  * Everything here is built from Spark's codegen'd higher-order functions
-  * (`transform`/`filter`/`aggregate`) and `xxhash64` — no UDFs, so whole-
-  * stage codegen applies and the operators scale per-partition with zero
-  * driver involvement. Deliberately deterministic: every hash is seeded
-  * xxhash64, so results are reproducible across runs and cluster sizes.
+  * Scalar metrics use Spark's codegen'd higher-order functions
+  * (`transform`/`filter`/`aggregate`) and `xxhash64`. The two per-token
+  * signature loops (MinHash, SimHash) are fused JVM loops behind UDFs —
+  * HOF lambdas are interpreted per element, which measured 1000x slower
+  * at sf0.1 (see [[graft.functions.FastHash]]). Deliberately
+  * deterministic: every hash is seeded xxhash64, so results are
+  * reproducible across runs and cluster sizes.
   */
 object TextAnalysis {
 
@@ -34,17 +36,29 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast(ArrayType(StringType)))
 
+  /** Fused tokenize -> shingle -> distinct straight from the text column
+    * (JVM loop; the HOF formulation above interprets per shingle). */
+  private val shingleUdfs = scala.collection.concurrent.TrieMap.empty[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
+  def distinctShingles(text: Column, n: Int): Column = {
+    val u = shingleUdfs.getOrElseUpdate(n,
+      udf((s: String) => graft.functions.FastHash.distinctShingles(s, n)))
+    u(text)
+  }
+
   /** 64-bit full-document fingerprint over normalized text (rolling-hash
     * equivalent; xxhash64 is codegen'd). */
   def fingerprint(c: Column): Column =
     xxhash64(lower(regexp_replace(trim(c), "\\s+", " ")))
 
   /** MinHash signature: k minimums of per-shingle hashes re-seeded per
-    * row of the signature (2-level hashing: h_i(s) = xxhash64(i, xxhash64(s))). */
+    * row of the signature (2-level hashing: h_i(s) = xxhash64(i, xxhash64(s))).
+    * Fused JVM loop (see [[graft.functions.FastHash]]) — bit-identical to
+    * the equivalent higher-order-function expression, ~1000x faster. */
+  private val minhashUdfs = scala.collection.concurrent.TrieMap.empty[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
   def minhashSignature(sh: Column, k: Int): Column = {
-    val shingleHashes = transform(sh, s => xxhash64(s))
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleHashes, h => xxhash64(i, h))))
+    val u = minhashUdfs.getOrElseUpdate(k,
+      udf((xs: Seq[String]) => graft.functions.FastHash.minhashSignature(xs, k)))
+    u(sh)
   }
 
   /** LSH band hashes for a signature: b hashes of r-row slices. */
@@ -52,21 +66,13 @@ object TextAnalysis {
     transform(sequence(lit(0), lit(bands - 1)),
       j => xxhash64(j, slice(sig, j * rows + 1, lit(rows))))
 
-  private val bitPowers: Array[Long] = (0 until 64).map(i => 1L << i).toArray
-
-  /** 64-bit SimHash over whitespace tokens: single-pass fold — one
-    * aggregate carries a 64-slot vote vector (bit i tested via AND with a
-    * precomputed power array; disjoint bits sum == OR). Keeps the
-    * expression tree linear instead of 64 unrolled aggregates. */
-  def simhash64(toks: Column): Column = {
-    val th = transform(toks, t => xxhash64(t))
-    val powers = lit(bitPowers)
-    val votes = aggregate(th, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, powers,
-        (a, p) => a + when(h.bitwiseAND(p) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
-      lit(0L), (a, x) => a + x)
-  }
+  /** 64-bit SimHash over whitespace tokens: per-token bit votes. Fused
+    * JVM loop (see [[graft.functions.FastHash]]): the higher-order-
+    * function formulation evaluates interpreted lambdas per token x bit
+    * and was 1000x slower at sf0.1. */
+  private val simhashUdf =
+    udf((xs: Seq[String]) => graft.functions.FastHash.simhash64(xs))
+  def simhash64(toks: Column): Column = simhashUdf(toks)
 
   /** 16-bit SimHash band slices (for hamming-bucketed near-dup joins). */
   def simhashBands(sim: Column): Column =

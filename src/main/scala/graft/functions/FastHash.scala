@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM-side xxhash64 with exact parity to Spark's `xxhash64(...)`
+  * expression (seed 42, UTF8String byte layout, iterative multi-arg
+  * chaining). Used by the fused signature loops in
+  * [[graft.extras.TextAnalysis]]: Spark's higher-order functions evaluate
+  * lambdas interpretively per element, which makes per-token signature
+  * math (64 bit-votes, k minhash rows) 100-1000x slower than a tight
+  * JVM loop. A codegen'd custom Expression would be the next step; the
+  * UDF boundary already removes the per-element interpretation cost.
+  */
+object FastHash {
+  val Seed = 42L
+
+  def hashString(s: String, seed: Long = Seed): Long = {
+    val u = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed)
+  }
+
+  def hashLong(v: Long, seed: Long = Seed): Long = XXH64.hashLong(v, seed)
+  def hashInt(v: Int, seed: Long = Seed): Long = XXH64.hashInt(v, seed)
+
+  /** Parity with the 2-arg expression `xxhash64(i, h)` (int, long). */
+  def hashIntLong(i: Int, h: Long): Long = XXH64.hashLong(h, XXH64.hashInt(i, Seed))
+
+  /** SimHash64 over tokens: identical output to the expression variant
+    * (per-token xxhash64, bit votes, sum of winning powers). */
+  def simhash64(toks: Seq[String]): Long = {
+    if (toks == null) return 0L
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      val h = hashString(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var r = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) r |= (1L << i); i += 1 }
+    r
+  }
+
+  /** Tokenize + word n-gram shingles + distinct (first-occurrence order,
+    * matching array_distinct) in one pass. */
+  def distinctShingles(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return Array.empty
+    val set = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      set.add(sb.toString)
+      i += 1
+    }
+    set.toArray(new Array[String](set.size))
+  }
+
+  /** MinHash signature: k minimums of xxhash64(i, xxhash64(shingle)). */
+  def minhashSignature(sh: Seq[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (sh == null) return sig
+    sh.foreach { s =>
+      val h0 = hashString(s)
+      var i = 0
+      while (i < k) {
+        val h = hashIntLong(i, h0)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+}

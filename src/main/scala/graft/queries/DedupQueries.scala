@@ -45,8 +45,7 @@ object DedupQueries {
         val sub = corpus(s, d)
           .filter(col("doc_id") < 60 || (col("doc_id") >= 10000 && col("doc_id") < 10060))
         val sh = sub.select(col("doc_id"),
-          array_distinct(TextAnalysis.shingles(
-            TextAnalysis.tokens(col("text")), 3)).as("sh"))
+          TextAnalysis.distinctShingles(col("text"), 3).as("sh"))
         val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
         val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))

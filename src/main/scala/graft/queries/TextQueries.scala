@@ -90,7 +90,7 @@ object TextQueries {
         val toks = tokens(col("text"))
         docs.select(col("doc_id"),
             fingerprint(col("text")).as("fp64"),
-            slice(minhashSignature(array_distinct(shingles(toks, 3)), 8), 1, 4).as("minhash4"),
+            slice(minhashSignature(distinctShingles(col("text"), 3), 8), 1, 4).as("minhash4"),
             simhash64(toks).as("simhash"))
           .orderBy("doc_id")
       },
