@@ -24,7 +24,8 @@ object Registry {
       queries.DedupQueries.all ++
       queries.SimilarityQueries.all ++
       queries.MultimodalQueries.all ++
-      queries.StreamingQueries.all
+      queries.StreamingQueries.all ++
+      queries.OperatorQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,75 @@
+package graft.format
+
+import graft.scan.{Pred, StatsEvaluator}
+
+/** D9: accumulate multiple same-table write transactions (all append or
+  * all overwrite, planned from the same snapshot) and commit them as ONE
+  * snapshot — with pairwise conflict validation of each transaction's
+  * added files against every other transaction's conflict filter
+  * (reference writer/TableBatchTransaction.java:96-230, which runs the
+  * same check through Iceberg's InclusiveMetricsEvaluator).
+  */
+final class TableBatchTransaction(val table: LakeTable) {
+
+  private final case class Pending(
+      add: Seq[FileEntry], remove: Set[String], conflictFilter: Option[Pred])
+
+  private val fromSnapshotId: Option[Long] = table.metadata.currentSnapshotId
+  private var pending = Vector.empty[Pending]
+  private var mode: Option[String] = None
+
+  private def setMode(m: String): Unit = mode match {
+    case None => mode = Some(m)
+    case Some(`m`) => ()
+    case Some(other) => throw new ValidationException(
+      s"batch transaction already contains $other operations; cannot mix with $m")
+  }
+
+  def addAppend(files: Seq[FileEntry]): this.type = synchronized {
+    setMode("append")
+    pending :+= Pending(files, Set.empty, None)
+    this
+  }
+
+  def addOverwrite(files: Seq[FileEntry], removePaths: Set[String],
+      conflictFilter: Option[Pred] = None): this.type = synchronized {
+    setMode("overwrite")
+    pending :+= Pending(files, removePaths, conflictFilter)
+    this
+  }
+
+  def size: Int = pending.size
+
+  /** Single combined commit. Overwrite batches are pairwise-validated:
+    * transaction i must not add files matching transaction j's conflict
+    * filter (i != j), and no two transactions may remove the same file. */
+  def commit(): CommitMetrics = synchronized {
+    require(pending.nonEmpty, "empty batch transaction")
+    val evaluator = new StatsEvaluator(table.schema, table.metadata.partitionSpec)
+    if (mode.contains("overwrite")) {
+      for {
+        (ti, i) <- pending.zipWithIndex
+        (tj, j) <- pending.zipWithIndex if i != j
+        cf <- tj.conflictFilter
+        hit <- ti.add.find(f => evaluator.mayContain(cf, f))
+      } throw new ValidationException(
+        s"batch conflict: transaction $i adds ${hit.path} matching transaction $j's filter $cf")
+      val dupRemoves = pending.flatMap(_.remove)
+        .groupBy(identity).collect { case (p, occ) if occ.size > 1 => p }
+      if (dupRemoves.nonEmpty)
+        throw new ValidationException(
+          s"batch conflict: multiple transactions rewrite ${dupRemoves.take(3).mkString(", ")}")
+    }
+    val adds = pending.flatMap(_.add)
+    val removes = pending.flatMap(_.remove).toSet
+    val combinedFilter = pending.flatMap(_.conflictFilter)
+      .reduceOption[Pred](graft.scan.Or.apply)
+    val op =
+      if (mode.contains("append")) CommitOp.Append(adds)
+      else CommitOp.Overwrite(adds, removes, None, fromSnapshotId, combinedFilter)
+    val m = table.commit(op)
+    pending = Vector.empty
+    mode = None
+    m
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** As-of (backward, inclusive) join — absent from the reference
+  * (SURVEY §2.3 J6) but table stakes for event/time-series processing.
+  *
+  * Built by composing Spark primitives (preference order (a) from the
+  * design rules): both sides are unioned, tagged, and sorted by
+  * (key, time, side); a running `last(right_payload, ignoreNulls)` window
+  * then carries the most recent right row at-or-before each left row.
+  * One shuffle on the join keys, no range-explosion, no custom physical
+  * operator — the sort-within-partition is exactly what a dedicated
+  * as-of merge join would do, and AQE handles skewed keys.
+  */
+object AsOfJoin {
+
+  /** For each left row, attach `payloadCols` from the right row with the
+    * largest rightTime <= leftTime within the same key group (NULLs when
+    * no prior right row exists — ASOF LEFT JOIN semantics). */
+  def asofBackward(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val payloadType = StructType(payloadCols.map(c =>
+      StructField(c, right.schema(c).dataType)))
+    val leftCols = left.columns.toSeq
+
+    val lSide = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__side"),
+        struct(leftCols.map(col): _*).as("__l"),
+        lit(null).cast(payloadType).as("__r")): _*)
+    val rSide = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__side"),
+        lit(null).cast(StructType(left.schema.fields.toSeq)).as("__l"),
+        struct(payloadCols.map(col): _*).as("__r")): _*)
+
+    // right rows sort before left rows at equal timestamps -> inclusive
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lSide.unionByName(rSide)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col("__l").getField(c).as(c)) ++
+        payloadCols.map(c => col("__match").getField(c).as(c)): _*)
+  }
+}

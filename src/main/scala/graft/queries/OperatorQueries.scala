@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.commands.LakeEngine
+import graft.format.LakeCatalog
+import graft.operators.AsOfJoin
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Custom-operator queries: as-of join (composed from Spark primitives,
+  * verified against DuckDB's native ASOF JOIN) and SQL-transparent lake
+  * time travel via the analyzer-rule extension.
+  */
+object OperatorQueries {
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    Q("asof_join_events",
+      (s, d) => {
+        val events = Tables.events(s, d)
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val signups = events.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id"), col("ts"))
+        AsOfJoin.asofBackward(purchases, signups,
+            keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+            payloadCols = Seq("signup_id"))
+          .select("event_id", "user_id", "signup_id")
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH purchases AS (
+          SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        signups AS (
+          SELECT event_id AS signup_id, user_id, ts FROM events WHERE event_type = 'signup')
+        SELECT p.event_id, p.user_id, s.signup_id
+        FROM purchases p ASOF LEFT JOIN signups s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY p.event_id"""),
+      bench = true,
+      doc = "as-of join (J6, net-new): union+window composition vs DuckDB native ASOF"),
+
+    // ------------------------------------------------------------------
+    Q("sql_time_travel",
+      (s, d) => {
+        val wh = Files.createTempDirectory("graft-sqltt-").toString
+        val engine = new LakeEngine(s, new LakeCatalog(wh))
+        val orders = Tables.orders(s, d)
+        val t = engine.catalog.createTable("orders_tt", orders.schema)
+        engine.insert(t, orders.filter(year(col("o_orderdate")) < 1998))
+        t.createTag("v1", t.metadata.currentSnapshotId.get)
+        engine.insert(t, orders.filter(year(col("o_orderdate")) >= 1998))
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("SELECT * FROM lake.`orders_tt$tag_v1` ORDER BY o_orderkey")
+      },
+      oracle = Some("""
+        SELECT * FROM orders WHERE year(o_orderdate) < 1998 ORDER BY o_orderkey"""),
+      doc = "SQL-transparent time travel: analyzer rule resolves lake.`t$tag_...` (replaces SqlQueryProcessor)")
+  )
+}

@@ -1,0 +1,62 @@
+package graft.sqlext
+
+import graft.format.{LakeTable, TableRef}
+import graft.scan.TableScan
+import java.nio.file.Paths
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** SQL-transparent lake tables (SURVEY §4 tail / §7.1.6): one analyzer
+  * rule replaces the reference's 1,672-LoC JSQLParser rewriting engine
+  * (sql/SqlQueryProcessor.java). With the extension installed and
+  * `spark.graft.warehouse` set,
+  *
+  *   SELECT * FROM lake.orders
+  *   SELECT * FROM lake.`orders$snapshot_3`
+  *   SELECT * FROM lake.`orders$timestamp_1722470400000`
+  *   SELECT * FROM lake.`orders$branch_dev` / lake.`orders$tag_v1`
+  *
+  * resolve to pruning [[TableScan]] plans, time travel included
+  * (reference suffix grammar: SqlQueryProcessor.java:371-402).
+  */
+class LakeSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectResolutionRule(session => new ResolveLakeRelations(session))
+}
+
+class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("lake") =>
+      resolve(u.multipartIdentifier(1)).getOrElse(u)
+  }
+
+  private def resolve(spec: String): Option[LogicalPlan] = {
+    val warehouse = spark.conf.getOption("spark.graft.warehouse").getOrElse(return None)
+    val (name, ref) = parseRef(spec)
+    val location = Paths.get(warehouse, name).toString
+    if (!LakeTable.exists(location)) return None
+    val table = LakeTable.load(location)
+    Some(new TableScan(spark, table, ref = ref).toDF().queryExecution.analyzed)
+  }
+
+  /** `name$snapshot_<id>` / `name$timestamp_<epochMillis>` /
+    * `name$branch_<b>` / `name$tag_<t>` -> (name, TableRef). */
+  private def parseRef(spec: String): (String, TableRef) = {
+    val idx = spec.indexOf('$')
+    if (idx < 0) return (spec, TableRef.Head)
+    val (name, suffix) = (spec.substring(0, idx), spec.substring(idx + 1))
+    val ref = suffix match {
+      case s if s.startsWith("snapshot_")  => TableRef.SnapshotId(s.stripPrefix("snapshot_").toLong)
+      case s if s.startsWith("timestamp_") => TableRef.AsOfTimestamp(s.stripPrefix("timestamp_").toLong)
+      case s if s.startsWith("branch_")    => TableRef.Branch(s.stripPrefix("branch_"))
+      case s if s.startsWith("tag_")       => TableRef.Tag(s.stripPrefix("tag_"))
+      case other => throw new IllegalArgumentException(s"unknown time-travel suffix: $other")
+    }
+    (name, ref)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.commands.LakeEngine
+import graft.format._
+import graft.operators.AsOfJoin
+import graft.write.LakeWriter
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse = Files.createTempDirectory("graft-ops-").toString
+  private lazy val engine = new LakeEngine(spark, new LakeCatalog(warehouse))
+
+  test("asof join picks the latest right row at-or-before, NULL when none") {
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 205L), (3L, "u2", 50L))
+      .toDF("id", "key", "t")
+    val right = Seq((10L, "u1", 100L), (11L, "u1", 200L), (12L, "u2", 60L))
+      .toDF("rid", "key", "t")
+    val got = AsOfJoin.asofBackward(left, right, Seq("key"), "t", "t", Seq("rid"))
+      .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === Some(10L)) // equal timestamp is inclusive
+    assert(got(2L) === Some(11L)) // latest at-or-before 205
+    assert(got(3L) === None)      // right at 60 > 50: no match
+  }
+
+  test("batch transaction: combined commit + pairwise conflict detection") {
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable("batch_t", orders.schema)
+    engine.insert(t, orders.filter(col("o_orderkey") <= 100))
+    val before = t.metadata.snapshots.size
+
+    // two appends batch into ONE snapshot
+    val batch = new TableBatchTransaction(t)
+    batch.addAppend(LakeWriter.write(spark, t, orders.filter(col("o_orderkey").between(101, 200))))
+    batch.addAppend(LakeWriter.write(spark, t, orders.filter(col("o_orderkey").between(201, 300))))
+    batch.commit()
+    assert(t.metadata.snapshots.size === before + 1)
+    assert(engine.scan(t).toDF().count() ===
+      orders.filter(col("o_orderkey") <= 300).count())
+
+    // conflicting overwrites: tx0 adds files matching tx1's filter
+    val b2 = new TableBatchTransaction(t)
+    b2.addOverwrite(LakeWriter.write(spark, t, orders.filter(col("o_orderkey") <= 50)),
+      Set.empty, conflictFilter = Some(graft.scan.Le("o_orderkey", 500L)))
+    b2.addOverwrite(LakeWriter.write(spark, t, orders.filter(col("o_orderkey").between(51, 99))),
+      Set.empty, conflictFilter = Some(graft.scan.Le("o_orderkey", 500L)))
+    intercept[ValidationException] { b2.commit() }
+  }
+
+  test("sql extension: lake.<table> with $snapshot/$tag time travel") {
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable("sql_t", orders.schema,
+      partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+    engine.insert(t, orders.filter(year(col("o_orderdate")) < 1998))
+    val snap1 = t.metadata.currentSnapshotId.get
+    t.createTag("v1", snap1)
+    engine.insert(t, orders.filter(year(col("o_orderdate")) >= 1998))
+
+    spark.conf.set("spark.graft.warehouse", warehouse)
+    assert(spark.sql("SELECT count(*) AS n FROM lake.sql_t").head().getLong(0) ===
+      orders.count())
+    val oldCount = orders.filter(year(col("o_orderdate")) < 1998).count()
+    assert(spark.sql("SELECT count(*) AS n FROM lake.`sql_t$tag_v1`").head().getLong(0) === oldCount)
+    assert(spark.sql(s"SELECT count(*) AS n FROM lake.`sql_t$$snapshot_$snap1`").head().getLong(0) === oldCount)
+    // joins/filters through SQL still work (predicates land on the scan)
+    val n96 = spark.sql(
+      """SELECT count(*) AS n FROM lake.sql_t
+         WHERE o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'""").head().getLong(0)
+    assert(n96 === orders.filter(year(col("o_orderdate")) === 1996).count())
+  }
+}
