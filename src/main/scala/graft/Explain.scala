@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: dump formatted plans for plan-quality review (pushdown,
+  * pruning, codegen spans, join strategies). */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.sqlext.LakeSqlExtensions)
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q6_forecast_revenue", "q5_local_supplier", "lake_roundtrip_pruned_read")
+    names.foreach { n =>
+      println(s"===== $n =====")
+      Registry.byName(n).run(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
