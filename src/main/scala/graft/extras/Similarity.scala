@@ -17,10 +17,14 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Sequential double fold dot product (deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential double-fold dot product, as a native codegen expression
+    * ([[graft.functions.DotProduct]]) — bit-identical to the equivalent
+    * `aggregate(zip_with(...))` fold but compiled, not interpreted. */
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_dot", a, b)
+  }
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))

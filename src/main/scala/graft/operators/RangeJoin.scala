@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Range (point-in-interval) join — absent from the reference
+  * (SURVEY §2.3 J6 family), added as a scale-path operator.
+  *
+  * The naive Spark plan for `points JOIN intervals ON v BETWEEN lo AND hi`
+  * is a broadcast-nested-loop join — O(|points| x |intervals|). This
+  * operator grids the value space: each interval explodes to the buckets
+  * it overlaps, each point maps to one bucket, and the join becomes an
+  * equi-join (shuffle on bucket) followed by the exact BETWEEN filter.
+  * Cost is O(points + intervals x span/width + matches); pick
+  * `bucketWidth` near the median interval span. A point matches an
+  * interval in exactly one bucket (its own), so no dedup is needed.
+  */
+object RangeJoin {
+
+  def pointInInterval(
+      points: DataFrame, valueCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pBucket = floor(col(valueCol) / bucketWidth).cast(LongType)
+    val iBuckets = sequence(
+      floor(col(loCol) / bucketWidth).cast(LongType),
+      floor(col(hiCol) / bucketWidth).cast(LongType))
+    val p = points.withColumn("__bucket", pBucket)
+    val i = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__bucket", explode(iBuckets))
+    p.join(i, Seq("__bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+}

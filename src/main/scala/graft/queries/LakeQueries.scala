@@ -220,6 +220,67 @@ object LakeQueries {
       doc = "D7 SCD2 snapshot merge: close U/D + insert versions; SCD2 partition rules (currentFlag identity, effectiveEnd bucket[1])"),
 
     // ------------------------------------------------------------------
+    Q("lake_scd2_changes",
+      (s, d) => {
+        val (e, _) = freshEngine(s, "scd2c")
+        val customer = Tables.customer(s, d)
+        val schema = StructType(customer.schema.fields ++ Seq(
+          StructField("effective_start", TimestampNTZType),
+          StructField("effective_end", TimestampNTZType),
+          StructField("is_current", BooleanType)))
+        val t = e.catalog.createTable("customer_dim", schema)
+        e.insert(t, customer
+          .withColumn("effective_start", lit(ts0).cast(TimestampNTZType))
+          .withColumn("effective_end", lit(null).cast(TimestampNTZType))
+          .withColumn("is_current", lit(true)))
+        // change rows: update every 6th, delete every 9th (non-overlapping
+        // with %6==0), insert fresh keys
+        val updates = customer.filter(col("c_custkey") % 6 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 17.5).withColumn("op", lit("U"))
+        val deletes = customer.filter(col("c_custkey") % 9 === 0 && col("c_custkey") % 6 =!= 0)
+          .withColumn("op", lit("D"))
+        val inserts = customer.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 500000).as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+          .withColumn("op", lit("I"))
+        Merge.scd2(e, t, updates.unionByName(deletes).unionByName(inserts),
+          Merge.Scd2Options(
+            keyCols = Seq("c_custkey"), effectiveTimestamp = ts1,
+            currentFlagCol = Some("is_current"),
+            operationTypeColumn = Some("op"), deleteOperationValue = "D"))
+        e.scan(t).toDF().orderBy("c_custkey", "effective_start")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT * FROM customer)
+        -- untouched current rows
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+          TIMESTAMP '2024-01-01' AS effective_start, CAST(NULL AS TIMESTAMP) AS effective_end,
+          TRUE AS is_current
+        FROM base WHERE c_custkey % 6 <> 0 AND NOT (c_custkey % 9 = 0 AND c_custkey % 6 <> 0)
+        UNION ALL
+        -- closed versions of updated rows
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+          TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', FALSE
+        FROM base WHERE c_custkey % 6 = 0
+        UNION ALL
+        -- new versions of updated rows
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 17.5, c_mktsegment,
+          TIMESTAMP '2024-02-01', NULL, TRUE
+        FROM base WHERE c_custkey % 6 = 0
+        UNION ALL
+        -- closed versions of deleted rows
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+          TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', FALSE
+        FROM base WHERE c_custkey % 9 = 0 AND c_custkey % 6 <> 0
+        UNION ALL
+        -- inserted keys
+        SELECT c_custkey + 500000, c_name, c_nationkey, c_acctbal, c_mktsegment,
+          TIMESTAMP '2024-02-01', NULL, TRUE
+        FROM base WHERE c_custkey % 11 = 0
+        ORDER BY c_custkey, effective_start"""),
+      doc = "D8 SCD2 changes merge with operation-type column"),
+
+    // ------------------------------------------------------------------
     Q("lake_time_travel",
       (s, d) => {
         val (e, _) = freshEngine(s, "tt")

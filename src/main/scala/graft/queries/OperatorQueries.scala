@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.commands.LakeEngine
 import graft.format.LakeCatalog
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,67 @@ object OperatorQueries {
         ORDER BY p.event_id"""),
       bench = true,
       doc = "as-of join (J6, net-new): union+window composition vs DuckDB native ASOF"),
+
+    // ------------------------------------------------------------------
+    Q("range_join_bands",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        // 20 synthetic half-open price bands [i*25000, i*25000+12500]
+        val bands = s.range(0, 20).select(
+          col("id").cast("int").as("band_id"),
+          (col("id") * 25000.0).as("lo"),
+          (col("id") * 25000.0 + 12500.0).as("hi"))
+        RangeJoin.pointInInterval(orders, "o_totalprice", bands, "lo", "hi",
+            bucketWidth = 12500.0)
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("band_id")
+      },
+      oracle = Some("""
+        WITH bands AS (
+          SELECT CAST(i AS INTEGER) AS band_id,
+                 i * 25000.0 AS lo, i * 25000.0 + 12500.0 AS hi
+          FROM range(0, 20) t(i))
+        SELECT band_id, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+        GROUP BY band_id ORDER BY band_id"""),
+      bench = true,
+      doc = "range join (net-new): grid-bucketed equi-join instead of nested-loop BETWEEN"),
+
+    // ------------------------------------------------------------------
+    Q("q_sessionize_gap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, d)
+          .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapUs = 30L * 60 * 1000000
+        val withBrk = e.withColumn("prev", lag(col("tsu"), 1).over(w))
+          .withColumn("brk",
+            when(col("prev").isNull || col("tsu") - col("prev") > gapUs, 1).otherwise(0))
+        val withSid = withBrk.withColumn("sid",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        withSid.groupBy("user_id", "sid")
+          .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          .drop("sid")
+          .orderBy("user_id", "session_start")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS tsu FROM events),
+        b AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+                              OR tsu - lag(tsu) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        st AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM st GROUP BY user_id, sid
+        ORDER BY user_id, session_start"""),
+      doc = "gap-based sessionization (batch twin of session_window; lag+running-sum)"),
 
     // ------------------------------------------------------------------
     Q("sql_time_travel",

@@ -70,6 +70,23 @@ object StreamPipeline {
     q.awaitTermination()
   }
 
+  /** Streaming session windows (30-min gap) per user — the stateful-
+    * aggregation surface (SURVEY §2.7): watermark bounds state, sessions
+    * emit when the watermark passes their close. */
+  def sessionWindows(spark: SparkSession, eventsDir: String, name: String): DataFrame = {
+    val agg = readEventsStream(spark, eventsDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").cast(TimestampNTZType).as("session_start"),
+        col("user_id"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Append-mode variant returning the finalized-window stream (windows
     * emitted once the watermark passes them) into an in-memory sink —
     * exercised by tests to pin watermark/late-data semantics. */

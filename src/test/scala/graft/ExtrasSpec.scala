@@ -104,6 +104,15 @@ class ExtrasSpec extends SparkSpec {
     assert(frames().sameElements(frames()))
   }
 
+  test("streaming session windows match batch gap-sessionization") {
+    val streamed = streaming.StreamPipeline.sessionWindows(spark, sf, "session_test")
+    val batch = Registry.byName("q_sessionize_gap").run(spark, sf)
+      .select(col("session_start"), col("user_id"), col("n"))
+    // finalized streamed sessions must agree with the batch computation
+    assert(streamed.join(batch, Seq("session_start", "user_id", "n"), "left_anti").isEmpty)
+    assert(streamed.count() > 0)
+  }
+
   test("streaming append mode emits only watermark-finalized windows") {
     val done = streaming.StreamPipeline.appendModeWindows(spark, sf, "append_test")
     val batch = Tables.events(spark, sf)
