@@ -28,7 +28,7 @@ final class LakeEngine(
       ref: TableRef = TableRef.Head, withFileColumns: Boolean = false): TableScan = {
     val pred =
       if (filterSql.trim.equalsIgnoreCase("true")) AlwaysTrue
-      else PredSql.compile(spark, filterSql)
+      else PredSql.compile(spark, filterSql, table.schema)
     new TableScan(spark, table, pred, ref, allowFullTableScan,
       totalFileSizePerScanLimitInMiB, withFileColumns)
   }
@@ -48,7 +48,7 @@ final class LakeEngine(
     * (reference validateAddedFilesMatchOverwriteFilter,
     * writer/Transaction.java:237-298). */
   def insertOverwrite(table: LakeTable, source: DataFrame, filterSql: String): CommitMetrics = {
-    val pred = PredSql.compile(spark, filterSql)
+    val pred = PredSql.compile(spark, filterSql, table.schema)
     val cond = expr(filterSql)
     require(!Pred.isTrue(pred) || allowFullTableScan, "full-table overwrite not allowed")
     if (!source.filter(!coalesce(cond, lit(false))).isEmpty)
@@ -140,7 +140,7 @@ final class LakeEngine(
   private def rewriteTouched(table: LakeTable, conditionSql: String)(
       rebuild: (DataFrame, Column) => DataFrame): CommitMetrics = {
     val fromSnapshot = table.metadata.currentSnapshotId
-    val pred = PredSql.compile(spark, conditionSql)
+    val pred = PredSql.compile(spark, conditionSql, table.schema)
     val cond = expr(conditionSql)
     val candScan = new TableScan(spark, table, pred, TableRef.Head,
       allowFullTableScan, totalFileSizePerScanLimitInMiB, withFileColumns = true)

@@ -85,7 +85,7 @@ object Merge {
 
     val boundaryPred =
       if (opts.tableFilterSql.trim.equalsIgnoreCase("true")) AlwaysTrue
-      else PredSql.compile(spark, opts.tableFilterSql)
+      else PredSql.compile(spark, opts.tableFilterSql, schema)
     val boundaryCol = expr(opts.tableFilterSql)
 
     // target rows inside the boundary, with file identity
@@ -184,7 +184,7 @@ object Merge {
 
     val boundaryPred =
       if (opts.tableFilterSql.trim.equalsIgnoreCase("true")) AlwaysTrue
-      else PredSql.compile(spark, opts.tableFilterSql)
+      else PredSql.compile(spark, opts.tableFilterSql, schema)
     val boundaryCol = expr(opts.tableFilterSql)
     val effLit = lit(effTs).cast(schema(startC).dataType)
 

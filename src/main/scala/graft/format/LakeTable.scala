@@ -33,16 +33,23 @@ object FieldIds {
   def withId(f: StructField, id: Int): StructField =
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata).putLong(Key, id.toLong).build())
 
-  /** Assign sequential field ids to a fresh schema (top-level only; nested
-    * struct fields get dotted ids derived from the parent). */
+  /** Assign sequential field ids to a fresh schema, recursing into
+    * structs (including struct elements of arrays/maps) so nested
+    * evolution resolves by id like Iceberg's (SURVEY §1.1). */
   def assign(schema: StructType, from: Int = 1): (StructType, Int) = {
     var next = from
-    val fields = schema.fields.map { f =>
+    def assignType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(assignField))
+      case ArrayType(et, n) => ArrayType(assignType(et), n)
+      case MapType(k, v, n) => MapType(assignType(k), assignType(v), n)
+      case other => other
+    }
+    def assignField(f: StructField): StructField = {
       val withTop = withId(f, next)
       next += 1
-      withTop
+      withTop.copy(dataType = assignType(f.dataType))
     }
-    (StructType(fields), next - 1)
+    (StructType(schema.fields.map(assignField)), next - 1)
   }
 }
 

@@ -17,6 +17,34 @@ object PredSql {
     try convert(spark.sessionState.sqlParser.parseExpression(sql))
     catch { case _: Throwable => Opaque(sql) }
 
+  /** Compile + coerce comparison literals to the referenced column's type
+    * (the reference's typed literal conversion, P7 — without it a SQL
+    * literal 1.1 is DECIMAL(2,1) and never equals a FLOAT 1.1f). */
+  def compile(spark: SparkSession, sql: String, schema: StructType): Pred =
+    coerce(compile(spark, sql), schema)
+
+  private def coerceVal(dt: DataType, v: Any): Any = (dt, v) match {
+    // scala.BigDecimal extends java.lang.Number too
+    case (FloatType, n: java.lang.Number)  => n.floatValue()
+    case (DoubleType, n: java.lang.Number) => n.doubleValue()
+    case _ => v
+  }
+
+  def coerce(p: Pred, schema: StructType): Pred = {
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    def c(col: String, v: Any): Any = types.get(col).map(coerceVal(_, v)).getOrElse(v)
+    p match {
+      case graft.scan.And(l, r) => graft.scan.And(coerce(l, schema), coerce(r, schema))
+      case graft.scan.Or(l, r)  => graft.scan.Or(coerce(l, schema), coerce(r, schema))
+      case Eq(k, v)  => Eq(k, c(k, v)); case Ne(k, v) => Ne(k, c(k, v))
+      case Lt(k, v)  => Lt(k, c(k, v)); case Le(k, v) => Le(k, c(k, v))
+      case Gt(k, v)  => Gt(k, c(k, v)); case Ge(k, v) => Ge(k, c(k, v))
+      case graft.scan.In(k, vs)    => graft.scan.In(k, vs.map(c(k, _)))
+      case NotIn(k, vs)            => NotIn(k, vs.map(c(k, _)))
+      case other => other
+    }
+  }
+
   private def attr(e: CExpr): Option[String] = e match {
     case a: UnresolvedAttribute => Some(a.name)
     case Cast(a: UnresolvedAttribute, _, _, _) => Some(a.name)

@@ -9,6 +9,17 @@ import org.apache.spark.sql.types._
   * order; strings stay raw (lexicographic).
   */
 object StatsCodec {
+  // non-finite float ordering sentinels: NegInf < numbers < PosInf < NaN
+  // (NaN largest — Spark/Iceberg ordering, SURVEY §7.4.1)
+  case object NegInfKey; case object PosInfKey; case object NanKey
+
+  private def numKey(s: String): Any = s match {
+    case "Infinity" | "inf"   => PosInfKey
+    case "-Infinity" | "-inf" => NegInfKey
+    case "NaN" | "nan"        => NanKey
+    case _ => BigDecimal(s)
+  }
+
   /** Literal (Scala/Java value from the API or Catalyst) -> comparison key. */
   def literalKey(dt: DataType, v: Any): Any = dt match {
     case StringType => v.toString
@@ -19,7 +30,7 @@ object StatsCodec {
       case d: java.time.LocalDate => d.toEpochDay
       case n: Number => n.longValue()
     })
-    case _: NumericType => BigDecimal(v.toString)
+    case _: NumericType => numKey(v.toString)
     case _ => v.toString
   }
 
@@ -28,7 +39,7 @@ object StatsCodec {
     case StringType => s
     case BooleanType => if (s == "true") BigDecimal(1) else BigDecimal(0)
     case TimestampType | TimestampNTZType | DateType => BigDecimal(s) // epoch micros / days
-    case _: NumericType => BigDecimal(s)
+    case _: NumericType => numKey(s)
     case _ => s
   }
 
@@ -43,10 +54,19 @@ object StatsCodec {
     case _ => v.toString
   }
 
+  private def rank(a: Any): Int = a match {
+    case NegInfKey => 0
+    case _: BigDecimal => 1
+    case PosInfKey => 2
+    case NanKey => 3
+    case _ => 1
+  }
+
   @inline def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: BigDecimal, y: BigDecimal) => x.compare(y)
     case (x: String, y: String)         => x.compareTo(y)
-    case _ => throw new IllegalStateException(s"incomparable keys: $a vs $b")
+    case _ if rank(a) != rank(b)        => Integer.compare(rank(a), rank(b))
+    case _                              => 0 // equal sentinels
   }
 }
 

@@ -1,0 +1,88 @@
+package graft
+
+import graft.commands.LakeEngine
+import graft.format._
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Type-system coverage (SURVEY §1.2 / reference fixture B1): nested
+  * struct-in-struct, arrays, maps round-trip through the lake writer and
+  * scan, and nested schema evolution resolves by field id.
+  */
+class NestedTypesSpec extends SparkSpec {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-nested-").toString
+  private lazy val engine = new LakeEngine(spark, new LakeCatalog(warehouse))
+
+  private val nestedSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("s", StructType(Seq(
+      StructField("nested_int", IntegerType),
+      StructField("nested_string", StringType),
+      StructField("inner", StructType(Seq(
+        StructField("deep_int", IntegerType))))))),
+    StructField("arr", ArrayType(StringType)),
+    StructField("m", MapType(StringType, IntegerType)),
+    StructField("dec", DecimalType(10, 2)),
+    StructField("dt", DateType),
+    StructField("b", BooleanType)))
+
+  private def seedRows = Seq(
+    Row(1L, Row(10, "a", Row(100)), Seq("x", "y"), Map("k1" -> 1),
+      BigDecimal("12.34").bigDecimal, java.sql.Date.valueOf("2024-01-01"), true),
+    Row(2L, Row(20, "b", Row(200)), Seq.empty[String], Map.empty[String, Int],
+      BigDecimal("-5.00").bigDecimal, java.sql.Date.valueOf("2024-06-15"), false),
+    Row(3L, null, null, null, null, null, null))
+
+  test("nested struct/array/map/decimal/date round-trip") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(seedRows), nestedSchema)
+    val t = engine.catalog.createTable("nested", nestedSchema)
+    engine.insert(t, df)
+    val got = engine.scan(t).toDF().orderBy("id").collect()
+    assert(got.length === 3)
+    assert(got(0).getStruct(1).getStruct(2).getInt(0) === 100)
+    assert(got(0).getSeq[String](2) === Seq("x", "y"))
+    assert(got(0).getMap[String, Int](3) === Map("k1" -> 1))
+    assert(got(0).getDecimal(4).toString === "12.34")
+    assert(got(2).isNullAt(1) && got(2).isNullAt(3))
+  }
+
+  test("nested field ids are unique and recursive") {
+    val t = engine.catalog.loadTable("nested")
+    def ids(dt: DataType): Seq[Int] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap(f => FieldIds.of(f) +: ids(f.dataType))
+      case ArrayType(et, _) => ids(et)
+      case MapType(k, v, _) => ids(k) ++ ids(v)
+      case _ => Seq.empty
+    }
+    val all = ids(t.schema)
+    assert(all.forall(_ > 0))
+    assert(all.distinct.size === all.size)
+  }
+
+  test("nested evolution: rename + add inside a struct resolves by id") {
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(seedRows), nestedSchema)
+    val t = engine.catalog.createTable("nested_evo", nestedSchema)
+    engine.insert(t, df)
+    // rename s.nested_string -> s.label and add s.score (read-time, by id)
+    t.evolveSchema { s =>
+      val sIdx = s.fieldIndex("s")
+      val sField = s.fields(sIdx)
+      val st = sField.dataType.asInstanceOf[StructType]
+      val renamed = StructType(st.fields.map(f =>
+        if (f.name == "nested_string") f.copy(name = "label") else f))
+      val nextId = t.metadata.lastAssignedFieldId + 1
+      val withNew = StructType(renamed.fields :+
+        FieldIds.withId(StructField("score", DoubleType), nextId))
+      (StructType(s.fields.updated(sIdx, sField.copy(dataType = withNew))), nextId)
+    }
+    val got = engine.scan(t).toDF().orderBy("id").collect()
+    val s0 = got(0).getStruct(1)
+    assert(s0.schema.fieldNames.toSeq === Seq("nested_int", "label", "inner", "score"))
+    assert(s0.getString(1) === "a") // renamed, data intact
+    assert(s0.isNullAt(3))          // added column NULL-filled
+  }
+}
