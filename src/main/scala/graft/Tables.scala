@@ -31,13 +31,21 @@ object Tables {
     }.toSeq: _*)
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    name match {
-      case "events" => events(spark, dir)
-      case _        => normalize(spark.read.parquet(s"$dir/$name.parquet"))
-    }
+  // Memoized per (session, dir, table): DataFrames are immutable plans, so
+  // reusing them skips repeated file listing + footer schema inference
+  // (a measurable slice of the per-query fixed cost on small inputs).
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, name), name match {
+      case "events" => eventsUncached(spark, dir)
+      case _        => normalize(spark.read.parquet(s"$dir/$name.parquet"))
+    })
+
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+
+  private def eventsUncached(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     // Spark's vectorized reader rejects TIMESTAMP(NANOS) at execution time;
     // read nanos as long and floor-divide to micros (DuckDB truncates the same).

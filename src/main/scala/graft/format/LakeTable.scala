@@ -101,10 +101,12 @@ class LakeTable private (val location: String, @volatile private var meta: Table
     val t0 = System.currentTimeMillis()
     var attempt = 0
     while (true) {
-      refresh()
-      val cur = meta
-      val (next, metrics) = applyOp(cur, op, t0)
+      // read the version FIRST, then the metadata AT that version: basing
+      // the new metadata on a fresher read than the version we link would
+      // silently drop a concurrent commit (TOCTOU)
       val curV = LakeTable.currentVersion(location)
+      val cur = LakeTable.loadMetaAt(location, curV)
+      val (next, metrics) = applyOp(cur, op, t0)
       val target = Paths.get(location, "metadata", s"v${curV + 1}.json")
       val tmp = Paths.get(location, "metadata", s".tmp-${Random.alphanumeric.take(8).mkString}.json")
       Files.writeString(tmp, Json.write(next))
@@ -198,11 +200,12 @@ class LakeTable private (val location: String, @volatile private var meta: Table
         val headManifest = manifest(h)
         val added = headManifest.filterNot(f => fromManifest.contains(f.path))
         val removedPaths = fromManifest -- headManifest.map(_.path).toSet
-        val schemaNow = schema
+        val schemaNow = DataType.fromJson(m.schemas(m.currentSchemaId.toString))
+          .asInstanceOf[StructType]
         val hit = filter match {
           case None => added.nonEmpty || removedPaths.nonEmpty
           case Some(p) =>
-            val eval = new graft.scan.StatsEvaluator(schemaNow, metadata.partitionSpec)
+            val eval = new graft.scan.StatsEvaluator(schemaNow, m.partitionSpec)
             (serializable && added.exists(f => eval.mayContain(p, f))) || removedPaths.nonEmpty
         }
         if (hit && chain.nonEmpty)
@@ -274,8 +277,10 @@ object LakeTable {
     max
   }
 
-  private def loadMeta(location: String): TableMetadata = {
-    val v = currentVersion(location)
+  private def loadMeta(location: String): TableMetadata =
+    loadMetaAt(location, currentVersion(location))
+
+  private[format] def loadMetaAt(location: String, v: Int): TableMetadata = {
     require(v > 0, s"no table at $location")
     Json.read(Files.readString(Paths.get(location, "metadata", s"v$v.json")), classOf[TableMetadata])
   }

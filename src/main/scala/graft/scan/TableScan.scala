@@ -34,6 +34,20 @@ final class TableScan(
 
   private lazy val evaluator = new StatsEvaluator(table.schema, table.metadata.partitionSpec)
 
+  /** Scan metrics (reference TableScanMetrics, SURVEY §2.8): how much the
+    * metadata pruner saved, with zero data read. */
+  final case class ScanMetrics(
+      totalFiles: Int, matchedFiles: Int, skippedFiles: Int,
+      totalBytes: Long, matchedBytes: Long, matchedRecords: Long)
+
+  def metrics(): ScanMetrics = {
+    val all = explicitFiles.getOrElse(table.currentFiles(ref))
+    val matched = planFiles()
+    ScanMetrics(all.size, matched.size, all.size - matched.size,
+      all.map(_.sizeBytes).sum, matched.map(_.sizeBytes).sum,
+      matched.map(_.recordCount).sum)
+  }
+
   /** Metadata-only planning: no data read (S1). */
   def planFiles(): Seq[FileEntry] = {
     explicitFiles.foreach(fs => return fs)

@@ -19,6 +19,8 @@ import org.apache.spark.sql.types._
   * engine's transactional insert, so exactly-once lands on the snapshot
   * log's atomic commit.
   */
+final case class UserRunning(user_id: Long, n: Long, total: Double)
+
 object StreamPipeline {
 
   /** events.parquet stores NANOS timestamps; stream-read them as longs
@@ -81,6 +83,32 @@ object StreamPipeline {
       .select(col("session_window.start").cast(TimestampNTZType).as("session_start"),
         col("user_id"), col("n"))
     val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Custom streaming state via `mapGroupsWithState` (SURVEY §2.7): a
+    * running per-user aggregate carried in typed state across batches —
+    * the KeyValueGroupedDataset surface for logic windows can't express. */
+  def statefulUserTotals(spark: SparkSession, eventsDir: String, name: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val events = readEventsStream(spark, eventsDir)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    val updated = events.groupByKey(_._1)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n
+          var tot = prev.total
+          it.foreach { e => n += 1; tot += e._2 }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          next
+      }
+    val q = updated.toDF().writeStream.outputMode("update")
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

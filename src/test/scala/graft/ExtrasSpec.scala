@@ -113,6 +113,18 @@ class ExtrasSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("mapGroupsWithState carries running per-user totals across batches") {
+    val got = streaming.StreamPipeline.statefulUserTotals(spark, sf, "state_test")
+    // last state per user must equal the batch per-user event count
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val finalState = got.withColumn("maxn", max(col("n")).over(w))
+      .filter(col("n") === col("maxn")).select("user_id", "n")
+    val batch = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    assert(finalState.join(batch, Seq("user_id", "n"), "left_anti").isEmpty)
+    assert(finalState.count() === batch.count())
+  }
+
   test("streaming append mode emits only watermark-finalized windows") {
     val done = streaming.StreamPipeline.appendModeWindows(spark, sf, "append_test")
     val batch = Tables.events(spark, sf)

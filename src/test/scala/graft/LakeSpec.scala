@@ -233,6 +233,19 @@ class LakeSpec extends SparkSpec {
     intercept[ValidationException] { t.commit(stale) }
   }
 
+  test("scan metrics report pruning savings without reading data") {
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable(freshName(), orders.schema,
+      partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+    engine.insert(t, orders)
+    val m = engine.scan(t,
+      "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'")
+      .metrics()
+    assert(m.skippedFiles > 0 && m.matchedFiles > 0)
+    assert(m.matchedFiles + m.skippedFiles === m.totalFiles)
+    assert(m.matchedBytes < m.totalBytes && m.matchedRecords > 0)
+  }
+
   test("full-table-scan guard and scan size limit") {
     val orders = Tables.orders(spark, sf)
     val t = engine.catalog.createTable(freshName(), orders.schema)
