@@ -16,7 +16,10 @@ object Bench {
     val spark = SparkSession.builder()
       .withExtensions(new graft.sqlext.LakeSqlExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // scans parallelize across all cores; post-shuffle stages on these
+      // row counts are coalesced by AQE anyway, and fewer initial shuffle
+      // partitions cut task-scheduling overhead on a single node
+      .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,54 @@
+package graft.commands
+
+import graft.format._
+import graft.scan.TableScan
+import graft.write.LakeWriter
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Table maintenance: small-file compaction and snapshot expiry — the
+  * standard lakehouse upkeep pair (net-new vs the reference, which leaves
+  * file sizing to write-time options only).
+  */
+object Maintenance {
+
+  /** Rewrite files smaller than `targetBytes` into consolidated files
+    * (per partition, since the writer re-clusters on the partition spec).
+    * Large files are left untouched — copy-on-write applies only to the
+    * small tail, so compaction cost is proportional to the fragmentation,
+    * not the table size. */
+  def compactSmallFiles(
+      engine: LakeEngine, table: LakeTable, targetBytes: Long): CommitMetrics = {
+    val fromSnapshot = table.metadata.currentSnapshotId
+    val files = table.currentFiles()
+    val small = files.filter(_.sizeBytes < targetBytes)
+    if (small.size < 2)
+      return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
+    val rows = new TableScan(engine.spark, table, explicitFiles = Some(small)).toDF()
+    val rewritten = LakeWriter.write(engine.spark, table, rows)
+    table.commit(CommitOp.Overwrite(rewritten, small.map(_.path).toSet,
+      fromSnapshotId = fromSnapshot))
+  }
+
+  /** Expire snapshots older than `keepLast` (never the current one or any
+    * branch/tag target), then delete manifests and data files no longer
+    * referenced by any surviving snapshot. Returns deleted data files. */
+  def expireSnapshots(table: LakeTable, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "must keep at least one snapshot")
+    val m = table.metadata
+    val protectedIds = m.refs.values.map(_.snapshotId).toSet ++ m.currentSnapshotId
+    val ordered = m.snapshots.sortBy(_.id)
+    val expire = ordered.dropRight(keepLast).filterNot(s => protectedIds.contains(s.id))
+    if (expire.isEmpty) return Seq.empty
+    val keep = m.snapshots.filterNot(s => expire.exists(_.id == s.id))
+    val liveFiles = keep.flatMap(s => table.manifest(s).map(_.path)).toSet
+    val deadFiles = expire.flatMap(s => table.manifest(s).map(_.path)).distinct
+      .filterNot(liveFiles.contains)
+    // commit the trimmed snapshot list first, then delete orphans
+    table.commit(CommitOp.ExpireSnapshots(expire.map(_.id).toSet))
+    expire.foreach(s =>
+      Files.deleteIfExists(Paths.get(table.location, "metadata", s.manifestFile)))
+    deadFiles.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    deadFiles
+  }
+}

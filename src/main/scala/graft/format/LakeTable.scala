@@ -72,6 +72,9 @@ object CommitOp {
       serializable: Boolean = true) extends CommitOp
   final case class SetSchema(schema: StructType, lastFieldId: Int) extends CommitOp
   final case class SetRef(name: String, ref: Ref) extends CommitOp
+  /** Drop expired snapshots from the log (history trim; data-file cleanup
+    * is the caller's job once the commit lands). */
+  final case class ExpireSnapshots(ids: Set[Long]) extends CommitOp
 }
 
 class LakeTable private (val location: String, @volatile private var meta: TableMetadata) {
@@ -183,6 +186,14 @@ class LakeTable private (val location: String, @volatile private var meta: Table
     case CommitOp.SetRef(name, ref) =>
       (m.copy(refs = m.refs + (name -> ref)),
         CommitMetrics(ref.snapshotId, 0, 0, 0, 0, 0))
+
+    case CommitOp.ExpireSnapshots(ids) =>
+      val protectedIds = m.refs.values.map(_.snapshotId).toSet ++ m.currentSnapshotId
+      val bad = ids.intersect(protectedIds)
+      if (bad.nonEmpty)
+        throw new ValidationException(s"cannot expire referenced snapshots: $bad")
+      (m.copy(snapshots = m.snapshots.filterNot(s => ids.contains(s.id))),
+        CommitMetrics(m.currentSnapshotId.getOrElse(0L), 0, 0, 0, 0, 0))
   }
 
   /** D11 isolation: between the writer's from-snapshot and the head, look

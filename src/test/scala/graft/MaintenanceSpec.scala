@@ -1,0 +1,51 @@
+package graft
+
+import graft.commands.{LakeEngine, Maintenance}
+import graft.format._
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+class MaintenanceSpec extends SparkSpec {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-maint-").toString
+  private lazy val engine = new LakeEngine(spark, new LakeCatalog(warehouse))
+
+  test("compaction merges small files, preserves data, skips big files") {
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable("compact_t", orders.schema)
+    // fragment: 8 separate commits -> 8+ small files
+    (0 until 8).foreach(i => engine.insert(t, orders.filter(col("o_orderkey") % 8 === i)))
+    val before = t.currentFiles()
+    assert(before.size >= 8)
+    Maintenance.compactSmallFiles(engine, t, targetBytes = 512 * 1024 * 1024)
+    val after = t.currentFiles()
+    assert(after.size < before.size)
+    val got = engine.scan(t).toDF()
+    assert(got.count() === orders.count())
+    assert(got.except(orders).isEmpty && orders.except(got).isEmpty)
+  }
+
+  test("snapshot expiry trims history and deletes orphaned files, keeps refs") {
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable("expire_t", orders.schema)
+    val seed = orders.filter(col("o_orderkey") <= 5000)
+    val nSeed = seed.count()
+    engine.insert(t, seed)
+    val tagged = t.metadata.currentSnapshotId.get
+    t.createTag("keepme", tagged)
+    engine.update(t, "o_orderkey <= 100", Map("o_orderpriority" -> "'X'"))
+    engine.update(t, "o_orderkey <= 200", Map("o_orderpriority" -> "'Y'"))
+    engine.update(t, "o_orderkey <= 300", Map("o_orderpriority" -> "'Z'"))
+    val nSnaps = t.metadata.snapshots.size
+    val deleted = Maintenance.expireSnapshots(t, keepLast = 2)
+    val m = t.refresh().metadata
+    assert(m.snapshots.size < nSnaps)
+    assert(m.snapshots.exists(_.id == tagged)) // tag-protected snapshot survives
+    // current read still works and deleted files are really gone
+    assert(engine.scan(t).toDF().count() === nSeed)
+    deleted.foreach(p => assert(!Files.exists(Paths.get(p)), s"$p not deleted"))
+    // tagged snapshot still readable (its files were protected)
+    assert(new graft.scan.TableScan(spark, t, ref = TableRef.Tag("keepme"))
+      .toDF().count() === nSeed)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.commands.{LakeEngine, Merge}
+import graft.format._
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property tests (SURVEY §5 rebuild plan): the pruning soundness
+  * invariant under randomized predicates, and merge algebra.
+  */
+class PropertySpec extends SparkSpec {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-prop-").toString
+  private lazy val engine = new LakeEngine(spark, new LakeCatalog(warehouse))
+
+  private lazy val table = {
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable("prop_orders", orders.schema,
+      partitionSpec = Seq(
+        PartitionField("o_year", "o_orderdate", "year"),
+        PartitionField("o_stat", "o_orderstatus", "identity")),
+      sortOrder = Seq(SortField("o_totalprice")))
+    engine.insert(t, orders)
+    t
+  }
+
+  /** Random predicate over the orders columns (mix of types/operators). */
+  private def randPred(rnd: Random): String = {
+    def leaf(): String = rnd.nextInt(7) match {
+      case 0 => s"o_totalprice ${Seq("<", "<=", ">", ">=", "=")(rnd.nextInt(5))} ${rnd.nextInt(500000)}"
+      case 1 => s"o_orderkey ${Seq("<", ">")(rnd.nextInt(2))} ${rnd.nextInt(15000)}"
+      case 2 => s"o_orderstatus = '${Seq("F", "O", "P")(rnd.nextInt(3))}'"
+      case 3 => s"o_orderstatus IN ('${Seq("F", "O")(rnd.nextInt(2))}', 'P')"
+      case 4 =>
+        val y = 1995 + rnd.nextInt(7)
+        s"o_orderdate ${Seq(">=", "<")(rnd.nextInt(2))} TIMESTAMP_NTZ'$y-0${1 + rnd.nextInt(9)}-01 00:00:00'"
+      case 5 => s"o_orderpriority LIKE '${1 + rnd.nextInt(5)}%'"
+      case 6 => "o_custkey IS NOT NULL"
+    }
+    def tree(depth: Int): String =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else rnd.nextInt(3) match {
+        case 0 => s"(${tree(depth - 1)}) AND (${tree(depth - 1)})"
+        case 1 => s"(${tree(depth - 1)}) OR (${tree(depth - 1)})"
+        case 2 => s"NOT (${tree(depth - 1)})"
+      }
+    tree(2)
+  }
+
+  test("pruning soundness: scan(pred) == full-scan + filter for random predicates") {
+    val rnd = new Random(42)
+    val full = engine.scan(table).toDF()
+    (1 to 25).foreach { i =>
+      val sql = randPred(rnd)
+      val expected = full.filter(coalesce(expr(sql), lit(false))).count()
+      val got = engine.scan(table, sql).toDF().count()
+      assert(got === expected, s"predicate #$i: $sql")
+    }
+  }
+
+  test("SCD1 snapshot merge is idempotent") {
+    val customer = Tables.customer(spark, sf)
+    val t = engine.catalog.createTable("prop_scd1", customer.schema)
+    engine.insert(t, customer)
+    val source = customer.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1.0)
+    val opts = Merge.Scd1Options(keyCols = Seq("c_custkey"))
+    Merge.scd1(engine, t, source, opts)
+    val afterFirst = engine.scan(t).toDF().orderBy("c_custkey").collect().toSeq
+    val m2 = Merge.scd1(engine, t, source, opts)
+    // second application of the same snapshot changes nothing
+    assert(m2.addedRecords === 0 && m2.removedRecords === 0)
+    val afterSecond = engine.scan(t).toDF().orderBy("c_custkey").collect().toSeq
+    assert(afterFirst === afterSecond)
+  }
+
+  test("delete then re-insert of the deleted rows restores the table") {
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable("prop_del", orders.schema)
+    engine.insert(t, orders)
+    val cond = "o_totalprice > 300000"
+    val deleted = orders.filter(expr(cond))
+    engine.delete(t, cond)
+    engine.insert(t, deleted)
+    val got = engine.scan(t).toDF()
+    assert(got.count() === orders.count())
+    assert(got.except(orders).isEmpty && orders.except(got).isEmpty)
+  }
+}
