@@ -135,6 +135,43 @@ final class LakeEngine(
         .select(table.schema.fieldNames.map(col).toSeq: _*)
     }
 
+  // ------------------------------------------------------------- D5–D8
+  // Reference-API-shaped merge entry points (SwiftLakeEngine's
+  // applySnapshotAsSCD1 / applyChangesAsSCD1 / ...AsSCD2 builders —
+  // SwiftLakeEngine.java), so reference users map 1:1.
+  def applySnapshotAsSCD1(table: LakeTable, source: DataFrame,
+      keyColumns: Seq[String], tableFilterSql: String = "true",
+      valueSpecs: Map[String, Merge.ValueColumnSpec] = Map.empty): CommitMetrics =
+    Merge.scd1(this, table, source, Merge.Scd1Options(
+      keyCols = keyColumns, tableFilterSql = tableFilterSql, valueSpecs = valueSpecs))
+
+  def applyChangesAsSCD1(table: LakeTable, source: DataFrame,
+      keyColumns: Seq[String], operationTypeColumn: String,
+      deleteOperationValue: String = "D", tableFilterSql: String = "true"): CommitMetrics =
+    Merge.scd1(this, table, source, Merge.Scd1Options(
+      keyCols = keyColumns, tableFilterSql = tableFilterSql,
+      operationTypeColumn = Some(operationTypeColumn),
+      deleteOperationValue = deleteOperationValue))
+
+  def applySnapshotAsSCD2(table: LakeTable, source: DataFrame,
+      keyColumns: Seq[String], effectiveTimestamp: java.time.LocalDateTime,
+      currentFlagColumn: Option[String] = None,
+      tableFilterSql: String = "true"): CommitMetrics =
+    Merge.scd2(this, table, source, Merge.Scd2Options(
+      keyCols = keyColumns, effectiveTimestamp = effectiveTimestamp,
+      currentFlagCol = currentFlagColumn, tableFilterSql = tableFilterSql))
+
+  def applyChangesAsSCD2(table: LakeTable, source: DataFrame,
+      keyColumns: Seq[String], effectiveTimestamp: java.time.LocalDateTime,
+      operationTypeColumn: String, deleteOperationValue: String = "D",
+      currentFlagColumn: Option[String] = None,
+      tableFilterSql: String = "true"): CommitMetrics =
+    Merge.scd2(this, table, source, Merge.Scd2Options(
+      keyCols = keyColumns, effectiveTimestamp = effectiveTimestamp,
+      currentFlagCol = currentFlagColumn, tableFilterSql = tableFilterSql,
+      operationTypeColumn = Some(operationTypeColumn),
+      deleteOperationValue = deleteOperationValue))
+
   /** Shared two-phase rewrite: prune candidates -> probe actually-touched
     * files -> rebuild only those. */
   private def rewriteTouched(table: LakeTable, conditionSql: String)(

@@ -49,6 +49,18 @@ class OperatorsSpec extends SparkSpec {
     intercept[ValidationException] { b2.commit() }
   }
 
+  test("reference-shaped merge API entry points") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
+    val t = engine.catalog.createTable("api_t", base.schema)
+    engine.insert(t, base)
+    engine.applySnapshotAsSCD1(t,
+      Seq((1L, "a2", 15.0), (3L, "c", 30.0)).toDF("id", "name", "v"),
+      keyColumns = Seq("id"))
+    val got = engine.scan(t).toDF().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a2"), (3L, "c"))) // full-boundary snapshot: 2 deleted
+  }
+
   test("sql extension: lake.<table> with $snapshot/$tag time travel") {
     val orders = Tables.orders(spark, sf)
     val t = engine.catalog.createTable("sql_t", orders.schema,
