@@ -75,6 +75,19 @@ class PropertySpec extends SparkSpec {
     assert(afterFirst === afterSecond)
   }
 
+  test("SCD1 snapshot with empty source deletes exactly the boundary") {
+    val customer = Tables.customer(spark, sf)
+    val t = engine.catalog.createTable("prop_empty_src", customer.schema)
+    engine.insert(t, customer)
+    val empty = customer.filter(lit(false))
+    Merge.scd1(engine, t, empty, Merge.Scd1Options(
+      keyCols = Seq("c_custkey"), tableFilterSql = "c_mktsegment = 'BUILDING'"))
+    val got = engine.scan(t).toDF()
+    val expected = customer.filter(col("c_mktsegment") =!= "BUILDING")
+    assert(got.count() === expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   test("delete then re-insert of the deleted rows restores the table") {
     val orders = Tables.orders(spark, sf)
     val t = engine.catalog.createTable("prop_del", orders.schema)
