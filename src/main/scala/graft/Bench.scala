@@ -35,8 +35,8 @@ object Bench {
       try exec(q) catch { case _: Throwable => () }
     }
     val results = headline.map { q =>
-      // min of repeated runs: steady-state cost without GC/JIT noise
-      val times = (1 to 2).map { _ =>
+      // min of repeated runs: steady-state cost without GC/JIT/load noise
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try exec(q) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
