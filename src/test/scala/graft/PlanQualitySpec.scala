@@ -1,0 +1,44 @@
+package graft
+
+/** Plan-quality regression guard: headline analytics queries must never
+  * silently degrade to cartesian products or nested-loop joins, and
+  * selective scans must push their filters into the parquet source
+  * (the 100 TB discipline, checked at plan level).
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    Registry.byName(name).run(spark, sf).queryExecution.executedPlan.toString
+
+  private def formattedPlanOf(name: String): String =
+    Registry.byName(name).run(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("no cartesian or nested-loop joins in headline query plans") {
+    // sim_bruteforce_topk is an intentional broadcast cross join (scoring
+    // every corpus vector against the query set) — excluded by design.
+    val guarded = Registry.all.filter(_.bench).map(_.name)
+      .filterNot(Set("sim_bruteforce_topk"))
+      .filterNot(_.startsWith("lake_")) // DML queries build tables; plans covered elsewhere
+    guarded.foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
+    }
+  }
+
+  test("selective scans push filters into the parquet source") {
+    val q6 = formattedPlanOf("q6_forecast_revenue")
+    assert(q6.contains("PushedFilters: [IsNotNull"), "q6 lost filter pushdown")
+    assert(q6.contains("GreaterThanOrEqual(l_shipdate"), "q6 lost shipdate pushdown")
+    // column pruning: q6 reads 4 columns, never the full 11-column row
+    assert(q6.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+      "q6 reads more columns than it needs")
+  }
+
+  test("star join broadcasts the bounded dims") {
+    val q5 = planOf("q5_local_supplier")
+    assert(q5.contains("BroadcastHashJoin") || q5.contains("BroadcastExchange"),
+      "q5 lost its broadcast dim joins")
+  }
+}
