@@ -88,10 +88,20 @@ object TextQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val toks = tokens(col("text"))
+        // scalar columns only: the driver's pandas verify cannot sort/hash
+        // array cells, so the 4-element minhash prefix is projected to four
+        // bigint columns instead of one array<long>.
+        val mh = slice(minhashSignature(distinctShingles(col("text"), 3), 8), 1, 4)
         docs.select(col("doc_id"),
             fingerprint(col("text")).as("fp64"),
-            slice(minhashSignature(distinctShingles(col("text"), 3), 8), 1, 4).as("minhash4"),
+            mh.as("mh"), // signature computed once; exploded below
             simhash64(toks).as("simhash"))
+          .select(col("doc_id"), col("fp64"),
+            element_at(col("mh"), 1).as("minhash_0"),
+            element_at(col("mh"), 2).as("minhash_1"),
+            element_at(col("mh"), 3).as("minhash_2"),
+            element_at(col("mh"), 4).as("minhash_3"),
+            col("simhash"))
           .orderBy("doc_id")
       },
       oracle = None, // xxhash64-based; DuckDB has no xxhash64 (TextSpec pins determinism)
