@@ -60,9 +60,41 @@ object Similarity {
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** All XOR masks over `bits` bits with popcount in [0, maxHamming] —
+    * the multi-probe neighborhood of an SRP signature (Lv et al., VLDB'07
+    * multi-probe LSH). Enumerated smallest-popcount-first via recursion;
+    * count = sum_{i<=h} C(bits, i) (14,893 for 16/6). */
+  private[extras] def hammingMasks(bits: Int, maxHamming: Int): Array[Long] = {
+    require(bits <= 30 && maxHamming <= bits,
+      s"multi-probe neighborhood over $bits bits is impractical; band instead")
+    val buf = scala.collection.mutable.ArrayBuffer[Long](0L)
+    def go(start: Int, remaining: Int, acc: Long): Unit =
+      if (remaining > 0) {
+        var i = start
+        while (i < bits) {
+          buf += (acc | (1L << i))
+          go(i + 1, remaining - 1, acc | (1L << i))
+          i += 1
+        }
+      }
+    go(0, maxHamming, 0L)
+    buf.toArray
+  }
+
   /** ANN top-k: probe SRP buckets within `maxHamming` of the query's
-    * signature, rank candidates by exact similarity. Trades recall for a
-    * bucket-join instead of a full scan (the 100 TB path). */
+    * signature, rank candidates by exact similarity.
+    *
+    * Multi-probe: each query row explodes into the |neighborhood| exact
+    * bucket keys `qsig XOR mask` (popcount(mask) <= maxHamming) and the
+    * corpus equi-joins on its own signature. A corpus row within hamming
+    * distance h matches exactly one probe (mask = csig XOR qsig), so the
+    * candidate set is IDENTICAL to the predicate
+    * `bit_count(csig XOR qsig) <= maxHamming` — but the plan is a hash
+    * join on an equality key (broadcast here since queries are the small
+    * side; shuffle-hash at scale), never a nested-loop scan of the corpus
+    * per query. Probe fan-out is a query-side-only cost; corpus work stays
+    * O(|corpus|). For signatures too wide to probe (bits > ~30), band the
+    * signature like [[Dedup.simhashPairs]] instead. */
   def srpTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
@@ -72,8 +104,9 @@ object Similarity {
       .withColumn("csig", srpSignature(col("cv"), bits))
     val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qv"))
       .withColumn("qsig", srpSignature(col("qv"), bits))
-    val cand = c.join(broadcast(q),
-      bit_count(col("csig").bitwiseXOR(col("qsig"))) <= maxHamming)
+      .withColumn("mask", explode(typedLit(hammingMasks(bits, maxHamming))))
+      .withColumn("probe", col("qsig").bitwiseXOR(col("mask")))
+    val cand = c.join(broadcast(q), col("csig") === col("probe"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     cand.select(col("qid"), col("cid"), round(dot(col("qv"), col("cv")), 6).as("sim"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -14,12 +14,15 @@ class PlanQualitySpec extends SparkSpec {
     Registry.byName(name).run(spark, sf).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
-  test("no cartesian or nested-loop joins in headline query plans") {
-    // sim_bruteforce_topk is an intentional broadcast cross join (scoring
-    // every corpus vector against the query set) — excluded by design.
-    val guarded = Registry.all.filter(_.bench).map(_.name)
-      .filterNot(Set("sim_bruteforce_topk"))
-      .filterNot(_.startsWith("lake_")) // DML queries build tables; plans covered elsewhere
+  test("no cartesian or nested-loop joins in any registry query plan") {
+    // The only sanctioned all-pairs plans are the two exact brute-force
+    // baselines (the yardsticks their LSH counterparts are measured
+    // against): sim_bruteforce_topk (broadcast cross join of queries x
+    // corpus) and dedup_ngram_jaccard (exact pairwise Jaccard).
+    // EVERYTHING else — including every scale-path operator — must plan
+    // hash/sort-merge joins only.
+    val allPairsBaselines = Set("sim_bruteforce_topk", "dedup_ngram_jaccard")
+    val guarded = Registry.all.map(_.name).filterNot(allPairsBaselines)
     guarded.foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
