@@ -1,13 +1,23 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark main: times the headline analytics queries (Q.bench == true)
   * on SPARK_GRAFT_SF_DIR and prints one JSON line.
   *
   * Uses a `noop` sink so the full plan (projections included) executes —
-  * `count()` would let Catalyst prune everything but the count. Each query
-  * runs once for JIT/codegen warmup, then the timed run.
+  * `count()` would let Catalyst prune everything but the count.
+  *
+  * Load robustness: a warmup pass (JIT/codegen/footer caches), then
+  * `SPARK_GRAFT_PASSES` (default 3) full interleaved passes over the
+  * query list; the reported per-query time is the MIN across passes, so a
+  * transient machine-load spike during one pass cannot inflate the
+  * recorded number (it would have to persist across every pass). If the
+  * best and worst pass totals disagree by more than 30% the machine was
+  * loaded during the run — up to 2 extra passes are appended. The JSON
+  * carries the evidence: per-pass totals, /proc/loadavg before and after,
+  * and the warmup total, so a recorded number can be audited later.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -16,9 +26,9 @@ object Bench {
     val spark = SparkSession.builder()
       .withExtensions(new graft.sqlext.LakeSqlExtensions)
       .master(s"local[$cpus]")
-      // scans parallelize across all cores; post-shuffle stages on these
-      // row counts are coalesced by AQE anyway, and fewer initial shuffle
-      // partitions cut task-scheduling overhead on a single node
+      // scans parallelize across all cores; shuffle partitions pinned low
+      // because with AQE off (below) the post-shuffle stage count is fixed
+      // and task-scheduling overhead dominates sub-second single-node jobs
       .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -31,37 +41,60 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_MAXPART", "2m"))
       .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.locality.wait", "0")
+      // interleaved passes cycle 15 queries x several codegen stages
+      // through the generated-class cache (default 100 entries) — without
+      // this, every pass recompiles evicted fragments
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = Registry.all.filter(_.bench)
-    def exec(q: Q): Unit =
-      q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def exec(q: Q): Double = {
+      val t0 = System.nanoTime()
+      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case NonFatal(e) => System.err.println(s"[bench] ${q.name} failed: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg: Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case NonFatal(_) => -1.0 }
 
-    headline.foreach { q => // warmup: codegen + parquet footer caches
-      try exec(q) catch { case _: Throwable => () }
+    val loadStart = loadavg
+    val warmup = headline.map(q => q.name -> exec(q)).toMap
+    def pass(): Map[String, Double] = headline.map(q => q.name -> exec(q)).toMap
+
+    val basePasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passes = scala.collection.mutable.ArrayBuffer.fill(basePasses)(pass())
+    def totals = passes.map(_.values.sum)
+    var extra = 0
+    while (extra < 2 && (totals.max - totals.min) / totals.min > 0.30) {
+      System.err.println(
+        f"[bench] pass totals disagree ${(totals.max / totals.min - 1) * 100}%.0f%% — extra pass")
+      passes += pass(); extra += 1
     }
-    val results = headline.map { q =>
-      // min of repeated runs: steady-state cost without GC/JIT/load noise
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try exec(q) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      q.name -> times.min
-    }
+    val loadEnd = loadavg
+
+    val results = headline.map(q => q.name -> passes.map(_(q.name)).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val passJson = totals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","pass_totals":$passJson,"warmup_total":${warmup.values.sum}""" +
+      s""","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"extra_passes":$extra}"""
     // stdout line (un-prefixed via build.sbt outputStrategy) + file copy so
     // the driver can recover the metric even if stdout is log-polluted
+    // (bench_result.json is gitignored — a runtime artifact, not source)
     println(json)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_result.json"),
       (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch {
+      case NonFatal(e) =>
+        System.err.println(s"[bench] could not write bench_result.json: $e")
+    }
     spark.stop()
   }
 }
