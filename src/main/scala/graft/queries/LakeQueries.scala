@@ -302,21 +302,55 @@ object LakeQueries {
         val (e, _) = freshEngine(s, "evo")
         val orders = Tables.orders(s, d)
         val t = e.catalog.createTable("orders_lite", StructType(Seq(
-          StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType))))
+          StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType),
+          StructField("attrs", MapType(StringType, StructType(Seq(
+            StructField("qty", IntegerType), StructField("tag", StringType))))))))
+        def attrsV1 = map(lit("p"), struct(
+          col("o_custkey").cast("int").as("qty"), col("o_orderpriority").as("tag")))
         e.insert(t, orders.filter(year(col("o_orderdate")) < 1998)
-          .select("o_orderkey", "o_totalprice"))
+          .select(col("o_orderkey"), col("o_totalprice"), attrsV1.as("attrs")))
         t.renameColumn("o_totalprice", "price_usd")
         t.addColumn("note", StringType)
+        // evolve INSIDE the map value struct: rename tag -> label and add
+        // score in the MIDDLE, so a positional (non-field-id) read would
+        // mis-assign or fail — the oracle hash proves id resolution
+        t.evolveSchema { sch =>
+          val mIdx = sch.fieldIndex("attrs")
+          val mField = sch.fields(mIdx)
+          val mt = mField.dataType.asInstanceOf[MapType]
+          val vt = mt.valueType.asInstanceOf[StructType]
+          val nextId = t.metadata.lastAssignedFieldId + 1
+          val evolved = StructType(Seq(
+            vt.fields(0),
+            FieldIds.withId(StructField("score", DoubleType), nextId),
+            vt.fields(1).copy(name = "label")))
+          (StructType(sch.fields.updated(mIdx,
+            mField.copy(dataType = mt.copy(valueType = evolved)))), nextId)
+        }
         e.insert(t, orders.filter(year(col("o_orderdate")) >= 1998)
-          .select(col("o_orderkey"), col("o_totalprice").as("price_usd"), lit("v2").as("note")))
-        e.scan(t).toDF().orderBy("o_orderkey")
+          .select(col("o_orderkey"), col("o_totalprice").as("price_usd"),
+            map(lit("p"), struct(
+              col("o_custkey").cast("int").as("qty"),
+              col("o_totalprice").as("score"),
+              col("o_orderpriority").as("label"))).as("attrs"),
+            lit("v2").as("note")))
+        e.scan(t).toDF()
+          .select(col("o_orderkey"), col("price_usd"), col("note"),
+            col("attrs")("p")("qty").as("attr_qty"),
+            col("attrs")("p")("score").as("attr_score"),
+            col("attrs")("p")("label").as("attr_label"))
+          .orderBy("o_orderkey")
       },
       oracle = Some("""
-        SELECT o_orderkey, o_totalprice AS price_usd, CAST(NULL AS VARCHAR) AS note
+        SELECT o_orderkey, o_totalprice AS price_usd, CAST(NULL AS VARCHAR) AS note,
+          CAST(o_custkey AS INTEGER) AS attr_qty, CAST(NULL AS DOUBLE) AS attr_score,
+          o_orderpriority AS attr_label
         FROM orders WHERE year(o_orderdate) < 1998
         UNION ALL
-        SELECT o_orderkey, o_totalprice, 'v2' FROM orders WHERE year(o_orderdate) >= 1998
+        SELECT o_orderkey, o_totalprice, 'v2', CAST(o_custkey AS INTEGER),
+          o_totalprice, o_orderpriority
+        FROM orders WHERE year(o_orderdate) >= 1998
         ORDER BY o_orderkey"""),
-      doc = "S4 schema evolution: rename+add resolved at read by field id")
+      doc = "S4 schema evolution: rename+add resolved by field id, incl. inside map value structs")
   )
 }

@@ -120,8 +120,16 @@ final class TableScan(
         }
       }
       when(c.isNull, lit(null).cast(to)).otherwise(struct(parts.toSeq: _*))
-    case (ArrayType(fe: StructType, _), ArrayType(te: StructType, n)) =>
+    case (ArrayType(fe, _), ArrayType(te, n)) =>
       transform(c, x => evolve(x, fe, te)).cast(ArrayType(te, n))
+    // field-id evolution inside map keys/values (reference
+    // sql/SchemaEvolution.java:561-587 rewrites via map entries; here the
+    // same rewrite is transform_keys/transform_values, which recurse into
+    // struct-typed keys/values by id like every other nesting level)
+    case (MapType(fk, fv, _), MapType(tk, tv, n)) =>
+      val keyed = transform_keys(c, (k, _) => evolve(k, fk, tk))
+      val valued = transform_values(keyed, (_, v) => evolve(v, fv, tv))
+      valued.cast(MapType(tk, tv, n))
     case _ => c.cast(to)
   }
 }

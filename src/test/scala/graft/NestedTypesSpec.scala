@@ -85,4 +85,42 @@ class NestedTypesSpec extends SparkSpec {
     assert(s0.getString(1) === "a") // renamed, data intact
     assert(s0.isNullAt(3))          // added column NULL-filled
   }
+
+  test("map evolution: rename + add inside a map value struct resolves by id") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("mv", MapType(StringType, StructType(Seq(
+        StructField("qty", IntegerType),
+        StructField("tag", StringType)))))))
+    val rows = Seq(
+      Row(1L, Map("a" -> Row(7, "x"), "b" -> Row(8, "y"))),
+      Row(2L, Map.empty[String, Row]),
+      Row(3L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val t = engine.catalog.createTable("nested_map_evo", schema)
+    engine.insert(t, df)
+    // rename mv.value.tag -> mv.value.label and add mv.value.score (by id)
+    t.evolveSchema { s =>
+      val mIdx = s.fieldIndex("mv")
+      val mField = s.fields(mIdx)
+      val mt = mField.dataType.asInstanceOf[MapType]
+      val vt = mt.valueType.asInstanceOf[StructType]
+      val renamed = StructType(vt.fields.map(f =>
+        if (f.name == "tag") f.copy(name = "label") else f))
+      val nextId = t.metadata.lastAssignedFieldId + 1
+      val withNew = StructType(renamed.fields :+
+        FieldIds.withId(StructField("score", DoubleType), nextId))
+      (StructType(s.fields.updated(mIdx,
+        mField.copy(dataType = mt.copy(valueType = withNew)))), nextId)
+    }
+    val got = engine.scan(t).toDF().orderBy("id").collect()
+    val m0 = got(0).getMap[String, Row](1)
+    val va = m0("a")
+    assert(va.schema.fieldNames.toSeq === Seq("qty", "label", "score"))
+    assert(va.getInt(0) === 7)
+    assert(va.getString(1) === "x") // renamed inside map value, data intact
+    assert(va.isNullAt(2))          // added field NULL-filled
+    assert(got(1).getMap[String, Row](1).isEmpty)
+    assert(got(2).isNullAt(1))
+  }
 }
