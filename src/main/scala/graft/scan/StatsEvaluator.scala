@@ -117,10 +117,11 @@ final class StatsEvaluator(schema: StructType, spec: Seq[PartitionField]) {
         case Some(v) => v != Transform.NullValue
         case None => statsOf(f, c).forall(_.nullCount < f.recordCount)
       }
-    case IsNan(c)     => isFloating(c) // no NaN counts: conservative
-    case NotNan(c)    => isFloating(c) || { // non-float: isnan() is never true, so NOT isnan is all rows
-      dtOf(c).isEmpty || true
-    }
+    // isnan(NULL) is false in Spark, so IsNan matches exactly nanCount rows
+    // and NotNan matches recordCount - nanCount (NULLs included)
+    case IsNan(c)     => isFloating(c) && statsOf(f, c).flatMap(_.nanCount).forall(_ > 0)
+    case NotNan(c)    => !isFloating(c) ||
+      statsOf(f, c).flatMap(_.nanCount).forall(_ < f.recordCount)
     case Eq(c, v)     => rangeMay(f, c, v, lo = true, hi = true, strictLo = false, strictHi = false)
     case Ne(c, v)     => !provablyAll(Eq(c, v), f)
     case Lt(c, v)     => rangeMay(f, c, v, lo = true, hi = false, strictLo = true, strictHi = false)
@@ -226,8 +227,10 @@ final class StatsEvaluator(schema: StructType, spec: Seq[PartitionField]) {
     case NotNull(c)  =>
       identityValue(f, c).map(_ != Transform.NullValue)
         .orElse(statsOf(f, c).map(_.nullCount == 0)).getOrElse(false)
-    case IsNan(_)    => false
-    case NotNan(c)   => !isFloating(c)
+    case IsNan(c)    =>
+      isFloating(c) && statsOf(f, c).flatMap(_.nanCount).exists(_ == f.recordCount)
+    case NotNan(c)   =>
+      !isFloating(c) || statsOf(f, c).flatMap(_.nanCount).exists(_ == 0L)
     case Eq(c, v)    =>
       if (v == null) false
       else identityValue(f, c) match {

@@ -26,7 +26,7 @@ import scala.jdk.CollectionConverters._
   * that's what makes the stats pruner effective. AQE coalesces the shuffle
   * when the batch is small.
   */
-object LakeWriter {
+object LakeWriter extends Serializable {
 
   def partColName(pf: PartitionField): String = s"__p_${pf.name}"
 
@@ -87,63 +87,129 @@ object LakeWriter {
     harvest(spark, table, staging)
   }
 
-  /** S8: read footers of every staged parquet file -> FileEntry with
-    * per-column min/max/null-count keyed by field id. Driver-side but
-    * metadata-bounded (one footer per file). */
+  /** S8: footer stats harvest, distributed. One recursive listing of the
+    * staging dir on the driver (Hadoop FileSystem API, so any FS impl —
+    * a handful of listing RPCs, not one per file), then footer reads fan
+    * out as a Spark job: at 10^5–10^6 files a commit parallelizes footer
+    * IO across executors instead of serializing on the driver, which
+    * receives only the bounded FileEntry rows. A second, column-pruned
+    * scan computes per-file NaN counts for float/double columns (Iceberg
+    * nanValueCounts — parquet footers don't carry them; reference
+    * BaseDataFileWriter.java:353-484 collects them inline in its writer,
+    * which Spark's parquet sink doesn't expose). */
   def harvest(spark: SparkSession, table: LakeTable, staging: Path): Seq[FileEntry] = {
     val schema = table.schema
     val idByName = schema.fields.map(f => f.name -> FieldIds.of(f)).toMap
     val typeByName = schema.fields.map(f => f.name -> f.dataType).toMap
-    val conf = spark.sessionState.newHadoopConf()
     val spec = table.metadata.partitionSpec
+    val schemaId = table.metadata.currentSchemaId
+    val stagingStr = plainPath(staging.toString)
 
-    val files = Files.walk(staging).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toSeq.sortBy(_.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new HPath(staging.toString).getFileSystem(conf)
+    val listed = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val fit = fs.listFiles(new HPath(staging.toString), true)
+    while (fit.hasNext) {
+      val st = fit.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        listed += ((plainPath(st.getPath.toString), st.getLen))
+    }
+    val files = listed.sortBy(_._1).toSeq
+    if (files.isEmpty) return Seq.empty
 
-    files.map { p =>
-      val partition: Map[String, String] = spec.map { pf =>
-        val needle = s"${partColName(pf)}="
-        val seg = staging.relativize(p).iterator().asScala
-          .map(_.toString).find(_.startsWith(needle))
-          .getOrElse(throw new IllegalStateException(s"no partition dir for ${pf.name} in $p"))
-        pf.name -> unescapePath(seg.stripPrefix(needle))
-      }.toMap
-
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(p.toString), conf))
-      try {
-        val footer = reader.getFooter
-        val blocks = footer.getBlocks.asScala
-        val rowCount = blocks.map(_.getRowCount).sum
-        val statsByCol = scala.collection.mutable.Map[String, (Option[String], Option[String], Long)]()
-        blocks.foreach { b =>
-          b.getColumns.asScala.foreach { cc =>
-            val dotPath = cc.getPath.toDotString
-            if (!dotPath.contains('.') && idByName.contains(dotPath)) {
-              val st = cc.getStatistics
-              val dt = typeByName(dotPath)
-              val (mn, mx, nulls) =
-                if (st == null || st.isEmpty) (None, None, 0L)
-                else {
-                  val n = if (st.isNumNullsSet) st.getNumNulls else 0L
-                  if (!st.hasNonNullValue) (None, None, n)
-                  else (statToCanon(st.genericGetMin.asInstanceOf[AnyRef], dt), statToCanon(st.genericGetMax.asInstanceOf[AnyRef], dt), n)
-                }
-              val prev = statsByCol.getOrElse(dotPath, (None: Option[String], None: Option[String], 0L))
-              statsByCol(dotPath) = (
-                mergeBound(prev._1, mn, dt, isMin = true),
-                mergeBound(prev._2, mx, dt, isMin = false),
-                prev._3 + nulls)
+    // Configuration is not serializable; ship its entries and rebuild per task
+    val confEntries = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    val entries = spark.sparkContext.parallelize(files, slices).mapPartitions { iter =>
+      val tconf = new Configuration(false)
+      confEntries.foreach { case (k, v) => tconf.set(k, v) }
+      iter.map { case (pathStr, len) =>
+        val partition: Map[String, String] = {
+          val segs = pathStr.stripPrefix(stagingStr).split('/').filter(_.nonEmpty)
+          spec.map { pf =>
+            val needle = s"${partColName(pf)}="
+            val seg = segs.find(_.startsWith(needle)).getOrElse(
+              throw new IllegalStateException(s"no partition dir for ${pf.name} in $pathStr"))
+            pf.name -> unescapePath(seg.stripPrefix(needle))
+          }.toMap
+        }
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new HPath(pathStr), tconf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          val rowCount = blocks.map(_.getRowCount).sum
+          val statsByCol = scala.collection.mutable.Map[String, (Option[String], Option[String], Long)]()
+          blocks.foreach { b =>
+            b.getColumns.asScala.foreach { cc =>
+              val dotPath = cc.getPath.toDotString
+              if (!dotPath.contains('.') && idByName.contains(dotPath)) {
+                val st = cc.getStatistics
+                val dt = typeByName(dotPath)
+                val (mn, mx, nulls) =
+                  if (st == null || st.isEmpty) (None, None, 0L)
+                  else {
+                    val n = if (st.isNumNullsSet) st.getNumNulls else 0L
+                    if (!st.hasNonNullValue) (None, None, n)
+                    else (statToCanon(st.genericGetMin.asInstanceOf[AnyRef], dt, isMin = true),
+                      statToCanon(st.genericGetMax.asInstanceOf[AnyRef], dt, isMin = false), n)
+                  }
+                val prev = statsByCol.getOrElse(dotPath, (None: Option[String], None: Option[String], 0L))
+                statsByCol(dotPath) = (
+                  mergeBound(prev._1, mn, dt, isMin = true),
+                  mergeBound(prev._2, mx, dt, isMin = false),
+                  prev._3 + nulls)
+              }
             }
           }
-        }
-        val stats = statsByCol.flatMap { case (name, (mn, mx, nc)) =>
-          idByName.get(name).filter(_ > 0).map(id => id.toString -> ColumnStats(mn, mx, nc))
-        }.toMap
-        FileEntry(p.toString, partition, rowCount, Files.size(p),
-          table.metadata.currentSchemaId, stats)
-      } finally reader.close()
+          val stats = statsByCol.flatMap { case (name, (mn, mx, nc)) =>
+            idByName.get(name).filter(_ > 0).map(id => id.toString -> ColumnStats(mn, mx, nc))
+          }.toMap
+          FileEntry(pathStr, partition, rowCount, len, schemaId, stats)
+        } finally reader.close()
+      }
+    }.collect().toSeq.sortBy(_.path)
+
+    withNanCounts(spark, schema, idByName, staging.toString, entries)
+  }
+
+  /** Per-file NaN counts for float/double columns: one aggregate job that
+    * reads ONLY those columns (column-pruned; skipped entirely when the
+    * schema has none). Attached to existing footer stats entries only —
+    * a column with no footer stats stays fully conservative. */
+  private def withNanCounts(
+      spark: SparkSession, schema: StructType, idByName: Map[String, Int],
+      stagingStr: String, entries: Seq[FileEntry]): Seq[FileEntry] = {
+    val floatFields = schema.fields.filter(
+      f => f.dataType == FloatType || f.dataType == DoubleType)
+    if (floatFields.isEmpty) return entries
+    val aggs = floatFields.map(f =>
+      sum(when(isnan(col(f.name)), 1L).otherwise(0L)).as(f.name))
+    val rows = spark.read
+      .schema(StructType(floatFields.map(f => StructField(f.name, f.dataType)).toSeq))
+      .option("recursiveFileLookup", "true") // no partition inference: leaf files only
+      .parquet(stagingStr)
+      .select(regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("__path")
+        +: floatFields.map(f => col(f.name)).toSeq: _*)
+      .groupBy("__path").agg(aggs.head, aggs.tail.toSeq: _*)
+      .collect()
+    val nanByFile: Map[String, Map[String, Long]] = rows.map { r =>
+      r.getString(0) ->
+        floatFields.indices.map(i => floatFields(i).name -> r.getLong(i + 1)).toMap
+    }.toMap
+    val nanIdByFile = nanByFile.view.mapValues(_.flatMap { case (n, cnt) =>
+      idByName.get(n).filter(_ > 0).map(id => id.toString -> cnt)
+    }).toMap
+    entries.map { e =>
+      nanIdByFile.get(e.path) match {
+        case None => e
+        case Some(byId) => e.copy(stats = e.stats.map { case (k, cs) =>
+          k -> byId.get(k).map(c => cs.copy(nanCount = Some(c))).getOrElse(cs)
+        })
+      }
     }
   }
+
+  private def plainPath(s: String): String = s.replaceFirst("^file:/+", "/")
 
   private def mergeBound(a: Option[String], b: Option[String], dt: DataType, isMin: Boolean): Option[String] =
     (a, b) match {
@@ -155,18 +221,55 @@ object LakeWriter {
         Some(if ((c <= 0) == isMin) x else y)
     }
 
+  private val MaxBoundChars = 64
+
+  /** Safe string lower bound: a prefix sorts <= every string it prefixes. */
+  private def truncMin(s: String): Option[String] =
+    Some(if (s.length <= MaxBoundChars) s else s.substring(0, MaxBoundChars))
+
+  /** Safe string upper bound: truncate, then increment the last
+    * incrementable char (skipping the surrogate range) so the result
+    * sorts strictly above every string sharing the truncated prefix
+    * (Iceberg UnicodeUtil.truncateStringMax semantics). None = no finite
+    * bound (every truncated char was at its max). */
+  private def truncMaxUpper(s: String): Option[String] =
+    if (s.length <= MaxBoundChars) Some(s)
+    else {
+      val cs = s.substring(0, MaxBoundChars).toCharArray
+      var i = cs.length - 1
+      while (i >= 0) {
+        val c = cs(i)
+        if (c < 0xD7FF || (c >= 0xE000 && c < 0xFFFF)) {
+          cs(i) = (c + 1).toChar
+          return Some(new String(cs, 0, i + 1))
+        }
+        if (c == 0xD7FF) { cs(i) = 0xE000.toChar; return Some(new String(cs, 0, i + 1)) }
+        i -= 1 // 0xFFFF or a surrogate: can't increment safely, carry left
+      }
+      None
+    }
+
   /** Parquet statistics value -> canonical stats string (see StatsCodec). */
-  private def statToCanon(v: AnyRef, dt: DataType): Option[String] = dt match {
+  private def statToCanon(v: AnyRef, dt: DataType, isMin: Boolean): Option[String] = dt match {
     case StringType =>
       val s = v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-      if (s.length > 64) None else Some(s) // long bounds dropped rather than unsafely truncated
+      if (isMin) truncMin(s) else truncMaxUpper(s)
     case BinaryType => None
-    case _: DecimalType => None
+    case d: DecimalType =>
+      // physical type depends on precision: int32 / int64 / binary unscaled
+      val unscaled = v match {
+        case b: org.apache.parquet.io.api.Binary => new java.math.BigInteger(b.getBytes)
+        case n: java.lang.Integer => java.math.BigInteger.valueOf(n.longValue)
+        case n: java.lang.Long => java.math.BigInteger.valueOf(n.longValue)
+        case _ => return None
+      }
+      Some(new java.math.BigDecimal(unscaled, d.scale).toPlainString)
     case BooleanType | IntegerType | LongType | FloatType | DoubleType |
          ShortType | ByteType | DateType | TimestampType | TimestampNTZType =>
       val s = v.toString
-      // non-finite float bounds don't fit the numeric codec; drop them
-      if (s == "NaN" || s.endsWith("Infinity")) None else Some(s)
+      // +-Infinity encode to StatsCodec ordering sentinels; NaN-poisoned
+      // bounds (parquet-mr propagates NaN through min/max) are unusable
+      if (s == "NaN") None else Some(s)
     case _ => None
   }
 

@@ -59,6 +59,85 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  /** Decimal / long-string / NaN-bearing columns: sorted by id so files
+    * carry disjoint, correlated ranges — stats pruning has to be both
+    * sound (fuzz) and effective (skip-proof tests below). */
+  private lazy val statsTable = {
+    import spark.implicits._
+    val df = (0 until 8000).map { i =>
+      val d =
+        if (i == 137) Double.NaN
+        else if (i == 777) Double.PositiveInfinity
+        else i * 1.5
+      (i.toLong, BigDecimal(i * 10037L, 2), // i * 100.37 as decimal(12,2)
+        f"https://example.com/catalog/section/item-padpadpadpad/$i%06d-suffix",
+        d)
+    }.toDF("id", "dec", "url", "d")
+      .withColumn("dec", col("dec").cast("decimal(12,2)"))
+    val t = engine.catalog.createTable("prop_stats", df.schema,
+      sortOrder = Seq(SortField("id")),
+      properties = Map("write.max-records-per-file" -> "1000"))
+    engine.insert(t, df)
+    t
+  }
+
+  private def statsPred(rnd: Random): String = {
+    def leaf(): String = rnd.nextInt(6) match {
+      case 0 => s"dec ${Seq("<", "<=", ">", ">=", "=")(rnd.nextInt(5))} ${rnd.nextInt(800000)}.${10 + rnd.nextInt(89)}"
+      case 1 => s"url ${Seq("<", ">=")(rnd.nextInt(2))} 'https://example.com/catalog/section/item-padpadpadpad/00${rnd.nextInt(9)}'"
+      case 2 => s"url LIKE 'https://example.com/catalog/section/item-padpadpadpad/00${rnd.nextInt(9)}%'"
+      case 3 => "isnan(d)"
+      case 4 => "NOT isnan(d)"
+      case 5 => s"d ${Seq("<", ">")(rnd.nextInt(2))} ${rnd.nextInt(12000)}.5"
+    }
+    def tree(depth: Int): String =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else rnd.nextInt(3) match {
+        case 0 => s"(${tree(depth - 1)}) AND (${tree(depth - 1)})"
+        case 1 => s"(${tree(depth - 1)}) OR (${tree(depth - 1)})"
+        case 2 => s"NOT (${tree(depth - 1)})"
+      }
+    tree(2)
+  }
+
+  test("pruning soundness: decimal / long-string / NaN predicates") {
+    val rnd = new Random(7)
+    val full = engine.scan(statsTable).toDF()
+    (1 to 25).foreach { i =>
+      val sql = statsPred(rnd)
+      val expected = full.filter(coalesce(expr(sql), lit(false))).count()
+      val got = engine.scan(statsTable, sql).toDF().count()
+      assert(got === expected, s"predicate #$i: $sql")
+    }
+  }
+
+  test("decimal predicate skips files on harvested decimal bounds") {
+    val m = engine.scan(statsTable, "dec < 5000.00").metrics()
+    assert(m.totalFiles >= 8, s"expected >=8 files, got ${m.totalFiles}")
+    // dec < 5000.00 covers ids < ~50: only the first of 8 sorted files
+    assert(m.skippedFiles >= m.totalFiles - 1,
+      s"decimal bounds pruned nothing: $m")
+    assert(engine.scan(statsTable, "dec < 5000.00").toDF().count() === 50)
+  }
+
+  test("long-string bounds prune via truncate+increment, not drop") {
+    // urls differ only past char 54; bounds are 64-char truncations —
+    // still enough to skip files whose id-range prefix doesn't cover 007xxx
+    val m = engine.scan(statsTable,
+      "url >= 'https://example.com/catalog/section/item-padpadpadpad/007'").metrics()
+    assert(m.skippedFiles > 0, s"long-string bounds pruned nothing: $m")
+  }
+
+  test("isnan predicate reads only the file with the NaN row") {
+    val m = engine.scan(statsTable, "isnan(d)").metrics()
+    assert(m.matchedFiles === 1, s"nanCount should isolate one file: $m")
+    assert(engine.scan(statsTable, "isnan(d)").toDF().count() === 1)
+    // +Infinity row still findable by range (sentinel bounds); NaN also
+    // matches `>` because Spark orders NaN above every double
+    assert(engine.scan(statsTable, "d > 1e308 AND NOT isnan(d)").toDF().count() === 1)
+    assert(engine.scan(statsTable, "d > 1e308").toDF().count() === 2)
+  }
+
   test("SCD1 snapshot merge is idempotent") {
     val customer = Tables.customer(spark, sf)
     val t = engine.catalog.createTable("prop_scd1", customer.schema)
