@@ -79,5 +79,8 @@ object GraftFunctions {
     if (registered.add(spark)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bucket", exprs => IcebergBucket(
+          exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     }
 }

@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.transforms.IcebergHash
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-spec bucket transform as a native codegen expression:
+  * murmur3_x86_32 over the type's byte layout, then `(h & MaxValue) % n`
+  * (Iceberg spec Appendix B; reference Expressions.java:438-465).
+  *
+  * Replaces a per-row Scala UDF that cast the value to string and
+  * re-parsed it — two conversions per row on every bucket-partitioned
+  * write, outside codegen. Here the INTERNAL representation (long, epoch
+  * micros, epoch days, double, UTF8String bytes) is hashed directly
+  * inside the whole-stage-codegen loop; temporal types need no
+  * conversion at all because Catalyst already stores them as the exact
+  * long the Iceberg layout hashes.
+  */
+case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType | StringType =>
+      if (n > 0) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName bucket count must be positive")
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName unsupported for ${dt.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val h = child.dataType match {
+      case ByteType  => IcebergHash.hashLong(v.asInstanceOf[Byte].toLong)
+      case ShortType => IcebergHash.hashLong(v.asInstanceOf[Short].toLong)
+      case IntegerType | DateType => IcebergHash.hashLong(v.asInstanceOf[Int].toLong)
+      case LongType | TimestampType | TimestampNTZType =>
+        IcebergHash.hashLong(v.asInstanceOf[Long])
+      case FloatType  => IcebergHash.hashDouble(v.asInstanceOf[Float].toDouble)
+      case DoubleType => IcebergHash.hashDouble(v.asInstanceOf[Double])
+      case StringType => IcebergHash.hashBytes(v.asInstanceOf[UTF8String].getBytes)
+    }
+    (h & Int.MaxValue) % n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => {
+      // IcebergHash is a top-level object -> static forwarders callable
+      // from the generated Java
+      val hash = child.dataType match {
+        case ByteType | ShortType | IntegerType | DateType | LongType |
+             TimestampType | TimestampNTZType =>
+          s"graft.transforms.IcebergHash.hashLong((long) $c)"
+        case FloatType | DoubleType =>
+          s"graft.transforms.IcebergHash.hashDouble((double) $c)"
+        case StringType => s"graft.transforms.IcebergHash.hashBytes($c.getBytes())"
+      }
+      s"(($hash & Integer.MAX_VALUE) % $n)"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

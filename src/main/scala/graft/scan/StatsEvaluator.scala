@@ -149,17 +149,27 @@ final class StatsEvaluator(schema: StructType, spec: Seq[PartitionField]) {
         return okLo && okHi
       case None => ()
     }
-    // monotonic transform partition projection (year/month/day/hour/truncate)
+    // transform partition projection: equality projects through ANY
+    // deterministic transform (c == v => t(c) == t(v), so bucket/identity
+    // partitions prune point lookups and INs); ranges project through
+    // monotonic ones (year/month/day/hour/truncate)
     val projOk = specBySource.getOrElse(c, Seq.empty).forall { case (pf, t) =>
-      if (!t.monotonic || t == graft.transforms.Identity) true
-      else f.partition.get(pf.name) match {
-        case None | Some(Transform.NullValue) => true
+      f.partition.get(pf.name) match {
+        case None => true
+        // all transforms are null-preserving: a NULL partition value means
+        // every row has c IS NULL, and no comparison matches NULL rows
+        case Some(Transform.NullValue) => false
         case Some(pv) =>
-          val tv = t.applyLiteral(v, dt)
-          // rows in this file have t(c) == pv; c <(=) v  =>  t(c) <= t(v)
-          val okLo = !lo || pv <= tv
-          val okHi = !hi || pv >= tv
-          okLo && okHi
+          val isEq = lo && hi && !strictLo && !strictHi
+          if (isEq) pv == t.applyLiteral(v, dt)
+          else if (!t.monotonic || t == graft.transforms.Identity) true
+          else {
+            val tv = t.applyLiteral(v, dt)
+            // rows in this file have t(c) == pv; c <(=) v  =>  t(c) <= t(v)
+            val okLo = !lo || pv <= tv
+            val okHi = !hi || pv >= tv
+            okLo && okHi
+          }
       }
     }
     if (!projOk) return false

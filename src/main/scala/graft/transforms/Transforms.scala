@@ -73,17 +73,6 @@ case object Identity extends Transform {
   * layouts can be cross-checked against the reference (SURVEY §7.4.2). */
 final case class Bucket(n: Int) extends Transform {
   val name = s"bucket[$n]"
-  private val u = udf { (s: String, kind: String) =>
-    if (s == null) null
-    else {
-      val h = kind match {
-        case "long"   => IcebergHash.hashLong(s.toLong)
-        case "string" => IcebergHash.hashString(s)
-        case "double" => IcebergHash.hashDouble(s.toDouble)
-      }
-      ((h & Int.MaxValue) % n).toString
-    }
-  }
   private def kind(dt: DataType): String = dt match {
     case ByteType | ShortType | IntegerType | LongType => "long"
     case FloatType | DoubleType                        => "double"
@@ -92,15 +81,15 @@ final case class Bucket(n: Int) extends Transform {
     case TimestampType | TimestampNTZType              => "long" // epoch micros as long
     case _ => throw new IllegalArgumentException(s"bucket unsupported for $dt")
   }
-  /** Temporal columns hash via their epoch long (Iceberg spec). */
-  private def asHashable(c: Column, dt: DataType): Column = dt match {
-    case DateType                         => unix_date(c).cast(StringType)
-    case TimestampType                    => unix_micros(c).cast(StringType)
-    case TimestampNTZType                 => unix_micros(c.cast(TimestampType)).cast(StringType) // UTC session: wall clock preserved
-    case _                                => c.cast(StringType)
+  /** Codegen [[graft.functions.IcebergBucket]] over the internal value —
+    * no string round-trip, no UDF boundary (the temporal internal reps
+    * are already the exact longs the Iceberg layout hashes). */
+  def column(c: Column, dt: DataType): Column = {
+    kind(dt) // validates type support eagerly
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    Transform.canon(call_function("graft_bucket", c, lit(n)))
   }
-  def column(c: Column, dt: DataType): Column =
-    when(c.isNull, lit(Transform.NullValue)).otherwise(u(asHashable(c, dt), lit(kind(dt))))
   def applyLiteral(v: Any, dt: DataType): String =
     if (v == null) Transform.NullValue
     else {

@@ -1,0 +1,87 @@
+package graft
+
+import graft.commands.LakeEngine
+import graft.format._
+import graft.transforms._
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Partition-transform coverage: Iceberg spec hash vectors (Appendix B)
+  * through both the driver-side literal path and the codegen
+  * [[graft.functions.IcebergBucket]] expression, plus bucket-partition
+  * pruning on point lookups.
+  */
+class TransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse = Files.createTempDirectory("graft-tf-").toString
+  private lazy val engine = new LakeEngine(spark, new LakeCatalog(warehouse))
+
+  test("iceberg spec hash vectors (Appendix B)") {
+    assert(IcebergHash.hashLong(34L) === 2017239379) // int and long 34
+    assert(IcebergHash.hashString("iceberg") === 1210000089)
+    assert(IcebergHash.hashDouble(1.0) === -142385009) // float and double 1.0
+    assert(IcebergHash.hashLong(
+      java.time.LocalDate.parse("2017-11-16").toEpochDay) === -653330422) // date
+    assert(IcebergHash.hashLong(Transform.toEpochMicros(
+      java.time.LocalDateTime.parse("2017-11-16T22:31:08"))) === -2047944441) // timestamp micros
+  }
+
+  test("bucket expression matches applyLiteral for every supported type") {
+    val b = Bucket(8)
+    val df = Seq(
+      (34L, 34, "iceberg", 1.5d,
+        java.sql.Date.valueOf("2017-11-16"),
+        java.time.LocalDateTime.parse("2017-11-16T22:31:08")),
+      (-7L, -7, "", -0.0d,
+        java.sql.Date.valueOf("1969-12-31"),
+        java.time.LocalDateTime.parse("1969-12-31T23:59:59"))
+    ).toDF("l", "i", "s", "d", "dt", "ts")
+    val got = df.select(
+      b.column(col("l"), LongType).as("bl"),
+      b.column(col("i"), IntegerType).as("bi"),
+      b.column(col("s"), StringType).as("bs"),
+      b.column(col("d"), DoubleType).as("bd"),
+      b.column(col("dt"), DateType).as("bdt"),
+      b.column(col("ts"), TimestampNTZType).as("bts")).collect()
+    val r0 = got(0)
+    assert(r0.getString(0) === b.applyLiteral(34L, LongType))
+    assert(r0.getString(1) === b.applyLiteral(34, IntegerType))
+    assert(r0.getString(2) === b.applyLiteral("iceberg", StringType))
+    assert(r0.getString(3) === b.applyLiteral(1.5d, DoubleType))
+    assert(r0.getString(4) === b.applyLiteral(java.sql.Date.valueOf("2017-11-16"), DateType))
+    assert(r0.getString(5) === b.applyLiteral(
+      java.time.LocalDateTime.parse("2017-11-16T22:31:08"), TimestampNTZType))
+    val r1 = got(1)
+    assert(r1.getString(0) === b.applyLiteral(-7L, LongType))
+    assert(r1.getString(3) === b.applyLiteral(-0.0d, DoubleType)) // -0.0 normalized
+    // int 34 and long 34 must bucket identically (Iceberg layout: 8-byte LE)
+    assert(r0.getString(0) === r0.getString(1))
+  }
+
+  test("bucket of NULL is the NULL partition value") {
+    val df = Seq[(java.lang.Long, String)]((null, null)).toDF("l", "s")
+    val got = df.select(
+      Bucket(8).column(col("l"), LongType),
+      Bucket(8).column(col("s"), StringType)).collect()(0)
+    assert(got.getString(0) === Transform.NullValue)
+    assert(got.getString(1) === Transform.NullValue)
+  }
+
+  test("bucket-partitioned point lookup prunes to the key's bucket") {
+    val customer = Tables.customer(spark, sf)
+    val t = engine.catalog.createTable("cust_bucketed", customer.schema,
+      partitionSpec = Seq(PartitionField("c_b", "c_custkey", "bucket[8]")))
+    engine.insert(t, customer)
+    val all = engine.scan(t).metrics()
+    assert(all.totalFiles >= 8, s"expected >=8 bucket files: $all")
+    val m = engine.scan(t, "c_custkey = 100").metrics()
+    // equality projects through the bucket transform: only bucket(100) read
+    assert(m.matchedFiles * 8 <= m.totalFiles * 2, s"bucket pruning ineffective: $m")
+    assert(engine.scan(t, "c_custkey = 100").toDF().count() === 1)
+    // IN prunes to the union of its keys' buckets
+    val mIn = engine.scan(t, "c_custkey IN (100, 200, 300)").metrics()
+    assert(mIn.matchedFiles < mIn.totalFiles, s"IN bucket pruning ineffective: $mIn")
+  }
+}
