@@ -53,7 +53,7 @@ final class LakeEngine(
     require(!Pred.isTrue(pred) || allowFullTableScan, "full-table overwrite not allowed")
     if (!source.filter(!coalesce(cond, lit(false))).isEmpty)
       throw new ValidationException(s"source rows violate overwrite filter: $filterSql")
-    val evalr = new StatsEvaluator(table.schema, table.metadata.partitionSpec)
+    val evalr = new StatsEvaluator(table.schema, table.metadata.specsById)
     val files = table.currentFiles()
     val full = files.filter(f => evalr.provablyAll(pred, f))
     val unproven = files.filterNot(f => evalr.provablyAll(pred, f))

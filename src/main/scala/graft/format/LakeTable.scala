@@ -71,6 +71,9 @@ object CommitOp {
       conflictFilter: Option[graft.scan.Pred] = None,
       serializable: Boolean = true) extends CommitOp
   final case class SetSchema(schema: StructType, lastFieldId: Int) extends CommitOp
+  /** Spec evolution: new writes use this layout; existing files keep
+    * theirs (per-file specId resolves at scan). */
+  final case class SetPartitionSpec(spec: Seq[PartitionField]) extends CommitOp
   final case class SetRef(name: String, ref: Ref) extends CommitOp
   /** Drop expired snapshots from the log (history trim; data-file cleanup
     * is the caller's job once the commit lands). */
@@ -183,6 +186,20 @@ class LakeTable private (val location: String, @volatile private var meta: Table
         lastAssignedFieldId = math.max(lastFieldId, m.lastAssignedFieldId)),
         CommitMetrics(m.currentSnapshotId.getOrElse(0L), 0, 0, 0, 0, 0))
 
+    case CommitOp.SetPartitionSpec(spec) =>
+      val schemaNow = DataType.fromJson(m.schemas(m.currentSchemaId.toString))
+        .asInstanceOf[StructType]
+      spec.foreach(pf => {
+        if (!schemaNow.fieldNames.contains(pf.sourceColumn))
+          throw new ValidationException(s"partition source ${pf.sourceColumn} not in schema")
+        graft.transforms.Transform.parse(pf.transform) // validates transform syntax
+      })
+      val nextId = m.specsById.keys.maxOption.getOrElse(0) + 1
+      (m.copy(
+        partitionSpecs = m.partitionSpecs + (nextId.toString -> spec),
+        currentSpecId = nextId),
+        CommitMetrics(m.currentSnapshotId.getOrElse(0L), 0, 0, 0, 0, 0))
+
     case CommitOp.SetRef(name, ref) =>
       (m.copy(refs = m.refs + (name -> ref)),
         CommitMetrics(ref.snapshotId, 0, 0, 0, 0, 0))
@@ -216,7 +233,7 @@ class LakeTable private (val location: String, @volatile private var meta: Table
         val hit = filter match {
           case None => added.nonEmpty || removedPaths.nonEmpty
           case Some(p) =>
-            val eval = new graft.scan.StatsEvaluator(schemaNow, m.partitionSpec)
+            val eval = new graft.scan.StatsEvaluator(schemaNow, m.specsById)
             (serializable && added.exists(f => eval.mayContain(p, f))) || removedPaths.nonEmpty
         }
         if (hit && chain.nonEmpty)
@@ -263,6 +280,10 @@ class LakeTable private (val location: String, @volatile private var meta: Table
     (StructType(s.fields.map(f => if (f.name == name) f.copy(dataType = dt) else f)),
       metadata.lastAssignedFieldId)
   }
+  /** Evolve the partition layout for FUTURE writes; existing files keep
+    * their spec and prune through it (Iceberg coexisting-spec behavior). */
+  def updatePartitionSpec(spec: Seq[PartitionField]): Unit =
+    commit(CommitOp.SetPartitionSpec(spec))
 
   def createTag(name: String, snapshotId: Long): Unit =
     commit(CommitOp.SetRef(name, Ref(snapshotId, isBranch = false)))
@@ -314,7 +335,7 @@ object LakeTable {
     Files.createDirectories(Paths.get(location, "metadata"))
     Files.createDirectories(Paths.get(location, "data"))
     val meta = TableMetadata(1, location, Map("1" -> withIds.json), 1, lastId,
-      partitionSpec, sortOrder, properties, Seq.empty, None, Map.empty)
+      Map("0" -> partitionSpec), 0, sortOrder, properties, Seq.empty, None, Map.empty)
     Files.writeString(Paths.get(location, "metadata", "v1.json"), Json.write(meta))
     Files.writeString(Paths.get(location, "metadata", "version-hint.txt"), "1")
     new LakeTable(location, meta)

@@ -45,7 +45,7 @@ final class TableBatchTransaction(val table: LakeTable) {
     * filter (i != j), and no two transactions may remove the same file. */
   def commit(): CommitMetrics = synchronized {
     require(pending.nonEmpty, "empty batch transaction")
-    val evaluator = new StatsEvaluator(table.schema, table.metadata.partitionSpec)
+    val evaluator = new StatsEvaluator(table.schema, table.metadata.specsById)
     if (mode.contains("overwrite")) {
       for {
         (ti, i) <- pending.zipWithIndex

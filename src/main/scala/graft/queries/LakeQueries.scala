@@ -297,6 +297,28 @@ object LakeQueries {
       doc = "S2 time travel: tag/snapshot reads"),
 
     // ------------------------------------------------------------------
+    Q("lake_spec_evolution",
+      (s, d) => {
+        val (e, _) = freshEngine(s, "spev")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders", orders.schema,
+          partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+        e.insert(t, orders.filter(year(col("o_orderdate")) < 1997))
+        // evolve the layout: later writes partition by status, earlier
+        // files keep the year layout and still prune through it
+        t.updatePartitionSpec(Seq(PartitionField("o_stat", "o_orderstatus", "identity")))
+        e.insert(t, orders.filter(year(col("o_orderdate")) >= 1997))
+        e.scan(t,
+          "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND o_orderstatus = 'O'")
+          .toDF().orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT * FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderstatus = 'O'
+        ORDER BY o_orderkey"""),
+      doc = "partition spec evolution: coexisting specs, per-file pruning under each"),
+
+    // ------------------------------------------------------------------
     Q("lake_schema_evolution",
       (s, d) => {
         val (e, _) = freshEngine(s, "evo")

@@ -77,15 +77,24 @@ object StatsCodec {
   * scan (sql/IcebergScanExecutor.java:453-505) and batch-commit conflict
   * checks (writer/TableBatchTransaction.java:96-230).
   */
-final class StatsEvaluator(schema: StructType, spec: Seq[PartitionField]) {
+final class StatsEvaluator(schema: StructType, specsById: Map[Int, Seq[PartitionField]]) {
   import StatsCodec._
+
+  /** Single-spec convenience (spec id 0). */
+  def this(schema: StructType, spec: Seq[PartitionField]) = this(schema, Map(0 -> spec))
 
   private val fieldByName: Map[String, StructField] =
     schema.fields.map(f => f.name -> f).toMap
   private val idByName: Map[String, Int] =
     schema.fields.map(f => f.name -> graft.format.FieldIds.of(f)).toMap
-  private val specBySource: Map[String, Seq[(PartitionField, Transform)]] =
-    spec.groupBy(_.sourceColumn).view.mapValues(_.map(pf => pf -> Transform.parse(pf.transform))).toMap
+  // per spec id: source column -> its partition fields (files prune through
+  // the spec they were WRITTEN under; an unknown spec id prunes on stats only)
+  private val specBySource: Map[Int, Map[String, Seq[(PartitionField, Transform)]]] =
+    specsById.view.mapValues(_.groupBy(_.sourceColumn).view
+      .mapValues(_.map(pf => pf -> Transform.parse(pf.transform))).toMap).toMap
+
+  private def specFieldsFor(f: FileEntry, c: String): Seq[(PartitionField, Transform)] =
+    specBySource.getOrElse(f.specId, Map.empty).getOrElse(c, Seq.empty)
 
   private def dtOf(c: String): Option[DataType] = fieldByName.get(c).map(_.dataType)
   private def statsOf(f: FileEntry, c: String): Option[ColumnStats] =
@@ -96,7 +105,7 @@ final class StatsEvaluator(schema: StructType, spec: Seq[PartitionField]) {
 
   /** Identity partition value for column c, if identity-partitioned. */
   private def identityValue(f: FileEntry, c: String): Option[String] =
-    specBySource.getOrElse(c, Seq.empty).collectFirst {
+    specFieldsFor(f, c).collectFirst {
       case (pf, graft.transforms.Identity) if f.partition.contains(pf.name) => f.partition(pf.name)
     }
 
@@ -153,7 +162,7 @@ final class StatsEvaluator(schema: StructType, spec: Seq[PartitionField]) {
     // deterministic transform (c == v => t(c) == t(v), so bucket/identity
     // partitions prune point lookups and INs); ranges project through
     // monotonic ones (year/month/day/hour/truncate)
-    val projOk = specBySource.getOrElse(c, Seq.empty).forall { case (pf, t) =>
+    val projOk = specFieldsFor(f, c).forall { case (pf, t) =>
       f.partition.get(pf.name) match {
         case None => true
         // all transforms are null-preserving: a NULL partition value means

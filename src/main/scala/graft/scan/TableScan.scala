@@ -32,7 +32,7 @@ final class TableScan(
   val FileCol = "_file"
   val PosCol = "_pos"
 
-  private lazy val evaluator = new StatsEvaluator(table.schema, table.metadata.partitionSpec)
+  private lazy val evaluator = new StatsEvaluator(table.schema, table.metadata.specsById)
 
   /** Scan metrics (reference TableScanMetrics, SURVEY §2.8): how much the
     * metadata pruner saved, with zero data read. */

@@ -103,6 +103,7 @@ object LakeWriter extends Serializable {
     val typeByName = schema.fields.map(f => f.name -> f.dataType).toMap
     val spec = table.metadata.partitionSpec
     val schemaId = table.metadata.currentSchemaId
+    val specId = table.metadata.currentSpecId
     val stagingStr = plainPath(staging.toString)
 
     val conf = spark.sessionState.newHadoopConf()
@@ -164,7 +165,7 @@ object LakeWriter extends Serializable {
           val stats = statsByCol.flatMap { case (name, (mn, mx, nc)) =>
             idByName.get(name).filter(_ > 0).map(id => id.toString -> ColumnStats(mn, mx, nc))
           }.toMap
-          FileEntry(pathStr, partition, rowCount, len, schemaId, stats)
+          FileEntry(pathStr, partition, rowCount, len, schemaId, stats, specId)
         } finally reader.close()
       }
     }.collect().toSeq.sortBy(_.path)

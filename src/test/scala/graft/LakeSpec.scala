@@ -57,6 +57,39 @@ class LakeSpec extends SparkSpec {
       orders.filter(col("o_orderkey") <= 100).count())
   }
 
+  test("partition spec evolution: files prune under the spec they were written with") {
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable(freshName(), orders.schema,
+      partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+    engine.insert(t, orders.filter(year(col("o_orderdate")) < 1997))
+    val oldFiles = engine.scan(t).planFiles()
+    assert(oldFiles.forall(_.specId === 0))
+
+    t.updatePartitionSpec(Seq(PartitionField("o_stat", "o_orderstatus", "identity")))
+    engine.insert(t, orders.filter(year(col("o_orderdate")) >= 1997))
+    val allFiles = engine.scan(t).planFiles()
+    val newFiles = allFiles.filterNot(f => oldFiles.map(_.path).toSet.contains(f.path))
+    assert(newFiles.nonEmpty && newFiles.forall(_.specId === 1))
+    assert(newFiles.forall(_.partition.keySet === Set("o_stat")))
+    assert(oldFiles.forall(_.partition.keySet === Set("o_year")))
+
+    // full read is exact across both layouts
+    assert(engine.scan(t).toDF().count() === orders.count())
+
+    // a date predicate prunes OLD files via their year partition
+    val mDate = engine.scan(t,
+      "o_orderdate < TIMESTAMP_NTZ'1996-01-01 00:00:00'").metrics()
+    assert(mDate.skippedFiles > 0, s"year-spec files not pruned: $mDate")
+    assert(engine.scan(t, "o_orderdate < TIMESTAMP_NTZ'1996-01-01 00:00:00'").toDF().count() ===
+      orders.filter(col("o_orderdate") < lit("1996-01-01").cast(TimestampNTZType)).count())
+
+    // a status predicate prunes NEW files via their identity partition
+    val mStat = engine.scan(t, "o_orderstatus = 'P'").metrics()
+    assert(mStat.matchedFiles < mStat.totalFiles, s"identity-spec files not pruned: $mStat")
+    assert(engine.scan(t, "o_orderstatus = 'P'").toDF().count() ===
+      orders.filter(col("o_orderstatus") === "P").count())
+  }
+
   test("time travel: snapshots, tags, branches") {
     val orders = Tables.orders(spark, sf)
     val t = engine.catalog.createTable(freshName(), orders.schema)
