@@ -116,6 +116,28 @@ object OperatorQueries {
       },
       oracle = Some("""
         SELECT * FROM orders WHERE year(o_orderdate) < 1998 ORDER BY o_orderkey"""),
-      doc = "SQL-transparent time travel: analyzer rule resolves lake.`t$tag_...` (replaces SqlQueryProcessor)")
+      doc = "SQL-transparent time travel: analyzer rule resolves lake.`t$tag_...` (replaces SqlQueryProcessor)"),
+
+    // ------------------------------------------------------------------
+    Q("sql_time_travel_ts",
+      (s, d) => {
+        val wh = Files.createTempDirectory("graft-sqlttts-").toString
+        val engine = new LakeEngine(s, new LakeCatalog(wh))
+        val orders = Tables.orders(s, d)
+        val t = engine.catalog.createTable("orders_ttts", orders.schema)
+        engine.insert(t, orders.filter(year(col("o_orderdate")) < 1998))
+        val tsMs = t.metadata.currentSnapshot.get.timestampMs
+        // make sure the second commit lands at a strictly later millisecond
+        while (System.currentTimeMillis() <= tsMs + 1) Thread.sleep(1)
+        engine.insert(t, orders.filter(year(col("o_orderdate")) >= 1998))
+        s.conf.set("spark.graft.warehouse", wh)
+        val ldt = java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(tsMs), java.time.ZoneOffset.UTC)
+        // datetime-string form of the $timestamp_ suffix (reference parity)
+        s.sql(s"SELECT * FROM lake.`orders_ttts$$timestamp_$ldt` ORDER BY o_orderkey")
+      },
+      oracle = Some("""
+        SELECT * FROM orders WHERE year(o_orderdate) < 1998 ORDER BY o_orderkey"""),
+      doc = "$timestamp_ suffix as a local-datetime string (epoch millis still accepted)")
   )
 }
