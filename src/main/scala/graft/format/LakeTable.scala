@@ -26,6 +26,37 @@ object Json {
   def read[T](s: String, c: Class[T]): T = mapper.readValue(s, c)
 }
 
+/** SURVEY §1.2 logical types with no native Spark representation:
+  * TIME -> LongType micros-of-day, UUID -> StringType (canonical 36-char
+  * form), both marked by a metadata tag so tools can recover the intent.
+  * Stats, sorting and pruning come for free from the carrier type's
+  * ordering (micros order chronologically; the canonical hex form orders
+  * consistently for equality and prefix pruning); UUID bucket layouts
+  * use the Iceberg byte-layout hash via the bucket_uuid transform. */
+object LogicalTypes {
+  val Key = "graft-type"
+  val Uuid = "uuid"
+  val Time = "time"
+
+  def uuidField(name: String): StructField = tag(StructField(name, StringType), Uuid)
+  def timeField(name: String): StructField = tag(StructField(name, LongType), Time)
+
+  def tag(f: StructField, t: String): StructField = {
+    validateCarrier(f.copy(metadata =
+      new MetadataBuilder().withMetadata(f.metadata).putString(Key, t).build()))
+  }
+  def tagOf(f: StructField): Option[String] =
+    if (f.metadata.contains(Key)) Some(f.metadata.getString(Key)) else None
+
+  private[format] def validateCarrier(f: StructField): StructField = tagOf(f) match {
+    case Some(Uuid) if f.dataType != StringType =>
+      throw new ValidationException(s"uuid column ${f.name} must be StringType, got ${f.dataType.sql}")
+    case Some(Time) if f.dataType != LongType =>
+      throw new ValidationException(s"time column ${f.name} must be LongType micros-of-day, got ${f.dataType.sql}")
+    case _ => f
+  }
+}
+
 object FieldIds {
   val Key = "field-id"
   def of(f: StructField): Int =
@@ -328,6 +359,7 @@ object LakeTable {
       sortOrder: Seq[SortField] = Seq.empty,
       properties: Map[String, String] = Map.empty): LakeTable = {
     require(!exists(location), s"table already exists at $location")
+    schema.fields.foreach(LogicalTypes.validateCarrier) // uuid/time carrier checks
     val (withIds, lastId) = FieldIds.assign(schema)
     val names = schema.fieldNames.toSet
     partitionSpec.foreach(pf => require(names.contains(pf.sourceColumn),

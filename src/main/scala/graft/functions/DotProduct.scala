@@ -82,5 +82,9 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_bucket", exprs => IcebergBucket(
           exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bucket_uuid", exprs => IcebergBucket(
+          exprs(0), exprs(1).eval().asInstanceOf[Number].intValue(),
+          uuid = true), "scala_udf")
     }
 }

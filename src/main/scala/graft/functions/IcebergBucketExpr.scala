@@ -19,20 +19,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * conversion at all because Catalyst already stores them as the exact
   * long the Iceberg layout hashes.
   */
-case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
+case class IcebergBucket(child: Expression, n: Int, uuid: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = IntegerType
-  override def prettyName: String = "graft_bucket"
+  override def prettyName: String = if (uuid) "graft_bucket_uuid" else "graft_bucket"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if n <= 0 =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName bucket count must be positive")
+    case StringType if uuid => TypeCheckResult.TypeCheckSuccess
+    case _ if uuid =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string uuid column")
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType | FloatType | DoubleType | StringType =>
-      if (n > 0) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(s"$prettyName bucket count must be positive")
+      TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName unsupported for ${dt.sql}")
   }
 
   override def nullSafeEval(v: Any): Any = {
     val h = child.dataType match {
+      case StringType if uuid => IcebergHash.hashUUID(v.toString)
       case ByteType  => IcebergHash.hashLong(v.asInstanceOf[Byte].toLong)
       case ShortType => IcebergHash.hashLong(v.asInstanceOf[Short].toLong)
       case IntegerType | DateType => IcebergHash.hashLong(v.asInstanceOf[Int].toLong)
@@ -50,6 +56,8 @@ case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
       // IcebergHash is a top-level object -> static forwarders callable
       // from the generated Java
       val hash = child.dataType match {
+        case StringType if uuid =>
+          s"graft.transforms.IcebergHash.hashUUID($c.toString())"
         case ByteType | ShortType | IntegerType | DateType | LongType |
              TimestampType | TimestampNTZType =>
           s"graft.transforms.IcebergHash.hashLong((long) $c)"

@@ -48,6 +48,17 @@ final class TableScan(
       matched.map(_.recordCount).sum)
   }
 
+  /** A4: per-partition record counts from manifest metadata only — zero
+    * data read (reference IcebergScanExecutor.java:515-570 shape: group
+    * planned files by (specId, partition values), sum record counts).
+    * Like the reference, counts cover every file the pruner cannot
+    * exclude, since both engines take them from the same file metadata. */
+  def partitionRecordCounts(): Seq[(Int, Map[String, String], Long)] =
+    planFiles().groupBy(f => (f.specId, f.partition)).toSeq
+      .map { case ((sid, part), fs) => (sid, part, fs.map(_.recordCount).sum) }
+      .sortBy { case (sid, part, _) =>
+        (sid, part.toSeq.sortBy(_._1).map(kv => s"${kv._1}=${kv._2}").mkString(",")) }
+
   /** Metadata-only planning: no data read (S1). */
   def planFiles(): Seq[FileEntry] = {
     explicitFiles.foreach(fs => return fs)

@@ -33,6 +33,8 @@ object Transform {
     case "month"    => Month
     case "day"      => Day
     case "hour"     => Hour
+    case b if b.startsWith("bucket_uuid[") =>
+      BucketUuid(b.stripPrefix("bucket_uuid[").stripSuffix("]").toInt)
     case b if b.startsWith("bucket[")   => Bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt)
     case t if t.startsWith("truncate[") => Truncate(t.stripPrefix("truncate[").stripSuffix("]").toInt)
     case other => throw new IllegalArgumentException(s"unknown transform: $other")
@@ -112,6 +114,24 @@ final case class Bucket(n: Int) extends Transform {
   val monotonic = false
 }
 
+/** Iceberg bucket over UUID-typed columns (SURVEY §1.2: UUIDs ride in
+  * canonical-form strings — see [[graft.format.LogicalTypes]]): hashes
+  * the 16-byte big-endian UUID layout, not the UTF-8 string, for
+  * Iceberg layout parity. */
+final case class BucketUuid(n: Int) extends Transform {
+  val name = s"bucket_uuid[$n]"
+  def column(c: Column, dt: DataType): Column = {
+    require(dt == StringType, s"bucket_uuid requires a string uuid column, got $dt")
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    Transform.canon(call_function("graft_bucket_uuid", c, lit(n)))
+  }
+  def applyLiteral(v: Any, dt: DataType): String =
+    if (v == null) Transform.NullValue
+    else ((IcebergHash.hashUUID(v.toString) & Int.MaxValue) % n).toString
+  val monotonic = false
+}
+
 final case class Truncate(w: Int) extends Transform {
   val name = s"truncate[$w]"
   def column(c: Column, dt: DataType): Column = dt match {
@@ -170,6 +190,14 @@ object IcebergHash {
     hashLong(java.lang.Double.doubleToLongBits(norm))
   }
   def hashBytes(b: Array[Byte]): Int = murmur3(b, 0)
+  /** UUID hashes as its 16 bytes big-endian (Iceberg spec Appendix B). */
+  def hashUUID(s: String): Int = {
+    val u = java.util.UUID.fromString(s)
+    val b = java.nio.ByteBuffer.allocate(16)
+    b.putLong(u.getMostSignificantBits)
+    b.putLong(u.getLeastSignificantBits)
+    murmur3(b.array, 0)
+  }
 
   /** murmur3_x86_32 reference implementation. */
   def murmur3(data: Array[Byte], seed: Int): Int = {

@@ -279,6 +279,23 @@ class LakeSpec extends SparkSpec {
     assert(m.matchedBytes < m.totalBytes && m.matchedRecords > 0)
   }
 
+  test("per-partition record counts come from metadata alone (A4)") {
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable(freshName(), orders.schema,
+      partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+    engine.insert(t, orders)
+    val expected = orders.groupBy(year(col("o_orderdate")).cast("string").as("y"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = engine.scan(t).partitionRecordCounts()
+    assert(got.map { case (_, p, n) => p("o_year") -> n }.toMap === expected)
+    assert(got.forall(_._1 === 0)) // all under the create-time spec
+    // pruned variant: only the matching year remains, count still exact
+    val one = engine.scan(t,
+      "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'")
+      .partitionRecordCounts()
+    assert(one.map { case (_, p, n) => p("o_year") -> n } === Seq("1996" -> expected("1996")))
+  }
+
   test("full-table-scan guard and scan size limit") {
     val orders = Tables.orders(spark, sf)
     val t = engine.catalog.createTable(freshName(), orders.schema)

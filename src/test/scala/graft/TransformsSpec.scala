@@ -69,6 +69,51 @@ class TransformsSpec extends SparkSpec {
     assert(got.getString(1) === Transform.NullValue)
   }
 
+  test("uuid type: iceberg hash vector, bucket_uuid pruning, round-trip") {
+    assert(IcebergHash.hashUUID("f79c3e09-677c-4bbd-a479-3f349cb785e7") === 1488055340)
+    def uuidOf(i: Int): String = new java.util.UUID(0x1234L, i.toLong).toString
+    val df = (0 until 4000).map(i => (uuidOf(i), i.toLong)).toDF("u", "v")
+    val t = engine.catalog.createTable("uuid_keyed",
+      StructType(Seq(LogicalTypes.uuidField("u"), StructField("v", LongType))),
+      partitionSpec = Seq(PartitionField("u_b", "u", "bucket_uuid[8]")))
+    engine.insert(t, df)
+    assert(LogicalTypes.tagOf(t.schema("u")) === Some(LogicalTypes.Uuid))
+    val key = uuidOf(100)
+    val m = engine.scan(t, s"u = '$key'").metrics()
+    assert(m.totalFiles >= 8, s"expected >=8 bucket files: $m")
+    assert(m.matchedFiles * 8 <= m.totalFiles * 2, s"uuid bucket pruning ineffective: $m")
+    val got = engine.scan(t, s"u = '$key'").toDF().collect()
+    assert(got.length === 1 && got(0).getLong(1) === 100L)
+  }
+
+  test("time type: micros-of-day round-trip with range pruning") {
+    // 4000 events through the day, one every ~21.6 s of micros-of-day
+    val df = (0 until 4000).map(i => (i * 21600000L, i.toDouble)).toDF("t", "v")
+    val t = engine.catalog.createTable("time_keyed",
+      StructType(Seq(LogicalTypes.timeField("t"), StructField("v", DoubleType))),
+      sortOrder = Seq(SortField("t")),
+      properties = Map("write.max-records-per-file" -> "500"))
+    engine.insert(t, df)
+    assert(LogicalTypes.tagOf(t.schema("t")) === Some(LogicalTypes.Time))
+    // before 06:00 (21_600_000_000 micros): first quarter of the day
+    val m = engine.scan(t, "t < 21600000000").metrics()
+    assert(m.totalFiles >= 8 && m.skippedFiles > 0, s"time range pruned nothing: $m")
+    assert(engine.scan(t, "t < 21600000000").toDF().count() === 1000)
+  }
+
+  test("logical type carrier validation rejects wrong physical types") {
+    val rawTag = new MetadataBuilder()
+      .putString(LogicalTypes.Key, LogicalTypes.Uuid).build()
+    intercept[graft.format.ValidationException] { // create-side check
+      engine.catalog.createTable("bad_uuid", StructType(Seq(
+        StructField("u", LongType, metadata = rawTag))))
+    }
+    intercept[graft.format.ValidationException] {
+      engine.catalog.createTable("bad_time", StructType(Seq(
+        LogicalTypes.tag(StructField("t", StringType), LogicalTypes.Time))))
+    }
+  }
+
   test("bucket-partitioned point lookup prunes to the key's bucket") {
     val customer = Tables.customer(spark, sf)
     val t = engine.catalog.createTable("cust_bucketed", customer.schema,
