@@ -29,7 +29,8 @@ object Bench {
       // scans parallelize across all cores; shuffle partitions pinned low
       // because with AQE off (below) the post-shuffle stage count is fixed
       // and task-scheduling overhead dominates sub-second single-node jobs
-      .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 8).toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.min(cpus.toInt, 8).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // AQE re-plans per shuffle stage — pure job-submission overhead at
@@ -62,7 +63,9 @@ object Bench {
       catch { case NonFatal(_) => -1.0 }
 
     val loadStart = loadavg
-    val warmup = headline.map(q => q.name -> exec(q)).toMap
+    // two warmup passes: one pass leaves C2 JIT compilation still in
+    // flight on the hot query paths (pass totals keep dropping otherwise)
+    val warmup = (1 to 2).flatMap(_ => headline.map(q => q.name -> exec(q))).toMap
     def pass(): Map[String, Double] = headline.map(q => q.name -> exec(q)).toMap
 
     val basePasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt

@@ -86,5 +86,11 @@ object GraftFunctions {
         "graft_bucket_uuid", exprs => IcebergBucket(
           exprs(0), exprs(1).eval().asInstanceOf[Number].intValue(),
           uuid = true), "scala_udf")
+      // Catalyst's own decimal->unscaled-long extractor (codegen); lets
+      // exact decimal sums run on a plain long aggregation buffer
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_unscaled",
+        exprs => org.apache.spark.sql.catalyst.expressions.UnscaledValue(exprs(0)),
+        "scala_udf")
     }
 }
