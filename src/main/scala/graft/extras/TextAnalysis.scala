@@ -61,6 +61,20 @@ object TextAnalysis {
     u(sh)
   }
 
+  /** Fused text -> minhash signature (skips the shingle-array UDF
+    * boundary; bit-identical to minhashSignature(distinctShingles(..))). */
+  private val minhashTextUdfs = scala.collection.concurrent.TrieMap.empty[(Int, Int), org.apache.spark.sql.expressions.UserDefinedFunction]
+  def minhashFromText(text: Column, n: Int, k: Int): Column = {
+    val u = minhashTextUdfs.getOrElseUpdate((n, k),
+      udf((s: String) => graft.functions.FastHash.minhashFromText(s, n, k)))
+    u(text)
+  }
+
+  /** Fused text -> simhash64 (skips the token-array UDF boundary). */
+  private val simhashTextUdf =
+    udf((s: String) => graft.functions.FastHash.simhashFromText(s))
+  def simhashFromText(text: Column): Column = simhashTextUdf(text)
+
   /** LSH band hashes for a signature: b hashes of r-row slices. */
   def bandHashes(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),

@@ -87,15 +87,14 @@ object TextQueries {
     Q("text_fingerprint",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val toks = tokens(col("text"))
         // scalar columns only: the driver's pandas verify cannot sort/hash
         // array cells, so the 4-element minhash prefix is projected to four
         // bigint columns instead of one array<long>.
-        val mh = slice(minhashSignature(distinctShingles(col("text"), 3), 8), 1, 4)
+        val mh = slice(minhashFromText(col("text"), 3, 8), 1, 4)
         docs.select(col("doc_id"),
             fingerprint(col("text")).as("fp64"),
             mh.as("mh"), // signature computed once; exploded below
-            simhash64(toks).as("simhash"))
+            simhashFromText(col("text")).as("simhash"))
           .select(col("doc_id"), col("fp64"),
             element_at(col("mh"), 1).as("minhash_0"),
             element_at(col("mh"), 2).as("minhash_1"),

@@ -84,6 +84,19 @@ class ExtrasSpec extends SparkSpec {
     assert(scores(1L) > scores(2L))
   }
 
+  test("fused text->signature paths match the array-based ones") {
+    val docs = Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((90001L, "  one two  three one two three "), (90002L, "")).toDF())
+    val viaArrays = docs.select(col("doc_id"),
+      TextAnalysis.minhashSignature(TextAnalysis.distinctShingles(col("text"), 3), 8).as("mh"),
+      TextAnalysis.simhash64(TextAnalysis.tokens(col("text"))).as("sh"))
+    val fused = docs.select(col("doc_id"),
+      TextAnalysis.minhashFromText(col("text"), 3, 8).as("mh"),
+      TextAnalysis.simhashFromText(col("text")).as("sh"))
+    assert(viaArrays.exceptAll(fused).isEmpty && fused.exceptAll(viaArrays).isEmpty)
+  }
+
   test("fingerprint is whitespace-normalization invariant") {
     val df = Seq((1L, "hello   world foo"), (2L, " hello world\tfoo ")).toDF("id", "text")
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
