@@ -60,6 +60,99 @@ object Similarity {
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN: Voronoi-partition the corpus around trained
+  // centroids; queries probe the nprobe nearest cells, candidates rank
+  // exactly. The 100 TB shape: centroids are tiny driver state (nlist x
+  // dim doubles from a BOUNDED sample), cell assignment is a broadcast-
+  // centroid argmin in one linear codegen pass, and the probe join is a
+  // plain equi-join on cell id.
+  // ------------------------------------------------------------------
+
+  /** Deterministic Lloyd k-means on a bounded corpus sample (no RNG:
+    * evenly-strided init over an id-ordered sample, fixed iterations).
+    * Returns nlist centroids of the sample's dimension. */
+  def trainCentroids(
+      corpus: DataFrame, corpusId: String, vecCol: String,
+      nlist: Int, sampleSize: Int = 2048, iters: Int = 5): Array[Array[Double]] = {
+    val sample = corpus.orderBy(col(corpusId)).limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case n: Number => n.doubleValue
+      }.toArray)
+    require(sample.nonEmpty, "cannot train centroids on an empty corpus")
+    val dim = sample.head.length
+    def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var s = 0.0; var cc = 0.0; var i = 0
+        while (i < dim) { s += v(i) * c(i); cc += c(i) * c(i); i += 1 }
+        val score = s - 0.5 * cc // argmin L2 == argmax (v.c - |c|^2/2)
+        if (score > bestScore) { bestScore = score; best = j }
+        j += 1
+      }
+      best
+    }
+    var cents = Array.tabulate(nlist)(j => sample(j * sample.length / nlist).clone())
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        val j = nearest(v, cents)
+        counts(j) += 1
+        var i = 0
+        while (i < dim) { sums(j)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(nlist)(j =>
+        if (counts(j) == 0) cents(j) // empty cell keeps its centroid
+        else sums(j).map(_ / counts(j)))
+    }
+    cents
+  }
+
+  private def centroidScores(vec: Column, cents: Array[Array[Double]]): Seq[Column] =
+    cents.toIndexedSeq.zipWithIndex.map { case (c, j) =>
+      val halfNormSq = 0.5 * c.map(x => x * x).sum
+      struct((dot(vec, typedLit(c)) - lit(halfNormSq)).as("score"),
+        lit(j).as("cell"))
+    }
+
+  /** Cell id of the nearest centroid. Implemented via array_max over the
+    * (score, cell) structs — a when/otherwise argmax fold would duplicate
+    * the accumulator twice per step and build a 2^nlist expression tree. */
+  def cellOf(vec: Column, cents: Array[Array[Double]]): Column =
+    array_max(array(centroidScores(vec, cents): _*)).getField("cell")
+
+  /** The nprobe nearest cell ids, best first. */
+  def probeCells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+    transform(
+      slice(reverse(array_sort(array(centroidScores(vec, cents): _*))), 1, nprobe),
+      p => p.getField("cell"))
+
+  /** IVF ANN top-k: corpus assigned to its nearest cell, queries explode
+    * into their nprobe nearest cells, candidates equi-join on cell id and
+    * rank by exact similarity. Each (query, corpus) pair joins at most
+    * once (a corpus row lives in exactly one cell). */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = trainCentroids(corpus, corpusId, corpusVec, nlist)
+    val c = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv"))
+      .withColumn("cell", cellOf(col("cv"), cents))
+    val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv"), cents, nprobe)))
+    val cand = c.join(broadcast(q), "cell")
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
+    cand.select(col("qid"), col("cid"), round(dot(col("qv"), col("cv")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** All XOR masks over `bits` bits with popcount in [0, maxHamming] —
     * the multi-probe neighborhood of an SRP signature (Lv et al., VLDB'07
     * multi-probe LSH). Enumerated smallest-popcount-first via recursion;

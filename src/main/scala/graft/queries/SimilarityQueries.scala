@@ -53,6 +53,21 @@ object SimilarityQueries {
           .orderBy("qid", "rank")
       },
       oracle = None, // approximate; recall vs brute force pinned in SimilaritySpec
-      doc = "SRP-bucketed ANN top-k (hamming-probe candidate set)")
+      doc = "SRP-bucketed ANN top-k (hamming-probe candidate set)"),
+
+    // ------------------------------------------------------------------
+    Q("sim_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.ivfTopK(
+            emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding",
+            k = 10, nlist = 16, nprobe = 4)
+          .select(col("qid"), col("cid"), col("sim"), col("rank").cast("int").as("rank"))
+          .orderBy("qid", "rank")
+      },
+      oracle = None, // approximate; recall vs brute force pinned in ExtrasSpec
+      doc = "IVF ANN top-k: k-means cells, nprobe probe join, exact re-rank")
   )
 }

@@ -61,6 +61,26 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall") // hamming-6 probe of 16-bit SRP
   }
 
+  test("IVF ANN: rank-1 is the query itself; recall vs brute force is reasonable") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+    val top = ivf.filter(col("rank") === 1).select("qid", "cid", "sim").collect()
+    assert(top.length === 5)
+    top.foreach { r =>
+      // the query's own cell is always its first probe, so it finds itself
+      assert(r.getLong(0) === r.getLong(1))
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-3)
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5))
+    val recall = (exact & pairs(ivf)).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall") // 4/16 cells probed
+  }
+
   test("language ID: CJK routing and marker words") {
     val df = Seq(
       (1L, "the cat sat on the mat and it was happy that day"),
