@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Throughput collector: ~8% faster than G1 on the bench's short-lived
+  // task-heavy allocation pattern (A/B min-of-3-pass: 4.94s vs 5.37s)
+  "-XX:+UseParallelGC",
 )
