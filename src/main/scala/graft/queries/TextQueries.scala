@@ -80,8 +80,34 @@ object TextQueries {
             round(cjkRatio(col("text")), 6).as("cjk_ratio"))
           .orderBy("doc_id")
       },
-      oracle = None, // heuristic output; determinism pinned by TextSpec
-      doc = "n-gram/marker-word language ID heuristic (rows-only check)"),
+      // the heuristic is fully deterministic, so it oracles: same marker
+      // profiles, fold tie-break (earliest profile wins) rendered as a
+      // >=-ladder, CJK-ratio override, und when no marker hits
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, lang, text,
+            list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks,
+            CASE WHEN length(text) > 0 THEN
+              CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS cjk
+          FROM documents),
+        s AS (
+          SELECT doc_id, lang, cjk,
+            len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','that','for','on','with','it'], x))) AS s_en,
+            len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den','von','auf'], x))) AS s_de,
+            len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans','que','pour','des','du'], x))) AS s_fr,
+            len(list_filter(toks, x -> list_contains(['el','la','los','de','que','y','en','un','una','por','con','para'], x))) AS s_es
+          FROM t)
+        SELECT doc_id, lang AS tagged_lang,
+          CASE WHEN cjk > 0.2 THEN 'zh'
+               WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr'
+               ELSE 'es' END AS predicted_lang,
+          round(cjk, 6) AS cjk_ratio
+        FROM s ORDER BY doc_id"""),
+      doc = "n-gram/marker-word language ID heuristic"),
 
     // ------------------------------------------------------------------
     Q("text_fingerprint",
