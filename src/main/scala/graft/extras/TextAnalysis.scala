@@ -22,12 +22,25 @@ object TextAnalysis {
   def tokens(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => length(t) > 0)
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Whitespace token count — single-pass byte scan ([[graft.functions.TokenScan]]);
+    * parity with `size(tokens(c))` pinned in ExtrasSpec. */
+  def tokenCount(c: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_ws_tokens", c)
+  }
 
   /** BPE-ish pre-tokenization: letter runs, digit runs, single punct. */
   val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpePattern), lit(0))
-  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  /** BPE-ish pre-token count — single-pass byte scan, no regex;
+    * parity with `size(bpeTokens(c))` pinned in ExtrasSpec. */
+  def bpeTokenCount(c: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_bpe_tokens", c)
+  }
 
   /** Word n-gram shingles: ["a b c", "b c d", ...]. Empty if < n tokens. */
   def shingles(toks: Column, n: Int): Column =

@@ -92,5 +92,9 @@ object GraftFunctions {
         "graft_unscaled",
         exprs => org.apache.spark.sql.catalyst.expressions.UnscaledValue(exprs(0)),
         "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_ws_tokens", exprs => WsTokenCount(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bpe_tokens", exprs => BpeTokenCount(exprs(0)), "scala_udf")
     }
 }

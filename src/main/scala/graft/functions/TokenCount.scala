@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass token counters over raw UTF-8 bytes.
+  *
+  * `size(split(...))` and `size(regexp_extract_all(...))` materialize a
+  * string array per row just to take its length; at corpus scale the
+  * token COUNT is the hot path (quality filters, cost estimation), so
+  * these run the class scan directly on the `UTF8String` bytes — no
+  * regex machinery, no allocation, inlined into whole-stage codegen.
+  *
+  * Byte-level classification is exact for both counters because every
+  * class boundary is ASCII: Java's `\s` is `[ \t\n\x0B\f\r]` (0x09-0x0D
+  * plus 0x20), and any non-ASCII code point starts with a UTF-8 lead
+  * byte (top bits != 10), so "one token per non-ASCII code point" is
+  * "count lead bytes". Parity with the expression formulations is
+  * pinned property-style in ExtrasSpec.
+  */
+object TokenScan {
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20.toByte || (b >= 0x09.toByte && b <= 0x0D.toByte)
+
+  /** Number of maximal non-whitespace runs — equals
+    * `size(filter(split(trim(s), "\\s+"), t => length(t) > 0))`. */
+  def wsTokens(s: UTF8String): Int = {
+    val n = s.numBytes
+    var i = 0
+    var cnt = 0
+    var inTok = false
+    while (i < n) {
+      val b = s.getByte(i)
+      if (isWs(b)) inTok = false
+      else if (!inTok) { cnt += 1; inTok = true }
+      i += 1
+    }
+    cnt
+  }
+
+  /** Number of BPE-ish pre-tokens — equals
+    * `size(regexp_extract_all(s, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))`:
+    * one per letter run, one per digit run, one per any other
+    * non-whitespace code point. */
+  def bpeTokens(s: UTF8String): Int = {
+    val n = s.numBytes
+    var i = 0
+    var cnt = 0
+    var cls = 0 // 1 = inside letter run, 2 = inside digit run, 0 = neither
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) {
+        if (isWs(b)) cls = 0
+        else if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
+          if (cls != 1) cnt += 1
+          cls = 1
+        } else if (b >= '0' && b <= '9') {
+          if (cls != 2) cnt += 1
+          cls = 2
+        } else { cnt += 1; cls = 0 }
+      } else {
+        if ((b & 0xC0) != 0x80) cnt += 1 // UTF-8 lead byte = one code point
+        cls = 0
+      }
+      i += 1
+    }
+    cnt
+  }
+}
+
+sealed abstract class TokenCountExpr extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+  protected def scanMethod: String // static method on TokenScan
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenScan.$scanMethod($c)")
+}
+
+/** `graft_ws_tokens(text)` — whitespace token count, one byte scan. */
+case class WsTokenCount(child: Expression) extends TokenCountExpr {
+  override def prettyName: String = "graft_ws_tokens"
+  override protected def scanMethod: String = "wsTokens"
+  override protected def nullSafeEval(input: Any): Any =
+    TokenScan.wsTokens(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_bpe_tokens(text)` — BPE-ish pre-token count, one byte scan. */
+case class BpeTokenCount(child: Expression) extends TokenCountExpr {
+  override def prettyName: String = "graft_bpe_tokens"
+  override protected def scanMethod: String = "bpeTokens"
+  override protected def nullSafeEval(input: Any): Any =
+    TokenScan.bpeTokens(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -117,6 +117,28 @@ class ExtrasSpec extends SparkSpec {
     assert(viaArrays.exceptAll(fused).isEmpty && fused.exceptAll(viaArrays).isEmpty)
   }
 
+  test("byte-scan token counters match the split/regex formulations") {
+    // corpus rows + adversarial edges: empty, all-ws, unicode (2/3/4-byte
+    // code points), control chars, runs crossing class boundaries
+    val edges = Seq(
+      (90001L, ""), (90002L, " \t\n\f\r "), (90003L, "a"),
+      (90004L, "abc123!?x9 9x  --  a1b2c3"), (90005L, "héllo wörld"),
+      (90006L, "日本語テキスト 與 中文"), (90007L, "mixé123日本"),
+      (90008L, " a b"), (90009L, "emoji 😀😁 end"),
+      (90010L, "  leading and trailing  "), (90011L, "a-b_c.d,e"),
+      (90012L, "12 34.56 7e8"))
+    val docs = Tables.documents(spark, sf).limit(300)
+      .select(col("doc_id"), col("text"))
+      .union(edges.toDF())
+    val cmp = docs.select(
+      TextAnalysis.tokenCount(col("text")).as("ws_fast"),
+      size(TextAnalysis.tokens(col("text"))).as("ws_ref"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe_fast"),
+      size(TextAnalysis.bpeTokens(col("text"))).as("bpe_ref"))
+    assert(cmp.filter(col("ws_fast") =!= col("ws_ref") ||
+      col("bpe_fast") =!= col("bpe_ref")).isEmpty)
+  }
+
   test("fingerprint is whitespace-normalization invariant") {
     val df = Seq((1L, "hello   world foo"), (2L, " hello world\tfoo ")).toDF("id", "text")
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
