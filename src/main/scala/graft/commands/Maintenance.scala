@@ -44,10 +44,15 @@ object Maintenance {
     val liveFiles = keep.flatMap(s => table.manifest(s).map(_.path)).toSet
     val deadFiles = expire.flatMap(s => table.manifest(s).map(_.path)).distinct
       .filterNot(liveFiles.contains)
+    // manifests are shared across snapshots (incremental commits reuse the
+    // parent's chunks) — only delete ones no surviving snapshot references
+    val liveManifests = keep.flatMap(_.manifests.map(_.path)).toSet
+    val deadManifests = expire.flatMap(_.manifests.map(_.path)).distinct
+      .filterNot(liveManifests.contains)
     // commit the trimmed snapshot list first, then delete orphans
     table.commit(CommitOp.ExpireSnapshots(expire.map(_.id).toSet))
-    expire.foreach(s =>
-      Files.deleteIfExists(Paths.get(table.location, "metadata", s.manifestFile)))
+    deadManifests.foreach(p =>
+      Files.deleteIfExists(Paths.get(table.location, "metadata", p)))
     deadFiles.foreach(p => Files.deleteIfExists(Paths.get(p)))
     deadFiles
   }

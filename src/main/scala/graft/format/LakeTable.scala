@@ -123,8 +123,10 @@ class LakeTable private (val location: String, @volatile private var meta: Table
 
   def snapshot(ref: TableRef): Option[Snapshot] = meta.resolve(ref)
 
-  def manifest(s: Snapshot): Seq[FileEntry] = {
-    val p = Paths.get(location, "metadata", s.manifestFile)
+  def manifest(s: Snapshot): Seq[FileEntry] = s.manifests.flatMap(readManifest)
+
+  private def readManifest(ref: ManifestRef): Seq[FileEntry] = {
+    val p = Paths.get(location, "metadata", ref.path)
     Json.mapper.readValue(Files.readString(p), classOf[Array[FileEntry]]).toSeq
   }
 
@@ -173,19 +175,33 @@ class LakeTable private (val location: String, @volatile private var meta: Table
       case Some(b) => m.refs.get(b).filter(_.isBranch).flatMap(r => m.snapshotById(r.snapshotId))
     }
 
-  private def writeManifest(files: Seq[FileEntry], sid: Long): String = {
-    val name = s"manifest-$sid.json"
+  private def newManifest(files: Seq[FileEntry], sid: Long): ManifestRef = {
+    // unique per attempt: a lost optimistic race must not reuse a name
+    val name = s"manifest-$sid-${Random.alphanumeric.take(8).mkString}.json"
     Files.writeString(Paths.get(location, "metadata", name), Json.write(files))
-    name
+    ManifestRef(name, files.size.toLong, files.map(_.recordCount).sum)
+  }
+
+  /** Manifest-list hygiene: once the list exceeds `max-count`, rewrite the
+    * small-manifest tail into one chunk (large manifests are never
+    * rewritten — merge cost tracks fragmentation, not table size). */
+  private def compactList(m: TableMetadata, list: Seq[ManifestRef], sid: Long): Seq[ManifestRef] = {
+    val maxCount = m.properties.getOrElse("graft.manifest.max-count", "32").toInt
+    val mergeMin = m.properties.getOrElse("graft.manifest.merge-min-entries", "8192").toLong
+    if (list.size <= maxCount) return list
+    val (small, large) = list.partition(_.entryCount < mergeMin)
+    if (small.size <= 1) list
+    else large :+ newManifest(small.flatMap(readManifest), sid)
   }
 
   private def applyOp(m: TableMetadata, op: CommitOp, t0: Long): (TableMetadata, CommitMetrics) = op match {
     case CommitOp.Append(files, branch) =>
       val head = headOf(m, branch)
-      val base = head.map(manifest).getOrElse(Seq.empty)
+      val baseList = head.map(_.manifests).getOrElse(Seq.empty)
       val sid = newSnapshotId(m)
-      val mf = writeManifest(base ++ files, sid)
-      val snap = Snapshot(sid, head.map(_.id), System.currentTimeMillis(), "append", mf,
+      val list = compactList(m,
+        if (files.isEmpty) baseList else baseList :+ newManifest(files, sid), sid)
+      val snap = Snapshot(sid, head.map(_.id), System.currentTimeMillis(), "append", list,
         Map("added-files" -> files.size.toString, "added-records" -> files.map(_.recordCount).sum.toString))
       (advance(m, snap, branch),
         CommitMetrics(sid, files.size, 0, files.map(_.recordCount).sum, 0, 0))
@@ -193,17 +209,30 @@ class LakeTable private (val location: String, @volatile private var meta: Table
     case CommitOp.Overwrite(files, removePaths, branch, fromSnap, conflictFilter, serializable) =>
       val head = headOf(m, branch)
       validateNoConflicts(m, head, fromSnap, conflictFilter, serializable)
-      val base = head.map(manifest).getOrElse(Seq.empty)
-      val missing = removePaths -- base.map(_.path).toSet
+      val baseList = head.map(_.manifests).getOrElse(Seq.empty)
+      val sid = newSnapshotId(m)
+      // rewrite only manifests that contain a removed path; reuse the rest
+      var removed = Seq.empty[FileEntry]
+      var seen = Set.empty[String]
+      val keptList = baseList.flatMap { mref =>
+        val entries = readManifest(mref)
+        seen ++= entries.iterator.map(_.path)
+        val hit = entries.filter(f => removePaths.contains(f.path))
+        if (hit.isEmpty) Some(mref)
+        else {
+          removed ++= hit
+          val kept = entries.filterNot(f => removePaths.contains(f.path))
+          if (kept.isEmpty) None else Some(newManifest(kept, sid))
+        }
+      }
+      val missing = removePaths -- seen
       if (missing.nonEmpty)
         throw new ValidationException(
           s"cannot overwrite: ${missing.size} file(s) no longer in table (concurrently rewritten?): ${missing.take(3)}")
-      val kept = base.filterNot(f => removePaths.contains(f.path))
-      val removed = base.filter(f => removePaths.contains(f.path))
-      val sid = newSnapshotId(m)
-      val mf = writeManifest(kept ++ files, sid)
+      val list = compactList(m,
+        if (files.isEmpty) keptList else keptList :+ newManifest(files, sid), sid)
       val snap = Snapshot(sid, head.map(_.id), System.currentTimeMillis(),
-        if (files.isEmpty) "delete" else "overwrite", mf,
+        if (files.isEmpty) "delete" else "overwrite", list,
         Map("added-files" -> files.size.toString, "removed-files" -> removed.size.toString))
       (advance(m, snap, branch),
         CommitMetrics(sid, files.size, removed.size,

@@ -7,11 +7,14 @@ import com.fasterxml.jackson.databind.annotation.JsonDeserialize
   * reference writer/Transaction.java commit semantics and the manifest
   * stats consumed by sql/IcebergScanExecutor.java:453-505).
   *
-  * Scale note: snapshots index + refs live in `v<N>.json`; each
-  * snapshot's full file list lives in its own `manifest-<id>.json`, so
-  * metadata reads are O(current manifest), not O(history). At real
-  * 100 TB scale manifests would be further split per partition range —
-  * the FileEntry schema already carries everything needed for that.
+  * Scale note: snapshots index + refs live in `v<N>.json`; data-file
+  * entries live in immutable `manifest-*.json` chunks referenced by each
+  * snapshot's manifest list. Commits write manifests only for files they
+  * add or rewrite and reuse the parent's other chunks, so commit cost is
+  * O(changed), reads are O(current table), and history is free. A next
+  * step at real 100 TB scale: partition-range summaries on ManifestRef
+  * for scan-time manifest pruning — the FileEntry schema already carries
+  * everything needed for that.
   */
 final case class PartitionField(
     name: String,         // partition column name in the layout, e.g. "o_orderdate_year"
@@ -40,13 +43,20 @@ final case class FileEntry(
     specId: Int = 0                 // partition spec the file was written under
 )
 
+/** One manifest file in a snapshot's manifest list. Counts ride along so
+  * merge policy and record-count probes don't need to open the file. */
+final case class ManifestRef(path: String, entryCount: Long, recordCount: Long)
+
 final case class Snapshot(
     id: Long,
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
     parentId: Option[Long],
     timestampMs: Long,
     operation: String, // "append" | "overwrite" | "delete" | "replace"
-    manifestFile: String,
+    // Iceberg-style manifest list: a commit writes manifests only for what
+    // it adds/rewrites and REUSES the rest from its parent, so commit cost
+    // is O(changed files), not O(table files)
+    manifests: Seq[ManifestRef],
     summary: Map[String, String])
 
 final case class Ref(snapshotId: Long, isBranch: Boolean)

@@ -1,0 +1,83 @@
+package graft
+
+import graft.commands.{LakeEngine, Maintenance}
+import graft.format._
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** Incremental manifest-list behavior: commits write manifests only for
+  * what they change and reuse the parent's chunks (the O(changed)-commit
+  * property that keeps metadata writes bounded at 100 TB table sizes).
+  */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse = Files.createTempDirectory("graft-mwh-").toString
+  private lazy val engine = new LakeEngine(spark, new LakeCatalog(warehouse))
+
+  private def freshName(): String = s"m_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def mkTable(props: Map[String, String] = Map.empty) = {
+    val df = Seq((1L, "a")).toDF("id", "v")
+    engine.catalog.createTable(freshName(), df.schema, properties = props)
+  }
+
+  private def rows(ids: Range) = ids.map(i => (i.toLong, s"v$i")).toDF("id", "v")
+
+  test("append reuses the parent's manifests and adds one for the new files") {
+    val t = mkTable()
+    engine.insert(t, rows(0 until 10))
+    val s1 = t.metadata.currentSnapshot.get
+    engine.insert(t, rows(10 until 20))
+    val s2 = t.metadata.currentSnapshot.get
+    assert(s2.manifests.startsWith(s1.manifests),
+      s"parent chunks not reused: ${s1.manifests} vs ${s2.manifests}")
+    assert(s2.manifests.size === s1.manifests.size + 1)
+    // the new chunk holds only the new files
+    val newChunk = s2.manifests.last
+    assert(newChunk.entryCount === (t.manifest(s2).size - t.manifest(s1).size))
+    assert(newChunk.recordCount === 10L)
+    // both snapshots still read their own file sets (time travel intact)
+    assert(t.manifest(s1).size < t.manifest(s2).size)
+  }
+
+  test("overwrite rewrites only manifests containing removed paths") {
+    val t = mkTable()
+    engine.insert(t, rows(0 until 10))
+    engine.insert(t, rows(10 until 20))
+    val before = t.metadata.currentSnapshot.get
+    assert(before.manifests.size === 2)
+    // delete rows only in the second chunk's files
+    engine.delete(t, "id >= 15")
+    val after = t.metadata.currentSnapshot.get
+    assert(after.manifests.head === before.manifests.head,
+      "untouched manifest chunk was rewritten")
+    assert(after.manifests.last.path !== before.manifests.last.path)
+    assert(engine.scan(t).toDF().count() === 15)
+  }
+
+  test("manifest list compacts past max-count; reads unchanged") {
+    val t = mkTable(Map("graft.manifest.max-count" -> "4"))
+    (0 until 8).foreach(i => engine.insert(t, rows(i * 10 until i * 10 + 10)))
+    val s = t.metadata.currentSnapshot.get
+    assert(s.manifests.size <= 5, s"list not compacted: ${s.manifests.size} chunks")
+    assert(t.manifest(s).size === t.currentFiles().size)
+    assert(engine.scan(t).toDF().count() === 80)
+    assert(engine.scan(t, "id = 42").toDF().count() === 1)
+  }
+
+  test("expire deletes only manifests unreferenced by surviving snapshots") {
+    val t = mkTable()
+    engine.insert(t, rows(0 until 10))   // s1: [m1]
+    engine.insert(t, rows(10 until 20))  // s2: [m1, m2]
+    engine.insert(t, rows(20 until 30))  // s3: [m1, m2, m3]
+    val all = t.metadata.snapshots.flatMap(_.manifests.map(_.path)).distinct
+    Maintenance.expireSnapshots(t, keepLast = 1)
+    val live = t.metadata.currentSnapshot.get.manifests.map(_.path)
+    // every shared chunk survives (head still references m1..m3)
+    all.foreach(p => assert(
+      Files.exists(Paths.get(t.location, "metadata", p)) === live.contains(p),
+      s"manifest $p liveness wrong"))
+    assert(engine.scan(t).toDF().count() === 30)
+  }
+}
