@@ -89,8 +89,10 @@ class ValidationException(msg: String) extends RuntimeException(msg)
 
 sealed trait CommitOp
 object CommitOp {
-  /** Append files to the branch head. */
-  final case class Append(files: Seq[FileEntry], branch: Option[String] = None) extends CommitOp
+  /** Append files to the branch head. `extraSummary` lands in the
+    * snapshot summary (e.g. the streaming sink's batch-id watermark). */
+  final case class Append(files: Seq[FileEntry], branch: Option[String] = None,
+      extraSummary: Map[String, String] = Map.empty) extends CommitOp
   /** Copy-on-write swap: remove `removePaths`, add `files`. */
   final case class Overwrite(
       files: Seq[FileEntry],
@@ -195,14 +197,15 @@ class LakeTable private (val location: String, @volatile private var meta: Table
   }
 
   private def applyOp(m: TableMetadata, op: CommitOp, t0: Long): (TableMetadata, CommitMetrics) = op match {
-    case CommitOp.Append(files, branch) =>
+    case CommitOp.Append(files, branch, extraSummary) =>
       val head = headOf(m, branch)
       val baseList = head.map(_.manifests).getOrElse(Seq.empty)
       val sid = newSnapshotId(m)
       val list = compactList(m,
         if (files.isEmpty) baseList else baseList :+ newManifest(files, sid), sid)
       val snap = Snapshot(sid, head.map(_.id), System.currentTimeMillis(), "append", list,
-        Map("added-files" -> files.size.toString, "added-records" -> files.map(_.recordCount).sum.toString))
+        Map("added-files" -> files.size.toString,
+          "added-records" -> files.map(_.recordCount).sum.toString) ++ extraSummary)
       (advance(m, snap, branch),
         CommitMetrics(sid, files.size, 0, files.map(_.recordCount).sum, 0, 0))
 
