@@ -58,9 +58,17 @@ object TextAnalysis {
     u(text)
   }
 
-  /** 64-bit full-document fingerprint over normalized text (rolling-hash
-    * equivalent; xxhash64 is codegen'd). */
-  def fingerprint(c: Column): Column =
+  /** 64-bit full-document fingerprint over normalized text — fused
+    * single-pass scan ([[graft.functions.TokenScan.fingerprint]]); value
+    * parity with the expression chain pinned in ExtrasSpec. */
+  def fingerprint(c: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_fingerprint", c)
+  }
+
+  /** Unfused fingerprint formulation (the parity reference). */
+  def fingerprintExpr(c: Column): Column =
     xxhash64(lower(regexp_replace(trim(c), "\\s+", " ")))
 
   /** MinHash signature: k minimums of per-shingle hashes re-seeded per

@@ -96,5 +96,7 @@ object GraftFunctions {
         "graft_ws_tokens", exprs => WsTokenCount(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_bpe_tokens", exprs => BpeTokenCount(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_fingerprint", exprs => Fingerprint(exprs(0)), "scala_udf")
     }
 }

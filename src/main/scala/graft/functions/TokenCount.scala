@@ -41,6 +41,61 @@ object TokenScan {
     cnt
   }
 
+  /** 64-bit document fingerprint — value-identical to the expression
+    * chain `xxhash64(lower(regexp_replace(trim(s), "\\s+", " ")))` (pinned
+    * in ExtrasSpec) without regex or intermediate strings on the ASCII
+    * path: trim spaces, collapse `\s+` runs to one space, lowercase, and
+    * xxhash64 (seed 42) in a single pass over a reused byte buffer.
+    * Non-ASCII text falls back to `UTF8String.toLowerCase` for exact
+    * Unicode-lowercasing parity with the `lower()` expression. */
+  def fingerprint(s: UTF8String): Long = {
+    val n = s.numBytes
+    var lo = 0
+    var hi = n
+    while (lo < hi && s.getByte(lo) == ' ') lo += 1 // trim() strips 0x20 only
+    while (hi > lo && s.getByte(hi - 1) == ' ') hi -= 1
+    var ascii = true
+    var i = lo
+    while (ascii && i < hi) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) {
+      val out = new Array[Byte](hi - lo)
+      var m = 0
+      var inWs = false
+      i = lo
+      while (i < hi) {
+        val b = s.getByte(i)
+        if (isWs(b)) { if (!inWs) { out(m) = ' '; m += 1 }; inWs = true }
+        else {
+          out(m) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+          m += 1
+          inWs = false
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, m, FastHash.Seed)
+    } else {
+      val cs = s.toString
+      var cLo = 0
+      var cHi = cs.length
+      while (cLo < cHi && cs.charAt(cLo) == ' ') cLo += 1
+      while (cHi > cLo && cs.charAt(cHi - 1) == ' ') cHi -= 1
+      val sb = new java.lang.StringBuilder(cHi - cLo)
+      var inWs = false
+      var j = cLo
+      while (j < cHi) {
+        val ch = cs.charAt(j)
+        val ws = ch == ' ' || (ch >= '\t' && ch <= '\r')
+        if (ws) { if (!inWs) sb.append(' '); inWs = true }
+        else { sb.append(ch); inWs = false }
+        j += 1
+      }
+      val lowered = UTF8String.fromString(sb.toString).toLowerCase
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        lowered.getBaseObject, lowered.getBaseOffset, lowered.numBytes, FastHash.Seed)
+    }
+  }
+
   /** Number of BPE-ish pre-tokens — equals
     * `size(regexp_extract_all(s, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))`:
     * one per letter run, one per digit run, one per any other
@@ -98,5 +153,24 @@ case class BpeTokenCount(child: Expression) extends TokenCountExpr {
   override protected def scanMethod: String = "bpeTokens"
   override protected def nullSafeEval(input: Any): Any =
     TokenScan.bpeTokens(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_fingerprint(text)` — fused whitespace-normalized document
+  * fingerprint ([[TokenScan.fingerprint]]). Value-identical to
+  * `xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))` on non-null
+  * input; propagates NULL (the unfused chain hashes NULL to the seed). */
+case class Fingerprint(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_fingerprint"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TokenScan.fingerprint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenScan.fingerprint($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -134,9 +134,12 @@ class ExtrasSpec extends SparkSpec {
       TextAnalysis.tokenCount(col("text")).as("ws_fast"),
       size(TextAnalysis.tokens(col("text"))).as("ws_ref"),
       TextAnalysis.bpeTokenCount(col("text")).as("bpe_fast"),
-      size(TextAnalysis.bpeTokens(col("text"))).as("bpe_ref"))
+      size(TextAnalysis.bpeTokens(col("text"))).as("bpe_ref"),
+      TextAnalysis.fingerprint(col("text")).as("fp_fast"),
+      TextAnalysis.fingerprintExpr(col("text")).as("fp_ref"))
     assert(cmp.filter(col("ws_fast") =!= col("ws_ref") ||
-      col("bpe_fast") =!= col("bpe_ref")).isEmpty)
+      col("bpe_fast") =!= col("bpe_ref") ||
+      col("fp_fast") =!= col("fp_ref")).isEmpty)
   }
 
   test("fingerprint is whitespace-normalization invariant") {
