@@ -127,7 +127,7 @@ class LakeTable private (val location: String, @volatile private var meta: Table
 
   def manifest(s: Snapshot): Seq[FileEntry] = s.manifests.flatMap(readManifest)
 
-  private def readManifest(ref: ManifestRef): Seq[FileEntry] = {
+  def readManifest(ref: ManifestRef): Seq[FileEntry] = {
     val p = Paths.get(location, "metadata", ref.path)
     Json.mapper.readValue(Files.readString(p), classOf[Array[FileEntry]]).toSeq
   }
@@ -181,7 +181,21 @@ class LakeTable private (val location: String, @volatile private var meta: Table
     // unique per attempt: a lost optimistic race must not reuse a name
     val name = s"manifest-$sid-${Random.alphanumeric.take(8).mkString}.json"
     Files.writeString(Paths.get(location, "metadata", name), Json.write(files))
-    ManifestRef(name, files.size.toLong, files.map(_.recordCount).sum)
+    // partition summary for scan-time chunk pruning: only meaningful when
+    // every entry shares a spec; fields exceeding the cardinality cap are
+    // dropped (a near-unique field can't skip chunks anyway)
+    val specIds = files.map(_.specId).distinct
+    val (specId, values) =
+      if (specIds.size != 1) (None, Map.empty[String, Seq[String]])
+      else {
+        val cap = 16
+        val fields = files.head.partition.keySet
+          .filter(k => files.forall(_.partition.contains(k)))
+        (Some(specIds.head), fields.iterator.map { k =>
+          k -> files.map(_.partition(k)).distinct.sorted
+        }.filter(_._2.size <= cap).toMap)
+      }
+    ManifestRef(name, files.size.toLong, files.map(_.recordCount).sum, specId, values)
   }
 
   /** Manifest-list hygiene: once the list exceeds `max-count`, rewrite the

@@ -11,10 +11,9 @@ import com.fasterxml.jackson.databind.annotation.JsonDeserialize
   * entries live in immutable `manifest-*.json` chunks referenced by each
   * snapshot's manifest list. Commits write manifests only for files they
   * add or rewrite and reuse the parent's other chunks, so commit cost is
-  * O(changed), reads are O(current table), and history is free. A next
-  * step at real 100 TB scale: partition-range summaries on ManifestRef
-  * for scan-time manifest pruning — the FileEntry schema already carries
-  * everything needed for that.
+  * O(changed), reads are O(current table), and history is free.
+  * ManifestRef partition-value summaries let partition-filtered scans
+  * skip whole chunks unread, so such scans touch O(matching) metadata.
   */
 final case class PartitionField(
     name: String,         // partition column name in the layout, e.g. "o_orderdate_year"
@@ -44,8 +43,16 @@ final case class FileEntry(
 )
 
 /** One manifest file in a snapshot's manifest list. Counts ride along so
-  * merge policy and record-count probes don't need to open the file. */
-final case class ManifestRef(path: String, entryCount: Long, recordCount: Long)
+  * merge policy and record-count probes don't need to open the file;
+  * `partitionValues` (partition field name -> distinct canonical values,
+  * recorded only when all entries share a spec and a field stays under a
+  * small cardinality cap) lets a partition-filtered scan skip the whole
+  * chunk without reading it. */
+final case class ManifestRef(
+    path: String, entryCount: Long, recordCount: Long,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    specId: Option[Int] = None,
+    partitionValues: Map[String, Seq[String]] = Map.empty)
 
 final case class Snapshot(
     id: Long,

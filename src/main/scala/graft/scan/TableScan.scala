@@ -59,13 +59,31 @@ final class TableScan(
       .sortBy { case (sid, part, _) =>
         (sid, part.toSeq.sortBy(_._1).map(kv => s"${kv._1}=${kv._2}").mkString(",")) }
 
+  /** Manifest-chunk pruning: a chunk whose recorded partition-value set
+    * provably excludes the predicate is skipped WITHOUT reading it — at
+    * large table sizes a partition-filtered scan touches O(matching)
+    * metadata, not O(table). Checked per recorded field via a synthetic
+    * single-field entry; the evaluator treats all missing information
+    * conservatively, so this is an upper bound of every real entry. */
+  private[graft] def manifestMayMatch(m: graft.format.ManifestRef): Boolean =
+    m.specId.isEmpty || m.partitionValues.isEmpty || {
+      m.partitionValues.forall { case (field, vals) =>
+        vals.exists(v => evaluator.mayContain(pred,
+          FileEntry("", Map(field -> v), 1L, 0L,
+            table.metadata.currentSchemaId, Map.empty, m.specId.get)))
+      }
+    }
+
   /** Metadata-only planning: no data read (S1). */
   def planFiles(): Seq[FileEntry] = {
     explicitFiles.foreach(fs => return fs)
     if (!allowFullTableScan && Pred.isTrue(pred))
       throw new FullTableScanException(
         s"full table scan not allowed on ${table.location} (P10 guard)")
-    val all = table.currentFiles(ref)
+    val all = table.snapshot(ref) match {
+      case None => Seq.empty
+      case Some(s) => s.manifests.filter(manifestMayMatch).flatMap(table.readManifest)
+    }
     val matched = all.filter(f => evaluator.mayContain(pred, f))
     sizeLimitMiB.foreach { lim =>
       val mib = matched.map(_.sizeBytes).sum / (1024.0 * 1024.0)

@@ -66,6 +66,28 @@ class ManifestSpec extends SparkSpec {
     assert(engine.scan(t, "id = 42").toDF().count() === 1)
   }
 
+  test("partition-filtered scans skip whole manifest chunks") {
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable(freshName(), orders.schema,
+      partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+    def slice(y: Int) = orders.filter(year(col("o_orderdate")) === y)
+    engine.insert(t, slice(1995))
+    engine.insert(t, slice(1996))
+    val s = t.metadata.currentSnapshot.get
+    assert(s.manifests.size === 2)
+    assert(s.manifests.forall(_.partitionValues.contains("o_year")))
+
+    val scan96 = engine.scan(t,
+      "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'")
+    // chunk-level: the 1995 manifest is excluded without being read
+    val kept = s.manifests.filter(scan96.manifestMayMatch)
+    assert(kept.size === 1 && kept.head.partitionValues("o_year") === Seq("1996"))
+    // results still exact
+    assert(scan96.toDF().count() === slice(1996).count())
+    // an unfiltered scan keeps both chunks
+    assert(s.manifests.count(engine.scan(t).manifestMayMatch) === 2)
+  }
+
   test("expire deletes only manifests unreferenced by surviving snapshots") {
     val t = mkTable()
     engine.insert(t, rows(0 until 10))   // s1: [m1]
