@@ -358,6 +358,25 @@ object CoreQueries {
       doc = "multi distinct aggregation (SURVEY §2.4)"),
 
     // ------------------------------------------------------------------
+    Q("q_approx_distinct",
+      (s, d) => {
+        // HLL++ sketch path for the same shape as q_distinct_agg: one
+        // scan-side partial sketch per group, no Expand, bounded memory —
+        // the 100 TB answer when exactness isn't required
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_suppkey"), 0.02).as("n_supp"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("n_part"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("n_ord"))
+          .orderBy("l_returnflag")
+      },
+      // no oracle: DuckDB's approx_distinct uses a different sketch, so
+      // values differ legitimately; accuracy vs exact pinned in
+      // CoreQueriesSpec (<= 5% relative error per group)
+      oracle = None,
+      doc = "approximate distinct counts via HLL++ (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
     Q("q_topk",
       (s, d) => {
         Tables.orders(s, d)

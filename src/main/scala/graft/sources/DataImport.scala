@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.commands.LakeEngine
+import graft.format.{CommitMetrics, LakeTable}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.reflect.runtime.universe.TypeTag
+
+/** Data-import surface (SURVEY §2.1 S10 — reference
+  * common/DataImportUtil.java:63-500): external row shapes in, schema-
+  * conformed DataFrames or lake-table commits out. The reference walks
+  * ResultSets/Maps/POJOs into parquet or DuckDB tables row by row; the
+  * Spark realization is `createDataFrame` / the file readers plus the
+  * same cast-and-null-fill projection every write path uses (P9), so
+  * imported data lands distributed and already schema-valid.
+  */
+object DataImport {
+
+  /** Rows in list-of-maps shape (reference writeMapsToParquetFile):
+    * missing keys -> typed NULL, extra keys rejected, values cast. */
+  def fromMaps(spark: SparkSession, maps: Seq[Map[String, Any]], schema: StructType): DataFrame = {
+    val names = schema.fieldNames.toSet
+    maps.iterator.flatMap(_.keys).find(!names.contains(_)).foreach(k =>
+      throw new IllegalArgumentException(s"import key '$k' not in target schema"))
+    val rows = maps.map(m => Row.fromSeq(schema.fields.toSeq.map(f => m.get(f.name).orNull)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, math.min(maps.size, 8))), schema)
+  }
+
+  /** Typed products (reference writeDataToParquetFile's POJO path). */
+  def fromProducts[T <: Product : TypeTag](spark: SparkSession, data: Seq[T]): DataFrame =
+    spark.createDataFrame(data)
+
+  /** CSV with the target schema enforced at parse time (no inference
+    * pass; malformed rows fail fast like the reference's strict mode). */
+  def fromCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** JSON lines with the target schema enforced at parse time. */
+  def fromJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** Conform `df` to `target`: missing columns -> typed NULL, extra
+    * columns rejected, every column cast to the target type (P9). */
+  def conform(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    have.diff(target.fieldNames.toSet).headOption.foreach(c =>
+      throw new IllegalArgumentException(s"import column '$c' not in target schema"))
+    df.select(target.fields.toSeq.map { f =>
+      (if (have.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Import into a lake table: conform then transactional insert. */
+  def intoTable(engine: LakeEngine, table: LakeTable, df: DataFrame): CommitMetrics =
+    engine.insert(table, conform(df, table.schema))
+}

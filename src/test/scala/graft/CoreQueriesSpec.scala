@@ -17,6 +17,19 @@ class CoreQueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("approx distinct counts stay within 5% of exact per group") {
+    val approx = Registry.byName("q_approx_distinct").run(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = Registry.byName("q_distinct_agg").run(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, es) =>
+      approx(flag).zip(es).foreach { case (a, e) =>
+        assert(math.abs(a - e).toDouble / e <= 0.05, s"group $flag: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("q1 groups are the 6 returnflag/linestatus combos") {
     val rows = Registry.byName("q1_pricing_summary").run(spark, sf).collect()
     assert(rows.length === 6)

@@ -1,0 +1,56 @@
+package graft
+
+import graft.commands.LakeEngine
+import graft.format.LakeCatalog
+import graft.sources.DataImport
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class DataImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse = Files.createTempDirectory("graft-iwh-").toString
+  private lazy val engine = new LakeEngine(spark, new LakeCatalog(warehouse))
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  test("maps import: missing keys null-fill, unknown keys rejected") {
+    val df = DataImport.fromMaps(spark, Seq(
+      Map("id" -> 1L, "name" -> "a", "score" -> 0.5),
+      Map("id" -> 2L, "name" -> "b")), schema)
+    assert(df.schema === schema)
+    assert(df.filter(col("score").isNull).select("id").as[Long].collect().toSeq === Seq(2L))
+    intercept[IllegalArgumentException] {
+      DataImport.fromMaps(spark, Seq(Map("nope" -> 1)), schema)
+    }
+  }
+
+  test("csv and json imports parse with the target schema, fail fast on garbage") {
+    val dir = Files.createTempDirectory("graft-imp-")
+    Files.writeString(dir.resolve("data.csv"), "id,name,score\n1,a,0.5\n2,b,\n")
+    Files.writeString(dir.resolve("data.json"),
+      """{"id":1,"name":"a","score":0.5}""" + "\n" + """{"id":2,"name":"b"}""" + "\n")
+    val csv = DataImport.fromCsv(spark, dir.resolve("data.csv").toString, schema)
+    val json = DataImport.fromJson(spark, dir.resolve("data.json").toString, schema)
+    assert(csv.count() === 2 && json.count() === 2)
+    assert(csv.schema === schema && json.schema === schema)
+    assert(csv.except(json).isEmpty && json.except(csv).isEmpty)
+  }
+
+  test("conform + intoTable: reordered/partial sources land schema-valid") {
+    val t = engine.catalog.createTable(s"i_${java.util.UUID.randomUUID().toString.take(8)}", schema)
+    // reordered columns, int instead of long, missing score
+    val src = Seq((("x", 10)), (("y", 11))).toDF("name", "id")
+    DataImport.intoTable(engine, t, src)
+    val back = engine.scan(t).toDF()
+    assert(back.schema === schema)
+    assert(back.select("id").as[Long].collect().sorted.toSeq === Seq(10L, 11L))
+    assert(back.filter(col("score").isNull).count() === 2)
+    intercept[IllegalArgumentException] {
+      DataImport.intoTable(engine, t, Seq((1L, "z")).toDF("id", "extra_col"))
+    }
+  }
+}
