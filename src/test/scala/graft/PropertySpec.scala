@@ -138,6 +138,39 @@ class PropertySpec extends SparkSpec {
     assert(engine.scan(statsTable, "d > 1e308").toDF().count() === 2)
   }
 
+  test("manifest-list state tracks a row-set model under random DML sequences") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val t = engine.catalog.createTable("prop_manifests",
+      Seq((0L, 0L)).toDF("id", "grp").schema,
+      properties = Map("graft.manifest.max-count" -> "3")) // force compaction
+    var model = Map.empty[Long, Long] // id -> grp
+    var nextId = 0L
+    (1 to 12).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 | 1 => // append a fresh batch
+          val batch = (0 until 20).map { _ => val id = nextId; nextId += 1; (id, rnd.nextInt(5).toLong) }
+          engine.insert(t, batch.toDF("id", "grp"))
+          model ++= batch.toMap
+        case 2 if model.nonEmpty => // delete one group
+          val g = rnd.nextInt(5).toLong
+          engine.delete(t, s"grp = $g")
+          model = model.filterNot(_._2 == g)
+        case _ => ()
+      }
+      val got = engine.scan(t).toDF().as[(Long, Long)].collect().toMap
+      assert(got === model, s"state diverged at step $step")
+      // every snapshot's manifest refs resolve and counts agree
+      t.metadata.snapshots.foreach { s =>
+        assert(s.manifests.map(_.entryCount).sum === t.manifest(s).size)
+        assert(s.manifests.map(_.recordCount).sum === t.manifest(s).map(_.recordCount).sum)
+      }
+    }
+    // history intact: time travel to the first snapshot still reads
+    val first = t.metadata.snapshots.minBy(_.id)
+    assert(t.manifest(first).nonEmpty || first.operation == "delete")
+  }
+
   test("SCD1 snapshot merge is idempotent") {
     val customer = Tables.customer(spark, sf)
     val t = engine.catalog.createTable("prop_scd1", customer.schema)
