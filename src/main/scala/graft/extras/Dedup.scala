@@ -44,9 +44,9 @@ object Dedup {
     val rows = numHashes / bands
     val base = df.select(
         col(idCol).as("id"),
-        TextAnalysis.distinctShingles(col(textCol), shingleSize).as("sh"))
+        TextAnalysis.shinglesWithMinhash(col(textCol), shingleSize, numHashes).as("smh"))
+      .select(col("id"), col("smh._1").as("sh"), col("smh._2").as("sig"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", TextAnalysis.minhashSignature(col("sh"), numHashes))
       .withColumn("bands", TextAnalysis.bandHashes(col("sig"), bands, rows))
       // materialize signatures once: they feed the bucket self-join AND the
       // verification joins, and re-deriving the hash tree through each join

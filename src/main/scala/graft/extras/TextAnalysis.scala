@@ -91,6 +91,16 @@ object TextAnalysis {
     u(text)
   }
 
+  /** Fused text -> (shingles, minhash signature) struct — one JVM pass
+    * for consumers that need both (see [[graft.extras.Dedup.minhashPairs]]);
+    * componentwise identical to distinctShingles + minhashSignature. */
+  private val shMhUdfs = scala.collection.concurrent.TrieMap.empty[(Int, Int), org.apache.spark.sql.expressions.UserDefinedFunction]
+  def shinglesWithMinhash(text: Column, n: Int, k: Int): Column = {
+    val u = shMhUdfs.getOrElseUpdate((n, k),
+      udf((s: String) => graft.functions.FastHash.shinglesWithMinhash(s, n, k)))
+    u(text)
+  }
+
   /** Fused text -> simhash64 (skips the token-array UDF boundary). */
   private val simhashTextUdf =
     udf((s: String) => graft.functions.FastHash.simhashFromText(s))
