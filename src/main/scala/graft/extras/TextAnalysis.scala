@@ -82,13 +82,13 @@ object TextAnalysis {
     u(sh)
   }
 
-  /** Fused text -> minhash signature (skips the shingle-array UDF
-    * boundary; bit-identical to minhashSignature(distinctShingles(..))). */
-  private val minhashTextUdfs = scala.collection.concurrent.TrieMap.empty[(Int, Int), org.apache.spark.sql.expressions.UserDefinedFunction]
+  /** Fused text -> minhash signature as a codegen byte-scan expression
+    * ([[graft.functions.MinhashScan]]) — bit-identical to
+    * minhashSignature(distinctShingles(..)), pinned in ExtrasSpec. */
   def minhashFromText(text: Column, n: Int, k: Int): Column = {
-    val u = minhashTextUdfs.getOrElseUpdate((n, k),
-      udf((s: String) => graft.functions.FastHash.minhashFromText(s, n, k)))
-    u(text)
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_minhash", text, lit(n), lit(k))
   }
 
   /** Fused text -> (shingles, minhash signature) struct — one JVM pass

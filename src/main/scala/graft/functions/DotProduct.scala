@@ -98,5 +98,9 @@ object GraftFunctions {
         "graft_bpe_tokens", exprs => BpeTokenCount(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_fingerprint", exprs => Fingerprint(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_minhash", exprs => MinhashFromText(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
     }
 }

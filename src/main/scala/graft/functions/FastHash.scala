@@ -79,31 +79,6 @@ object FastHash {
     sig
   }
 
-  /** Fused tokenize -> shingle -> minhash straight from raw text: output
-    * identical to minhashSignature(distinctShingles(text, n), k) — min is
-    * idempotent, so duplicate shingles need no dedup set — without
-    * materializing a shingle array across the codegen/UDF boundary. */
-  def minhashFromText(text: String, n: Int, k: Int): Array[Long] = {
-    val sig = Array.fill(k)(Long.MaxValue)
-    if (text == null) return sig
-    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-    var i = 0
-    while (i + n <= toks.length) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-      val h0 = hashString(sb.toString)
-      var r = 0
-      while (r < k) {
-        val h = hashIntLong(r, h0)
-        if (h < sig(r)) sig(r) = h
-        r += 1
-      }
-      i += 1
-    }
-    sig
-  }
-
   /** Fused tokenize -> simhash64 from raw text (same tokenization as
     * TextAnalysis.tokens: trim, whitespace split, empties dropped). */
   def simhashFromText(text: String): Long = {

@@ -126,6 +126,94 @@ object TokenScan {
   }
 }
 
+object MinhashScan {
+  /** MinHash signature straight off the UTF-8 bytes — value-identical to
+    * [[FastHash.minhashFromText]] (pinned in ExtrasSpec) with zero String
+    * or shingle allocation: token boundaries are ASCII-whitespace byte
+    * runs (multi-byte code points contain no ASCII bytes, so byte-level
+    * boundaries equal the regex split's), and each n-token window is
+    * copied once into a reused buffer with single-space joints — the
+    * exact bytes of the shingle string the unfused path hashes. */
+  def minhashFromText(s: UTF8String, n: Int, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (s == null) return new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+    val bytes = s.getBytes // one copy of the document
+    // java.lang.String.trim parity: strip ALL bytes <= 0x20 at the ends
+    // (the unfused path trims before splitting)
+    var lo = 0
+    var nb = bytes.length
+    while (lo < nb && bytes(lo) >= 0 && bytes(lo) <= 0x20.toByte) lo += 1
+    while (nb > lo && bytes(nb - 1) >= 0 && bytes(nb - 1) <= 0x20.toByte) nb -= 1
+    // token byte ranges (starts/ends), ASCII-ws delimited
+    var nt = 0
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var i = lo
+    while (i < nb) {
+      val b = bytes(i)
+      val ws = b == 0x20.toByte || (b >= 0x09.toByte && b <= 0x0D.toByte)
+      if (!ws) {
+        val st = i
+        while (i < nb && {
+          val c = bytes(i); !(c == 0x20.toByte || (c >= 0x09.toByte && c <= 0x0D.toByte))
+        }) i += 1
+        if (nt == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nt * 2)
+          ends = java.util.Arrays.copyOf(ends, nt * 2)
+        }
+        starts(nt) = st; ends(nt) = i; nt += 1
+      } else i += 1
+    }
+    var buf = new Array[Byte](64)
+    var w = 0
+    while (w + n <= nt) {
+      var len = n - 1 // the joining spaces
+      var j = 0
+      while (j < n) { len += ends(w + j) - starts(w + j); j += 1 }
+      if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
+      var m = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(m) = ' '; m += 1 }
+        val tl = ends(w + j) - starts(w + j)
+        System.arraycopy(bytes, starts(w + j), buf, m, tl)
+        m += tl
+        j += 1
+      }
+      val h0 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, FastHash.Seed)
+      var r = 0
+      while (r < k) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+          h0, org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(r, FastHash.Seed))
+        if (h < sig(r)) sig(r) = h
+        r += 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+}
+
+/** `graft_minhash(text, n, k)` — fused text -> minhash signature as a
+  * codegen expression ([[MinhashScan.minhashFromText]]). */
+case class MinhashFromText(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_minhash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 && k > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(s"$prettyName needs n > 0, k > 0")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashScan.minhashFromText(input.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinhashScan.minhashFromText($c, $n, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 sealed abstract class TokenCountExpr extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
