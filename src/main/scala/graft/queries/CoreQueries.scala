@@ -510,6 +510,46 @@ object CoreQueries {
       doc = "tumbling-window-shaped batch agg over the stream fixture (SURVEY §2.7)"),
 
     // ------------------------------------------------------------------
+    Q("q_json_extract",
+      (s, d) => {
+        val k = get_json_object(col("props"), "$.k").cast(IntegerType)
+        Tables.events(s, d)
+          .select(col("event_type"), k.as("k"))
+          .groupBy("event_type")
+          .agg(sum("k").as("sum_k"), max("k").as("max_k"), count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type,
+          CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+          max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+          count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      doc = "JSON scalar extraction from a string column (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_pivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables.events(s, d)
+          .withColumn("ub", col("user_id") % 10)
+          .groupBy("ub").pivot("event_type", types).count()
+          // pivot-count leaves absent combos NULL; the oracle's FILTER
+          // counts give 0 — align
+          .select(col("ub") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("ub")
+      },
+      oracle = Some("""
+        SELECT user_id % 10 AS ub,
+          count(*) FILTER (event_type = 'click') AS click,
+          count(*) FILTER (event_type = 'error') AS error,
+          count(*) FILTER (event_type = 'purchase') AS purchase,
+          count(*) FILTER (event_type = 'signup') AS signup,
+          count(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY 1 ORDER BY ub"""),
+      doc = "pivot / conditional aggregation (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
     Q("q_array_fns",
       (s, d) => {
         Tables.embeddings(s, d)
