@@ -550,6 +550,40 @@ object CoreQueries {
       doc = "pivot / conditional aggregation (SURVEY §2.5)"),
 
     // ------------------------------------------------------------------
+    Q("q_explode",
+      (s, d) => {
+        Tables.embeddings(s, d).filter(col("vec_id") < 2)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("vec_id"), col("pos"),
+            round(col("v").cast(DoubleType), 6).cast(DoubleType).as("val"))
+          .orderBy("vec_id", "pos")
+      },
+      oracle = Some("""
+        SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) AS DOUBLE) AS val
+        FROM embeddings WHERE vec_id < 2 ORDER BY vec_id, pos"""),
+      doc = "array explode with ordinality / LATERAL VIEW shape (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_window_leadlag",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+            lag("event_type", 1).over(w).as("prev_type"),
+            lead("event_type", 1).over(w).as("next_type"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id,
+          lag(event_type) OVER w AS prev_type,
+          lead(event_type) OVER w AS next_type,
+          CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id"""),
+      doc = "lead/lag/ntile window navigation (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
     Q("q_array_fns",
       (s, d) => {
         Tables.embeddings(s, d)
