@@ -4,7 +4,9 @@ import graft.format._
 import graft.scan.TableScan
 import graft.write.LakeWriter
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Table maintenance: small-file compaction and snapshot expiry — the
   * standard lakehouse upkeep pair (net-new vs the reference, which leaves
@@ -27,6 +29,61 @@ object Maintenance {
     val rows = new TableScan(engine.spark, table, explicitFiles = Some(small)).toDF()
     val rewritten = LakeWriter.write(engine.spark, table, rows)
     table.commit(CommitOp.Overwrite(rewritten, small.map(_.path).toSet,
+      fromSnapshotId = fromSnapshot))
+  }
+
+  /** Z-order re-clustering: rewrite the table ordered by the interleaved
+    * bits of each row's per-column quantization, so file min/max ranges
+    * are tight in EVERY clustered column and stats pruning works for
+    * predicates on any of them (a linear sort only prunes its leading
+    * column). The multi-dimensional answer for 100 TB point/range lookups
+    * on secondary columns.
+    *
+    * Quantization is value-based (min/max normalized to `bits` bits, one
+    * bounded agg to find the ranges — no global rank); columns must be
+    * numeric or date. NULLs quantize to bucket 0. */
+  def zorderRewrite(
+      engine: LakeEngine, table: LakeTable, cols: Seq[String],
+      bits: Int = 8): CommitMetrics = {
+    require(cols.size >= 2, "z-order needs at least two columns")
+    require(cols.size * bits <= 63, s"${cols.size} cols x $bits bits exceeds a long")
+    require(table.metadata.sortOrder.isEmpty,
+      "z-order conflicts with the table's declared sort order")
+    val schema = table.schema
+    cols.foreach { c =>
+      val dt = schema(c).dataType
+      require(dt.isInstanceOf[NumericType] || dt == DateType,
+        s"z-order column $c must be numeric or date, got ${dt.sql}")
+    }
+    val fromSnapshot = table.metadata.currentSnapshotId
+    val files = table.currentFiles()
+    if (files.isEmpty)
+      return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
+    val df = new TableScan(engine.spark, table, explicitFiles = Some(files)).toDF()
+
+    val asKey: Map[String, Column] = cols.map(c => c -> col(c).cast(DoubleType)).toMap
+    val aggs = cols.flatMap(c => Seq(min(asKey(c)).as(s"mn_$c"), max(asKey(c)).as(s"mx_$c")))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    val top = (1L << bits) - 1
+    val buckets = cols.map { c =>
+      val mn = Option(mm.getAs[java.lang.Double](s"mn_$c")).map(_.toDouble).getOrElse(0.0)
+      val mx = Option(mm.getAs[java.lang.Double](s"mx_$c")).map(_.toDouble).getOrElse(0.0)
+      val scaled =
+        if (mx > mn) floor((asKey(c) - lit(mn)) / lit(mx - mn) * lit(top.toDouble))
+        else lit(0L)
+      coalesce(scaled.cast(LongType), lit(0L))
+    }
+    // interleave: bit i of column j lands at position i * ncols + j
+    val z = (0 until bits).flatMap(i => buckets.zipWithIndex.map { case (b, j) =>
+      shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * cols.size + j)
+    }).reduce(_.bitwiseOR(_))
+
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val rewritten = LakeWriter.write(engine.spark, table, clustered)
+    table.commit(CommitOp.Overwrite(rewritten, files.map(_.path).toSet,
       fromSnapshotId = fromSnapshot))
   }
 

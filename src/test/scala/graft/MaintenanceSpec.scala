@@ -25,6 +25,35 @@ class MaintenanceSpec extends SparkSpec {
     assert(got.except(orders).isEmpty && orders.except(got).isEmpty)
   }
 
+  test("z-order rewrite makes stats pruning work on every clustered column") {
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable("zorder_t", orders.schema,
+      properties = Map("write.max-records-per-file" -> "100"))
+    engine.insert(t, orders)
+    val total = t.currentFiles().size
+    assert(total >= 8, s"need a multi-file table, got $total")
+
+    Maintenance.zorderRewrite(engine, t, Seq("o_orderkey", "o_custkey"))
+    val after = t.currentFiles().size
+    assert(after >= 8, s"z-order should keep a multi-file layout, got $after")
+
+    // point-range predicates on EACH clustered column skip most files
+    val keys = orders.agg(max(col("o_orderkey")), max(col("o_custkey"))).head()
+    val (maxOrder, maxCust) = (keys.getLong(0), keys.getLong(1))
+    val byOrder = engine.scan(t, s"o_orderkey <= ${maxOrder / 8}").planFiles().size
+    val byCust = engine.scan(t, s"o_custkey <= ${maxCust / 8}").planFiles().size
+    assert(byOrder <= after / 2, s"o_orderkey pruning weak: $byOrder of $after")
+    assert(byCust <= after / 2, s"o_custkey pruning weak: $byCust of $after")
+
+    // data intact
+    val got = engine.scan(t).toDF()
+    assert(got.count() === orders.count())
+    assert(got.except(orders).isEmpty && orders.except(got).isEmpty)
+    // and the filtered read is exact
+    assert(engine.scan(t, s"o_custkey <= ${maxCust / 8}").toDF().count() ===
+      orders.filter(col("o_custkey") <= maxCust / 8).count())
+  }
+
   test("snapshot expiry trims history and deletes orphaned files, keeps refs") {
     val orders = Tables.orders(spark, sf)
     val t = engine.catalog.createTable("expire_t", orders.schema)
