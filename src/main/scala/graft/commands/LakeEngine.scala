@@ -135,6 +135,18 @@ final class LakeEngine(
         .select(table.schema.fieldNames.map(col).toSeq: _*)
     }
 
+  /** Incremental append read: rows committed after `fromSnapshotId`
+    * (exclusive), up to `toSnapshotId` or the current head — the CDC-style
+    * consumption surface for downstream pipelines. Errors if the range
+    * crosses a non-append snapshot (see [[LakeTable.appendedFiles]]). */
+  def readIncremental(table: LakeTable, fromSnapshotId: Option[Long],
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    val to = toSnapshotId.orElse(table.metadata.currentSnapshotId)
+      .getOrElse(throw new ValidationException("table has no snapshots"))
+    val files = table.appendedFiles(fromSnapshotId, to)
+    new TableScan(spark, table, explicitFiles = Some(files)).toDF()
+  }
+
   // ------------------------------------------------------------- D5–D8
   // Reference-API-shaped merge entry points (SwiftLakeEngine's
   // applySnapshotAsSCD1 / applyChangesAsSCD1 / ...AsSCD2 builders —

@@ -32,6 +32,41 @@ object Maintenance {
       fromSnapshotId = fromSnapshot))
   }
 
+  /** Delete files in the table's directories that no snapshot references:
+    * data files and manifests stranded by commit retries that lost the
+    * optimistic race, or by crashed writers. `graceMs` protects in-flight
+    * writes — only files older than it are touched (pass 0 in tests).
+    * Returns the deleted paths. */
+  def removeOrphanFiles(table: LakeTable, graceMs: Long = 3 * 60 * 60 * 1000L): Seq[String] = {
+    val m = table.refresh().metadata
+    val cutoff = System.currentTimeMillis() - graceMs
+    val liveData = m.snapshots.flatMap(s => table.manifest(s).map(_.path))
+      .map(p => Paths.get(p).toAbsolutePath.normalize.toString).toSet
+    val liveMeta = m.snapshots.flatMap(_.manifests.map(_.path)).toSet
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    // data dir: anything parquet-ish not referenced by any snapshot
+    val dataDir = table.dataDir
+    if (Files.isDirectory(dataDir)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dataDir).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .filter(p => !liveData.contains(p.toAbsolutePath.normalize.toString))
+        .foreach { p => Files.deleteIfExists(p); deleted += p.toString }
+    }
+    // metadata dir: unreferenced manifest chunks + stranded commit temps
+    val metaDir = Paths.get(table.location, "metadata")
+    import scala.jdk.CollectionConverters._
+    Files.list(metaDir).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith("manifest-") && !liveMeta.contains(n)) || n.startsWith(".tmp-")
+      }
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .foreach { p => Files.deleteIfExists(p); deleted += p.toString }
+    deleted.toSeq
+  }
+
   /** Z-order re-clustering: rewrite the table ordered by the interleaved
     * bits of each row's per-column quantization, so file min/max ranges
     * are tight in EVERY clustered column and stats pruning works for

@@ -135,6 +135,37 @@ class LakeTable private (val location: String, @volatile private var meta: Table
   def currentFiles(ref: TableRef = TableRef.Head): Seq[FileEntry] =
     snapshot(ref).map(manifest).getOrElse(Seq.empty)
 
+  /** Incremental append scan (Iceberg appendsBetween shape): files added
+    * after `fromSnapshotId` (exclusive) up to `toSnapshotId` (inclusive).
+    * Every snapshot in range must be an append — an overwrite/delete in
+    * range has no pure files-added representation, so it errors rather
+    * than silently over- or under-reporting. Manifest chunks shared with
+    * `from` are skipped UNREAD (incremental commits reuse them), so the
+    * metadata cost is O(changed), not O(table). */
+  def appendedFiles(fromSnapshotId: Option[Long], toSnapshotId: Long): Seq[FileEntry] = {
+    val to = meta.snapshotById(toSnapshotId).getOrElse(
+      throw new ValidationException(s"no snapshot $toSnapshotId"))
+    val from = fromSnapshotId.map(id => meta.snapshotById(id).getOrElse(
+      throw new ValidationException(s"no snapshot $id")))
+    // walk to -> from, validating the chain is append-only and connected
+    var cur: Option[Snapshot] = Some(to)
+    while (cur.exists(s => !fromSnapshotId.contains(s.id))) {
+      val s = cur.get
+      if (s.operation != "append")
+        throw new ValidationException(
+          s"incremental read crosses non-append snapshot ${s.id} (${s.operation})")
+      cur = s.parentId.flatMap(meta.snapshotById)
+      if (cur.isEmpty && fromSnapshotId.isDefined)
+        throw new ValidationException(
+          s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId")
+    }
+    val fromChunks = from.map(_.manifests.map(_.path).toSet).getOrElse(Set.empty)
+    val fromPaths = from.map(s => manifest(s).map(_.path).toSet).getOrElse(Set.empty)
+    to.manifests.filterNot(m => fromChunks.contains(m.path))
+      .flatMap(readManifest)
+      .filterNot(f => fromPaths.contains(f.path))
+  }
+
   // -------------------------------------------------------------------
   // Commit protocol (optimistic with retries)
   // -------------------------------------------------------------------

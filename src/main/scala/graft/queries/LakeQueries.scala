@@ -297,6 +297,23 @@ object LakeQueries {
       doc = "S2 time travel: tag/snapshot reads"),
 
     // ------------------------------------------------------------------
+    Q("lake_incremental_read",
+      (s, d) => {
+        val (e, _) = freshEngine(s, "incr")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders", orders.schema)
+        e.insert(t, orders.filter(year(col("o_orderdate")) < 1996))
+        val snap1 = t.metadata.currentSnapshotId.get
+        e.insert(t, orders.filter(year(col("o_orderdate")) === 1996))
+        e.insert(t, orders.filter(year(col("o_orderdate")) > 1996))
+        // rows committed after snap1, across two append snapshots
+        e.readIncremental(t, Some(snap1)).orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT * FROM orders WHERE year(o_orderdate) >= 1996 ORDER BY o_orderkey"""),
+      doc = "incremental append read between snapshots (CDC consumption)"),
+
+    // ------------------------------------------------------------------
     Q("lake_spec_evolution",
       (s, d) => {
         val (e, _) = freshEngine(s, "spev")

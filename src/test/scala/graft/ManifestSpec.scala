@@ -88,6 +88,53 @@ class ManifestSpec extends SparkSpec {
     assert(s.manifests.count(engine.scan(t).manifestMayMatch) === 2)
   }
 
+  test("incremental read: later batches only; non-append range errors") {
+    val t = mkTable()
+    engine.insert(t, rows(0 until 10))
+    val snap1 = t.metadata.currentSnapshotId.get
+    engine.insert(t, rows(10 until 20))
+    engine.insert(t, rows(20 until 30))
+    val inc = engine.readIncremental(t, Some(snap1))
+    assert(inc.select("id").as[Long].collect().sorted.toSeq === (10L until 30L))
+    // full-history read (from = None)
+    assert(engine.readIncremental(t, None).count() === 30)
+    // shared chunks are skipped unread: appendedFiles is O(changed)
+    val head = t.metadata.currentSnapshotId.get
+    assert(t.appendedFiles(Some(snap1), head).size ===
+      t.currentFiles().size - t.manifest(t.metadata.snapshotById(snap1).get).size)
+    // a delete in range has no append-only representation
+    engine.delete(t, "id < 5")
+    intercept[graft.format.ValidationException] {
+      engine.readIncremental(t, Some(snap1))
+    }
+  }
+
+  test("orphan cleanup deletes stranded files, keeps everything referenced") {
+    val t = mkTable()
+    engine.insert(t, rows(0 until 10))
+    engine.insert(t, rows(10 until 20))
+    // strand fakes: an unreferenced data file, manifest, and commit temp
+    val strandedData = t.dataDir.resolve("stage-dead").resolve("part-dead.parquet")
+    Files.createDirectories(strandedData.getParent)
+    Files.writeString(strandedData, "not really parquet")
+    val strandedManifest = Paths.get(t.location, "metadata", "manifest-99-deadbeef.json")
+    Files.writeString(strandedManifest, "[]")
+    val strandedTmp = Paths.get(t.location, "metadata", ".tmp-deadbeef.json")
+    Files.writeString(strandedTmp, "{}")
+
+    val deleted = Maintenance.removeOrphanFiles(t, graceMs = 0)
+    assert(!Files.exists(strandedData) && !Files.exists(strandedManifest) &&
+      !Files.exists(strandedTmp))
+    // the fakes go, plus write-side artifacts (_SUCCESS, .crc) — but never
+    // a referenced parquet data file
+    assert(deleted.exists(_.endsWith("part-dead.parquet")))
+    val liveData = t.currentFiles().map(_.path).toSet
+    assert(deleted.forall(p => !liveData.contains(p)))
+    // live table unaffected, history intact
+    assert(engine.scan(t).toDF().count() === 20)
+    t.metadata.snapshots.foreach(s => assert(t.manifest(s).nonEmpty))
+  }
+
   test("expire deletes only manifests unreferenced by surviving snapshots") {
     val t = mkTable()
     engine.insert(t, rows(0 until 10))   // s1: [m1]
