@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.format.LakeTable
+import graft.scan.TableScan
+import org.apache.spark.sql.{DataFrame, GraftSqlShims, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Lake tables as a Structured Streaming SOURCE — the mirror of
+  * [[LakeStreamSink]], closing the table-to-table incremental pipeline
+  * (net-new vs the reference, which has no streaming surface).
+  *
+  * Offsets are snapshot ids: a micro-batch reads exactly the files
+  * appended between two snapshots ([[LakeTable.appendedFiles]] — shared
+  * manifest chunks are skipped unread, so per-batch planning cost is
+  * O(new files)). Restart resumes from the checkpointed snapshot id with
+  * no duplicates and no gaps; paired with the sink's batch-id markers the
+  * whole pipeline is exactly-once. Append-only tables: a compaction or
+  * delete inside an unread range fails the stream rather than replaying
+  * rewritten rows.
+  *
+  * Usage: `spark.readStream.format("graft-lake").option("path", loc).load()`.
+  */
+class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-lake"
+
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), LakeTable.load(path(parameters)).schema)
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): Source =
+    new LakeStreamSource(sqlContext.sparkSession, path(parameters))
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake source requires option 'path'"))
+}
+
+class LakeStreamSource(spark: SparkSession, location: String) extends Source {
+  private val table = LakeTable.load(location)
+
+  override def schema: StructType = table.schema
+
+  override def getOffset: Option[Offset] =
+    table.refresh().metadata.currentSnapshotId.map(LongOffset.apply)
+
+  private def snapId(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // checkpointed offsets arrive serialized
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val files = table.refresh().appendedFiles(start.map(snapId), snapId(end))
+    val batch = new TableScan(spark, table, explicitFiles = Some(files)).toDF()
+    GraftSqlShims.asStreamingDataFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+}

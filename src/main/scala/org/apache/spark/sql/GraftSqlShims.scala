@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+/** Streaming-source shim. A v1 `Source.getBatch` must return a DataFrame
+  * flagged `isStreaming = true` (MicroBatchExecution asserts it), and the
+  * only way to produce one from an arbitrary logical plan is
+  * `SparkSession.internalCreateDataFrame`, which is `private[sql]` — so
+  * this one-method object lives in the org.apache.spark.sql package, the
+  * same approach established connectors use for their v1 sources. */
+object GraftSqlShims {
+  def asStreamingDataFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cs.internalCreateDataFrame(cdf.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+}

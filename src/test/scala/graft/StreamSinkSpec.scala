@@ -37,6 +37,36 @@ class StreamSinkSpec extends SparkSpec {
     assert(LakeStreamSink.lastCommittedBatch(t, "q1") === Some(1L))
   }
 
+  test("lake-to-lake pipeline: snapshot-id offsets, exactly-once across restarts") {
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val src = engine.catalog.createTable(freshName(), df0.schema)
+    val dst = engine.catalog.createTable(freshName(), df0.schema)
+    engine.insert(src, df0)
+    val checkpoint = Files.createTempDirectory("graft-pipe-ckpt-").toString
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.format("graft-lake")
+        .option("path", src.location).load()
+      LakeStreamSink.start(stream, engine, dst, "pipe", checkpoint).awaitTermination()
+    }
+    runOnce()
+    assert(engine.scan(dst).toDF().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+
+    // more commits land on the source; a restarted stream picks up ONLY them
+    engine.insert(src, Seq((3L, "c")).toDF("id", "v"))
+    engine.insert(src, Seq((4L, "d")).toDF("id", "v"))
+    runOnce()
+    assert(engine.scan(dst).toDF().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // idle restart: no new source snapshots -> no new dest commits
+    val snaps = dst.refresh().metadata.snapshots.size
+    runOnce()
+    assert(dst.refresh().metadata.snapshots.size === snaps)
+    assert(engine.scan(dst).toDF().count() === 4)
+  }
+
   test("stream -> lake sink lands rows once; checkpoint restart adds nothing") {
     // stable source dir: a restart must see the SAME file set, otherwise
     // the file source reports a genuinely new batch (not a replay)
