@@ -21,7 +21,11 @@ class PropertySpec extends SparkSpec {
         PartitionField("o_year", "o_orderdate", "year"),
         PartitionField("o_stat", "o_orderstatus", "identity")),
       sortOrder = Seq(SortField("o_totalprice")))
-    engine.insert(t, orders)
+    // three commits -> three manifest chunks, so the randomized predicates
+    // below also fuzz manifest-level chunk pruning (TableScan.manifestMayMatch)
+    engine.insert(t, orders.filter(year(col("o_orderdate")) <= 1994))
+    engine.insert(t, orders.filter(year(col("o_orderdate")).between(1995, 1996)))
+    engine.insert(t, orders.filter(year(col("o_orderdate")) >= 1997))
     t
   }
 
