@@ -17,9 +17,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   SELECT * FROM lake.`orders$snapshot_3`
   *   SELECT * FROM lake.`orders$timestamp_1722470400000`
   *   SELECT * FROM lake.`orders$branch_dev` / lake.`orders$tag_v1`
+  *   SELECT * FROM lake.`orders$snapshots` / `orders$files` / `orders$history`
   *
   * resolve to pruning [[TableScan]] plans, time travel included
-  * (reference suffix grammar: SqlQueryProcessor.java:371-402).
+  * (reference suffix grammar: SqlQueryProcessor.java:371-402), plus
+  * Iceberg-style metadata introspection relations.
   */
 class LakeSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -35,13 +37,43 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
       resolve(u.multipartIdentifier(1)).getOrElse(u)
   }
 
+  private val MetaKinds = Set("snapshots", "files", "history")
+
   private def resolve(spec: String): Option[LogicalPlan] = {
     val warehouse = spark.conf.getOption("spark.graft.warehouse").getOrElse(return None)
-    val (name, ref) = parseRef(spec)
+    val idx = spec.indexOf('$')
+    val suffix = if (idx < 0) "" else spec.substring(idx + 1)
+    val name = if (idx < 0) spec else spec.substring(0, idx)
     val location = Paths.get(warehouse, name).toString
     if (!LakeTable.exists(location)) return None
     val table = LakeTable.load(location)
-    Some(new TableScan(spark, table, ref = ref).toDF().queryExecution.analyzed)
+    if (MetaKinds.contains(suffix))
+      // `$snapshots` / `$files` / `$history` introspection relations
+      // (Iceberg metadata-table shape)
+      Some(metadataDF(table, suffix).queryExecution.analyzed)
+    else {
+      val (_, ref) = parseRef(spec)
+      Some(new TableScan(spark, table, ref = ref).toDF().queryExecution.analyzed)
+    }
+  }
+
+  private def metadataDF(table: LakeTable, kind: String) = {
+    val session = spark
+    import session.implicits._
+    kind match {
+      case "snapshots" =>
+        table.metadata.snapshots.map(s => (s.id, s.parentId, s.timestampMs,
+            s.operation, s.manifests.size, s.manifests.map(_.recordCount).sum, s.summary))
+          .toDF("snapshot_id", "parent_id", "committed_at_ms", "operation",
+            "manifest_count", "record_count", "summary")
+      case "files" =>
+        table.currentFiles().map(f => (f.path, f.partition, f.recordCount,
+            f.sizeBytes, f.schemaId, f.specId))
+          .toDF("path", "partition", "record_count", "size_bytes", "schema_id", "spec_id")
+      case "history" =>
+        table.metadata.refs.toSeq.map { case (n, r) => (n, r.snapshotId, r.isBranch) }
+          .toDF("ref_name", "snapshot_id", "is_branch")
+    }
   }
 
   /** `name$snapshot_<id>` / `name$timestamp_<epochMillis>` /

@@ -82,5 +82,17 @@ class OperatorsSpec extends SparkSpec {
          WHERE o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'""").head().getLong(0)
     assert(n96 === orders.filter(year(col("o_orderdate")) === 1996).count())
+
+    // metadata introspection relations
+    val snaps = spark.sql("SELECT * FROM lake.`sql_t$snapshots` ORDER BY snapshot_id").collect()
+    assert(snaps.length === 2)
+    assert(snaps.forall(_.getAs[String]("operation") === "append"))
+    assert(snaps.map(_.getAs[Long]("record_count")).last === orders.count())
+    val files = spark.sql("SELECT * FROM lake.`sql_t$files`").collect()
+    assert(files.length === t.currentFiles().size)
+    assert(files.map(_.getAs[Long]("record_count")).sum === orders.count())
+    val hist = spark.sql("SELECT * FROM lake.`sql_t$history`").collect()
+    assert(hist.exists(r => r.getAs[String]("ref_name") == "v1" &&
+      r.getAs[Long]("snapshot_id") == snap1 && !r.getAs[Boolean]("is_branch")))
   }
 }
