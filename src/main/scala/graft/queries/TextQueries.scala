@@ -131,6 +131,74 @@ object TextQueries {
       },
       oracle = None, // xxhash64-based; DuckDB has no xxhash64 (TextSpec pins determinism)
       bench = true,
-      doc = "document fingerprinting: rolling-hash fp + minhash + simhash")
+      doc = "document fingerprinting: rolling-hash fp + minhash + simhash"),
+
+    // ------------------------------------------------------------------
+    Q("pipeline_corpus_prep",
+      (s, d) => {
+        // the end-to-end corpus-prep flow a training pipeline runs:
+        // quality gate -> language gate -> exact dedup -> per-source stats;
+        // every stage deterministic, so the WHOLE pipeline hash-verifies
+        val docs = Tables.documents(s, d)
+        val enriched = docs.select(col("doc_id"), col("source"), col("text"),
+          qualityScore(col("text")).as("q"),
+          langId(col("text")).as("plang"),
+          tokenCount(col("text")).as("ntok"))
+        val filtered = enriched.filter(col("q") >= 0.5 && col("plang") === "en")
+        val keep = filtered.groupBy(col("text")).agg(min("doc_id").as("doc_id"))
+        filtered.join(keep, Seq("doc_id"), "left_semi")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("ntok").cast(LongType).as("n_tokens"),
+            sum(round(col("q"), 6).cast(DecimalType(18, 6)))
+              .cast(DoubleType).as("sum_quality"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, source, text,
+            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+            list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ltoks,
+            CASE WHEN length(text) > 0 THEN
+              CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct,
+            CASE WHEN length(text) > 0 THEN
+              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS digit,
+            CASE WHEN length(text) > 0 THEN
+              CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS cjk
+          FROM documents),
+        scored AS (
+          SELECT doc_id, source, text, CAST(len(toks) AS INTEGER) AS ntok,
+            greatest(0.0, least(1.0,
+              least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+              + least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.3
+              + (CASE WHEN (CASE WHEN len(toks) > 0 THEN
+                   CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks)
+                   ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+              - (punct + digit) * 0.5 + 0.1)) AS q,
+            CASE WHEN cjk > 0.2 THEN 'zh'
+                 WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                 WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                 WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                 WHEN s_fr >= s_es THEN 'fr'
+                 ELSE 'es' END AS plang
+          FROM (
+            SELECT *,
+              len(list_filter(ltoks, x -> list_contains(['the','a','of','to','and','in','is','that','for','on','with','it'], x))) AS s_en,
+              len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den','von','auf'], x))) AS s_de,
+              len(list_filter(ltoks, x -> list_contains(['le','la','les','et','est','un','une','dans','que','pour','des','du'], x))) AS s_fr,
+              len(list_filter(ltoks, x -> list_contains(['el','la','los','de','que','y','en','un','una','por','con','para'], x))) AS s_es
+            FROM t)),
+        kept AS (
+          SELECT min(doc_id) AS doc_id FROM scored
+          WHERE q >= 0.5 AND plang = 'en' GROUP BY text)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(ntok) AS BIGINT) AS n_tokens,
+          CAST(sum(CAST(round(q, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+        FROM scored JOIN kept USING (doc_id)
+        GROUP BY source ORDER BY source"""),
+      doc = "end-to-end corpus prep: quality gate -> lang gate -> dedup -> stats")
   )
 }
