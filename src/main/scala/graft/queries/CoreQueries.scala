@@ -341,6 +341,27 @@ object CoreQueries {
       doc = "CUBE grouping sets (SURVEY §2.4)"),
 
     // ------------------------------------------------------------------
+    Q("q_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql("""
+          SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                 coalesce(o_orderpriority, 'ALL') AS priority,
+                 count(*) AS n
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY status, priority""")
+      },
+      oracle = Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority"""),
+      doc = "explicit GROUPING SETS (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
     Q("q_distinct_agg",
       (s, d) => {
         Tables.lineitem(s, d)
