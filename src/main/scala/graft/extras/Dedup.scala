@@ -67,6 +67,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise matches into dedup GROUPS (one representative per cluster).
+    * Returns (id, component) for every id appearing in `pairs`, where
+    * component is the minimum id reachable.
+    *
+    * Iterative min-label propagation: each round is one shuffle-on-id
+    * aggregation (neighbor-min join + fold), checkpointed so the lineage
+    * stays flat; rounds are bounded by the cluster diameter, which for
+    * near-dup graphs is tiny. The same loop runs unchanged at 100 TB —
+    * no driver-side graph state, only bounded convergence counters. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+    val undirected = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = undirected.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = undirected
+        .join(labels.select(col("id").as("b"), col("comp")), "b")
+        .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
+      val next = labels
+        .join(neighborMin.select(col("a").as("id"), col("ncomp")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("comp").as("oc")), "id")
+        .filter(col("comp") =!= col("oc")).count()
+      labels = next
+    }
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit band buckets,
     * hamming-distance verification via bit_count(xor). */
   def simhashPairs(

@@ -75,6 +75,52 @@ object DedupQueries {
       doc = "exact n-gram Jaccard near-dup on a bounded subset (oracle baseline for LSH)"),
 
     // ------------------------------------------------------------------
+    Q("dedup_components",
+      (s, d) => {
+        // edge set = the oracle-able exact-Jaccard pairs (same subset as
+        // dedup_ngram_jaccard); at scale the same operator consumes
+        // minhashPairs output instead
+        val sub = corpus(s, d)
+          .filter(col("doc_id") < 60 || (col("doc_id") >= 10000 && col("doc_id") < 10060))
+        val sh = sub.select(col("doc_id"),
+          TextAnalysis.distinctShingles(col("text"), 3).as("sh"))
+        val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            Dedup.jaccard(col("sh_a"), col("sh_b")).as("j"))
+          .filter(col("j") >= 0.5)
+        Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy("id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $corpusSql,
+        sub AS (SELECT * FROM corpus WHERE doc_id < 60 OR (doc_id >= 10000 AND doc_id < 10060)),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+          FROM (SELECT doc_id,
+            list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+            FROM sub)),
+        edges AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        verts AS (
+          SELECT DISTINCT id FROM (
+            SELECT id_a AS id FROM edges UNION ALL SELECT id_b FROM edges)),
+        reach(src, dst) AS (
+          SELECT id, id FROM verts
+          UNION
+          SELECT r.src, CASE WHEN r.dst = e.id_a THEN e.id_b ELSE e.id_a END
+          FROM reach r JOIN edges e ON r.dst = e.id_a OR r.dst = e.id_b)
+        SELECT src AS id, min(dst) AS component
+        FROM reach GROUP BY src ORDER BY id"""),
+      doc = "near-dup clustering: connected components over verified pairs"),
+
+    // ------------------------------------------------------------------
     Q("dedup_minhash_lsh",
       (s, d) => {
         Dedup.minhashPairs(corpus(s, d), "doc_id", "text",

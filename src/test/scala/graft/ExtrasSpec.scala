@@ -27,6 +27,25 @@ class ExtrasSpec extends SparkSpec {
     assert(injected.subsetOf(pairs))
   }
 
+  test("connected components: chains converge to min-id labels across hops") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, disjoint pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) === 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) === 10L))
+    assert(Seq(20L, 21L).forall(comp(_) === 20L))
+    // injected exact dups cluster with their originals through LSH pairs
+    val lsh = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5)
+    val cc = Dedup.connectedComponents(lsh, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    Tables.documents(spark, sf).filter(col("doc_id") % 5 === 0)
+      .select("doc_id").as[Long].collect()
+      .filter(id => cc.contains(id) && cc.contains(id + 10000))
+      .foreach(id => assert(cc(id) === cc(id + 10000)))
+  }
+
   test("exact dedup drops exactly the injected duplicates") {
     val n = Tables.documents(spark, sf).count()
     val deduped = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
