@@ -106,6 +106,19 @@ object Dedup {
     labels.select(col("id"), col("comp").as("component"))
   }
 
+  /** End-to-end near-dedup: LSH candidate pairs -> exact verify ->
+    * clusters -> keep the min-id representative of each cluster (plus
+    * every unpaired row). The full corpus-dedup flow in one call. */
+  def dropNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    val drop = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit band buckets,
     * hamming-distance verification via bit_count(xor). */
   def simhashPairs(

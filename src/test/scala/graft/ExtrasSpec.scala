@@ -53,6 +53,16 @@ class ExtrasSpec extends SparkSpec {
     assert(deduped.filter(col("doc_id") >= 10000).isEmpty) // min-id kept
   }
 
+  test("near-dedup end-to-end keeps one representative per cluster") {
+    val deduped = Dedup.dropNearDuplicates(corpus, "doc_id", "text", threshold = 0.5)
+    // every injected exact copy (id+10000) clusters with its original and
+    // is dropped; originals (min id) all survive
+    assert(deduped.filter(col("doc_id") >= 10000).isEmpty)
+    val originals = Tables.documents(spark, sf).count()
+    val kept = deduped.count()
+    assert(kept <= originals && kept > 0)
+  }
+
   test("SRP ANN: rank-1 is the query itself with sim ~1") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 5)
