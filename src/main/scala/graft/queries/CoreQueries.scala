@@ -586,6 +586,33 @@ object CoreQueries {
       doc = "array explode with ordinality / LATERAL VIEW shape (SURVEY §2.5)"),
 
     // ------------------------------------------------------------------
+    Q("q_vector_centroids",
+      (s, d) => {
+        // element-wise per-label aggregation over the embedding column —
+        // decimal summation keeps it order-independent (exact), so the
+        // distributed result hash-matches the sequential oracle
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .filter(col("pos") < 8)
+          .groupBy("label", "pos")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("v").cast(DecimalType(18, 9))).cast(DoubleType), 6).as("sum_v"))
+          .orderBy("label", "pos")
+      },
+      oracle = Some("""
+        SELECT label, CAST(pos AS INTEGER) AS pos, count(*) AS n,
+          -- widen float->double BEFORE the decimal cut: Spark's
+          -- float->decimal goes through the double expansion, DuckDB's
+          -- direct float->decimal uses the float's shortest repr
+          round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE), 6) AS sum_v
+        FROM (
+          SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                 unnest(embedding) AS v
+          FROM embeddings)
+        WHERE pos < 8 GROUP BY label, pos ORDER BY label, pos"""),
+      doc = "element-wise vector aggregation per label (SURVEY §2.4 / embeddings)"),
+
+    // ------------------------------------------------------------------
     Q("q_window_leadlag",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
