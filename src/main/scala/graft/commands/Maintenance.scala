@@ -124,13 +124,19 @@ object Maintenance {
 
   /** Expire snapshots older than `keepLast` (never the current one or any
     * branch/tag target), then delete manifests and data files no longer
-    * referenced by any surviving snapshot. Returns deleted data files. */
-  def expireSnapshots(table: LakeTable, keepLast: Int): Seq[String] = {
+    * referenced by any surviving snapshot. `olderThanMs` additionally
+    * protects recent history regardless of count (the Iceberg
+    * `expire_snapshots(older_than)` shape). Returns deleted data files. */
+  def expireSnapshots(
+      table: LakeTable, keepLast: Int,
+      olderThanMs: Long = Long.MaxValue): Seq[String] = {
     require(keepLast >= 1, "must keep at least one snapshot")
     val m = table.metadata
     val protectedIds = m.refs.values.map(_.snapshotId).toSet ++ m.currentSnapshotId
     val ordered = m.snapshots.sortBy(_.id)
-    val expire = ordered.dropRight(keepLast).filterNot(s => protectedIds.contains(s.id))
+    val expire = ordered.dropRight(keepLast)
+      .filterNot(s => protectedIds.contains(s.id))
+      .filter(_.timestampMs < olderThanMs)
     if (expire.isEmpty) return Seq.empty
     val keep = m.snapshots.filterNot(s => expire.exists(_.id == s.id))
     val liveFiles = keep.flatMap(s => table.manifest(s).map(_.path)).toSet

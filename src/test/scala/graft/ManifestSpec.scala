@@ -135,6 +135,21 @@ class ManifestSpec extends SparkSpec {
     t.metadata.snapshots.foreach(s => assert(t.manifest(s).nonEmpty))
   }
 
+  test("time-protected expiry keeps recent snapshots regardless of count") {
+    val t = mkTable()
+    engine.insert(t, rows(0 until 5))
+    engine.insert(t, rows(5 until 10))
+    engine.insert(t, rows(10 until 15))
+    val before = t.metadata.snapshots.size
+    // cutoff in the past: everything is "recent", nothing expires
+    val deleted = Maintenance.expireSnapshots(t, keepLast = 1, olderThanMs = 1L)
+    assert(deleted.isEmpty && t.metadata.snapshots.size === before)
+    // cutoff in the future behaves like plain keepLast
+    Maintenance.expireSnapshots(t, keepLast = 1, olderThanMs = Long.MaxValue)
+    assert(t.refresh().metadata.snapshots.size === 1)
+    assert(engine.scan(t).toDF().count() === 15)
+  }
+
   test("expire deletes only manifests unreferenced by surviving snapshots") {
     val t = mkTable()
     engine.insert(t, rows(0 until 10))   // s1: [m1]
