@@ -101,10 +101,14 @@ object TextAnalysis {
     u(text)
   }
 
-  /** Fused text -> simhash64 (skips the token-array UDF boundary). */
-  private val simhashTextUdf =
-    udf((s: String) => graft.functions.FastHash.simhashFromText(s))
-  def simhashFromText(text: Column): Column = simhashTextUdf(text)
+  /** Fused text -> simhash64 codegen byte-scan expression
+    * ([[graft.functions.SimhashScan]]) — bit-identical to
+    * simhash64(tokens(c)), pinned in ExtrasSpec. */
+  def simhashFromText(text: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_simhash", text)
+  }
 
   /** LSH band hashes for a signature: b hashes of r-row slices. */
   def bandHashes(sig: Column, bands: Int, rows: Int): Column =

@@ -79,13 +79,6 @@ object FastHash {
     sig
   }
 
-  /** Fused tokenize -> simhash64 from raw text (same tokenization as
-    * TextAnalysis.tokens: trim, whitespace split, empties dropped). */
-  def simhashFromText(text: String): Long = {
-    if (text == null) return 0L
-    simhash64(text.trim.split("\\s+").filter(_.nonEmpty))
-  }
-
   /** Shingles AND their minhash signature in one JVM call — for paths
     * that need both (LSH candidate generation + exact Jaccard verify),
     * skipping a UDF->expression->UDF round trip of the shingle array. */

@@ -195,6 +195,62 @@ object MinhashScan {
   }
 }
 
+object SimhashScan {
+  /** SimHash64 straight off the UTF-8 bytes — value-identical to
+    * `simhash64(tokens(c))` (pinned in ExtrasSpec). Each token
+    * hashes IN PLACE over its byte range (a token needs no joint bytes,
+    * so unlike the minhash windows there is no copy at all). */
+  def simhashFromText(s: UTF8String): Long = {
+    if (s == null) return 0L
+    val bytes = s.getBytes
+    var lo = 0
+    var nb = bytes.length
+    while (lo < nb && bytes(lo) >= 0 && bytes(lo) <= 0x20.toByte) lo += 1
+    while (nb > lo && bytes(nb - 1) >= 0 && bytes(nb - 1) <= 0x20.toByte) nb -= 1
+    val votes = new Array[Int](64)
+    var i = lo
+    while (i < nb) {
+      val b = bytes(i)
+      val ws = b == 0x20.toByte || (b >= 0x09.toByte && b <= 0x0D.toByte)
+      if (!ws) {
+        val st = i
+        while (i < nb && {
+          val c = bytes(i); !(c == 0x20.toByte || (c >= 0x09.toByte && c <= 0x0D.toByte))
+        }) i += 1
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + st,
+          i - st, FastHash.Seed)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      } else i += 1
+    }
+    var r = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) r |= (1L << j); j += 1 }
+    r
+  }
+}
+
+/** `graft_simhash(text)` — fused text -> simhash64 codegen expression
+  * ([[SimhashScan.simhashFromText]]). */
+case class SimhashFromText(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_simhash"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    SimhashScan.simhashFromText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashScan.simhashFromText($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `graft_minhash(text, n, k)` — fused text -> minhash signature as a
   * codegen expression ([[MinhashScan.minhashFromText]]). */
 case class MinhashFromText(child: Expression, n: Int, k: Int) extends UnaryExpression {
