@@ -45,7 +45,7 @@ object Dedup {
     val base = df.select(
         col(idCol).as("id"),
         TextAnalysis.shinglesWithMinhash(col(textCol), shingleSize, numHashes).as("smh"))
-      .select(col("id"), col("smh._1").as("sh"), col("smh._2").as("sig"))
+      .select(col("id"), col("smh.sh").as("sh"), col("smh.sig").as("sig"))
       .filter(size(col("sh")) > 0)
       .withColumn("bands", TextAnalysis.bandHashes(col("sig"), bands, rows))
       // materialize signatures once: they feed the bucket self-join AND the

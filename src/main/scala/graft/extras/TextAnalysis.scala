@@ -91,14 +91,15 @@ object TextAnalysis {
     call_function("graft_minhash", text, lit(n), lit(k))
   }
 
-  /** Fused text -> (shingles, minhash signature) struct — one JVM pass
-    * for consumers that need both (see [[graft.extras.Dedup.minhashPairs]]);
-    * componentwise identical to distinctShingles + minhashSignature. */
-  private val shMhUdfs = scala.collection.concurrent.TrieMap.empty[(Int, Int), org.apache.spark.sql.expressions.UserDefinedFunction]
+  /** Fused text -> struct(sh, sig) codegen byte-scan expression for
+    * consumers that need shingles AND the minhash signature (see
+    * [[graft.extras.Dedup.minhashPairs]]). `sh` keeps duplicate windows
+    * (all consumers are set-semantic); `sig` is bit-identical to
+    * minhashSignature(distinctShingles(..)) — [[graft.functions.ShingleScan]]. */
   def shinglesWithMinhash(text: Column, n: Int, k: Int): Column = {
-    val u = shMhUdfs.getOrElseUpdate((n, k),
-      udf((s: String) => graft.functions.FastHash.shinglesWithMinhash(s, n, k)))
-    u(text)
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_shingle_minhash", text, lit(n), lit(k))
   }
 
   /** Fused text -> simhash64 codegen byte-scan expression

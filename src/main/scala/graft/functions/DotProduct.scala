@@ -101,6 +101,10 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_simhash", exprs => SimhashFromText(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_shingle_minhash", exprs => ShingleMinhash(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_minhash", exprs => MinhashFromText(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")

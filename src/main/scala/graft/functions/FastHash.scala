@@ -79,11 +79,4 @@ object FastHash {
     sig
   }
 
-  /** Shingles AND their minhash signature in one JVM call — for paths
-    * that need both (LSH candidate generation + exact Jaccard verify),
-    * skipping a UDF->expression->UDF round trip of the shingle array. */
-  def shinglesWithMinhash(text: String, n: Int, k: Int): (Array[String], Array[Long]) = {
-    val sh = distinctShingles(text, n)
-    (sh, minhashSignature(scala.collection.immutable.ArraySeq.unsafeWrapArray(sh), k))
-  }
 }

@@ -195,6 +195,102 @@ object MinhashScan {
   }
 }
 
+object ShingleScan {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Shingle windows AND their minhash signature in one byte scan — the
+    * LSH candidate-generation pair. The shingle array keeps duplicate
+    * windows (unlike distinctShingles): every consumer is set-semantic
+    * (`array_intersect`/`array_union` for Jaccard, min-fold for the
+    * signature), so dedup work would buy nothing. Signature values are
+    * bit-identical to minhashSignature(distinctShingles(..)) — pinned in
+    * ExtrasSpec via the minhashPairs recall tests. */
+  def shinglesWithMinhash(s: UTF8String, n: Int, k: Int): InternalRow = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (s == null)
+      return new GenericInternalRow(Array[Any](
+        new GenericArrayData(new Array[AnyRef](0)), new GenericArrayData(sig)))
+    val bytes = s.getBytes
+    var lo = 0
+    var nb = bytes.length
+    while (lo < nb && bytes(lo) >= 0 && bytes(lo) <= 0x20.toByte) lo += 1
+    while (nb > lo && bytes(nb - 1) >= 0 && bytes(nb - 1) <= 0x20.toByte) nb -= 1
+    var nt = 0
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var i = lo
+    while (i < nb) {
+      val b = bytes(i)
+      val ws = b == 0x20.toByte || (b >= 0x09.toByte && b <= 0x0D.toByte)
+      if (!ws) {
+        val st = i
+        while (i < nb && {
+          val c = bytes(i); !(c == 0x20.toByte || (c >= 0x09.toByte && c <= 0x0D.toByte))
+        }) i += 1
+        if (nt == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nt * 2)
+          ends = java.util.Arrays.copyOf(ends, nt * 2)
+        }
+        starts(nt) = st; ends(nt) = i; nt += 1
+      } else i += 1
+    }
+    val nWindows = math.max(0, nt - n + 1)
+    val shingles = new Array[AnyRef](nWindows)
+    var w = 0
+    while (w < nWindows) {
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += ends(w + j) - starts(w + j); j += 1 }
+      val buf = new Array[Byte](len)
+      var m = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(m) = ' '; m += 1 }
+        val tl = ends(w + j) - starts(w + j)
+        System.arraycopy(bytes, starts(w + j), buf, m, tl)
+        m += tl
+        j += 1
+      }
+      shingles(w) = UTF8String.fromBytes(buf)
+      val h0 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, FastHash.Seed)
+      var r = 0
+      while (r < k) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+          h0, org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(r, FastHash.Seed))
+        if (h < sig(r)) sig(r) = h
+        r += 1
+      }
+      w += 1
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(shingles), new GenericArrayData(sig)))
+  }
+}
+
+/** `graft_shingle_minhash(text, n, k)` -> struct<sh: array<string>,
+  * sig: array<long>> ([[ShingleScan.shinglesWithMinhash]]). */
+case class ShingleMinhash(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_shingle_minhash"
+  override def dataType: DataType = StructType(Seq(
+    StructField("sh", ArrayType(StringType, containsNull = false)),
+    StructField("sig", ArrayType(LongType, containsNull = false))))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 && k > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(s"$prettyName needs n > 0, k > 0")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleScan.shinglesWithMinhash(input.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleScan.shinglesWithMinhash($c, $n, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SimhashScan {
   /** SimHash64 straight off the UTF-8 bytes — value-identical to
     * `simhash64(tokens(c))` (pinned in ExtrasSpec). Each token
