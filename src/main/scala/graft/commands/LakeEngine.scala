@@ -135,6 +135,30 @@ final class LakeEngine(
         .select(table.schema.fieldNames.map(col).toSeq: _*)
     }
 
+  /** Reference-parity query timeout (SwiftLakeEngine builder's
+    * queryTimeoutInSeconds): run `body`'s Spark actions inside a job
+    * group that a daemon timer cancels at the deadline. Cancellation
+    * interrupts running tasks, so the caller sees a SparkException from
+    * the cancelled job rather than a hung action. */
+  def withQueryTimeout[T](timeoutMs: Long)(body: => T): T = {
+    // job TAGS, not job groups: AQE submits stages from its own thread
+    // pool and tags are the cancellation mechanism that survives that
+    val tag = s"graft-timeout-${java.util.UUID.randomUUID().toString.take(8)}"
+    val sc = spark.sparkContext
+    sc.addJobTag(tag)
+    sc.setInterruptOnCancel(true)
+    val timer = new java.util.Timer("graft-query-timeout", true)
+    // re-fire past the deadline: cancelJobsWithTag only reaches ACTIVE
+    // jobs, and a query both launches jobs after planning delays and can
+    // launch several jobs — every one past the deadline must die
+    timer.scheduleAtFixedRate(new java.util.TimerTask {
+      override def run(): Unit =
+        sc.cancelJobsWithTag(tag, s"graft query timeout after ${timeoutMs}ms")
+    }, timeoutMs, 500L)
+    try body
+    finally { timer.cancel(); sc.removeJobTag(tag) }
+  }
+
   /** Incremental append read: rows committed after `fromSnapshotId`
     * (exclusive), up to `toSnapshotId` or the current head — the CDC-style
     * consumption surface for downstream pipelines. Errors if the range

@@ -135,6 +135,22 @@ class ManifestSpec extends SparkSpec {
     t.metadata.snapshots.foreach(s => assert(t.manifest(s).nonEmpty))
   }
 
+  test("query timeout cancels the running job group") {
+    import org.apache.spark.sql.functions.udf
+    // nondeterministic so the aggregate can't prune the sleeping column
+    val slow = udf((x: Long) => { Thread.sleep(10000L); x }).asNondeterministic()
+    val df = spark.range(32).select(slow(col("id")).as("id"))
+    val t0 = System.nanoTime()
+    intercept[Exception] {
+      engine.withQueryTimeout(1500L) { df.agg(sum("id")).head() }
+    }
+    // generous cold-JVM bound: running to completion would take 80s+
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs < 15000, s"cancel took ${elapsedMs}ms — timeout did not fire")
+    // the session is still usable afterwards
+    assert(spark.range(5).count() === 5)
+  }
+
   test("time-protected expiry keeps recent snapshots regardless of count") {
     val t = mkTable()
     engine.insert(t, rows(0 until 5))
