@@ -106,7 +106,14 @@ final case class Bucket(n: Int) extends Transform {
         case _ => kind(dt) match {
           case "long"   => IcebergHash.hashLong(v.toString.toLong)
           case "string" => IcebergHash.hashString(v.toString)
-          case "double" => IcebergHash.hashDouble(v.toString.toDouble)
+          case "double" => v match {
+            // Widen the boxed float directly: (double)0.1f !=
+            // "0.1".toDouble — a string round-trip re-parses the
+            // shortest repr and lands in a different bucket than the
+            // write path (IcebergBucket hashes the widened float).
+            case f: java.lang.Float => IcebergHash.hashDouble(f.doubleValue())
+            case _                  => IcebergHash.hashDouble(v.toString.toDouble)
+          }
         }
       }
       ((h & Int.MaxValue) % n).toString

@@ -60,6 +60,23 @@ class TransformsSpec extends SparkSpec {
     assert(r0.getString(0) === r0.getString(1))
   }
 
+  test("float literals bucket identically on the literal and expression paths") {
+    // (double)0.1f != "0.1".toDouble — applyLiteral must widen the boxed
+    // float directly or Eq/IN pruning on a bucket-partitioned FLOAT column
+    // reads the wrong bucket.
+    val b = Bucket(8)
+    val vals = Seq(0.1f, 0.3f, 1.5f, -0.0f, Float.MinPositiveValue, 3.4028235e38f)
+    val df = vals.map(Tuple1(_)).toDF("f")
+    val got = df.select(b.column(col("f"), FloatType).as("bf")).collect()
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i).getString(0) === b.applyLiteral(v, FloatType),
+        s"float literal/expression bucket mismatch for $v")
+      val expr = graft.functions.IcebergBucket(
+        org.apache.spark.sql.catalyst.expressions.Literal(v, FloatType), 8)
+      assert(b.applyLiteral(v, FloatType) === expr.eval(null).toString)
+    }
+  }
+
   test("bucket of NULL is the NULL partition value") {
     val df = Seq[(java.lang.Long, String)]((null, null)).toDF("l", "s")
     val got = df.select(
