@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** Scratch profiler for the bench fixed-overhead hunt: splits each
+  * headline query into plan time vs execution time and counts
+  * jobs/stages/tasks, so the ~0.15 s/query floor can be attributed.
+  * Not part of the driver contract.
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.sqlext.LakeSqlExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.min(cpus.toInt, 8).toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "2m"))
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobs = new AtomicInteger; val stages = new AtomicInteger
+    val tasks = new AtomicInteger; val taskTimeMs = new AtomicLong
+    val schedDelayMs = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (t.taskInfo != null) taskTimeMs.addAndGet(t.taskInfo.duration)
+        if (t.taskMetrics != null)
+          schedDelayMs.addAndGet(
+            t.taskInfo.duration - t.taskMetrics.executorRunTime)
+      }
+    })
+
+    val names = if (args.nonEmpty) args.toSeq
+      else graft.Registry.all.filter(_.bench).map(_.name)
+    val headline = names.map(graft.Registry.byName)
+
+    def profile(q: graft.Q): Unit = {
+      jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0); schedDelayMs.set(0)
+      val t0 = System.nanoTime()
+      val df = q.run(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.queryExecution.executedPlan // force analysis+optimization+planning
+      val t2 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t3 = System.nanoTime()
+      Thread.sleep(100) // let listener events drain (bus API is private[spark])
+      println(f"${q.name}%-24s total=${(t3 - t0) / 1e6}%7.1fms " +
+        f"build=${(t1 - t0) / 1e6}%6.1f plan=${(t2 - t1) / 1e6}%6.1f " +
+        f"exec=${(t3 - t2) / 1e6}%7.1f jobs=${jobs.get}%2d stages=${stages.get}%2d " +
+        f"tasks=${tasks.get}%3d taskTime=${taskTimeMs.get}%5dms sched=${schedDelayMs.get}%5dms")
+    }
+
+    println("=== warmup x2 ===")
+    (1 to 2).foreach(_ => headline.foreach(profile))
+    println("=== measured ===")
+    headline.foreach(profile)
+    spark.stop()
+  }
+}
