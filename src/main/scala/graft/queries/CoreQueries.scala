@@ -59,7 +59,7 @@ object CoreQueries {
             round(avg("l_quantity"), 2).as("avg_qty"),
             round(avg("l_extendedprice"), 2).as("avg_price"),
             count(lit(1)).as("count_order"))
-          .orderBy("l_returnflag", "l_linestatus")
+          .transform(Present.sortSmall(_, col("l_returnflag"), col("l_linestatus")))
       },
       oracle = Some("""
         SELECT l_returnflag, l_linestatus,
@@ -123,7 +123,7 @@ object CoreQueries {
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
-          .orderBy(desc("revenue"), asc("n_name"))
+          .transform(Present.sortSmall(_, desc("revenue"), asc("n_name")))
       },
       oracle = Some("""
         SELECT n_name,
@@ -166,7 +166,7 @@ object CoreQueries {
           .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
-          .orderBy("c_mktsegment", "rn")
+          .transform(Present.sortNarrow(_, col("c_mktsegment"), col("rn")))
       },
       oracle = Some("""
         SELECT * FROM (
@@ -369,7 +369,7 @@ object CoreQueries {
           .agg(countDistinct(col("l_suppkey")).as("n_supp"),
             countDistinct(col("l_partkey")).as("n_part"),
             countDistinct(col("l_orderkey")).as("n_ord"))
-          .orderBy("l_returnflag")
+          .transform(Present.sortSmall(_, col("l_returnflag")))
       },
       oracle = Some("""
         SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
@@ -440,7 +440,7 @@ object CoreQueries {
         Tables.orders(s, d)
           .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2, "total"))
-          .orderBy("y", "m")
+          .transform(Present.sortSmall(_, col("y"), col("m")))
       },
       oracle = Some("""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m,
@@ -521,7 +521,7 @@ object CoreQueries {
           .groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
-          .orderBy("hour", "event_type")
+          .transform(Present.sortSmall(_, col("hour"), col("event_type")))
       },
       oracle = Some("""
         SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

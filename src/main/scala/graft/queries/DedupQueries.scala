@@ -30,7 +30,7 @@ object DedupQueries {
     Q("dedup_exact",
       (s, d) => {
         Dedup.exactGroups(corpus(s, d), "doc_id", "text")
-          .orderBy("keep_id")
+          .transform(Present.sortSmall(_, col("keep_id")))
       },
       oracle = Some(s"""
         WITH $corpusSql
@@ -126,7 +126,7 @@ object DedupQueries {
         Dedup.minhashPairs(corpus(s, d), "doc_id", "text",
             shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-          .orderBy("id_a", "id_b")
+          .transform(Present.sortNarrow(_, col("id_a"), col("id_b")))
       },
       oracle = None, // xxhash64-based banding; recall vs exact Jaccard pinned in DedupSpec
       bench = true,

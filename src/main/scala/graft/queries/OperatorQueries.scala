@@ -26,7 +26,7 @@ object OperatorQueries {
             keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
             payloadCols = Seq("signup_id"))
           .select("event_id", "user_id", "signup_id")
-          .orderBy("event_id")
+          .transform(Present.sortNarrow(_, col("event_id")))
       },
       oracle = Some("""
         WITH purchases AS (
@@ -54,7 +54,7 @@ object OperatorQueries {
           .groupBy("band_id")
           .agg(count(lit(1)).as("n"),
             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
-          .orderBy("band_id")
+          .transform(Present.sortSmall(_, col("band_id")))
       },
       oracle = Some("""
         WITH bands AS (

@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Result-presentation sort helpers.
+  *
+  * Every registered query ends with a total ORDER BY (hash-compare
+  * parity needs a deterministic row order). Spark plans a global sort as
+  * a range exchange whose partitioner SAMPLES the child first — an extra
+  * job that re-executes the plan above the last shuffle. For final
+  * result sets (small by construction: group counts, top-k, bounded
+  * pair lists) a single-partition local sort produces the identical
+  * ordered output with no sampling job, which is also what a
+  * distributed engine does at the coordinator when presenting results.
+  * Large sorted *exports* should keep `orderBy` — the range sort is the
+  * right plan when the output itself is big.
+  */
+private[queries] object Present {
+
+  /** Sort a small final result by collapsing the preceding post-shuffle
+    * stage into one task (`coalesce(1)`). Free when that stage is a
+    * tiny final-agg readout; do NOT use when the last stage does real
+    * per-row work (windows, joins, expression-heavy projects) — use
+    * [[sortNarrow]] there.
+    */
+  def sortSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+
+  /** Sort a small final result of a plan whose last stage must stay
+    * parallel (window/join/per-row compute): add a one-partition
+    * exchange, then sort locally. Cheaper than the global range sort
+    * (no sampling job) while preserving upstream parallelism.
+    */
+  def sortNarrow(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+}

@@ -23,7 +23,7 @@ object TextQueries {
             tokenCount(col("text")).as("n_ws_tokens"),
             bpeTokenCount(col("text")).as("n_bpe_tokens"),
             length(col("text")).as("n_chars_obs"))
-          .orderBy("doc_id")
+          .transform(Present.sortNarrow(_, col("doc_id")))
       },
       oracle = Some(s"""
         SELECT doc_id,
@@ -127,7 +127,7 @@ object TextQueries {
             element_at(col("mh"), 3).as("minhash_2"),
             element_at(col("mh"), 4).as("minhash_3"),
             col("simhash"))
-          .orderBy("doc_id")
+          .transform(Present.sortNarrow(_, col("doc_id")))
       },
       oracle = None, // xxhash64-based; DuckDB has no xxhash64 (TextSpec pins determinism)
       bench = true,

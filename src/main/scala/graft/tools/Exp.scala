@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch A/B experiments for the bench fixed-overhead hunt. Each case
+  * isolates one suspected overhead term (job floor, sort sampling job,
+  * shuffle partition count). Not part of the driver contract.
+  */
+object Exp {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.sqlext.LakeSqlExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "2m"))
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time(name: String, reps: Int = 7)(mk: => DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"$name%-40s min=${times.min}%7.1fms  med=${times.sorted.apply(reps / 2)}%7.1fms")
+    }
+
+    val lineitem = graft.Tables.lineitem(spark, sfDir)
+    lineitem.count() // warm footer cache
+
+    // floor: no scan, no shuffle, 1 task
+    time("floor_1task")(spark.range(1).toDF())
+    // floor: 32-partition range, no shuffle
+    time("floor_32task")(spark.range(0, 1000, 1, 32).toDF())
+    // floor: one shuffle (8 partitions)
+    time("floor_shuffle8")(spark.range(0, 1000, 1, 32).groupBy(($"id" % 10).as("k")).count())
+    // scan only
+    time("scan_only")(lineitem.select("l_quantity"))
+    // scan + agg, no sort
+    time("agg_nosort")(
+      lineitem.groupBy("l_returnflag", "l_linestatus").agg(sum("l_quantity").as("s")))
+    // scan + agg + global orderBy (range sort: sampling job)
+    time("agg_orderby")(
+      lineitem.groupBy("l_returnflag", "l_linestatus").agg(sum("l_quantity").as("s"))
+        .orderBy("l_returnflag", "l_linestatus"))
+    // scan + agg + single-partition local sort
+    time("agg_rep1_sortwithin")(
+      lineitem.groupBy("l_returnflag", "l_linestatus").agg(sum("l_quantity").as("s"))
+        .repartition(1).sortWithinPartitions("l_returnflag", "l_linestatus"))
+    // scan + agg + coalesce(1) local sort
+    time("agg_coalesce1_sortwithin")(
+      lineitem.groupBy("l_returnflag", "l_linestatus").agg(sum("l_quantity").as("s"))
+        .coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus"))
+    spark.stop()
+  }
+}
