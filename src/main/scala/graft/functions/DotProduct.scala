@@ -92,6 +92,10 @@ object GraftFunctions {
         "graft_unscaled",
         exprs => org.apache.spark.sql.catalyst.expressions.UnscaledValue(exprs(0)),
         "scala_udf")
+      // one-pass exact distinct count (no Expand); analyzer wraps the
+      // raw AggregateFunction into an AggregateExpression
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_count_distinct", exprs => ExactCountDistinct(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_ws_tokens", exprs => WsTokenCount(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** Minimal open-addressing hash set of longs for distinct-count
+  * aggregation buffers: power-of-two capacity, linear probing, 0L kept
+  * out-of-band (the empty-slot marker). No per-element allocation, and
+  * (de)serializes to a packed long array — the properties a partial
+  * aggregation buffer needs.
+  */
+final class LongOpenHashSet(initialCapacity: Int = 16) {
+  private var capacity = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
+  private var mask = capacity - 1
+  private var data = new Array[Long](capacity)
+  private var n = 0
+  private var hasZero = false
+
+  def size: Long = n.toLong + (if (hasZero) 1 else 0)
+
+  // Stafford variant 13 mixer (public domain, used by SplittableRandom):
+  // full-avalanche so sequential keys spread across the table
+  private def mix(x: Long): Long = {
+    var z = x
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def add(v: Long): Unit = {
+    if (v == 0L) { hasZero = true; return }
+    if ((n + 1) * 4 > capacity * 3) grow()
+    var i = (mix(v) & mask).toInt
+    var cur = data(i)
+    while (cur != 0L) {
+      if (cur == v) return
+      i = (i + 1) & mask
+      cur = data(i)
+    }
+    data(i) = v
+    n += 1
+  }
+
+  private def grow(): Unit = {
+    val old = data
+    capacity <<= 1
+    mask = capacity - 1
+    data = new Array[Long](capacity)
+    var j = 0
+    while (j < old.length) {
+      val v = old(j)
+      if (v != 0L) {
+        var i = (mix(v) & mask).toInt
+        while (data(i) != 0L) i = (i + 1) & mask
+        data(i) = v
+      }
+      j += 1
+    }
+  }
+
+  def union(other: LongOpenHashSet): Unit = {
+    if (other.hasZero) hasZero = true
+    val od = other.data
+    var j = 0
+    while (j < od.length) {
+      if (od(j) != 0L) add(od(j))
+      j += 1
+    }
+  }
+
+  /** [byte hasZero][int n][n packed longs] */
+  def serialize(): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(5 + n * 8)
+    bb.put(if (hasZero) 1.toByte else 0.toByte)
+    bb.putInt(n)
+    var j = 0
+    while (j < data.length) {
+      if (data(j) != 0L) bb.putLong(data(j))
+      j += 1
+    }
+    bb.array()
+  }
+}
+
+object LongOpenHashSet {
+  def deserialize(bytes: Array[Byte]): LongOpenHashSet = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val hasZero = bb.get() == 1
+    val n = bb.getInt()
+    val s = new LongOpenHashSet(math.max(16, n * 2))
+    if (hasZero) s.add(0L)
+    var j = 0
+    while (j < n) { s.add(bb.getLong()); j += 1 }
+    s
+  }
+}
+
+/** One-pass exact COUNT(DISTINCT x) for integral x.
+  *
+  * Spark plans multi-column exact distinct aggregation via Expand — the
+  * input is replicated once per distinct aggregate and re-aggregated
+  * twice, so `agg(countDistinct(a), countDistinct(b), countDistinct(c))`
+  * scans 3x the rows through two exchanges. This aggregate instead keeps
+  * a long hash set per (group, aggregate) buffer: one pass over the
+  * input, map-side partial dedup, and the shuffle carries one packed
+  * long array per group per partition — the same bytes the Expand plan
+  * shuffles as rows, without the 3x scan or the second aggregation.
+  *
+  * Memory is proportional to per-group distinct cardinality on a single
+  * executor, exactly like any exact hash distinct (DuckDB's included).
+  * At cardinalities where that's unacceptable, use
+  * `approx_count_distinct` (HLL++, see q_approx_distinct) or Spark's
+  * Expand path, which trades memory for shuffle volume.
+  */
+case class ExactCountDistinct(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LongOpenHashSet]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | DateType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_count_distinct needs an integral column, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_count_distinct"
+
+  override def createAggregationBuffer(): LongOpenHashSet = new LongOpenHashSet()
+
+  override def update(b: LongOpenHashSet, input: InternalRow): LongOpenHashSet = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[Number].longValue())
+    b
+  }
+
+  override def merge(b: LongOpenHashSet, other: LongOpenHashSet): LongOpenHashSet = {
+    b.union(other); b
+  }
+
+  override def eval(b: LongOpenHashSet): Any = b.size
+
+  override def serialize(b: LongOpenHashSet): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): LongOpenHashSet =
+    LongOpenHashSet.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): ExactCountDistinct =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ExactCountDistinct =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): ExactCountDistinct =
+    copy(child = newChild)
+}

@@ -364,11 +364,16 @@ object CoreQueries {
     // ------------------------------------------------------------------
     Q("q_distinct_agg",
       (s, d) => {
+        // graft_count_distinct = one-pass exact distinct (long-set
+        // buffers, see [[graft.functions.ExactCountDistinct]]) instead of
+        // Spark's Expand x3 plan, which scans the input once per
+        // distinct aggregate
+        graft.functions.GraftFunctions.register(s)
         Tables.lineitem(s, d)
           .groupBy("l_returnflag")
-          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-            countDistinct(col("l_partkey")).as("n_part"),
-            countDistinct(col("l_orderkey")).as("n_ord"))
+          .agg(call_function("graft_count_distinct", col("l_suppkey")).as("n_supp"),
+            call_function("graft_count_distinct", col("l_partkey")).as("n_part"),
+            call_function("graft_count_distinct", col("l_orderkey")).as("n_ord"))
           .transform(Present.sortSmall(_, col("l_returnflag")))
       },
       oracle = Some("""

@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.{GraftFunctions, LongOpenHashSet}
+import org.apache.spark.sql.functions._
+
+/** [[graft.functions.ExactCountDistinct]]: one-pass exact distinct must
+  * agree with Spark's Expand-based countDistinct on real data and on the
+  * edge cases an open-addressing long set can get wrong (0L handling,
+  * nulls, resize, serialization round-trip).
+  */
+class ExactDistinctSpec extends SparkSpec {
+
+  test("matches countDistinct on lineitem, grouped and global") {
+    GraftFunctions.register(spark)
+    val l = Tables.lineitem(spark, sf)
+    val expect = l.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("a"),
+        countDistinct(col("l_partkey")).as("b"),
+        countDistinct(col("l_orderkey")).as("c"))
+      .orderBy("l_returnflag").collect().map(_.toSeq)
+    val got = l.groupBy("l_returnflag")
+      .agg(call_function("graft_count_distinct", col("l_suppkey")).as("a"),
+        call_function("graft_count_distinct", col("l_partkey")).as("b"),
+        call_function("graft_count_distinct", col("l_orderkey")).as("c"))
+      .orderBy("l_returnflag").collect().map(_.toSeq)
+    assert(got.toSeq == expect.toSeq)
+
+    val eg = l.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val gg = l.agg(call_function("graft_count_distinct", col("l_orderkey")))
+      .head().getLong(0)
+    assert(gg == eg)
+  }
+
+  test("nulls ignored, zero counted once, empty group = 0") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Long)](
+      ("a", 0L), ("a", 0L), ("a", null), ("a", 7L), ("a", 7L), ("b", null))
+      .toDF("k", "v")
+    val r = df.groupBy("k")
+      .agg(call_function("graft_count_distinct", col("v")).as("n"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(r.toSeq == Seq(("a", 2L), ("b", 0L)))
+  }
+
+  test("set survives resize and serialization round-trip") {
+    val s = new LongOpenHashSet(4)
+    val vals = (1L to 10000L).map(_ * 2654435761L) :+ 0L :+ Long.MinValue :+ Long.MaxValue
+    vals.foreach(s.add)
+    vals.foreach(s.add) // idempotent
+    assert(s.size == vals.distinct.size)
+    val rt = LongOpenHashSet.deserialize(s.serialize())
+    assert(rt.size == s.size)
+    val merged = new LongOpenHashSet(4)
+    merged.add(42L)
+    merged.union(rt)
+    assert(merged.size == s.size + 1)
+  }
+}
