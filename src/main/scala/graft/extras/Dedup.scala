@@ -34,13 +34,28 @@ object Dedup {
       size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b)))
       .otherwise(lit(0.0))
 
-  /** MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket join
-    * -> exact Jaccard verification. Returns (id_a, id_b, jaccard) with
-    * id_a < id_b and jaccard >= threshold. */
+  /** MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket
+    * grouping -> exact Jaccard verification. Returns (id_a, id_b,
+    * jaccard) with id_a < id_b and jaccard >= threshold.
+    *
+    * Candidate generation groups bucket members with collect_list and
+    * emits in-bucket pairs directly — one shuffle on (band, bh) —
+    * instead of self-joining the bucket table (two shuffles + a
+    * distinct). Shingles and signature come from one fused byte-scan,
+    * lazily checkpointed so the bucket pipeline and both verification
+    * joins share a single computation inside the consuming job.
+    *
+    * `maxBucketSize` bounds the quadratic blow-up of a degenerate bucket
+    * (m members -> m^2/2 pairs AND an m-element collected list): buckets
+    * past the cap are dropped. With b independent bands a true near-dup
+    * pair collides in many bands, so a capped bucket's pairs almost
+    * surely re-surface in a less-loaded band; the cap trades a sliver of
+    * recall for a hard bound on worst-case memory — the standard LSH
+    * skew guard at corpus scale. */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     val base = df.select(
         col(idCol).as("id"),
@@ -48,19 +63,32 @@ object Dedup {
       .select(col("id"), col("smh.sh").as("sh"), col("smh.sig").as("sig"))
       .filter(size(col("sh")) > 0)
       .withColumn("bands", TextAnalysis.bandHashes(col("sig"), bands, rows))
-      // materialize signatures once: they feed the bucket self-join AND the
-      // verification joins, and re-deriving the hash tree through each join
-      // branch blows up the optimizer (and recomputes real work at scale)
-      .localCheckpoint()
+      // one fused byte-scan produces shingles AND signature; the result
+      // feeds the bucket pipeline and both verification joins, so pin it
+      // behind a (lazy) checkpoint — branches would otherwise re-derive
+      // the whole hash tree. eager=false keeps the materialization inside
+      // the first consuming job instead of a separate build-time barrier.
+      .localCheckpoint(eager = false)
     val buckets = base.select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
     // bucket-mates only: shuffle on (band, bh), never a global cross join
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val ids = sort_array(collect_list(col("id")))
+    val grouped = buckets.groupBy(col("band"), col("bh"))
+      .agg(ids.as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+    // all (i < j) pairs within a bucket, then global pair-dedup
+    val combos = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("a"), y.as("b")))))
+    val cand = grouped.select(explode(combos).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-    val withSh = cand
+    // shuffle-hash with the pair list as build side: hash-building on
+    // the pair ids stays bounded at any corpus size, and the shingle
+    // side streams (broadcasting it would ship every shingle array
+    // through the driver)
+    val withSh = cand.hint("shuffle_hash")
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .hint("shuffle_hash")
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
     withSh.select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
@@ -127,7 +155,7 @@ object Dedup {
     val base = df.select(col(idCol).as("id"),
         TextAnalysis.simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
       .withColumn("bands", TextAnalysis.simhashBands(col("sim")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val buckets = base.select(col("id"), col("sim"),
       posexplode(col("bands")).as(Seq("band", "bh")))
     buckets.as("a").join(buckets.as("b"),
@@ -146,7 +174,7 @@ object Dedup {
       threshold: Double = 0.95, srpBits: Int = 16): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", Similarity.srpSignature(col("v"), srpBits))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     base.as("a").join(base.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -63,15 +63,29 @@ object FastHash {
     set.toArray(new Array[String](set.size))
   }
 
-  /** MinHash signature: k minimums of xxhash64(i, xxhash64(shingle)). */
+  /** Per-row affine permutation family for minhash (Broder 1997 with
+    * multiply-shift universal hashing): row r maps the shingle's base
+    * xxhash64 through a_r * h0 + b_r (mod 2^64, a_r odd). One multiply
+    * + add per (shingle, row) instead of a full second xxhash chain —
+    * the minimum is decided by the well-mixed high bits of the product.
+    * Constants derive deterministically from xxhash so signatures are
+    * reproducible across sessions. */
+  val MaxMinhashK = 256
+  val MinhashA: Array[Long] =
+    Array.tabulate(MaxMinhashK)(r => hashInt(2 * r, Seed) | 1L)
+  val MinhashB: Array[Long] =
+    Array.tabulate(MaxMinhashK)(r => hashInt(2 * r + 1, Seed))
+
+  /** MinHash signature: k minimums of a_r * xxhash64(shingle) + b_r. */
   def minhashSignature(sh: Seq[String], k: Int): Array[Long] = {
+    require(k <= MaxMinhashK, s"minhash k must be <= $MaxMinhashK")
     val sig = Array.fill(k)(Long.MaxValue)
     if (sh == null) return sig
     sh.foreach { s =>
       val h0 = hashString(s)
       var i = 0
       while (i < k) {
-        val h = hashIntLong(i, h0)
+        val h = MinhashA(i) * h0 + MinhashB(i)
         if (h < sig(i)) sig(i) = h
         i += 1
       }

@@ -184,8 +184,7 @@ object MinhashScan {
         buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, FastHash.Seed)
       var r = 0
       while (r < k) {
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
-          h0, org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(r, FastHash.Seed))
+        val h = FastHash.MinhashA(r) * h0 + FastHash.MinhashB(r)
         if (h < sig(r)) sig(r) = h
         r += 1
       }
@@ -258,8 +257,7 @@ object ShingleScan {
         buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, FastHash.Seed)
       var r = 0
       while (r < k) {
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
-          h0, org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(r, FastHash.Seed))
+        val h = FastHash.MinhashA(r) * h0 + FastHash.MinhashB(r)
         if (h < sig(r)) sig(r) = h
         r += 1
       }
@@ -278,7 +276,7 @@ case class ShingleMinhash(child: Expression, n: Int, k: Int) extends UnaryExpres
     StructField("sh", ArrayType(StringType, containsNull = false)),
     StructField("sig", ArrayType(LongType, containsNull = false))))
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if n > 0 && k > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType if n > 0 && k > 0 && k <= FastHash.MaxMinhashK => TypeCheckResult.TypeCheckSuccess
     case StringType => TypeCheckResult.TypeCheckFailure(s"$prettyName needs n > 0, k > 0")
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string input, got ${other.sql}")
@@ -353,7 +351,7 @@ case class MinhashFromText(child: Expression, n: Int, k: Int) extends UnaryExpre
   override def prettyName: String = "graft_minhash"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if n > 0 && k > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType if n > 0 && k > 0 && k <= FastHash.MaxMinhashK => TypeCheckResult.TypeCheckSuccess
     case StringType => TypeCheckResult.TypeCheckFailure(s"$prettyName needs n > 0, k > 0")
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string input, got ${other.sql}")

@@ -1,0 +1,40 @@
+package graft.tools
+import org.apache.spark.sql.functions._
+import graft.extras.TextAnalysis
+object LshProbe {
+  def main(args: Array[String]): Unit = {
+    val d = "/root/testdata/sf0.1"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions","8")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val corpus = graft.queries.DedupQueries.corpus(spark, d)
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-28s n=$n%8d  ${(System.nanoTime()-t0)/1e6}%8.1fms")
+    }
+    t("corpus_count")(corpus.count())
+    val sigs = corpus.select(col("doc_id").as("id"),
+        TextAnalysis.minhashFromText(col("text"), 3, 64).as("sig"))
+      .where(TextAnalysis.tokenCount(col("text")) >= 3)
+      .withColumn("bands", TextAnalysis.bandHashes(col("sig"), 16, 4))
+    t("sigs_count")(sigs.count())
+    val buckets = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band","bh")))
+    val grouped = buckets.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, 10000))
+    t("buckets_gt1")(grouped.count())
+    t("max_bucket")(grouped.agg(max(size(col("ids")))).head().getInt(0).toLong)
+    val combos = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("a"), y.as("b")))))
+    val cand = grouped.select(explode(combos).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    t("cand_raw")(cand.count())
+    t("cand_distinct")(cand.distinct().count())
+    val sh = corpus.select(col("doc_id").as("id"),
+      TextAnalysis.distinctShingles(col("text"), 3).as("sh"))
+    t("sh_compute")(sh.select(sum(size(col("sh")))).head().getLong(0))
+    spark.stop()
+  }
+}
