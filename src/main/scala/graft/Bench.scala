@@ -20,6 +20,78 @@ import scala.util.control.NonFatal
   * and the warmup total, so a recorded number can be audited later.
   */
 object Bench {
+
+  /** Same-run DuckDB oracle timing for the benched queries that have an
+    * oracle SQL: min-of-3 after one warmup pass, on the machine's
+    * python3+duckdb (the driver-side oracle stack — measurement only,
+    * never a library dependency). Returns per-query seconds and the
+    * total, or None when the stack is unavailable; the bench JSON then
+    * simply omits the oracle fields. Running both sides back-to-back
+    * under the same load makes the recorded Spark/oracle ratio
+    * auditable, instead of comparing numbers from differently-loaded
+    * sessions.
+    */
+  private def oracleTimes(sfDir: String, cpus: String): Option[(Map[String, Double], Double)] = {
+    val oracles = Registry.all.filter(q => q.bench && q.oracle.isDefined)
+    if (oracles.isEmpty) return None
+    try {
+      val spec = oracles.map(q =>
+        s"""{"name":${jstr(q.name)},"sql":${jstr(q.oracle.get)}}""")
+        .mkString("[", ",", "]")
+      val py =
+        s"""
+           |import sys, json, glob, os, time
+           |import duckdb
+           |con = duckdb.connect()
+           |con.execute("SET threads=$cpus")
+           |for p in glob.glob(${jstr(sfDir + "/*.parquet")}):
+           |    t = os.path.basename(p)[:-8]
+           |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+           |qs = json.loads(sys.stdin.read())
+           |times = {}
+           |for q in qs:  # warmup
+           |    con.execute(q["sql"]).fetchall()
+           |for _ in range(3):
+           |    for q in qs:
+           |        t0 = time.perf_counter()
+           |        con.execute(q["sql"]).fetchall()
+           |        dt = time.perf_counter() - t0
+           |        times[q["name"]] = min(times.get(q["name"], 1e9), dt)
+           |print(json.dumps(times))
+           |""".stripMargin
+      val pb = new ProcessBuilder("python3", "-c", py)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val out = new java.io.ByteArrayOutputStream()
+      val writer = proc.getOutputStream
+      writer.write(spec.getBytes("UTF-8")); writer.close()
+      val reader = new Thread(() => proc.getInputStream.transferTo(out))
+      reader.start()
+      if (!proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
+        proc.destroyForcibly(); return None
+      }
+      reader.join(5000)
+      if (proc.exitValue() != 0) return None
+      // minimal flat {"name": number} parse — no JSON lib on this path
+      val line = out.toString("UTF-8").trim.linesIterator.toSeq.lastOption.getOrElse("")
+      val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*([0-9.eE+-]+)""".r
+      val perQuery = entry.findAllMatchIn(line)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      if (perQuery.isEmpty) None else Some((perQuery, perQuery.values.sum))
+    } catch { case NonFatal(_) => None }
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -84,9 +156,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val passJson = totals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val oracleJson = oracleTimes(sfDir, cpus) match {
+      case Some((perQuery, oTotal)) =>
+        val sparkOracleable = results.collect {
+          case (n, v) if perQuery.contains(n) => v }.sum
+        val oq = perQuery.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        f""","oracle_queries":$oq,"oracle_total_sec":$oTotal%.4f""" +
+          f""","spark_oracleable_sec":$sparkOracleable%.4f""" +
+          f""","spark_oracle_ratio":${sparkOracleable / oTotal}%.2f"""
+      case None => ""
+    }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","pass_totals":$passJson,"warmup_total":${warmup.values.sum}""" +
-      s""","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"extra_passes":$extra}"""
+      s""","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"extra_passes":$extra""" +
+      oracleJson + "}"
     // stdout line (un-prefixed via build.sbt outputStrategy) + file copy so
     // the driver can recover the metric even if stdout is log-polluted
     // (bench_result.json is gitignored — a runtime artifact, not source)
