@@ -92,6 +92,13 @@ object GraftFunctions {
         "graft_unscaled",
         exprs => org.apache.spark.sql.catalyst.expressions.UnscaledValue(exprs(0)),
         "scala_udf")
+      // fused double -> unscaled-decimal-long, skipping Cast's
+      // BigDecimal/toString allocation on the non-tie fast path
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_dunscaled",
+        exprs => DoubleUnscaledExpr(
+          exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()),
+        "scala_udf")
       // one-pass exact distinct count (no Expand); analyzer wraps the
       // raw AggregateFunction into an AggregateExpression
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

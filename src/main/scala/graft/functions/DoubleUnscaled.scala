@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Allocation-free `unscaled(CAST(x AS DECIMAL(18, scale)))` for double
+  * input — the hot cell of every exact money sum.
+  *
+  * Spark's Cast(double -> decimal) routes each value through
+  * BigDecimal.valueOf, i.e. a Double.toString shortest-representation
+  * conversion (slow on JDK 17) plus two object allocations, per row.
+  * The decimal result, though, is just round-half-up of the value at
+  * `scale` digits — which `Math.round(v * 10^scale)` computes exactly
+  * whenever the scaled value is not within a few ulps of a .5 tie:
+  * away from the tie, the double product, the exact binary value and
+  * the shortest decimal representation all sit on the same side of it,
+  * so nearest-rounding agrees no matter which of them is rounded.
+  * Only the tie neighbourhood (where shortest-repr HALF_UP and binary
+  * nearest can disagree, e.g. 0.015 at scale 2) takes the exact
+  * Decimal slow path — in real data a vanishing fraction of rows.
+  * Overflow (|unscaled| >= 10^18) and non-finite inputs also defer to
+  * the slow path, which reproduces Cast's null-on-overflow semantics.
+  *
+  * Bit-identical to the Cast path by construction; pinned by fuzz in
+  * DoubleUnscaledSpec (uniform + adversarial near-tie values) and by
+  * every DuckDB-oracle money sum in the registry.
+  */
+object DoubleUnscaled {
+  /** Exact slow path: Spark's own Cast(double->decimal(18,s)) sequence.
+    * Boxed so overflow can yield null exactly like Cast. */
+  def slow(v: Double, scale: Int): java.lang.Long = {
+    if (v.isNaN || v.isInfinite) return null
+    val dec = Decimal(v)
+    if (dec.changePrecision(18, scale)) java.lang.Long.valueOf(dec.toUnscaledLong)
+    else null
+  }
+
+  @inline def isFast(x: Double): Boolean = {
+    val f = x - math.floor(x)
+    !(java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) &&
+      math.abs(x) < 1.0e18 &&
+      math.abs(f - 0.5) > 4 * math.ulp(x)
+  }
+}
+
+case class DoubleUnscaledExpr(child: Expression, scale: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_dunscaled"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType if scale >= 0 && scale <= 18 => TypeCheckResult.TypeCheckSuccess
+    case DoubleType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs 0 <= scale <= 18")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a double input, got ${other.sql}")
+  }
+
+  private val pow: Double = math.pow(10, scale)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Double]
+    val x = v * pow
+    if (DoubleUnscaled.isFast(x)) java.lang.Long.valueOf(Math.round(x))
+    else DoubleUnscaled.slow(v, scale)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val x = ctx.freshName("x")
+      val r = ctx.freshName("r")
+      s"""
+        double $x = $c * ${pow}D;
+        if (graft.functions.DoubleUnscaled.isFast($x)) {
+          ${ev.value} = Math.round($x);
+        } else {
+          java.lang.Long $r = graft.functions.DoubleUnscaled.slow($c, $scale);
+          if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -24,21 +24,23 @@ object CoreQueries {
     * DOUBLE: the decimal intermediate makes the sum order-independent, the
     * final cast gives a bit-identical representation in Spark and DuckDB.
     *
-    * Summed as the decimal's UNSCALED long: the per-row cast keeps the
-    * exact same rounding, but the aggregation buffer is a plain codegen
-    * long instead of a precision-28 Decimal (which leaves Spark's
-    * compact-long representation and allocates BigDecimals per row —
-    * measured 3x slower on the q1 scan-agg). The final
+    * Summed as the decimal's UNSCALED long: graft_dunscaled performs
+    * the cast's round-half-up directly on the double (Math.round fast
+    * path, exact Decimal slow path near ties — see
+    * [[graft.functions.DoubleUnscaledExpr]]), so the aggregation buffer
+    * is a plain codegen long and the per-row BigDecimal/toString
+    * allocation of Cast disappears (measured ~95ms per computed-product
+    * sum on the q1 scan-agg). The final
     * decimal(38,0)/10^scale division is exact (result scale 6 >= all our
     * scales), so the one double rounding happens at the cast, identical
     * to Decimal.toDouble. Unscaled sums fit a long up to ~9e18 — room for
     * four orders of magnitude beyond sf100 at scale 6; past that, shard
     * the sum or fall back to the decimal buffer. */
-  private def dsum(c: Column, scale: Int, alias: String): Column = {
+  private[queries] def dsum(c: Column, scale: Int, alias: String): Column = {
     graft.functions.GraftFunctions.register(
       org.apache.spark.sql.SparkSession.active)
     val pow = math.pow(10, scale).toLong
-    (sum(call_function("graft_unscaled", c.cast(DecimalType(18, scale))))
+    (sum(call_function("graft_dunscaled", c.cast(DoubleType), lit(scale)))
       .cast(DecimalType(38, 0)) / lit(pow)).cast(DoubleType).as(alias)
   }
 
@@ -525,7 +527,7 @@ object CoreQueries {
         Tables.events(s, d)
           .groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+            dsum(col("value"), 6, "sum_value"))
           .transform(Present.sortSmall(_, col("hour"), col("event_type")))
       },
       oracle = Some("""

@@ -53,7 +53,7 @@ object OperatorQueries {
             bucketWidth = 12500.0)
           .groupBy("band_id")
           .agg(count(lit(1)).as("n"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+            CoreQueries.dsum(col("o_totalprice"), 2, "total"))
           .transform(Present.sortSmall(_, col("band_id")))
       },
       oracle = Some("""

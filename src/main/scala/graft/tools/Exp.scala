@@ -37,6 +37,7 @@ object Exp {
       println(f"$name%-40s min=${times.min}%7.1fms  med=${times.sorted.apply(reps / 2)}%7.1fms")
     }
 
+    graft.functions.GraftFunctions.register(spark)
     val lineitem = graft.Tables.lineitem(spark, sfDir)
     lineitem.count() // warm footer cache
 
@@ -59,10 +60,51 @@ object Exp {
     time("agg_rep1_sortwithin")(
       lineitem.groupBy("l_returnflag", "l_linestatus").agg(sum("l_quantity").as("s"))
         .repartition(1).sortWithinPartitions("l_returnflag", "l_linestatus"))
+    // q1 shape: raw double sums (no decimal casts)
+    time("q1_raw_double")(
+      lineitem.filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), sum("l_extendedprice"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))),
+          avg("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+        .coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus"))
+    // q1 shape: one decimal-cast unscaled sum only
+    time("q1_one_dsum")(
+      lineitem.filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(expr("graft_unscaled(CAST(l_quantity AS DECIMAL(18,2)))")))
+        .coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus"))
     // scan + agg + coalesce(1) local sort
     time("agg_coalesce1_sortwithin")(
       lineitem.groupBy("l_returnflag", "l_linestatus").agg(sum("l_quantity").as("s"))
         .coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus"))
+    def dsum2(c: org.apache.spark.sql.Column, sc: Int) = {
+      val pow = math.pow(10, sc).toLong
+      (sum(call_function("graft_unscaled", c.cast(org.apache.spark.sql.types.DecimalType(18, sc))))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / lit(pow))
+        .cast(org.apache.spark.sql.types.DoubleType)
+    }
+    val fl = lineitem.filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+    time("q1_2dsum")(fl.groupBy("l_returnflag", "l_linestatus")
+      .agg(dsum2(col("l_quantity"), 2), dsum2(col("l_extendedprice"), 2), count(lit(1)))
+      .coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus"))
+    time("q1_4dsum")(fl.groupBy("l_returnflag", "l_linestatus")
+      .agg(dsum2(col("l_quantity"), 2), dsum2(col("l_extendedprice"), 2),
+        dsum2(col("l_extendedprice") * (lit(1) - col("l_discount")), 4),
+        dsum2(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6),
+        count(lit(1)))
+      .coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus"))
+    time("q1_4dsum_avgs")(fl.groupBy("l_returnflag", "l_linestatus")
+      .agg(dsum2(col("l_quantity"), 2), dsum2(col("l_extendedprice"), 2),
+        dsum2(col("l_extendedprice") * (lit(1) - col("l_discount")), 4),
+        dsum2(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6),
+        round(avg("l_quantity"), 2), round(avg("l_extendedprice"), 2), count(lit(1)))
+      .coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus"))
+    time("q1_full")(graft.Registry.byName("q1_pricing_summary").run(spark, sfDir))
+    time("q3_full")(graft.Registry.byName("q3_shipping_priority").run(spark, sfDir))
+    time("q5_full")(graft.Registry.byName("q5_local_supplier").run(spark, sfDir))
+    time("wrank_full")(graft.Registry.byName("q_window_rank").run(spark, sfDir))
     spark.stop()
   }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** [[graft.functions.DoubleUnscaledExpr]] must be bit-identical to
+  * `unscaled(CAST(x AS DECIMAL(18, s)))` — the exact-money-sum parity
+  * contract. Fuzzes uniform magnitudes plus the adversarial band the
+  * fast path must refuse: values whose shortest representation ties at
+  * exactly scale+1 digits (0.015-likes), where binary nearest and
+  * decimal HALF_UP disagree.
+  */
+class DoubleUnscaledSpec extends SparkSpec {
+
+  private def check(vals: Seq[Double], scale: Int): Unit = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = vals.toDF("v")
+    // TRY_CAST: in-range values identical to CAST; overflow/non-finite
+    // yield null, which is DoubleUnscaledExpr's documented semantics
+    // (ANSI CAST would throw instead)
+    val r = df.select(
+        call_function("graft_dunscaled", col("v"), lit(scale)).as("fast"),
+        call_function("graft_unscaled",
+          expr(s"TRY_CAST(v AS DECIMAL(18,$scale))")).as("exact"))
+      .collect()
+    r.zip(vals).foreach { case (row, v) =>
+      val fast = if (row.isNullAt(0)) null else row.getLong(0)
+      val exact = if (row.isNullAt(1)) null else row.getLong(1)
+      assert(fast == exact, s"mismatch for $v at scale $scale: fast=$fast exact=$exact")
+    }
+  }
+
+  test("adversarial decimal ties match the Cast path") {
+    // shortest-repr ties at scale+1 digits: the canonical fast-path traps
+    val ties = Seq(0.015, 0.025, 0.005, 1.005, 2.675, 8.835, -0.015,
+      -2.675, 123.455, 999.995, 0.0005, 1234.5675, -1234.5675)
+    for (s <- Seq(2, 3, 4, 6)) check(ties, s)
+  }
+
+  test("uniform fuzz across magnitudes, scales 2/4/6") {
+    val rnd = new scala.util.Random(421)
+    val vals = Seq.fill(20000) {
+      val mag = math.pow(10, rnd.nextInt(12) - 3)
+      (rnd.nextDouble() - 0.5) * mag
+    } ++ Seq(0.0, -0.0, 1e17, -1e17, 9.999999e17)
+    for (s <- Seq(2, 4, 6)) check(vals, s)
+  }
+
+  test("products of 2-dp money values (the q1/q3/q5 shape)") {
+    val rnd = new scala.util.Random(77)
+    val vals = Seq.fill(20000) {
+      val price = math.rint(rnd.nextDouble() * 10000000) / 100.0
+      val disc = math.rint(rnd.nextDouble() * 10) / 100.0
+      val tax = math.rint(rnd.nextDouble() * 8) / 100.0
+      price * (1 - disc) * (1 + tax)
+    }
+    for (s <- Seq(2, 4, 6)) check(vals, s)
+  }
+
+  test("non-finite and overflow inputs null out like Cast") {
+    check(Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      1e19, -1e19, 9.3e18), 2)
+  }
+}
