@@ -36,8 +36,13 @@ object Maintenance {
     * data files and manifests stranded by commit retries that lost the
     * optimistic race, or by crashed writers. `graceMs` protects in-flight
     * writes — only files older than it are touched (pass 0 in tests).
+    * The default is 24h because staged files are written BEFORE their
+    * commit lands (distributed stats harvest can run long on huge
+    * batches): the grace must exceed the longest possible write-to-commit
+    * gap or cleanup deletes files an imminent commit references (Iceberg
+    * defaults this guard to 3 days for the same reason).
     * Returns the deleted paths. */
-  def removeOrphanFiles(table: LakeTable, graceMs: Long = 3 * 60 * 60 * 1000L): Seq[String] = {
+  def removeOrphanFiles(table: LakeTable, graceMs: Long = 24 * 60 * 60 * 1000L): Seq[String] = {
     val m = table.refresh().metadata
     val cutoff = System.currentTimeMillis() - graceMs
     val liveData = m.snapshots.flatMap(s => table.manifest(s).map(_.path))

@@ -87,6 +87,59 @@ object FieldIds {
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 class ValidationException(msg: String) extends RuntimeException(msg)
 
+/** Process-wide cache of PARSED manifest chunks, keyed by absolute path
+  * (reference analog: io/ContentCache.java:56-310 — a 256 MiB Caffeine
+  * cache of manifest bytes, kept for exactly this reason: every query
+  * re-plans from the same immutable chunks). Chunk files are immutable
+  * once written and their names embed a random suffix, so a path never
+  * maps to different content; a plain LRU needs no invalidation.
+  * Bounded by total cached [[FileEntry]] rows — the dominant memory term
+  * — so a million-file table can't pin unbounded heap on the driver. */
+object ManifestCache {
+  private[this] val lock = new Object
+  private[this] val map =
+    new java.util.LinkedHashMap[String, Seq[FileEntry]](256, 0.75f, true)
+  private[this] var total: Long = 0L
+  @volatile private[this] var capacity: Long = 4L * 1000 * 1000
+  private[this] var hitN: Long = 0L
+  private[this] var missN: Long = 0L
+
+  def hits: Long = lock.synchronized(hitN)
+  def misses: Long = lock.synchronized(missN)
+
+  def setCapacity(maxEntries: Long): Unit = lock.synchronized {
+    capacity = maxEntries; evict()
+  }
+
+  def clear(): Unit = lock.synchronized { map.clear(); total = 0L }
+
+  def getOrLoad(path: Path)(load: => Seq[FileEntry]): Seq[FileEntry] = {
+    val key = path.toAbsolutePath.normalize.toString
+    val cached = lock.synchronized {
+      val c = map.get(key)
+      if (c != null) hitN += 1 else missN += 1
+      c
+    }
+    if (cached != null) cached
+    else {
+      val loaded = load // parse OUTSIDE the lock: no I/O under contention
+      lock.synchronized {
+        if (!map.containsKey(key)) { map.put(key, loaded); total += loaded.size; evict() }
+      }
+      loaded
+    }
+  }
+
+  private[this] def evict(): Unit = {
+    val it = map.entrySet().iterator()
+    while (total > capacity && map.size() > 1) {
+      val eldest = it.next()
+      total -= eldest.getValue.size
+      it.remove()
+    }
+  }
+}
+
 sealed trait CommitOp
 object CommitOp {
   /** Append files to the branch head. `extraSummary` lands in the
@@ -129,7 +182,9 @@ class LakeTable private (val location: String, @volatile private var meta: Table
 
   def readManifest(ref: ManifestRef): Seq[FileEntry] = {
     val p = Paths.get(location, "metadata", ref.path)
-    Json.mapper.readValue(Files.readString(p), classOf[Array[FileEntry]]).toSeq
+    ManifestCache.getOrLoad(p) {
+      Json.mapper.readValue(Files.readString(p), classOf[Array[FileEntry]]).toSeq
+    }
   }
 
   def currentFiles(ref: TableRef = TableRef.Head): Seq[FileEntry] =
@@ -160,7 +215,16 @@ class LakeTable private (val location: String, @volatile private var meta: Table
           s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId")
     }
     val fromChunks = from.map(_.manifests.map(_.path).toSet).getOrElse(Set.empty)
-    val fromPaths = from.map(s => manifest(s).map(_.path).toSet).getOrElse(Set.empty)
+    // Paths needing filtering can only come from `from`-chunks ABSENT from
+    // `to`'s list (a list-compaction rewrote them into a fresh chunk that
+    // the non-shared filter below will read); shared chunks are skipped
+    // wholesale, so reading them to collect their paths would spend
+    // O(table) metadata for nothing.
+    val toChunks = to.manifests.map(_.path).toSet
+    val fromPaths = from.map(_.manifests
+        .filterNot(m => toChunks.contains(m.path))
+        .flatMap(readManifest).map(_.path).toSet)
+      .getOrElse(Set.empty[String])
     to.manifests.filterNot(m => fromChunks.contains(m.path))
       .flatMap(readManifest)
       .filterNot(f => fromPaths.contains(f.path))
@@ -402,6 +466,13 @@ class LakeTable private (val location: String, @volatile private var meta: Table
 }
 
 object LakeTable {
+  /** Table-format version written to every v<N>.json. Bumped to 2 when the
+    * metadata JSON shape changed incompatibly (Snapshot.manifestFile ->
+    * manifests, TableMetadata.partitionSpec -> partitionSpecs); the loader
+    * checks it BEFORE binding the full model so a mismatched table fails
+    * with a clear message instead of an opaque mapping error. */
+  val FormatVersion = 2
+
   def currentVersion(location: String): Int = {
     val dir = Paths.get(location, "metadata")
     if (!Files.isDirectory(dir)) return 0
@@ -422,7 +493,14 @@ object LakeTable {
 
   private[format] def loadMetaAt(location: String, v: Int): TableMetadata = {
     require(v > 0, s"no table at $location")
-    Json.read(Files.readString(Paths.get(location, "metadata", s"v$v.json")), classOf[TableMetadata])
+    val text = Files.readString(Paths.get(location, "metadata", s"v$v.json"))
+    val tree = Json.mapper.readTree(text)
+    val fv = Option(tree.get("formatVersion")).map(_.asInt(0)).getOrElse(0)
+    if (fv != FormatVersion)
+      throw new ValidationException(
+        s"unsupported table format version $fv at $location " +
+          s"(this build reads version $FormatVersion; older tables must be recreated or migrated)")
+    Json.mapper.treeToValue(tree, classOf[TableMetadata])
   }
 
   def load(location: String): LakeTable = new LakeTable(location, loadMeta(location))
@@ -443,7 +521,7 @@ object LakeTable {
       s"partition source ${pf.sourceColumn} not in schema"))
     Files.createDirectories(Paths.get(location, "metadata"))
     Files.createDirectories(Paths.get(location, "data"))
-    val meta = TableMetadata(1, location, Map("1" -> withIds.json), 1, lastId,
+    val meta = TableMetadata(FormatVersion, location, Map("1" -> withIds.json), 1, lastId,
       Map("0" -> partitionSpec), 0, sortOrder, properties, Seq.empty, None, Map.empty)
     Files.writeString(Paths.get(location, "metadata", "v1.json"), Json.write(meta))
     Files.writeString(Paths.get(location, "metadata", "version-hint.txt"), "1")

@@ -88,6 +88,33 @@ class ManifestSpec extends SparkSpec {
     assert(s.manifests.count(engine.scan(t).manifestMayMatch) === 2)
   }
 
+  test("manifest cache: a repeated scan re-reads zero chunk files") {
+    val t = mkTable()
+    engine.insert(t, rows(0 until 10))
+    engine.insert(t, rows(10 until 20))
+    assert(engine.scan(t).toDF().count() === 20) // warm: parses each chunk once
+    val misses0 = ManifestCache.misses
+    assert(engine.scan(t, "id = 5").toDF().count() === 1)
+    assert(engine.scan(t).toDF().count() === 20)
+    assert(ManifestCache.misses === misses0,
+      "repeated scans of unchanged chunks must be pure cache hits")
+    assert(ManifestCache.hits > 0)
+  }
+
+  test("pre-v2 metadata fails with a clear format-version error") {
+    val t = mkTable()
+    engine.insert(t, rows(0 until 5))
+    val v = LakeTable.currentVersion(t.location)
+    val p = Paths.get(t.location, "metadata", s"v$v.json")
+    Files.writeString(p, Files.readString(p)
+      .replaceFirst("\"formatVersion\":2", "\"formatVersion\":1"))
+    val e = intercept[ValidationException] { LakeTable.load(t.location) }
+    assert(e.getMessage.contains("unsupported table format version 1"))
+    // restore so other paths over this temp dir stay sane
+    Files.writeString(p, Files.readString(p)
+      .replaceFirst("\"formatVersion\":1", "\"formatVersion\":2"))
+  }
+
   test("incremental read: later batches only; non-append range errors") {
     val t = mkTable()
     engine.insert(t, rows(0 until 10))
@@ -102,6 +129,13 @@ class ManifestSpec extends SparkSpec {
     val head = t.metadata.currentSnapshotId.get
     assert(t.appendedFiles(Some(snap1), head).size ===
       t.currentFiles().size - t.manifest(t.metadata.snapshotById(snap1).get).size)
+    // ...and provably so: only the 2 non-shared chunks are parsed — the
+    // shared from-chunk is skipped on BOTH sides (to-list and from-paths)
+    ManifestCache.clear()
+    val misses0 = ManifestCache.misses
+    t.appendedFiles(Some(snap1), head)
+    assert(ManifestCache.misses - misses0 === 2,
+      "incremental planning must touch O(changed) manifest chunks")
     // a delete in range has no append-only representation
     engine.delete(t, "id < 5")
     intercept[graft.format.ValidationException] {
