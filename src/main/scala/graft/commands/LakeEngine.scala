@@ -78,7 +78,8 @@ final class LakeEngine(
       }
     val remove = full.map(_.path).toSet ++ provenByRows
     val newFiles = LakeWriter.write(spark, table, source)
-    table.overwriteFiles(newFiles, remove)
+    table.overwriteFiles(newFiles, remove,
+      removeHints = files.filter(f => remove.contains(f.path)))
   }
 
   /** D2 variant: overwrite the partitions/values present in the source
@@ -231,6 +232,7 @@ final class LakeEngine(
     val rebuilt = rebuild(rows, cond)
     val newFiles = LakeWriter.write(spark, table, rebuilt)
     table.commit(CommitOp.Overwrite(newFiles, touched,
-      fromSnapshotId = fromSnapshot, conflictFilter = Some(pred)))
+      fromSnapshotId = fromSnapshot, conflictFilter = Some(pred),
+      removeHints = touchedEntries))
   }
 }

@@ -29,7 +29,7 @@ object Maintenance {
     val rows = new TableScan(engine.spark, table, explicitFiles = Some(small)).toDF()
     val rewritten = LakeWriter.write(engine.spark, table, rows)
     table.commit(CommitOp.Overwrite(rewritten, small.map(_.path).toSet,
-      fromSnapshotId = fromSnapshot))
+      fromSnapshotId = fromSnapshot, removeHints = small))
   }
 
   /** Delete files in the table's directories that no snapshot references:
@@ -124,7 +124,7 @@ object Maintenance {
       .drop("__z")
     val rewritten = LakeWriter.write(engine.spark, table, clustered)
     table.commit(CommitOp.Overwrite(rewritten, files.map(_.path).toSet,
-      fromSnapshotId = fromSnapshot))
+      fromSnapshotId = fromSnapshot, removeHints = files))
   }
 
   /** Expire snapshots older than `keepLast` (never the current one or any

@@ -158,7 +158,8 @@ object Merge {
       val newData = retained.map(_.unionByName(upserts)).getOrElse(upserts)
       val newFiles = LakeWriter.write(spark, table, newData)
       table.commit(CommitOp.Overwrite(newFiles, modified,
-        fromSnapshotId = fromSnapshot, conflictFilter = Some(boundaryPred)))
+        fromSnapshotId = fromSnapshot, conflictFilter = Some(boundaryPred),
+        removeHints = candidates.filter(f => modified.contains(f.path))))
     } finally diff.unpersist()
   }
 
@@ -283,7 +284,8 @@ object Merge {
       // conflict filter mirrors the reference scan filter: boundary OR still-open rows
       val conflict = Or(boundaryPred, Or(IsNull(endC), Ge(endC, effTs)))
       table.commit(CommitOp.Overwrite(newFiles, modified,
-        fromSnapshotId = fromSnapshot, conflictFilter = Some(conflict)))
+        fromSnapshotId = fromSnapshot, conflictFilter = Some(conflict),
+        removeHints = candidates.filter(f => modified.contains(f.path))))
     } finally diff.unpersist()
   }
 

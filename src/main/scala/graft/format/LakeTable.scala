@@ -146,7 +146,13 @@ object CommitOp {
     * snapshot summary (e.g. the streaming sink's batch-id watermark). */
   final case class Append(files: Seq[FileEntry], branch: Option[String] = None,
       extraSummary: Map[String, String] = Map.empty) extends CommitOp
-  /** Copy-on-write swap: remove `removePaths`, add `files`. */
+  /** Copy-on-write swap: remove `removePaths`, add `files`.
+    * `removeHints` are the planned [[FileEntry]]s of the removed paths:
+    * when they cover every removed path, the commit skips (reuses
+    * unread) any manifest chunk whose partition-value summary excludes
+    * all of them, making a partition-scoped CoW commit O(matching
+    * chunks) instead of O(table metadata). Hints are advisory — absent
+    * or incomplete hints just mean every chunk is read. */
   final case class Overwrite(
       files: Seq[FileEntry],
       removePaths: Set[String],
@@ -155,7 +161,8 @@ object CommitOp {
       // predicate evaluated against files added/removed since then.
       fromSnapshotId: Option[Long] = None,
       conflictFilter: Option[graft.scan.Pred] = None,
-      serializable: Boolean = true) extends CommitOp
+      serializable: Boolean = true,
+      removeHints: Seq[FileEntry] = Seq.empty) extends CommitOp
   final case class SetSchema(schema: StructType, lastFieldId: Int) extends CommitOp
   /** Spec evolution: new writes use this layout; existing files keep
     * theirs (per-file specId resolves at scan). */
@@ -318,25 +325,45 @@ class LakeTable private (val location: String, @volatile private var meta: Table
       (advance(m, snap, branch),
         CommitMetrics(sid, files.size, 0, files.map(_.recordCount).sum, 0, 0))
 
-    case CommitOp.Overwrite(files, removePaths, branch, fromSnap, conflictFilter, serializable) =>
+    case CommitOp.Overwrite(files, removePaths, branch, fromSnap, conflictFilter, serializable, removeHints) =>
       val head = headOf(m, branch)
       validateNoConflicts(m, head, fromSnap, conflictFilter, serializable)
       val baseList = head.map(_.manifests).getOrElse(Seq.empty)
       val sid = newSnapshotId(m)
+      // Chunk-skip (mirrors TableScan.manifestMayMatch): when the hints
+      // cover every removed path, a chunk whose partition-value summary
+      // excludes ALL of their partitions provably contains none of them
+      // and is reused WITHOUT being read. A hinted file can live in a
+      // chunk only if the chunk's spec matches and every summarized
+      // field lists the file's value (missing info -> conservative).
+      val hintsComplete = removeHints.nonEmpty &&
+        removePaths.subsetOf(removeHints.iterator.map(_.path).toSet)
+      def mayContainRemoved(mref: ManifestRef): Boolean =
+        !hintsComplete || mref.specId.isEmpty || mref.partitionValues.isEmpty ||
+          removeHints.exists { f =>
+            f.specId == mref.specId.get &&
+              mref.partitionValues.forall { case (k, vs) =>
+                f.partition.get(k).forall(vs.contains) }
+          }
       // rewrite only manifests that contain a removed path; reuse the rest
       var removed = Seq.empty[FileEntry]
       var seen = Set.empty[String]
       val keptList = baseList.flatMap { mref =>
-        val entries = readManifest(mref)
-        seen ++= entries.iterator.map(_.path)
-        val hit = entries.filter(f => removePaths.contains(f.path))
-        if (hit.isEmpty) Some(mref)
+        if (!mayContainRemoved(mref)) Some(mref)
         else {
-          removed ++= hit
-          val kept = entries.filterNot(f => removePaths.contains(f.path))
-          if (kept.isEmpty) None else Some(newManifest(kept, sid))
+          val entries = readManifest(mref)
+          seen ++= entries.iterator.map(_.path)
+          val hit = entries.filter(f => removePaths.contains(f.path))
+          if (hit.isEmpty) Some(mref)
+          else {
+            removed ++= hit
+            val kept = entries.filterNot(f => removePaths.contains(f.path))
+            if (kept.isEmpty) None else Some(newManifest(kept, sid))
+          }
         }
       }
+      // sound with skipping: a skipped chunk provably holds no removed
+      // path, so a path absent from every READ chunk is truly gone
       val missing = removePaths -- seen
       if (missing.nonEmpty)
         throw new ValidationException(
@@ -427,8 +454,10 @@ class LakeTable private (val location: String, @volatile private var meta: Table
   def appendFiles(files: Seq[FileEntry], branch: Option[String] = None): CommitMetrics =
     commit(CommitOp.Append(files, branch))
   def overwriteFiles(add: Seq[FileEntry], removePaths: Set[String],
-      fromSnapshotId: Option[Long] = None, conflictFilter: Option[graft.scan.Pred] = None): CommitMetrics =
-    commit(CommitOp.Overwrite(add, removePaths, None, fromSnapshotId, conflictFilter))
+      fromSnapshotId: Option[Long] = None, conflictFilter: Option[graft.scan.Pred] = None,
+      removeHints: Seq[FileEntry] = Seq.empty): CommitMetrics =
+    commit(CommitOp.Overwrite(add, removePaths, None, fromSnapshotId, conflictFilter,
+      removeHints = removeHints))
   def evolveSchema(f: StructType => (StructType, Int)): Unit = {
     val (s, last) = f(schema)
     commit(CommitOp.SetSchema(s, last))

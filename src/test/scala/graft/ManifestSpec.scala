@@ -115,6 +115,31 @@ class ManifestSpec extends SparkSpec {
       .replaceFirst("\"formatVersion\":1", "\"formatVersion\":2"))
   }
 
+  test("partition-scoped delete commits without reading non-matching chunks") {
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable(freshName(), orders.schema,
+      partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+    def slice(y: Int) = orders.filter(year(col("o_orderdate")) === y)
+    engine.insert(t, slice(1995))
+    engine.insert(t, slice(1996))
+    val before = t.metadata.currentSnapshot.get
+    assert(before.manifests.size === 2)
+
+    ManifestCache.clear()
+    val misses0 = ManifestCache.misses
+    engine.delete(t,
+      "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'")
+    // end-to-end (scan plan + probe + CoW commit) the 1995 chunk is
+    // NEVER parsed: the scan excludes it by summary and the commit's
+    // remove hints let it be reused unread
+    assert(ManifestCache.misses - misses0 === 1,
+      s"expected exactly one chunk parse, got ${ManifestCache.misses - misses0}")
+    val after = t.metadata.currentSnapshot.get
+    assert(after.manifests === Seq(before.manifests.head),
+      "non-matching chunk must be reused as-is")
+    assert(engine.scan(t).toDF().count() === slice(1995).count())
+  }
+
   test("incremental read: later batches only; non-append range errors") {
     val t = mkTable()
     engine.insert(t, rows(0 until 10))
