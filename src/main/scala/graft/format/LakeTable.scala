@@ -87,6 +87,47 @@ object FieldIds {
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 class ValidationException(msg: String) extends RuntimeException(msg)
 
+/** The conditional-put seam of the commit protocol — the single
+  * operation that must be atomic-exclusive for optimistic concurrency
+  * to be safe. Everything else the table writes (manifest chunks, data
+  * files) uses unique names and needs no atomicity.
+  *
+  * A deployment swaps this for its object store (reference analog: the
+  * pluggable FileIO + S3 client in aws/SwiftLakeS3FileIO.java:41-163):
+  * - S3: `PUT vN+1.json` with `If-None-Match: *` — the 412 Precondition
+  *   Failed response IS the lost race.
+  * - GCS: `x-goog-if-generation-match: 0`; Azure: `If-None-Match: *`.
+  * - Stores without conditional writes: CAS the version in a DynamoDB/
+  *   JDBC catalog row, then write the file (Iceberg's catalog commit).
+  */
+trait CommitStore {
+  /** Publish `content` as `metadata/<name>` iff absent.
+    * @return false when `name` already exists (the commit lost the race;
+    *         caller refreshes and retries). */
+  def putIfAbsent(metadataDir: Path, name: String, content: String): Boolean
+  /** Best-effort pointer to the latest version for O(1) discovery;
+    * correctness never depends on it. Object stores typically no-op
+    * (they list) or write an unconditional hint object. */
+  def publishHint(metadataDir: Path, version: Int): Unit = ()
+}
+
+/** Local-FS store: exclusive hard link (atomic on POSIX) is the
+  * conditional put; a plain hint file accelerates version discovery. */
+object LocalCommitStore extends CommitStore {
+  override def putIfAbsent(metadataDir: Path, name: String, content: String): Boolean = {
+    val tmp = metadataDir.resolve(s".tmp-${Random.alphanumeric.take(8).mkString}.json")
+    Files.writeString(tmp, content)
+    try {
+      Files.createLink(metadataDir.resolve(name), tmp) // fails if name exists
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+  override def publishHint(metadataDir: Path, version: Int): Unit =
+    Files.writeString(metadataDir.resolve("version-hint.txt"), version.toString)
+}
+
 /** Process-wide cache of PARSED manifest chunks, keyed by absolute path
   * (reference analog: io/ContentCache.java:56-310 — a 256 MiB Caffeine
   * cache of manifest bytes, kept for exactly this reason: every query
@@ -173,7 +214,10 @@ object CommitOp {
   final case class ExpireSnapshots(ids: Set[Long]) extends CommitOp
 }
 
-class LakeTable private (val location: String, @volatile private var meta: TableMetadata) {
+class LakeTable private (
+    val location: String,
+    @volatile private var meta: TableMetadata,
+    val store: CommitStore = LocalCommitStore) {
 
   def metadata: TableMetadata = meta
   def schema: StructType = schemaFor(meta.currentSchemaId)
@@ -190,7 +234,12 @@ class LakeTable private (val location: String, @volatile private var meta: Table
   def readManifest(ref: ManifestRef): Seq[FileEntry] = {
     val p = Paths.get(location, "metadata", ref.path)
     ManifestCache.getOrLoad(p) {
-      Json.mapper.readValue(Files.readString(p), classOf[Array[FileEntry]]).toSeq
+      val text =
+        if (ref.path.endsWith(".gz")) {
+          val in = new java.util.zip.GZIPInputStream(Files.newInputStream(p))
+          try new String(in.readAllBytes(), UTF_8) finally in.close()
+        } else Files.readString(p)
+      Json.mapper.readValue(text, classOf[Array[FileEntry]]).toSeq
     }
   }
 
@@ -250,21 +299,15 @@ class LakeTable private (val location: String, @volatile private var meta: Table
       val curV = LakeTable.currentVersion(location)
       val cur = LakeTable.loadMetaAt(location, curV)
       val (next, metrics) = applyOp(cur, op, t0)
-      val target = Paths.get(location, "metadata", s"v${curV + 1}.json")
-      val tmp = Paths.get(location, "metadata", s".tmp-${Random.alphanumeric.take(8).mkString}.json")
-      Files.writeString(tmp, Json.write(next))
-      try {
-        Files.createLink(target, tmp) // atomic-exclusive: fails if vN+1 exists
-        Files.deleteIfExists(tmp)
-        Files.writeString(Paths.get(location, "metadata", "version-hint.txt"), (curV + 1).toString)
+      val metaDir = Paths.get(location, "metadata")
+      if (store.putIfAbsent(metaDir, s"v${curV + 1}.json", Json.write(next))) {
+        store.publishHint(metaDir, curV + 1)
         meta = next
         return metrics.copy(elapsedMs = System.currentTimeMillis() - t0)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          attempt += 1
-          if (attempt > retries)
-            throw new CommitConflictException(s"commit lost the race $retries times at $location")
+      } else {
+        attempt += 1
+        if (attempt > retries)
+          throw new CommitConflictException(s"commit lost the race $retries times at $location")
       }
     }
     throw new IllegalStateException("unreachable")
@@ -280,9 +323,24 @@ class LakeTable private (val location: String, @volatile private var meta: Table
     }
 
   private def newManifest(files: Seq[FileEntry], sid: Long): ManifestRef = {
+    // Chunk encoding (`graft.manifest.codec`): at ~10^6-file table sizes
+    // raw-JSON manifest size and parse cost dominate metadata reads
+    // (Iceberg uses Avro for the same reason); gzip cuts the bytes ~10x
+    // while keeping chunks greppable tooling-side after gunzip.
+    val codec = meta.properties.getOrElse("graft.manifest.codec", "json")
+    val suffix = codec match {
+      case "json" => ".json"
+      case "gzip" => ".json.gz"
+      case other  => throw new ValidationException(
+        s"unknown graft.manifest.codec '$other' (json | gzip)")
+    }
     // unique per attempt: a lost optimistic race must not reuse a name
-    val name = s"manifest-$sid-${Random.alphanumeric.take(8).mkString}.json"
-    Files.writeString(Paths.get(location, "metadata", name), Json.write(files))
+    val name = s"manifest-$sid-${Random.alphanumeric.take(8).mkString}$suffix"
+    val p = Paths.get(location, "metadata", name)
+    if (codec == "gzip") {
+      val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(p))
+      try out.write(Json.write(files).getBytes(UTF_8)) finally out.close()
+    } else Files.writeString(p, Json.write(files))
     // partition summary for scan-time chunk pruning: only meaningful when
     // every entry shares a spec; fields exceeding the cardinality cap are
     // dropped (a near-unique field can't skip chunks anyway)
@@ -532,7 +590,8 @@ object LakeTable {
     Json.mapper.treeToValue(tree, classOf[TableMetadata])
   }
 
-  def load(location: String): LakeTable = new LakeTable(location, loadMeta(location))
+  def load(location: String, store: CommitStore = LocalCommitStore): LakeTable =
+    new LakeTable(location, loadMeta(location), store)
 
   def exists(location: String): Boolean = currentVersion(location) > 0
 
@@ -541,7 +600,8 @@ object LakeTable {
       schema: StructType,
       partitionSpec: Seq[PartitionField] = Seq.empty,
       sortOrder: Seq[SortField] = Seq.empty,
-      properties: Map[String, String] = Map.empty): LakeTable = {
+      properties: Map[String, String] = Map.empty,
+      store: CommitStore = LocalCommitStore): LakeTable = {
     require(!exists(location), s"table already exists at $location")
     schema.fields.foreach(LogicalTypes.validateCarrier) // uuid/time carrier checks
     val (withIds, lastId) = FieldIds.assign(schema)
@@ -552,9 +612,11 @@ object LakeTable {
     Files.createDirectories(Paths.get(location, "data"))
     val meta = TableMetadata(FormatVersion, location, Map("1" -> withIds.json), 1, lastId,
       Map("0" -> partitionSpec), 0, sortOrder, properties, Seq.empty, None, Map.empty)
-    Files.writeString(Paths.get(location, "metadata", "v1.json"), Json.write(meta))
-    Files.writeString(Paths.get(location, "metadata", "version-hint.txt"), "1")
-    new LakeTable(location, meta)
+    val metaDir = Paths.get(location, "metadata")
+    if (!store.putIfAbsent(metaDir, "v1.json", Json.write(meta)))
+      throw new ValidationException(s"table already exists at $location (lost create race)")
+    store.publishHint(metaDir, 1)
+    new LakeTable(location, meta, store)
   }
 }
 

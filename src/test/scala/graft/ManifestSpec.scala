@@ -140,6 +140,43 @@ class ManifestSpec extends SparkSpec {
     assert(engine.scan(t).toDF().count() === slice(1995).count())
   }
 
+  test("gzip manifest codec round-trips; DML and compaction unchanged") {
+    val t = mkTable(Map("graft.manifest.codec" -> "gzip",
+      "graft.manifest.max-count" -> "4"))
+    (0 until 6).foreach(i => engine.insert(t, rows(i * 10 until i * 10 + 10)))
+    val s = t.metadata.currentSnapshot.get
+    assert(s.manifests.forall(_.path.endsWith(".json.gz")),
+      s"expected gz chunks, got ${s.manifests.map(_.path)}")
+    assert(engine.scan(t).toDF().count() === 60)
+    engine.delete(t, "id >= 50")
+    assert(engine.scan(t).toDF().count() === 50)
+    // cold-cache reload parses gz chunks from disk
+    ManifestCache.clear()
+    val t2 = LakeTable.load(t.location)
+    assert(t2.currentFiles().map(_.recordCount).sum === 50)
+    // unknown codec rejected at write time
+    val bad = mkTable(Map("graft.manifest.codec" -> "lz77"))
+    intercept[ValidationException] { engine.insert(bad, rows(0 until 3)) }
+  }
+
+  test("commits route through the pluggable CommitStore") {
+    val puts = new java.util.concurrent.atomic.AtomicInteger
+    val counting = new CommitStore {
+      override def putIfAbsent(dir: java.nio.file.Path, name: String, content: String): Boolean = {
+        puts.incrementAndGet(); LocalCommitStore.putIfAbsent(dir, name, content)
+      }
+      override def publishHint(dir: java.nio.file.Path, v: Int): Unit =
+        LocalCommitStore.publishHint(dir, v)
+    }
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val loc = Paths.get(warehouse, freshName()).toString
+    val t = LakeTable.create(loc, df.schema, store = counting)
+    assert(puts.get === 1)
+    engine.insert(t, rows(0 until 5))
+    assert(puts.get === 2)
+    assert(engine.scan(t).toDF().count() === 5)
+  }
+
   test("incremental read: later batches only; non-append range errors") {
     val t = mkTable()
     engine.insert(t, rows(0 until 10))
