@@ -100,35 +100,48 @@ object Dedup {
     * Returns (id, component) for every id appearing in `pairs`, where
     * component is the minimum id reachable.
     *
-    * Iterative min-label propagation: each round is one shuffle-on-id
-    * aggregation (neighbor-min join + fold), checkpointed so the lineage
-    * stays flat; rounds are bounded by the cluster diameter, which for
-    * near-dup graphs is tiny. The same loop runs unchanged at 100 TB —
-    * no driver-side graph state, only bounded convergence counters. */
+    * Iterative min-label propagation: each round is ONE job — the eager
+    * reliable checkpoint that materializes the new labels also counts
+    * label decreases through an accumulator, so convergence needs no
+    * separate count() pass. Reliable (HDFS-style) checkpoints rather
+    * than localCheckpoint: local blocks pin to executors, and one lost
+    * executor at cluster scale would mean recomputing the whole chain
+    * from nothing. Rounds are bounded by the cluster diameter, which
+    * for near-dup graphs is tiny; no driver-side graph state. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString))
     val edges = pairs
       .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"))
       .filter(col("a") =!= col("b"))
     val undirected = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint()
+      .checkpoint()
     var labels = undirected.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+      .checkpoint()
+    var converged = false
+    while (!converged) {
+      // the accumulator rides the checkpoint job; task retries can only
+      // inflate a nonzero count, never turn a genuine 0 into nonzero,
+      // so `value == 0` remains an exact convergence test
+      val acc = sc.longAccumulator("graft.cc.changed")
+      val fold = udf((c: Long, n: Long) => {
+        if (n < c) acc.add(1L); math.min(c, n)
+      })
       val neighborMin = undirected
         .join(labels.select(col("id").as("b"), col("comp")), "b")
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
       val next = labels
         .join(neighborMin.select(col("a").as("id"), col("ncomp")), Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("comp").as("oc")), "id")
-        .filter(col("comp") =!= col("oc")).count()
+          fold(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .checkpoint() // eager: one job materializes labels AND the counter
+      converged = acc.value == 0
       labels = next
     }
     labels.select(col("id"), col("comp").as("component"))
