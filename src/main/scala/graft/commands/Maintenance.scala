@@ -81,10 +81,19 @@ object Maintenance {
     *
     * Quantization is value-based (min/max normalized to `bits` bits, one
     * bounded agg to find the ranges — no global rank); columns must be
-    * numeric or date. NULLs quantize to bucket 0. */
+    * numeric or date. NULLs quantize to bucket 0.
+    *
+    * `scopeSql` bounds the rewrite to the files matching a predicate
+    * (partition/stats pruned, whole files — their full contents are
+    * re-clustered, never split): at 100 TB an all-or-nothing rewrite is
+    * one giant job whose failure wastes everything, so re-cluster the
+    * fragmented partition(s) incrementally instead. Each scoped commit
+    * is atomic; pruning on the clustered columns holds table-wide
+    * because every rewritten file gets tight per-file ranges and
+    * untouched files keep their existing stats. */
   def zorderRewrite(
       engine: LakeEngine, table: LakeTable, cols: Seq[String],
-      bits: Int = 8): CommitMetrics = {
+      bits: Int = 8, scopeSql: String = "true"): CommitMetrics = {
     require(cols.size >= 2, "z-order needs at least two columns")
     require(cols.size * bits <= 63, s"${cols.size} cols x $bits bits exceeds a long")
     require(table.metadata.sortOrder.isEmpty,
@@ -96,7 +105,7 @@ object Maintenance {
         s"z-order column $c must be numeric or date, got ${dt.sql}")
     }
     val fromSnapshot = table.metadata.currentSnapshotId
-    val files = table.currentFiles()
+    val files = engine.scan(table, scopeSql).planFiles()
     if (files.isEmpty)
       return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
     val df = new TableScan(engine.spark, table, explicitFiles = Some(files)).toDF()

@@ -54,6 +54,40 @@ class MaintenanceSpec extends SparkSpec {
       orders.filter(col("o_custkey") <= maxCust / 8).count())
   }
 
+  test("scoped z-order re-clusters only the matching partition's files") {
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable("zorder_inc_t", orders.schema,
+      partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")),
+      properties = Map("write.max-records-per-file" -> "50"))
+    def slice(y: Int) = orders.filter(year(col("o_orderdate")) === y)
+    engine.insert(t, slice(1995))
+    engine.insert(t, slice(1996).filter(col("o_orderkey") % 2 === 0))
+    engine.insert(t, slice(1996).filter(col("o_orderkey") % 2 === 1))
+    val before95 = t.currentFiles().filter(_.partition("o_year") == "1995").map(_.path).toSet
+    val before96 = t.currentFiles().filter(_.partition("o_year") == "1996").map(_.path).toSet
+    assert(before95.nonEmpty && before96.size >= 4, "need a fragmented 1996 partition")
+
+    Maintenance.zorderRewrite(engine, t, Seq("o_orderkey", "o_custkey"), scopeSql =
+      "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'")
+
+    val after = t.currentFiles()
+    // untouched partition: exact same files survive the commit
+    assert(after.filter(_.partition("o_year") == "1995").map(_.path).toSet === before95)
+    // scoped partition: rewritten wholesale
+    val after96 = after.filter(_.partition("o_year") == "1996").map(_.path).toSet
+    assert(after96.intersect(before96).isEmpty, "1996 files must be rewritten")
+    // data intact table-wide; pruning on a clustered column works in-scope
+    assert(engine.scan(t).toDF().count() === slice(1995).count() + slice(1996).count())
+    // a top-bit constraint on the NON-leading clustered column must
+    // exclude files (z-interleaving gives every column tight file ranges)
+    val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    val pruned = engine.scan(t,
+      s"o_custkey <= ${maxCust / 8} AND o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'")
+      .planFiles().count(_.partition("o_year") == "1996")
+    assert(pruned < after96.size,
+      s"clustered-column pruning weak in scoped partition: $pruned of ${after96.size}")
+  }
+
   test("snapshot expiry trims history and deletes orphaned files, keeps refs") {
     val orders = Tables.orders(spark, sf)
     val t = engine.catalog.createTable("expire_t", orders.schema)
