@@ -20,9 +20,29 @@ object StatsCodec {
     case _ => BigDecimal(s)
   }
 
+  /** Binary stats canonical form: lowercase hex, 2 chars per byte.
+    * Hex preserves unsigned-lexicographic byte order under plain string
+    * comparison (including the prefix relation), so binary bounds ride
+    * the existing String compare path. Spark and DuckDB both order
+    * BinaryType/BLOB unsigned-lexicographically, matching this key. */
+  def hexKey(bs: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bs.length * 2)
+    var i = 0
+    while (i < bs.length) {
+      val b = bs(i) & 0xff
+      sb.append(Character.forDigit(b >> 4, 16)).append(Character.forDigit(b & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Literal (Scala/Java value from the API or Catalyst) -> comparison key. */
   def literalKey(dt: DataType, v: Any): Any = dt match {
     case StringType => v.toString
+    case BinaryType => v match {
+      case bs: Array[Byte] => hexKey(bs)
+      case other => other.toString
+    }
     case BooleanType => if (v.asInstanceOf[Boolean]) BigDecimal(1) else BigDecimal(0)
     case TimestampType | TimestampNTZType => BigDecimal(graft.transforms.Transform.toEpochMicros(v))
     case DateType => BigDecimal(v match {
@@ -45,6 +65,10 @@ object StatsCodec {
 
   /** Canonical string for a literal, matching what the writer harvests. */
   def literalToStats(dt: DataType, v: Any): String = dt match {
+    case BinaryType => v match {
+      case bs: Array[Byte] => hexKey(bs)
+      case other => other.toString
+    }
     case TimestampType | TimestampNTZType => graft.transforms.Transform.toEpochMicros(v).toString
     case DateType => (v match {
       case d: java.sql.Date => d.toLocalDate.toEpochDay

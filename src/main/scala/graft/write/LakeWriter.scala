@@ -250,12 +250,42 @@ object LakeWriter extends Serializable {
       None
     }
 
+  private val MaxBinaryBoundBytes = 16
+
+  /** Safe binary lower bound: a byte prefix sorts <= every value it
+    * prefixes (unsigned), and the hex encoding preserves that. */
+  private def truncBinMin(bs: Array[Byte]): Option[String] =
+    Some(graft.scan.StatsCodec.hexKey(
+      if (bs.length <= MaxBinaryBoundBytes) bs else bs.take(MaxBinaryBoundBytes)))
+
+  /** Safe binary upper bound: truncate, then increment the last non-0xFF
+    * byte (carrying left) so the bound sorts strictly above every value
+    * sharing the truncated prefix — Iceberg
+    * BinaryUtil.truncateBinaryMax semantics. None = all-0xFF prefix,
+    * no finite bound. */
+  private def truncBinMaxUpper(bs: Array[Byte]): Option[String] =
+    if (bs.length <= MaxBinaryBoundBytes) Some(graft.scan.StatsCodec.hexKey(bs))
+    else {
+      val cs = bs.take(MaxBinaryBoundBytes)
+      var i = cs.length - 1
+      while (i >= 0) {
+        if ((cs(i) & 0xff) != 0xff) {
+          cs(i) = ((cs(i) & 0xff) + 1).toByte
+          return Some(graft.scan.StatsCodec.hexKey(cs.slice(0, i + 1)))
+        }
+        i -= 1
+      }
+      None
+    }
+
   /** Parquet statistics value -> canonical stats string (see StatsCodec). */
   private def statToCanon(v: AnyRef, dt: DataType, isMin: Boolean): Option[String] = dt match {
     case StringType =>
       val s = v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
       if (isMin) truncMin(s) else truncMaxUpper(s)
-    case BinaryType => None
+    case BinaryType =>
+      val bs = v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+      if (isMin) truncBinMin(bs) else truncBinMaxUpper(bs)
     case d: DecimalType =>
       // physical type depends on precision: int32 / int64 / binary unscaled
       val unscaled = v match {

@@ -75,8 +75,12 @@ class PropertySpec extends SparkSpec {
         else i * 1.5
       (i.toLong, BigDecimal(i * 10037L, 2), // i * 100.37 as decimal(12,2)
         f"https://example.com/catalog/section/item-padpadpadpad/$i%06d-suffix",
-        d)
-    }.toDF("id", "dec", "url", "d")
+        d,
+        // 25-byte binary key: id-ordered prefix + constant tail past the
+        // 16-byte bound truncation, so pruning must go through
+        // truncate+increment, never exact bounds
+        f"$i%012d-padpadpadpad".getBytes("UTF-8"))
+    }.toDF("id", "dec", "url", "d", "bin")
       .withColumn("dec", col("dec").cast("decimal(12,2)"))
     val t = engine.catalog.createTable("prop_stats", df.schema,
       sortOrder = Seq(SortField("id")),
@@ -85,14 +89,18 @@ class PropertySpec extends SparkSpec {
     t
   }
 
+  private def hexOf(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+
   private def statsPred(rnd: Random): String = {
-    def leaf(): String = rnd.nextInt(6) match {
+    def leaf(): String = rnd.nextInt(7) match {
       case 0 => s"dec ${Seq("<", "<=", ">", ">=", "=")(rnd.nextInt(5))} ${rnd.nextInt(800000)}.${10 + rnd.nextInt(89)}"
       case 1 => s"url ${Seq("<", ">=")(rnd.nextInt(2))} 'https://example.com/catalog/section/item-padpadpadpad/00${rnd.nextInt(9)}'"
       case 2 => s"url LIKE 'https://example.com/catalog/section/item-padpadpadpad/00${rnd.nextInt(9)}%'"
       case 3 => "isnan(d)"
       case 4 => "NOT isnan(d)"
       case 5 => s"d ${Seq("<", ">")(rnd.nextInt(2))} ${rnd.nextInt(12000)}.5"
+      case 6 => s"bin ${Seq("<", "<=", ">", ">=", "=")(rnd.nextInt(5))} X'${hexOf(f"${rnd.nextInt(8000)}%012d-padpadpadpad")}'"
     }
     def tree(depth: Int): String =
       if (depth == 0 || rnd.nextInt(3) == 0) leaf()
@@ -130,6 +138,18 @@ class PropertySpec extends SparkSpec {
     val m = engine.scan(statsTable,
       "url >= 'https://example.com/catalog/section/item-padpadpadpad/007'").metrics()
     assert(m.skippedFiles > 0, s"long-string bounds pruned nothing: $m")
+  }
+
+  test("binary predicate skips files on truncated byte-prefix bounds") {
+    // bin < key(50): ids < 50 live only in the first of 8 id-sorted files
+    val sql = s"bin < X'${hexOf(f"${50}%012d-padpadpadpad")}'"
+    val m = engine.scan(statsTable, sql).metrics()
+    assert(m.totalFiles >= 8, s"expected >=8 files, got ${m.totalFiles}")
+    assert(m.skippedFiles >= m.totalFiles - 1, s"binary bounds pruned nothing: $m")
+    assert(engine.scan(statsTable, sql).toDF().count() === 50)
+    // equality through truncated bounds stays sound
+    val eq = s"bin = X'${hexOf(f"${137}%012d-padpadpadpad")}'"
+    assert(engine.scan(statsTable, eq).toDF().count() === 1)
   }
 
   test("isnan predicate reads only the file with the NaN row") {
