@@ -184,9 +184,13 @@ object ManifestCache {
 sealed trait CommitOp
 object CommitOp {
   /** Append files to the branch head. `extraSummary` lands in the
-    * snapshot summary (e.g. the streaming sink's batch-id watermark). */
+    * snapshot summary (e.g. the streaming sink's batch-id watermark);
+    * `extraProperties` merge into the TABLE properties in the same
+    * atomic commit — state that must outlive snapshot expiry (e.g. the
+    * sink's per-query high-water mark) goes there. */
   final case class Append(files: Seq[FileEntry], branch: Option[String] = None,
-      extraSummary: Map[String, String] = Map.empty) extends CommitOp
+      extraSummary: Map[String, String] = Map.empty,
+      extraProperties: Map[String, String] = Map.empty) extends CommitOp
   /** Copy-on-write swap: remove `removePaths`, add `files`.
     * `removeHints` are the planned [[FileEntry]]s of the removed paths:
     * when they cover every removed path, the commit skips (reuses
@@ -371,7 +375,7 @@ class LakeTable private (
   }
 
   private def applyOp(m: TableMetadata, op: CommitOp, t0: Long): (TableMetadata, CommitMetrics) = op match {
-    case CommitOp.Append(files, branch, extraSummary) =>
+    case CommitOp.Append(files, branch, extraSummary, extraProperties) =>
       val head = headOf(m, branch)
       val baseList = head.map(_.manifests).getOrElse(Seq.empty)
       val sid = newSnapshotId(m)
@@ -380,7 +384,9 @@ class LakeTable private (
       val snap = Snapshot(sid, head.map(_.id), System.currentTimeMillis(), "append", list,
         Map("added-files" -> files.size.toString,
           "added-records" -> files.map(_.recordCount).sum.toString) ++ extraSummary)
-      (advance(m, snap, branch),
+      val next = advance(m, snap, branch)
+      (if (extraProperties.isEmpty) next
+       else next.copy(properties = next.properties ++ extraProperties),
         CommitMetrics(sid, files.size, 0, files.map(_.recordCount).sum, 0, 0))
 
     case CommitOp.Overwrite(files, removePaths, branch, fromSnap, conflictFilter, serializable, removeHints) =>

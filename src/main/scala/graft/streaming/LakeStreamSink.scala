@@ -27,29 +27,36 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object LakeStreamSink {
   val QueryKey = "graft.stream.query-key"
   val BatchKey = "graft.stream.batch-id"
+  val HwmPropPrefix = "graft.stream.hwm."
 
   /** Highest batchId committed for `queryKey`, or None if the query has
-    * never committed. Batches commit in order, so the FIRST marker found
-    * walking head-first is the high-water mark. */
+    * never committed. The durable source is the table property written
+    * atomically with every sink commit — snapshot summaries also carry a
+    * marker, but expireSnapshots can drop those with their snapshots, so
+    * a property-less marker walk alone could replay an acknowledged
+    * batch after expiry. Max of both covers pre-property tables. */
   def lastCommittedBatch(table: LakeTable, queryKey: String): Option[Long] = {
     val m = table.metadata
-    Iterator.iterate(m.currentSnapshot)(s =>
+    val fromProp = m.properties.get(HwmPropPrefix + queryKey).map(_.toLong)
+    val fromWalk = Iterator.iterate(m.currentSnapshot)(s =>
         s.flatMap(_.parentId).flatMap(m.snapshotById))
       .takeWhile(_.isDefined).flatten
       .find(_.summary.get(QueryKey).contains(queryKey))
       .flatMap(_.summary.get(BatchKey)).map(_.toLong)
+    (fromProp ++ fromWalk).maxOption
   }
 
   /** Idempotent micro-batch append: a replayed (queryKey, batchId) is a
     * no-op; a fresh one writes files and commits them together with the
-    * batch marker. */
+    * batch marker and the durable high-water-mark property. */
   def appendBatch(engine: LakeEngine, table: LakeTable, queryKey: String,
       batchId: Long, batch: DataFrame): Unit = {
     table.refresh()
     if (lastCommittedBatch(table, queryKey).exists(_ >= batchId)) return
     val files = LakeWriter.write(engine.spark, table, batch)
     table.commit(CommitOp.Append(files, None,
-      Map(QueryKey -> queryKey, BatchKey -> batchId.toString)))
+      Map(QueryKey -> queryKey, BatchKey -> batchId.toString),
+      Map(HwmPropPrefix + queryKey -> batchId.toString)))
     ()
   }
 

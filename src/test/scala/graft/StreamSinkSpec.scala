@@ -37,6 +37,29 @@ class StreamSinkSpec extends SparkSpec {
     assert(LakeStreamSink.lastCommittedBatch(t, "q1") === Some(1L))
   }
 
+  test("high-water mark survives snapshot expiry; late replay still no-ops") {
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = engine.catalog.createTable(freshName(), df0.schema)
+    LakeStreamSink.appendBatch(engine, t, "q", 5L, df0)
+    // non-stream commits push the marker snapshot off head...
+    engine.insert(t, Seq((3L, "c")).toDF("id", "v"))
+    engine.insert(t, Seq((4L, "d")).toDF("id", "v"))
+    // ...and expiry drops it (with its summary marker) from the log
+    graft.commands.Maintenance.expireSnapshots(t, keepLast = 1)
+    assert(!t.refresh().metadata.snapshots
+      .exists(_.summary.get(LakeStreamSink.QueryKey).contains("q")),
+      "precondition: the marker snapshot must be expired")
+    // the durable property still remembers the acknowledged batch
+    assert(LakeStreamSink.lastCommittedBatch(t, "q") === Some(5L))
+    val before = engine.scan(t).toDF().count()
+    LakeStreamSink.appendBatch(engine, t, "q", 5L, df0) // replay after expiry
+    assert(engine.scan(t).toDF().count() === before, "expired-marker replay duplicated rows")
+    // a genuinely new batch still commits
+    LakeStreamSink.appendBatch(engine, t, "q", 6L, Seq((9L, "z")).toDF("id", "v"))
+    assert(engine.scan(t).toDF().count() === before + 1)
+    assert(LakeStreamSink.lastCommittedBatch(t, "q") === Some(6L))
+  }
+
   test("lake-to-lake pipeline: snapshot-id offsets, exactly-once across restarts") {
     val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val src = engine.catalog.createTable(freshName(), df0.schema)
