@@ -121,20 +121,27 @@ final class TableScan(
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Field-id based projection from the written schema to the current one:
-    * rename via id match, cast widened types, NULL-fill added columns —
-    * recursing into structs and arrays-of-struct (S4;
-    * reference sql/SchemaEvolution.java:328-457). */
-  private def project(df: DataFrame, written: StructType, cur: StructType): DataFrame = {
+  private def project(df: DataFrame, written: StructType, cur: StructType): DataFrame =
+    df.select(SchemaEvolve.columns(written, cur): _*)
+}
+
+/** Field-id based projection from a written schema to the current one:
+  * rename via id match, cast widened types, NULL-fill added columns —
+  * recursing into structs and arrays-of-struct (S4;
+  * reference sql/SchemaEvolution.java:328-457). Shared by the batch
+  * read path ([[TableScan]]) and the DSv2 streaming source (which binds
+  * the same projection to raw parquet reader output). */
+private[graft] object SchemaEvolve {
+
+  def columns(written: StructType, cur: StructType): Seq[Column] = {
     val byId = written.fields.map(f => graft.format.FieldIds.of(f) -> f).toMap
-    val cols = cur.fields.map { nf =>
+    cur.fields.toSeq.map { nf =>
       val id = graft.format.FieldIds.of(nf)
       byId.get(id) match {
         case Some(of) => evolve(col(of.name), of.dataType, nf.dataType).as(nf.name)
         case None     => lit(null).cast(nf.dataType).as(nf.name)
       }
     }
-    df.select(cols.toSeq: _*)
   }
 
   private def evolve(c: Column, from: DataType, to: DataType): Column = (from, to) match {

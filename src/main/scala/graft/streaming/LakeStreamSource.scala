@@ -1,64 +1,225 @@
 package graft.streaming
 
-import graft.format.LakeTable
-import graft.scan.TableScan
-import org.apache.spark.sql.{DataFrame, GraftSqlShims, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
+import graft.format.{FileEntry, LakeTable}
+import graft.scan.SchemaEvolve
+import java.util.{Map => JMap}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{Metadata, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Lake tables as a Structured Streaming SOURCE — the mirror of
-  * [[LakeStreamSink]], closing the table-to-table incremental pipeline
-  * (net-new vs the reference, which has no streaming surface).
+/** Lake tables as a DataSource V2 connector — a MicroBatchStream SOURCE
+  * (the mirror of [[LakeStreamSink]], closing the table-to-table
+  * incremental pipeline; net-new vs the reference, which has no
+  * streaming surface) plus a plain Batch read.
   *
   * Offsets are snapshot ids: a micro-batch reads exactly the files
   * appended between two snapshots ([[LakeTable.appendedFiles]] — shared
   * manifest chunks are skipped unread, so per-batch planning cost is
   * O(new files)). Restart resumes from the checkpointed snapshot id with
   * no duplicates and no gaps; paired with the sink's batch-id markers the
-  * whole pipeline is exactly-once. Append-only tables: a compaction or
+  * whole pipeline is exactly-once. Append-only ranges: a compaction or
   * delete inside an unread range fails the stream rather than replaying
   * rewritten rows.
   *
-  * Usage: `spark.readStream.format("graft-lake").option("path", loc).load()`.
+  * Execution delegates to Spark's own vectorized parquet machinery: each
+  * batch plans its files through a [[ParquetScanBuilder]] (one per
+  * written-schema group) and reuses the resulting FilePartitions and
+  * reader factory; files written under an older schema are projected to
+  * the current schema by the same field-id [[SchemaEvolve]] rules as the
+  * batch path, bound once and applied per-row in the reader. No classes
+  * live in Spark's namespace and no v1 `Source` shim is needed.
+  *
+  * Usage: `spark.readStream.format("graft-lake").option("path", loc).load()`
+  * (and `spark.read.format("graft-lake")` for a full-table batch read;
+  * [[graft.scan.TableScan]] remains the pruning batch read path).
   */
-class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class LakeSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake"
 
-  override def sourceSchema(
-      sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), LakeTable.load(path(parameters)).schema)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LakeDsv2.clean(LakeTable.load(LakeDsv2.path(options)).schema)
 
-  override def createSource(
-      sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): Source =
-    new LakeStreamSource(sqlContext.sparkSession, path(parameters))
-
-  private def path(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-lake source requires option 'path'"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new LakeDsv2Table(properties.get("path"))
 }
 
-class LakeStreamSource(spark: SparkSession, location: String) extends Source {
+private[streaming] object LakeDsv2 {
+  def path(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-lake requires option 'path'"))
+
+  def clean(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(metadata = Metadata.empty)))
+
+  /** Plan `files` through Spark's parquet reader: one ParquetScanBuilder
+    * per written-schema group (partition inference suppressed — the lake
+    * layout's hive-style dirs are NOT DSv2 partition columns), partitions
+    * tagged with their group, one factory per group plus the bound
+    * field-id projection for groups not already on the current schema. */
+  def plan(spark: ClassicSession, table: LakeTable,
+      files: Seq[FileEntry]): (Array[InputPartition], PartitionReaderFactory) = {
+    if (files.isEmpty) return (Array.empty, EmptyReaderFactory)
+    val cur = table.schema
+    val groups = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
+    val parts = Vector.newBuilder[InputPartition]
+    val factories = Map.newBuilder[Int, PartitionReaderFactory]
+    val projections = Map.newBuilder[Int, Seq[Expression]]
+    groups.foreach { case (sid, fs) =>
+      val written = table.schemaFor(sid)
+      val index = new InMemoryFileIndex(spark, fs.map(f => new Path(f.path)),
+        Map.empty, Some(clean(written)), userSpecifiedPartitionSpec = Some(PartitionSpec.emptySpec))
+      val scan = ParquetScanBuilder(spark, index, clean(written), clean(written),
+        new CaseInsensitiveStringMap(new java.util.HashMap[String, String]())).build()
+      val batch = scan.toBatch
+      batch.planInputPartitions().foreach(p => parts += SchemaGroupPartition(sid, p))
+      factories += sid -> batch.createReaderFactory()
+      if (clean(written) != clean(cur))
+        projections += sid -> boundEvolveExprs(spark, written, cur)
+    }
+    (parts.result().toArray, GroupReaderFactory(factories.result(), projections.result()))
+  }
+
+  /** The [[SchemaEvolve]] column projection, analyzed against an empty
+    * relation of the written schema and bound to its output order — i.e.
+    * exactly the expressions the batch path would run, ready to apply to
+    * raw parquet reader rows on executors. */
+  private def boundEvolveExprs(spark: ClassicSession, written: StructType,
+      cur: StructType): Seq[Expression] = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], clean(written))
+    val analyzed = empty.select(SchemaEvolve.columns(written, cur): _*)
+      .queryExecution.analyzed
+    val project = analyzed.collectFirst { case p: Project => p }.getOrElse(
+      throw new IllegalStateException(s"evolution projection did not analyze to a Project: $analyzed"))
+    BindReferences.bindReferences(
+      project.projectList.asInstanceOf[Seq[Expression]],
+      project.child.output.asInstanceOf[Seq[Attribute]])
+  }
+}
+
+private[streaming] final case class SchemaGroupPartition(
+    schemaId: Int, inner: InputPartition) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+private[streaming] case object EmptyReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    throw new IllegalStateException("empty scan has no partitions")
+}
+
+/** Routes each partition to its schema group's parquet factory and, for
+  * groups written under an older schema, applies the bound field-id
+  * projection per row (built lazily executor-side — UnsafeProjection
+  * itself is not serializable, the expressions are). */
+private[streaming] final case class GroupReaderFactory(
+    factories: Map[Int, PartitionReaderFactory],
+    projections: Map[Int, Seq[Expression]]) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sgp = p.asInstanceOf[SchemaGroupPartition]
+    val inner = factories(sgp.schemaId).createReader(sgp.inner)
+    projections.get(sgp.schemaId) match {
+      case None => inner
+      case Some(exprs) => new PartitionReader[InternalRow] {
+        private[this] val proj = UnsafeProjection.create(exprs)
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = proj(inner.get())
+        override def close(): Unit = inner.close()
+      }
+    }
+  }
+}
+
+private[streaming] final class LakeDsv2Table(location: String) extends Table with SupportsRead {
   private val table = LakeTable.load(location)
 
-  override def schema: StructType = table.schema
+  override def name(): String = s"graft-lake:$location"
+  override def schema(): StructType = LakeDsv2.clean(table.schema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
-  override def getOffset: Option[Offset] =
-    table.refresh().metadata.currentSnapshotId.map(LongOffset.apply)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScan(location, schema())
+}
 
-  private def snapId(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong // checkpointed offsets arrive serialized
+private[streaming] final class LakeScan(location: String, outSchema: StructType)
+    extends ScanBuilder with Scan {
+  override def build(): Scan = this
+  override def readSchema(): StructType = outSchema
+  override def description(): String = s"graft-lake $location"
+
+  override def toBatch: Batch = new Batch {
+    private val spark = ClassicSession.active
+    private val table = LakeTable.load(location)
+    private lazy val planned = LakeDsv2.plan(spark, table, table.currentFiles())
+    override def planInputPartitions(): Array[InputPartition] = planned._1
+    override def createReaderFactory(): PartitionReaderFactory = planned._2
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val files = table.refresh().appendedFiles(start.map(snapId), snapId(end))
-    val batch = new TableScan(spark, table, explicitFiles = Some(files)).toDF()
-    GraftSqlShims.asStreamingDataFrame(batch)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LakeMicroBatchStream(location)
+}
+
+final class LakeMicroBatchStream(location: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private val spark = ClassicSession.active
+  private val table = LakeTable.load(location)
+  // AvailableNow pins the end offset at start; null = unbounded stream
+  @volatile private var availableEnd: Option[LakeOffset] = None
+  // the factory matching the LAST planInputPartitions call (Spark builds
+  // the factory right after planning each micro-batch)
+  @volatile private var lastFactory: PartitionReaderFactory = EmptyReaderFactory
+
+  private def head(): Option[Long] = table.refresh().metadata.currentSnapshotId
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = Some(LakeOffset(head().getOrElse(0L)))
+
+  override def initialOffset(): Offset = LakeOffset(0L)
+
+  override def latestOffset(): Offset =
+    availableEnd.getOrElse(LakeOffset(head().getOrElse(0L)))
+
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no rate
+  // limiting — a batch is whatever snapshots landed; AvailableNow's
+  // pinned end offset is the only admission bound applied.
+  override def latestOffset(start: Offset, limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def deserializeOffset(json: String): Offset = LakeOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[LakeOffset].snapshotId match {
+      case 0L => None
+      case id => Some(id)
+    }
+    val endId = end.asInstanceOf[LakeOffset].snapshotId
+    val files =
+      if (endId == 0L || from.contains(endId)) Seq.empty
+      else table.refresh().appendedFiles(from, endId)
+    val (parts, factory) = LakeDsv2.plan(spark, table, files)
+    lastFactory = factory
+    parts
   }
 
+  override def createReaderFactory(): PartitionReaderFactory = lastFactory
+
+  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+final case class LakeOffset(snapshotId: Long) extends Offset {
+  override def json(): String = snapshotId.toString
 }

@@ -60,6 +60,34 @@ class StreamSinkSpec extends SparkSpec {
     assert(LakeStreamSink.lastCommittedBatch(t, "q") === Some(6L))
   }
 
+  test("DSv2 source projects old-schema files by field id; batch read works") {
+    val df0 = Seq((1L, "a")).toDF("id", "v")
+    val src = engine.catalog.createTable(freshName(), df0.schema)
+    engine.insert(src, df0)
+    src.renameColumn("v", "name")
+    src.addColumn("score", org.apache.spark.sql.types.DoubleType)
+    engine.insert(src, Seq((2L, "b", 0.5)).toDF("id", "name", "score"))
+
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    val expected = Set((1L, "a", None), (2L, "b", Some(0.5)))
+
+    // batch read surface
+    val batch = spark.read.format("graft-lake").option("path", src.location).load()
+    assert(batch.columns.toSeq === Seq("id", "name", "score"))
+    assert(normalize(batch) === expected)
+
+    // streaming read of the same mixed-schema history: the first batch
+    // carries files from BOTH schema groups, old ones projected by id
+    val name = s"evo_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft-lake").option("path", src.location).load()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(normalize(spark.table(name)) === expected)
+  }
+
   test("lake-to-lake pipeline: snapshot-id offsets, exactly-once across restarts") {
     val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val src = engine.catalog.createTable(freshName(), df0.schema)
