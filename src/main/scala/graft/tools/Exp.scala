@@ -11,7 +11,7 @@ object Exp {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .withExtensions(new graft.sqlext.LakeSqlExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
@@ -24,7 +24,10 @@ object Exp {
       .config("spark.locality.wait", "0")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf sweep: SPARK_GRAFT_EXTRA="k=v;k=v"
+    sys.env.getOrElse("SPARK_GRAFT_EXTRA", "").split(';').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
@@ -38,6 +41,13 @@ object Exp {
     }
 
     graft.functions.GraftFunctions.register(spark)
+
+    // `runMain graft.tools.Exp explain <query>` — print the formatted plan
+    if (args.length >= 2 && args(0) == "explain") {
+      graft.Registry.byName(args(1)).run(spark, sfDir).explain("formatted")
+      spark.stop(); return
+    }
+
     val lineitem = graft.Tables.lineitem(spark, sfDir)
     lineitem.count() // warm footer cache
 
@@ -105,6 +115,95 @@ object Exp {
     time("q3_full")(graft.Registry.byName("q3_shipping_priority").run(spark, sfDir))
     time("q5_full")(graft.Registry.byName("q5_local_supplier").run(spark, sfDir))
     time("wrank_full")(graft.Registry.byName("q_window_rank").run(spark, sfDir))
+
+    // q5 with the ASIA restriction pushed through nation into customer
+    // BEFORE the fact joins (DuckDB's join order), broadcasts bounded
+    def ts(s: String) = expr(s"TIMESTAMP_NTZ '$s'")
+    def dsum(c: org.apache.spark.sql.Column, sc: Int, as: String) = {
+      val pow = math.pow(10, sc).toLong
+      (sum(call_function("graft_unscaled", c.cast(org.apache.spark.sql.types.DecimalType(18, sc))))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / lit(pow))
+        .cast(org.apache.spark.sql.types.DoubleType).as(as)
+    }
+    time("q5_early_asia") {
+      val r = graft.Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+      val n = graft.Tables.nation(spark, sfDir)
+      val asia = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val c = graft.Tables.customer(spark, sfDir)
+        .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val su = graft.Tables.supplier(spark, sfDir)
+      val o = graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      val l = graft.Tables.lineitem(spark, sfDir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+        .coalesce(1).sortWithinPartitions(desc("revenue"), asc("n_name"))
+    }
+    // q5 fully-broadcast variant: orders(1996)⋈asia-customers broadcast
+    // into the lineitem scan — zero shuffle joins (bench-scale shape)
+    time("q5_bcast_chain") {
+      val r = graft.Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+      val n = graft.Tables.nation(spark, sfDir)
+      val asia = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val c = graft.Tables.customer(spark, sfDir)
+        .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val o = graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+      val su = graft.Tables.supplier(spark, sfDir)
+      val l = graft.Tables.lineitem(spark, sfDir)
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+        .coalesce(1).sortWithinPartitions(desc("revenue"), asc("n_name"))
+    }
+    // q3 scale-sane: BUILDING custkeys broadcast into orders, fact join stays shuffle
+    time("q3_early_shuffle") {
+      val c = graft.Tables.customer(spark, sfDir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }
+    // q3 with BUILDING customers broadcast into orders first
+    time("q3_early_building") {
+      val c = graft.Tables.customer(spark, sfDir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }
     spark.stop()
   }
 }
