@@ -49,21 +49,16 @@ object Multimodal {
         (col(idCol) * 40L).as("duration_ms")).as("meta")))
   }
 
-  /** STUB decode step: a real implementation would decode the payload
-    * with an image/audio codec here. The deterministic stand-in builds a
-    * 16-bin byte histogram so the batch plumbing has verifiable output. */
-  private def decodeStub(bytes: Array[Byte]): Array[Long] = {
-    val hist = new Array[Long](16)
-    var i = 0
-    while (i < bytes.length) { hist((bytes(i) & 0xff) / 16) += 1; i += 1 }
-    hist
-  }
-
   /** Per-partition batched feature extraction over the media column —
     * the mapInPandas-shaped seam: iterator in, iterator out, no
-    * per-row closure dispatch overhead beyond the partition loop. */
+    * per-row closure dispatch overhead beyond the partition loop.
+    * Decoding goes through the [[MediaCodec]] registry; the codecs are
+    * resolved ON THE DRIVER and captured by the closure, so registered
+    * codecs reach executors with the task (a registry referenced from
+    * inside the closure would silently fall back to defaults there). */
   def extractFeatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
+    val codecs = MediaCodecs.current
     val input = df.select(col(idCol).cast(LongType).as("doc_id"),
       col("media.bytes").as("bytes"), col("media.mime").as("mime"))
     input.mapPartitions { it =>
@@ -71,7 +66,7 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         val mime = r.getString(2)
-        val hist = decodeStub(bytes)
+        val hist = MediaCodecs.forMime(codecs, mime).features(bytes, mime)
         val norm = math.sqrt(hist.map(h => h.toDouble * h).sum)
         Row(id, mime, bytes.length, hist.toSeq, norm)
       }
@@ -79,7 +74,9 @@ object Multimodal {
   }
 
   /** STUB frame sampler: deterministic byte-range slices standing in for
-    * decoded video frames (n evenly spaced windows). */
+    * decoded video frames (n evenly spaced windows). Kept as a pure
+    * codegen expression (zero-copy byte slicing); codec-backed frame
+    * decoding is [[decodeFrames]]. */
   def sampleFrames(df: DataFrame, idCol: String, n: Int): DataFrame = {
     val len = octet_length(col("media.bytes"))
     val step = greatest(floor(len / n).cast(IntegerType), lit(1)) // integer stride
@@ -89,4 +86,81 @@ object Multimodal {
         .as(Seq("frame_no", "frame_bytes")))
       .withColumn("frame_len", octet_length(col("frame_bytes")))
   }
+
+  /** Codec-routed frame decoding: real deployments register a video
+    * codec and get decoded frames; the default stub emits the same
+    * deterministic byte windows as [[sampleFrames]]. */
+  def decodeFrames(spark: SparkSession, df: DataFrame, idCol: String, n: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("frame_bytes", BinaryType)))
+    val enc = RowEncoder.encoderFor(schema)
+    val codecs = MediaCodecs.current
+    df.select(col(idCol).cast(LongType).as("doc_id"),
+        col("media.bytes").as("bytes"), col("media.mime").as("mime"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val frames = MediaCodecs.forMime(codecs, r.getString(2))
+            .sampleFrames(r.getAs[Array[Byte]](1), r.getString(2), n)
+          frames.iterator.zipWithIndex.map { case (f, i) => Row(r.getLong(0), i, f) }
+        }
+      }(enc)
+  }
+}
+
+/** The pluggable codec seam for media payloads (the multimodal analogue
+  * of the reference's FileIO pluggability — aws/SwiftLakeS3FileIO.java
+  * swaps storage the same way a deployment swaps codecs here). This
+  * container ships no image/audio/video libraries, so the DEFAULT codec
+  * is the clearly-marked deterministic stub; a deployment registers a
+  * real implementation (JavaCV/ffmpeg, TwelveMonkeys ImageIO, ...) and
+  * every codec-routed operator picks it up by mime prefix, executors
+  * included (codecs are Serializable and ship with the task closure).
+  */
+trait MediaCodec extends Serializable {
+  /** Mime types this codec handles, e.g. accepts("image/png"). */
+  def accepts(mime: String): Boolean
+  /** Decode payload -> fixed-length feature vector. */
+  def features(bytes: Array[Byte], mime: String): Array[Long]
+  /** Decode + sample n frames (video frames / audio windows). */
+  def sampleFrames(bytes: Array[Byte], mime: String, n: Int): Seq[Array[Byte]]
+}
+
+/** STUB codec: no decoding (none is possible in this container) — a
+  * 16-bin byte histogram as the "feature vector" and evenly-spaced
+  * 16-byte windows as "frames", both deterministic so the Spark-side
+  * plumbing is fully testable. */
+object StubMediaCodec extends MediaCodec {
+  override def accepts(mime: String): Boolean = true // catch-all fallback
+  override def features(bytes: Array[Byte], mime: String): Array[Long] = {
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) / 16) += 1; i += 1 }
+    hist
+  }
+  override def sampleFrames(bytes: Array[Byte], mime: String, n: Int): Seq[Array[Byte]] = {
+    val step = math.max(bytes.length / n, 1)
+    (0 until n).map { i =>
+      val from = math.min(i * step, bytes.length)
+      java.util.Arrays.copyOfRange(bytes, from, math.min(from + 16, bytes.length))
+    }
+  }
+}
+
+object MediaCodecs {
+  @volatile private var registry: Seq[MediaCodec] = Seq(StubMediaCodec)
+
+  /** Register a codec with priority over previously registered ones
+    * (the stub stays last as the catch-all). */
+  def register(codec: MediaCodec): Unit = synchronized { registry = codec +: registry }
+
+  /** Driver-side snapshot for closure capture. */
+  def current: Seq[MediaCodec] = registry
+
+  def forMime(codecs: Seq[MediaCodec], mime: String): MediaCodec =
+    codecs.find(_.accepts(mime)).getOrElse(StubMediaCodec)
+
+  /** Test hook: drop registered codecs, keep the stub. */
+  def reset(): Unit = synchronized { registry = Seq(StubMediaCodec) }
 }

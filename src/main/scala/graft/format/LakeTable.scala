@@ -216,6 +216,11 @@ object CommitOp {
   /** Drop expired snapshots from the log (history trim; data-file cleanup
     * is the caller's job once the commit lands). */
   final case class ExpireSnapshots(ids: Set[Long]) extends CommitOp
+  /** Set/remove table properties (e.g. switch graft.manifest.codec on a
+    * live table — existing chunks keep their encoding, new ones use the
+    * new codec; readers dispatch per chunk). */
+  final case class SetProperties(set: Map[String, String],
+      remove: Set[String] = Set.empty) extends CommitOp
 }
 
 class LakeTable private (
@@ -326,12 +331,14 @@ class LakeTable private (
       case Some(b) => m.refs.get(b).filter(_.isBranch).flatMap(r => m.snapshotById(r.snapshotId))
     }
 
-  private def newManifest(files: Seq[FileEntry], sid: Long): ManifestRef = {
+  private def newManifest(m: TableMetadata, files: Seq[FileEntry], sid: Long): ManifestRef = {
     // Chunk encoding (`graft.manifest.codec`): at ~10^6-file table sizes
     // raw-JSON manifest size and parse cost dominate metadata reads
     // (Iceberg uses Avro for the same reason); gzip cuts the bytes ~10x
-    // while keeping chunks greppable tooling-side after gunzip.
-    val codec = meta.properties.getOrElse("graft.manifest.codec", "json")
+    // while keeping chunks greppable tooling-side after gunzip. Codec
+    // comes from the COMMIT's metadata (a concurrent SetProperties must
+    // win over this instance's cached view).
+    val codec = m.properties.getOrElse("graft.manifest.codec", "json")
     val suffix = codec match {
       case "json" => ".json"
       case "gzip" => ".json.gz"
@@ -371,7 +378,7 @@ class LakeTable private (
     if (list.size <= maxCount) return list
     val (small, large) = list.partition(_.entryCount < mergeMin)
     if (small.size <= 1) list
-    else large :+ newManifest(small.flatMap(readManifest), sid)
+    else large :+ newManifest(m, small.flatMap(readManifest), sid)
   }
 
   private def applyOp(m: TableMetadata, op: CommitOp, t0: Long): (TableMetadata, CommitMetrics) = op match {
@@ -380,7 +387,7 @@ class LakeTable private (
       val baseList = head.map(_.manifests).getOrElse(Seq.empty)
       val sid = newSnapshotId(m)
       val list = compactList(m,
-        if (files.isEmpty) baseList else baseList :+ newManifest(files, sid), sid)
+        if (files.isEmpty) baseList else baseList :+ newManifest(m, files, sid), sid)
       val snap = Snapshot(sid, head.map(_.id), System.currentTimeMillis(), "append", list,
         Map("added-files" -> files.size.toString,
           "added-records" -> files.map(_.recordCount).sum.toString) ++ extraSummary)
@@ -422,7 +429,7 @@ class LakeTable private (
           else {
             removed ++= hit
             val kept = entries.filterNot(f => removePaths.contains(f.path))
-            if (kept.isEmpty) None else Some(newManifest(kept, sid))
+            if (kept.isEmpty) None else Some(newManifest(m, kept, sid))
           }
         }
       }
@@ -433,7 +440,7 @@ class LakeTable private (
         throw new ValidationException(
           s"cannot overwrite: ${missing.size} file(s) no longer in table (concurrently rewritten?): ${missing.take(3)}")
       val list = compactList(m,
-        if (files.isEmpty) keptList else keptList :+ newManifest(files, sid), sid)
+        if (files.isEmpty) keptList else keptList :+ newManifest(m, files, sid), sid)
       val snap = Snapshot(sid, head.map(_.id), System.currentTimeMillis(),
         if (files.isEmpty) "delete" else "overwrite", list,
         Map("added-files" -> files.size.toString, "removed-files" -> removed.size.toString))
@@ -466,6 +473,15 @@ class LakeTable private (
     case CommitOp.SetRef(name, ref) =>
       (m.copy(refs = m.refs + (name -> ref)),
         CommitMetrics(ref.snapshotId, 0, 0, 0, 0, 0))
+
+    case CommitOp.SetProperties(set, remove) =>
+      set.get("graft.manifest.codec").foreach {
+        case "json" | "gzip" => ()
+        case other => throw new ValidationException(
+          s"unknown graft.manifest.codec '$other' (json | gzip)")
+      }
+      (m.copy(properties = m.properties ++ set -- remove),
+        CommitMetrics(m.currentSnapshotId.getOrElse(0L), 0, 0, 0, 0, 0))
 
     case CommitOp.ExpireSnapshots(ids) =>
       val protectedIds = m.refs.values.map(_.snapshotId).toSet ++ m.currentSnapshotId
@@ -549,6 +565,9 @@ class LakeTable private (
     * their spec and prune through it (Iceberg coexisting-spec behavior). */
   def updatePartitionSpec(spec: Seq[PartitionField]): Unit =
     commit(CommitOp.SetPartitionSpec(spec))
+
+  def setProperties(set: Map[String, String], remove: Set[String] = Set.empty): Unit =
+    commit(CommitOp.SetProperties(set, remove))
 
   def createTag(name: String, snapshotId: Long): Unit =
     commit(CommitOp.SetRef(name, Ref(snapshotId, isBranch = false)))

@@ -191,6 +191,36 @@ class ExtrasSpec extends SparkSpec {
     assert(frames().sameElements(frames()))
   }
 
+  test("multimodal: registered MediaCodec routes by mime; stub stays fallback") {
+    import graft.extras.{MediaCodec, MediaCodecs}
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 9)
+    val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
+    try {
+      // a "real" image codec: constant features so routing is observable
+      MediaCodecs.register(new MediaCodec {
+        override def accepts(mime: String): Boolean = mime.startsWith("image/")
+        override def features(bytes: Array[Byte], mime: String): Array[Long] =
+          Array.fill(16)(7L)
+        override def sampleFrames(bytes: Array[Byte], mime: String, n: Int): Seq[Array[Byte]] =
+          Seq.fill(n)(Array[Byte](1, 2, 3))
+      })
+      val feats = Multimodal.extractFeatures(spark, media, "doc_id").collect()
+      feats.foreach { r =>
+        val hist: Seq[Long] = r.getSeq[Long](r.fieldIndex("histogram"))
+        if (r.getString(1).startsWith("image/")) assert(hist.forall(_ == 7L),
+          s"image row not routed to registered codec: $r")
+        else assert(hist.sum == r.getInt(2), s"non-image row left the stub: $r")
+      }
+      // codec-routed frames: image docs get codec frames, others stub windows
+      val frames = Multimodal.decodeFrames(spark, media, "doc_id", 2).collect()
+      assert(frames.nonEmpty && frames.forall(_.getAs[Array[Byte]]("frame_bytes") != null))
+    } finally MediaCodecs.reset()
+    // stub-only parity: histogram mass == byte length (default path intact)
+    val stubFeats = Multimodal.extractFeatures(spark, media, "doc_id")
+    assert(stubFeats.filter(
+      aggregate(col("histogram"), lit(0L), (a, x) => a + x) =!= col("byte_len")).isEmpty)
+  }
+
   test("streaming session windows match batch gap-sessionization") {
     val streamed = streaming.StreamPipeline.sessionWindows(spark, sf, "session_test")
     val batch = Registry.byName("q_sessionize_gap").run(spark, sf)

@@ -159,6 +159,21 @@ class ManifestSpec extends SparkSpec {
     intercept[ValidationException] { engine.insert(bad, rows(0 until 3)) }
   }
 
+  test("manifest codec switches on a live table; mixed chunks coexist") {
+    val t = mkTable()
+    engine.insert(t, rows(0 until 10))                    // json chunk
+    t.setProperties(Map("graft.manifest.codec" -> "gzip"))
+    engine.insert(t, rows(10 until 20))                   // gzip chunk
+    val s = t.metadata.currentSnapshot.get
+    assert(s.manifests.map(_.path.endsWith(".json.gz")) === Seq(false, true))
+    assert(engine.scan(t).toDF().count() === 20)
+    ManifestCache.clear()
+    assert(LakeTable.load(t.location).currentFiles().size === t.currentFiles().size)
+    intercept[ValidationException] {
+      t.setProperties(Map("graft.manifest.codec" -> "nope"))
+    }
+  }
+
   test("commits route through the pluggable CommitStore") {
     val puts = new java.util.concurrent.atomic.AtomicInteger
     val counting = new CommitStore {
