@@ -86,6 +86,37 @@ class NestedTypesSpec extends SparkSpec {
     assert(s0.isNullAt(3))          // added column NULL-filled
   }
 
+  test("DSv2 stream projects nested struct evolution by id") {
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(seedRows), nestedSchema)
+    val t = engine.catalog.createTable("nested_evo_dsv2", nestedSchema)
+    engine.insert(t, df)
+    t.evolveSchema { s =>
+      val sIdx = s.fieldIndex("s")
+      val sField = s.fields(sIdx)
+      val st = sField.dataType.asInstanceOf[StructType]
+      val renamed = StructType(st.fields.map(f =>
+        if (f.name == "nested_string") f.copy(name = "label") else f))
+      val nextId = t.metadata.lastAssignedFieldId + 1
+      val withNew = StructType(renamed.fields :+
+        FieldIds.withId(StructField("score", DoubleType), nextId))
+      (StructType(s.fields.updated(sIdx, sField.copy(dataType = withNew))), nextId)
+    }
+    // files written pre-evolution must stream out projected to the
+    // current schema — the bound SchemaEvolve expressions applied on
+    // raw parquet reader rows, nested struct included
+    val name = "nested_evo_dsv2_mem"
+    val q = spark.readStream.format("graft-lake").option("path", t.location).load()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).orderBy("id").collect()
+    assert(got.length === seedRows.length)
+    val s0 = got(0).getStruct(1)
+    assert(s0.schema.fieldNames.toSeq === Seq("nested_int", "label", "inner", "score"))
+    assert(s0.getString(1) === "a")
+    assert(s0.isNullAt(3))
+  }
+
   test("map evolution: rename + add inside a map value struct resolves by id") {
     val schema = StructType(Seq(
       StructField("id", LongType),
