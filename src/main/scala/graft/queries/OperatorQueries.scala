@@ -138,6 +138,30 @@ object OperatorQueries {
       },
       oracle = Some("""
         SELECT * FROM orders WHERE year(o_orderdate) < 1998 ORDER BY o_orderkey"""),
-      doc = "$timestamp_ suffix as a local-datetime string (epoch millis still accepted)")
+      doc = "$timestamp_ suffix as a local-datetime string (epoch millis still accepted)"),
+
+    // ------------------------------------------------------------------
+    Q("sql_dml",
+      (s, d) => {
+        val wh = Files.createTempDirectory("graft-sqldml-").toString
+        val engine = new LakeEngine(s, new LakeCatalog(wh))
+        val orders = Tables.orders(s, d)
+        val t = engine.catalog.createTable("orders_dml", orders.schema)
+        engine.insert(t, orders)
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("UPDATE lake.orders_dml SET o_orderpriority = '1-URGENT' " +
+          "WHERE o_totalprice > 400000")
+        s.sql("DELETE FROM lake.orders_dml " +
+          "WHERE o_orderstatus = 'F' AND o_totalprice < 50000")
+        s.sql("SELECT * FROM lake.orders_dml ORDER BY o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+          CASE WHEN o_totalprice > 400000 THEN '1-URGENT' ELSE o_orderpriority END
+            AS o_orderpriority
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+        ORDER BY o_orderkey"""),
+      doc = "SQL DML facade: UPDATE / DELETE FROM lake.<t> route to the copy-on-write engine commands")
   )
 }

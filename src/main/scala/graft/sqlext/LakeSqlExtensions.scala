@@ -1,12 +1,15 @@
 package graft.sqlext
 
-import graft.format.{LakeTable, TableRef}
+import graft.format.{LakeCatalog, LakeTable, TableRef, ValidationException}
 import graft.scan.TableScan
 import java.nio.file.Paths
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LocalRelation, LogicalPlan, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
 
 /** SQL-transparent lake tables (SURVEY §4 tail / §7.1.6): one analyzer
   * rule replaces the reference's 1,672-LoC JSQLParser rewriting engine
@@ -22,6 +25,17 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * resolve to pruning [[TableScan]] plans, time travel included
   * (reference suffix grammar: SqlQueryProcessor.java:371-402), plus
   * Iceberg-style metadata introspection relations.
+  *
+  * SQL DML routes to the engine's copy-on-write commands:
+  *
+  *   DELETE FROM lake.orders WHERE o_orderkey < 100
+  *   UPDATE lake.orders SET o_orderpriority = '1-URGENT' WHERE ...
+  *
+  * execute [[graft.commands.LakeEngine]].delete/update (touched-file
+  * minimization, conflict detection) and return the removed/updated
+  * record count. Like other eager SQL commands, the statement runs when
+  * `spark.sql(...)` analyzes it — EXPLAIN of a lake DML statement is
+  * not supported (it would execute). Time-travel refs are read-only.
   */
 class LakeSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -30,11 +44,60 @@ class LakeSqlExtensions extends (SparkSessionExtensions => Unit) {
 
 class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedRelation
-        if u.multipartIdentifier.length == 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase("lake") =>
-      resolve(u.multipartIdentifier(1)).getOrElse(u)
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // DML statements are matched at the ROOT, before the relation rule
+    // below resolves their child (resolveOperatorsUp is bottom-up, so a
+    // nested match would never see the UnresolvedRelation)
+    case DeleteFromTable(u: UnresolvedRelation, cond) if isLake(u) =>
+      runDml(u, "DELETE") { (engine, table) =>
+        engine.delete(table, exprSql(Option(cond)))
+      }
+    case UpdateTable(u: UnresolvedRelation, assignments, cond) if isLake(u) =>
+      runDml(u, "UPDATE") { (engine, table) =>
+        engine.update(table, exprSql(cond), assignmentMap(assignments))
+      }
+    case _ => plan.resolveOperatorsUp {
+      case u: UnresolvedRelation if isLake(u) =>
+        resolve(u.multipartIdentifier(1)).getOrElse(u)
+    }
+  }
+
+  private def isLake(u: UnresolvedRelation): Boolean =
+    u.multipartIdentifier.length == 2 &&
+      u.multipartIdentifier.head.equalsIgnoreCase("lake")
+
+  private def exprSql(cond: Option[org.apache.spark.sql.catalyst.expressions.Expression]): String =
+    cond.map(_.sql).getOrElse("true")
+
+  private def assignmentMap(as: Seq[Assignment]): Map[String, String] =
+    as.map(a => stripQuotes(a.key.sql) -> a.value.sql).toMap
+
+  private def stripQuotes(s: String): String = s.replace("`", "")
+
+  /** Execute a DML command eagerly and rewrite the statement into its
+    * commit-metrics result relation. */
+  private def runDml(u: UnresolvedRelation, kind: String)(
+      body: (graft.commands.LakeEngine, LakeTable) => graft.format.CommitMetrics): LogicalPlan = {
+    val spec = u.multipartIdentifier(1)
+    if (spec.contains('$'))
+      throw new ValidationException(
+        s"$kind on a time-travel/metadata reference is not allowed: $spec")
+    val warehouse = spark.conf.getOption("spark.graft.warehouse").getOrElse(
+      throw new ValidationException(
+        s"$kind lake.$spec requires spark.graft.warehouse to be set"))
+    val location = Paths.get(warehouse, spec).toString
+    if (!LakeTable.exists(location))
+      throw new ValidationException(s"no lake table at $location")
+    val engine = new graft.commands.LakeEngine(spark, new LakeCatalog(warehouse))
+    val m = body(engine, LakeTable.load(location))
+    LocalRelation(
+      Seq(AttributeReference("snapshot_id", LongType, nullable = false)(),
+        AttributeReference("added_files", LongType, nullable = false)(),
+        AttributeReference("removed_files", LongType, nullable = false)(),
+        AttributeReference("added_records", LongType, nullable = false)(),
+        AttributeReference("removed_records", LongType, nullable = false)()),
+      Seq(InternalRow(m.snapshotId, m.addedFiles.toLong, m.removedFiles.toLong,
+        m.addedRecords, m.removedRecords)))
   }
 
   private val MetaKinds = Set("snapshots", "files", "history")

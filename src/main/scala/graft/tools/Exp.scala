@@ -51,6 +51,25 @@ object Exp {
     val lineitem = graft.Tables.lineitem(spark, sfDir)
     lineitem.count() // warm footer cache
 
+    // harness-floor isolation: noop sink vs raw toRdd execution
+    def timeRdd(name: String, reps: Int = 7)(mk: => DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val df = mk
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"$name%-40s min=${times.min}%7.1fms  med=${times.sorted.apply(reps / 2)}%7.1fms")
+    }
+    timeRdd("RDD_floor_1task")(spark.range(1).toDF())
+    timeRdd("RDD_floor_shuffle8")(spark.range(0, 1000, 1, 32).groupBy(($"id" % 10).as("k")).count())
+    timeRdd("RDD_q1_full")(graft.Registry.byName("q1_pricing_summary").run(spark, sfDir))
+    timeRdd("RDD_q3_full")(graft.Registry.byName("q3_shipping_priority").run(spark, sfDir))
+    timeRdd("RDD_wrank_full")(graft.Registry.byName("q_window_rank").run(spark, sfDir))
+    timeRdd("RDD_dedup_exact")(graft.Registry.byName("dedup_exact").run(spark, sfDir))
+    timeRdd("RDD_date_extract")(graft.Registry.byName("q_date_extract").run(spark, sfDir))
+
     // floor: no scan, no shuffle, 1 task
     time("floor_1task")(spark.range(1).toDF())
     // floor: 32-partition range, no shuffle

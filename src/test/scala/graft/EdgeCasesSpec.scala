@@ -47,6 +47,33 @@ class EdgeCasesSpec extends SparkSpec {
       assert(engine.scan(t).toDF().count() === 6)
     }
 
+  test("SQL DML: UPDATE/DELETE on lake tables; time-travel refs read-only") {
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "v", "x")
+    val t = engine.catalog.createTable("sqldml_t", df.schema)
+    engine.insert(t, df)
+    t.createTag("v1", t.metadata.currentSnapshotId.get)
+    spark.conf.set("spark.graft.warehouse", warehouse)
+
+    val upd = spark.sql("UPDATE lake.sqldml_t SET v = 'Z' WHERE x > 15.0").collect()
+    // copy-on-write: rewritten files carry their rows out and back in
+    assert(upd.length === 1 &&
+      upd(0).getAs[Long]("added_records") === upd(0).getAs[Long]("removed_records"))
+    assert(upd(0).getAs[Long]("added_records") >= 2)
+    val del = spark.sql("DELETE FROM lake.sqldml_t WHERE id = 1").collect()
+    assert(del(0).getAs[Long]("removed_records") - del(0).getAs[Long]("added_records") === 1)
+    assert(spark.sql("SELECT id, v FROM lake.sqldml_t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((2L, "Z"), (3L, "Z")))
+    // the tag still reads the pre-DML data (copy-on-write history intact)
+    assert(spark.sql("SELECT count(*) FROM lake.`sqldml_t$tag_v1`")
+      .head().getLong(0) === 3)
+    // writes to time-travel refs are rejected
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM lake.`sqldml_t$tag_v1` WHERE id = 1")
+    }
+    assert(e.getMessage.contains("time-travel"), s"wrong error: ${e.getMessage}")
+  }
+
   test("concurrent appends: optimistic retry lands both commits") {
     val orders = Tables.orders(spark, sf)
     val t = engine.catalog.createTable("conc", orders.schema)
