@@ -291,6 +291,125 @@ object Merge {
 
   /** J4: a target row matched by more than one source row is an error
     * (reference dao/common.xml:21-30). */
+  // ===================================================================
+  // General MERGE (ANSI MERGE INTO shape — beyond the reference's SCD
+  // builders; the SQL facade routes MERGE INTO lake.<t> here)
+  // ===================================================================
+
+  /** One WHEN MATCHED clause: `set` = None means DELETE, Some(map) is
+    * UPDATE SET (target column -> SQL expression over both aliases). */
+  final case class WhenMatched(conditionSql: Option[String],
+      set: Option[Map[String, String]])
+  /** One WHEN NOT MATCHED clause: INSERT values (target column -> SQL
+    * expression over the source alias; unlisted columns become NULL). */
+  final case class WhenNotMatched(conditionSql: Option[String],
+      values: Map[String, String])
+
+  /** ANSI MERGE: arbitrary ON condition, ordered first-match-wins WHEN
+    * clauses. Same write-amplification control as the SCD merges: only
+    * files containing actioned rows are rebuilt, untouched rows survive
+    * via a (_file,_pos) anti-join, inserts append. The source side is
+    * joined once (full_outer) and the equi-part of the ON condition
+    * drives the shuffle keys (Catalyst extracts them), so the plan
+    * scales like any key-partitioned join.
+    *
+    * Expressions in conditions/SET/VALUES reference the target and
+    * source through `targetAlias` / `sourceAlias` (or unambiguous bare
+    * names). A target row matched by more than one source row aborts
+    * (J4, ANSI cardinality rule). */
+  def merge(engine: LakeEngine, table: LakeTable, source: DataFrame,
+      targetAlias: String, sourceAlias: Option[String], onSql: String,
+      matched: Seq[WhenMatched], notMatched: Seq[WhenNotMatched]): CommitMetrics = {
+    val spark = engine.spark
+    val schema = table.schema
+    val fromSnapshot = table.metadata.currentSnapshotId
+    require(matched.nonEmpty || notMatched.nonEmpty, "MERGE needs at least one WHEN clause")
+    matched.flatMap(_.set).flatMap(_.keys).foreach(c =>
+      require(schema.fieldNames.contains(c), s"unknown target column in UPDATE SET: $c"))
+    notMatched.flatMap(_.values.keys).foreach(c =>
+      require(schema.fieldNames.contains(c), s"unknown target column in INSERT: $c"))
+
+    val FileC = "_file"
+    val PosC = "_pos"
+    val scan0 = new TableScan(spark, table, AlwaysTrue, withFileColumns = true)
+    val candidates = scan0.planFiles()
+    val target = new TableScan(spark, table, explicitFiles = Some(candidates),
+      withFileColumns = true).toDF().alias(targetAlias)
+    val sMarked = source.withColumn(SPresent, lit(true))
+    val s = sourceAlias.map(sMarked.alias).getOrElse(sMarked)
+
+    val tP = col(s"$targetAlias.$PosC").isNotNull
+    val sP = coalesce(col(SPresent), lit(false))
+    def condOf(c: Option[String]): Column =
+      c.map(x => coalesce(expr(x), lit(false))).getOrElse(lit(true))
+    // first-match-wins across the ordered WHEN chains (ANSI semantics)
+    val matchedOp = matched.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((a, i), els) => when(condOf(a.conditionSql), lit(i)).otherwise(els) }
+    val insertOp = notMatched.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((a, i), els) => when(condOf(a.conditionSql), lit(100 + i)).otherwise(els) }
+    val op = when(tP && sP, matchedOp).when(!tP && sP, insertOp).otherwise(lit(-1))
+
+    val diff = target.join(s, expr(onSql), "full_outer")
+      .withColumn(OpCol, op)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      cardinalityCheck(diff, tP && sP, s"$targetAlias.$FileC", s"$targetAlias.$PosC")
+
+      val actioned = col(OpCol).between(0, 99)
+      val modified = diff.filter(actioned)
+        .select(col(s"$targetAlias.$FileC")).distinct().collect().map(_.getString(0)).toSet
+      val updateIdx = matched.zipWithIndex.collect { case (a, i) if a.set.isDefined => i }
+
+      val updated =
+        if (updateIdx.isEmpty) None
+        else Some(diff.filter(col(OpCol).isin(updateIdx: _*))
+          .select(schema.fields.toSeq.map { f =>
+            matched.zipWithIndex.foldRight(col(s"$targetAlias.${f.name}"): Column) {
+              case ((a, i), els) => a.set match {
+                case Some(m) => when(col(OpCol) === i,
+                    m.get(f.name).map(expr).getOrElse(col(s"$targetAlias.${f.name}")))
+                  .otherwise(els)
+                case None => els
+              }
+            }.cast(f.dataType).as(f.name)
+          }: _*))
+
+      val inserted =
+        if (notMatched.isEmpty) None
+        else Some(diff.filter(col(OpCol) >= 100)
+          .select(schema.fields.toSeq.map { f =>
+            notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType): Column) {
+              case ((a, i), els) => when(col(OpCol) === lit(100 + i),
+                  a.values.get(f.name).map(expr).getOrElse(lit(null)))
+                .otherwise(els)
+            }.cast(f.dataType).as(f.name)
+          }: _*))
+
+      val retained =
+        if (modified.isEmpty) None
+        else {
+          val entries = candidates.filter(f => modified.contains(f.path))
+          val full = new TableScan(spark, table, explicitFiles = Some(entries),
+            withFileColumns = true).toDF()
+          val actionedKeys = diff.filter(actioned)
+            .select(col(s"$targetAlias.$FileC").as(FileC), col(s"$targetAlias.$PosC").as(PosC))
+          Some(full.join(actionedKeys, Seq(FileC, PosC), "left_anti")
+            .select(schema.fieldNames.toSeq.map(col): _*))
+        }
+
+      val pieces = (retained.toSeq ++ updated.toSeq ++ inserted.toSeq)
+      if (pieces.isEmpty)
+        return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
+      val newData = pieces.reduce(_.unionByName(_))
+      val newFiles = LakeWriter.write(spark, table, newData)
+      if (newFiles.isEmpty && modified.isEmpty)
+        return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
+      table.commit(CommitOp.Overwrite(newFiles, modified,
+        fromSnapshotId = fromSnapshot,
+        removeHints = candidates.filter(f => modified.contains(f.path))))
+    } finally diff.unpersist()
+  }
+
   private def cardinalityCheck(diff: DataFrame, bothPresent: Column,
       fileCol: String, posCol: String): Unit = {
     val dup = diff.filter(bothPresent)

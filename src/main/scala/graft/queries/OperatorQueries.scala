@@ -162,6 +162,54 @@ object OperatorQueries {
         FROM orders
         WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
         ORDER BY o_orderkey"""),
-      doc = "SQL DML facade: UPDATE / DELETE FROM lake.<t> route to the copy-on-write engine commands")
+      doc = "SQL DML facade: UPDATE / DELETE FROM lake.<t> route to the copy-on-write engine commands"),
+
+    // ------------------------------------------------------------------
+    Q("sql_merge",
+      (s, d) => {
+        val wh = Files.createTempDirectory("graft-sqlmerge-").toString
+        val engine = new LakeEngine(s, new LakeCatalog(wh))
+        val orders = Tables.orders(s, d)
+        val t = engine.catalog.createTable("orders_m", orders.schema)
+        engine.insert(t, orders)
+        s.conf.set("spark.graft.warehouse", wh)
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") + 1000).as("new_price"))
+          .unionByName(orders.filter(col("o_orderkey") % 5 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              lit(99.0).as("new_price")))
+          .createOrReplaceTempView("merge_src")
+        s.sql("""
+          MERGE INTO lake.orders_m t USING merge_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.new_price > 150000 THEN UPDATE SET o_totalprice = s.new_price
+          WHEN MATCHED THEN DELETE
+          WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus,
+            o_totalprice, o_orderdate, o_orderpriority)
+            VALUES (s.o_orderkey, 0, 'N', s.new_price,
+              TIMESTAMP_NTZ'1995-01-01 00:00:00', 'MERGED')""")
+        s.sql("SELECT * FROM lake.orders_m ORDER BY o_orderkey")
+      },
+      oracle = Some("""
+        WITH src AS (
+          SELECT o_orderkey, o_totalprice + 1000 AS new_price
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, 99.0 FROM orders WHERE o_orderkey % 5 = 0),
+        kept AS (
+          SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+            CASE WHEN s.o_orderkey IS NOT NULL AND s.new_price > 150000
+                 THEN s.new_price ELSE t.o_totalprice END AS o_totalprice,
+            t.o_orderdate, t.o_orderpriority
+          FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+          WHERE s.o_orderkey IS NULL OR s.new_price > 150000),
+        ins AS (
+          SELECT s.o_orderkey, CAST(0 AS BIGINT) AS o_custkey,
+            'N' AS o_orderstatus, s.new_price AS o_totalprice,
+            TIMESTAMP '1995-01-01' AS o_orderdate, 'MERGED' AS o_orderpriority
+          FROM src s LEFT JOIN orders t ON t.o_orderkey = s.o_orderkey
+          WHERE t.o_orderkey IS NULL)
+        SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY o_orderkey"""),
+      doc = "ANSI MERGE INTO lake.<t>: first-match-wins WHEN chains over the copy-on-write merge engine")
   )
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LocalRelation, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LocalRelation, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
 
@@ -30,12 +30,15 @@ import org.apache.spark.sql.types.LongType
   *
   *   DELETE FROM lake.orders WHERE o_orderkey < 100
   *   UPDATE lake.orders SET o_orderpriority = '1-URGENT' WHERE ...
+  *   INSERT INTO lake.orders SELECT ... / VALUES (...)        (positional)
+  *   INSERT INTO lake.orders (a, b) ... / INSERT OVERWRITE ...
   *
-  * execute [[graft.commands.LakeEngine]].delete/update (touched-file
-  * minimization, conflict detection) and return the removed/updated
-  * record count. Like other eager SQL commands, the statement runs when
-  * `spark.sql(...)` analyzes it — EXPLAIN of a lake DML statement is
-  * not supported (it would execute). Time-travel refs are read-only.
+  * execute [[graft.commands.LakeEngine]].delete/update/insert[Overwrite]
+  * (touched-file minimization, conflict detection, strict overwrite) and
+  * return the commit metrics as the statement result. Like other eager
+  * SQL commands, the statement runs when `spark.sql(...)` analyzes it —
+  * EXPLAIN of a lake DML statement is not supported (it would execute).
+  * Time-travel refs are read-only.
   */
 class LakeSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -56,10 +59,86 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
       runDml(u, "UPDATE") { (engine, table) =>
         engine.update(table, exprSql(cond), assignmentMap(assignments))
       }
+    case ins: InsertIntoStatement if ins.table.isInstanceOf[UnresolvedRelation] &&
+        isLake(ins.table.asInstanceOf[UnresolvedRelation]) =>
+      val u = ins.table.asInstanceOf[UnresolvedRelation]
+      if (ins.partitionSpec.nonEmpty)
+        throw new ValidationException(
+          "INSERT ... PARTITION is not supported on lake tables; the table's " +
+            "partition spec drives the layout (use a plain INSERT)")
+      runDml(u, "INSERT") { (engine, table) =>
+        val raw = planToDF(ins.query)
+        // SQL INSERT is positional (VALUES tuples arrive as col1/col2/...),
+        // so rename to the target columns before the by-name cast projection
+        val names =
+          if (ins.userSpecifiedCols.nonEmpty) ins.userSpecifiedCols
+          else table.schema.fieldNames.toSeq
+        if (raw.columns.length != names.length)
+          throw new ValidationException(
+            s"INSERT arity mismatch: query produces ${raw.columns.length} columns, " +
+              s"target list has ${names.length}")
+        val df = raw.toDF(names: _*)
+        if (ins.overwrite) engine.insertOverwrite(table, df, "true")
+        else engine.insert(table, df)
+      }
+    case m: MergeIntoTable if lakeTarget(m.targetTable).isDefined =>
+      val (u, tAlias) = lakeTarget(m.targetTable).get
+      if (m.notMatchedBySourceActions.nonEmpty)
+        throw new ValidationException(
+          "MERGE WHEN NOT MATCHED BY SOURCE is not supported on lake tables")
+      val sAlias = m.sourceTable match {
+        case SubqueryAlias(id, _) => Some(id.name)
+        case _ => None
+      }
+      runDml(u, "MERGE") { (engine, table) =>
+        val sourceDF = planToDF(m.sourceTable)
+        def srcRef(c: String) = sAlias.map(a => s"$a.`$c`").getOrElse(s"`$c`")
+        val starMap = table.schema.fieldNames.toSeq.map(c => c -> srcRef(c)).toMap
+        def setMap(as: Seq[Assignment]) =
+          as.map(a => lastName(a.key.sql) -> a.value.sql).toMap
+        val matched = m.matchedActions.map {
+          case UpdateAction(c, as, _) => graft.commands.Merge.WhenMatched(c.map(_.sql), Some(setMap(as)))
+          case UpdateStarAction(c)    => graft.commands.Merge.WhenMatched(c.map(_.sql), Some(starMap))
+          case DeleteAction(c)        => graft.commands.Merge.WhenMatched(c.map(_.sql), None)
+          case other => throw new ValidationException(s"unsupported MERGE matched action: $other")
+        }
+        val notMatched = m.notMatchedActions.map {
+          case InsertAction(c, as) => graft.commands.Merge.WhenNotMatched(c.map(_.sql), setMap(as))
+          case InsertStarAction(c) => graft.commands.Merge.WhenNotMatched(c.map(_.sql), starMap)
+          case other => throw new ValidationException(s"unsupported MERGE insert action: $other")
+        }
+        graft.commands.Merge.merge(engine, table, sourceDF, tAlias, sAlias,
+          m.mergeCondition.sql, matched, notMatched)
+      }
     case _ => plan.resolveOperatorsUp {
       case u: UnresolvedRelation if isLake(u) =>
         resolve(u.multipartIdentifier(1)).getOrElse(u)
     }
+  }
+
+  private def lakeTarget(p: LogicalPlan): Option[(UnresolvedRelation, String)] = p match {
+    case SubqueryAlias(id, u: UnresolvedRelation) if isLake(u) => Some((u, id.name))
+    case u: UnresolvedRelation if isLake(u) => Some((u, u.multipartIdentifier(1)))
+    case _ => None
+  }
+
+  private def lastName(sql: String): String =
+    stripQuotes(sql.split('.').last)
+
+  /** Execute an analyzed-on-demand plan into a DataFrame using only
+    * public API: executePlan -> InternalRow RDD -> encoder deserializer
+    * -> createDataFrame. (Dataset.ofRows is private[sql]; this bridge
+    * avoids both that and any class in Spark's namespace.) */
+  private def planToDF(query: LogicalPlan): org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = cs.sessionState.executePlan(query)
+    val schema = qe.analyzed.schema
+    val deser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+      .resolveAndBind(qe.analyzed.output)
+      .createDeserializer()
+    val rows = qe.toRdd.map(r => deser(r.copy()))
+    cs.createDataFrame(rows, schema)
   }
 
   private def isLake(u: UnresolvedRelation): Boolean =

@@ -72,6 +72,49 @@ class EdgeCasesSpec extends SparkSpec {
       spark.sql("DELETE FROM lake.`sqldml_t$tag_v1` WHERE id = 1")
     }
     assert(e.getMessage.contains("time-travel"), s"wrong error: ${e.getMessage}")
+
+    // INSERT: positional VALUES, column-list form, and SELECT source
+    spark.sql("INSERT INTO lake.sqldml_t VALUES (10, 'ten', 100.0)")
+    spark.sql("INSERT INTO lake.sqldml_t (id, v) VALUES (11, 'eleven')")
+    spark.sql("INSERT INTO lake.sqldml_t SELECT id + 100, v, x FROM lake.sqldml_t WHERE id = 10")
+    val after = spark.sql("SELECT id, v, x FROM lake.sqldml_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSeq
+    assert(after === Seq(
+      (2L, "Z", Some(20.0)), (3L, "Z", Some(30.0)),
+      (10L, "ten", Some(100.0)), (11L, "eleven", None),
+      (110L, "ten", Some(100.0))))
+    intercept[Exception] {
+      spark.sql("INSERT INTO lake.sqldml_t VALUES (1, 'x')") // arity mismatch
+    }
+  }
+
+  test("SQL MERGE: first-match-wins, inserts, write amplification, cardinality") {
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "v", "x")
+    val t = engine.catalog.createTable("merge_t", df.schema)
+    engine.insert(t, df)
+    spark.conf.set("spark.graft.warehouse", warehouse)
+    Seq((2L, 200.0), (3L, 5.0), (9L, 900.0)).toDF("id", "nx")
+      .createOrReplaceTempView("m_src")
+
+    spark.sql("""
+      MERGE INTO lake.merge_t t USING m_src s ON t.id = s.id
+      WHEN MATCHED AND s.nx > 100 THEN UPDATE SET x = s.nx, v = 'upd'
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED AND s.nx > 500 THEN INSERT (id, v, x) VALUES (s.id, 'new', s.nx)""")
+    val got = spark.sql("SELECT id, v, x FROM lake.merge_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // 1,4 untouched; 2 updated (first clause); 3 deleted (second); 9 inserted
+    assert(got === Seq((1L, "a", 10.0), (2L, "upd", 200.0), (4L, "d", 40.0), (9L, "new", 900.0)))
+
+    // duplicate source matches abort (ANSI cardinality rule)
+    Seq((2L, 1.0), (2L, 2.0)).toDF("id", "nx").createOrReplaceTempView("m_dup")
+    val e = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO lake.merge_t t USING m_dup s ON t.id = s.id
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(e.getMessage.contains("more than once"), s"wrong error: ${e.getMessage}")
   }
 
   test("concurrent appends: optimistic retry lands both commits") {
