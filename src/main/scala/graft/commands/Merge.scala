@@ -319,12 +319,14 @@ object Merge {
     * (J4, ANSI cardinality rule). */
   def merge(engine: LakeEngine, table: LakeTable, source: DataFrame,
       targetAlias: String, sourceAlias: Option[String], onSql: String,
-      matched: Seq[WhenMatched], notMatched: Seq[WhenNotMatched]): CommitMetrics = {
+      matched: Seq[WhenMatched], notMatched: Seq[WhenNotMatched],
+      notMatchedBySource: Seq[WhenMatched] = Seq.empty): CommitMetrics = {
     val spark = engine.spark
     val schema = table.schema
     val fromSnapshot = table.metadata.currentSnapshotId
-    require(matched.nonEmpty || notMatched.nonEmpty, "MERGE needs at least one WHEN clause")
-    matched.flatMap(_.set).flatMap(_.keys).foreach(c =>
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    (matched ++ notMatchedBySource).flatMap(_.set).flatMap(_.keys).foreach(c =>
       require(schema.fieldNames.contains(c), s"unknown target column in UPDATE SET: $c"))
     notMatched.flatMap(_.values.keys).foreach(c =>
       require(schema.fieldNames.contains(c), s"unknown target column in INSERT: $c"))
@@ -342,12 +344,16 @@ object Merge {
     val sP = coalesce(col(SPresent), lit(false))
     def condOf(c: Option[String]): Column =
       c.map(x => coalesce(expr(x), lit(false))).getOrElse(lit(true))
-    // first-match-wins across the ordered WHEN chains (ANSI semantics)
+    // first-match-wins across the ordered WHEN chains (ANSI semantics);
+    // op bases: 0 matched, 100 not-matched inserts, 200 not-matched-by-source
     val matchedOp = matched.zipWithIndex.foldRight(lit(-1): Column) {
       case ((a, i), els) => when(condOf(a.conditionSql), lit(i)).otherwise(els) }
     val insertOp = notMatched.zipWithIndex.foldRight(lit(-1): Column) {
       case ((a, i), els) => when(condOf(a.conditionSql), lit(100 + i)).otherwise(els) }
-    val op = when(tP && sP, matchedOp).when(!tP && sP, insertOp).otherwise(lit(-1))
+    val bySourceOp = notMatchedBySource.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((a, i), els) => when(condOf(a.conditionSql), lit(200 + i)).otherwise(els) }
+    val op = when(tP && sP, matchedOp).when(!tP && sP, insertOp)
+      .when(tP && !sP, bySourceOp).otherwise(lit(-1))
 
     val diff = target.join(s, expr(onSql), "full_outer")
       .withColumn(OpCol, op)
@@ -355,17 +361,20 @@ object Merge {
     try {
       cardinalityCheck(diff, tP && sP, s"$targetAlias.$FileC", s"$targetAlias.$PosC")
 
-      val actioned = col(OpCol).between(0, 99)
+      val actioned = col(OpCol).between(0, 99) || col(OpCol).between(200, 299)
       val modified = diff.filter(actioned)
         .select(col(s"$targetAlias.$FileC")).distinct().collect().map(_.getString(0)).toSet
-      val updateIdx = matched.zipWithIndex.collect { case (a, i) if a.set.isDefined => i }
+      // every target-row action (matched or by-source), tagged by op value
+      val targetActions = matched.zipWithIndex.map { case (a, i) => (i, a) } ++
+        notMatchedBySource.zipWithIndex.map { case (a, i) => (200 + i, a) }
+      val updateIdx = targetActions.collect { case (i, a) if a.set.isDefined => i }
 
       val updated =
         if (updateIdx.isEmpty) None
         else Some(diff.filter(col(OpCol).isin(updateIdx: _*))
           .select(schema.fields.toSeq.map { f =>
-            matched.zipWithIndex.foldRight(col(s"$targetAlias.${f.name}"): Column) {
-              case ((a, i), els) => a.set match {
+            targetActions.foldRight(col(s"$targetAlias.${f.name}"): Column) {
+              case ((i, a), els) => a.set match {
                 case Some(m) => when(col(OpCol) === i,
                     m.get(f.name).map(expr).getOrElse(col(s"$targetAlias.${f.name}")))
                   .otherwise(els)

@@ -83,9 +83,6 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     case m: MergeIntoTable if lakeTarget(m.targetTable).isDefined =>
       val (u, tAlias) = lakeTarget(m.targetTable).get
-      if (m.notMatchedBySourceActions.nonEmpty)
-        throw new ValidationException(
-          "MERGE WHEN NOT MATCHED BY SOURCE is not supported on lake tables")
       val sAlias = m.sourceTable match {
         case SubqueryAlias(id, _) => Some(id.name)
         case _ => None
@@ -107,8 +104,14 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
           case InsertStarAction(c) => graft.commands.Merge.WhenNotMatched(c.map(_.sql), starMap)
           case other => throw new ValidationException(s"unsupported MERGE insert action: $other")
         }
+        val bySource = m.notMatchedBySourceActions.map {
+          case UpdateAction(c, as, _) => graft.commands.Merge.WhenMatched(c.map(_.sql), Some(setMap(as)))
+          case DeleteAction(c)        => graft.commands.Merge.WhenMatched(c.map(_.sql), None)
+          case other => throw new ValidationException(
+            s"unsupported MERGE not-matched-by-source action: $other")
+        }
         graft.commands.Merge.merge(engine, table, sourceDF, tAlias, sAlias,
-          m.mergeCondition.sql, matched, notMatched)
+          m.mergeCondition.sql, matched, notMatched, bySource)
       }
     case _ => plan.resolveOperatorsUp {
       case u: UnresolvedRelation if isLake(u) =>

@@ -107,6 +107,19 @@ class EdgeCasesSpec extends SparkSpec {
     // 1,4 untouched; 2 updated (first clause); 3 deleted (second); 9 inserted
     assert(got === Seq((1L, "a", 10.0), (2L, "upd", 200.0), (4L, "d", 40.0), (9L, "new", 900.0)))
 
+    // WHEN NOT MATCHED BY SOURCE: rows absent from the source get their
+    // own update/delete chain (state after previous merge: ids 1,2,4,9)
+    Seq((2L, 0.0)).toDF("id", "nx").createOrReplaceTempView("m_src2")
+    spark.sql("""
+      MERGE INTO lake.merge_t t USING m_src2 s ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.x < 30 THEN UPDATE SET v = 'stale'
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val got2 = spark.sql("SELECT id, v FROM lake.merge_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 2 matched (no matched clause -> kept); 1 (x=10<30) marked stale;
+    // 4 (x=40) and 9 (x=900) deleted
+    assert(got2 === Seq((1L, "stale"), (2L, "upd")))
+
     // duplicate source matches abort (ANSI cardinality rule)
     Seq((2L, 1.0), (2L, 2.0)).toDF("id", "nx").createOrReplaceTempView("m_dup")
     val e = intercept[Exception] {
