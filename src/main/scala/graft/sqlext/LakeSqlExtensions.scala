@@ -7,9 +7,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LocalRelation, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LocalRelation, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** SQL-transparent lake tables (SURVEY §4 tail / §7.1.6): one analyzer
   * rule replaces the reference's 1,672-LoC JSQLParser rewriting engine
@@ -41,8 +41,36 @@ import org.apache.spark.sql.types.LongType
   * Time-travel refs are read-only.
   */
 class LakeSqlExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(session => new ResolveLakeRelations(session))
+    // DDL must be caught at PARSE time: the session-catalog resolution
+    // rules run ahead of injected resolution rules and reject transforms
+    // like years()/truncate() before a rule could see the statement
+    e.injectParser((session, delegate) => new LakeDdlParser(session, delegate))
+  }
+}
+
+/** Delegating parser that executes lake DDL statements (CREATE TABLE /
+  * CTAS / DROP TABLE on `lake.<name>`) before Spark's session-catalog
+  * analysis can reject their partition transforms. Everything else
+  * passes through untouched. */
+class LakeDdlParser(spark: SparkSession,
+    delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+  extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan = delegate.parsePlan(sqlText)
+    new ResolveLakeRelations(spark).interceptDdl(plan).getOrElse(plan)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) = delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) = delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String) = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String) = delegate.parseRoutineParam(sqlText)
 }
 
 class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -117,6 +145,102 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
       case u: UnresolvedRelation if isLake(u) =>
         resolve(u.multipartIdentifier(1)).getOrElse(u)
     }
+  }
+
+  /** Parse-time DDL interception (called by [[LakeDdlParser]]): executes
+    * CREATE TABLE / CTAS / DROP TABLE on lake.<name> eagerly and returns
+    * the replacement result plan; None = not a lake DDL statement. */
+  private[sqlext] def interceptDdl(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+    case c: CreateTable if lakeIdent(c.name).isDefined =>
+      val name = lakeIdent(c.name).get
+      Some(runDdl(name, c.ignoreIfExists, exists => !exists) { (catalog, _) =>
+        val schema = StructType(c.columns.map(cd =>
+          StructField(cd.name, cd.dataType, cd.nullable)))
+        catalog.createTable(name, schema,
+          partitionSpec = c.partitioning.map(toPartitionField(_, schema)),
+          properties = specProperties(c.tableSpec))
+      })
+    case c: CreateTableAsSelect if lakeIdent(c.name).isDefined =>
+      val name = lakeIdent(c.name).get
+      Some(runDdl(name, c.ignoreIfExists, exists => !exists) { (catalog, _) =>
+        val df = planToDF(c.query)
+        val schema = df.schema
+        val t = catalog.createTable(name, schema,
+          partitionSpec = c.partitioning.map(toPartitionField(_, schema)),
+          properties = specProperties(c.tableSpec))
+        val engine = new graft.commands.LakeEngine(spark, catalog)
+        engine.insert(t, df)
+        ()
+      })
+    case d: DropTable if lakeIdent(d.child).isDefined =>
+      val name = lakeIdent(d.child).get
+      Some(runDdl(name, d.ifExists, exists => exists) { (catalog, _) =>
+        catalog.dropTable(name)
+      })
+    case _ => None
+  }
+
+  /** [lake, name] in either pre- or post-catalog-resolution form. */
+  private def lakeIdent(p: LogicalPlan): Option[String] = p match {
+    case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _)
+        if parts.length == 2 && parts.head.equalsIgnoreCase("lake") => Some(parts(1))
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
+        if r.identifier.namespace.toSeq == Seq("lake") => Some(r.identifier.name)
+    case _ => None
+  }
+
+  private def specProperties(spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase): Map[String, String] =
+    spec match {
+      case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec => u.properties
+      case t: org.apache.spark.sql.catalyst.plans.logical.TableSpec => t.properties
+      case _ => Map.empty
+    }
+
+  /** DDL PARTITIONED BY transform -> lake partition field (the engine's
+    * transform grammar: identity | bucket[N] | truncate[W] | year | month
+    * | day | hour). */
+  private def toPartitionField(t: org.apache.spark.sql.connector.expressions.Transform,
+      schema: StructType): graft.format.PartitionField = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+    val args = t.arguments().toSeq
+    val refs = args.collect { case n: NamedReference => n }
+    val lits = args.collect { case l: VLit[_] => l }
+    if (refs.length != 1 || refs.head.fieldNames.length != 1)
+      throw new ValidationException(
+        s"partition transform ${t.describe()} must reference exactly one top-level column")
+    val c = refs.head.fieldNames.head
+    val pf = t.name() match {
+      case "identity" => graft.format.PartitionField(c, c, "identity")
+      case "years"    => graft.format.PartitionField(s"${c}_year", c, "year")
+      case "months"   => graft.format.PartitionField(s"${c}_month", c, "month")
+      case "days"     => graft.format.PartitionField(s"${c}_day", c, "day")
+      case "hours"    => graft.format.PartitionField(s"${c}_hour", c, "hour")
+      case "bucket" if lits.length == 1 =>
+        graft.format.PartitionField(s"${c}_bucket", c, s"bucket[${lits.head.value}]")
+      case "truncate" if lits.length == 1 =>
+        graft.format.PartitionField(s"${c}_trunc", c, s"truncate[${lits.head.value}]")
+      case other => throw new ValidationException(s"unsupported partition transform: $other")
+    }
+    if (!schema.fieldNames.contains(pf.sourceColumn))
+      throw new ValidationException(s"partition source ${pf.sourceColumn} not in schema")
+    pf
+  }
+
+  /** Run a DDL action eagerly; `proceed(exists)` false + the statement's
+    * IF [NOT] EXISTS flag turns the statement into a no-op, otherwise a
+    * missing/present table errors via the action itself. */
+  private def runDdl(name: String, ifFlag: Boolean, proceed: Boolean => Boolean)(
+      body: (LakeCatalog, String) => Unit): LogicalPlan = {
+    val warehouse = spark.conf.getOption("spark.graft.warehouse").getOrElse(
+      throw new ValidationException(
+        s"DDL on lake.$name requires spark.graft.warehouse to be set"))
+    val catalog = new LakeCatalog(warehouse)
+    val exists = catalog.tableExists(name)
+    if (proceed(exists)) body(catalog, warehouse)
+    else if (!ifFlag)
+      throw new ValidationException(
+        if (exists) s"table lake.$name already exists" else s"no lake table $name")
+    LocalRelation(Nil)
   }
 
   private def lakeTarget(p: LogicalPlan): Option[(UnresolvedRelation, String)] = p match {

@@ -88,6 +88,36 @@ class EdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("SQL DDL: CREATE TABLE / CTAS with transforms / DROP TABLE") {
+    spark.conf.set("spark.graft.warehouse", warehouse)
+    spark.sql("""CREATE TABLE lake.ddl_t (id BIGINT, v STRING, ts TIMESTAMP_NTZ)
+      PARTITIONED BY (bucket(4, id), years(ts)) TBLPROPERTIES ('graft.manifest.codec'='gzip')""")
+    val t = engine.catalog.loadTable("ddl_t")
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v", "ts"))
+    assert(t.metadata.partitionSpec.map(p => (p.sourceColumn, p.transform)) ===
+      Seq(("id", "bucket[4]"), ("ts", "years".replace("years", "year"))))
+    assert(t.properties("graft.manifest.codec") === "gzip")
+    spark.sql("INSERT INTO lake.ddl_t VALUES (1, 'a', TIMESTAMP_NTZ'2024-06-01 00:00:00')")
+    assert(spark.sql("SELECT * FROM lake.ddl_t").count() === 1)
+    // duplicate create errors; IF NOT EXISTS no-ops
+    intercept[Exception] { spark.sql("CREATE TABLE lake.ddl_t (x INT)") }
+    spark.sql("CREATE TABLE IF NOT EXISTS lake.ddl_t (x INT)")
+    assert(engine.catalog.loadTable("ddl_t").schema.fieldNames.length === 3)
+
+    // CTAS partitioned by identity
+    spark.sql("""CREATE TABLE lake.ddl_ctas PARTITIONED BY (v)
+      AS SELECT id, v FROM lake.ddl_t""")
+    assert(spark.sql("SELECT * FROM lake.ddl_ctas").count() === 1)
+    assert(engine.catalog.loadTable("ddl_ctas").metadata.partitionSpec
+      .map(_.transform) === Seq("identity"))
+
+    spark.sql("DROP TABLE lake.ddl_ctas")
+    assert(!engine.catalog.tableExists("ddl_ctas"))
+    intercept[Exception] { spark.sql("DROP TABLE lake.ddl_ctas") }
+    spark.sql("DROP TABLE IF EXISTS lake.ddl_ctas") // no-op
+    spark.sql("DROP TABLE lake.ddl_t")
+  }
+
   test("SQL MERGE: first-match-wins, inserts, write amplification, cardinality") {
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
       .toDF("id", "v", "x")
