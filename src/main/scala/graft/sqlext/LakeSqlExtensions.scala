@@ -7,7 +7,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LocalRelation, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LocalRelation, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, SubqueryAlias, UnsetTableProperties, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -177,8 +177,67 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
       Some(runDdl(name, d.ifExists, exists => exists) { (catalog, _) =>
         catalog.dropTable(name)
       })
+
+    // ALTER TABLE -> field-id schema evolution / property commits
+    case a: AddColumns if lakeTable(a.table).isDefined =>
+      alter(lakeTable(a.table).get) { t =>
+        t.evolveSchema { s =>
+          var next = t.metadata.lastAssignedFieldId
+          val added = a.columnsToAdd.map { q =>
+            if (q.path.nonEmpty)
+              throw new ValidationException(
+                "nested ADD COLUMNS is API-only (LakeTable.evolveSchema)")
+            next += 1
+            graft.format.FieldIds.withId(StructField(q.colName, q.dataType, q.nullable), next)
+          }
+          (StructType(s.fields ++ added), next)
+        }
+      }
+    case r: RenameColumn if lakeTable(r.table).isDefined =>
+      alter(lakeTable(r.table).get)(_.renameColumn(singleName(r.column.name), r.newName))
+    case d: DropColumns if lakeTable(d.table).isDefined =>
+      alter(lakeTable(d.table).get) { t =>
+        d.columnsToDrop.foreach { c =>
+          val n = singleName(c.name)
+          if (t.schema.fieldNames.contains(n)) t.dropColumn(n)
+          else if (!d.ifExists)
+            throw new ValidationException(s"no column $n to drop")
+        }
+      }
+    case a: AlterColumns if lakeTable(a.table).isDefined =>
+      alter(lakeTable(a.table).get) { t =>
+        a.specs.foreach { sp =>
+          val dt = sp.newDataType.getOrElse(throw new ValidationException(
+            "only ALTER COLUMN ... TYPE is supported on lake tables"))
+          t.widenColumn(singleName(sp.column.name), dt)
+        }
+      }
+    case s: SetTableProperties if lakeTable(s.table).isDefined =>
+      alter(lakeTable(s.table).get)(_.setProperties(s.properties))
+    case u: UnsetTableProperties if lakeTable(u.table).isDefined =>
+      alter(lakeTable(u.table).get)(_.setProperties(Map.empty, u.propertyKeys.toSet))
+
     case _ => None
   }
+
+  private def singleName(parts: Seq[String]): String = parts match {
+    case Seq(one) => one
+    case other => throw new ValidationException(
+      s"nested column reference not supported via SQL: ${other.mkString(".")}")
+  }
+
+  private def lakeTable(p: LogicalPlan): Option[String] = p match {
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+        if t.multipartIdentifier.length == 2 &&
+          t.multipartIdentifier.head.equalsIgnoreCase("lake") =>
+      Some(t.multipartIdentifier(1))
+    case _ => None
+  }
+
+  private def alter(name: String)(body: LakeTable => Unit): Option[LogicalPlan] =
+    Some(runDdl(name, ifFlag = false, exists => exists) { (catalog, _) =>
+      body(catalog.loadTable(name))
+    })
 
   /** [lake, name] in either pre- or post-catalog-resolution form. */
   private def lakeIdent(p: LogicalPlan): Option[String] = p match {

@@ -118,6 +118,27 @@ class EdgeCasesSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.ddl_t")
   }
 
+  test("SQL ALTER TABLE: add/rename/drop/widen columns, properties") {
+    spark.conf.set("spark.graft.warehouse", warehouse)
+    spark.sql("CREATE TABLE lake.alter_t (id INT, v STRING)")
+    spark.sql("INSERT INTO lake.alter_t VALUES (1, 'a')")
+    spark.sql("ALTER TABLE lake.alter_t ADD COLUMNS (x DOUBLE, y STRING)")
+    spark.sql("ALTER TABLE lake.alter_t RENAME COLUMN v TO label")
+    spark.sql("ALTER TABLE lake.alter_t ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE lake.alter_t DROP COLUMN y")
+    spark.sql("INSERT INTO lake.alter_t VALUES (2, 'b', 0.5)")
+    val got = spark.sql("SELECT id, label, x FROM lake.alter_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSeq
+    // old file projects by field id: rename visible, added col NULL, id widened
+    assert(got === Seq((1L, "a", None), (2L, "b", Some(0.5))))
+    spark.sql("ALTER TABLE lake.alter_t SET TBLPROPERTIES ('graft.manifest.codec'='gzip', 'team'='x')")
+    val t = engine.catalog.loadTable("alter_t")
+    assert(t.properties("graft.manifest.codec") === "gzip" && t.properties("team") === "x")
+    spark.sql("ALTER TABLE lake.alter_t UNSET TBLPROPERTIES ('team')")
+    assert(!engine.catalog.loadTable("alter_t").properties.contains("team"))
+    spark.sql("DROP TABLE lake.alter_t")
+  }
+
   test("SQL MERGE: first-match-wins, inserts, write amplification, cardinality") {
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
       .toDF("id", "v", "x")
