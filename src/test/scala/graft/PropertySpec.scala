@@ -195,6 +195,41 @@ class PropertySpec extends SparkSpec {
     assert(t.manifest(first).nonEmpty || first.operation == "delete")
   }
 
+  test("random SQL MERGE sequences track a row-set model") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val seed = (0L until 40L).map(i => (i, i % 5, i * 1.0))
+    val t = engine.catalog.createTable("prop_merge",
+      seed.toDF("id", "grp", "x").schema)
+    engine.insert(t, seed.toDF("id", "grp", "x"))
+    spark.conf.set("spark.graft.warehouse", warehouse)
+    var model = seed.map { case (id, g, x) => id -> ((g, x)) }.toMap
+    (1 to 8).foreach { step =>
+      val srcRows = (1 to 12).map { _ =>
+        val id = rnd.nextLong(60)
+        val nx = rnd.nextDouble() * 20 - 5 // some negative -> deletes
+        (id, nx)
+      }.distinctBy(_._1)
+      srcRows.toDF("id", "nx").createOrReplaceTempView("prop_merge_src")
+      spark.sql("""
+        MERGE INTO lake.prop_merge t USING prop_merge_src s ON t.id = s.id
+        WHEN MATCHED AND s.nx < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET x = s.nx
+        WHEN NOT MATCHED AND s.nx >= 0 THEN INSERT (id, grp, x) VALUES (s.id, 7, s.nx)""")
+      srcRows.foreach { case (id, nx) =>
+        model = model.get(id) match {
+          case Some(_) if nx < 0 => model - id
+          case Some((g, _))      => model + (id -> ((g, nx)))
+          case None if nx >= 0   => model + (id -> ((7L, nx)))
+          case None              => model
+        }
+      }
+      val got = spark.sql("SELECT id, grp, x FROM lake.prop_merge")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === model, s"diverged at step $step")
+    }
+  }
+
   test("SCD1 snapshot merge is idempotent") {
     val customer = Tables.customer(spark, sf)
     val t = engine.catalog.createTable("prop_scd1", customer.schema)
