@@ -60,6 +60,55 @@ private[streaming] object LakeDsv2 {
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-lake requires option 'path'"))
 
+  /** Time-travel read options (batch read only):
+    * snapshot-id | timestamp (epoch millis) | branch | tag. */
+  def refOf(get: String => String): graft.format.TableRef = {
+    import graft.format.TableRef
+    Seq[(String, String => TableRef)](
+      "snapshot-id" -> (v => TableRef.SnapshotId(v.toLong)),
+      "timestamp"   -> (v => TableRef.AsOfTimestamp(v.toLong)),
+      "branch"      -> (v => TableRef.Branch(v)),
+      "tag"         -> (v => TableRef.Tag(v)))
+      .collectFirst { case (k, f) if get(k) != null => f(get(k)) }
+      .getOrElse(TableRef.Head)
+  }
+
+  /** DSv2 source filter -> pruning predicate. Unconvertible filters map
+    * to None and simply don't prune (Spark re-evaluates every filter on
+    * the returned rows, so pushdown here is pruning-only and always
+    * sound). */
+  def toPred(f: org.apache.spark.sql.sources.Filter): Option[graft.scan.Pred] = {
+    import org.apache.spark.sql.sources._
+    import graft.scan
+    def top(attr: String): Option[String] = if (attr.contains('.')) None else Some(attr)
+    f match {
+      case EqualTo(a, v) => top(a).map(scan.Eq(_, v))
+      case LessThan(a, v) => top(a).map(scan.Lt(_, v))
+      case LessThanOrEqual(a, v) => top(a).map(scan.Le(_, v))
+      case GreaterThan(a, v) => top(a).map(scan.Gt(_, v))
+      case GreaterThanOrEqual(a, v) => top(a).map(scan.Ge(_, v))
+      case In(a, vs) => top(a).map(scan.In(_, vs.toSeq))
+      case IsNull(a) => top(a).map(scan.IsNull(_))
+      case IsNotNull(a) => top(a).map(scan.NotNull(_))
+      case StringStartsWith(a, p) => top(a).map(scan.StartsWith(_, p))
+      case And(l, r) => (toPred(l), toPred(r)) match {
+        case (Some(a), Some(b)) => Some(scan.And(a, b))
+        case (a, b) => a.orElse(b) // AND may soundly keep the convertible side
+      }
+      case Or(l, r) => for { a <- toPred(l); b <- toPred(r) } yield scan.Or(a, b)
+      // negation pushed into the leaf (the Pred algebra has no Not node)
+      case Not(EqualTo(a, v)) => top(a).map(scan.Ne(_, v))
+      case Not(In(a, vs)) => top(a).map(scan.NotIn(_, vs.toSeq))
+      case Not(IsNull(a)) => top(a).map(scan.NotNull(_))
+      case Not(IsNotNull(a)) => top(a).map(scan.IsNull(_))
+      case Not(LessThan(a, v)) => top(a).map(scan.Ge(_, v))
+      case Not(LessThanOrEqual(a, v)) => top(a).map(scan.Gt(_, v))
+      case Not(GreaterThan(a, v)) => top(a).map(scan.Le(_, v))
+      case Not(GreaterThanOrEqual(a, v)) => top(a).map(scan.Lt(_, v))
+      case _ => None
+    }
+  }
+
   def clean(s: StructType): StructType =
     StructType(s.fields.map(f => f.copy(metadata = Metadata.empty)))
 
@@ -151,25 +200,48 @@ private[streaming] final class LakeDsv2Table(location: String) extends Table wit
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScan(location, schema())
+    new LakeScan(location, schema(), LakeDsv2.refOf(options.get))
 }
 
-private[streaming] final class LakeScan(location: String, outSchema: StructType)
-    extends ScanBuilder with Scan {
+private[streaming] final class LakeScan(location: String, outSchema: StructType,
+    ref: graft.format.TableRef)
+  extends ScanBuilder with Scan
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  // pruning-only pushdown: every filter stays residual (Spark re-applies
+  // them all), the convertible conjunction drives metadata file pruning
+  private var pred: graft.scan.Pred = graft.scan.AlwaysTrue
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    val convertible = filters.flatMap(f => LakeDsv2.toPred(f).map(f -> _))
+    pushed = convertible.map(_._1)
+    pred = convertible.map(_._2)
+      .reduceOption[graft.scan.Pred](graft.scan.And(_, _)).getOrElse(graft.scan.AlwaysTrue)
+    filters // all residual: pushdown only prunes files, rows re-filtered
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
   override def build(): Scan = this
   override def readSchema(): StructType = outSchema
-  override def description(): String = s"graft-lake $location"
+  override def description(): String = s"graft-lake $location pruned-by: ${pred}"
 
   override def toBatch: Batch = new Batch {
     private val spark = ClassicSession.active
     private val table = LakeTable.load(location)
-    private lazy val planned = LakeDsv2.plan(spark, table, table.currentFiles())
+    private lazy val planned = LakeDsv2.plan(spark, table,
+      new graft.scan.TableScan(spark, table, pred, ref).planFiles())
     override def planInputPartitions(): Array[InputPartition] = planned._1
     override def createReaderFactory(): PartitionReaderFactory = planned._2
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    if (ref != graft.format.TableRef.Head)
+      throw new IllegalArgumentException(
+        "time-travel options are batch-read only; streams consume the live table")
     new LakeMicroBatchStream(location)
+  }
 }
 
 final class LakeMicroBatchStream(location: String)

@@ -88,6 +88,36 @@ class StreamSinkSpec extends SparkSpec {
     assert(normalize(spark.table(name)) === expected)
   }
 
+  test("DSv2 batch read: filter pushdown prunes files; time-travel options") {
+    import graft.format.{ManifestCache, PartitionField}
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable(freshName(), orders.schema,
+      partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+    def slice(y: Int) = orders.filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === y)
+    engine.insert(t, slice(1995))
+    val snap1 = t.metadata.currentSnapshotId.get
+    engine.insert(t, slice(1996))
+
+    val read = spark.read.format("graft-lake").option("path", t.location).load()
+    ManifestCache.clear()
+    val misses0 = ManifestCache.misses
+    val n96 = read.filter(
+      "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'")
+      .count()
+    assert(n96 === slice(1996).count())
+    assert(ManifestCache.misses - misses0 === 1,
+      "pushed filter must skip the non-matching manifest chunk unread")
+    // residual filters still exact on a non-partition column (the table
+    // holds only the 1995+1996 slices)
+    val hi = read.filter("o_totalprice > 300000").count()
+    assert(hi === slice(1995).unionByName(slice(1996))
+      .filter(col("o_totalprice") > 300000).count())
+    // time travel via options
+    val old = spark.read.format("graft-lake").option("path", t.location)
+      .option("snapshot-id", snap1.toString).load()
+    assert(old.count() === slice(1995).count())
+  }
+
   test("lake-to-lake pipeline: snapshot-id offsets, exactly-once across restarts") {
     val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val src = engine.catalog.createTable(freshName(), df0.schema)
