@@ -10,7 +10,7 @@ import scala.util.control.NonFatal
   * `count()` would let Catalyst prune everything but the count.
   *
   * Load robustness: a warmup pass (JIT/codegen/footer caches), then
-  * `SPARK_GRAFT_PASSES` (default 3) full interleaved passes over the
+  * `SPARK_GRAFT_PASSES` (default 5) full interleaved passes over the
   * query list; the reported per-query time is the MIN across passes, so a
   * transient machine-load spike during one pass cannot inflate the
   * recorded number (it would have to persist across every pass). If the
@@ -22,7 +22,7 @@ import scala.util.control.NonFatal
 object Bench {
 
   /** Same-run DuckDB oracle timing for the benched queries that have an
-    * oracle SQL: min-of-3 after one warmup pass, on the machine's
+    * oracle SQL: min-of-5 after one warmup pass, on the machine's
     * python3+duckdb (the driver-side oracle stack — measurement only,
     * never a library dependency). Returns per-query seconds and the
     * total, or None when the stack is unavailable; the bench JSON then
@@ -51,7 +51,7 @@ object Bench {
            |times = {}
            |for q in qs:  # warmup
            |    con.execute(q["sql"]).fetchall()
-           |for _ in range(3):
+           |for _ in range(5):
            |    for q in qs:
            |        t0 = time.perf_counter()
            |        con.execute(q["sql"]).fetchall()
@@ -140,7 +140,9 @@ object Bench {
     val warmup = (1 to 2).flatMap(_ => headline.map(q => q.name -> exec(q))).toMap
     def pass(): Map[String, Double] = headline.map(q => q.name -> exec(q)).toMap
 
-    val basePasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // min-of-5: transient load spikes (chronic on this box) must persist
+    // across every pass to inflate a recorded number
+    val basePasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
     val passes = scala.collection.mutable.ArrayBuffer.fill(basePasses)(pass())
     def totals = passes.map(_.values.sum)
     var extra = 0
