@@ -128,6 +128,70 @@ object LocalCommitStore extends CommitStore {
     Files.writeString(metadataDir.resolve("version-hint.txt"), version.toString)
 }
 
+/** Compact binary manifest encoding (`graft.manifest.codec = binary`,
+  * suffix `.gmf`): length-prefixed fields, deflate-compressed. At ~10^6
+  * files per table, JSON parse cost and byte size dominate metadata
+  * reads (Iceberg uses Avro for exactly this reason); the binary form
+  * parses with no object mapping and compresses tighter than
+  * gzipped JSON because the repetitive field names are gone. */
+object ManifestBinaryCodec {
+  private val Magic = 0x474d4631 // "GMF1"
+
+  def write(files: Seq[FileEntry]): Array[Byte] = {
+    val bytes = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(new java.util.zip.DeflaterOutputStream(bytes))
+    def str(s: String): Unit = { val b = s.getBytes(UTF_8); out.writeInt(b.length); out.write(b) }
+    def optStr(s: Option[String]): Unit = s match {
+      case Some(v) => out.writeBoolean(true); str(v)
+      case None => out.writeBoolean(false)
+    }
+    out.writeInt(Magic)
+    out.writeInt(files.size)
+    files.foreach { f =>
+      str(f.path)
+      out.writeInt(f.partition.size)
+      f.partition.foreach { case (k, v) => str(k); str(v) }
+      out.writeLong(f.recordCount)
+      out.writeLong(f.sizeBytes)
+      out.writeInt(f.schemaId)
+      out.writeInt(f.specId)
+      out.writeInt(f.stats.size)
+      f.stats.foreach { case (k, s) =>
+        str(k); optStr(s.min); optStr(s.max); out.writeLong(s.nullCount)
+        s.nanCount match {
+          case Some(n) => out.writeBoolean(true); out.writeLong(n)
+          case None => out.writeBoolean(false)
+        }
+      }
+    }
+    out.close()
+    bytes.toByteArray
+  }
+
+  def read(raw: Array[Byte]): Seq[FileEntry] = {
+    val in = new java.io.DataInputStream(new java.util.zip.InflaterInputStream(
+      new java.io.ByteArrayInputStream(raw)))
+    def str(): String = { val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b); new String(b, UTF_8) }
+    def optStr(): Option[String] = if (in.readBoolean()) Some(str()) else None
+    require(in.readInt() == Magic, "not a graft binary manifest")
+    val n = in.readInt()
+    (0 until n).map { _ =>
+      val path = str()
+      val partition = (0 until in.readInt()).map(_ => str() -> str()).toMap
+      val recordCount = in.readLong()
+      val sizeBytes = in.readLong()
+      val schemaId = in.readInt()
+      val specId = in.readInt()
+      val stats = (0 until in.readInt()).map { _ =>
+        val k = str()
+        k -> ColumnStats(optStr(), optStr(), in.readLong(),
+          if (in.readBoolean()) Some(in.readLong()) else None)
+      }.toMap
+      FileEntry(path, partition, recordCount, sizeBytes, schemaId, stats, specId)
+    }
+  }
+}
+
 /** Process-wide cache of PARSED manifest chunks, keyed by absolute path
   * (reference analog: io/ContentCache.java:56-310 — a 256 MiB Caffeine
   * cache of manifest bytes, kept for exactly this reason: every query
@@ -243,12 +307,15 @@ class LakeTable private (
   def readManifest(ref: ManifestRef): Seq[FileEntry] = {
     val p = Paths.get(location, "metadata", ref.path)
     ManifestCache.getOrLoad(p) {
-      val text =
-        if (ref.path.endsWith(".gz")) {
-          val in = new java.util.zip.GZIPInputStream(Files.newInputStream(p))
-          try new String(in.readAllBytes(), UTF_8) finally in.close()
-        } else Files.readString(p)
-      Json.mapper.readValue(text, classOf[Array[FileEntry]]).toSeq
+      if (ref.path.endsWith(".gmf")) ManifestBinaryCodec.read(Files.readAllBytes(p))
+      else {
+        val text =
+          if (ref.path.endsWith(".gz")) {
+            val in = new java.util.zip.GZIPInputStream(Files.newInputStream(p))
+            try new String(in.readAllBytes(), UTF_8) finally in.close()
+          } else Files.readString(p)
+        Json.mapper.readValue(text, classOf[Array[FileEntry]]).toSeq
+      }
     }
   }
 
@@ -340,18 +407,22 @@ class LakeTable private (
     // win over this instance's cached view).
     val codec = m.properties.getOrElse("graft.manifest.codec", "json")
     val suffix = codec match {
-      case "json" => ".json"
-      case "gzip" => ".json.gz"
+      case "json"   => ".json"
+      case "gzip"   => ".json.gz"
+      case "binary" => ".gmf"
       case other  => throw new ValidationException(
-        s"unknown graft.manifest.codec '$other' (json | gzip)")
+        s"unknown graft.manifest.codec '$other' (json | gzip | binary)")
     }
     // unique per attempt: a lost optimistic race must not reuse a name
     val name = s"manifest-$sid-${Random.alphanumeric.take(8).mkString}$suffix"
     val p = Paths.get(location, "metadata", name)
-    if (codec == "gzip") {
-      val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(p))
-      try out.write(Json.write(files).getBytes(UTF_8)) finally out.close()
-    } else Files.writeString(p, Json.write(files))
+    codec match {
+      case "binary" => Files.write(p, ManifestBinaryCodec.write(files))
+      case "gzip" =>
+        val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(p))
+        try out.write(Json.write(files).getBytes(UTF_8)) finally out.close()
+      case _ => Files.writeString(p, Json.write(files))
+    }
     // partition summary for scan-time chunk pruning: only meaningful when
     // every entry shares a spec; fields exceeding the cardinality cap are
     // dropped (a near-unique field can't skip chunks anyway)
@@ -476,9 +547,9 @@ class LakeTable private (
 
     case CommitOp.SetProperties(set, remove) =>
       set.get("graft.manifest.codec").foreach {
-        case "json" | "gzip" => ()
+        case "json" | "gzip" | "binary" => ()
         case other => throw new ValidationException(
-          s"unknown graft.manifest.codec '$other' (json | gzip)")
+          s"unknown graft.manifest.codec '$other' (json | gzip | binary)")
       }
       (m.copy(properties = m.properties ++ set -- remove),
         CommitMetrics(m.currentSnapshotId.getOrElse(0L), 0, 0, 0, 0, 0))

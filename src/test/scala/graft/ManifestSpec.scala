@@ -174,6 +174,32 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("binary manifest codec: exact round-trip incl. edge values; DML unchanged") {
+    // pure codec round-trip with every optionality edge
+    val entries = Seq(
+      FileEntry("/data/ünïcode/p näme.parquet", Map("k" -> "__NULL__", "y" -> "1996"),
+        0L, 0L, 1, Map("1" -> ColumnStats(None, None, 5L, Some(2L))), 3),
+      FileEntry("/plain.parquet", Map.empty, Long.MaxValue, 123456789L, 2,
+        Map("2" -> ColumnStats(Some("a\"b\\c"), Some(""), 0L, None),
+          "7" -> ColumnStats(Some("-Infinity"), Some("NaN"), 1L, Some(0L))), 0))
+    assert(ManifestBinaryCodec.read(ManifestBinaryCodec.write(entries)) === entries)
+    assert(ManifestBinaryCodec.read(ManifestBinaryCodec.write(Seq.empty)) === Seq.empty)
+
+    // live table under the binary codec
+    val t = mkTable(Map("graft.manifest.codec" -> "binary",
+      "graft.manifest.max-count" -> "4"))
+    (0 until 6).foreach(i => engine.insert(t, rows(i * 10 until i * 10 + 10)))
+    assert(t.metadata.currentSnapshot.get.manifests.forall(_.path.endsWith(".gmf")))
+    assert(engine.scan(t).toDF().count() === 60)
+    engine.delete(t, "id >= 50")
+    assert(engine.scan(t).toDF().count() === 50)
+    ManifestCache.clear()
+    assert(LakeTable.load(t.location).currentFiles().map(_.recordCount).sum === 50)
+    // pruning still works off binary-decoded stats
+    assert(engine.scan(t, "id = 42").planFiles().size <
+      t.currentFiles().size)
+  }
+
   test("commits route through the pluggable CommitStore") {
     val puts = new java.util.concurrent.atomic.AtomicInteger
     val counting = new CommitStore {
