@@ -116,26 +116,39 @@ private[streaming] object LakeDsv2 {
     * per written-schema group (partition inference suppressed — the lake
     * layout's hive-style dirs are NOT DSv2 partition columns), partitions
     * tagged with their group, one factory per group plus the bound
-    * field-id projection for groups not already on the current schema. */
-  def plan(spark: ClassicSession, table: LakeTable,
-      files: Seq[FileEntry]): (Array[InputPartition], PartitionReaderFactory) = {
+    * field-id projection for groups not already on the current schema.
+    * `out` is the (possibly column-pruned) slice of the CURRENT schema
+    * the scan must produce: current-schema groups read exactly those
+    * columns from parquet; older-schema groups read their id-matched
+    * source columns and project. */
+  def plan(spark: ClassicSession, table: LakeTable, files: Seq[FileEntry],
+      out: StructType): (Array[InputPartition], PartitionReaderFactory) = {
     if (files.isEmpty) return (Array.empty, EmptyReaderFactory)
     val cur = table.schema
+    // re-attach field ids to the pruned output slice (pruneColumns hands
+    // back metadata-free columns; ids drive the evolution projection)
+    val outWithIds = StructType(out.fields.map(f =>
+      cur.fields.find(_.name == f.name).getOrElse(f)))
     val groups = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
     val parts = Vector.newBuilder[InputPartition]
     val factories = Map.newBuilder[Int, PartitionReaderFactory]
     val projections = Map.newBuilder[Int, Seq[Expression]]
     groups.foreach { case (sid, fs) =>
       val written = table.schemaFor(sid)
+      // columns of the written schema feeding the requested output (id
+      // match); reading only those is the column-pruning pushdown
+      val outIds = outWithIds.fields.map(graft.format.FieldIds.of).toSet
+      val readWritten = StructType(written.fields.filter(f =>
+        outIds.contains(graft.format.FieldIds.of(f))))
       val index = new InMemoryFileIndex(spark, fs.map(f => new Path(f.path)),
-        Map.empty, Some(clean(written)), userSpecifiedPartitionSpec = Some(PartitionSpec.emptySpec))
-      val scan = ParquetScanBuilder(spark, index, clean(written), clean(written),
+        Map.empty, Some(clean(readWritten)), userSpecifiedPartitionSpec = Some(PartitionSpec.emptySpec))
+      val scan = ParquetScanBuilder(spark, index, clean(readWritten), clean(readWritten),
         new CaseInsensitiveStringMap(new java.util.HashMap[String, String]())).build()
       val batch = scan.toBatch
       batch.planInputPartitions().foreach(p => parts += SchemaGroupPartition(sid, p))
       factories += sid -> batch.createReaderFactory()
-      if (clean(written) != clean(cur))
-        projections += sid -> boundEvolveExprs(spark, written, cur)
+      if (clean(readWritten) != clean(outWithIds))
+        projections += sid -> boundEvolveExprs(spark, readWritten, outWithIds)
     }
     (parts.result().toArray, GroupReaderFactory(factories.result(), projections.result()))
   }
@@ -206,12 +219,15 @@ private[streaming] final class LakeDsv2Table(location: String) extends Table wit
 private[streaming] final class LakeScan(location: String, outSchema: StructType,
     ref: graft.format.TableRef)
   extends ScanBuilder with Scan
-  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
   // pruning-only pushdown: every filter stays residual (Spark re-applies
   // them all), the convertible conjunction drives metadata file pruning
   private var pred: graft.scan.Pred = graft.scan.AlwaysTrue
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  // column pruning: the parquet readers then read only these columns
+  private var out: StructType = outSchema
 
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
       Array[org.apache.spark.sql.sources.Filter] = {
@@ -223,15 +239,17 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
+  override def pruneColumns(required: StructType): Unit = out = required
+
   override def build(): Scan = this
-  override def readSchema(): StructType = outSchema
+  override def readSchema(): StructType = out
   override def description(): String = s"graft-lake $location pruned-by: ${pred}"
 
   override def toBatch: Batch = new Batch {
     private val spark = ClassicSession.active
     private val table = LakeTable.load(location)
     private lazy val planned = LakeDsv2.plan(spark, table,
-      new graft.scan.TableScan(spark, table, pred, ref).planFiles())
+      new graft.scan.TableScan(spark, table, pred, ref).planFiles(), out)
     override def planInputPartitions(): Array[InputPartition] = planned._1
     override def createReaderFactory(): PartitionReaderFactory = planned._2
   }
@@ -281,7 +299,7 @@ final class LakeMicroBatchStream(location: String)
     val files =
       if (endId == 0L || from.contains(endId)) Seq.empty
       else table.refresh().appendedFiles(from, endId)
-    val (parts, factory) = LakeDsv2.plan(spark, table, files)
+    val (parts, factory) = LakeDsv2.plan(spark, table, files, LakeDsv2.clean(table.schema))
     lastFactory = factory
     parts
   }

@@ -116,6 +116,14 @@ class StreamSinkSpec extends SparkSpec {
     val old = spark.read.format("graft-lake").option("path", t.location)
       .option("snapshot-id", snap1.toString).load()
     assert(old.count() === slice(1995).count())
+    // column pruning pushdown: the scan reads only the selected column
+    val narrow = read.select("o_orderkey")
+    val scanLine = narrow.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(narrow.distinct().count() === slice(1995).unionByName(slice(1996))
+      .select("o_orderkey").distinct().count())
+    val schemaShown = narrow.queryExecution.optimizedPlan.schema.fieldNames.toSeq
+    assert(schemaShown === Seq("o_orderkey"), s"column pruning failed: $schemaShown / $scanLine")
   }
 
   test("lake-to-lake pipeline: snapshot-id offsets, exactly-once across restarts") {
