@@ -72,6 +72,15 @@ object Maintenance {
     deleted.toSeq
   }
 
+  /** Rewrite the manifest list into consolidated chunks under the
+    * table's current codec (Iceberg `rewrite_manifests`): metadata
+    * defragmentation and json -> gzip/binary migration for existing
+    * tables, zero data-file IO. Incremental reads across the rewrite
+    * boundary fail fast (the snapshot is a "replace", not an append) —
+    * the same contract as compaction. */
+  def rewriteManifests(table: LakeTable, targetEntriesPerChunk: Int = 100000): CommitMetrics =
+    table.commit(CommitOp.RewriteManifests(targetEntriesPerChunk))
+
   /** Z-order re-clustering: rewrite the table ordered by the interleaved
     * bits of each row's per-column quantization, so file min/max ranges
     * are tight in EVERY clustered column and stats pruning works for

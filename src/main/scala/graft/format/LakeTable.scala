@@ -285,6 +285,11 @@ object CommitOp {
     * new codec; readers dispatch per chunk). */
   final case class SetProperties(set: Map[String, String],
       remove: Set[String] = Set.empty) extends CommitOp
+  /** Rewrite the head's manifest list into consolidated chunks of
+    * `targetEntriesPerChunk` under the table's CURRENT codec — metadata
+    * defragmentation / codec migration; data files untouched (Iceberg
+    * rewrite_manifests). */
+  final case class RewriteManifests(targetEntriesPerChunk: Int = 100000) extends CommitOp
 }
 
 class LakeTable private (
@@ -553,6 +558,16 @@ class LakeTable private (
       }
       (m.copy(properties = m.properties ++ set -- remove),
         CommitMetrics(m.currentSnapshotId.getOrElse(0L), 0, 0, 0, 0, 0))
+
+    case CommitOp.RewriteManifests(target) =>
+      val head = headOf(m, None)
+      val sid = newSnapshotId(m)
+      val files = head.map(s => s.manifests.flatMap(readManifest)).getOrElse(Seq.empty)
+      val list = files.grouped(math.max(target, 1)).map(newManifest(m, _, sid)).toSeq
+      val snap = Snapshot(sid, head.map(_.id), System.currentTimeMillis(), "replace", list,
+        Map("rewritten-manifests" -> head.map(_.manifests.size).getOrElse(0).toString))
+      (advance(m, snap, None),
+        CommitMetrics(sid, 0, 0, 0, 0, 0))
 
     case CommitOp.ExpireSnapshots(ids) =>
       val protectedIds = m.refs.values.map(_.snapshotId).toSet ++ m.currentSnapshotId

@@ -200,6 +200,29 @@ class ManifestSpec extends SparkSpec {
       t.currentFiles().size)
   }
 
+  test("rewriteManifests consolidates chunks and migrates the codec") {
+    val t = mkTable()
+    (0 until 5).foreach(i => engine.insert(t, rows(i * 10 until i * 10 + 10)))
+    assert(t.metadata.currentSnapshot.get.manifests.size === 5)
+    val before = engine.scan(t).toDF().collect().toSet
+
+    t.setProperties(Map("graft.manifest.codec" -> "binary"))
+    Maintenance.rewriteManifests(t)
+    val s = t.metadata.currentSnapshot.get
+    assert(s.manifests.size === 1, s"not consolidated: ${s.manifests.map(_.path)}")
+    assert(s.manifests.head.path.endsWith(".gmf"), "codec not migrated")
+    assert(s.operation === "replace")
+    assert(engine.scan(t).toDF().collect().toSet === before)
+    // history still reads through the old chunks; time travel intact
+    val prev = t.metadata.snapshots.sortBy(_.id).dropRight(1).last
+    assert(t.manifest(prev).size === t.currentFiles().size)
+    // chunk-size bound respected
+    Maintenance.rewriteManifests(t, targetEntriesPerChunk = 2)
+    assert(t.metadata.currentSnapshot.get.manifests.size ===
+      (t.currentFiles().size + 1) / 2)
+    assert(engine.scan(t).toDF().collect().toSet === before)
+  }
+
   test("commits route through the pluggable CommitStore") {
     val puts = new java.util.concurrent.atomic.AtomicInteger
     val counting = new CommitStore {
