@@ -204,16 +204,49 @@ private[streaming] final case class GroupReaderFactory(
   }
 }
 
-private[streaming] final class LakeDsv2Table(location: String) extends Table with SupportsRead {
+private[streaming] final class LakeDsv2Table(location: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val table = LakeTable.load(location)
 
   override def name(): String = s"graft-lake:$location"
   override def schema(): StructType = LakeDsv2.clean(table.schema)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScan(location, schema(), LakeDsv2.refOf(options.get))
+
+  /** Batch write via the V1Write fallback: the DataFrame-level insert
+    * reuses the transactional LakeWriter/commit path (distributed stats
+    * harvest, partition layout, atomic snapshot) instead of
+    * reimplementing parquet writers at the DSv2 executor level.
+    * `df.write.format("graft-lake").option("path", loc).mode(...)`:
+    * append = insert commit, overwrite = strict full overwrite. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, ow: Boolean) => {
+              val spark = data.sparkSession
+              val warehouse = java.nio.file.Paths.get(location).getParent.toString
+              val engine = new graft.commands.LakeEngine(spark,
+                new graft.format.LakeCatalog(warehouse))
+              val t = LakeTable.load(location)
+              if (overwrite || ow) engine.insertOverwrite(t, data, "true")
+              else engine.insert(t, data)
+              ()
+            }
+        }
+    }
 }
 
 private[streaming] final class LakeScan(location: String, outSchema: StructType,

@@ -126,6 +126,24 @@ class StreamSinkSpec extends SparkSpec {
     assert(schemaShown === Seq("o_orderkey"), s"column pruning failed: $schemaShown / $scanLine")
   }
 
+  test("DSv2 batch write: append and overwrite modes commit transactionally") {
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = engine.catalog.createTable(freshName(), df0.schema)
+    df0.write.format("graft-lake").option("path", t.location).mode("append").save()
+    assert(engine.scan(t.refresh()).toDF().count() === 2)
+    Seq((3L, "c")).toDF("id", "v").write.format("graft-lake")
+      .option("path", t.location).mode("append").save()
+    assert(engine.scan(t.refresh()).toDF().count() === 3)
+    assert(t.metadata.snapshots.size === 2, "each write must be one atomic commit")
+    Seq((9L, "z")).toDF("id", "v").write.format("graft-lake")
+      .option("path", t.location).mode("overwrite").save()
+    assert(engine.scan(t.refresh()).toDF().as[(Long, String)].collect().toSet ===
+      Set((9L, "z")))
+    // round-trip: DSv2 write then DSv2 read
+    assert(spark.read.format("graft-lake").option("path", t.location).load()
+      .count() === 1)
+  }
+
   test("lake-to-lake pipeline: snapshot-id offsets, exactly-once across restarts") {
     val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val src = engine.catalog.createTable(freshName(), df0.schema)
