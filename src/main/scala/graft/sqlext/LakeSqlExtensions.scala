@@ -59,7 +59,15 @@ class LakeDdlParser(spark: SparkSession,
   extends org.apache.spark.sql.catalyst.parser.ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = {
-    val plan = delegate.parsePlan(sqlText)
+    val plan =
+      try delegate.parsePlan(sqlText)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          // maintenance statements Spark's grammar lacks (Delta-style):
+          //   VACUUM lake.<t> [RETAIN <n> HOURS]
+          //   OPTIMIZE lake.<t> [WHERE <scopeSql>] [ZORDER BY (c1, c2, ...)]
+          LakeMaintenanceSql.parse(spark, sqlText).getOrElse(throw e)
+      }
     new ResolveLakeRelations(spark).interceptDdl(plan).getOrElse(plan)
   }
 
@@ -71,6 +79,54 @@ class LakeDdlParser(spark: SparkSession,
   override def parseTableSchema(sqlText: String) = delegate.parseTableSchema(sqlText)
   override def parseDataType(sqlText: String) = delegate.parseDataType(sqlText)
   override def parseRoutineParam(sqlText: String) = delegate.parseRoutineParam(sqlText)
+}
+
+/** Mini-grammar for lake maintenance statements (executed eagerly like
+  * the other lake DDL; result = affected file/path counts). */
+private[sqlext] object LakeMaintenanceSql {
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+lake\.([\w$]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+lake\.([\w$]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*""".r
+
+  def parse(spark: SparkSession, sql: String): Option[LogicalPlan] = sql match {
+    case Vacuum(name, hours) => Some(run(spark, name) { (engine, table) =>
+      val graceMs = Option(hours).map(_.toLong * 3600 * 1000L).getOrElse(24L * 3600 * 1000L)
+      graft.commands.Maintenance.removeOrphanFiles(table, graceMs).size.toLong
+    })
+    case Optimize(name, whereSql, zcols) => Some(run(spark, name) { (engine, table) =>
+      val scope = Option(whereSql).map(_.trim).filter(_.nonEmpty).getOrElse("true")
+      Option(zcols) match {
+        case Some(cs) =>
+          graft.commands.Maintenance.zorderRewrite(engine, table,
+            cs.split(',').map(_.trim.replace("`", "")).toSeq, scopeSql = scope)
+            .addedFiles.toLong
+        case None =>
+          val target = table.properties
+            .getOrElse("graft.compact.target-bytes", (128L * 1024 * 1024).toString).toLong
+          graft.commands.Maintenance.compactSmallFiles(engine, table, target).addedFiles.toLong
+      }
+    })
+    case _ => None
+  }
+
+  private def run(spark: SparkSession, name: String)(
+      body: (graft.commands.LakeEngine, LakeTable) => Long): LogicalPlan = {
+    if (name.contains('$'))
+      throw new ValidationException(s"maintenance on a reference is not allowed: $name")
+    val warehouse = spark.conf.getOption("spark.graft.warehouse").getOrElse(
+      throw new ValidationException(
+        s"maintenance on lake.$name requires spark.graft.warehouse to be set"))
+    val catalog = new LakeCatalog(warehouse)
+    if (!catalog.tableExists(name))
+      throw new ValidationException(s"no lake table $name")
+    val engine = new graft.commands.LakeEngine(spark, catalog)
+    val n = body(engine, catalog.loadTable(name))
+    LocalRelation(
+      Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "affected", LongType, nullable = false)()),
+      Seq(org.apache.spark.sql.catalyst.InternalRow(n)))
+  }
 }
 
 class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {

@@ -139,6 +139,33 @@ class EdgeCasesSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.alter_t")
   }
 
+  test("SQL maintenance: OPTIMIZE compacts, ZORDER clusters, VACUUM cleans") {
+    spark.conf.set("spark.graft.warehouse", warehouse)
+    val orders = Tables.orders(spark, sf)
+    spark.sql("CREATE TABLE lake.maint_t (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+    val slim = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    // fragment with several small commits
+    (0 until 8).foreach(i => engine.insert(engine.catalog.loadTable("maint_t"),
+      slim.filter(col("o_orderkey") % 8 === i)))
+    val t = engine.catalog.loadTable("maint_t")
+    val filesBefore = t.currentFiles().size
+    assert(filesBefore >= 8)
+    spark.sql("OPTIMIZE lake.maint_t").collect()
+    assert(t.refresh().currentFiles().size < filesBefore, "compaction did not shrink files")
+    assert(engine.scan(t).toDF().count() === slim.count())
+
+    spark.sql("OPTIMIZE lake.maint_t ZORDER BY (o_orderkey, o_custkey)").collect()
+    assert(engine.scan(t.refresh()).toDF().count() === slim.count())
+
+    // stranded temp file is vacuumable with RETAIN 0 HOURS
+    val stranded = java.nio.file.Paths.get(t.location, "metadata", ".tmp-x.json")
+    java.nio.file.Files.writeString(stranded, "{}")
+    val n = spark.sql("VACUUM lake.maint_t RETAIN 0 HOURS").head().getLong(0)
+    assert(n >= 1 && !java.nio.file.Files.exists(stranded))
+    assert(engine.scan(t.refresh()).toDF().count() === slim.count())
+    spark.sql("DROP TABLE lake.maint_t")
+  }
+
   test("SQL MERGE: first-match-wins, inserts, write amplification, cardinality") {
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
       .toDF("id", "v", "x")
