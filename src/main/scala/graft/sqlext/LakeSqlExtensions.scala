@@ -152,21 +152,31 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
             "partition spec drives the layout (use a plain INSERT)")
       runDml(u, "INSERT") { (engine, table) =>
         val raw = planToDF(ins.query)
-        // SQL INSERT is positional (VALUES tuples arrive as col1/col2/...),
-        // so rename to the target columns before the by-name cast projection
-        val names =
-          if (ins.userSpecifiedCols.nonEmpty) ins.userSpecifiedCols
-          else table.schema.fieldNames.toSeq
-        if (raw.columns.length != names.length)
-          throw new ValidationException(
-            s"INSERT arity mismatch: query produces ${raw.columns.length} columns, " +
-              s"target list has ${names.length}")
-        val df = raw.toDF(names: _*)
+        // plain SQL INSERT is positional (VALUES tuples arrive as
+        // col1/col2/...), so rename to the target columns before the
+        // by-name cast projection; INSERT ... BY NAME keeps the query's
+        // own column names (that IS its contract)
+        val df =
+          if (ins.byName) raw
+          else {
+            val names =
+              if (ins.userSpecifiedCols.nonEmpty) ins.userSpecifiedCols
+              else table.schema.fieldNames.toSeq
+            if (raw.columns.length != names.length)
+              throw new ValidationException(
+                s"INSERT arity mismatch: query produces ${raw.columns.length} columns, " +
+                  s"target list has ${names.length}")
+            raw.toDF(names: _*)
+          }
         if (ins.overwrite) engine.insertOverwrite(table, df, "true")
         else engine.insert(table, df)
       }
     case m: MergeIntoTable if lakeTarget(m.targetTable).isDefined =>
       val (u, tAlias) = lakeTarget(m.targetTable).get
+      if (m.withSchemaEvolution)
+        throw new ValidationException(
+          "MERGE WITH SCHEMA EVOLUTION is not supported on lake tables; " +
+            "evolve the schema first (ALTER TABLE / LakeTable.evolveSchema)")
       val sAlias = m.sourceTable match {
         case SubqueryAlias(id, _) => Some(id.name)
         case _ => None

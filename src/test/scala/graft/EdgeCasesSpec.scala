@@ -86,6 +86,10 @@ class EdgeCasesSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("INSERT INTO lake.sqldml_t VALUES (1, 'x')") // arity mismatch
     }
+    // BY NAME keeps the query's own column names (out-of-order is fine)
+    spark.sql("INSERT INTO lake.sqldml_t BY NAME SELECT 3.5 AS x, 12L AS id, 'twelve' AS v")
+    assert(spark.sql("SELECT v, x FROM lake.sqldml_t WHERE id = 12").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq === Seq(("twelve", 3.5)))
   }
 
   test("SQL DDL: CREATE TABLE / CTAS with transforms / DROP TABLE") {
