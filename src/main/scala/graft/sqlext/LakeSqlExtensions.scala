@@ -283,6 +283,69 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
     case u: UnsetTableProperties if lakeTable(u.table).isDefined =>
       alter(lakeTable(u.table).get)(_.setProperties(Map.empty, u.propertyKeys.toSet))
 
+    // SHOW TABLES IN lake [LIKE 'pattern'] -> warehouse directory listing
+    case st: org.apache.spark.sql.catalyst.plans.logical.ShowTables
+        if (st.namespace match {
+          case org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace(Seq(ns), _) =>
+            ns.equalsIgnoreCase("lake")
+          case _ => false
+        }) =>
+      val warehouse = spark.conf.getOption("spark.graft.warehouse").getOrElse(
+        throw new ValidationException("SHOW TABLES IN lake requires spark.graft.warehouse"))
+      val dir = Paths.get(warehouse)
+      val names =
+        if (!java.nio.file.Files.isDirectory(dir)) Seq.empty[String]
+        else {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(dir).iterator().asScala
+            .filter(p => LakeTable.exists(p.toString))
+            .map(_.getFileName.toString).toSeq.sorted
+        }
+      val filtered = st.pattern match {
+        case Some(p) =>
+          val rx = ("(?i)^" + p.replace("*", ".*").replace("|", "$|^") + "$").r
+          names.filter(n => rx.findFirstIn(n).isDefined)
+        case None => names
+      }
+      Some(LocalRelation(
+        Seq(AttributeReference("namespace", org.apache.spark.sql.types.StringType, nullable = false)(),
+          AttributeReference("tableName", org.apache.spark.sql.types.StringType, nullable = false)(),
+          AttributeReference("isTemporary", org.apache.spark.sql.types.BooleanType, nullable = false)()),
+        filtered.map(n => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString("lake"),
+          org.apache.spark.unsafe.types.UTF8String.fromString(n), false))))
+
+    // DESCRIBE [TABLE] lake.t -> column rows + partition/property detail
+    case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation
+        if (d.relation match {
+          case org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView(parts, _, _) =>
+            parts.length == 2 && parts.head.equalsIgnoreCase("lake")
+          case _ => false
+        }) =>
+      val name = d.relation
+        .asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView]
+        .multipartIdentifier(1)
+      val warehouse = spark.conf.getOption("spark.graft.warehouse").getOrElse(
+        throw new ValidationException(s"DESCRIBE lake.$name requires spark.graft.warehouse"))
+      val location = Paths.get(warehouse, name).toString
+      if (!LakeTable.exists(location))
+        throw new ValidationException(s"no lake table $name")
+      val t = LakeTable.load(location)
+      def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val colRows = t.schema.fields.toSeq.map(f =>
+        InternalRow(u(f.name), u(f.dataType.simpleString), null))
+      val partRows = t.metadata.partitionSpec.toSeq.map(pf =>
+        InternalRow(u(s"# partition: ${pf.name}"), u(s"${pf.transform}(${pf.sourceColumn})"), null))
+      val propRows =
+        if (!d.isExtended) Seq.empty
+        else t.properties.toSeq.sorted.map { case (k, v) =>
+          InternalRow(u(s"# property: $k"), u(v), null) }
+      Some(LocalRelation(
+        Seq(AttributeReference("col_name", org.apache.spark.sql.types.StringType, nullable = false)(),
+          AttributeReference("data_type", org.apache.spark.sql.types.StringType, nullable = false)(),
+          AttributeReference("comment", org.apache.spark.sql.types.StringType, nullable = true)()),
+        colRows ++ partRows ++ propRows))
+
     case _ => None
   }
 
@@ -431,7 +494,7 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
         m.addedRecords, m.removedRecords)))
   }
 
-  private val MetaKinds = Set("snapshots", "files", "history")
+  private val MetaKinds = Set("snapshots", "files", "history", "partitions")
 
   private def resolve(spec: String): Option[LogicalPlan] = {
     val warehouse = spark.conf.getOption("spark.graft.warehouse").getOrElse(return None)
@@ -467,6 +530,14 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
       case "history" =>
         table.metadata.refs.toSeq.map { case (n, r) => (n, r.snapshotId, r.isBranch) }
           .toDF("ref_name", "snapshot_id", "is_branch")
+      case "partitions" =>
+        // A4 surface as a metadata relation: per-partition file/record
+        // counts from manifests alone — zero data read
+        new TableScan(spark, table).partitionRecordCounts()
+          .map { case (specId, part, records) =>
+            (specId, part.toSeq.sortBy(_._1).map(kv => s"${kv._1}=${kv._2}").mkString("/"),
+              records) }
+          .toDF("spec_id", "partition", "record_count")
     }
   }
 

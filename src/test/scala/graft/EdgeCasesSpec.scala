@@ -143,6 +143,32 @@ class EdgeCasesSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.alter_t")
   }
 
+  test("SQL catalog UX: SHOW TABLES, DESCRIBE, $partitions relation") {
+    spark.conf.set("spark.graft.warehouse", warehouse)
+    spark.sql("CREATE TABLE lake.ux_a (id BIGINT, v STRING, ts TIMESTAMP_NTZ) " +
+      "PARTITIONED BY (years(ts)) TBLPROPERTIES ('team'='graft')")
+    spark.sql("CREATE TABLE lake.ux_b (id BIGINT)")
+    val shown = spark.sql("SHOW TABLES IN lake").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(shown.contains(("lake", "ux_a")) && shown.contains(("lake", "ux_b")))
+    assert(spark.sql("SHOW TABLES IN lake LIKE 'ux_a'").count() === 1)
+
+    val desc = spark.sql("DESCRIBE TABLE lake.ux_a").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc.take(3).toSeq === Seq(("id", "bigint"), ("v", "string"), ("ts", "timestamp_ntz")))
+    assert(desc.exists(_._1 == "# partition: ts_year"))
+    assert(spark.sql("DESCRIBE TABLE EXTENDED lake.ux_a").collect()
+      .exists(_.getString(0) == "# property: team"))
+
+    spark.sql("INSERT INTO lake.ux_a VALUES (1, 'a', TIMESTAMP_NTZ'2023-01-02 00:00:00')")
+    spark.sql("INSERT INTO lake.ux_a VALUES (2, 'b', TIMESTAMP_NTZ'2024-03-04 00:00:00'), " +
+      "(3, 'c', TIMESTAMP_NTZ'2024-05-06 00:00:00')")
+    val parts = spark.sql("SELECT * FROM lake.`ux_a$partitions` ORDER BY partition")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(parts === Seq(("ts_year=2023", 1L), ("ts_year=2024", 2L)))
+    spark.sql("DROP TABLE lake.ux_a"); spark.sql("DROP TABLE lake.ux_b")
+  }
+
   test("SQL maintenance: OPTIMIZE compacts, ZORDER clusters, VACUUM cleans") {
     spark.conf.set("spark.graft.warehouse", warehouse)
     val orders = Tables.orders(spark, sf)

@@ -281,6 +281,11 @@ class ManifestSpec extends SparkSpec {
     Files.writeString(strandedManifest, "[]")
     val strandedTmp = Paths.get(t.location, "metadata", ".tmp-deadbeef.json")
     Files.writeString(strandedTmp, "{}")
+    // age the fakes past the cutoff: with graceMs=0 a fake written in the
+    // same clock tick as the cleanup would otherwise survive (flake)
+    val past = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000)
+    Seq(strandedData, strandedManifest, strandedTmp)
+      .foreach(p => Files.setLastModifiedTime(p, past))
 
     val deleted = Maintenance.removeOrphanFiles(t, graceMs = 0)
     assert(!Files.exists(strandedData) && !Files.exists(strandedManifest) &&
