@@ -44,7 +44,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (and `spark.read.format("graft-lake")` for a full-table batch read;
   * [[graft.scan.TableScan]] remains the pruning batch read path).
   */
-class LakeSourceProvider extends TableProvider with DataSourceRegister {
+class LakeSourceProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft-lake"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -53,6 +54,45 @@ class LakeSourceProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new LakeDsv2Table(properties.get("path"))
+
+  /** `df.writeStream.format("graft-lake").option("path", loc)` — the
+    * exactly-once lake sink as a first-class stream sink (v1 Sink API:
+    * its DataFrame-level addBatch is exactly the transactional
+    * micro-batch append; DSv2 StreamingWrite would force executor-side
+    * parquet writers for no gain). `query-key` scopes the batch-id
+    * high-water mark; it defaults to the checkpoint location so two
+    * independent streams into one table cannot dedup each other. */
+  override def createSink(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val location = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake sink requires option 'path'"))
+    val queryKey = parameters.getOrElse("query-key",
+      parameters.getOrElse("checkpointLocation", location))
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+        val spark = data.sparkSession
+        val warehouse = java.nio.file.Paths.get(location).getParent.toString
+        val engine = new graft.commands.LakeEngine(spark,
+          new graft.format.LakeCatalog(warehouse))
+        // v1 sinks receive a streaming-flagged DataFrame that must run
+        // through ITS OWN (incremental) query execution — re-planning via
+        // .rdd is rejected. Rebind collect-free through the prepared
+        // plan's InternalRow RDD + the row deserializer (public API).
+        val qe = data.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+          .queryExecution
+        val deser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(data.schema))
+          .resolveAndBind(qe.analyzed.output)
+          .createDeserializer()
+        val batch = spark.createDataFrame(qe.toRdd.map(r => deser(r.copy())), data.schema)
+        LakeStreamSink.appendBatch(engine, LakeTable.load(location), queryKey, batchId, batch)
+      }
+      override def toString: String = s"graft-lake sink [$location]"
+    }
+  }
 }
 
 private[streaming] object LakeDsv2 {

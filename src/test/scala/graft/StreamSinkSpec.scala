@@ -126,6 +126,32 @@ class StreamSinkSpec extends SparkSpec {
     assert(schemaShown === Seq("o_orderkey"), s"column pruning failed: $schemaShown / $scanLine")
   }
 
+  test("writeStream.format(graft-lake): lake-to-lake without foreachBatch") {
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val src = engine.catalog.createTable(freshName(), df0.schema)
+    val dst = engine.catalog.createTable(freshName(), df0.schema)
+    engine.insert(src, df0)
+    val checkpoint = Files.createTempDirectory("graft-fmt-ckpt-").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-lake").option("path", src.location).load()
+        .writeStream.format("graft-lake")
+        .option("path", dst.location)
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(engine.scan(dst.refresh()).toDF().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    engine.insert(src, Seq((3L, "c")).toDF("id", "v"))
+    runOnce() // restart: picks up only the new commit, no duplicates
+    assert(engine.scan(dst.refresh()).toDF().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(LakeStreamSink.lastCommittedBatch(dst.refresh(), checkpoint).isDefined ||
+      dst.metadata.properties.keys.exists(_.startsWith(LakeStreamSink.HwmPropPrefix)))
+  }
+
   test("DSv2 batch write: append and overwrite modes commit transactionally") {
     val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val t = engine.catalog.createTable(freshName(), df0.schema)
