@@ -81,6 +81,16 @@ object LakeWriter extends Serializable {
       .option("compression", props.getOrElse("write.parquet.compression", "zstd"))
       .option("parquet.block.size", props.getOrElse("write.parquet.row-group-size-bytes", (128 * 1024 * 1024).toString))
     props.get("write.max-records-per-file").foreach(v => w = w.option("maxRecordsPerFile", v))
+    // `graft.write.bloom-columns` = comma list: parquet row-group bloom
+    // filters for high-cardinality point-lookup columns — min/max pruning
+    // can't help an equality probe inside a file's range, a bloom can
+    // (the parquet reader consults it automatically; at 100 TB this is
+    // the per-file complement to stats-based file pruning)
+    props.get("graft.write.bloom-columns").foreach { cols =>
+      cols.split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
+        w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
+    }
     if (spec.nonEmpty) w = w.partitionBy(spec.map(partColName): _*)
     w.parquet(staging.toString)
 

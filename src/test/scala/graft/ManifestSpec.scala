@@ -223,6 +223,27 @@ class ManifestSpec extends SparkSpec {
     assert(engine.scan(t).toDF().collect().toSet === before)
   }
 
+  test("bloom-columns property writes parquet bloom filters") {
+    val t = mkTable(Map("graft.write.bloom-columns" -> "id"))
+    engine.insert(t, rows(0 until 500))
+    val path = t.currentFiles().head.path
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val chunks = reader.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+      def bloomOff(col: String) = chunks
+        .filter(_.getPath.toDotString == col).map(_.getBloomFilterOffset)
+      assert(bloomOff("id").forall(_ >= 0) && bloomOff("id").nonEmpty,
+        "bloom filter missing on requested column")
+      assert(bloomOff("v").forall(_ < 0), "bloom filter written on unrequested column")
+    } finally reader.close()
+    // point lookup stays exact with the filter in play
+    assert(engine.scan(t, "id = 123").toDF().count() === 1)
+  }
+
   test("commits route through the pluggable CommitStore") {
     val puts = new java.util.concurrent.atomic.AtomicInteger
     val counting = new CommitStore {
