@@ -172,6 +172,54 @@ final class LakeEngine(
     new TableScan(spark, table, explicitFiles = Some(files)).toDF()
   }
 
+  /** File-level change-data-capture between two snapshots: rows of files
+    * REMOVED in the range surface as `_change_type = 'delete'`, rows of
+    * files ADDED as `'insert'` — valid across ANY snapshot chain,
+    * including the overwrite/delete commits [[readIncremental]] must
+    * refuse. Copy-on-write granularity caveat (same as Iceberg's
+    * changelog scan without row lineage): a rewritten file re-emits its
+    * unchanged rows as a delete+insert pair; consumers reconciling net
+    * state apply deletes before inserts. Metadata cost is O(changed
+    * files) — shared manifest chunks are never read. */
+  def readChanges(table: LakeTable, fromSnapshotId: Option[Long],
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    val m = table.metadata
+    val toId = toSnapshotId.orElse(m.currentSnapshotId)
+      .getOrElse(throw new ValidationException("table has no snapshots"))
+    val to = m.snapshotById(toId).getOrElse(
+      throw new ValidationException(s"no snapshot $toId"))
+    val from = fromSnapshotId.map(id => m.snapshotById(id).getOrElse(
+      throw new ValidationException(s"no snapshot $id")))
+    val fromChunks = from.map(_.manifests.map(_.path).toSet).getOrElse(Set.empty)
+    val toChunks = to.manifests.map(_.path).toSet
+    // shared chunks carry identical entries and cancel out; a path never
+    // appears in both a shared and a non-shared chunk of one snapshot,
+    // so ONLY the non-shared sides need reading and diffing — metadata
+    // cost is O(changed chunks) on both ends
+    val fromOnly = from.map(_.manifests.filterNot(mr => toChunks.contains(mr.path))
+      .flatMap(table.readManifest)).getOrElse(Seq.empty)
+    val toOnly = to.manifests.filterNot(mr => fromChunks.contains(mr.path))
+      .flatMap(table.readManifest)
+    val fromOnlyPaths = fromOnly.map(_.path).toSet
+    val toOnlyPaths = toOnly.map(_.path).toSet
+    val added = toOnly.filterNot(f => fromOnlyPaths.contains(f.path))
+    val removed = fromOnly.filterNot(f => toOnlyPaths.contains(f.path))
+    def tagged(files: Seq[FileEntry], kind: String): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(new TableScan(spark, table, explicitFiles = Some(files)).toDF()
+        .withColumn("_change_type", lit(kind)))
+    (tagged(removed, "delete"), tagged(added, "insert")) match {
+      case (Some(d), Some(i)) => d.unionByName(i)
+      case (Some(d), None) => d
+      case (None, Some(i)) => i
+      case (None, None) =>
+        val schema = org.apache.spark.sql.types.StructType(table.schema.fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
   // ------------------------------------------------------------- D5–D8
   // Reference-API-shaped merge entry points (SwiftLakeEngine's
   // applySnapshotAsSCD1 / applyChangesAsSCD1 / ...AsSCD2 builders —

@@ -290,6 +290,45 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("readChanges: file-level CDC across appends, deletes and updates") {
+    import spark.implicits._
+    val t = mkTable()
+    engine.insert(t, rows(0 until 10))
+    val s1 = t.metadata.currentSnapshotId.get
+    engine.insert(t, rows(10 until 20))       // append
+    engine.delete(t, "id < 5")                // rewrite of the first file
+    engine.update(t, "id = 15", Map("v" -> "'upd'"))
+
+    def changes(from: Option[Long]) = engine.readChanges(t, from)
+      .select(col("id").cast("long"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSet
+    val got = changes(Some(s1))
+    // net reconciliation: applying deletes then inserts to snapshot s1
+    // must yield the current table (CoW re-emits rewritten rows)
+    val base = (0L until 10L).map(i => (i, s"v$i")).toSet
+    val dels = got.collect { case (id, v, "delete") => (id, v) }
+    val ins = got.collect { case (id, v, "insert") => (id, v) }
+    val reconciled = (base -- dels) ++ ins
+    val current = engine.scan(t).toDF().select(col("id").cast("long"), col("v"))
+      .as[(Long, String)].collect().toSet
+    assert(reconciled === current)
+    // shared-chunk skip: planning the CDC parses EXACTLY the non-shared
+    // chunks of the two snapshots, regardless of layout
+    val fromM = t.metadata.snapshotById(s1).get.manifests.map(_.path).toSet
+    val toM = t.metadata.currentSnapshot.get.manifests.map(_.path).toSet
+    val nonShared = (fromM -- toM).size + (toM -- fromM).size
+    ManifestCache.clear()
+    val misses0 = ManifestCache.misses
+    engine.readChanges(t, Some(s1)).queryExecution.executedPlan
+    assert(ManifestCache.misses - misses0 === nonShared,
+      s"CDC planning read ${ManifestCache.misses - misses0} chunks, expected $nonShared")
+    // no range restriction: crossing the delete/update is the point
+    assert(changes(None).nonEmpty)
+    // empty diff: from == to yields an empty typed frame
+    val head = t.metadata.currentSnapshotId
+    assert(engine.readChanges(t, head, head).isEmpty)
+  }
+
   test("orphan cleanup deletes stranded files, keeps everything referenced") {
     val t = mkTable()
     engine.insert(t, rows(0 until 10))
