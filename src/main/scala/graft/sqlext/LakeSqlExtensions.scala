@@ -505,10 +505,17 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!LakeTable.exists(location)) return None
     val table = LakeTable.load(location)
     if (MetaKinds.contains(suffix))
-      // `$snapshots` / `$files` / `$history` introspection relations
-      // (Iceberg metadata-table shape)
+      // `$snapshots` / `$files` / `$history` / `$partitions`
+      // introspection relations (Iceberg metadata-table shape)
       Some(metadataDF(table, suffix).queryExecution.analyzed)
-    else {
+    else if (suffix.startsWith("changes_")) {
+      // `t$changes_<fromSnapshotId>` — file-level CDC from the given
+      // snapshot (exclusive) to the current head
+      val fromId = suffix.stripPrefix("changes_").toLong
+      val engine = new graft.commands.LakeEngine(spark,
+        new LakeCatalog(Paths.get(location).getParent.toString))
+      Some(engine.readChanges(table, Some(fromId)).queryExecution.analyzed)
+    } else {
       val (_, ref) = parseRef(spec)
       Some(new TableScan(spark, table, ref = ref).toDF().queryExecution.analyzed)
     }

@@ -324,6 +324,14 @@ class ManifestSpec extends SparkSpec {
       s"CDC planning read ${ManifestCache.misses - misses0} chunks, expected $nonShared")
     // no range restriction: crossing the delete/update is the point
     assert(changes(None).nonEmpty)
+    // SQL surface: lake.`t$changes_<fromId>` resolves the same CDC frame
+    spark.conf.set("spark.graft.warehouse",
+      java.nio.file.Paths.get(t.location).getParent.toString)
+    val tableName = java.nio.file.Paths.get(t.location).getFileName.toString
+    val viaSql = spark.sql(
+      s"SELECT id, v, _change_type FROM lake.`$tableName$$changes_$s1`")
+      .as[(Long, String, String)].collect().toSet
+    assert(viaSql === got)
     // empty diff: from == to yields an empty typed frame
     val head = t.metadata.currentSnapshotId
     assert(engine.readChanges(t, head, head).isEmpty)
