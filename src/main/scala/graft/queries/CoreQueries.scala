@@ -82,16 +82,11 @@ object CoreQueries {
     // ------------------------------------------------------------------
     Q("q3_shipping_priority",
       (s, d) => {
-        // BUILDING restriction applied to orders FIRST (broadcast of the
-        // bounded custkey set), so the big l⋈o shuffle moves only
-        // segment-matching orders — the early-filter plan DuckDB derives
         val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-          .select("c_custkey")
         val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .select("o_orderkey", "o_orderdate", "o_orderpriority")
         val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
         l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
           .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -113,26 +108,21 @@ object CoreQueries {
     // ------------------------------------------------------------------
     Q("q5_local_supplier",
       (s, d) => {
-        // ASIA restriction pushed through nation INTO customer before the
-        // fact joins: the bounded region⋈nation dim broadcasts, customers
-        // shrink 5x, and every downstream shuffle moves only ASIA rows —
-        // the early-filter join order DuckDB derives
         val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
-        val asia = Tables.nation(s, d)
-          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-          .select("n_nationkey", "n_name")
+        val n = Tables.nation(s, d)
         val c = Tables.customer(s, d)
-          .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
-          .select("c_custkey", "c_nationkey", "n_name")
         val su = Tables.supplier(s, d)
         val o = Tables.orders(s, d)
           .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
             col("o_orderdate") < ts("1997-01-01 00:00:00"))
         val l = Tables.lineitem(s, d)
+        // region/nation are bounded dims -> broadcast them explicitly.
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(su, col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
           .transform(Present.sortSmall(_, desc("revenue"), asc("n_name")))
