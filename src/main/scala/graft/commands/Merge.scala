@@ -385,7 +385,7 @@ object Merge {
 
       val inserted =
         if (notMatched.isEmpty) None
-        else Some(diff.filter(col(OpCol) >= 100)
+        else Some(diff.filter(col(OpCol).between(100, 199))
           .select(schema.fields.toSeq.map { f =>
             notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType): Column) {
               case ((a, i), els) => when(col(OpCol) === lit(100 + i),

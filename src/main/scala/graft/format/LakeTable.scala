@@ -311,17 +311,7 @@ class LakeTable private (
 
   def readManifest(ref: ManifestRef): Seq[FileEntry] = {
     val p = Paths.get(location, "metadata", ref.path)
-    ManifestCache.getOrLoad(p) {
-      if (ref.path.endsWith(".gmf")) ManifestBinaryCodec.read(Files.readAllBytes(p))
-      else {
-        val text =
-          if (ref.path.endsWith(".gz")) {
-            val in = new java.util.zip.GZIPInputStream(Files.newInputStream(p))
-            try new String(in.readAllBytes(), UTF_8) finally in.close()
-          } else Files.readString(p)
-        Json.mapper.readValue(text, classOf[Array[FileEntry]]).toSeq
-      }
-    }
+    ManifestCache.getOrLoad(p)(LakeTable.parseManifest(p, ref.path))
   }
 
   def currentFiles(ref: TableRef = TableRef.Head): Seq[FileEntry] =
@@ -694,11 +684,49 @@ object LakeTable {
     val text = Files.readString(Paths.get(location, "metadata", s"v$v.json"))
     val tree = Json.mapper.readTree(text)
     val fv = Option(tree.get("formatVersion")).map(_.asInt(0)).getOrElse(0)
+    if (fv == 1) return Json.mapper.treeToValue(upgradeV1(location, tree), classOf[TableMetadata])
     if (fv != FormatVersion)
       throw new ValidationException(
         s"unsupported table format version $fv at $location " +
           s"(this build reads version $FormatVersion; older tables must be recreated or migrated)")
     Json.mapper.treeToValue(tree, classOf[TableMetadata])
+  }
+
+  /** Upgrade-on-read for version-1 metadata (pre manifest-list): each
+    * snapshot held ONE `manifestFile` path instead of a `manifests` list
+    * with entry/record counts. The counts are recovered by reading the
+    * legacy manifest once (cached thereafter); the first commit on the
+    * table then persists native v2 metadata, so the upgrade cost is
+    * transient. Iceberg reads v1 and v2 side by side the same way. */
+  private def upgradeV1(location: String,
+      tree: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val root = tree.asInstanceOf[ObjectNode]
+    root.put("formatVersion", FormatVersion)
+    root.path("snapshots").forEach { sn =>
+      val s = sn.asInstanceOf[ObjectNode]
+      Option(s.remove("manifestFile")).map(_.asText()).foreach { mf =>
+        val p = Paths.get(location, "metadata", mf)
+        val entries = ManifestCache.getOrLoad(p)(parseManifest(p, mf))
+        val ref = s.putArray("manifests").addObject()
+        ref.put("path", mf)
+        ref.put("entryCount", entries.size.toLong)
+        ref.put("recordCount", entries.map(_.recordCount).sum)
+      }
+    }
+    root
+  }
+
+  private[format] def parseManifest(p: Path, name: String): Seq[FileEntry] = {
+    if (name.endsWith(".gmf")) ManifestBinaryCodec.read(Files.readAllBytes(p))
+    else {
+      val text =
+        if (name.endsWith(".gz")) {
+          val in = new java.util.zip.GZIPInputStream(Files.newInputStream(p))
+          try new String(in.readAllBytes(), UTF_8) finally in.close()
+        } else Files.readString(p)
+      Json.mapper.readValue(text, classOf[Array[FileEntry]]).toSeq
+    }
   }
 
   def load(location: String, store: CommitStore = LocalCommitStore): LakeTable =

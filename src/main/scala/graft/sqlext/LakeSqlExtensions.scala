@@ -303,7 +303,12 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       val filtered = st.pattern match {
         case Some(p) =>
-          val rx = ("(?i)^" + p.replace("*", ".*").replace("|", "$|^") + "$").r
+          // only '*' and '|' are pattern metacharacters (Spark's SHOW TABLES
+          // contract); everything else is literal, so quote each segment
+          val alt = p.split("\\|", -1).map(_.split("\\*", -1)
+            .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
+            .mkString(".*")).mkString("|")
+          val rx = s"(?i)^($alt)$$".r
           names.filter(n => rx.findFirstIn(n).isDefined)
         case None => names
       }

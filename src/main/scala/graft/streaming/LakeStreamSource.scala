@@ -61,7 +61,12 @@ class LakeSourceProvider extends TableProvider with DataSourceRegister
     * micro-batch append; DSv2 StreamingWrite would force executor-side
     * parquet writers for no gain). `query-key` scopes the batch-id
     * high-water mark; it defaults to the checkpoint location so two
-    * independent streams into one table cannot dedup each other. */
+    * independent streams into one table cannot dedup each other. A
+    * checkpoint set only via the spark.sql.streaming.checkpointLocation
+    * conf does NOT reach the sink's options map, so with neither option
+    * present the sink fails fast rather than silently keying every
+    * stream into the table on one shared high-water mark (which would
+    * drop sibling streams' batches as replays). */
   override def createSink(
       sqlContext: org.apache.spark.sql.SQLContext,
       parameters: Map[String, String],
@@ -70,7 +75,12 @@ class LakeSourceProvider extends TableProvider with DataSourceRegister
     val location = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-lake sink requires option 'path'"))
     val queryKey = parameters.getOrElse("query-key",
-      parameters.getOrElse("checkpointLocation", location))
+      parameters.getOrElse("checkpointLocation",
+        throw new IllegalArgumentException(
+          "graft-lake sink requires option 'query-key' (or an explicit " +
+            ".option(\"checkpointLocation\", ...)) to scope its exactly-once " +
+            "batch-id high-water mark; a session-conf checkpoint is not " +
+            "visible here and cannot distinguish independent streams")))
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
         val spark = data.sparkSession
@@ -166,9 +176,13 @@ private[streaming] object LakeDsv2 {
     if (files.isEmpty) return (Array.empty, EmptyReaderFactory)
     val cur = table.schema
     // re-attach field ids to the pruned output slice (pruneColumns hands
-    // back metadata-free columns; ids drive the evolution projection)
+    // back metadata-free columns; ids drive the evolution projection).
+    // Fields that already carry an id (a stream's pinned schema) are kept
+    // verbatim so a concurrent table evolution cannot change the output
+    // layout mid-stream.
     val outWithIds = StructType(out.fields.map(f =>
-      cur.fields.find(_.name == f.name).getOrElse(f)))
+      if (graft.format.FieldIds.of(f) >= 0) f
+      else cur.fields.find(_.name == f.name).getOrElse(f)))
     val groups = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
     val parts = Vector.newBuilder[InputPartition]
     val factories = Map.newBuilder[Int, PartitionReaderFactory]
@@ -339,6 +353,13 @@ final class LakeMicroBatchStream(location: String)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val spark = ClassicSession.active
   private val table = LakeTable.load(location)
+  // The consumer's schema is fixed at stream start (inferSchema); every
+  // micro-batch must emit THIS layout even if the table evolves while
+  // the stream runs. Kept with field-id metadata so files committed
+  // under a later schema are projected back by id (added columns drop,
+  // removed columns resurface as NULL) instead of leaking a different
+  // column count into the running plan.
+  private val pinnedSchema = table.schema
   // AvailableNow pins the end offset at start; null = unbounded stream
   @volatile private var availableEnd: Option[LakeOffset] = None
   // the factory matching the LAST planInputPartitions call (Spark builds
@@ -372,7 +393,7 @@ final class LakeMicroBatchStream(location: String)
     val files =
       if (endId == 0L || from.contains(endId)) Seq.empty
       else table.refresh().appendedFiles(from, endId)
-    val (parts, factory) = LakeDsv2.plan(spark, table, files, LakeDsv2.clean(table.schema))
+    val (parts, factory) = LakeDsv2.plan(spark, table, files, pinnedSchema)
     lastFactory = factory
     parts
   }

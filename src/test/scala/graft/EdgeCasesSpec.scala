@@ -152,6 +152,12 @@ class EdgeCasesSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(shown.contains(("lake", "ux_a")) && shown.contains(("lake", "ux_b")))
     assert(spark.sql("SHOW TABLES IN lake LIKE 'ux_a'").count() === 1)
+    assert(spark.sql("SHOW TABLES IN lake LIKE 'ux_*'").count() >= 2)
+    assert(spark.sql("SHOW TABLES IN lake LIKE 'ux_a|ux_b'").count() === 2)
+    // regex metacharacters are literal: 'ux.a' must NOT match 'ux_a',
+    // and bracket/plus patterns must not throw PatternSyntaxException
+    assert(spark.sql("SHOW TABLES IN lake LIKE 'ux.a'").count() === 0)
+    assert(spark.sql("SHOW TABLES IN lake LIKE '[ux+'").count() === 0)
 
     val desc = spark.sql("DESCRIBE TABLE lake.ux_a").collect()
       .map(r => (r.getString(0), r.getString(1)))
@@ -236,6 +242,29 @@ class EdgeCasesSpec extends SparkSpec {
         WHEN MATCHED THEN DELETE""")
     }
     assert(e.getMessage.contains("more than once"), s"wrong error: ${e.getMessage}")
+  }
+
+  test("SQL MERGE: NOT MATCHED insert combined with NOT MATCHED BY SOURCE") {
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "v", "x")
+    val t = engine.catalog.createTable("merge_both", df.schema)
+    engine.insert(t, df)
+    spark.conf.set("spark.graft.warehouse", warehouse)
+    // source: 1 matches, 7 is new, target rows 2 and 3 are absent from source
+    Seq((1L, 100.0), (7L, 700.0)).toDF("id", "nx")
+      .createOrReplaceTempView("mb_src")
+    spark.sql("""
+      MERGE INTO lake.merge_both t USING mb_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET x = s.nx
+      WHEN NOT MATCHED THEN INSERT (id, v, x) VALUES (s.id, 'new', s.nx)
+      WHEN NOT MATCHED BY SOURCE AND t.id = 2 THEN UPDATE SET v = 'stale'
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val got = spark.sql("SELECT id, v, x FROM lake.merge_both ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // 1 updated; 2 marked stale (by-source update, exactly once, no phantom
+    // NULL insert); 3 deleted; 7 inserted
+    assert(got === Seq((1L, "a", 100.0), (2L, "stale", 20.0), (7L, "new", 700.0)))
+    spark.sql("DROP TABLE lake.merge_both")
   }
 
   test("concurrent appends: optimistic retry lands both commits") {

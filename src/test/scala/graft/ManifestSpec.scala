@@ -24,6 +24,47 @@ class ManifestSpec extends SparkSpec {
 
   private def rows(ids: Range) = ids.map(i => (i.toLong, s"v$i")).toDF("id", "v")
 
+  test("formatVersion-1 metadata loads via upgrade-on-read; next commit writes v2") {
+    val t = mkTable()
+    engine.insert(t, rows(0 until 10))
+    engine.insert(t, rows(10 until 20))
+    // downgrade the metadata file to the v1 shape: one manifestFile string
+    // per snapshot (v1 predates manifest lists, so collapse each snapshot
+    // to its newest chunk — for this append-only history snapshot 1 has
+    // exactly chunk 1 and snapshot 2 reused chunk 1 + added chunk 2; a
+    // faithful v1 table would have per-snapshot full manifests, which the
+    // FIRST snapshot here models exactly)
+    val metaDir = Paths.get(t.location, "metadata")
+    val v = LakeTable.currentVersion(t.location)
+    val tree = Json.mapper.readTree(Files.readString(metaDir.resolve(s"v$v.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    tree.put("formatVersion", 1)
+    val snaps = tree.path("snapshots")
+    // keep only the first snapshot (single-manifest history = valid v1)
+    val first = snaps.get(0).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val mf = first.path("manifests").get(0).path("path").asText()
+    first.remove("manifests")
+    first.put("manifestFile", mf)
+    tree.putArray("snapshots").add(first)
+    tree.put("currentSnapshotId", first.path("id").asLong())
+    tree.putObject("refs")
+    Files.writeString(metaDir.resolve(s"v${v + 1}.json"), tree.toString)
+
+    val reloaded = LakeTable.load(t.location)
+    val snap = reloaded.metadata.currentSnapshot.get
+    assert(reloaded.metadata.formatVersion === LakeTable.FormatVersion)
+    assert(snap.manifests.size === 1 && snap.manifests.head.path === mf)
+    assert(snap.manifests.head.entryCount > 0)
+    assert(snap.manifests.head.recordCount === 10L)
+    assert(engine.scan(reloaded).toDF().count() === 10L)
+    // a commit on the upgraded table persists native v2 metadata
+    engine.insert(reloaded, rows(100 until 105))
+    val latest = Json.mapper.readTree(Files.readString(
+      metaDir.resolve(s"v${LakeTable.currentVersion(t.location)}.json")))
+    assert(latest.path("formatVersion").asInt() === LakeTable.FormatVersion)
+    assert(engine.scan(reloaded.refresh()).toDF().count() === 15L)
+  }
+
   test("append reuses the parent's manifests and adds one for the new files") {
     val t = mkTable()
     engine.insert(t, rows(0 until 10))
@@ -101,18 +142,18 @@ class ManifestSpec extends SparkSpec {
     assert(ManifestCache.hits > 0)
   }
 
-  test("pre-v2 metadata fails with a clear format-version error") {
+  test("unknown future metadata version fails with a clear error (v1 upgrades)") {
     val t = mkTable()
     engine.insert(t, rows(0 until 5))
     val v = LakeTable.currentVersion(t.location)
     val p = Paths.get(t.location, "metadata", s"v$v.json")
     Files.writeString(p, Files.readString(p)
-      .replaceFirst("\"formatVersion\":2", "\"formatVersion\":1"))
+      .replaceFirst("\"formatVersion\":2", "\"formatVersion\":3"))
     val e = intercept[ValidationException] { LakeTable.load(t.location) }
-    assert(e.getMessage.contains("unsupported table format version 1"))
+    assert(e.getMessage.contains("unsupported table format version 3"))
     // restore so other paths over this temp dir stay sane
     Files.writeString(p, Files.readString(p)
-      .replaceFirst("\"formatVersion\":1", "\"formatVersion\":2"))
+      .replaceFirst("\"formatVersion\":3", "\"formatVersion\":2"))
   }
 
   test("partition-scoped delete commits without reading non-matching chunks") {

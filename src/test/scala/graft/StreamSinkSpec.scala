@@ -88,6 +88,52 @@ class StreamSinkSpec extends SparkSpec {
     assert(normalize(spark.table(name)) === expected)
   }
 
+  test("running stream keeps its pinned schema across table evolution") {
+    val df0 = Seq((1L, "a")).toDF("id", "v")
+    val src = engine.catalog.createTable(freshName(), df0.schema)
+    engine.insert(src, df0)
+    val name = s"pin_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft-lake").option("path", src.location).load()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).columns.toSeq === Seq("id", "v"))
+      // evolve the table WHILE the stream runs: the next micro-batch must
+      // still emit the pinned (id, v) layout, not the 3-column one
+      src.addColumn("score", org.apache.spark.sql.types.DoubleType)
+      engine.insert(src, Seq((2L, "b", 0.5)).toDF("id", "v", "score"))
+      q.processAllAvailable()
+      assert(spark.table(name).columns.toSeq === Seq("id", "v"))
+      assert(spark.table(name).collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+        Set((1L, "a"), (2L, "b")))
+    } finally q.stop()
+  }
+
+  test("sink without query-key or checkpointLocation option fails fast") {
+    val t = engine.catalog.createTable(freshName(),
+      Seq((1L, "a")).toDF("id", "v").schema)
+    val confKey = "spark.sql.streaming.checkpointLocation"
+    val old = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, Files.createTempDirectory("graft-conf-ckpt-").toString)
+    try {
+      // checkpoint only in the session conf -> not in the sink's options
+      // map -> must refuse rather than share one table-wide HWM key
+      val e = intercept[Exception] {
+        val q = spark.readStream.format("rate").load()
+          .writeStream.format("graft-lake").option("path", t.location)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def causes(x: Throwable): Seq[Throwable] =
+        if (x == null) Seq.empty else x +: causes(x.getCause)
+      assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("query-key"))),
+        s"wrong error: $e")
+    } finally old match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   test("DSv2 batch read: filter pushdown prunes files; time-travel options") {
     import graft.format.{ManifestCache, PartitionField}
     val orders = Tables.orders(spark, sf)
