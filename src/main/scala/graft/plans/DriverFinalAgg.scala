@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, JoinedRow, MutableProjection, SpecificInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{DeclarativeAggregate, Final, Partial}
+import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import scala.util.control.NonFatal
+
+/** Coordinator-side final merge for SMALL-cardinality aggregations.
+  *
+  * A two-phase `groupBy().agg()` plans as partial-agg -> shuffle ->
+  * final-agg. When the group-by key is bounded by construction (a flag
+  * pair, a calendar bucket, a 25-row dimension), the shuffled data is a
+  * few hundred tiny partial-state rows — yet the exchange still costs a
+  * full extra stage (~50 ms of scheduler latency in local mode, a
+  * network round per executor on a cluster). Distributed engines
+  * finalize exactly this shape on the coordinator: DuckDB merges
+  * thread-local states on one thread, Trino routes partials to a single
+  * final node. This helper does the same with Spark's own aggregate
+  * semantics: it executes ONLY the partial stage, collects the partial
+  * buffers (bounded: #tasks x #groups rows), merges them on the driver
+  * with each aggregate's OWN Catalyst `mergeExpressions` /
+  * `evaluateExpression`, and returns the finished result as a local
+  * DataFrame. Numeric behavior is bit-identical to the distributed plan
+  * because the very same expressions run — just interpreted on the
+  * driver instead of codegen'd in an executor stage (the pattern of
+  * TakeOrderedAndProject, applied to aggregation).
+  *
+  * Scale guard: this is ONLY sound when the group-key cardinality is
+  * bounded independent of data volume — callers opt in per query, and a
+  * hard `maxPartialRows` cap falls back to the distributed plan rather
+  * than ever materializing an unbounded state on the driver. Plans that
+  * don't match the partial/final shape (distinct rewrites, imperative
+  * aggregates, AQE-wrapped plans) fall back untouched.
+  */
+object DriverFinalAgg {
+
+  def rewrite(df: DataFrame, maxPartialRows: Int = 1 << 20): Option[DataFrame] =
+    try {
+      val r = rewrite0(df, maxPartialRows)
+      if (r.isEmpty && sys.env.contains("SPARK_GRAFT_DEBUG"))
+        System.err.println("[driver-agg] shape mismatch, fell back")
+      r
+    } catch {
+      case NonFatal(e) =>
+        if (sys.env.contains("SPARK_GRAFT_DEBUG")) {
+          System.err.println(s"[driver-agg] fallback: $e")
+          e.printStackTrace()
+        }
+        None
+    }
+
+  /** The physical plan below the final-agg exchange (diagnostics). */
+  def partialPlanOf(df: DataFrame): Option[SparkPlan] = strip(df.queryExecution.executedPlan) match {
+    case f: HashAggregateExec => strip(f.child) match {
+      case sh: ShuffleExchangeExec => Some(sh.child)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def strip(p: SparkPlan): SparkPlan = p match {
+    case w: WholeStageCodegenExec => strip(w.child)
+    case i: InputAdapter => strip(i.child)
+    case other => other
+  }
+
+  private def rewrite0(df: DataFrame, maxPartialRows: Int): Option[DataFrame] = {
+    val spark = df.sparkSession
+    val plan = df.queryExecution.executedPlan
+
+    val (finalAgg, partialPlan, partialAgg) = strip(plan) match {
+      case f: HashAggregateExec if f.aggregateExpressions.forall(_.mode == Final) =>
+        strip(f.child) match {
+          case sh: ShuffleExchangeExec => strip(sh.child) match {
+            case p: HashAggregateExec if p.aggregateExpressions.forall(_.mode == Partial) =>
+              (f, sh.child, p)
+            case _ => return None
+          }
+          case _ => return None
+        }
+      case _ => return None
+    }
+    val fns = finalAgg.aggregateExpressions.map(_.aggregateFunction)
+    if (!fns.forall(_.isInstanceOf[DeclarativeAggregate])) return None
+    val aggs = fns.map(_.asInstanceOf[DeclarativeAggregate])
+
+    val partialOutput: Seq[Attribute] = partialAgg.output
+    val nGroup = finalAgg.groupingExpressions.length
+    val bufferAttrs = aggs.flatMap(_.aggBufferAttributes)
+    if (partialOutput.length != nGroup + bufferAttrs.length) return None
+
+    // one partial-stage job; rows are (group cols ++ partial agg buffers)
+    val partials = partialPlan.execute().map(_.copy()).collect()
+    if (partials.length > maxPartialRows) return None
+
+    val groupProj = UnsafeProjection.create(partialOutput.take(nGroup), partialOutput)
+    val initProj = MutableProjection.create(aggs.flatMap(_.initialValues), Nil)
+    // merge reads the running buffer on the left and the incoming partial
+    // row on the right; inputAggBufferAttributes carry the partial
+    // output's exprIds, so binding against the concatenation resolves both
+    val mergeProj = MutableProjection.create(
+      aggs.flatMap(_.mergeExpressions), bufferAttrs ++ partialOutput)
+    val joined = new JoinedRow
+
+    val buffers = new java.util.LinkedHashMap[UnsafeRow, SpecificInternalRow]()
+    partials.foreach { row =>
+      val key = groupProj(row)
+      var buf = buffers.get(key)
+      if (buf == null) {
+        buf = new SpecificInternalRow(bufferAttrs.map(_.dataType))
+        initProj.target(buf)(InternalRow.empty)
+        buffers.put(key.copy(), buf)
+      }
+      mergeProj.target(buf)(joined(buf, row))
+    }
+    // empty input, global aggregation: one group of initial values
+    // (count() = 0, sum = null), matching the distributed plan
+    if (buffers.isEmpty && nGroup == 0) {
+      val buf = new SpecificInternalRow(bufferAttrs.map(_.dataType))
+      initProj.target(buf)(InternalRow.empty)
+      buffers.put(UnsafeProjection.create(Seq.empty[Attribute], Nil)(InternalRow.empty).copy(), buf)
+    }
+
+    val evalProj = MutableProjection.create(aggs.map(_.evaluateExpression), bufferAttrs)
+    // the key row carries exactly the nGroup grouping columns, so the
+    // aggregate result attributes land at ordinals nGroup..n in the join
+    val resultProj = UnsafeProjection.create(
+      finalAgg.resultExpressions,
+      partialOutput.take(nGroup) ++ finalAgg.aggregateExpressions.map(_.resultAttribute))
+    val resultJoin = new JoinedRow
+    val out = Vector.newBuilder[InternalRow]
+    buffers.forEach { (key, buf) =>
+      val evaluated = evalProj(buf)
+      out += resultProj(resultJoin(key, evaluated)).copy()
+    }
+
+    // back to a DataFrame through the public encoder bridge
+    val schema = df.schema
+    val deser = ExpressionEncoder(RowEncoder.encoderFor(schema))
+      .resolveAndBind(df.queryExecution.analyzed.output)
+      .createDeserializer()
+    val rows = out.result().map(deser(_))
+    Some(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Size-aware join-strategy hints.
+  *
+  * Catalyst auto-broadcasts a relation when its size ESTIMATE is under
+  * `spark.sql.autoBroadcastJoinThreshold`, but without CBO the estimate
+  * for a join output is a blown-up product, so a provably-small
+  * pre-joined build side (dim-filtered fact slice joined to a key list)
+  * never qualifies even when a tight upper bound for it is sitting in
+  * the stats of one of its inputs. `broadcastIfSmall` applies the
+  * broadcast hint only when Catalyst's own estimate for a caller-chosen
+  * upper-bound plan fits the session threshold — at bench scale the
+  * slice broadcasts; at 100 TB the same code degrades to a shuffle join
+  * (the same decision AQE would make at runtime, taken at plan time for
+  * a sub-second query where AQE's re-planning jobs cost more than the
+  * query).
+  */
+object Hints {
+
+  /** Broadcast `df` iff the size estimate of `bound` (a plan whose row
+    * set provably contains `df`'s, e.g. the pre-join filtered side of a
+    * key-preserving join) is within the auto-broadcast threshold. */
+  def broadcastIfSmall(df: DataFrame, bound: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    if (threshold <= 0) df
+    else {
+      val est = bound.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= threshold) broadcast(df) else df
+    }
+  }
+}

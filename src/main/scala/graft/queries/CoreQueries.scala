@@ -61,7 +61,7 @@ object CoreQueries {
             round(avg("l_quantity"), 2).as("avg_qty"),
             round(avg("l_extendedprice"), 2).as("avg_price"),
             count(lit(1)).as("count_order"))
-          .transform(Present.sortSmall(_, col("l_returnflag"), col("l_linestatus")))
+          .transform(Present.driverAgg(_, col("l_returnflag"), col("l_linestatus")))
       },
       oracle = Some("""
         SELECT l_returnflag, l_linestatus,
@@ -83,10 +83,18 @@ object CoreQueries {
     Q("q3_shipping_priority",
       (s, d) => {
         val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
         val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
         val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(c, col("o_custkey") === col("c_custkey"))
+        // reduce the orders side to BUILDING rows BEFORE the fact join —
+        // the build payload shrinks ~5x. The join output has no usable
+        // Catalyst estimate (no CBO), but filtered `o` is a provable
+        // upper bound (c_custkey is unique), so the broadcast hint is
+        // size-gated on it: at 100 TB this degrades to a shuffle join.
+        val oj = o.join(c, col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        l.join(graft.plans.Hints.broadcastIfSmall(oj, bound = o),
+            col("l_orderkey") === col("o_orderkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
           .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -125,7 +133,7 @@ object CoreQueries {
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
-          .transform(Present.sortSmall(_, desc("revenue"), asc("n_name")))
+          .transform(Present.driverAgg(_, desc("revenue"), asc("n_name")))
       },
       oracle = Some("""
         SELECT n_name,
@@ -148,6 +156,7 @@ object CoreQueries {
             col("l_discount").between(0.05, 0.07) &&
             col("l_quantity") < 24)
           .agg(dsum(col("l_extendedprice") * col("l_discount"), 4, "revenue"))
+          .transform(Present.driverAgg(_))
       },
       oracle = Some("""
         SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -164,11 +173,36 @@ object CoreQueries {
         val c = Tables.customer(s, d)
         val w = Window.partitionBy("c_mktsegment")
           .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-        o.join(c, col("o_custkey") === col("c_custkey"))
+        import s.implicits._
+        // top-k-per-group combiner: each input partition keeps only its
+        // local top 3 per segment (bounded state: #segments x 3), so the
+        // exchange moves #partitions x 15 rows instead of every order —
+        // the same partial/final split a distributed top-k runs at any
+        // scale. The final window then ranks a few hundred rows in one
+        // task; its ClusteredDistribution is satisfied by the single
+        // partition, so no further shuffle is planned.
+        val base = o.join(c, col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        val localTop = base.as[(String, Long, Double)].mapPartitions { it =>
+          val best = scala.collection.mutable.HashMap
+            .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+          val worseThan = (a: (Long, Double), b: (Long, Double)) =>
+            a._2 < b._2 || (a._2 == b._2 && a._1 > b._1)
+          it.foreach { case (seg, k, p) =>
+            val buf = best.getOrElseUpdate(seg,
+              scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+            if (buf.size < 3) buf += ((k, p))
+            else {
+              val worst = buf.indices.reduce((i, j) => if (worseThan(buf(i), buf(j))) i else j)
+              if (worseThan(buf(worst), (k, p))) buf(worst) = (k, p)
+            }
+          }
+          best.iterator.flatMap { case (seg, buf) => buf.map(t => (seg, t._1, t._2)) }
+        }.toDF("c_mktsegment", "o_orderkey", "o_totalprice")
+        localTop.repartition(1)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
-          .transform(Present.sortNarrow(_, col("c_mktsegment"), col("rn")))
+          .sortWithinPartitions(col("c_mktsegment"), col("rn"))
       },
       oracle = Some("""
         SELECT * FROM (
@@ -447,7 +481,7 @@ object CoreQueries {
         Tables.orders(s, d)
           .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2, "total"))
-          .transform(Present.sortSmall(_, col("y"), col("m")))
+          .transform(Present.driverAgg(_, col("y"), col("m")))
       },
       oracle = Some("""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m,
@@ -528,7 +562,7 @@ object CoreQueries {
           .groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             dsum(col("value"), 6, "sum_value"))
-          .transform(Present.sortSmall(_, col("hour"), col("event_type")))
+          .transform(Present.driverAgg(_, col("hour"), col("event_type")))
       },
       oracle = Some("""
         SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

@@ -33,4 +33,20 @@ private[queries] object Present {
     */
   def sortNarrow(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** Finalize a BOUNDED-cardinality aggregation on the driver
+    * ([[graft.plans.DriverFinalAgg]]): the partial stage still runs
+    * distributed, but the tiny partial states merge coordinator-side —
+    * no final-agg exchange stage at all. Only for group keys whose
+    * cardinality is bounded by construction (flags, calendar buckets,
+    * fixed dimensions); falls back to [[sortSmall]]'s distributed plan
+    * whenever the shape doesn't match or the state isn't tiny.
+    */
+  def driverAgg(df: DataFrame, cols: Column*): DataFrame =
+    graft.plans.DriverFinalAgg.rewrite(df) match {
+      case Some(local) if cols.isEmpty => local
+      case Some(local) => local.coalesce(1).sortWithinPartitions(cols: _*)
+      case None if cols.isEmpty => df
+      case None => sortSmall(df, cols: _*)
+    }
 }

@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Micro-measurement of the local-mode execution floor: wall time of
+  * trivial jobs as a function of task count and stage count, so the
+  * bench residue vs the in-process oracle can be attributed
+  * quantitatively (is it per-job, per-stage, or per-task?). Scratch
+  * tool, not part of the driver contract.
+  */
+object Floor {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+    // extra static confs: SPARK_GRAFT_EXTRA="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_EXTRA").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(name: String)(body: => Unit): Unit = {
+      (1 to 3).foreach(_ => body) // warm
+      val t = (1 to 10).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+      }.min
+      println(f"$name%-46s min=${t}%7.1f ms")
+    }
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val sc = spark.sparkContext
+    time("raw RDD job: 1 partition count") {
+      sc.parallelize(Seq(1), 1).count()
+    }
+    time("raw RDD job: 32 partition count") {
+      sc.parallelize(1 to 32, 32).count()
+    }
+    val r1 = spark.range(0, 1000, 1, 1).toDF()
+    time("range(1 part) collect") { r1.collect() }
+    time("range(1 part) rdd-count (reuses plan)") { r1.queryExecution.toRdd.count() }
+    for (n <- Seq(1, 8, 32, 64))
+      time(s"range($n parts) 1-stage noop") {
+        noop(spark.range(0, 1000, 1, n).toDF())
+      }
+    time("range(1 part) noop REUSED df") { noop(r1) }
+    for (n <- Seq(1, 8, 32))
+      time(s"range(32 parts) groupBy -> $n shuffle parts") {
+        noop(spark.range(0, 100000, 1, 32).toDF()
+          .withColumn("k", col("id") % 10)
+          .repartition(n, col("k"))
+          .groupBy("k").count())
+      }
+    // real parquet scan task-count sweep
+    for (mb <- Seq("2m", "8m", "32m", "128m")) {
+      val df = spark.read
+        .option("mergeSchema", "false")
+        .parquet(s"$sfDir/lineitem.parquet")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", mb)
+      val q = df.filter(col("l_quantity") < 24)
+        .groupBy("l_returnflag").agg(sum("l_extendedprice"))
+      time(s"lineitem scan+filter+agg maxPart=$mb 2-stage noop") { noop(q) }
+      val partial = graft.plans.DriverFinalAgg.partialPlanOf(q).get
+      time(s"lineitem scan+partial maxPart=$mb 1-stage collect") {
+        partial.execute().map(_.copy()).collect()
+      }
+      time(s"lineitem scan-only maxPart=$mb count") {
+        df.filter(col("l_quantity") < 24).count()
+      }
+      time(s"lineitem driverAgg end-to-end maxPart=$mb") {
+        noop(graft.plans.DriverFinalAgg.rewrite(q).get)
+      }
+    }
+    spark.stop()
+  }
+}
