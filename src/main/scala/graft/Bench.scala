@@ -95,7 +95,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .withExtensions(new graft.sqlext.LakeSqlExtensions)
       .master(s"local[$cpus]")
       // scans parallelize across all cores; shuffle partitions pinned low
@@ -119,7 +119,10 @@ object Bench {
       // this, every pass recompiles evicted fragments
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf sweep (tools only; the driver runs with defaults)
+    sys.env.getOrElse("SPARK_GRAFT_EXTRA", "").split(';').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = Registry.all.filter(_.bench)

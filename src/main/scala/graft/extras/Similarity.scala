@@ -32,7 +32,12 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force top-k: broadcast the (small) query set against the
-    * partitioned corpus; rank per query with a window. Exact baseline. */
+    * partitioned corpus; per-partition bounded top-k combiner (state:
+    * #queries x k), then one tiny exchange and a single-task ranking
+    * window — the partial/final split a distributed top-k needs at any
+    * corpus size. Exact: a global top-k row survives its partition's
+    * local top-k, and ties break deterministically by (sim desc, cid
+    * asc) in both phases. Output is a single partition. */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
@@ -45,7 +50,34 @@ object Similarity {
         queries.select(col(queryId).as("qid"), col(queryVec).as("qv"))))
       .select(col("qid"), col("cid"), round(sim, 6).as("sim"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    localTopK(joined, k).repartition(1)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Per-partition top-k per qid over (qid, cid, sim) rows: keeps the k
+    * best candidates by (sim desc, cid asc) per query in bounded memory. */
+  private def localTopK(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    scored.select(col("qid").cast(LongType), col("cid").cast(LongType),
+        col("sim").cast(DoubleType))
+      .as[(Long, Long, Double)].mapPartitions { it =>
+        val best = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+        // a is a worse candidate than b under (sim desc, cid asc)
+        val worseThan = (a: (Long, Double), b: (Long, Double)) =>
+          a._2 < b._2 || (a._2 == b._2 && a._1 > b._1)
+        it.foreach { case (qid, cid, sim) =>
+          val buf = best.getOrElseUpdate(qid,
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+          if (buf.size < k) buf += ((cid, sim))
+          else {
+            val worst = buf.indices.reduce((i, j) => if (worseThan(buf(i), buf(j))) i else j)
+            if (worseThan(buf(worst), (cid, sim))) buf(worst) = (cid, sim)
+          }
+        }
+        best.iterator.flatMap { case (qid, buf) => buf.map(t => (qid, t._1, t._2)) }
+      }.toDF("qid", "cid", "sim")
   }
 
   /** SRP signature: sign bits of projections onto deterministic pseudo-

@@ -39,11 +39,16 @@ import scala.util.control.NonFatal
   */
 object DriverFinalAgg {
 
+  private val deserializers = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.types.StructType,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder.Deserializer[org.apache.spark.sql.Row]]
+
   def rewrite(df: DataFrame, maxPartialRows: Int = 1 << 20): Option[DataFrame] =
     try {
       val r = rewrite0(df, maxPartialRows)
       if (r.isEmpty && sys.env.contains("SPARK_GRAFT_DEBUG"))
-        System.err.println("[driver-agg] shape mismatch, fell back")
+        System.err.println("[driver-agg] shape mismatch, fell back:\n" +
+          df.queryExecution.executedPlan.treeString)
       r
     } catch {
       case NonFatal(e) =>
@@ -66,6 +71,11 @@ object DriverFinalAgg {
   private def strip(p: SparkPlan): SparkPlan = p match {
     case w: WholeStageCodegenExec => strip(w.child)
     case i: InputAdapter => strip(i.child)
+    // AQE wraps the whole query; its input plan still has the plain
+    // partial/exchange/final shape (no stage has materialized yet, and
+    // the partial subplan executes below any exchange, so running it
+    // directly is exactly what the first AQE stage would do)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => strip(a.inputPlan)
     case other => other
   }
 
@@ -81,6 +91,10 @@ object DriverFinalAgg {
               (f, sh.child, p)
             case _ => return None
           }
+          // AQE's input plan: EnsureRequirements hasn't inserted the
+          // exchange yet — Final sits directly on Partial
+          case p: HashAggregateExec if p.aggregateExpressions.forall(_.mode == Partial) =>
+            (f, f.child, p)
           case _ => return None
         }
       case _ => return None
@@ -139,11 +153,16 @@ object DriverFinalAgg {
       out += resultProj(resultJoin(key, evaluated)).copy()
     }
 
-    // back to a DataFrame through the public encoder bridge
+    // back to a DataFrame through the public encoder bridge; the bound
+    // deserializer is cached per schema (its construction costs more
+    // than merging the handful of partial rows it decodes)
     val schema = df.schema
-    val deser = ExpressionEncoder(RowEncoder.encoderFor(schema))
-      .resolveAndBind(df.queryExecution.analyzed.output)
-      .createDeserializer()
+    val deser = deserializers.getOrElseUpdate(schema, {
+      val attrs = df.queryExecution.analyzed.output
+      ExpressionEncoder(RowEncoder.encoderFor(schema))
+        .resolveAndBind(attrs)
+        .createDeserializer()
+    })
     val rows = out.result().map(deser(_))
     Some(spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](

@@ -562,7 +562,7 @@ object CoreQueries {
           .groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             dsum(col("value"), 6, "sum_value"))
-          .transform(Present.driverAgg(_, col("hour"), col("event_type")))
+          .transform(Present.sortSmall(_, col("hour"), col("event_type")))
       },
       oracle = Some("""
         SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

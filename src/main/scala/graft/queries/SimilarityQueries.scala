@@ -21,7 +21,8 @@ object SimilarityQueries {
             emb, "vec_id", "embedding",
             queries, "vec_id", "embedding", k = 10)
           .select(col("qid"), col("cid"), col("sim"), col("rank").cast("int").as("rank"))
-          .transform(Present.sortNarrow(_, col("qid"), col("rank")))
+          // bruteForceTopK output is already a single ranked partition
+          .sortWithinPartitions(col("qid"), col("rank"))
       },
       oracle = Some("""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

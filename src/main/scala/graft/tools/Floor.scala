@@ -15,6 +15,8 @@ object Floor {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "2m")
@@ -26,6 +28,55 @@ object Floor {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // stage timeline: submit->firstTask->lastTask gaps for one run
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var t0Ref = 0L
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private def rel(ms: Long): String = f"${ms - t0Ref}%5d"
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        events.add(s"job${j.jobId} start @${rel(j.time)}")
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        events.add(s"job${j.jobId} end   @${rel(j.time)}")
+      override def onStageSubmitted(s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        events.add(s"stage${s.stageInfo.stageId}(${s.stageInfo.numTasks}t) submit @${rel(System.currentTimeMillis())}")
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = s.stageInfo
+        events.add(s"stage${si.stageId} done   @${rel(System.currentTimeMillis())} " +
+          s"launch=${si.submissionTime.map(t => rel(t)).getOrElse("?")} " +
+          s"complete=${si.completionTime.map(t => rel(t)).getOrElse("?")}")
+      }
+    })
+
+    def timeline(name: String)(body: => Unit): Unit = {
+      (1 to 3).foreach(_ => body)
+      events.clear()
+      t0Ref = System.currentTimeMillis()
+      val t0 = System.nanoTime(); body
+      val wall = (System.nanoTime() - t0) / 1e6
+      Thread.sleep(200)
+      println(f"--- $name wall=$wall%.1fms")
+      events.forEach(e => println(s"    $e"))
+    }
+    if (sys.env.contains("SPARK_GRAFT_TIMELINE")) {
+      sys.env("SPARK_GRAFT_TIMELINE").split(",").filter(_.nonEmpty).foreach { qn =>
+        if (qn == "2stage") {
+          val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          timeline("lineitem 2-stage agg") {
+            df.filter(col("l_quantity") < 24)
+              .groupBy("l_returnflag").agg(sum("l_extendedprice"))
+              .write.format("noop").mode("overwrite").save()
+          }
+        } else {
+          graft.functions.GraftFunctions.register(spark)
+          val q = graft.Registry.byName(qn)
+          timeline(qn) {
+            q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+        }
+      }
+      spark.stop(); return
+    }
 
     def time(name: String)(body: => Unit): Unit = {
       (1 to 3).foreach(_ => body) // warm

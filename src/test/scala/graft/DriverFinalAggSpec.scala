@@ -1,0 +1,67 @@
+package graft
+
+import graft.plans.DriverFinalAgg
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DriverFinalAgg must be result-identical to the distributed plan it
+  * replaces (same Catalyst merge/eval expressions, different venue) and
+  * must fall back rather than guess on shapes it doesn't understand. */
+class DriverFinalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def assertSame(df: DataFrame, sortCols: Seq[String]): Unit = {
+    val rewritten = DriverFinalAgg.rewrite(df)
+    assert(rewritten.isDefined, "expected the rewrite to engage")
+    val a = rewritten.get.orderBy(sortCols.map(col): _*).collect().toSeq
+    val b = df.orderBy(sortCols.map(col): _*).collect().toSeq
+    assert(a === b)
+  }
+
+  test("grouped sums/avg/count over decimals match the distributed plan") {
+    val df = Seq(
+      ("A", "x", BigDecimal("1.25"), 2L), ("A", "x", BigDecimal("2.50"), 3L),
+      ("B", "y", BigDecimal("-7.75"), 5L), ("A", "z", BigDecimal("0.00"), 0L),
+      ("B", "y", BigDecimal("10.10"), 1L))
+      .toDF("k1", "k2", "dec", "n")
+      .withColumn("dec", col("dec").cast(DecimalType(18, 2)))
+    val agg = df.groupBy("k1", "k2").agg(
+      sum("dec").as("s"), round(avg("n"), 3).as("a"),
+      count(lit(1)).as("c"), min("dec").as("mn"), max("n").as("mx"))
+    assertSame(agg, Seq("k1", "k2"))
+  }
+
+  test("global (no group) aggregation incl. empty input") {
+    val df = Seq((1L, 2.0), (3L, 4.5)).toDF("a", "b")
+    assertSame(df.agg(sum("a").as("s"), avg("b").as("avg")), Seq("s"))
+    val empty = df.filter(col("a") > 100)
+    assertSame(empty.agg(sum("a").as("s"), count(lit(1)).as("c")), Seq("c"))
+  }
+
+  test("null keys and null values group and sum like the distributed plan") {
+    val df = Seq[(Option[String], Option[Long])](
+      (None, Some(1L)), (Some("k"), None), (None, None), (Some("k"), Some(5L)))
+      .toDF("k", "v")
+    assertSame(df.groupBy("k").agg(sum("v").as("s"), count(col("v")).as("c")), Seq("k"))
+  }
+
+  test("falls back on distinct aggregates and on the partial-row cap") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
+    // distinct rewrite plans two exchanges -> shape mismatch -> None
+    assert(DriverFinalAgg.rewrite(df.groupBy("k").agg(countDistinct("v"))).isEmpty)
+    // cap: 3 groups but maxPartialRows = 1 -> fall back
+    assert(DriverFinalAgg.rewrite(
+      df.groupBy("k", "v").agg(count(lit(1))), maxPartialRows = 1).isEmpty)
+    // non-agg plan -> None
+    assert(DriverFinalAgg.rewrite(df.filter(col("v") > 0)).isEmpty)
+  }
+
+  test("registry headliners using driverAgg stay plan-safe on reuse") {
+    // run the same query twice (deserializer cache path) — identical rows
+    val q = Registry.byName("q_date_extract")
+    val r1 = q.run(spark, sf).collect().toSeq
+    val r2 = q.run(spark, sf).collect().toSeq
+    assert(r1 === r2 && r1.nonEmpty)
+  }
+}
