@@ -109,6 +109,40 @@ trait CommitStore {
     * correctness never depends on it. Object stores typically no-op
     * (they list) or write an unconditional hint object. */
   def publishHint(metadataDir: Path, version: Int): Unit = ()
+
+  // ---- metadata byte IO ---------------------------------------------
+  // Every OTHER metadata access (manifest chunks, version files,
+  // discovery listing) routes through these, so a table's metadata can
+  // live wholly in an object store. Data files are Spark/Hadoop-managed
+  // (an s3a:// location already reads and writes parquet through the
+  // Hadoop FileSystem); only the metadata plane needs this seam.
+  // Defaults are the local-filesystem behavior, so a store that only
+  // customizes commit atomicity stays source-compatible.
+
+  def writeBytes(metadataDir: Path, name: String, bytes: Array[Byte]): Unit = {
+    val _ = Files.write(metadataDir.resolve(name), bytes)
+  }
+  def readBytes(metadataDir: Path, name: String): Array[Byte] =
+    Files.readAllBytes(metadataDir.resolve(name))
+  /** Immediate child object names of the metadata dir (empty when the
+    * table does not exist). */
+  def listNames(metadataDir: Path): Seq[String] =
+    if (!Files.isDirectory(metadataDir)) Seq.empty
+    else {
+      val out = Vector.newBuilder[String]
+      val s = Files.list(metadataDir)
+      try s.iterator().forEachRemaining(p => out += p.getFileName.toString)
+      finally s.close()
+      out.result()
+    }
+  def deleteIfExists(metadataDir: Path, name: String): Boolean =
+    Files.deleteIfExists(metadataDir.resolve(name))
+  /** One-time layout setup at table create. */
+  def prepareTable(tableDir: Path): Unit = {
+    Files.createDirectories(tableDir.resolve("metadata"))
+    Files.createDirectories(tableDir.resolve("data"))
+    ()
+  }
 }
 
 /** Local-FS store: exclusive hard link (atomic on POSIX) is the
@@ -303,7 +337,7 @@ class LakeTable private (
     DataType.fromJson(meta.schemas(id.toString)).asInstanceOf[StructType]
   def properties: Map[String, String] = meta.properties
 
-  def refresh(): LakeTable = { meta = LakeTable.loadMeta(location); this }
+  def refresh(): LakeTable = { meta = LakeTable.loadMeta(location, store); this }
 
   def snapshot(ref: TableRef): Option[Snapshot] = meta.resolve(ref)
 
@@ -311,7 +345,8 @@ class LakeTable private (
 
   def readManifest(ref: ManifestRef): Seq[FileEntry] = {
     val p = Paths.get(location, "metadata", ref.path)
-    ManifestCache.getOrLoad(p)(LakeTable.parseManifest(p, ref.path))
+    ManifestCache.getOrLoad(p)(LakeTable.parseManifest(ref.path,
+      store.readBytes(Paths.get(location, "metadata"), ref.path)))
   }
 
   def currentFiles(ref: TableRef = TableRef.Head): Seq[FileEntry] =
@@ -367,14 +402,16 @@ class LakeTable private (
       // read the version FIRST, then the metadata AT that version: basing
       // the new metadata on a fresher read than the version we link would
       // silently drop a concurrent commit (TOCTOU)
-      val curV = LakeTable.currentVersion(location)
-      val cur = LakeTable.loadMetaAt(location, curV)
+      val curV = LakeTable.currentVersion(location, store)
+      val cur = LakeTable.loadMetaAt(location, curV, store)
       val (next, metrics) = applyOp(cur, op, t0)
       val metaDir = Paths.get(location, "metadata")
       if (store.putIfAbsent(metaDir, s"v${curV + 1}.json", Json.write(next))) {
         store.publishHint(metaDir, curV + 1)
         meta = next
-        return metrics.copy(elapsedMs = System.currentTimeMillis() - t0)
+        val finalMetrics = metrics.copy(elapsedMs = System.currentTimeMillis() - t0)
+        emitCommitEvent(op, cur, finalMetrics, attempt + 1)
+        return finalMetrics
       } else {
         attempt += 1
         if (attempt > retries)
@@ -383,6 +420,31 @@ class LakeTable private (
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Push the commit's typed event (with partition-level deltas) to any
+    * registered [[graft.metrics.MetricCollector]]. The event body is
+    * by-name: with no collector registered nothing is computed, and
+    * removed-entry resolution falls back to the pre-commit manifest only
+    * when the overwrite's advisory hints don't cover every removed path. */
+  private def emitCommitEvent(op: CommitOp, before: TableMetadata,
+      metrics: CommitMetrics, attempts: Int): Unit =
+    graft.metrics.MetricCollectors.emitCommit {
+      val (name, added, removed) = op match {
+        case a: CommitOp.Append => ("append", a.files, Seq.empty[FileEntry])
+        case o: CommitOp.Overwrite =>
+          val hints = o.removeHints.filter(f => o.removePaths.contains(f.path))
+          val rest =
+            if (hints.map(_.path).toSet == o.removePaths) Seq.empty
+            else headOf(before, o.branch).map(manifest).getOrElse(Seq.empty)
+              .filter(f => o.removePaths.contains(f.path) && !hints.exists(_.path == f.path))
+          (if (o.removePaths.isEmpty) "append" else "overwrite", o.files, hints ++ rest)
+        case other =>
+          (other.getClass.getSimpleName.stripSuffix("$").toLowerCase,
+            Seq.empty[FileEntry], Seq.empty[FileEntry])
+      }
+      graft.metrics.CommitEvent(location, name, metrics, attempts,
+        graft.metrics.MetricCollectors.partitionDeltas(added, removed))
+    }
 
   private def newSnapshotId(m: TableMetadata): Long =
     m.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
@@ -410,14 +472,16 @@ class LakeTable private (
     }
     // unique per attempt: a lost optimistic race must not reuse a name
     val name = s"manifest-$sid-${Random.alphanumeric.take(8).mkString}$suffix"
-    val p = Paths.get(location, "metadata", name)
-    codec match {
-      case "binary" => Files.write(p, ManifestBinaryCodec.write(files))
+    val bytes = codec match {
+      case "binary" => ManifestBinaryCodec.write(files)
       case "gzip" =>
-        val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(p))
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new java.util.zip.GZIPOutputStream(bos)
         try out.write(Json.write(files).getBytes(UTF_8)) finally out.close()
-      case _ => Files.writeString(p, Json.write(files))
+        bos.toByteArray
+      case _ => Json.write(files).getBytes(UTF_8)
     }
+    store.writeBytes(Paths.get(location, "metadata"), name, bytes)
     // partition summary for scan-time chunk pruning: only meaningful when
     // every entry shares a spec; fields exceeding the cardinality cap are
     // dropped (a near-unique field can't skip chunks anyway)
@@ -661,13 +725,9 @@ object LakeTable {
     * with a clear message instead of an opaque mapping error. */
   val FormatVersion = 2
 
-  def currentVersion(location: String): Int = {
-    val dir = Paths.get(location, "metadata")
-    if (!Files.isDirectory(dir)) return 0
-    val vs = Files.list(dir).iterator()
+  def currentVersion(location: String, store: CommitStore = LocalCommitStore): Int = {
     var max = 0
-    vs.forEachRemaining { p =>
-      val n = p.getFileName.toString
+    store.listNames(Paths.get(location, "metadata")).foreach { n =>
       if (n.startsWith("v") && n.endsWith(".json")) {
         val v = n.stripPrefix("v").stripSuffix(".json")
         try max = math.max(max, v.toInt) catch { case _: NumberFormatException => () }
@@ -676,15 +736,18 @@ object LakeTable {
     max
   }
 
-  private def loadMeta(location: String): TableMetadata =
-    loadMetaAt(location, currentVersion(location))
+  private def loadMeta(location: String, store: CommitStore): TableMetadata =
+    loadMetaAt(location, currentVersion(location, store), store)
 
-  private[format] def loadMetaAt(location: String, v: Int): TableMetadata = {
+  private[format] def loadMetaAt(location: String, v: Int,
+      store: CommitStore = LocalCommitStore): TableMetadata = {
     require(v > 0, s"no table at $location")
-    val text = Files.readString(Paths.get(location, "metadata", s"v$v.json"))
+    val text = new String(
+      store.readBytes(Paths.get(location, "metadata"), s"v$v.json"), UTF_8)
     val tree = Json.mapper.readTree(text)
     val fv = Option(tree.get("formatVersion")).map(_.asInt(0)).getOrElse(0)
-    if (fv == 1) return Json.mapper.treeToValue(upgradeV1(location, tree), classOf[TableMetadata])
+    if (fv == 1)
+      return Json.mapper.treeToValue(upgradeV1(location, tree, store), classOf[TableMetadata])
     if (fv != FormatVersion)
       throw new ValidationException(
         s"unsupported table format version $fv at $location " +
@@ -699,7 +762,8 @@ object LakeTable {
     * table then persists native v2 metadata, so the upgrade cost is
     * transient. Iceberg reads v1 and v2 side by side the same way. */
   private def upgradeV1(location: String,
-      tree: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode = {
+      tree: com.fasterxml.jackson.databind.JsonNode,
+      store: CommitStore): com.fasterxml.jackson.databind.JsonNode = {
     import com.fasterxml.jackson.databind.node.ObjectNode
     val root = tree.asInstanceOf[ObjectNode]
     root.put("formatVersion", FormatVersion)
@@ -707,7 +771,8 @@ object LakeTable {
       val s = sn.asInstanceOf[ObjectNode]
       Option(s.remove("manifestFile")).map(_.asText()).foreach { mf =>
         val p = Paths.get(location, "metadata", mf)
-        val entries = ManifestCache.getOrLoad(p)(parseManifest(p, mf))
+        val entries = ManifestCache.getOrLoad(p)(parseManifest(mf,
+          store.readBytes(Paths.get(location, "metadata"), mf)))
         val ref = s.putArray("manifests").addObject()
         ref.put("path", mf)
         ref.put("entryCount", entries.size.toLong)
@@ -717,22 +782,23 @@ object LakeTable {
     root
   }
 
-  private[format] def parseManifest(p: Path, name: String): Seq[FileEntry] = {
-    if (name.endsWith(".gmf")) ManifestBinaryCodec.read(Files.readAllBytes(p))
+  private[format] def parseManifest(name: String, bytes: Array[Byte]): Seq[FileEntry] = {
+    if (name.endsWith(".gmf")) ManifestBinaryCodec.read(bytes)
     else {
       val text =
         if (name.endsWith(".gz")) {
-          val in = new java.util.zip.GZIPInputStream(Files.newInputStream(p))
+          val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
           try new String(in.readAllBytes(), UTF_8) finally in.close()
-        } else Files.readString(p)
+        } else new String(bytes, UTF_8)
       Json.mapper.readValue(text, classOf[Array[FileEntry]]).toSeq
     }
   }
 
   def load(location: String, store: CommitStore = LocalCommitStore): LakeTable =
-    new LakeTable(location, loadMeta(location), store)
+    new LakeTable(location, loadMeta(location, store), store)
 
-  def exists(location: String): Boolean = currentVersion(location) > 0
+  def exists(location: String, store: CommitStore = LocalCommitStore): Boolean =
+    currentVersion(location, store) > 0
 
   def create(
       location: String,
@@ -741,14 +807,13 @@ object LakeTable {
       sortOrder: Seq[SortField] = Seq.empty,
       properties: Map[String, String] = Map.empty,
       store: CommitStore = LocalCommitStore): LakeTable = {
-    require(!exists(location), s"table already exists at $location")
+    require(!exists(location, store), s"table already exists at $location")
     schema.fields.foreach(LogicalTypes.validateCarrier) // uuid/time carrier checks
     val (withIds, lastId) = FieldIds.assign(schema)
     val names = schema.fieldNames.toSet
     partitionSpec.foreach(pf => require(names.contains(pf.sourceColumn),
       s"partition source ${pf.sourceColumn} not in schema"))
-    Files.createDirectories(Paths.get(location, "metadata"))
-    Files.createDirectories(Paths.get(location, "data"))
+    store.prepareTable(Paths.get(location))
     val meta = TableMetadata(FormatVersion, location, Map("1" -> withIds.json), 1, lastId,
       Map("0" -> partitionSpec), 0, sortOrder, properties, Seq.empty, None, Map.empty)
     val metaDir = Paths.get(location, "metadata")

@@ -1,0 +1,86 @@
+package graft.format
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentHashMap
+
+/** Object-store metadata plane (reference analog: the pluggable FileIO +
+  * S3 client, aws/SwiftLakeS3FileIO.java:41-163).
+  *
+  * [[ObjectStoreClient]] is the minimal S3-shaped API the table needs:
+  * unconditional PUT/GET/LIST/DELETE for immutable uniquely-named
+  * objects (manifest chunks), and PUT-if-none-match for the single
+  * object whose exclusivity carries the commit protocol (`vN.json`).
+  * A production deployment implements it with the AWS SDK —
+  * `PutObjectRequest.ifNoneMatch("*")`, where the 412 PreconditionFailed
+  * response maps to `false` — or the GCS/Azure equivalents; data files
+  * never pass through here (Spark reads and writes parquet at s3a://
+  * locations via the Hadoop FileSystem already).
+  *
+  * [[ObjectStoreCommitStore]] adapts a client to the [[CommitStore]]
+  * seam, keying objects as `<metadata-dir>/<name>`. Version discovery
+  * lists the prefix (S3 LIST is strongly consistent since 2020, so a
+  * committed version is immediately visible); the version hint is an
+  * unconditional object, best-effort by design.
+  *
+  * [[InMemoryObjectStore]] implements the client with exact conditional-
+  * PUT atomicity (ConcurrentHashMap.putIfAbsent) so the whole table
+  * lifecycle — create, insert, scan, CoW DML, time travel, concurrent
+  * racing commits — runs against object-store semantics in tests
+  * without any cloud dependency.
+  */
+trait ObjectStoreClient {
+  /** @return false iff the key already exists (HTTP 412 path). */
+  def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean
+  def put(key: String, bytes: Array[Byte]): Unit
+  def get(key: String): Array[Byte]
+  /** Immediate child names under `prefix` (no recursion). */
+  def list(prefix: String): Seq[String]
+  def delete(key: String): Boolean
+}
+
+final class InMemoryObjectStore extends ObjectStoreClient {
+  private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+
+  override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean =
+    objects.putIfAbsent(key, bytes) == null
+  override def put(key: String, bytes: Array[Byte]): Unit = objects.put(key, bytes)
+  override def get(key: String): Array[Byte] =
+    Option(objects.get(key)).getOrElse(
+      throw new java.io.FileNotFoundException(s"no such object: $key"))
+  override def list(prefix: String): Seq[String] = {
+    val p = if (prefix.endsWith("/")) prefix else prefix + "/"
+    import scala.jdk.CollectionConverters._
+    objects.keySet().asScala.iterator
+      .filter(k => k.startsWith(p) && !k.substring(p.length).contains('/'))
+      .map(_.substring(p.length)).toVector
+  }
+  override def delete(key: String): Boolean = objects.remove(key) != null
+  def size: Int = objects.size()
+}
+
+/** CommitStore over an object store: conditional PUT carries commit
+  * atomicity; everything else is plain immutable-object IO. The local
+  * `data/` dir is still prepared because data files are written by
+  * Spark to the table location (object-store locations go through
+  * Hadoop's FileSystem there, not through this class). */
+final class ObjectStoreCommitStore(client: ObjectStoreClient) extends CommitStore {
+  private def key(dir: Path, name: String): String =
+    dir.toString.stripSuffix("/") + "/" + name
+
+  override def putIfAbsent(metadataDir: Path, name: String, content: String): Boolean =
+    client.putIfNoneMatch(key(metadataDir, name), content.getBytes("UTF-8"))
+  override def publishHint(metadataDir: Path, version: Int): Unit =
+    client.put(key(metadataDir, "version-hint.txt"), version.toString.getBytes("UTF-8"))
+  override def writeBytes(metadataDir: Path, name: String, bytes: Array[Byte]): Unit =
+    client.put(key(metadataDir, name), bytes)
+  override def readBytes(metadataDir: Path, name: String): Array[Byte] =
+    client.get(key(metadataDir, name))
+  override def listNames(metadataDir: Path): Seq[String] =
+    client.list(metadataDir.toString)
+  override def deleteIfExists(metadataDir: Path, name: String): Boolean =
+    client.delete(key(metadataDir, name))
+  override def prepareTable(tableDir: Path): Unit = {
+    Files.createDirectories(tableDir.resolve("data"))
+    ()
+  }
+}

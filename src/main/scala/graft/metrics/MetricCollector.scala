@@ -1,0 +1,76 @@
+package graft.metrics
+
+import graft.format.{CommitMetrics, FileEntry}
+
+/** Pluggable observability for commits, scans and the metadata cache —
+  * the Spark-side analog of the reference's metric surface
+  * (reference: metrics/CommitMetrics.java:1-162 and the metrics package,
+  * collection sites IcebergScanExecutor.java:183-196 and
+  * Transaction.java:337-450): typed case-class events pushed to
+  * registered collectors instead of a bespoke metrics registry. A
+  * collector is a plain trait so callers can bridge to whatever sink
+  * they run (Spark's MetricsSystem, StatsD, logs); nothing is collected
+  * until one is registered, and emission never throws into the write or
+  * scan path (a failing collector is dropped from the hot path's view,
+  * not allowed to fail a commit).
+  */
+trait MetricCollector {
+  def onCommit(event: CommitEvent): Unit = ()
+  def onScan(event: ScanEvent): Unit = ()
+}
+
+/** Per-partition file/record deltas of one commit (the reference's
+  * partition-level commit counters). Keys are the partition path
+  * (`field=value/...`; empty string for unpartitioned tables). */
+final case class PartitionDelta(
+    addedFiles: Int, addedRecords: Long,
+    removedFiles: Int, removedRecords: Long)
+
+final case class CommitEvent(
+    tableLocation: String,
+    operation: String, // "append" | "overwrite" | "replace" | meta ops
+    metrics: CommitMetrics,
+    attempts: Int, // 1 = clean commit, >1 = optimistic retries
+    partitions: Map[String, PartitionDelta])
+
+final case class ScanEvent(
+    tableLocation: String,
+    predicate: String,
+    totalFiles: Int, matchedFiles: Int, skippedFiles: Int,
+    totalBytes: Long, matchedBytes: Long, matchedRecords: Long,
+    planMs: Long)
+
+object MetricCollectors {
+  @volatile private var collectors: Vector[MetricCollector] = Vector.empty
+
+  def register(c: MetricCollector): Unit = synchronized { collectors :+= c }
+  def unregister(c: MetricCollector): Unit = synchronized {
+    collectors = collectors.filterNot(_ eq c)
+  }
+  def clear(): Unit = synchronized { collectors = Vector.empty }
+  def isEmpty: Boolean = collectors.isEmpty
+
+  def emitCommit(e: => CommitEvent): Unit = {
+    val cs = collectors
+    if (cs.nonEmpty) { val ev = e; cs.foreach(c => safely(c.onCommit(ev))) }
+  }
+  def emitScan(e: => ScanEvent): Unit = {
+    val cs = collectors
+    if (cs.nonEmpty) { val ev = e; cs.foreach(c => safely(c.onScan(ev))) }
+  }
+
+  private def safely(body: => Unit): Unit =
+    try body catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Partition path -> delta, from the added/removed entries of a commit. */
+  def partitionDeltas(added: Seq[FileEntry], removed: Seq[FileEntry]): Map[String, PartitionDelta] = {
+    def path(f: FileEntry): String =
+      f.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+    val a = added.groupBy(path); val r = removed.groupBy(path)
+    (a.keySet ++ r.keySet).map { p =>
+      val af = a.getOrElse(p, Seq.empty); val rf = r.getOrElse(p, Seq.empty)
+      p -> PartitionDelta(af.size, af.map(_.recordCount).sum,
+        rf.size, rf.map(_.recordCount).sum)
+    }.toMap
+  }
+}

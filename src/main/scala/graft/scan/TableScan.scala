@@ -80,15 +80,24 @@ final class TableScan(
     if (!allowFullTableScan && Pred.isTrue(pred))
       throw new FullTableScanException(
         s"full table scan not allowed on ${table.location} (P10 guard)")
-    val all = table.snapshot(ref) match {
-      case None => Seq.empty
-      case Some(s) => s.manifests.filter(manifestMayMatch).flatMap(table.readManifest)
-    }
+    val t0 = System.nanoTime()
+    val chunks = table.snapshot(ref).map(_.manifests).getOrElse(Seq.empty)
+    val read = chunks.filter(manifestMayMatch)
+    val all = read.flatMap(table.readManifest)
     val matched = all.filter(f => evaluator.mayContain(pred, f))
     sizeLimitMiB.foreach { lim =>
       val mib = matched.map(_.sizeBytes).sum / (1024.0 * 1024.0)
       if (mib > lim)
         throw new ScanSizeLimitException(f"scan would read $mib%.1f MiB > limit $lim MiB (P11)")
+    }
+    graft.metrics.MetricCollectors.emitScan {
+      // skipped-chunk file counts come from the chunk summary (entryCount)
+      // without reading it; byte totals cover only the chunks actually read
+      val total = chunks.map(_.entryCount).sum.toInt
+      graft.metrics.ScanEvent(table.location, pred.toString,
+        total, matched.size, total - matched.size,
+        all.map(_.sizeBytes).sum, matched.map(_.sizeBytes).sum,
+        matched.map(_.recordCount).sum, (System.nanoTime() - t0) / 1000000L)
     }
     matched
   }

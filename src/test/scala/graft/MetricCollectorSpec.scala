@@ -1,0 +1,77 @@
+package graft
+
+import graft.commands.LakeEngine
+import graft.format.{LakeCatalog, PartitionField}
+import graft.metrics._
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Pluggable metric collection (SURVEY §2.8): commit events carry
+  * partition-level deltas, scan events carry pruning savings, and a
+  * throwing collector never fails the write path. */
+class MetricCollectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse = Files.createTempDirectory("graft-metw-").toString
+  private lazy val engine = new LakeEngine(spark, new LakeCatalog(warehouse))
+
+  private final class Recording extends MetricCollector {
+    val commits = scala.collection.mutable.ArrayBuffer.empty[CommitEvent]
+    val scans = scala.collection.mutable.ArrayBuffer.empty[ScanEvent]
+    override def onCommit(e: CommitEvent): Unit = commits += e
+    override def onScan(e: ScanEvent): Unit = scans += e
+  }
+
+  test("commit events carry operation, attempts and partition deltas") {
+    val rec = new Recording
+    MetricCollectors.register(rec)
+    try {
+      val orders = Tables.orders(spark, sf)
+      val t = engine.catalog.createTable("met_t", orders.schema,
+        partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+      def slice(y: Int) = orders.filter(year(col("o_orderdate")) === y)
+      engine.insert(t, slice(1995).unionByName(slice(1996)))
+
+      val ins = rec.commits.last
+      assert(ins.operation === "append" && ins.attempts === 1)
+      assert(ins.partitions.keySet === Set("o_year=1995", "o_year=1996"))
+      assert(ins.partitions.values.map(_.addedRecords).sum ===
+        slice(1995).count() + slice(1996).count())
+      assert(ins.partitions.values.forall(_.removedFiles == 0))
+
+      // partition-scoped overwrite: deltas confined to the 1996 partition
+      engine.insertOverwrite(t, slice(1996).limit(10),
+        "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND " +
+          "o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'")
+      val ow = rec.commits.last
+      assert(ow.operation === "overwrite")
+      assert(ow.partitions.keySet === Set("o_year=1996"))
+      val d = ow.partitions("o_year=1996")
+      assert(d.addedRecords === 10 && d.removedRecords === slice(1996).count())
+      assert(d.removedFiles >= 1)
+    } finally MetricCollectors.unregister(rec)
+  }
+
+  test("scan events report pruning savings; throwing collectors are inert") {
+    val boom = new MetricCollector {
+      override def onScan(e: ScanEvent): Unit = throw new RuntimeException("boom")
+      override def onCommit(e: CommitEvent): Unit = throw new RuntimeException("boom")
+    }
+    val rec = new Recording
+    MetricCollectors.register(boom)
+    MetricCollectors.register(rec)
+    try {
+      val t = engine.catalog.loadTable("met_t")
+      val n = engine.scan(t,
+        "o_orderdate >= TIMESTAMP_NTZ'1995-01-01 00:00:00' AND " +
+          "o_orderdate < TIMESTAMP_NTZ'1996-01-01 00:00:00'").toDF().count()
+      assert(n > 0)
+      val ev = rec.scans.last
+      assert(ev.tableLocation === t.location)
+      assert(ev.matchedFiles >= 1)
+      assert(ev.skippedFiles >= 1, s"expected year pruning to skip files: $ev")
+      assert(ev.totalFiles === ev.matchedFiles + ev.skippedFiles)
+      assert(ev.matchedRecords === n)
+    } finally { MetricCollectors.unregister(boom); MetricCollectors.unregister(rec) }
+  }
+}
