@@ -71,17 +71,37 @@ object DriverFinalAgg {
   private def strip(p: SparkPlan): SparkPlan = p match {
     case w: WholeStageCodegenExec => strip(w.child)
     case i: InputAdapter => strip(i.child)
-    // AQE wraps the whole query; its input plan still has the plain
-    // partial/exchange/final shape (no stage has materialized yet, and
-    // the partial subplan executes below any exchange, so running it
-    // directly is exactly what the first AQE stage would do)
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => strip(a.inputPlan)
     case other => other
+  }
+
+  // AQE wraps the physical plan and defers the preparation rules
+  // (codegen collapse, columnar-to-row transitions) to per-stage
+  // materialization, so neither its wrapper nor its inputPlan is safely
+  // executable outside AQE. Re-plan the analyzed logical plan through a
+  // cloned session with AQE off: same optimizer, same physical
+  // strategies, a fully prepared static plan. Cached per session.
+  private val noAqe = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.SparkSession, org.apache.spark.sql.classic.SparkSession]
+  private def staticQe(df: DataFrame): org.apache.spark.sql.execution.QueryExecution = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = df.queryExecution
+    if (!classic.sessionState.conf.adaptiveExecutionEnabled) qe
+    else {
+      // newSession: isolated SQL conf over the same SparkContext; the
+      // plan is already analyzed, so the fresh (empty) catalog and
+      // function registry are never consulted
+      val s = noAqe.getOrElseUpdate(classic, {
+        val c = classic.newSession()
+        c.conf.set("spark.sql.adaptive.enabled", "false")
+        c
+      })
+      s.sessionState.executePlan(qe.analyzed)
+    }
   }
 
   private def rewrite0(df: DataFrame, maxPartialRows: Int): Option[DataFrame] = {
     val spark = df.sparkSession
-    val plan = df.queryExecution.executedPlan
+    val plan = staticQe(df).executedPlan
 
     val (finalAgg, partialPlan, partialAgg) = strip(plan) match {
       case f: HashAggregateExec if f.aggregateExpressions.forall(_.mode == Final) =>
@@ -91,10 +111,6 @@ object DriverFinalAgg {
               (f, sh.child, p)
             case _ => return None
           }
-          // AQE's input plan: EnsureRequirements hasn't inserted the
-          // exchange yet — Final sits directly on Partial
-          case p: HashAggregateExec if p.aggregateExpressions.forall(_.mode == Partial) =>
-            (f, f.child, p)
           case _ => return None
         }
       case _ => return None

@@ -18,8 +18,10 @@ object OperatorQueries {
     Q("asof_join_events",
       (s, d) => {
         val events = Tables.events(s, d)
+        // project only what the output needs: every left column rides the
+        // union shuffle inside the carried struct
         val purchases = events.filter(col("event_type") === "purchase")
-          .select("event_id", "user_id", "ts", "value")
+          .select("event_id", "user_id", "ts")
         val signups = events.filter(col("event_type") === "signup")
           .select(col("event_id").as("signup_id"), col("user_id"), col("ts"))
         AsOfJoin.asofBackward(purchases, signups,
@@ -54,7 +56,7 @@ object OperatorQueries {
           .groupBy("band_id")
           .agg(count(lit(1)).as("n"),
             CoreQueries.dsum(col("o_totalprice"), 2, "total"))
-          .transform(Present.sortSmall(_, col("band_id")))
+          .transform(Present.driverAgg(_, col("band_id")))
       },
       oracle = Some("""
         WITH bands AS (
