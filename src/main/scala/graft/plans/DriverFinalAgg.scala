@@ -39,6 +39,11 @@ import scala.util.control.NonFatal
   */
 object DriverFinalAgg {
 
+  /** Physical plan of the most recent engaged rewrite's source query
+    * (the distributed plan whose partial stage ran) — diagnostics and
+    * plan-quality tests; the merged result is just a LocalRelation. */
+  @volatile var lastSourcePlan: String = ""
+
   private val deserializers = scala.collection.concurrent.TrieMap
     .empty[org.apache.spark.sql.types.StructType,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder.Deserializer[org.apache.spark.sql.Row]]
@@ -115,6 +120,7 @@ object DriverFinalAgg {
         }
       case _ => return None
     }
+    lastSourcePlan = plan.toString
     val fns = finalAgg.aggregateExpressions.map(_.aggregateFunction)
     if (!fns.forall(_.isInstanceOf[DeclarativeAggregate])) return None
     val aggs = fns.map(_.asInstanceOf[DeclarativeAggregate])
