@@ -20,35 +20,54 @@ object AsOfJoin {
 
   /** For each left row, attach `payloadCols` from the right row with the
     * largest rightTime <= leftTime within the same key group (NULLs when
-    * no prior right row exists — ASOF LEFT JOIN semantics). */
+    * no prior right row exists — ASOF LEFT JOIN semantics).
+    *
+    * Columns ride the union FLAT (left columns null-filled on right
+    * rows and vice versa) rather than packed into per-side structs: a
+    * struct build + per-field extraction per row is pure CPU on the
+    * shuffle's hot path. Single-payload joins carry one running
+    * `last(ignoreNulls)` column; multi-payload joins still group the
+    * payload in one struct so the window carries one value. */
   def asofBackward(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTime: String, rightTime: String,
       payloadCols: Seq[String]): DataFrame = {
-    val payloadType = StructType(payloadCols.map(c =>
-      StructField(c, right.schema(c).dataType)))
     val leftCols = left.columns.toSeq
+    // keys and the time column already travel as key cols / __t
+    val leftOnly = leftCols.filterNot(c => keys.contains(c) || c == leftTime)
+    def pay(c: String) = s"__r_$c"
 
     val lSide = left.select(
-      keys.map(col) ++ Seq(
-        col(leftTime).as("__t"), lit(1).as("__side"),
-        struct(leftCols.map(col): _*).as("__l"),
-        lit(null).cast(payloadType).as("__r")): _*)
+      keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
+        leftOnly.map(col) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(pay(c))): _*)
     val rSide = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTime).as("__t"), lit(0).as("__side"),
-        lit(null).cast(StructType(left.schema.fields.toSeq)).as("__l"),
-        struct(payloadCols.map(col): _*).as("__r")): _*)
+      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c => col(c).as(pay(c))): _*)
 
     // right rows sort before left rows at equal timestamps -> inclusive
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lSide.unionByName(rSide)
-      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(leftCols.map(c => col("__l").getField(c).as(c)) ++
-        payloadCols.map(c => col("__match").getField(c).as(c)): _*)
+    val unioned = lSide.unionByName(rSide)
+    val matched = payloadCols match {
+      case Seq(single) =>
+        unioned.withColumn(pay(single), last(col(pay(single)), ignoreNulls = true).over(w))
+      case many =>
+        // a single running value: null payload structs on left rows are
+        // skipped by ignoreNulls, so the struct must be null (not a
+        // struct of nulls) there — build it only from right rows
+        val packed = unioned.withColumn("__match",
+          last(when(col("__side") === 0,
+            struct(many.map(c => col(pay(c)).as(c)): _*)), ignoreNulls = true).over(w))
+        many.foldLeft(packed)((df, c) => df.withColumn(pay(c), col("__match").getField(c)))
+          .drop("__match")
+    }
+    matched.filter(col("__side") === 1)
+      .select(leftCols.map(c =>
+        (if (c == leftTime) col("__t") else col(c)).as(c)) ++
+        payloadCols.map(c => col(pay(c)).as(c)): _*)
   }
 }

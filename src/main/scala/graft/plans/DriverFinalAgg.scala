@@ -41,8 +41,14 @@ object DriverFinalAgg {
 
   /** Physical plan of the most recent engaged rewrite's source query
     * (the distributed plan whose partial stage ran) — diagnostics and
-    * plan-quality tests; the merged result is just a LocalRelation. */
-  @volatile var lastSourcePlan: String = ""
+    * plan-quality tests; the merged result is just a LocalRelation.
+    * Stored as the node, rendered on demand (toString of a wide join
+    * plan is not free on the per-query hot path). */
+  @volatile private var lastSourcePlanNode: SparkPlan = null
+  def lastSourcePlan: String =
+    Option(lastSourcePlanNode).map(_.toString).getOrElse("")
+  private[graft] def lastSourcePlan_=(s: String): Unit =
+    if (s.isEmpty) lastSourcePlanNode = null
 
   private val deserializers = scala.collection.concurrent.TrieMap
     .empty[org.apache.spark.sql.types.StructType,
@@ -120,7 +126,7 @@ object DriverFinalAgg {
         }
       case _ => return None
     }
-    lastSourcePlan = plan.toString
+    lastSourcePlanNode = plan
     val fns = finalAgg.aggregateExpressions.map(_.aggregateFunction)
     if (!fns.forall(_.isInstanceOf[DeclarativeAggregate])) return None
     val aggs = fns.map(_.asInstanceOf[DeclarativeAggregate])

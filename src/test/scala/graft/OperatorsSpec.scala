@@ -23,6 +23,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L) === Some(10L)) // equal timestamp is inclusive
     assert(got(2L) === Some(11L)) // latest at-or-before 205
     assert(got(3L) === None)      // right at 60 > 50: no match
+
+    // multi-payload: all payload columns come from the SAME matched row
+    // (packed-struct path), and no-match rows are NULL across the board
+    val right2 = Seq((10L, "a", "u1", 100L), (11L, "b", "u1", 200L), (12L, "c", "u2", 60L))
+      .toDF("rid", "tag", "key", "t")
+    val got2 = AsOfJoin.asofBackward(left, right2, Seq("key"), "t", "t", Seq("rid", "tag"))
+      .select("id", "rid", "tag")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got2(1L) === ((Some(10L), Some("a"))))
+    assert(got2(2L) === ((Some(11L), Some("b"))))
+    assert(got2(3L) === ((None, None)))
+    // left columns (incl. the time column) survive the flat union intact
+    val full = AsOfJoin.asofBackward(left, right, Seq("key"), "t", "t", Seq("rid"))
+    assert(full.columns.toSeq === Seq("id", "key", "t", "rid"))
+    assert(full.filter(col("id") === 2L).select("t").as[Long].head() === 205L)
   }
 
   test("batch transaction: combined commit + pairwise conflict detection") {
