@@ -130,6 +130,15 @@ object Exp {
         dsum2(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6),
         round(avg("l_quantity"), 2), round(avg("l_extendedprice"), 2), count(lit(1)))
       .coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus"))
+    // exact multi-distinct: one-pass set aggregate vs codegen Expand x3
+    time("distinct_sets")(graft.Registry.byName("q_distinct_agg").run(spark, sfDir))
+    time("distinct_expand")(
+      lineitem.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          countDistinct(col("l_orderkey")).as("n_ord"))
+        .coalesce(1).sortWithinPartitions("l_returnflag"))
+
     time("q1_full")(graft.Registry.byName("q1_pricing_summary").run(spark, sfDir))
     time("q3_full")(graft.Registry.byName("q3_shipping_priority").run(spark, sfDir))
     time("q5_full")(graft.Registry.byName("q5_local_supplier").run(spark, sfDir))
