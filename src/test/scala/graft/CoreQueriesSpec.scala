@@ -55,6 +55,38 @@ class CoreQueriesSpec extends SparkSpec {
     assert(r.forall(_.getLong(1) <= 3))
   }
 
+  test("top-k combiner queries match their naive full-window formulations") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // q_window_rank vs the straight window over ALL rows (tie behavior
+    // must be identical: desc price, asc orderkey)
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val naive = o.join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("c_mktsegment", "rn").collect().toSeq
+    val combined = Registry.byName("q_window_rank").run(spark, sf).collect().toSeq
+    assert(combined === naive)
+
+    // sim_bruteforce_topk vs the straight window over every (q, c) pair
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pairs = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"),
+        round(graft.extras.Similarity.dot(col("qv"), col("cv")), 6).as("sim"))
+    val ws = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
+    val naiveSim = pairs.withColumn("rank", row_number().over(ws).cast("int"))
+      .filter(col("rank") <= 10).orderBy("qid", "rank").collect().toSeq
+    val combinedSim = Registry.byName("sim_bruteforce_topk").run(spark, sf).collect().toSeq
+    assert(combinedSim === naiveSim)
+  }
+
   test("all core queries execute and have stable schemas") {
     queries.CoreQueries.all.foreach { q =>
       val df = q.run(spark, sf)
