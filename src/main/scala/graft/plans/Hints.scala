@@ -25,8 +25,12 @@ object Hints {
     * key-preserving join) is within the auto-broadcast threshold. */
   def broadcastIfSmall(df: DataFrame, bound: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
-    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    // "-1" (broadcast disabled) is a bare negative number, which the
+    // byte-string parser rejects — treat any unparsable value as disabled
+    val threshold =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+      catch { case _: NumberFormatException => -1L }
     if (threshold <= 0) df
     else {
       val est = bound.queryExecution.optimizedPlan.stats.sizeInBytes

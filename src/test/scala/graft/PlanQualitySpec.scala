@@ -68,6 +68,17 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("stats-gated broadcast degrades cleanly when broadcast is disabled") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      // q3's size-gated hint must fall back to a shuffle join, not throw
+      val r = Registry.byName("q3_shipping_priority").run(spark, sf).collect()
+      assert(r.nonEmpty)
+    } finally spark.conf.set(key, old)
+  }
+
   test("top-k window queries pre-reduce with a bounded combiner") {
     // the ranking window must see a single tiny partition, not the whole
     // fact table: exactly one shuffle (the repartition(1)), no range
