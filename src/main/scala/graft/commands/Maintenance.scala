@@ -60,15 +60,16 @@ object Maintenance {
         .foreach { p => Files.deleteIfExists(p); deleted += p.toString }
     }
     // metadata dir: unreferenced manifest chunks + stranded commit temps
+    // (listed and deleted through the CommitStore so object-store
+    // metadata is reclaimed the same way)
     val metaDir = Paths.get(table.location, "metadata")
-    import scala.jdk.CollectionConverters._
-    Files.list(metaDir).iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        (n.startsWith("manifest-") && !liveMeta.contains(n)) || n.startsWith(".tmp-")
+    table.store.listNames(metaDir)
+      .filter(n => (n.startsWith("manifest-") && !liveMeta.contains(n)) || n.startsWith(".tmp-"))
+      .filter(n => table.store.lastModifiedMs(metaDir, n) < cutoff)
+      .foreach { n =>
+        table.store.deleteIfExists(metaDir, n)
+        deleted += metaDir.resolve(n).toString
       }
-      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-      .foreach { p => Files.deleteIfExists(p); deleted += p.toString }
     deleted.toSeq
   }
 
@@ -170,10 +171,12 @@ object Maintenance {
     val liveManifests = keep.flatMap(_.manifests.map(_.path)).toSet
     val deadManifests = expire.flatMap(_.manifests.map(_.path)).distinct
       .filterNot(liveManifests.contains)
-    // commit the trimmed snapshot list first, then delete orphans
+    // commit the trimmed snapshot list first, then delete orphans.
+    // Manifest deletes route through the table's CommitStore so expiry
+    // also reclaims object-store metadata; data files are local/Hadoop.
     table.commit(CommitOp.ExpireSnapshots(expire.map(_.id).toSet))
-    deadManifests.foreach(p =>
-      Files.deleteIfExists(Paths.get(table.location, "metadata", p)))
+    val metaDir = Paths.get(table.location, "metadata")
+    deadManifests.foreach(p => table.store.deleteIfExists(metaDir, p))
     deadFiles.foreach(p => Files.deleteIfExists(Paths.get(p)))
     deadFiles
   }

@@ -137,6 +137,9 @@ trait CommitStore {
     }
   def deleteIfExists(metadataDir: Path, name: String): Boolean =
     Files.deleteIfExists(metadataDir.resolve(name))
+  /** Object age for grace-window checks (S3 LastModified analog). */
+  def lastModifiedMs(metadataDir: Path, name: String): Long =
+    Files.getLastModifiedTime(metadataDir.resolve(name)).toMillis
   /** One-time layout setup at table create. */
   def prepareTable(tableDir: Path): Unit = {
     Files.createDirectories(tableDir.resolve("metadata"))

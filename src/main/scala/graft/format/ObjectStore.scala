@@ -36,17 +36,29 @@ trait ObjectStoreClient {
   /** Immediate child names under `prefix` (no recursion). */
   def list(prefix: String): Seq[String]
   def delete(key: String): Boolean
+  /** Object LastModified in epoch millis (0 when unknown/missing). */
+  def lastModified(key: String): Long
 }
 
 final class InMemoryObjectStore extends ObjectStoreClient {
   private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+  private val mtimes = new ConcurrentHashMap[String, java.lang.Long]()
 
-  override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean =
-    objects.putIfAbsent(key, bytes) == null
-  override def put(key: String, bytes: Array[Byte]): Unit = objects.put(key, bytes)
+  override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
+    val won = objects.putIfAbsent(key, bytes) == null
+    if (won) mtimes.put(key, System.currentTimeMillis())
+    won
+  }
+  override def put(key: String, bytes: Array[Byte]): Unit = {
+    objects.put(key, bytes)
+    mtimes.put(key, System.currentTimeMillis())
+    ()
+  }
   override def get(key: String): Array[Byte] =
     Option(objects.get(key)).getOrElse(
       throw new java.io.FileNotFoundException(s"no such object: $key"))
+  override def lastModified(key: String): Long =
+    Option(mtimes.get(key)).map(_.longValue).getOrElse(0L)
   override def list(prefix: String): Seq[String] = {
     val p = if (prefix.endsWith("/")) prefix else prefix + "/"
     import scala.jdk.CollectionConverters._
@@ -79,6 +91,8 @@ final class ObjectStoreCommitStore(client: ObjectStoreClient) extends CommitStor
     client.list(metadataDir.toString)
   override def deleteIfExists(metadataDir: Path, name: String): Boolean =
     client.delete(key(metadataDir, name))
+  override def lastModifiedMs(metadataDir: Path, name: String): Long =
+    client.lastModified(key(metadataDir, name))
   override def prepareTable(tableDir: Path): Unit = {
     Files.createDirectories(tableDir.resolve("data"))
     ()

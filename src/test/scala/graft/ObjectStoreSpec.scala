@@ -83,6 +83,25 @@ class ObjectStoreSpec extends SparkSpec {
     val _ = t0
   }
 
+  test("snapshot expiry reclaims dead manifest objects from the store") {
+    val client = new InMemoryObjectStore
+    val store = new ObjectStoreCommitStore(client)
+    val engine = new LakeEngine(spark, new LakeCatalog(warehouse))
+    val loc = freshLoc()
+    val t = LakeTable.create(loc, Seq((1L, "a")).toDF("id", "v").schema, store = store)
+    engine.insert(t, Seq((1L, "a")).toDF("id", "v"))
+    // full overwrite strands snapshot 1's manifest once expired
+    engine.insertOverwrite(t, Seq((2L, "b")).toDF("id", "v"), "true")
+    engine.insert(t, Seq((3L, "c")).toDF("id", "v"))
+    val metaKey = java.nio.file.Paths.get(loc, "metadata").toString
+    val before = client.list(metaKey).count(_.startsWith("manifest-"))
+    graft.commands.Maintenance.expireSnapshots(t, keepLast = 2)
+    val after = client.list(metaKey).count(_.startsWith("manifest-"))
+    assert(after < before, s"expiry must delete dead store manifests ($before -> $after)")
+    assert(engine.scan(t.refresh()).toDF().as[(Long, String)].collect().toSet ===
+      Set((2L, "b"), (3L, "c")))
+  }
+
   test("create race: exactly one creator wins, loser gets a clear error") {
     val client = new InMemoryObjectStore
     val store = new ObjectStoreCommitStore(client)
