@@ -57,6 +57,32 @@ class DriverFinalAggSpec extends SparkSpec {
     assert(DriverFinalAgg.rewrite(df.filter(col("v") > 0)).isEmpty)
   }
 
+  test("randomized agg shapes match the distributed plan (seeded)") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 8).foreach { iter =>
+      val n = 50 + rnd.nextInt(400)
+      val groups = 1 + rnd.nextInt(12)
+      val rows = Seq.tabulate(n) { i =>
+        (s"g${rnd.nextInt(groups)}",
+          if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(1000).toLong),
+          rnd.nextDouble() * 1e6,
+          BigDecimal(rnd.nextInt(1000000), 2))
+      }
+      val df = rows.toDF("k", "v", "d", "dec")
+        .withColumn("dec", col("dec").cast(DecimalType(12, 2)))
+      val aggs = rnd.shuffle(Seq(
+        sum("v").as("sv"), sum("dec").as("sdec"), round(avg("d"), 4).as("ad"),
+        count(col("v")).as("cv"), count(lit(1)).as("c1"),
+        min("dec").as("mndec"), max("v").as("mxv"), sum("d").as("sd")))
+        .take(2 + rnd.nextInt(5))
+      val q = df.groupBy("k").agg(aggs.head, aggs.tail: _*)
+      val rewritten = DriverFinalAgg.rewrite(q)
+      assert(rewritten.isDefined, s"iter $iter: rewrite did not engage")
+      assert(rewritten.get.orderBy("k").collect().toSeq ===
+        q.orderBy("k").collect().toSeq, s"iter $iter mismatch")
+    }
+  }
+
   test("registry headliners using driverAgg stay plan-safe on reuse") {
     // run the same query twice (deserializer cache path) — identical rows
     val q = Registry.byName("q_date_extract")
