@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.extras.TextAnalysis._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -33,6 +34,46 @@ object TextQueries {
         FROM documents ORDER BY doc_id"""),
       bench = true,
       doc = "token counting: whitespace + BPE-ish regex pre-tokenization"),
+
+    // ------------------------------------------------------------------
+    Q("text_seq_packing",
+      (s, d) => {
+        // training-data sequence packing: assign each document a
+        // (bucket, pack, offset) inside fixed token-budget context
+        // windows. Packing is SHARD-local (bucket = doc_id % 32): one
+        // running-sum window per shard, no global order — the layout a
+        // 1000-executor packing job needs. A document is assigned to the
+        // pack its starting token offset falls in (streaming fill;
+        // long documents may straddle a boundary and continue into the
+        // next window, like GPT-style corpus packing).
+        val budget = 2048
+        val docs = Tables.documents(s, d)
+        val w = Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.select(col("doc_id"),
+            (col("doc_id") % 32).cast(IntegerType).as("bucket"),
+            tokenCount(col("text")).as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("bucket"), col("n_tokens"),
+            floor((col("cum") - col("n_tokens")) / budget).cast(IntegerType).as("pack_id"),
+            ((col("cum") - col("n_tokens")) % budget).cast(IntegerType).as("pack_offset"))
+          .transform(Present.sortNarrow(_, col("doc_id")))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS bucket,
+            CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INTEGER) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, bucket, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT doc_id, bucket, n_tokens,
+          CAST(floor((cum - n_tokens) / 2048) AS INTEGER) AS pack_id,
+          CAST((cum - n_tokens) % 2048 AS INTEGER) AS pack_offset
+        FROM c ORDER BY doc_id"""),
+      doc = "sequence packing: shard-local token-budget window assignment (training-data op)"),
 
     // ------------------------------------------------------------------
     Q("text_quality",
