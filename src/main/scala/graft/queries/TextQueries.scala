@@ -76,6 +76,36 @@ object TextQueries {
       doc = "sequence packing: shard-local token-budget window assignment (training-data op)"),
 
     // ------------------------------------------------------------------
+    Q("text_quota_sample",
+      (s, d) => {
+        // corpus curation quota: keep the K best documents per source
+        // (dataset balancing before training). Ranking is deterministic
+        // (token count desc, doc_id asc); the per-group-top-K shape
+        // shuffles only the group key — the same plan at any corpus size.
+        val k = 20
+        val docs = Tables.documents(s, d)
+        val w = Window.partitionBy("source")
+          .orderBy(desc("n_tokens"), asc("doc_id"))
+        docs.select(col("doc_id"), col("source"), col("lang"),
+            tokenCount(col("text")).as("n_tokens"))
+          .withColumn("quota_rank", row_number().over(w).cast(IntegerType))
+          .filter(col("quota_rank") <= k)
+          .transform(Present.sortNarrow(_, col("source"), col("quota_rank")))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, source, lang,
+            CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INTEGER) AS n_tokens
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, lang, n_tokens,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_tokens DESC, doc_id) AS INTEGER) AS quota_rank
+          FROM t)
+        SELECT * FROM r WHERE quota_rank <= 20 ORDER BY source, quota_rank"""),
+      doc = "per-source quota sampling: top-K by token count (training-data curation)"),
+
+    // ------------------------------------------------------------------
     Q("text_quality",
       (s, d) => {
         val docs = Tables.documents(s, d)
