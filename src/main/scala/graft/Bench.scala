@@ -138,6 +138,11 @@ object Bench {
       catch { case NonFatal(_) => -1.0 }
 
     val loadStart = loadavg
+    // oracle sampled BEFORE and AFTER the Spark passes (per-query min of
+    // both) so both engines' minimums come from the same wall-clock
+    // window — a load burst during either side's slot can't skew the
+    // recorded ratio in either direction
+    val oracleBefore = oracleTimes(sfDir, cpus)
     // two warmup passes: one pass leaves C2 JIT compilation still in
     // flight on the hot query paths (pass totals keep dropping otherwise)
     val warmup = (1 to 2).flatMap(_ => headline.map(q => q.name -> exec(q))).toMap
@@ -161,8 +166,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val passJson = totals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    val oracleJson = oracleTimes(sfDir, cpus) match {
-      case Some((perQuery, oTotal)) =>
+    val oracleAfter = oracleTimes(sfDir, cpus)
+    val oracleMerged: Option[Map[String, Double]] = (oracleBefore, oracleAfter) match {
+      case (Some((a, _)), Some((b, _))) =>
+        Some((a.keySet ++ b.keySet).map(k =>
+          k -> math.min(a.getOrElse(k, 1e9), b.getOrElse(k, 1e9))).toMap)
+      case (a, b) => a.orElse(b).map(_._1)
+    }
+    val oracleJson = oracleMerged match {
+      case Some(perQuery) =>
+        val oTotal = perQuery.values.sum
         val sparkOracleable = results.collect {
           case (n, v) if perQuery.contains(n) => v }.sum
         val oq = perQuery.toSeq.sortBy(_._1)
