@@ -18,11 +18,16 @@ object Maintenance {
     * (per partition, since the writer re-clusters on the partition spec).
     * Large files are left untouched — copy-on-write applies only to the
     * small tail, so compaction cost is proportional to the fragmentation,
-    * not the table size. */
+    * not the table size. `scopeSql` restricts candidates to files the
+    * predicate may match (stats-level, whole files only — compaction
+    * rewrites files verbatim so a may-match superset is always sound):
+    * `OPTIMIZE t WHERE o_date >= ...` compacts yesterday's partition
+    * without touching — or even listing data of — the other 10^5. */
   def compactSmallFiles(
-      engine: LakeEngine, table: LakeTable, targetBytes: Long): CommitMetrics = {
+      engine: LakeEngine, table: LakeTable, targetBytes: Long,
+      scopeSql: String = "true"): CommitMetrics = {
     val fromSnapshot = table.metadata.currentSnapshotId
-    val files = table.currentFiles()
+    val files = engine.scan(table, scopeSql).planFiles()
     val small = files.filter(_.sizeBytes < targetBytes)
     if (small.size < 2)
       return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)

@@ -104,7 +104,8 @@ private[sqlext] object LakeMaintenanceSql {
         case None =>
           val target = table.properties
             .getOrElse("graft.compact.target-bytes", (128L * 1024 * 1024).toString).toLong
-          graft.commands.Maintenance.compactSmallFiles(engine, table, target).addedFiles.toLong
+          graft.commands.Maintenance.compactSmallFiles(engine, table, target, scope)
+            .addedFiles.toLong
       }
     })
     case _ => None

@@ -25,6 +25,36 @@ class MaintenanceSpec extends SparkSpec {
     assert(got.except(orders).isEmpty && orders.except(got).isEmpty)
   }
 
+  test("scoped compaction (OPTIMIZE WHERE) touches only matching partitions") {
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable("compact_scope_t", orders.schema,
+      partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+    def slice(y: Int) = orders.filter(year(col("o_orderdate")) === y)
+    // fragment both partitions across several commits
+    (0 until 4).foreach { i =>
+      engine.insert(t, slice(1995).filter(col("o_orderkey") % 4 === i))
+      engine.insert(t, slice(1996).filter(col("o_orderkey") % 4 === i))
+    }
+    def filesOf(year: Int) =
+      t.refresh().currentFiles().filter(_.partition.get("o_year").contains(year.toString))
+    val files95 = filesOf(1995).map(_.path).toSet
+    assert(files95.size >= 4 && filesOf(1996).size >= 4)
+
+    spark.conf.set("spark.graft.warehouse", warehouse)
+    spark.sql("OPTIMIZE lake.compact_scope_t WHERE " +
+      "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND " +
+      "o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'").collect()
+
+    // 1995 files untouched byte-for-byte (same paths); 1996 consolidated
+    assert(filesOf(1995).map(_.path).toSet === files95, "out-of-scope files rewritten")
+    assert(filesOf(1996).size < 4, s"in-scope partition not compacted: ${filesOf(1996).size}")
+    val got = engine.scan(t.refresh()).toDF()
+    val expected = slice(1995).unionByName(slice(1996))
+    assert(got.count() === expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    spark.sql("DROP TABLE lake.compact_scope_t")
+  }
+
   test("z-order rewrite makes stats pruning work on every clustered column") {
     val orders = Tables.orders(spark, sf)
     val t = engine.catalog.createTable("zorder_t", orders.schema,
