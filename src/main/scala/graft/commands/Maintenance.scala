@@ -46,8 +46,10 @@ object Maintenance {
     * batches): the grace must exceed the longest possible write-to-commit
     * gap or cleanup deletes files an imminent commit references (Iceberg
     * defaults this guard to 3 days for the same reason).
-    * Returns the deleted paths. */
-  def removeOrphanFiles(table: LakeTable, graceMs: Long = 24 * 60 * 60 * 1000L): Seq[String] = {
+    * Returns the deleted paths; `dryRun` reports them without deleting
+    * (`VACUUM ... DRY RUN`). */
+  def removeOrphanFiles(table: LakeTable, graceMs: Long = 24 * 60 * 60 * 1000L,
+      dryRun: Boolean = false): Seq[String] = {
     val m = table.refresh().metadata
     val cutoff = System.currentTimeMillis() - graceMs
     val liveData = m.snapshots.flatMap(s => table.manifest(s).map(_.path))
@@ -62,7 +64,10 @@ object Maintenance {
         .filter(p => Files.isRegularFile(p))
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .filter(p => !liveData.contains(p.toAbsolutePath.normalize.toString))
-        .foreach { p => Files.deleteIfExists(p); deleted += p.toString }
+        .foreach { p =>
+          if (!dryRun) Files.deleteIfExists(p)
+          deleted += p.toString
+        }
     }
     // metadata dir: unreferenced manifest chunks + stranded commit temps
     // (listed and deleted through the CommitStore so object-store
@@ -72,7 +77,7 @@ object Maintenance {
       .filter(n => (n.startsWith("manifest-") && !liveMeta.contains(n)) || n.startsWith(".tmp-"))
       .filter(n => table.store.lastModifiedMs(metaDir, n) < cutoff)
       .foreach { n =>
-        table.store.deleteIfExists(metaDir, n)
+        if (!dryRun) table.store.deleteIfExists(metaDir, n)
         deleted += metaDir.resolve(n).toString
       }
     deleted.toSeq

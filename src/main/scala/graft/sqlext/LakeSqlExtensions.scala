@@ -85,14 +85,23 @@ class LakeDdlParser(spark: SparkSession,
   * the other lake DDL; result = affected file/path counts). */
 private[sqlext] object LakeMaintenanceSql {
   private val Vacuum =
-    """(?is)\s*VACUUM\s+lake\.([\w$]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*""".r
+    """(?is)\s*VACUUM\s+lake\.([\w$]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+lake\.([\w$]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*""".r
+  private val Expire =
+    """(?is)\s*EXPIRE\s+SNAPSHOTS\s+lake\.([\w$]+)\s+KEEP\s+LAST\s+(\d+)(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?\s*""".r
 
   def parse(spark: SparkSession, sql: String): Option[LogicalPlan] = sql match {
-    case Vacuum(name, hours) => Some(run(spark, name) { (engine, table) =>
+    case Vacuum(name, hours, dry) => Some(run(spark, name) { (engine, table) =>
       val graceMs = Option(hours).map(_.toLong * 3600 * 1000L).getOrElse(24L * 3600 * 1000L)
-      graft.commands.Maintenance.removeOrphanFiles(table, graceMs).size.toLong
+      graft.commands.Maintenance.removeOrphanFiles(table, graceMs,
+        dryRun = dry != null).size.toLong
+    })
+    case Expire(name, keep, olderHours) => Some(run(spark, name) { (engine, table) =>
+      val olderThan = Option(olderHours)
+        .map(h => System.currentTimeMillis() - h.toLong * 3600 * 1000L)
+        .getOrElse(Long.MaxValue)
+      graft.commands.Maintenance.expireSnapshots(table, keep.toInt, olderThan).size.toLong
     })
     case Optimize(name, whereSql, zcols) => Some(run(spark, name) { (engine, table) =>
       val scope = Option(whereSql).map(_.trim).filter(_.nonEmpty).getOrElse("true")

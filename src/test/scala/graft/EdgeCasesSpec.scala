@@ -193,12 +193,26 @@ class EdgeCasesSpec extends SparkSpec {
     spark.sql("OPTIMIZE lake.maint_t ZORDER BY (o_orderkey, o_custkey)").collect()
     assert(engine.scan(t.refresh()).toDF().count() === slim.count())
 
-    // stranded temp file is vacuumable with RETAIN 0 HOURS
+    // stranded temp file: DRY RUN reports it but leaves it in place...
     val stranded = java.nio.file.Paths.get(t.location, "metadata", ".tmp-x.json")
     java.nio.file.Files.writeString(stranded, "{}")
+    val dry = spark.sql("VACUUM lake.maint_t RETAIN 0 HOURS DRY RUN").head().getLong(0)
+    assert(dry >= 1 && java.nio.file.Files.exists(stranded),
+      "dry run must not delete anything")
+    // ...and the real vacuum then removes it
     val n = spark.sql("VACUUM lake.maint_t RETAIN 0 HOURS").head().getLong(0)
     assert(n >= 1 && !java.nio.file.Files.exists(stranded))
     assert(engine.scan(t.refresh()).toDF().count() === slim.count())
+
+    // SQL snapshot expiry: history trimmed to the kept tail
+    val snapsBefore = t.refresh().metadata.snapshots.size
+    assert(snapsBefore > 2)
+    spark.sql("EXPIRE SNAPSHOTS lake.maint_t KEEP LAST 2").collect()
+    assert(t.refresh().metadata.snapshots.size <= 2)
+    assert(engine.scan(t).toDF().count() === slim.count())
+    // OLDER THAN far in the past protects everything that remains
+    spark.sql("EXPIRE SNAPSHOTS lake.maint_t KEEP LAST 1 OLDER THAN 9999 HOURS").collect()
+    assert(t.refresh().metadata.snapshots.nonEmpty)
     spark.sql("DROP TABLE lake.maint_t")
   }
 
