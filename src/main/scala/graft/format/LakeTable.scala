@@ -314,6 +314,7 @@ object CommitOp {
     * theirs (per-file specId resolves at scan). */
   final case class SetPartitionSpec(spec: Seq[PartitionField]) extends CommitOp
   final case class SetRef(name: String, ref: Ref) extends CommitOp
+  final case class RemoveRef(name: String) extends CommitOp
   /** Drop expired snapshots from the log (history trim; data-file cleanup
     * is the caller's job once the commit lands). */
   final case class ExpireSnapshots(ids: Set[Long]) extends CommitOp
@@ -607,6 +608,12 @@ class LakeTable private (
       (m.copy(refs = m.refs + (name -> ref)),
         CommitMetrics(ref.snapshotId, 0, 0, 0, 0, 0))
 
+    case CommitOp.RemoveRef(name) =>
+      if (!m.refs.contains(name))
+        throw new ValidationException(s"no branch or tag named $name")
+      (m.copy(refs = m.refs - name),
+        CommitMetrics(m.currentSnapshotId.getOrElse(0L), 0, 0, 0, 0, 0))
+
     case CommitOp.SetProperties(set, remove) =>
       set.get("graft.manifest.codec").foreach {
         case "json" | "gzip" | "binary" => ()
@@ -716,6 +723,7 @@ class LakeTable private (
     commit(CommitOp.SetRef(name, Ref(snapshotId, isBranch = false)))
   def createBranch(name: String, snapshotId: Long): Unit =
     commit(CommitOp.SetRef(name, Ref(snapshotId, isBranch = true)))
+  def removeRef(name: String): Unit = commit(CommitOp.RemoveRef(name))
 
   def dataDir: Path = Paths.get(location, "data")
 }

@@ -90,8 +90,33 @@ private[sqlext] object LakeMaintenanceSql {
     """(?is)\s*OPTIMIZE\s+lake\.([\w$]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*""".r
   private val Expire =
     """(?is)\s*EXPIRE\s+SNAPSHOTS\s+lake\.([\w$]+)\s+KEEP\s+LAST\s+(\d+)(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?\s*""".r
+  // Iceberg-parity ref DDL (vanilla Spark's ALTER TABLE grammar rejects
+  // these, so they land in this parse-exception fallback like VACUUM)
+  private val RefDdl =
+    """(?is)\s*ALTER\s+TABLE\s+lake\.([\w$]+)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*""".r
 
   def parse(spark: SparkSession, sql: String): Option[LogicalPlan] = sql match {
+    case RefDdl(name, action, kind, refName, ver) => Some(run(spark, name) { (engine, table) =>
+      val isBranch = kind.equalsIgnoreCase("BRANCH")
+      if (action.equalsIgnoreCase("CREATE")) {
+        val snapId = Option(ver).map(_.toLong)
+          .orElse(table.metadata.currentSnapshotId)
+          .getOrElse(throw new ValidationException(
+            s"lake.$name has no snapshot for ${kind.toLowerCase} $refName to reference"))
+        if (table.metadata.snapshotById(snapId).isEmpty)
+          throw new ValidationException(s"no snapshot $snapId in lake.$name")
+        if (isBranch) table.createBranch(refName, snapId)
+        else table.createTag(refName, snapId)
+      } else {
+        val ref = table.metadata.refs.getOrElse(refName,
+          throw new ValidationException(s"no branch or tag named $refName on lake.$name"))
+        if (ref.isBranch != isBranch)
+          throw new ValidationException(
+            s"$refName is a ${if (ref.isBranch) "branch" else "tag"}, not a ${kind.toLowerCase}")
+        table.removeRef(refName)
+      }
+      1L
+    })
     case Vacuum(name, hours, dry) => Some(run(spark, name) { (engine, table) =>
       val graceMs = Option(hours).map(_.toLong * 3600 * 1000L).getOrElse(24L * 3600 * 1000L)
       graft.commands.Maintenance.removeOrphanFiles(table, graceMs,

@@ -143,6 +143,35 @@ class EdgeCasesSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.alter_t")
   }
 
+  test("SQL ref DDL: CREATE/DROP BRANCH and TAG") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = engine.catalog.createTable("refddl_t", df.schema)
+    engine.insert(t, df)
+    val snap1 = t.metadata.currentSnapshotId.get
+    engine.insert(t, Seq((3L, "c")).toDF("id", "v"))
+    spark.conf.set("spark.graft.warehouse", warehouse)
+
+    spark.sql(s"ALTER TABLE lake.refddl_t CREATE TAG v1 AS OF VERSION $snap1")
+    spark.sql("ALTER TABLE lake.refddl_t CREATE BRANCH dev")
+    assert(spark.sql("SELECT count(*) FROM lake.`refddl_t$tag_v1`").head().getLong(0) === 2)
+    assert(spark.sql("SELECT count(*) FROM lake.`refddl_t$branch_dev`").head().getLong(0) === 3)
+
+    // kind mismatch and unknown snapshot are clear errors
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE lake.refddl_t DROP BRANCH v1") }
+    assert(e1.getMessage.contains("is a tag"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE lake.refddl_t CREATE TAG bad AS OF VERSION 999") }
+    assert(e2.getMessage.contains("no snapshot"), e2.getMessage)
+
+    spark.sql("ALTER TABLE lake.refddl_t DROP TAG v1")
+    spark.sql("ALTER TABLE lake.refddl_t DROP BRANCH dev")
+    assert(t.refresh().metadata.refs.isEmpty)
+    // a dropped ref resolves to no snapshot -> empty relation (S5)
+    assert(spark.sql("SELECT * FROM lake.`refddl_t$tag_v1`").count() === 0)
+    spark.sql("DROP TABLE lake.refddl_t")
+  }
+
   test("SQL catalog UX: SHOW TABLES, DESCRIBE, $partitions relation") {
     spark.conf.set("spark.graft.warehouse", warehouse)
     spark.sql("CREATE TABLE lake.ux_a (id BIGINT, v STRING, ts TIMESTAMP_NTZ) " +
