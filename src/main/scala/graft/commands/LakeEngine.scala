@@ -37,9 +37,10 @@ final class LakeEngine(
     scan(table(tableName), filterSql, ref).toDF()
 
   // ------------------------------------------------------------- D1
-  def insert(table: LakeTable, source: DataFrame): CommitMetrics = {
+  def insert(table: LakeTable, source: DataFrame,
+      branch: Option[String] = None): CommitMetrics = {
     val files = LakeWriter.write(spark, table, source)
-    table.appendFiles(files)
+    table.appendFiles(files, branch)
   }
 
   // ------------------------------------------------------------- D2

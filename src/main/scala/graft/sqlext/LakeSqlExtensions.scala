@@ -171,11 +171,11 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
     // below resolves their child (resolveOperatorsUp is bottom-up, so a
     // nested match would never see the UnresolvedRelation)
     case DeleteFromTable(u: UnresolvedRelation, cond) if isLake(u) =>
-      runDml(u, "DELETE") { (engine, table) =>
+      runDml(u, "DELETE") { (engine, table, _) =>
         engine.delete(table, exprSql(Option(cond)))
       }
     case UpdateTable(u: UnresolvedRelation, assignments, cond) if isLake(u) =>
-      runDml(u, "UPDATE") { (engine, table) =>
+      runDml(u, "UPDATE") { (engine, table, _) =>
         engine.update(table, exprSql(cond), assignmentMap(assignments))
       }
     case ins: InsertIntoStatement if ins.table.isInstanceOf[UnresolvedRelation] &&
@@ -185,7 +185,7 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
         throw new ValidationException(
           "INSERT ... PARTITION is not supported on lake tables; the table's " +
             "partition spec drives the layout (use a plain INSERT)")
-      runDml(u, "INSERT") { (engine, table) =>
+      runDml(u, "INSERT") { (engine, table, branch) =>
         val raw = planToDF(ins.query)
         // plain SQL INSERT is positional (VALUES tuples arrive as
         // col1/col2/...), so rename to the target columns before the
@@ -203,8 +203,13 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
                   s"target list has ${names.length}")
             raw.toDF(names: _*)
           }
-        if (ins.overwrite) engine.insertOverwrite(table, df, "true")
-        else engine.insert(table, df)
+        if (ins.overwrite) {
+          if (branch.isDefined)
+            throw new ValidationException(
+              "INSERT OVERWRITE on a branch is not supported; overwrite main " +
+                "or use the branch for append-only write-audit-publish")
+          engine.insertOverwrite(table, df, "true")
+        } else engine.insert(table, df, branch)
       }
     case m: MergeIntoTable if lakeTarget(m.targetTable).isDefined =>
       val (u, tAlias) = lakeTarget(m.targetTable).get
@@ -216,7 +221,7 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
         case SubqueryAlias(id, _) => Some(id.name)
         case _ => None
       }
-      runDml(u, "MERGE") { (engine, table) =>
+      runDml(u, "MERGE") { (engine, table, _) =>
         val sourceDF = planToDF(m.sourceTable)
         def srcRef(c: String) = sAlias.map(a => s"$a.`$c`").getOrElse(s"`$c`")
         val starMap = table.schema.fieldNames.toSeq.map(c => c -> srcRef(c)).toMap
@@ -511,11 +516,18 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Execute a DML command eagerly and rewrite the statement into its
     * commit-metrics result relation. */
   private def runDml(u: UnresolvedRelation, kind: String)(
-      body: (graft.commands.LakeEngine, LakeTable) => graft.format.CommitMetrics): LogicalPlan = {
-    val spec = u.multipartIdentifier(1)
-    if (spec.contains('$'))
-      throw new ValidationException(
-        s"$kind on a time-travel/metadata reference is not allowed: $spec")
+      body: (graft.commands.LakeEngine, LakeTable, Option[String]) => graft.format.CommitMetrics): LogicalPlan = {
+    val spec0 = u.multipartIdentifier(1)
+    // INSERT INTO lake.`t$branch_b` appends to branch b (D12 branch
+    // writes; a WAP-style write-audit-publish target). Every other ref
+    // suffix - and every other DML kind - stays read-only.
+    val (spec, branch) = spec0.split('$') match {
+      case Array(t) => (t, None)
+      case Array(t, r) if r.startsWith("branch_") && kind == "INSERT" =>
+        (t, Some(r.stripPrefix("branch_")))
+      case _ => throw new ValidationException(
+        s"$kind on a time-travel/metadata reference is not allowed: $spec0")
+    }
     val warehouse = spark.conf.getOption("spark.graft.warehouse").getOrElse(
       throw new ValidationException(
         s"$kind lake.$spec requires spark.graft.warehouse to be set"))
@@ -523,7 +535,7 @@ class ResolveLakeRelations(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!LakeTable.exists(location))
       throw new ValidationException(s"no lake table at $location")
     val engine = new graft.commands.LakeEngine(spark, new LakeCatalog(warehouse))
-    val m = body(engine, LakeTable.load(location))
+    val m = body(engine, LakeTable.load(location), branch)
     LocalRelation(
       Seq(AttributeReference("snapshot_id", LongType, nullable = false)(),
         AttributeReference("added_files", LongType, nullable = false)(),

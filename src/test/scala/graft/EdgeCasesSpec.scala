@@ -164,6 +164,16 @@ class EdgeCasesSpec extends SparkSpec {
       spark.sql("ALTER TABLE lake.refddl_t CREATE TAG bad AS OF VERSION 999") }
     assert(e2.getMessage.contains("no snapshot"), e2.getMessage)
 
+    // branch APPEND via SQL (write-audit-publish): lands on dev only
+    spark.sql("INSERT INTO lake.`refddl_t$branch_dev` VALUES (9, 'z')")
+    assert(spark.sql("SELECT count(*) FROM lake.`refddl_t$branch_dev`").head().getLong(0) === 4)
+    assert(spark.sql("SELECT count(*) FROM lake.refddl_t").head().getLong(0) === 3,
+      "main must not see branch-only rows")
+    // tags and non-INSERT kinds stay read-only
+    val e4 = intercept[Exception] {
+      spark.sql("DELETE FROM lake.`refddl_t$branch_dev` WHERE id = 9") }
+    assert(e4.getMessage.contains("not allowed"), e4.getMessage)
+
     spark.sql("ALTER TABLE lake.refddl_t DROP TAG v1")
     spark.sql("ALTER TABLE lake.refddl_t DROP BRANCH dev")
     assert(t.refresh().metadata.refs.isEmpty)
