@@ -315,6 +315,10 @@ object CommitOp {
   final case class SetPartitionSpec(spec: Seq[PartitionField]) extends CommitOp
   final case class SetRef(name: String, ref: Ref) extends CommitOp
   final case class RemoveRef(name: String) extends CommitOp
+  /** Publish a branch: move main's head to the branch head, iff the
+    * branch descends from the current head (no history rewrite) —
+    * Iceberg's fast_forward, the publish step of write-audit-publish. */
+  final case class FastForward(branch: String) extends CommitOp
   /** Drop expired snapshots from the log (history trim; data-file cleanup
     * is the caller's job once the commit lands). */
   final case class ExpireSnapshots(ids: Set[Long]) extends CommitOp
@@ -614,6 +618,29 @@ class LakeTable private (
       (m.copy(refs = m.refs - name),
         CommitMetrics(m.currentSnapshotId.getOrElse(0L), 0, 0, 0, 0, 0))
 
+    case CommitOp.FastForward(branch) =>
+      val ref = m.refs.getOrElse(branch,
+        throw new ValidationException(s"no branch named $branch"))
+      if (!ref.isBranch)
+        throw new ValidationException(s"$branch is a tag; only branches fast-forward")
+      val target = m.snapshotById(ref.snapshotId).getOrElse(
+        throw new ValidationException(s"branch $branch points at missing snapshot ${ref.snapshotId}"))
+      // ancestry walk: main's head must be an ancestor of the branch head
+      // (fast-forward never rewrites history)
+      m.currentSnapshotId.foreach { head =>
+        var cur: Option[Snapshot] = Some(target)
+        var ok = false
+        while (cur.isDefined && !ok) {
+          if (cur.get.id == head) ok = true
+          else cur = cur.get.parentId.flatMap(m.snapshotById)
+        }
+        if (!ok) throw new ValidationException(
+          s"branch $branch (snapshot ${target.id}) does not descend from " +
+            s"main's head $head; fast-forward would lose commits")
+      }
+      (m.copy(currentSnapshotId = Some(target.id)),
+        CommitMetrics(target.id, 0, 0, 0, 0, 0))
+
     case CommitOp.SetProperties(set, remove) =>
       set.get("graft.manifest.codec").foreach {
         case "json" | "gzip" | "binary" => ()
@@ -724,6 +751,7 @@ class LakeTable private (
   def createBranch(name: String, snapshotId: Long): Unit =
     commit(CommitOp.SetRef(name, Ref(snapshotId, isBranch = true)))
   def removeRef(name: String): Unit = commit(CommitOp.RemoveRef(name))
+  def fastForward(branch: String): CommitMetrics = commit(CommitOp.FastForward(branch))
 
   def dataDir: Path = Paths.get(location, "data")
 }

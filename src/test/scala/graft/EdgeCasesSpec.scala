@@ -174,6 +174,16 @@ class EdgeCasesSpec extends SparkSpec {
       spark.sql("DELETE FROM lake.`refddl_t$branch_dev` WHERE id = 9") }
     assert(e4.getMessage.contains("not allowed"), e4.getMessage)
 
+    // publish (WAP step 3): fast-forward main to the audited branch head
+    spark.sql("ALTER TABLE lake.refddl_t FAST FORWARD BRANCH dev")
+    assert(spark.sql("SELECT count(*) FROM lake.refddl_t").head().getLong(0) === 4)
+    // a diverged main no longer fast-forwards (history protection)
+    engine.insert(t.refresh(), Seq((100L, "m")).toDF("id", "v"))
+    spark.sql("INSERT INTO lake.`refddl_t$branch_dev` VALUES (101, 'd')")
+    val e5 = intercept[Exception] {
+      spark.sql("ALTER TABLE lake.refddl_t FAST FORWARD BRANCH dev") }
+    assert(e5.getMessage.contains("does not descend"), e5.getMessage)
+
     spark.sql("ALTER TABLE lake.refddl_t DROP TAG v1")
     spark.sql("ALTER TABLE lake.refddl_t DROP BRANCH dev")
     assert(t.refresh().metadata.refs.isEmpty)
