@@ -315,6 +315,10 @@ object CommitOp {
   final case class SetPartitionSpec(spec: Seq[PartitionField]) extends CommitOp
   final case class SetRef(name: String, ref: Ref) extends CommitOp
   final case class RemoveRef(name: String) extends CommitOp
+  /** Move main's head back to an existing snapshot in the log (Iceberg
+    * rollback_to_snapshot): later snapshots stay in history (expiry
+    * trims them) so the rollback itself is revertible. */
+  final case class Rollback(snapshotId: Long) extends CommitOp
   /** Publish a branch: move main's head to the branch head, iff the
     * branch descends from the current head (no history rewrite) —
     * Iceberg's fast_forward, the publish step of write-audit-publish. */
@@ -618,6 +622,12 @@ class LakeTable private (
       (m.copy(refs = m.refs - name),
         CommitMetrics(m.currentSnapshotId.getOrElse(0L), 0, 0, 0, 0, 0))
 
+    case CommitOp.Rollback(snapshotId) =>
+      if (m.snapshotById(snapshotId).isEmpty)
+        throw new ValidationException(s"no snapshot $snapshotId to roll back to")
+      (m.copy(currentSnapshotId = Some(snapshotId)),
+        CommitMetrics(snapshotId, 0, 0, 0, 0, 0))
+
     case CommitOp.FastForward(branch) =>
       val ref = m.refs.getOrElse(branch,
         throw new ValidationException(s"no branch named $branch"))
@@ -752,6 +762,7 @@ class LakeTable private (
     commit(CommitOp.SetRef(name, Ref(snapshotId, isBranch = true)))
   def removeRef(name: String): Unit = commit(CommitOp.RemoveRef(name))
   def fastForward(branch: String): CommitMetrics = commit(CommitOp.FastForward(branch))
+  def rollbackTo(snapshotId: Long): CommitMetrics = commit(CommitOp.Rollback(snapshotId))
 
   def dataDir: Path = Paths.get(location, "data")
 }

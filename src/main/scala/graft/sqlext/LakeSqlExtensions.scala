@@ -96,10 +96,15 @@ private[sqlext] object LakeMaintenanceSql {
     """(?is)\s*ALTER\s+TABLE\s+lake\.([\w$]+)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*""".r
   private val FastForward =
     """(?is)\s*ALTER\s+TABLE\s+lake\.([\w$]+)\s+FAST\s+FORWARD\s+(?:TO\s+)?BRANCH\s+(\w+)\s*""".r
+  private val Rollback =
+    """(?is)\s*ALTER\s+TABLE\s+lake\.([\w$]+)\s+ROLLBACK\s+TO\s+VERSION\s+(\d+)\s*""".r
 
   def parse(spark: SparkSession, sql: String): Option[LogicalPlan] = sql match {
     case FastForward(name, branch) => Some(run(spark, name) { (engine, table) =>
       table.fastForward(branch).snapshotId
+    })
+    case Rollback(name, ver) => Some(run(spark, name) { (engine, table) =>
+      table.rollbackTo(ver.toLong).snapshotId
     })
     case RefDdl(name, action, kind, refName, ver) => Some(run(spark, name) { (engine, table) =>
       val isBranch = kind.equalsIgnoreCase("BRANCH")

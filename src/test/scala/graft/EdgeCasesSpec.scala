@@ -184,6 +184,17 @@ class EdgeCasesSpec extends SparkSpec {
       spark.sql("ALTER TABLE lake.refddl_t FAST FORWARD BRANCH dev") }
     assert(e5.getMessage.contains("does not descend"), e5.getMessage)
 
+    // rollback: main returns to an earlier snapshot; later snapshots
+    // stay in history, so rolling forward again also works
+    val headBefore = t.refresh().metadata.currentSnapshotId.get
+    spark.sql(s"ALTER TABLE lake.refddl_t ROLLBACK TO VERSION $snap1")
+    assert(spark.sql("SELECT count(*) FROM lake.refddl_t").head().getLong(0) === 2)
+    spark.sql(s"ALTER TABLE lake.refddl_t ROLLBACK TO VERSION $headBefore")
+    assert(spark.sql("SELECT count(*) FROM lake.refddl_t").head().getLong(0) === 5)
+    val e6 = intercept[Exception] {
+      spark.sql("ALTER TABLE lake.refddl_t ROLLBACK TO VERSION 999") }
+    assert(e6.getMessage.contains("no snapshot"), e6.getMessage)
+
     spark.sql("ALTER TABLE lake.refddl_t DROP TAG v1")
     spark.sql("ALTER TABLE lake.refddl_t DROP BRANCH dev")
     assert(t.refresh().metadata.refs.isEmpty)
