@@ -191,20 +191,7 @@ final class LakeEngine(
       throw new ValidationException(s"no snapshot $toId"))
     val from = fromSnapshotId.map(id => m.snapshotById(id).getOrElse(
       throw new ValidationException(s"no snapshot $id")))
-    val fromChunks = from.map(_.manifests.map(_.path).toSet).getOrElse(Set.empty)
-    val toChunks = to.manifests.map(_.path).toSet
-    // shared chunks carry identical entries and cancel out; a path never
-    // appears in both a shared and a non-shared chunk of one snapshot,
-    // so ONLY the non-shared sides need reading and diffing — metadata
-    // cost is O(changed chunks) on both ends
-    val fromOnly = from.map(_.manifests.filterNot(mr => toChunks.contains(mr.path))
-      .flatMap(table.readManifest)).getOrElse(Seq.empty)
-    val toOnly = to.manifests.filterNot(mr => fromChunks.contains(mr.path))
-      .flatMap(table.readManifest)
-    val fromOnlyPaths = fromOnly.map(_.path).toSet
-    val toOnlyPaths = toOnly.map(_.path).toSet
-    val added = toOnly.filterNot(f => fromOnlyPaths.contains(f.path))
-    val removed = fromOnly.filterNot(f => toOnlyPaths.contains(f.path))
+    val (added, removed) = LakeTable.changedFiles(table, from, to)
     def tagged(files: Seq[FileEntry], kind: String): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(new TableScan(spark, table, explicitFiles = Some(files)).toDF()

@@ -844,6 +844,26 @@ object LakeTable {
     }
   }
 
+  /** Net file-level delta between two snapshots: (added, removed) file
+    * entries. Manifest chunks shared by both snapshots carry identical
+    * entries and cancel out UNREAD, so metadata cost is O(changed
+    * chunks) on both ends — the diff that feeds batch CDC
+    * (`readChanges`, SQL `t$changes_<from>`) and the streaming CDC
+    * source. */
+  def changedFiles(table: LakeTable, from: Option[Snapshot],
+      to: Snapshot): (Seq[FileEntry], Seq[FileEntry]) = {
+    val fromChunks = from.map(_.manifests.map(_.path).toSet).getOrElse(Set.empty)
+    val toChunks = to.manifests.map(_.path).toSet
+    val fromOnly = from.map(_.manifests.filterNot(mr => toChunks.contains(mr.path))
+      .flatMap(table.readManifest)).getOrElse(Seq.empty)
+    val toOnly = to.manifests.filterNot(mr => fromChunks.contains(mr.path))
+      .flatMap(table.readManifest)
+    val fromOnlyPaths = fromOnly.map(_.path).toSet
+    val toOnlyPaths = toOnly.map(_.path).toSet
+    (toOnly.filterNot(f => fromOnlyPaths.contains(f.path)),
+      fromOnly.filterNot(f => toOnlyPaths.contains(f.path)))
+  }
+
   def load(location: String, store: CommitStore = LocalCommitStore): LakeTable =
     new LakeTable(location, loadMeta(location, store), store)
 

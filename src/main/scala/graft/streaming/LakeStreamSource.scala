@@ -48,12 +48,15 @@ class LakeSourceProvider extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft-lake"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    LakeDsv2.clean(LakeTable.load(LakeDsv2.path(options)).schema)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = LakeDsv2.clean(LakeTable.load(LakeDsv2.path(options)).schema)
+    if (LakeDsv2.changesMode(options.get _)) LakeDsv2.withChangeType(base) else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new LakeDsv2Table(properties.get("path"))
+    new LakeDsv2Table(properties.get("path"),
+      LakeDsv2.changesMode(k => properties.get(k)))
 
   /** `df.writeStream.format("graft-lake").option("path", loc)` — the
     * exactly-once lake sink as a first-class stream sink (v1 Sink API:
@@ -106,9 +109,21 @@ class LakeSourceProvider extends TableProvider with DataSourceRegister
 }
 
 private[streaming] object LakeDsv2 {
+  val ChangeTypeCol = "_change_type"
+
   def path(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-lake requires option 'path'"))
+
+  /** `option("read-changes", "true")`: row-level CDC — each micro-batch
+    * (or batch read) emits the NET changes between offsets as rows
+    * tagged `_change_type` = insert | delete (Delta CDF shape). */
+  def changesMode(get: String => String): Boolean =
+    Option(get("read-changes")).exists(_.equalsIgnoreCase("true"))
+
+  def withChangeType(s: StructType): StructType =
+    StructType(s.fields :+ org.apache.spark.sql.types.StructField(
+      ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false))
 
   /** Time-travel read options (batch read only):
     * snapshot-id | timestamp (epoch millis) | branch | tag. */
@@ -258,19 +273,24 @@ private[streaming] final case class GroupReaderFactory(
   }
 }
 
-private[streaming] final class LakeDsv2Table(location: String) extends Table
+private[streaming] final class LakeDsv2Table(location: String,
+    changes: Boolean = false) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val table = LakeTable.load(location)
 
   override def name(): String = s"graft-lake:$location"
-  override def schema(): StructType = LakeDsv2.clean(table.schema)
+  override def schema(): StructType = {
+    val base = LakeDsv2.clean(table.schema)
+    if (changes) LakeDsv2.withChangeType(base) else base
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScan(location, schema(), LakeDsv2.refOf(options.get))
+    new LakeScan(location, schema(), LakeDsv2.refOf(options.get),
+      changes = changes || LakeDsv2.changesMode(options.get))
 
   /** Batch write via the V1Write fallback: the DataFrame-level insert
     * reuses the transactional LakeWriter/commit path (distributed stats
@@ -304,7 +324,7 @@ private[streaming] final class LakeDsv2Table(location: String) extends Table
 }
 
 private[streaming] final class LakeScan(location: String, outSchema: StructType,
-    ref: graft.format.TableRef)
+    ref: graft.format.TableRef, changes: Boolean = false)
   extends ScanBuilder with Scan
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -326,26 +346,35 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def pruneColumns(required: StructType): Unit = out = required
+  // changes mode emits the full row + _change_type; Spark projects above
+  override def pruneColumns(required: StructType): Unit =
+    if (!changes) out = required
 
   override def build(): Scan = this
   override def readSchema(): StructType = out
   override def description(): String = s"graft-lake $location pruned-by: ${pred}"
 
-  override def toBatch: Batch = new Batch {
-    private val spark = ClassicSession.active
-    private val table = LakeTable.load(location)
-    private lazy val planned = LakeDsv2.plan(spark, table,
-      new graft.scan.TableScan(spark, table, pred, ref).planFiles(), out)
-    override def planInputPartitions(): Array[InputPartition] = planned._1
-    override def createReaderFactory(): PartitionReaderFactory = planned._2
+  override def toBatch: Batch = {
+    if (changes)
+      throw new IllegalArgumentException(
+        "read-changes is a streaming option; for a batch change feed use " +
+          "SQL lake.`t$changes_<fromSnapshot>` or LakeEngine.readChanges")
+    new Batch {
+      private val spark = ClassicSession.active
+      private val table = LakeTable.load(location)
+      private lazy val planned = LakeDsv2.plan(spark, table,
+        new graft.scan.TableScan(spark, table, pred, ref).planFiles(), out)
+      override def planInputPartitions(): Array[InputPartition] = planned._1
+      override def createReaderFactory(): PartitionReaderFactory = planned._2
+    }
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     if (ref != graft.format.TableRef.Head)
       throw new IllegalArgumentException(
         "time-travel options are batch-read only; streams consume the live table")
-    new LakeMicroBatchStream(location)
+    if (changes) new LakeChangesMicroBatchStream(location)
+    else new LakeMicroBatchStream(location)
   }
 }
 
@@ -402,6 +431,87 @@ final class LakeMicroBatchStream(location: String)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Row-level CDC stream (Delta Change-Data-Feed shape): each micro-batch
+  * emits the NET changes between its snapshot-id offsets — rows of added
+  * files tagged `_change_type = insert`, rows of removed files tagged
+  * `delete`. File sets come from the O(changed-chunks) manifest diff
+  * ([[LakeTable.changedFiles]]), so overwrites/deletes/compactions
+  * stream fine (the append-only stream errors on them by design). A
+  * file added and removed inside one range cancels (net semantics).
+  * The first batch replays the table's current content as inserts. */
+final class LakeChangesMicroBatchStream(location: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private val spark = ClassicSession.active
+  private val table = LakeTable.load(location)
+  private val pinnedSchema = table.schema // see LakeMicroBatchStream
+  @volatile private var availableEnd: Option[LakeOffset] = None
+  @volatile private var lastFactory: PartitionReaderFactory = EmptyReaderFactory
+
+  private def head(): Option[Long] = table.refresh().metadata.currentSnapshotId
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = Some(LakeOffset(head().getOrElse(0L)))
+  override def initialOffset(): Offset = LakeOffset(0L)
+  override def latestOffset(): Offset =
+    availableEnd.getOrElse(LakeOffset(head().getOrElse(0L)))
+  override def latestOffset(start: Offset, limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def deserializeOffset(json: String): Offset = LakeOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val fromId = start.asInstanceOf[LakeOffset].snapshotId
+    val endId = end.asInstanceOf[LakeOffset].snapshotId
+    if (endId == 0L || fromId == endId) { lastFactory = EmptyReaderFactory; return Array.empty }
+    val m = table.refresh().metadata
+    val to = m.snapshotById(endId).getOrElse(
+      throw new IllegalStateException(s"offset snapshot $endId expired from $location"))
+    val from = if (fromId == 0L) None else Some(m.snapshotById(fromId).getOrElse(
+      throw new IllegalStateException(s"offset snapshot $fromId expired from $location")))
+    val (added, removed) = LakeTable.changedFiles(table, from, to)
+    val (pi, fi) = LakeDsv2.plan(spark, table, added, pinnedSchema)
+    val (pd, fd) = LakeDsv2.plan(spark, table, removed, pinnedSchema)
+    lastFactory = ChangesReaderFactory(fi, fd,
+      pinnedSchema.fields.map(_.dataType))
+    pi.map(p => ChangeSidePartition(insert = true, p): InputPartition) ++
+      pd.map(p => ChangeSidePartition(insert = false, p))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = lastFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[streaming] final case class ChangeSidePartition(
+    insert: Boolean, inner: InputPartition) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Routes a partition to its side's parquet factory and appends the
+  * `_change_type` literal column per row (projection built lazily
+  * executor-side from serializable BoundReference/Literal exprs). */
+private[streaming] final case class ChangesReaderFactory(
+    insertSide: PartitionReaderFactory, deleteSide: PartitionReaderFactory,
+    baseTypes: Array[org.apache.spark.sql.types.DataType]) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[ChangeSidePartition]
+    val inner = (if (cp.insert) insertSide else deleteSide).createReader(cp.inner)
+    val tag = if (cp.insert) "insert" else "delete"
+    new PartitionReader[InternalRow] {
+      private[this] val proj = UnsafeProjection.create(
+        baseTypes.zipWithIndex.map { case (dt, i) =>
+          BoundReference(i, dt, nullable = true): Expression
+        }.toIndexedSeq :+ (Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(tag),
+          org.apache.spark.sql.types.StringType): Expression))
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = proj(inner.get())
+      override def close(): Unit = inner.close()
+    }
+  }
 }
 
 final case class LakeOffset(snapshotId: Long) extends Offset {

@@ -109,6 +109,45 @@ class StreamSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC stream: DML emits insert/delete change rows across batches") {
+    val df0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val src = engine.catalog.createTable(freshName(), df0.schema)
+    engine.insert(src, df0)
+    val name = s"cdc_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft-lake")
+      .option("path", src.location).option("read-changes", "true").load()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      def rows() = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      // first batch: current content replayed as inserts
+      assert(spark.table(name).columns.toSeq === Seq("id", "v", "_change_type"))
+      assert(rows().toSet === Set((1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert")))
+
+      // CoW update: the rewritten file streams as delete(old)+insert(new)
+      engine.update(src, "id = 2", Map("v" -> "'upd'"))
+      q.processAllAvailable()
+      val afterUpd = rows()
+      assert(afterUpd.count(_ == ((2L, "b", "delete"))) >= 1, s"missing delete: $afterUpd")
+      assert(afterUpd.count(_ == ((2L, "upd", "insert"))) >= 1, s"missing insert: $afterUpd")
+
+      // delete DML streams the removed rows as deletes (net: untouched
+      // rows of the rewritten file cancel? no - file-level CoW rewrites
+      // the whole file, so survivors re-insert; the NET per row is right)
+      engine.delete(src, "id = 3")
+      q.processAllAvailable()
+      val afterDel = rows()
+      assert(afterDel.count(_ == ((3L, "c", "delete"))) >= 1, s"missing delete of 3: $afterDel")
+      // reconstructing state from the feed matches the table
+      val state = afterDel.groupBy(r => (r._1, r._2)).map { case (k, vs) =>
+        k -> (vs.count(_._3 == "insert") - vs.count(_._3 == "delete"))
+      }.filter(_._2 > 0).keys.toSet
+      assert(state === engine.scan(src.refresh()).toDF()
+        .as[(Long, String)].collect().toSet, s"feed does not reconstruct state: $afterDel")
+    } finally q.stop()
+  }
+
   test("sink without query-key or checkpointLocation option fails fast") {
     val t = engine.catalog.createTable(freshName(),
       Seq((1L, "a")).toDF("id", "v").schema)
