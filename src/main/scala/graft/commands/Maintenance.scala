@@ -34,7 +34,7 @@ object Maintenance {
     val rows = new TableScan(engine.spark, table, explicitFiles = Some(small)).toDF()
     val rewritten = LakeWriter.write(engine.spark, table, rows)
     table.commit(CommitOp.Overwrite(rewritten, small.map(_.path).toSet,
-      fromSnapshotId = fromSnapshot, removeHints = small))
+      fromSnapshotId = fromSnapshot, removeHints = small, dataChange = false))
   }
 
   /** Delete files in the table's directories that no snapshot references:
@@ -153,7 +153,7 @@ object Maintenance {
       .drop("__z")
     val rewritten = LakeWriter.write(engine.spark, table, clustered)
     table.commit(CommitOp.Overwrite(rewritten, files.map(_.path).toSet,
-      fromSnapshotId = fromSnapshot, removeHints = files))
+      fromSnapshotId = fromSnapshot, removeHints = files, dataChange = false))
   }
 
   /** Expire snapshots older than `keepLast` (never the current one or any

@@ -308,7 +308,11 @@ object CommitOp {
       fromSnapshotId: Option[Long] = None,
       conflictFilter: Option[graft.scan.Pred] = None,
       serializable: Boolean = true,
-      removeHints: Seq[FileEntry] = Seq.empty) extends CommitOp
+      removeHints: Seq[FileEntry] = Seq.empty,
+      // false = pure file rewrite (compaction): same logical rows in new
+      // files. The snapshot is stamped "replace" so CDC readers skip it
+      // instead of emitting delete+insert churn for untouched rows.
+      dataChange: Boolean = true) extends CommitOp
   final case class SetSchema(schema: StructType, lastFieldId: Int) extends CommitOp
   /** Spec evolution: new writes use this layout; existing files keep
     * theirs (per-file specId resolves at scan). */
@@ -449,7 +453,8 @@ class LakeTable private (
             if (hints.map(_.path).toSet == o.removePaths) Seq.empty
             else headOf(before, o.branch).map(manifest).getOrElse(Seq.empty)
               .filter(f => o.removePaths.contains(f.path) && !hints.exists(_.path == f.path))
-          (if (o.removePaths.isEmpty) "append" else "overwrite", o.files, hints ++ rest)
+          (if (!o.dataChange) "replace"
+          else if (o.removePaths.isEmpty) "append" else "overwrite", o.files, hints ++ rest)
         case other =>
           (other.getClass.getSimpleName.stripSuffix("$").toLowerCase,
             Seq.empty[FileEntry], Seq.empty[FileEntry])
@@ -538,7 +543,7 @@ class LakeTable private (
        else next.copy(properties = next.properties ++ extraProperties),
         CommitMetrics(sid, files.size, 0, files.map(_.recordCount).sum, 0, 0))
 
-    case CommitOp.Overwrite(files, removePaths, branch, fromSnap, conflictFilter, serializable, removeHints) =>
+    case CommitOp.Overwrite(files, removePaths, branch, fromSnap, conflictFilter, serializable, removeHints, dataChange) =>
       val head = headOf(m, branch)
       validateNoConflicts(m, head, fromSnap, conflictFilter, serializable)
       val baseList = head.map(_.manifests).getOrElse(Seq.empty)
@@ -584,7 +589,8 @@ class LakeTable private (
       val list = compactList(m,
         if (files.isEmpty) keptList else keptList :+ newManifest(m, files, sid), sid)
       val snap = Snapshot(sid, head.map(_.id), System.currentTimeMillis(),
-        if (files.isEmpty) "delete" else "overwrite", list,
+        if (!dataChange) "replace"
+        else if (files.isEmpty) "delete" else "overwrite", list,
         Map("added-files" -> files.size.toString, "removed-files" -> removed.size.toString))
       (advance(m, snap, branch),
         CommitMetrics(sid, files.size, removed.size,
@@ -625,6 +631,26 @@ class LakeTable private (
     case CommitOp.Rollback(snapshotId) =>
       if (m.snapshotById(snapshotId).isEmpty)
         throw new ValidationException(s"no snapshot $snapshotId to roll back to")
+      // ROLLBACK moves main only along its own lineage (target is an
+      // ancestor of head, or — undoing a prior rollback — a descendant).
+      // Moving onto a diverged branch-only snapshot would silently
+      // publish unaudited branch state and bypass FastForward's ancestry
+      // protection; Iceberg splits these as rollback_to_snapshot
+      // (checked) vs set_current_snapshot (explicitly unchecked).
+      m.currentSnapshotId.foreach { head =>
+        def onLineage(from: Long, to: Long): Boolean = {
+          var cur = m.snapshotById(from)
+          while (cur.isDefined) {
+            if (cur.get.id == to) return true
+            cur = cur.get.parentId.flatMap(m.snapshotById)
+          }
+          false
+        }
+        if (!onLineage(head, snapshotId) && !onLineage(snapshotId, head))
+          throw new ValidationException(
+            s"snapshot $snapshotId is not on main's lineage (head $head); " +
+              "ROLLBACK only moves along published history (fast-forward a branch to publish it)")
+      }
       (m.copy(currentSnapshotId = Some(snapshotId)),
         CommitMetrics(snapshotId, 0, 0, 0, 0, 0))
 

@@ -52,15 +52,21 @@ object MetricCollectors {
 
   def emitCommit(e: => CommitEvent): Unit = {
     val cs = collectors
-    if (cs.nonEmpty) { val ev = e; cs.foreach(c => safely(c.onCommit(ev))) }
+    if (cs.nonEmpty) evalSafely(e).foreach(ev => cs.foreach(c => safely(c.onCommit(ev))))
   }
   def emitScan(e: => ScanEvent): Unit = {
     val cs = collectors
-    if (cs.nonEmpty) { val ev = e; cs.foreach(c => safely(c.onScan(ev))) }
+    if (cs.nonEmpty) evalSafely(e).foreach(ev => cs.foreach(c => safely(c.onScan(ev))))
   }
 
   private def safely(body: => Unit): Unit =
     try body catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The event body itself may do metadata IO (e.g. resolving removed
+    * entries through a manifest read); a failure there must degrade to
+    * "no event", never into the already-landed commit/scan path. */
+  private def evalSafely[A](e: => A): Option[A] =
+    try Some(e) catch { case scala.util.control.NonFatal(_) => None }
 
   /** Partition path -> delta, from the added/removed entries of a commit. */
   def partitionDeltas(added: Seq[FileEntry], removed: Seq[FileEntry]): Map[String, PartitionDelta] = {

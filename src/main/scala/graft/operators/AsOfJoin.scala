@@ -25,9 +25,9 @@ object AsOfJoin {
     * Columns ride the union FLAT (left columns null-filled on right
     * rows and vice versa) rather than packed into per-side structs: a
     * struct build + per-field extraction per row is pure CPU on the
-    * shuffle's hot path. Single-payload joins carry one running
-    * `last(ignoreNulls)` column; multi-payload joins still group the
-    * payload in one struct so the window carries one value. */
+    * shuffle's hot path. The matched payload itself travels as one
+    * struct built only on right rows, so the running `last(ignoreNulls)`
+    * can carry a right row whose payload columns are all NULL. */
   def asofBackward(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTime: String, rightTime: String,
@@ -52,18 +52,18 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val unioned = lSide.unionByName(rSide)
-    val matched = payloadCols match {
-      case Seq(single) =>
-        unioned.withColumn(pay(single), last(col(pay(single)), ignoreNulls = true).over(w))
-      case many =>
-        // a single running value: null payload structs on left rows are
-        // skipped by ignoreNulls, so the struct must be null (not a
-        // struct of nulls) there — build it only from right rows
-        val packed = unioned.withColumn("__match",
-          last(when(col("__side") === 0,
-            struct(many.map(c => col(pay(c)).as(c)): _*)), ignoreNulls = true).over(w))
-        many.foldLeft(packed)((df, c) => df.withColumn(pay(c), col("__match").getField(c)))
-          .drop("__match")
+    // One running value packed in a side-guarded struct: the wrapper is
+    // non-null exactly on right rows, so `ignoreNulls` skips left rows'
+    // fills but still carries a right row whose payload is genuinely
+    // NULL — "no prior right row" and "right row with NULL payload"
+    // stay distinguishable (a flat last(ignoreNulls) on the payload
+    // itself would conflate them and resurrect an older value).
+    val matched = {
+      val packed = unioned.withColumn("__match",
+        last(when(col("__side") === 0,
+          struct(payloadCols.map(c => col(pay(c)).as(c)): _*)), ignoreNulls = true).over(w))
+      payloadCols.foldLeft(packed)((df, c) => df.withColumn(pay(c), col("__match").getField(c)))
+        .drop("__match")
     }
     matched.filter(col("__side") === 1)
       .select(leftCols.map(c =>

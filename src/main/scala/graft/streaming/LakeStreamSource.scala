@@ -110,20 +110,26 @@ class LakeSourceProvider extends TableProvider with DataSourceRegister
 
 private[streaming] object LakeDsv2 {
   val ChangeTypeCol = "_change_type"
+  val CommitSnapshotCol = "_commit_snapshot_id"
 
   def path(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-lake requires option 'path'"))
 
   /** `option("read-changes", "true")`: row-level CDC — each micro-batch
-    * (or batch read) emits the NET changes between offsets as rows
-    * tagged `_change_type` = insert | delete (Delta CDF shape). */
+    * steps snapshot-by-snapshot through its offset range and emits the
+    * per-commit changes as rows tagged `_change_type` = insert | delete
+    * plus `_commit_snapshot_id` (Delta CDF shape: its _commit_version),
+    * so a consumer can order delete-before-insert when one key is
+    * rewritten inside a single micro-batch. */
   def changesMode(get: String => String): Boolean =
     Option(get("read-changes")).exists(_.equalsIgnoreCase("true"))
 
   def withChangeType(s: StructType): StructType =
     StructType(s.fields :+ org.apache.spark.sql.types.StructField(
-      ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false))
+      ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false)
+      :+ org.apache.spark.sql.types.StructField(
+      CommitSnapshotCol, org.apache.spark.sql.types.LongType, nullable = false))
 
   /** Time-travel read options (batch read only):
     * snapshot-id | timestamp (epoch millis) | branch | tag. */
@@ -434,13 +440,21 @@ final class LakeMicroBatchStream(location: String)
 }
 
 /** Row-level CDC stream (Delta Change-Data-Feed shape): each micro-batch
-  * emits the NET changes between its snapshot-id offsets — rows of added
-  * files tagged `_change_type = insert`, rows of removed files tagged
-  * `delete`. File sets come from the O(changed-chunks) manifest diff
-  * ([[LakeTable.changedFiles]]), so overwrites/deletes/compactions
-  * stream fine (the append-only stream errors on them by design). A
-  * file added and removed inside one range cancels (net semantics).
-  * The first batch replays the table's current content as inserts. */
+  * steps SNAPSHOT BY SNAPSHOT through its offset range and emits every
+  * commit's file delta as rows tagged `_change_type` = insert | delete
+  * plus `_commit_snapshot_id` — the commit the change belongs to, so a
+  * consumer can order delete-before-insert when one key is rewritten
+  * inside a single micro-batch (Delta CDF's _commit_version plays the
+  * same role). Per-commit file sets come from the O(changed-chunks)
+  * manifest diff against each snapshot's parent
+  * ([[LakeTable.changedFiles]]), so overwrites/deletes stream fine (the
+  * append-only stream errors on them by design). Pure rewrites
+  * (`operation = "replace"`: compaction, manifest rewrite) change no
+  * logical rows and are skipped outright instead of emitting
+  * delete+insert churn for every untouched row. The first batch replays
+  * the table's current content as inserts attributed to the head
+  * snapshot. A snapshot expired out of an unread range fails the stream
+  * cleanly rather than misattributing its changes. */
 final class LakeChangesMicroBatchStream(location: String)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val spark = ClassicSession.active
@@ -467,15 +481,44 @@ final class LakeChangesMicroBatchStream(location: String)
     val m = table.refresh().metadata
     val to = m.snapshotById(endId).getOrElse(
       throw new IllegalStateException(s"offset snapshot $endId expired from $location"))
-    val from = if (fromId == 0L) None else Some(m.snapshotById(fromId).getOrElse(
-      throw new IllegalStateException(s"offset snapshot $fromId expired from $location")))
-    val (added, removed) = LakeTable.changedFiles(table, from, to)
-    val (pi, fi) = LakeDsv2.plan(spark, table, added, pinnedSchema)
-    val (pd, fd) = LakeDsv2.plan(spark, table, removed, pinnedSchema)
-    lastFactory = ChangesReaderFactory(fi, fd,
-      pinnedSchema.fields.map(_.dataType))
-    pi.map(p => ChangeSidePartition(insert = true, p): InputPartition) ++
-      pd.map(p => ChangeSidePartition(insert = false, p))
+
+    val parts = Vector.newBuilder[InputPartition]
+    val factories = Map.newBuilder[(Long, Boolean), PartitionReaderFactory]
+    def planSide(sid: Long, insert: Boolean, files: Seq[FileEntry]): Unit = {
+      val (p, f) = LakeDsv2.plan(spark, table, files, pinnedSchema)
+      factories += (sid, insert) -> f
+      p.foreach(ip => parts += ChangeSidePartition(insert, sid, ip))
+    }
+
+    if (fromId == 0L) {
+      // initial batch: current content as inserts, attributed to head
+      planSide(endId, insert = true, LakeTable.changedFiles(table, None, to)._1)
+    } else {
+      // ascending chain of snapshots in (fromId, endId]
+      var chain = List.empty[graft.format.Snapshot]
+      var cur: Option[graft.format.Snapshot] = Some(to)
+      while (cur.exists(_.id != fromId)) {
+        val s = cur.get
+        chain = s :: chain
+        cur = s.parentId.map(pid => m.snapshotById(pid).getOrElse(
+          throw new IllegalStateException(
+            s"snapshot $pid in unread range ($fromId, $endId] expired from $location")))
+        if (cur.isEmpty) throw new IllegalStateException(
+          s"offset snapshot $fromId is not an ancestor of $endId at $location " +
+            "(history rewritten under a running stream)")
+      }
+      chain.foreach { s =>
+        // "replace" rewrites files without changing logical rows — no CDC
+        if (s.operation != "replace") {
+          val parent = s.parentId.map(pid => m.snapshotById(pid).get) // resolved above
+          val (added, removed) = LakeTable.changedFiles(table, parent, s)
+          planSide(s.id, insert = true, added)
+          planSide(s.id, insert = false, removed)
+        }
+      }
+    }
+    lastFactory = ChangesReaderFactory(factories.result(), pinnedSchema.fields.map(_.dataType))
+    parts.result().toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = lastFactory
@@ -484,21 +527,22 @@ final class LakeChangesMicroBatchStream(location: String)
 }
 
 private[streaming] final case class ChangeSidePartition(
-    insert: Boolean, inner: InputPartition) extends InputPartition {
+    insert: Boolean, snapshotId: Long, inner: InputPartition) extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-/** Routes a partition to its side's parquet factory and appends the
-  * `_change_type` literal column per row (projection built lazily
-  * executor-side from serializable BoundReference/Literal exprs). */
+/** Routes a partition to its (snapshot, side) parquet factory and appends
+  * the `_change_type` and `_commit_snapshot_id` literal columns per row
+  * (projection built lazily executor-side from serializable
+  * BoundReference/Literal exprs). */
 private[streaming] final case class ChangesReaderFactory(
-    insertSide: PartitionReaderFactory, deleteSide: PartitionReaderFactory,
+    factories: Map[(Long, Boolean), PartitionReaderFactory],
     baseTypes: Array[org.apache.spark.sql.types.DataType]) extends PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[ChangeSidePartition]
-    val inner = (if (cp.insert) insertSide else deleteSide).createReader(cp.inner)
+    val inner = factories((cp.snapshotId, cp.insert)).createReader(cp.inner)
     val tag = if (cp.insert) "insert" else "delete"
     new PartitionReader[InternalRow] {
       private[this] val proj = UnsafeProjection.create(
@@ -506,7 +550,8 @@ private[streaming] final case class ChangesReaderFactory(
           BoundReference(i, dt, nullable = true): Expression
         }.toIndexedSeq :+ (Literal(
           org.apache.spark.unsafe.types.UTF8String.fromString(tag),
-          org.apache.spark.sql.types.StringType): Expression))
+          org.apache.spark.sql.types.StringType): Expression)
+          :+ (Literal(cp.snapshotId, org.apache.spark.sql.types.LongType): Expression))
       override def next(): Boolean = inner.next()
       override def get(): InternalRow = proj(inner.get())
       override def close(): Unit = inner.close()

@@ -194,6 +194,13 @@ class EdgeCasesSpec extends SparkSpec {
     val e6 = intercept[Exception] {
       spark.sql("ALTER TABLE lake.refddl_t ROLLBACK TO VERSION 999") }
     assert(e6.getMessage.contains("no snapshot"), e6.getMessage)
+    // a branch-only (diverged) snapshot is NOT on main's lineage: rollback
+    // must refuse — publishing unaudited branch state is fast-forward's
+    // ancestry-checked job, not rollback's
+    val devHead = t.refresh().metadata.refs("dev").snapshotId
+    val e7 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.refddl_t ROLLBACK TO VERSION $devHead") }
+    assert(e7.getMessage.contains("lineage"), e7.getMessage)
 
     spark.sql("ALTER TABLE lake.refddl_t DROP TAG v1")
     spark.sql("ALTER TABLE lake.refddl_t DROP BRANCH dev")

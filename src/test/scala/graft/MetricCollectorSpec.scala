@@ -74,4 +74,17 @@ class MetricCollectorSpec extends SparkSpec {
       assert(ev.matchedRecords === n)
     } finally { MetricCollectors.unregister(boom); MetricCollectors.unregister(rec) }
   }
+
+  test("a throwing event BODY degrades to no event, never into the commit path") {
+    // the by-name event may do manifest IO (removed-entry resolution); if
+    // that read fails after the commit landed, the commit must still be
+    // reported successful to the caller — emit nothing instead of throwing
+    val rec = new Recording
+    MetricCollectors.register(rec)
+    try {
+      MetricCollectors.emitCommit(throw new RuntimeException("manifest read failed"))
+      MetricCollectors.emitScan(throw new RuntimeException("boom"))
+      assert(rec.commits.isEmpty && rec.scans.isEmpty)
+    } finally MetricCollectors.unregister(rec)
+  }
 }

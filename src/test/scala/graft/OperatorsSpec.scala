@@ -41,6 +41,25 @@ class OperatorsSpec extends SparkSpec {
     assert(full.filter(col("id") === 2L).select("t").as[Long].head() === 205L)
   }
 
+  test("asof join: a right row with a NULL payload still wins over older rows") {
+    // most recent right row at t=200 carries rid=NULL; the match must be
+    // that NULL, not the older rid=10 (single-payload path regression:
+    // a flat last(ignoreNulls) would skip it and resurrect 10)
+    val left = Seq((1L, "u1", 205L)).toDF("id", "key", "t")
+    val right = Seq((Some(10L), "u1", 100L), (None, "u1", 200L))
+      .toDF("rid", "key", "t")
+    val got = AsOfJoin.asofBackward(left, right, Seq("key"), "t", "t", Seq("rid"))
+      .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === None, "NULL payload on the matched row must surface as NULL")
+
+    // multi-payload: an all-NULL payload row likewise wins
+    val right2 = Seq((Some(10L), Some("a"), "u1", 100L), (None, Option.empty[String], "u1", 200L))
+      .toDF("rid", "tag", "key", "t")
+    val got2 = AsOfJoin.asofBackward(left, right2, Seq("key"), "t", "t", Seq("rid", "tag"))
+      .select("id", "rid", "tag").as[(Long, Option[Long], Option[String])].collect().head
+    assert(got2 === ((1L, None, None)))
+  }
+
   test("batch transaction: combined commit + pairwise conflict detection") {
     val orders = Tables.orders(spark, sf)
     val t = engine.catalog.createTable("batch_t", orders.schema)

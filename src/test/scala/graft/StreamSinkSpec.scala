@@ -120,31 +120,47 @@ class StreamSinkSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       def rows() = spark.table(name).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-      // first batch: current content replayed as inserts
-      assert(spark.table(name).columns.toSeq === Seq("id", "v", "_change_type"))
-      assert(rows().toSet === Set((1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert")))
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      // first batch: current content replayed as inserts, attributed to head
+      assert(spark.table(name).columns.toSeq ===
+        Seq("id", "v", "_change_type", "_commit_snapshot_id"))
+      assert(rows().map(r => (r._1, r._2, r._3)).toSet ===
+        Set((1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert")))
+      val headSnap = src.refresh().metadata.currentSnapshotId.get
+      assert(rows().forall(_._4 == headSnap), s"initial batch not attributed to head: ${rows()}")
 
-      // CoW update: the rewritten file streams as delete(old)+insert(new)
+      // CoW update: the rewritten file streams as delete(old)+insert(new),
+      // both carrying the update commit's snapshot id
       engine.update(src, "id = 2", Map("v" -> "'upd'"))
+      val updSnap = src.refresh().metadata.currentSnapshotId.get
       q.processAllAvailable()
       val afterUpd = rows()
-      assert(afterUpd.count(_ == ((2L, "b", "delete"))) >= 1, s"missing delete: $afterUpd")
-      assert(afterUpd.count(_ == ((2L, "upd", "insert"))) >= 1, s"missing insert: $afterUpd")
+      assert(afterUpd.count(_ == ((2L, "b", "delete", updSnap))) >= 1, s"missing delete: $afterUpd")
+      assert(afterUpd.count(_ == ((2L, "upd", "insert", updSnap))) >= 1, s"missing insert: $afterUpd")
 
-      // delete DML streams the removed rows as deletes (net: untouched
-      // rows of the rewritten file cancel? no - file-level CoW rewrites
-      // the whole file, so survivors re-insert; the NET per row is right)
+      // two commits landing in ONE micro-batch stay distinguishable and
+      // orderable by _commit_snapshot_id (delete-before-insert per key)
       engine.delete(src, "id = 3")
+      val delSnap = src.refresh().metadata.currentSnapshotId.get
+      engine.insert(src, Seq((3L, "c2")).toDF("id", "v"))
+      val insSnap = src.refresh().metadata.currentSnapshotId.get
       q.processAllAvailable()
       val afterDel = rows()
-      assert(afterDel.count(_ == ((3L, "c", "delete"))) >= 1, s"missing delete of 3: $afterDel")
+      assert(afterDel.count(_ == ((3L, "c", "delete", delSnap))) >= 1, s"missing delete of 3: $afterDel")
+      assert(afterDel.count(_ == ((3L, "c2", "insert", insSnap))) >= 1, s"missing re-insert of 3: $afterDel")
+      assert(delSnap < insSnap, "snapshot ids must order the two commits")
       // reconstructing state from the feed matches the table
       val state = afterDel.groupBy(r => (r._1, r._2)).map { case (k, vs) =>
         k -> (vs.count(_._3 == "insert") - vs.count(_._3 == "delete"))
       }.filter(_._2 > 0).keys.toSet
       assert(state === engine.scan(src.refresh()).toDF()
         .as[(Long, String)].collect().toSet, s"feed does not reconstruct state: $afterDel")
+
+      // compaction is a pure rewrite ("replace" snapshot): no CDC churn
+      val before = afterDel.size
+      graft.commands.Maintenance.compactSmallFiles(engine, src.refresh(), 512 * 1024 * 1024)
+      q.processAllAvailable()
+      assert(rows().size === before, s"compaction must not emit change rows: ${rows()}")
     } finally q.stop()
   }
 
