@@ -17,7 +17,13 @@ import scala.util.control.NonFatal
   * best and worst pass totals disagree by more than 30% the machine was
   * loaded during the run — up to 2 extra passes are appended. The JSON
   * carries the evidence: per-pass totals, /proc/loadavg before and after,
-  * and the warmup total, so a recorded number can be audited later.
+  * the warmup total, and — per query, for the min-time run —
+  * `query_profile` decomposing wall time into plan_ms (Catalyst), work_ms
+  * (wall during which ≥1 task ran) and sched_ms (stage-boundary/driver
+  * latency: the DAGScheduler ~50 ms/stage floor a single-process engine
+  * never pays, and which amortizes away at cluster data sizes), so a
+  * recorded Spark/oracle ratio can be audited against where the time
+  * actually went.
   */
 object Bench {
 
@@ -126,11 +132,40 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = Registry.all.filter(_.bench)
-    def exec(q: Q): Double = {
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case NonFatal(e) => System.err.println(s"[bench] ${q.name} failed: $e") }
-      (System.nanoTime() - t0) / 1e9
+
+    // Per-query decomposition evidence: a listener records every job
+    // start / stage submission / task (launch, finish) with its OWN
+    // timestamps, and each exec records its wall-clock window, so
+    // attribution is by time window — immune to async event delivery.
+    // work_ms = union length of task run intervals inside the window
+    // (wall time during which at least one task was executing);
+    // sched_ms = wall - plan - work = stage-boundary/driver latency the
+    // in-process oracle never pays. Emitted per query into the JSON.
+    val jobTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stageTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val taskIv = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobTimes.add(j.time)
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        s.stageInfo.submissionTime.foreach(stageTimes.add(_))
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskIv.add((t.taskInfo.launchTime, t.taskInfo.finishTime))
+    })
+
+    final case class ExecSample(sec: Double, startMs: Long, planDoneMs: Long, endMs: Long)
+    def exec(q: Q): ExecSample = {
+      val t0 = System.currentTimeMillis()
+      val n0 = System.nanoTime()
+      var planDone = t0
+      try {
+        val df = q.run(spark, sfDir)
+        df.queryExecution.executedPlan // analysis+optimization+planning
+        planDone = System.currentTimeMillis()
+        df.write.format("noop").mode("overwrite").save()
+      } catch { case NonFatal(e) => System.err.println(s"[bench] ${q.name} failed: $e") }
+      val sec = (System.nanoTime() - n0) / 1e9
+      ExecSample(sec, t0, planDone, t0 + math.ceil(sec * 1000).toLong)
     }
     def loadavg: Double =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
@@ -145,14 +180,14 @@ object Bench {
     val oracleBefore = oracleTimes(sfDir, cpus)
     // two warmup passes: one pass leaves C2 JIT compilation still in
     // flight on the hot query paths (pass totals keep dropping otherwise)
-    val warmup = (1 to 2).flatMap(_ => headline.map(q => q.name -> exec(q))).toMap
-    def pass(): Map[String, Double] = headline.map(q => q.name -> exec(q)).toMap
+    val warmup = (1 to 2).flatMap(_ => headline.map(q => q.name -> exec(q).sec)).toMap
+    def pass(): Map[String, ExecSample] = headline.map(q => q.name -> exec(q)).toMap
 
     // min-of-5: transient load spikes (chronic on this box) must persist
     // across every pass to inflate a recorded number
     val basePasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
     val passes = scala.collection.mutable.ArrayBuffer.fill(basePasses)(pass())
-    def totals = passes.map(_.values.sum)
+    def totals = passes.map(_.values.map(_.sec).sum)
     var extra = 0
     while (extra < 2 && (totals.max - totals.min) / totals.min > 0.30) {
       System.err.println(
@@ -161,7 +196,8 @@ object Bench {
     }
     val loadEnd = loadavg
 
-    val results = headline.map(q => q.name -> passes.map(_(q.name)).min)
+    val samples = headline.map(q => q.name -> passes.map(_(q.name)).minBy(_.sec))
+    val results = samples.map { case (n, s) => n -> s.sec }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -185,9 +221,39 @@ object Bench {
           f""","spark_oracle_ratio":${sparkOracleable / oTotal}%.2f"""
       case None => ""
     }
+    // drain the async listener bus, then decompose each query's MIN run:
+    // events were stamped at source, so windowing by [start, end] of the
+    // recorded sample is exact regardless of delivery order
+    Thread.sleep(500)
+    import scala.jdk.CollectionConverters._
+    val allJobs = jobTimes.asScala.toVector
+    val allStages = stageTimes.asScala.toVector
+    val allIv = taskIv.asScala.toVector
+    def profileJson(s: ExecSample): String = {
+      val within = allIv.filter(iv => iv._2 > s.startMs && iv._1 < s.endMs)
+        .map(iv => (math.max(iv._1, s.startMs), math.min(iv._2, s.endMs)))
+        .sorted
+      var work = 0L; var curS = 0L; var curE = 0L
+      within.foreach { case (a, b) =>
+        if (a > curE) { work += math.max(curE - curS, 0L); curS = a; curE = b }
+        else if (b > curE) curE = b
+      }
+      work += math.max(curE - curS, 0L)
+      val wall = s.endMs - s.startMs
+      val plan = s.planDoneMs - s.startMs
+      val jobs = allJobs.count(t => t >= s.startMs && t < s.endMs)
+      val stages = allStages.count(t => t >= s.startMs && t < s.endMs)
+      val sched = (wall - plan - work) max 0
+      s"""{"jobs":$jobs,"stages":$stages,"tasks":${within.size},"wall_ms":$wall,""" +
+        s""""plan_ms":$plan,"work_ms":$work,"sched_ms":$sched}"""
+    }
+    val profJson = samples.map { case (n, s) => "\"" + n + "\":" + profileJson(s) }
+      .mkString("{", ",", "}")
+
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","pass_totals":$passJson,"warmup_total":${warmup.values.sum}""" +
       s""","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"extra_passes":$extra""" +
+      s""","query_profile":$profJson""" +
       oracleJson + "}"
     // stdout line (un-prefixed via build.sbt outputStrategy) + file copy so
     // the driver can recover the metric even if stdout is log-polluted

@@ -333,7 +333,16 @@ object Merge {
 
     val FileC = "_file"
     val PosC = "_pos"
-    val scan0 = new TableScan(spark, table, AlwaysTrue, withFileColumns = true)
+    // J2 for the general merge (reference sql/SqlQueryProcessor.java:296-327):
+    // a selective MERGE must not read the whole table. Files provably
+    // containing no source key can hold no matched row, so joining only
+    // the may-match files yields identical matched / not-matched
+    // classification; sound ONLY while no WHEN NOT MATCHED BY SOURCE
+    // clause exists (those act on target rows the source does NOT hit).
+    val prunePred: Pred =
+      if (notMatchedBySource.nonEmpty) AlwaysTrue
+      else mergePrunePred(spark, schema, source, targetAlias, sourceAlias, onSql)
+    val scan0 = new TableScan(spark, table, prunePred, withFileColumns = true)
     val candidates = scan0.planFiles()
     val target = new TableScan(spark, table, explicitFiles = Some(candidates),
       withFileColumns = true).toDF().alias(targetAlias)
@@ -413,10 +422,78 @@ object Merge {
       val newFiles = LakeWriter.write(spark, table, newData)
       if (newFiles.isEmpty && modified.isEmpty)
         return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
+      // the key-bound predicate is also the conflict scope: a concurrent
+      // commit touching only keys outside the source set cannot change
+      // this merge's matched/not-matched classification
       table.commit(CommitOp.Overwrite(newFiles, modified,
         fromSnapshotId = fromSnapshot,
+        conflictFilter = if (Pred.isTrue(prunePred)) None else Some(prunePred),
         removeHints = candidates.filter(f => modified.contains(f.path))))
     } finally diff.unpersist()
+  }
+
+  /** Boundary predicate for the general merge, derived from the ON
+    * clause's top-level equi-conjuncts (`t.col = s.col`, `<=>` too) by
+    * bounded source-key collection — the A5 distinct-values machinery
+    * ([[LakeEngine.insertOverwriteByColumns]]; reference
+    * commands/WriteUtil.java:228-264) applied to merge pruning. One
+    * distributed distinct + a ≤`maxKeys`-row collect per merge; each
+    * extracted pair becomes `In(targetCol, sourceValues)` (plus IsNull
+    * for `<=>` with null keys), conjoined. Anything unextractable —
+    * non-equi ON, expressions on the target side, over-cap key counts —
+    * degrades to AlwaysTrue (full scan), never to a wrong plan. */
+  private def mergePrunePred(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      source: DataFrame, targetAlias: String, sourceAlias: Option[String],
+      onSql: String, maxKeys: Int = 10000): Pred = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(onSql)
+      catch { case scala.util.control.NonFatal(_) => return AlwaysTrue }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val targetByLc = schema.fieldNames.map(f => f.toLowerCase -> f).toMap
+    val sourceLc = source.columns.map(_.toLowerCase).toSet
+    // classify a bare/qualified attribute as a target column or a source
+    // column; ambiguous bare names (present on both sides) extract nothing
+    def asTarget(a: UnresolvedAttribute): Option[String] =
+      a.nameParts.map(_.toLowerCase) match {
+        case scala.collection.Seq(q, c) if q == targetAlias.toLowerCase => targetByLc.get(c)
+        case scala.collection.Seq(c) if !sourceLc.contains(c) => targetByLc.get(c)
+        case _ => None
+      }
+    def asSource(a: UnresolvedAttribute): Option[String] =
+      a.nameParts.map(_.toLowerCase) match {
+        case scala.collection.Seq(q, c) if sourceAlias.exists(_.equalsIgnoreCase(q)) && sourceLc.contains(c) => Some(c)
+        case scala.collection.Seq(c) if sourceLc.contains(c) && !targetByLc.contains(c) => Some(c)
+        case _ => None
+      }
+    final case class Pair(targetCol: String, sourceCol: String, nullSafe: Boolean)
+    def pairOf(x: Expression, y: Expression, nullSafe: Boolean): Option[Pair] = (x, y) match {
+      case (a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        asTarget(a).zip(asSource(b)).map { case (t, s) => Pair(t, s, nullSafe) }
+          .orElse(asTarget(b).zip(asSource(a)).map { case (t, s) => Pair(t, s, nullSafe) })
+      case _ => None
+    }
+    val pairs = conjuncts(parsed).flatMap {
+      case EqualTo(a, b) => pairOf(a, b, nullSafe = false)
+      case EqualNullSafe(a, b) => pairOf(a, b, nullSafe = true)
+      case _ => None
+    }
+    if (pairs.isEmpty) return AlwaysTrue
+    val rows = source.select(pairs.map(p => col(p.sourceCol)): _*)
+      .distinct().limit(maxKeys + 1).collect()
+    if (rows.length > maxKeys) return AlwaysTrue
+    pairs.zipWithIndex.map { case (p, i) =>
+      val vals = rows.map(_.get(i)).filter(_ != null).distinct.toSeq
+      val hasNull = rows.exists(_.isNullAt(i))
+      val base: Pred =
+        if (vals.isEmpty) AlwaysFalse // every source key NULL (or empty source)
+        else In(p.targetCol, vals)
+      if (p.nullSafe && hasNull) Or(base, IsNull(p.targetCol)) else base
+    }.reduceLeft[Pred](And.apply)
   }
 
   private def cardinalityCheck(diff: DataFrame, bothPresent: Column,

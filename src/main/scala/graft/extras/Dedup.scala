@@ -161,37 +161,64 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit band buckets,
-    * hamming-distance verification via bit_count(xor). */
+    * hamming-distance verification via bit_count(xor).
+    *
+    * Same skew-guarded bucket shape as [[minhashPairs]]: members are
+    * collected per (band, bucket) — the 64-bit signature rides the
+    * struct so verification needs NO join at all — and buckets past
+    * `maxBucketSize` are dropped before their m²/2 pairs exist. A
+    * degenerate corpus (every document near-identical) lands in one
+    * bucket per band and would otherwise go quadratic; with 4
+    * independent bands a true near-dup pair in a capped bucket usually
+    * re-surfaces in a less-loaded band. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val base = df.select(col(idCol).as("id"),
         TextAnalysis.simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
       .withColumn("bands", TextAnalysis.simhashBands(col("sim")))
-      .localCheckpoint(eager = false)
     val buckets = base.select(col("id"), col("sim"),
       posexplode(col("bands")).as(Seq("band", "bh")))
-    buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .distinct()
+    val members = sort_array(collect_list(struct(col("id"), col("sim"))))
+    val grouped = buckets.groupBy(col("band"), col("bh"))
+      .agg(members.as("ms"))
+      .where(size(col("ms")).between(2, maxBucketSize))
+    // all (i < j) pairs with hamming computed in place (id sorted first
+    // in the struct, so pair order is id_a < id_b)
+    val combos = flatten(transform(col("ms"), (x, i) =>
+      transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+        y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          bit_count(x.getField("sim").bitwiseXOR(y.getField("sim"))).as("hamming")))))
+    grouped.select(explode(combos).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.hamming").as("hamming"))
+      .distinct() // a pair may collide in several bands
       .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding near-dup pairs via signed-random-projection buckets +
-    * exact cosine verification (unit-norm vectors: cosine == dot). */
+    * exact cosine verification (unit-norm vectors: cosine == dot).
+    *
+    * Skew guard as in [[minhashPairs]]/[[simhashPairs]]: per-bucket
+    * collect_list + in-bucket pair emission, buckets past
+    * `maxBucketSize` dropped before going quadratic. The cap defaults
+    * lower than the text variants because each member carries its full
+    * vector (cap × dim × 4 bytes of agg state per bucket). */
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, srpBits: Int = 16): DataFrame = {
+      threshold: Double = 0.95, srpBits: Int = 16,
+      maxBucketSize: Int = 4096): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", Similarity.srpSignature(col("v"), srpBits))
-      .localCheckpoint(eager = false)
-    base.as("a").join(base.as("b"),
-        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.dot(col("a.v"), col("b.v")).as("cosine"))
+    val members = sort_array(collect_list(struct(col("id"), col("v"))))
+    val grouped = base.groupBy(col("sig"))
+      .agg(members.as("ms"))
+      .where(size(col("ms")).between(2, maxBucketSize))
+    val combos = flatten(transform(col("ms"), (x, i) =>
+      transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+        y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          Similarity.dot(x.getField("v"), y.getField("v")).as("cosine")))))
+    grouped.select(explode(combos).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.cosine").as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-7 scratch A/B experiments for the remaining work_ms gaps
+  * (dedup_exact, q_events_hourly, sim_bruteforce_topk, q_date_extract).
+  * Not part of the driver contract.
+  */
+object Exp7 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .withExtensions(new graft.sqlext.LakeSqlExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "2m"))
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def time(name: String, reps: Int = 7)(mk: => DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"$name%-40s min=${times.min}%7.1fms  med=${times.sorted.apply(reps / 2)}%7.1fms")
+    }
+
+    // ---- dedup_exact: two-scan union corpus vs single-scan explode ----
+    def corpusUnion: DataFrame = {
+      val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    }
+    def corpusExplode: DataFrame = {
+      val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      docs.select(col("doc_id"), col("text"),
+          explode(when(col("doc_id") % 5 === 0, array(lit(0L), lit(10000L)))
+            .otherwise(array(lit(0L)))).as("off"))
+        .select((col("doc_id") + col("off")).as("doc_id"), col("text"))
+    }
+    def exactShape(c: DataFrame): DataFrame =
+      c.groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .coalesce(1).sortWithinPartitions(col("keep_id"))
+    (1 to 2).foreach(_ => { exactShape(corpusUnion).write.format("noop").mode("overwrite").save() })
+    time("dedup_union")(exactShape(corpusUnion))
+    time("dedup_explode")(exactShape(corpusExplode))
+
+    // ---- q_events_hourly: current vs per-group truncation ----
+    val ev = graft.Tables.events(spark, sfDir)
+    def dsum(c: Column, sc: Int, as: String) = {
+      val pow = math.pow(10, sc).toLong
+      (sum(call_function("graft_dunscaled", c.cast(DoubleType), lit(sc)))
+        .cast(DecimalType(38, 0)) / lit(pow)).cast(DoubleType).as(as)
+    }
+    time("events_current")(
+      ev.groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6, "sum_value"))
+        .coalesce(1).sortWithinPartitions(col("hour"), col("event_type")))
+    // group on the raw micros bucket (one long div per row), convert to
+    // timestamp per GROUP after the agg
+    val tsMicros = expr("unix_micros(cast(ts as timestamp))") // NTZ -> UTC micros
+    time("events_bucket")(
+      ev.groupBy((tsMicros - (tsMicros % 3600000000L)).as("hb"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6, "sum_value"))
+        .select(timestamp_micros(col("hb")).cast(TimestampNTZType).as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .coalesce(1).sortWithinPartitions(col("hour"), col("event_type")))
+    // double-sum control: how much of the gap is the unscaled-sum path
+    time("events_doublesum")(
+      ev.groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .coalesce(1).sortWithinPartitions(col("hour"), col("event_type")))
+    // count-only control: scan+group floor
+    time("events_countonly")(
+      ev.groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .coalesce(1).sortWithinPartitions(col("hour"), col("event_type")))
+
+    // ---- sim_bruteforce: current vs rank-in-combiner-merge ----
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    time("simbrute_current")(
+      graft.extras.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("cid"), col("sim"), col("rank").cast("int").as("rank"))
+        .sortWithinPartitions(col("qid"), col("rank")))
+
+    // ---- q_date_extract: what's in it ----
+    time("date_extract_current")(
+      graft.Registry.byName("q_date_extract").run(spark, sfDir))
+
+    spark.stop()
+  }
+}

@@ -348,6 +348,53 @@ class EdgeCasesSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.merge_both")
   }
 
+  test("selective MERGE prunes target files via ON-key source collection") {
+    import graft.metrics.{MetricCollector, MetricCollectors, ScanEvent}
+    // four commits -> four files with disjoint id ranges (footer stats
+    // give each file a tight [min,max] on id)
+    val t = engine.catalog.createTable("merge_prune",
+      Seq((1L, "x")).toDF("id", "v").schema)
+    (0 until 4).foreach(b => engine.insert(t,
+      ((b * 100 + 1) to (b * 100 + 100)).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)))
+    assert(t.refresh().currentFiles().size === 4)
+    spark.conf.set("spark.graft.warehouse", warehouse)
+
+    val scans = scala.collection.mutable.ArrayBuffer.empty[ScanEvent]
+    val rec = new MetricCollector {
+      override def onScan(e: ScanEvent): Unit = scans.synchronized { scans += e }
+    }
+    MetricCollectors.register(rec)
+    try {
+      // keys hit only the second file (101..200): the merge must plan 1
+      // file and skip 3 — a full-table read here is the 100 TB bug
+      Seq((150L, "upd"), (160L, "upd")).toDF("id", "nv")
+        .createOrReplaceTempView("mp_src")
+      spark.sql("""
+        MERGE INTO lake.merge_prune t USING mp_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)""")
+      val ev = scans.synchronized(scans.filter(_.tableLocation == t.location).last)
+      assert(ev.matchedFiles === 1, s"merge should plan only the key-bearing file: $ev")
+      assert(ev.skippedFiles === 3, s"merge should skip the other files: $ev")
+      // and the result is still a correct merge
+      assert(spark.sql("SELECT v FROM lake.merge_prune WHERE id IN (150, 160)")
+        .collect().map(_.getString(0)).toSeq === Seq("upd", "upd"))
+      assert(spark.sql("SELECT count(*) FROM lake.merge_prune").head().getLong(0) === 400)
+
+      // NOT MATCHED BY SOURCE consumes unmatched target rows -> pruning
+      // must switch off (every file planned)
+      val allFiles = t.refresh().currentFiles().size
+      scans.synchronized(scans.clear())
+      spark.sql("""
+        MERGE INTO lake.merge_prune t USING mp_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = 'again'
+        WHEN NOT MATCHED BY SOURCE AND t.id = -1 THEN DELETE""")
+      val ev2 = scans.synchronized(scans.filter(_.tableLocation == t.location).last)
+      assert(ev2.matchedFiles === allFiles, s"by-source merge must scan all files: $ev2")
+    } finally MetricCollectors.unregister(rec)
+    spark.sql("DROP TABLE lake.merge_prune")
+  }
+
   test("concurrent appends: optimistic retry lands both commits") {
     val orders = Tables.orders(spark, sf)
     val t = engine.catalog.createTable("conc", orders.schema)

@@ -63,6 +63,29 @@ class ExtrasSpec extends SparkSpec {
     assert(kept <= originals && kept > 0)
   }
 
+  test("degenerate corpus: simhash/embedding bucket caps bound the blow-up") {
+    // 10k identical documents land in ONE bucket per band; without the
+    // cap that is 10k²/2 pairs per band. With the cap the buckets drop
+    // and the pipelines complete with bounded (here: zero) output.
+    val clones = (0 until 10000).map(i => (i.toLong, "the same document text, repeated verbatim"))
+      .toDF("doc_id", "text")
+    val sp = Dedup.simhashPairs(clones, "doc_id", "text", maxHamming = 0, maxBucketSize = 100)
+    assert(sp.count() === 0, "capped buckets must drop, not explode")
+
+    val vec = Array.fill(16)(0.25f)
+    val sameVecs = (0 until 10000).map(i => (i.toLong, vec)).toDF("vec_id", "embedding")
+    val ep = Dedup.embeddingPairs(sameVecs, "vec_id", "embedding",
+      threshold = 0.5, maxBucketSize = 100)
+    assert(ep.count() === 0, "capped embedding buckets must drop, not explode")
+
+    // sanity: with the cap above the corpus size the same inputs DO pair
+    val few = (0 until 5).map(i => (i.toLong, "the same document text, repeated verbatim"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(few, "doc_id", "text", maxHamming = 0).count() === 10)
+    val fewVecs = (0 until 5).map(i => (i.toLong, vec)).toDF("vec_id", "embedding")
+    assert(Dedup.embeddingPairs(fewVecs, "vec_id", "embedding", threshold = 0.5).count() === 10)
+  }
+
   test("SRP ANN: rank-1 is the query itself with sim ~1") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 5)
