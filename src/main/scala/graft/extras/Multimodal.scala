@@ -87,6 +87,49 @@ object Multimodal {
       .withColumn("frame_len", octet_length(col("frame_bytes")))
   }
 
+  /** Decode gate (images): synthesize a REAL grayscale PNG per id
+    * ([[MediaSynth.png]]), route it through the registered image codec
+    * ([[JvmImageCodec]] by default — javax.imageio inflates and parses
+    * the actual container), and emit the decoded facts. An oracle can
+    * recompute width/height/luminance-sum arithmetically from the same
+    * id, so a pass proves genuine decoding end to end. */
+  def pngDecodeFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", LongType),
+      StructField("height", LongType), StructField("lum_sum", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    val codecs = MediaCodecs.current
+    df.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val f = MediaCodecs.forMime(codecs, "image/png")
+          .features(MediaSynth.png(id), "image/png")
+        Row(id, f(0), f(1), f(2))
+      }
+    }(enc)
+  }
+
+  /** Decode gate (audio): synthesize a REAL RIFF/PCM WAV per id
+    * ([[MediaSynth.wav]]), decode it through [[JvmWavCodec]], emit the
+    * parsed header fields and the decoded-sample sum. */
+  def wavDecodeFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("channels", LongType),
+      StructField("sample_rate", LongType), StructField("bits", LongType),
+      StructField("data_bytes", LongType), StructField("duration_ms", LongType),
+      StructField("sample_sum", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    val codecs = MediaCodecs.current
+    df.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val f = MediaCodecs.forMime(codecs, "audio/wav")
+          .features(MediaSynth.wav(id), "audio/wav")
+        Row(id, f(0), f(1), f(2), f(3), f(4), f(5))
+      }
+    }(enc)
+  }
+
   /** Codec-routed frame decoding: real deployments register a video
     * codec and get decoded frames; the default stub emits the same
     * deterministic byte windows as [[sampleFrames]]. */
@@ -148,8 +191,141 @@ object StubMediaCodec extends MediaCodec {
   }
 }
 
+/** REAL pure-JVM image codec: javax.imageio (PNG/JPEG/GIF/BMP ship with
+  * the JDK — no native libraries needed). Features are decoded-pixel
+  * facts: [width, height, luminanceSum] ++ a 16-bin luminance histogram.
+  * Frames are horizontal strips of the decoded luminance plane. A
+  * payload ImageIO cannot decode (e.g. the text-byte fixtures) falls
+  * back to the stub's byte histogram, so undecodable rows degrade, not
+  * fail, at corpus scale. */
+object JvmImageCodec extends MediaCodec {
+  override def accepts(mime: String): Boolean =
+    mime == "image/png" || mime == "image/jpeg" || mime == "image/gif" || mime == "image/bmp"
+
+  private def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Luminance (0..255) per pixel: the raster sample for single-band
+    * images, integer BT.601 luma for RGB. */
+  private def luminance(img: java.awt.image.BufferedImage): Array[Int] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](w * h)
+    if (img.getRaster.getNumBands == 1) {
+      img.getRaster.getSamples(0, 0, w, h, 0, out)
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          out(y * w + x) = (r * 299 + g * 587 + b * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  override def features(bytes: Array[Byte], mime: String): Array[Long] =
+    decode(bytes) match {
+      case None => StubMediaCodec.features(bytes, mime)
+      case Some(img) =>
+        val lum = luminance(img)
+        val hist = new Array[Long](16)
+        var sum = 0L
+        lum.foreach { v => sum += v; hist(v / 16) += 1 }
+        Array(img.getWidth.toLong, img.getHeight.toLong, sum) ++ hist
+    }
+
+  override def sampleFrames(bytes: Array[Byte], mime: String, n: Int): Seq[Array[Byte]] =
+    decode(bytes) match {
+      case None => StubMediaCodec.sampleFrames(bytes, mime, n)
+      case Some(img) =>
+        val lum = luminance(img)
+        val rows = img.getHeight
+        val step = math.max(rows / n, 1)
+        (0 until n).map { i =>
+          val from = math.min(i * step, rows) * img.getWidth
+          val until = math.min(from + img.getWidth, lum.length)
+          java.util.Arrays.copyOfRange(lum, from, until).map(_.toByte)
+        }
+    }
+}
+
+/** REAL WAV (RIFF/PCM) codec: chunk-walking header parse + 16-bit PCM
+  * sample decode, in ~40 lines of plain JVM byte arithmetic. Features:
+  * [channels, sampleRate, bitsPerSample, dataBytes, durationMs,
+  * sampleSum] ++ a 16-bin amplitude histogram of the decoded samples.
+  * Frames are evenly spaced PCM windows. Unparseable payloads fall back
+  * to the stub. */
+object JvmWavCodec extends MediaCodec {
+  override def accepts(mime: String): Boolean =
+    mime == "audio/wav" || mime == "audio/x-wav" || mime == "audio/wave"
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** (channels, sampleRate, bitsPerSample, dataOffset, dataLen). */
+  private[extras] def parse(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var channels = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    var o = 12
+    while (o + 8 <= b.length) {
+      val id = tag(b, o); val len = u32(b, o + 4).toInt
+      if (id == "fmt " && o + 8 + 16 <= b.length) {
+        channels = u16(b, o + 10); rate = u32(b, o + 12).toInt; bits = u16(b, o + 22)
+      } else if (id == "data") {
+        dataOff = o + 8; dataLen = math.min(len, b.length - dataOff)
+      }
+      o += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || bits <= 0 || dataOff < 0) None
+    else Some((channels, rate, bits, dataOff, dataLen))
+  }
+
+  override def features(bytes: Array[Byte], mime: String): Array[Long] =
+    parse(bytes) match {
+      case None => StubMediaCodec.features(bytes, mime)
+      case Some((ch, rate, bits, off, len)) =>
+        val byteRate = rate.toLong * ch * (bits / 8)
+        val durationMs = if (byteRate > 0) len * 1000L / byteRate else 0L
+        val hist = new Array[Long](16)
+        var sum = 0L
+        if (bits == 16) {
+          var i = off
+          while (i + 1 < off + len) {
+            val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toInt
+            sum += s; hist((s + 32768) / 4096) += 1
+            i += 2
+          }
+        }
+        Array(ch.toLong, rate.toLong, bits.toLong, len.toLong, durationMs, sum) ++ hist
+    }
+
+  override def sampleFrames(bytes: Array[Byte], mime: String, n: Int): Seq[Array[Byte]] =
+    parse(bytes) match {
+      case None => StubMediaCodec.sampleFrames(bytes, mime, n)
+      case Some((_, _, _, off, len)) =>
+        val step = math.max(len / n, 1)
+        (0 until n).map { i =>
+          val from = off + math.min(i * step, len)
+          java.util.Arrays.copyOfRange(bytes, from, math.min(from + 16, off + len))
+        }
+    }
+}
+
 object MediaCodecs {
-  @volatile private var registry: Seq[MediaCodec] = Seq(StubMediaCodec)
+  /** Default stack: real JVM codecs first, stub as the catch-all. */
+  private val defaults: Seq[MediaCodec] = Seq(JvmImageCodec, JvmWavCodec, StubMediaCodec)
+  @volatile private var registry: Seq[MediaCodec] = defaults
 
   /** Register a codec with priority over previously registered ones
     * (the stub stays last as the catch-all). */
@@ -161,6 +337,72 @@ object MediaCodecs {
   def forMime(codecs: Seq[MediaCodec], mime: String): MediaCodec =
     codecs.find(_.accepts(mime)).getOrElse(StubMediaCodec)
 
-  /** Test hook: drop registered codecs, keep the stub. */
-  def reset(): Unit = synchronized { registry = Seq(StubMediaCodec) }
+  /** Test hook: drop registered codecs, keep the default stack. */
+  def reset(): Unit = synchronized { registry = defaults }
+}
+
+/** Deterministic media-byte synthesis for the decode gates: REAL file
+  * formats (a zlib-deflated grayscale PNG, a RIFF/PCM WAV) assembled
+  * from pure arithmetic on an id, so a SQL oracle can compute the
+  * expected decoded fields while the engine proves it actually decodes
+  * the container (ImageIO inflates the IDAT; the WAV path walks RIFF
+  * chunks and reassembles PCM samples). */
+object MediaSynth {
+  /** Grayscale 8-bit PNG: width 1+id%8, height 1+id%6,
+    * pixel(x,y) = (id + 3x + 5y) % 256. */
+  def png(id: Long): Array[Byte] = {
+    val w = (1 + id % 8).toInt; val h = (1 + id % 6).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len)
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte) // bit depth 8, grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk("IHDR", ihdr)
+    val raw = new Array[Byte](h * (1 + w)) // filter byte 0 + samples, per scanline
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raw(y * (1 + w) + 1 + x) = ((id + 3 * x + 5 * y) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(buf); deflater.end()
+    chunk("IDAT", java.util.Arrays.copyOf(buf, n))
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** Mono 16-bit PCM WAV: sampleRate 8000+(id%3)*4000,
+    * 100+id%50 samples, sample(i) = ((id*31 + i*7) % 65536) - 32768. */
+  def wav(id: Long): Array[Byte] = {
+    val rate = (8000 + (id % 3) * 4000).toInt
+    val n = (100 + id % 50).toInt
+    val dataLen = n * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      b.putShort((((id * 31 + i * 7) % 65536) - 32768).toShort)
+      i += 1
+    }
+    b.array()
+  }
 }

@@ -45,6 +45,47 @@ object MultimodalQueries {
           CAST(least(16, greatest(0, blen - i * greatest(blen // 4, 1))) AS INTEGER) AS frame_len
         FROM d, range(0, 4) t(i)
         ORDER BY doc_id, frame_no"""),
-      doc = "deterministic frame sampling over binary payloads (video stub)")
+      doc = "deterministic frame sampling over binary payloads (video stub)"),
+
+    // ------------------------------------------------------------------
+    // REAL decode gates: the query assembles genuine file formats from
+    // id arithmetic (MediaSynth), the codec stack decodes the actual
+    // containers (javax.imageio inflate+parse; RIFF chunk walk + PCM
+    // reassembly), and DuckDB recomputes the expected decoded facts
+    // arithmetically — a hash match proves true decoding, not plumbing.
+    Q("multimodal_png_decode",
+      (s, d) => {
+        Multimodal.pngDecodeFeatures(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          1 + doc_id % 8 AS width,
+          1 + doc_id % 6 AS height,
+          CAST(list_sum(flatten(list_transform(range(0, 1 + doc_id % 6), y ->
+            list_transform(range(0, 1 + doc_id % 8), x ->
+              (doc_id + 3*x + 5*y) % 256)))) AS BIGINT) AS lum_sum
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+      doc = "real PNG decode: synthesized zlib PNG -> javax.imageio -> pixel facts vs arithmetic oracle"),
+
+    // ------------------------------------------------------------------
+    Q("multimodal_wav_decode",
+      (s, d) => {
+        Multimodal.wavDecodeFeatures(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          CAST(1 AS BIGINT) AS channels,
+          8000 + (doc_id % 3) * 4000 AS sample_rate,
+          CAST(16 AS BIGINT) AS bits,
+          (100 + doc_id % 50) * 2 AS data_bytes,
+          ((100 + doc_id % 50) * 2 * 1000) // ((8000 + (doc_id % 3) * 4000) * 2) AS duration_ms,
+          CAST(list_sum(list_transform(range(0, 100 + doc_id % 50), i ->
+            ((doc_id * 31 + i * 7) % 65536) - 32768)) AS BIGINT) AS sample_sum
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+      doc = "real WAV decode: synthesized RIFF/PCM -> chunk-walk parse + sample sum vs arithmetic oracle")
   )
 }

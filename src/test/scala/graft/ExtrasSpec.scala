@@ -244,6 +244,36 @@ class ExtrasSpec extends SparkSpec {
       aggregate(col("histogram"), lit(0L), (a, x) => a + x) =!= col("byte_len")).isEmpty)
   }
 
+  test("real codecs: synthesized PNG/WAV decode to construction facts; JPEG roundtrips") {
+    import graft.extras.{JvmImageCodec, JvmWavCodec, MediaSynth}
+    // PNG: javax.imageio must inflate the IDAT and see the exact pixels
+    val id = 13L
+    val (w, h) = ((1 + id % 8).toInt, (1 + id % 6).toInt)
+    val expectedLum = (for { y <- 0 until h; x <- 0 until w } yield (id + 3 * x + 5 * y) % 256).sum
+    val pf = JvmImageCodec.features(MediaSynth.png(id), "image/png")
+    assert(pf.take(3).toSeq === Seq(w.toLong, h.toLong, expectedLum))
+    assert(pf.length === 19, "width/height/lumSum + 16-bin histogram")
+    assert(pf.drop(3).sum === w.toLong * h, "histogram mass = pixel count")
+
+    // WAV: RIFF chunk walk + PCM sample reassembly
+    val n = (100 + id % 50).toInt
+    val rate = 8000 + (id % 3) * 4000
+    val expectedSum = (0 until n).map(i => ((id * 31 + i * 7) % 65536) - 32768).sum
+    val wf = JvmWavCodec.features(MediaSynth.wav(id), "audio/wav")
+    assert(wf.take(6).toSeq === Seq(1L, rate, 16L, n * 2L, n * 2 * 1000L / (rate * 2), expectedSum))
+
+    // JPEG: encode with the JDK, decode through the codec — dims survive
+    val img = new java.awt.image.BufferedImage(20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val jf = JvmImageCodec.features(baos.toByteArray, "image/jpeg")
+    assert(jf(0) === 20L && jf(1) === 10L)
+
+    // undecodable payloads degrade to the stub byte histogram (16 bins)
+    assert(JvmImageCodec.features("not an image".getBytes, "image/png").length === 16)
+    assert(JvmWavCodec.features("not a wav".getBytes, "audio/wav").length === 16)
+  }
+
   test("streaming session windows match batch gap-sessionization") {
     val streamed = streaming.StreamPipeline.sessionWindows(spark, sf, "session_test")
     val batch = Registry.byName("q_sessionize_gap").run(spark, sf)
