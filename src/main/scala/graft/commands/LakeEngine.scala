@@ -22,6 +22,11 @@ final class LakeEngine(
     val allowFullTableScan: Boolean = true,
     val totalFileSizePerScanLimitInMiB: Option[Long] = None) {
 
+  // lake parquet files carry micros timestamps (format/Model metadata
+  // contract); set ONCE here instead of per write — a per-write set on
+  // the shared session races concurrent readers of the same conf
+  graft.write.LakeWriter.ensureWriteConf(spark)
+
   def table(name: String): LakeTable = catalog.loadTable(name)
 
   def scan(table: LakeTable, filterSql: String = "true",

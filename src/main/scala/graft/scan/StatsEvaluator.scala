@@ -133,6 +133,16 @@ final class StatsEvaluator(schema: StructType, specsById: Map[Int, Seq[Partition
       case (pf, graft.transforms.Identity) if f.partition.contains(pf.name) => f.partition(pf.name)
     }
 
+  /** Identity value usable for VALUE comparisons: oversized-token values
+    * (and anything that merely looks like one) are withheld, so range /
+    * prefix / strict-equality logic falls back to footer stats — always
+    * sound, since a token is a digest, not the value. Equality pruning
+    * on tokens still happens via the transform-projection path, where
+    * both sides go through the same [[graft.transforms.Identity.applyLiteral]]. */
+  private def identityValueReal(f: FileEntry, c: String): Option[String] =
+    identityValue(f, c).filterNot(pv =>
+      pv != Transform.NullValue && Transform.isOversizedToken(pv))
+
   // ---------------------------------------------------------------- may
   def mayContain(p: Pred, f: FileEntry): Boolean = p match {
     case AlwaysTrue   => true
@@ -171,8 +181,9 @@ final class StatsEvaluator(schema: StructType, specsById: Map[Int, Seq[Partition
       lo: Boolean, hi: Boolean, strictLo: Boolean, strictHi: Boolean): Boolean = {
     if (v == null) return false // comparisons with NULL match nothing (3VL)
     val dt = dtOf(c).getOrElse(return true)
-    // identity partition: every row carries this exact value
-    identityValue(f, c) match {
+    // identity partition: every row carries this exact value (tokenized
+    // oversized values fall through to projection + stats)
+    identityValueReal(f, c) match {
       case Some(Transform.NullValue) => return false
       case Some(pv) =>
         val k = statsKey(dt, canonPartToStats(dt, pv))
@@ -239,7 +250,7 @@ final class StatsEvaluator(schema: StructType, specsById: Map[Int, Seq[Partition
   }
 
   private def startsWithMay(f: FileEntry, c: String, s: String): Boolean = {
-    identityValue(f, c) match {
+    identityValueReal(f, c) match {
       case Some(Transform.NullValue) => return false
       case Some(pv) => return pv.startsWith(s)
       case None => ()
@@ -276,7 +287,7 @@ final class StatsEvaluator(schema: StructType, specsById: Map[Int, Seq[Partition
       !isFloating(c) || statsOf(f, c).flatMap(_.nanCount).exists(_ == 0L)
     case Eq(c, v)    =>
       if (v == null) false
-      else identityValue(f, c) match {
+      else identityValueReal(f, c) match {
         case Some(Transform.NullValue) => false
         case Some(pv) =>
           val dt = dtOf(c).getOrElse(return false)
@@ -297,7 +308,7 @@ final class StatsEvaluator(schema: StructType, specsById: Map[Int, Seq[Partition
     case In(c, vs)   => vs.exists(v => provablyAll(Eq(c, v), f))
     case NotIn(c, vs) => vs.forall(v => !mayContain(Eq(c, v), f)) && provablyAll(NotNull(c), f)
     case StartsWith(c, s) =>
-      identityValue(f, c).map(pv => pv != Transform.NullValue && pv.startsWith(s)).getOrElse {
+      identityValueReal(f, c).map(pv => pv != Transform.NullValue && pv.startsWith(s)).getOrElse {
         statsOf(f, c).exists(st => st.nullCount == 0 &&
           st.min.exists(_.startsWith(s)) && st.max.exists(_.startsWith(s)))
       }
@@ -306,7 +317,7 @@ final class StatsEvaluator(schema: StructType, specsById: Map[Int, Seq[Partition
   private def boundAll(f: FileEntry, c: String, v: Any, upper: Boolean, strict: Boolean): Boolean = {
     if (v == null) return false
     val dt = dtOf(c).getOrElse(return false)
-    identityValue(f, c) match {
+    identityValueReal(f, c) match {
       case Some(Transform.NullValue) => return false
       case Some(pv) =>
         val k = cmp(statsKey(dt, canonPartToStats(dt, pv)), literalKey(dt, v))

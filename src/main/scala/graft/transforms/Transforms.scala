@@ -27,6 +27,29 @@ sealed trait Transform {
 object Transform {
   val NullValue = "__NULL__"
 
+  /** Oversized string partition values (identity transform) are replaced
+    * by a deterministic digest token, `#h<sha256-hex>`: a multi-KB value
+    * would otherwise become a directory name (OS path segments cap at
+    * 255 bytes) and bloat every manifest entry (reference:
+    * writer/PartitionedDataFileWriter.java:651-699 swaps such values for
+    * `#u<uuid>` lookups; a content hash keeps the mapping stable across
+    * independent writes with no lookup table). The pruner treats tokens
+    * conservatively: equality probes still prune (both sides tokenize
+    * identically), ranges fall back to the file's footer stats, whose
+    * truncated bounds remain real. */
+  val OversizedMarker = "#h"
+  val MaxPartitionValueBytes = 128
+
+  def isOversizedToken(s: String): Boolean = s.startsWith(OversizedMarker)
+
+  def guardString(s: String): String =
+    if (s.getBytes(UTF_8).length <= MaxPartitionValueBytes) s
+    else {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes(UTF_8))
+      OversizedMarker + d.map(b => f"${b & 0xff}%02x").mkString
+    }
+
   def parse(s: String): Transform = s.trim match {
     case "identity" => Identity
     case "year"     => Year
@@ -65,8 +88,21 @@ object Transform {
 
 case object Identity extends Transform {
   val name = "identity"
-  def column(c: Column, dt: DataType): Column = Transform.canon(c)
-  def applyLiteral(v: Any, dt: DataType): String = Transform.lit2str(v)
+  def column(c: Column, dt: DataType): Column = dt match {
+    case StringType =>
+      // oversized-value guard: see Transform.OversizedMarker. octet_length
+      // counts UTF-8 bytes, matching guardString's byte measure; sha2 hex
+      // matches MessageDigest's lowercase hex
+      val s = c.cast(StringType)
+      when(c.isNull, lit(Transform.NullValue)).otherwise(
+        when(octet_length(s) > lit(Transform.MaxPartitionValueBytes),
+          concat(lit(Transform.OversizedMarker), sha2(s, 256))).otherwise(s))
+    case _ => Transform.canon(c)
+  }
+  def applyLiteral(v: Any, dt: DataType): String = dt match {
+    case StringType if v != null => Transform.guardString(v.toString)
+    case _ => Transform.lit2str(v)
+  }
   val monotonic = true
 }
 

@@ -39,11 +39,21 @@ object LakeWriter extends Serializable {
     }.toSeq: _*)
   }
 
+  /** Session conf the write path depends on, applied only when not
+    * already set ([[graft.commands.LakeEngine]] calls this once at
+    * construction; direct LakeWriter users get it lazily on first
+    * write — never a redundant per-write mutation of a shared session). */
+  def ensureWriteConf(spark: SparkSession): Unit = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    if (!spark.conf.getOption(key).contains("TIMESTAMP_MICROS"))
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+  }
+
   def write(spark: SparkSession, table: LakeTable, input: DataFrame): Seq[FileEntry] = {
     val schema = table.schema
     val spec = table.metadata.partitionSpec
     val props = table.properties
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    ensureWriteConf(spark)
 
     val casted = castProjection(input, schema)
     val partCols = spec.map { pf =>

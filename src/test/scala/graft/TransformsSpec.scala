@@ -118,6 +118,45 @@ class TransformsSpec extends SparkSpec {
     assert(engine.scan(t, "t < 21600000000").toDF().count() === 1000)
   }
 
+  test("oversized string partition values tokenize; data and pruning survive") {
+    // a 10 KB identity partition value must NOT become a directory name
+    // (path segments cap at 255 bytes) or a manifest-bloating entry
+    val big = "x" * 10240 + "END"
+    val other = "y" * 10240
+    val small = "tiny"
+    val df = Seq((1L, big), (2L, small), (3L, other)).toDF("id", "k")
+      .repartition(3, col("k"))
+    val t = engine.catalog.createTable("long_part",
+      StructType(Seq(StructField("id", LongType), StructField("k", StringType))),
+      partitionSpec = Seq(PartitionField("k_p", "k", "identity")))
+    engine.insert(t, df)
+
+    // partition values: tokens for oversized, verbatim for small
+    val parts = t.refresh().currentFiles().map(f => f.partition("k_p")).toSet
+    assert(parts.contains(small))
+    val tokens = parts - small
+    assert(tokens.nonEmpty && tokens.forall(p =>
+      p.startsWith(Transform.OversizedMarker) && p.length <= 66), s"bad tokens: $tokens")
+    assert(tokens.contains(Transform.guardString(big)), "token must be the deterministic digest")
+
+    // data round-trips untouched (the token only names the directory)
+    val back = engine.scan(t, s"id >= 1").toDF().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back(1L) === big && back(2L) === small && back(3L) === other)
+
+    // equality pruning still works through the tokenized partition:
+    // probing the big value reads only its file
+    val mBig = engine.scan(t, s"k = '${big}'").metrics()
+    assert(mBig.matchedFiles === 1 && mBig.skippedFiles === 2, s"token Eq pruning failed: $mBig")
+    assert(engine.scan(t, s"k = '$big'").toDF().select("id").head().getLong(0) === 1L)
+    // range probes stay sound (fall back to footer stats, conservative)
+    assert(engine.scan(t, "k < 'z'").toDF().count() === 3)
+
+    // a second independent write of the same value reuses the same token
+    engine.insert(t, Seq((4L, big)).toDF("id", "k"))
+    val parts2 = t.refresh().currentFiles().map(f => f.partition("k_p"))
+    assert(parts2.count(_ == Transform.guardString(big)) === 2)
+  }
+
   test("logical type carrier validation rejects wrong physical types") {
     val rawTag = new MetadataBuilder()
       .putString(LogicalTypes.Key, LogicalTypes.Uuid).build()
