@@ -481,16 +481,18 @@ class LakeTable private (
     // win over this instance's cached view).
     val codec = m.properties.getOrElse("graft.manifest.codec", "json")
     val suffix = codec match {
-      case "json"   => ".json"
-      case "gzip"   => ".json.gz"
-      case "binary" => ".gmf"
+      case "json"    => ".json"
+      case "gzip"    => ".json.gz"
+      case "binary"  => ".gmf"
+      case "parquet" => ".parquet"
       case other  => throw new ValidationException(
-        s"unknown graft.manifest.codec '$other' (json | gzip | binary)")
+        s"unknown graft.manifest.codec '$other' (json | gzip | binary | parquet)")
     }
     // unique per attempt: a lost optimistic race must not reuse a name
     val name = s"manifest-$sid-${Random.alphanumeric.take(8).mkString}$suffix"
     val bytes = codec match {
-      case "binary" => ManifestBinaryCodec.write(files)
+      case "binary"  => ManifestBinaryCodec.write(files)
+      case "parquet" => ManifestParquetCodec.write(files)
       case "gzip" =>
         val bos = new java.io.ByteArrayOutputStream()
         val out = new java.util.zip.GZIPOutputStream(bos)
@@ -679,9 +681,9 @@ class LakeTable private (
 
     case CommitOp.SetProperties(set, remove) =>
       set.get("graft.manifest.codec").foreach {
-        case "json" | "gzip" | "binary" => ()
+        case "json" | "gzip" | "binary" | "parquet" => ()
         case other => throw new ValidationException(
-          s"unknown graft.manifest.codec '$other' (json | gzip | binary)")
+          s"unknown graft.manifest.codec '$other' (json | gzip | binary | parquet)")
       }
       (m.copy(properties = m.properties ++ set -- remove),
         CommitMetrics(m.currentSnapshotId.getOrElse(0L), 0, 0, 0, 0, 0))
@@ -860,6 +862,7 @@ object LakeTable {
 
   private[format] def parseManifest(name: String, bytes: Array[Byte]): Seq[FileEntry] = {
     if (name.endsWith(".gmf")) ManifestBinaryCodec.read(bytes)
+    else if (name.endsWith(".parquet")) ManifestParquetCodec.read(bytes)
     else {
       val text =
         if (name.endsWith(".gz")) {

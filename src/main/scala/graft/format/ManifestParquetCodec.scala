@@ -1,0 +1,147 @@
+package graft.format
+
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.{DelegatingSeekableInputStream, InputFile, OutputFile, PositionOutputStream, SeekableInputStream}
+import org.apache.parquet.schema.MessageTypeParser
+
+/** Columnar (parquet) manifest encoding — `graft.manifest.codec =
+  * parquet`, suffix `.parquet`. At 10^6-file table sizes the metadata
+  * read pattern is columnar: partition-value summaries and record
+  * counts (A4) need 3 of the ~9 manifest columns, CDC diffs need only
+  * `path`, and the pruner touches stats only for predicate columns.
+  * A parquet chunk stores each field in its own column chunk, so such
+  * reads cost O(columns touched), not O(chunk bytes) — the step beyond
+  * the row-oriented binary codec (Iceberg reaches the same point with
+  * Avro manifests + column projection; parquet additionally gives
+  * dictionary/RLE compression on repetitive paths and partition keys,
+  * and any parquet tool can inspect a manifest directly).
+  *
+  * In-memory only: manifests flow through [[CommitStore]] as byte
+  * arrays, so the writer targets a heap buffer and the reader wraps
+  * one — no filesystem round-trip, identical semantics on an object
+  * store. parquet-mr's example Group model does the encoding (the same
+  * parquet-hadoop jar the write path's footer harvest already uses).
+  */
+object ManifestParquetCodec {
+
+  private val Schema = MessageTypeParser.parseMessageType(
+    """message graft_manifest {
+      |  required binary path (STRING);
+      |  repeated group part {
+      |    required binary k (STRING);
+      |    required binary v (STRING);
+      |  }
+      |  required int64 record_count;
+      |  required int64 size_bytes;
+      |  required int32 schema_id;
+      |  required int32 spec_id;
+      |  repeated group stats {
+      |    required binary id (STRING);
+      |    optional binary min (STRING);
+      |    optional binary max (STRING);
+      |    required int64 null_count;
+      |    optional int64 nan_count;
+      |  }
+      |}""".stripMargin)
+
+  def write(files: Seq[FileEntry]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = ExampleParquetWriter.builder(new BytesOutputFile(bos))
+      .withType(Schema)
+      .withCompressionCodec(CompressionCodecName.ZSTD)
+      .build()
+    val factory = new SimpleGroupFactory(Schema)
+    try files.foreach { f =>
+      val g = factory.newGroup()
+      g.add("path", f.path)
+      f.partition.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val pg = g.addGroup("part"); pg.add("k", k); pg.add("v", v)
+      }
+      g.add("record_count", f.recordCount)
+      g.add("size_bytes", f.sizeBytes)
+      g.add("schema_id", f.schemaId)
+      g.add("spec_id", f.specId)
+      f.stats.toSeq.sortBy(_._1).foreach { case (id, cs) =>
+        val sg = g.addGroup("stats")
+        sg.add("id", id)
+        cs.min.foreach(sg.add("min", _))
+        cs.max.foreach(sg.add("max", _))
+        sg.add("null_count", cs.nullCount)
+        cs.nanCount.foreach(sg.add("nan_count", _))
+      }
+      writer.write(g)
+    } finally writer.close()
+    bos.toByteArray
+  }
+
+  def read(bytes: Array[Byte]): Seq[FileEntry] = {
+    val reader = new GroupReaderBuilder(new BytesInputFile(bytes)).build()
+    val out = Vector.newBuilder[FileEntry]
+    try {
+      var g: Group = reader.read()
+      while (g != null) {
+        val partition = (0 until g.getFieldRepetitionCount("part")).map { i =>
+          val pg = g.getGroup("part", i)
+          pg.getString("k", 0) -> pg.getString("v", 0)
+        }.toMap
+        val stats = (0 until g.getFieldRepetitionCount("stats")).map { i =>
+          val sg = g.getGroup("stats", i)
+          def opt(field: String): Option[String] =
+            if (sg.getFieldRepetitionCount(field) > 0) Some(sg.getString(field, 0)) else None
+          sg.getString("id", 0) -> ColumnStats(opt("min"), opt("max"),
+            sg.getLong("null_count", 0),
+            if (sg.getFieldRepetitionCount("nan_count") > 0) Some(sg.getLong("nan_count", 0)) else None)
+        }.toMap
+        out += FileEntry(g.getString("path", 0), partition,
+          g.getLong("record_count", 0), g.getLong("size_bytes", 0),
+          g.getInteger("schema_id", 0), stats, g.getInteger("spec_id", 0))
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.result()
+  }
+
+  /** ParquetReader.Builder's InputFile constructor is protected; this
+    * subclass pins the example Group read support to it. */
+  private final class GroupReaderBuilder(file: InputFile)
+      extends ParquetReader.Builder[Group](file) {
+    override def getReadSupport: org.apache.parquet.hadoop.api.ReadSupport[Group] =
+      new GroupReadSupport()
+  }
+
+  private final class BytesOutputFile(bos: java.io.ByteArrayOutputStream) extends OutputFile {
+    private def stream: PositionOutputStream = new PositionOutputStream {
+      private var pos = 0L
+      override def getPos: Long = pos
+      override def write(b: Int): Unit = { bos.write(b); pos += 1 }
+      override def write(b: Array[Byte]): Unit = { bos.write(b); pos += b.length }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        bos.write(b, off, len); pos += len
+      }
+    }
+    override def create(blockSizeHint: Long): PositionOutputStream = stream
+    override def createOrOverwrite(blockSizeHint: Long): PositionOutputStream = stream
+    override def supportsBlockSize(): Boolean = false
+    override def defaultBlockSize(): Long = 0L
+  }
+
+  private final class SeekableBytes(buf: Array[Byte]) extends java.io.ByteArrayInputStream(buf) {
+    def position: Long = pos.toLong
+    def seekTo(p: Long): Unit = { pos = p.toInt }
+  }
+
+  private final class BytesInputFile(bytes: Array[Byte]) extends InputFile {
+    override def getLength: Long = bytes.length.toLong
+    override def newStream(): SeekableInputStream = {
+      val bais = new SeekableBytes(bytes)
+      new DelegatingSeekableInputStream(bais) {
+        override def getPos: Long = bais.position
+        override def seek(newPos: Long): Unit = bais.seekTo(newPos)
+      }
+    }
+  }
+}

@@ -241,6 +241,49 @@ class ManifestSpec extends SparkSpec {
       t.currentFiles().size)
   }
 
+  test("parquet manifest codec: exact round-trip incl. edge values; DML unchanged") {
+    // pure codec round-trip with every optionality edge
+    val entries = Seq(
+      FileEntry("/data/ünïcode/p näme.parquet", Map("k" -> "__NULL__", "y" -> "1996"),
+        0L, 0L, 1, Map("1" -> ColumnStats(None, None, 5L, Some(2L))), 3),
+      FileEntry("/plain.parquet", Map.empty, Long.MaxValue, 123456789L, 2,
+        Map("2" -> ColumnStats(Some("a\"b\\c"), Some(""), 0L, None),
+          "7" -> ColumnStats(Some("-Infinity"), Some("NaN"), 1L, Some(0L))), 0))
+    assert(ManifestParquetCodec.read(ManifestParquetCodec.write(entries)) === entries)
+    assert(ManifestParquetCodec.read(ManifestParquetCodec.write(Seq.empty)) === Seq.empty)
+
+    // live table under the parquet codec
+    val t = mkTable(Map("graft.manifest.codec" -> "parquet",
+      "graft.manifest.max-count" -> "4"))
+    (0 until 6).foreach(i => engine.insert(t, rows(i * 10 until i * 10 + 10)))
+    assert(t.metadata.currentSnapshot.get.manifests.forall(_.path.endsWith(".parquet")))
+    assert(engine.scan(t).toDF().count() === 60)
+    engine.delete(t, "id >= 50")
+    assert(engine.scan(t).toDF().count() === 50)
+    ManifestCache.clear()
+    assert(LakeTable.load(t.location).currentFiles().map(_.recordCount).sum === 50)
+    // pruning still works off parquet-decoded stats
+    assert(engine.scan(t, "id = 42").planFiles().size < t.currentFiles().size)
+  }
+
+  test("rewriteManifests migrates a table onto parquet manifests") {
+    val t = mkTable()
+    (0 until 4).foreach(i => engine.insert(t, rows(i * 10 until i * 10 + 10)))
+    val before = engine.scan(t).toDF().collect().toSet
+    t.setProperties(Map("graft.manifest.codec" -> "parquet"))
+    // new commits use parquet chunks while old json chunks stay readable
+    engine.insert(t, rows(40 until 50))
+    val mixed = t.metadata.currentSnapshot.get.manifests.map(_.path)
+    assert(mixed.exists(_.endsWith(".json")) && mixed.exists(_.endsWith(".parquet")),
+      s"expected mixed codecs: $mixed")
+    Maintenance.rewriteManifests(t)
+    val s = t.metadata.currentSnapshot.get
+    assert(s.manifests.size === 1 && s.manifests.head.path.endsWith(".parquet"))
+    ManifestCache.clear()
+    assert(engine.scan(t).toDF().collect().toSet ===
+      before ++ rows(40 until 50).collect().toSet)
+  }
+
   test("rewriteManifests consolidates chunks and migrates the codec") {
     val t = mkTable()
     (0 until 5).foreach(i => engine.insert(t, rows(i * 10 until i * 10 + 10)))
