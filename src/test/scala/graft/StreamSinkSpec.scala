@@ -164,6 +164,62 @@ class StreamSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC stream keeps its pinned schema across table evolution") {
+    val df0 = Seq((1L, "a")).toDF("id", "v")
+    val src = engine.catalog.createTable(freshName(), df0.schema)
+    engine.insert(src, df0)
+    val name = s"cdcevo_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft-lake")
+      .option("path", src.location).option("read-changes", "true").load()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).columns.toSeq ===
+        Seq("id", "v", "_change_type", "_commit_snapshot_id"))
+      // evolve the table WHILE the stream runs: later change rows must
+      // still project to the pinned 2-column layout
+      src.addColumn("score", org.apache.spark.sql.types.DoubleType)
+      engine.insert(src, Seq((2L, "b", 0.5)).toDF("id", "v", "score"))
+      engine.delete(src.refresh(), "id = 1")
+      q.processAllAvailable()
+      assert(spark.table(name).columns.toSeq ===
+        Seq("id", "v", "_change_type", "_commit_snapshot_id"))
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got.contains((2L, "b", "insert")), s"missing evolved insert: $got")
+      assert(got.contains((1L, "a", "delete")), s"missing delete: $got")
+    } finally q.stop()
+  }
+
+  test("CDC stream fails cleanly when an unread range was expired") {
+    // drive the MicroBatchStream contract directly: a checkpointed offset
+    // pointing into trimmed history must error, not misattribute changes
+    val df0 = Seq((1L, "a")).toDF("id", "v")
+    val src = engine.catalog.createTable(freshName(), df0.schema)
+    engine.insert(src, df0)
+    val readSnap = src.refresh().metadata.currentSnapshotId.get // "checkpointed"
+
+    engine.insert(src, Seq((2L, "b")).toDF("id", "v"))
+    engine.insert(src, Seq((3L, "c")).toDF("id", "v"))
+    graft.commands.Maintenance.expireSnapshots(src.refresh(), keepLast = 1)
+    val head = src.refresh().metadata.currentSnapshotId.get
+
+    val stream = new graft.streaming.LakeChangesMicroBatchStream(src.location)
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(
+        graft.streaming.LakeOffset(readSnap), graft.streaming.LakeOffset(head))
+    }
+    assert(e.getMessage.contains("expired") || e.getMessage.contains("not an ancestor"),
+      s"expected a clean expired-range error: ${e.getMessage}")
+
+    // the append-only stream over the same trimmed range fails too
+    val plain = new graft.streaming.LakeMicroBatchStream(src.location)
+    intercept[Exception] {
+      plain.planInputPartitions(
+        graft.streaming.LakeOffset(readSnap), graft.streaming.LakeOffset(head))
+    }
+  }
+
   test("sink without query-key or checkpointLocation option fails fast") {
     val t = engine.catalog.createTable(freshName(),
       Seq((1L, "a")).toDF("id", "v").schema)
