@@ -17,6 +17,14 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** Executed source plan of the most recent driver-finished
+    * [[bruteForceTopK]] (the distributed combiner job) — diagnostics and
+    * plan-quality tests, mirroring
+    * [[graft.plans.DriverFinalAgg.lastSourcePlan]]. */
+  @volatile private var lastSourcePlanNode: org.apache.spark.sql.execution.SparkPlan = null
+  def lastSourcePlan: String =
+    Option(lastSourcePlanNode).map(_.toString).getOrElse("")
+
   /** Sequential double-fold dot product, as a native codegen expression
     * ([[graft.functions.DotProduct]]) — bit-identical to the equivalent
     * `aggregate(zip_with(...))` fold but compiled, not interpreted. */
@@ -33,25 +41,69 @@ object Similarity {
 
   /** Brute-force top-k: broadcast the (small) query set against the
     * partitioned corpus; per-partition bounded top-k combiner (state:
-    * #queries x k), then one tiny exchange and a single-task ranking
-    * window — the partial/final split a distributed top-k needs at any
-    * corpus size. Exact: a global top-k row survives its partition's
-    * local top-k, and ties break deterministically by (sim desc, cid
-    * asc) in both phases. Output is a single partition. */
+    * #queries x k), then the coordinator finishes — the partial lists
+    * are #tasks x #queries x k rows, so the final merge+rank is the
+    * same bounded-state driver finish as
+    * [[graft.plans.DriverFinalAgg]] (what DuckDB/Trino do for top-k:
+    * thread-local heaps merged on one thread), removing the exchange +
+    * ranking-window stage a distributed final would cost. Exact: a
+    * global top-k row survives its partition's local top-k, and ties
+    * break deterministically by (sim desc, cid asc) in both phases.
+    * Falls back to the distributed exchange+window plan when the
+    * partial row bound exceeds `maxPartialRows` (huge query sets).
+    * Output is a single partition either way. */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, exactCosine: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      k: Int, exactCosine: Boolean = false,
+      maxPartialRows: Int = 1 << 20): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val sim =
       if (exactCosine) cosine(col("qv"), col("cv")) else dot(col("qv"), col("cv"))
     val joined = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv"))
       .crossJoin(broadcast(
         queries.select(col(queryId).as("qid"), col(queryVec).as("qv"))))
       .select(col("qid"), col("cid"), round(sim, 6).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
-    localTopK(joined, k).repartition(1)
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val local = localTopK(joined, k)
+    // the combiner output is ≤ #tasks × #queries × k rows by
+    // construction, and the query side is broadcast (small by
+    // contract: it must fit every executor) — so the collect here is
+    // metadata-scale. maxPartialRows <= 0 opts out of the driver
+    // finish entirely; a query set big enough to exceed the cap gets
+    // the distributed exchange+window plan instead.
+    val partials =
+      if (maxPartialRows <= 0) Array.empty[(Long, Long, Double)]
+      else {
+        val ds = local.as[(Long, Long, Double)]
+        lastSourcePlanNode =
+          ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[(Long, Long, Double)]]
+            .queryExecution.executedPlan
+        ds.collect()
+      }
+    if (maxPartialRows > 0 && partials.length <= maxPartialRows) {
+      // ONE distributed job (scan + dot + per-partition top-k); merge and
+      // rank the bounded partials coordinator-side, bit-identically to
+      // the ranking window (same sort key, same tie-break)
+      val rows = partials.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qid, cand) =>
+        cand.sortBy(c => (-c._3, c._2)).take(k).zipWithIndex.map {
+          case ((_, cid, s), i) => org.apache.spark.sql.Row(qid, cid, s, i + 1)
+        }
+      }
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType, nullable = false))))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
+      local.repartition(1)
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
   }
 
   /** Per-partition top-k per qid over (qid, cid, sim) rows: keeps the k

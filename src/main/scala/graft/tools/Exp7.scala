@@ -90,12 +90,28 @@ object Exp7 {
         .agg(count(lit(1)).as("n"))
         .coalesce(1).sortWithinPartitions(col("hour"), col("event_type")))
 
+    // ---- dedup_exact: distributed final vs DriverFinalAgg ----
+    def exactAgg(c: DataFrame): DataFrame =
+      c.groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+    time("dedup_sortSmall")(
+      exactAgg(corpusExplode).coalesce(1).sortWithinPartitions(col("keep_id")))
+    time("dedup_driveragg")(
+      graft.plans.DriverFinalAgg.rewrite(exactAgg(corpusExplode))
+        .map(_.coalesce(1).sortWithinPartitions(col("keep_id")))
+        .getOrElse(sys.error("driver-agg shape mismatch")))
+
     // ---- sim_bruteforce: current vs rank-in-combiner-merge ----
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)
-    time("simbrute_current")(
+    time("simbrute_driverfinish")(
       graft.extras.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("cid"), col("sim"), col("rank").cast("int").as("rank"))
+        .sortWithinPartitions(col("qid"), col("rank")))
+    time("simbrute_distributed")(
+      graft.extras.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10, maxPartialRows = 0)
         .select(col("qid"), col("cid"), col("sim"), col("rank").cast("int").as("rank"))
         .sortWithinPartitions(col("qid"), col("rank")))
 
