@@ -477,13 +477,23 @@ object Merge {
           .orElse(asTarget(b).zip(asSource(a)).map { case (t, s) => Pair(t, s, nullSafe) })
       case _ => None
     }
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    // only same-type or integral-promotable key pairs: the collected
+    // values must compare under the evaluator exactly as the join's
+    // implicit coercion would, so anything murkier (string=int, ...)
+    // conservatively keeps the full scan
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    def comparable(src: DataType, tgt: DataType): Boolean =
+      src == tgt || (integral(src) && integral(tgt))
+    val srcTypeByLc = source.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     val pairs = conjuncts(parsed).flatMap {
       case EqualTo(a, b) => pairOf(a, b, nullSafe = false)
       case EqualNullSafe(a, b) => pairOf(a, b, nullSafe = true)
       case _ => None
-    }
+    }.filter(p => comparable(srcTypeByLc(p.sourceCol), schema(p.targetCol).dataType))
     if (pairs.isEmpty) return AlwaysTrue
-    val rows = source.select(pairs.map(p => col(p.sourceCol)): _*)
+    val rows = source
+      .select(pairs.map(p => col(p.sourceCol).cast(schema(p.targetCol).dataType)): _*)
       .distinct().limit(maxKeys + 1).collect()
     if (rows.length > maxKeys) return AlwaysTrue
     pairs.zipWithIndex.map { case (p, i) =>
