@@ -157,6 +157,33 @@ class TransformsSpec extends SparkSpec {
     assert(parts2.count(_ == Transform.guardString(big)) === 2)
   }
 
+  test("oversized-token guard: SQL expression and literal path agree byte-for-byte") {
+    // the writer's column expression (octet_length + sha2) and the
+    // pruner's guardString (getBytes + MessageDigest) must tokenize
+    // identically or Eq pruning silently breaks — fuzz the boundary and
+    // multi-byte space
+    val adversarial = Seq(
+      "x" * 127, "x" * 128, "x" * 129, // exact byte boundary
+      "é" * 64, "é" * 65,              // 2-byte chars: 128 / 130 bytes
+      "中" * 42 + "ab",            // 3-byte chars: 128 bytes exactly
+      "中" * 43,                   // 129 bytes
+      "😀" * 32,             // 4-byte surrogate pairs: 128 bytes
+      "😀" * 32 + "!",       // 129 bytes
+      "", "plain", "#h" + "a" * 130)   // marker-prefixed oversized value
+    val df = adversarial.toDF("s")
+    val got = df.select(
+        graft.transforms.Identity.column(col("s"), org.apache.spark.sql.types.StringType))
+      .collect().map(_.getString(0))
+    val expected = adversarial.map(Transform.guardString)
+    got.zip(expected).zip(adversarial).foreach { case ((g, e), in) =>
+      assert(g === e, s"writer/literal tokenization diverged for ${in.take(20)}...")
+    }
+    // boundary semantics: <=128 bytes verbatim, >128 tokenized
+    assert(expected(0) === "x" * 127 && expected(1) === "x" * 128)
+    assert(Transform.isOversizedToken(expected(2)))
+    assert(expected(3) === "é" * 64 && Transform.isOversizedToken(expected(4)))
+  }
+
   test("logical type carrier validation rejects wrong physical types") {
     val rawTag = new MetadataBuilder()
       .putString(LogicalTypes.Key, LogicalTypes.Uuid).build()
