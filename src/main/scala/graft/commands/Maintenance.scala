@@ -52,7 +52,7 @@ object Maintenance {
       dryRun: Boolean = false): Seq[String] = {
     val m = table.refresh().metadata
     val cutoff = System.currentTimeMillis() - graceMs
-    val liveData = m.snapshots.flatMap(s => table.manifest(s).map(_.path))
+    val liveData = m.snapshots.flatMap(table.manifestPaths)
       .map(p => Paths.get(p).toAbsolutePath.normalize.toString).toSet
     val liveMeta = m.snapshots.flatMap(_.manifests.map(_.path)).toSet
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -173,8 +173,8 @@ object Maintenance {
       .filter(_.timestampMs < olderThanMs)
     if (expire.isEmpty) return Seq.empty
     val keep = m.snapshots.filterNot(s => expire.exists(_.id == s.id))
-    val liveFiles = keep.flatMap(s => table.manifest(s).map(_.path)).toSet
-    val deadFiles = expire.flatMap(s => table.manifest(s).map(_.path)).distinct
+    val liveFiles = keep.flatMap(table.manifestPaths).toSet
+    val deadFiles = expire.flatMap(table.manifestPaths).distinct
       .filterNot(liveFiles.contains)
     // manifests are shared across snapshots (incremental commits reuse the
     // parent's chunks) — only delete ones no surviving snapshot references

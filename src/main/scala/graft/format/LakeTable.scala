@@ -255,6 +255,11 @@ object ManifestCache {
 
   def clear(): Unit = lock.synchronized { map.clear(); total = 0L }
 
+  /** Probe without touching hit/miss counters or LRU order. */
+  def contains(path: Path): Boolean = lock.synchronized {
+    map.containsKey(path.toAbsolutePath.normalize.toString)
+  }
+
   def getOrLoad(path: Path)(load: => Seq[FileEntry]): Seq[FileEntry] = {
     val key = path.toAbsolutePath.normalize.toString
     val cached = lock.synchronized {
@@ -364,6 +369,24 @@ class LakeTable private (
     ManifestCache.getOrLoad(p)(LakeTable.parseManifest(ref.path,
       store.readBytes(Paths.get(location, "metadata"), ref.path)))
   }
+
+  /** Data-file paths of one chunk — the projected-read fast path.
+    * Columnar (parquet) chunks decode only the `path` column; other
+    * codecs (and chunks already parsed into the cache) fall back to the
+    * full parse. Orphan cleanup / snapshot expiry walk EVERY manifest of
+    * EVERY snapshot needing nothing else, which at 10^6-file scale is
+    * the difference between reading one column chunk and the whole
+    * stats payload. */
+  def readManifestPaths(ref: ManifestRef): Seq[String] = {
+    val p = Paths.get(location, "metadata", ref.path)
+    if (ref.path.endsWith(".parquet") && !ManifestCache.contains(p))
+      ManifestParquetCodec.readPaths(
+        store.readBytes(Paths.get(location, "metadata"), ref.path))
+    else readManifest(ref).map(_.path)
+  }
+
+  /** Paths of every data file a snapshot references (projected read). */
+  def manifestPaths(s: Snapshot): Seq[String] = s.manifests.flatMap(readManifestPaths)
 
   def currentFiles(ref: TableRef = TableRef.Head): Seq[FileEntry] =
     snapshot(ref).map(manifest).getOrElse(Seq.empty)

@@ -105,6 +105,27 @@ object ManifestParquetCodec {
     out.result()
   }
 
+  /** Projected read of the `path` column only — the O(columns-touched)
+    * payoff: orphan cleanup and snapshot expiry walk every manifest of
+    * every snapshot needing nothing but file paths, and this decodes
+    * exactly one column chunk per row group, skipping partition maps
+    * and the (bulkiest) stats entirely. */
+  def readPaths(bytes: Array[Byte]): Seq[String] = {
+    val reader = new GroupReaderBuilder(new BytesInputFile(bytes))
+      .set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        "message graft_manifest_paths { required binary path (STRING); }")
+      .build()
+    val out = Vector.newBuilder[String]
+    try {
+      var g: Group = reader.read()
+      while (g != null) {
+        out += g.getString("path", 0)
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.result()
+  }
+
   /** ParquetReader.Builder's InputFile constructor is protected; this
     * subclass pins the example Group read support to it. */
   private final class GroupReaderBuilder(file: InputFile)

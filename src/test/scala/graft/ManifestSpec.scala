@@ -251,6 +251,9 @@ class ManifestSpec extends SparkSpec {
           "7" -> ColumnStats(Some("-Infinity"), Some("NaN"), 1L, Some(0L))), 0))
     assert(ManifestParquetCodec.read(ManifestParquetCodec.write(entries)) === entries)
     assert(ManifestParquetCodec.read(ManifestParquetCodec.write(Seq.empty)) === Seq.empty)
+    // projected path-only read decodes a single column chunk
+    assert(ManifestParquetCodec.readPaths(ManifestParquetCodec.write(entries)) ===
+      entries.map(_.path))
 
     // live table under the parquet codec
     val t = mkTable(Map("graft.manifest.codec" -> "parquet",
