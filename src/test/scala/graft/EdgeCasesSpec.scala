@@ -395,6 +395,41 @@ class EdgeCasesSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.merge_prune")
   }
 
+  test("merge pruning stays sound for null-safe ON keys") {
+    import graft.commands.Merge
+    import graft.metrics.{MetricCollector, MetricCollectors, ScanEvent}
+    // three files: null-key rows, k=5, k=7
+    val t = engine.catalog.createTable("merge_nullsafe",
+      Seq((Option.empty[Long], "x")).toDF("k", "v").schema)
+    engine.insert(t, Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"))
+      .toDF("k", "v").coalesce(1))
+    engine.insert(t, Seq((Some(5L), "five")).toDF("k", "v").coalesce(1))
+    engine.insert(t, Seq((Some(7L), "seven")).toDF("k", "v").coalesce(1))
+
+    val scans = scala.collection.mutable.ArrayBuffer.empty[ScanEvent]
+    val rec = new MetricCollector {
+      override def onScan(e: ScanEvent): Unit = scans.synchronized { scans += e }
+    }
+    MetricCollectors.register(rec)
+    try {
+      // source has a NULL key and k=5: under <=> the null-key target rows
+      // MATCH — pruning must keep the null file (IsNull disjunct) and may
+      // skip only the k=7 file
+      val source = Seq((Option.empty[Long], "N"), (Some(5L), "F")).toDF("k", "nv")
+      Merge.merge(engine, t.refresh(), source, "t", Some("s"),
+        "t.k <=> s.k",
+        matched = Seq(Merge.WhenMatched(None, Some(Map("v" -> "s.nv")))),
+        notMatched = Seq.empty)
+      val ev = scans.synchronized(scans.filter(_.tableLocation == t.location).last)
+      assert(ev.matchedFiles === 2 && ev.skippedFiles === 1,
+        s"null-safe merge should keep null + k=5 files, skip k=7: $ev")
+      val got = engine.scan(t.refresh()).toDF().collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toSeq
+      assert(got.count(_ == (-1L, "N")) === 2, s"null-key rows not updated: ${got.toSeq}")
+      assert(got.contains((5L, "F")) && got.contains((7L, "seven")), got.toSeq.toString)
+    } finally MetricCollectors.unregister(rec)
+  }
+
   test("concurrent appends: optimistic retry lands both commits") {
     val orders = Tables.orders(spark, sf)
     val t = engine.catalog.createTable("conc", orders.schema)
