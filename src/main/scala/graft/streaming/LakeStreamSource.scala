@@ -296,7 +296,8 @@ private[streaming] final class LakeDsv2Table(location: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScan(location, schema(), LakeDsv2.refOf(options.get),
-      changes = changes || LakeDsv2.changesMode(options.get))
+      changes = changes || LakeDsv2.changesMode(options.get),
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   /** Batch write via the V1Write fallback: the DataFrame-level insert
     * reuses the transactional LakeWriter/commit path (distributed stats
@@ -330,7 +331,8 @@ private[streaming] final class LakeDsv2Table(location: String,
 }
 
 private[streaming] final class LakeScan(location: String, outSchema: StructType,
-    ref: graft.format.TableRef, changes: Boolean = false)
+    ref: graft.format.TableRef, changes: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None)
   extends ScanBuilder with Scan
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -380,11 +382,12 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
       throw new IllegalArgumentException(
         "time-travel options are batch-read only; streams consume the live table")
     if (changes) new LakeChangesMicroBatchStream(location)
-    else new LakeMicroBatchStream(location)
+    else new LakeMicroBatchStream(location, maxFilesPerTrigger)
   }
 }
 
-final class LakeMicroBatchStream(location: String)
+final class LakeMicroBatchStream(location: String,
+    maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val spark = ClassicSession.active
   private val table = LakeTable.load(location)
@@ -411,11 +414,45 @@ final class LakeMicroBatchStream(location: String)
   override def latestOffset(): Offset =
     availableEnd.getOrElse(LakeOffset(head().getOrElse(0L)))
 
-  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no rate
-  // limiting — a batch is whatever snapshots landed; AvailableNow's
-  // pinned end offset is the only admission bound applied.
-  override def latestOffset(start: Offset, limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow):
+  // `option("maxFilesPerTrigger", n)` caps a micro-batch at the last
+  // snapshot that keeps the batch's appended-file total <= n, always
+  // advancing at least one snapshot so the stream makes progress. File
+  // counts come from snapshot summaries — zero manifest reads on the
+  // admission path. AvailableNow's pinned end offset still bounds the
+  // overall run; the stream converges to it batch by batch.
+  override def latestOffset(start: Offset, limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val endCap = latestOffset().asInstanceOf[LakeOffset].snapshotId
+    maxFilesPerTrigger match {
+      case None => LakeOffset(endCap)
+      case Some(cap) =>
+        val fromId = start.asInstanceOf[LakeOffset].snapshotId
+        if (endCap == 0L || fromId == endCap) return LakeOffset(endCap)
+        val m = table.refresh().metadata
+        // ascending chain (fromId, endCap]; any walk irregularity
+        // (expired history) defers to the planner's own clean error
+        var chain = List.empty[graft.format.Snapshot]
+        var cur = m.snapshotById(endCap)
+        while (cur.isDefined && cur.get.id != fromId) {
+          chain = cur.get :: chain
+          cur = cur.get.parentId.flatMap(m.snapshotById)
+        }
+        if (cur.isEmpty && fromId != 0L) return LakeOffset(endCap)
+        var total = 0L
+        var end = fromId
+        var first = true
+        var stopped = false
+        chain.foreach { s =>
+          if (!stopped) {
+            val added = s.summary.get("added-files").flatMap(_.toLongOption)
+              .getOrElse(s.manifests.map(_.entryCount).sum)
+            if (first || total + added <= cap) { total += added; end = s.id; first = false }
+            else stopped = true // offset ranges are contiguous: stop at first over-cap
+          }
+        }
+        LakeOffset(end)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = LakeOffset(json.trim.toLong)
 

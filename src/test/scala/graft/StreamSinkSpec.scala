@@ -220,6 +220,36 @@ class StreamSinkSpec extends SparkSpec {
     }
   }
 
+  test("maxFilesPerTrigger rate-limits micro-batches without losing rows") {
+    val df0 = Seq((1L, "a")).toDF("id", "v")
+    val src = engine.catalog.createTable(freshName(), df0.schema)
+    // 4 commits, one file each
+    (1 to 4).foreach(i => engine.insert(src, Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)))
+    val name = s"rate_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft-lake")
+      .option("path", src.location).option("maxFilesPerTrigger", "1").load()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // all rows arrive exactly once...
+      assert(spark.table(name).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+      // ...across multiple admission-capped batches, not one big batch
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 4, s"expected >=4 rate-limited batches, got $dataBatches")
+    } finally q.stop()
+
+    // admission control composes with AvailableNow's pinned end
+    val name2 = s"rate2_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q2 = spark.readStream.format("graft-lake")
+      .option("path", src.location).option("maxFilesPerTrigger", "2").load()
+      .writeStream.outputMode("append").format("memory").queryName(name2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q2.awaitTermination(60000)
+      assert(spark.table(name2).count() === 4)
+    } finally q2.stop()
+  }
+
   test("sink without query-key or checkpointLocation option fails fast") {
     val t = engine.catalog.createTable(freshName(),
       Seq((1L, "a")).toDF("id", "v").schema)
