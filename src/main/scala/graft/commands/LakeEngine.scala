@@ -22,10 +22,10 @@ final class LakeEngine(
     val allowFullTableScan: Boolean = true,
     val totalFileSizePerScanLimitInMiB: Option[Long] = None) {
 
-  // lake parquet files carry micros timestamps (format/Model metadata
-  // contract); set ONCE here instead of per write — a per-write set on
-  // the shared session races concurrent readers of the same conf
-  graft.write.LakeWriter.ensureWriteConf(spark)
+  // NOTE: no session-conf mutation here — a read-only engine must not
+  // clobber a user's own parquet settings. LakeWriter.ensureWriteConf
+  // applies the micros timestamp requirement lazily on first WRITE, and
+  // only when the conf differs (no repeated mutation on the hot path).
 
   def table(name: String): LakeTable = catalog.loadTable(name)
 

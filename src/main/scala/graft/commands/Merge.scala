@@ -447,6 +447,13 @@ object Merge {
       onSql: String, maxKeys: Int = 10000): Pred = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
+    // key collection evaluates the source a SECOND time (the merge join
+    // re-evaluates it later): a non-deterministic source could yield a
+    // different key set there, making the pruned file set unsound — skip
+    // pruning for such plans rather than materializing the source
+    if (source.queryExecution.analyzed.find(
+        p => p.expressions.exists(e => !e.deterministic)).isDefined)
+      return AlwaysTrue
     val parsed =
       try spark.sessionState.sqlParser.parseExpression(onSql)
       catch { case scala.util.control.NonFatal(_) => return AlwaysTrue }

@@ -206,12 +206,18 @@ object JvmImageCodec extends MediaCodec {
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Luminance (0..255) per pixel: the raster sample for single-band
-    * images, integer BT.601 luma for RGB. */
+  /** Luminance (0..255) per pixel: the raster sample ONLY for 8-bit
+    * non-indexed grayscale (a palette image's single band is a palette
+    * INDEX, and 16-bit gray samples reach 65535 — both must go through
+    * getRGB, which normalizes every color model to sRGB); integer
+    * BT.601 luma otherwise. */
   private def luminance(img: java.awt.image.BufferedImage): Array[Int] = {
     val (w, h) = (img.getWidth, img.getHeight)
     val out = new Array[Int](w * h)
-    if (img.getRaster.getNumBands == 1) {
+    val plainGray8 = img.getRaster.getNumBands == 1 &&
+      img.getColorModel.getPixelSize == 8 &&
+      !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+    if (plainGray8) {
       img.getRaster.getSamples(0, 0, w, h, 0, out)
     } else {
       var y = 0
@@ -233,24 +239,32 @@ object JvmImageCodec extends MediaCodec {
     decode(bytes) match {
       case None => StubMediaCodec.features(bytes, mime)
       case Some(img) =>
-        val lum = luminance(img)
-        val hist = new Array[Long](16)
-        var sum = 0L
-        lum.foreach { v => sum += v; hist(v / 16) += 1 }
-        Array(img.getWidth.toLong, img.getHeight.toLong, sum) ++ hist
+        try {
+          val lum = luminance(img)
+          val hist = new Array[Long](16)
+          var sum = 0L
+          lum.foreach { v => sum += v; hist(math.min(math.max(v, 0), 255) / 16) += 1 }
+          Array(img.getWidth.toLong, img.getHeight.toLong, sum) ++ hist
+        } catch { // an exotic color model must degrade, not fail the task
+          case scala.util.control.NonFatal(_) => StubMediaCodec.features(bytes, mime)
+        }
     }
 
   override def sampleFrames(bytes: Array[Byte], mime: String, n: Int): Seq[Array[Byte]] =
     decode(bytes) match {
       case None => StubMediaCodec.sampleFrames(bytes, mime, n)
       case Some(img) =>
-        val lum = luminance(img)
-        val rows = img.getHeight
-        val step = math.max(rows / n, 1)
-        (0 until n).map { i =>
-          val from = math.min(i * step, rows) * img.getWidth
-          val until = math.min(from + img.getWidth, lum.length)
-          java.util.Arrays.copyOfRange(lum, from, until).map(_.toByte)
+        try {
+          val lum = luminance(img)
+          val rows = img.getHeight
+          val step = math.max(rows / n, 1)
+          (0 until n).map { i =>
+            val from = math.min(i * step, rows) * img.getWidth
+            val until = math.min(from + img.getWidth, lum.length)
+            java.util.Arrays.copyOfRange(lum, from, until).map(_.toByte)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => StubMediaCodec.sampleFrames(bytes, mime, n)
         }
     }
 }
@@ -272,24 +286,31 @@ object JvmWavCodec extends MediaCodec {
   private def tag(b: Array[Byte], o: Int): String =
     new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** (channels, sampleRate, bitsPerSample, dataOffset, dataLen). */
-  private[extras] def parse(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
-    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-    var channels = -1; var rate = -1; var bits = -1
-    var dataOff = -1; var dataLen = -1
-    var o = 12
-    while (o + 8 <= b.length) {
-      val id = tag(b, o); val len = u32(b, o + 4).toInt
-      if (id == "fmt " && o + 8 + 16 <= b.length) {
-        channels = u16(b, o + 10); rate = u32(b, o + 12).toInt; bits = u16(b, o + 22)
-      } else if (id == "data") {
-        dataOff = o + 8; dataLen = math.min(len, b.length - dataOff)
+  /** (channels, sampleRate, bitsPerSample, dataOffset, dataLen).
+    * Chunk walk in Long arithmetic with monotonic-progress guards: a
+    * corrupt length field (e.g. 0xFFFFFFF8) must yield None — never a
+    * spin or an out-of-bounds — because this codec is the DEFAULT for
+    * audio/wav and one bad file must degrade, not hang an executor. */
+  private[extras] def parse(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
+    try {
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var channels = -1; var rate = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      var o = 12L
+      while (o + 8 <= b.length) {
+        val id = tag(b, o.toInt); val len = u32(b, o.toInt + 4) // unsigned
+        if (id == "fmt " && o + 8 + 16 <= b.length) {
+          channels = u16(b, o.toInt + 10); rate = u32(b, o.toInt + 12).toInt
+          bits = u16(b, o.toInt + 22)
+        } else if (id == "data") {
+          dataOff = o.toInt + 8
+          dataLen = math.min(len, (b.length - dataOff).toLong).toInt
+        }
+        o += 8 + len + (len & 1) // chunks are word-aligned; always advances
       }
-      o += 8 + len + (len & 1) // chunks are word-aligned
-    }
-    if (channels <= 0 || rate <= 0 || bits <= 0 || dataOff < 0) None
-    else Some((channels, rate, bits, dataOff, dataLen))
-  }
+      if (channels <= 0 || rate <= 0 || bits <= 0 || dataOff < 0 || dataLen < 0) None
+      else Some((channels, rate, bits, dataOff, dataLen))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   override def features(bytes: Array[Byte], mime: String): Array[Long] =
     parse(bytes) match {

@@ -381,8 +381,15 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
     if (ref != graft.format.TableRef.Head)
       throw new IllegalArgumentException(
         "time-travel options are batch-read only; streams consume the live table")
-    if (changes) new LakeChangesMicroBatchStream(location)
-    else new LakeMicroBatchStream(location, maxFilesPerTrigger)
+    if (changes) {
+      // fail fast instead of silently dropping the rate limit: the CDC
+      // stream's unit of admission is a commit, not a file count
+      if (maxFilesPerTrigger.isDefined)
+        throw new IllegalArgumentException(
+          "maxFilesPerTrigger is not supported with read-changes " +
+            "(CDC batches step per commit); remove one of the options")
+      new LakeChangesMicroBatchStream(location)
+    } else new LakeMicroBatchStream(location, maxFilesPerTrigger)
   }
 }
 

@@ -272,6 +272,34 @@ class ExtrasSpec extends SparkSpec {
     // undecodable payloads degrade to the stub byte histogram (16 bins)
     assert(JvmImageCodec.features("not an image".getBytes, "image/png").length === 16)
     assert(JvmWavCodec.features("not a wav".getBytes, "audio/wav").length === 16)
+
+    // a corrupt RIFF chunk length (0xFFFFFFF8 -> would be -8 as an Int)
+    // must degrade to the stub, not spin the executor or throw
+    val evil = MediaSynth.wav(1L)
+    evil(16) = 0xf8.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte // fmt chunk length field
+    assert(JvmWavCodec.features(evil, "audio/wav").length === 16)
+    val truncated = java.util.Arrays.copyOf(MediaSynth.wav(1L), 50)
+    assert(JvmWavCodec.features(truncated, "audio/wav").length >= 16) // parse or stub, never throw
+
+    // 16-bit grayscale (TYPE_USHORT_GRAY): samples reach 65535 — must
+    // bucket via the sRGB path, not index out of a 16-bin histogram
+    val gray16 = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    gray16.getRaster.setSample(0, 0, 0, 65535)
+    val g16 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray16, "png", g16)
+    val gf = JvmImageCodec.features(g16.toByteArray, "image/png")
+    assert(gf(0) === 8L && gf(1) === 4L && gf.length === 19)
+    // indexed color (palette PNG): the single band is a palette INDEX;
+    // the codec must decode via sRGB, not report indices as luminance
+    // (the JDK's own GIF writer mangles tiny indexed images, so the
+    // palette fixture rides PNG)
+    val pal = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    (0 until 4).foreach(x => (0 until 2).foreach(y => pal.setRGB(x, y, 0xffffffff))) // opaque white
+    val palOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(pal, "png", palOut)
+    val pf2 = JvmImageCodec.features(palOut.toByteArray, "image/png")
+    assert(pf2(2) === 4L * 2 * 255, s"white palette image must read as luminance 255: ${pf2.toSeq}")
   }
 
   test("streaming session windows match batch gap-sessionization") {
