@@ -255,6 +255,29 @@ class ManifestSpec extends SparkSpec {
     assert(ManifestParquetCodec.readPaths(ManifestParquetCodec.write(entries)) ===
       entries.map(_.path))
 
+    // deterministic pseudo-random fuzz across the full optionality space
+    val rnd = new scala.util.Random(20260813L)
+    def rs(): String = {
+      // whole code points only: indexing a surrogate pair by UTF-16 unit
+      // would create lone surrogates, which don't survive UTF-8 by design
+      val alphabet = Vector("a", "b", "/", "=", "%", " ", ".", "\"", "\\", "é", "中", "😀", "-")
+      (0 until rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val fuzz = (0 until 200).map { i =>
+      FileEntry(s"/f$i/${rs()}.parquet",
+        (0 until rnd.nextInt(3)).map(j => s"p$j" -> rs()).toMap,
+        rnd.nextLong().abs, rnd.nextLong().abs, rnd.nextInt(5),
+        (0 until rnd.nextInt(4)).map { j =>
+          s"${j + 1}" -> ColumnStats(
+            if (rnd.nextBoolean()) Some(rs()) else None,
+            if (rnd.nextBoolean()) Some(rs()) else None,
+            rnd.nextInt(100).toLong,
+            if (rnd.nextBoolean()) Some(rnd.nextInt(10).toLong) else None)
+        }.toMap, rnd.nextInt(3))
+    }
+    assert(ManifestParquetCodec.read(ManifestParquetCodec.write(fuzz)) === fuzz)
+    assert(ManifestParquetCodec.readPaths(ManifestParquetCodec.write(fuzz)) === fuzz.map(_.path))
+
     // live table under the parquet codec
     val t = mkTable(Map("graft.manifest.codec" -> "parquet",
       "graft.manifest.max-count" -> "4"))
