@@ -562,7 +562,8 @@ class LakeTable private (
         if (files.isEmpty) baseList else baseList :+ newManifest(m, files, sid), sid)
       val snap = Snapshot(sid, head.map(_.id), System.currentTimeMillis(), "append", list,
         Map("added-files" -> files.size.toString,
-          "added-records" -> files.map(_.recordCount).sum.toString) ++ extraSummary)
+          "added-records" -> files.map(_.recordCount).sum.toString,
+          "added-bytes" -> files.map(_.sizeBytes).sum.toString) ++ extraSummary)
       val next = advance(m, snap, branch)
       (if (extraProperties.isEmpty) next
        else next.copy(properties = next.properties ++ extraProperties),
@@ -616,7 +617,9 @@ class LakeTable private (
       val snap = Snapshot(sid, head.map(_.id), System.currentTimeMillis(),
         if (!dataChange) "replace"
         else if (files.isEmpty) "delete" else "overwrite", list,
-        Map("added-files" -> files.size.toString, "removed-files" -> removed.size.toString))
+        Map("added-files" -> files.size.toString,
+          "added-bytes" -> files.map(_.sizeBytes).sum.toString,
+          "removed-files" -> removed.size.toString))
       (advance(m, snap, branch),
         CommitMetrics(sid, files.size, removed.size,
           files.map(_.recordCount).sum, removed.map(_.recordCount).sum, 0))

@@ -297,7 +297,8 @@ private[streaming] final class LakeDsv2Table(location: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScan(location, schema(), LakeDsv2.refOf(options.get),
       changes = changes || LakeDsv2.changesMode(options.get),
-      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 
   /** Batch write via the V1Write fallback: the DataFrame-level insert
     * reuses the transactional LakeWriter/commit path (distributed stats
@@ -332,7 +333,8 @@ private[streaming] final class LakeDsv2Table(location: String,
 
 private[streaming] final class LakeScan(location: String, outSchema: StructType,
     ref: graft.format.TableRef, changes: Boolean = false,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends ScanBuilder with Scan
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -384,17 +386,18 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
     if (changes) {
       // fail fast instead of silently dropping the rate limit: the CDC
       // stream's unit of admission is a commit, not a file count
-      if (maxFilesPerTrigger.isDefined)
+      if (maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined)
         throw new IllegalArgumentException(
-          "maxFilesPerTrigger is not supported with read-changes " +
-            "(CDC batches step per commit); remove one of the options")
+          "maxFilesPerTrigger/maxBytesPerTrigger are not supported with " +
+            "read-changes (CDC batches step per commit); remove one of the options")
       new LakeChangesMicroBatchStream(location)
-    } else new LakeMicroBatchStream(location, maxFilesPerTrigger)
+    } else new LakeMicroBatchStream(location, maxFilesPerTrigger, maxBytesPerTrigger)
   }
 }
 
 final class LakeMicroBatchStream(location: String,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val spark = ClassicSession.active
   private val table = LakeTable.load(location)
@@ -422,43 +425,47 @@ final class LakeMicroBatchStream(location: String,
     availableEnd.getOrElse(LakeOffset(head().getOrElse(0L)))
 
   // SupportsAdmissionControl (via SupportsTriggerAvailableNow):
-  // `option("maxFilesPerTrigger", n)` caps a micro-batch at the last
-  // snapshot that keeps the batch's appended-file total <= n, always
-  // advancing at least one snapshot so the stream makes progress. File
-  // counts come from snapshot summaries — zero manifest reads on the
-  // admission path. AvailableNow's pinned end offset still bounds the
-  // overall run; the stream converges to it batch by batch.
+  // `option("maxFilesPerTrigger", n)` / `option("maxBytesPerTrigger", n)`
+  // cap a micro-batch at the last snapshot keeping the batch's
+  // appended-file/byte totals within EVERY configured cap, always
+  // advancing at least one snapshot so the stream makes progress.
+  // Counts come from snapshot summaries — zero manifest reads on the
+  // admission path (a legacy snapshot without "added-bytes" counts as
+  // unbounded, closing its batch conservatively). AvailableNow's pinned
+  // end offset still bounds the overall run; the stream converges to it
+  // batch by batch.
   override def latestOffset(start: Offset, limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val endCap = latestOffset().asInstanceOf[LakeOffset].snapshotId
-    maxFilesPerTrigger match {
-      case None => LakeOffset(endCap)
-      case Some(cap) =>
-        val fromId = start.asInstanceOf[LakeOffset].snapshotId
-        if (endCap == 0L || fromId == endCap) return LakeOffset(endCap)
-        val m = table.refresh().metadata
-        // ascending chain (fromId, endCap]; any walk irregularity
-        // (expired history) defers to the planner's own clean error
-        var chain = List.empty[graft.format.Snapshot]
-        var cur = m.snapshotById(endCap)
-        while (cur.isDefined && cur.get.id != fromId) {
-          chain = cur.get :: chain
-          cur = cur.get.parentId.flatMap(m.snapshotById)
-        }
-        if (cur.isEmpty && fromId != 0L) return LakeOffset(endCap)
-        var total = 0L
-        var end = fromId
-        var first = true
-        var stopped = false
-        chain.foreach { s =>
-          if (!stopped) {
-            val added = s.summary.get("added-files").flatMap(_.toLongOption)
-              .getOrElse(s.manifests.map(_.entryCount).sum)
-            if (first || total + added <= cap) { total += added; end = s.id; first = false }
-            else stopped = true // offset ranges are contiguous: stop at first over-cap
-          }
-        }
-        LakeOffset(end)
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) return LakeOffset(endCap)
+    val fromId = start.asInstanceOf[LakeOffset].snapshotId
+    if (endCap == 0L || fromId == endCap) return LakeOffset(endCap)
+    val m = table.refresh().metadata
+    // ascending chain (fromId, endCap]; any walk irregularity
+    // (expired history) defers to the planner's own clean error
+    var chain = List.empty[graft.format.Snapshot]
+    var cur = m.snapshotById(endCap)
+    while (cur.isDefined && cur.get.id != fromId) {
+      chain = cur.get :: chain
+      cur = cur.get.parentId.flatMap(m.snapshotById)
     }
+    if (cur.isEmpty && fromId != 0L) return LakeOffset(endCap)
+    var files = 0L; var bytes = 0L
+    var end = fromId
+    var first = true
+    var stopped = false
+    chain.foreach { s =>
+      if (!stopped) {
+        val addedFiles = s.summary.get("added-files").flatMap(_.toLongOption)
+          .getOrElse(s.manifests.map(_.entryCount).sum)
+        val addedBytes = s.summary.get("added-bytes").flatMap(_.toLongOption)
+          .getOrElse(Long.MaxValue / 4) // unknown: admit only as a batch's first
+        val fits = maxFilesPerTrigger.forall(files + addedFiles <= _) &&
+          maxBytesPerTrigger.forall(bytes + addedBytes <= _)
+        if (first || fits) { files += addedFiles; bytes += addedBytes; end = s.id; first = false }
+        else stopped = true // offset ranges are contiguous: stop at first over-cap
+      }
+    }
+    LakeOffset(end)
   }
 
   override def deserializeOffset(json: String): Offset = LakeOffset(json.trim.toLong)

@@ -248,6 +248,18 @@ class StreamSinkSpec extends SparkSpec {
       q2.awaitTermination(60000)
       assert(spark.table(name2).count() === 4)
     } finally q2.stop()
+
+    // byte-based cap: 1 byte per trigger -> every snapshot is its own
+    // batch (first-in-batch always admits, so the stream still drains)
+    val name3 = s"rate3_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q3 = spark.readStream.format("graft-lake")
+      .option("path", src.location).option("maxBytesPerTrigger", "1").load()
+      .writeStream.outputMode("append").format("memory").queryName(name3).start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table(name3).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+      assert(q3.recentProgress.count(_.numInputRows > 0) >= 4)
+    } finally q3.stop()
   }
 
   test("sink without query-key or checkpointLocation option fails fast") {
