@@ -205,6 +205,85 @@ object TextQueries {
       doc = "document fingerprinting: rolling-hash fp + minhash + simhash"),
 
     // ------------------------------------------------------------------
+    Q("text_pii_scrub",
+      (s, d) => {
+        // PII redaction, a standard pre-training transform: detect and
+        // replace emails and IPv4s. The fixture texts carry no PII, so
+        // the query injects deterministic instances from doc_id — both
+        // engines scrub the SAME text and the redacted output
+        // hash-verifies end to end. Regexes stick to portable classes
+        // ([.] [0-9]) so Java and RE2 read them identically.
+        val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]{2,}"
+        val ipRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+        val docs = Tables.documents(s, d)
+        val withPii = docs.select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@mail.example.org from 10."), (col("doc_id") % 200).cast(StringType),
+            lit(".0.7")).as("t"))
+        withPii.select(col("doc_id"),
+            size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).cast(IntegerType).as("n_emails"),
+            size(regexp_extract_all(col("t"), lit(ipRe), lit(0))).cast(IntegerType).as("n_ips"),
+            md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+              ipRe, "<IP>")).as("scrub_md5"))
+          .transform(Present.sortNarrow(_, col("doc_id")))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+              '@mail.example.org from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.7' AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+          CAST(len(regexp_extract_all(t, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS INTEGER) AS n_ips,
+          md5(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g')) AS scrub_md5
+        FROM p ORDER BY doc_id"""),
+      doc = "PII scrubbing: email/IPv4 detection + redaction, hash-verified (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("text_contamination",
+      (s, d) => {
+        // benchmark decontamination: flag training documents sharing any
+        // 3-gram shingle with a (small) eval set — here the doc_id % 97
+        // slice. The 100 TB plan: the eval set's distinct shingles are
+        // BROADCAST and the corpus side streams through one hash join;
+        // corpus work is linear, no shuffle on the data side.
+        val docs = Tables.documents(s, d)
+        val flat = docs.select(col("doc_id"),
+          explode(distinctShingles(col("text"), 3)).as("sh"))
+        val bench = flat.filter(col("doc_id") % 97 === 0)
+          .select(col("sh")).distinct()
+        val overlap = flat.join(broadcast(bench), Seq("sh"))
+          .groupBy("doc_id").agg(countDistinct(col("sh")).as("overlap"))
+        docs.select(col("doc_id")).join(overlap, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("overlap"), lit(0L)).as("overlap"),
+            (coalesce(col("overlap"), lit(0L)) >= 1).as("contaminated"))
+          .transform(Present.sortNarrow(_, col("doc_id")))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shl
+          FROM toks),
+        flat AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+        bench AS (SELECT DISTINCT s FROM flat WHERE doc_id % 97 = 0),
+        ov AS (
+          SELECT f.doc_id, count(DISTINCT f.s) AS overlap
+          FROM flat f JOIN bench b USING (s) GROUP BY 1)
+        SELECT d.doc_id, COALESCE(ov.overlap, 0) AS overlap,
+          COALESCE(ov.overlap, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN ov USING (doc_id) ORDER BY d.doc_id"""),
+      doc = "benchmark contamination check: broadcast eval-set n-gram join (training-data op)"),
+
+    // ------------------------------------------------------------------
     Q("pipeline_corpus_prep",
       (s, d) => {
         // the end-to-end corpus-prep flow a training pipeline runs:
