@@ -96,7 +96,12 @@ final case class TableMetadata(
   def specsById: Map[Int, Seq[PartitionField]] =
     partitionSpecs.map { case (k, v) => k.toInt -> v }
 
-  def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
+  // lazy index: ancestry walks (CDC stepping, admission control,
+  // rollback/fast-forward lineage checks) do O(chain) lookups per call;
+  // a linear find would make them O(history^2) on long-history tables
+  @transient private lazy val snapshotIndex: Map[Long, Snapshot] =
+    snapshots.iterator.map(s => s.id -> s).toMap
+  def snapshotById(id: Long): Option[Snapshot] = snapshotIndex.get(id)
 
   def currentSnapshot: Option[Snapshot] = currentSnapshotId.flatMap(snapshotById)
 

@@ -116,6 +116,19 @@ private[streaming] object LakeDsv2 {
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-lake requires option 'path'"))
 
+  /** Positive-long option with a clear parse error (a silent zero or
+    * negative cap would shrink every batch to one snapshot). */
+  def positiveOption(options: CaseInsensitiveStringMap, name: String): Option[Long] =
+    Option(options.get(name)).map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"option '$name' must be a positive integer, got '$v'")
+      }
+      if (n <= 0) throw new IllegalArgumentException(
+        s"option '$name' must be a positive integer, got '$v'")
+      n
+    }
+
   /** `option("read-changes", "true")`: row-level CDC — each micro-batch
     * steps snapshot-by-snapshot through its offset range and emits the
     * per-commit changes as rows tagged `_change_type` = insert | delete
@@ -297,8 +310,8 @@ private[streaming] final class LakeDsv2Table(location: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScan(location, schema(), LakeDsv2.refOf(options.get),
       changes = changes || LakeDsv2.changesMode(options.get),
-      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      maxFilesPerTrigger = LakeDsv2.positiveOption(options, "maxFilesPerTrigger").map(_.toInt),
+      maxBytesPerTrigger = LakeDsv2.positiveOption(options, "maxBytesPerTrigger"))
 
   /** Batch write via the V1Write fallback: the DataFrame-level insert
     * reuses the transactional LakeWriter/commit path (distributed stats
