@@ -744,17 +744,25 @@ class LakeTable private (
         // walk parent chain head..from
         val chain = Iterator.iterate(Option(h))(s => s.flatMap(_.parentId).flatMap(m.snapshotById))
           .takeWhile(s => s.isDefined && !s.exists(_.id == from)).flatten.toSeq
-        val fromManifest = m.snapshotById(from).map(manifest).getOrElse(Seq.empty).map(_.path).toSet
+        val fromEntries = m.snapshotById(from).map(manifest).getOrElse(Seq.empty)
+        val fromPaths = fromEntries.map(_.path).toSet
         val headManifest = manifest(h)
-        val added = headManifest.filterNot(f => fromManifest.contains(f.path))
-        val removedPaths = fromManifest -- headManifest.map(_.path).toSet
+        val headPaths = headManifest.map(_.path).toSet
+        val added = headManifest.filterNot(f => fromPaths.contains(f.path))
+        // removed files still have full entries in the FROM snapshot's
+        // manifest, so removals are filter-checked like adds: a removed
+        // file that provably held no filter-matching rows cannot affect
+        // this commit's scope — two merges/updates over disjoint key
+        // ranges (or partitions) commit concurrently without retries
+        val removed = fromEntries.filterNot(f => headPaths.contains(f.path))
         val schemaNow = DataType.fromJson(m.schemas(m.currentSchemaId.toString))
           .asInstanceOf[StructType]
         val hit = filter match {
-          case None => added.nonEmpty || removedPaths.nonEmpty
+          case None => added.nonEmpty || removed.nonEmpty
           case Some(p) =>
             val eval = new graft.scan.StatsEvaluator(schemaNow, m.specsById)
-            (serializable && added.exists(f => eval.mayContain(p, f))) || removedPaths.nonEmpty
+            (serializable && added.exists(f => eval.mayContain(p, f))) ||
+              removed.exists(f => eval.mayContain(p, f))
         }
         if (hit && chain.nonEmpty)
           throw new ValidationException(

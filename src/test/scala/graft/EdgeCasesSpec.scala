@@ -395,6 +395,36 @@ class EdgeCasesSpec extends SparkSpec {
     spark.sql("DROP TABLE lake.merge_prune")
   }
 
+  test("key-scoped merge conflicts: disjoint-key merges land, overlapping conflict") {
+    import graft.commands.Merge
+    val t = engine.catalog.createTable("merge_conc",
+      Seq((1L, "x")).toDF("id", "v").schema)
+    (0 until 3).foreach(b => engine.insert(t,
+      ((b * 100 + 1) to (b * 100 + 100)).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)))
+
+    def mergeKeys(table: graft.format.LakeTable, keys: Seq[Long], tag: String) =
+      Merge.merge(engine, table, keys.map(k => (k, tag)).toDF("id", "nv"),
+        "t", Some("s"), "t.id = s.id",
+        matched = Seq(Merge.WhenMatched(None, Some(Map("v" -> "s.nv")))),
+        notMatched = Seq.empty)
+
+    // both merges plan from the SAME snapshot (stale second handle): the
+    // key-bound conflict scope must let the disjoint-key one commit
+    val stale = graft.format.LakeTable.load(t.location)
+    mergeKeys(t.refresh(), Seq(50L, 60L), "m1")     // keys in file 1
+    mergeKeys(stale, Seq(250L, 260L), "m2")          // keys in file 3, stale base
+    val got = engine.scan(t.refresh()).toDF().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(50L) === "m1" && got(250L) === "m2", "both disjoint merges must land")
+
+    // overlapping keys from a stale base must be detected as a conflict
+    val stale2 = graft.format.LakeTable.load(t.location)
+    mergeKeys(t.refresh(), Seq(150L), "m3")
+    val e = intercept[Exception] { mergeKeys(stale2, Seq(150L), "m4") }
+    assert(e.getMessage.toLowerCase.matches("(?s).*(conflict|concurrent|rewritten).*"),
+      s"overlapping stale merge must conflict: ${e.getMessage}")
+  }
+
   test("merge pruning stays sound for null-safe ON keys") {
     import graft.commands.Merge
     import graft.metrics.{MetricCollector, MetricCollectors, ScanEvent}
