@@ -119,6 +119,12 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAXPART", "2m"))
       .config("spark.sql.files.openCostInBytes", "64k")
+      // Iceberg-style split planning: splits sized by target size only,
+      // never divided by core count — without this Spark force-splits a
+      // 2.7 MB table into ~31 slivers of ~87 KB (minPartitionNum defaults
+      // to defaultParallelism=32) and per-task fixed cost dominates
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MINPART", "1"))
       .config("spark.locality.wait", "0")
       // interleaved passes cycle 15 queries x several codegen stages
       // through the generated-class cache (default 100 entries) — without

@@ -103,6 +103,7 @@ final class TableScan(
   }
 
   def toDF(): DataFrame = {
+    TableScan.ensureReadConf(spark)
     val files = planFiles()
     val cur = table.schema
     if (files.isEmpty) return emptyDF(cur)
@@ -132,6 +133,31 @@ final class TableScan(
 
   private def project(df: DataFrame, written: StructType, cur: StructType): DataFrame =
     df.select(SchemaEvolve.columns(written, cur): _*)
+}
+
+object TableScan {
+
+  /** Split bin-packing (Iceberg `read.split.target-size` semantics,
+    * spec §Scan Planning): splits are sized by the target split size
+    * (`spark.sql.files.maxPartitionBytes`) and file-open cost ONLY —
+    * never divided down by core count. Spark's default leaves
+    * `spark.sql.files.minPartitionNum` at `defaultParallelism`, which
+    * force-splits a small table into one sliver per core: a 2.7 MB
+    * table on 32 cores plans ~31 scan tasks of ~87 KB each, so
+    * per-task fixed cost (vectorized-reader setup, codegen
+    * instantiation) dominates — and a large table of many small files
+    * (exactly what streaming ingest + copy-on-write DML produce)
+    * over-parallelizes at EVERY scale. With `minPartitionNum=1`,
+    * Spark's own `FilePartition` packer bin-packs small files into
+    * target-size splits, which is the Iceberg-planner behavior.
+    *
+    * Applied lazily on first read, and only when the user has not set
+    * the conf themselves (a read-only engine must not clobber an
+    * explicit user choice). */
+  private[graft] def ensureReadConf(spark: SparkSession): Unit = {
+    val key = "spark.sql.files.minPartitionNum"
+    if (spark.conf.getOption(key).isEmpty) spark.conf.set(key, "1")
+  }
 }
 
 /** Field-id based projection from a written schema to the current one:

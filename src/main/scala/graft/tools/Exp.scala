@@ -21,6 +21,8 @@ object Exp {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAXPART", "2m"))
       .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MINPART", "1"))
       .config("spark.locality.wait", "0")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")

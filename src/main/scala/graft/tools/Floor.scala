@@ -21,6 +21,7 @@ object Floor {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
       .config("spark.locality.wait", "0")
       .config("spark.ui.enabled", "false")
     // extra static confs: SPARK_GRAFT_EXTRA="k=v;k=v"

@@ -39,10 +39,12 @@ object LakeWriter extends Serializable {
     }.toSeq: _*)
   }
 
-  /** Session conf the write path depends on, applied only when not
-    * already set ([[graft.commands.LakeEngine]] calls this once at
-    * construction; direct LakeWriter users get it lazily on first
-    * write — never a redundant per-write mutation of a shared session). */
+  /** Session conf the write path depends on, applied lazily from
+    * [[write]] on each write entry, and only when the conf differs —
+    * [[graft.commands.LakeEngine]] deliberately does NOT call this at
+    * construction (a read-only engine must not mutate session conf;
+    * see the NOTE there), so direct and engine-driven writers both get
+    * it on first write with no redundant mutation on the hot path. */
   def ensureWriteConf(spark: SparkSession): Unit = {
     val key = "spark.sql.parquet.outputTimestampType"
     if (!spark.conf.getOption(key).contains("TIMESTAMP_MICROS"))

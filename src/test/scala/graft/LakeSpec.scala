@@ -35,6 +35,31 @@ class LakeSpec extends SparkSpec {
     assert(back.except(orders).isEmpty && orders.except(back).isEmpty)
   }
 
+  test("scan bin-packs many small files into target-size splits") {
+    // Streaming ingest + CoW DML produce many tiny files; split planning
+    // must pack them into target-size splits (Iceberg read.split.target-size
+    // semantics), not one sliver per core (Spark's minPartitionNum default).
+    val t = engine.catalog.createTable(freshName(), StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    (1 to 24).foreach { i =>
+      engine.insert(t, Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    assert(t.currentFiles().size === 24)
+    val scan = engine.scan(t).toDF()
+    val parts = scan.rdd.getNumPartitions
+    // 24 files x ~1 KB + 4 MB openCost each bin-pack well inside one
+    // 128 MB split; without ensureReadConf Spark plans one per core
+    assert(parts <= 2, s"24 tiny files planned $parts scan partitions — not bin-packed")
+    assert(scan.count() === 24)
+    // an explicit user choice is never clobbered
+    assert(spark.conf.get("spark.sql.files.minPartitionNum") === "1")
+    spark.conf.set("spark.sql.files.minPartitionNum", "3")
+    try {
+      graft.scan.TableScan.ensureReadConf(spark)
+      assert(spark.conf.get("spark.sql.files.minPartitionNum") === "3")
+    } finally spark.conf.set("spark.sql.files.minPartitionNum", "1")
+  }
+
   test("partition pruning + stats pruning skip files; results still exact") {
     val orders = Tables.orders(spark, sf)
     val t = engine.catalog.createTable(freshName(), orders.schema,
