@@ -1,8 +1,9 @@
 package graft.extras
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.util.AccumulatorV2
 
 /** Deduplication operators for training corpora: exact, MinHash-LSH,
   * SimHash, n-gram Jaccard, embedding-cosine (SURVEY §7.1.7).
@@ -15,6 +16,93 @@ import org.apache.spark.sql.types._
   * (b=16, r=4 by default) target Jaccard ~0.7+ recall.
   */
 object Dedup {
+
+  /** Max-tracking accumulator for [[BucketSkewMonitor]]. */
+  private final class MaxLongAccumulator extends AccumulatorV2[java.lang.Long, java.lang.Long] {
+    private var _v = 0L
+    override def isZero: Boolean = _v == 0L
+    override def copy(): MaxLongAccumulator = {
+      val a = new MaxLongAccumulator; a._v = _v; a
+    }
+    override def reset(): Unit = _v = 0L
+    override def add(v: java.lang.Long): Unit = if (v > _v) _v = v
+    override def merge(o: AccumulatorV2[java.lang.Long, java.lang.Long]): Unit =
+      if (o.value > _v) _v = o.value
+    override def value: java.lang.Long = _v
+  }
+
+  /** Observable record of the bucket-size cap: how many buckets (and
+    * member rows) the skew guard dropped, and the largest bucket seen.
+    * Accumulator-backed so the numbers survive ANY adaptive re-planning:
+    * `observe()`/CollectMetrics was tried first, but AQE's
+    * empty-relation propagation replaces the semi-join subtree with an
+    * empty relation when every bucket is dropped — exactly the
+    * degenerate case the metrics exist for — and harvests no metrics
+    * from the pruned subtree. Accumulators ride task completion of the
+    * counts stage, which always runs. Named, so they also surface
+    * per-stage in the Spark UI / event log with no code on the caller's
+    * side. Retries/speculation can over-count (at-least-once) — these
+    * are observability signals, never correctness inputs. */
+  final class BucketSkewMonitor(spark: SparkSession, name: String) {
+    private[Dedup] val oversizedBuckets =
+      spark.sparkContext.longAccumulator(s"$name.oversized_buckets")
+    private[Dedup] val oversizedRows =
+      spark.sparkContext.longAccumulator(s"$name.oversized_rows")
+    private[Dedup] val maxBucket = new MaxLongAccumulator
+    spark.sparkContext.register(maxBucket, s"$name.max_bucket_size")
+    /** (oversized_buckets, oversized_rows, max_bucket_size) seen so far. */
+    def stats: Map[String, Long] = Map(
+      "oversized_buckets" -> oversizedBuckets.value,
+      "oversized_rows" -> oversizedRows.value,
+      "max_bucket_size" -> maxBucket.value.longValue())
+  }
+
+  /** Skew-guarded bucket grouping shared by the three pair generators:
+    * bucket sizes are counted FIRST (map-side partial count — the
+    * shuffled rows are (key, partial_count), never members), then
+    * singleton and over-cap keys are semi-joined away BEFORE the member
+    * `collect_list`, so the aggregation buffer never holds more than
+    * `maxBucketSize` members. Counting after collection would bound the
+    * emitted pairs but not the buffer: a degenerate mega-bucket (10 M
+    * near-identical docs — or worse, 768-dim vectors riding the struct)
+    * would be fully accumulated just to be thrown away, an executor OOM
+    * at exactly the corpus skew the cap exists for.
+    *
+    * The cap is never silent: every call records
+    * `oversized_buckets` / `oversized_rows` / `max_bucket_size` through
+    * a [[BucketSkewMonitor]] (a caller-supplied one, else a fresh
+    * internal one whose named accumulators still surface in the UI and
+    * event log).
+    *
+    * Cost: the member stream is shuffled twice on the same key (once for
+    * the semi-join, once — exchange-free, the join's partitioning is
+    * reused — for the grouping); the counts side ships partial counts
+    * only. That extra narrow shuffle is the price of a hard memory
+    * bound. */
+  private def cappedBuckets(
+      members: DataFrame, keyCols: Seq[String], valueCol: Column,
+      maxBucketSize: Int, name: String,
+      monitor: Option[BucketSkewMonitor]): DataFrame = {
+    val key = keyCols.map(col)
+    val mon = monitor.getOrElse(new BucketSkewMonitor(members.sparkSession, name))
+    val counts = members.groupBy(key: _*).agg(count(lit(1)).as("m"))
+    // side-effecting always-true filter on the (small, post-aggregation)
+    // counts stream; nondeterministic so Catalyst never folds, splits or
+    // re-derives it. Capture the (serializable) accumulators only — the
+    // monitor itself holds the SparkSession.
+    val (accB, accR, accM) = (mon.oversizedBuckets, mon.oversizedRows, mon.maxBucket)
+    val record = udf((m: Long) => {
+      if (m > maxBucketSize) { accB.add(1L); accR.add(m) }
+      accM.add(m)
+      true
+    }).asNondeterministic()
+    val ok = counts.filter(record(col("m")))
+      .where(col("m").between(2, maxBucketSize)).select(key: _*)
+    // shuffle-hash with the (bounded-by-construction) key list as build
+    // side; the member stream streams past it un-sorted
+    members.join(ok.hint("shuffle_hash"), keyCols, "left_semi")
+      .groupBy(key: _*).agg(valueCol.as("ms"))
+  }
 
   /** Exact dedup: one representative (min id) per identical text. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -46,8 +134,10 @@ object Dedup {
     * joins share a single computation inside the consuming job.
     *
     * `maxBucketSize` bounds the quadratic blow-up of a degenerate bucket
-    * (m members -> m^2/2 pairs AND an m-element collected list): buckets
-    * past the cap are dropped. With b independent bands a true near-dup
+    * (m members -> m^2/2 pairs AND an m-element collected list): over-cap
+    * buckets are dropped BEFORE member collection (see [[cappedBuckets]]
+    * — both the pair count and the aggregation buffer stay bounded, and
+    * the drop is observable). With b independent bands a true near-dup
     * pair collides in many bands, so a capped bucket's pairs almost
     * surely re-surface in a less-loaded band; the cap trades a sliver of
     * recall for a hard bound on worst-case memory — the standard LSH
@@ -55,7 +145,8 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7, maxBucketSize: Int = 10000): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 10000,
+      monitor: Option[BucketSkewMonitor] = None): DataFrame = {
     val rows = numHashes / bands
     val base = df.select(
         col(idCol).as("id"),
@@ -69,12 +160,15 @@ object Dedup {
       // the whole hash tree. eager=false keeps the materialization inside
       // the first consuming job instead of a separate build-time barrier.
       .localCheckpoint(eager = false)
-    val buckets = base.select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
+    // null ids can't form pairs and would skew the pre-count vs the
+    // collected size (collect_list drops nulls) — filter them up front
+    val buckets = base.filter(col("id").isNotNull)
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
     // bucket-mates only: shuffle on (band, bh), never a global cross join
-    val ids = sort_array(collect_list(col("id")))
-    val grouped = buckets.groupBy(col("band"), col("bh"))
-      .agg(ids.as("ids"))
-      .where(size(col("ids")).between(2, maxBucketSize))
+    val grouped = cappedBuckets(buckets, Seq("band", "bh"),
+      sort_array(collect_list(col("id"))), maxBucketSize,
+      "graft.dedup.skew.minhash", monitor)
+      .withColumnRenamed("ms", "ids")
     // all (i < j) pairs within a bucket, then global pair-dedup
     val combos = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids"))),
@@ -166,23 +260,24 @@ object Dedup {
     * Same skew-guarded bucket shape as [[minhashPairs]]: members are
     * collected per (band, bucket) — the 64-bit signature rides the
     * struct so verification needs NO join at all — and buckets past
-    * `maxBucketSize` are dropped before their m²/2 pairs exist. A
-    * degenerate corpus (every document near-identical) lands in one
-    * bucket per band and would otherwise go quadratic; with 4
-    * independent bands a true near-dup pair in a capped bucket usually
-    * re-surfaces in a less-loaded band. */
+    * `maxBucketSize` are dropped before member collection
+    * ([[cappedBuckets]]), so neither the m²/2 pairs nor the m-element
+    * buffer ever exist. A degenerate corpus (every document
+    * near-identical) lands in one bucket per band and would otherwise
+    * go quadratic; with 4 independent bands a true near-dup pair in a
+    * capped bucket usually re-surfaces in a less-loaded band. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      monitor: Option[BucketSkewMonitor] = None): DataFrame = {
     val base = df.select(col(idCol).as("id"),
         TextAnalysis.simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
       .withColumn("bands", TextAnalysis.simhashBands(col("sim")))
     val buckets = base.select(col("id"), col("sim"),
       posexplode(col("bands")).as(Seq("band", "bh")))
-    val members = sort_array(collect_list(struct(col("id"), col("sim"))))
-    val grouped = buckets.groupBy(col("band"), col("bh"))
-      .agg(members.as("ms"))
-      .where(size(col("ms")).between(2, maxBucketSize))
+    val grouped = cappedBuckets(buckets, Seq("band", "bh"),
+      sort_array(collect_list(struct(col("id"), col("sim")))), maxBucketSize,
+      "graft.dedup.skew.simhash", monitor)
     // all (i < j) pairs with hamming computed in place (id sorted first
     // in the struct, so pair order is id_a < id_b)
     val combos = flatten(transform(col("ms"), (x, i) =>
@@ -199,20 +294,23 @@ object Dedup {
     * exact cosine verification (unit-norm vectors: cosine == dot).
     *
     * Skew guard as in [[minhashPairs]]/[[simhashPairs]]: per-bucket
-    * collect_list + in-bucket pair emission, buckets past
-    * `maxBucketSize` dropped before going quadratic. The cap defaults
-    * lower than the text variants because each member carries its full
-    * vector (cap × dim × 4 bytes of agg state per bucket). */
+    * collect_list + in-bucket pair emission, over-cap buckets dropped
+    * BEFORE member collection ([[cappedBuckets]]) — critical here,
+    * because each member carries its full vector: a 10 M-clone corpus
+    * at 768 dims would otherwise accumulate ~60 GB into ONE aggregation
+    * buffer before the size filter could drop it. The cap defaults
+    * lower than the text variants (cap × dim × 4 bytes of bounded agg
+    * state per bucket). */
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, srpBits: Int = 16,
-      maxBucketSize: Int = 4096): DataFrame = {
+      maxBucketSize: Int = 4096,
+      monitor: Option[BucketSkewMonitor] = None): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", Similarity.srpSignature(col("v"), srpBits))
-    val members = sort_array(collect_list(struct(col("id"), col("v"))))
-    val grouped = base.groupBy(col("sig"))
-      .agg(members.as("ms"))
-      .where(size(col("ms")).between(2, maxBucketSize))
+    val grouped = cappedBuckets(base, Seq("sig"),
+      sort_array(collect_list(struct(col("id"), col("v")))), maxBucketSize,
+      "graft.dedup.skew.embedding", monitor)
     val combos = flatten(transform(col("ms"), (x, i) =>
       transform(slice(col("ms"), i + lit(2), size(col("ms"))),
         y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),

@@ -86,6 +86,45 @@ class ExtrasSpec extends SparkSpec {
     assert(Dedup.embeddingPairs(fewVecs, "vec_id", "embedding", threshold = 0.5).count() === 10)
   }
 
+  test("bucket cap engages BEFORE member collection and is observable") {
+    // the cap must bound the aggregation BUFFER, not just the emitted
+    // pairs: the over-cap keys are semi-joined away before collect_list,
+    // so the plan has the LeftSemi between the count agg and the member
+    // agg — a mega-bucket never accumulates (the old shape collected the
+    // full bucket, vectors and all, then dropped it)
+    val clones = (0 until 5000).map(i => (i.toLong, "identical text " + "pad " * 8))
+      .toDF("doc_id", "text")
+    val mon = new Dedup.BucketSkewMonitor(spark, "test.skew.mh")
+    val mp = Dedup.minhashPairs(clones, "doc_id", "text",
+      maxBucketSize = 50, monitor = Some(mon))
+    val plan = mp.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no pre-collect semi-join in plan:\n$plan")
+    // member agg (collect_list) must sit ABOVE the semi-join in the tree:
+    // the collect happens only on rows that survived the cap filter
+    val collectIdx = plan.indexOf("collect_list")
+    val semiIdx = plan.indexOf("LeftSemi")
+    assert(collectIdx >= 0 && semiIdx > collectIdx,
+      s"collect_list should consume the semi-join output:\n$plan")
+    assert(mp.count() === 0)
+    val m = mon.stats
+    // 16 bands x 1 degenerate bucket each, all dropped (accumulators are
+    // at-least-once, so assert floors not exact counts where retried
+    // stages could inflate)
+    assert(m("oversized_buckets") >= 16L, s"cap drop not observed: $m")
+    assert(m("oversized_rows") >= 5000L, s"dropped rows not counted: $m")
+    assert(m("max_bucket_size") === 5000L, s"max bucket wrong: $m")
+
+    // under-cap corpus: zero oversized buckets observed, pairs intact
+    val mon2 = new Dedup.BucketSkewMonitor(spark, "test.skew.emb")
+    val vec = Array.fill(16)(0.25f)
+    val fewVecs = (0 until 5).map(i => (i.toLong, vec)).toDF("vec_id", "embedding")
+    val ep = Dedup.embeddingPairs(fewVecs, "vec_id", "embedding",
+      threshold = 0.5, monitor = Some(mon2))
+    assert(ep.count() === 10)
+    assert(mon2.stats("oversized_buckets") === 0L)
+    assert(mon2.stats("max_bucket_size") === 5L)
+  }
+
   test("SRP ANN: rank-1 is the query itself with sim ~1") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 5)
