@@ -187,6 +187,17 @@ final class LakeEngine(
     * unchanged rows as a delete+insert pair; consumers reconciling net
     * state apply deletes before inserts. Metadata cost is O(changed
     * files) — shared manifest chunks are never read. */
+  /** File-level CDC between two snapshots, rows tagged `_change_type`
+    * insert/delete. Fast path: one endpoint manifest net-diff (touches
+    * only the non-shared chunks of the two snapshots). When the commit
+    * chain between the endpoints contains `replace` snapshots
+    * (compaction / manifest rewrite — file churn with NO logical row
+    * change), the endpoint diff would emit delete+insert pairs for
+    * every compacted-but-untouched row; those ranges instead step per
+    * snapshot and skip the replace commits, matching the streaming CDC
+    * feed ([[graft.streaming.LakeStreamSource]]) exactly. Ranges whose
+    * endpoints are not ancestor-related (diverged branches) keep the
+    * net-diff semantics. */
   def readChanges(table: LakeTable, fromSnapshotId: Option[Long],
       toSnapshotId: Option[Long] = None): DataFrame = {
     val m = table.metadata
@@ -196,20 +207,39 @@ final class LakeEngine(
       throw new ValidationException(s"no snapshot $toId"))
     val from = fromSnapshotId.map(id => m.snapshotById(id).getOrElse(
       throw new ValidationException(s"no snapshot $id")))
-    val (added, removed) = LakeTable.changedFiles(table, from, to)
+    // ascending (from, to] commit chain, None when from isn't an ancestor
+    def chainFrom(f: Snapshot): Option[List[Snapshot]] = {
+      var chain = List.empty[Snapshot]
+      var cur: Option[Snapshot] = Some(to)
+      while (cur.exists(_.id != f.id)) {
+        chain = cur.get :: chain
+        cur = cur.get.parentId.flatMap(m.snapshotById)
+      }
+      if (cur.isDefined) Some(chain) else None
+    }
+    val pieces: Seq[(String, Seq[FileEntry])] =
+      from.filter(f => f.id != to.id).flatMap(chainFrom) match {
+        case Some(chain) if chain.exists(_.operation == "replace") =>
+          chain.filterNot(_.operation == "replace").flatMap { s =>
+            val parent = s.parentId.flatMap(m.snapshotById)
+            val (add, rem) = LakeTable.changedFiles(table, parent, s)
+            Seq("delete" -> rem, "insert" -> add)
+          }
+        case _ =>
+          val (add, rem) = LakeTable.changedFiles(table, from, to)
+          Seq("delete" -> rem, "insert" -> add)
+      }
     def tagged(files: Seq[FileEntry], kind: String): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(new TableScan(spark, table, explicitFiles = Some(files)).toDF()
         .withColumn("_change_type", lit(kind)))
-    (tagged(removed, "delete"), tagged(added, "insert")) match {
-      case (Some(d), Some(i)) => d.unionByName(i)
-      case (Some(d), None) => d
-      case (None, Some(i)) => i
-      case (None, None) =>
-        val schema = org.apache.spark.sql.types.StructType(table.schema.fields :+
-          org.apache.spark.sql.types.StructField("_change_type",
-            org.apache.spark.sql.types.StringType))
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val frames = pieces.flatMap { case (kind, files) => tagged(files, kind) }
+    if (frames.nonEmpty) frames.reduce(_.unionByName(_))
+    else {
+      val schema = org.apache.spark.sql.types.StructType(table.schema.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
   }
 

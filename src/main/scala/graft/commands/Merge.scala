@@ -339,14 +339,24 @@ object Merge {
     // the may-match files yields identical matched / not-matched
     // classification; sound ONLY while no WHEN NOT MATCHED BY SOURCE
     // clause exists (those act on target rows the source does NOT hit).
-    val prunePred: Pred =
-      if (notMatchedBySource.nonEmpty) AlwaysTrue
-      else mergePrunePred(spark, schema, source, targetAlias, sourceAlias, onSql)
+    // When pruning can engage, pin the source behind a lazy local
+    // checkpoint FIRST: the boundary-key collect in [[mergePrunePred]]
+    // materializes it once and the merge join below reuses the same
+    // blocks — the source plan (possibly an expensive join pipeline)
+    // never evaluates twice, and a non-deterministic source yields the
+    // SAME rows to key collection and to the join, so pruning stays
+    // sound without a determinism guard.
+    val (src, prunePred: Pred) =
+      if (notMatchedBySource.nonEmpty) (source, AlwaysTrue)
+      else {
+        val pinned = source.localCheckpoint(eager = false)
+        (pinned, mergePrunePred(spark, schema, pinned, targetAlias, sourceAlias, onSql))
+      }
     val scan0 = new TableScan(spark, table, prunePred, withFileColumns = true)
     val candidates = scan0.planFiles()
     val target = new TableScan(spark, table, explicitFiles = Some(candidates),
       withFileColumns = true).toDF().alias(targetAlias)
-    val sMarked = source.withColumn(SPresent, lit(true))
+    val sMarked = src.withColumn(SPresent, lit(true))
     val s = sourceAlias.map(sMarked.alias).getOrElse(sMarked)
 
     val tP = col(s"$targetAlias.$PosC").isNotNull
@@ -447,13 +457,10 @@ object Merge {
       onSql: String, maxKeys: Int = 10000): Pred = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
-    // key collection evaluates the source a SECOND time (the merge join
-    // re-evaluates it later): a non-deterministic source could yield a
-    // different key set there, making the pruned file set unsound — skip
-    // pruning for such plans rather than materializing the source
-    if (source.queryExecution.analyzed.find(
-        p => p.expressions.exists(e => !e.deterministic)).isDefined)
-      return AlwaysTrue
+    // `source` is locally checkpointed by the caller: key collection here
+    // materializes it once, and the merge join reuses the same blocks —
+    // so even a non-deterministic source yields one consistent row set
+    // and pruning from its keys is sound.
     val parsed =
       try spark.sessionState.sqlParser.parseExpression(onSql)
       catch { case scala.util.control.NonFatal(_) => return AlwaysTrue }

@@ -1,6 +1,6 @@
 package graft.extras
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -17,13 +17,14 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Executed source plan of the most recent driver-finished
+  /** Executed source plan of this thread's most recent driver-finished
     * [[bruteForceTopK]] (the distributed combiner job) — diagnostics and
     * plan-quality tests, mirroring
-    * [[graft.plans.DriverFinalAgg.lastSourcePlan]]. */
-  @volatile private var lastSourcePlanNode: org.apache.spark.sql.execution.SparkPlan = null
-  def lastSourcePlan: String =
-    Option(lastSourcePlanNode).map(_.toString).getOrElse("")
+    * [[graft.plans.DriverFinalAgg.lastSourcePlan]]. Thread-local, so
+    * concurrent callers never observe each other's plans. */
+  private val lastSourcePlanTL: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "")
+  def lastSourcePlan: String = lastSourcePlanTL.get()
 
   /** Sequential double-fold dot product, as a native codegen expression
     * ([[graft.functions.DotProduct]]) — bit-identical to the equivalent
@@ -58,46 +59,56 @@ object Similarity {
       k: Int, exactCosine: Boolean = false,
       maxPartialRows: Int = 1 << 20): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
+    val qidField = queries.schema(queryId)
+    val cidField = corpus.schema(corpusId)
     val sim =
       if (exactCosine) cosine(col("qv"), col("cv")) else dot(col("qv"), col("cv"))
     val joined = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv"))
       .crossJoin(broadcast(
         queries.select(col(queryId).as("qid"), col(queryVec).as("qv"))))
-      .select(col("qid"), col("cid"), round(sim, 6).as("sim"))
+      .select(col("qid"), col("cid"), round(sim, 6).cast(DoubleType).as("sim"))
     val local = localTopK(joined, k)
-    // the combiner output is ≤ #tasks × #queries × k rows by
-    // construction, and the query side is broadcast (small by
-    // contract: it must fit every executor) — so the collect here is
-    // metadata-scale. maxPartialRows <= 0 opts out of the driver
-    // finish entirely; a query set big enough to exceed the cap gets
-    // the distributed exchange+window plan instead.
-    val partials =
-      if (maxPartialRows <= 0) Array.empty[(Long, Long, Double)]
-      else {
-        val ds = local.as[(Long, Long, Double)]
-        lastSourcePlanNode =
-          ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[(Long, Long, Double)]]
-            .queryExecution.executedPlan
-        ds.collect()
+    // The combiner output is ≤ #partitions × #queries × k rows by
+    // construction — computed A PRIORI (one cheap count of the
+    // broadcast-by-contract query side; partition count from the plan),
+    // so an over-cap query set is never materialized driver-side first:
+    // it goes STRAIGHT to the distributed exchange+window finish, and
+    // the one distributed combiner job runs exactly once either way.
+    // maxPartialRows <= 0 opts out of the driver finish entirely; ids
+    // whose JVM types don't order (maps, arrays, structs, binary) take
+    // the window plan too, where Catalyst owns the tie-break.
+    val driverFinish = maxPartialRows > 0 &&
+      orderableId(qidField.dataType) && orderableId(cidField.dataType) && {
+        val bound = local.rdd.getNumPartitions.toLong * queries.count() * k
+        bound <= maxPartialRows
       }
-    if (maxPartialRows > 0 && partials.length <= maxPartialRows) {
+    if (driverFinish) {
       // ONE distributed job (scan + dot + per-partition top-k); merge and
       // rank the bounded partials coordinator-side, bit-identically to
-      // the ranking window (same sort key, same tie-break)
-      val rows = partials.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qid, cand) =>
-        cand.sortBy(c => (-c._3, c._2)).take(k).zipWithIndex.map {
-          case ((_, cid, s), i) => org.apache.spark.sql.Row(qid, cid, s, i + 1)
+      // the ranking window (same sort key, same tie-break, nulls first
+      // like Catalyst's default ascending order)
+      lastSourcePlanTL.set(
+        local.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+          .queryExecution.executedPlan.toString)
+      val partials = local.collect()
+      val rows = partials.groupBy(_.get(0)).toSeq
+        .sortWith((x, y) => cmpAsc(x._1, y._1) < 0)
+        .flatMap { case (qid, cand) =>
+          cand.sortWith { (a, b) =>
+            a.getDouble(2) > b.getDouble(2) ||
+              (a.getDouble(2) == b.getDouble(2) && cmpAsc(a.get(1), b.get(1)) < 0)
+          }.take(k).zipWithIndex.map {
+            case (r, i) => Row(qid, r.get(1), r.getDouble(2), i + 1)
+          }
         }
-      }
       spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
+        new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType, nullable = false),
-          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType, nullable = false))))
+        StructType(Seq(
+          StructField("qid", qidField.dataType, qidField.nullable),
+          StructField("cid", cidField.dataType, cidField.nullable),
+          StructField("sim", DoubleType, nullable = false),
+          StructField("rank", IntegerType, nullable = false))))
     } else {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
@@ -106,30 +117,48 @@ object Similarity {
     }
   }
 
+  /** Id types the driver-side merge can order exactly like Catalyst's
+    * ascending sort: atomic JVM-`Comparable` externals. Binary and
+    * nested types fall back to the window plan. */
+  private def orderableId(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | BooleanType | DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Ascending nulls-first compare on external atomic values — the same
+    * order `asc("cid")` produces in the window fallback. */
+  private def cmpAsc(a: Any, b: Any): Int =
+    if (a == null && b == null) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else a.asInstanceOf[Comparable[Any]].compareTo(b)
+
   /** Per-partition top-k per qid over (qid, cid, sim) rows: keeps the k
-    * best candidates by (sim desc, cid asc) per query in bounded memory. */
+    * best candidates by (sim desc, cid asc) per query in bounded memory.
+    * Generic over the id types — rows keep their native qid/cid types
+    * (long, string, ...), so both finish paths return one schema. */
   private def localTopK(scored: DataFrame, k: Int): DataFrame = {
-    val s = scored.sparkSession
-    import s.implicits._
-    scored.select(col("qid").cast(LongType), col("cid").cast(LongType),
-        col("sim").cast(DoubleType))
-      .as[(Long, Long, Double)].mapPartitions { it =>
-        val best = scala.collection.mutable.HashMap
-          .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
-        // a is a worse candidate than b under (sim desc, cid asc)
-        val worseThan = (a: (Long, Double), b: (Long, Double)) =>
-          a._2 < b._2 || (a._2 == b._2 && a._1 > b._1)
-        it.foreach { case (qid, cid, sim) =>
-          val buf = best.getOrElseUpdate(qid,
-            scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
-          if (buf.size < k) buf += ((cid, sim))
-          else {
-            val worst = buf.indices.reduce((i, j) => if (worseThan(buf(i), buf(j))) i else j)
-            if (worseThan(buf(worst), (cid, sim))) buf(worst) = (cid, sim)
-          }
+    implicit val enc: Encoder[Row] = Encoders.row(scored.schema)
+    scored.mapPartitions { it =>
+      val best = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.ArrayBuffer[(Any, Double)]]
+      // a is a worse candidate than b under (sim desc, cid asc)
+      val worseThan = (a: (Any, Double), b: (Any, Double)) =>
+        a._2 < b._2 || (a._2 == b._2 && cmpAsc(a._1, b._1) > 0)
+      it.foreach { r =>
+        val buf = best.getOrElseUpdate(r.get(0),
+          scala.collection.mutable.ArrayBuffer.empty[(Any, Double)])
+        val cand = (r.get(1), r.getDouble(2))
+        if (buf.size < k) buf += cand
+        else {
+          val worst = buf.indices.reduce((i, j) => if (worseThan(buf(i), buf(j))) i else j)
+          if (worseThan(buf(worst), cand)) buf(worst) = cand
         }
-        best.iterator.flatMap { case (qid, buf) => buf.map(t => (qid, t._1, t._2)) }
-      }.toDF("qid", "cid", "sim")
+      }
+      best.iterator.flatMap { case (qid, buf) => buf.map(t => Row(qid, t._1, t._2)) }
+    }
   }
 
   /** SRP signature: sign bits of projections onto deterministic pseudo-

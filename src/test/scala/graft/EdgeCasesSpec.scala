@@ -425,6 +425,44 @@ class EdgeCasesSpec extends SparkSpec {
       s"overlapping stale merge must conflict: ${e.getMessage}")
   }
 
+  test("merge evaluates the source once; pruning engages for nondeterministic sources") {
+    import graft.commands.Merge
+    import graft.metrics.{MetricCollector, MetricCollectors, ScanEvent}
+    val t = engine.catalog.createTable("merge_once",
+      Seq((1L, "x")).toDF("id", "v").schema)
+    (0 until 3).foreach(b => engine.insert(t,
+      ((b * 100 + 1) to (b * 100 + 100)).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)))
+
+    // the source rides a lazy localCheckpoint inside merge(): boundary-key
+    // collection materializes it ONCE and the join reuses the blocks, so
+    // the side-effecting column runs once per row — and, because both
+    // consumers see the same materialized rows, pruning is sound even for
+    // a nondeterministic source (the old determinism guard forced a full
+    // scan here)
+    val evals = spark.sparkContext.longAccumulator("merge-src-evals")
+    val tagged = udf((k: Long) => { evals.add(1L); s"m$k" }).asNondeterministic()
+    val source = Seq(50L, 60L).toDF("id").withColumn("nv", tagged(col("id")))
+
+    val scans = scala.collection.mutable.ArrayBuffer.empty[ScanEvent]
+    val rec = new MetricCollector {
+      override def onScan(e: ScanEvent): Unit = scans.synchronized { scans += e }
+    }
+    MetricCollectors.register(rec)
+    try {
+      Merge.merge(engine, t.refresh(), source, "t", Some("s"), "t.id = s.id",
+        matched = Seq(Merge.WhenMatched(None, Some(Map("v" -> "s.nv")))),
+        notMatched = Seq.empty)
+      assert(evals.value === 2L,
+        s"source evaluated ${evals.value} row-times for 2 rows — expected exactly one pass")
+      val ev = scans.synchronized(scans.filter(_.tableLocation == t.location).last)
+      assert(ev.matchedFiles === 1 && ev.skippedFiles === 2,
+        s"ON-key pruning should keep only the 1-100 file: $ev")
+      val got = engine.scan(t.refresh()).toDF().collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(50L) === "m50" && got(60L) === "m60" && got(70L) === "v70")
+    } finally MetricCollectors.unregister(rec)
+  }
+
   test("merge pruning stays sound for null-safe ON keys") {
     import graft.commands.Merge
     import graft.metrics.{MetricCollector, MetricCollectors, ScanEvent}

@@ -139,6 +139,38 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("brute-force top-k: native id types, one schema on both finish paths") {
+    // string ids must survive end-to-end (the old impl cast to Long and
+    // crashed), and the driver-finish and window-fallback paths must
+    // return the SAME schema and the SAME rows
+    val docs = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.9f, 0.1f)),
+      ("c", Array(0.0f, 1.0f)), ("d", Array(0.5f, 0.5f)))
+      .toDF("doc", "vec")
+    val q = docs.filter(col("doc") === "a")
+    val driver = Similarity.bruteForceTopK(docs, "doc", "vec", q, "doc", "vec", k = 2)
+    // maxPartialRows=0 opts out of the driver finish -> window plan
+    val window = Similarity.bruteForceTopK(docs, "doc", "vec", q, "doc", "vec",
+      k = 2, maxPartialRows = 0)
+    assert(driver.schema.map(f => (f.name, f.dataType)) ===
+      window.schema.map(f => (f.name, f.dataType)),
+      "driver and window finishes must agree on schema")
+    val d = driver.collect().map(r => (r.getString(0), r.getString(1), r.getInt(3)))
+    val w = window.collect().map(r => (r.getString(0), r.getString(1), r.getInt(3)))
+    assert(d.toSet === w.toSet, s"paths disagree: ${d.toSeq} vs ${w.toSeq}")
+    assert(d.toSet === Set(("a", "a", 1), ("a", "b", 2)))
+
+    // an over-cap query set must go STRAIGHT to the window plan — the
+    // a-priori bound (#partitions x #queries x k) trips without any
+    // driver-side materialization of the partials
+    val over = Similarity.bruteForceTopK(docs, "doc", "vec", q, "doc", "vec",
+      k = 2, maxPartialRows = 1)
+    assert(over.queryExecution.executedPlan.toString.contains("Window") ||
+      over.queryExecution.optimizedPlan.toString.contains("Window"),
+      "over-cap query set should take the distributed window finish")
+    assert(over.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("a", "a"), ("a", "b")))
+  }
+
   test("SRP ANN recall vs brute force is reasonable") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 5)

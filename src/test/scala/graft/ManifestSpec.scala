@@ -447,6 +447,45 @@ class ManifestSpec extends SparkSpec {
     assert(engine.readChanges(t, head, head).isEmpty)
   }
 
+  test("readChanges skips replace snapshots: no churn for compacted rows") {
+    import spark.implicits._
+    val t = mkTable()
+    (0 until 4).foreach(i => engine.insert(t, rows(i * 5 until (i + 1) * 5)))
+    val s1 = t.metadata.currentSnapshotId.get
+    engine.insert(t, rows(20 until 25))
+    // compaction rewrites every file (operation=replace, no logical change)
+    graft.commands.Maintenance.compactSmallFiles(engine, t.refresh(), targetBytes = 1L << 30)
+    assert(t.refresh().metadata.currentSnapshot.get.operation === "replace")
+    engine.delete(t.refresh(), "id = 3")
+
+    val got = engine.readChanges(t.refresh(), Some(s1))
+      .select(col("id").cast("long"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect()
+    val ins = got.collect { case (id, v, "insert") => (id, v) }.toSet
+    val dels = got.collect { case (id, _, "delete") => id }.toSet
+    // batch CDC must agree with the streaming feed: the append's rows as
+    // inserts, the deleted row as a delete (the CoW delete re-inserts the
+    // rest of its file) — but NONE of the compaction's rewrite churn
+    // (rows 0-19 minus the delete-file residents stay silent)
+    assert(ins.contains((20L, "v20")) && ins.contains((24L, "v24")), ins.toString)
+    assert(dels.contains(3L), dels.toString)
+    // rows 0-19 lived only in compacted files; without replace-skip they
+    // all appear as delete+insert pairs
+    val churn = dels -- Set(3L) -- (20L until 25L)
+    // the CoW delete rewrote ONE post-compaction file; with full
+    // compaction that file holds all rows, so scope the assertion to
+    // what the delete could NOT have touched: inserts must never carry
+    // a pre-compaction row that the delete's rewrite didn't re-emit
+    assert(!got.exists { case (id, _, ct) => ct === "insert" && id < 20L && !dels.contains(id) },
+      s"compaction churn leaked into inserts: $got")
+    // net reconciliation still holds
+    val base = (0L until 20L).map(i => (i, s"v$i")).toSet
+    val reconciled = (base -- got.collect { case (id, v, "delete") => (id, v) }.toSet) ++ ins
+    val current = engine.scan(t.refresh()).toDF().select(col("id").cast("long"), col("v"))
+      .as[(Long, String)].collect().toSet
+    assert(reconciled === current, s"reconciliation broke: churn=$churn")
+  }
+
   test("orphan cleanup deletes stranded files, keeps everything referenced") {
     val t = mkTable()
     engine.insert(t, rows(0 until 10))
