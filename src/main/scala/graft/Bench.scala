@@ -38,7 +38,7 @@ object Bench {
     * sessions.
     */
   private def oracleTimes(sfDir: String, cpus: String): Option[(Map[String, Double], Double)] = {
-    val oracles = Registry.all.filter(q => q.bench && q.oracle.isDefined)
+    val oracles = Registry.all.filter(q => q.bench && q.benchOracle && q.oracle.isDefined)
     if (oracles.isEmpty) return None
     try {
       val spec = oracles.map(q =>

@@ -8,13 +8,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `bench = true` marks headline queries timed by [[Bench]] — pure
   * analytics only (no temp-table setup), so the DuckDB-wall-time
   * comparison is apples-to-apples.
+  *
+  * `benchOracle = false` keeps a query's oracle OUT of the bench's
+  * same-run DuckDB timing (and therefore out of the recorded
+  * spark/oracle ratio) while the correctness gate still runs it: used
+  * when the oracle is an exact O(n²) reference for an approximate
+  * operator — timing LSH against a brute-force baseline would game the
+  * ratio in Spark's favor, and the baseline takes minutes at bench SF.
   */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
     bench: Boolean = false,
-    doc: String = "")
+    doc: String = "",
+    benchOracle: Boolean = true)
 
 object Registry {
   lazy val all: Seq[Q] =

