@@ -53,11 +53,16 @@ object Similarity {
     * Falls back to the distributed exchange+window plan when the
     * partial row bound exceeds `maxPartialRows` (huge query sets).
     * Output is a single partition either way. */
+  /** `queryCountHint`: an upper bound on the query-side row count, when
+    * the caller knows it — skips the one count job the a-priori partial
+    * bound otherwise needs. A hint that understates is caught by the
+    * post-collect backstop (falls back to the distributed finish). */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, exactCosine: Boolean = false,
-      maxPartialRows: Int = 1 << 20): DataFrame = {
+      maxPartialRows: Int = 1 << 20,
+      queryCountHint: Option[Long] = None): DataFrame = {
     val spark = corpus.sparkSession
     val qidField = queries.schema(queryId)
     val cidField = corpus.schema(corpusId)
@@ -79,9 +84,16 @@ object Similarity {
     // the window plan too, where Catalyst owns the tie-break.
     val driverFinish = maxPartialRows > 0 &&
       orderableId(qidField.dataType) && orderableId(cidField.dataType) && {
-        val bound = local.rdd.getNumPartitions.toLong * queries.count() * k
+        val nq = queryCountHint.getOrElse(queries.count())
+        val bound = local.rdd.getNumPartitions.toLong * nq * k
         bound <= maxPartialRows
       }
+    lazy val windowFinish: DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
+      local.repartition(1)
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
     if (driverFinish) {
       // ONE distributed job (scan + dot + per-partition top-k); merge and
       // rank the bounded partials coordinator-side, bit-identically to
@@ -91,6 +103,8 @@ object Similarity {
         local.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
           .queryExecution.executedPlan.toString)
       val partials = local.collect()
+      if (partials.length > maxPartialRows)
+        return windowFinish // queryCountHint understated; stay distributed
       val rows = partials.groupBy(_.get(0)).toSeq
         .sortWith((x, y) => cmpAsc(x._1, y._1) < 0)
         .flatMap { case (qid, cand) =>
@@ -109,12 +123,7 @@ object Similarity {
           StructField("cid", cidField.dataType, cidField.nullable),
           StructField("sim", DoubleType, nullable = false),
           StructField("rank", IntegerType, nullable = false))))
-    } else {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
-      local.repartition(1)
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-    }
+    } else windowFinish
   }
 
   /** Id types the driver-side merge can order exactly like Catalyst's

@@ -19,7 +19,8 @@ object SimilarityQueries {
         val queries = emb.filter(col("vec_id") < 5)
         Similarity.bruteForceTopK(
             emb, "vec_id", "embedding",
-            queries, "vec_id", "embedding", k = 10)
+            queries, "vec_id", "embedding", k = 10,
+            queryCountHint = Some(5L)) // vec_id < 5 on unique ids
           .select(col("qid"), col("cid"), col("sim"), col("rank").cast("int").as("rank"))
           // bruteForceTopK output is already a single ranked partition
           .sortWithinPartitions(col("qid"), col("rank"))
@@ -78,7 +79,8 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceTopK(
-      emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = k)
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = k,
+      queryCountHint = Some(5L)) // vec_id < 5 on unique ids
     val ann = variant match {
       case "srp" => Similarity.srpTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = k, bits = 16, maxHamming = 6)

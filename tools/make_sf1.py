@@ -1,0 +1,36 @@
+#!/usr/bin/env python3
+"""Generate the sf1 scale-proof dataset: 10x replication of sf0.1 with
+consistent key shifts (driver-side tooling — pyarrow preserves physical
+types, including the NANOS events timestamps). Usage:
+    python3 tools/make_sf1.py [src=/root/testdata/sf0.1] [dst=/tmp/sf1]
+Joined keys shift together (orders.o_orderkey with lineitem.l_orderkey);
+dimension tables stay unreplicated, so join fan-outs scale like the facts.
+BENCH_sf1.json was recorded against this dataset."""
+import sys, os
+import pyarrow as pa, pyarrow.parquet as pq, pyarrow.compute as pc
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+os.makedirs(dst, exist_ok=True)
+REPS = 10
+shifts = {
+    "orders":     {"o_orderkey": 10_000_000},
+    "lineitem":   {"l_orderkey": 10_000_000},
+    "documents":  {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+    "events":     {},
+}
+for t in ["region", "nation", "customer", "supplier", "part"]:
+    pq.write_table(pq.read_table(f"{src}/{t}.parquet"), f"{dst}/{t}.parquet", compression="zstd")
+for t, sh in shifts.items():
+    base = pq.read_table(f"{src}/{t}.parquet")
+    reps = []
+    for r in range(REPS):
+        tb = base
+        for col, off in sh.items():
+            i = tb.schema.get_field_index(col)
+            tb = tb.set_column(i, tb.schema.field(i), pc.add(tb.column(i), r * off))
+        reps.append(tb)
+    out = pa.concat_tables(reps)
+    pq.write_table(out, f"{dst}/{t}.parquet", compression="zstd")
+    print(t, base.num_rows, "->", out.num_rows)
