@@ -211,7 +211,7 @@ object JvmImageCodec extends MediaCodec {
     * INDEX, and 16-bit gray samples reach 65535 — both must go through
     * getRGB, which normalizes every color model to sRGB); integer
     * BT.601 luma otherwise. */
-  private def luminance(img: java.awt.image.BufferedImage): Array[Int] = {
+  private[extras] def luminance(img: java.awt.image.BufferedImage): Array[Int] = {
     val (w, h) = (img.getWidth, img.getHeight)
     val out = new Array[Int](w * h)
     val plainGray8 = img.getRaster.getNumBands == 1 &&
@@ -343,9 +343,104 @@ object JvmWavCodec extends MediaCodec {
     }
 }
 
+/** REAL pure-JVM MJPEG codec — the second live registration behind the
+  * video seam, proving the frame interface with an actual container
+  * walk. MJPEG "video" is a stream of concatenated JPEG frames; frame
+  * boundaries come from a proper JPEG segment parse (marker segments
+  * with big-endian lengths, entropy-coded scans skipped with
+  * stuffed-byte/RST awareness up to each frame's EOI — a naive FFD9
+  * split would cut frames at entropy bytes that happen to look like
+  * EOI), and each sampled frame decodes through [[JvmImageCodec]]'s
+  * ImageIO path. General containers (MP4/H.264) need native codecs the
+  * JDK lacks — that remains the documented JavaCV seam; MJPEG is the
+  * one real video format that is pure JVM. */
+object JvmMjpegCodec extends MediaCodec {
+  override def accepts(mime: String): Boolean =
+    mime == "video/x-motion-jpeg" || mime == "video/mjpeg"
+
+  /** Byte ranges [start, end) of each complete JPEG frame. A corrupt
+    * tail (truncated frame, non-marker garbage) ends the walk with the
+    * frames parsed so far — degrade, never spin or throw. */
+  private[graft] def frameRanges(b: Array[Byte]): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    @inline def u8(o: Int): Int = b(o) & 0xff
+    var i = 0
+    while (i + 1 < b.length) {
+      if (u8(i) == 0xff && u8(i + 1) == 0xd8) { // SOI
+        val start = i
+        var o = i + 2
+        var end = -1
+        var ok = true
+        while (ok && end < 0 && o + 1 < b.length) {
+          if (u8(o) != 0xff) ok = false
+          else u8(o + 1) match {
+            case 0xd9 => end = o + 2 // EOI
+            case 0xd8 => ok = false // nested SOI: corrupt
+            case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) => o += 2 // standalone
+            case 0xda => // SOS: length-skip the header, then entropy scan
+              if (o + 3 >= b.length) ok = false
+              else {
+                val len = (u8(o + 2) << 8) | u8(o + 3)
+                if (len < 2) ok = false
+                else {
+                  o += 2 + len
+                  var scanning = true
+                  while (scanning && o + 1 < b.length) {
+                    val isMarker = u8(o) == 0xff && u8(o + 1) != 0x00 &&
+                      !(u8(o + 1) >= 0xd0 && u8(o + 1) <= 0xd7)
+                    if (isMarker) scanning = false
+                    else o += (if (u8(o) == 0xff) 2 else 1)
+                  }
+                  if (scanning) ok = false // ran off the end mid-scan
+                }
+              }
+            case _ => // marker segment with big-endian length
+              if (o + 3 >= b.length) ok = false
+              else {
+                val len = (u8(o + 2) << 8) | u8(o + 3)
+                if (len < 2) ok = false else o += 2 + len
+              }
+          }
+        }
+        if (end > 0) { out += ((start, end)); i = end } else i += 1
+      } else i += 1
+    }
+    out.result()
+  }
+
+  private def decodeFrame(b: Array[Byte], r: (Int, Int)): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      java.util.Arrays.copyOfRange(b, r._1, r._2))))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [frameCount] ++ the first frame's image features (width, height,
+    * luminance sum, 16-bin histogram). */
+  override def features(bytes: Array[Byte], mime: String): Array[Long] = {
+    val ranges = frameRanges(bytes)
+    if (ranges.isEmpty) return StubMediaCodec.features(bytes, mime)
+    val first = java.util.Arrays.copyOfRange(bytes, ranges.head._1, ranges.head._2)
+    Array(ranges.length.toLong) ++ JvmImageCodec.features(first, "image/jpeg")
+  }
+
+  /** n evenly spaced frames, each as its decoded luminance plane. */
+  override def sampleFrames(bytes: Array[Byte], mime: String, n: Int): Seq[Array[Byte]] = {
+    val ranges = frameRanges(bytes)
+    if (ranges.isEmpty) return StubMediaCodec.sampleFrames(bytes, mime, n)
+    val step = math.max(ranges.length / n, 1)
+    (0 until n).map { i =>
+      val r = ranges(math.min(i * step, ranges.length - 1))
+      decodeFrame(bytes, r) match {
+        case Some(img) => JvmImageCodec.luminance(img).map(_.toByte)
+        case None => java.util.Arrays.copyOfRange(bytes, r._1, math.min(r._1 + 16, r._2))
+      }
+    }
+  }
+}
+
 object MediaCodecs {
   /** Default stack: real JVM codecs first, stub as the catch-all. */
-  private val defaults: Seq[MediaCodec] = Seq(JvmImageCodec, JvmWavCodec, StubMediaCodec)
+  private val defaults: Seq[MediaCodec] =
+    Seq(JvmImageCodec, JvmWavCodec, JvmMjpegCodec, StubMediaCodec)
   @volatile private var registry: Seq[MediaCodec] = defaults
 
   /** Register a codec with priority over previously registered ones

@@ -373,6 +373,45 @@ class ExtrasSpec extends SparkSpec {
     assert(pf2(2) === 4L * 2 * 255, s"white palette image must read as luminance 255: ${pf2.toSeq}")
   }
 
+  test("MJPEG codec: real frame walk, second live video registration") {
+    import graft.extras.{JvmImageCodec, JvmMjpegCodec, MediaCodecs, StubMediaCodec}
+    def jpegFrame(seed: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (seed + 3 * x + 5 * y) % 256)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val frames = (0 until 5).map(i => jpegFrame(40 * i, 8, 6))
+    val mjpeg = frames.reduce(_ ++ _)
+    // the segment walk finds every concatenated frame exactly
+    assert(JvmMjpegCodec.frameRanges(mjpeg).size === 5)
+    val f = JvmMjpegCodec.features(mjpeg, "video/mjpeg")
+    assert(f(0) === 5L, "frame count")
+    assert(f(1) === 8L && f(2) === 6L, "first frame dimensions")
+    // each sampled frame is the SAME luminance plane the image codec
+    // decodes from that frame's bytes (strips concatenated = full plane)
+    val sampled = JvmMjpegCodec.sampleFrames(mjpeg, "video/mjpeg", 5)
+    assert(sampled.size === 5)
+    frames.zip(sampled).foreach { case (fb, got) =>
+      val ref = JvmImageCodec.sampleFrames(fb, "image/jpeg", 6).reduce(_ ++ _)
+      assert(got.toSeq === ref.toSeq, "frame luminance mismatch")
+    }
+    // a truncated tail degrades to the complete frames, never throws
+    assert(JvmMjpegCodec.frameRanges(mjpeg.dropRight(7)).size === 4)
+    assert(StubMediaCodec.features(Array[Byte](1, 2), "video/mjpeg").length === 16)
+    // routing: three REAL codecs live behind the seam, stub only for
+    // formats the JVM genuinely cannot decode
+    val cs = MediaCodecs.current
+    assert(MediaCodecs.forMime(cs, "video/mjpeg") eq JvmMjpegCodec)
+    assert(MediaCodecs.forMime(cs, "video/x-motion-jpeg") eq JvmMjpegCodec)
+    assert(MediaCodecs.forMime(cs, "image/png") eq JvmImageCodec)
+    assert(MediaCodecs.forMime(cs, "audio/wav") eq graft.extras.JvmWavCodec)
+    assert(MediaCodecs.forMime(cs, "video/mp4") eq StubMediaCodec)
+  }
+
   test("streaming session windows match batch gap-sessionization") {
     val streamed = streaming.StreamPipeline.sessionWindows(spark, sf, "session_test")
     val batch = Registry.byName("q_sessionize_gap").run(spark, sf)
