@@ -116,21 +116,28 @@ object CoreQueries {
     // ------------------------------------------------------------------
     Q("q5_local_supplier",
       (s, d) => {
-        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
-        val n = Tables.nation(s, d)
+        // Fold the supplier->nation->region chain into ONE composite
+        // broadcast dim (suppliers in ASIA nations, keyed by suppkey +
+        // nationkey): the fact stream passes one broadcast hash join
+        // instead of three, and the region filter prunes the dim BEFORE
+        // it ships. At cluster scale each broadcast is a driver collect
+        // + full-executor fan-out, so fewer-and-smaller wins twice
+        // (measured -5..-17% same-JVM at sf1, tools/Exp8; bit-identical).
+        val dim = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
         val c = Tables.customer(s, d)
-        val su = Tables.supplier(s, d)
         val o = Tables.orders(s, d)
           .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
             col("o_orderdate") < ts("1997-01-01 00:00:00"))
         val l = Tables.lineitem(s, d)
-        // region/nation are bounded dims -> broadcast them explicitly.
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
-          .join(su, col("l_suppkey") === col("s_suppkey") &&
+          .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
-          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
           .transform(Present.driverAgg(_, desc("revenue"), asc("n_name")))

@@ -1,0 +1,126 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-8 scratch A/Bs for the residual sf1 work gaps (q5 2.1-2.4x,
+  * dedup_exact ~1.6-2.7x, q_distinct_agg 2.7-2.9x). Not part of the
+  * driver contract. */
+object Exp8 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    def ts(s0: String): Column = expr(s"TIMESTAMP_NTZ '$s0'")
+    def dsum(c: Column, sc: Int, as: String) = {
+      val pow = math.pow(10, sc).toLong
+      (sum(call_function("graft_dunscaled", c.cast(DoubleType), lit(sc)))
+        .cast(DecimalType(38, 0)) / lit(pow)).cast(DoubleType).as(as)
+    }
+    def time(name: String, reps: Int = 7)(mk: => DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"$name%-44s min=${times.min}%7.1fms med=${times.sorted.apply(reps / 2)}%7.1fms")
+    }
+
+    // ---- q5: 3-broadcast chain vs one composite broadcast dim ----
+    def q5Current: DataFrame = {
+      val r = graft.Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+      val n = graft.Tables.nation(spark, sfDir)
+      val c = graft.Tables.customer(spark, sfDir)
+      val su = graft.Tables.supplier(spark, sfDir)
+      val o = graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      val l = graft.Tables.lineitem(spark, sfDir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }
+    def q5Composite: DataFrame = {
+      val dim = graft.Tables.supplier(spark, sfDir)
+        .join(graft.Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+        .join(graft.Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val c = graft.Tables.customer(spark, sfDir)
+      val o = graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      val l = graft.Tables.lineitem(spark, sfDir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }
+
+    // ---- dedup_exact: md5 cost share (xxhash64 as the ceiling probe;
+    // NOT landable — the oracle's output carries md5 itself) ----
+    def corpus: DataFrame = {
+      val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      docs.select(col("doc_id"), col("text"),
+          explode(when(col("doc_id") % 5 === 0, array(lit(0L), lit(10000000L)))
+            .otherwise(array(lit(0L)))).as("off"))
+        .select((col("doc_id") + col("off")).as("doc_id"), col("text"))
+    }
+    def exactMd5: DataFrame = corpus.groupBy(md5(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+    def exactXx: DataFrame = corpus.groupBy(xxhash64(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+
+    // ---- q_distinct_agg: custom one-pass vs native count_distinct ----
+    def distinctCustom: DataFrame = graft.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(call_function("graft_count_distinct", col("l_suppkey")).as("a"),
+        call_function("graft_count_distinct", col("l_partkey")).as("b"),
+        call_function("graft_count_distinct", col("l_orderkey")).as("c"))
+    def distinctNative: DataFrame = graft.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("a"),
+        countDistinct(col("l_partkey")).as("b"),
+        countDistinct(col("l_orderkey")).as("c"))
+
+    Seq("warmup1", "warmup2").foreach { _ =>
+      q5Current.write.format("noop").mode("overwrite").save()
+      q5Composite.write.format("noop").mode("overwrite").save()
+      exactMd5.write.format("noop").mode("overwrite").save()
+      distinctCustom.write.format("noop").mode("overwrite").save()
+    }
+    time("q5 current (3 broadcasts)")(q5Current)
+    time("q5 composite broadcast dim")(q5Composite)
+    time("dedup_exact md5")(exactMd5)
+    time("dedup_exact xxhash64 (ceiling)")(exactXx)
+    time("distinct_agg custom one-pass")(distinctCustom)
+    time("distinct_agg native expand")(distinctNative)
+    // sanity: same q5 result
+    val a = q5Current.collect().map(_.toString).toSeq
+    val b = q5Composite.collect().map(_.toString).toSeq
+    println("q5 equal: " + (a == b))
+    spark.stop()
+  }
+}
