@@ -188,16 +188,23 @@ final class LakeEngine(
     * state apply deletes before inserts. Metadata cost is O(changed
     * files) — shared manifest chunks are never read. */
   /** File-level CDC between two snapshots, rows tagged `_change_type`
-    * insert/delete. Fast path: one endpoint manifest net-diff (touches
-    * only the non-shared chunks of the two snapshots). When the commit
-    * chain between the endpoints contains `replace` snapshots
-    * (compaction / manifest rewrite — file churn with NO logical row
-    * change), the endpoint diff would emit delete+insert pairs for
-    * every compacted-but-untouched row; those ranges instead step per
+    * insert/delete and attributed by `_commit_snapshot_id`. Fast path:
+    * one endpoint manifest net-diff (touches only the non-shared chunks
+    * of the two snapshots); each file appears at most once, so set
+    * reconciliation (apply deletes, then inserts) is order-free and
+    * every row is attributed to the range end. When the commit chain
+    * between the endpoints contains `replace` snapshots (compaction /
+    * manifest rewrite — file churn with NO logical row change), the
+    * endpoint diff would emit delete+insert pairs for every
+    * compacted-but-untouched row; those ranges instead step per
     * snapshot and skip the replace commits, matching the streaming CDC
-    * feed ([[graft.streaming.LakeStreamSource]]) exactly. Ranges whose
-    * endpoints are not ancestor-related (diverged branches) keep the
-    * net-diff semantics. */
+    * feed ([[graft.streaming.LakeStreamSource]]) exactly — and there
+    * `_commit_snapshot_id` is the REAL commit, because a row can change
+    * more than once in the range: reconciling consumers must apply
+    * commits in ascending `_commit_snapshot_id` order (deletes before
+    * inserts within each commit), exactly like the streaming feed.
+    * Ranges whose endpoints are not ancestor-related (diverged
+    * branches) keep the net-diff semantics. */
   def readChanges(table: LakeTable, fromSnapshotId: Option[Long],
       toSnapshotId: Option[Long] = None): DataFrame = {
     val m = table.metadata
@@ -217,28 +224,31 @@ final class LakeEngine(
       }
       if (cur.isDefined) Some(chain) else None
     }
-    val pieces: Seq[(String, Seq[FileEntry])] =
+    val pieces: Seq[(String, Long, Seq[FileEntry])] =
       from.filter(f => f.id != to.id).flatMap(chainFrom) match {
         case Some(chain) if chain.exists(_.operation == "replace") =>
           chain.filterNot(_.operation == "replace").flatMap { s =>
             val parent = s.parentId.flatMap(m.snapshotById)
             val (add, rem) = LakeTable.changedFiles(table, parent, s)
-            Seq("delete" -> rem, "insert" -> add)
+            Seq(("delete", s.id, rem), ("insert", s.id, add))
           }
         case _ =>
           val (add, rem) = LakeTable.changedFiles(table, from, to)
-          Seq("delete" -> rem, "insert" -> add)
+          Seq(("delete", to.id, rem), ("insert", to.id, add))
       }
-    def tagged(files: Seq[FileEntry], kind: String): Option[DataFrame] =
+    def tagged(files: Seq[FileEntry], kind: String, sid: Long): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(new TableScan(spark, table, explicitFiles = Some(files)).toDF()
-        .withColumn("_change_type", lit(kind)))
-    val frames = pieces.flatMap { case (kind, files) => tagged(files, kind) }
+        .withColumn("_change_type", lit(kind))
+        .withColumn("_commit_snapshot_id", lit(sid)))
+    val frames = pieces.flatMap { case (kind, sid, files) => tagged(files, kind, sid) }
     if (frames.nonEmpty) frames.reduce(_.unionByName(_))
     else {
       val schema = org.apache.spark.sql.types.StructType(table.schema.fields :+
         org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType))
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+          org.apache.spark.sql.types.LongType))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
   }

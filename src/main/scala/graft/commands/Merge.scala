@@ -345,7 +345,12 @@ object Merge {
     // blocks — the source plan (possibly an expensive join pipeline)
     // never evaluates twice, and a non-deterministic source yields the
     // SAME rows to key collection and to the join, so pruning stays
-    // sound without a determinism guard.
+    // sound without a determinism guard. Tradeoff, accepted: local
+    // checkpoint blocks pin to executors, so losing one mid-merge fails
+    // the MERGE instead of recomputing — acceptable because a merge is
+    // a retryable command (re-running replans from the same snapshot),
+    // unlike the long iterative chains for which connectedComponents
+    // deliberately uses reliable checkpoints.
     val (src, prunePred: Pred) =
       if (notMatchedBySource.nonEmpty) (source, AlwaysTrue)
       else {

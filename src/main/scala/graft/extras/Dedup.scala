@@ -273,6 +273,10 @@ object Dedup {
     val base = df.select(col(idCol).as("id"),
         TextAnalysis.simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
       .withColumn("bands", TextAnalysis.simhashBands(col("sim")))
+      // cappedBuckets consumes the member stream TWICE (pre-count +
+      // semi-join legs); pin the signature computation — the dominant
+      // per-row cost — so it runs once (same shape as minhashPairs)
+      .localCheckpoint(eager = false)
     val buckets = base.select(col("id"), col("sim"),
       posexplode(col("bands")).as(Seq("band", "bh")))
     val grouped = cappedBuckets(buckets, Seq("band", "bh"),
@@ -308,6 +312,9 @@ object Dedup {
       monitor: Option[BucketSkewMonitor] = None): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", Similarity.srpSignature(col("v"), srpBits))
+      // pin the srpBits-dot-products-per-row signature: cappedBuckets'
+      // two legs would otherwise recompute it over the whole corpus
+      .localCheckpoint(eager = false)
     val grouped = cappedBuckets(base, Seq("sig"),
       sort_array(collect_list(struct(col("id"), col("v")))), maxBucketSize,
       "graft.dedup.skew.embedding", monitor)

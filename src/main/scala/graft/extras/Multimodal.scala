@@ -422,13 +422,15 @@ object JvmMjpegCodec extends MediaCodec {
     Array(ranges.length.toLong) ++ JvmImageCodec.features(first, "image/jpeg")
   }
 
-  /** n evenly spaced frames, each as its decoded luminance plane. */
+  /** n evenly spaced frames, each as its decoded luminance plane.
+    * Index by round(i*len/n), not a truncated stride — an integer step
+    * of floor(len/n) never reaches the clip's tail (19 frames at n=10
+    * would sample only frames 0-9). */
   override def sampleFrames(bytes: Array[Byte], mime: String, n: Int): Seq[Array[Byte]] = {
     val ranges = frameRanges(bytes)
     if (ranges.isEmpty) return StubMediaCodec.sampleFrames(bytes, mime, n)
-    val step = math.max(ranges.length / n, 1)
     (0 until n).map { i =>
-      val r = ranges(math.min(i * step, ranges.length - 1))
+      val r = ranges(math.min((i.toLong * ranges.length / n).toInt, ranges.length - 1))
       decodeFrame(bytes, r) match {
         case Some(img) => JvmImageCodec.luminance(img).map(_.toByte)
         case None => java.util.Arrays.copyOfRange(bytes, r._1, math.min(r._1 + 16, r._2))

@@ -53,10 +53,13 @@ object Similarity {
     * Falls back to the distributed exchange+window plan when the
     * partial row bound exceeds `maxPartialRows` (huge query sets).
     * Output is a single partition either way. */
-  /** `queryCountHint`: an upper bound on the query-side row count, when
-    * the caller knows it — skips the one count job the a-priori partial
-    * bound otherwise needs. A hint that understates is caught by the
-    * post-collect backstop (falls back to the distributed finish). */
+  /** `queryCountHint`: an upper bound on the query-side row count that
+    * the CALLER GUARANTEES — it skips the one count job the a-priori
+    * partial bound otherwise needs. An understated hint forfeits the
+    * driver-memory cap for that call (the post-collect backstop keeps
+    * the RESULT correct by falling back to the distributed finish, but
+    * the over-cap partials have already been materialized); pass a hint
+    * only when the bound is structural, e.g. a filter on a unique key. */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
@@ -105,13 +108,17 @@ object Similarity {
       val partials = local.collect()
       if (partials.length > maxPartialRows)
         return windowFinish // queryCountHint understated; stay distributed
+      // (sim desc, cid asc) as a TOTAL order: Double.compare (NaN
+      // largest, like Catalyst) — a `>`-based comparator is not
+      // transitive under NaN and TimSort throws on it
+      val bySim = (a: Row, b: Row) => {
+        val c = java.lang.Double.compare(b.getDouble(2), a.getDouble(2))
+        c < 0 || (c == 0 && cmpAsc(a.get(1), b.get(1)) < 0)
+      }
       val rows = partials.groupBy(_.get(0)).toSeq
         .sortWith((x, y) => cmpAsc(x._1, y._1) < 0)
         .flatMap { case (qid, cand) =>
-          cand.sortWith { (a, b) =>
-            a.getDouble(2) > b.getDouble(2) ||
-              (a.getDouble(2) == b.getDouble(2) && cmpAsc(a.get(1), b.get(1)) < 0)
-          }.take(k).zipWithIndex.map {
+          cand.sortWith(bySim).take(k).zipWithIndex.map {
             case (r, i) => Row(qid, r.get(1), r.getDouble(2), i + 1)
           }
         }
@@ -137,12 +144,25 @@ object Similarity {
   }
 
   /** Ascending nulls-first compare on external atomic values — the same
-    * order `asc("cid")` produces in the window fallback. */
+    * order `asc("cid")` produces in the window fallback: strings by
+    * UTF-8 BYTES (String.compareTo is UTF-16 code-unit order, which
+    * flips supplementary-plane characters against Catalyst's
+    * UTF8String binary order), floats/doubles with -0.0 == 0.0 (Spark
+    * normalizes negative zero in sort keys). */
   private def cmpAsc(a: Any, b: Any): Int =
     if (a == null && b == null) 0
     else if (a == null) -1
     else if (b == null) 1
-    else a.asInstanceOf[Comparable[Any]].compareTo(b)
+    else (a, b) match {
+      case (x: String, y: String) =>
+        val (xb, yb) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+        java.util.Arrays.compareUnsigned(xb, yb)
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        java.lang.Double.compare(x + 0.0, y + 0.0) // -0.0 -> 0.0
+      case (x: java.lang.Float, y: java.lang.Float) =>
+        java.lang.Float.compare(x + 0.0f, y + 0.0f)
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
 
   /** Per-partition top-k per qid over (qid, cid, sim) rows: keeps the k
     * best candidates by (sim desc, cid asc) per query in bounded memory.
@@ -153,9 +173,12 @@ object Similarity {
     scored.mapPartitions { it =>
       val best = scala.collection.mutable.HashMap
         .empty[Any, scala.collection.mutable.ArrayBuffer[(Any, Double)]]
-      // a is a worse candidate than b under (sim desc, cid asc)
-      val worseThan = (a: (Any, Double), b: (Any, Double)) =>
-        a._2 < b._2 || (a._2 == b._2 && cmpAsc(a._1, b._1) > 0)
+      // a is a worse candidate than b under (sim desc, cid asc);
+      // Double.compare keeps this total when sims are NaN
+      val worseThan = (a: (Any, Double), b: (Any, Double)) => {
+        val c = java.lang.Double.compare(a._2, b._2)
+        c < 0 || (c == 0 && cmpAsc(a._1, b._1) > 0)
+      }
       it.foreach { r =>
         val buf = best.getOrElseUpdate(r.get(0),
           scala.collection.mutable.ArrayBuffer.empty[(Any, Double)])

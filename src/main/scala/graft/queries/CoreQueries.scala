@@ -570,13 +570,17 @@ object CoreQueries {
         // hour bucket of the RAW long (one integer div per row, floor
         // semantics for pre-epoch values) and converting to NTZ once per
         // GROUP is ~1.8x faster than the per-row
-        // nanos->micros->timestamp->NTZ->date_trunc chain, and
-        // bit-identical under the gate's UTC session (both forms pass
-        // through the same session-tz cast; gate verified at sf1).
+        // nanos->micros->timestamp->NTZ->date_trunc chain. The raw
+        // bucket floors in UTC, while the general path truncates in
+        // session-tz wall clock — identical ONLY when the session runs
+        // UTC (a non-whole-hour offset like +05:30 shifts the bucket
+        // boundaries), so the fast path is gated on both the raw LONG
+        // schema and a UTC session.
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = s.read.parquet(s"$d/events.parquet")
+        val utcSession = s.conf.get("spark.sql.session.timeZone", "") == "UTC"
         raw.schema("ts").dataType match {
-          case LongType =>
+          case LongType if utcSession =>
             val b = when(col("ts") >= 0, expr("ts div 3600000000000"))
               .otherwise(expr("((ts + 1) div 3600000000000) - 1"))
             raw.groupBy(b.as("b"), col("event_type"))

@@ -153,10 +153,18 @@ object TableScan {
     *
     * Applied lazily on first read, and only when the user has not set
     * the conf themselves (a read-only engine must not clobber an
-    * explicit user choice). */
+    * explicit user choice). NOTE the conf is session-scoped — Spark has
+    * no per-scan split sizing — so in a session shared with non-graft
+    * file reads this also gives THOSE reads Iceberg-style target-size
+    * splits (a mid-size file that previously split one-sliver-per-core
+    * plans fewer, larger partitions). Set
+    * `spark.graft.read.tuneSplitPlanning=false` (or any explicit
+    * `minPartitionNum`) to keep Spark's default behavior. */
   private[graft] def ensureReadConf(spark: SparkSession): Unit = {
     val key = "spark.sql.files.minPartitionNum"
-    if (spark.conf.getOption(key).isEmpty) spark.conf.set(key, "1")
+    val optIn = spark.conf.getOption("spark.graft.read.tuneSplitPlanning")
+      .forall(_.toBoolean)
+    if (optIn && spark.conf.getOption(key).isEmpty) spark.conf.set(key, "1")
   }
 }
 

@@ -456,34 +456,36 @@ class ManifestSpec extends SparkSpec {
     // compaction rewrites every file (operation=replace, no logical change)
     graft.commands.Maintenance.compactSmallFiles(engine, t.refresh(), targetBytes = 1L << 30)
     assert(t.refresh().metadata.currentSnapshot.get.operation === "replace")
-    engine.delete(t.refresh(), "id = 3")
+    // the adversarial shape: a row INSERTED in-range (20), carried
+    // through the compaction, then DELETED in-range — order-free set
+    // reconciliation would resurrect it; per-commit application must not
+    engine.delete(t.refresh(), "id = 3 OR id = 20")
 
     val got = engine.readChanges(t.refresh(), Some(s1))
-      .select(col("id").cast("long"), col("v"), col("_change_type"))
-      .as[(Long, String, String)].collect()
-    val ins = got.collect { case (id, v, "insert") => (id, v) }.toSet
-    val dels = got.collect { case (id, _, "delete") => id }.toSet
+      .select(col("id").cast("long"), col("v"), col("_change_type"), col("_commit_snapshot_id"))
+      .as[(Long, String, String, Long)].collect()
+    val ins = got.collect { case (id, v, "insert", _) => (id, v) }.toSet
+    val dels = got.collect { case (id, _, "delete", _) => id }.toSet
     // batch CDC must agree with the streaming feed: the append's rows as
-    // inserts, the deleted row as a delete (the CoW delete re-inserts the
-    // rest of its file) — but NONE of the compaction's rewrite churn
-    // (rows 0-19 minus the delete-file residents stay silent)
-    assert(ins.contains((20L, "v20")) && ins.contains((24L, "v24")), ins.toString)
-    assert(dels.contains(3L), dels.toString)
-    // rows 0-19 lived only in compacted files; without replace-skip they
-    // all appear as delete+insert pairs
-    val churn = dels -- Set(3L) -- (20L until 25L)
-    // the CoW delete rewrote ONE post-compaction file; with full
-    // compaction that file holds all rows, so scope the assertion to
-    // what the delete could NOT have touched: inserts must never carry
-    // a pre-compaction row that the delete's rewrite didn't re-emit
-    assert(!got.exists { case (id, _, ct) => ct === "insert" && id < 20L && !dels.contains(id) },
-      s"compaction churn leaked into inserts: $got")
-    // net reconciliation still holds
-    val base = (0L until 20L).map(i => (i, s"v$i")).toSet
-    val reconciled = (base -- got.collect { case (id, v, "delete") => (id, v) }.toSet) ++ ins
+    // inserts, the deleted rows as deletes — but NONE of the
+    // compaction's rewrite churn
+    assert(ins.contains((21L, "v21")) && ins.contains((24L, "v24")), ins.toString)
+    assert(dels.contains(3L) && dels.contains(20L), dels.toString)
+    assert(!got.exists { case (id, _, ct, _) => ct === "insert" && id < 20L && !dels.contains(id) },
+      s"compaction churn leaked into inserts: ${got.toSeq}")
+    // reconciliation applied PER COMMIT in ascending _commit_snapshot_id
+    // (deletes before inserts within a commit — the documented contract;
+    // a flat set-union would resurrect row 20)
+    var state = (0L until 20L).map(i => (i, s"v$i")).toSet
+    got.map(_._4).distinct.sorted.foreach { sid =>
+      val d = got.collect { case (id, v, "delete", s) if s == sid => (id, v) }.toSet
+      val i = got.collect { case (id, v, "insert", s) if s == sid => (id, v) }.toSet
+      state = (state -- d) ++ i
+    }
     val current = engine.scan(t.refresh()).toDF().select(col("id").cast("long"), col("v"))
       .as[(Long, String)].collect().toSet
-    assert(reconciled === current, s"reconciliation broke: churn=$churn")
+    assert(state === current, s"per-commit reconciliation broke")
+    assert(!state.exists(_._1 == 20L), "insert-then-delete row resurrected")
   }
 
   test("orphan cleanup deletes stranded files, keeps everything referenced") {
