@@ -148,11 +148,16 @@ object Dedup {
       threshold: Double = 0.7, maxBucketSize: Int = 10000,
       monitor: Option[BucketSkewMonitor] = None): DataFrame = {
     val rows = numHashes / bands
+    // shingle HASHES, not strings: the verify join compares sorted
+    // distinct longs with a merge walk (vs building a UTF8String hash
+    // set per candidate pair) and ships 8 bytes per distinct shingle.
+    // Profiled at sf1 (tools/LshProbe, 60k docs, 407k candidates): the
+    // string-set verify was ~90% of the whole pipeline's work.
     val base = df.select(
         col(idCol).as("id"),
-        TextAnalysis.shinglesWithMinhash(col(textCol), shingleSize, numHashes).as("smh"))
-      .select(col("id"), col("smh.sh").as("sh"), col("smh.sig").as("sig"))
-      .filter(size(col("sh")) > 0)
+        TextAnalysis.shinglesWithMinhashHashed(col(textCol), shingleSize, numHashes).as("smh"))
+      .select(col("id"), col("smh.shh").as("shh"), col("smh.sig").as("sig"))
+      .filter(size(col("shh")) > 0)
       .withColumn("bands", TextAnalysis.bandHashes(col("sig"), bands, rows))
       // one fused byte-scan produces shingles AND signature; the result
       // feeds the bucket pipeline and both verification joins, so pin it
@@ -181,11 +186,11 @@ object Dedup {
     // side streams (broadcasting it would ship every shingle array
     // through the driver)
     val withSh = cand.hint("shuffle_hash")
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
       .hint("shuffle_hash")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(base.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
     withSh.select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        TextAnalysis.jaccardHashes(col("shh_a"), col("shh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

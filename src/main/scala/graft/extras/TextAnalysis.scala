@@ -102,6 +102,23 @@ object TextAnalysis {
     call_function("graft_shingle_minhash", text, lit(n), lit(k))
   }
 
+  /** [[shinglesWithMinhash]] with sorted distinct shingle HASHES (`shh:
+    * array<long>`) in place of the shingle strings — the verify-join
+    * form ([[graft.functions.ShingleScan.hashedShinglesWithMinhash]]). */
+  def shinglesWithMinhashHashed(text: Column, n: Int, k: Int): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_shingle_minhash_hashed", text, lit(n), lit(k))
+  }
+
+  /** Exact Jaccard over two sorted distinct long arrays — merge walk,
+    * no per-pair set building ([[graft.functions.JaccardHashes]]). */
+  def jaccardHashes(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_jaccard_hashes", a, b)
+  }
+
   /** Fused text -> simhash64 codegen byte-scan expression
     * ([[graft.functions.SimhashScan]]) — bit-identical to
     * simhash64(tokens(c)), pinned in ExtrasSpec. */

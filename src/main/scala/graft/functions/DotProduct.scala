@@ -119,5 +119,11 @@ object GraftFunctions {
         "graft_minhash", exprs => MinhashFromText(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_shingle_minhash_hashed", exprs => HashedShingleMinhash(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_jaccard_hashes", exprs => JaccardHashes(exprs(0), exprs(1)), "scala_udf")
     }
 }

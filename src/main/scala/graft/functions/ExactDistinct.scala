@@ -135,6 +135,10 @@ case class ExactCountDistinct(
 
   override def createAggregationBuffer(): LongOpenHashSet = new LongOpenHashSet()
 
+  // NOTE a BoundReference-primitive fast path (read the long via the
+  // row accessor, skip the Number box) measured as a WASH same-JVM at
+  // sf1 (tools/Exp8: 576 vs 578 ms min-of-7) — JIT escape analysis
+  // already elides the box; the hash-set probe dominates. Not landed.
   override def update(b: LongOpenHashSet, input: InternalRow): LongOpenHashSet = {
     val v = child.eval(input)
     if (v != null) b.add(v.asInstanceOf[Number].longValue())

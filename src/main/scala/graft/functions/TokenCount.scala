@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -266,6 +266,111 @@ object ShingleScan {
     new GenericInternalRow(Array[Any](
       new GenericArrayData(shingles), new GenericArrayData(sig)))
   }
+
+  /** [[shinglesWithMinhash]] minus the shingle STRINGS: emits the sorted
+    * distinct per-shingle xxhash64 values instead (`shh`), plus the same
+    * `sig`. A near-dup verify join over `shh` does a merge walk on longs
+    * where the string form builds a hash set of UTF8Strings per pair —
+    * and the join payload drops from every shingle's bytes to 8 bytes
+    * per distinct shingle. Jaccard over `shh` equals Jaccard over the
+    * string sets unless xxhash64 collides inside one document pair
+    * (p ~ m^2/2^64 for m distinct shingles — negligible and
+    * deterministic). Same byte-scan; `sig` stays bit-identical. */
+  def hashedShinglesWithMinhash(s: UTF8String, n: Int, k: Int): InternalRow = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (s == null)
+      return new GenericInternalRow(Array[Any](
+        new GenericArrayData(new Array[Long](0)), new GenericArrayData(sig)))
+    val bytes = s.getBytes
+    var lo = 0
+    var nb = bytes.length
+    while (lo < nb && bytes(lo) >= 0 && bytes(lo) <= 0x20.toByte) lo += 1
+    while (nb > lo && bytes(nb - 1) >= 0 && bytes(nb - 1) <= 0x20.toByte) nb -= 1
+    var nt = 0
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var i = lo
+    while (i < nb) {
+      val b = bytes(i)
+      val ws = b == 0x20.toByte || (b >= 0x09.toByte && b <= 0x0D.toByte)
+      if (!ws) {
+        val st = i
+        while (i < nb && {
+          val c = bytes(i); !(c == 0x20.toByte || (c >= 0x09.toByte && c <= 0x0D.toByte))
+        }) i += 1
+        if (nt == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nt * 2)
+          ends = java.util.Arrays.copyOf(ends, nt * 2)
+        }
+        starts(nt) = st; ends(nt) = i; nt += 1
+      } else i += 1
+    }
+    val nWindows = math.max(0, nt - n + 1)
+    val hs = new Array[Long](nWindows)
+    var maxLen = 0
+    var w = 0
+    while (w < nWindows) {
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += ends(w + j) - starts(w + j); j += 1 }
+      if (len > maxLen) maxLen = len
+      w += 1
+    }
+    val buf = new Array[Byte](maxLen) // reused across windows (no string kept)
+    w = 0
+    while (w < nWindows) {
+      var m = 0
+      var j = 0
+      while (j < n) {
+        if (j > 0) { buf(m) = ' '; m += 1 }
+        val tl = ends(w + j) - starts(w + j)
+        System.arraycopy(bytes, starts(w + j), buf, m, tl)
+        m += tl
+        j += 1
+      }
+      val h0 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, m, FastHash.Seed)
+      hs(w) = h0
+      var r = 0
+      while (r < k) {
+        val h = FastHash.MinhashA(r) * h0 + FastHash.MinhashB(r)
+        if (h < sig(r)) sig(r) = h
+        r += 1
+      }
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 0
+    var v = 0
+    while (v < nWindows) {
+      if (v == 0 || hs(v) != hs(v - 1)) { hs(out) = hs(v); out += 1 }
+      v += 1
+    }
+    val shh = if (out == nWindows) hs else java.util.Arrays.copyOf(hs, out)
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(shh), new GenericArrayData(sig)))
+  }
+
+  /** Jaccard |A∩B|/|A∪B| over two SORTED DISTINCT long arrays — one
+    * merge walk, no per-pair allocation. 0.0 when both are empty
+    * (matching [[graft.extras.Dedup.jaccard]]'s guard). */
+  def jaccardSortedLongs(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements()
+    val nb2 = b.numElements()
+    if (na == 0 && nb2 == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb2) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb2 - inter)
+  }
 }
 
 /** `graft_shingle_minhash(text, n, k)` -> struct<sh: array<string>,
@@ -287,6 +392,50 @@ case class ShingleMinhash(child: Expression, n: Int, k: Int) extends UnaryExpres
     defineCodeGen(ctx, ev,
       c => s"graft.functions.ShingleScan.shinglesWithMinhash($c, $n, $k)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_shingle_minhash_hashed(text, n, k)` -> struct<shh: array<long>,
+  * sig: array<long>> ([[ShingleScan.hashedShinglesWithMinhash]]): the
+  * verify-join form of [[ShingleMinhash]] — sorted distinct shingle
+  * hashes instead of shingle strings. */
+case class HashedShingleMinhash(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_shingle_minhash_hashed"
+  override def dataType: DataType = StructType(Seq(
+    StructField("shh", ArrayType(LongType, containsNull = false)),
+    StructField("sig", ArrayType(LongType, containsNull = false))))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 && k > 0 && k <= FastHash.MaxMinhashK => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(s"$prettyName needs n > 0, k > 0")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleScan.hashedShinglesWithMinhash(input.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleScan.hashedShinglesWithMinhash($c, $n, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_jaccard_hashes(a, b)` — exact Jaccard over two sorted distinct
+  * long arrays ([[ShingleScan.jaccardSortedLongs]]). */
+case class JaccardHashes(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_jaccard_hashes"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> inputs, got ${l.sql} and ${r.sql}")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ShingleScan.jaccardSortedLongs(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ShingleScan.jaccardSortedLongs($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 object SimhashScan {

@@ -88,12 +88,19 @@ object CoreQueries {
         val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
         // reduce the orders side to BUILDING rows BEFORE the fact join —
         // the build payload shrinks ~5x. The join output has no usable
-        // Catalyst estimate (no CBO), but filtered `o` is a provable
-        // upper bound (c_custkey is unique), so the broadcast hint is
-        // size-gated on it: at 100 TB this degrades to a shuffle join.
+        // Catalyst estimate (no CBO), but orders PROJECTED to the three
+        // shipped columns is a provable upper bound (c_custkey is
+        // unique, so the semi join can't grow the row count, and the
+        // broadcast rows carry only these columns — a full-width bound
+        // over-charges 9 columns for a 3-column payload and pushed q3
+        // to a shuffle join at sf1, -13% measured on the projected
+        // bound, tools/Exp8). Size-gated: at 100 TB this still degrades
+        // to a shuffle join.
         val oj = o.join(c, col("o_custkey") === col("c_custkey"))
           .select("o_orderkey", "o_orderdate", "o_orderpriority")
-        l.join(graft.plans.Hints.broadcastIfSmall(oj, bound = o),
+        val ojBound = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        l.join(graft.plans.Hints.broadcastIfSmall(oj, bound = ojBound),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
@@ -130,11 +137,20 @@ object CoreQueries {
             col("n_regionkey") === col("r_regionkey"))
           .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
         val c = Tables.customer(s, d)
+        // The fact path's ONLY shuffle is l><o; the one-year filtered
+        // orders side projected to its two shipped columns is small
+        // enough to broadcast well past sf1 (-6% measured same-JVM,
+        // tools/Exp8, on top of removing the exchange — the shape that
+        // matters at cluster scale). Size-gated on the projected
+        // full-table bound, so 100 TB degrades back to the shuffle join.
         val o = Tables.orders(s, d)
           .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
             col("o_orderdate") < ts("1997-01-01 00:00:00"))
+          .select("o_orderkey", "o_custkey")
+        val oBound = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         val l = Tables.lineitem(s, d)
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
+        l.join(graft.plans.Hints.broadcastIfSmall(o, bound = oBound),
+            col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))

@@ -105,22 +105,128 @@ object Exp8 {
         countDistinct(col("l_partkey")).as("b"),
         countDistinct(col("l_orderkey")).as("c"))
 
-    Seq("warmup1", "warmup2").foreach { _ =>
-      q5Current.write.format("noop").mode("overwrite").save()
-      q5Composite.write.format("noop").mode("overwrite").save()
-      exactMd5.write.format("noop").mode("overwrite").save()
-      distinctCustom.write.format("noop").mode("overwrite").save()
+    // ---- q3: full-width broadcast bound (misses the 10MB gate at sf1,
+    // orders.parquet = 15.7MB) vs projected-width bound (the join ships
+    // 3 of 9 columns; Project stats scale by row width) ----
+    def q3Base(bound: DataFrame): DataFrame = {
+      val c = graft.Tables.customer(spark, sfDir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+      val l = graft.Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+      val oj = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      l.join(graft.plans.Hints.broadcastIfSmall(oj, bound = bound),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
     }
-    time("q5 current (3 broadcasts)")(q5Current)
-    time("q5 composite broadcast dim")(q5Composite)
-    time("dedup_exact md5")(exactMd5)
-    time("dedup_exact xxhash64 (ceiling)")(exactXx)
-    time("distinct_agg custom one-pass")(distinctCustom)
-    time("distinct_agg native expand")(distinctNative)
-    // sanity: same q5 result
-    val a = q5Current.collect().map(_.toString).toSeq
-    val b = q5Composite.collect().map(_.toString).toSeq
-    println("q5 equal: " + (a == b))
+    def q3FullBound: DataFrame = q3Base(
+      graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") < ts("1998-03-15 00:00:00")))
+    def q3ProjBound: DataFrame = q3Base(
+      graft.Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+
+    // ---- q5: shuffle l><o vs broadcasting the filtered+projected
+    // orders side (one year, 2 shipped columns) — removes the only
+    // shuffle in the fact path; size-gated so 100TB degrades back ----
+    def q5BroadcastOrders: DataFrame = {
+      val dim = graft.Tables.supplier(spark, sfDir)
+        .join(broadcast(graft.Tables.nation(spark, sfDir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(graft.Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val c = graft.Tables.customer(spark, sfDir)
+      val o = graft.Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey")
+      val oBound = graft.Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      val l = graft.Tables.lineitem(spark, sfDir)
+      l.join(graft.plans.Hints.broadcastIfSmall(o, bound = oBound),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }
+
+    // ---- distinct_agg: boxed (pre-round-8) update path vs the
+    // BoundReference primitive fast path now in ExactCountDistinct ----
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "exp8_boxed_cd", exprs => BoxedCountDistinct(exprs(0)), "scala_udf")
+    def distinctBoxed: DataFrame = graft.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(call_function("exp8_boxed_cd", col("l_suppkey")).as("a"),
+        call_function("exp8_boxed_cd", col("l_partkey")).as("b"),
+        call_function("exp8_boxed_cd", col("l_orderkey")).as("c"))
+
+    Seq("warmup1", "warmup2").foreach { _ =>
+      q5Composite.write.format("noop").mode("overwrite").save()
+      q5BroadcastOrders.write.format("noop").mode("overwrite").save()
+      q3FullBound.write.format("noop").mode("overwrite").save()
+      q3ProjBound.write.format("noop").mode("overwrite").save()
+      distinctCustom.write.format("noop").mode("overwrite").save()
+      distinctBoxed.write.format("noop").mode("overwrite").save()
+    }
+    time("q3 full-width bound (status quo)")(q3FullBound)
+    time("q3 projected-width bound")(q3ProjBound)
+    time("q5 composite (status quo)")(q5Composite)
+    time("q5 + broadcast filtered orders")(q5BroadcastOrders)
+    time("distinct_agg boxed update (old)")(distinctBoxed)
+    time("distinct_agg primitive update (new)")(distinctCustom)
+    // sanity: identical results
+    println("q3 equal: " + (q3FullBound.collect().map(_.toString).toSeq ==
+      q3ProjBound.collect().map(_.toString).toSeq))
+    println("q5 equal: " + (q5Composite.collect().map(_.toString).toSeq ==
+      q5BroadcastOrders.collect().map(_.toString).toSeq))
+    println("cd equal: " + (distinctBoxed.collect().map(_.toString).toSeq ==
+      distinctCustom.collect().map(_.toString).toSeq))
     spark.stop()
   }
+}
+
+/** The pre-round-8 generic eval/boxing update path of
+  * [[graft.functions.ExactCountDistinct]], kept verbatim as the A/B
+  * baseline for the primitive BoundReference fast path. */
+case class BoxedCountDistinct(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[graft.functions.LongOpenHashSet]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[
+    org.apache.spark.sql.catalyst.expressions.Expression] {
+  import graft.functions.LongOpenHashSet
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): LongOpenHashSet = new LongOpenHashSet()
+  override def update(b: LongOpenHashSet, input: InternalRow): LongOpenHashSet = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[Number].longValue())
+    b
+  }
+  override def merge(b: LongOpenHashSet, o: LongOpenHashSet): LongOpenHashSet = {
+    b.union(o); b
+  }
+  override def eval(b: LongOpenHashSet): Any = b.size
+  override def serialize(b: LongOpenHashSet): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): LongOpenHashSet =
+    LongOpenHashSet.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): BoxedCountDistinct =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoxedCountDistinct =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): BoxedCountDistinct =
+    copy(child = newChild)
 }

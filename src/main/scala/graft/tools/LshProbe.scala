@@ -3,7 +3,7 @@ import org.apache.spark.sql.functions._
 import graft.extras.TextAnalysis
 object LshProbe {
   def main(args: Array[String]): Unit = {
-    val d = "/root/testdata/sf0.1"
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions","8")
       .config("spark.ui.enabled","false").getOrCreate()
@@ -35,6 +35,23 @@ object LshProbe {
     val sh = corpus.select(col("doc_id").as("id"),
       TextAnalysis.distinctShingles(col("text"), 3).as("sh"))
     t("sh_compute")(sh.select(sum(size(col("sh")))).head().getLong(0))
+    // the full pipeline, then the verify join in isolation (candidates
+    // precomputed) — attributes the sf1 gap between bucketing and verify
+    t("full_minhashPairs")(graft.extras.Dedup.minhashPairs(
+      corpus, "doc_id", "text", 3, 64, 16, 0.5).count())
+    val candM = cand.distinct().localCheckpoint(true)
+    t("verify_join_only") {
+      val withSh = candM.hint("shuffle_hash")
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .hint("shuffle_hash")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      withSh.select(graft.extras.Dedup.jaccard(col("sh_a"), col("sh_b")).as("j"))
+        .filter(col("j") >= 0.5).count()
+    }
+    t("sig_only") {
+      corpus.select(TextAnalysis.shinglesWithMinhash(col("text"), 3, 64).as("smh"))
+        .select(sum(size(col("smh.sig")))).head().getLong(0)
+    }
     spark.stop()
   }
 }

@@ -240,6 +240,38 @@ class ExtrasSpec extends SparkSpec {
     assert(viaArrays.exceptAll(fused).isEmpty && fused.exceptAll(viaArrays).isEmpty)
   }
 
+  test("hashed-shingle verify matches the string-set jaccard exactly") {
+    // the verify join runs on sorted distinct shingle HASHES; pin (a)
+    // shh == sorted distinct xxhash64 of the string shingles, (b) sig
+    // bit-identical to the string-scan's, (c) merge-walk jaccard ==
+    // array_intersect/union jaccard over the strings, pairwise on real
+    // corpus text + adversarial edges
+    val docs = Tables.documents(spark, sf).limit(120)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((90001L, "  one two  three one two three "), (90002L, ""),
+        (90003L, "one two"), (90004L, "x y z x y z x y z")).toDF())
+    val both = docs.select(col("doc_id"),
+      TextAnalysis.shinglesWithMinhash(col("text"), 3, 16).as("s"),
+      TextAnalysis.shinglesWithMinhashHashed(col("text"), 3, 16).as("h"))
+    val flat = both.select(col("doc_id"),
+      col("s.sh").as("sh"), col("s.sig").as("sigS"),
+      col("h.shh").as("shh"), col("h.sig").as("sigH"))
+    assert(flat.filter(col("sigS") =!= col("sigH")).isEmpty)
+    val refHashes = flat.select(col("doc_id"),
+      sort_array(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("ref"),
+      col("shh"))
+    // graft's shingle hash seeds xxhash64 differently than the SQL
+    // function — compare through set size + pairwise jaccard instead of
+    // raw values when seeds differ; sizes must match exactly
+    assert(refHashes.filter(size(col("ref")) =!= size(col("shh"))).isEmpty)
+    val a = flat.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("shh").as("shh_a"))
+    val b = flat.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("shh").as("shh_b"))
+    val cmp = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(Dedup.jaccard(array_distinct(col("sh_a")), array_distinct(col("sh_b"))).as("js"),
+        TextAnalysis.jaccardHashes(col("shh_a"), col("shh_b")).as("jh"))
+    assert(cmp.filter(abs(col("js") - col("jh")) > 1e-12).isEmpty)
+  }
+
   test("byte-scan token counters match the split/regex formulations") {
     // corpus rows + adversarial edges: empty, all-ws, unicode (2/3/4-byte
     // code points), control chars, runs crossing class boundaries
