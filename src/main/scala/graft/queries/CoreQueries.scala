@@ -447,19 +447,38 @@ object CoreQueries {
       (s, d) => {
         // HLL++ sketch path for the same shape as q_distinct_agg: one
         // scan-side partial sketch per group, no Expand, bounded memory —
-        // the 100 TB answer when exactness isn't required
+        // the 100 TB answer when exactness isn't required. DuckDB's
+        // approx_distinct uses a different sketch, so the estimates
+        // themselves can't hash-compare; the gate instead emits the
+        // EXACT counts (oracle-pinned) plus per-group flags asserting
+        // the HLL++ estimate lands within 5% relative error of them
+        // (rsd = 0.02, so 5% = 2.5 sigma; HLL is deterministic on fixed
+        // data, so the flags are stable). A broken sketch path flips a
+        // flag and hash-fails the gate.
+        graft.functions.GraftFunctions.register(s)
+        def okFlag(est: Column, exact: Column): Column =
+          abs(est.cast(DoubleType) - exact) <= exact * 0.05
         Tables.lineitem(s, d)
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_suppkey"), 0.02).as("n_supp"),
-            approx_count_distinct(col("l_partkey"), 0.02).as("n_part"),
-            approx_count_distinct(col("l_orderkey"), 0.02).as("n_ord"))
+          .agg(approx_count_distinct(col("l_suppkey"), 0.02).as("est_supp"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("est_part"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("est_ord"),
+            call_function("graft_count_distinct", col("l_suppkey")).as("n_supp"),
+            call_function("graft_count_distinct", col("l_partkey")).as("n_part"),
+            call_function("graft_count_distinct", col("l_orderkey")).as("n_ord"))
+          .select(col("l_returnflag"),
+            col("n_supp"), col("n_part"), col("n_ord"),
+            okFlag(col("est_supp"), col("n_supp")).as("ok_supp"),
+            okFlag(col("est_part"), col("n_part")).as("ok_part"),
+            okFlag(col("est_ord"), col("n_ord")).as("ok_ord"))
           .orderBy("l_returnflag")
       },
-      // no oracle: DuckDB's approx_distinct uses a different sketch, so
-      // values differ legitimately; accuracy vs exact pinned in
-      // CoreQueriesSpec (<= 5% relative error per group)
-      oracle = None,
-      doc = "approximate distinct counts via HLL++ (SURVEY §2.4)"),
+      oracle = Some("""
+        SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+          count(DISTINCT l_partkey) AS n_part, count(DISTINCT l_orderkey) AS n_ord,
+          TRUE AS ok_supp, TRUE AS ok_part, TRUE AS ok_ord
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "approximate distinct counts via HLL++, error-bound checked vs exact (SURVEY §2.4)"),
 
     // ------------------------------------------------------------------
     Q("q_topk",

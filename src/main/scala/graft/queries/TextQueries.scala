@@ -183,26 +183,44 @@ object TextQueries {
     // ------------------------------------------------------------------
     Q("text_fingerprint",
       (s, d) => {
+        // DuckDB has no xxhash64, so the fingerprint VALUES can't
+        // hash-compare; the gate is self-checking instead (the
+        // dedup_simhash pattern): per document it emits the
+        // DuckDB-pinned text md5 plus two flags computed from the real
+        // fingerprints — `fp_deterministic` (equal texts got equal
+        // fp64/minhash/simhash: min==max within each text group) and
+        // `fp_injective` (equal fp64 implies equal text — kills a
+        // constant- or null-hash regression; xxhash64 collisions on
+        // this corpus are p ~ n^2/2^64). The oracle asserts both TRUE
+        // for every row, so any divergence hash-fails the gate; raw
+        // per-doc values stay pinned in TextSpec determinism tests.
         val docs = Tables.documents(s, d)
-        // scalar columns only: the driver's pandas verify cannot sort/hash
-        // array cells, so the 4-element minhash prefix is projected to four
-        // bigint columns instead of one array<long>.
         val mh = slice(minhashFromText(col("text"), 3, 8), 1, 4)
-        docs.select(col("doc_id"),
-            fingerprint(col("text")).as("fp64"),
-            mh.as("mh"), // signature computed once; exploded below
-            simhashFromText(col("text")).as("simhash"))
-          .select(col("doc_id"), col("fp64"),
-            element_at(col("mh"), 1).as("minhash_0"),
-            element_at(col("mh"), 2).as("minhash_1"),
-            element_at(col("mh"), 3).as("minhash_2"),
-            element_at(col("mh"), 4).as("minhash_3"),
-            col("simhash"))
+        val base = docs.select(col("doc_id"), col("text"),
+          fingerprint(col("text")).as("fp64"),
+          mh.as("mh"),
+          simhashFromText(col("text")).as("simhash"))
+        val byText = Window.partitionBy("text")
+        val byFp = Window.partitionBy("fp64")
+        base.select(col("doc_id"), md5(col("text")).as("text_md5"),
+            (min(col("fp64")).over(byText) === max(col("fp64")).over(byText) &&
+              min(col("mh")).over(byText) === max(col("mh")).over(byText) &&
+              min(col("simhash")).over(byText) === max(col("simhash")).over(byText))
+              .as("fp_deterministic"),
+            (min(col("text")).over(byFp) === max(col("text")).over(byFp))
+              .as("fp_injective"))
           .transform(Present.sortNarrow(_, col("doc_id")))
       },
-      oracle = None, // xxhash64-based; DuckDB has no xxhash64 (TextSpec pins determinism)
+      oracle = Some("""
+        SELECT doc_id, md5(text) AS text_md5,
+          TRUE AS fp_deterministic, TRUE AS fp_injective
+        FROM documents ORDER BY doc_id"""),
       bench = true,
-      doc = "document fingerprinting: rolling-hash fp + minhash + simhash"),
+      // the oracle side is TRUE literals, not an equivalent fingerprint
+      // computation — keep it out of the timed ratio like the other
+      // asymmetric-oracle gates
+      benchOracle = false,
+      doc = "document fingerprinting: rolling-hash fp + minhash + simhash, self-checked"),
 
     // ------------------------------------------------------------------
     Q("text_pii_scrub",
