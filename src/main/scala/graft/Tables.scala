@@ -45,12 +45,20 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
 
+  /** The events fixture WITHOUT timestamp normalization (ts stays a raw
+    * nanos LONG when the file stores TIMESTAMP(NANOS)) — the fast-path
+    * input for hour-bucket grouping. Memoized like every other loader:
+    * repeated builds skip file listing + footer schema inference. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, "events_raw"), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+    })
+
   private def eventsUncached(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
     // Spark's vectorized reader rejects TIMESTAMP(NANOS) at execution time;
     // read nanos as long and floor-divide to micros (DuckDB truncates the same).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(path)
+    val raw = eventsRaw(spark, dir)
     raw.schema("ts").dataType match {
       case LongType => // nanos read as long: floor to micros like DuckDB does
         raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))

@@ -101,35 +101,41 @@ object Similarity {
       // ONE distributed job (scan + dot + per-partition top-k); merge and
       // rank the bounded partials coordinator-side, bit-identically to
       // the ranking window (same sort key, same tie-break, nulls first
-      // like Catalyst's default ascending order)
+      // like Catalyst's default ascending order). LAZY via
+      // [[graft.plans.LazyLocal]]: the combiner job + merge re-run on
+      // every action of the returned DataFrame, so a prepared plan
+      // re-executes instead of replaying frozen rows.
       lastSourcePlanTL.set(
         local.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
           .queryExecution.executedPlan.toString)
-      val partials = local.collect()
-      if (partials.length > maxPartialRows)
-        return windowFinish // queryCountHint understated; stay distributed
-      // (sim desc, cid asc) as a TOTAL order: Double.compare (NaN
-      // largest, like Catalyst) — a `>`-based comparator is not
-      // transitive under NaN and TimSort throws on it
-      val bySim = (a: Row, b: Row) => {
-        val c = java.lang.Double.compare(b.getDouble(2), a.getDouble(2))
-        c < 0 || (c == 0 && cmpAsc(a.get(1), b.get(1)) < 0)
-      }
-      val rows = partials.groupBy(_.get(0)).toSeq
-        .sortWith((x, y) => cmpAsc(x._1, y._1) < 0)
-        .flatMap { case (qid, cand) =>
-          cand.sortWith(bySim).take(k).zipWithIndex.map {
-            case (r, i) => Row(qid, r.get(1), r.getDouble(2), i + 1)
+      val schema = StructType(Seq(
+        StructField("qid", qidField.dataType, qidField.nullable),
+        StructField("cid", cidField.dataType, cidField.nullable),
+        StructField("sim", DoubleType, nullable = false),
+        StructField("rank", IntegerType, nullable = false)))
+      val compute: () => Seq[Row] = () => {
+        val partials = local.collect()
+        if (partials.length > maxPartialRows) {
+          // queryCountHint understated; finish distributed (window plan)
+          windowFinish.collect().toSeq
+        } else {
+          // (sim desc, cid asc) as a TOTAL order: Double.compare (NaN
+          // largest, like Catalyst) — a `>`-based comparator is not
+          // transitive under NaN and TimSort throws on it
+          val bySim = (a: Row, b: Row) => {
+            val c = java.lang.Double.compare(b.getDouble(2), a.getDouble(2))
+            c < 0 || (c == 0 && cmpAsc(a.get(1), b.get(1)) < 0)
           }
+          partials.groupBy(_.get(0)).toSeq
+            .sortWith((x, y) => cmpAsc(x._1, y._1) < 0)
+            .flatMap { case (qid, cand) =>
+              cand.sortWith(bySim).take(k).zipWithIndex.map {
+                case (r, i) => Row(qid, r.get(1), r.getDouble(2), i + 1)
+              }
+            }
         }
-      spark.createDataFrame(
-        new java.util.ArrayList[Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        StructType(Seq(
-          StructField("qid", qidField.dataType, qidField.nullable),
-          StructField("cid", cidField.dataType, cidField.nullable),
-          StructField("sim", DoubleType, nullable = false),
-          StructField("rank", IntegerType, nullable = false))))
+      }
+      graft.plans.LazyLocal.rows(spark, schema, compute)
     } else windowFinish
   }
 

@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, JoinedRow, MutableProjection, SpecificInternalRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{DeclarativeAggregate, Final, Partial}
 import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
@@ -24,18 +23,22 @@ import scala.util.control.NonFatal
   * semantics: it executes ONLY the partial stage, collects the partial
   * buffers (bounded: #tasks x #groups rows), merges them on the driver
   * with each aggregate's OWN Catalyst `mergeExpressions` /
-  * `evaluateExpression`, and returns the finished result as a local
-  * DataFrame. Numeric behavior is bit-identical to the distributed plan
-  * because the very same expressions run — just interpreted on the
-  * driver instead of codegen'd in an executor stage (the pattern of
-  * TakeOrderedAndProject, applied to aggregation).
+  * `evaluateExpression`, and returns the finished result as a LAZY
+  * local DataFrame ([[LazyLocal]]): the shape analysis runs once at
+  * build, the partial job + merge re-run on every action, so prepared
+  * plans stay current and repeated executions skip Catalyst re-analysis
+  * but never skip execution. Numeric behavior is bit-identical to the
+  * distributed plan because the very same expressions run — just
+  * interpreted on the driver instead of codegen'd in an executor stage
+  * (the pattern of TakeOrderedAndProject, applied to aggregation).
   *
   * Scale guard: this is ONLY sound when the group-key cardinality is
   * bounded independent of data volume — callers opt in per query, and a
-  * hard `maxPartialRows` cap falls back to the distributed plan rather
-  * than ever materializing an unbounded state on the driver. Plans that
-  * don't match the partial/final shape (distinct rewrites, imperative
-  * aggregates, AQE-wrapped plans) fall back untouched.
+  * hard `maxPartialRows` cap reroutes an over-cap execution to the
+  * distributed final aggregation rather than merging an unbounded state
+  * on the driver. Plans that don't match the partial/final shape
+  * (distinct rewrites, imperative aggregates, AQE-wrapped plans) fall
+  * back untouched at build time.
   */
 object DriverFinalAgg {
 
@@ -49,10 +52,6 @@ object DriverFinalAgg {
     Option(lastSourcePlanNode).map(_.toString).getOrElse("")
   private[graft] def lastSourcePlan_=(s: String): Unit =
     if (s.isEmpty) lastSourcePlanNode = null
-
-  private val deserializers = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.sql.types.StructType,
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder.Deserializer[org.apache.spark.sql.Row]]
 
   def rewrite(df: DataFrame, maxPartialRows: Int = 1 << 20): Option[DataFrame] =
     try {
@@ -136,64 +135,92 @@ object DriverFinalAgg {
     val bufferAttrs = aggs.flatMap(_.aggBufferAttributes)
     if (partialOutput.length != nGroup + bufferAttrs.length) return None
 
-    // one partial-stage job; rows are (group cols ++ partial agg buffers)
-    val partials = partialPlan.execute().map(_.copy()).collect()
-    if (partials.length > maxPartialRows) return None
-
-    val groupProj = UnsafeProjection.create(partialOutput.take(nGroup), partialOutput)
-    val initProj = MutableProjection.create(aggs.flatMap(_.initialValues), Nil)
-    // merge reads the running buffer on the left and the incoming partial
-    // row on the right; inputAggBufferAttributes carry the partial
-    // output's exprIds, so binding against the concatenation resolves both
-    val mergeProj = MutableProjection.create(
+    // Bind-validate EVERY projection now: with the eager rewrite an
+    // incompatible shape (e.g. a distinct pre-agg whose exprIds don't
+    // line up with the final agg's result attributes) failed inside the
+    // surrounding try and fell back at build; the lazy closure would
+    // surface it at ACTION time instead. Validation instances are then
+    // discarded — projections are stateful, so each execution creates
+    // fresh ones (cheap: the codegen cache has them after this).
+    UnsafeProjection.create(partialOutput.take(nGroup), partialOutput)
+    MutableProjection.create(aggs.flatMap(_.initialValues), Nil)
+    MutableProjection.create(
       aggs.flatMap(_.mergeExpressions), bufferAttrs ++ partialOutput)
-    val joined = new JoinedRow
-
-    val buffers = new java.util.LinkedHashMap[UnsafeRow, SpecificInternalRow]()
-    partials.foreach { row =>
-      val key = groupProj(row)
-      var buf = buffers.get(key)
-      if (buf == null) {
-        buf = new SpecificInternalRow(bufferAttrs.map(_.dataType))
-        initProj.target(buf)(InternalRow.empty)
-        buffers.put(key.copy(), buf)
-      }
-      mergeProj.target(buf)(joined(buf, row))
-    }
-    // empty input, global aggregation: one group of initial values
-    // (count() = 0, sum = null), matching the distributed plan
-    if (buffers.isEmpty && nGroup == 0) {
-      val buf = new SpecificInternalRow(bufferAttrs.map(_.dataType))
-      initProj.target(buf)(InternalRow.empty)
-      buffers.put(UnsafeProjection.create(Seq.empty[Attribute], Nil)(InternalRow.empty).copy(), buf)
-    }
-
-    val evalProj = MutableProjection.create(aggs.map(_.evaluateExpression), bufferAttrs)
-    // the key row carries exactly the nGroup grouping columns, so the
-    // aggregate result attributes land at ordinals nGroup..n in the join
-    val resultProj = UnsafeProjection.create(
+    MutableProjection.create(aggs.map(_.evaluateExpression), bufferAttrs)
+    UnsafeProjection.create(
       finalAgg.resultExpressions,
       partialOutput.take(nGroup) ++ finalAgg.aggregateExpressions.map(_.resultAttribute))
-    val resultJoin = new JoinedRow
-    val out = Vector.newBuilder[InternalRow]
-    buffers.forEach { (key, buf) =>
-      val evaluated = evalProj(buf)
-      out += resultProj(resultJoin(key, evaluated)).copy()
-    }
 
-    // back to a DataFrame through the public encoder bridge; the bound
-    // deserializer is cached per schema (its construction costs more
-    // than merging the handful of partial rows it decodes)
-    val schema = df.schema
-    val deser = deserializers.getOrElseUpdate(schema, {
-      val attrs = df.queryExecution.analyzed.output
-      ExpressionEncoder(RowEncoder.encoderFor(schema))
-        .resolveAndBind(attrs)
-        .createDeserializer()
-    })
-    val rows = out.result().map(deser(_))
-    Some(spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema))
+    // LAZY coordinator finish: the shape analysis above runs once at
+    // build; the closure below runs on EVERY action of the returned
+    // DataFrame ([[LazyLocal]] re-invokes it per physical planning), so
+    // a prepared/reused plan still re-runs the partial stage against
+    // current table state — and repeated executions (benchmark passes,
+    // dashboard refreshes) pay execution, not Catalyst re-analysis.
+    // Projections are created per call: they're stateful (shared target
+    // buffers), and the codegen cache makes re-creation cheap.
+    val compute: () => Seq[InternalRow] = () => try {
+      // one partial-stage job; rows are (group cols ++ partial agg buffers)
+      val partials = partialPlan.execute().map(_.copy()).collect()
+      if (partials.length > maxPartialRows) {
+        // runtime cap breach: the bounded-cardinality contract the
+        // caller vouched for doesn't hold — run the DISTRIBUTED final
+        // aggregation instead (same result; every driverAgg caller
+        // presents a small final result, so the collect stays bounded
+        // by the group count, not the partial count)
+        plan.executeCollect().toSeq.map(_.copy())
+      } else {
+        val groupProj = UnsafeProjection.create(partialOutput.take(nGroup), partialOutput)
+        val initProj = MutableProjection.create(aggs.flatMap(_.initialValues), Nil)
+        // merge reads the running buffer on the left and the incoming partial
+        // row on the right; inputAggBufferAttributes carry the partial
+        // output's exprIds, so binding against the concatenation resolves both
+        val mergeProj = MutableProjection.create(
+          aggs.flatMap(_.mergeExpressions), bufferAttrs ++ partialOutput)
+        val joined = new JoinedRow
+
+        val buffers = new java.util.LinkedHashMap[UnsafeRow, SpecificInternalRow]()
+        partials.foreach { row =>
+          val key = groupProj(row)
+          var buf = buffers.get(key)
+          if (buf == null) {
+            buf = new SpecificInternalRow(bufferAttrs.map(_.dataType))
+            initProj.target(buf)(InternalRow.empty)
+            buffers.put(key.copy(), buf)
+          }
+          mergeProj.target(buf)(joined(buf, row))
+        }
+        // empty input, global aggregation: one group of initial values
+        // (count() = 0, sum = null), matching the distributed plan
+        if (buffers.isEmpty && nGroup == 0) {
+          val buf = new SpecificInternalRow(bufferAttrs.map(_.dataType))
+          initProj.target(buf)(InternalRow.empty)
+          buffers.put(UnsafeProjection.create(Seq.empty[Attribute], Nil)(InternalRow.empty).copy(), buf)
+        }
+
+        val evalProj = MutableProjection.create(aggs.map(_.evaluateExpression), bufferAttrs)
+        // the key row carries exactly the nGroup grouping columns, so the
+        // aggregate result attributes land at ordinals nGroup..n in the join
+        val resultProj = UnsafeProjection.create(
+          finalAgg.resultExpressions,
+          partialOutput.take(nGroup) ++ finalAgg.aggregateExpressions.map(_.resultAttribute))
+        val resultJoin = new JoinedRow
+        val out = Vector.newBuilder[InternalRow]
+        buffers.forEach { (key, buf) =>
+          val evaluated = evalProj(buf)
+          out += resultProj(resultJoin(key, evaluated)).copy()
+        }
+        out.result()
+      }
+    } catch {
+      case NonFatal(e) =>
+        // belt-and-braces: any runtime surprise in the coordinator merge
+        // reroutes to the distributed plan (same rows) instead of
+        // failing the action
+        if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+          System.err.println(s"[driver-agg] runtime fallback: $e")
+        plan.executeCollect().toSeq.map(_.copy())
+    }
+    Some(LazyLocal.internalRows(spark, df.schema, compute))
   }
 }

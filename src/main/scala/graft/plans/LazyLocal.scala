@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+
+/** A local (coordinator-side) result that RECOMPUTES on every action.
+  *
+  * `spark.createDataFrame(rows)` freezes data into the plan
+  * (LocalRelation) — right for constants, wrong for a coordinator
+  * finish whose rows derive from table state: a prepared/reused
+  * DataFrame would replay stale results instead of re-running the
+  * distributed stage. This relation keeps the plan lazy through the
+  * public DSv1 seam: Spark invokes `buildScan()` during PHYSICAL
+  * PLANNING of every action on the enclosing DataFrame (each action
+  * plans a fresh `QueryExecution`), so each execution re-runs
+  * `compute()` — typically one distributed job plus a driver-side
+  * merge — and ships the finished rows as a one-partition RDD.
+  *
+  * Two row conventions, per [[org.apache.spark.sql.sources.BaseRelation.needConversion]]:
+  * [[LazyLocal.internalRows]] for producers that already emit
+  * UnsafeRows bound to `schema` (no external-Row round trip);
+  * [[LazyLocal.rows]] for producers of external [[Row]]s.
+  *
+  * Size contract: coordinator finishes are small by construction
+  * (bounded group keys, top-k lists), so `sizeInBytes` advertises a
+  * broadcast-friendly constant rather than the unknowable default.
+  */
+object LazyLocal {
+
+  private final class Relation(
+      spark: SparkSession,
+      override val schema: StructType,
+      internal: Boolean,
+      compute: () => Seq[_]) extends BaseRelation with TableScan {
+    override def sqlContext: org.apache.spark.sql.SQLContext = {
+      // sqlContext lives on the classic session; the public interface
+      // type doesn't surface it
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    }
+    override def needConversion: Boolean = !internal
+    override def sizeInBytes: Long = 4096L
+    override def buildScan(): RDD[Row] =
+      spark.sparkContext
+        .parallelize(compute().asInstanceOf[Seq[AnyRef]], 1)
+        .asInstanceOf[RDD[Row]]
+  }
+
+  /** Lazy local DataFrame over a per-action `compute()` yielding
+    * InternalRows (UnsafeRows bound to `schema`). */
+  def internalRows(
+      spark: SparkSession, schema: StructType,
+      compute: () => Seq[InternalRow]): DataFrame =
+    toDF(spark, new Relation(spark, schema, internal = true, compute))
+
+  /** Lazy local DataFrame over a per-action `compute()` yielding
+    * external [[Row]]s (converted by Spark against `schema`). */
+  def rows(
+      spark: SparkSession, schema: StructType,
+      compute: () => Seq[Row]): DataFrame =
+    toDF(spark, new Relation(spark, schema, internal = false, compute))
+
+  private def toDF(spark: SparkSession, rel: BaseRelation): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(rel)
+}

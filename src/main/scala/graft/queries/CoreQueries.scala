@@ -611,8 +611,7 @@ object CoreQueries {
         // UTC (a non-whole-hour offset like +05:30 shifts the bucket
         // boundaries), so the fast path is gated on both the raw LONG
         // schema and a UTC session.
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.parquet(s"$d/events.parquet")
+        val raw = Tables.eventsRaw(s, d)
         val utcSession = s.conf.get("spark.sql.session.timeZone", "") == "UTC"
         raw.schema("ts").dataType match {
           case LongType if utcSession =>

@@ -23,26 +23,84 @@ final case class UserRunning(user_id: Long, n: Long, total: Double)
 
 object StreamPipeline {
 
-  /** events.parquet stores NANOS timestamps; stream-read them as longs
-    * (same truncation to micros that the batch reader applies). */
+  /** Stream schema for an events fixture that stores TIMESTAMP(NANOS):
+    * read the raw int64 (nanosAsLong) and truncate to micros — the same
+    * conversion the batch reader applies. */
   val eventsLongSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Stream schema for a fixture that stores TIMESTAMP(MICROS) NTZ. */
+  val eventsNtzSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Sentinel identity for the watermark-advancing flush row (see
+    * [[readEventsStream]]); downstream pipelines filter it out. */
+  val FlushUserId: Long = -1L
+
+  def readEventsStream(
+      spark: SparkSession, dir: String,
+      flushSentinel: Boolean = false): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The fixture's physical ts type varies by generator version:
+    // TIMESTAMP(NANOS) surfaces as LongType under nanosAsLong and needs
+    // the div-1000 truncation; TIMESTAMP(MICROS) NTZ streams as-is. One
+    // footer sniff picks the branch — hardwiring either silently
+    // mis-scales event time by 1000x on the other.
+    val fixture = java.nio.file.Paths.get(dir, "events.parquet")
+    val tsIsNanosLong =
+      spark.read.parquet(fixture.toString).schema("ts").dataType == LongType
     // the file stream source wants a directory; expose the fixture file
     // through a temp dir symlink
     val streamDir = java.nio.file.Files.createTempDirectory("graft-events-src-")
     java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(dir, "events.parquet"))
-    spark.readStream
-      .schema(eventsLongSchema)
+      streamDir.resolve("events.parquet"), fixture)
+    if (flushSentinel) {
+      // Append-mode + event-time watermark on a BOUNDED source: a window
+      // only emits once the watermark passes its end, and the watermark
+      // computed from the last data batch is committed after it — so
+      // with a single input file, AvailableNow may terminate before any
+      // window finalizes (whether a no-data flush batch runs is a race
+      // against source exhaustion). Deterministic fix, same trick an
+      // operator uses to drain a real pipeline: one far-future sentinel
+      // row in a SECOND file. maxFilesPerTrigger=1 puts it in its own
+      // later micro-batch (file order is by modification time; the
+      // symlink resolves to the old fixture, the sentinel is written
+      // now), and processing it advances the watermark past every real
+      // session. Pipelines filter the sentinel's own row out by
+      // [[FlushUserId]].
+      val flushTs: Any =
+        if (tsIsNanosLong) 4102444800L * 1000000000L // 2100-01-01 in nanos
+        else java.time.LocalDateTime.of(2100, 1, 1, 0, 0)
+      val row = org.apache.spark.sql.Row(
+        -1L, flushTs, FlushUserId, "flush", 0.0, "{}")
+      val tmpOut = java.nio.file.Files.createTempDirectory("graft-flush-")
+      spark.createDataFrame(
+        java.util.Collections.singletonList(row),
+        if (tsIsNanosLong) eventsLongSchema else eventsNtzSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+      val listing = java.nio.file.Files.list(tmpOut)
+      try {
+        val it = listing.iterator()
+        var src: java.nio.file.Path = null
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) src = p
+        }
+        java.nio.file.Files.move(src, streamDir.resolve("zz_flush.parquet"))
+      } finally listing.close()
+    }
+    val raw = spark.readStream
+      .schema(if (tsIsNanosLong) eventsLongSchema else eventsNtzSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // both branches surface ts as TimestampType (session tz is UTC in
+    // every pipeline here, so the NTZ cast is instant-preserving)
+    if (tsIsNanosLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Hourly tumbling-window aggregate of the full fixture, committed to a
@@ -76,12 +134,17 @@ object StreamPipeline {
     * aggregation surface (SURVEY §2.7): watermark bounds state, sessions
     * emit when the watermark passes their close. */
   def sessionWindows(spark: SparkSession, eventsDir: String, name: String): DataFrame = {
-    val agg = readEventsStream(spark, eventsDir)
+    // flushSentinel: the far-future row lands in its own final
+    // micro-batch and drags the watermark past every real session, so
+    // append mode deterministically finalizes them on a bounded source;
+    // its own (FlushUserId) session is filtered out below
+    val agg = readEventsStream(spark, eventsDir, flushSentinel = true)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").cast(TimestampNTZType).as("session_start"),
         col("user_id"), col("n"))
+      .filter(col("user_id") =!= FlushUserId)
     val q = agg.writeStream.outputMode("append")
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-9 plan-time hunt: the r8 profile shows ~0.9 s of the 2.1 s
+  * oracleable Spark total is `plan_ms` (q5 229 ms, sim_bruteforce
+  * 160 ms, range_join 107 ms) while task work is ~1.5x the oracle.
+  * This tool decomposes plan time per query into
+  *   build_ms    — Q.run(): DataFrame construction incl. any driver
+  *                 work the query does before returning (size probes,
+  *                 sampled centroids, broadcastIfSmall's bound
+  *                 optimization)
+  *   analyze_ms  — qe.analyzed
+  *   opt_ms      — qe.optimizedPlan
+  *   phys_ms     — qe.executedPlan
+  * min-of-N after a warmup pass, so JIT/caches settle like the bench.
+  */
+object Exp9 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .withExtensions(new graft.sqlext.LakeSqlExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.min(cpus.toInt, 8).toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "2m"))
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MINPART", "1"))
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+    sys.env.getOrElse("SPARK_GRAFT_EXTRA", "").split(';').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names = if (args.nonEmpty) args.toSeq
+      else graft.Registry.all.filter(_.bench).map(_.name)
+    val headline = names.map(graft.Registry.byName)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
+
+    final case class P(build: Double, an: Double, opt: Double, phys: Double, exec: Double)
+    def once(q: graft.Q): P = {
+      def ms[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e6)
+      }
+      val (df, b) = ms(q.run(spark, sfDir))
+      val qe = df.queryExecution
+      val (_, a) = ms(qe.analyzed)
+      val (_, o) = ms(qe.optimizedPlan)
+      val (_, p) = ms(qe.executedPlan)
+      val (_, e) = ms(df.write.format("noop").mode("overwrite").save())
+      P(b, a, o, p, e)
+    }
+    headline.foreach(once) // warmup
+    headline.foreach(once)
+    val mins = headline.map { q =>
+      val ps = (1 to passes).map(_ => once(q))
+      q.name -> P(ps.map(_.build).min, ps.map(_.an).min, ps.map(_.opt).min,
+        ps.map(_.phys).min, ps.map(_.exec).min)
+    }
+    println(f"${"query"}%-24s${"build"}%8s${"analyze"}%8s${"opt"}%8s${"phys"}%8s${"exec"}%8s")
+    mins.foreach { case (n, p) =>
+      println(f"$n%-24s${p.build}%8.1f${p.an}%8.1f${p.opt}%8.1f${p.phys}%8.1f${p.exec}%8.1f")
+    }
+    spark.stop()
+  }
+}

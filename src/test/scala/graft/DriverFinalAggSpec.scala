@@ -48,13 +48,58 @@ class DriverFinalAggSpec extends SparkSpec {
 
   test("falls back on distinct aggregates and on the partial-row cap") {
     val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
-    // distinct rewrite plans two exchanges -> shape mismatch -> None
-    assert(DriverFinalAgg.rewrite(df.groupBy("k").agg(countDistinct("v"))).isEmpty)
-    // cap: 3 groups but maxPartialRows = 1 -> fall back
-    assert(DriverFinalAgg.rewrite(
-      df.groupBy("k", "v").agg(count(lit(1))), maxPartialRows = 1).isEmpty)
+    // single-distinct: the physical shape depends on session state (the
+    // dedup pre-agg may or may not leave a Partial directly under the
+    // final exchange) — the contract is "refuse OR be result-identical",
+    // never wrong
+    val cd = df.groupBy("k").agg(countDistinct("v").as("cd"))
+    DriverFinalAgg.rewrite(cd).foreach { r =>
+      assert(r.orderBy("k").collect().toSeq === cd.orderBy("k").collect().toSeq)
+    }
+    // multi-distinct (Expand rewrite): same contract — engage only if
+    // result-identical to the distributed plan
+    val md = df.groupBy("k")
+      .agg(countDistinct("v").as("cdv"), countDistinct("k").as("cdk"))
+    DriverFinalAgg.rewrite(md).foreach { r =>
+      assert(r.orderBy("k").collect().toSeq === md.orderBy("k").collect().toSeq)
+    }
+    // cap: the rewrite engages at build (cardinality is a runtime
+    // property), but an over-cap execution reroutes to the DISTRIBUTED
+    // final aggregation — same rows, driver never merges the state
+    val q = df.groupBy("k", "v").agg(count(lit(1)).as("c"))
+    val capped = DriverFinalAgg.rewrite(q, maxPartialRows = 1)
+    assert(capped.isDefined)
+    assert(capped.get.orderBy("k", "v").collect().toSeq ===
+      q.orderBy("k", "v").collect().toSeq)
     // non-agg plan -> None
     assert(DriverFinalAgg.rewrite(df.filter(col("v") > 0)).isEmpty)
+  }
+
+  test("lazy rewrite re-executes the partial stage on every action") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val df = Seq(("a", 1L), ("b", 2L), ("a", 3L)).toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("s"))
+    val lazyDf = DriverFinalAgg.rewrite(df)
+    assert(lazyDf.isDefined)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r1 = lazyDf.get.orderBy("k").collect().toSeq
+      val r2 = lazyDf.get.orderBy("k").collect().toSeq
+      // listener delivery is async — poll briefly instead of touching
+      // the private listener bus
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(r1 === r2 && r1.nonEmpty)
+      // each collect re-ran the partial-stage job: a frozen
+      // LocalRelation would have run zero jobs on the second action
+      assert(jobs.get() >= 2, s"expected >=2 jobs, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("randomized agg shapes match the distributed plan (seeded)") {

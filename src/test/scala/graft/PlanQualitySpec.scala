@@ -68,7 +68,11 @@ class PlanQualitySpec extends SparkSpec {
       "q_date_extract", "q5_local_supplier", "range_join_bands")
     driverMerged.foreach { name =>
       val plan = planOf(name)
-      assert(plan.contains("LocalTableScan") || plan.contains("LocalRelation"),
+      // the lazy coordinator finish scans a LazyLocal relation (plan
+      // cache-safe recompute); LocalTableScan/LocalRelation covers any
+      // remaining eager local results
+      assert(plan.contains("LazyLocal") || plan.contains("LocalTableScan") ||
+        plan.contains("LocalRelation"),
         s"$name no longer driver-merges its final aggregation:\n$plan")
     }
   }
@@ -94,7 +98,8 @@ class PlanQualitySpec extends SparkSpec {
       // executed SOURCE plan (the distributed partial job), the returned
       // plan is the merged local relation
       val effective =
-        if (plan.contains("LocalTableScan")) graft.extras.Similarity.lastSourcePlan
+        if (plan.contains("LocalTableScan") || plan.contains("LazyLocal"))
+          graft.extras.Similarity.lastSourcePlan
         else plan
       assert(effective.contains("SerializeFromObject"),
         s"$name lost its per-partition top-k combiner")
