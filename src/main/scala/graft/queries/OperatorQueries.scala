@@ -28,7 +28,9 @@ object OperatorQueries {
             keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
             payloadCols = Seq("signup_id"))
           .select("event_id", "user_id", "signup_id")
-          .transform(Present.sortNarrow(_, col("event_id")))
+          // coordinator presentation sort: drops the repartition(1)
+          // exchange + sort stage; the join itself stays distributed
+          .transform(Present.driverSortBy(_, "event_id" -> true))
       },
       oracle = Some("""
         WITH purchases AS (

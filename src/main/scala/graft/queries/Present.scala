@@ -1,6 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 
 /** Result-presentation sort helpers.
   *
@@ -49,4 +52,76 @@ private[queries] object Present {
       case None if cols.isEmpty => df
       case None => sortSmall(df, cols: _*)
     }
+
+  /** Internal types whose `Comparable` order IS Catalyst's ascending
+    * order: longs/ints (also timestamps and dates internally),
+    * Double/Float via their boxed compareTo (NaN largest, -0.0 < 0.0 —
+    * Catalyst's total order), UTF8String (binary order), Decimal,
+    * Boolean. */
+  private def driverOrderable(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Sort a SMALL final result on the coordinator ([[graft.plans.LazyLocal]]):
+    * the plan's last exchange-and-sort stage disappears — the driver
+    * merges instead, the same single-threaded presentation pass DuckDB
+    * or a Trino coordinator runs over final results. Each action
+    * re-executes the child from its cached OPTIMIZED plan through a
+    * fresh physical plan (fresh exchange nodes — no shuffle-stage reuse
+    * between executions, only analysis is amortized).
+    *
+    * `keys`: (column, ascending). Null ordering is Catalyst's default
+    * (asc = nulls first, desc = nulls last). Falls back to
+    * [[sortNarrow]] when a key's type has no driver-side order.
+    */
+  def driverSortBy(df: DataFrame, keys: (String, Boolean)*): DataFrame = {
+    val schema = df.schema
+    val ok = keys.forall { case (n, _) =>
+      schema.fieldNames.contains(n) && driverOrderable(schema(n).dataType) }
+    if (!ok)
+      return sortNarrow(df, keys.map { case (n, asc) =>
+        if (asc) col(n).asc else col(n).desc }: _*)
+    val spec = keys.map { case (n, asc) =>
+      (schema.fieldIndex(n), schema(n).dataType, asc) }.toArray
+    val compute: () => Seq[InternalRow] = () => {
+      val rows = freshCollect(df)
+      java.util.Arrays.sort(rows, new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = {
+          var i = 0
+          while (i < spec.length) {
+            val (ord, dt, asc) = spec(i)
+            val an = a.isNullAt(ord); val bn = b.isNullAt(ord)
+            // uniform "null smallest", negated for desc = Catalyst's
+            // asc-nulls-first / desc-nulls-last
+            val c =
+              if (an && bn) 0
+              else if (an) -1
+              else if (bn) 1
+              else a.get(ord, dt).asInstanceOf[Comparable[Any]]
+                .compareTo(b.get(ord, dt))
+            if (c != 0) return if (asc) c else -c
+            i += 1
+          }
+          0
+        }
+      })
+      rows.toSeq
+    }
+    graft.plans.LazyLocal.internalRows(df.sparkSession, schema, compute)
+  }
+
+  /** Execute `df` through a FRESH physical plan built from its cached
+    * optimized plan: re-using the Dataset's own executed plan across
+    * actions would reuse its shuffle dependencies (map stages skipped) —
+    * a fresh plan re-runs every stage, amortizing only Catalyst
+    * analysis. Rows are collected copies. */
+  private[queries] def freshCollect(df: DataFrame): Array[InternalRow] = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.sessionState.executePlan(df.queryExecution.optimizedPlan)
+      .executedPlan.executeCollect()
+  }
 }
