@@ -53,9 +53,16 @@ object DriverFinalAgg {
   private[graft] def lastSourcePlan_=(s: String): Unit =
     if (s.isEmpty) lastSourcePlanNode = null
 
-  def rewrite(df: DataFrame, maxPartialRows: Int = 1 << 20): Option[DataFrame] =
+  /** `sortBy`: optional (column, ascending) presentation order applied
+    * DRIVER-SIDE to the merged result (Catalyst-identical order via
+    * [[RowOrd]]), so the returned plan needs no Spark-side sort — a
+    * collect of the finished result launches only the partial-stage
+    * job. Ignored (caller must sort) when a key isn't driver-orderable. */
+  def rewrite(
+      df: DataFrame, maxPartialRows: Int = 1 << 20,
+      sortBy: Seq[(String, Boolean)] = Nil): Option[DataFrame] =
     try {
-      val r = rewrite0(df, maxPartialRows)
+      val r = rewrite0(df, maxPartialRows, sortBy)
       if (r.isEmpty && sys.env.contains("SPARK_GRAFT_DEBUG"))
         System.err.println("[driver-agg] shape mismatch, fell back:\n" +
           df.queryExecution.executedPlan.treeString)
@@ -109,7 +116,9 @@ object DriverFinalAgg {
     }
   }
 
-  private def rewrite0(df: DataFrame, maxPartialRows: Int): Option[DataFrame] = {
+  private def rewrite0(
+      df: DataFrame, maxPartialRows: Int,
+      sortBy: Seq[(String, Boolean)]): Option[DataFrame] = {
     val spark = df.sparkSession
     val plan = staticQe(df).executedPlan
 
@@ -159,7 +168,15 @@ object DriverFinalAgg {
     // dashboard refreshes) pay execution, not Catalyst re-analysis.
     // Projections are created per call: they're stateful (shared target
     // buffers), and the codegen cache makes re-creation cheap.
-    val compute: () => Seq[InternalRow] = () => try {
+    val sortSpec = RowOrd.spec(df.schema, sortBy) // None -> caller sorts
+    def sorted(rows: Seq[InternalRow]): Seq[InternalRow] = sortSpec match {
+      case Some(sp) =>
+        val arr = rows.toArray
+        java.util.Arrays.sort(arr, RowOrd.comparator(sp))
+        arr.toSeq
+      case None => rows
+    }
+    val compute: () => Seq[InternalRow] = () => sorted(try {
       // one partial-stage job; rows are (group cols ++ partial agg buffers)
       val partials = partialPlan.execute().map(_.copy()).collect()
       if (partials.length > maxPartialRows) {
@@ -220,7 +237,14 @@ object DriverFinalAgg {
         if (sys.env.contains("SPARK_GRAFT_DEBUG"))
           System.err.println(s"[driver-agg] runtime fallback: $e")
         plan.executeCollect().toSeq.map(_.copy())
-    }
-    Some(LazyLocal.internalRows(spark, df.schema, compute))
+    })
+    val lazyDf = LazyLocal.internalRows(spark, df.schema, compute)
+    // when the sort keys couldn't be driver-ordered, hand back a plan
+    // the caller must still sort — signalled by sorting being a no-op
+    Some(if (sortSpec.isEmpty && sortBy.nonEmpty)
+      lazyDf.coalesce(1).sortWithinPartitions(sortBy.map { case (n, asc) =>
+        if (asc) org.apache.spark.sql.functions.col(n).asc
+        else org.apache.spark.sql.functions.col(n).desc }: _*)
+    else lazyDf)
   }
 }

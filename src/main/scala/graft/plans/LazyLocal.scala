@@ -3,8 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.sources.{BaseRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** A local (coordinator-side) result that RECOMPUTES on every action.
   *
@@ -13,16 +16,27 @@ import org.apache.spark.sql.types.StructType
   * finish whose rows derive from table state: a prepared/reused
   * DataFrame would replay stale results instead of re-running the
   * distributed stage. This relation keeps the plan lazy through the
-  * public DSv1 seam: Spark invokes `buildScan()` during PHYSICAL
+  * public DSv1 seam: Spark invokes the relation during PHYSICAL
   * PLANNING of every action on the enclosing DataFrame (each action
   * plans a fresh `QueryExecution`), so each execution re-runs
   * `compute()` — typically one distributed job plus a driver-side
-  * merge — and ships the finished rows as a one-partition RDD.
+  * merge.
+  *
+  * Execution has two tiers:
+  *  - a planner strategy (registered idempotently on the session's
+  *    `experimental.extraStrategies`) plans the internal-row variant as
+  *    [[LazyLocalExec]], whose `executeCollect` returns the computed
+  *    rows WITHOUT launching a job — a collect over a coordinator
+  *    finish costs exactly the distributed child job, like
+  *    LocalTableScan;
+  *  - any consumer that needs an RDD (sinks, downstream operators)
+  *    gets a one-partition parallelize via `doExecute`/`buildScan`.
   *
   * Two row conventions, per [[org.apache.spark.sql.sources.BaseRelation.needConversion]]:
   * [[LazyLocal.internalRows]] for producers that already emit
-  * UnsafeRows bound to `schema` (no external-Row round trip);
-  * [[LazyLocal.rows]] for producers of external [[Row]]s.
+  * InternalRows bound to `schema` (no external-Row round trip);
+  * [[LazyLocal.rows]] for producers of external [[Row]]s (planned
+  * through the stock DSv1 conversion path).
   *
   * Size contract: coordinator finishes are small by construction
   * (bounded group keys, top-k lists), so `sizeInBytes` advertises a
@@ -30,11 +44,11 @@ import org.apache.spark.sql.types.StructType
   */
 object LazyLocal {
 
-  private final class Relation(
+  private[plans] final class Relation(
       spark: SparkSession,
       override val schema: StructType,
-      internal: Boolean,
-      compute: () => Seq[_]) extends BaseRelation with TableScan {
+      val internal: Boolean,
+      val compute: () => Seq[_]) extends BaseRelation with TableScan {
     override def sqlContext: org.apache.spark.sql.SQLContext = {
       // sqlContext lives on the classic session; the public interface
       // type doesn't surface it
@@ -48,12 +62,54 @@ object LazyLocal {
         .asInstanceOf[RDD[Row]]
   }
 
+  /** Physical node for the internal-row variant: `executeCollect`
+    * short-circuits to the computed rows (normalized to UnsafeRow), so
+    * a coordinator-finished result collected at the coordinator costs
+    * no extra Spark job — only consumers that need an RDD pay the
+    * one-partition parallelize. */
+  final case class LazyLocalExec(
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      compute: () => Seq[InternalRow]) extends LeafExecNode {
+    private def computed(): Array[InternalRow] = {
+      val proj = UnsafeProjection.create(output.map(_.dataType).toArray[DataType])
+      compute().map(r => proj(r).copy(): InternalRow).toArray
+    }
+    override protected def doExecute(): RDD[InternalRow] =
+      sparkContext.parallelize(computed().toSeq, 1)
+    override def executeCollect(): Array[InternalRow] = computed()
+    override def executeTake(n: Int): Array[InternalRow] = computed().take(n)
+    override def executeTail(n: Int): Array[InternalRow] = computed().takeRight(n)
+  }
+
+  private final class Strategy extends SparkStrategy {
+    override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[SparkPlan] =
+      plan match {
+        case l: LogicalRelation if l.relation.isInstanceOf[Relation] &&
+            l.relation.asInstanceOf[Relation].internal =>
+          val rel = l.relation.asInstanceOf[Relation]
+          LazyLocalExec(l.output,
+            rel.compute.asInstanceOf[() => Seq[InternalRow]]) :: Nil
+        case _ => Nil
+      }
+  }
+
+  /** Register the strategy once per session (public
+    * `experimental.extraStrategies` seam — no extension install
+    * required). */
+  private def ensureStrategy(spark: SparkSession): Unit = synchronized {
+    val em = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!em.extraStrategies.exists(_.isInstanceOf[Strategy]))
+      em.extraStrategies = em.extraStrategies :+ new Strategy
+  }
+
   /** Lazy local DataFrame over a per-action `compute()` yielding
-    * InternalRows (UnsafeRows bound to `schema`). */
+    * InternalRows bound to `schema`. */
   def internalRows(
       spark: SparkSession, schema: StructType,
-      compute: () => Seq[InternalRow]): DataFrame =
+      compute: () => Seq[InternalRow]): DataFrame = {
+    ensureStrategy(spark)
     toDF(spark, new Relation(spark, schema, internal = true, compute))
+  }
 
   /** Lazy local DataFrame over a per-action `compute()` yielding
     * external [[Row]]s (converted by Spark against `schema`). */

@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+/** Coordinator-side row ordering that matches Catalyst's ascending
+  * order exactly for the atomic internal types: longs/ints (also
+  * timestamps and dates internally), Double/Float via their boxed
+  * compareTo (NaN largest, -0.0 < 0.0 — Catalyst's total order),
+  * UTF8String (binary order), Decimal, Boolean. Null ordering is
+  * Catalyst's default: asc = nulls first, desc = nulls last (uniform
+  * "null smallest", negated for desc). */
+object RowOrd {
+
+  def orderable(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** spec: (ordinal, type, ascending) per key, major first. */
+  def comparator(spec: Array[(Int, DataType, Boolean)]): java.util.Comparator[InternalRow] =
+    new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = {
+        var i = 0
+        while (i < spec.length) {
+          val (ord, dt, asc) = spec(i)
+          val an = a.isNullAt(ord); val bn = b.isNullAt(ord)
+          val c =
+            if (an && bn) 0
+            else if (an) -1
+            else if (bn) 1
+            else a.get(ord, dt).asInstanceOf[Comparable[Any]]
+              .compareTo(b.get(ord, dt))
+          if (c != 0) return if (asc) c else -c
+          i += 1
+        }
+        0
+      }
+    }
+
+  /** Resolve (name, asc) keys against a schema; None when any key is
+    * missing or not driver-orderable (callers fall back to a Spark-side
+    * sort). */
+  def spec(schema: StructType, keys: Seq[(String, Boolean)]): Option[Array[(Int, DataType, Boolean)]] = {
+    val ok = keys.forall { case (n, _) =>
+      schema.fieldNames.contains(n) && orderable(schema(n).dataType) }
+    if (!ok) None
+    else Some(keys.map { case (n, asc) =>
+      (schema.fieldIndex(n), schema(n).dataType, asc) }.toArray)
+  }
+}

@@ -61,7 +61,7 @@ object CoreQueries {
             round(avg("l_quantity"), 2).as("avg_qty"),
             round(avg("l_extendedprice"), 2).as("avg_price"),
             count(lit(1)).as("count_order"))
-          .transform(Present.driverAgg(_, col("l_returnflag"), col("l_linestatus")))
+          .transform(Present.driverAgg(_, "l_returnflag" -> true, "l_linestatus" -> true))
       },
       oracle = Some("""
         SELECT l_returnflag, l_linestatus,
@@ -156,7 +156,7 @@ object CoreQueries {
             col("c_nationkey") === col("s_nationkey"))
           .groupBy("n_name")
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
-          .transform(Present.driverAgg(_, desc("revenue"), asc("n_name")))
+          .transform(Present.driverAgg(_, "revenue" -> false, "n_name" -> true))
       },
       oracle = Some("""
         SELECT n_name,
@@ -227,6 +227,7 @@ object CoreQueries {
         // LazyLocal + a fresh-plan collect: every action re-runs the
         // combiner job. Tie-break (o_totalprice desc, o_orderkey asc)
         // matches the window spec it replaces bit-for-bit.
+        Present.recordFinishSource(localTop) // plan-quality observability
         val outSchema = StructType(Seq(
           StructField("c_mktsegment", StringType), StructField("o_orderkey", LongType),
           StructField("o_totalprice", DoubleType), StructField("rn", IntegerType, nullable = false)))
@@ -543,7 +544,7 @@ object CoreQueries {
         Tables.orders(s, d)
           .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2, "total"))
-          .transform(Present.driverAgg(_, col("y"), col("m")))
+          .transform(Present.driverAgg(_, "y" -> true, "m" -> true))
       },
       oracle = Some("""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m,
@@ -651,7 +652,7 @@ object CoreQueries {
               .select(
                 expr("cast(timestamp_micros(b * 3600000000) as timestamp_ntz)").as("hour"),
                 col("event_type"), col("n"), col("sum_value"))
-              .transform(Present.driverAgg(_, col("hour"), col("event_type")))
+              .transform(Present.driverAgg(_, "hour" -> true, "event_type" -> true))
           case TimestampNTZType if utcSession =>
             val e = Tables.events(s, d)
               .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
@@ -662,7 +663,7 @@ object CoreQueries {
               .select(
                 expr("cast(timestamp_micros(b * 3600000000) as timestamp_ntz)").as("hour"),
                 col("event_type"), col("n"), col("sum_value"))
-              .transform(Present.driverAgg(_, col("hour"), col("event_type")))
+              .transform(Present.driverAgg(_, "hour" -> true, "event_type" -> true))
           case _ =>
             Tables.events(s, d)
               .groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"),

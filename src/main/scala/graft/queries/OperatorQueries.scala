@@ -58,7 +58,7 @@ object OperatorQueries {
           .groupBy("band_id")
           .agg(count(lit(1)).as("n"),
             CoreQueries.dsum(col("o_totalprice"), 2, "total"))
-          .transform(Present.driverAgg(_, col("band_id")))
+          .transform(Present.driverAgg(_, "band_id" -> true))
       },
       oracle = Some("""
         WITH bands AS (

@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * Large sorted *exports* should keep `orderBy` — the range sort is the
   * right plan when the output itself is big.
   */
-private[queries] object Present {
+private[graft] object Present {
 
   /** Sort a small final result by collapsing the preceding post-shuffle
     * stage into one task (`coalesce(1)`). Free when that stage is a
@@ -45,26 +45,15 @@ private[queries] object Present {
     * fixed dimensions); falls back to [[sortSmall]]'s distributed plan
     * whenever the shape doesn't match or the state isn't tiny.
     */
-  def driverAgg(df: DataFrame, cols: Column*): DataFrame =
-    graft.plans.DriverFinalAgg.rewrite(df) match {
-      case Some(local) if cols.isEmpty => local
-      case Some(local) => local.coalesce(1).sortWithinPartitions(cols: _*)
-      case None if cols.isEmpty => df
-      case None => sortSmall(df, cols: _*)
+  def driverAgg(df: DataFrame, keys: (String, Boolean)*): DataFrame =
+    graft.plans.DriverFinalAgg.rewrite(df, sortBy = keys) match {
+      // the rewrite presentation-sorts driver-side (or attaches the
+      // Spark-side sort itself when a key type isn't driver-orderable)
+      case Some(local) => local
+      case None if keys.isEmpty => df
+      case None => sortSmall(df, keys.map { case (n, asc) =>
+        if (asc) col(n).asc else col(n).desc }: _*)
     }
-
-  /** Internal types whose `Comparable` order IS Catalyst's ascending
-    * order: longs/ints (also timestamps and dates internally),
-    * Double/Float via their boxed compareTo (NaN largest, -0.0 < 0.0 —
-    * Catalyst's total order), UTF8String (binary order), Decimal,
-    * Boolean. */
-  private def driverOrderable(t: DataType): Boolean = t match {
-    case ByteType | ShortType | IntegerType | LongType | FloatType |
-         DoubleType | StringType | BooleanType | DateType |
-         TimestampType | TimestampNTZType => true
-    case _: DecimalType => true
-    case _ => false
-  }
 
   /** Sort a SMALL final result on the coordinator ([[graft.plans.LazyLocal]]):
     * the plan's last exchange-and-sort stage disappears — the driver
@@ -80,39 +69,31 @@ private[queries] object Present {
     */
   def driverSortBy(df: DataFrame, keys: (String, Boolean)*): DataFrame = {
     val schema = df.schema
-    val ok = keys.forall { case (n, _) =>
-      schema.fieldNames.contains(n) && driverOrderable(schema(n).dataType) }
-    if (!ok)
-      return sortNarrow(df, keys.map { case (n, asc) =>
-        if (asc) col(n).asc else col(n).desc }: _*)
-    val spec = keys.map { case (n, asc) =>
-      (schema.fieldIndex(n), schema(n).dataType, asc) }.toArray
-    val compute: () => Seq[InternalRow] = () => {
-      val rows = freshCollect(df)
-      java.util.Arrays.sort(rows, new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int = {
-          var i = 0
-          while (i < spec.length) {
-            val (ord, dt, asc) = spec(i)
-            val an = a.isNullAt(ord); val bn = b.isNullAt(ord)
-            // uniform "null smallest", negated for desc = Catalyst's
-            // asc-nulls-first / desc-nulls-last
-            val c =
-              if (an && bn) 0
-              else if (an) -1
-              else if (bn) 1
-              else a.get(ord, dt).asInstanceOf[Comparable[Any]]
-                .compareTo(b.get(ord, dt))
-            if (c != 0) return if (asc) c else -c
-            i += 1
-          }
-          0
+    graft.plans.RowOrd.spec(schema, keys) match {
+      case None =>
+        sortNarrow(df, keys.map { case (n, asc) =>
+          if (asc) col(n).asc else col(n).desc }: _*)
+      case Some(sp) =>
+        recordFinishSource(df)
+        val compute: () => Seq[InternalRow] = () => {
+          val rows = freshCollect(df)
+          java.util.Arrays.sort(rows, graft.plans.RowOrd.comparator(sp))
+          rows.toSeq
         }
-      })
-      rows.toSeq
+        graft.plans.LazyLocal.internalRows(df.sparkSession, schema, compute)
     }
-    graft.plans.LazyLocal.internalRows(df.sparkSession, schema, compute)
   }
+
+  /** Distributed source of the most recent coordinator finish built via
+    * [[driverSortBy]] / [[freshCollect]]-based queries — plan-quality
+    * tests guard the plan that actually executes, not the LazyLocal
+    * wrapper. Stored as the Dataset; rendered (planned) on demand. */
+  @volatile private var lastFinishSource: DataFrame = null
+  def lastSourcePlan: String =
+    Option(lastFinishSource)
+      .map(_.queryExecution.executedPlan.toString).getOrElse("")
+  private[graft] def clearFinishSource(): Unit = lastFinishSource = null
+  private[graft] def recordFinishSource(df: DataFrame): Unit = lastFinishSource = df
 
   /** Execute `df` through a FRESH physical plan built from its cached
     * optimized plan: re-using the Dataset's own executed plan across

@@ -30,10 +30,13 @@ class PlanQualitySpec extends SparkSpec {
     val guarded = Registry.all.map(_.name).filterNot(allPairsBaselines)
     guarded.foreach { name =>
       graft.plans.DriverFinalAgg.lastSourcePlan = ""
+      graft.queries.Present.clearFinishSource()
       val plan = planOf(name)
-      // driver-merged queries return a LocalRelation; their distributed
-      // source plan (the one that executed) is the one to guard
-      val effective = plan + "\n" + graft.plans.DriverFinalAgg.lastSourcePlan
+      // driver-merged / coordinator-finished queries return a lazy local
+      // relation; their distributed source plan (the one that executes)
+      // is the one to guard
+      val effective = plan + "\n" + graft.plans.DriverFinalAgg.lastSourcePlan +
+        "\n" + graft.queries.Present.lastSourcePlan
       assert(!effective.contains("CartesianProduct"), s"$name has a cartesian product")
       assert(!effective.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
     }
@@ -93,14 +96,17 @@ class PlanQualitySpec extends SparkSpec {
     // fact table: exactly one shuffle (the repartition(1)), no range
     // sampling exchange
     Seq("q_window_rank", "sim_bruteforce_topk").foreach { name =>
+      graft.queries.Present.clearFinishSource()
       val plan = planOf(name)
-      // sim_bruteforce_topk driver-finishes: its combiner lives in the
-      // executed SOURCE plan (the distributed partial job), the returned
-      // plan is the merged local relation
+      // driver-finished queries: the combiner lives in the executed
+      // SOURCE plan (the distributed partial job), the returned plan is
+      // the lazy local relation. q_window_rank records its source via
+      // Present; sim_bruteforce_topk via Similarity.
       val effective =
-        if (plan.contains("LocalTableScan") || plan.contains("LazyLocal"))
-          graft.extras.Similarity.lastSourcePlan
-        else plan
+        if (plan.contains("LocalTableScan") || plan.contains("LazyLocal")) {
+          val p = graft.queries.Present.lastSourcePlan
+          if (p.nonEmpty) p else graft.extras.Similarity.lastSourcePlan
+        } else plan
       assert(effective.contains("SerializeFromObject"),
         s"$name lost its per-partition top-k combiner")
       val exchanges = "Exchange".r.findAllIn(effective).size
