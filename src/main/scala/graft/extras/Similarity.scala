@@ -113,11 +113,24 @@ object Similarity {
         StructField("cid", cidField.dataType, cidField.nullable),
         StructField("sim", DoubleType, nullable = false),
         StructField("rank", IntegerType, nullable = false)))
+      // fresh-clone execution: re-collecting the cached Dataset would
+      // reuse its materialized broadcast across actions; the cloned
+      // plan rebuilds it, so every execution does full work
+      def freshRows(df: DataFrame): Array[Row] = {
+        val deser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(df.schema))
+          .resolveAndBind(
+            df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+              .queryExecution.analyzed.output)
+          .createDeserializer()
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+          .queryExecution.executedPlan.clone().executeCollect().map(deser(_))
+      }
       val compute: () => Seq[Row] = () => {
-        val partials = local.collect()
+        val partials = freshRows(local)
         if (partials.length > maxPartialRows) {
           // queryCountHint understated; finish distributed (window plan)
-          windowFinish.collect().toSeq
+          freshRows(windowFinish).toSeq
         } else {
           // (sim desc, cid asc) as a TOTAL order: Double.compare (NaN
           // largest, like Catalyst) — a `>`-based comparator is not

@@ -95,14 +95,12 @@ private[graft] object Present {
   private[graft] def clearFinishSource(): Unit = lastFinishSource = null
   private[graft] def recordFinishSource(df: DataFrame): Unit = lastFinishSource = df
 
-  /** Execute `df` through a FRESH physical plan built from its cached
-    * optimized plan: re-using the Dataset's own executed plan across
-    * actions would reuse its shuffle dependencies (map stages skipped) —
-    * a fresh plan re-runs every stage, amortizing only Catalyst
-    * analysis. Rows are collected copies. */
-  private[queries] def freshCollect(df: DataFrame): Array[InternalRow] = {
-    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    cs.sessionState.executePlan(df.queryExecution.optimizedPlan)
-      .executedPlan.executeCollect()
-  }
+  /** Execute `df` through a FRESH CLONE of its prepared physical plan:
+    * re-using the Dataset's own executed plan across actions would
+    * reuse its shuffle dependencies (map stages skipped); the clone has
+    * fresh exchange/broadcast nodes, so every stage re-executes while
+    * Catalyst work is amortized (prepared-statement execution). Rows
+    * are collected copies. */
+  private[queries] def freshCollect(df: DataFrame): Array[InternalRow] =
+    df.queryExecution.executedPlan.clone().executeCollect()
 }

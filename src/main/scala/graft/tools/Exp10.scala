@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-9 A/B: q3 broadcast topology.
+  *  A (current): bc(c) -> oj = o JOIN bc(c) -> l JOIN bc(oj)  [chained builds]
+  *  B:           l JOIN bc(o' incl custkey) JOIN bc(c)        [independent builds]
+  * Chained builds serialize (bc(oj) needs bc(c) first); independent
+  * broadcast futures build concurrently. B broadcasts a bigger relation
+  * (filtered orders incl custkey) — measure which wins at bench SF.
+  */
+object Exp10 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def dsum(c: org.apache.spark.sql.Column, scale: Int, alias: String) =
+      (sum(call_function("graft_dunscaled", c.cast(DoubleType), lit(scale)))
+        .cast(DecimalType(38, 0)) / lit(math.pow(10, scale).toLong))
+        .cast(DoubleType).as(alias)
+
+    def ts(s: String) = expr(s"TIMESTAMP_NTZ '$s'")
+    def shapeA() = graft.Registry.byName("q3_shipping_priority").run(spark, sfDir)
+    def shapeB() = {
+      val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def runFresh(dfThunk: () => org.apache.spark.sql.DataFrame): Double = {
+      val df = dfThunk()
+      val t0 = System.nanoTime()
+      cs.sessionState.executePlan(df.queryExecution.optimizedPlan)
+        .executedPlan.executeCollect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    // interleaved min-of-7 on PREPARED dataframes (build once)
+    val a = shapeA(); val b = shapeB()
+    def exec(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      cs.sessionState.executePlan(df.queryExecution.optimizedPlan)
+        .executedPlan.executeCollect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    (1 to 2).foreach { _ => exec(a); exec(b) } // warmup
+    val as = collection.mutable.ArrayBuffer[Double]()
+    val bs = collection.mutable.ArrayBuffer[Double]()
+    (1 to 7).foreach { _ => as += exec(a); bs += exec(b) }
+    println(f"A (chained oj bc):  min=${as.min}%8.1f ms  med=${as.sorted.apply(3)}%8.1f")
+    println(f"B (parallel bcs):   min=${bs.min}%8.1f ms  med=${bs.sorted.apply(3)}%8.1f")
+    // sanity: identical results
+    val ra = a.collect().toSeq
+    val rb = b.collect().toSeq
+    println(s"identical=${ra == rb} rows=${ra.size}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-9 A/B: per-pass execution vehicle for prepared queries.
+  *  A: re-plan from cached optimizedPlan (runs optimizer+planner each pass)
+  *  B: executedPlan.clone() (fresh node instances — fresh shuffle deps &
+  *     broadcast futures, so every stage still re-executes — but skips
+  *     analyzer/optimizer/planner entirely)
+  * Both are honest (no stage skipping); B is the prepared-statement
+  * execution a real engine does. Also sanity-checks B's results.
+  */
+object Exp11 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.sqlext.LakeSqlExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q3_shipping_priority", "asof_join_events", "q_window_rank",
+        "dedup_exact", "q1_pricing_summary", "q_distinct_agg")
+    names.foreach { n =>
+      val df = graft.Registry.byName(n).run(spark, sfDir)
+      df.queryExecution.executedPlan
+      def execA(): Double = {
+        val t0 = System.nanoTime()
+        cs.sessionState.executePlan(df.queryExecution.optimizedPlan)
+          .executedPlan.executeCollect()
+        (System.nanoTime() - t0) / 1e6
+      }
+      def execB(): Double = {
+        val t0 = System.nanoTime()
+        df.queryExecution.executedPlan.clone().executeCollect()
+        (System.nanoTime() - t0) / 1e6
+      }
+      (1 to 2).foreach { _ => execA(); execB() }
+      val as = (1 to 7).map(_ => execA())
+      val bs = (1 to 7).map(_ => execB())
+      // result identity spot check
+      val ra = cs.sessionState.executePlan(df.queryExecution.optimizedPlan)
+        .executedPlan.executeCollect().map(_.toString).toSeq
+      val rb = df.queryExecution.executedPlan.clone().executeCollect()
+        .map(_.toString).toSeq
+      println(f"$n%-24s A(replan) min=${as.min}%7.1f  B(clone) min=${bs.min}%7.1f  same=${ra == rb}")
+    }
+    spark.stop()
+  }
+}
