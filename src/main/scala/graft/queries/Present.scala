@@ -98,9 +98,13 @@ private[graft] object Present {
   /** Execute `df` through a FRESH CLONE of its prepared physical plan:
     * re-using the Dataset's own executed plan across actions would
     * reuse its shuffle dependencies (map stages skipped); the clone has
-    * fresh exchange/broadcast nodes, so every stage re-executes while
-    * Catalyst work is amortized (prepared-statement execution). Rows
-    * are collected copies. */
+    * fresh exchange/broadcast nodes, so under static planning every
+    * stage re-executes while Catalyst work is amortized
+    * (prepared-statement execution; pinned by PreparedExecSpec). Under
+    * AQE the cloned adaptive plan shares its context's stage cache —
+    * results stay correct, repeat executions may reuse materialized
+    * stages (a feature for interactive reuse; the bench runs AQE off).
+    * Rows are collected copies. */
   private[queries] def freshCollect(df: DataFrame): Array[InternalRow] =
     df.queryExecution.executedPlan.clone().executeCollect()
 }

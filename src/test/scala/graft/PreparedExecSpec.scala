@@ -1,0 +1,72 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/** The bench's prepared-statement execution model must be HONEST: a
+  * cloned physical plan has fresh shuffle dependencies and broadcast
+  * futures, so re-executing it re-runs every stage — including shuffle
+  * map stages, which Spark would silently skip (shuffle files reused)
+  * if the same plan instance were executed twice. These specs pin that
+  * property: repeated cloned executions do the same number of shuffle
+  * map tasks as the first, i.e. nothing is served from reused shuffle
+  * output. */
+class PreparedExecSpec extends SparkSpec {
+
+  private def countShuffleTasks(body: => Unit): Int = {
+    val n = new AtomicInteger
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskType.contains("ShuffleMapTask")) n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      // listener delivery is async — settle before reading
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1
+      while (System.currentTimeMillis() < deadline && n.get() != last) {
+        last = n.get(); Thread.sleep(150)
+      }
+      n.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("cloned-plan execution re-runs shuffle map stages every time") {
+    // Pin the BENCH configuration: static planning (AQE off, as the
+    // bench session runs). Under AQE a cloned AdaptiveSparkPlanExec
+    // shares its context's stage cache and WOULD reuse materialized
+    // stages — same results, but not a re-execution; the bench's
+    // honesty claim rests on the static path asserted here.
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Tables.lineitem(spark, sf)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+        .orderBy("l_returnflag")
+      val plan = df.queryExecution.executedPlan // prepared once
+      val first = countShuffleTasks { plan.clone().executeCollect() }
+      assert(first > 0, "expected a shuffle in the prepared plan")
+      val second = countShuffleTasks { plan.clone().executeCollect() }
+      assert(second === first,
+        s"second execution did $second shuffle-map tasks vs $first — " +
+          "shuffle output was reused, prepared execution is not honest")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("re-executing the SAME plan instance would skip map stages (control)") {
+    // control experiment documenting WHY the clone is needed: the same
+    // physical plan instance reuses its shuffle dependency, so the
+    // second run does zero map tasks. If Spark ever changes this, the
+    // clone becomes redundant but stays correct.
+    val df = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan
+    val first = countShuffleTasks { plan.executeCollect() }
+    assert(first > 0)
+    val second = countShuffleTasks { plan.executeCollect() }
+    assert(second === 0,
+      s"expected full shuffle reuse on the same instance, saw $second tasks")
+  }
+}
