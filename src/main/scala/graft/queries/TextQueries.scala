@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.extras.TextAnalysis._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -14,6 +15,21 @@ object TextQueries {
   // same marker list inlined in the DuckDB oracle below
   private val stops = EnStopwords
   private val stopsSql = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Lowercased whitespace-tokenized words of `text`, empties dropped —
+    * byte-identical to the oracle's
+    * `list_filter(string_split_regex(trim(lower(text)), '\s+'), ...)`. */
+  private def wordsOf(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => w =!= lit(""))
+
+  /** Word 3-grams as space-joined strings (empty array below 3 words).
+    * Built with array expressions — no explode, stays in codegen. */
+  private def trigramsOf(words: Column): Column =
+    when(size(words) >= 3,
+      transform(sequence(lit(0), size(words) - 3), i =>
+        concat_ws(" ",
+          element_at(words, i + 1), element_at(words, i + 2), element_at(words, i + 3))))
+      .otherwise(array().cast(ArrayType(StringType)))
 
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
@@ -367,6 +383,112 @@ object TextQueries {
           CAST(sum(CAST(round(q, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
         FROM scored JOIN kept USING (doc_id)
         GROUP BY source ORDER BY source"""),
-      doc = "end-to-end corpus prep: quality gate -> lang gate -> dedup -> stats")
+      doc = "end-to-end corpus prep: quality gate -> lang gate -> dedup -> stats"),
+
+    // ------------------------------------------------------------------
+    Q("text_repetition",
+      (s, d) => {
+        // Gopher-style within-document repetition signals (Rae et al.
+        // 2021 §A1.1): top-word fraction (most frequent word / total
+        // words) and duplicate-3-gram fraction. The 3-gram side is pure
+        // array expressions (codegen, no explode); the word-frequency
+        // side is the canonical two-level agg — explode -> (doc, word)
+        // counts -> per-doc max/sum — which shuffles (doc_id, word),
+        // the shape that scales to any corpus (per-group state is one
+        // count; skewed docs split across partial aggs).
+        val docs = Tables.documents(s, d)
+        val base = docs.select(col("doc_id"), wordsOf(col("text")).as("words"))
+          .select(col("doc_id"), col("words"), trigramsOf(col("words")).as("tg"))
+        val wf = base.select(col("doc_id"), explode(col("words")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("maxc"), sum("c").as("sumw"))
+        base.join(wf, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            size(col("words")).as("n_words"),
+            round(coalesce(col("maxc").cast(DoubleType) / col("sumw"), lit(0.0)), 6)
+              .as("top_word_frac"),
+            round(when(size(col("tg")) > 0,
+              lit(1.0) - size(array_distinct(col("tg"))).cast(DoubleType) / size(col("tg")))
+              .otherwise(0.0), 6).as("dup_3gram_frac"))
+          .transform(Present.driverSortBy(_, "doc_id" -> true))
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS words
+          FROM documents),
+        b AS (
+          SELECT doc_id, words,
+            CASE WHEN len(words) >= 3 THEN
+              list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+            ELSE [] END AS tg
+          FROM w),
+        wf AS (
+          SELECT doc_id, max(c) AS maxc, sum(c) AS sumw FROM (
+            SELECT doc_id, word, count(*) AS c
+            FROM (SELECT doc_id, unnest(words) AS word FROM w)
+            GROUP BY doc_id, word)
+          GROUP BY doc_id)
+        SELECT b.doc_id, CAST(len(b.words) AS INTEGER) AS n_words,
+          round(COALESCE(CAST(maxc AS DOUBLE) / sumw, 0.0), 6) AS top_word_frac,
+          round(CASE WHEN len(tg) > 0
+            THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+            ELSE 0.0 END, 6) AS dup_3gram_frac
+        FROM b LEFT JOIN wf USING (doc_id) ORDER BY doc_id"""),
+      doc = "Gopher repetition signals: top-word fraction + duplicate-3-gram fraction (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("dedup_repeated_ngrams",
+      (s, d) => {
+        // Corpus-level repeated-n-gram mask statistics: for each doc,
+        // how many of its word 3-grams occur >= 3 times corpus-wide —
+        // the boilerplate/memorization-risk signal computed before
+        // span-masking repeated n-grams out of training data. Plan:
+        // explode grams -> global gram counts (shuffle on gram) ->
+        // join back on the SAME key (co-partitioned, no extra
+        // exchange) -> per-doc agg. At 100 TB the join key becomes
+        // xxhash64(gram) to shrink shuffle bytes, and the frequency
+        // side is pre-filtered to c >= threshold (a tiny relation —
+        // broadcastable) — shape unchanged.
+        val docs = Tables.documents(s, d)
+        val grams = docs
+          .select(col("doc_id"), explode(trigramsOf(wordsOf(col("text")))).as("g"))
+        val freq = grams.groupBy("g").agg(count(lit(1)).as("c"))
+        val per = grams.join(freq, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("ng"),
+            sum(when(col("c") >= 3, 1L).otherwise(0L)).as("nr"))
+        docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("ng"), lit(0L)).cast(IntegerType).as("n_grams"),
+            coalesce(col("nr"), lit(0L)).cast(IntegerType).as("n_repeated"),
+            round(coalesce(col("nr").cast(DoubleType) / col("ng"), lit(0.0)), 6)
+              .as("repeated_frac"))
+          .transform(Present.driverSortBy(_, "doc_id" -> true))
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS words
+          FROM documents),
+        tg AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(words) >= 3 THEN
+              list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+            ELSE [] END) AS g
+          FROM w),
+        f AS (SELECT g, count(*) AS c FROM tg GROUP BY g),
+        per AS (
+          SELECT doc_id, count(*) AS ng,
+            sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS nr
+          FROM tg JOIN f USING (g) GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(COALESCE(ng, 0) AS INTEGER) AS n_grams,
+          CAST(COALESCE(nr, 0) AS INTEGER) AS n_repeated,
+          round(COALESCE(CAST(nr AS DOUBLE) / ng, 0.0), 6) AS repeated_frac
+        FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""),
+      doc = "corpus-wide repeated-3-gram mask stats per doc (training-data op)")
   )
 }
