@@ -55,6 +55,36 @@ class PreparedExecSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
+  test("driver-merged aggregate collects in exactly one job (the partial stage)") {
+    // the LazyLocal strategy plans the coordinator finish as a node
+    // whose executeCollect returns the merged rows directly — a full
+    // execution of a driverAgg query is the partial-stage job and
+    // nothing else
+    val jobs = new AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val df = graft.plans.DriverFinalAgg.rewrite(
+      Tables.lineitem(spark, sf).groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("s")),
+      sortBy = Seq("l_returnflag" -> true)).get
+    df.queryExecution.executedPlan // prepare outside the counted window
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = df.queryExecution.executedPlan.clone().executeCollect()
+      assert(rows.nonEmpty)
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1
+      while (System.currentTimeMillis() < deadline && jobs.get() != last) {
+        last = jobs.get(); Thread.sleep(150)
+      }
+      assert(jobs.get() === 1,
+        s"expected exactly the partial-stage job, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("re-executing the SAME plan instance would skip map stages (control)") {
     // control experiment documenting WHY the clone is needed: the same
     // physical plan instance reuses its shuffle dependency, so the
