@@ -18,6 +18,16 @@ import org.apache.spark.sql.types._
   */
 object AsOfJoin {
 
+  /** Physical strategy for [[asofBackward]]. `Auto` picks Broadcast
+    * when the right side's size estimate fits the session broadcast
+    * threshold AND the left side is at least 4x larger (the shape
+    * where skipping the left shuffle pays for the per-key array
+    * build); otherwise the union+window plan. */
+  sealed trait Strategy
+  case object Auto extends Strategy
+  case object WindowStrategy extends Strategy
+  case object BroadcastStrategy extends Strategy
+
   /** For each left row, attach `payloadCols` from the right row with the
     * largest rightTime <= leftTime within the same key group (NULLs when
     * no prior right row exists — ASOF LEFT JOIN semantics).
@@ -29,6 +39,53 @@ object AsOfJoin {
     * struct built only on right rows, so the running `last(ignoreNulls)`
     * can carry a right row whose payload columns are all NULL. */
   def asofBackward(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      payloadCols: Seq[String], strategy: Strategy = Auto): DataFrame = {
+    val pick = strategy match {
+      case Auto =>
+        val t = graft.plans.Hints.autoBroadcastThreshold(right)
+        val r = graft.plans.Hints.sizeEstimate(right)
+        val l = graft.plans.Hints.sizeEstimate(left)
+        if (t > 0 && r <= t && l >= r * 4) BroadcastStrategy else WindowStrategy
+      case s => s
+    }
+    if (pick == BroadcastStrategy)
+      asofBroadcast(left, right, keys, leftTime, rightTime, payloadCols)
+    else asofWindow(left, right, keys, leftTime, rightTime, payloadCols)
+  }
+
+  /** Broadcast strategy: the right side collapses to one sorted
+    * (time, payload) array per key, broadcast to every task; each left
+    * row then resolves its match with an in-expression scan of its
+    * key's array — `filter` + positional `element_at`, all codegen. The
+    * LEFT side never shuffles and never sorts: on a 100 TB fact stream
+    * against a dim-sized right table this is the as-of analog of a
+    * broadcast hash join (the union+window plan shuffles BOTH sides on
+    * the keys). Right rows with NULL time never match here (no instant
+    * to compare); keep the window plan if carrying them matters. */
+  private def asofBroadcast(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val rAgg = right
+      .select(keys.map(col) ++ Seq(col(rightTime).as("__t")) ++ payloadCols.map(col): _*)
+      .where(col("__t").isNotNull)
+      .groupBy(keys.map(col): _*)
+      // sort_array orders structs lexicographically: primary key __t,
+      // payload fields as deterministic tie-breakers
+      .agg(sort_array(collect_list(
+        struct(col("__t") +: payloadCols.map(col): _*))).as("__arr"))
+    val joined = left.join(broadcast(rAgg), keys, "left")
+    val matches = filter(col("__arr"), x => x.getField("__t") <= col(leftTime))
+    // element_at is 1-based; the when-guard keeps ANSI mode happy on
+    // empty/null arrays (no prior right row -> NULL payload)
+    val matched = when(size(matches) > 0, element_at(matches, size(matches)))
+    payloadCols.foldLeft(joined)((df, c) => df.withColumn(c, matched.getField(c)))
+      .select(left.columns.map(col) ++ payloadCols.map(col): _*)
+  }
+
+  private def asofWindow(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTime: String, rightTime: String,
       payloadCols: Seq[String]): DataFrame = {

@@ -20,21 +20,26 @@ import org.apache.spark.sql.functions.broadcast
   */
 object Hints {
 
+  /** The session's auto-broadcast threshold in bytes; <= 0 when
+    * broadcasting is disabled. "-1" (disabled) is a bare negative
+    * number, which the byte-string parser rejects — treat any
+    * unparsable value as disabled. */
+  def autoBroadcastThreshold(df: DataFrame): Long =
+    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    catch { case _: NumberFormatException => -1L }
+
+  /** Catalyst's size estimate for `df`'s optimized plan. */
+  def sizeEstimate(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
   /** Broadcast `df` iff the size estimate of `bound` (a plan whose row
     * set provably contains `df`'s, e.g. the pre-join filtered side of a
     * key-preserving join) is within the auto-broadcast threshold. */
   def broadcastIfSmall(df: DataFrame, bound: DataFrame): DataFrame = {
-    val conf = df.sparkSession.conf
-    // "-1" (broadcast disabled) is a bare negative number, which the
-    // byte-string parser rejects — treat any unparsable value as disabled
-    val threshold =
-      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
-      catch { case _: NumberFormatException => -1L }
+    val threshold = autoBroadcastThreshold(df)
     if (threshold <= 0) df
-    else {
-      val est = bound.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est <= threshold) broadcast(df) else df
-    }
+    else if (sizeEstimate(bound) <= threshold) broadcast(df)
+    else df
   }
 }

@@ -45,6 +45,40 @@ object OperatorQueries {
       doc = "as-of join (J6, net-new): union+window composition vs DuckDB native ASOF"),
 
     // ------------------------------------------------------------------
+    Q("asof_join_broadcast",
+      (s, d) => {
+        // The broadcast as-of strategy against a dim-sized right side
+        // (every 10th user's signups): the fact side streams through a
+        // broadcast hash join + in-expression array lookup — no fact
+        // shuffle, the 100 TB shape. Strategy forced (Catalyst's
+        // non-CBO stats can't see the filter's selectivity); Auto picks
+        // it whenever the size estimates prove the asymmetry.
+        val events = Tables.events(s, d)
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val signups = events.filter(col("event_type") === "signup" &&
+            col("user_id") % 10 === 0)
+          .select(col("event_id").as("signup_id"), col("user_id"), col("ts"))
+        AsOfJoin.asofBackward(purchases, signups,
+            keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+            payloadCols = Seq("signup_id"),
+            strategy = AsOfJoin.BroadcastStrategy)
+          .select("event_id", "user_id", "signup_id")
+          .transform(Present.driverSortBy(_, "event_id" -> true))
+      },
+      oracle = Some("""
+        WITH purchases AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        signups AS (
+          SELECT event_id AS signup_id, user_id, ts FROM events
+          WHERE event_type = 'signup' AND user_id % 10 = 0)
+        SELECT p.event_id, p.user_id, s.signup_id
+        FROM purchases p ASOF LEFT JOIN signups s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY p.event_id"""),
+      doc = "as-of join, broadcast strategy (J6): dim-sized right side, zero fact shuffle"),
+
+    // ------------------------------------------------------------------
     Q("range_join_bands",
       (s, d) => {
         val orders = Tables.orders(s, d)

@@ -41,6 +41,36 @@ class OperatorsSpec extends SparkSpec {
     assert(full.filter(col("id") === 2L).select("t").as[Long].head() === 205L)
   }
 
+  test("asof broadcast strategy: result-identical to the window plan, no shuffle of the left side") {
+    val rnd = new scala.util.Random(20260813L)
+    val left = Seq.tabulate(500) { i =>
+      (i.toLong, s"u${rnd.nextInt(20)}", rnd.nextInt(1000).toLong) }
+      .toDF("id", "key", "t")
+    // unique (key, t) pairs so both plans' match is fully determined
+    // (at a (key, t) tie the two plans may legitimately pick different
+    // right rows — both are valid asof answers)
+    val rightPairs = Seq.fill(80)((s"u${rnd.nextInt(25)}", rnd.nextInt(1000).toLong)).distinct
+    val right = rightPairs.zipWithIndex
+      .map { case ((k, t), i) => (1000L + i, k, t) }
+      .toDF("rid", "key", "t")
+    def run(st: AsOfJoin.Strategy) =
+      AsOfJoin.asofBackward(left, right, Seq("key"), "t", "t",
+        Seq("rid"), strategy = st).orderBy("id").collect().toSeq
+    val win = run(AsOfJoin.WindowStrategy)
+    val bc = run(AsOfJoin.BroadcastStrategy)
+    assert(bc === win)
+    assert(bc.head.schema.fieldNames.toSeq === win.head.schema.fieldNames.toSeq)
+    // plan shape: the left side feeds a broadcast hash join — no
+    // exchange on the left path, no window sort
+    val plan = AsOfJoin.asofBackward(left, right, Seq("key"), "t", "t",
+      Seq("rid"), strategy = AsOfJoin.BroadcastStrategy)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    // the only exchange is the right-side groupBy INSIDE the broadcast
+    // build; the streamed left path sorts/shuffles nothing
+    assert(!plan.toLowerCase.contains("window("), s"broadcast path should have no window:\n$plan")
+  }
+
   test("asof join: a right row with a NULL payload still wins over older rows") {
     // most recent right row at t=200 carries rid=NULL; the match must be
     // that NULL, not the older rid=10 (single-payload path regression:
