@@ -30,6 +30,32 @@ object StreamingQueries {
         SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""),
-      doc = "readStream -> watermark -> tumbling window -> foreachBatch lake commit")
+      doc = "readStream -> watermark -> tumbling window -> foreachBatch lake commit"),
+
+    // ------------------------------------------------------------------
+    Q("streaming_sessionize",
+      (s, d) => {
+        // Session windows (30-minute gap) over the streamed fixture in
+        // APPEND mode: only watermark-finalized sessions emit, and the
+        // two-sentinel flush (StreamPipeline.readEventsStream) makes
+        // "finalized" cover every real session deterministically — so
+        // the streaming result equals the batch gap-sessionization the
+        // oracle recomputes in SQL.
+        val name = "streaming_sessionize_gate"
+        StreamPipeline.sessionWindows(s, d, name)
+          .orderBy("user_id", "session_start")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS tsu FROM events),
+        b AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+                              OR tsu - lag(tsu) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        st AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b)
+        SELECT min(ts) AS session_start, user_id, CAST(count(*) AS BIGINT) AS n
+        FROM st GROUP BY user_id, sid
+        ORDER BY user_id, session_start"""),
+      doc = "Structured Streaming session_window (append mode, watermark-finalized) vs batch SQL sessionization")
   )
 }

@@ -61,37 +61,46 @@ object StreamPipeline {
     if (flushSentinel) {
       // Append-mode + event-time watermark on a BOUNDED source: a window
       // only emits once the watermark passes its end, and the watermark
-      // computed from the last data batch is committed after it — so
-      // with a single input file, AvailableNow may terminate before any
-      // window finalizes (whether a no-data flush batch runs is a race
+      // computed from batch N is applied in batch N+1 — so with a single
+      // input file, AvailableNow may terminate before any window
+      // finalizes (whether a trailing no-data batch runs is a race
       // against source exhaustion). Deterministic fix, same trick an
-      // operator uses to drain a real pipeline: one far-future sentinel
-      // row in a SECOND file. maxFilesPerTrigger=1 puts it in its own
-      // later micro-batch (file order is by modification time; the
-      // symlink resolves to the old fixture, the sentinel is written
-      // now), and processing it advances the watermark past every real
-      // session. Pipelines filter the sentinel's own row out by
-      // [[FlushUserId]].
-      val flushTs: Any =
-        if (tsIsNanosLong) 4102444800L * 1000000000L // 2100-01-01 in nanos
-        else java.time.LocalDateTime.of(2100, 1, 1, 0, 0)
-      val row = org.apache.spark.sql.Row(
-        -1L, flushTs, FlushUserId, "flush", 0.0, "{}")
-      val tmpOut = java.nio.file.Files.createTempDirectory("graft-flush-")
-      spark.createDataFrame(
-        java.util.Collections.singletonList(row),
-        if (tsIsNanosLong) eventsLongSchema else eventsNtzSchema)
-        .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-      val listing = java.nio.file.Files.list(tmpOut)
-      try {
-        val it = listing.iterator()
-        var src: java.nio.file.Path = null
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet")) src = p
-        }
-        java.nio.file.Files.move(src, streamDir.resolve("zz_flush.parquet"))
-      } finally listing.close()
+      // operator uses to drain a real pipeline: TWO far-future sentinel
+      // rows in two extra files. maxFilesPerTrigger=1 gives each its own
+      // micro-batch (file order: modification time, staggered below;
+      // ties and paths both order events < zz_flush1 < zz_flush2), so
+      // sentinel #1 drags the watermark past every real session and
+      // sentinel #2's GUARANTEED batch applies it — all real sessions
+      // finalize before the query drains, deterministically. Pipelines
+      // filter the sentinels' own rows out by [[FlushUserId]].
+      def writeFlush(name: String, day: Int, mtimePlusMs: Long): Unit = {
+        val flushTs: Any =
+          if (tsIsNanosLong) (4102444800L + day * 86400L) * 1000000000L // 2100-01-(1+day)
+          else java.time.LocalDateTime.of(2100, 1, 1 + day, 0, 0)
+        val row = org.apache.spark.sql.Row(
+          -1L - day, flushTs, FlushUserId, "flush", 0.0, "{}")
+        val tmpOut = java.nio.file.Files.createTempDirectory("graft-flush-")
+        spark.createDataFrame(
+          java.util.Collections.singletonList(row),
+          if (tsIsNanosLong) eventsLongSchema else eventsNtzSchema)
+          .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+        val listing = java.nio.file.Files.list(tmpOut)
+        try {
+          val it = listing.iterator()
+          var src: java.nio.file.Path = null
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet")) src = p
+          }
+          val dst = streamDir.resolve(name)
+          java.nio.file.Files.move(src, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() + mtimePlusMs))
+        } finally listing.close()
+      }
+      writeFlush("zz_flush1.parquet", 0, 60000L)
+      writeFlush("zz_flush2.parquet", 1, 120000L)
     }
     val raw = spark.readStream
       .schema(if (tsIsNanosLong) eventsLongSchema else eventsNtzSchema)
@@ -144,12 +153,16 @@ object StreamPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").cast(TimestampNTZType).as("session_start"),
         col("user_id"), col("n"))
-      .filter(col("user_id") =!= FlushUserId)
     val q = agg.writeStream.outputMode("append")
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    // The sentinel filter applies at the SINK, not inside the stream:
+    // a stream-side user_id filter is pushed below the watermark into
+    // the scan, and the sentinel row would never advance the watermark
+    // at all. Whether the sentinels' own far-future sessions emitted
+    // depends on trailing no-data batches — filtered here either way.
+    spark.table(name).filter(col("user_id") =!= FlushUserId)
   }
 
   /** Custom streaming state via `mapGroupsWithState` (SURVEY §2.7): a

@@ -448,9 +448,11 @@ class ExtrasSpec extends SparkSpec {
     val streamed = streaming.StreamPipeline.sessionWindows(spark, sf, "session_test")
     val batch = Registry.byName("q_sessionize_gap").run(spark, sf)
       .select(col("session_start"), col("user_id"), col("n"))
-    // finalized streamed sessions must agree with the batch computation
+    // the two-sentinel flush finalizes EVERY real session before the
+    // stream drains: streamed must equal the batch computation exactly
     assert(streamed.join(batch, Seq("session_start", "user_id", "n"), "left_anti").isEmpty)
-    assert(streamed.count() > 0)
+    assert(batch.join(streamed, Seq("session_start", "user_id", "n"), "left_anti").isEmpty)
+    assert(streamed.count() === batch.count())
   }
 
   test("mapGroupsWithState carries running per-user totals across batches") {
