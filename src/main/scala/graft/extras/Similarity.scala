@@ -126,7 +126,7 @@ object Similarity {
         df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
           .queryExecution.executedPlan.clone().executeCollect().map(deser(_))
       }
-      val compute: () => Seq[Row] = () => {
+      val computeRows: () => Seq[Row] = () => {
         val partials = freshRows(local)
         if (partials.length > maxPartialRows) {
           // queryCountHint understated; finish distributed (window plan)
@@ -148,7 +148,20 @@ object Similarity {
             }
         }
       }
-      graft.plans.LazyLocal.rows(spark, schema, compute)
+      // Internal-row variant ONLY: the external `LazyLocal.rows` path is
+      // planned by stock DSv1, whose buildScan() runs at PLANNING time —
+      // the rows would be frozen into the planned RDD and every further
+      // action (or cloned prepared plan) would replay them instead of
+      // re-running the combiner job. The internal variant plans as
+      // LazyLocalExec, which defers compute() to execution.
+      val compute: () => Seq[org.apache.spark.sql.catalyst.InternalRow] = () => {
+        val ser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+          .createSerializer()
+        computeRows().map(r => ser(r).copy()
+          : org.apache.spark.sql.catalyst.InternalRow)
+      }
+      graft.plans.LazyLocal.internalRows(spark, schema, compute)
     } else windowFinish
   }
 

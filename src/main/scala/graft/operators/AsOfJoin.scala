@@ -98,10 +98,18 @@ object AsOfJoin {
       keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
         leftOnly.map(col) ++
         payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(pay(c))): _*)
-    val rSide = right.select(
-      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
-        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(c => col(c).as(pay(c))): _*)
+    // NULL-key / NULL-time right rows never match: the ON-clause
+    // semantics (null = null is unknown; t >= null is unknown) that the
+    // broadcast strategy and DuckDB's ASOF both implement — without
+    // this filter the window partitioning would group null keys
+    // together and sort null times first, silently "matching" them,
+    // and the two strategies would disagree
+    val rSide = right
+      .where((keys.map(col(_).isNotNull) :+ col(rightTime).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+          leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payloadCols.map(c => col(c).as(pay(c))): _*)
 
     // right rows sort before left rows at equal timestamps -> inclusive
     val w = Window.partitionBy(keys.map(col): _*)

@@ -57,7 +57,9 @@ object DriverFinalAgg {
     * DRIVER-SIDE to the merged result (Catalyst-identical order via
     * [[RowOrd]]), so the returned plan needs no Spark-side sort — a
     * collect of the finished result launches only the partial-stage
-    * job. Ignored (caller must sort) when a key isn't driver-orderable. */
+    * job. When a key isn't driver-orderable the rewrite attaches the
+    * equivalent Spark-side sort itself; either way the returned plan
+    * is already ordered. */
   def rewrite(
       df: DataFrame, maxPartialRows: Int = 1 << 20,
       sortBy: Seq[(String, Boolean)] = Nil): Option[DataFrame] =
@@ -177,15 +179,20 @@ object DriverFinalAgg {
       case None => rows
     }
     val compute: () => Seq[InternalRow] = () => sorted(try {
-      // one partial-stage job; rows are (group cols ++ partial agg buffers)
-      val partials = partialPlan.execute().map(_.copy()).collect()
+      // one partial-stage job; rows are (group cols ++ partial agg
+      // buffers). Execute a CLONE of the captured plan: the same
+      // instance would reuse its lazy broadcast relationFutures (a
+      // partial stage containing dim joins, e.g. q5, would serve the
+      // first execution's broadcasts forever — stale results on
+      // changed dims, skipped work on repeat executions).
+      val partials = partialPlan.clone().execute().map(_.copy()).collect()
       if (partials.length > maxPartialRows) {
         // runtime cap breach: the bounded-cardinality contract the
         // caller vouched for doesn't hold — run the DISTRIBUTED final
         // aggregation instead (same result; every driverAgg caller
         // presents a small final result, so the collect stays bounded
         // by the group count, not the partial count)
-        plan.executeCollect().toSeq.map(_.copy())
+        plan.clone().executeCollect().toSeq.map(_.copy())
       } else {
         val groupProj = UnsafeProjection.create(partialOutput.take(nGroup), partialOutput)
         val initProj = MutableProjection.create(aggs.flatMap(_.initialValues), Nil)
@@ -236,11 +243,11 @@ object DriverFinalAgg {
         // failing the action
         if (sys.env.contains("SPARK_GRAFT_DEBUG"))
           System.err.println(s"[driver-agg] runtime fallback: $e")
-        plan.executeCollect().toSeq.map(_.copy())
+        plan.clone().executeCollect().toSeq.map(_.copy())
     })
     val lazyDf = LazyLocal.internalRows(spark, df.schema, compute)
-    // when the sort keys couldn't be driver-ordered, hand back a plan
-    // the caller must still sort — signalled by sorting being a no-op
+    // when a sort key isn't driver-orderable, attach the equivalent
+    // Spark-side sort so the caller always receives an ordered plan
     Some(if (sortSpec.isEmpty && sortBy.nonEmpty)
       lazyDf.coalesce(1).sortWithinPartitions(sortBy.map { case (n, asc) =>
         if (asc) org.apache.spark.sql.functions.col(n).asc

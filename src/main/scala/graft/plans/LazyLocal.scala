@@ -32,11 +32,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *  - any consumer that needs an RDD (sinks, downstream operators)
   *    gets a one-partition parallelize via `doExecute`/`buildScan`.
   *
-  * Two row conventions, per [[org.apache.spark.sql.sources.BaseRelation.needConversion]]:
-  * [[LazyLocal.internalRows]] for producers that already emit
-  * InternalRows bound to `schema` (no external-Row round trip);
-  * [[LazyLocal.rows]] for producers of external [[Row]]s (planned
-  * through the stock DSv1 conversion path).
+  * ONLY the internal-row variant exists: the stock DSv1 path for
+  * external Rows invokes `buildScan()` at PLANNING time, freezing the
+  * computed rows into the planned RDD — every further action (or a
+  * cloned prepared plan) would replay them instead of recomputing.
+  * Producers of external Rows serialize through a `RowEncoder` and use
+  * [[LazyLocal.internalRows]].
   *
   * Size contract: coordinator finishes are small by construction
   * (bounded group keys, top-k lists), so `sizeInBytes` advertises a
@@ -47,15 +48,18 @@ object LazyLocal {
   private[plans] final class Relation(
       spark: SparkSession,
       override val schema: StructType,
-      val internal: Boolean,
-      val compute: () => Seq[_]) extends BaseRelation with TableScan {
+      val compute: () => Seq[InternalRow]) extends BaseRelation with TableScan {
     override def sqlContext: org.apache.spark.sql.SQLContext = {
       // sqlContext lives on the classic session; the public interface
       // type doesn't surface it
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
     }
-    override def needConversion: Boolean = !internal
+    override def needConversion: Boolean = false
     override def sizeInBytes: Long = 4096L
+    // fallback only (the registered strategy normally intercepts the
+    // relation before DSv1 plans it): DSv1 calls this at PLANNING time,
+    // so a consumer that reaches it computes at planning — correct
+    // results, but the laziness guarantee lives in LazyLocalExec
     override def buildScan(): RDD[Row] =
       spark.sparkContext
         .parallelize(compute().asInstanceOf[Seq[AnyRef]], 1)
@@ -84,11 +88,8 @@ object LazyLocal {
   private final class Strategy extends SparkStrategy {
     override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[SparkPlan] =
       plan match {
-        case l: LogicalRelation if l.relation.isInstanceOf[Relation] &&
-            l.relation.asInstanceOf[Relation].internal =>
-          val rel = l.relation.asInstanceOf[Relation]
-          LazyLocalExec(l.output,
-            rel.compute.asInstanceOf[() => Seq[InternalRow]]) :: Nil
+        case l: LogicalRelation if l.relation.isInstanceOf[Relation] =>
+          LazyLocalExec(l.output, l.relation.asInstanceOf[Relation].compute) :: Nil
         case _ => Nil
       }
   }
@@ -108,15 +109,8 @@ object LazyLocal {
       spark: SparkSession, schema: StructType,
       compute: () => Seq[InternalRow]): DataFrame = {
     ensureStrategy(spark)
-    toDF(spark, new Relation(spark, schema, internal = true, compute))
+    toDF(spark, new Relation(spark, schema, compute))
   }
-
-  /** Lazy local DataFrame over a per-action `compute()` yielding
-    * external [[Row]]s (converted by Spark against `schema`). */
-  def rows(
-      spark: SparkSession, schema: StructType,
-      compute: () => Seq[Row]): DataFrame =
-    toDF(spark, new Relation(spark, schema, internal = false, compute))
 
   private def toDF(spark: SparkSession, rel: BaseRelation): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -32,8 +32,17 @@ object RowOrd {
             if (an && bn) 0
             else if (an) -1
             else if (bn) 1
-            else a.get(ord, dt).asInstanceOf[Comparable[Any]]
-              .compareTo(b.get(ord, dt))
+            else dt match {
+              // Catalyst's sort treats -0.0 == 0.0 (keys are
+              // normalized); boxed compareTo would order -0.0 first
+              case DoubleType =>
+                java.lang.Double.compare(a.getDouble(ord) + 0.0d, b.getDouble(ord) + 0.0d)
+              case FloatType =>
+                java.lang.Float.compare(a.getFloat(ord) + 0.0f, b.getFloat(ord) + 0.0f)
+              case _ =>
+                a.get(ord, dt).asInstanceOf[Comparable[Any]]
+                  .compareTo(b.get(ord, dt))
+            }
           if (c != 0) return if (asc) c else -c
           i += 1
         }

@@ -16,11 +16,13 @@ object TextQueries {
   private val stops = EnStopwords
   private val stopsSql = stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
-  /** Lowercased whitespace-tokenized words of `text`, empties dropped —
-    * byte-identical to the oracle's
-    * `list_filter(string_split_regex(trim(lower(text)), '\s+'), ...)`. */
+  /** Lowercased whitespace-tokenized words of `text`, empties dropped.
+    * The whitespace class is written out explicitly — Java's `\s`
+    * includes vertical tab (0x0B) while DuckDB's RE2 `\s` does not,
+    * so `[\t\n\f\r ]+` on BOTH sides is what actually byte-matches the
+    * oracle's `string_split_regex(trim(lower(text)), '[\t\n\f\r ]+')`. */
   private def wordsOf(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), w => w =!= lit(""))
+    filter(split(lower(trim(text)), "[\\t\\n\\f\\r ]+"), w => w =!= lit(""))
 
   /** Word 3-grams as space-joined strings (empty array below 3 words).
     * Built with array expressions — no explode, stays in codegen. */
@@ -415,7 +417,7 @@ object TextQueries {
       oracle = Some("""
         WITH w AS (
           SELECT doc_id,
-            list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS words
+            list_filter(string_split_regex(trim(lower(text)), '[\t\n\f\r ]+'), x -> x <> '') AS words
           FROM documents),
         b AS (
           SELECT doc_id, words,
@@ -470,7 +472,7 @@ object TextQueries {
       oracle = Some("""
         WITH w AS (
           SELECT doc_id,
-            list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS words
+            list_filter(string_split_regex(trim(lower(text)), '[\t\n\f\r ]+'), x -> x <> '') AS words
           FROM documents),
         tg AS (
           SELECT doc_id, unnest(
