@@ -82,8 +82,10 @@ object OperatorQueries {
     Q("range_join_bands",
       (s, d) => {
         val orders = Tables.orders(s, d)
-        // 20 synthetic half-open price bands [i*25000, i*25000+12500]
-        val bands = s.range(0, 20).select(
+        // 20 synthetic half-open price bands [i*25000, i*25000+12500];
+        // one partition — the default carves 20 rows into 32 slivers
+        // and the grid-bucket explode side inherits the bloat
+        val bands = s.range(0, 20, 1, 1).select(
           col("id").cast("int").as("band_id"),
           (col("id") * 25000.0).as("lo"),
           (col("id") * 25000.0 + 12500.0).as("hi"))

@@ -17,13 +17,16 @@ object SimilarityQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val queries = emb.filter(col("vec_id") < 5)
+        // bruteForceTopK output is already typed (rank: int) and
+        // ordered by (qid, rank) on BOTH finish paths — driver merge
+        // sorts explicitly, the window fallback's single partition is
+        // sorted by its (qid, sim desc, cid) window — so no Spark-side
+        // sort: a full execution is the combiner job plus the
+        // broadcast build, nothing else
         Similarity.bruteForceTopK(
             emb, "vec_id", "embedding",
             queries, "vec_id", "embedding", k = 10,
             queryCountHint = Some(5L)) // vec_id < 5 on unique ids
-          .select(col("qid"), col("cid"), col("sim"), col("rank").cast("int").as("rank"))
-          // bruteForceTopK output is already a single ranked partition
-          .sortWithinPartitions(col("qid"), col("rank"))
       },
       oracle = Some("""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

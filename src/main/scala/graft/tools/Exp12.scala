@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables
+
+/** Round-9 A/B: q5 dim-build topology under HONEST per-pass broadcast
+  * rebuilds. A (current): supplier JOIN bc(nation) JOIN bc(region) —
+  * every pass pays THREE chained broadcast-build jobs before the dim
+  * broadcast itself. B: the tiny nation/region joins become
+  * shuffle-hash joins INSIDE the dim broadcast build — one build job
+  * (more stages, fewer job submissions). C: nation pre-joined to
+  * region via shuffle, supplier joined via shuffle too, only the final
+  * dim broadcast remains.
+  */
+object Exp12 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    def dsum(c: org.apache.spark.sql.Column, scale: Int, alias: String) =
+      (sum(call_function("graft_dunscaled", c.cast(DoubleType), lit(scale)))
+        .cast(DecimalType(38, 0)) / lit(math.pow(10, scale).toLong))
+        .cast(DoubleType).as(alias)
+    def ts(s: String) = expr(s"TIMESTAMP_NTZ '$s'")
+
+    def q5(dim: org.apache.spark.sql.DataFrame) = {
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(spark, sfDir)
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+    }
+    def dimA = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    def dimB = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir).hint("shuffle_hash"), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA").hint("shuffle_hash"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    def dimC = {
+      val nr = Tables.nation(spark, sfDir)
+        .join(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA").hint("shuffle_hash"),
+          col("n_regionkey") === col("r_regionkey"))
+      Tables.supplier(spark, sfDir)
+        .join(nr.hint("shuffle_hash"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    }
+
+    def prep(df: org.apache.spark.sql.DataFrame) = { df.queryExecution.executedPlan; df }
+    val a = prep(graft.queries.Present.driverAgg(q5(dimA), "revenue" -> false, "n_name" -> true))
+    val b = prep(graft.queries.Present.driverAgg(q5(dimB), "revenue" -> false, "n_name" -> true))
+    val cc = prep(graft.queries.Present.driverAgg(q5(dimC), "revenue" -> false, "n_name" -> true))
+    def exec(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.queryExecution.executedPlan.clone().executeCollect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    (1 to 2).foreach { _ => exec(a); exec(b); exec(cc) }
+    val as = (1 to 7).map(_ => exec(a)); val bs = (1 to 7).map(_ => exec(b))
+    val cs = (1 to 7).map(_ => exec(cc))
+    println(f"A (3 chained bc):   min=${as.min}%7.1f med=${as.sorted.apply(3)}%7.1f")
+    println(f"B (shuffle dims):   min=${bs.min}%7.1f med=${bs.sorted.apply(3)}%7.1f")
+    println(f"C (nr pre-shuffle): min=${cs.min}%7.1f med=${cs.sorted.apply(3)}%7.1f")
+    println("identical=" + (a.collect().toSeq == b.collect().toSeq &&
+      b.collect().toSeq == cc.collect().toSeq))
+    spark.stop()
+  }
+}
