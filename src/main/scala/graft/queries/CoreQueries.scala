@@ -827,6 +827,55 @@ object CoreQueries {
         JOIN seg ON seg.c_mktsegment = c.c_mktsegment
         WHERE o.o_totalprice > seg.seg_avg * 2
         GROUP BY 1 ORDER BY c.c_mktsegment"""),
-      doc = "decorrelated aggregate subquery as broadcast join (SURVEY §4)")
+      doc = "decorrelated aggregate subquery as broadcast join (SURVEY §4)"),
+
+    // ------------------------------------------------------------------
+    Q("q_percentile",
+      (s, d) => {
+        // ordered-set aggregation surface: exact interpolated percentiles
+        // (Spark `percentile` == DuckDB `quantile_cont`, both the R-7
+        // definition: rank p*(n-1), linear interpolation). Partial states
+        // on a sorted-merge path are NOT bounded like count/sum — at
+        // 100 TB cardinalities use approx_percentile (t-digest/KLL
+        // sketch); this gate pins the exact semantics.
+        val pct = expr(
+          "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(round(element_at(pct, 1), 4).as("p25"),
+            round(element_at(pct, 2), 4).as("p50"),
+            round(element_at(pct, 3), 4).as("p75"),
+            round(expr("percentile(l_extendedprice, 0.99D)"), 4).as("p99"))
+          .transform(Present.driverSortBy(_, "l_returnflag" -> true))
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+          round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+          round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+          round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+          round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "exact interpolated percentiles / ordered-set aggregates (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
+    Q("q_string_agg",
+      (s, d) => {
+        // ordered string aggregation (LISTAGG ... WITHIN GROUP): bounded
+        // dims, broadcast join, deterministic order inside the aggregate
+        Tables.nation(s, d)
+          .join(Tables.region(s, d),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+              .as("nations"),
+            count(lit(1)).cast(LongType).as("n"))
+          .transform(Present.driverSortBy(_, "r_name" -> true))
+      },
+      oracle = Some("""
+        SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+          count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name"""),
+      doc = "ordered LISTAGG / string_agg aggregation (SURVEY §2.5)")
   )
 }

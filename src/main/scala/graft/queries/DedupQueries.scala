@@ -238,6 +238,52 @@ object DedupQueries {
             list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
             list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.95
         ORDER BY id_a, id_b"""),
-      doc = "embedding-cosine near-dup via SRP buckets + exact verification")
+      doc = "embedding-cosine near-dup via SRP buckets + exact verification"),
+
+    // ------------------------------------------------------------------
+    Q("dedup_semantic",
+      (s, d) => {
+        // SemDeDup-style semantic dedup end-to-end (Abbas et al., 2023,
+        // arXiv:2303.09540): embedding near-dup pairs -> connected
+        // components -> keep the min-id representative per semantic
+        // cluster, drop the rest. The pair stage here is the SRP-bucketed
+        // generator (exact-verified, provably complete at this threshold
+        // on unit-norm vectors — same guarantee the dedup_embedding_cosine
+        // gate hash-proves), so the whole composite is oracle-checkable;
+        // the SemDeDup paper's k-means variant is the same flow with
+        // IVF cells as the blocking stage (Similarity.ivfTopK's cells),
+        // trading completeness for cheaper blocking.
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val withDups = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        val pairs = Dedup.embeddingPairs(withDups, "vec_id", "embedding", threshold = 0.95)
+        Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("dropped_id"), col("component").as("kept_id"))
+          .transform(Present.sortNarrow(_, col("dropped_id")))
+      },
+      oracle = Some("""
+        WITH RECURSIVE corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 5 = 0),
+        edges AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM corpus a, corpus b
+          WHERE a.vec_id < b.vec_id
+            AND list_dot_product(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.95),
+        verts AS (
+          SELECT DISTINCT id FROM (
+            SELECT id_a AS id FROM edges UNION ALL SELECT id_b FROM edges)),
+        reach(src, dst) AS (
+          SELECT id, id FROM verts
+          UNION
+          SELECT r.src, CASE WHEN r.dst = e.id_a THEN e.id_b ELSE e.id_a END
+          FROM reach r JOIN edges e ON r.dst = e.id_a OR r.dst = e.id_b)
+        SELECT src AS dropped_id, min(dst) AS kept_id
+        FROM reach GROUP BY src HAVING src <> min(dst) ORDER BY dropped_id"""),
+      doc = "semantic dedup (SemDeDup): embedding pairs -> clusters -> canonical pruning")
   )
 }

@@ -491,6 +491,84 @@ object TextQueries {
           CAST(COALESCE(nr, 0) AS INTEGER) AS n_repeated,
           round(COALESCE(CAST(nr AS DOUBLE) / ng, 0.0), 6) AS repeated_frac
         FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""),
-      doc = "corpus-wide repeated-3-gram mask stats per doc (training-data op)")
+      doc = "corpus-wide repeated-3-gram mask stats per doc (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("text_chunking",
+      (s, d) => {
+        // context-window chunking: split each document into fixed-size
+        // character windows with overlap (window 500, stride 400 — the
+        // standard RAG/pretraining chunk shape). One scan, chunk starts
+        // generated per row with sequence() + posexplode — no join, no
+        // shuffle until the presentation sort; at 100 TB this is a pure
+        // map stage. The chunk text itself is emitted as md5 + length
+        // (content-verifying without exporting the corpus twice).
+        val win = 500
+        val stride = 400
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"),
+            posexplode(sequence(lit(1), greatest(length(col("text")), lit(1)), lit(stride)))
+              .as(Seq("chunk_id", "start")),
+            col("text"))
+          .select(col("doc_id"), col("chunk_id"), col("start"),
+            length(substring_index_chunk(col("text"), col("start"), win)).as("chunk_len"),
+            md5(substring_index_chunk(col("text"), col("start"), win)).as("chunk_md5"))
+          .transform(Present.driverSortBy(_, "doc_id" -> true, "chunk_id" -> true))
+      },
+      oracle = Some("""
+        WITH starts AS (
+          SELECT doc_id, text,
+            unnest(range(0, CAST(greatest(length(text), 1) AS BIGINT), 400)) AS i
+          FROM documents)
+        SELECT doc_id, CAST(i // 400 AS INTEGER) AS chunk_id,
+          CAST(i + 1 AS INTEGER) AS start,
+          CAST(length(substr(text, CAST(i + 1 AS INTEGER), 500)) AS INTEGER) AS chunk_len,
+          md5(substr(text, CAST(i + 1 AS INTEGER), 500)) AS chunk_md5
+        FROM starts ORDER BY doc_id, chunk_id"""),
+      doc = "document chunking into overlapping context windows (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("text_mix_sample",
+      (s, d) => {
+        // weighted dataset mixing: each source gets a sampling rate (the
+        // training-mix weights); a row is kept when its deterministic
+        // per-row hash falls under the rate. The hash is Knuth's
+        // multiplicative scheme over the doc id — engine-portable integer
+        // arithmetic, so DuckDB reproduces the exact sample (a seeded RNG
+        // would not be). Rates ride a broadcast map lookup — at 100 TB
+        // this is a map-only scan with no shuffle and the mix config
+        // never touches the driver row path.
+        val rates = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25)
+        val defaultRate = 0.1
+        val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+          when(col("source") === src, lit(r)).otherwise(acc)
+        }
+        val hash01 = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+          .cast(DoubleType) / lit(4294967296.0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), rateCol.as("rate"), hash01.as("u"))
+          .filter(col("u") < col("rate"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("sampled"),
+            round(first(col("rate")), 2).as("rate"))
+          .transform(Present.driverSortBy(_, "source" -> true))
+      },
+      oracle = Some("""
+        WITH rated AS (
+          SELECT doc_id, source,
+            CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
+              WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25 ELSE 0.1 END AS rate,
+            CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+          FROM documents)
+        SELECT source, count(*) AS sampled,
+          round(CAST(rate AS DOUBLE), 2) AS rate
+        FROM rated WHERE u < rate GROUP BY source, rate ORDER BY source"""),
+      doc = "weighted dataset mixing: deterministic per-source sampling (training-data op)")
   )
+
+  /** substring(text, start, win) — named helper so the chunk expression
+    * reads as what it is; both engines count CHARACTERS (not bytes),
+    * 1-based. */
+  private def substring_index_chunk(text: Column, start: Column, win: Int): Column =
+    substring(text, start, lit(win))
 }

@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-9 scratch A/B for the last work-bound bench query:
+  * q_distinct_agg (multi COUNT(DISTINCT) per group).
+  *
+  * Current shape: one ObjectHashAggregate pass with three
+  * [[graft.functions.ExactCountDistinct]] long-set buffers — one scan,
+  * one tiny shuffle, but every row pays three interpreted
+  * TypedImperativeAggregate updates (no codegen).
+  *
+  * Variants measured here keep EXACT semantics but push the dedup into
+  * whole-stage-codegen HashAggregate:
+  *  - splitJoin: three independent (flag, key) codegen distinct-aggs,
+  *    counted per flag, joined on flag.
+  *  - explodePivot: one scan exploded to (flag, which, key) rows, ONE
+  *    codegen distinct-agg + count, pivoted back to columns.
+  * Both trade extra scan/shuffle stages for codegen'd per-row work.
+  */
+object Exp13 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def time(name: String, reps: Int = 7)(mk: => DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"$name%-44s min=${times.min}%7.1fms med=${times.sorted.apply(reps / 2)}%7.1fms")
+    }
+
+    def li: DataFrame = graft.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_suppkey", "l_partkey", "l_orderkey")
+
+    def current: DataFrame =
+      li.groupBy("l_returnflag")
+        .agg(call_function("graft_count_distinct", col("l_suppkey")).as("n_supp"),
+          call_function("graft_count_distinct", col("l_partkey")).as("n_part"),
+          call_function("graft_count_distinct", col("l_orderkey")).as("n_ord"))
+
+    def splitJoin: DataFrame = {
+      def one(c: String, as: String): DataFrame =
+        li.select(col("l_returnflag"), col(c))
+          .groupBy("l_returnflag", c).agg(lit(1))
+          .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+      one("l_suppkey", "n_supp")
+        .join(one("l_partkey", "n_part"), "l_returnflag")
+        .join(one("l_orderkey", "n_ord"), "l_returnflag")
+    }
+
+    def explodePivot: DataFrame =
+      li.select(col("l_returnflag"),
+          posexplode(array(col("l_suppkey"), col("l_partkey"), col("l_orderkey")))
+            .as(Seq("which", "key")))
+        .groupBy("l_returnflag", "which", "key").agg(lit(1))
+        .groupBy("l_returnflag", "which").agg(count(lit(1)).as("n"))
+        .groupBy("l_returnflag")
+        .agg(max(when(col("which") === 0, col("n"))).as("n_supp"),
+          max(when(col("which") === 1, col("n"))).as("n_part"),
+          max(when(col("which") === 2, col("n"))).as("n_ord"))
+
+    // correctness cross-check once
+    val a = current.orderBy("l_returnflag").collect().toSeq
+    val b = splitJoin.orderBy("l_returnflag").collect().toSeq
+    val c = explodePivot.orderBy("l_returnflag").collect().toSeq
+    println(s"match split=${a.map(_.toString) == b.map(_.toString)} explode=${a.map(_.toString) == c.map(_.toString)}")
+
+    (1 to 2).foreach { round =>
+      println(s"--- round $round ---")
+      time("current (3x ExactCountDistinct)")(current)
+      time("splitJoin (3 codegen distinct aggs)")(splitJoin)
+      time("explodePivot (1 codegen distinct agg)")(explodePivot)
+    }
+    spark.stop()
+  }
+}
