@@ -125,5 +125,10 @@ object GraftFunctions {
           exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_jaccard_hashes", exprs => JaccardHashes(exprs(0), exprs(1)), "scala_udf")
+      // Misra-Gries frequent-items summary: bounded k-counter state,
+      // mergeable across partial aggregations
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_heavy_hitters", exprs => MisraGriesTopK(
+          exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     }
 }

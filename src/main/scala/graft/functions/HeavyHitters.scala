@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra-Gries frequent-items summary (the FREQUENT algorithm, Misra &
+  * Gries 1982; mergeability per Agarwal et al., "Mergeable Summaries",
+  * PODS 2012). Bounded state: at most k counters regardless of input
+  * size — the 100 TB answer to "top domains / tokens / sources" where an
+  * exact groupBy would shuffle one row per distinct key.
+  *
+  * Guarantees (n = stream length, over any split into partial
+  * aggregations — the merge preserves them):
+  *  - underestimate: est(x) <= true(x)
+  *  - bounded error:  est(x) >= true(x) - n/(k+1)
+  *  - guaranteed hit: every x with true(x) > n/(k+1) is in the summary
+  *
+  * The text_heavy_hitters gate turns these theorems into hash-checked
+  * booleans against DuckDB's exact counts.
+  */
+final class MisraGriesBuffer(val k: Int) {
+  // UTF8String keys are defensive copies (see update) so reader-reused
+  // backing buffers can't mutate summary state
+  val counts = new java.util.HashMap[UTF8String, Long](k * 2)
+
+  def add(item: UTF8String): Unit = {
+    val cur = counts.get(item)
+    if (cur != 0L) counts.put(item, cur + 1L)
+    else if (counts.size < k) counts.put(item.clone(), 1L)
+    else decrementAll(1L)
+  }
+
+  private def decrementAll(by: Long): Unit = {
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nv = e.getValue - by
+      if (nv <= 0L) it.remove() else e.setValue(nv)
+    }
+  }
+
+  /** Mergeable-summaries union: pointwise sum, then subtract the
+    * (k+1)-th largest count and drop non-positives (restores <= k
+    * counters while adding at most that much error to every item). */
+  def merge(other: MisraGriesBuffer): Unit = {
+    other.counts.forEach { (item, c) =>
+      val cur = counts.get(item)
+      if (cur != 0L) counts.put(item, cur + c) else counts.put(item, c)
+    }
+    if (counts.size > k) {
+      val vals = new Array[Long](counts.size)
+      var i = 0
+      val it = counts.values().iterator()
+      while (it.hasNext) { vals(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val kth = vals(vals.length - k - 1) // (k+1)-th largest
+      decrementAll(kth)
+    }
+  }
+}
+
+case class MisraGriesTopK(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MisraGriesBuffer]
+  with UnaryLike[Expression] {
+
+  require(k >= 1, s"graft_heavy_hitters needs k >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_heavy_hitters needs a string column, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false))))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_heavy_hitters"
+
+  override def createAggregationBuffer(): MisraGriesBuffer = new MisraGriesBuffer(k)
+
+  override def update(b: MisraGriesBuffer, input: InternalRow): MisraGriesBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[UTF8String])
+    b
+  }
+
+  override def merge(b: MisraGriesBuffer, other: MisraGriesBuffer): MisraGriesBuffer = {
+    b.merge(other); b
+  }
+
+  /** (item, est) structs, est desc then item asc — deterministic. */
+  override def eval(b: MisraGriesBuffer): Any = {
+    val entries = new java.util.ArrayList(b.counts.entrySet())
+    entries.sort { (a, c) =>
+      val byCount = java.lang.Long.compare(c.getValue, a.getValue)
+      if (byCount != 0) byCount else a.getKey.compareTo(c.getKey)
+    }
+    val rows = new Array[Any](entries.size())
+    var i = 0
+    while (i < rows.length) {
+      val e = entries.get(i)
+      rows(i) = InternalRow(e.getKey, e.getValue)
+      i += 1
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]]): ArrayData
+  }
+
+  /** [int k][int n]{[int len][utf8 bytes][long count]}* */
+  override def serialize(b: MisraGriesBuffer): Array[Byte] = {
+    var total = 8
+    b.counts.forEach { (item, _) => total += 4 + item.numBytes() + 8 }
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.putInt(b.k)
+    bb.putInt(b.counts.size)
+    b.counts.forEach { (item, c) =>
+      val bytes = item.getBytes
+      bb.putInt(bytes.length); bb.put(bytes); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MisraGriesBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = new MisraGriesBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      b.counts.put(UTF8String.fromBytes(arr), bb.getLong())
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesTopK =
+    copy(child = newChild)
+}

@@ -563,7 +563,62 @@ object TextQueries {
         SELECT source, count(*) AS sampled,
           round(CAST(rate AS DOUBLE), 2) AS rate
         FROM rated WHERE u < rate GROUP BY source, rate ORDER BY source"""),
-      doc = "weighted dataset mixing: deterministic per-source sampling (training-data op)")
+      doc = "weighted dataset mixing: deterministic per-source sampling (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("text_heavy_hitters",
+      (s, d) => {
+        // frequent tokens via a Misra-Gries bounded summary (k counters
+        // total, mergeable across partials — functions/HeavyHitters.scala)
+        // cross-checked against the exact top-10. The flags encode the
+        // MG theorems as data, so DuckDB can pin them as TRUE literals:
+        //   found_ok:  true(x) > n/(k+1)  ⟹  x is in the summary
+        //   bounds_ok: est(x) <= true(x) <= est(x) + n/(k+1) when found
+        // A broken summary/merge flips a flag and hash-fails the gate.
+        // The exact groupBy here is gate-scale yardstick work; at 100 TB
+        // only the bounded summary runs (state k counters, not one row
+        // per distinct token).
+        graft.functions.GraftFunctions.register(s)
+        val k = 50
+        val words = Tables.documents(s, d)
+          .select(explode(wordsOf(col("text"))).as("word"))
+        // the one-row global summary attaches to the top-10 via a
+        // constant-key broadcast hash join; both keys evaluate to 1 but
+        // are written DATA-DEPENDENT (least(1, greatest(1, x)) over a
+        // non-null column) so constant folding / arithmetic
+        // simplification cannot collapse the equi-condition and replan
+        // this as a nested-loop cartesian
+        def one(x: Column): Column =
+          least(lit(1L), greatest(lit(1L), x)).cast(IntegerType)
+        val sketch = words.withColumn("g", lit(1))
+          .groupBy("g")
+          .agg(call_function("graft_heavy_hitters", col("word"), lit(k)).as("summary"),
+            count(lit(1)).as("n"))
+          .withColumn("g", one(col("n")))
+        val exact = words.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(desc("exact_cnt"), asc("word")).limit(10)
+          .withColumn("g", one(length(col("word")).cast(LongType)))
+        exact.join(broadcast(sketch), "g")
+          .select(col("word"), col("exact_cnt"), col("n"),
+            get(filter(col("summary"), e => e.getField("item") === col("word")), lit(0))
+              .getField("est").as("est"))
+          .select(col("word"), col("exact_cnt"),
+            (col("exact_cnt") * (k + 1) <= col("n") || col("est").isNotNull)
+              .as("found_ok"),
+            (col("est").isNull ||
+              (col("est") <= col("exact_cnt") &&
+                col("exact_cnt") <= col("est") + floor(col("n") / (k + 1))))
+              .as("bounds_ok"))
+          .transform(Present.driverSortBy(_, "exact_cnt" -> false, "word" -> true))
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT unnest(list_filter(
+            string_split_regex(trim(lower(text)), '[\t\n\f\r ]+'), x -> x <> '')) AS word
+          FROM documents)
+        SELECT word, count(*) AS exact_cnt, TRUE AS found_ok, TRUE AS bounds_ok
+        FROM w GROUP BY word ORDER BY exact_cnt DESC, word LIMIT 10"""),
+      doc = "frequent items via mergeable Misra-Gries summary, theorem-checked vs exact")
   )
 
   /** substring(text, start, win) — named helper so the chunk expression

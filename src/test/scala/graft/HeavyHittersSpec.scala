@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** [[graft.functions.MisraGriesTopK]]: the Misra-Gries guarantees must
+  * hold under Spark's partial-aggregation split (update on partitions,
+  * merge of serialized partials), which is where a subtly-wrong merge
+  * would silently lose them.
+  */
+class HeavyHittersSpec extends SparkSpec {
+
+  private def summaryOf(items: Seq[String], k: Int, parts: Int): Map[String, Long] = {
+    GraftFunctions.register(spark)
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      items.map(Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType))))
+      .repartition(parts) // force partial buffers + serialize/merge
+    val row = df.agg(call_function("graft_heavy_hitters", col("w"), lit(k))).head()
+    row.getSeq[Row](0).map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("no eviction: summary is exact when k exceeds distinct count") {
+    val items = Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c")
+    val got = summaryOf(scala.util.Random.shuffle(items), k = 8, parts = 3)
+    assert(got == Map("a" -> 30L, "b" -> 20L, "c" -> 10L))
+  }
+
+  test("guaranteed heavy hitters survive eviction with bounded error") {
+    // 2000 distinct light items (1 each) + heavies far above n/(k+1)
+    val heavies = Map("x" -> 600L, "y" -> 400L, "z" -> 250L)
+    val light = (1 to 2000).map(i => s"w$i")
+    val items = scala.util.Random.shuffle(
+      light ++ heavies.flatMap { case (w, c) => Seq.fill(c.toInt)(w) })
+    val n = items.size
+    val k = 20
+    val err = n / (k + 1)
+    for (parts <- Seq(1, 7)) {
+      val got = summaryOf(items, k, parts)
+      assert(got.size <= k, s"state must stay bounded, got ${got.size}")
+      heavies.foreach { case (w, true_) =>
+        assert(true_ > err, "test construction: heavies must clear n/(k+1)")
+        val est = got.getOrElse(w, fail(s"guaranteed heavy hitter $w missing (parts=$parts)"))
+        assert(est <= true_, s"$w overestimated: $est > $true_")
+        assert(est >= true_ - err, s"$w error beyond n/(k+1): $est < ${true_ - err}")
+      }
+      // underestimate bound holds for EVERY reported item
+      got.foreach { case (w, est) =>
+        val true_ = heavies.getOrElse(w, 1L)
+        assert(est <= true_, s"$w overestimated: $est > $true_")
+      }
+    }
+  }
+
+  test("merge of disjoint partials stays within the combined bound") {
+    // each partition holds a different majority item; merges must not
+    // promote any item above its true count
+    val items = (0 until 6).flatMap(p => Seq.fill(100)(s"m$p")) ++
+      (1 to 300).map(i => s"t$i")
+    val got = summaryOf(scala.util.Random.shuffle(items), k = 10, parts = 6)
+    val n = items.size
+    (0 until 6).foreach { p =>
+      val est = got.getOrElse(s"m$p", 0L)
+      assert(est <= 100L)
+      assert(est >= 100L - n / 11)
+    }
+  }
+}
