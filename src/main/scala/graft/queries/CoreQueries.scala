@@ -858,6 +858,44 @@ object CoreQueries {
       doc = "exact interpolated percentiles / ordered-set aggregates (SURVEY §2.4)"),
 
     // ------------------------------------------------------------------
+    Q("q_approx_percentile",
+      (s, d) => {
+        // the sketch path q_percentile's comment promises: bounded-state
+        // approximate percentiles. approx_percentile(accuracy=A)
+        // guarantees a value whose RANK is within n/A of the target
+        // rank; the gate verifies that guarantee per (group, p) — the
+        // reported value's min/max rank interval (count(<v), count(<=v))
+        // must intersect [p*n - n/A, p*n + n/A]. DuckDB pins the flags
+        // as TRUE; a broken sketch or merge produces an out-of-rank
+        // value and hash-fails. The sketch estimates themselves are
+        // engine-specific and never compared.
+        val acc = 1000
+        val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+        val ap = li.groupBy("l_returnflag")
+          .agg(expr(s"approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), $acc)")
+              .as("vs"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("n"),
+            posexplode(col("vs")).as(Seq("pi", "v")))
+          .withColumn("p", element_at(typedLit(Seq(0.25, 0.5, 0.75)), col("pi") + 1))
+        li.join(broadcast(ap), "l_returnflag")
+          .groupBy("l_returnflag", "pi", "p", "n", "v")
+          .agg(sum(when(col("l_extendedprice") < col("v"), 1L).otherwise(0L)).as("below"),
+            sum(when(col("l_extendedprice") <= col("v"), 1L).otherwise(0L)).as("at_or_below"))
+          .select(col("l_returnflag"), col("pi"),
+            (col("below") <= col("p") * col("n") + col("n") / acc + 1 &&
+              col("at_or_below") >= col("p") * col("n") - col("n") / acc - 1)
+              .as("rank_ok"))
+          .transform(Present.driverSortBy(_, "l_returnflag" -> true, "pi" -> true))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, pi, TRUE AS rank_ok
+        FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS pi)
+        ORDER BY l_returnflag, pi"""),
+      doc = "approximate percentiles: rank-error guarantee checked per group (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
     Q("q_string_agg",
       (s, d) => {
         // ordered string aggregation (LISTAGG ... WITHIN GROUP): bounded

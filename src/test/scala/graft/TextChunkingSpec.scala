@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The text_chunking gate splits on CHARACTER (code point) boundaries —
+  * the DuckDB oracle's substr/length semantics. Spark's
+  * substring/length on UTF8String also count code points, not UTF-16
+  * units or bytes; this pins that on the inputs where the distinction
+  * bites (CJK 3-byte chars, supplementary-plane emoji = 2 UTF-16 units,
+  * combining marks).
+  */
+class TextChunkingSpec extends SparkSpec {
+
+  private val samples = Seq(
+    "plain ascii text here",
+    "中文文本需要按码点切分而不是按字节切分", // 3-byte chars
+    "mixed 中文 and ascii",
+    "😀😁😂🤣😃😄😅😆😉😊", // supplementary plane: 2 UTF-16 units each
+    "ééé combining accents", // é as e + U+0301
+    "", // empty: one empty chunk
+    "short")
+
+  /** reference chunking by CODE POINTS (Java String is UTF-16, so the
+    * reference must walk offsets with offsetByCodePoints) */
+  private def refChunks(text: String, win: Int, stride: Int): Seq[(Int, String)] = {
+    val n = text.codePointCount(0, text.length)
+    val startsCp = 0 to math.max(n - 1, 0) by stride
+    startsCp.zipWithIndex.map { case (cp, i) =>
+      val from = text.offsetByCodePoints(0, math.min(cp, n))
+      val to = text.offsetByCodePoints(0, math.min(cp + win, n))
+      (i, text.substring(from, to))
+    }
+  }
+
+  test("substring/length chunking lands on code points, matching the oracle semantics") {
+    import scala.jdk.CollectionConverters._
+    val win = 5
+    val stride = 3
+    val df = spark.createDataFrame(
+      samples.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }.asJava,
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val got = df.select(col("doc_id"),
+        posexplode(sequence(lit(1), greatest(length(col("text")), lit(1)), lit(stride)))
+          .as(Seq("chunk_id", "start")),
+        col("text"))
+      .select(col("doc_id"), col("chunk_id"),
+        substring(col("text"), col("start"), lit(win)).as("chunk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._2, x._3)).toSeq).toMap
+
+    samples.zipWithIndex.foreach { case (t, i) =>
+      val exp = refChunks(t, win, stride)
+      assert(got(i.toLong) == exp, s"doc $i (${t.take(20)}...): ${got(i.toLong)} != $exp")
+    }
+  }
+
+  test("chunks reassemble the original text (stride overlap dropped)") {
+    val win = 5
+    val stride = 3
+    samples.filter(_.nonEmpty).foreach { t =>
+      val chunks = refChunks(t, win, stride)
+      // concatenating each chunk's first `stride` code points (last
+      // chunk whole) must reproduce the document exactly
+      val parts = chunks.zipWithIndex.map { case ((_, c), i) =>
+        if (i == chunks.size - 1) c
+        else {
+          val keep = math.min(stride, c.codePointCount(0, c.length))
+          c.substring(0, c.offsetByCodePoints(0, keep))
+        }
+      }
+      assert(parts.mkString == t, s"reassembly failed for: ${t.take(20)}")
+    }
+  }
+}
