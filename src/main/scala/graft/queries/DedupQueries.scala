@@ -284,6 +284,54 @@ object DedupQueries {
           FROM reach r JOIN edges e ON r.dst = e.id_a OR r.dst = e.id_b)
         SELECT src AS dropped_id, min(dst) AS kept_id
         FROM reach GROUP BY src HAVING src <> min(dst) ORDER BY dropped_id"""),
-      doc = "semantic dedup (SemDeDup): embedding pairs -> clusters -> canonical pruning")
+      doc = "semantic dedup (SemDeDup): embedding pairs -> clusters -> canonical pruning"),
+
+    // ------------------------------------------------------------------
+    Q("dedup_exact_substring",
+      (s, d) => {
+        // exact repeated-passage detection (the substring-level dedup of
+        // Lee et al. 2022, "Deduplicating Training Data Makes Language
+        // Models Better", arXiv:2107.06499 — their suffix-array pass
+        // re-expressed as the distributed equivalent): slide a fixed
+        // 60-char window with stride 30 over every document, hash each
+        // window, and group by hash — a window seen in >= 2 distinct
+        // documents marks a duplicated passage. One map stage generates
+        // windows in-line (sequence + explode, no join); the single
+        // shuffle carries (16-byte md5, doc_id) — never the text — so
+        // at 100 TB the exchange is ~32 bytes per window regardless of
+        // document size. Stride < window overlaps windows, so any
+        // duplicated run >= window+stride chars is guaranteed to align
+        // on some shared window in both copies.
+        val W = 60
+        val S = 30
+        val c = corpus(s, d)
+        val wins = c.filter(length(col("text")) >= W)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), length(col("text")) - (W - 1), lit(S))).as("start"),
+            col("text"))
+          .select(col("doc_id"),
+            md5(substring(col("text"), col("start"), lit(W))).as("win_md5"))
+        wins.groupBy("win_md5")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .filter(col("n_docs") >= 2)
+          .transform(Present.sortSmall(_, col("win_md5")))
+      },
+      oracle = Some(s"""
+        WITH $corpusSql,
+        wins AS (
+          SELECT doc_id,
+            md5(substr(text, CAST(i AS INTEGER), 60)) AS win_md5
+          FROM (
+            SELECT doc_id, text,
+              unnest(range(1, CAST(length(text) - 59 AS BIGINT) + 1, 30)) AS i
+            FROM corpus WHERE length(text) >= 60))
+        SELECT win_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+          min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM wins GROUP BY win_md5 HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY win_md5"""),
+      doc = "exact substring (passage) dedup: rolling window hash -> cross-doc repeats (training-data op)")
   )
 }

@@ -64,7 +64,77 @@ object SimilarityQueries {
       // quality 0.89-1.0 at the gate SF (deterministic strided k-means
       // init, no RNG) — floors 0.4 / 0.8 hold with margin.
       oracle = Some(annQualityOracle),
-      doc = "IVF ANN top-k: k-means cells, nprobe probe join; recall + quality oracle-pinned")
+      doc = "IVF ANN top-k: k-means cells, nprobe probe join; recall + quality oracle-pinned"),
+
+    // ------------------------------------------------------------------
+    Q("sim_quantize_int8",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+        // int8 scalar quantization of the embedding column — the 4x
+        // compression every billion-vector ANN index applies before
+        // storage (per-vector absmax scaling, the scheme faiss's
+        // ScalarQuantizer QT_8bit and GPU int8 kernels use). Everything
+        // is per-row array arithmetic: a pure map stage, no shuffle, no
+        // UDF — codegen end to end. The gate emits the quantized
+        // checksums AND the reconstruction-fidelity facts (max abs
+        // error <= scale/2 by construction; dot(original, recon)), all
+        // recomputed independently by DuckDB from the same floats.
+        // Round-half-up is written as floor(x + 0.5) on BOTH engines —
+        // portable, unlike rint's half-even.
+        val emb = Tables.embeddings(s, d)
+        val df = emb.select(col("vec_id"),
+            transform(col("embedding"), x => x.cast(DoubleType)).as("xd"))
+          .withColumn("amax", array_max(transform(col("xd"), x => abs(x))))
+          // internal name "sc" — an output alias `round(...) AS scale`
+          // in the projection below would shadow an input column named
+          // "scale" via lateral-column-alias resolution, silently
+          // computing the error against the ROUNDED scale
+          .withColumn("sc",
+            when(col("amax") === 0.0, lit(1.0)).otherwise(col("amax") / 127.0))
+          .withColumn("q",
+            transform(col("xd"), x => floor(x / col("sc") + 0.5).cast(LongType)))
+        df.select(col("vec_id"),
+            size(col("xd")).as("n_dims"),
+            round(col("sc"), 6).as("scale"),
+            aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+            array_min(col("q")).cast(IntegerType).as("q_min"),
+            array_max(col("q")).cast(IntegerType).as("q_max"),
+            round(array_max(zip_with(col("xd"), col("q"),
+              (x, qi) => abs(x - qi * col("sc")))), 6).as("max_err"),
+            round(col("sc") * aggregate(zip_with(col("xd"), col("q"),
+              (x, qi) => x * qi), lit(0.0), (a, x) => a + x), 6).as("dot_recon"))
+          .transform(Present.driverSortBy(_, "vec_id" -> true))
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+          FROM embeddings),
+        sc AS (
+          SELECT vec_id, xd,
+            list_aggregate(list_transform(xd, x -> abs(x)), 'max') AS amax
+          FROM v),
+        s AS (
+          SELECT vec_id, xd,
+            CASE WHEN amax = 0.0 THEN 1.0 ELSE amax / 127.0 END AS scale
+          FROM sc),
+        qz AS (
+          SELECT vec_id, xd, scale,
+            list_transform(xd, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+          FROM s)
+        SELECT vec_id,
+          CAST(len(xd) AS INTEGER) AS n_dims,
+          round(scale, 6) AS scale,
+          CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+          CAST(list_aggregate(q, 'min') AS INTEGER) AS q_min,
+          CAST(list_aggregate(q, 'max') AS INTEGER) AS q_max,
+          round(list_aggregate(
+            list_transform(range(1, len(xd) + 1),
+              i -> abs(xd[i] - q[i] * scale)), 'max'), 6) AS max_err,
+          round(scale * list_dot_product(xd,
+            list_transform(q, x -> CAST(x AS DOUBLE))), 6) AS dot_recon
+        FROM qz ORDER BY vec_id"""),
+      doc = "int8 scalar quantization of embeddings: absmax scaling + fidelity facts (training-data op)")
   )
 
   /** Shared ANN quality gate: per query id, the DuckDB-checkable exact

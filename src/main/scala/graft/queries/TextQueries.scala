@@ -618,7 +618,131 @@ object TextQueries {
           FROM documents)
         SELECT word, count(*) AS exact_cnt, TRUE AS found_ok, TRUE AS bounds_ok
         FROM w GROUP BY word ORDER BY exact_cnt DESC, word LIMIT 10"""),
-      doc = "frequent items via mergeable Misra-Gries summary, theorem-checked vs exact")
+      doc = "frequent items via mergeable Misra-Gries summary, theorem-checked vs exact"),
+
+    // ------------------------------------------------------------------
+    Q("text_bm25",
+      (s, d) => {
+        // BM25 relevance scoring (Robertson & Spärck Jones probabilistic
+        // model; Okapi BM25 with k1=1.2, b=0.75) for a fixed query —
+        // the retrieval/quality-ranking primitive of data-curation
+        // pipelines. Two-pass shape: per-doc term frequencies are pure
+        // map work (array filter counts, no explode); the corpus stats
+        // (N, avgdl, per-term df — |query| values, bounded by the query)
+        // reduce to ONE row that broadcasts back over the scan. At
+        // 100 TB: one aggregate of a handful of counters + a map-only
+        // scoring scan; nothing shuffles per-document.
+        val terms = Seq("spark", "merge", "vector")
+        val docs = Tables.documents(s, d)
+        val base = docs.select(
+          col("doc_id") +: wordsOf(col("text")).as("words") +: Nil: _*)
+          .select(Seq(col("doc_id"),
+            size(col("words")).cast(DoubleType).as("dl")) ++
+            terms.indices.map(i =>
+              size(filter(col("words"), w => w === lit(terms(i))))
+                .cast(DoubleType).as(s"tf$i")): _*)
+        // both join keys evaluate to 1 but are data-dependent (the
+        // heavy-hitters pattern) so the one-row stats side attaches via
+        // a broadcast HASH join, not a constant-folded cartesian
+        def one(x: Column): Column =
+          least(lit(1L), greatest(lit(1L), x)).cast(IntegerType)
+        val stats = base.agg(
+          count(lit(1)).cast(DoubleType).as("n_docs"),
+          avg(col("dl")).as("avgdl") +:
+            terms.indices.map(i =>
+              sum(when(col(s"tf$i") > 0, 1L).otherwise(0L))
+                .cast(DoubleType).as(s"df$i")): _*)
+          .withColumn("g", one(col("n_docs").cast(LongType)))
+        val scored = base.withColumn("g", one(col("dl").cast(LongType) + 1L))
+          .join(broadcast(stats), "g")
+        val score = terms.indices.map { i =>
+          val tf = col(s"tf$i")
+          val df = col(s"df$i")
+          val idf = log((col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+          idf * tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        }.reduce(_ + _)
+        scored.select(col("doc_id"),
+            col("dl").cast(IntegerType).as("n_tokens"),
+            round(score, 6).as("bm25"))
+          .transform(Present.driverSortBy(_, "doc_id" -> true))
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(lower(text)), '[\t\n\f\r ]+'), x -> x <> '') AS words
+          FROM documents),
+        t AS (
+          SELECT doc_id,
+            CAST(len(words) AS DOUBLE) AS dl,
+            CAST(len(list_filter(words, x -> x = 'spark')) AS DOUBLE) AS tf0,
+            CAST(len(list_filter(words, x -> x = 'merge')) AS DOUBLE) AS tf1,
+            CAST(len(list_filter(words, x -> x = 'vector')) AS DOUBLE) AS tf2
+          FROM w),
+        s AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+            CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+            CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+            CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+          FROM t)
+        SELECT doc_id, CAST(dl AS INTEGER) AS n_tokens,
+          round(
+            ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+            6) AS bm25
+        FROM t, s ORDER BY doc_id"""),
+      doc = "BM25 relevance scoring: broadcast corpus stats + map-only scoring (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("text_url_extract",
+      (s, d) => {
+        // URL extraction + normalization + host rollup — the provenance
+        // accounting every web-scale corpus runs (robots/blocklist
+        // enforcement, per-host quotas). The fixture has no URLs, so
+        // deterministic ones are injected from doc_id (the PII-gate
+        // construction): both engines extract from the SAME text.
+        // Normalization: case-fold the host (DNS is case-insensitive;
+        // paths are not). Shape: map-stage extract + explode, one
+        // shuffle on host — at 100 TB the exchange carries hosts, not
+        // documents.
+        val urlRe = "https?://[A-Za-z0-9.-]+[/A-Za-z0-9._?=&%-]*"
+        val hostRe = "https?://([A-Za-z0-9.-]+)"
+        val docs = Tables.documents(s, d)
+        val withUrls = docs.select(col("doc_id"),
+          concat(col("text"),
+            lit(" see https://Sub"), (col("doc_id") % 7).cast(StringType),
+            lit(".Example.COM/p/"), col("doc_id").cast(StringType),
+            lit("?utm=x ref http://cdn"), (col("doc_id") % 3).cast(StringType),
+            lit(".example.net/a"), (col("doc_id") % 11).cast(StringType)).as("t"))
+        withUrls
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("t"), lit(urlRe), lit(0))).as("u"))
+          .select(col("doc_id"),
+            lower(regexp_extract(col("u"), hostRe, 1)).as("host"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("min_doc"))
+          .transform(Present.driverSortBy(_, "host" -> true))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+            text || ' see https://Sub' || CAST(doc_id % 7 AS VARCHAR) ||
+              '.Example.COM/p/' || CAST(doc_id AS VARCHAR) ||
+              '?utm=x ref http://cdn' || CAST(doc_id % 3 AS VARCHAR) ||
+              '.example.net/a' || CAST(doc_id % 11 AS VARCHAR) AS t
+          FROM documents),
+        u AS (
+          SELECT doc_id,
+            lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)) AS host
+          FROM (SELECT doc_id,
+                  unnest(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+[/A-Za-z0-9._?=&%-]*')) AS url
+                FROM p))
+        SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
+          min(doc_id) AS min_doc
+        FROM u GROUP BY host ORDER BY host"""),
+      doc = "URL extraction + host normalization + per-host rollup (training-data op)")
   )
 
   /** substring(text, start, win) — named helper so the chunk expression
