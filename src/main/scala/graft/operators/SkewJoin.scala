@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys.
+  *
+  * A shuffle hash/sort-merge join sends every row of a key to ONE
+  * reducer; a heavy key (the "null/unknown user", the one hot product)
+  * turns that reducer into the job's critical path. Salting splits each
+  * heavy key across `buckets` reducers: the fact side appends a
+  * deterministic per-row salt to its join key, the other side is
+  * replicated once per salt value. Join output is identical to the
+  * unsalted join — the salt columns are dropped — but the per-key work
+  * now spreads over `buckets` tasks.
+  *
+  * This is the static form of what AQE's skew-join optimization does at
+  * runtime (splitting oversized partitions); AQE only handles
+  * sort-merge joins over shuffle exchanges, while a salted plan also
+  * covers hash joins, pre-AQE engines, and deliberate
+  * partition-count control. Replication multiplies the build side by
+  * `buckets`, so salt the SMALLER side's replication factor with care —
+  * the pattern pays off when the fact side is large AND skewed
+  * (Spark docs "performance tuning: data skew"; identical construction
+  * in every production Spark cookbook).
+  *
+  * Cost model at 100 TB: unsalted, the hottest key's reducer does
+  * O(hot-key rows) work; salted, O(hot/buckets) with the build side
+  * shuffled `buckets`x. For a dimension of d rows the extra shuffle is
+  * d*(buckets-1) rows — noise next to a skewed fact partition.
+  */
+object SkewJoin {
+
+  /** Inner equi-join `fact ⋈ dim` on `keys`, with the dim side
+    * replicated across `buckets` salts. `saltOn` must be a
+    * deterministic per-row expression on the fact side (an id column —
+    * NOT rand(), which breaks retry idempotence and any oracle).
+    * Column-name collisions other than the join keys are the caller's
+    * responsibility, as with a plain `join`. */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltOn: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val salted = fact.withColumn("_salt", pmod(hash(saltOn), lit(buckets)))
+    // one explode replicates the dim across every salt value; the join
+    // then carries (keys..., _salt) so each fact row meets exactly one
+    // dim copy — equi-join semantics preserved bit-for-bit
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
+  }
+}

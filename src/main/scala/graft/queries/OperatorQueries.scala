@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.commands.LakeEngine
 import graft.format.LakeCatalog
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
@@ -250,6 +250,39 @@ object OperatorQueries {
           FROM src s LEFT JOIN orders t ON t.o_orderkey = s.o_orderkey
           WHERE t.o_orderkey IS NULL)
         SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY o_orderkey"""),
-      doc = "ANSI MERGE INTO lake.<t>: first-match-wins WHEN chains over the copy-on-write merge engine")
+      doc = "ANSI MERGE INTO lake.<t>: first-match-wins WHEN chains over the copy-on-write merge engine"),
+
+    // ------------------------------------------------------------------
+    Q("q_skew_salted_join",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+        // salting for skew (operators/SkewJoin): events join a per-type
+        // dim on event_type — a handful of distinct values, the
+        // classic hot-key shape. The salt (hash of event_id mod 8)
+        // splits each type's rows over 8 reducers; the dim is
+        // replicated once per salt. Output is bit-identical to the
+        // plain join (OperatorsSpec proves it), which is what lets
+        // DuckDB oracle the UNSALTED formulation.
+        val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+        val dim = ev.select(col("event_type")).distinct()
+          .withColumn("w", length(col("event_type")).cast(LongType))
+        SkewJoin.saltedJoin(ev, dim, Seq("event_type"),
+            saltOn = col("event_id"), buckets = 8)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum((col("value") * col("w")).cast(DecimalType(18, 6)))
+              .cast(DoubleType).as("wsum"))
+          .transform(Present.driverSortBy(_, "event_type" -> true))
+      },
+      oracle = Some("""
+        WITH dim AS (
+          SELECT DISTINCT event_type,
+            CAST(length(event_type) AS BIGINT) AS w
+          FROM events)
+        SELECT e.event_type, count(*) AS n,
+          CAST(sum(CAST(e.value * d.w AS DECIMAL(18,6))) AS DOUBLE) AS wsum
+        FROM events e JOIN dim d USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type"""),
+      doc = "salted equi-join: deterministic salt splits hot keys across reducers; output identical to plain join")
   )
 }

@@ -56,6 +56,34 @@ object StreamingQueries {
         SELECT min(ts) AS session_start, user_id, CAST(count(*) AS BIGINT) AS n
         FROM st GROUP BY user_id, sid
         ORDER BY user_id, session_start"""),
-      doc = "Structured Streaming session_window (append mode, watermark-finalized) vs batch SQL sessionization")
+      doc = "Structured Streaming session_window (append mode, watermark-finalized) vs batch SQL sessionization"),
+
+    // ------------------------------------------------------------------
+    Q("streaming_upsert",
+      (s, d) => {
+        // foreachBatch MERGE upsert: per-user running totals accumulated
+        // across micro-batches into a lake table; the final table equals
+        // the batch aggregate because the accumulation is exact
+        // (DECIMAL) and MERGE is per-batch transactional.
+        val wh = Files.createTempDirectory("graft-supsert-").toString
+        val engine = new LakeEngine(s, new LakeCatalog(wh))
+        val t = engine.catalog.createTable("user_totals", StructType(Seq(
+          StructField("user_id", LongType), StructField("n", LongType),
+          StructField("sum_value", DecimalType(18, 6)))))
+        s.conf.set("spark.graft.warehouse", wh)
+        StreamPipeline.streamingUpsertTotals(s, engine, "user_totals", d, s"$wh/checkpoint")
+        // the MERGEs committed through the SQL facade's own table
+        // handles — re-read the snapshot log before scanning
+        t.refresh()
+        engine.scan(t).toDF()
+          .select(col("user_id"), col("n"),
+            col("sum_value").cast(DoubleType).as("sum_value"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      doc = "streaming upsert: foreachBatch MERGE INTO accumulates per-user totals across micro-batches")
   )
 }

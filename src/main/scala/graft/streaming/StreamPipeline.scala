@@ -207,4 +207,74 @@ object StreamPipeline {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Streaming upsert — the foreachBatch-MERGE pattern every
+    * lakehouse streaming guide documents (Delta/Iceberg "merge the
+    * micro-batch into the table"): each micro-batch reduces to a
+    * per-key delta aggregate, then MERGE INTO accumulates it into the
+    * target (MATCHED rows add, NOT MATCHED rows insert). Accumulation
+    * columns use DECIMAL so the running total is exact and therefore
+    * independent of how the stream was split into batches — a double
+    * would make the result depend on addition order. The fixture is
+    * split into two deterministic halves in separate files with
+    * maxFilesPerTrigger=1, so users appearing in both halves genuinely
+    * exercise the MATCHED accumulation path across micro-batches.
+    * Exactly-once at scale rides the same snapshot-log atomic commit
+    * as the other lake sinks (each MERGE is one transactional commit).
+    */
+  def streamingUpsertTotals(
+      spark: SparkSession, engine: LakeEngine, tableName: String,
+      eventsDir: String, checkpoint: String): Unit = {
+    val events = graft.Tables.events(spark, eventsDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-upsert-src-")
+    def writeHalf(name: String, pred: org.apache.spark.sql.Column,
+        mtimePlusMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-upsert-half-")
+      events.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      try {
+        val it = listing.iterator()
+        var src: java.nio.file.Path = null
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) src = p
+        }
+        val dst = streamDir.resolve(name)
+        java.nio.file.Files.move(src, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + mtimePlusMs))
+      } finally listing.close()
+    }
+    writeHalf("h0.parquet", col("event_id") % 2 === 0, 0L)
+    writeHalf("h1.parquet", col("event_id") % 2 =!= 0, 60000L)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch.groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 6))).as("sum_value"))
+        // the batch DataFrame is bound to the streaming query's
+        // ISOLATED session clone — register the view and run the MERGE
+        // there, not on the outer session (which cannot see the view)
+        delta.createOrReplaceTempView("graft_upsert_delta")
+        delta.sparkSession.sql(s"""
+          MERGE INTO lake.$tableName t USING graft_upsert_delta s
+          ON t.user_id = s.user_id
+          WHEN MATCHED THEN UPDATE SET n = t.n + s.n,
+            sum_value = t.sum_value + s.sum_value
+          WHEN NOT MATCHED THEN INSERT (user_id, n, sum_value)
+            VALUES (s.user_id, s.n, s.sum_value)""")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
 }

@@ -87,6 +87,37 @@ class CoreQueriesSpec extends SparkSpec {
     assert(combinedSim === naiveSim)
   }
 
+  test("int8 quantization invariants: code range, error bound, fidelity") {
+    val rows = Registry.byName("sim_quantize_int8").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(r.getAs[Int]("q_min") >= -127 && r.getAs[Int]("q_max") <= 127)
+      // round-half-up quantization error is <= scale/2 by construction
+      // (1e-6 slack: the output scale is rounded to 6dp)
+      assert(r.getAs[Double]("max_err") <= scale / 2 + 1e-6)
+      // near-unit-norm fixture vectors reconstruct to dot ~ |x|^2 ~ 1
+      val dot = r.getAs[Double]("dot_recon")
+      assert(dot > 0.8 && dot < 1.2, s"dot_recon $dot")
+    }
+  }
+
+  test("substring dedup finds the injected clone passages; bm25 scores are finite") {
+    val dup = Registry.byName("dedup_exact_substring").run(spark, sf).collect()
+    assert(dup.nonEmpty)
+    // the corpus clones doc_id%5==0 under +10000: every repeated window
+    // spans distinct docs, and at least one pairs an original with its clone
+    dup.foreach(r => assert(r.getAs[Long]("min_doc") < r.getAs[Long]("max_doc")))
+    assert(dup.exists(r => r.getAs[Long]("max_doc") === r.getAs[Long]("min_doc") + 10000))
+
+    val bm = Registry.byName("text_bm25").run(spark, sf).collect()
+    assert(bm.length > 0)
+    assert(bm.forall { r =>
+      val v = r.getAs[Double]("bm25"); !v.isNaN && !v.isInfinite && v >= 0.0
+    })
+    assert(bm.exists(_.getAs[Double]("bm25") > 0.0))
+  }
+
   test("all core queries execute and have stable schemas") {
     queries.CoreQueries.all.foreach { q =>
       val df = q.run(spark, sf)

@@ -160,4 +160,29 @@ class OperatorsSpec extends SparkSpec {
     assert(hist.exists(r => r.getAs[String]("ref_name") == "v1" &&
       r.getAs[Long]("snapshot_id") == snap1 && !r.getAs[Boolean]("is_branch")))
   }
+
+  test("salted join: identical to the plain join, hot keys spread over salts") {
+    import graft.operators.SkewJoin
+    // skewed fact: one key carries 90% of the rows
+    val fact = (1L to 1000L).map(i =>
+      (i, if (i <= 900) "hot" else s"k${i % 7}", i * 0.5)).toDF("id", "key", "v")
+    val dim = Seq(("hot", 10L), ("k0", 1L), ("k1", 2L), ("k2", 3L),
+      ("k3", 4L), ("k4", 5L), ("k5", 6L), ("k6", 7L)).toDF("key", "w")
+    val buckets = 8
+    val salted = SkewJoin.saltedJoin(fact, dim, Seq("key"), col("id"), buckets)
+    val plain = fact.join(dim, Seq("key"))
+    // exact same multiset of output rows, same columns
+    assert(salted.columns.toSeq === plain.columns.toSeq)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the hot key's rows really did land on many distinct salts — the
+    // whole point: its reduce work is split ~buckets ways
+    val hotSalts = fact.filter(col("key") === "hot")
+      .select(pmod(hash(col("id")), lit(buckets)).as("s"))
+      .distinct().count()
+    assert(hotSalts === buckets.toLong)
+    // dim replication factor is exactly `buckets`
+    val repl = dim.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
+    assert(repl.count() === dim.count() * buckets)
+  }
 }
