@@ -390,6 +390,71 @@ object LakeQueries {
           o_totalprice, o_orderpriority
         FROM orders WHERE year(o_orderdate) >= 1998
         ORDER BY o_orderkey"""),
-      doc = "S4 schema evolution: rename+add resolved by field id, incl. inside map value structs")
+      doc = "S4 schema evolution: rename+add resolved by field id, incl. inside map value structs"),
+
+    // ------------------------------------------------------------------
+    Q("cdc_incremental_agg",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        // incremental view maintenance off the change feed: an
+        // aggregate is kept current by applying SIGNED deltas from the
+        // CDC stream instead of recomputing — the materialized-view
+        // pattern (count/sum are self-maintainable; Gupta & Mumick,
+        // "Maintenance of Materialized Views", IEEE DE Bulletin 1995).
+        // The file-level feed replays rewritten files as
+        // delete(old)+insert(new); untouched rows cancel EXACTLY
+        // because the accumulation is decimal — which is what lets a
+        // whole-file CDC feed maintain an aggregate without row-level
+        // diffing. At 100 TB the delta side scans only changed files
+        // (O(changed) planning), never the table.
+        val (e, _) = freshEngine(s, "cdcagg")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders_cdc", orders.schema)
+        e.insert(t, orders)
+        val snap0 = t.metadata.currentSnapshotId.get
+        // base aggregate at snap0 (what the view held before the DML)
+        val dec = DecimalType(18, 6)
+        val base = new TableScan(s, t, ref = TableRef.SnapshotId(snap0)).toDF()
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n0"),
+            sum(col("o_totalprice").cast(dec)).as("s0"))
+        // three DML commits: numeric update, delete, append
+        e.update(t, "o_orderkey % 7 = 0",
+          Map("o_totalprice" -> "o_totalprice + 10000"))
+        e.delete(t, "o_orderstatus = 'F' AND o_totalprice < 50000")
+        e.insert(t, orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        // signed delta from the change feed — the ONLY data read after
+        // the base: the aggregate never rescans the table
+        val changes = e.readChanges(t, Some(snap0))
+        val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+        val delta = changes.groupBy("o_orderstatus")
+          .agg(sum(sign).as("dn"),
+            sum(col("o_totalprice").cast(dec) * sign).as("ds"))
+        base.join(delta, Seq("o_orderstatus"), "full_outer")
+          .select(col("o_orderstatus"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("s0"), lit(0).cast(dec)) + coalesce(col("ds"), lit(0).cast(dec)))
+              .cast(DoubleType).as("sum_price"))
+          .filter(col("n") > 0)
+          .transform(Present.driverSortBy(_, "o_orderstatus" -> true))
+      },
+      oracle = Some("""
+        WITH upd AS (
+          SELECT o_orderkey, o_orderstatus,
+            CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10000
+                 ELSE o_totalprice END AS price
+          FROM orders),
+        kept AS (
+          SELECT o_orderstatus, price FROM upd
+          WHERE NOT (o_orderstatus = 'F' AND price < 50000)),
+        final AS (
+          SELECT * FROM kept
+          UNION ALL
+          SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 0)
+        SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      doc = "incremental aggregate maintenance from the CDC feed: signed deltas, no table rescan")
   )
 }

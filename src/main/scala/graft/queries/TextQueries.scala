@@ -742,7 +742,82 @@ object TextQueries {
         SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
           min(doc_id) AS min_doc
         FROM u GROUP BY host ORDER BY host"""),
-      doc = "URL extraction + host normalization + per-host rollup (training-data op)")
+      doc = "URL extraction + host normalization + per-host rollup (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("text_split_assign",
+      (s, d) => {
+        // deterministic train/val/test assignment: each document hashes
+        // into [0,1) via the same engine-portable multiplicative scheme
+        // as text_mix_sample (a seeded RNG would not replay across
+        // engines or retries); thresholds carve 90/5/5. Hash-based
+        // splits are the standard because they are STABLE under corpus
+        // growth — a document's split never changes when neighbors
+        // arrive, unlike row_number-based carving. Map-only at any
+        // scale; the rollup checks per-(source, split) counts and an
+        // id-sum fingerprint so membership (not just counts) verifies.
+        val hash01 = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+          .cast(DoubleType) / lit(4294967296.0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            when(hash01 < 0.90, "train")
+              .when(hash01 < 0.95, "val")
+              .otherwise("test").as("split"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+          .transform(Present.driverSortBy(_, "source" -> true, "split" -> true))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT doc_id, source,
+            CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+          FROM documents)
+        SELECT source,
+          CASE WHEN u < 0.90 THEN 'train'
+               WHEN u < 0.95 THEN 'val'
+               ELSE 'test' END AS split,
+          count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM h GROUP BY 1, 2 ORDER BY source, split"""),
+      doc = "deterministic hash-based train/val/test split, growth-stable (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("text_epoch_shuffle",
+      (s, d) => {
+        // training-epoch shuffle: a deterministic global permutation of
+        // the corpus per epoch, keyed by hash(epoch, doc_id) — every
+        // worker derives the same order with no coordination and no RNG
+        // state. The global sort is a range exchange on the hash (the
+        // one scalable way to totally order 100 TB); at gate scale the
+        // output pins the first 50 positions of epoch 1 and 2, proving
+        // the permutations differ between epochs but replay bit-stably
+        // within one.
+        val docs = Tables.documents(s, d)
+        def epochKey(epoch: Int): Column =
+          pmod((col("doc_id") + lit(epoch.toLong * 1000003L)) * lit(2654435761L),
+            lit(4294967296L))
+        def top(epoch: Int) = docs
+          .select(lit(epoch).as("epoch"), col("doc_id"), epochKey(epoch).as("k"))
+          .orderBy(col("k"), col("doc_id"))
+          .limit(50)
+          .select(col("epoch"), col("doc_id"),
+            (row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("epoch").orderBy(col("k"), col("doc_id"))) - 1)
+              .as("pos"))
+        top(1).unionByName(top(2))
+          .transform(Present.driverSortBy(_, "epoch" -> true, "pos" -> true))
+      },
+      oracle = Some("""
+        WITH k AS (
+          SELECT e.epoch, d.doc_id,
+            ((d.doc_id + e.epoch * 1000003) * 2654435761) % 4294967296 AS k
+          FROM documents d CROSS JOIN (SELECT 1 AS epoch UNION ALL SELECT 2) e),
+        r AS (
+          SELECT epoch, doc_id,
+            row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) - 1 AS pos
+          FROM k)
+        SELECT epoch, doc_id, CAST(pos AS INTEGER) AS pos
+        FROM r WHERE pos < 50 ORDER BY epoch, pos"""),
+      doc = "deterministic per-epoch corpus shuffle: hash-keyed global order, coordination-free (training-data op)")
   )
 
   /** substring(text, start, win) — named helper so the chunk expression
