@@ -70,6 +70,57 @@ final class InMemoryObjectStore extends ObjectStoreClient {
   def size: Int = objects.size()
 }
 
+/** Durable [[ObjectStoreClient]] over a filesystem directory — the
+  * second live binding of the seam (the shape a MinIO/on-prem-NFS-free
+  * deployment takes, and the proof the client trait isn't shaped around
+  * one implementation). Conditional PUT maps to POSIX
+  * `open(O_CREAT|O_EXCL)` (`StandardOpenOption.CREATE_NEW`), which the
+  * kernel guarantees atomic on a local filesystem — the same primitive
+  * a Hadoop `create(path, overwrite=false)` commit uses. Objects live
+  * at `root/<key>`; keys are opaque slash-separated names exactly as
+  * the in-memory client treats them. */
+final class FsObjectStore(root: Path) extends ObjectStoreClient {
+  private def p(key: String): Path = root.resolve(key.stripPrefix("/"))
+
+  override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
+    val f = p(key)
+    Files.createDirectories(f.getParent)
+    try {
+      Files.write(f, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+  override def put(key: String, bytes: Array[Byte]): Unit = {
+    val f = p(key)
+    Files.createDirectories(f.getParent)
+    Files.write(f, bytes)
+    ()
+  }
+  override def get(key: String): Array[Byte] =
+    try Files.readAllBytes(p(key))
+    catch { case _: java.nio.file.NoSuchFileException =>
+      // contract parity with the S3 client shape: missing object is a
+      // FileNotFoundException, whatever the backend raised
+      throw new java.io.FileNotFoundException(s"no such object: $key")
+    }
+  override def list(prefix: String): Seq[String] = {
+    val dir = p(prefix)
+    if (!Files.isDirectory(dir)) Vector.empty
+    else {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(_.getFileName.toString).toVector
+      } finally s.close()
+    }
+  }
+  override def delete(key: String): Boolean = Files.deleteIfExists(p(key))
+  override def lastModified(key: String): Long =
+    try Files.getLastModifiedTime(p(key)).toMillis
+    catch { case _: java.io.IOException => 0L }
+}
+
 /** CommitStore over an object store: conditional PUT carries commit
   * atomicity; everything else is plain immutable-object IO. The local
   * `data/` dir is still prepared because data files are written by

@@ -17,7 +17,17 @@ class ObjectStoreSpec extends SparkSpec {
     Paths.get(warehouse, s"os_${java.util.UUID.randomUUID().toString.take(8)}").toString
 
   test("create/insert/scan/overwrite/time-travel with metadata in the object store") {
-    val client = new InMemoryObjectStore
+    lifecycle(new InMemoryObjectStore)
+  }
+
+  test("same lifecycle against the filesystem-backed client (second seam binding)") {
+    // FsObjectStore's conditional PUT is POSIX O_EXCL — a genuinely
+    // different implementation of the same trait, proving the client
+    // seam isn't shaped around the in-memory map
+    lifecycle(new FsObjectStore(Files.createTempDirectory("graft-fsos-")))
+  }
+
+  private def lifecycle(client: ObjectStoreClient): Unit = {
     val store = new ObjectStoreCommitStore(client)
     val engine = new LakeEngine(spark, new LakeCatalog(warehouse))
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
@@ -53,7 +63,14 @@ class ObjectStoreSpec extends SparkSpec {
   }
 
   test("concurrent commits race through conditional PUT; loser retries") {
-    val client = new InMemoryObjectStore
+    race(new InMemoryObjectStore)
+  }
+
+  test("concurrent commits race through O_EXCL on the filesystem client") {
+    race(new FsObjectStore(Files.createTempDirectory("graft-fsos-race-")))
+  }
+
+  private def race(client: ObjectStoreClient): Unit = {
     val store = new ObjectStoreCommitStore(client)
     val df = Seq((0L, "seed")).toDF("id", "v")
     val loc = freshLoc()
