@@ -32,6 +32,7 @@ object Registry {
       queries.DedupQueries.all ++
       queries.SimilarityQueries.all ++
       queries.MultimodalQueries.all ++
+      queries.GraphQueries.all ++
       queries.StreamingQueries.all ++
       queries.OperatorQueries.all
 

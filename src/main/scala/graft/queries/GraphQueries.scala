@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics operators over the corpus (PageRank-style quality
+  * weighting — the webgraph signal CommonCrawl-scale curation pipelines
+  * attach to documents; Page et al., "The PageRank Citation Ranking",
+  * Stanford InfoLab 1999). The fixture has no link column, so a
+  * deterministic synthetic multigraph is derived from doc ids (the same
+  * injection pattern the dedup gates use), and BOTH engines walk the
+  * identical graph.
+  *
+  * Everything is FIXED-POINT integer arithmetic (rank scaled by 1e12,
+  * floor division): addition is order-independent and division is
+  * exact, so five power iterations are bit-equal across engines — a
+  * floating formulation would diverge in the last ulps on summation
+  * order alone. This is also the production-sane choice: deterministic
+  * reruns and engine-portable checkpoints.
+  *
+  * Scale shape: one iteration = join ranks to edges on src (both sides
+  * partitioned by the same key) + one aggregation on dst. At 100 TB the
+  * loop runs like [[graft.extras.Dedup.connectedComponents]] — reliable
+  * checkpoints every few rounds, no driver-side graph state.
+  */
+object GraphQueries {
+
+  private val Scale = 1000000000000L // 1e12 fixed-point
+
+  val all: Seq[Q] = Seq(
+    Q("graph_pagerank",
+      (s, d) => {
+        // both join keys evaluate to 1 but stay data-dependent (the
+        // heavy-hitters pattern) so the one-row count attaches via a
+        // broadcast hash join, never a constant-folded cartesian
+        def one(x: Column): Column =
+          least(lit(1L), greatest(lit(1L), x)).cast("int")
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val nRow = docs.agg(count(lit(1)).as("nn"))
+          .withColumn("g", one(col("nn")))
+        val withN = docs.withColumn("g", one(col("doc_id") + 1))
+          .join(broadcast(nRow), "g").select(col("doc_id"), col("nn"))
+        // 3 out-links per node (dst collisions make it a multigraph —
+        // kept, both engines count them): 2i, 3i+1, 5i+2 mod N.
+        // gcd(3, N) = 1 at every fixture SF, so 3i+1 alone guarantees
+        // every node an in-link; the LEFT JOIN below covers the general
+        // case anyway.
+        val edges = withN.select(col("doc_id").as("src"),
+          explode(array(
+            pmod(col("doc_id") * 2, col("nn")),
+            pmod(col("doc_id") * 3 + 1, col("nn")),
+            pmod(col("doc_id") * 5 + 2, col("nn")))).as("dst"))
+        var ranks = withN.select(col("doc_id").as("id"),
+          expr(s"$Scale DIV nn").as("rank"))
+        for (_ <- 1 to 5) {
+          val inflow = edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(sum(expr("rank DIV 3")).as("infl"))
+          ranks = withN
+            .join(inflow.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+            .select(col("doc_id").as("id"),
+              (expr(s"${Scale / 10 * 15 / 10} DIV nn") +
+                expr("(85 * coalesce(infl, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
+        }
+        ranks.select(col("id").as("doc_id"), col("rank"))
+          .transform(Present.driverSortBy(_, "doc_id" -> true))
+      },
+      oracle = Some("""
+        WITH n AS (SELECT count(*) AS nn FROM documents),
+        edges AS (
+          SELECT doc_id AS src, (doc_id*2) % nn AS dst FROM documents, n
+          UNION ALL SELECT doc_id, (doc_id*3+1) % nn FROM documents, n
+          UNION ALL SELECT doc_id, (doc_id*5+2) % nn FROM documents, n),
+        pr0 AS (SELECT doc_id AS id, 1000000000000 // nn AS rank FROM documents, n),
+        s1 AS (SELECT e.dst AS id, sum(p.rank // 3) AS infl
+               FROM pr0 p JOIN edges e ON e.src = p.id GROUP BY 1),
+        pr1 AS (SELECT d.doc_id AS id,
+                  150000000000 // nn + (85 * COALESCE(infl, 0)) // 100 AS rank
+                FROM documents d CROSS JOIN n LEFT JOIN s1 ON s1.id = d.doc_id),
+        s2 AS (SELECT e.dst AS id, sum(p.rank // 3) AS infl
+               FROM pr1 p JOIN edges e ON e.src = p.id GROUP BY 1),
+        pr2 AS (SELECT d.doc_id AS id,
+                  150000000000 // nn + (85 * COALESCE(infl, 0)) // 100 AS rank
+                FROM documents d CROSS JOIN n LEFT JOIN s2 ON s2.id = d.doc_id),
+        s3 AS (SELECT e.dst AS id, sum(p.rank // 3) AS infl
+               FROM pr2 p JOIN edges e ON e.src = p.id GROUP BY 1),
+        pr3 AS (SELECT d.doc_id AS id,
+                  150000000000 // nn + (85 * COALESCE(infl, 0)) // 100 AS rank
+                FROM documents d CROSS JOIN n LEFT JOIN s3 ON s3.id = d.doc_id),
+        s4 AS (SELECT e.dst AS id, sum(p.rank // 3) AS infl
+               FROM pr3 p JOIN edges e ON e.src = p.id GROUP BY 1),
+        pr4 AS (SELECT d.doc_id AS id,
+                  150000000000 // nn + (85 * COALESCE(infl, 0)) // 100 AS rank
+                FROM documents d CROSS JOIN n LEFT JOIN s4 ON s4.id = d.doc_id),
+        s5 AS (SELECT e.dst AS id, sum(p.rank // 3) AS infl
+               FROM pr4 p JOIN edges e ON e.src = p.id GROUP BY 1),
+        pr5 AS (SELECT d.doc_id AS id,
+                  150000000000 // nn + (85 * COALESCE(infl, 0)) // 100 AS rank
+                FROM documents d CROSS JOIN n LEFT JOIN s5 ON s5.id = d.doc_id)
+        SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank
+        FROM pr5 ORDER BY doc_id"""),
+      doc = "PageRank quality weighting: fixed-point power iteration, bit-exact across engines (training-data op)")
+  )
+}

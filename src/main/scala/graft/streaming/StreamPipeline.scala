@@ -219,8 +219,14 @@ object StreamPipeline {
     * split into two deterministic halves in separate files with
     * maxFilesPerTrigger=1, so users appearing in both halves genuinely
     * exercise the MATCHED accumulation path across micro-batches.
-    * Exactly-once at scale rides the same snapshot-log atomic commit
-    * as the other lake sinks (each MERGE is one transactional commit).
+    * Each MERGE is one transactional snapshot-log commit. Replay
+    * honesty: an ACCUMULATING merge is not idempotent, so crash-replay
+    * of an already-applied batch would double-add; the production
+    * binding stamps the batch id into the commit's snapshot summary
+    * and skips already-applied ids — exactly the
+    * [[LakeStreamSink]] exactly-once marker — which needs the marker
+    * and the MERGE in ONE commit. This demo keeps the pattern minimal
+    * (single bounded run; AvailableNow drains once).
     */
   def streamingUpsertTotals(
       spark: SparkSession, engine: LakeEngine, tableName: String,

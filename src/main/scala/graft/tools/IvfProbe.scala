@@ -1,0 +1,40 @@
+package graft.tools
+
+import graft.Tables
+import graft.extras.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Probe IVF recall@10 per query across (nlist, nprobe) at both SFs. */
+object IvfProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = Tables.embeddings(spark, d)
+      val n = emb.count()
+      val queries = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, queryCountHint = Some(5L))
+        .select(col("qid"), col("cid")).collect()
+        .groupBy(_.getLong(0)).map { case (q, r) => q -> r.map(_.getLong(1)).toSet }
+      for ((nlist, nprobe) <- Seq(
+          (16, 4),
+          (math.max(8, math.sqrt(n.toDouble).toInt), math.max(4, math.sqrt(n.toDouble).toInt / 4)),
+          (math.max(8, math.sqrt(n.toDouble).toInt), math.max(4, math.sqrt(n.toDouble).toInt / 3)),
+          (math.max(8, math.sqrt(n.toDouble).toInt), math.max(4, math.sqrt(n.toDouble).toInt / 2)))) {
+        val ann = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10, nlist = nlist, nprobe = nprobe)
+          .select(col("qid"), col("cid")).collect()
+          .groupBy(_.getLong(0)).map { case (q, r) => q -> r.map(_.getLong(1)).toSet }
+        val hits = exact.toSeq.sortBy(_._1).map { case (q, ex) =>
+          q -> ann.getOrElse(q, Set.empty[Long]).count(ex.contains) }
+        println(s"$d n=$n nlist=$nlist nprobe=$nprobe hits=" +
+          hits.map { case (q, h) => s"q$q:$h" }.mkString(" "))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -118,6 +118,18 @@ class CoreQueriesSpec extends SparkSpec {
     assert(bm.exists(_.getAs[Double]("bm25") > 0.0))
   }
 
+  test("pagerank conserves fixed-point mass and ranks hubs above the base") {
+    val rows = Registry.byName("graph_pagerank").run(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    val total = rows.map(_.getAs[Long]("rank")).sum
+    // power iteration conserves total rank = 1e12 up to floor-division
+    // losses (each of the 3N divisions and N dampening floors drops < 1)
+    assert(total <= 1000000000000L && total > 990000000000L, s"total $total")
+    // a multigraph: some node receives >= 2 in-edges, so ranks spread
+    val ranks = rows.map(_.getAs[Long]("rank"))
+    assert(ranks.max > ranks.min)
+  }
+
   test("all core queries execute and have stable schemas") {
     queries.CoreQueries.all.foreach { q =>
       val df = q.run(spark, sf)
