@@ -817,7 +817,53 @@ object TextQueries {
           FROM k)
         SELECT epoch, doc_id, CAST(pos AS INTEGER) AS pos
         FROM r WHERE pos < 50 ORDER BY epoch, pos"""),
-      doc = "deterministic per-epoch corpus shuffle: hash-keyed global order, coordination-free (training-data op)")
+      doc = "deterministic per-epoch corpus shuffle: hash-keyed global order, coordination-free (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("text_fim_split",
+      (s, d) => {
+        // fill-in-the-middle transformation (Bavarian et al. 2022,
+        // arXiv:2207.14255): split each document into
+        // (prefix, middle, suffix) at deterministic code-point cuts —
+        // here 1/3 and 2/3 of the length, the PSM arrangement — so the
+        // training pipeline can emit <pre>suffix<mid>prefix<suf>middle
+        // sequences. Pure map stage (substring arithmetic, no shuffle);
+        // the gate emits segment lengths + md5s, content-verifying the
+        // exact split points without exporting the corpus. Cuts count
+        // CODE POINTS on both engines (TextChunkingSpec semantics).
+        val docs = Tables.documents(s, d)
+        val len = length(col("text"))
+        val c1 = (len / 3).cast(IntegerType)
+        val c2 = (len * 2 / 3).cast(IntegerType)
+        docs.select(col("doc_id"),
+            substring(col("text"), lit(1), c1).as("p"),
+            substring(col("text"), c1 + 1, (c2 - c1)).as("m"),
+            substring(col("text"), c2 + 1, (len - c2)).as("sx"))
+          .select(col("doc_id"),
+            length(col("p")).as("pre_len"), md5(col("p")).as("pre_md5"),
+            length(col("m")).as("mid_len"), md5(col("m")).as("mid_md5"),
+            length(col("sx")).as("suf_len"), md5(col("sx")).as("suf_md5"))
+          .transform(Present.driverSortBy(_, "doc_id" -> true))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT doc_id, text,
+            CAST(length(text) // 3 AS INTEGER) AS c1,
+            CAST(length(text) * 2 // 3 AS INTEGER) AS c2,
+            CAST(length(text) AS INTEGER) AS l
+          FROM documents),
+        seg AS (
+          SELECT doc_id,
+            substr(text, 1, c1) AS p,
+            substr(text, c1 + 1, c2 - c1) AS m,
+            substr(text, c2 + 1, l - c2) AS sx
+          FROM c)
+        SELECT doc_id,
+          CAST(length(p) AS INTEGER) AS pre_len, md5(p) AS pre_md5,
+          CAST(length(m) AS INTEGER) AS mid_len, md5(m) AS mid_md5,
+          CAST(length(sx) AS INTEGER) AS suf_len, md5(sx) AS suf_md5
+        FROM seg ORDER BY doc_id"""),
+      doc = "fill-in-the-middle split: deterministic prefix/middle/suffix segmentation (training-data op)")
   )
 
   /** substring(text, start, win) — named helper so the chunk expression
