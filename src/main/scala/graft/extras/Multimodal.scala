@@ -109,6 +109,45 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize gate (images): decode the synthesized PNG through
+    * javax.imageio, nearest-neighbor resample the luminance plane to a
+    * fixed (outW x outH) thumbnail — the standard preprocessing step
+    * before vision-encoder feature extraction — and emit the resampled
+    * sum. Source index mapping is the canonical NN floor map
+    * sx = x2*w/outW, sy = y2*h/outH, so an oracle recomputes the
+    * resized pixels arithmetically from the same id. Per-partition
+    * batch work, no shuffle. */
+  def imageResizeFeatures(df: DataFrame, idCol: String,
+      outW: Int, outH: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", LongType),
+      StructField("height", LongType), StructField("out_w", LongType),
+      StructField("out_h", LongType), StructField("resized_sum", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(MediaSynth.png(id)))
+        val w = img.getWidth
+        val h = img.getHeight
+        val lum = JvmImageCodec.luminance(img)
+        var sum = 0L
+        var y2 = 0
+        while (y2 < outH) {
+          val sy = y2 * h / outH
+          var x2 = 0
+          while (x2 < outW) {
+            sum += lum(sy * w + x2 * w / outW)
+            x2 += 1
+          }
+          y2 += 1
+        }
+        Row(id, w.toLong, h.toLong, outW.toLong, outH.toLong, sum)
+      }
+    }(enc)
+  }
+
   /** Decode gate (audio): synthesize a REAL RIFF/PCM WAV per id
     * ([[MediaSynth.wav]]), decode it through [[JvmWavCodec]], emit the
     * parsed header fields and the decoded-sample sum. */

@@ -86,6 +86,33 @@ object MultimodalQueries {
           CAST(list_sum(list_transform(range(0, 100 + doc_id % 50), i ->
             ((doc_id * 31 + i * 7) % 65536) - 32768)) AS BIGINT) AS sample_sum
         FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
-      doc = "real WAV decode: synthesized RIFF/PCM -> chunk-walk parse + sample sum vs arithmetic oracle")
+      doc = "real WAV decode: synthesized RIFF/PCM -> chunk-walk parse + sample sum vs arithmetic oracle"),
+
+    // ------------------------------------------------------------------
+    Q("multimodal_image_resize",
+      (s, d) => {
+        // resize = decode + nearest-neighbor resample to a fixed
+        // thumbnail (vision-encoder preprocessing); the oracle
+        // recomputes every resampled pixel arithmetically from the
+        // synthesized image's value function (doc_id + 3x + 5y) % 256
+        // with the canonical floor map sx = x2*w/outW.
+        Multimodal.imageResizeFeatures(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id",
+            outW = 4, outH = 3)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          1 + doc_id % 8 AS width,
+          1 + doc_id % 6 AS height,
+          CAST(4 AS BIGINT) AS out_w,
+          CAST(3 AS BIGINT) AS out_h,
+          CAST(list_sum(flatten(list_transform(range(0, 3), y2 ->
+            list_transform(range(0, 4), x2 ->
+              (doc_id
+                + 3 * ((x2 * (1 + doc_id % 8)) // 4)
+                + 5 * ((y2 * (1 + doc_id % 6)) // 3)) % 256)))) AS BIGINT) AS resized_sum
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+      doc = "real image resize: decode + nearest-neighbor thumbnail resample vs arithmetic oracle")
   )
 }
