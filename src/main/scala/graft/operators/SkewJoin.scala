@@ -41,6 +41,8 @@ object SkewJoin {
       fact: DataFrame, dim: DataFrame, keys: Seq[String],
       saltOn: Column, buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "saltedJoin reserves the column name _salt; rename it on the input first")
     val salted = fact.withColumn("_salt", pmod(hash(saltOn), lit(buckets)))
     // one explode replicates the dim across every salt value; the join
     // then carries (keys..., _salt) so each fact row meets exactly one

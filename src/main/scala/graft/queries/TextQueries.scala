@@ -863,7 +863,70 @@ object TextQueries {
           CAST(length(m) AS INTEGER) AS mid_len, md5(m) AS mid_md5,
           CAST(length(sx) AS INTEGER) AS suf_len, md5(sx) AS suf_md5
         FROM seg ORDER BY doc_id"""),
-      doc = "fill-in-the-middle split: deterministic prefix/middle/suffix segmentation (training-data op)")
+      doc = "fill-in-the-middle split: deterministic prefix/middle/suffix segmentation (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("text_unigram_ppl",
+      (s, d) => {
+        // LM-perplexity quality filtering (the CCNet/Wenzek et al. 2020
+        // pipeline stage, arXiv:1911.00359 — there a KenLM 5-gram; here
+        // the unigram LM the same pipeline shape carries): score each
+        // document by corpus-unigram log-likelihood. Plan: corpus
+        // unigram counts (shuffle on word — at web scale the vocab is
+        // too big to broadcast, the equi-join IS the scalable shape),
+        // join token occurrences back on the same key (co-partitioned,
+        // no extra exchange), per-doc reduce. Determinism: each token's
+        // log-prob is ROUNDED TO 6dp AND SUMMED AS DECIMAL, so the
+        // per-doc sum is addition-order independent and bit-equal
+        // across engines — summing raw doubles would hash-diverge on
+        // aggregation order alone.
+        val dec = DecimalType(28, 6)
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), explode(wordsOf(col("text"))).as("w"))
+        val freq = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        val total = freq.agg(sum(col("c")).as("tot"))
+          .withColumn("g", least(lit(1), greatest(lit(1), col("tot"))).cast(IntegerType))
+        val withP = freq.withColumn("g",
+            least(lit(1), greatest(lit(1), col("c"))).cast(IntegerType))
+          .join(broadcast(total), "g")
+          .select(col("w"),
+            round(log(col("c").cast(DoubleType) / col("tot")), 6).cast(dec).as("logp"))
+        val perDoc = toks.join(withP, "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"), sum(col("logp")).as("ll"))
+        // bind the null-handled expressions ONCE — an output alias named
+        // like the underlying nullable column is the lateral-alias
+        // ambiguity the quantization gate documented
+        val nt = coalesce(col("n_tok"), lit(0L))
+        docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            nt.as("n_tok"),
+            coalesce(col("ll"), lit(0).cast(dec)).cast(DoubleType).as("log_lik"),
+            round(when(nt > 0,
+              exp(-col("ll").cast(DoubleType) / nt)).otherwise(0.0), 4)
+              .as("ppl"))
+          .transform(Present.driverSortBy(_, "doc_id" -> true))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(trim(lower(text)), '[\t\n\f\r ]+'), x -> x <> '')) AS w
+          FROM documents),
+        freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM freq),
+        p AS (
+          SELECT w, CAST(round(ln(CAST(c AS DOUBLE) / tot), 6) AS DECIMAL(28,6)) AS logp
+          FROM freq, tot),
+        per AS (
+          SELECT t.doc_id, count(*) AS n_tok, sum(logp) AS ll
+          FROM toks t JOIN p USING (w) GROUP BY t.doc_id)
+        SELECT d.doc_id,
+          COALESCE(n_tok, 0) AS n_tok,
+          CAST(COALESCE(ll, 0) AS DOUBLE) AS log_lik,
+          round(CASE WHEN n_tok > 0
+            THEN exp(-CAST(ll AS DOUBLE) / n_tok) ELSE 0.0 END, 4) AS ppl
+        FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""),
+      doc = "unigram LM perplexity scoring (CCNet-style quality filter), order-independent decimal log sums (training-data op)")
   )
 
   /** substring(text, start, win) — named helper so the chunk expression
