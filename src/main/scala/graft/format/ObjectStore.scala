@@ -85,10 +85,21 @@ final class FsObjectStore(root: Path) extends ObjectStoreClient {
   override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
     val f = p(key)
     Files.createDirectories(f.getParent)
+    // Atomicity requires the object to become visible FULLY WRITTEN —
+    // S3's conditional PUT publishes all-or-nothing. A naive
+    // CREATE_NEW-then-write wins the race on an EMPTY file: a losing
+    // committer re-reading it to rebase would parse 0/partial bytes,
+    // and a crash between create and write would leave a permanent
+    // empty object blocking every later commit. So: write a private
+    // temp file, then hard-LINK it to the final name — link(2) fails
+    // with EEXIST atomically and the target is complete the instant it
+    // exists (the LocalCommitStore CAS primitive).
+    val tmp = Files.createTempFile(f.getParent, ".put-", ".tmp")
     try {
-      Files.write(f, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
-      true
-    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      Files.write(tmp, bytes)
+      try { Files.createLink(f, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
   }
   override def put(key: String, bytes: Array[Byte]): Unit = {
     val f = p(key)
@@ -111,7 +122,9 @@ final class FsObjectStore(root: Path) extends ObjectStoreClient {
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.filter(Files.isRegularFile(_))
-          .map(_.getFileName.toString).toVector
+          .map(_.getFileName.toString)
+          .filterNot(_.startsWith(".put-")) // in-flight PUT temp files
+          .toVector
       } finally s.close()
     }
   }

@@ -292,25 +292,34 @@ object DedupQueries {
         // exact repeated-passage detection (the substring-level dedup of
         // Lee et al. 2022, "Deduplicating Training Data Makes Language
         // Models Better", arXiv:2107.06499 — their suffix-array pass
-        // re-expressed as the distributed equivalent): slide a fixed
-        // 60-char window with stride 30 over every document, hash each
-        // window, and group by hash — a window seen in >= 2 distinct
-        // documents marks a duplicated passage. One map stage generates
-        // windows in-line (sequence + explode, no join); the single
-        // shuffle carries (16-byte md5, doc_id) — never the text — so
-        // at 100 TB the exchange is ~32 bytes per window regardless of
-        // document size. Stride < window overlaps windows, so any
-        // duplicated run >= window+stride chars is guaranteed to align
-        // on some shared window in both copies.
-        val W = 60
-        val S = 30
+        // re-expressed as a distributed hash design). Window placement
+        // is CONTENT-DEFINED (the LBFS/rsync anchoring of
+        // Muthitacharoen et al., SOSP 2001): a 15-word window starts at
+        // every word whose md5 begins with '0' (1/16 of words). Fixed-
+        // stride windows at absolute offsets would only match when two
+        // copies of a passage start at offsets congruent mod the
+        // stride; content-defined anchors travel WITH the text, so two
+        // copies of a shared word-run select identical window starts
+        // regardless of where the run sits in each document — any
+        // shared run containing an anchor with 14 successors inside it
+        // is detected, deterministically for given content. One map
+        // stage computes anchors + window hashes in-line (array
+        // expressions, no join); the single shuffle carries
+        // (16-byte md5, doc_id) — never the text — so at 100 TB the
+        // exchange is ~32 bytes per anchor (~1/16 of words).
+        val W = 15
         val c = corpus(s, d)
-        val wins = c.filter(length(col("text")) >= W)
+        val ws = filter(split(trim(col("text")), "[\\t\\n\\f\\r ]+"),
+          w => w =!= lit(""))
+        val base = c.select(col("doc_id"), ws.as("ws"))
+        val anchors = filter(
+          when(size(col("ws")) >= W, sequence(lit(1), size(col("ws")) - (W - 1)))
+            .otherwise(array().cast(ArrayType(IntegerType))),
+          i => substring(md5(element_at(col("ws"), i)), 1, 1) === "0")
+        val wins = base
           .select(col("doc_id"),
-            explode(sequence(lit(1), length(col("text")) - (W - 1), lit(S))).as("start"),
-            col("text"))
-          .select(col("doc_id"),
-            md5(substring(col("text"), col("start"), lit(W))).as("win_md5"))
+            explode(transform(anchors,
+              i => md5(array_join(slice(col("ws"), i, lit(W)), " ")))).as("win_md5"))
         wins.groupBy("win_md5")
           .agg(countDistinct(col("doc_id")).as("n_docs"),
             count(lit(1)).as("n_occ"),
@@ -321,17 +330,23 @@ object DedupQueries {
       },
       oracle = Some(s"""
         WITH $corpusSql,
+        w AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(text), '[\t\n\f\r ]+'), x -> x <> '') AS ws
+          FROM corpus),
+        anch AS (
+          SELECT doc_id, ws,
+            unnest(list_filter(range(1, greatest(len(ws) - 14, 0) + 1),
+              i -> substr(md5(ws[i]), 1, 1) = '0')) AS i
+          FROM w),
         wins AS (
           SELECT doc_id,
-            md5(substr(text, CAST(i AS INTEGER), 60)) AS win_md5
-          FROM (
-            SELECT doc_id, text,
-              unnest(range(1, CAST(length(text) - 59 AS BIGINT) + 1, 30)) AS i
-            FROM corpus WHERE length(text) >= 60))
+            md5(array_to_string(ws[i:i+14], ' ')) AS win_md5
+          FROM anch)
         SELECT win_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
           min(doc_id) AS min_doc, max(doc_id) AS max_doc
         FROM wins GROUP BY win_md5 HAVING count(DISTINCT doc_id) >= 2
         ORDER BY win_md5"""),
-      doc = "exact substring (passage) dedup: rolling window hash -> cross-doc repeats (training-data op)")
+      doc = "exact substring (passage) dedup: content-defined anchor windows -> cross-doc repeats (training-data op)")
   )
 }

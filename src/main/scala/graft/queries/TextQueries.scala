@@ -16,6 +16,19 @@ object TextQueries {
   private val stops = EnStopwords
   private val stopsSql = stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** Engine-portable uniform hash of a non-negative integer key into
+    * [0, 1): LCG step (glibc multiplier, a public constant) on the key
+    * reduced mod 2^32 FIRST — (2^32-1) * 1103515245 stays inside
+    * signed int64, so Spark and DuckDB evaluate the identical
+    * expression at ANY key magnitude. (The previous Knuth multiplier
+    * 2654435761 > 2^31 overflowed int64 at key >= ~3.47e9: Spark wraps
+    * silently, DuckDB raises — engine divergence exactly at the corpus
+    * sizes these gates claim to serve.) SQL rendering:
+    * ((key % 4294967296) * 1103515245 + 12345) % 4294967296 / 4294967296.0 */
+  private def hash01Of(key: Column): Column =
+    pmod(pmod(key, lit(4294967296L)) * lit(1103515245L) + lit(12345L),
+      lit(4294967296L)).cast(DoubleType) / lit(4294967296.0)
+
   /** Lowercased whitespace-tokenized words of `text`, empties dropped.
     * The whitespace class is written out explicitly — Java's `\s`
     * includes vertical tab (0x0B) while DuckDB's RE2 `\s` does not,
@@ -532,8 +545,7 @@ object TextQueries {
       (s, d) => {
         // weighted dataset mixing: each source gets a sampling rate (the
         // training-mix weights); a row is kept when its deterministic
-        // per-row hash falls under the rate. The hash is Knuth's
-        // multiplicative scheme over the doc id — engine-portable integer
+        // per-row hash falls under the rate — engine-portable integer
         // arithmetic, so DuckDB reproduces the exact sample (a seeded RNG
         // would not be). Rates ride a broadcast map lookup — at 100 TB
         // this is a map-only scan with no shuffle and the mix config
@@ -543,8 +555,7 @@ object TextQueries {
         val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
           when(col("source") === src, lit(r)).otherwise(acc)
         }
-        val hash01 = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-          .cast(DoubleType) / lit(4294967296.0)
+        val hash01 = hash01Of(col("doc_id"))
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("lang"), rateCol.as("rate"), hash01.as("u"))
           .filter(col("u") < col("rate"))
@@ -558,7 +569,8 @@ object TextQueries {
           SELECT doc_id, source,
             CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
               WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25 ELSE 0.1 END AS rate,
-            CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+            CAST(((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296 AS DOUBLE)
+              / 4294967296.0 AS u
           FROM documents)
         SELECT source, count(*) AS sampled,
           round(CAST(rate AS DOUBLE), 2) AS rate
@@ -582,14 +594,9 @@ object TextQueries {
         val k = 50
         val words = Tables.documents(s, d)
           .select(explode(wordsOf(col("text"))).as("word"))
-        // the one-row global summary attaches to the top-10 via a
-        // constant-key broadcast hash join; both keys evaluate to 1 but
-        // are written DATA-DEPENDENT (least(1, greatest(1, x)) over a
-        // non-null column) so constant folding / arithmetic
-        // simplification cannot collapse the equi-condition and replan
-        // this as a nested-loop cartesian
-        def one(x: Column): Column =
-          least(lit(1L), greatest(lit(1L), x)).cast(IntegerType)
+        // the one-row global summary attaches to the top-10 via
+        // Present.constKey's data-dependent broadcast-hash-join key
+        def one(x: Column): Column = Present.constKey(x)
         val sketch = words.withColumn("g", lit(1))
           .groupBy("g")
           .agg(call_function("graft_heavy_hitters", col("word"), lit(k)).as("summary"),
@@ -641,11 +648,9 @@ object TextQueries {
             terms.indices.map(i =>
               size(filter(col("words"), w => w === lit(terms(i))))
                 .cast(DoubleType).as(s"tf$i")): _*)
-        // both join keys evaluate to 1 but are data-dependent (the
-        // heavy-hitters pattern) so the one-row stats side attaches via
-        // a broadcast HASH join, not a constant-folded cartesian
-        def one(x: Column): Column =
-          least(lit(1L), greatest(lit(1L), x)).cast(IntegerType)
+        // one-row stats attach via Present.constKey (broadcast hash
+        // join, never a constant-folded cartesian)
+        def one(x: Column): Column = Present.constKey(x)
         val stats = base.agg(
           count(lit(1)).cast(DoubleType).as("n_docs"),
           avg(col("dl")).as("avgdl") +:
@@ -748,16 +753,15 @@ object TextQueries {
     Q("text_split_assign",
       (s, d) => {
         // deterministic train/val/test assignment: each document hashes
-        // into [0,1) via the same engine-portable multiplicative scheme
-        // as text_mix_sample (a seeded RNG would not replay across
+        // into [0,1) via the same engine-portable scheme as
+        // text_mix_sample (a seeded RNG would not replay across
         // engines or retries); thresholds carve 90/5/5. Hash-based
         // splits are the standard because they are STABLE under corpus
         // growth — a document's split never changes when neighbors
         // arrive, unlike row_number-based carving. Map-only at any
         // scale; the rollup checks per-(source, split) counts and an
         // id-sum fingerprint so membership (not just counts) verifies.
-        val hash01 = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-          .cast(DoubleType) / lit(4294967296.0)
+        val hash01 = hash01Of(col("doc_id"))
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             when(hash01 < 0.90, "train")
@@ -770,7 +774,8 @@ object TextQueries {
       oracle = Some("""
         WITH h AS (
           SELECT doc_id, source,
-            CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+            CAST(((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296 AS DOUBLE)
+              / 4294967296.0 AS u
           FROM documents)
         SELECT source,
           CASE WHEN u < 0.90 THEN 'train'
@@ -793,8 +798,8 @@ object TextQueries {
         // within one.
         val docs = Tables.documents(s, d)
         def epochKey(epoch: Int): Column =
-          pmod((col("doc_id") + lit(epoch.toLong * 1000003L)) * lit(2654435761L),
-            lit(4294967296L))
+          pmod(pmod(col("doc_id") + lit(epoch.toLong * 1000003L), lit(4294967296L))
+            * lit(1103515245L) + lit(12345L), lit(4294967296L))
         def top(epoch: Int) = docs
           .select(lit(epoch).as("epoch"), col("doc_id"), epochKey(epoch).as("k"))
           .orderBy(col("k"), col("doc_id"))
@@ -809,7 +814,8 @@ object TextQueries {
       oracle = Some("""
         WITH k AS (
           SELECT e.epoch, d.doc_id,
-            ((d.doc_id + e.epoch * 1000003) * 2654435761) % 4294967296 AS k
+            (((d.doc_id + e.epoch * 1000003) % 4294967296) * 1103515245 + 12345)
+              % 4294967296 AS k
           FROM documents d CROSS JOIN (SELECT 1 AS epoch UNION ALL SELECT 2) e),
         r AS (
           SELECT epoch, doc_id,
@@ -885,9 +891,8 @@ object TextQueries {
         val toks = docs.select(col("doc_id"), explode(wordsOf(col("text"))).as("w"))
         val freq = toks.groupBy("w").agg(count(lit(1)).as("c"))
         val total = freq.agg(sum(col("c")).as("tot"))
-          .withColumn("g", least(lit(1), greatest(lit(1), col("tot"))).cast(IntegerType))
-        val withP = freq.withColumn("g",
-            least(lit(1), greatest(lit(1), col("c"))).cast(IntegerType))
+          .withColumn("g", Present.constKey(col("tot")))
+        val withP = freq.withColumn("g", Present.constKey(col("c")))
           .join(broadcast(total), "g")
           .select(col("w"),
             round(log(col("c").cast(DoubleType) / col("tot")), 6).cast(dec).as("logp"))

@@ -41,6 +41,30 @@ object StreamPipeline {
     * [[readEventsStream]]); downstream pipelines filter it out. */
   val FlushUserId: Long = -1L
 
+  /** Stage `df` as ONE parquet file named `name` inside `streamDir`,
+    * with its mtime pushed `mtimePlusMs` into the future — the file
+    * stream source orders batches by modification time, so staggered
+    * mtimes pin micro-batch order deterministically. */
+  private def stageSingleParquet(df: DataFrame, streamDir: java.nio.file.Path,
+      name: String, mtimePlusMs: Long): Unit = {
+    val tmpOut = java.nio.file.Files.createTempDirectory("graft-stage-")
+    df.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val listing = java.nio.file.Files.list(tmpOut)
+    try {
+      val it = listing.iterator()
+      var src: java.nio.file.Path = null
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) src = p
+      }
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.move(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + mtimePlusMs))
+    } finally listing.close()
+  }
+
   def readEventsStream(
       spark: SparkSession, dir: String,
       flushSentinel: Boolean = false): DataFrame = {
@@ -79,25 +103,11 @@ object StreamPipeline {
           else java.time.LocalDateTime.of(2100, 1, 1 + day, 0, 0)
         val row = org.apache.spark.sql.Row(
           -1L - day, flushTs, FlushUserId, "flush", 0.0, "{}")
-        val tmpOut = java.nio.file.Files.createTempDirectory("graft-flush-")
-        spark.createDataFrame(
-          java.util.Collections.singletonList(row),
-          if (tsIsNanosLong) eventsLongSchema else eventsNtzSchema)
-          .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-        val listing = java.nio.file.Files.list(tmpOut)
-        try {
-          val it = listing.iterator()
-          var src: java.nio.file.Path = null
-          while (it.hasNext) {
-            val p = it.next()
-            if (p.getFileName.toString.endsWith(".parquet")) src = p
-          }
-          val dst = streamDir.resolve(name)
-          java.nio.file.Files.move(src, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis() + mtimePlusMs))
-        } finally listing.close()
+        stageSingleParquet(
+          spark.createDataFrame(
+            java.util.Collections.singletonList(row),
+            if (tsIsNanosLong) eventsLongSchema else eventsNtzSchema),
+          streamDir, name, mtimePlusMs)
       }
       writeFlush("zz_flush1.parquet", 0, 60000L)
       writeFlush("zz_flush2.parquet", 1, 120000L)
@@ -234,27 +244,10 @@ object StreamPipeline {
     val events = graft.Tables.events(spark, eventsDir)
       .select(col("event_id"), col("user_id"), col("value"))
     val streamDir = java.nio.file.Files.createTempDirectory("graft-upsert-src-")
-    def writeHalf(name: String, pred: org.apache.spark.sql.Column,
-        mtimePlusMs: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-upsert-half-")
-      events.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val listing = java.nio.file.Files.list(tmp)
-      try {
-        val it = listing.iterator()
-        var src: java.nio.file.Path = null
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet")) src = p
-        }
-        val dst = streamDir.resolve(name)
-        java.nio.file.Files.move(src, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() + mtimePlusMs))
-      } finally listing.close()
-    }
-    writeHalf("h0.parquet", col("event_id") % 2 === 0, 0L)
-    writeHalf("h1.parquet", col("event_id") % 2 =!= 0, 60000L)
+    stageSingleParquet(events.filter(col("event_id") % 2 === 0),
+      streamDir, "h0.parquet", 0L)
+    stageSingleParquet(events.filter(col("event_id") % 2 =!= 0),
+      streamDir, "h1.parquet", 60000L)
     val stream = spark.readStream
       .schema(StructType(Seq(
         StructField("event_id", LongType), StructField("user_id", LongType),
