@@ -27,6 +27,7 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     queries.CoreQueries.all ++
+      queries.TpchQueries.all ++
       queries.LakeQueries.all ++
       queries.TextQueries.all ++
       queries.DedupQueries.all ++

@@ -1,0 +1,368 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Extended TPC-H-shaped analytic coverage beyond the q1/q3/q5/q6
+  * headliners — the remaining classic decision-support shapes the
+  * reference's pass-through SQL surface serves (SURVEY §2.3–§2.5),
+  * adapted to the trimmed star schema of the test corpus (no partsupp,
+  * no shipmode/commitdate columns) and expressed Spark-first:
+  *
+  *  - dims reach the fact stream as BROADCAST joins, size-gated through
+  *    [[graft.plans.Hints.broadcastIfSmall]] on provable row bounds so
+  *    every plan degrades to a shuffle join at 100 TB instead of OOMing
+  *    the driver;
+  *  - selective dim filters apply BEFORE the broadcast ships (the
+  *    build payload is the filtered projection, not the table);
+  *  - money sums ride [[CoreQueries.dsum]]'s exact decimal path so the
+  *    distributed aggregation hash-matches the sequential oracle
+  *    bit-for-bit regardless of reduction order;
+  *  - every result carries a total ORDER BY with unique tie-breakers.
+  */
+object TpchQueries {
+
+  private def ts(s: String): Column = expr(s"TIMESTAMP_NTZ '$s'")
+  private def dsum(c: Column, scale: Int, alias: String): Column =
+    CoreQueries.dsum(c, scale, alias)
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    Q("q7_volume_shipping",
+      (s, d) => {
+        // TPC-H Q7 (volume shipping between two nations). The nation
+        // pair predicate is pushed INTO each dim before it broadcasts:
+        // suppliers in {N1,N2} and customers in {N1,N2} are tiny slices
+        // (2/25 of each dim), so the fact stream is cut by the supplier
+        // broadcast FIRST — the most selective join — before touching
+        // orders. The cross-pair condition (n1,n2) != (n2,n1) filters
+        // after both nations are in scope; revenue groups by the pair
+        // and ship year.
+        val n = Tables.nation(s, d)
+        val supDim = Tables.supplier(s, d)
+          .join(broadcast(n.filter(col("n_name").isin("NATION_1", "NATION_2"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val custDim = Tables.customer(s, d)
+          .join(broadcast(n.filter(col("n_name").isin("NATION_1", "NATION_2"))
+            .withColumnRenamed("n_nationkey", "n2_nationkey")),
+            col("c_nationkey") === col("n2_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val custBound = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val oBound = o
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate").between(
+            ts("1996-01-01 00:00:00"), ts("1997-12-31 00:00:00")))
+        l.join(broadcast(supDim), col("l_suppkey") === col("s_suppkey"))
+          .join(graft.plans.Hints.broadcastIfSmall(o, bound = oBound),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(graft.plans.Hints.broadcastIfSmall(custDim, bound = custBound),
+            col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+          .transform(Present.driverAgg(_,
+            "supp_nation" -> true, "cust_nation" -> true, "l_year" -> true))
+      },
+      oracle = Some("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS INTEGER) AS l_year,
+          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+        WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+          AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+          AND c.c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year"""),
+      doc = "TPC-H Q7: bi-national volume shipping; filtered-dim broadcasts (SURVEY §2.3)"),
+
+    // ------------------------------------------------------------------
+    Q("q8_market_share",
+      (s, d) => {
+        // TPC-H Q8 (national market share). Numerator and denominator
+        // come out of ONE aggregation pass — sum(case when supplier
+        // nation = target) / sum(all) per order year — so the fact is
+        // scanned once; the share divides two exact decimal sums in a
+        // single double expression both engines evaluate identically.
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        val custDim = Tables.customer(s, d)
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r.filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"))
+        val custBound = Tables.customer(s, d).select("c_custkey")
+        val supDim = Tables.supplier(s, d)
+          .join(broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val partDim = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate").between(
+            ts("1996-01-01 00:00:00"), ts("1997-12-31 00:00:00")))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val oBound = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val l = Tables.lineitem(s, d)
+        val vol = l
+          .join(broadcast(partDim), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supDim), col("l_suppkey") === col("s_suppkey"))
+          .join(graft.plans.Hints.broadcastIfSmall(o, bound = oBound),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(graft.plans.Hints.broadcastIfSmall(custDim, bound = custBound),
+            col("o_custkey") === col("c_custkey"))
+          .select(year(col("o_orderdate")).as("o_year"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+            col("supp_nation"))
+        vol.groupBy("o_year")
+          .agg(
+            dsum(when(col("supp_nation") === "NATION_3", col("volume"))
+              .otherwise(lit(0.0)), 4, "nation_volume"),
+            dsum(col("volume"), 4, "total_volume"))
+          .select(col("o_year"),
+            round(col("nation_volume") / col("total_volume"), 6).as("mkt_share"),
+            col("total_volume"))
+          .transform(Present.driverAgg(_, "o_year" -> true))
+      },
+      oracle = Some("""
+        WITH vol AS (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+            l_extendedprice*(1-l_discount) AS volume, n1.n_name AS supp_nation
+          FROM part p, supplier s, lineitem l, orders o, customer c, nation n1, nation n2, region r
+          WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+            AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+            AND c.c_nationkey = n2.n_nationkey AND n2.n_regionkey = r.r_regionkey
+            AND r.r_name = 'AMERICA' AND s.s_nationkey = n1.n_nationkey
+            AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+            AND p.p_type = 'ECONOMY')
+        SELECT o_year,
+          round(
+            CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END
+              AS DECIMAL(18,4))) AS DOUBLE)
+            / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share,
+          CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS total_volume
+        FROM vol GROUP BY o_year ORDER BY o_year"""),
+      doc = "TPC-H Q8: market share as one-pass conditional/total sum ratio (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
+    Q("q9_product_profit",
+      (s, d) => {
+        // TPC-H Q9 (product-type profit), adapted: the corpus has no
+        // partsupp, so profit is revenue (extprice*(1-discount)) for
+        // parts matching the name pattern, by supplier nation and order
+        // year. Both dims broadcast filtered/projected; the orders join
+        // carries only (orderkey, orderdate).
+        val n = Tables.nation(s, d)
+        val supDim = Tables.supplier(s, d)
+          .join(broadcast(n.withColumnRenamed("n_name", "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("nation"))
+        val partDim = Tables.part(s, d).filter(col("p_name").like("%bolt%"))
+          .select("p_partkey")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+        val l = Tables.lineitem(s, d)
+        l.join(broadcast(partDim), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supDim), col("l_suppkey") === col("s_suppkey"))
+          .join(graft.plans.Hints.broadcastIfSmall(o, bound = o),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "sum_profit"))
+          .transform(Present.driverAgg(_, "nation" -> true, "o_year" -> false))
+      },
+      oracle = Some("""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        FROM part p, supplier s, lineitem l, orders o, nation n
+        WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+          AND l.l_orderkey = o.o_orderkey AND s.s_nationkey = n.n_nationkey
+          AND p.p_name LIKE '%bolt%'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC"""),
+      doc = "TPC-H Q9 (adapted, no partsupp): per-nation yearly profit (SURVEY §2.3)"),
+
+    // ------------------------------------------------------------------
+    Q("q10_returned_items",
+      (s, d) => {
+        // TPC-H Q10 (returned-item reporting): top 20 customers by lost
+        // revenue in a quarter. The quarter-filtered orders slice
+        // broadcasts (size-gated); customers join AFTER the per-custkey
+        // aggregation so the wide customer row never rides the fact
+        // shuffle — the agg output is |customers in quarter| rows max.
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1996-10-01 00:00:00") &&
+            col("o_orderdate") < ts("1997-01-01 00:00:00"))
+          .select("o_orderkey", "o_custkey")
+        val oBound = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        val perCust = l
+          .join(graft.plans.Hints.broadcastIfSmall(o, bound = oBound),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+        val c = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        perCust.join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"),
+            col("c_acctbal"), col("n_name"))
+          .orderBy(desc("revenue"), asc("c_custkey"))
+          .limit(20)
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name,
+          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          c_acctbal, n_name
+        FROM customer c, orders o, lineitem l, nation n
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+      doc = "TPC-H Q10: returned-item lost revenue top-20 (SURVEY §2.3)"),
+
+    // ------------------------------------------------------------------
+    Q("q13_order_distribution",
+      (s, d) => {
+        // TPC-H Q13 (customer order-count distribution) — the LEFT
+        // OUTER join keeps zero-order customers (count(o_orderkey)
+        // counts only matches). Two shuffles: custkey agg, then the
+        // tiny count-of-counts agg.
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey")
+        val c = Tables.customer(s, d).select("c_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .transform(Present.driverAgg(_, "custdist" -> false, "c_count" -> false))
+      },
+      oracle = Some("""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""),
+      doc = "TPC-H Q13: outer-join order-count histogram (SURVEY §2.3/§2.4)"),
+
+    // ------------------------------------------------------------------
+    Q("q14_promo_revenue",
+      (s, d) => {
+        // TPC-H Q14 (promotion effect): one month of lineitem against
+        // the broadcast part dim; promo share = conditional sum / total
+        // sum from a single pass.
+        val p = Tables.part(s, d).select("p_partkey", "p_type")
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1996-09-01 00:00:00") &&
+            col("l_shipdate") < ts("1996-10-01 00:00:00"))
+        l.join(graft.plans.Hints.broadcastIfSmall(p, bound = p),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            dsum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(lit(0.0)), 4, "promo_revenue"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "total_revenue"))
+          .select(
+            round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+              .as("promo_share"),
+            col("promo_revenue"), col("total_revenue"))
+          .transform(Present.driverAgg(_))
+      },
+      oracle = Some("""
+        SELECT
+          round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+              THEN l_extendedprice*(1-l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+            / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6)
+            AS promo_share,
+          CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+            THEN l_extendedprice*(1-l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+            AS promo_revenue,
+          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+            AS total_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'"""),
+      doc = "TPC-H Q14: promo revenue share; broadcast part dim (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
+    Q("q18_large_orders",
+      (s, d) => {
+        // TPC-H Q18 (large-volume customers): the HAVING-on-sum(qty)
+        // aggregation runs on the fact FIRST — its output (orderkey,
+        // sum_qty over threshold) is tiny and size-gate-broadcasts into
+        // orders, so neither orders nor customer ever shuffles on a
+        // fact-sized stream.
+        val bigOrders = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(dsum(col("l_quantity"), 2, "sum_qty"))
+          .filter(col("sum_qty") > 180)
+        val oBound = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val c = Tables.customer(s, d).select("c_custkey", "c_name")
+        o.join(graft.plans.Hints.broadcastIfSmall(bigOrders, bound = oBound),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(graft.plans.Hints.broadcastIfSmall(c, bound = c),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey").as("custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(100)
+      },
+      oracle = Some("""
+        SELECT c_name, c_custkey AS custkey, o_orderkey, o_orderdate, o_totalprice,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM customer c, orders o, lineitem l
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+      doc = "TPC-H Q18: HAVING-driven large-order semi join (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
+    Q("q19_disjunctive_pred",
+      (s, d) => {
+        // TPC-H Q19 (discounted revenue, OR-of-ANDs): the disjunction
+        // spans both sides of the part join — brand/size terms prune
+        // the broadcast dim, quantity terms filter the fact, and the
+        // cross-side conjunctions apply at the join. Catalyst pushes
+        // the common quantity envelope (1..30) to the scan.
+        val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+        val l = Tables.lineitem(s, d)
+        l.join(graft.plans.Hints.broadcastIfSmall(p, bound = p),
+            col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 50) &&
+              col("l_quantity").between(20, 30)))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"),
+            count(lit(1)).as("n_items"))
+          .transform(Present.driverAgg(_))
+      },
+      oracle = Some("""
+        SELECT
+          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          count(*) AS n_items
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey AND (
+          (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30))"""),
+      doc = "TPC-H Q19: disjunctive cross-side predicate through a broadcast join (SURVEY §2.3)")
+  )
+}
