@@ -135,7 +135,7 @@ object SimilarityQueries {
             list_transform(q, x -> CAST(x AS DOUBLE))), 6) AS dot_recon
         FROM qz ORDER BY vec_id"""),
       doc = "int8 scalar quantization of embeddings: absmax scaling + fidelity facts (training-data op)")
-  )
+  ) :+ kmeansQ
 
   /** Shared ANN quality gate: per query id, the DuckDB-checkable exact
     * top-k similarity mass plus oracle-pinned recall/quality booleans.
@@ -198,6 +198,121 @@ object SimilarityQueries {
           .otherwise(0).cast(IntegerType).as("quality_ok"))
       .orderBy("qid")
   }
+
+  /** K-means clustering (Lloyd's algorithm) over the embedding corpus —
+    * the clustering primitive behind SemDeDup-style semantic dedup and
+    * diversity-balanced corpus curation (Abbas et al. 2023,
+    * arXiv:2303.09540). Runs in FIXED-POINT integer arithmetic (the
+    * graph_pagerank technique): components scale to micro-units
+    * (round(x*1e6) as long), squared distances are exact long sums
+    * (max 64 dims x (2e6)^2 ~ 2.6e14, far under 2^63), and centroid
+    * updates round the exact mean once — so both engines compute
+    * bit-identical centroids at every iteration where any floating
+    * formulation diverges on summation order.
+    *
+    * Shape per iteration (the 100 TB-sound plan): the k-row centroid
+    * relation broadcasts and fans out via a constant-key HASH join
+    * (k x n intermediate, map-side); assignment is a min_by aggregation
+    * on vec_id; the update re-aggregates by (cid, pos) — two shuffles
+    * per iteration, both on bounded-width rows, never on raw text or
+    * full precision. Driver state is zero: centroids live in a
+    * broadcast relation, not a collect.
+    */
+  private def kmeansQ: Q = Q("sim_kmeans",
+    (s, d) => {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.types._
+      val k = 8
+      val iters = 2
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast(DoubleType) * lit(1000000.0), 0).cast(LongType))
+            .as("varr"))
+      def assign(cent: DataFrame): DataFrame = {
+        val fact = emb.withColumn("g", Present.constKey(col("vec_id") + lit(1L)))
+        val cdim = cent.withColumn("g", Present.constKey(col("cid") + lit(1)))
+        fact.join(broadcast(cdim), "g")
+          .withColumn("dist",
+            aggregate(zip_with(col("varr"), col("carr"), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x))
+          .groupBy("vec_id")
+          .agg(
+            min_by(struct(col("cid"), col("varr")),
+              struct(col("dist"), col("cid"))).as("a"),
+            min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("a.cid").as("cid"), col("a.varr").as("varr"),
+            col("m.dist").as("dist"))
+      }
+      def update(assigned: DataFrame): DataFrame = assigned
+        .select(col("cid"), posexplode(col("varr")).as(Seq("pos", "vi")))
+        .groupBy("cid", "pos")
+        .agg(round(sum(col("vi")).cast(DoubleType) / count(lit(1)), 0)
+          .cast(LongType).as("ci"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
+          x => x.getField("ci")).as("carr"))
+      var cent = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").cast(IntegerType).as("cid"), col("varr").as("carr"))
+      var lastAssign: DataFrame = null
+      for (_ <- 1 to iters) {
+        lastAssign = assign(cent)
+        cent = update(lastAssign)
+      }
+      val sizes = lastAssign.groupBy("cid")
+        .agg(count(lit(1)).as("n"), sum(col("dist")).as("ssd"))
+      val digest = cent.select(col("cid"),
+        element_at(col("carr"), 1).as("c0"), element_at(col("carr"), 2).as("c1"),
+        element_at(col("carr"), 3).as("c2"), element_at(col("carr"), 4).as("c3"))
+      sizes.join(broadcast(digest), "cid")
+        .transform(Present.driverAgg(_, "cid" -> true))
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vi
+        FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, vi AS ci
+             FROM e WHERE vec_id < 8),
+      d1 AS (
+        SELECT e.vec_id, c.cid,
+          CAST(sum((e.vi - c.ci) * (e.vi - c.ci)) AS BIGINT) AS dist
+        FROM e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2),
+      a1 AS (
+        SELECT vec_id, cid, dist FROM (
+          SELECT vec_id, cid, dist,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d1) WHERE rn = 1),
+      c1 AS (
+        SELECT a.cid, e.pos,
+          CAST(round(CAST(sum(e.vi) AS DOUBLE) / count(*)) AS BIGINT) AS ci
+        FROM a1 a JOIN e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+      d2 AS (
+        SELECT e.vec_id, c.cid,
+          CAST(sum((e.vi - c.ci) * (e.vi - c.ci)) AS BIGINT) AS dist
+        FROM e JOIN c1 c ON e.pos = c.pos GROUP BY 1, 2),
+      a2 AS (
+        SELECT vec_id, cid, dist FROM (
+          SELECT vec_id, cid, dist,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d2) WHERE rn = 1),
+      c2 AS (
+        SELECT a.cid, e.pos,
+          CAST(round(CAST(sum(e.vi) AS DOUBLE) / count(*)) AS BIGINT) AS ci
+        FROM a2 a JOIN e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+      dig AS (
+        SELECT cid,
+          max(CASE WHEN pos = 1 THEN ci END) AS c0,
+          max(CASE WHEN pos = 2 THEN ci END) AS c1,
+          max(CASE WHEN pos = 3 THEN ci END) AS c2,
+          max(CASE WHEN pos = 4 THEN ci END) AS c3
+        FROM c2 GROUP BY cid)
+      SELECT a.cid, count(*) AS n, CAST(sum(a.dist) AS BIGINT) AS ssd,
+        any_value(g.c0) AS c0, any_value(g.c1) AS c1,
+        any_value(g.c2) AS c2, any_value(g.c3) AS c3
+      FROM a2 a JOIN dig g ON a.cid = g.cid
+      GROUP BY a.cid ORDER BY a.cid"""),
+    doc = "fixed-point k-means (Lloyd) over embeddings: SemDeDup-style clustering, bit-equal across engines")
 
   private def annQualityOracle: String = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
