@@ -932,7 +932,102 @@ object TextQueries {
             THEN exp(-CAST(ll AS DOUBLE) / n_tok) ELSE 0.0 END, 4) AS ppl
         FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""),
       doc = "unigram LM perplexity scoring (CCNet-style quality filter), order-independent decimal log sums (training-data op)")
-  )
+  ) :+ bpeVocabQ
+
+  /** BPE merge-rule training (Sennrich et al. 2016, arXiv:1508.07909) —
+    * the tokenizer-vocabulary op of a training-data platform, run for
+    * three greedy merge steps over the corpus word-type table.
+    *
+    * Scale shape: the corpus collapses to (word-type, freq) ONCE — all
+    * later work is per distinct word, not per token, the standard BPE
+    * trick. Each step is (a) one bounded-width aggregation counting
+    * adjacent symbol pairs weighted by freq, (b) a 1-row argmax
+    * (count desc, pair asc — deterministic tie-break), and (c) a
+    * map-only merge of the winning pair, attached to every word via a
+    * constant-key broadcast hash join (no driver collect, no
+    * cartesian). Symbol sequences ride a '·'-delimited string
+    * ("·a··b··c·"); merging pair (l,r) is a plain string
+    * replace('·l··r·' -> '·lr·') whose left-to-right non-overlapping
+    * scan IS the greedy BPE merge (the '··' inner boundary keeps
+    * cross-symbol false matches impossible for the [a-z]+ alphabet,
+    * and a replacement's trailing '·' still closes the next match).
+    * Both engines' replace() share these semantics, so three chained
+    * merges are bit-identical.
+    */
+  private def bpeVocabQ: Q = Q("text_bpe_vocab",
+    (s, d) => {
+      import org.apache.spark.sql.DataFrame
+      val words = Tables.documents(s, d)
+        .select(explode(wordsOf(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val sym0 = concat(lit("·"),
+        array_join(filter(split(col("w"), ""), c => c =!= lit("")), "··"), lit("·"))
+      var cur = words.select(col("freq"), sym0.as("s"))
+      val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (step <- 1 to 3) {
+        val symsCol = split(col("s").substr(lit(2), length(col("s")) - 2), "··")
+        val pairs = cur
+          .select(col("freq"), symsCol.as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(
+            transform(sequence(lit(1), size(col("syms")) - 1), i =>
+              struct(element_at(col("syms"), i).as("lhs"),
+                element_at(col("syms"), i + 1).as("rhs")))).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("freq")).as("cnt"))
+        val best = pairs
+          .orderBy(desc("cnt"), asc("lhs"), asc("rhs")).limit(1)
+          .select(lit(step).as("step"), col("lhs"), col("rhs"), col("cnt"))
+        merges += best
+        val bestK = best.withColumn("g", Present.constKey(col("cnt")))
+          .select("g", "lhs", "rhs")
+        cur = cur.withColumn("g", Present.constKey(col("freq")))
+          .join(broadcast(bestK), "g")
+          .select(col("freq"),
+            call_function("replace", col("s"),
+              concat(lit("·"), col("lhs"), lit("··"), col("rhs"), lit("·")),
+              concat(lit("·"), col("lhs"), col("rhs"), lit("·"))).as("s"))
+      }
+      merges.reduce(_ unionAll _).orderBy("step")
+    },
+    oracle = Some("""
+      WITH words AS (
+        SELECT w, count(*) AS freq FROM (
+          SELECT unnest(list_filter(
+            string_split_regex(trim(lower(text)), '[\t\n\f\r ]+'), x -> x <> '')) AS w
+          FROM documents)
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY w),
+      s0 AS (SELECT freq,
+        '·' || array_to_string(string_split_regex(w, ''), '··') || '·' AS s
+        FROM words),
+      px1 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM
+        (SELECT freq, string_split(substr(s, 2, length(s)-2), '··') AS syms FROM s0)
+        WHERE len(syms) >= 2),
+      p1 AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(freq) AS cnt FROM px1 GROUP BY 1, 2),
+      b1 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      s1 AS (SELECT freq,
+        replace(s, '·'||b.lhs||'··'||b.rhs||'·', '·'||b.lhs||b.rhs||'·') AS s
+        FROM s0, b1 b),
+      px2 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM
+        (SELECT freq, string_split(substr(s, 2, length(s)-2), '··') AS syms FROM s1)
+        WHERE len(syms) >= 2),
+      p2 AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(freq) AS cnt FROM px2 GROUP BY 1, 2),
+      b2 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      s2 AS (SELECT freq,
+        replace(s, '·'||b.lhs||'··'||b.rhs||'·', '·'||b.lhs||b.rhs||'·') AS s
+        FROM s1, b2 b),
+      px3 AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM
+        (SELECT freq, string_split(substr(s, 2, length(s)-2), '··') AS syms FROM s2)
+        WHERE len(syms) >= 2),
+      p3 AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(freq) AS cnt FROM px3 GROUP BY 1, 2),
+      b3 AS (SELECT lhs, rhs, cnt FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1)
+      SELECT CAST(1 AS INTEGER) AS step, lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM b1
+      UNION ALL SELECT CAST(2 AS INTEGER), lhs, rhs, CAST(cnt AS BIGINT) FROM b2
+      UNION ALL SELECT CAST(3 AS INTEGER), lhs, rhs, CAST(cnt AS BIGINT) FROM b3
+      ORDER BY step"""),
+    doc = "BPE merge-rule training: 3 greedy merges over the word-type table (tokenizer op)")
 
   /** substring(text, start, win) — named helper so the chunk expression
     * reads as what it is; both engines count CHARACTERS (not bytes),
