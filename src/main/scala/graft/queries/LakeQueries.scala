@@ -455,6 +455,63 @@ object LakeQueries {
         SELECT o_orderstatus, count(*) AS n,
           CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
-      doc = "incremental aggregate maintenance from the CDC feed: signed deltas, no table rescan")
+      doc = "incremental aggregate maintenance from the CDC feed: signed deltas, no table rescan"),
+
+    // ------------------------------------------------------------------
+    Q("lake_compaction",
+      (s, d) => {
+        // the full table-maintenance cycle a streaming-ingest table
+        // needs (SURVEY §2.6 + Iceberg OPTIMIZE/expire/vacuum
+        // semantics): 6 small appends fragment each year partition into
+        // small files; compactSmallFiles rewrites the small tail per
+        // partition (dataChange=false replace commit), expireSnapshots
+        // drops the superseded history, removeOrphanFiles deletes the
+        // files only those snapshots referenced. The gate hash-verifies
+        // that DATA survives the whole cycle untouched; file/snapshot
+        // counts are pinned by MaintenanceSpec/ManifestSpec.
+        val (e, _) = freshEngine(s, "compact")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders_compact", orders.schema,
+          partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+        (0 until 6).foreach { i =>
+          e.insert(t, orders.filter(col("o_orderkey") % 6 === i))
+        }
+        graft.commands.Maintenance.compactSmallFiles(
+          e, t.refresh(), targetBytes = 512L * 1024 * 1024)
+        graft.commands.Maintenance.expireSnapshots(t.refresh(), keepLast = 1)
+        graft.commands.Maintenance.removeOrphanFiles(t.refresh(), graceMs = 0)
+        e.scan(t.refresh()).toDF().orderBy("o_orderkey")
+      },
+      oracle = Some("SELECT * FROM orders ORDER BY o_orderkey"),
+      doc = "small-file compaction + snapshot expiry + orphan vacuum: data invariant through the maintenance cycle"),
+
+    // ------------------------------------------------------------------
+    Q("lake_zorder",
+      (s, d) => {
+        // Z-order re-clustering (multi-dimensional locality): rewrite
+        // interleaves quantized (o_custkey, o_totalprice) bits so BOTH
+        // columns get tight per-file ranges — a point/range predicate
+        // on the SECOND column prunes files after the rewrite, which a
+        // linear sort order cannot do. The gate runs the rewrite and
+        // hash-verifies a second-column range scan returns exactly the
+        // source rows; pruning-efficacy counts are pinned in
+        // MaintenanceSpec.
+        val (e, _) = freshEngine(s, "zorder")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders_z", orders.schema)
+        // several appends so the table has multiple files to re-cluster
+        (0 until 4).foreach { i =>
+          e.insert(t, orders.filter(col("o_orderkey") % 4 === i))
+        }
+        graft.commands.Maintenance.zorderRewrite(
+          e, t.refresh(), cols = Seq("o_custkey", "o_totalprice"))
+        e.scan(t.refresh(), "o_totalprice >= 350000 AND o_totalprice < 400000")
+          .toDF().orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT * FROM orders
+        WHERE o_totalprice >= 350000 AND o_totalprice < 400000
+        ORDER BY o_orderkey"""),
+      doc = "Z-order re-clustering: second-column range scan correct after interleaved rewrite")
   )
 }
