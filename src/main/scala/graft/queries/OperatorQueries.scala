@@ -283,6 +283,70 @@ object OperatorQueries {
           CAST(sum(CAST(e.value * d.w AS DECIMAL(18,6))) AS DOUBLE) AS wsum
         FROM events e JOIN dim d USING (event_type)
         GROUP BY e.event_type ORDER BY e.event_type"""),
-      doc = "salted equi-join: deterministic salt splits hot keys across reducers; output identical to plain join")
+      doc = "salted equi-join: deterministic salt splits hot keys across reducers; output identical to plain join"),
+
+    // ------------------------------------------------------------------
+    Q("q_stats_moments",
+      (s, d) => {
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        // distributed second-moment statistics the way a cluster must
+        // compute them: per-group EXACT decimal sums of the five
+        // moments (x, y, x², y², xy) — order-independent, mergeable
+        // partials — then every statistic (stddev, covariance,
+        // correlation, OLS slope/intercept) falls out of ONE final
+        // double expression per group. Spark's native corr()/stddev()
+        // stream doubles whose reduction order varies run to run; the
+        // moment formulation is the deterministic, one-pass,
+        // shuffle-light equivalent (the textbook parallel-variance
+        // identity, Chan et al. 1983). Squares ride DECIMAL(38,6)
+        // buffers (not the unscaled-long fast path) because price² at
+        // 100 TB overflows a long.
+        val dec = DecimalType(38, 6)
+        def m(c: Column, alias: String): Column =
+          sum(c.cast(dec)).cast(DoubleType).as(alias)
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        val g = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast(DoubleType).as("n"),
+            m(x, "sx"), m(y, "sy"), m(x * x, "sxx"), m(y * y, "syy"), m(x * y, "sxy"))
+        val n = col("n"); val sx = col("sx"); val sy = col("sy")
+        val sxx = col("sxx"); val syy = col("syy"); val sxy = col("sxy")
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        g.select(col("l_returnflag"), n.cast("long").as("n"),
+            round(sx / n, 6).as("mean_x"),
+            round(sy / n, 6).as("mean_y"),
+            round(sqrt((sxx - sx * sx / n) / (n - 1)), 6).as("std_x"),
+            round(sqrt((syy - sy * sy / n) / (n - 1)), 6).as("std_y"),
+            round((sxy - sx * sy / n) / (n - 1), 6).as("covar_s"),
+            round((n * sxy - sx * sy) /
+              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6).as("corr"),
+            round(slope, 6).as("slope"),
+            round((sy - slope * sx) / n, 6).as("intercept"))
+          .transform(Present.driverSortBy(_, "l_returnflag" -> true))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT l_returnflag,
+            CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+            CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+            CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+          round(sx / n, 6) AS mean_x,
+          round(sy / n, 6) AS mean_y,
+          round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_x,
+          round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS std_y,
+          round((sxy - sx * sy / n) / (n - 1), 6) AS covar_s,
+          round((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr,
+          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+          round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+        FROM g ORDER BY l_returnflag"""),
+      doc = "moment-based distributed statistics: exact decimal moment sums -> stddev/covar/corr/OLS in one final expression")
   )
 }
