@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-9 gates beyond the DuckDB hash compare:
+  * the BPE string-replace merge must equal a reference greedy merge,
+  * and the fixed-point k-means / moment statistics must be partition-
+  * count independent (the property the fixed-point design buys).
+  */
+class NewGatesSpec extends SparkSpec {
+
+  /** Reference BPE: word types -> 3 greedy merges, scala-side.
+    * Pair argmax ties break (count desc, lhs asc, rhs asc); the merge
+    * walks each symbol list left-to-right non-overlapping. */
+  private def referenceBpe(words: Map[String, Long], steps: Int): Seq[(String, String, Long)] = {
+    var syms: Map[Vector[String], Long] =
+      words.groupBy(w => w._1.map(_.toString).toVector)
+        .map { case (k, vs) => k -> vs.values.sum }
+    val out = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to steps) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (ss, f) =>
+        ss.iterator.zip(ss.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      out += ((l, r, c))
+      syms = syms.groupBy { case (ss, _) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < ss.length) {
+          if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+            b += (l + r); i += 2
+          } else { b += ss(i); i += 1 }
+        }
+        b.result()
+      }.map { case (k, vs) => k -> vs.values.sum }
+    }
+    out.result()
+  }
+
+  test("text_bpe_vocab equals a reference greedy BPE on the corpus word types") {
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "[\\t\\n\\f\\r ]+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceBpe(words, 3)
+    val got = Registry.byName("text_bpe_vocab").run(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("text_bpe_vocab merge handles repeated-symbol chains greedily") {
+    // 'aaaa' x5 plus filler: first merge must be (a,a) and consume
+    // non-overlapping left-to-right — 'aaaa' -> [aa, aa], 'aaa' -> [aa, a]
+    val words = Map("aaaa" -> 5L, "aaa" -> 3L, "bc" -> 1L)
+    val Seq((l1, r1, c1), (l2, r2, c2), _) = referenceBpe(words, 3)
+    assert((l1, r1) === ("a", "a"))
+    assert(c1 === 5 * 3 + 3 * 2) // 3 pairs per 'aaaa', 2 per 'aaa'
+    // second round pairs: 'aaaa'=[aa,aa] -> (aa,aa) x5; 'aaa'=[aa,a] -> (aa,a) x3
+    assert((l2, r2, c2) === ("aa", "aa", 5L))
+  }
+
+  test("sim_kmeans is partition-count independent (fixed-point property)") {
+    val q = Registry.byName("sim_kmeans")
+    val base = q.run(spark, sf).collect().map(_.toSeq).toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val alt = q.run(spark, sf).collect().map(_.toSeq).toSeq
+      assert(alt === base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("q_stats_moments matches Spark's native estimators to 1e-4") {
+    val got = Registry.byName("q_stats_moments").run(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val native = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(stddev_samp(col("l_quantity")).as("sx"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("cr"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === native.keySet)
+    got.foreach { case (k, g) =>
+      val n = native(k)
+      assert(math.abs(g.getDouble(4) - n.getDouble(1)) < 1e-4, s"std_x $k")
+      assert(math.abs(g.getDouble(6) - n.getDouble(2)) < 1e-2, s"covar $k")
+      assert(math.abs(g.getDouble(7) - n.getDouble(3)) < 1e-4, s"corr $k")
+    }
+  }
+
+  test("new tpch gates return rows at sf0.001") {
+    // q7 is checked for schema only: the two-nation pair filter is
+    // legitimately empty at sf0.001 (~6k lineitem rows / 625 nation
+    // pairs); the sf0.01 driver gate verifies its 4 data rows.
+    assert(Registry.byName("q7_volume_shipping").run(spark, sf).columns.length === 4)
+    Seq("q8_market_share", "q9_product_profit",
+      "q10_returned_items", "q13_order_distribution", "q14_promo_revenue",
+      "q18_large_orders", "q19_disjunctive_pred").foreach { name =>
+      assert(Registry.byName(name).run(spark, sf).count() > 0, name)
+    }
+  }
+}
