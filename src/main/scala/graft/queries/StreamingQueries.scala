@@ -84,6 +84,30 @@ object StreamingQueries {
         SELECT user_id, count(*) AS n,
           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY user_id ORDER BY user_id"""),
-      doc = "streaming upsert: foreachBatch MERGE INTO accumulates per-user totals across micro-batches")
+      doc = "streaming upsert: foreachBatch MERGE INTO accumulates per-user totals across micro-batches"),
+
+    // ------------------------------------------------------------------
+    Q("streaming_dedup",
+      (s, d) => {
+        // at-least-once delivery -> exactly-once result: the fixture
+        // streams in twice (full, then a redelivered third) and
+        // dropDuplicatesWithinWatermark suppresses every redelivery via
+        // per-key state (see StreamPipeline.streamingDedup). The gate
+        // aggregate hash-matches the batch answer over the ORIGINAL
+        // table; n == n_ids in every group certifies no duplicate
+        // survived and no original was lost.
+        val name = "streaming_dedup_gate"
+        StreamPipeline.streamingDedup(s, d, name)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("event_id")).as("n_ids"),
+            sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      doc = "streaming dedup: dropDuplicatesWithinWatermark turns at-least-once redelivery into exactly-once output")
   )
 }

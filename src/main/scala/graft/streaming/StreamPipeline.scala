@@ -276,4 +276,43 @@ object StreamPipeline {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
   }
+
+  /** Exactly-once output from at-least-once delivery — the ingest-dedup
+    * every streaming pipeline needs in front of a training corpus: the
+    * fixture arrives twice (the full file, then a redelivered third of
+    * it in a later micro-batch) and `dropDuplicatesWithinWatermark`
+    * keyed on event_id keeps per-key state across micro-batches, so
+    * each event emits exactly once no matter how many times the source
+    * re-delivers it. The watermark delay exceeds the fixture's span on
+    * purpose: a redelivered row must be suppressed by DEDUP STATE, not
+    * dropped as late data (late-drop would mask a dedup bug), and no
+    * state may expire mid-run — deterministic on the bounded source. In
+    * production the delay bounds state to the redelivery horizon
+    * (at-least-once sources retry within minutes, not the corpus age),
+    * which is exactly what dropDuplicatesWithinWatermark was built for.
+    */
+  def streamingDedup(spark: SparkSession, eventsDir: String, name: String): DataFrame = {
+    val events = graft.Tables.events(spark, eventsDir)
+      .select(col("event_id"), col("ts").cast(TimestampType).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-src-")
+    stageSingleParquet(events, streamDir, "full.parquet", 0L)
+    stageSingleParquet(events.filter(col("event_id") % 3 === 0),
+      streamDir, "redelivered.parquet", 60000L)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val deduped = stream
+      .withWatermark("ts", "87600 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }
