@@ -93,6 +93,32 @@ object Multimodal {
     * the actual container), and emit the decoded facts. An oracle can
     * recompute width/height/luminance-sum arithmetically from the same
     * id, so a pass proves genuine decoding end to end. */
+  /** Video-codec gate op: synthesize a per-id MJPEG clip, route it
+    * through the registered video codec (a REAL JVM implementation —
+    * [[JvmMjpegCodec]]'s segment walk + per-frame ImageIO decode), and
+    * emit structure facts an arithmetic oracle can recompute: frame
+    * count, first-frame dimensions, and the total decoded luminance-
+    * plane bytes across all sampled frames (= n*w*h only when every
+    * frame really decoded). Map-only; the clip bytes never shuffle. */
+  def mjpegFrameFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_frames", LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("plane_bytes", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    val codecs = MediaCodecs.current
+    df.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = MediaSynth.mjpeg(id)
+        val codec = MediaCodecs.forMime(codecs, "video/mjpeg")
+        val f = codec.features(bytes, "video/mjpeg")
+        val frames = codec.sampleFrames(bytes, "video/mjpeg", f(0).toInt)
+        Row(id, f(0), f(1), f(2), frames.map(_.length.toLong).sum)
+      }
+    }(enc)
+  }
+
   def pngDecodeFeatures(df: DataFrame, idCol: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("width", LongType),
@@ -561,5 +587,35 @@ object MediaSynth {
       i += 1
     }
     b.array()
+  }
+
+  /** MJPEG "clip": (1 + id%4) JPEG frames, each (4 + id%5) x (3 + id%4)
+    * 8-bit gray gradient, concatenated back to back. The frames come out
+    * of ImageIO's own JPEG ENCODER, so the payload is genuine entropy-
+    * coded JPEG — frame count and dimensions are only recoverable by a
+    * real segment walk + decode (pixel sums are NOT oracled: JPEG is
+    * lossy). */
+  def mjpeg(id: Long): Array[Byte] = {
+    val n = (1 + id % 4).toInt
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < n) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0, ((id + 40 * f + 3 * x + 5 * y) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      f += 1
+    }
+    out.toByteArray
   }
 }

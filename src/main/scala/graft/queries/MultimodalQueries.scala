@@ -89,6 +89,30 @@ object MultimodalQueries {
       doc = "real WAV decode: synthesized RIFF/PCM -> chunk-walk parse + sample sum vs arithmetic oracle"),
 
     // ------------------------------------------------------------------
+    Q("multimodal_mjpeg_frames",
+      (s, d) => {
+        // the VIDEO seam with a real codec behind it: per-id MJPEG clips
+        // (genuine ImageIO-encoded JPEG frames, concatenated) routed
+        // through JvmMjpegCodec's segment walk + per-frame decode. Frame
+        // count, dimensions and sampled-plane bytes are arithmetic facts
+        // the oracle recomputes; pixel sums are not oracled (JPEG is
+        // lossy). Frame-boundary detection must survive entropy-coded
+        // scan bytes that LOOK like EOI — a naive FFD9 split fails this
+        // gate.
+        Multimodal.mjpegFrameFeatures(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          1 + doc_id % 4 AS n_frames,
+          4 + doc_id % 5 AS width,
+          3 + doc_id % 4 AS height,
+          (1 + doc_id % 4) * (4 + doc_id % 5) * (3 + doc_id % 4) AS plane_bytes
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+      doc = "real MJPEG video decode: segment walk + per-frame ImageIO vs arithmetic oracle"),
+
+    // ------------------------------------------------------------------
     Q("multimodal_image_resize",
       (s, d) => {
         // resize = decode + nearest-neighbor resample to a fixed
