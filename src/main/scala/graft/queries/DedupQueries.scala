@@ -347,6 +347,50 @@ object DedupQueries {
           min(doc_id) AS min_doc, max(doc_id) AS max_doc
         FROM wins GROUP BY win_md5 HAVING count(DISTINCT doc_id) >= 2
         ORDER BY win_md5"""),
-      doc = "exact substring (passage) dedup: content-defined anchor windows -> cross-doc repeats (training-data op)")
+      doc = "exact substring (passage) dedup: content-defined anchor windows -> cross-doc repeats (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("dedup_edit_distance",
+      (s, d) => {
+        // edit-distance near-dup verification — the VERIFY stage behind
+        // any LSH candidate generator (minhash/simhash produce
+        // candidates; a string-level distance confirms them before a
+        // document is dropped). Levenshtein is O(len²) per pair, so
+        // production runs it on LSH candidates only; this gate pins the
+        // verifier's semantics on a bounded subset (like
+        // dedup_ngram_jaccard) with cheap length-bucket blocking: pairs
+        // in the same floor(len/32) bucket, compared on their first 80
+        // normalized chars. Spark's levenshtein() and DuckDB's agree on
+        // code-point edit distance, so the gate hash-matches exactly.
+        val sub = corpus(s, d)
+          .filter(col("doc_id") < 300 ||
+            (col("doc_id") >= 10000 && col("doc_id") < 10300))
+          .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+          .select(col("doc_id"), substring(col("t"), 1, 80).as("p"),
+            floor(length(col("t")) / lit(32)).as("bk"))
+        val a = sub.select(col("doc_id").as("id_a"), col("p").as("p_a"), col("bk"))
+        val b = sub.select(col("doc_id").as("id_b"), col("p").as("p_b"), col("bk"))
+        a.join(b, "bk")
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("p_a"), col("p_b")).as("edit_dist"))
+          .filter(col("edit_dist") <= 20)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(s"""
+        WITH $corpusSql,
+        sub AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM corpus
+          WHERE doc_id < 300 OR (doc_id >= 10000 AND doc_id < 10300)),
+        bk AS (
+          SELECT doc_id, substr(t, 1, 80) AS p,
+            CAST(floor(length(t) / 32) AS BIGINT) AS bk
+          FROM sub)
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+          CAST(levenshtein(a.p, c.p) AS INTEGER) AS edit_dist
+        FROM bk a JOIN bk c ON a.bk = c.bk AND a.doc_id < c.doc_id
+        WHERE levenshtein(a.p, c.p) <= 20
+        ORDER BY id_a, id_b"""),
+      doc = "edit-distance near-dup verifier: length-bucket blocking + levenshtein threshold (training-data op)")
   )
 }
