@@ -914,6 +914,95 @@ object CoreQueries {
           count(*) AS n
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name"""),
-      doc = "ordered LISTAGG / string_agg aggregation (SURVEY §2.5)")
+      doc = "ordered LISTAGG / string_agg aggregation (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_gap_fill",
+      (s, d) => {
+        // time-series resampling + forward fill (the gap-fill every
+        // metrics/feature pipeline runs before a model sees the data):
+        // per-user hourly spine via sequence(), LEFT join of observed
+        // hourly aggregates, then last(ignoreNulls) carries the prior
+        // observation across empty hours. The spine generator is one
+        // bounded agg + explode — no driver loop — and the fill is a
+        // running window inside each user partition, so the whole op
+        // scales as a partitioned shuffle + linear window pass. Spines
+        // start at each user's first observed hour, so the fill column
+        // never has leading NULLs (deterministic output type).
+        val ev = Tables.events(s, d).filter(col("user_id") < 40)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+            col("value"))
+        val hourly = ev.groupBy("user_id", "hour")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+        val spine = ev.groupBy("user_id")
+          .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+              .as("hour"))
+        val w = Window.partitionBy("user_id").orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hourly, Seq("user_id", "hour"), "left")
+          .select(col("user_id"),
+            col("hour").cast(TimestampNTZType).as("hour"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            last(col("sv"), ignoreNulls = true).over(w)
+              .cast(DoubleType).as("filled_sum"))
+          .orderBy("user_id", "hour")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, date_trunc('hour', ts) AS hour, value
+          FROM events WHERE user_id < 40),
+        hourly AS (
+          SELECT user_id, hour, count(*) AS n,
+            sum(CAST(value AS DECIMAL(18,6))) AS sv
+          FROM ev GROUP BY 1, 2),
+        bounds AS (
+          SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM ev GROUP BY 1),
+        spine AS (
+          SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds)
+        SELECT s.user_id, s.hour, COALESCE(n, 0) AS n,
+          CAST(last_value(sv IGNORE NULLS) OVER (
+            PARTITION BY s.user_id ORDER BY s.hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS filled_sum
+        FROM spine s LEFT JOIN hourly h
+          ON s.user_id = h.user_id AND s.hour = h.hour
+        ORDER BY s.user_id, s.hour"""),
+      doc = "time-series gap fill: per-key hourly spine + forward fill via ignore-nulls window (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_unpivot",
+      (s, d) => {
+        // wide->long UNPIVOT (melt): per-status metric columns rotate
+        // into (metric, value) rows via Dataset.unpivot — the inverse
+        // of q_pivot and the shape feature stores export. Aggregation
+        // first, so the rotation is over a bounded relation.
+        val aggd = Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(dsum(col("o_totalprice"), 2, "total_price"),
+            count(lit(1)).cast(DoubleType).as("n_orders"),
+            round(avg(col("o_totalprice")), 2).as("avg_price"))
+        aggd.unpivot(
+            ids = Array(col("o_orderstatus")),
+            values = Array(col("total_price"), col("n_orders"), col("avg_price")),
+            variableColumnName = "metric",
+            valueColumnName = "value")
+          .orderBy("o_orderstatus", "metric")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT o_orderstatus,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+            CAST(count(*) AS DOUBLE) AS n_orders,
+            round(avg(o_totalprice), 2) AS avg_price
+          FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus, 'total_price' AS metric, total_price AS value FROM a
+        UNION ALL SELECT o_orderstatus, 'n_orders', n_orders FROM a
+        UNION ALL SELECT o_orderstatus, 'avg_price', avg_price FROM a
+        ORDER BY o_orderstatus, metric"""),
+      doc = "UNPIVOT / melt wide metrics to long rows — inverse of q_pivot (SURVEY §2.5)")
   )
 }
