@@ -1003,6 +1003,38 @@ object CoreQueries {
         UNION ALL SELECT o_orderstatus, 'n_orders', n_orders FROM a
         UNION ALL SELECT o_orderstatus, 'avg_price', avg_price FROM a
         ORDER BY o_orderstatus, metric"""),
-      doc = "UNPIVOT / melt wide metrics to long rows — inverse of q_pivot (SURVEY §2.5)")
+      doc = "UNPIVOT / melt wide metrics to long rows — inverse of q_pivot (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_window_range_frame",
+      (s, d) => {
+        // RANGE-frame sliding aggregate over event time (trailing-hour
+        // totals per user — the rolling feature window of a metrics
+        // pipeline): the frame is value-based on epoch micros, so rows
+        // whose timestamps tie are all in-frame together and the
+        // decimal sum is order-independent — deterministic where a
+        // ROWS frame over tied timestamps is not.
+        val ev = Tables.events(s, d).filter(col("user_id") < 40)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(cast(ts as timestamp))").as("tsu"),
+            col("value"))
+        val w = Window.partitionBy("user_id").orderBy("tsu")
+          .rangeBetween(-3600L * 1000000L, 0L)
+        ev.select(col("event_id"), col("user_id"), col("tsu"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("value").cast(DecimalType(18, 6))).over(w)
+              .cast(DoubleType).as("sum_1h"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, epoch_us(ts) AS tsu,
+          count(*) OVER w AS n_1h,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        FROM events
+        WHERE user_id < 40
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id"""),
+      doc = "value-based RANGE window frame: trailing-hour rolling aggregate per key (SURVEY §2.5)")
   )
 }

@@ -98,6 +98,72 @@ object GraphQueries {
                 FROM documents d CROSS JOIN n LEFT JOIN s5 ON s5.id = d.doc_id)
         SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank
         FROM pr5 ORDER BY doc_id"""),
-      doc = "PageRank quality weighting: fixed-point power iteration, bit-exact across engines (training-data op)")
+      doc = "PageRank quality weighting: fixed-point power iteration, bit-exact across engines (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("graph_triangles",
+      (s, d) => {
+        // triangle counting + global clustering coefficient over the
+        // same synthetic webgraph as graph_pagerank — the node-iterator
+        // algorithm (Suri & Vassilvitskii, WWW 2011 "Counting Triangles
+        // and the Curse of the Last Reducer"): normalize to undirected
+        // edges u<v, build wedges by one self-equi-join, close them
+        // against the edge set with a second. Both joins are hash
+        // equi-joins on node ids — the canonical distributed shape
+        // (skewed hubs would get the paper's high-degree split; the
+        // synthetic graph is near-regular so none is needed).
+        def one(x: Column): Column = Present.constKey(x)
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val nRow = docs.agg(count(lit(1)).as("nn")).withColumn("g", one(col("nn")))
+        val withN = docs.withColumn("g", one(col("doc_id") + 1))
+          .join(broadcast(nRow), "g").select(col("doc_id"), col("nn"))
+        val dir = withN.select(col("doc_id").as("src"),
+          explode(array(
+            pmod(col("doc_id") * 2, col("nn")),
+            pmod(col("doc_id") * 3 + 1, col("nn")),
+            pmod(col("doc_id") * 5 + 2, col("nn")))).as("dst"))
+        val und = dir.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .distinct()
+        val tri = und.select(col("u").as("a"), col("v").as("b"))
+          .join(und.select(col("u").as("b"), col("v").as("c")), "b")
+          .join(und.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val deg = und.select(col("u").as("id"))
+          .unionAll(und.select(col("v").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("dg"))
+        val wed = deg.agg(sum(expr("dg * (dg - 1) DIV 2")).as("n_wedges"))
+        val edg = und.agg(count(lit(1)).as("n_edges"))
+        tri.withColumn("g", one(col("n_triangles") + 1))
+          .join(broadcast(wed.withColumn("g", one(col("n_wedges") + 1))), "g")
+          .join(broadcast(edg.withColumn("g", one(col("n_edges") + 1))), "g")
+          .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+            round((lit(3L) * col("n_triangles")).cast("double") / col("n_wedges"), 6)
+              .as("clustering_coeff"))
+      },
+      oracle = Some("""
+        WITH n AS (SELECT count(*) AS nn FROM documents),
+        dir AS (
+          SELECT doc_id AS src, (doc_id*2) % nn AS dst FROM documents, n
+          UNION ALL SELECT doc_id, (doc_id*3+1) % nn FROM documents, n
+          UNION ALL SELECT doc_id, (doc_id*5+2) % nn FROM documents, n),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM dir WHERE src <> dst),
+        tri AS (
+          SELECT count(*) AS n_triangles
+          FROM und e1 JOIN und e2 ON e1.v = e2.u
+          JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        deg AS (
+          SELECT id, count(*) AS dg FROM (
+            SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+          GROUP BY id),
+        wed AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        edg AS (SELECT count(*) AS n_edges FROM und)
+        SELECT n_edges, n_wedges, n_triangles,
+          round(CAST(3 * n_triangles AS DOUBLE) / n_wedges, 6) AS clustering_coeff
+        FROM tri, wed, edg"""),
+      doc = "triangle count + clustering coefficient: node-iterator self-joins on the synthetic webgraph")
   )
 }

@@ -512,6 +512,32 @@ object LakeQueries {
         SELECT * FROM orders
         WHERE o_totalprice >= 350000 AND o_totalprice < 400000
         ORDER BY o_orderkey"""),
-      doc = "Z-order re-clustering: second-column range scan correct after interleaved rewrite")
+      doc = "Z-order re-clustering: second-column range scan correct after interleaved rewrite"),
+
+    // ------------------------------------------------------------------
+    Q("lake_batch_txn",
+      (s, d) => {
+        // D9 batch transaction: three staged appends land as ONE atomic
+        // snapshot (a reader sees none or all). The oracle pins
+        // atomicity, not just data: n_snapshots is part of the
+        // hash-compared output and must be exactly 1.
+        val (e, _) = freshEngine(s, "btx")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders_btx", orders.schema)
+        val b = new TableBatchTransaction(t)
+        (0 until 3).foreach { i =>
+          b.addAppend(graft.write.LakeWriter.write(
+            s, t, orders.filter(col("o_orderkey") % 3 === i)))
+        }
+        b.commit()
+        val snaps = t.refresh().metadata.snapshots.size.toLong
+        e.scan(t).toDF()
+          .withColumn("n_snapshots", lit(snaps))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT *, CAST(1 AS BIGINT) AS n_snapshots
+        FROM orders ORDER BY o_orderkey"""),
+      doc = "D9 batch transaction: three appends commit as one atomic snapshot (count oracled)")
   )
 }
