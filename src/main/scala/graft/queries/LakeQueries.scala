@@ -538,6 +538,44 @@ object LakeQueries {
       oracle = Some("""
         SELECT *, CAST(1 AS BIGINT) AS n_snapshots
         FROM orders ORDER BY o_orderkey"""),
-      doc = "D9 batch transaction: three appends commit as one atomic snapshot (count oracled)")
+      doc = "D9 batch transaction: three appends commit as one atomic snapshot (count oracled)"),
+
+    // ------------------------------------------------------------------
+    Q("lake_wap",
+      (s, d) => {
+        // write-audit-publish (D12): new data lands on an isolated
+        // branch, an audit query inspects the BRANCH while main still
+        // serves the old snapshot, and only a passing audit
+        // fast-forwards main onto the branch head. The gate output
+        // carries the audited row count seen on the branch BEFORE
+        // publish plus main's published end state — so isolation and
+        // publish are both hash-pinned.
+        val (e, _) = freshEngine(s, "wap")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders_wap", orders.schema)
+        e.insert(t, orders.filter(col("o_orderkey") % 2 === 0))
+        t.refresh()
+        t.createBranch("audit", t.metadata.currentSnapshotId.get)
+        e.insert(t, orders.filter(col("o_orderkey") % 2 =!= 0),
+          branch = Some("audit"))
+        t.refresh()
+        // audit: branch sees evens+odds, main still sees evens only
+        val branchRows = new TableScan(s, t, ref = TableRef.Branch("audit"))
+          .toDF().count()
+        val mainBefore = e.scan(t).toDF().count()
+        val auditPassed = branchRows > mainBefore
+        if (auditPassed) t.fastForward("audit")
+        e.scan(t.refresh()).toDF()
+          .withColumn("rows_on_branch_pre_publish", lit(branchRows))
+          .withColumn("rows_on_main_pre_publish", lit(mainBefore))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT *,
+          (SELECT count(*) FROM orders) AS rows_on_branch_pre_publish,
+          (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+            AS rows_on_main_pre_publish
+        FROM orders ORDER BY o_orderkey"""),
+      doc = "D12 write-audit-publish: branch isolation, audit count, fast-forward publish — all hash-pinned")
   )
 }
