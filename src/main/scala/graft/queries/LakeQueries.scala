@@ -576,6 +576,40 @@ object LakeQueries {
           (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
             AS rows_on_main_pre_publish
         FROM orders ORDER BY o_orderkey"""),
-      doc = "D12 write-audit-publish: branch isolation, audit count, fast-forward publish — all hash-pinned")
+      doc = "D12 write-audit-publish: branch isolation, audit count, fast-forward publish — all hash-pinned"),
+
+    // ------------------------------------------------------------------
+    Q("lake_csv_import",
+      (s, d) => {
+        // S10 data import, end to end through a FOREIGN format: the
+        // nation/region dims round-trip through CSV text (header,
+        // explicit schema — no inference nondeterminism), conform to
+        // the table schema, land via a lake commit, and the joined
+        // read-back hash-matches SQL over the original parquet. Proves
+        // the import path re-types text correctly (ints come back
+        // ints, not strings) — the classic CSV silent-corruption trap.
+        val (e, _) = freshEngine(s, "csvimp")
+        val tmp = Files.createTempDirectory("graft-csv-").toString
+        val nation = Tables.nation(s, d)
+        val region = Tables.region(s, d)
+        nation.coalesce(1).write.option("header", "true").csv(s"$tmp/nation")
+        region.coalesce(1).write.option("header", "true").csv(s"$tmp/region")
+        val tn = e.catalog.createTable("nation_csv", nation.schema)
+        val tr = e.catalog.createTable("region_csv", region.schema)
+        graft.sources.DataImport.intoTable(e, tn,
+          graft.sources.DataImport.fromCsv(s, s"$tmp/nation", nation.schema))
+        graft.sources.DataImport.intoTable(e, tr,
+          graft.sources.DataImport.fromCsv(s, s"$tmp/region", region.schema))
+        e.scan(tn.refresh()).toDF()
+          .join(broadcast(e.scan(tr.refresh()).toDF()),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+          .orderBy("n_nationkey")
+      },
+      oracle = Some("""
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY n_nationkey"""),
+      doc = "S10 CSV import: text round-trip + conform + lake commit, re-typed read hash-matches parquet")
   )
 }
