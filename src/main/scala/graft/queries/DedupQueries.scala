@@ -391,6 +391,63 @@ object DedupQueries {
         FROM bk a JOIN bk c ON a.bk = c.bk AND a.doc_id < c.doc_id
         WHERE levenshtein(a.p, c.p) <= 20
         ORDER BY id_a, id_b"""),
-      doc = "edit-distance near-dup verifier: length-bucket blocking + levenshtein threshold (training-data op)")
+      doc = "edit-distance near-dup verifier: length-bucket blocking + levenshtein threshold (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("dedup_fuzzy_cluster",
+      (s, d) => {
+        // the end-to-end fuzzy-dedup DECISION: verified edit-distance
+        // pairs (same blocking as dedup_edit_distance) become edges,
+        // connected components cluster transitive near-dups, and each
+        // cluster keeps its min-id representative — the keep/drop list
+        // a curation pipeline actually executes. Components run on the
+        // driver-stateless distributed loop (Dedup.connectedComponents);
+        // the per-cluster rollup emits representative + casualty count.
+        val sub = corpus(s, d)
+          .filter(col("doc_id") < 300 ||
+            (col("doc_id") >= 10000 && col("doc_id") < 10300))
+          .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+          .select(col("doc_id"), substring(col("t"), 1, 80).as("p"),
+            floor(length(col("t")) / lit(32)).as("bk"))
+        val a = sub.select(col("doc_id").as("id_a"), col("p").as("p_a"), col("bk"))
+        val b = sub.select(col("doc_id").as("id_b"), col("p").as("p_b"), col("bk"))
+        val pairs = a.join(b, "bk")
+          .filter(col("id_a") < col("id_b"))
+          .filter(levenshtein(col("p_a"), col("p_b")) <= 20)
+          .select(col("id_a"), col("id_b"))
+        Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_members"))
+          .select(col("component").as("keep_id"),
+            col("n_members"), (col("n_members") - 1).as("n_dropped"))
+          .orderBy("keep_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $corpusSql,
+        sub AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM corpus
+          WHERE doc_id < 300 OR (doc_id >= 10000 AND doc_id < 10300)),
+        bk AS (
+          SELECT doc_id, substr(t, 1, 80) AS p,
+            CAST(floor(length(t) / 32) AS BIGINT) AS bk
+          FROM sub),
+        edges AS (
+          SELECT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM bk a JOIN bk c ON a.bk = c.bk AND a.doc_id < c.doc_id
+          WHERE levenshtein(a.p, c.p) <= 20),
+        verts AS (
+          SELECT DISTINCT id FROM (
+            SELECT id_a AS id FROM edges UNION ALL SELECT id_b FROM edges)),
+        reach(src, dst) AS (
+          SELECT id, id FROM verts
+          UNION
+          SELECT r.src, CASE WHEN r.dst = e.id_a THEN e.id_b ELSE e.id_a END
+          FROM reach r JOIN edges e ON r.dst = e.id_a OR r.dst = e.id_b),
+        comp AS (
+          SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+        SELECT component AS keep_id, count(*) AS n_members,
+          count(*) - 1 AS n_dropped
+        FROM comp GROUP BY component ORDER BY keep_id"""),
+      doc = "fuzzy-dedup keep/drop decision: edit-distance edges -> components -> min-id representative (training-data op)")
   )
 }
