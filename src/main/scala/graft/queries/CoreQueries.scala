@@ -1035,6 +1035,41 @@ object CoreQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         ORDER BY event_id"""),
-      doc = "value-based RANGE window frame: trailing-hour rolling aggregate per key (SURVEY §2.5)")
+      doc = "value-based RANGE window frame: trailing-hour rolling aggregate per key (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_histogram",
+      (s, d) => {
+        // dynamic-range equi-width histogram — the two-pass shape every
+        // distributed profiler runs: pass 1 is a tiny (min, max) agg
+        // that attaches to the scan via a constant-key broadcast hash
+        // join (no driver round-trip, no cartesian); pass 2 buckets
+        // each row with integer arithmetic on the broadcast range.
+        // Bucket index stays in exact long math (value scaled by 100
+        // to cents first) so both engines bin identically — binning on
+        // raw doubles risks ulp disagreements at bucket edges.
+        val nb = 16
+        val o = Tables.orders(s, d)
+          .select(round(col("o_totalprice") * 100, 0).cast(LongType).as("cents"))
+        val range = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+          .withColumn("g", Present.constKey(col("hi") - col("lo") + 1))
+        o.withColumn("g", Present.constKey(col("cents") - col("cents") + 1))
+          .join(broadcast(range), "g")
+          .select(least(lit(nb.toLong - 1),
+            expr(s"((cents - lo) * $nb) DIV (hi - lo + 1)")).as("bucket"),
+            col("lo"), col("hi"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            first(col("lo")).as("lo_cents"), first(col("hi")).as("hi_cents"))
+          .transform(Present.driverSortBy(_, "bucket" -> true))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        r AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o)
+        SELECT least(15, ((cents - lo) * 16) // (hi - lo + 1)) AS bucket,
+          count(*) AS n, any_value(lo) AS lo_cents, any_value(hi) AS hi_cents
+        FROM o, r GROUP BY 1 ORDER BY bucket"""),
+      doc = "dynamic-range equi-width histogram: (min,max) agg broadcast back into an integer binning pass (SURVEY §2.4)")
   )
 }

@@ -931,7 +931,49 @@ object TextQueries {
           round(CASE WHEN n_tok > 0
             THEN exp(-CAST(ll AS DOUBLE) / n_tok) ELSE 0.0 END, 4) AS ppl
         FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""),
-      doc = "unigram LM perplexity scoring (CCNet-style quality filter), order-independent decimal log sums (training-data op)")
+      doc = "unigram LM perplexity scoring (CCNet-style quality filter), order-independent decimal log sums (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("text_sentence_split",
+      (s, d) => {
+        // sentence segmentation facts (the chunk-boundary signal for
+        // context-window packing and per-sentence quality filters):
+        // terminator-class split, whitespace-trim, empties dropped —
+        // all array expressions inside codegen, no explode. Counts are
+        // exact integers so the distributed result hash-matches.
+        val sents = filter(
+          transform(split(trim(col("text")), "[.!?]+"), x => trim(x)),
+          x => x =!= lit(""))
+        val wc = transform(col("sents"), x =>
+          size(filter(split(x, "[\\t\\n\\f\\r ]+"), w => w =!= lit(""))))
+        Tables.documents(s, d)
+          .select(col("doc_id"), sents.as("sents"))
+          .select(col("doc_id"), size(col("sents")).as("n_sentences"),
+            wc.as("wc"))
+          .select(col("doc_id"), col("n_sentences"),
+            coalesce(aggregate(col("wc"), lit(0), (a, x) => a + x), lit(0))
+              .as("total_words"),
+            coalesce(array_max(col("wc")), lit(0)).as("max_sentence_words"))
+          .transform(Present.sortNarrow(_, col("doc_id")))
+      },
+      oracle = Some("""
+        WITH sp AS (
+          SELECT doc_id,
+            list_filter(list_transform(
+              string_split_regex(trim(text), '[.!?]+'), x -> trim(x)),
+              x -> x <> '') AS sents
+          FROM documents),
+        wc AS (
+          SELECT doc_id, len(sents) AS n_sentences,
+            list_transform(sents, x ->
+              len(list_filter(string_split_regex(x, '[\t\n\f\r ]+'),
+                w -> w <> ''))) AS wcl
+          FROM sp)
+        SELECT doc_id, CAST(n_sentences AS INTEGER) AS n_sentences,
+          CAST(COALESCE(list_sum(wcl), 0) AS INTEGER) AS total_words,
+          CAST(COALESCE(list_max(wcl), 0) AS INTEGER) AS max_sentence_words
+        FROM wc ORDER BY doc_id"""),
+      doc = "sentence segmentation facts: terminator split + per-sentence word counts (training-data op)")
   ) :+ bpeVocabQ
 
   /** BPE merge-rule training (Sennrich et al. 2016, arXiv:1508.07909) —
