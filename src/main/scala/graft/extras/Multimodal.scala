@@ -119,6 +119,26 @@ object Multimodal {
     }(enc)
   }
 
+  /** Decoded 16-bin luminance histogram per synthesized PNG — the
+    * feature vector for [[graft.queries.MultimodalQueries]]'s retrieval
+    * pipeline gate. Map-only; bytes never shuffle, only the 16-long
+    * vector does. */
+  def pngHist(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("hist", org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))))
+    val enc = RowEncoder.encoderFor(schema)
+    val codecs = MediaCodecs.current
+    df.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val f = MediaCodecs.forMime(codecs, "image/png")
+          .features(MediaSynth.png(id), "image/png")
+        Row(id, f.drop(3).toSeq) // [w, h, lumSum] ++ 16-bin histogram
+      }
+    }(enc)
+  }
+
   def pngDecodeFeatures(df: DataFrame, idCol: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("width", LongType),

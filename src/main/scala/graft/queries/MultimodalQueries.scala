@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.extras.Multimodal
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries (SURVEY §7.1.7): binary payload + metadata
@@ -111,6 +112,61 @@ object MultimodalQueries {
           (1 + doc_id % 4) * (4 + doc_id % 5) * (3 + doc_id % 4) AS plane_bytes
         FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
       doc = "real MJPEG video decode: segment walk + per-frame ImageIO vs arithmetic oracle"),
+
+    // ------------------------------------------------------------------
+    Q("multimodal_hist_similarity",
+      (s, d) => {
+        // the full multimodal RETRIEVAL pipeline in one gate: decode
+        // (real ImageIO on synthesized PNGs) -> feature extraction
+        // (16-bin luminance histogram) -> similarity search (top-3 by
+        // histogram dot product). Dot products are exact long sums over
+        // integer bins, so the ranking is bit-deterministic and the
+        // oracle recomputes every histogram arithmetically from the id
+        // — pipeline correctness, not just per-stage. The corpus side
+        // fans out via a constant-key broadcast hash join (the
+        // brute-force yardstick shape; SRP/IVF are the scale path).
+        val h = Multimodal.pngHist(
+          Tables.documents(s, d).filter(col("doc_id") < 40), "doc_id")
+        val a = h.select(col("doc_id").as("id_a"), col("hist").as("hist_a"))
+          .withColumn("g", Present.constKey(col("id_a") + 1))
+        val b = h.select(col("doc_id").as("id_b"), col("hist").as("hist_b"))
+          .withColumn("g", Present.constKey(col("id_b") + 1))
+        val w = Window.partitionBy("id_a").orderBy(desc("dot"), asc("id_b"))
+        a.join(broadcast(b), "g")
+          .filter(col("id_a") =!= col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            aggregate(zip_with(col("hist_a"), col("hist_b"), (x, y) => x * y),
+              lit(0L), (acc, x) => acc + x).as("dot"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .orderBy("id_a", "rank")
+      },
+      oracle = Some("""
+        WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        px AS (
+          SELECT doc_id,
+            flatten(list_transform(range(0, 1 + doc_id % 6), y ->
+              list_transform(range(0, 1 + doc_id % 8), x ->
+                (doc_id + 3*x + 5*y) % 256))) AS ps
+          FROM ids),
+        hist AS (
+          SELECT doc_id,
+            list_transform(range(0, 16), k ->
+              len(list_filter(ps, p -> p // 16 = k))) AS h
+          FROM px),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(list_sum(list_transform(range(1, 17),
+              k -> a.h[k] * b.h[k])) AS BIGINT) AS dot
+          FROM hist a JOIN hist b ON a.doc_id <> b.doc_id),
+        ranked AS (
+          SELECT id_a, id_b, dot,
+            row_number() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b)
+              AS rank
+          FROM pairs)
+        SELECT id_a, id_b, dot, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY id_a, rank"""),
+      doc = "multimodal retrieval pipeline: real decode -> histogram feature -> exact top-3 similarity, oracle end to end"),
 
     // ------------------------------------------------------------------
     Q("multimodal_image_resize",
