@@ -108,6 +108,33 @@ object StreamingQueries {
         SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids,
           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type"""),
-      doc = "streaming dedup: dropDuplicatesWithinWatermark turns at-least-once redelivery into exactly-once output")
+      doc = "streaming dedup: dropDuplicatesWithinWatermark turns at-least-once redelivery into exactly-once output"),
+
+    // ------------------------------------------------------------------
+    Q("streaming_interval_join",
+      (s, d) => {
+        // stream-stream interval join: clicks and purchases stream
+        // separately (two micro-batches per side), pairs match on user
+        // within [click, click+1h] through buffered two-sided state,
+        // and the drained result equals the batch join (see
+        // StreamPipeline.streamStreamIntervalJoin for the determinism
+        // argument). Rollup per user keeps the gate output compact.
+        val name = "streaming_ssj_gate"
+        StreamPipeline.streamStreamIntervalJoin(s, d, name)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("click_id")).as("min_click"),
+            max(col("purchase_id")).as("max_purchase"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT c.user_id, count(*) AS n_pairs,
+          min(c.event_id) AS min_click, max(p.event_id) AS max_purchase
+        FROM events c JOIN events p ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        WHERE c.user_id < 30
+        GROUP BY c.user_id ORDER BY c.user_id"""),
+      doc = "stream-stream interval join: cross-batch two-sided state, drained result equals the batch join")
   )
 }

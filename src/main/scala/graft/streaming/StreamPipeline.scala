@@ -277,6 +277,55 @@ object StreamPipeline {
     q.awaitTermination()
   }
 
+  /** Stream-stream INTERVAL join (SURVEY §2.7 extension): two live
+    * streams — e.g. impressions and conversions — joined on key within
+    * an event-time band, the canonical two-sided stateful operator.
+    * Each side arrives in two micro-batches (maxFilesPerTrigger=1, four
+    * files total), so matches genuinely cross batch boundaries through
+    * buffered join state. Watermarks are set far past the fixture span
+    * ON PURPOSE: an inner join emits a pair the moment its partner
+    * arrives (the watermark only evicts state), so with no
+    * eviction-in-run and no late drops the bounded result is
+    * deterministic and equals the batch join exactly. In production the
+    * same query runs with a tight watermark and the band bounds state
+    * to |band| x rate per key. */
+  def streamStreamIntervalJoin(
+      spark: SparkSession, eventsDir: String, name: String): DataFrame = {
+    val ev = graft.Tables.events(spark, eventsDir)
+      .filter(col("user_id") < 30)
+      .select(col("event_id"), col("ts").cast(TimestampType).as("ts"),
+        col("user_id"), col("event_type"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    def sideStream(pred: org.apache.spark.sql.Column): DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ssj-src-")
+      stageSingleParquet(ev.filter(pred && col("event_id") % 2 === 0),
+        dir, "h0.parquet", 0L)
+      stageSingleParquet(ev.filter(pred && col("event_id") % 2 =!= 0),
+        dir, "h1.parquet", 60000L)
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    }
+    val clicks = sideStream(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id"))
+      .withWatermark("click_ts", "87600 hours")
+    val purchases = sideStream(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id").as("p_user_id"))
+      .withWatermark("purchase_ts", "87600 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Exactly-once output from at-least-once delivery — the ingest-dedup
     * every streaming pipeline needs in front of a training corpus: the
     * fixture arrives twice (the full file, then a redelivered third of
