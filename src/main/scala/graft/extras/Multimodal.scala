@@ -119,14 +119,13 @@ object Multimodal {
     }(enc)
   }
 
-  /** Decoded 16-bin luminance histogram per synthesized PNG — the
-    * feature vector for [[graft.queries.MultimodalQueries]]'s retrieval
-    * pipeline gate. Map-only; bytes never shuffle, only the 16-long
-    * vector does. */
-  def pngHist(df: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("hist", org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))))
+  /** Shared decode mapper for the PNG gates: synthesize the per-id PNG,
+    * route it through the registered image codec, and project the
+    * feature array ([w, h, lumSum] ++ 16-bin histogram) into `schema`.
+    * ONE definition so the synthesis + codec-routing path can't drift
+    * between projections. Map-only; bytes never shuffle. */
+  private def pngFeatureMap(df: DataFrame, idCol: String, schema: StructType)(
+      project: (Long, Array[Long]) => Row): DataFrame = {
     val enc = RowEncoder.encoderFor(schema)
     val codecs = MediaCodecs.current
     df.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { it =>
@@ -134,26 +133,28 @@ object Multimodal {
         val id = r.getLong(0)
         val f = MediaCodecs.forMime(codecs, "image/png")
           .features(MediaSynth.png(id), "image/png")
-        Row(id, f.drop(3).toSeq) // [w, h, lumSum] ++ 16-bin histogram
+        project(id, f)
       }
     }(enc)
   }
 
-  def pngDecodeFeatures(df: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
+  /** Decoded 16-bin luminance histogram per synthesized PNG — the
+    * feature vector for [[graft.queries.MultimodalQueries]]'s retrieval
+    * pipeline gate. */
+  def pngHist(df: DataFrame, idCol: String): DataFrame =
+    pngFeatureMap(df, idCol, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("hist",
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))))) {
+      (id, f) => Row(id, f.drop(3).toSeq)
+    }
+
+  def pngDecodeFeatures(df: DataFrame, idCol: String): DataFrame =
+    pngFeatureMap(df, idCol, StructType(Seq(
       StructField("doc_id", LongType), StructField("width", LongType),
-      StructField("height", LongType), StructField("lum_sum", LongType)))
-    val enc = RowEncoder.encoderFor(schema)
-    val codecs = MediaCodecs.current
-    df.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val f = MediaCodecs.forMime(codecs, "image/png")
-          .features(MediaSynth.png(id), "image/png")
-        Row(id, f(0), f(1), f(2))
-      }
-    }(enc)
-  }
+      StructField("height", LongType), StructField("lum_sum", LongType)))) {
+      (id, f) => Row(id, f(0), f(1), f(2))
+    }
 
   /** Resize gate (images): decode the synthesized PNG through
     * javax.imageio, nearest-neighbor resample the luminance plane to a
@@ -461,6 +462,7 @@ object JvmMjpegCodec extends MediaCodec {
           else u8(o + 1) match {
             case 0xd9 => end = o + 2 // EOI
             case 0xd8 => ok = false // nested SOI: corrupt
+            case 0xff => o += 1 // optional fill byte before a marker (spec §B.1.1.2)
             case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) => o += 2 // standalone
             case 0xda => // SOS: length-skip the header, then entropy scan
               if (o + 3 >= b.length) ok = false

@@ -32,6 +32,44 @@ object DedupQueries {
       UNION ALL
       SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)"""
 
+  /** Length-bucketed edit-distance candidate pairs — ONE definition
+    * shared by dedup_edit_distance (the verifier gate) and
+    * dedup_fuzzy_cluster (the keep/drop composition built on it), so
+    * the blocking scheme, prefix width and threshold can never drift
+    * between the two. Bounded subset by design (production consumes
+    * LSH candidates; Levenshtein is quadratic per pair). */
+  private def editDistancePairs(s: SparkSession, d: String): DataFrame = {
+    val sub = corpus(s, d)
+      .filter(col("doc_id") < 300 ||
+        (col("doc_id") >= 10000 && col("doc_id") < 10300))
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .select(col("doc_id"), substring(col("t"), 1, 80).as("p"),
+        floor(length(col("t")) / lit(32)).as("bk"))
+    val a = sub.select(col("doc_id").as("id_a"), col("p").as("p_a"), col("bk"))
+    val b = sub.select(col("doc_id").as("id_b"), col("p").as("p_b"), col("bk"))
+    a.join(b, "bk")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("p_a"), col("p_b")).as("edit_dist"))
+      .filter(col("edit_dist") <= 20)
+  }
+
+  /** SQL twin of [[editDistancePairs]] (expects `corpus` in scope;
+    * yields `edges(id_a, id_b, edit_dist)`). */
+  private val editPairsSql = """
+    sub AS (
+      SELECT doc_id, lower(trim(text)) AS t FROM corpus
+      WHERE doc_id < 300 OR (doc_id >= 10000 AND doc_id < 10300)),
+    bk AS (
+      SELECT doc_id, substr(t, 1, 80) AS p,
+        CAST(floor(length(t) / 32) AS BIGINT) AS bk
+      FROM sub),
+    edges AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        CAST(levenshtein(a.p, c.p) AS INTEGER) AS edit_dist
+      FROM bk a JOIN bk c ON a.bk = c.bk AND a.doc_id < c.doc_id
+      WHERE levenshtein(a.p, c.p) <= 20)"""
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     Q("dedup_exact",
@@ -362,34 +400,12 @@ object DedupQueries {
         // in the same floor(len/32) bucket, compared on their first 80
         // normalized chars. Spark's levenshtein() and DuckDB's agree on
         // code-point edit distance, so the gate hash-matches exactly.
-        val sub = corpus(s, d)
-          .filter(col("doc_id") < 300 ||
-            (col("doc_id") >= 10000 && col("doc_id") < 10300))
-          .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-          .select(col("doc_id"), substring(col("t"), 1, 80).as("p"),
-            floor(length(col("t")) / lit(32)).as("bk"))
-        val a = sub.select(col("doc_id").as("id_a"), col("p").as("p_a"), col("bk"))
-        val b = sub.select(col("doc_id").as("id_b"), col("p").as("p_b"), col("bk"))
-        a.join(b, "bk")
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
-            levenshtein(col("p_a"), col("p_b")).as("edit_dist"))
-          .filter(col("edit_dist") <= 20)
-          .orderBy("id_a", "id_b")
+        editDistancePairs(s, d).orderBy("id_a", "id_b")
       },
       oracle = Some(s"""
         WITH $corpusSql,
-        sub AS (
-          SELECT doc_id, lower(trim(text)) AS t FROM corpus
-          WHERE doc_id < 300 OR (doc_id >= 10000 AND doc_id < 10300)),
-        bk AS (
-          SELECT doc_id, substr(t, 1, 80) AS p,
-            CAST(floor(length(t) / 32) AS BIGINT) AS bk
-          FROM sub)
-        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-          CAST(levenshtein(a.p, c.p) AS INTEGER) AS edit_dist
-        FROM bk a JOIN bk c ON a.bk = c.bk AND a.doc_id < c.doc_id
-        WHERE levenshtein(a.p, c.p) <= 20
+        $editPairsSql
+        SELECT id_a, id_b, edit_dist FROM edges
         ORDER BY id_a, id_b"""),
       doc = "edit-distance near-dup verifier: length-bucket blocking + levenshtein threshold (training-data op)"),
 
@@ -397,24 +413,14 @@ object DedupQueries {
     Q("dedup_fuzzy_cluster",
       (s, d) => {
         // the end-to-end fuzzy-dedup DECISION: verified edit-distance
-        // pairs (same blocking as dedup_edit_distance) become edges,
-        // connected components cluster transitive near-dups, and each
-        // cluster keeps its min-id representative — the keep/drop list
-        // a curation pipeline actually executes. Components run on the
-        // driver-stateless distributed loop (Dedup.connectedComponents);
-        // the per-cluster rollup emits representative + casualty count.
-        val sub = corpus(s, d)
-          .filter(col("doc_id") < 300 ||
-            (col("doc_id") >= 10000 && col("doc_id") < 10300))
-          .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-          .select(col("doc_id"), substring(col("t"), 1, 80).as("p"),
-            floor(length(col("t")) / lit(32)).as("bk"))
-        val a = sub.select(col("doc_id").as("id_a"), col("p").as("p_a"), col("bk"))
-        val b = sub.select(col("doc_id").as("id_b"), col("p").as("p_b"), col("bk"))
-        val pairs = a.join(b, "bk")
-          .filter(col("id_a") < col("id_b"))
-          .filter(levenshtein(col("p_a"), col("p_b")) <= 20)
-          .select(col("id_a"), col("id_b"))
+        // pairs (editDistancePairs — the SAME pipeline the verifier
+        // gate pins) become edges, connected components cluster
+        // transitive near-dups, and each cluster keeps its min-id
+        // representative — the keep/drop list a curation pipeline
+        // actually executes. Components run on the driver-stateless
+        // distributed loop (Dedup.connectedComponents); the per-cluster
+        // rollup emits representative + casualty count.
+        val pairs = editDistancePairs(s, d).select(col("id_a"), col("id_b"))
         Dedup.connectedComponents(pairs, "id_a", "id_b")
           .groupBy("component")
           .agg(count(lit(1)).as("n_members"))
@@ -424,17 +430,7 @@ object DedupQueries {
       },
       oracle = Some(s"""
         WITH RECURSIVE $corpusSql,
-        sub AS (
-          SELECT doc_id, lower(trim(text)) AS t FROM corpus
-          WHERE doc_id < 300 OR (doc_id >= 10000 AND doc_id < 10300)),
-        bk AS (
-          SELECT doc_id, substr(t, 1, 80) AS p,
-            CAST(floor(length(t) / 32) AS BIGINT) AS bk
-          FROM sub),
-        edges AS (
-          SELECT a.doc_id AS id_a, c.doc_id AS id_b
-          FROM bk a JOIN bk c ON a.bk = c.bk AND a.doc_id < c.doc_id
-          WHERE levenshtein(a.p, c.p) <= 20),
+        $editPairsSql,
         verts AS (
           SELECT DISTINCT id FROM (
             SELECT id_a AS id FROM edges UNION ALL SELECT id_b FROM edges)),

@@ -53,10 +53,13 @@ object TpchQueries {
         val custBound = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
         val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         val oBound = o
+        val supBound = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))
         val l = Tables.lineitem(s, d)
           .filter(col("l_shipdate").between(
             ts("1996-01-01 00:00:00"), ts("1997-12-31 00:00:00")))
-        l.join(broadcast(supDim), col("l_suppkey") === col("s_suppkey"))
+        l.join(graft.plans.Hints.broadcastIfSmall(supDim, bound = supBound),
+            col("l_suppkey") === col("s_suppkey"))
           .join(graft.plans.Hints.broadcastIfSmall(o, bound = oBound),
             col("l_orderkey") === col("o_orderkey"))
           .join(graft.plans.Hints.broadcastIfSmall(custDim, bound = custBound),
@@ -111,10 +114,15 @@ object TpchQueries {
           .select("o_orderkey", "o_custkey", "o_orderdate")
         val oBound = Tables.orders(s, d)
           .select("o_orderkey", "o_custkey", "o_orderdate")
+        val partBound = Tables.part(s, d).select("p_partkey")
+        val supBound = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))
         val l = Tables.lineitem(s, d)
         val vol = l
-          .join(broadcast(partDim), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(supDim), col("l_suppkey") === col("s_suppkey"))
+          .join(graft.plans.Hints.broadcastIfSmall(partDim, bound = partBound),
+            col("l_partkey") === col("p_partkey"))
+          .join(graft.plans.Hints.broadcastIfSmall(supDim, bound = supBound),
+            col("l_suppkey") === col("s_suppkey"))
           .join(graft.plans.Hints.broadcastIfSmall(o, bound = oBound),
             col("l_orderkey") === col("o_orderkey"))
           .join(graft.plans.Hints.broadcastIfSmall(custDim, bound = custBound),
@@ -158,8 +166,8 @@ object TpchQueries {
         // TPC-H Q9 (product-type profit), adapted: the corpus has no
         // partsupp, so profit is revenue (extprice*(1-discount)) for
         // parts matching the name pattern, by supplier nation and order
-        // year. Both dims broadcast filtered/projected; the orders join
-        // carries only (orderkey, orderdate).
+        // year. Both dims reach the fact size-gated (they scale with
+        // SF); the orders join carries only (orderkey, orderdate).
         val n = Tables.nation(s, d)
         val supDim = Tables.supplier(s, d)
           .join(broadcast(n.withColumnRenamed("n_name", "nation")),
@@ -168,9 +176,14 @@ object TpchQueries {
         val partDim = Tables.part(s, d).filter(col("p_name").like("%bolt%"))
           .select("p_partkey")
         val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+        val partBound = Tables.part(s, d).select("p_partkey")
+        val supBound = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))
         val l = Tables.lineitem(s, d)
-        l.join(broadcast(partDim), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(supDim), col("l_suppkey") === col("s_suppkey"))
+        l.join(graft.plans.Hints.broadcastIfSmall(partDim, bound = partBound),
+            col("l_partkey") === col("p_partkey"))
+          .join(graft.plans.Hints.broadcastIfSmall(supDim, bound = supBound),
+            col("l_suppkey") === col("s_suppkey"))
           .join(graft.plans.Hints.broadcastIfSmall(o, bound = o),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))

@@ -433,6 +433,11 @@ class ExtrasSpec extends SparkSpec {
     }
     // a truncated tail degrades to the complete frames, never throws
     assert(JvmMjpegCodec.frameRanges(mjpeg.dropRight(7)).size === 4)
+    // spec-legal 0xFF fill bytes before a marker (JPEG B.1.1.2) must not
+    // derail the segment walk into reading a bogus length
+    val padded = frames.head.take(2) ++
+      Array(0xff.toByte, 0xff.toByte) ++ frames.head.drop(2)
+    assert(JvmMjpegCodec.frameRanges(padded).size === 1)
     assert(StubMediaCodec.features(Array[Byte](1, 2), "video/mjpeg").length === 16)
     // routing: three REAL codecs live behind the seam, stub only for
     // formats the JVM genuinely cannot decode
