@@ -28,9 +28,21 @@ object AsOfJoin {
   case object WindowStrategy extends Strategy
   case object BroadcastStrategy extends Strategy
 
-  /** For each left row, attach `payloadCols` from the right row with the
-    * largest rightTime <= leftTime within the same key group (NULLs when
-    * no prior right row exists — ASOF LEFT JOIN semantics).
+  /** Match direction — the three variants time-series engines ship
+    * (pandas merge_asof directions; QuestDB/kdb asof/aj forward
+    * variants). */
+  sealed trait Direction
+  /** Largest rightTime <= leftTime (the classic as-of). */
+  case object Backward extends Direction
+  /** Smallest rightTime >= leftTime. */
+  case object Forward extends Direction
+  /** Whichever of backward/forward is closer; exact ties resolve
+    * backward (pandas semantics). */
+  case object Nearest extends Direction
+
+  /** For each left row, attach `payloadCols` from the right row
+    * selected by `direction` within the same key group (NULLs when no
+    * matching right row exists — ASOF LEFT JOIN semantics).
     *
     * Columns ride the union FLAT (left columns null-filled on right
     * rows and vice versa) rather than packed into per-side structs: a
@@ -38,10 +50,11 @@ object AsOfJoin {
     * shuffle's hot path. The matched payload itself travels as one
     * struct built only on right rows, so the running `last(ignoreNulls)`
     * can carry a right row whose payload columns are all NULL. */
-  def asofBackward(
+  def asof(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTime: String, rightTime: String,
-      payloadCols: Seq[String], strategy: Strategy = Auto): DataFrame = {
+      payloadCols: Seq[String], direction: Direction = Backward,
+      strategy: Strategy = Auto): DataFrame = {
     val pick = strategy match {
       case Auto =>
         val t = graft.plans.Hints.autoBroadcastThreshold(right)
@@ -51,9 +64,16 @@ object AsOfJoin {
       case s => s
     }
     if (pick == BroadcastStrategy)
-      asofBroadcast(left, right, keys, leftTime, rightTime, payloadCols)
-    else asofWindow(left, right, keys, leftTime, rightTime, payloadCols)
+      asofBroadcast(left, right, keys, leftTime, rightTime, payloadCols, direction)
+    else asofWindow(left, right, keys, leftTime, rightTime, payloadCols, direction)
   }
+
+  /** Backward-compatible alias for [[asof]] with [[Backward]]. */
+  def asofBackward(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      payloadCols: Seq[String], strategy: Strategy = Auto): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, payloadCols, Backward, strategy)
 
   /** Broadcast strategy: the right side collapses to one sorted
     * (time, payload) array per key, broadcast to every task; each left
@@ -67,7 +87,7 @@ object AsOfJoin {
   private def asofBroadcast(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTime: String, rightTime: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String], direction: Direction): DataFrame = {
     val rAgg = right
       .select(keys.map(col) ++ Seq(col(rightTime).as("__t")) ++ payloadCols.map(col): _*)
       .where(col("__t").isNotNull)
@@ -77,18 +97,39 @@ object AsOfJoin {
       .agg(sort_array(collect_list(
         struct(col("__t") +: payloadCols.map(col): _*))).as("__arr"))
     val joined = left.join(broadcast(rAgg), keys, "left")
-    val matches = filter(col("__arr"), x => x.getField("__t") <= col(leftTime))
-    // element_at is 1-based; the when-guard keeps ANSI mode happy on
-    // empty/null arrays (no prior right row -> NULL payload)
-    val matched = when(size(matches) > 0, element_at(matches, size(matches)))
+    // element_at is 1-based; the when-guards keep ANSI mode happy on
+    // empty/null arrays (no matching right row -> NULL payload)
+    def backM: Column = {
+      val m = filter(col("__arr"), x => x.getField("__t") <= col(leftTime))
+      when(size(m) > 0, element_at(m, size(m)))
+    }
+    def fwdM: Column = {
+      val m = filter(col("__arr"), x => x.getField("__t") >= col(leftTime))
+      when(size(m) > 0, element_at(m, 1))
+    }
+    val matched = direction match {
+      case Backward => backM
+      case Forward => fwdM
+      case Nearest => nearestOf(backM, fwdM, col(leftTime))
+    }
     payloadCols.foldLeft(joined)((df, c) => df.withColumn(c, matched.getField(c)))
       .select(left.columns.map(col) ++ payloadCols.map(col): _*)
   }
 
+  /** Choose the closer of a backward and a forward match (each a struct
+    * whose `__t` field is its right-row time, NULL when absent); exact
+    * ties resolve backward. Pure expression — evaluated per row in
+    * codegen on both strategies. */
+  private def nearestOf(back: Column, fwd: Column, leftT: Column): Column =
+    when(back.isNull, fwd)
+      .when(fwd.isNull, back)
+      .when(leftT - back.getField("__t") <= fwd.getField("__t") - leftT, back)
+      .otherwise(fwd)
+
   private def asofWindow(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTime: String, rightTime: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String], direction: Direction): DataFrame = {
     val leftCols = left.columns.toSeq
     // keys and the time column already travel as key cols / __t
     val leftOnly = leftCols.filterNot(c => keys.contains(c) || c == leftTime)
@@ -111,10 +152,18 @@ object AsOfJoin {
           leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           payloadCols.map(c => col(c).as(pay(c))): _*)
 
-    // right rows sort before left rows at equal timestamps -> inclusive
-    val w = Window.partitionBy(keys.map(col): _*)
+    // Backward: right rows sort BEFORE left rows at equal timestamps,
+    // and the running frame looks back -> inclusive <=. Forward is the
+    // mirror: right rows sort AFTER left rows at equal timestamps and
+    // the frame looks ahead -> inclusive >=. Both windows share the
+    // one key-hash exchange; nearest pays a second sort, not a second
+    // shuffle.
+    val wBack = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     val unioned = lSide.unionByName(rSide)
     // One running value packed in a side-guarded struct: the wrapper is
@@ -122,12 +171,23 @@ object AsOfJoin {
     // fills but still carries a right row whose payload is genuinely
     // NULL — "no prior right row" and "right row with NULL payload"
     // stay distinguishable (a flat last(ignoreNulls) on the payload
-    // itself would conflate them and resurrect an older value).
+    // itself would conflate them and resurrect an older value). The
+    // pack carries __t so Nearest can compare distances.
+    val pack = when(col("__side") === 0,
+      struct(col("__t").as("__t") +: payloadCols.map(c => col(pay(c)).as(c)): _*))
     val matched = {
-      val packed = unioned.withColumn("__match",
-        last(when(col("__side") === 0,
-          struct(payloadCols.map(c => col(pay(c)).as(c)): _*)), ignoreNulls = true).over(w))
-      payloadCols.foldLeft(packed)((df, c) => df.withColumn(pay(c), col("__match").getField(c)))
+      val withMatch = direction match {
+        case Backward => unioned.withColumn("__match",
+          last(pack, ignoreNulls = true).over(wBack))
+        case Forward => unioned.withColumn("__match",
+          first(pack, ignoreNulls = true).over(wFwd))
+        case Nearest => unioned
+          .withColumn("__mb", last(pack, ignoreNulls = true).over(wBack))
+          .withColumn("__mf", first(pack, ignoreNulls = true).over(wFwd))
+          .withColumn("__match", nearestOf(col("__mb"), col("__mf"), col("__t")))
+          .drop("__mb", "__mf")
+      }
+      payloadCols.foldLeft(withMatch)((df, c) => df.withColumn(pay(c), col("__match").getField(c)))
         .drop("__match")
     }
     matched.filter(col("__side") === 1)

@@ -45,6 +45,83 @@ object OperatorQueries {
       doc = "as-of join (J6, net-new): union+window composition vs DuckDB native ASOF"),
 
     // ------------------------------------------------------------------
+    Q("asof_join_forward",
+      (s, d) => {
+        // FORWARD as-of (smallest right time >= left time): "next event
+        // after" semantics — next signup after each purchase. Same
+        // union+window composition, mirrored frame; DuckDB's ASOF with
+        // a <= inequality is the native equivalent the oracle runs.
+        val events = Tables.events(s, d)
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val signups = events.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id"), col("ts"))
+        AsOfJoin.asof(purchases, signups,
+            keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+            payloadCols = Seq("signup_id"), direction = AsOfJoin.Forward,
+            strategy = AsOfJoin.WindowStrategy)
+          .select("event_id", "user_id", "signup_id")
+          .transform(Present.driverSortBy(_, "event_id" -> true))
+      },
+      oracle = Some("""
+        WITH purchases AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        signups AS (
+          SELECT event_id AS signup_id, user_id, ts FROM events WHERE event_type = 'signup')
+        SELECT p.event_id, p.user_id, s.signup_id
+        FROM purchases p ASOF LEFT JOIN signups s
+          ON p.user_id = s.user_id AND p.ts <= s.ts
+        ORDER BY p.event_id"""),
+      doc = "forward as-of join (J6): next right row at-or-after each left row vs DuckDB native ASOF <="),
+
+    // ------------------------------------------------------------------
+    Q("asof_join_nearest",
+      (s, d) => {
+        // NEAREST as-of (pandas merge_asof direction='nearest'): the
+        // closer of the backward and forward matches, ties backward —
+        // run on the BROADCAST strategy so both direction scans ride
+        // one in-expression array probe (the fact side never shuffles).
+        // The oracle composes DuckDB's two native ASOF directions and
+        // picks by interval distance.
+        val events = Tables.events(s, d)
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val signups = events.filter(col("event_type") === "signup" &&
+            col("user_id") % 10 === 0)
+          .select(col("event_id").as("signup_id"), col("user_id"), col("ts"))
+        AsOfJoin.asof(purchases, signups,
+            keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+            payloadCols = Seq("signup_id"), direction = AsOfJoin.Nearest,
+            strategy = AsOfJoin.BroadcastStrategy)
+          .select("event_id", "user_id", "signup_id")
+          .transform(Present.driverSortBy(_, "event_id" -> true))
+      },
+      oracle = Some("""
+        WITH purchases AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        signups AS (
+          SELECT event_id AS signup_id, user_id, ts FROM events
+          WHERE event_type = 'signup' AND user_id % 10 = 0),
+        back AS (
+          SELECT p.event_id, s.signup_id, s.ts AS sts
+          FROM purchases p ASOF LEFT JOIN signups s
+            ON p.user_id = s.user_id AND p.ts >= s.ts),
+        fwd AS (
+          SELECT p.event_id, s.signup_id, s.ts AS sts
+          FROM purchases p ASOF LEFT JOIN signups s
+            ON p.user_id = s.user_id AND p.ts <= s.ts)
+        SELECT p.event_id, p.user_id,
+          CASE WHEN b.signup_id IS NULL THEN f.signup_id
+               WHEN f.signup_id IS NULL THEN b.signup_id
+               WHEN p.ts - b.sts <= f.sts - p.ts THEN b.signup_id
+               ELSE f.signup_id END AS signup_id
+        FROM purchases p
+        LEFT JOIN back b ON p.event_id = b.event_id
+        LEFT JOIN fwd f ON p.event_id = f.event_id
+        ORDER BY p.event_id"""),
+      doc = "nearest as-of join (J6): closer of backward/forward, ties backward; broadcast strategy"),
+
+    // ------------------------------------------------------------------
     Q("asof_join_broadcast",
       (s, d) => {
         // The broadcast as-of strategy against a dim-sized right side

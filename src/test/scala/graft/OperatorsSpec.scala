@@ -71,6 +71,39 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("window("), s"broadcast path should have no window:\n$plan")
   }
 
+  test("asof forward/nearest: strategies agree; semantics pinned on a hand case") {
+    val rnd = new scala.util.Random(20260814L)
+    val left = Seq.tabulate(400) { i =>
+      (i.toLong, s"u${rnd.nextInt(15)}", rnd.nextInt(1000).toLong) }
+      .toDF("id", "key", "t")
+    val rightPairs = Seq.fill(70)((s"u${rnd.nextInt(20)}", rnd.nextInt(1000).toLong)).distinct
+    val right = rightPairs.zipWithIndex
+      .map { case ((k, t), i) => (1000L + i, k, t) }
+      .toDF("rid", "key", "t")
+    for (dir <- Seq(AsOfJoin.Forward, AsOfJoin.Nearest)) {
+      def run(st: AsOfJoin.Strategy) =
+        AsOfJoin.asof(left, right, Seq("key"), "t", "t",
+          Seq("rid"), direction = dir, strategy = st).orderBy("id").collect().toSeq
+      assert(run(AsOfJoin.WindowStrategy) === run(AsOfJoin.BroadcastStrategy),
+        s"direction $dir")
+    }
+    // hand case: right at t=100 and t=200; left at 100/140/160/250
+    val l2 = Seq((1L, "k", 100L), (2L, "k", 140L), (3L, "k", 160L), (4L, "k", 250L))
+      .toDF("id", "key", "t")
+    val r2 = Seq((10L, "k", 100L), (20L, "k", 200L)).toDF("rid", "key", "t")
+    def got(dir: AsOfJoin.Direction, st: AsOfJoin.Strategy) =
+      AsOfJoin.asof(l2, r2, Seq("key"), "t", "t", Seq("rid"),
+        direction = dir, strategy = st)
+        .orderBy("id").select("rid").as[Option[Long]].collect().toSeq
+    for (st <- Seq(AsOfJoin.WindowStrategy, AsOfJoin.BroadcastStrategy)) {
+      // forward: at-or-after (inclusive at t=100); none after 250
+      assert(got(AsOfJoin.Forward, st) === Seq(Some(10L), Some(20L), Some(20L), None), s"$st")
+      // nearest: 140 is closer to 100 (40 vs 60); 160 closer to 200;
+      // 250 has only the backward side; exact tie would go backward
+      assert(got(AsOfJoin.Nearest, st) === Seq(Some(10L), Some(10L), Some(20L), Some(20L)), s"$st")
+    }
+  }
+
   test("asof join: a right row with a NULL payload still wins over older rows") {
     // most recent right row at t=200 carries rid=NULL; the match must be
     // that NULL, not the older rid=10 (single-payload path regression:
