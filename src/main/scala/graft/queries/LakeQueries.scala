@@ -610,6 +610,31 @@ object LakeQueries {
         SELECT n_nationkey, n_name, r_name
         FROM nation JOIN region ON n_regionkey = r_regionkey
         ORDER BY n_nationkey"""),
-      doc = "S10 CSV import: text round-trip + conform + lake commit, re-typed read hash-matches parquet")
+      doc = "S10 CSV import: text round-trip + conform + lake commit, re-typed read hash-matches parquet"),
+
+    // ------------------------------------------------------------------
+    Q("lake_metadata_count",
+      (s, d) => {
+        // A4 driver-gated: per-partition record counts answered from
+        // manifest metadata ONLY — zero data files read. The DELETE
+        // before the count forces copy-on-write rewrites, so the gate
+        // proves the metadata counts track DML, not just the initial
+        // append. The collect is metadata-bounded (#partitions rows).
+        val (e, _) = freshEngine(s, "metacnt")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders_mc", orders.schema,
+          partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+        e.insert(t, orders)
+        e.delete(t, "o_orderstatus = 'P'")
+        val counts = new TableScan(s, t.refresh()).partitionRecordCounts()
+          .map { case (_, part, n) => (part("o_year").toInt, n) }
+        import s.implicits._
+        counts.toDF("o_year", "n").orderBy("o_year")
+      },
+      oracle = Some("""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n
+        FROM orders WHERE o_orderstatus <> 'P'
+        GROUP BY 1 ORDER BY o_year"""),
+      doc = "A4 metadata-only partition counts: manifests answer the aggregate after CoW DML, zero data read")
   )
 }
