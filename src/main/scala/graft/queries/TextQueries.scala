@@ -973,7 +973,118 @@ object TextQueries {
           CAST(COALESCE(list_sum(wcl), 0) AS INTEGER) AS total_words,
           CAST(COALESCE(list_max(wcl), 0) AS INTEGER) AS max_sentence_words
         FROM wc ORDER BY doc_id"""),
-      doc = "sentence segmentation facts: terminator split + per-sentence word counts (training-data op)")
+      doc = "sentence segmentation facts: terminator split + per-sentence word counts (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("text_tfidf",
+      (s, d) => {
+        // classic TF-IDF term weighting: document frequency is a
+        // term-keyed aggregation over the whole corpus, the one-row N
+        // attaches via a constant-key broadcast, and scoring joins tf
+        // to idf on the term — at 100 TB the exchanges carry
+        // (term, count) rows, never text. Per-doc top-5 ranks on
+        // (score desc, term asc), fully tie-broken; ln and the final
+        // product round to 6dp identically in both engines.
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), explode(wordsOf(col("text"))).as("w"))
+        val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+          .withColumn("g", Present.constKey(col("n_docs")))
+        val idf = dfreq.withColumn("g", Present.constKey(col("df")))
+          .join(broadcast(n), "g")
+          .select(col("w"),
+            round(log(col("n_docs").cast(DoubleType) / col("df")), 6).as("idf"))
+        val win = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("w"))
+        tf.join(idf, "w")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), col("w"),
+            round(col("tf") * col("idf"), 6).as("tfidf"))
+          .withColumn("rank", row_number().over(win))
+          .filter(col("rank") <= 5)
+          .orderBy("doc_id", "rank")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(trim(lower(text)), '[\t\n\f\r ]+'), x -> x <> '')) AS w
+          FROM documents),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        idf AS (
+          SELECT w, round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
+          FROM dfreq, n),
+        scored AS (
+          SELECT t.doc_id, t.w, round(t.tf * i.idf, 6) AS tfidf
+          FROM tf t JOIN idf i USING (w) WHERE t.doc_id < 50),
+        ranked AS (
+          SELECT doc_id, w, tfidf,
+            row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rank
+          FROM scored)
+        SELECT doc_id, w, tfidf, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank"""),
+      doc = "TF-IDF term weighting with per-doc top-5: corpus df agg + broadcast N + term join (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("text_url_canonical_dedup",
+      (s, d) => {
+        // URL canonicalization dedup — the provenance-level dedup a
+        // crawl corpus runs before fetching or re-ingesting: cut
+        // fragment and query, case-fold, fold the www prefix, trim
+        // trailing slashes, then group. Same injected-URL construction
+        // as text_url_extract (the fixture has no URLs); canonical
+        // groups with multiple members are exactly the cdn URLs shared
+        // across documents. Map-stage canonicalization, one shuffle on
+        // the canonical key.
+        val urlRe = "https?://[A-Za-z0-9.-]+[/A-Za-z0-9._?=&%-]*"
+        val docs = Tables.documents(s, d)
+        val withUrls = docs.select(col("doc_id"),
+          concat(col("text"),
+            lit(" see https://Sub"), (col("doc_id") % 7).cast(StringType),
+            lit(".Example.COM/p/"), col("doc_id").cast(StringType),
+            lit("?utm=x ref http://WWW.cdn"), (col("doc_id") % 3).cast(StringType),
+            lit(".example.net/a"), (col("doc_id") % 11).cast(StringType),
+            lit("/")).as("t"))
+        val canon = withUrls
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("t"), lit(urlRe), lit(0))).as("u"))
+          .select(col("doc_id"),
+            regexp_replace(
+              rtrim(lower(call_function("split_part",
+                call_function("split_part", col("u"), lit("#"), lit(1)),
+                lit("?"), lit(1))), "/"),
+              "://www\\.", "://").as("cu"))
+        canon.groupBy("cu")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("min_doc"))
+          .filter(col("n_urls") > 1)
+          .transform(Present.driverSortBy(_, "cu" -> true))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+            text || ' see https://Sub' || CAST(doc_id % 7 AS VARCHAR) ||
+              '.Example.COM/p/' || CAST(doc_id AS VARCHAR) ||
+              '?utm=x ref http://WWW.cdn' || CAST(doc_id % 3 AS VARCHAR) ||
+              '.example.net/a' || CAST(doc_id % 11 AS VARCHAR) || '/' AS t
+          FROM documents),
+        u AS (
+          SELECT doc_id,
+            unnest(regexp_extract_all(t,
+              'https?://[A-Za-z0-9.-]+[/A-Za-z0-9._?=&%-]*')) AS u
+          FROM p),
+        c AS (
+          SELECT doc_id,
+            regexp_replace(
+              rtrim(lower(split_part(split_part(u, '#', 1), '?', 1)), '/'),
+              '://www\.', '://') AS cu
+          FROM u)
+        SELECT cu, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
+          min(doc_id) AS min_doc
+        FROM c GROUP BY cu HAVING count(*) > 1 ORDER BY cu"""),
+      doc = "URL canonicalization dedup: fragment/query cut, case fold, www fold, slash trim -> canonical groups (training-data op)")
   ) :+ bpeVocabQ
 
   /** BPE merge-rule training (Sennrich et al. 2016, arXiv:1508.07909) —
