@@ -1070,6 +1070,85 @@ object CoreQueries {
         SELECT least(15, ((cents - lo) * 16) // (hi - lo + 1)) AS bucket,
           count(*) AS n, any_value(lo) AS lo_cents, any_value(hi) AS hi_cents
         FROM o, r GROUP BY 1 ORDER BY bucket"""),
-      doc = "dynamic-range equi-width histogram: (min,max) agg broadcast back into an integer binning pass (SURVEY §2.4)")
+      doc = "dynamic-range equi-width histogram: (min,max) agg broadcast back into an integer binning pass (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
+    Q("q_funnel",
+      (s, d) => {
+        // ordered conversion funnel (view -> click -> purchase): each
+        // stage is a per-user MIN-timestamp aggregate constrained to
+        // at-or-after the previous stage — the dependent-aggregation
+        // chain every product-analytics engine ships. Three bounded
+        // per-user aggregates + key joins; no window over raw events,
+        // no per-user row explosion.
+        val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val t2 = ev.filter(col("event_type") === "click")
+          .join(t1, "user_id").filter(col("ts") >= col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, "user_id").filter(col("ts") >= col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+          .agg(count(col("t1")).as("n_view"),
+            count(col("t2")).as("n_click_after_view"),
+            count(col("t3")).as("n_purchase_after_click"))
+          .transform(Present.driverAgg(_))
+      },
+      oracle = Some("""
+        WITH t1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (
+          SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.ts >= t1.t1
+          GROUP BY e.user_id),
+        t3 AS (
+          SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+          GROUP BY e.user_id)
+        SELECT count(t1.t1) AS n_view,
+          count(t2.t2) AS n_click_after_view,
+          count(t3.t3) AS n_purchase_after_click
+        FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id"""),
+      doc = "ordered conversion funnel: dependent per-key min-timestamp stages (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
+    Q("q_cohort_retention",
+      (s, d) => {
+        // cohort retention: users cohorted by first-activity week,
+        // counted distinct in each later week offset — the canonical
+        // retention triangle. One per-user aggregate for the cohort,
+        // one join back, one (cohort, offset) distinct count; week
+        // arithmetic stays in whole days so both engines bin
+        // identically (both truncate weeks to Monday).
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cwk"))
+        ev.join(cohort, "user_id")
+          .select(col("user_id"),
+            col("cwk").cast(TimestampNTZType).as("cohort_week"),
+            (datediff(col("wk").cast(DateType), col("cwk").cast(DateType)) / 7)
+              .cast(IntegerType).as("week_offset"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .transform(Present.driverAgg(_, "cohort_week" -> true, "week_offset" -> true))
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        cohort AS (
+          SELECT user_id, min(wk) AS cwk FROM ev GROUP BY user_id)
+        SELECT c.cwk AS cohort_week,
+          CAST(date_diff('day', CAST(c.cwk AS DATE), CAST(e.wk AS DATE)) / 7
+            AS INTEGER) AS week_offset,
+          count(DISTINCT e.user_id) AS n_users
+        FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""),
+      doc = "cohort retention triangle: first-activity cohorts x week offsets (SURVEY §2.4)")
   )
 }

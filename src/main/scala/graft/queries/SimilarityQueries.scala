@@ -135,7 +135,7 @@ object SimilarityQueries {
             list_transform(q, x -> CAST(x AS DOUBLE))), 6) AS dot_recon
         FROM qz ORDER BY vec_id"""),
       doc = "int8 scalar quantization of embeddings: absmax scaling + fidelity facts (training-data op)")
-  ) :+ kmeansQ
+  ) :+ kmeansQ :+ randomProjectionQ
 
   /** Shared ANN quality gate: per query id, the DuckDB-checkable exact
     * top-k similarity mass plus oracle-pinned recall/quality booleans.
@@ -313,6 +313,54 @@ object SimilarityQueries {
       FROM a2 a JOIN dig g ON a.cid = g.cid
       GROUP BY a.cid ORDER BY a.cid"""),
     doc = "fixed-point k-means (Lloyd) over embeddings: SemDeDup-style clustering, bit-equal across engines")
+
+  /** Johnson-Lindenstrauss random projection (Achlioptas 2003 ±1
+    * scheme, "Database-friendly random projections"): reduce 64-dim
+    * embeddings to 16 dims with a DETERMINISTIC sign matrix derived
+    * from (in_dim, out_dim) by integer hash — no RNG state to ship,
+    * any executor regenerates the same matrix, and the projection is
+    * replayable across engines and retries. Fixed-point: components
+    * scale to micro-unit longs, each output dim is an exact long sum
+    * of ±component — bit-equal across engines at any parallelism.
+    * Map-only at any scale (the dimensionality-reduction step before
+    * clustering / ANN on a 100 TB embedding corpus). */
+  private def randomProjectionQ: Q = Q("sim_random_projection",
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val outDims = 4
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast(DoubleType) * lit(1000000.0), 0).cast(LongType))
+            .as("varr"))
+      // sign(j, k) = +1 when ((j*1103515245 + k*12345) % 97) % 2 = 0
+      // else -1 — j is the 1-based input dim, k the 0-based output dim;
+      // the LCG constants + odd modulus decorrelate rows and columns
+      // (a mod-2 hash of j+k degenerates to a checkerboard where
+      // alternate output dims are exact negations)
+      def proj(k: Int) =
+        aggregate(
+          zip_with(col("varr"),
+            sequence(lit(1), size(col("varr"))),
+            (v, j) => when(
+              pmod(pmod(j.cast(LongType) * lit(1103515245L) + lit(k * 12345L),
+                lit(97L)), lit(2L)) === 0, v).otherwise(-v)),
+          lit(0L), (acc, x) => acc + x).as(s"p$k")
+      emb.select(col("vec_id") +: (0 until outDims).map(proj): _*)
+        .transform(Present.sortNarrow(_, col("vec_id")))
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS j,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vi
+        FROM embeddings WHERE vec_id < 50)
+      SELECT vec_id,
+        CAST(sum(CASE WHEN ((j*1103515245 + 0*12345) % 97) % 2 = 0 THEN vi ELSE -vi END) AS BIGINT) AS p0,
+        CAST(sum(CASE WHEN ((j*1103515245 + 1*12345) % 97) % 2 = 0 THEN vi ELSE -vi END) AS BIGINT) AS p1,
+        CAST(sum(CASE WHEN ((j*1103515245 + 2*12345) % 97) % 2 = 0 THEN vi ELSE -vi END) AS BIGINT) AS p2,
+        CAST(sum(CASE WHEN ((j*1103515245 + 3*12345) % 97) % 2 = 0 THEN vi ELSE -vi END) AS BIGINT) AS p3
+      FROM e GROUP BY vec_id ORDER BY vec_id"""),
+    doc = "JL random projection (Achlioptas +-1, hash-derived signs): fixed-point dim reduction, bit-equal (training-data op)")
 
   private def annQualityOracle: String = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
