@@ -1149,6 +1149,33 @@ object CoreQueries {
           count(DISTINCT e.user_id) AS n_users
         FROM ev e JOIN cohort c ON e.user_id = c.user_id
         GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""),
-      doc = "cohort retention triangle: first-activity cohorts x week offsets (SURVEY §2.4)")
+      doc = "cohort retention triangle: first-activity cohorts x week offsets (SURVEY §2.4)"),
+
+    // ------------------------------------------------------------------
+    Q("q_percent_rank",
+      (s, d) => {
+        // distribution-rank windows (percent_rank / cume_dist) per
+        // market segment — the remaining members of the window family
+        // (rank/dense_rank/ntile/lead/lag are gated elsewhere). The
+        // ordering carries a unique tie-breaker so both ranks are fully
+        // determined; the rank fractions are exact k/(n-1) doubles both
+        // engines compute identically.
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        Tables.customer(s, d).filter(col("c_custkey") < 300)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_mktsegment,
+          round(percent_rank() OVER w, 6) AS pct_rank,
+          round(cume_dist() OVER w, 6) AS cume
+        FROM customer WHERE c_custkey < 300
+        WINDOW w AS (PARTITION BY c_mktsegment
+          ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_custkey"""),
+      doc = "percent_rank / cume_dist distribution windows (SURVEY §2.5)")
   )
 }
