@@ -1176,6 +1176,35 @@ object CoreQueries {
         WINDOW w AS (PARTITION BY c_mktsegment
           ORDER BY c_acctbal DESC, c_custkey)
         ORDER BY c_custkey"""),
-      doc = "percent_rank / cume_dist distribution windows (SURVEY §2.5)")
+      doc = "percent_rank / cume_dist distribution windows (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_try_fns",
+      (s, d) => {
+        // error-safe expression surface under ANSI mode: try_divide
+        // returns NULL on /0 where a plain division would raise,
+        // try_cast returns NULL on malformed input — the semantics a
+        // 100 TB batch job needs so one bad row degrades instead of
+        // failing the stage. The malformed-cast column exercises a
+        // genuinely unparseable string built from real data.
+        Tables.orders(s, d).filter(col("o_orderkey") < 200)
+          .select(col("o_orderkey"),
+            round(try_divide(col("o_totalprice"),
+              (col("o_orderkey") % 3).cast(DoubleType)), 4).as("div_or_null"),
+            try_to_number(concat(lit("x"), col("o_orderstatus")), lit("999"))
+              .cast(DoubleType).as("bad_cast"),
+            try_to_number(col("o_orderkey").cast(StringType), lit("999999"))
+              .cast(LongType).as("good_cast"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey,
+          round(o_totalprice / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0.0), 4)
+            AS div_or_null,
+          CAST(TRY_CAST('x' || o_orderstatus AS INTEGER) AS DOUBLE) AS bad_cast,
+          TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS good_cast
+        FROM orders WHERE o_orderkey < 200
+        ORDER BY o_orderkey"""),
+      doc = "try_* error-safe expressions: NULL degradation instead of stage failure under ANSI (SURVEY §2.5)")
   )
 }
