@@ -107,12 +107,19 @@ object AsOfJoin {
       val m = filter(col("__arr"), x => x.getField("__t") >= col(leftTime))
       when(size(m) > 0, element_at(m, 1))
     }
-    val matched = direction match {
-      case Backward => backM
-      case Forward => fwdM
-      case Nearest => nearestOf(backM, fwdM, col(leftTime))
+    // each O(|arr|) direction scan materializes ONCE as a column:
+    // higher-order functions sit outside Spark's subexpression
+    // elimination, so feeding backM/fwdM straight into nearestOf (which
+    // references each input three times) and then extracting P payload
+    // fields would re-run the array scan up to 6P times per row
+    val withMatch = direction match {
+      case Backward => joined.withColumn("__match", backM)
+      case Forward => joined.withColumn("__match", fwdM)
+      case Nearest => joined
+        .withColumn("__mb", backM).withColumn("__mf", fwdM)
+        .withColumn("__match", nearestOf(col("__mb"), col("__mf"), col(leftTime)))
     }
-    payloadCols.foldLeft(joined)((df, c) => df.withColumn(c, matched.getField(c)))
+    payloadCols.foldLeft(withMatch)((df, c) => df.withColumn(c, col("__match").getField(c)))
       .select(left.columns.map(col) ++ payloadCols.map(col): _*)
   }
 
@@ -152,19 +159,6 @@ object AsOfJoin {
           leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           payloadCols.map(c => col(c).as(pay(c))): _*)
 
-    // Backward: right rows sort BEFORE left rows at equal timestamps,
-    // and the running frame looks back -> inclusive <=. Forward is the
-    // mirror: right rows sort AFTER left rows at equal timestamps and
-    // the frame looks ahead -> inclusive >=. Both windows share the
-    // one key-hash exchange; nearest pays a second sort, not a second
-    // shuffle.
-    val wBack = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-
     val unioned = lSide.unionByName(rSide)
     // One running value packed in a side-guarded struct: the wrapper is
     // non-null exactly on right rows, so `ignoreNulls` skips left rows'
@@ -175,18 +169,45 @@ object AsOfJoin {
     // pack carries __t so Nearest can compare distances.
     val pack = when(col("__side") === 0,
       struct(col("__t").as("__t") +: payloadCols.map(c => col(pay(c)).as(c)): _*))
+    // Backward: right rows sort BEFORE left rows at equal timestamps,
+    // and the running frame looks back -> inclusive <=. Forward is the
+    // mirror: right rows sort AFTER left rows at equal timestamps and
+    // the frame looks ahead -> inclusive >=. Both windows share the
+    // one key-hash exchange; nearest pays a second sort, not a second
+    // shuffle. The pack itself is the final ordering term so that
+    // among right rows tied on (key, __t) the window picks the SAME
+    // row as the broadcast strategy's sorted array (max pack for
+    // backward's last(), min pack for forward's first()) — without it
+    // the choice would be partition-input-order dependent.
+    val wBack = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, pack.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc, pack.asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val matched = {
-      val withMatch = direction match {
-        case Backward => unioned.withColumn("__match",
+      // each window value materializes ONCE as a column before any
+      // reuse — nearestOf references its inputs several times, and an
+      // inlined window expression would be planned (and sorted) per
+      // reference
+      val withRaw = direction match {
+        case Backward => unioned.withColumn("__raw",
           last(pack, ignoreNulls = true).over(wBack))
-        case Forward => unioned.withColumn("__match",
+        case Forward => unioned.withColumn("__raw",
           first(pack, ignoreNulls = true).over(wFwd))
         case Nearest => unioned
           .withColumn("__mb", last(pack, ignoreNulls = true).over(wBack))
           .withColumn("__mf", first(pack, ignoreNulls = true).over(wFwd))
-          .withColumn("__match", nearestOf(col("__mb"), col("__mf"), col("__t")))
+          .withColumn("__raw", nearestOf(col("__mb"), col("__mf"), col("__t")))
           .drop("__mb", "__mf")
       }
+      // a left row with NULL time matches nothing in EITHER strategy
+      // (t >= null is unknown — the documented ON-clause semantics);
+      // without the guard, NULLS FIRST ordering puts such rows at the
+      // partition start where the forward frame would "match" the
+      // earliest right row
+      val withMatch = withRaw.withColumn("__match",
+        when(col("__t").isNotNull, col("__raw"))).drop("__raw")
       payloadCols.foldLeft(withMatch)((df, c) => df.withColumn(pay(c), col("__match").getField(c)))
         .drop("__match")
     }

@@ -333,6 +333,10 @@ object SimilarityQueries {
           transform(col("embedding"),
             x => round(x.cast(DoubleType) * lit(1000000.0), 0).cast(LongType))
             .as("varr"))
+        // an empty embedding projects to nothing (the oracle's unnest
+        // drops it); without the guard sequence(1, 0) descends and
+        // zip_with null-pads into NULL projections
+        .filter(size(col("varr")) > 0)
       // sign(j, k) = +1 when ((j*1103515245 + k*12345) % 97) % 2 = 0
       // else -1 — j is the 1-based input dim, k the 0-based output dim;
       // the LCG constants + odd modulus decorrelate rows and columns

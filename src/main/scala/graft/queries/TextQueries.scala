@@ -1051,9 +1051,8 @@ object TextQueries {
             explode(regexp_extract_all(col("t"), lit(urlRe), lit(0))).as("u"))
           .select(col("doc_id"),
             regexp_replace(
-              rtrim(lower(call_function("split_part",
-                call_function("split_part", col("u"), lit("#"), lit(1)),
-                lit("?"), lit(1))), "/"),
+              rtrim(lower(split_part(
+                split_part(col("u"), lit("#"), lit(1)), lit("?"), lit(1))), "/"),
               "://www\\.", "://").as("cu"))
         canon.groupBy("cu")
           .agg(count(lit(1)).as("n_urls"),

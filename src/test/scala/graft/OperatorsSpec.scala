@@ -102,6 +102,37 @@ class OperatorsSpec extends SparkSpec {
       // 250 has only the backward side; exact tie would go backward
       assert(got(AsOfJoin.Nearest, st) === Seq(Some(10L), Some(10L), Some(20L), Some(20L)), s"$st")
     }
+    // a NULL left time matches NOTHING in any direction on either
+    // strategy (t >= null is unknown — ON-clause semantics); the window
+    // plan's NULLS FIRST ordering must not leak the earliest right row
+    // into the forward frame
+    val lNull = Seq((1L, "k", Some(150L)), (2L, "k", None))
+      .toDF("id", "key", "t")
+    for (st <- Seq(AsOfJoin.WindowStrategy, AsOfJoin.BroadcastStrategy);
+         dir <- Seq(AsOfJoin.Backward, AsOfJoin.Forward, AsOfJoin.Nearest)) {
+      val m = AsOfJoin.asof(lNull, r2, Seq("key"), "t", "t", Seq("rid"),
+          direction = dir, strategy = st)
+        .orderBy("id").select("rid").as[Option[Long]].collect().toSeq
+      assert(m(1) === None, s"null left time must not match ($dir, $st)")
+    }
+    // right rows tied on (key, t): both strategies pick the SAME row
+    // (the pack/array tie-break), not an input-order-dependent one
+    val rTie = Seq((1L, "k", 100L), (2L, "k", 100L)).toDF("rid", "key", "t")
+    for (st <- Seq(AsOfJoin.WindowStrategy, AsOfJoin.BroadcastStrategy)) {
+      def tied(dir: AsOfJoin.Direction) =
+        AsOfJoin.asof(Seq((7L, "k", 150L)).toDF("id", "key", "t"), rTie,
+          Seq("key"), "t", "t", Seq("rid"), direction = dir, strategy = st)
+          .select("rid").as[Option[Long]].head()
+      assert(tied(AsOfJoin.Backward) === Some(2L), s"backward tie $st") // max pack
+      assert(tied(AsOfJoin.Nearest) === Some(2L), s"nearest tie $st")
+    }
+    for (st <- Seq(AsOfJoin.WindowStrategy, AsOfJoin.BroadcastStrategy)) {
+      val fwdTied = AsOfJoin.asof(Seq((7L, "k", 50L)).toDF("id", "key", "t"),
+          rTie, Seq("key"), "t", "t", Seq("rid"),
+          direction = AsOfJoin.Forward, strategy = st)
+        .select("rid").as[Option[Long]].head()
+      assert(fwdTied === Some(1L), s"forward tie $st") // min pack
+    }
   }
 
   test("asof join: a right row with a NULL payload still wins over older rows") {
