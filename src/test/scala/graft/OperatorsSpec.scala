@@ -135,6 +135,48 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("asof directions: both strategies equal a sequential reference model under ties and nulls") {
+    val rnd = new scala.util.Random(20260814L)
+    // deliberately collision-heavy: few keys, coarse times, some null
+    // left times — the regime where tie-breaks and null semantics bite
+    val left = Seq.tabulate(300) { i =>
+      (i.toLong, s"u${rnd.nextInt(6)}",
+        if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(40).toLong))
+    }.toDF("id", "key", "t")
+    val right = Seq.tabulate(120) { i =>
+      (1000L + i, s"u${rnd.nextInt(8)}", rnd.nextInt(40).toLong)
+    }.toDF("rid", "key", "t")
+    val rightRows = right.as[(Long, String, Long)].collect()
+      .groupBy(_._2).map { case (k, rs) =>
+        // the operator's documented tie order: (time, payload) ascending
+        k -> rs.map(r => (r._3, r._1)).sortBy(identity).toVector
+      }
+    def ref(key: String, t: Option[Long], dir: AsOfJoin.Direction): Option[Long] = t.flatMap { lt =>
+      val arr = rightRows.getOrElse(key, Vector.empty)
+      val back = arr.filter(_._1 <= lt).lastOption
+      val fwd = arr.filter(_._1 >= lt).headOption
+      dir match {
+        case AsOfJoin.Backward => back.map(_._2)
+        case AsOfJoin.Forward => fwd.map(_._2)
+        case AsOfJoin.Nearest => (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            Some(if (lt - b._1 <= f._1 - lt) b._2 else f._2)
+          case (b, f) => b.orElse(f).map(_._2)
+        }
+      }
+    }
+    val leftRows = left.as[(Long, String, Option[Long])].collect()
+    for (dir <- Seq(AsOfJoin.Backward, AsOfJoin.Forward, AsOfJoin.Nearest);
+         st <- Seq(AsOfJoin.WindowStrategy, AsOfJoin.BroadcastStrategy)) {
+      val got = AsOfJoin.asof(left, right, Seq("key"), "t", "t", Seq("rid"),
+          direction = dir, strategy = st)
+        .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+      leftRows.foreach { case (id, k, t) =>
+        assert(got(id) === ref(k, t, dir), s"id=$id key=$k t=$t ($dir, $st)")
+      }
+    }
+  }
+
   test("asof join: a right row with a NULL payload still wins over older rows") {
     // most recent right row at t=200 carries rid=NULL; the match must be
     // that NULL, not the older rid=10 (single-payload path regression:
