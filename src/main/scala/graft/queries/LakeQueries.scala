@@ -666,6 +666,31 @@ object LakeQueries {
         SELECT * FROM orders
         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         ORDER BY o_orderkey"""),
-      doc = "manifest rewrite + codec migration: consolidated parquet manifests still prune; data invariant")
+      doc = "manifest rewrite + codec migration: consolidated parquet manifests still prune; data invariant"),
+
+    // ------------------------------------------------------------------
+    Q("sql_ddl_lifecycle",
+      (s, d) => {
+        // the pure-SQL table lifecycle an analyst runs without touching
+        // the Scala API: CTAS with transform partitioning, INSERT INTO
+        // ... SELECT, ALTER TABLE ADD COLUMNS (field-id schema
+        // evolution), then UPDATE against the evolved column — every
+        // statement through the parser/analyzer facade, end state
+        // hash-compared.
+        val wh = Files.createTempDirectory("graft-ddlgate-").toString
+        s.conf.set("spark.graft.warehouse", wh)
+        Tables.orders(s, d).createOrReplaceTempView("orders_ddl_src")
+        s.sql("""CREATE TABLE lake.orders_ddl PARTITIONED BY (years(o_orderdate))
+          AS SELECT * FROM orders_ddl_src WHERE o_orderkey % 2 = 0""")
+        s.sql("""INSERT INTO lake.orders_ddl
+          SELECT * FROM orders_ddl_src WHERE o_orderkey % 2 = 1""")
+        s.sql("ALTER TABLE lake.orders_ddl ADD COLUMNS (tier STRING)")
+        s.sql("UPDATE lake.orders_ddl SET tier = 'big' WHERE o_totalprice > 300000")
+        s.sql("SELECT * FROM lake.orders_ddl ORDER BY o_orderkey")
+      },
+      oracle = Some("""
+        SELECT *, CASE WHEN o_totalprice > 300000 THEN 'big' END AS tier
+        FROM orders ORDER BY o_orderkey"""),
+      doc = "pure-SQL lifecycle: CTAS + INSERT SELECT + ALTER ADD + UPDATE on the evolved column")
   )
 }
