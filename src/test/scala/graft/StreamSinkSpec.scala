@@ -426,4 +426,29 @@ class StreamSinkSpec extends SparkSpec {
     assert(engine.scan(t).toDF().count() === expected)
     assert(t.refresh().metadata.snapshots.size === snapsAfterRun)
   }
+
+  test("stream-stream interval join equals the batch join and crosses batch boundaries") {
+    val name = "ssj_spec"
+    val got = StreamPipeline.streamStreamIntervalJoin(spark, sf, name)
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, sf).filter(col("user_id") < 30)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"), col("user_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("pts"),
+        col("user_id").as("pu"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("pu") && col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("interval 1 hour"))
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === batch)
+    assert(got.nonEmpty, "fixture must produce at least one matched pair")
+    // the two sides split even/odd event ids across micro-batches, so a
+    // pair with opposite parities was matched through BUFFERED state
+    // from an earlier batch — the cross-batch claim, mechanically pinned
+    assert(got.exists { case (c, p) => c % 2 != p % 2 },
+      "expected at least one cross-batch match")
+  }
 }
