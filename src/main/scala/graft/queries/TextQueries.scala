@@ -1083,7 +1083,40 @@ object TextQueries {
         SELECT cu, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
           min(doc_id) AS min_doc
         FROM c GROUP BY cu HAVING count(*) > 1 ORDER BY cu"""),
-      doc = "URL canonicalization dedup: fragment/query cut, case fold, www fold, slash trim -> canonical groups (training-data op)")
+      doc = "URL canonicalization dedup: fragment/query cut, case fold, www fold, slash trim -> canonical groups (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("text_weighted_sample",
+      (s, d) => {
+        // weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+        // 2006, A-ES): each document draws key = -ln(u)/w from a
+        // deterministic pseudo-uniform u (the engine-portable LCG hash
+        // — a seeded RNG would not replay across engines or retries)
+        // and weight w = its length; the k smallest keys are the
+        // sample. One map stage + a top-k: the distributed
+        // weighted-subsampling shape (quality-weighted corpus thinning)
+        // at any scale — no prefix sums, no global sort beyond top-k.
+        // Keys round to 9dp before ranking so both engines rank the
+        // IDENTICAL doubles; doc_id breaks exact ties.
+        val k = 100
+        val u = hash01Of(col("doc_id") + lit(7L)) // shifted so u > 0
+        val key = round(-log(u) / length(col("text")).cast(DoubleType), 9)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            length(col("text")).as("w"), key.as("es_key"))
+          .orderBy(asc("es_key"), asc("doc_id"))
+          .limit(k)
+      },
+      oracle = Some("""
+        WITH keyed AS (
+          SELECT doc_id, source, length(text) AS w,
+            round(-ln(CAST((((doc_id + 7) % 4294967296) * 1103515245 + 12345)
+                  % 4294967296 AS DOUBLE) / 4294967296.0)
+              / CAST(length(text) AS DOUBLE), 9) AS es_key
+          FROM documents)
+        SELECT doc_id, source, w, es_key FROM keyed
+        ORDER BY es_key, doc_id LIMIT 100"""),
+      doc = "weighted sampling without replacement (Efraimidis-Spirakis A-ES): deterministic keys, top-k selection (training-data op)")
   ) :+ bpeVocabQ
 
   /** BPE merge-rule training (Sennrich et al. 2016, arXiv:1508.07909) —
