@@ -691,6 +691,37 @@ object LakeQueries {
       oracle = Some("""
         SELECT *, CASE WHEN o_totalprice > 300000 THEN 'big' END AS tier
         FROM orders ORDER BY o_orderkey"""),
-      doc = "pure-SQL lifecycle: CTAS + INSERT SELECT + ALTER ADD + UPDATE on the evolved column")
+      doc = "pure-SQL lifecycle: CTAS + INSERT SELECT + ALTER ADD + UPDATE on the evolved column"),
+
+    // ------------------------------------------------------------------
+    Q("lake_agg_pushdown",
+      (s, d) => {
+        // DSv2 aggregate pushdown: COUNT(*)/MIN/MAX over the connector
+        // answer from manifest stats — ZERO data files read (Dsv2AggSpec
+        // proves it by deleting the parquet files and aggregating
+        // anyway; soundness guards fall back to a real scan for NaN
+        // max, truncated string bounds, and filtered reads). The gate
+        // hash-pins the VALUES against SQL over the source parquet.
+        val (e, _) = freshEngine(s, "aggpush")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders_ap", orders.schema,
+          partitionSpec = Seq(PartitionField("o_year", "o_orderdate", "year")))
+        e.insert(t, orders)
+        s.read.format("graft-lake").option("path", t.location).load()
+          .agg(count(lit(1)).as("n"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"),
+            min(col("o_orderdate")).as("first_date"),
+            max(col("o_orderdate")).as("last_date"))
+      },
+      oracle = Some("""
+        SELECT count(*) AS n,
+          min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+          min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+          min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+        FROM orders"""),
+      doc = "DSv2 aggregate pushdown: count/min/max answered from manifest stats, zero data-file IO")
   )
 }

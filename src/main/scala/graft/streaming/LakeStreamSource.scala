@@ -350,7 +350,8 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
     maxBytesPerTrigger: Option[Long] = None)
   extends ScanBuilder with Scan
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   // pruning-only pushdown: every filter stays residual (Spark re-applies
   // them all), the convertible conjunction drives metadata file pruning
@@ -375,20 +376,135 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
 
   override def build(): Scan = this
   override def readSchema(): StructType = out
-  override def description(): String = s"graft-lake $location pruned-by: ${pred}"
+  override def description(): String =
+    if (aggRow.isDefined) s"graft-lake $location metadata-aggregated"
+    else s"graft-lake $location pruned-by: ${pred}"
+
+  // ---- aggregate pushdown: COUNT(*)/MIN/MAX answered from manifests —
+  // zero data files read (Iceberg-style metadata aggregation). Complete
+  // pushdown only, and only when provably exact: global aggregation, no
+  // pushed filter (planned files would be a may-match superset), typed
+  // numeric/temporal columns only (string/binary bounds are TRUNCATED
+  // by the writer; decimal kept out for simplicity), per-file stats
+  // present wherever a value is needed, and float/double MAX refused
+  // unless every file's NaN count is known zero (footer bounds exclude
+  // NaN, but Spark's MAX ranks NaN greatest). MIN stays sound under
+  // NaNs: a file whose non-null values are all NaN has no finite bound
+  // recorded and is refused via the missing-stats rule.
+  private var aggRow: Option[Seq[Any]] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metadataAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metadataAgg(agg) match {
+      case Some((schema, row)) =>
+        out = schema
+        aggRow = Some(row)
+        true
+      case None => false
+    }
+
+  private def metadataAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
+      Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
+    import org.apache.spark.sql.types._
+    if (changes || agg.groupByExpressions.nonEmpty || pred != graft.scan.AlwaysTrue)
+      return None
+    val table = LakeTable.load(location)
+    val spark = ClassicSession.active
+    val files = new graft.scan.TableScan(spark, table, graft.scan.AlwaysTrue, ref)
+      .planFiles().filter(_.recordCount > 0)
+    val schema = table.schema
+    val idByName = schema.fields.map(f => f.name -> graft.format.FieldIds.of(f)).toMap
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          schema.fields.find(_.name == nr.fieldNames()(0))
+        case _ => None
+      }
+    def parse(dt: DataType, s: String): Option[Any] = dt match {
+      case ByteType => Some(s.toByte)
+      case ShortType => Some(s.toShort)
+      case IntegerType => Some(s.toInt)
+      case LongType => Some(s.toLong)
+      case FloatType => Some(s.toFloat)
+      case DoubleType => Some(s.toDouble)
+      case DateType => Some(s.toInt) // canonical = epoch days
+      case TimestampType | TimestampNTZType => Some(s.toLong) // epoch micros
+      case _ => None // strings/binary truncated; decimal unsupported
+    }
+    def ord(dt: DataType): Option[Ordering[Any]] = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType | TimestampNTZType =>
+        Some(Ordering.by((v: Any) => v.asInstanceOf[Number].longValue()))
+      case FloatType | DoubleType =>
+        Some(Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue()))
+      case _ => None
+    }
+    def bound(f: StructField, isMin: Boolean): Option[Any] = {
+      val fid = idByName.get(f.name).filter(_ > 0).map(_.toString).getOrElse(return None)
+      val ordering = ord(f.dataType).getOrElse(return None)
+      if (!isMin && (f.dataType == FloatType || f.dataType == DoubleType) &&
+          !files.forall(_.stats.get(fid).exists(_.nanCount.contains(0L))))
+        return None // NaN would out-rank the recorded footer max
+      val perFile = files.map { fe =>
+        fe.stats.get(fid) match {
+          case None => return None // unknown file: cannot answer exactly
+          case Some(cs) if cs.nullCount == fe.recordCount => None // all-null file
+          case Some(cs) =>
+            val b = if (isMin) cs.min else cs.max
+            b match {
+              case None => return None // values exist but no recorded bound
+              case Some(s) => Some(parse(f.dataType, s).getOrElse(return None))
+            }
+        }
+      }
+      val defined = perFile.flatten
+      if (defined.isEmpty) Some(null) // zero rows or all null -> NULL aggregate
+      else Some(if (isMin) defined.min(ordering) else defined.max(ordering))
+    }
+    val resolved: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          files.map(_.recordCount).sum: Any))
+      case m: Min => colOf(m.column).flatMap(f =>
+        bound(f, isMin = true).map(v => (StructField(s"min_${f.name}", f.dataType), v)))
+      case m: Max => colOf(m.column).flatMap(f =>
+        bound(f, isMin = false).map(v => (StructField(s"max_${f.name}", f.dataType), v)))
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) None
+    else {
+      val cols = resolved.flatten
+      Some((StructType(cols.map(_._1)), cols.map(_._2)))
+    }
+  }
 
   override def toBatch: Batch = {
     if (changes)
       throw new IllegalArgumentException(
         "read-changes is a streaming option; for a batch change feed use " +
           "SQL lake.`t$changes_<fromSnapshot>` or LakeEngine.readChanges")
-    new Batch {
-      private val spark = ClassicSession.active
-      private val table = LakeTable.load(location)
-      private lazy val planned = LakeDsv2.plan(spark, table,
-        new graft.scan.TableScan(spark, table, pred, ref).planFiles(), out)
-      override def planInputPartitions(): Array[InputPartition] = planned._1
-      override def createReaderFactory(): PartitionReaderFactory = planned._2
+    aggRow match {
+      case Some(row) => new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(LocalRowsPartition(Seq(row)))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new LocalRowsReaderFactory
+      }
+      case None => new Batch {
+        private val spark = ClassicSession.active
+        private val table = LakeTable.load(location)
+        private lazy val planned = LakeDsv2.plan(spark, table,
+          new graft.scan.TableScan(spark, table, pred, ref).planFiles(), out)
+        override def planInputPartitions(): Array[InputPartition] = planned._1
+        override def createReaderFactory(): PartitionReaderFactory = planned._2
+      }
     }
   }
 
@@ -405,6 +521,30 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
             "read-changes (CDC batches step per commit); remove one of the options")
       new LakeChangesMicroBatchStream(location)
     } else new LakeMicroBatchStream(location, maxFilesPerTrigger, maxBytesPerTrigger)
+  }
+}
+
+/** Driver-computed rows shipped to one task — the carrier for
+  * metadata-answered aggregates (values are catalyst-internal and
+  * Serializable; the partition is a single bounded row). */
+private[streaming] final case class LocalRowsPartition(rows: Seq[Seq[Any]])
+  extends InputPartition
+
+private[streaming] final class LocalRowsReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = p.asInstanceOf[LocalRowsPartition].rows
+    new PartitionReader[InternalRow] {
+      private val it = rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          cur = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            it.next().toArray)
+          true
+        } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
   }
 }
 

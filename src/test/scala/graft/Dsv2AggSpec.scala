@@ -1,0 +1,98 @@
+package graft
+
+import graft.commands.LakeEngine
+import graft.format.LakeCatalog
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** DSv2 aggregate pushdown: COUNT(*)/MIN/MAX answered from manifest
+  * stats with zero data-file IO — proven by DELETING the parquet data
+  * files and aggregating anyway. Soundness guards (NaN max, string
+  * bounds, filters) fall back to the real scan.
+  */
+class Dsv2AggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(prefix: String): (LakeEngine, String) = {
+    val wh = Files.createTempDirectory(s"graft-$prefix-").toString
+    (new LakeEngine(spark, new LakeCatalog(wh)), wh)
+  }
+
+  test("count/min/max answer from metadata even after data files are deleted") {
+    val (engine, _) = mk("aggpush")
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable("orders_agg", orders.schema)
+    engine.insert(t, orders.filter(col("o_orderkey") % 2 === 0))
+    engine.insert(t, orders.filter(col("o_orderkey") % 2 =!= 0))
+    val expected = orders.agg(count(lit(1)), min(col("o_orderkey")),
+      max(col("o_totalprice")), min(col("o_orderdate"))).head()
+
+    def agg() = spark.read.format("graft-lake").option("path", t.location).load()
+      .agg(count(lit(1)), min(col("o_orderkey")), max(col("o_totalprice")),
+        min(col("o_orderdate"))).head()
+    assert(agg() === expected)
+
+    // the plan must contain the metadata-aggregated scan, no parquet read
+    val plan = spark.read.format("graft-lake").option("path", t.location).load()
+      .agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(plan.contains("metadata-aggregated"), s"expected metadata agg scan:\n$plan")
+
+    // nuke every data file: only metadata can answer now
+    import scala.jdk.CollectionConverters._
+    val dataFiles = Files.walk(Paths.get(t.location, "data")).iterator().asScala
+      .filter(Files.isRegularFile(_)).toList
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach(Files.delete)
+    assert(agg() === expected, "metadata-only answer after data deletion")
+  }
+
+  test("guards: filters, strings, and NaN max fall back to the real scan") {
+    val (engine, _) = mk("aggguard")
+    val df = Seq((1L, "a", 1.5), (2L, "b", Double.NaN), (3L, "c", 9.0))
+      .toDF("id", "s", "v")
+    val t = engine.catalog.createTable("guard_t", df.schema)
+    engine.insert(t, df)
+    val reader = spark.read.format("graft-lake").option("path", t.location)
+
+    // NaN present: max(v) must NOT be metadata-answered (footer bounds
+    // exclude NaN but Spark ranks NaN greatest) — and the scan answer
+    // is NaN as Spark semantics demand
+    val mx = reader.load().agg(max(col("v"))).head().getDouble(0)
+    assert(mx.isNaN)
+    val planNaN = reader.load().agg(max(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(!planNaN.contains("metadata-aggregated"), planNaN)
+    // min over the same column IS metadata-answerable (NaN never wins a min)
+    assert(reader.load().agg(min(col("v"))).head().getDouble(0) === 1.5)
+
+    // string bounds are truncated by the writer: never metadata-answered
+    val planStr = reader.load().agg(max(col("s")))
+      .queryExecution.executedPlan.toString
+    assert(!planStr.contains("metadata-aggregated"), planStr)
+    assert(reader.load().agg(max(col("s"))).head().getString(0) === "c")
+
+    // a filter makes planned files a may-match superset: full scan path
+    val filtered = reader.load().filter(col("id") > 1).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("metadata-aggregated"))
+    assert(filtered.head().getLong(0) === 2L)
+  }
+
+  test("all-null column aggregates to NULL from metadata; empty table counts zero") {
+    val (engine, _) = mk("aggnull")
+    val df = Seq((1L, Option.empty[java.lang.Double]), (2L, Option.empty[java.lang.Double]))
+      .toDF("id", "v")
+    val t = engine.catalog.createTable("null_t", df.schema)
+    engine.insert(t, df)
+    val got = spark.read.format("graft-lake").option("path", t.location).load()
+      .agg(count(lit(1)), min(col("v")), max(col("id"))).head()
+    assert(got.getLong(0) === 2L)
+    assert(got.isNullAt(1))
+    assert(got.getLong(2) === 2L)
+
+    val t2 = engine.catalog.createTable("empty_t", df.schema)
+    val got2 = spark.read.format("graft-lake").option("path", t2.location).load()
+      .agg(count(lit(1)), min(col("id"))).head()
+    assert(got2.getLong(0) === 0L)
+    assert(got2.isNullAt(1))
+  }
+}
