@@ -351,7 +351,37 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
   extends ScanBuilder with Scan
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Accurate pre-execution statistics from the PRUNED file set —
+    * manifest record counts and byte sizes after partition/stats
+    * pruning, scaled by the projection's column fraction. Catalyst's
+    * join planning (broadcast-vs-shuffle, build-side choice) sees the
+    * post-pruning size instead of a blind default, so a selective
+    * lake read joins like the small relation it actually is. Planning
+    * cost is metadata-only (the same planFiles the read itself uses). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    import java.util.OptionalLong
+    val files =
+      try {
+        val table = LakeTable.load(location)
+        new graft.scan.TableScan(ClassicSession.active, table, pred, ref).planFiles()
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty[FileEntry] }
+    val rows = files.map(_.recordCount).sum
+    val bytes = files.map(_.sizeBytes).sum
+    // column pruning shrinks what the read materializes; approximate
+    // per-column weight uniformly (parquet sizes per column are not in
+    // the manifests) with a floor so the estimate never reaches 0
+    val frac =
+      if (outSchema.fields.isEmpty) 1.0
+      else math.max(out.fields.length.toDouble / outSchema.fields.length, 0.1)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): OptionalLong =
+        OptionalLong.of(math.max((bytes * frac).toLong, 1L))
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+  }
 
   // pruning-only pushdown: every filter stays residual (Spark re-applies
   // them all), the convertible conjunction drives metadata file pruning

@@ -77,6 +77,27 @@ class Dsv2AggSpec extends SparkSpec {
     assert(filtered.head().getLong(0) === 2L)
   }
 
+  test("scan statistics report the PRUNED size; selective lake reads broadcast") {
+    val (engine, _) = mk("stats")
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable("orders_st", orders.schema,
+      partitionSpec = Seq(graft.format.PartitionField("o_year", "o_orderdate", "year")))
+    engine.insert(t, orders)
+    def read = spark.read.format("graft-lake").option("path", t.location).load()
+    val full = read.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pruned = read
+      .filter(col("o_orderdate") >= expr("TIMESTAMP_NTZ'2001-01-01 00:00:00'"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(pruned < full, s"pruned=$pruned full=$full")
+    // accurate pruned stats flip the join to a broadcast build without a hint
+    val plan = orders.join(
+        read.filter(col("o_orderdate") >= expr("TIMESTAMP_NTZ'2001-01-01 00:00:00'"))
+          .select(col("o_orderkey").as("k")),
+        col("o_orderkey") === col("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("all-null column aggregates to NULL from metadata; empty table counts zero") {
     val (engine, _) = mk("aggnull")
     val df = Seq((1L, Option.empty[java.lang.Double]), (2L, Option.empty[java.lang.Double]))
