@@ -352,7 +352,69 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Dynamic file pruning (the DSv2 analog of dynamic partition
+    * pruning): Spark collects the join's build-side keys at runtime and
+    * pushes an IN filter here BEFORE planInputPartitions runs; the
+    * filter ANDs into the metadata pruner so a fact scan joined to a
+    * filtered dim plans only the files the dim's keys may touch —
+    * O(matching) instead of O(table) at 100 TB. Advertised for every
+    * top-level column: identity-partition values prune exactly, and
+    * footer min/max make IN-set pruning sound (never wrong, possibly
+    * conservative) on any other column. Runtime filters are
+    * execution-time hints — rows are still re-filtered by the join. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (changes) Array.empty
+    // only columns the (possibly pruned) scan OUTPUT carries: Spark
+    // resolves these against the scan's output attributes, and a
+    // projected-away column fails analysis inside PartitionPruning
+    else out.fields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(
+      filters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    // catalyst-internal literal -> external value the Pred layer's
+    // literalKey understands (UTF8String -> String, micros/days -> the
+    // temporal classes toEpochMicros accepts)
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        (l.dataType, l.value) match {
+        case (_, s: org.apache.spark.unsafe.types.UTF8String) => Some(s.toString)
+        case (TimestampType | TimestampNTZType, micros: java.lang.Long) =>
+          Some(java.time.Instant.ofEpochSecond(
+            java.lang.Math.floorDiv(micros, 1000000L),
+            java.lang.Math.floorMod(micros, 1000000L) * 1000L))
+        case (DateType, days: java.lang.Integer) =>
+          Some(java.time.LocalDate.ofEpochDay(days.longValue()))
+        case (_, v) => Some(v)
+      }
+      case _ => None
+    }
+    val preds = filters.toSeq.flatMap { p =>
+      p.name() match {
+        case "IN" => p.children().toSeq match {
+          case (nr: NamedReference) +: vals if nr.fieldNames.length == 1 =>
+            val vs = vals.map(lit)
+            if (vs.forall(_.isDefined))
+              Some(graft.scan.In(nr.fieldNames()(0), vs.flatten))
+            else None
+          case _ => None
+        }
+        case "=" => p.children().toSeq match {
+          case Seq(nr: NamedReference, v) if nr.fieldNames.length == 1 =>
+            lit(v).map(graft.scan.Eq(nr.fieldNames()(0), _))
+          case _ => None
+        }
+        case _ => None // unconvertible runtime filters are hints; skip
+      }
+    }
+    if (preds.nonEmpty)
+      pred = preds.foldLeft(pred)(graft.scan.And(_, _))
+  }
 
   /** Accurate pre-execution statistics from the PRUNED file set —
     * manifest record counts and byte sizes after partition/stats

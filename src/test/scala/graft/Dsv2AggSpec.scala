@@ -98,6 +98,29 @@ class Dsv2AggSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("runtime filtering: the dim's join keys prune fact files at execution") {
+    val (engine, _) = mk("dpp")
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable("orders_dpp", orders.schema,
+      partitionSpec = Seq(graft.format.PartitionField("o_status", "o_orderstatus", "identity")))
+    engine.insert(t, orders)
+    // the dim's selective filter must survive optimization (a local Seq
+    // constant-folds) AND sit on a NON-join column — a join-key
+    // equality would be inferred into a static pushed filter and
+    // nothing would be left for runtime pruning to do
+    val dimPath = Files.createTempDirectory("graft-dpp-dim-").toString
+    Seq(("P", 1L), ("O", 2L), ("F", 3L)).toDF("st", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === 1)
+    val fact = spark.read.format("graft-lake").option("path", t.location).load()
+    val q = fact.join(broadcast(dim), col("o_orderstatus") === col("st"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning") ||
+      plan.contains("RuntimeFilters: [in"), s"expected a runtime filter:\n$plan")
+    val expected = orders.filter(col("o_orderstatus") === "P").count()
+    assert(q.count() === expected)
+  }
+
   test("all-null column aggregates to NULL from metadata; empty table counts zero") {
     val (engine, _) = mk("aggnull")
     val df = Seq((1L, Option.empty[java.lang.Double]), (2L, Option.empty[java.lang.Double]))
