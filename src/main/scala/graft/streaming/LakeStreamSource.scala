@@ -353,7 +353,36 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+
+  /** Unordered LIMIT pushdown: plan only enough files (by manifest
+    * record counts) to cover the limit — a `df.limit(n).collect()` or
+    * `.show()` against a 10^6-file table touches O(n/rows-per-file)
+    * files instead of all of them. Partial push: Spark still applies
+    * the exact row limit above the scan, so over-planning by one file
+    * is always sound. File order is the manifest plan order —
+    * any-n-rows semantics, which is all an unordered LIMIT promises. */
+  private var limitRows: Option[Int] = None
+  override def pushLimit(limit: Int): Boolean = {
+    if (!changes) limitRows = Some(limit)
+    false // partial: the scan bounds FILES, Spark still limits rows
+  }
+
+  private def applyLimit(files: Seq[FileEntry]): Seq[FileEntry] =
+    limitRows match {
+      case Some(n) =>
+        val out = Seq.newBuilder[FileEntry]
+        var seen = 0L
+        val it = files.iterator
+        while (seen < n && it.hasNext) {
+          val f = it.next()
+          out += f
+          seen += f.recordCount
+        }
+        out.result()
+      case None => files
+    }
 
   /** Dynamic file pruning (the DSv2 analog of dynamic partition
     * pruning): Spark collects the join's build-side keys at runtime and
@@ -593,7 +622,7 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
         private val spark = ClassicSession.active
         private val table = LakeTable.load(location)
         private lazy val planned = LakeDsv2.plan(spark, table,
-          new graft.scan.TableScan(spark, table, pred, ref).planFiles(), out)
+          applyLimit(new graft.scan.TableScan(spark, table, pred, ref).planFiles()), out)
         override def planInputPartitions(): Array[InputPartition] = planned._1
         override def createReaderFactory(): PartitionReaderFactory = planned._2
       }

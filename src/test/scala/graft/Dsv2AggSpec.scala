@@ -121,6 +121,25 @@ class Dsv2AggSpec extends SparkSpec {
     assert(q.count() === expected)
   }
 
+  test("limit pushdown plans only enough files to cover the limit") {
+    val (engine, _) = mk("limit")
+    val orders = Tables.orders(spark, sf)
+    val t = engine.catalog.createTable("orders_lim", orders.schema)
+    (0 until 6).foreach(i => engine.insert(t, orders.filter(col("o_orderkey") % 6 === i)))
+    val read = spark.read.format("graft-lake").option("path", t.location).load()
+    def scanParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.getOrElse(fail("no BatchScanExec in plan"))
+    val full = scanParts(read)
+    val limited = scanParts(read.limit(5))
+    assert(limited < full, s"limited=$limited full=$full")
+    assert(read.limit(5).collect().length === 5)
+    // limit + filter compose: pruned first, then file-capped
+    assert(read.filter(col("o_orderkey") % 6 === 2).limit(3).collect().length === 3)
+  }
+
   test("all-null column aggregates to NULL from metadata; empty table counts zero") {
     val (engine, _) = mk("aggnull")
     val df = Seq((1L, Option.empty[java.lang.Double]), (2L, Option.empty[java.lang.Double]))
