@@ -1097,10 +1097,16 @@ object TextQueries {
         // weighted-subsampling shape (quality-weighted corpus thinning)
         // at any scale — no prefix sums, no global sort beyond top-k.
         // Keys round to 9dp before ranking so both engines rank the
-        // IDENTICAL doubles; doc_id breaks exact ties.
+        // IDENTICAL doubles; doc_id breaks exact ties. u maps the hash
+        // into (0, 1] — +1 over 2^32+1 — because the LCG has exactly
+        // one zero residue and ln(0) is NULL in Spark but an ERROR in
+        // DuckDB; the weight is floored at 1 so a zero-length document
+        // cannot divide by zero.
         val k = 100
-        val u = hash01Of(col("doc_id") + lit(7L)) // shifted so u > 0
-        val key = round(-log(u) / length(col("text")).cast(DoubleType), 9)
+        val u = (pmod(pmod(col("doc_id") + lit(7L), lit(4294967296L)) * lit(1103515245L)
+          + lit(12345L), lit(4294967296L)) + lit(1L)).cast(DoubleType) / lit(4294967297.0)
+        val key = round(-log(u) /
+          greatest(length(col("text")), lit(1)).cast(DoubleType), 9)
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             length(col("text")).as("w"), key.as("es_key"))
@@ -1111,8 +1117,8 @@ object TextQueries {
         WITH keyed AS (
           SELECT doc_id, source, length(text) AS w,
             round(-ln(CAST((((doc_id + 7) % 4294967296) * 1103515245 + 12345)
-                  % 4294967296 AS DOUBLE) / 4294967296.0)
-              / CAST(length(text) AS DOUBLE), 9) AS es_key
+                  % 4294967296 + 1 AS DOUBLE) / 4294967297.0)
+              / CAST(greatest(length(text), 1) AS DOUBLE), 9) AS es_key
           FROM documents)
         SELECT doc_id, source, w, es_key FROM keyed
         ORDER BY es_key, doc_id LIMIT 100"""),

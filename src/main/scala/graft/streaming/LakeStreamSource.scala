@@ -205,40 +205,86 @@ private[streaming] object LakeDsv2 {
     * the scan must produce: current-schema groups read exactly those
     * columns from parquet; older-schema groups read their id-matched
     * source columns and project. */
+  /** Re-attach field ids to the pruned output slice (pruneColumns hands
+    * back metadata-free columns; ids drive the evolution projection).
+    * Fields that already carry an id (a stream's pinned schema) are kept
+    * verbatim so a concurrent table evolution cannot change the output
+    * layout mid-stream. */
+  private def outWithIds(table: LakeTable, out: StructType): StructType = {
+    val cur = table.schema
+    StructType(out.fields.map(f =>
+      if (graft.format.FieldIds.of(f) >= 0) f
+      else cur.fields.find(_.name == f.name).getOrElse(f)))
+  }
+
+  /** Columns of written schema `sid` feeding the requested output (id
+    * match); reading only those is the column-pruning pushdown. */
+  private def readWrittenFor(table: LakeTable, sid: Int, outIds: StructType): StructType = {
+    val ids = outIds.fields.map(graft.format.FieldIds.of).toSet
+    StructType(table.schemaFor(sid).fields.filter(f =>
+      ids.contains(graft.format.FieldIds.of(f))))
+  }
+
+  private def parquetScanFor(spark: ClassicSession, readWritten: StructType,
+      files: Seq[FileEntry]) = {
+    val index = new InMemoryFileIndex(spark, files.map(f => new Path(f.path)),
+      Map.empty, Some(clean(readWritten)), userSpecifiedPartitionSpec = Some(PartitionSpec.emptySpec))
+    ParquetScanBuilder(spark, index, clean(readWritten), clean(readWritten),
+      new CaseInsensitiveStringMap(new java.util.HashMap[String, String]())).build()
+  }
+
   def plan(spark: ClassicSession, table: LakeTable, files: Seq[FileEntry],
       out: StructType): (Array[InputPartition], PartitionReaderFactory) = {
     if (files.isEmpty) return (Array.empty, EmptyReaderFactory)
-    val cur = table.schema
-    // re-attach field ids to the pruned output slice (pruneColumns hands
-    // back metadata-free columns; ids drive the evolution projection).
-    // Fields that already carry an id (a stream's pinned schema) are kept
-    // verbatim so a concurrent table evolution cannot change the output
-    // layout mid-stream.
-    val outWithIds = StructType(out.fields.map(f =>
-      if (graft.format.FieldIds.of(f) >= 0) f
-      else cur.fields.find(_.name == f.name).getOrElse(f)))
+    val outIds = outWithIds(table, out)
     val groups = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
     val parts = Vector.newBuilder[InputPartition]
     val factories = Map.newBuilder[Int, PartitionReaderFactory]
     val projections = Map.newBuilder[Int, Seq[Expression]]
     groups.foreach { case (sid, fs) =>
-      val written = table.schemaFor(sid)
-      // columns of the written schema feeding the requested output (id
-      // match); reading only those is the column-pruning pushdown
-      val outIds = outWithIds.fields.map(graft.format.FieldIds.of).toSet
-      val readWritten = StructType(written.fields.filter(f =>
-        outIds.contains(graft.format.FieldIds.of(f))))
-      val index = new InMemoryFileIndex(spark, fs.map(f => new Path(f.path)),
-        Map.empty, Some(clean(readWritten)), userSpecifiedPartitionSpec = Some(PartitionSpec.emptySpec))
-      val scan = ParquetScanBuilder(spark, index, clean(readWritten), clean(readWritten),
-        new CaseInsensitiveStringMap(new java.util.HashMap[String, String]())).build()
-      val batch = scan.toBatch
+      val readWritten = readWrittenFor(table, sid, outIds)
+      val batch = parquetScanFor(spark, readWritten, fs).toBatch
       batch.planInputPartitions().foreach(p => parts += SchemaGroupPartition(sid, p))
       factories += sid -> batch.createReaderFactory()
-      if (clean(readWritten) != clean(outWithIds))
-        projections += sid -> boundEvolveExprs(spark, readWritten, outWithIds)
+      if (clean(readWritten) != clean(outIds))
+        projections += sid -> boundEvolveExprs(spark, readWritten, outIds)
     }
     (parts.result().toArray, GroupReaderFactory(factories.result(), projections.result()))
+  }
+
+  /** Partitions only — used with [[readerFactory]] by the batch scan,
+    * where Spark may re-plan partitions after runtime filtering while
+    * keeping the factory built at physical planning. */
+  def planPartitions(spark: ClassicSession, table: LakeTable, files: Seq[FileEntry],
+      out: StructType): Array[InputPartition] = {
+    if (files.isEmpty) return Array.empty
+    val outIds = outWithIds(table, out)
+    val parts = Vector.newBuilder[InputPartition]
+    files.groupBy(_.schemaId).toSeq.sortBy(_._1).foreach { case (sid, fs) =>
+      val batch = parquetScanFor(spark, readWrittenFor(table, sid, outIds), fs).toBatch
+      batch.planInputPartitions().foreach(p => parts += SchemaGroupPartition(sid, p))
+    }
+    parts.result().toArray
+  }
+
+  /** Factory covering EVERY schema id the snapshot knows — built from
+    * an empty file index (the parquet reader factory derives from
+    * schema + conf, not from the planned files), so factory creation
+    * costs O(schemas), never O(files). Any file set planned from the
+    * same snapshot is a subset of these groups. */
+  def readerFactory(spark: ClassicSession, table: LakeTable,
+      out: StructType): PartitionReaderFactory = {
+    val outIds = outWithIds(table, out)
+    val factories = Map.newBuilder[Int, PartitionReaderFactory]
+    val projections = Map.newBuilder[Int, Seq[Expression]]
+    table.metadata.schemas.keys.map(_.toInt).toSeq.sorted.foreach { sid =>
+      val readWritten = readWrittenFor(table, sid, outIds)
+      factories += sid ->
+        parquetScanFor(spark, readWritten, Seq.empty).toBatch.createReaderFactory()
+      if (clean(readWritten) != clean(outIds))
+        projections += sid -> boundEvolveExprs(spark, readWritten, outIds)
+    }
+    GroupReaderFactory(factories.result(), projections.result())
   }
 
   /** The [[SchemaEvolve]] column projection, analyzed against an empty
@@ -398,8 +444,11 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
     if (changes) Array.empty
     // only columns the (possibly pruned) scan OUTPUT carries: Spark
     // resolves these against the scan's output attributes, and a
-    // projected-away column fails analysis inside PartitionPruning
-    else out.fields.map(f =>
+    // projected-away column fails analysis inside PartitionPruning.
+    // Dotted names are skipped: Expressions.column PARSES dots into
+    // nested paths, which would mis-resolve a literal "a.b" column
+    // (same guard as LakeDsv2.toPred's top()).
+    else out.fields.filterNot(_.name.contains('.')).map(f =>
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
   override def filter(
@@ -452,15 +501,42 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
     * post-pruning size instead of a blind default, so a selective
     * lake read joins like the small relation it actually is. Planning
     * cost is metadata-only (the same planFiles the read itself uses). */
+  /** ONE table snapshot per scan: every planning surface (statistics,
+    * metadata aggregation, partition planning — including the second
+    * planInputPartitions pass Spark makes after runtime filters) reads
+    * the SAME metadata. Without this, a commit landing between physical
+    * planning and execution could hand the runtime-filtered pass files
+    * from a newer snapshot whose schema groups the already-built reader
+    * factory has never seen. */
+  private lazy val tableSnap: LakeTable = LakeTable.load(location)
+
+  /** One factory per scan, covering every schema group of the snapshot
+    * (O(schemas) to build — no file planning); both toBatch instances
+    * Spark may create (pre- and post-runtime-filter) hand out this same
+    * factory. */
+  private lazy val sharedFactory: PartitionReaderFactory =
+    LakeDsv2.readerFactory(ClassicSession.active, tableSnap, out)
+
+  /** planFiles memoized per pred state: supportCompletePushDown /
+    * pushAggregation / estimateStatistics / partition planning would
+    * otherwise each re-walk the manifests during one query's planning. */
+  @volatile private var planCache: Option[(graft.scan.Pred, Seq[FileEntry])] = None
+  private def plannedFiles(): Seq[FileEntry] = {
+    val p = pred
+    planCache match {
+      case Some((cp, fs)) if cp == p => fs
+      case _ =>
+        val fs = new graft.scan.TableScan(ClassicSession.active, tableSnap, p, ref).planFiles()
+        planCache = Some((p, fs))
+        fs
+    }
+  }
+
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     import java.util.OptionalLong
     val files =
-      try {
-        val table = LakeTable.load(location)
-        new graft.scan.TableScan(ClassicSession.active, table, pred, ref).planFiles()
-      } catch { case scala.util.control.NonFatal(_) => Seq.empty[FileEntry] }
-    val rows = files.map(_.recordCount).sum
-    val bytes = files.map(_.sizeBytes).sum
+      try Some(plannedFiles())
+      catch { case scala.util.control.NonFatal(_) => None }
     // column pruning shrinks what the read materializes; approximate
     // per-column weight uniformly (parquet sizes per column are not in
     // the manifests) with a floor so the estimate never reaches 0
@@ -468,9 +544,18 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
       if (outSchema.fields.isEmpty) 1.0
       else math.max(out.fields.length.toDouble / outSchema.fields.length, 0.1)
     new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): OptionalLong =
-        OptionalLong.of(math.max((bytes * frac).toLong, 1L))
-      override def numRows(): OptionalLong = OptionalLong.of(rows)
+      // a metadata failure must report UNKNOWN, not near-zero: a 1-byte
+      // estimate would flip join planning to broadcasting a table that
+      // is actually arbitrarily large
+      override def sizeInBytes(): OptionalLong = files match {
+        case Some(fs) =>
+          OptionalLong.of(math.max((fs.map(_.sizeBytes).sum * frac).toLong, 1L))
+        case None => OptionalLong.empty()
+      }
+      override def numRows(): OptionalLong = files match {
+        case Some(fs) => OptionalLong.of(fs.map(_.recordCount).sum)
+        case None => OptionalLong.empty()
+      }
     }
   }
 
@@ -528,18 +613,31 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
       case None => false
     }
 
+  // supportCompletePushDown and pushAggregation receive the SAME
+  // Aggregation back-to-back; cache so the manifests are walked once
+  @volatile private var aggCache:
+      Option[(AnyRef, Option[(StructType, Seq[Any])])] = None
+
   private def metadataAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
+      Option[(StructType, Seq[Any])] = aggCache match {
+    case Some((key, res)) if key eq agg => res
+    case _ =>
+      val res = metadataAggUncached(agg)
+      aggCache = Some((agg, res))
+      res
+  }
+
+  private def metadataAggUncached(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
       Option[(StructType, Seq[Any])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
+    import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.types._
     if (changes || agg.groupByExpressions.nonEmpty || pred != graft.scan.AlwaysTrue)
       return None
-    val table = LakeTable.load(location)
-    val spark = ClassicSession.active
-    val files = new graft.scan.TableScan(spark, table, graft.scan.AlwaysTrue, ref)
-      .planFiles().filter(_.recordCount > 0)
+    val table = tableSnap
+    val files = plannedFiles().filter(_.recordCount > 0)
     val schema = table.schema
     val idByName = schema.fields.map(f => f.name -> graft.format.FieldIds.of(f)).toMap
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
@@ -619,12 +717,18 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
           new LocalRowsReaderFactory
       }
       case None => new Batch {
+        // Spark builds the reader factory at physical planning (before
+        // runtime filters exist) but may call planInputPartitions on a
+        // FRESH toBatch() after SupportsRuntimeV2Filtering.filter().
+        // Both paths read the scan's single cached table snapshot, so
+        // the runtime-filtered file set is always a SUBSET of the
+        // factory's schema groups — and the factory is built from the
+        // UNFILTERED snapshot exactly once per scan (shared across
+        // toBatch instances via the factory cache below).
         private val spark = ClassicSession.active
-        private val table = LakeTable.load(location)
-        private lazy val planned = LakeDsv2.plan(spark, table,
-          applyLimit(new graft.scan.TableScan(spark, table, pred, ref).planFiles()), out)
-        override def planInputPartitions(): Array[InputPartition] = planned._1
-        override def createReaderFactory(): PartitionReaderFactory = planned._2
+        override def planInputPartitions(): Array[InputPartition] =
+          LakeDsv2.planPartitions(spark, tableSnap, applyLimit(plannedFiles()), out)
+        override def createReaderFactory(): PartitionReaderFactory = sharedFactory
       }
     }
   }
