@@ -444,6 +444,72 @@ object DedupQueries {
         SELECT component AS keep_id, count(*) AS n_members,
           count(*) - 1 AS n_dropped
         FROM comp GROUP BY component ORDER BY keep_id"""),
-      doc = "fuzzy-dedup keep/drop decision: edit-distance edges -> components -> min-id representative (training-data op)")
+      doc = "fuzzy-dedup keep/drop decision: edit-distance edges -> components -> min-id representative (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("dedup_passage_fraction",
+      (s, d) => {
+        // the per-document DECISION layer over passage-level dedup
+        // (Lee et al. 2022 drop documents dominated by duplicated
+        // text): each document's content-defined anchor windows (same
+        // construction as dedup_exact_substring) are classified
+        // duplicated/unique by a semi join against the cross-document
+        // repeat set, and the duplicated fraction drives keep/drop.
+        // Two shuffles on (16-byte md5) keys — text never moves — and
+        // a per-doc rollup; linear at any corpus size.
+        val W = 15
+        val c = corpus(s, d)
+        val ws = filter(split(trim(col("text")), "[\\t\\n\\f\\r ]+"),
+          w => w =!= lit(""))
+        val base = c.select(col("doc_id"), ws.as("ws"))
+        val anchors = filter(
+          when(size(col("ws")) >= W, sequence(lit(1), size(col("ws")) - (W - 1)))
+            .otherwise(array().cast(ArrayType(IntegerType))),
+          i => substring(md5(element_at(col("ws"), i)), 1, 1) === "0")
+        val wins = base
+          .select(col("doc_id"),
+            explode(transform(anchors,
+              i => md5(array_join(slice(col("ws"), i, lit(W)), " ")))).as("win_md5"))
+        val dup = wins.groupBy("win_md5")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("win_md5")
+        val flagged = wins.join(dup.hint("shuffle_hash"), Seq("win_md5"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        wins.groupBy("doc_id").agg(count(lit(1)).as("n_anchors"))
+          .join(flagged, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_anchors"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+          .withColumn("dup_frac",
+            round(col("n_dup").cast(DoubleType) / col("n_anchors"), 6))
+          .withColumn("keep", col("dup_frac") < 0.5)
+          .transform(Present.sortNarrow(_, col("doc_id")))
+      },
+      oracle = Some(s"""
+        WITH $corpusSql,
+        w AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(text), '[\t\n\f\r ]+'), x -> x <> '') AS ws
+          FROM corpus),
+        anch AS (
+          SELECT doc_id, ws,
+            unnest(list_filter(range(1, greatest(len(ws) - 14, 0) + 1),
+              i -> substr(md5(ws[i]), 1, 1) = '0')) AS i
+          FROM w),
+        wins AS (
+          SELECT doc_id, md5(array_to_string(ws[i:i+14], ' ')) AS win_md5
+          FROM anch),
+        dup AS (
+          SELECT win_md5 FROM wins GROUP BY win_md5
+          HAVING count(DISTINCT doc_id) >= 2),
+        per AS (
+          SELECT w.doc_id, count(*) AS n_anchors,
+            count(d.win_md5) AS n_dup
+          FROM wins w LEFT JOIN dup d ON w.win_md5 = d.win_md5
+          GROUP BY w.doc_id)
+        SELECT doc_id, n_anchors, n_dup,
+          round(CAST(n_dup AS DOUBLE) / n_anchors, 6) AS dup_frac,
+          (round(CAST(n_dup AS DOUBLE) / n_anchors, 6) < 0.5) AS keep
+        FROM per ORDER BY doc_id"""),
+      doc = "per-document duplicated-passage fraction -> keep/drop (Lee et al. decision layer; training-data op)")
   )
 }

@@ -1122,7 +1122,51 @@ object TextQueries {
           FROM documents)
         SELECT doc_id, source, w, es_key FROM keyed
         ORDER BY es_key, doc_id LIMIT 100"""),
-      doc = "weighted sampling without replacement (Efraimidis-Spirakis A-ES): deterministic keys, top-k selection (training-data op)")
+      doc = "weighted sampling without replacement (Efraimidis-Spirakis A-ES): deterministic keys, top-k selection (training-data op)"),
+
+    // ------------------------------------------------------------------
+    Q("text_ngram_novelty",
+      (s, d) => {
+        // corpus novelty curve: per document, the fraction of its
+        // distinct trigrams whose FIRST corpus occurrence (by doc_id
+        // order) is this document — the dataset-freshness signal that
+        // distinguishes new content from recombinations. One shuffle on
+        // the trigram, a min-doc aggregation, and a per-doc rollup;
+        // the canonical novel-n-gram accounting at any scale.
+        val docs = Tables.documents(s, d)
+        val tg = docs
+          .select(col("doc_id"),
+            explode(array_distinct(trigramsOf(wordsOf(col("text"))))).as("g"))
+        val first = tg.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        tg.join(first.hint("shuffle_hash"), "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_trigrams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty",
+            round(col("n_novel").cast(DoubleType) / col("n_trigrams"), 6))
+          .transform(Present.sortNarrow(_, col("doc_id")))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(lower(text)), '[\t\n\f\r ]+'),
+              x -> x <> '') AS tk
+          FROM documents),
+        tg AS (
+          SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+          FROM toks),
+        first AS (SELECT g, min(doc_id) AS first_doc FROM tg GROUP BY g)
+        SELECT t.doc_id, count(*) AS n_trigrams,
+          CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel,
+          round(CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*), 6) AS novelty
+        FROM tg t JOIN first f ON t.g = f.g
+        GROUP BY t.doc_id ORDER BY t.doc_id"""),
+      doc = "n-gram novelty curve: first-occurrence accounting per document (training-data op)")
   ) :+ bpeVocabQ
 
   /** BPE merge-rule training (Sennrich et al. 2016, arXiv:1508.07909) —
