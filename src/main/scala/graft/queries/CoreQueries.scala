@@ -1205,6 +1205,47 @@ object CoreQueries {
           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS good_cast
         FROM orders WHERE o_orderkey < 200
         ORDER BY o_orderkey"""),
-      doc = "try_* error-safe expressions: NULL degradation instead of stage failure under ANSI (SURVEY §2.5)")
+      doc = "try_* error-safe expressions: NULL degradation instead of stage failure under ANSI (SURVEY §2.5)"),
+
+    // ------------------------------------------------------------------
+    Q("q_not_in_null_semantics",
+      (s, d) => {
+        // the classic three-valued-logic trap, pinned as a gate: NOT IN
+        // against a subquery CONTAINING NULL is never true (x <> NULL
+        // is unknown), so the count collapses to 0, while NOT EXISTS
+        // keeps its row-by-row semantics — both engines must agree on
+        // all three counts or an anti-join rewrite somewhere is
+        // breaking ANSI semantics. Spark plans these as
+        // null-aware anti joins; the gate keeps it honest.
+        Tables.orders(s, d).createOrReplaceTempView("orders_nin")
+        Tables.customer(s, d).createOrReplaceTempView("cust_nin")
+        s.sql("""
+          SELECT
+            (SELECT count(*) FROM orders_nin
+             WHERE o_custkey NOT IN
+               (SELECT c_custkey FROM cust_nin WHERE c_custkey > 100)) AS n_not_in,
+            (SELECT count(*) FROM orders_nin
+             WHERE o_custkey NOT IN
+               (SELECT CASE WHEN c_custkey = 1 THEN NULL ELSE c_custkey END
+                FROM cust_nin)) AS n_with_null,
+            (SELECT count(*) FROM orders_nin o
+             WHERE NOT EXISTS (SELECT 1 FROM cust_nin c
+               WHERE CASE WHEN c.c_custkey = 1 THEN NULL ELSE c.c_custkey END
+                 = o.o_custkey)) AS n_not_exists""")
+      },
+      oracle = Some("""
+        SELECT
+          (SELECT count(*) FROM orders
+           WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer WHERE c_custkey > 100)) AS n_not_in,
+          (SELECT count(*) FROM orders
+           WHERE o_custkey NOT IN
+             (SELECT CASE WHEN c_custkey = 1 THEN NULL ELSE c_custkey END
+              FROM customer)) AS n_with_null,
+          (SELECT count(*) FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM customer c
+             WHERE CASE WHEN c.c_custkey = 1 THEN NULL ELSE c.c_custkey END
+               = o.o_custkey)) AS n_not_exists"""),
+      doc = "NOT IN vs NOT EXISTS under NULL: three-valued-logic anti-join semantics pinned (SURVEY §2.2)")
   )
 }
