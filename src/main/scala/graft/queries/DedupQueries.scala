@@ -54,6 +54,43 @@ object DedupQueries {
       .filter(col("edit_dist") <= 20)
   }
 
+  /** Content-defined anchor windows (Lee et al. 2022 passage dedup via
+    * LBFS/rsync anchoring) — ONE definition shared by
+    * dedup_exact_substring (the detection gate) and
+    * dedup_passage_fraction (its keep/drop decision layer), so the
+    * window width, anchor predicate and tokenizer can never drift
+    * between them. Yields (doc_id, win_md5), one row per anchor. */
+  private[queries] val AnchorW = 15
+  private def anchorWindows(s: SparkSession, d: String): DataFrame = {
+    val ws = filter(split(trim(col("text")), "[\\t\\n\\f\\r ]+"),
+      w => w =!= lit(""))
+    val anchors = filter(
+      when(size(col("ws")) >= AnchorW,
+        sequence(lit(1), size(col("ws")) - (AnchorW - 1)))
+        .otherwise(array().cast(ArrayType(IntegerType))),
+      i => substring(md5(element_at(col("ws"), i)), 1, 1) === "0")
+    corpus(s, d).select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        explode(transform(anchors,
+          i => md5(array_join(slice(col("ws"), i, lit(AnchorW)), " ")))).as("win_md5"))
+  }
+
+  /** SQL twin of [[anchorWindows]] (expects `corpus` in scope; yields
+    * `wins(doc_id, win_md5)`). */
+  private val anchorWinsSql = s"""
+    w AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '[\t\n\f\r ]+'), x -> x <> '') AS ws
+      FROM corpus),
+    anch AS (
+      SELECT doc_id, ws,
+        unnest(list_filter(range(1, greatest(len(ws) - ${AnchorW - 1}, 0) + 1),
+          i -> substr(md5(ws[i]), 1, 1) = '0')) AS i
+      FROM w),
+    wins AS (
+      SELECT doc_id, md5(array_to_string(ws[i:i+${AnchorW - 1}], ' ')) AS win_md5
+      FROM anch)"""
+
   /** SQL twin of [[editDistancePairs]] (expects `corpus` in scope;
     * yields `edges(id_a, id_b, edit_dist)`). */
   private val editPairsSql = """
@@ -342,23 +379,11 @@ object DedupQueries {
         // shared run containing an anchor with 14 successors inside it
         // is detected, deterministically for given content. One map
         // stage computes anchors + window hashes in-line (array
-        // expressions, no join); the single shuffle carries
+        // expressions, no join — anchorWindows, shared with the
+        // keep/drop gate below); the single shuffle carries
         // (16-byte md5, doc_id) — never the text — so at 100 TB the
         // exchange is ~32 bytes per anchor (~1/16 of words).
-        val W = 15
-        val c = corpus(s, d)
-        val ws = filter(split(trim(col("text")), "[\\t\\n\\f\\r ]+"),
-          w => w =!= lit(""))
-        val base = c.select(col("doc_id"), ws.as("ws"))
-        val anchors = filter(
-          when(size(col("ws")) >= W, sequence(lit(1), size(col("ws")) - (W - 1)))
-            .otherwise(array().cast(ArrayType(IntegerType))),
-          i => substring(md5(element_at(col("ws"), i)), 1, 1) === "0")
-        val wins = base
-          .select(col("doc_id"),
-            explode(transform(anchors,
-              i => md5(array_join(slice(col("ws"), i, lit(W)), " ")))).as("win_md5"))
-        wins.groupBy("win_md5")
+        anchorWindows(s, d).groupBy("win_md5")
           .agg(countDistinct(col("doc_id")).as("n_docs"),
             count(lit(1)).as("n_occ"),
             min(col("doc_id")).as("min_doc"),
@@ -368,19 +393,7 @@ object DedupQueries {
       },
       oracle = Some(s"""
         WITH $corpusSql,
-        w AS (
-          SELECT doc_id,
-            list_filter(string_split_regex(trim(text), '[\t\n\f\r ]+'), x -> x <> '') AS ws
-          FROM corpus),
-        anch AS (
-          SELECT doc_id, ws,
-            unnest(list_filter(range(1, greatest(len(ws) - 14, 0) + 1),
-              i -> substr(md5(ws[i]), 1, 1) = '0')) AS i
-          FROM w),
-        wins AS (
-          SELECT doc_id,
-            md5(array_to_string(ws[i:i+14], ' ')) AS win_md5
-          FROM anch)
+        $anchorWinsSql
         SELECT win_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
           min(doc_id) AS min_doc, max(doc_id) AS max_doc
         FROM wins GROUP BY win_md5 HAVING count(DISTINCT doc_id) >= 2
@@ -451,34 +464,22 @@ object DedupQueries {
       (s, d) => {
         // the per-document DECISION layer over passage-level dedup
         // (Lee et al. 2022 drop documents dominated by duplicated
-        // text): each document's content-defined anchor windows (same
-        // construction as dedup_exact_substring) are classified
-        // duplicated/unique by a semi join against the cross-document
-        // repeat set, and the duplicated fraction drives keep/drop.
-        // Two shuffles on (16-byte md5) keys — text never moves — and
-        // a per-doc rollup; linear at any corpus size.
-        val W = 15
-        val c = corpus(s, d)
-        val ws = filter(split(trim(col("text")), "[\\t\\n\\f\\r ]+"),
-          w => w =!= lit(""))
-        val base = c.select(col("doc_id"), ws.as("ws"))
-        val anchors = filter(
-          when(size(col("ws")) >= W, sequence(lit(1), size(col("ws")) - (W - 1)))
-            .otherwise(array().cast(ArrayType(IntegerType))),
-          i => substring(md5(element_at(col("ws"), i)), 1, 1) === "0")
-        val wins = base
-          .select(col("doc_id"),
-            explode(transform(anchors,
-              i => md5(array_join(slice(col("ws"), i, lit(W)), " ")))).as("win_md5"))
+        // text): each document's anchor windows (anchorWindows — the
+        // SAME construction dedup_exact_substring pins) are classified
+        // duplicated/unique by ONE left join against the
+        // cross-document repeat set, and a single per-doc rollup
+        // computes both counts — the oracle's `per` CTE shape. The
+        // window pipeline runs twice (repeat-set build + probe); both
+        // exchanges carry (16-byte md5) keys, text never moves.
+        val wins = anchorWindows(s, d)
         val dup = wins.groupBy("win_md5")
           .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select("win_md5")
-        val flagged = wins.join(dup.hint("shuffle_hash"), Seq("win_md5"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-        wins.groupBy("doc_id").agg(count(lit(1)).as("n_anchors"))
-          .join(flagged, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_anchors"),
-            coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+          .filter(col("nd") >= 2)
+          .select(col("win_md5").as("dup_md5"))
+        wins.join(dup.hint("shuffle_hash"),
+            col("win_md5") === col("dup_md5"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_anchors"), count(col("dup_md5")).as("n_dup"))
           .withColumn("dup_frac",
             round(col("n_dup").cast(DoubleType) / col("n_anchors"), 6))
           .withColumn("keep", col("dup_frac") < 0.5)
@@ -486,18 +487,7 @@ object DedupQueries {
       },
       oracle = Some(s"""
         WITH $corpusSql,
-        w AS (
-          SELECT doc_id,
-            list_filter(string_split_regex(trim(text), '[\t\n\f\r ]+'), x -> x <> '') AS ws
-          FROM corpus),
-        anch AS (
-          SELECT doc_id, ws,
-            unnest(list_filter(range(1, greatest(len(ws) - 14, 0) + 1),
-              i -> substr(md5(ws[i]), 1, 1) = '0')) AS i
-          FROM w),
-        wins AS (
-          SELECT doc_id, md5(array_to_string(ws[i:i+14], ' ')) AS win_md5
-          FROM anch),
+        $anchorWinsSql,
         dup AS (
           SELECT win_md5 FROM wins GROUP BY win_md5
           HAVING count(DISTINCT doc_id) >= 2),

@@ -1130,15 +1130,17 @@ object TextQueries {
         // corpus novelty curve: per document, the fraction of its
         // distinct trigrams whose FIRST corpus occurrence (by doc_id
         // order) is this document — the dataset-freshness signal that
-        // distinguishes new content from recombinations. One shuffle on
-        // the trigram, a min-doc aggregation, and a per-doc rollup;
-        // the canonical novel-n-gram accounting at any scale.
+        // distinguishes new content from recombinations. ONE scan: a
+        // min-doc window over the trigram partition attaches each
+        // trigram's first occurrence in place (no self-join, no second
+        // trigram generation), then a per-doc rollup — two exchanges,
+        // both on bounded-width rows.
         val docs = Tables.documents(s, d)
         val tg = docs
           .select(col("doc_id"),
             explode(array_distinct(trigramsOf(wordsOf(col("text"))))).as("g"))
-        val first = tg.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-        tg.join(first.hint("shuffle_hash"), "g")
+        val wg = Window.partitionBy("g")
+        tg.withColumn("first_doc", min(col("doc_id")).over(wg))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_trigrams"),
             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
