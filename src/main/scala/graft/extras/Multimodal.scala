@@ -93,6 +93,42 @@ object Multimodal {
     * the actual container), and emit the decoded facts. An oracle can
     * recompute width/height/luminance-sum arithmetically from the same
     * id, so a pass proves genuine decoding end to end. */
+  /** Windowed audio energy: decode the synthesized RIFF/PCM payload and
+    * emit per-window sum-of-squares over `nWin` contiguous equal sample
+    * windows (window k covers samples [k*n/nWin, (k+1)*n/nWin)) — the
+    * short-time-energy feature audio curation uses for silence/clip
+    * detection. Exact long arithmetic end to end; map-only. */
+  def wavWindowEnergy(df: DataFrame, idCol: String, nWin: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("win", IntegerType),
+      StructField("n_samples", LongType), StructField("energy", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = MediaSynth.wav(id)
+        JvmWavCodec.parse(bytes) match {
+          case None => Iterator.empty
+          case Some((_, _, _, off, len)) =>
+            val n = len / 2
+            (0 until nWin).iterator.map { k =>
+              val from = k.toLong * n / nWin
+              val until = (k + 1).toLong * n / nWin
+              var e = 0L
+              var i = from
+              while (i < until) {
+                val o = off + (i * 2).toInt
+                val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toLong
+                e += s * s
+                i += 1
+              }
+              Row(id, k, until - from, e)
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Video-codec gate op: synthesize a per-id MJPEG clip, route it
     * through the registered video codec (a REAL JVM implementation —
     * [[JvmMjpegCodec]]'s segment walk + per-frame ImageIO decode), and

@@ -169,6 +169,35 @@ object MultimodalQueries {
       doc = "multimodal retrieval pipeline: real decode -> histogram feature -> exact top-3 similarity, oracle end to end"),
 
     // ------------------------------------------------------------------
+    Q("multimodal_wav_energy",
+      (s, d) => {
+        // short-time energy windows over decoded PCM — the
+        // silence/clipping detector audio curation runs before a
+        // training corpus: 4 contiguous equal sample windows per clip,
+        // sum-of-squares per window in exact long arithmetic, every
+        // value recomputed by the oracle from the same id arithmetic
+        // that synthesized the RIFF payload.
+        Multimodal.wavWindowEnergy(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", nWin = 4)
+          .orderBy("doc_id", "win")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, 100 + doc_id % 50 AS n FROM documents WHERE doc_id < 200),
+        win AS (
+          SELECT doc_id, n, unnest(range(0, 4)) AS win FROM base),
+        bounds AS (
+          SELECT doc_id, n, CAST(win AS INTEGER) AS win,
+            (win * n) // 4 AS lo, ((win + 1) * n) // 4 AS hi
+          FROM win)
+        SELECT doc_id, win, hi - lo AS n_samples,
+          CAST(list_sum(list_transform(range(lo, hi), i ->
+            (((doc_id * 31 + i * 7) % 65536) - 32768) *
+            (((doc_id * 31 + i * 7) % 65536) - 32768))) AS BIGINT) AS energy
+        FROM bounds ORDER BY doc_id, win"""),
+      doc = "windowed audio energy over decoded PCM: exact per-window sum-of-squares vs arithmetic oracle"),
+
+    // ------------------------------------------------------------------
     Q("multimodal_image_resize",
       (s, d) => {
         // resize = decode + nearest-neighbor resample to a fixed
