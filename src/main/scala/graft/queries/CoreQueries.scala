@@ -1246,6 +1246,37 @@ object CoreQueries {
            WHERE NOT EXISTS (SELECT 1 FROM customer c
              WHERE CASE WHEN c.c_custkey = 1 THEN NULL ELSE c.c_custkey END
                = o.o_custkey)) AS n_not_exists"""),
-      doc = "NOT IN vs NOT EXISTS under NULL: three-valued-logic anti-join semantics pinned (SURVEY §2.2)")
+      doc = "NOT IN vs NOT EXISTS under NULL: three-valued-logic anti-join semantics pinned (SURVEY §2.2)"),
+
+    // ------------------------------------------------------------------
+    Q("q_decile_report",
+      (s, d) => {
+        // decile profile of order value — the distribution report an
+        // analyst pulls before setting thresholds: a global ntile(10)
+        // with a unique tie-breaker (so bucket membership is fully
+        // determined), then per-decile bounds and an exact decimal
+        // revenue share. ntile's single-partition window runs over
+        // (orderkey, price) pairs only.
+        val w = Window.orderBy(asc("o_totalprice"), asc("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"),
+            dsum(col("o_totalprice"), 2, "revenue"))
+          .transform(Present.driverSortBy(_, "decile" -> true))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT o_orderkey, o_totalprice,
+            ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+          FROM orders)
+        SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n,
+          min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM t GROUP BY decile ORDER BY decile"""),
+      doc = "decile distribution report: tie-broken global ntile + per-decile bounds/revenue (SURVEY §2.5)")
   )
 }
