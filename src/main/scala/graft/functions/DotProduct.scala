@@ -103,6 +103,13 @@ object GraftFunctions {
       // raw AggregateFunction into an AggregateExpression
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_count_distinct", exprs => ExactCountDistinct(exprs(0)), "scala_udf")
+      // two-level exact distinct re-aggregation (level 1 emits per-salt
+      // sets, level 2 merges them) — see q_distinct_agg
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_distinct_set", exprs => ExactDistinctSet(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_count_distinct_merge",
+        exprs => ExactCountDistinctMerge(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_ws_tokens", exprs => WsTokenCount(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -136,7 +136,12 @@ object CoreQueries {
           .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
             col("n_regionkey") === col("r_regionkey"))
           .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
-        val c = Tables.customer(s, d)
+        // Customer only contributes its nation key to the star; the
+        // 2-column projection broadcasts well past sf1 under the same
+        // size gate, making the whole pre-agg fact path shuffle-free at
+        // bench SF. At 100 TB the gate fails and it degrades back to a
+        // shuffle join on o_custkey.
+        val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
         // The fact path's ONLY shuffle is l><o; the one-year filtered
         // orders side projected to its two shipped columns is small
         // enough to broadcast well past sf1 (-6% measured same-JVM,
@@ -151,7 +156,8 @@ object CoreQueries {
         val l = Tables.lineitem(s, d)
         l.join(graft.plans.Hints.broadcastIfSmall(o, bound = oBound),
             col("l_orderkey") === col("o_orderkey"))
-          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(graft.plans.Hints.broadcastIfSmall(c, bound = c),
+            col("o_custkey") === col("c_custkey"))
           .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .groupBy("n_name")
@@ -444,10 +450,15 @@ object CoreQueries {
     // ------------------------------------------------------------------
     Q("q_distinct_agg",
       (s, d) => {
-        // graft_count_distinct = one-pass exact distinct (long-set
-        // buffers, see [[graft.functions.ExactCountDistinct]]) instead of
-        // Spark's Expand x3 plan, which scans the input once per
-        // distinct aggregate
+        // graft_count_distinct = one-pass exact distinct (adaptive
+        // hash-set/bitmap buffers, see [[graft.functions.ExactCountDistinct]])
+        // instead of Spark's Expand x3 plan, which scans the input once
+        // per distinct aggregate. A two-level salted variant (disjoint
+        // orderkey sets per salt, set-merge level 2 — the cluster-scale
+        // skew answer, kept available as graft_distinct_set/
+        // graft_count_distinct_merge) A/B'd SLOWER at sf1 (tools/Exp14:
+        // 649 vs 465 ms — the extra exchange outweighs the parallel
+        // merge when one machine's memory bandwidth is the ceiling).
         graft.functions.GraftFunctions.register(s)
         Tables.lineitem(s, d)
           .groupBy("l_returnflag")

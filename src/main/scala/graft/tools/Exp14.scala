@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import graft.functions.LongOpenHashSet
+
+/** Round-9 shape of ExactCountDistinct (plain hash-set buffer), kept
+  * here only as the A/B control for Exp14's same-JVM comparison. */
+case class OldExactCountDistinct(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LongOpenHashSet]
+  with UnaryLike[Expression] {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_count_distinct_v0"
+  override def createAggregationBuffer(): LongOpenHashSet = new LongOpenHashSet()
+  override def update(b: LongOpenHashSet, input: InternalRow): LongOpenHashSet = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[Number].longValue())
+    b
+  }
+  override def merge(b: LongOpenHashSet, o: LongOpenHashSet): LongOpenHashSet = {
+    b.union(o); b
+  }
+  override def eval(b: LongOpenHashSet): Any = b.size
+  override def serialize(b: LongOpenHashSet): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): LongOpenHashSet =
+    LongOpenHashSet.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): OldExactCountDistinct =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): OldExactCountDistinct =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): OldExactCountDistinct =
+    copy(child = c)
+}
+
+/** Round-10 decomposition of q_distinct_agg's sf1 wall time: how much
+  * is scan, how much is the aggregate update loop, how much the final
+  * merge. Not part of the driver contract. */
+object Exp14 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("EXP_SHUFFLE", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_count_distinct_v0",
+      exprs => OldExactCountDistinct(exprs(0)), "scala_udf")
+
+    def time(name: String, reps: Int = 7)(mk: => DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"$name%-44s min=${times.min}%7.1fms med=${times.sorted.apply(reps / 2)}%7.1fms")
+    }
+
+    def li: DataFrame = graft.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_suppkey", "l_partkey", "l_orderkey")
+
+    (1 to 2).foreach { round =>
+      println(s"--- round $round ---")
+      time("scan only (4 cols, noop)")(li)
+      time("groupBy count (codegen baseline)")(
+        li.groupBy("l_returnflag").agg(count(lit(1))))
+      time("1x graft_count_distinct (suppkey)")(
+        li.groupBy("l_returnflag")
+          .agg(call_function("graft_count_distinct", col("l_suppkey"))))
+      time("1x graft_count_distinct (orderkey)")(
+        li.groupBy("l_returnflag")
+          .agg(call_function("graft_count_distinct", col("l_orderkey"))))
+      time("3x graft_count_distinct (current)")(
+        li.groupBy("l_returnflag")
+          .agg(call_function("graft_count_distinct", col("l_suppkey")).as("a"),
+            call_function("graft_count_distinct", col("l_partkey")).as("b"),
+            call_function("graft_count_distinct", col("l_orderkey")).as("c")))
+      time("1x v0 hash-set (orderkey)")(
+        li.groupBy("l_returnflag")
+          .agg(call_function("graft_count_distinct_v0", col("l_orderkey"))))
+      time("3x v0 hash-set (r9 shape)")(
+        li.groupBy("l_returnflag")
+          .agg(call_function("graft_count_distinct_v0", col("l_suppkey")).as("a"),
+            call_function("graft_count_distinct_v0", col("l_partkey")).as("b"),
+            call_function("graft_count_distinct_v0", col("l_orderkey")).as("c")))
+    }
+    spark.stop()
+  }
+}
