@@ -174,16 +174,26 @@ object AsOfJoin {
     // mirror: right rows sort AFTER left rows at equal timestamps and
     // the frame looks ahead -> inclusive >=. Both windows share the
     // one key-hash exchange; nearest pays a second sort, not a second
-    // shuffle. The pack itself is the final ordering term so that
-    // among right rows tied on (key, __t) the window picks the SAME
-    // row as the broadcast strategy's sorted array (max pack for
-    // backward's last(), min pack for forward's first()) — without it
-    // the choice would be partition-input-order dependent.
+    // shuffle. The ORDERABLE payload columns are the final ordering
+    // term so that among right rows tied on (key, __t) the window
+    // picks the SAME row as the broadcast strategy's sorted array (max
+    // for backward's last(), min for forward's first()) — without it
+    // the choice would be partition-input-order dependent. Unorderable
+    // payload types (maps) are carried but excluded from the sort key:
+    // ties that differ ONLY in unorderable columns resolve
+    // arbitrarily here (the broadcast strategy rejects them outright —
+    // sort_array is lexicographic over the whole struct — so use
+    // orderable payloads when cross-strategy determinism matters).
+    val orderablePay = payloadCols.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.schema(c).dataType))
+    val tie = when(col("__side") === 0,
+      struct(col("__t").as("__t") +: orderablePay.map(c => col(pay(c)).as(c)): _*))
     val wBack = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, pack.asc)
+      .orderBy(col("__t").asc, col("__side").asc, tie.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").desc, pack.asc)
+      .orderBy(col("__t").asc, col("__side").desc, tie.asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val matched = {
       // each window value materializes ONCE as a column before any

@@ -408,16 +408,24 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
     * files instead of all of them. Partial push: Spark still applies
     * the exact row limit above the scan, so over-planning by one file
     * is always sound. File order is the manifest plan order —
-    * any-n-rows semantics, which is all an unordered LIMIT promises. */
+    * any-n-rows semantics, which is all an unordered LIMIT promises.
+    *
+    * SOUNDNESS: the file cap counts RAW manifest rows, so it is only
+    * valid when no predicate filters rows above the scan (this source
+    * keeps every pushed filter residual). Spark's own rule happens to
+    * push limits only below trivial filters, but the invariant is
+    * enforced locally instead of relied on: the limit is accepted only
+    * while the pushed predicate is AlwaysTrue, and re-checked at plan
+    * time because runtime filters AND into `pred` after pushLimit. */
   private var limitRows: Option[Int] = None
   override def pushLimit(limit: Int): Boolean = {
-    if (!changes) limitRows = Some(limit)
+    if (!changes && pred == graft.scan.AlwaysTrue) limitRows = Some(limit)
     false // partial: the scan bounds FILES, Spark still limits rows
   }
 
   private def applyLimit(files: Seq[FileEntry]): Seq[FileEntry] =
     limitRows match {
-      case Some(n) =>
+      case Some(n) if pred == graft.scan.AlwaysTrue =>
         val out = Seq.newBuilder[FileEntry]
         var seen = 0L
         val it = files.iterator
@@ -427,7 +435,7 @@ private[streaming] final class LakeScan(location: String, outSchema: StructType,
           seen += f.recordCount
         }
         out.result()
-      case None => files
+      case _ => files
     }
 
   /** Dynamic file pruning (the DSv2 analog of dynamic partition

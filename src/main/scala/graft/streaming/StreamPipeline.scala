@@ -57,6 +57,7 @@ object StreamPipeline {
         val p = it.next()
         if (p.getFileName.toString.endsWith(".parquet")) src = p
       }
+      require(src != null, s"no parquet part file under $tmpOut")
       val dst = streamDir.resolve(name)
       java.nio.file.Files.move(src, dst)
       java.nio.file.Files.setLastModifiedTime(dst,

@@ -138,6 +138,15 @@ class Dsv2AggSpec extends SparkSpec {
     assert(read.limit(5).collect().length === 5)
     // limit + filter compose: pruned first, then file-capped
     assert(read.filter(col("o_orderkey") % 6 === 2).limit(3).collect().length === 3)
+    // and the invariant the file cap's soundness rests on: when a
+    // filter sits above the scan, the scan must NOT be file-capped
+    // (raw manifest counts can't bound post-filter rows) — the
+    // filtered+limited scan plans the same partitions as the filtered
+    // scan alone
+    val filteredOnly = scanParts(read.filter(col("o_orderkey") % 6 === 2))
+    val filteredLimited = scanParts(read.filter(col("o_orderkey") % 6 === 2).limit(3))
+    assert(filteredLimited === filteredOnly,
+      s"filtered scan was file-capped: $filteredLimited vs $filteredOnly")
   }
 
   test("all-null column aggregates to NULL from metadata; empty table counts zero") {

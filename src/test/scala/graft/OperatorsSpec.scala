@@ -41,6 +41,24 @@ class OperatorsSpec extends SparkSpec {
     assert(full.filter(col("id") === 2L).select("t").as[Long].head() === 205L)
   }
 
+  test("asof window strategy carries unorderable (map) payloads") {
+    // a MapType payload can't join the sort key (unorderable) but must
+    // still ride the match; orderable ties are unaffected
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 205L), (3L, "u2", 50L))
+      .toDF("id", "key", "t")
+    val right = Seq((10L, "u1", 100L), (11L, "u1", 200L), (12L, "u2", 60L))
+      .toDF("rid", "key", "t")
+      .withColumn("attrs", map(lit("r"), col("rid").cast("string")))
+    val got = AsOfJoin.asof(left, right, Seq("key"), "t", "t",
+        Seq("rid", "attrs"), strategy = AsOfJoin.WindowStrategy)
+      .select(col("id"), col("rid"), col("attrs")("r").as("ar"))
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((Some(10L), Some("10"))))
+    assert(got(2L) === ((Some(11L), Some("11"))))
+    assert(got(3L) === ((None, None)))
+  }
+
   test("asof broadcast strategy: result-identical to the window plan, no shuffle of the left side") {
     val rnd = new scala.util.Random(20260813L)
     val left = Seq.tabulate(500) { i =>
