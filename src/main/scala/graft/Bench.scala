@@ -40,11 +40,13 @@ object Bench {
     * sessions.
     */
   private def oracleTimes(sfDir: String, cpus: String): Option[(Map[String, Double], Double)] = {
-    val oracles = Registry.all.filter(q => q.bench && q.benchOracle && q.oracle.isDefined)
+    val oracles = Registry.all.filter(q => q.bench &&
+      (q.benchOracleSql.isDefined || (q.benchOracle && q.oracle.isDefined)))
     if (oracles.isEmpty) return None
     try {
       val spec = oracles.map(q =>
-        s"""{"name":${jstr(q.name)},"sql":${jstr(q.oracle.get)}}""")
+        s"""{"name":${jstr(q.name)},"sql":${jstr(
+          q.benchOracleSql.getOrElse(q.oracle.get))}}""")
         .mkString("[", ",", "]")
       val py =
         s"""

@@ -15,6 +15,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * when the oracle is an exact O(n²) reference for an approximate
   * operator — timing LSH against a brute-force baseline would game the
   * ratio in Spark's favor, and the baseline takes minutes at bench SF.
+  *
+  * `benchOracleSql` (when set) is what the bench TIMES as the DuckDB
+  * baseline in place of `oracle`: used when the correctness oracle is
+  * an exact reference of a different complexity class, but a same-plan
+  * SQL implementation exists as an honest performance yardstick (e.g.
+  * banded LSH vs the O(n²) all-pairs equality oracle). The override
+  * must compute the same result via the same algorithmic plan.
   */
 final case class Q(
     name: String,
@@ -22,7 +29,8 @@ final case class Q(
     oracle: Option[String] = None,
     bench: Boolean = false,
     doc: String = "",
-    benchOracle: Boolean = true)
+    benchOracle: Boolean = true,
+    benchOracleSql: Option[String] = None)
 
 object Registry {
   lazy val all: Seq[Q] =

@@ -58,50 +58,56 @@ object Dedup {
   }
 
   /** Skew-guarded bucket grouping shared by the three pair generators:
-    * bucket sizes are counted FIRST (map-side partial count — the
-    * shuffled rows are (key, partial_count), never members), then
-    * singleton and over-cap keys are semi-joined away BEFORE the member
-    * `collect_list`, so the aggregation buffer never holds more than
-    * `maxBucketSize` members. Counting after collection would bound the
-    * emitted pairs but not the buffer: a degenerate mega-bucket (10 M
-    * near-identical docs — or worse, 768-dim vectors riding the struct)
-    * would be fully accumulated just to be thrown away, an executor OOM
-    * at exactly the corpus skew the cap exists for.
+    * one aggregation whose buffer counts the bucket exactly while
+    * retaining at most `maxBucketSize + 1` members
+    * ([[graft.functions.BoundedSortedCollect]]). Singleton and over-cap
+    * buckets come back with a NULL member list and are filtered; a
+    * degenerate mega-bucket (10 M near-identical docs — or worse,
+    * 768-dim vectors riding the struct) never accumulates ANYWHERE:
+    * every partial buffer is bounded, so both executor memory and the
+    * per-key shuffle volume are O(tasks * cap) at any corpus skew.
     *
     * The cap is never silent: every call records
     * `oversized_buckets` / `oversized_rows` / `max_bucket_size` through
     * a [[BucketSkewMonitor]] (a caller-supplied one, else a fresh
     * internal one whose named accumulators still surface in the UI and
-    * event log).
+    * event log), reading exact sizes off the grouped stream.
     *
-    * Cost: the member stream is shuffled twice on the same key (once for
-    * the semi-join, once — exchange-free, the join's partitioning is
-    * reused — for the grouping); the counts side ships partial counts
-    * only. That extra narrow shuffle is the price of a hard memory
-    * bound. */
+    * Cost: exactly one shuffle of the member stream — the previous
+    * shape (count aggregation, then a semi-join, then collect_list)
+    * paid a second counts exchange and a join to get the same bound. */
   private def cappedBuckets(
-      members: DataFrame, keyCols: Seq[String], valueCol: Column,
+      members: DataFrame, keyCols: Seq[String], elemCol: Column,
       maxBucketSize: Int, name: String,
       monitor: Option[BucketSkewMonitor]): DataFrame = {
     val key = keyCols.map(col)
     val mon = monitor.getOrElse(new BucketSkewMonitor(members.sparkSession, name))
-    val counts = members.groupBy(key: _*).agg(count(lit(1)).as("m"))
-    // side-effecting always-true filter on the (small, post-aggregation)
-    // counts stream; nondeterministic so Catalyst never folds, splits or
-    // re-derives it. Capture the (serializable) accumulators only — the
-    // monitor itself holds the SparkSession.
+    // ONE aggregation does the counting AND the bounded collection
+    // ([[graft.functions.BoundedSortedCollect]]): `bs.n` is the exact
+    // bucket size, `bs.ids` the full sorted member list iff
+    // 2 <= n <= cap (else NULL). The buffer — including every map-side
+    // PARTIAL buffer — holds at most cap+1 elements, so a degenerate
+    // mega-bucket neither accumulates nor ships more than
+    // tasks*(cap+1) members through the single shuffle. This replaced
+    // the round-8 count-then-semi-join-then-collect shape: same hard
+    // memory bound, one exchange instead of two aggregations and a
+    // join (the "counts shuffle" the round-9 review flagged is gone).
+    graft.functions.GraftFunctions.register(members.sparkSession)
+    val elem = call_function("graft_bounded_sorted_set", elemCol, lit(maxBucketSize))
+    val grouped = members.groupBy(key: _*).agg(elem.as("bs"))
+    // side-effecting always-true filter on the (small, one-row-per-
+    // bucket) grouped stream; nondeterministic so Catalyst never folds,
+    // splits or re-derives it. Capture the (serializable) accumulators
+    // only — the monitor itself holds the SparkSession.
     val (accB, accR, accM) = (mon.oversizedBuckets, mon.oversizedRows, mon.maxBucket)
     val record = udf((m: Long) => {
       if (m > maxBucketSize) { accB.add(1L); accR.add(m) }
       accM.add(m)
       true
     }).asNondeterministic()
-    val ok = counts.filter(record(col("m")))
-      .where(col("m").between(2, maxBucketSize)).select(key: _*)
-    // shuffle-hash with the (bounded-by-construction) key list as build
-    // side; the member stream streams past it un-sorted
-    members.join(ok.hint("shuffle_hash"), keyCols, "left_semi")
-      .groupBy(key: _*).agg(valueCol.as("ms"))
+    grouped.filter(record(col("bs.n")))
+      .where(col("bs.ids").isNotNull)
+      .select(key :+ col("bs.ids").as("ms"): _*)
   }
 
   /** Exact dedup: one representative (min id) per identical text. */
@@ -171,7 +177,7 @@ object Dedup {
       .select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
     // bucket-mates only: shuffle on (band, bh), never a global cross join
     val grouped = cappedBuckets(buckets, Seq("band", "bh"),
-      sort_array(collect_list(col("id"))), maxBucketSize,
+      col("id"), maxBucketSize,
       "graft.dedup.skew.minhash", monitor)
       .withColumnRenamed("ms", "ids")
     // all (i < j) pairs within a bucket, then global pair-dedup
@@ -278,14 +284,12 @@ object Dedup {
     val base = df.select(col(idCol).as("id"),
         TextAnalysis.simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
       .withColumn("bands", TextAnalysis.simhashBands(col("sim")))
-      // cappedBuckets consumes the member stream TWICE (pre-count +
-      // semi-join legs); pin the signature computation — the dominant
-      // per-row cost — so it runs once (same shape as minhashPairs)
-      .localCheckpoint(eager = false)
+    // (no checkpoint: the one-pass cappedBuckets consumes the member
+    // stream exactly once, so the signature computes once by construction)
     val buckets = base.select(col("id"), col("sim"),
       posexplode(col("bands")).as(Seq("band", "bh")))
     val grouped = cappedBuckets(buckets, Seq("band", "bh"),
-      sort_array(collect_list(struct(col("id"), col("sim")))), maxBucketSize,
+      struct(col("id"), col("sim")), maxBucketSize,
       "graft.dedup.skew.simhash", monitor)
     // all (i < j) pairs with hamming computed in place (id sorted first
     // in the struct, so pair order is id_a < id_b)
@@ -317,11 +321,10 @@ object Dedup {
       monitor: Option[BucketSkewMonitor] = None): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", Similarity.srpSignature(col("v"), srpBits))
-      // pin the srpBits-dot-products-per-row signature: cappedBuckets'
-      // two legs would otherwise recompute it over the whole corpus
-      .localCheckpoint(eager = false)
+    // (no checkpoint: the one-pass cappedBuckets consumes the member
+    // stream exactly once, so the signature computes once by construction)
     val grouped = cappedBuckets(base, Seq("sig"),
-      sort_array(collect_list(struct(col("id"), col("v")))), maxBucketSize,
+      struct(col("id"), col("v")), maxBucketSize,
       "graft.dedup.skew.embedding", monitor)
     val combos = flatten(transform(col("ms"), (x, i) =>
       transform(slice(col("ms"), i + lit(2), size(col("ms"))),

@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/** Aggregation buffer for [[BoundedSortedCollect]]: total element count
+  * plus the SMALLEST `limit` elements seen so far (bounded max-heap), so
+  * the buffer — and, because partial aggregation runs map-side, every
+  * shuffle record — is O(limit) regardless of group size.
+  */
+final class BoundedCollectBuffer(val limit: Int, ord: Ordering[Any]) {
+  var count: Long = 0L
+  // max-heap of the smallest `limit` elements (root = largest kept)
+  val heap = new java.util.PriorityQueue[Any](math.min(limit, 64) + 1, ord.reverse)
+
+  def add(v: Any): Unit = {
+    count += 1
+    if (heap.size < limit) heap.offer(v)
+    else if (ord.lt(v, heap.peek())) { heap.poll(); heap.offer(v) }
+  }
+
+  def mergeCounted(other: BoundedCollectBuffer): Unit = {
+    count += other.count
+    val it = other.heap.iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      if (heap.size < limit) heap.offer(v)
+      else if (ord.lt(v, heap.peek())) { heap.poll(); heap.offer(v) }
+    }
+  }
+
+  def sortedElements: Array[Any] = {
+    val arr = heap.toArray
+    java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]],
+      ord.asInstanceOf[Ordering[AnyRef]])
+    arr.asInstanceOf[Array[Any]]
+  }
+}
+
+/** Bounded exact bucket collection in ONE aggregation:
+  * `graft_bounded_sorted_set(elem, max)` evaluates to
+  * `struct(n: bigint, ids: array<elem>)` where `n` is the exact group
+  * size and `ids` is the ascending-sorted member list when
+  * `2 <= n <= max`, else NULL.
+  *
+  * This replaces the count-then-semi-join-then-collect_list shape for
+  * skew-guarded LSH bucket grouping (see
+  * [[graft.extras.Dedup.cappedBuckets]]): the member stream is
+  * aggregated ONCE — no separate counts shuffle, no semi-join pass —
+  * while keeping the same hard bounds, strengthened: the buffer holds at
+  * most `max + 1` elements at every point INCLUDING map-side partial
+  * aggregation, so even a degenerate mega-bucket ships at most
+  * `tasks * (max + 1)` members through the shuffle (the semi-join shape
+  * shipped partial COUNTS but still materialized the count aggregation
+  * as its own exchange). Dropped buckets stay observable: `n` survives
+  * for every bucket, so the caller's skew monitor reads exact sizes from
+  * the grouped output exactly as it read the old counts stream.
+  *
+  * Determinism: the kept elements are the SMALLEST `max + 1` by the
+  * element type's total order, so the result is independent of
+  * partitioning and merge order; for surviving buckets (n <= max) that
+  * is the complete member list — bit-identical to
+  * `sort_array(collect_list(elem))`. Null elements are ignored
+  * (collect_list semantics). The element type must be orderable.
+  */
+case class BoundedSortedCollect(
+    child: Expression,
+    limit: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BoundedCollectBuffer]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (limit < 1) TypeCheckResult.TypeCheckFailure("limit must be >= 1")
+    else if (!org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(child.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bounded_sorted_set needs an orderable element, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("ids", ArrayType(child.dataType, containsNull = false))))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bounded_sorted_set"
+
+  @transient private lazy val ord =
+    TypeUtils.getInterpretedOrdering(child.dataType).asInstanceOf[Ordering[Any]]
+  // serialization projects each element through a single-field UnsafeRow
+  // (the same scheme Spark's own Collect aggregates use)
+  @transient private lazy val proj = UnsafeProjection.create(Array(child.dataType))
+  @transient private lazy val rowBuf = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+
+  // keep max+1 so eval can distinguish "exactly max" from "overflowed"
+  // even though overflow is also visible via count
+  override def createAggregationBuffer(): BoundedCollectBuffer =
+    new BoundedCollectBuffer(limit + 1, ord)
+
+  override def update(b: BoundedCollectBuffer, input: InternalRow): BoundedCollectBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(InternalRow.copyValue(v))
+    b
+  }
+
+  override def merge(b: BoundedCollectBuffer, o: BoundedCollectBuffer): BoundedCollectBuffer = {
+    b.mergeCounted(o); b
+  }
+
+  override def eval(b: BoundedCollectBuffer): Any = {
+    val ids =
+      if (b.count >= 2 && b.count <= limit) new GenericArrayData(b.sortedElements)
+      else null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](b.count, ids))
+  }
+
+  override def serialize(b: BoundedCollectBuffer): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    d.writeLong(b.count)
+    d.writeInt(b.heap.size)
+    val it = b.heap.iterator()
+    while (it.hasNext) {
+      rowBuf.update(0, it.next())
+      val u = proj(rowBuf)
+      d.writeInt(u.getSizeInBytes)
+      u.writeToStream(d, null)
+    }
+    d.flush()
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedCollectBuffer = {
+    val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val b = createAggregationBuffer()
+    val count = d.readLong()
+    val m = d.readInt()
+    var i = 0
+    while (i < m) {
+      val len = d.readInt()
+      val buf = new Array[Byte](len)
+      d.readFully(buf)
+      val u = new UnsafeRow(1)
+      u.pointTo(buf, len)
+      b.add(InternalRow.copyValue(u.get(0, child.dataType)))
+      i += 1
+    }
+    // add() counted the kept elements; restore the exact total
+    b.count = count
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BoundedSortedCollect =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedSortedCollect =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BoundedSortedCollect =
+    copy(child = c)
+}

@@ -110,6 +110,12 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_count_distinct_merge",
         exprs => ExactCountDistinctMerge(exprs(0)), "scala_udf")
+      // bounded exact bucket collection (count + smallest-cap member
+      // list in one buffer) — the LSH skew guard, see Dedup.cappedBuckets
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bounded_sorted_set",
+        exprs => BoundedSortedCollect(
+          exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_ws_tokens", exprs => WsTokenCount(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -236,6 +236,46 @@ object DedupQueries {
         ORDER BY id_a, id_b"""),
       bench = true,
       benchOracle = false,
+      // The TIMED DuckDB baseline is the SAME banded-LSH plan in plain
+      // SQL (shingle -> 64-row minhash -> 16x4 band hashes -> bucket
+      // self-join -> exact-Jaccard verify): linear like the Spark side,
+      // not the O(n²) equality oracle above. Its hash family differs
+      // (DuckDB `hash`), but on this fixture every true pair collides
+      // with prob > 1 - 1e-5, and the output was checked row-identical
+      // to the exact oracle at sf0.01 (139) and sf0.1 (1375), and to
+      // the Spark pipeline at sf1 (407500 rows, 37 s vs Spark 2.6 s).
+      benchOracleSql = Some(s"""
+        WITH $corpusSql,
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+          FROM (SELECT doc_id,
+            list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+            FROM corpus)),
+        shh AS (
+          SELECT doc_id, hash(u.s) AS h
+          FROM sh, unnest(sh.sh) AS u(s)),
+        sig AS (
+          SELECT doc_id, r.r AS r, min(hash(xor(h, r.r * 2654435761))) AS mh
+          FROM shh, range(0, 64) r(r)
+          GROUP BY doc_id, r.r),
+        bands AS (
+          SELECT doc_id, r // 4 AS band,
+            hash(string_agg(mh::VARCHAR, ',' ORDER BY r)) AS bh
+          FROM sig GROUP BY doc_id, r // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+            AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT c.id_a, c.id_b,
+            round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                  len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+          FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+          WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)
+        SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b"""),
       doc = "MinHash+LSH near-dup: shingle -> minhash -> band bucket join -> verify"),
 
     // ------------------------------------------------------------------

@@ -312,6 +312,7 @@ object SimilarityQueries {
         any_value(g.c2) AS c2, any_value(g.c3) AS c3
       FROM a2 a JOIN dig g ON a.cid = g.cid
       GROUP BY a.cid ORDER BY a.cid"""),
+    bench = true,
     doc = "fixed-point k-means (Lloyd) over embeddings: SemDeDup-style clustering, bit-equal across engines")
 
   /** Johnson-Lindenstrauss random projection (Achlioptas 2003 ±1

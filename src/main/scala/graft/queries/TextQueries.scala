@@ -696,6 +696,7 @@ object TextQueries {
             + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
             6) AS bm25
         FROM t, s ORDER BY doc_id"""),
+      bench = true,
       doc = "BM25 relevance scoring: broadcast corpus stats + map-only scoring (training-data op)"),
 
     // ------------------------------------------------------------------

@@ -84,6 +84,7 @@ object TpchQueries {
             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
           AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
         GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year"""),
+      bench = true,
       doc = "TPC-H Q7: bi-national volume shipping; filtered-dim broadcasts (SURVEY §2.3)"),
 
     // ------------------------------------------------------------------
@@ -266,6 +267,7 @@ object TpchQueries {
             ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
           GROUP BY c.c_custkey)
         GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""),
+      bench = true,
       doc = "TPC-H Q13: outer-join order-count histogram (SURVEY §2.3/§2.4)"),
 
     // ------------------------------------------------------------------
@@ -342,6 +344,7 @@ object TpchQueries {
           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+      bench = true,
       doc = "TPC-H Q18: HAVING-driven large-order semi join (SURVEY §2.4)"),
 
     // ------------------------------------------------------------------
@@ -376,6 +379,7 @@ object TpchQueries {
           (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30))"""),
+      bench = true,
       doc = "TPC-H Q19: disjunctive cross-side predicate through a broadcast join (SURVEY §2.3)")
   )
 }

@@ -1,0 +1,63 @@
+package graft.tools
+import org.apache.spark.sql.functions._
+import graft.extras.TextAnalysis
+
+/** Round-10 stage attribution for the CURRENT minhashPairs shape
+  * (hashed shingles, capped buckets): where do the sf1 seconds go —
+  * signature scan, counts shuffle, member shuffle + collect, pair
+  * dedup, or the verify join. Not part of the driver contract. */
+object LshProbe2 {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val corpus = graft.queries.DedupQueries.corpus(spark, d)
+    def t(name: String, reps: Int = 3)(f: => Long): Unit = {
+      val xs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e6, n)
+      }
+      println(f"$name%-30s n=${xs.head._2}%8d min=${xs.map(_._1).min}%8.1fms")
+    }
+    def base = corpus.select(col("doc_id").as("id"),
+        TextAnalysis.shinglesWithMinhashHashed(col("text"), 3, 64).as("smh"))
+      .select(col("id"), col("smh.shh").as("shh"), col("smh.sig").as("sig"))
+      .filter(size(col("shh")) > 0)
+      .withColumn("bands", TextAnalysis.bandHashes(col("sig"), 16, 4))
+      .localCheckpoint(eager = false)
+    t("base_count (sig scan+ckpt)")(base.count())
+    val b = base
+    b.count() // materialize checkpoint for the stage probes below
+    val buckets = b.filter(col("id").isNotNull)
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
+    t("counts_agg")(buckets.groupBy("band", "bh").agg(count(lit(1)).as("m"))
+      .where(col("m").between(2, 10000)).count())
+    val counts = buckets.groupBy("band", "bh").agg(count(lit(1)).as("m"))
+    val ok = counts.where(col("m").between(2, 10000)).select(col("band"), col("bh"))
+    t("semi_join+collect")(buckets.join(ok.hint("shuffle_hash"), Seq("band", "bh"), "left_semi")
+      .groupBy("band", "bh").agg(sort_array(collect_list(col("id"))).as("ids")).count())
+    val grouped = buckets.join(ok.hint("shuffle_hash"), Seq("band", "bh"), "left_semi")
+      .groupBy("band", "bh").agg(sort_array(collect_list(col("id"))).as("ids"))
+    val combos = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("a"), y.as("b")))))
+    val cand = grouped.select(explode(combos).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b")).distinct()
+    t("cand_distinct")(cand.count())
+    t("verify_join (hashed)") {
+      val withSh = cand.hint("shuffle_hash")
+        .join(b.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
+        .hint("shuffle_hash")
+        .join(b.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
+      withSh.select(col("id_a"), col("id_b"),
+          TextAnalysis.jaccardHashes(col("shh_a"), col("shh_b")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5).count()
+    }
+    t("full_minhashPairs")(graft.extras.Dedup.minhashPairs(
+      corpus, "doc_id", "text", 3, 64, 16, 0.5).count())
+    spark.stop()
+  }
+}

@@ -63,6 +63,39 @@ class ExtrasSpec extends SparkSpec {
     assert(kept <= originals && kept > 0)
   }
 
+  test("bounded sorted set: equals sort_array(collect_list) for surviving groups") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // groups of size 1..40 with random long elements, cap 20
+    val rows = (0 until 200).flatMap { g =>
+      (0 until (1 + rnd.nextInt(40))).map(_ => (g, rnd.nextLong() % 1000))
+    }.toDF("g", "v")
+    val got = rows.groupBy("g")
+      .agg(call_function("graft_bounded_sorted_set", col("v"), lit(20)).as("bs"))
+      .select(col("g"), col("bs.n").as("n"), col("bs.ids").as("ids"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), Option(r.getSeq[Long](2))))).toMap
+    val expect = rows.groupBy("g")
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("v"))).as("ids"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (g, (n, ids)) =>
+      val (gn, gids) = got(g)
+      assert(gn === n, s"group $g count")
+      if (n >= 2 && n <= 20) assert(gids.get == ids, s"group $g ids")
+      else assert(gids.isEmpty, s"group $g should be dropped (n=$n)")
+    }
+    // struct elements (the simhash/embedding shape) survive the
+    // serialize/merge path too
+    val srows = (0 until 50).map(i => (i % 3, i.toLong, s"p$i")).toDF("g", "id", "p")
+    val sgot = srows.repartition(7).groupBy("g")
+      .agg(call_function("graft_bounded_sorted_set",
+        struct(col("id"), col("p")), lit(100)).as("bs"))
+      .select(col("g"), col("bs.ids").as("ids"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))).toMap
+    assert(sgot.values.forall(ids => ids == ids.sorted && ids.length >= 16))
+  }
+
   test("degenerate corpus: simhash/embedding bucket caps bound the blow-up") {
     // 10k identical documents land in ONE bucket per band; without the
     // cap that is 10k²/2 pairs per band. With the cap the buckets drop
@@ -88,23 +121,21 @@ class ExtrasSpec extends SparkSpec {
 
   test("bucket cap engages BEFORE member collection and is observable") {
     // the cap must bound the aggregation BUFFER, not just the emitted
-    // pairs: the over-cap keys are semi-joined away before collect_list,
-    // so the plan has the LeftSemi between the count agg and the member
-    // agg — a mega-bucket never accumulates (the old shape collected the
-    // full bucket, vectors and all, then dropped it)
+    // pairs: bucket grouping runs through the bounded-buffer aggregate
+    // (graft_bounded_sorted_set), never a plain collect_list — a
+    // mega-bucket never accumulates anywhere, including map-side
+    // partial buffers (the pre-round-10 shape bounded the final buffer
+    // with a count + semi-join, at the price of a second exchange)
     val clones = (0 until 5000).map(i => (i.toLong, "identical text " + "pad " * 8))
       .toDF("doc_id", "text")
     val mon = new Dedup.BucketSkewMonitor(spark, "test.skew.mh")
     val mp = Dedup.minhashPairs(clones, "doc_id", "text",
       maxBucketSize = 50, monitor = Some(mon))
     val plan = mp.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"), s"no pre-collect semi-join in plan:\n$plan")
-    // member agg (collect_list) must sit ABOVE the semi-join in the tree:
-    // the collect happens only on rows that survived the cap filter
-    val collectIdx = plan.indexOf("collect_list")
-    val semiIdx = plan.indexOf("LeftSemi")
-    assert(collectIdx >= 0 && semiIdx > collectIdx,
-      s"collect_list should consume the semi-join output:\n$plan")
+    assert(plan.contains("graft_bounded_sorted_set"),
+      s"bucket grouping must use the bounded aggregate:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"unbounded collect_list must not appear in the bucket plan:\n$plan")
     assert(mp.count() === 0)
     val m = mon.stats
     // 16 bands x 1 degenerate bucket each, all dropped (accumulators are
