@@ -54,6 +54,7 @@ final class LakeEngine(
     * (reference validateAddedFilesMatchOverwriteFilter,
     * writer/Transaction.java:237-298). */
   def insertOverwrite(table: LakeTable, source: DataFrame, filterSql: String): CommitMetrics = {
+    val fromSnapshot = table.metadata.currentSnapshotId
     val pred = PredSql.compile(spark, filterSql, table.schema)
     val cond = expr(filterSql)
     require(!Pred.isTrue(pred) || allowFullTableScan, "full-table overwrite not allowed")
@@ -84,7 +85,12 @@ final class LakeEngine(
       }
     val remove = full.map(_.path).toSet ++ provenByRows
     val newFiles = LakeWriter.write(spark, table, source)
-    table.overwriteFiles(newFiles, remove,
+    // D11: anchor the commit at the planning snapshot with the
+    // overwrite filter as the conflict scope, so concurrent commits
+    // touching OTHER partitions/filters sail past while a racing write
+    // into this filter's rows surfaces as a conflict to retry from
+    table.overwriteFiles(newFiles, remove, fromSnapshotId = fromSnapshot,
+      conflictFilter = Some(pred),
       removeHints = files.filter(f => remove.contains(f.path)))
   }
 

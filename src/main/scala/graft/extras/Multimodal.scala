@@ -155,6 +155,32 @@ object Multimodal {
     }(enc)
   }
 
+  /** MP4/H.264 gate op: synthesize a per-id MP4 ([[MediaSynth.mp4]] —
+    * real ISO-BMFF + baseline I_PCM H.264), route it through the
+    * registered video codec ([[JvmMp4Codec]]'s box walk + Exp-Golomb
+    * parse + raw-MB pixel recovery), and emit facts the arithmetic
+    * oracle recomputes EXACTLY — including the first frame's decoded
+    * luminance sum, which the lossless I_PCM path makes possible where
+    * the lossy MJPEG gate could only pin geometry. Map-only. */
+  def mp4FrameFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_frames", LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("lum_sum", LongType), StructField("plane_bytes", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    val codecs = MediaCodecs.current
+    df.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = MediaSynth.mp4(id)
+        val codec = MediaCodecs.forMime(codecs, "video/mp4")
+        val f = codec.features(bytes, "video/mp4")
+        val frames = codec.sampleFrames(bytes, "video/mp4", f(0).toInt)
+        Row(id, f(0), f(1), f(2), f(3), frames.map(_.length.toLong).sum)
+      }
+    }(enc)
+  }
+
   /** Shared decode mapper for the PNG gates: synthesize the per-id PNG,
     * route it through the registered image codec, and project the
     * feature array ([w, h, lumSum] ++ 16-bin histogram) into `schema`.
@@ -565,7 +591,7 @@ object JvmMjpegCodec extends MediaCodec {
 object MediaCodecs {
   /** Default stack: real JVM codecs first, stub as the catch-all. */
   private val defaults: Seq[MediaCodec] =
-    Seq(JvmImageCodec, JvmWavCodec, JvmMjpegCodec, StubMediaCodec)
+    Seq(JvmImageCodec, JvmWavCodec, JvmMjpegCodec, JvmMp4Codec, StubMediaCodec)
   @volatile private var registry: Seq[MediaCodec] = defaults
 
   /** Register a codec with priority over previously registered ones
@@ -675,6 +701,154 @@ object MediaSynth {
       f += 1
     }
     out.toByteArray
+  }
+
+  /** MP4/H.264 clip: a REAL ISO-BMFF container (ftyp + mdat + moov with
+    * mvhd/trak/mdia/minf/stbl boxes, avc1 sample entry, avcC parameter
+    * sets, stts/stsc/stsz/stco sample tables) holding (1 + id%3)
+    * baseline-profile IDR frames built ENTIRELY of I_PCM macroblocks:
+    * raw-sample MBs are legal H.264 (spec 7.3.5 mb_type I_PCM), so a
+    * pure-JVM decoder can recover the exact pixels after genuinely
+    * parsing SPS/PPS/slice-header Exp-Golomb fields and
+    * emulation-prevention bytes. Frame f's luma is
+    * (id + 40f + 3x + 5y) % 256 (chroma constant 128) at
+    * 16*(1 + id%2) x 16 — LOSSLESS, so unlike the MJPEG fixture the
+    * oracle can pin the decoded pixel SUM, not just the geometry. */
+  def mp4(id: Long): Array[Byte] = {
+    val wMb = (1 + id % 2).toInt
+    val hMb = 1
+    val w = wMb * 16
+    val h = hMb * 16
+    val nFrames = (1 + id % 3).toInt
+
+    def nalSps(): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x67, 8) // nal: ref_idc=3, type=7 (SPS)
+      bw.u(66, 8); bw.u(0, 8); bw.u(10, 8) // baseline, no constraints, level 1.0
+      bw.ue(0) // sps id
+      bw.ue(0) // log2_max_frame_num_minus4 -> 4 bits
+      bw.ue(2) // pic_order_cnt_type = 2 (no POC fields downstream)
+      bw.ue(0) // max_num_ref_frames
+      bw.u(0, 1) // gaps_in_frame_num_value_allowed_flag
+      bw.ue(wMb - 1); bw.ue(hMb - 1)
+      bw.u(1, 1) // frame_mbs_only_flag
+      bw.u(0, 1) // direct_8x8_inference_flag
+      bw.u(0, 1) // frame_cropping_flag
+      bw.u(0, 1) // vui_parameters_present_flag
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+    def nalPps(): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x68, 8) // nal: type=8 (PPS)
+      bw.ue(0); bw.ue(0) // pps id, sps id
+      bw.u(0, 1) // entropy_coding_mode_flag = CAVLC
+      bw.u(0, 1) // bottom_field_pic_order_in_frame_present_flag
+      bw.ue(0) // num_slice_groups_minus1
+      bw.ue(0); bw.ue(0) // num_ref_idx_l0/l1_default_active_minus1
+      bw.u(0, 1); bw.u(0, 2) // weighted_pred_flag, weighted_bipred_idc
+      bw.se(0); bw.se(0); bw.se(0) // init_qp, init_qs, chroma_qp_offset
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1) // deblock_ctrl, constrained_intra, redundant_cnt
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+    def nalIdr(f: Int): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x65, 8) // nal: ref_idc=3, type=5 (IDR slice)
+      bw.ue(0) // first_mb_in_slice
+      bw.ue(7) // slice_type: I (all slices in pic)
+      bw.ue(0) // pps id
+      bw.u(0, 4) // frame_num (log2_max_frame_num = 4)
+      bw.ue(0) // idr_pic_id
+      bw.u(0, 1); bw.u(0, 1) // no_output_of_prior_pics, long_term_reference
+      bw.se(0) // slice_qp_delta
+      var mb = 0
+      while (mb < wMb * hMb) {
+        bw.ue(25) // mb_type I_PCM
+        bw.byteAlignZero() // pcm_alignment_zero_bit
+        val mbX = (mb % wMb) * 16
+        val mbY = (mb / wMb) * 16
+        val luma = new Array[Byte](256)
+        var yy = 0
+        while (yy < 16) {
+          var xx = 0
+          while (xx < 16) {
+            luma(yy * 16 + xx) =
+              ((id + 40L * f + 3 * (mbX + xx) + 5 * (mbY + yy)) % 256).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        bw.bytes(luma)
+        val chroma = new Array[Byte](128)
+        java.util.Arrays.fill(chroma, 128.toByte)
+        bw.bytes(chroma)
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payload.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      payload.foreach(bb.put)
+      bb.array()
+    }
+    def be32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def be16(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(2).putShort(v.toShort).array()
+
+    val samples = (0 until nFrames).map { f =>
+      val nal = nalIdr(f)
+      be32(nal.length) ++ nal // 4-byte NAL length prefix (avcC lengthSize 4)
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(512),
+      "isomavc1".getBytes("US-ASCII"))
+    val mdatPayloadOffset = ftyp.length + 8L
+    val mdat = box("mdat", samples.flatten.toArray)
+
+    val sps = nalSps(); val pps = nalPps()
+    val avcC = box("avcC",
+      Array[Byte](1, 66, 0, 10, (0xfc | 3).toByte, (0xe0 | 1).toByte),
+      be16(sps.length), sps, Array[Byte](1), be16(pps.length), pps)
+    val avc1 = box("avc1",
+      new Array[Byte](6), be16(1), // reserved + data_reference_index
+      new Array[Byte](16), be16(w), be16(h),
+      be32(0x00480000L), be32(0x00480000L), be32(0), be16(1),
+      new Array[Byte](32), be16(24), be16(0xffff), avcC)
+    val stsd = box("stsd", be32(0), be32(1), avc1)
+    val stts = box("stts", be32(0), be32(1), be32(nFrames), be32(1))
+    val stsc = box("stsc", be32(0), be32(1), be32(1), be32(nFrames), be32(1))
+    val stsz = box("stsz", be32(0), be32(0), be32(nFrames),
+      samples.flatMap(s => be32(s.length)).toArray)
+    val stco = box("stco", be32(0), be32(1), be32(mdatPayloadOffset))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val vmhd = box("vmhd", be32(1), new Array[Byte](8))
+    val dref = box("dref", be32(0), be32(1),
+      box("url ", be32(1))) // self-contained
+    val dinf = box("dinf", dref)
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(1000),
+      be32(nFrames * 40L), be16(0x55c4), be16(0))
+    val hdlr = box("hdlr", be32(0), be32(0), "vide".getBytes("US-ASCII"),
+      new Array[Byte](12), "graft\u0000".getBytes("US-ASCII"))
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val tkhd = box("tkhd", be32(7), be32(0), be32(0), be32(1), be32(0),
+      be32(nFrames * 40L), new Array[Byte](8), be16(0), be16(0), be16(0), be16(0),
+      be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L), be32(0),
+      be32(0), be32(0), be32(0x40000000L), be32(w << 16), be32(h << 16))
+    val trak = box("trak", tkhd, mdia)
+    val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(1000),
+      be32(nFrames * 40L), be32(0x00010000L), be16(0x0100), be16(0),
+      new Array[Byte](8),
+      be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L), be32(0),
+      be32(0), be32(0), be32(0x40000000L),
+      new Array[Byte](24), be32(2))
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
   }
 }
 
@@ -922,8 +1096,10 @@ object JvmMp4Codec extends MediaCodec {
                         boxes(b, s5 + 8, e5) { (t6, s6, e6) =>
                           if (t6 == "avc1")
                             // avc1 sample entry: 78 bytes of fixed
-                            // fields after the box header, then children
-                            boxes(b, s6 + 70, e6) { (t7, s7, e7) =>
+                            // fields (6+2 SampleEntry + 70
+                            // VisualSampleEntry) after the box header,
+                            // then child boxes
+                            boxes(b, s6 + 78, e6) { (t7, s7, e7) =>
                               if (t7 == "avcC" && e7 - s7 >= 7) {
                                 val o = s7.toInt
                                 nalLen = (b(o + 4) & 0x03) + 1

@@ -740,11 +740,16 @@ class LakeTable private (
       m: TableMetadata, head: Option[Snapshot], fromSnap: Option[Long],
       filter: Option[graft.scan.Pred], serializable: Boolean): Unit = {
     (fromSnap, head) match {
-      case (Some(from), Some(h)) if h.id != from =>
-        // walk parent chain head..from
+      case (from, Some(h)) if !from.contains(h.id) =>
+        // walk parent chain head..from; from = None means the writer
+        // planned against the EMPTY table, so the chain reaches the
+        // root and EVERY head file counts as added since planning —
+        // without this, two merges racing into a brand-new table both
+        // see no base snapshot, skip validation entirely, and
+        // double-insert the same keys (caught by ConcurrencyStressSpec)
         val chain = Iterator.iterate(Option(h))(s => s.flatMap(_.parentId).flatMap(m.snapshotById))
-          .takeWhile(s => s.isDefined && !s.exists(_.id == from)).flatten.toSeq
-        val fromEntries = m.snapshotById(from).map(manifest).getOrElse(Seq.empty)
+          .takeWhile(s => s.isDefined && !s.exists(ss => from.contains(ss.id))).flatten.toSeq
+        val fromEntries = from.flatMap(m.snapshotById).map(manifest).getOrElse(Seq.empty)
         val fromPaths = fromEntries.map(_.path).toSet
         val headManifest = manifest(h)
         val headPaths = headManifest.map(_.path).toSet

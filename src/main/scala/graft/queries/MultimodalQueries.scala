@@ -114,6 +114,32 @@ object MultimodalQueries {
       doc = "real MJPEG video decode: segment walk + per-frame ImageIO vs arithmetic oracle"),
 
     // ------------------------------------------------------------------
+    Q("multimodal_mp4_frames",
+      (s, d) => {
+        // the MP4/H.264 seam with a real pure-JVM codec behind it:
+        // per-id ISO-BMFF containers holding baseline I_PCM IDR frames
+        // (MediaSynth.mp4), decoded by JvmMp4Codec's box walk +
+        // Exp-Golomb SPS/PPS/slice parse + raw-macroblock pixel
+        // recovery. I_PCM is lossless, so the oracle pins the decoded
+        // first-frame LUMINANCE SUM arithmetically — a naive container
+        // sniff that never parses the bitstream cannot produce it.
+        Multimodal.mp4FrameFeatures(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT d.doc_id,
+          1 + d.doc_id % 3 AS n_frames,
+          16 * (1 + d.doc_id % 2) AS width,
+          16 AS height,
+          CAST(sum((d.doc_id + 3 * x.x + 5 * y.y) % 256) AS BIGINT) AS lum_sum,
+          (1 + d.doc_id % 3) * 16 * (1 + d.doc_id % 2) * 16 AS plane_bytes
+        FROM documents d, range(0, 32) x(x), range(0, 16) y(y)
+        WHERE d.doc_id < 200 AND x.x < 16 * (1 + d.doc_id % 2)
+        GROUP BY d.doc_id ORDER BY d.doc_id"""),
+      doc = "real MP4/H.264 decode: ISO-BMFF box walk + I_PCM bitstream parse vs exact pixel-sum oracle"),
+
+    // ------------------------------------------------------------------
     Q("multimodal_hist_similarity",
       (s, d) => {
         // the full multimodal RETRIEVAL pipeline in one gate: decode

@@ -1,0 +1,156 @@
+package graft
+
+import graft.commands.{LakeEngine, Merge}
+import graft.format._
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.functions._
+
+/** Fleet-scale concurrency stress for the commit protocol (SURVEY §2.6
+  * D11): N >= 8 writer threads race mixed appends, strict partition
+  * overwrites and SCD1 merges — on disjoint AND overlapping scopes —
+  * against ONE table whose metadata plane lives behind the
+  * [[FsObjectStore]] conditional-PUT client. The 2-way races in
+  * EdgeCasesSpec/ObjectStoreSpec pin the protocol mechanics; this spec
+  * asserts the HISTORY stays serializable when many writers pile up:
+  *
+  *  - every version file v1..vN exists and parses (atomic, dense log);
+  *  - the snapshot chain is LINEAR (each snapshot's parent is its
+  *    predecessor — no forks, no lost commits);
+  *  - disjoint scopes all land: every appended row is present exactly
+  *    once, and each overwritten partition holds exactly one writer
+  *    round's batch (no interleaving of two overwrites' files);
+  *  - the overlapping merge scope converges to ONE merger's values on
+  *    EVERY key (a lost update would mix writers within the scope);
+  *  - each logical operation succeeds within a bounded number of
+  *    application-level retries (conflicts surface, losers re-run from
+  *    fresh state, nobody livelocks).
+  */
+class ConcurrencyStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val MaxAttempts = 15
+
+  test("10 racing writers: dense linear history, scoped atomicity, bounded retries") {
+    val client = new FsObjectStore(Files.createTempDirectory("graft-stress-os-"))
+    val store = new ObjectStoreCommitStore(client)
+    val loc = Paths.get(
+      Files.createTempDirectory("graft-stress-wh-").toString, "stress").toString
+    val schema = Seq((0, 0L, "", "", 0)).toDF("part", "key", "val", "tag", "round").schema
+    LakeTable.create(loc, schema,
+      partitionSpec = Seq(PartitionField("part", "part", "identity")),
+      store = store)
+    val engine = new LakeEngine(spark, new LakeCatalog("/tmp"))
+
+    def table() = LakeTable.load(loc, store)
+    val attempts = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+
+    /** Run one logical op with reload-and-retry on commit conflicts —
+      * the application-level loop a real writer runs. */
+    def retrying(opId: String)(op: LakeTable => Unit): Unit = {
+      val n = attempts.computeIfAbsent(opId, _ => new AtomicInteger)
+      var done = false
+      while (!done) {
+        val k = n.incrementAndGet()
+        if (k > MaxAttempts)
+          throw new AssertionError(s"$opId exceeded $MaxAttempts attempts")
+        try { op(table()); done = true }
+        catch {
+          // CommitConflictException: the protocol's internal CAS budget
+          // (5) exhausted under 10-way contention — by design the
+          // application re-runs the op from fresh state. Validation
+          // messages (serializable conflicts detected against the
+          // op's own fromSnapshot) re-run the same way.
+          case _: CommitConflictException =>
+            Thread.sleep(10L * k)
+          case e: Exception
+              if e.getMessage != null && e.getMessage.toLowerCase
+                .matches("(?s).*(conflict|concurrent|rewritten|retries).*") =>
+            Thread.sleep(10L * k) // backoff, then re-run from fresh state
+        }
+      }
+    }
+
+    // 4 appenders (disjoint partitions+keys), 3 partition overwriters
+    // (2 rounds each, disjoint partitions), 3 mergers (FULLY overlapping
+    // key scope in part=50) = 10 writers, 13 logical commits
+    val writers: Seq[Runnable] = (0 until 4).map[Runnable] { w => () =>
+      retrying(s"append$w") { t =>
+        val rows = (0 until 50).map(i => (100 + w, (w * 1000 + i).toLong, s"a$w", s"A$w", 0))
+          .toDF("part", "key", "val", "tag", "round")
+        engine.insert(t, rows)
+      }
+    } ++ (0 until 3).map[Runnable] { p => () =>
+      (1 to 2).foreach { round =>
+        retrying(s"overwrite$p-r$round") { t =>
+          val rows = (0 until 30).map(i => (p, i.toLong, s"o$p-$round", s"O$p", round))
+            .toDF("part", "key", "val", "tag", "round")
+          engine.insertOverwrite(t, rows, s"part = $p")
+        }
+      }
+    } ++ (0 until 3).map[Runnable] { m => () =>
+      retrying(s"merge$m") { t =>
+        val src = (0 until 40).map(i => (50, i.toLong, s"m$m", s"M$m", 0))
+          .toDF("part", "key", "val", "tag", "round")
+        // snapshot-mode scd1 replaces the BOUNDARY scope with the source;
+        // the boundary doubles as the commit's conflict filter, so the
+        // three mergers conflict with each other but sail past the
+        // appends and partition overwrites
+        Merge.scd1(engine, t, src, Merge.Scd1Options(
+          keyCols = Seq("part", "key"), tableFilterSql = "part = 50"))
+      }
+    }
+
+    val threads = writers.map { r =>
+      val th = new Thread(() =>
+        try r.run() catch { case e: Throwable => failures.add(e) })
+      th.start(); th
+    }
+    threads.foreach(_.join(300000))
+    assert(failures.isEmpty, s"writer failures: ${failures.toArray.toSeq}")
+
+    val t = table()
+    // ---- dense, parseable, LINEAR history --------------------------
+    val v = LakeTable.currentVersion(loc, store)
+    val metaDir = Paths.get(loc, "metadata").toString
+    (1 to v).foreach { i =>
+      val body = new String(client.get(s"$metaDir/v$i.json"), "UTF-8")
+      Json.read(body, classOf[TableMetadata]) // parses
+    }
+    val snaps = t.metadata.snapshots
+    assert(snaps.size === 13, s"13 commits -> 13 snapshots, got ${snaps.size}")
+    snaps.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.parentId === Some(a.id),
+        s"forked history: ${b.id} parent ${b.parentId} != ${a.id}")
+    case _ => }
+
+    // ---- disjoint scopes all landed exactly once -------------------
+    val all = engine.scan(t).toDF().select("part", "key", "val", "tag", "round")
+      .as[(Int, Long, String, String, Int)].collect()
+    val appended = all.filter(_._1 >= 100)
+    assert(appended.length === 200, s"appended rows lost: ${appended.length}")
+    assert(appended.map(r => (r._1, r._2)).toSet ===
+      (0 until 4).flatMap(w => (0 until 50).map(i => (100 + w, (w * 1000 + i).toLong))).toSet)
+
+    (0 until 3).foreach { p =>
+      val rows = all.filter(_._1 == p)
+      assert(rows.length === 30, s"partition $p row count ${rows.length}")
+      // strict overwrite atomicity: one round's batch, never a mix
+      assert(rows.map(_._5).toSet.size === 1, s"partition $p mixes rounds")
+      assert(rows.map(_._2).toSet === (0L until 30L).toSet)
+    }
+
+    // ---- overlapping merges are serializable: one winner everywhere -
+    val merged = all.filter(_._1 == 50)
+    assert(merged.length === 40, s"merge scope row count ${merged.length}")
+    assert(merged.map(_._2).toSet === (0L until 40L).toSet, "duplicate or lost keys")
+    assert(merged.map(_._4).toSet.size === 1,
+      s"lost update: merge scope mixes writers ${merged.map(_._4).toSet}")
+
+    // ---- bounded retries ------------------------------------------
+    attempts.forEach((op, n) =>
+      assert(n.get <= MaxAttempts, s"$op took ${n.get} attempts"))
+    assert(attempts.size === 13, "every logical op ran")
+  }
+}
