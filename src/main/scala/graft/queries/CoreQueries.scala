@@ -475,6 +475,37 @@ object CoreQueries {
       doc = "multi distinct aggregation (SURVEY §2.4)"),
 
     // ------------------------------------------------------------------
+    Q("q_distinct_salted",
+      (s, d) => {
+        // Two-level exact multi-distinct: level 1 groups by
+        // (flag, salt(orderkey)) so the heavy per-group set merges are
+        // DISJOINT across salts and parallelize across reducers — the
+        // cluster-scale answer when one group's distinct cardinality
+        // would serialize on a single final-merge task (single-node
+        // A/B'd slower than q_distinct_agg's one-level plan, which is
+        // why BOTH shapes are first-class). Level 2 sums the disjoint
+        // orderkey counts and set-merges the small bounded-range
+        // suppkey/partkey sets (word-OR'd bitmaps; see AdaptiveLongSet).
+        graft.functions.GraftFunctions.register(s)
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"),
+            pmod(xxhash64(col("l_orderkey")), lit(8)).as("_salt"))
+          .agg(call_function("graft_distinct_set", col("l_suppkey")).as("ss"),
+            call_function("graft_distinct_set", col("l_partkey")).as("ps"),
+            call_function("graft_count_distinct", col("l_orderkey")).as("no"))
+          .groupBy("l_returnflag")
+          .agg(call_function("graft_count_distinct_merge", col("ss")).as("n_supp"),
+            call_function("graft_count_distinct_merge", col("ps")).as("n_part"),
+            sum("no").as("n_ord"))
+          .transform(Present.sortSmall(_, col("l_returnflag")))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+          count(DISTINCT l_partkey) AS n_part, count(DISTINCT l_orderkey) AS n_ord
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "two-level salted exact distinct re-aggregation (SURVEY §2.4 scale path)"),
+
+    // ------------------------------------------------------------------
     Q("q_approx_distinct",
       (s, d) => {
         // HLL++ sketch path for the same shape as q_distinct_agg: one

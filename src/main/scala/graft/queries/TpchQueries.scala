@@ -245,16 +245,25 @@ object TpchQueries {
     Q("q13_order_distribution",
       (s, d) => {
         // TPC-H Q13 (customer order-count distribution) — the LEFT
-        // OUTER join keeps zero-order customers (count(o_orderkey)
-        // counts only matches). Two shuffles: custkey agg, then the
-        // tiny count-of-counts agg.
+        // OUTER join keeps zero-order customers. Aggregate-BELOW-join
+        // shape: orders pre-aggregate to (custkey, count) FIRST, so the
+        // only data-sized shuffle carries one row per ordering customer
+        // (map-side combined) instead of every order row through an
+        // outer join; the count table then broadcasts (size-gated on
+        // the customer key list, which provably bounds it — custkeys
+        // are customer FKs) and the customer side never shuffles.
+        // coalesce(,0) restores the zero-order customers the LEFT join
+        // would have kept. At 100 TB the gate fails and the same code
+        // degrades to a shuffled outer join on the pre-aggregated side
+        // — still the small side of the original plan.
         val o = Tables.orders(s, d)
           .filter(col("o_orderpriority") =!= "1-URGENT")
-          .select("o_orderkey", "o_custkey")
+          .select("o_custkey")
+        val oc = o.groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
         val c = Tables.customer(s, d).select("c_custkey")
-        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
-          .groupBy("c_custkey")
-          .agg(count(col("o_orderkey")).as("c_count"))
+        c.join(graft.plans.Hints.broadcastIfSmall(oc, bound = c),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
           .groupBy("c_count")
           .agg(count(lit(1)).as("custdist"))
           .transform(Present.driverAgg(_, "custdist" -> false, "c_count" -> false))
