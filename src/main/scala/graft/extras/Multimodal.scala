@@ -136,50 +136,54 @@ object Multimodal {
     * count, first-frame dimensions, and the total decoded luminance-
     * plane bytes across all sampled frames (= n*w*h only when every
     * frame really decoded). Map-only; the clip bytes never shuffle. */
-  def mjpegFrameFeatures(df: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("n_frames", LongType),
-      StructField("width", LongType), StructField("height", LongType),
-      StructField("plane_bytes", LongType)))
+  /** Shared decode mapper for the VIDEO gates (mirror of the PNG gates'
+    * shared mapper): synthesize the per-id clip, route it through the
+    * registered codec for `mime`, decode features + every sampled
+    * frame, and build the gate row from (id, features, total decoded
+    * plane bytes). ONE definition so the synthesis + codec-routing +
+    * frame-sampling plumbing can't drift between container formats. */
+  private def videoFrameFeatures(
+      df: DataFrame, idCol: String, mime: String, schema: StructType,
+      synth: Long => Array[Byte])(
+      row: (Long, Array[Long], Long) => Row): DataFrame = {
     val enc = RowEncoder.encoderFor(schema)
     val codecs = MediaCodecs.current
     df.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val bytes = MediaSynth.mjpeg(id)
-        val codec = MediaCodecs.forMime(codecs, "video/mjpeg")
-        val f = codec.features(bytes, "video/mjpeg")
-        val frames = codec.sampleFrames(bytes, "video/mjpeg", f(0).toInt)
-        Row(id, f(0), f(1), f(2), frames.map(_.length.toLong).sum)
+        val bytes = synth(id)
+        val codec = MediaCodecs.forMime(codecs, mime)
+        val f = codec.features(bytes, mime)
+        val frames = codec.sampleFrames(bytes, mime, f(0).toInt)
+        row(id, f, frames.map(_.length.toLong).sum)
       }
     }(enc)
   }
+
+  def mjpegFrameFeatures(df: DataFrame, idCol: String): DataFrame =
+    videoFrameFeatures(df, idCol, "video/mjpeg", StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_frames", LongType),
+        StructField("width", LongType), StructField("height", LongType),
+        StructField("plane_bytes", LongType))),
+      MediaSynth.mjpeg) { (id, f, planeBytes) =>
+      Row(id, f(0), f(1), f(2), planeBytes)
+    }
 
   /** MP4/H.264 gate op: synthesize a per-id MP4 ([[MediaSynth.mp4]] —
     * real ISO-BMFF + baseline I_PCM H.264), route it through the
     * registered video codec ([[JvmMp4Codec]]'s box walk + Exp-Golomb
     * parse + raw-MB pixel recovery), and emit facts the arithmetic
     * oracle recomputes EXACTLY — including the first frame's decoded
-    * luminance sum, which the lossless I_PCM path makes possible where
-    * the lossy MJPEG gate could only pin geometry. Map-only. */
-  def mp4FrameFeatures(df: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("n_frames", LongType),
-      StructField("width", LongType), StructField("height", LongType),
-      StructField("lum_sum", LongType), StructField("plane_bytes", LongType)))
-    val enc = RowEncoder.encoderFor(schema)
-    val codecs = MediaCodecs.current
-    df.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = MediaSynth.mp4(id)
-        val codec = MediaCodecs.forMime(codecs, "video/mp4")
-        val f = codec.features(bytes, "video/mp4")
-        val frames = codec.sampleFrames(bytes, "video/mp4", f(0).toInt)
-        Row(id, f(0), f(1), f(2), f(3), frames.map(_.length.toLong).sum)
-      }
-    }(enc)
-  }
+    * luminance sum (f(3)), which the lossless I_PCM path makes possible
+    * where the lossy MJPEG gate could only pin geometry. Map-only. */
+  def mp4FrameFeatures(df: DataFrame, idCol: String): DataFrame =
+    videoFrameFeatures(df, idCol, "video/mp4", StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_frames", LongType),
+        StructField("width", LongType), StructField("height", LongType),
+        StructField("lum_sum", LongType), StructField("plane_bytes", LongType))),
+      MediaSynth.mp4) { (id, f, planeBytes) =>
+      Row(id, f(0), f(1), f(2), f(3), planeBytes)
+    }
 
   /** Shared decode mapper for the PNG gates: synthesize the per-id PNG,
     * route it through the registered image codec, and project the

@@ -33,7 +33,11 @@ final class LongOpenHashSet(initialCapacity: Int = 16) {
 
   def add(v: Long): Unit = {
     if (v == 0L) { hasZero = true; return }
-    if ((n + 1) * 4 > capacity * 3) grow()
+    if ((n + 1L) * 4 > capacity.toLong * 3) {
+      require(capacity < AdaptiveLongSet.MaxHashCapacity,
+        s"hash set exceeds ${AdaptiveLongSet.MaxHashCapacity} slots")
+      grow()
+    }
     var i = (mix(v) & mask).toInt
     var cur = data(i)
     while (cur != 0L) {
@@ -70,17 +74,6 @@ final class LongOpenHashSet(initialCapacity: Int = 16) {
       if (od(j) != 0L) add(od(j))
       j += 1
     }
-  }
-
-  /** Visit every stored value (0L is represented out-of-band and is
-    * visited last, iff present). */
-  def foreach(f: Long => Unit): Unit = {
-    var j = 0
-    while (j < data.length) {
-      if (data(j) != 0L) f(data(j))
-      j += 1
-    }
-    if (hasZero) f(0L)
   }
 
   /** [byte hasZero][int n][n packed longs] */
@@ -167,7 +160,15 @@ final class AdaptiveLongSet {
   def add(v: Long): Unit = {
     if (v == 0L) { hasZero = true; return }
     if (words != null) { addBitmap(v); return }
-    if ((n + 1) * 4 > capacity * 3) {
+    // Long arithmetic: at capacity 2^30 the Int products overflow,
+    // which would either loop forever (a 16-slot "grown" table can
+    // never fit) or mis-size the table — fail with a clear error
+    // instead once the 2^30-slot ceiling (~805 M keys) is hit
+    if ((n + 1L) * 4 > capacity.toLong * 3) {
+      if (capacity >= MaxHashCapacity)
+        throw new IllegalStateException(
+          s"distinct-set buffer exceeds $MaxHashCapacity slots; " +
+            "use approx_count_distinct at this per-group cardinality")
       growOrConvert(math.max(capacity << 1, 16))
       if (words != null) { addBitmap(v); return }
     }
@@ -189,9 +190,13 @@ final class AdaptiveLongSet {
     if (words != null) return
     val need = n.toLong + more
     if (need * 4 > capacity.toLong * 3) {
-      var c = capacity
-      while (need * 4 > c.toLong * 3) c <<= 1
-      growOrConvert(c)
+      var c = capacity.toLong
+      while (need * 4 > c * 3 && c < MaxHashCapacity) c <<= 1
+      if (need * 4 > c * 3)
+        throw new IllegalStateException(
+          s"distinct-set buffer exceeds $MaxHashCapacity slots; " +
+            "use approx_count_distinct at this per-group cardinality")
+      growOrConvert(c.toInt)
     }
   }
 
@@ -386,6 +391,10 @@ final class AdaptiveLongSet {
 object AdaptiveLongSet {
   /** Distinct keys seen before judging density (tunable for tests). */
   val ConvertAt: Int = Integer.getInteger("graft.distinct.convertAt", 4096)
+  /** Hash-table slot ceiling (2^30: the last power of two whose resize
+    * arithmetic fits an Int). Reaching it (~805 M distinct keys in ONE
+    * group's buffer) fails with a clear message instead of hanging. */
+  val MaxHashCapacity: Int = 1 << 30
   /** Max bitmap bits per stored key: 128 bits = 16 bytes/key, the point
     * where the bitmap stops being smaller than the hash table arrays it
     * replaces. */

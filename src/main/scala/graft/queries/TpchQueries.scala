@@ -261,7 +261,11 @@ object TpchQueries {
           .select("o_custkey")
         val oc = o.groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
         val c = Tables.customer(s, d).select("c_custkey")
-        c.join(graft.plans.Hints.broadcastIfSmall(oc, bound = c),
+        // the byte bound must match oc's TWO-long row shape, not just
+        // its row count — a same-width synthetic second column keeps the
+        // estimate honest near the broadcast threshold
+        val ocBound = c.select(col("c_custkey"), col("c_custkey").as("n_orders"))
+        c.join(graft.plans.Hints.broadcastIfSmall(oc, bound = ocBound),
             col("c_custkey") === col("o_custkey"), "left_outer")
           .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
           .groupBy("c_count")
