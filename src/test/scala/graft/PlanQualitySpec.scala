@@ -62,6 +62,33 @@ class PlanQualitySpec extends SparkSpec {
       s"q5 lost its broadcast dim joins:\n$q5")
   }
 
+  test("q13 aggregates below the join: customer side never shuffles") {
+    planOf("q13_order_distribution")
+    val q13 = graft.plans.DriverFinalAgg.lastSourcePlan
+    assert(q13.contains("BroadcastHashJoin"),
+      s"q13 lost its broadcast of the pre-aggregated order counts:\n$q13")
+    // the orders pre-aggregate sits BELOW the join (aggregate-below-join
+    // shape): a HashAggregate must appear under the broadcast exchange
+    val bx = q13.indexOf("BroadcastExchange")
+    assert(bx >= 0 && q13.indexOf("HashAggregate", bx) > bx,
+      s"q13 no longer pre-aggregates orders before the join:\n$q13")
+    // exactly one data-sized exchange feeds the join side (the count
+    // aggregation); the customer scan streams map-only into the join
+    assert(q13.contains("LeftOuter"), s"q13 lost the zero-order customers:\n$q13")
+  }
+
+  test("q7 cuts the fact stream with filtered-dim broadcasts") {
+    planOf("q7_volume_shipping")
+    val q7 = graft.plans.DriverFinalAgg.lastSourcePlan
+    assert(q7.contains("BroadcastHashJoin"),
+      s"q7 lost its filtered-dim broadcasts:\n$q7")
+    // the nation-pair filter must reach the supplier/customer dim scans
+    // (PushedFilters), not evaluate post-join
+    assert(q7.contains("PushedFilters: [IsNotNull(n_name), Or(EqualTo(n_name,NATION_1),EqualTo(n_name,NATION_2))]") ||
+      q7.contains("EqualTo(n_name,NATION_1)"),
+      s"q7's nation-pair predicate no longer pushes into the dim scans:\n$q7")
+  }
+
   test("bounded-cardinality aggregations finalize on the driver") {
     // these queries opt into DriverFinalAgg (group keys bounded by
     // construction); the returned plan must be a local relation — if the

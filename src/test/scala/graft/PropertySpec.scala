@@ -271,4 +271,58 @@ class PropertySpec extends SparkSpec {
     assert(got.count() === orders.count())
     assert(got.except(orders).isEmpty && orders.except(got).isEmpty)
   }
+
+  test("adaptive distinct set tracks a reference Set under random op mixes") {
+    // fuzz the hash<->bitmap adaptation machinery end to end: random
+    // interleavings of adds (dense runs, sparse jumps, duplicates,
+    // zeros, negatives, extremes), serialize/deserialize round-trips,
+    // and unions of independently-built sets, each checked against a
+    // plain scala Set. Shapes chosen to force every transition:
+    // convert (dense), grow up/down (drifting windows), revert
+    // (dense-then-sparse), nested + disjoint bitmap unions.
+    import graft.functions.AdaptiveLongSet
+    val rnd = new Random(20260814L)
+    (0 until 20).foreach { trial =>
+      var model = Set.empty[Long]
+      var set = new AdaptiveLongSet()
+      val ops = 4 + rnd.nextInt(5)
+      (0 until ops).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 => // dense run around a random base (forces convert/grow)
+            val base = rnd.nextLong() % 1000000L
+            val len = 1 + rnd.nextInt(9000)
+            val step = 1 + rnd.nextInt(3)
+            (0 until len).foreach { i =>
+              val v = base + i * step
+              set.add(v); model += v
+            }
+          case 1 => // sparse spray (forces hash mode / revert)
+            (0 until 1 + rnd.nextInt(3000)).foreach { _ =>
+              val v = rnd.nextLong()
+              set.add(v); model += v
+            }
+          case 2 => // duplicates + sentinels
+            Seq(0L, 0L, -1L, 1L, Long.MinValue, Long.MaxValue).foreach { v =>
+              set.add(v); model += v
+            }
+          case 3 => // serialize/deserialize round-trip mid-stream
+            set = AdaptiveLongSet.deserialize(set.serialize())
+          case 4 => // union with an independently built set
+            val other = new AdaptiveLongSet()
+            val base = rnd.nextLong() % 1000000L
+            (0 until 1 + rnd.nextInt(6000)).foreach { i =>
+              val v = if (rnd.nextBoolean()) base + i else rnd.nextLong()
+              other.add(v); model += v
+            }
+            if (rnd.nextBoolean()) set.union(other)
+            else { other.union(set); set = other }
+        }
+        assert(set.size === model.size.toLong, s"trial $trial diverged")
+      }
+      // full content equality at the end of every trial
+      var seen = Set.empty[Long]
+      set.foreach(seen += _)
+      assert(seen === model, s"trial $trial content mismatch")
+    }
+  }
 }
