@@ -1087,6 +1087,92 @@ object TextQueries {
       doc = "URL canonicalization dedup: fragment/query cut, case fold, www fold, slash trim -> canonical groups (training-data op)"),
 
     // ------------------------------------------------------------------
+    Q("text_dsir_resample",
+      (s, d) => {
+        // DSIR-style data selection (Xie et al., NeurIPS 2023 "Data
+        // Selection for Language Models via Importance Resampling"):
+        // hashed bigram bag-of-features, importance weights from the
+        // ratio of a TARGET distribution (here: the lang='en' slice)
+        // to the RAW corpus distribution, then weighted resampling.
+        // Engine-portable determinism adaptations, same playbook as the
+        // repo's other fixed-point ops: the feature hash is integer
+        // arithmetic over code points (no engine hash functions), the
+        // per-bucket weight is add-1-smoothed INTEGER ratio
+        // (p+1)*1e6 DIV (q+1) — exact in both engines — and the
+        // resampling step is Efraimidis-Spirakis A-ES with the
+        // portable-LCG uniform (see text_weighted_sample), which IS
+        // sampling-without-replacement proportional to the importance
+        // weight, the paper's Gumbel-top-k equivalent.
+        // Scale shape: bucket tables are B=64 rows (broadcast); per-doc
+        // scoring is one explode + broadcast join + sum — linear, no
+        // all-pairs, no driver state beyond the 64-row table.
+        val b = 64
+        def fTok(c: Column): Column =
+          length(c) * lit(131) + ascii(substring(c, 1, 1)) * lit(31) +
+            ascii(substring(c, -1, 1))
+        val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+        val bks = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1), i =>
+            pmod(fTok(element_at(toks, i)) * lit(31) +
+              fTok(element_at(toks, i + lit(1))), lit(b))))
+          .otherwise(array().cast("array<int>"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), bks.as("bks"))
+        val pairs = docs.select(col("doc_id"), col("lang"),
+          explode(col("bks")).as("b"))
+        val q = pairs.groupBy("b").agg(count(lit(1)).as("qc"))
+        val p = pairs.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("pc"))
+        val w = q.join(p, Seq("b"), "left_outer")
+          .select(col("b"),
+            expr("((coalesce(pc, 0) + 1) * 1000000) DIV (qc + 1)").as("wb"))
+        val scored = pairs.join(broadcast(w), "b")
+          .groupBy("doc_id").agg(sum("wb").as("w_raw"))
+        val lcgU = (pmod(pmod(col("doc_id") + lit(7L), lit(4294967296L)) * lit(1103515245L)
+          + lit(12345L), lit(4294967296L)) + lit(1L)).cast(DoubleType) / lit(4294967297.0)
+        docs.select(col("doc_id"), col("lang"), col("source"))
+          .join(scored, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("lang"), col("source"),
+            greatest(coalesce(col("w_raw"), lit(0L)), lit(1L)).as("w_imp"))
+          .withColumn("es_key", round(-log(lcgU) / col("w_imp"), 12))
+          .orderBy(asc("es_key"), asc("doc_id"))
+          .limit(50)
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, source,
+            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+          FROM documents),
+        bk AS (
+          SELECT doc_id, lang, source,
+            CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i ->
+              ((length(t[i]) * 131 + ascii(substring(t[i], 1, 1)) * 31 +
+                ascii(substring(t[i], -1, 1))) * 31 +
+               length(t[i+1]) * 131 + ascii(substring(t[i+1], 1, 1)) * 31 +
+               ascii(substring(t[i+1], -1, 1))) % 64)
+            ELSE CAST([] AS BIGINT[]) END AS bks
+          FROM toks),
+        pairs AS (SELECT doc_id, lang, unnest(bks) AS b FROM bk),
+        q AS (SELECT b, count(*) AS qc FROM pairs GROUP BY b),
+        p AS (SELECT b, count(*) AS pc FROM pairs WHERE lang = 'en' GROUP BY b),
+        w AS (
+          SELECT q.b, ((coalesce(p.pc, 0) + 1) * 1000000) // (q.qc + 1) AS wb
+          FROM q LEFT OUTER JOIN p ON q.b = p.b),
+        scored AS (
+          SELECT pairs.doc_id, sum(w.wb) AS w_raw
+          FROM pairs JOIN w ON pairs.b = w.b GROUP BY pairs.doc_id),
+        keyed AS (
+          SELECT bk.doc_id, bk.lang, bk.source,
+            CAST(greatest(coalesce(scored.w_raw, 0), 1) AS BIGINT) AS w_imp,
+            round(-ln(CAST((((bk.doc_id + 7) % 4294967296) * 1103515245 + 12345)
+                  % 4294967296 + 1 AS DOUBLE) / 4294967297.0)
+              / greatest(coalesce(scored.w_raw, 0), 1), 12) AS es_key
+          FROM bk LEFT OUTER JOIN scored ON bk.doc_id = scored.doc_id)
+        SELECT doc_id, lang, source, w_imp, es_key FROM keyed
+        ORDER BY es_key, doc_id LIMIT 50"""),
+      doc = "DSIR importance resampling (Xie et al. 2023): hashed bigram features, smoothed target/raw ratio weights, A-ES resample (training-data op)"),
+
+    // ------------------------------------------------------------------
     Q("text_weighted_sample",
       (s, d) => {
         // weighted sampling WITHOUT replacement (Efraimidis & Spirakis
