@@ -148,6 +148,12 @@ final class AdaptiveLongSet {
   def size: Long =
     (if (words != null) bitN.toLong else n.toLong) + (if (hasZero) 1 else 0)
 
+  /** Test visibility: which representation is live, and whether a
+    * bitmap was tried and abandoned — lets the property fuzz assert the
+    * transitions it exists to exercise actually occurred. */
+  private[graft] def usesBitmap: Boolean = words != null
+  private[graft] def revertedToHash: Boolean = noBitmap
+
   // Stafford variant 13 mixer (public domain, used by SplittableRandom):
   // full-avalanche so sequential keys spread across the table
   private def mix(x: Long): Long = {

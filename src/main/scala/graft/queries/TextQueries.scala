@@ -1089,59 +1089,78 @@ object TextQueries {
     // ------------------------------------------------------------------
     Q("text_dsir_resample",
       (s, d) => {
-        // DSIR-style data selection (Xie et al., NeurIPS 2023 "Data
-        // Selection for Language Models via Importance Resampling"):
-        // hashed bigram bag-of-features, importance weights from the
-        // ratio of a TARGET distribution (here: the lang='en' slice)
-        // to the RAW corpus distribution, then weighted resampling.
-        // Engine-portable determinism adaptations, same playbook as the
-        // repo's other fixed-point ops: the feature hash is integer
-        // arithmetic over code points (no engine hash functions), the
-        // per-bucket weight is add-1-smoothed INTEGER ratio
-        // (p+1)*1e6 DIV (q+1) — exact in both engines — and the
-        // resampling step is Efraimidis-Spirakis A-ES with the
-        // portable-LCG uniform (see text_weighted_sample), which IS
-        // sampling-without-replacement proportional to the importance
-        // weight, the paper's Gumbel-top-k equivalent.
-        // Scale shape: bucket tables are B=64 rows (broadcast); per-doc
+        // DSIR data selection (Xie et al., NeurIPS 2023 "Data Selection
+        // for Language Models via Importance Resampling"): hashed
+        // bigram bag-of-features, per-document log-importance
+        // log w = sum_b c_b * (log p_b - log q_b) against NORMALIZED
+        // add-1-smoothed bucket distributions (target = the lang='en'
+        // slice, raw = whole corpus; the (Q+B)/(P+B) normalizer term
+        // matters — without it the weight degenerates into a document-
+        // length score), then Gumbel-top-k resampling: argtop-k of
+        // log w + Gumbel(0,1) IS sampling without replacement
+        // proportional to w (the paper's sampler). Engine-portable
+        // determinism, same playbook as the repo's fixed-point ops:
+        // the feature hash is integer code-point arithmetic (no engine
+        // hash builtins), per-bucket log-ratios quantize to integer
+        // micro-nats BEFORE the per-doc sum (exact addition in both
+        // engines), the Gumbel draw derives from the portable-LCG
+        // uniform, and final keys round to 9dp. Scale shape: the
+        // bucket/weight tables are B=64 rows (broadcast); per-doc
         // scoring is one explode + broadcast join + sum — linear, no
         // all-pairs, no driver state beyond the 64-row table.
+        // NOTE the synthetic fixture draws every language's text from
+        // the SAME vocabulary (lang is a label, not a distribution
+        // shift), so the en-vs-rest separation here is necessarily
+        // small — measured mean log-importance is consistently higher
+        // for the target slice at every bucket width, which is what
+        // the estimator can honestly extract from this corpus.
         val b = 64
         def fTok(c: Column): Column =
-          length(c) * lit(131) + ascii(substring(c, 1, 1)) * lit(31) +
-            ascii(substring(c, -1, 1))
-        val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+          length(c).cast(LongType) * lit(131L) +
+            ascii(substring(c, 1, 1)).cast(LongType) * lit(31L) +
+            ascii(substring(c, -1, 1)).cast(LongType)
+        // explicit whitespace class, the wordsOf convention: Java \s
+        // includes \x0B, RE2's does not
+        val toks = filter(split(trim(col("text")), "[\t\n\f\r ]+"), t => t =!= "")
         val bks = when(size(toks) >= 2,
           transform(sequence(lit(1), size(toks) - 1), i =>
-            pmod(fTok(element_at(toks, i)) * lit(31) +
-              fTok(element_at(toks, i + lit(1))), lit(b))))
-          .otherwise(array().cast("array<int>"))
+            pmod(fTok(element_at(toks, i)) * lit(31L) +
+              fTok(element_at(toks, i + lit(1))), lit(b.toLong))))
+          .otherwise(array().cast("array<bigint>"))
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("source"), bks.as("bks"))
         val pairs = docs.select(col("doc_id"), col("lang"),
           explode(col("bks")).as("b"))
-        val q = pairs.groupBy("b").agg(count(lit(1)).as("qc"))
-        val p = pairs.filter(col("lang") === "en")
-          .groupBy("b").agg(count(lit(1)).as("pc"))
-        val w = q.join(p, Seq("b"), "left_outer")
-          .select(col("b"),
-            expr("((coalesce(pc, 0) + 1) * 1000000) DIV (qc + 1)").as("wb"))
+        // ONE aggregation yields both distributions (conditional count)
+        val counts = pairs.groupBy("b").agg(
+          count(lit(1)).as("qc"),
+          count(when(col("lang") === "en", 1)).as("pc"))
+        // micro-nat log-ratio incl. the normalizer: the totals are a
+        // whole-frame window over the 64-row counts table — no join
+        val whole = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+        val w = counts.select(col("b"),
+          round((log((col("pc") + 1).cast(DoubleType) / (col("qc") + 1)) +
+            log((sum("qc").over(whole) + b).cast(DoubleType) /
+              (sum("pc").over(whole) + b))) * 1e6, 0)
+            .cast(LongType).as("wlog"))
         val scored = pairs.join(broadcast(w), "b")
-          .groupBy("doc_id").agg(sum("wb").as("w_raw"))
+          .groupBy("doc_id").agg(sum("wlog").as("lw_micro"))
         val lcgU = (pmod(pmod(col("doc_id") + lit(7L), lit(4294967296L)) * lit(1103515245L)
           + lit(12345L), lit(4294967296L)) + lit(1L)).cast(DoubleType) / lit(4294967297.0)
         docs.select(col("doc_id"), col("lang"), col("source"))
           .join(scored, Seq("doc_id"), "left_outer")
           .select(col("doc_id"), col("lang"), col("source"),
-            greatest(coalesce(col("w_raw"), lit(0L)), lit(1L)).as("w_imp"))
-          .withColumn("es_key", round(-log(lcgU) / col("w_imp"), 12))
-          .orderBy(asc("es_key"), asc("doc_id"))
+            coalesce(col("lw_micro"), lit(0L)).as("lw_micro"))
+          .withColumn("gk",
+            round(col("lw_micro").cast(DoubleType) / 1e6 - log(-log(lcgU)), 9))
+          .orderBy(desc("gk"), asc("doc_id"))
           .limit(50)
       },
       oracle = Some("""
         WITH toks AS (
           SELECT doc_id, lang, source,
-            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+            list_filter(string_split_regex(trim(text), '[\t\n\f\r ]+'), x -> x <> '') AS t
           FROM documents),
         bk AS (
           SELECT doc_id, lang, source,
@@ -1153,24 +1172,28 @@ object TextQueries {
             ELSE CAST([] AS BIGINT[]) END AS bks
           FROM toks),
         pairs AS (SELECT doc_id, lang, unnest(bks) AS b FROM bk),
-        q AS (SELECT b, count(*) AS qc FROM pairs GROUP BY b),
-        p AS (SELECT b, count(*) AS pc FROM pairs WHERE lang = 'en' GROUP BY b),
+        counts AS (
+          SELECT b, count(*) AS qc,
+            count(CASE WHEN lang = 'en' THEN 1 END) AS pc
+          FROM pairs GROUP BY b),
         w AS (
-          SELECT q.b, ((coalesce(p.pc, 0) + 1) * 1000000) // (q.qc + 1) AS wb
-          FROM q LEFT OUTER JOIN p ON q.b = p.b),
+          SELECT b, CAST(round((ln(CAST(pc + 1 AS DOUBLE) / (qc + 1)) +
+            ln(CAST(sum(qc) OVER () + 64 AS DOUBLE) /
+               (sum(pc) OVER () + 64))) * 1e6, 0) AS BIGINT) AS wlog
+          FROM counts),
         scored AS (
-          SELECT pairs.doc_id, sum(w.wb) AS w_raw
+          SELECT pairs.doc_id, sum(w.wlog) AS lw_micro
           FROM pairs JOIN w ON pairs.b = w.b GROUP BY pairs.doc_id),
         keyed AS (
           SELECT bk.doc_id, bk.lang, bk.source,
-            CAST(greatest(coalesce(scored.w_raw, 0), 1) AS BIGINT) AS w_imp,
-            round(-ln(CAST((((bk.doc_id + 7) % 4294967296) * 1103515245 + 12345)
-                  % 4294967296 + 1 AS DOUBLE) / 4294967297.0)
-              / greatest(coalesce(scored.w_raw, 0), 1), 12) AS es_key
+            CAST(coalesce(scored.lw_micro, 0) AS BIGINT) AS lw_micro,
+            round(CAST(coalesce(scored.lw_micro, 0) AS DOUBLE) / 1e6
+              - ln(-ln(CAST((((bk.doc_id + 7) % 4294967296) * 1103515245 + 12345)
+                    % 4294967296 + 1 AS DOUBLE) / 4294967297.0)), 9) AS gk
           FROM bk LEFT OUTER JOIN scored ON bk.doc_id = scored.doc_id)
-        SELECT doc_id, lang, source, w_imp, es_key FROM keyed
-        ORDER BY es_key, doc_id LIMIT 50"""),
-      doc = "DSIR importance resampling (Xie et al. 2023): hashed bigram features, smoothed target/raw ratio weights, A-ES resample (training-data op)"),
+        SELECT doc_id, lang, source, lw_micro, gk FROM keyed
+        ORDER BY gk DESC, doc_id LIMIT 50"""),
+      doc = "DSIR importance resampling (Xie et al. 2023): hashed bigram features, normalized log-ratio weights, Gumbel-top-k resample (training-data op)"),
 
     // ------------------------------------------------------------------
     Q("text_weighted_sample",

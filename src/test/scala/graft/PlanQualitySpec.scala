@@ -63,8 +63,10 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q13 aggregates below the join: customer side never shuffles") {
+    graft.plans.DriverFinalAgg.lastSourcePlan = ""
     planOf("q13_order_distribution")
     val q13 = graft.plans.DriverFinalAgg.lastSourcePlan
+    assert(q13.nonEmpty, "q13 no longer driver-merges (stale-plan guard)")
     assert(q13.contains("BroadcastHashJoin"),
       s"q13 lost its broadcast of the pre-aggregated order counts:\n$q13")
     // the orders pre-aggregate sits BELOW the join (aggregate-below-join
@@ -72,14 +74,23 @@ class PlanQualitySpec extends SparkSpec {
     val bx = q13.indexOf("BroadcastExchange")
     assert(bx >= 0 && q13.indexOf("HashAggregate", bx) > bx,
       s"q13 no longer pre-aggregates orders before the join:\n$q13")
-    // exactly one data-sized exchange feeds the join side (the count
-    // aggregation); the customer scan streams map-only into the join
     assert(q13.contains("LeftOuter"), s"q13 lost the zero-order customers:\n$q13")
+    // the only hash exchanges allowed are the orders pre-aggregate
+    // (o_custkey) and the tiny count-of-counts final agg (c_count);
+    // an exchange keyed on c_custkey means the customer side started
+    // shuffling — the regression this test exists to catch
+    assert(!q13.contains("hashpartitioning(c_custkey"),
+      s"q13's customer side is shuffling:\n$q13")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(q13).length
+    assert(exchanges <= 2,
+      s"q13 grew extra exchanges ($exchanges):\n$q13")
   }
 
   test("q7 cuts the fact stream with filtered-dim broadcasts") {
+    graft.plans.DriverFinalAgg.lastSourcePlan = ""
     planOf("q7_volume_shipping")
     val q7 = graft.plans.DriverFinalAgg.lastSourcePlan
+    assert(q7.nonEmpty, "q7 no longer driver-merges (stale-plan guard)")
     assert(q7.contains("BroadcastHashJoin"),
       s"q7 lost its filtered-dim broadcasts:\n$q7")
     // the nation-pair filter must reach the supplier/customer dim scans

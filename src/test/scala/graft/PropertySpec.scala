@@ -282,6 +282,8 @@ class PropertySpec extends SparkSpec {
     // (dense-then-sparse), nested + disjoint bitmap unions.
     import graft.functions.AdaptiveLongSet
     val rnd = new Random(20260814L)
+    var sawBitmap = false
+    var sawRevert = false
     (0 until 20).foreach { trial =>
       var model = Set.empty[Long]
       var set = new AdaptiveLongSet()
@@ -318,11 +320,18 @@ class PropertySpec extends SparkSpec {
             else { other.union(set); set = other }
         }
         assert(set.size === model.size.toLong, s"trial $trial diverged")
+        sawBitmap ||= set.usesBitmap
+        sawRevert ||= set.revertedToHash
       }
       // full content equality at the end of every trial
       var seen = Set.empty[Long]
       set.foreach(seen += _)
       assert(seen === model, s"trial $trial content mismatch")
     }
+    // the fuzz exists to exercise the representation transitions — if a
+    // future ConvertAt/probability change quietly keeps every trial in
+    // hash mode, this turns the silent coverage collapse into a failure
+    assert(sawBitmap, "no trial ever converted to a bitmap")
+    assert(sawRevert, "no trial ever reverted from bitmap to hash")
   }
 }
