@@ -200,6 +200,70 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Signature-index rows for INCREMENTAL near-dup detection: one
+    * (id, shh, bands) row per document — the state a production corpus
+    * maintains in a lake table so that each new ingest batch is checked
+    * against the corpus without re-reading or re-hashing a single
+    * existing document. `shh` (sorted distinct shingle hashes) powers
+    * the exact-Jaccard verify; `bands` the LSH bucket join. */
+  def signatureIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    df.select(
+        col(idCol).as("id"),
+        TextAnalysis.shinglesWithMinhashHashed(col(textCol), shingleSize, numHashes).as("smh"))
+      .select(col("id"), col("smh.shh").as("shh"), col("smh.sig").as("sig"))
+      .filter(size(col("shh")) > 0 && col("id").isNotNull)
+      .withColumn("bands", TextAnalysis.bandHashes(col("sig"), bands, rows))
+      .drop("sig")
+  }
+
+  /** Incremental MinHash-LSH: near-dup pairs INVOLVING a new ingest
+    * batch — new-vs-new and new-vs-index, never index-vs-index (those
+    * pairs were reported when their documents were ingested). Same
+    * bucket/verify machinery as [[minhashPairs]], with two
+    * incremental-specific prunings that make the cost proportional to
+    * the BATCH, not the corpus:
+    *  - only the new batch is tokenized/hashed (the index ships
+    *    precomputed signatures);
+    *  - buckets containing no new member are dropped after the bounded
+    *    grouping but BEFORE pair expansion — at steady state almost
+    *    every bucket is old-only, so the quadratic step runs on the
+    *    thin slice the batch actually touches.
+    * Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold. */
+  def minhashPairsIncremental(
+      index: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucketSize: Int = 10000,
+      monitor: Option[BucketSkewMonitor] = None): DataFrame = {
+    val newBase = signatureIndex(newDocs, idCol, textCol, shingleSize, numHashes, bands)
+      .localCheckpoint(eager = false)
+    val all = index.select(col("id"), col("shh"), col("bands"), lit(false).as("is_new"))
+      .unionByName(newBase.withColumn("is_new", lit(true)))
+    val buckets = all.select(struct(col("id"), col("is_new")).as("m"),
+      posexplode(col("bands")).as(Seq("band", "bh")))
+    val grouped = cappedBuckets(buckets, Seq("band", "bh"),
+      col("m"), maxBucketSize, "graft.dedup.skew.minhash.inc", monitor)
+      .where(exists(col("ms"), m => m.getField("is_new")))
+    val combos = flatten(transform(col("ms"), (x, i) =>
+      transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+        y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
+          (x.getField("is_new") || y.getField("is_new")).as("n")))))
+    val cand = grouped.select(explode(combos).as("p"))
+      .where(col("p.n"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    val shh = all.select(col("id"), col("shh"))
+    val withSh = cand.hint("shuffle_hash")
+      .join(shh.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
+      .hint("shuffle_hash")
+      .join(shh.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
+    withSh.select(col("id_a"), col("id_b"),
+        TextAnalysis.jaccardHashes(col("shh_a"), col("shh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise matches into dedup GROUPS (one representative per cluster).
     * Returns (id, component) for every id appearing in `pairs`, where

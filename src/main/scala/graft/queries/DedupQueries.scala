@@ -32,6 +32,46 @@ object DedupQueries {
       UNION ALL
       SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)"""
 
+  /** The banded-LSH plan as DuckDB SQL (same algorithm as
+    * [[graft.extras.Dedup.minhashPairs]]; validated row-identical to the
+    * exact all-pairs oracle at sf0.01 and sf0.1). `pairFilter` narrows
+    * the reported pairs (e.g. the incremental gate keeps only pairs
+    * touching the new batch) — candidates and verification are
+    * unchanged, so the subset stays exact. */
+  private def bandedLshSql(pairFilter: String = "TRUE"): String = s"""
+        WITH $corpusSql,
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+          FROM (SELECT doc_id,
+            list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+            FROM corpus)),
+        shh AS (
+          SELECT doc_id, hash(u.s) AS h
+          FROM sh, unnest(sh.sh) AS u(s)),
+        sig AS (
+          SELECT doc_id, r.r AS r, min(hash(xor(h, r.r * 2654435761))) AS mh
+          FROM shh, range(0, 64) r(r)
+          GROUP BY doc_id, r.r),
+        bands AS (
+          SELECT doc_id, r // 4 AS band,
+            hash(string_agg(mh::VARCHAR, ',' ORDER BY r)) AS bh
+          FROM sig GROUP BY doc_id, r // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+            AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT c.id_a, c.id_b,
+            round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                  len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+          FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+          WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)
+        SELECT id_a, id_b, jaccard FROM verified
+        WHERE ($pairFilter) ORDER BY id_a, id_b"""
+
   /** Length-bucketed edit-distance candidate pairs — ONE definition
     * shared by dedup_edit_distance (the verifier gate) and
     * dedup_fuzzy_cluster (the keep/drop composition built on it), so
@@ -244,39 +284,35 @@ object DedupQueries {
       // with prob > 1 - 1e-5, and the output was checked row-identical
       // to the exact oracle at sf0.01 (139) and sf0.1 (1375), and to
       // the Spark pipeline at sf1 (407500 rows, 37 s vs Spark 2.6 s).
-      benchOracleSql = Some(s"""
-        WITH $corpusSql,
-        sh AS (
-          SELECT doc_id,
-            list_distinct(list_transform(range(1, len(toks) - 1),
-              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-          FROM (SELECT doc_id,
-            list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
-            FROM corpus)),
-        shh AS (
-          SELECT doc_id, hash(u.s) AS h
-          FROM sh, unnest(sh.sh) AS u(s)),
-        sig AS (
-          SELECT doc_id, r.r AS r, min(hash(xor(h, r.r * 2654435761))) AS mh
-          FROM shh, range(0, 64) r(r)
-          GROUP BY doc_id, r.r),
-        bands AS (
-          SELECT doc_id, r // 4 AS band,
-            hash(string_agg(mh::VARCHAR, ',' ORDER BY r)) AS bh
-          FROM sig GROUP BY doc_id, r // 4),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-            AND a.doc_id < b.doc_id),
-        verified AS (
-          SELECT c.id_a, c.id_b,
-            round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-                  len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
-          FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
-          WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-                len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)
-        SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b"""),
+      benchOracleSql = Some(bandedLshSql()),
       doc = "MinHash+LSH near-dup: shingle -> minhash -> band bucket join -> verify"),
+
+    // ------------------------------------------------------------------
+    Q("dedup_incremental_lsh",
+      (s, d) => {
+        // INCREMENTAL near-dup detection: the original documents play
+        // the standing corpus (their signature index is precomputed —
+        // at production scale it lives in a lake table and is never
+        // re-derived), the cloned ids (>= 10000) play the new ingest
+        // batch. Only pairs touching the batch are reported
+        // (new-vs-new, new-vs-corpus); corpus-internal pairs were
+        // reported at their own ingest time. Old-only buckets drop
+        // before pair expansion, so the quadratic step is proportional
+        // to what the batch touches, not the corpus.
+        val c = corpus(s, d)
+        val idx = Dedup.signatureIndex(
+          c.filter(col("doc_id") < 10000), "doc_id", "text", 3, 64, 16)
+        Dedup.minhashPairsIncremental(idx,
+            c.filter(col("doc_id") >= 10000), "doc_id", "text",
+            3, 64, 16, threshold = 0.5)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .transform(Present.sortNarrow(_, col("id_a"), col("id_b")))
+      },
+      // the banded-LSH oracle (validated row-identical to the exact
+      // all-pairs reference at sf0.01/sf0.1) restricted to pairs that
+      // touch the new batch — the exact incremental contract
+      oracle = Some(bandedLshSql("id_a >= 10000 OR id_b >= 10000")),
+      doc = "incremental MinHash-LSH: new batch vs precomputed signature index, batch-proportional cost"),
 
     // ------------------------------------------------------------------
     Q("dedup_simhash",

@@ -96,6 +96,34 @@ class ExtrasSpec extends SparkSpec {
     assert(sgot.values.forall(ids => ids == ids.sorted && ids.length >= 16))
   }
 
+  test("incremental LSH: batch pairs only, equal to the full run's slice") {
+    import spark.implicits._
+    // corpus: 30 docs; batch: 10 more, 5 of which clone corpus docs and
+    // 2 of which clone each other
+    def mk(i: Long, t: String): (Long, String) = (i, t)
+    val corpusDocs = (0L until 30L).map(i => mk(i, s"base document number $i with some shared words " + ("filler " * 6))).toDF("doc_id", "text")
+    val batch = ((100L until 105L).map(i => mk(i, s"base document number ${i - 100} with some shared words " + ("filler " * 6))) ++
+      Seq(mk(105L, "a fresh batch doc with totally novel content here indeed"),
+        mk(106L, "a fresh batch doc with totally novel content here indeed"),
+        mk(107L, "unrelated text entirely"), mk(108L, "another unrelated one"),
+        mk(109L, "yet another different thing"))).toDF("doc_id", "text")
+    val idx = Dedup.signatureIndex(corpusDocs, "doc_id", "text", 3, 64, 16)
+    val inc = Dedup.minhashPairsIncremental(idx, batch, "doc_id", "text",
+        3, 64, 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every pair touches the batch
+    assert(inc.forall(p => p._1 >= 100L || p._2 >= 100L), inc.toString)
+    // the clone pairs are found (corpus-vs-batch and batch-vs-batch)
+    (0L until 5L).foreach(i => assert(inc.contains((i, i + 100L)), s"missing ($i, ${i + 100})"))
+    assert(inc.contains((105L, 106L)))
+    // equal to the full-corpus run restricted to batch-touching pairs
+    val full = Dedup.minhashPairs(corpusDocs.unionByName(batch), "doc_id", "text",
+        3, 64, 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 >= 100L || p._2 >= 100L)
+    assert(inc === full)
+  }
+
   test("degenerate corpus: simhash/embedding bucket caps bound the blow-up") {
     // 10k identical documents land in ONE bucket per band; without the
     // cap that is 10k²/2 pairs per band. With the cap the buckets drop
