@@ -153,27 +153,21 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucketSize: Int = 10000,
       monitor: Option[BucketSkewMonitor] = None): DataFrame = {
-    val rows = numHashes / bands
-    // shingle HASHES, not strings: the verify join compares sorted
-    // distinct longs with a merge walk (vs building a UTF8String hash
-    // set per candidate pair) and ships 8 bytes per distinct shingle.
-    // Profiled at sf1 (tools/LshProbe, 60k docs, 407k candidates): the
-    // string-set verify was ~90% of the whole pipeline's work.
-    val base = df.select(
-        col(idCol).as("id"),
-        TextAnalysis.shinglesWithMinhashHashed(col(textCol), shingleSize, numHashes).as("smh"))
-      .select(col("id"), col("smh.shh").as("shh"), col("smh.sig").as("sig"))
-      .filter(size(col("shh")) > 0)
-      .withColumn("bands", TextAnalysis.bandHashes(col("sig"), bands, rows))
-      // one fused byte-scan produces shingles AND signature; the result
-      // feeds the bucket pipeline and both verification joins, so pin it
-      // behind a (lazy) checkpoint — branches would otherwise re-derive
-      // the whole hash tree. eager=false keeps the materialization inside
-      // the first consuming job instead of a separate build-time barrier.
+    // shingle HASHES, not strings ([[signatureIndex]] is the shared
+    // derivation): the verify join compares sorted distinct longs with
+    // a merge walk (vs building a UTF8String hash set per candidate
+    // pair) and ships 8 bytes per distinct shingle. Profiled at sf1
+    // (tools/LshProbe, 60k docs, 407k candidates): the string-set
+    // verify was ~90% of the whole pipeline's work.
+    //
+    // One fused byte-scan produces shingles AND signature; the result
+    // feeds the bucket pipeline and both verification joins, so pin it
+    // behind a (lazy) checkpoint — branches would otherwise re-derive
+    // the whole hash tree. eager=false keeps the materialization inside
+    // the first consuming job instead of a separate build-time barrier.
+    val base = signatureIndex(df, idCol, textCol, shingleSize, numHashes, bands)
       .localCheckpoint(eager = false)
-    // null ids can't form pairs and would skew the pre-count vs the
-    // collected size (collect_list drops nulls) — filter them up front
-    val buckets = base.filter(col("id").isNotNull)
+    val buckets = base
       .select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
     // bucket-mates only: shuffle on (band, bh), never a global cross join
     val grouped = cappedBuckets(buckets, Seq("band", "bh"),
@@ -187,25 +181,41 @@ object Dedup {
     val cand = grouped.select(explode(combos).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-    // shuffle-hash with the pair list as build side: hash-building on
-    // the pair ids stays bounded at any corpus size, and the shingle
-    // side streams (broadcasting it would ship every shingle array
-    // through the driver)
-    val withSh = cand.hint("shuffle_hash")
-      .join(base.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
-      .hint("shuffle_hash")
-      .join(base.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
+    verifyJaccard(cand, base.select(col("id"), col("shh")), threshold,
+      broadcastPairs = false)
+  }
+
+  /** Shared exact-Jaccard verification of a candidate pair list against
+    * an (id, shh) table. `broadcastPairs = false` (full dedup): the
+    * pair list joins shuffle-hash as build side — bounded hash tables
+    * at any corpus size, shingles hash-shuffled once per side.
+    * `broadcastPairs = true` (incremental): the batch-proportional pair
+    * list broadcasts, so the corpus-sized shingle side STREAMS through
+    * both joins without shuffling at all. */
+  private def verifyJaccard(
+      cand: DataFrame, shh: DataFrame, threshold: Double,
+      broadcastPairs: Boolean): DataFrame = {
+    val c = if (broadcastPairs) broadcast(cand) else cand.hint("shuffle_hash")
+    val withSh = c
+      .join(shh.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
+      .hint(if (broadcastPairs) "broadcast" else "shuffle_hash")
+      .join(shh.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
     withSh.select(col("id_a"), col("id_b"),
         TextAnalysis.jaccardHashes(col("shh_a"), col("shh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Signature-index rows for INCREMENTAL near-dup detection: one
-    * (id, shh, bands) row per document — the state a production corpus
-    * maintains in a lake table so that each new ingest batch is checked
-    * against the corpus without re-reading or re-hashing a single
-    * existing document. `shh` (sorted distinct shingle hashes) powers
-    * the exact-Jaccard verify; `bands` the LSH bucket join. */
+  /** Signature-index rows for MinHash-LSH: one (id, shh, bands,
+    * sig_params) row per document — [[minhashPairs]]'s per-run
+    * derivation, and the state a production corpus maintains in a lake
+    * table so each new ingest batch is checked incrementally without
+    * re-reading or re-hashing a single existing document. `shh` (sorted
+    * distinct shingle hashes) powers the exact-Jaccard verify; `bands`
+    * the LSH bucket join; `sig_params` stamps the hashing parameters so
+    * a consumer built with DIFFERENT parameters fails fast instead of
+    * silently losing recall (band hashes from mismatched signature
+    * widths never collide). Null ids and empty-shingle docs are
+    * excluded (they can never pair). */
   def signatureIndex(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
@@ -216,52 +226,75 @@ object Dedup {
       .select(col("id"), col("smh.shh").as("shh"), col("smh.sig").as("sig"))
       .filter(size(col("shh")) > 0 && col("id").isNotNull)
       .withColumn("bands", TextAnalysis.bandHashes(col("sig"), bands, rows))
+      .withColumn("sig_params", lit(s"$shingleSize:$numHashes:$bands"))
       .drop("sig")
   }
 
   /** Incremental MinHash-LSH: near-dup pairs INVOLVING a new ingest
     * batch — new-vs-new and new-vs-index, never index-vs-index (those
-    * pairs were reported when their documents were ingested). Same
-    * bucket/verify machinery as [[minhashPairs]], with two
-    * incremental-specific prunings that make the cost proportional to
-    * the BATCH, not the corpus:
+    * pairs were reported when their documents were ingested). The cost
+    * is proportional to the BATCH, not the corpus:
     *  - only the new batch is tokenized/hashed (the index ships
-    *    precomputed signatures);
-    *  - buckets containing no new member are dropped after the bounded
-    *    grouping but BEFORE pair expansion — at steady state almost
-    *    every bucket is old-only, so the quadratic step runs on the
-    *    thin slice the batch actually touches.
+    *    precomputed signatures, parameter-checked against `sig_params`
+    *    so a mismatched index fails fast instead of silently losing
+    *    recall);
+    *  - the index's exploded bucket rows SEMI-JOIN against the batch's
+    *    (broadcast) band-key list BEFORE the bounded grouping, so the
+    *    grouping shuffle carries only the corpus rows in buckets the
+    *    batch actually touches (old-only buckets can never yield a
+    *    kept pair). The batch key list is batch-proportional by
+    *    construction — for a corpus-sized "batch" use [[minhashPairs]];
+    *  - the (batch-proportional) candidate pair list BROADCASTS into
+    *    the verify joins, so the corpus shingle table streams without
+    *    shuffling.
+    * A re-ingested id (already in the index) never pairs with itself.
+    * The index is scanned by the bucket pipeline and the verify join —
+    * pass a materialized source (lake table / checkpoint), not a
+    * recomputation plan.
     * Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold. */
   def minhashPairsIncremental(
       index: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucketSize: Int = 10000,
       monitor: Option[BucketSkewMonitor] = None): DataFrame = {
+    val params = s"$shingleSize:$numHashes:$bands"
     val newBase = signatureIndex(newDocs, idCol, textCol, shingleSize, numHashes, bands)
       .localCheckpoint(eager = false)
-    val all = index.select(col("id"), col("shh"), col("bands"), lit(false).as("is_new"))
-      .unionByName(newBase.withColumn("is_new", lit(true)))
-    val buckets = all.select(struct(col("id"), col("is_new")).as("m"),
+    // fail fast on a parameter-mismatched index: assert_true rides the
+    // bands column, which the bucket explode evaluates for EVERY index
+    // row (a mismatch cannot hide behind empty join results); no extra
+    // job, and the error names the drift
+    val idx = index.withColumn("bands", when(
+        assert_true(col("sig_params") === lit(params),
+          lit(s"signature index parameters != $params")).isNull,
+        col("bands")))
+    val newBuckets = newBase.select(struct(col("id"), lit(true).as("is_new")).as("m"),
       posexplode(col("bands")).as(Seq("band", "bh")))
-    val grouped = cappedBuckets(buckets, Seq("band", "bh"),
-      col("m"), maxBucketSize, "graft.dedup.skew.minhash.inc", monitor)
+    // batch band keys broadcast; corpus bucket rows that miss them drop
+    // BEFORE the grouping shuffle
+    val newKeys = newBuckets.select("band", "bh").distinct()
+    val idxBuckets = idx.select(struct(col("id"), lit(false).as("is_new")).as("m"),
+        posexplode(col("bands")).as(Seq("band", "bh")))
+      .join(broadcast(newKeys), Seq("band", "bh"), "left_semi")
+    val grouped = cappedBuckets(newBuckets.unionByName(idxBuckets),
+      Seq("band", "bh"), col("m"), maxBucketSize,
+      "graft.dedup.skew.minhash.inc", monitor)
       .where(exists(col("ms"), m => m.getField("is_new")))
     val combos = flatten(transform(col("ms"), (x, i) =>
       transform(slice(col("ms"), i + lit(2), size(col("ms"))),
         y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
           (x.getField("is_new") || y.getField("is_new")).as("n")))))
     val cand = grouped.select(explode(combos).as("p"))
-      .where(col("p.n"))
+      .where(col("p.n") && col("p.a") =!= col("p.b"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-    val shh = all.select(col("id"), col("shh"))
-    val withSh = cand.hint("shuffle_hash")
-      .join(shh.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
-      .hint("shuffle_hash")
-      .join(shh.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
-    withSh.select(col("id_a"), col("id_b"),
-        TextAnalysis.jaccardHashes(col("shh_a"), col("shh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // re-ingested ids appear on both sides; the batch's signature wins,
+    // via a broadcast anti-join on the (batch-proportional) id list —
+    // the corpus side streams, nothing corpus-sized shuffles
+    val shh = newBase.select(col("id"), col("shh")).unionByName(
+      idx.select(col("id"), col("shh"))
+        .join(broadcast(newBase.select(col("id"))), Seq("id"), "left_anti"))
+    verifyJaccard(cand, shh, threshold, broadcastPairs = true)
   }
 
   /** Connected components over a near-dup pair list — the step that turns

@@ -122,6 +122,27 @@ class ExtrasSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       .filter(p => p._1 >= 100L || p._2 >= 100L)
     assert(inc === full)
+
+    // re-ingest: a batch containing an already-indexed id must not pair
+    // the document with itself (and still pairs with true neighbors)
+    val reingest = Seq((3L, s"base document number 3 with some shared words " + ("filler " * 6)))
+      .toDF("doc_id", "text")
+    val re = Dedup.minhashPairsIncremental(idx, reingest, "doc_id", "text",
+        3, 64, 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!re.contains((3L, 3L)), s"self-pair leaked: $re")
+    assert(re.forall(p => p._1 != p._2), re.toString)
+
+    // parameter drift fails fast instead of silently losing recall
+    val err = intercept[Exception] {
+      Dedup.minhashPairsIncremental(
+        Dedup.signatureIndex(corpusDocs, "doc_id", "text", 3, 64, 8),
+        batch, "doc_id", "text", 3, 64, 16, threshold = 0.5).count()
+    }
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("signature index parameters") ||
+        Option(err.getCause).exists(_.getMessage.contains("signature index parameters"))),
+      s"wrong error: $err")
   }
 
   test("degenerate corpus: simhash/embedding bucket caps bound the blow-up") {
