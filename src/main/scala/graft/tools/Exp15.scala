@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 A/B for q5's last work gap: two fact-path broadcasts
+  * (orders, customer) vs ONE pre-joined (orderkey -> nationkey) dim.
+  * MEASURED A WASH at sf1 (min-of-7 same-JVM: 474/465 vs 510/447 ms)
+  * — the probes are not the cost, the lineitem scan is — so q5 keeps
+  * the two-broadcast shape, whose size gates degrade independently.
+  * Not part of the driver contract. */
+object Exp15 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def ts(s: String) = to_timestamp(lit(s))
+    def time(name: String, reps: Int = 7)(mk: => DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"$name%-34s min=${times.min}%7.1fms med=${times.sorted.apply(reps / 2)}%7.1fms")
+    }
+
+    def dim = graft.Tables.supplier(spark, sfDir)
+      .join(broadcast(graft.Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(graft.Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    def o = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    def c = graft.Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    def l = graft.Tables.lineitem(spark, sfDir)
+
+    def current: DataFrame =
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+
+    def fused: DataFrame = {
+      val oc = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+      l.join(broadcast(oc), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }
+
+    val a = current.orderBy("n_name").collect().map(_.toString).toSeq
+    val b = fused.orderBy("n_name").collect().map(_.toString).toSeq
+    println(s"match=${a == b}")
+    (1 to 2).foreach { r =>
+      println(s"--- round $r ---")
+      time("current (o + c broadcasts)")(current)
+      time("fused (pre-joined oc broadcast)")(fused)
+    }
+    spark.stop()
+  }
+}
