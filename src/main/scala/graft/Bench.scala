@@ -240,9 +240,21 @@ object Bench {
         f"[bench] pass totals disagree ${(totals.max / totals.min - 1) * 100}%.0f%% — extra pass")
       passes += pass(); extra += 1
     }
+    // DML/merge bench (round 11): CoW UPDATE/DELETE/SCD1 wall-times with
+    // a same-run DuckDB CoW oracle — the write path the reference engine
+    // exists for, timed alongside the reads (SPARK_GRAFT_DML=false skips)
+    val dmlOut =
+      if (sys.env.getOrElse("SPARK_GRAFT_DML", "true").toBoolean)
+        try Some(BenchDml.run(spark, sfDir, cpus, basePasses))
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] dml bench failed: $e"); None }
+      else None
     val loadEnd = loadavg
 
-    val samples = headline.map(q => q.name -> passes.map(_(q.name)).minBy(_.sec))
+    val dmlSamples = dmlOut.toSeq.flatMap(_.mins.map(s =>
+      s.name -> ExecSample(s.sec, s.startMs, s.startMs, s.endMs)))
+    val samples = headline.map(q => q.name -> passes.map(_(q.name)).minBy(_.sec)) ++
+      dmlSamples
     val results = samples.map { case (n, s) => n -> s.sec }
     // 4-decimal (0.1 ms) rendering everywhere: the driver recovers the
     // metric from a bounded tail of stdout, so the final line must stay
@@ -255,12 +267,13 @@ object Bench {
     val total = results.map(_._2).sum
     val passJson = totals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val oracleAfter = oracleTimes(sfDir, cpus)
-    val oracleMerged: Option[Map[String, Double]] = (oracleBefore, oracleAfter) match {
+    val oracleDml = dmlOut.map(_.oracle).getOrElse(Map.empty[String, Double])
+    val oracleMerged: Option[Map[String, Double]] = ((oracleBefore, oracleAfter) match {
       case (Some((a, _)), Some((b, _))) =>
         Some((a.keySet ++ b.keySet).map(k =>
           k -> math.min(a.getOrElse(k, 1e9), b.getOrElse(k, 1e9))).toMap)
       case (a, b) => a.orElse(b).map(_._1)
-    }
+    }).map(_ ++ oracleDml).orElse(if (oracleDml.nonEmpty) Some(oracleDml) else None)
     val oracleJson = oracleMerged match {
       case Some(perQuery) =>
         val oTotal = perQuery.values.sum
@@ -268,9 +281,20 @@ object Bench {
           case (n, v) if perQuery.contains(n) => v }.sum
         val oq = perQuery.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")
+        // the LSH baseline is the same banded plan but with a far worse
+        // constant factor in DuckDB SQL (range-join minhash vs fused
+        // byte-scan); at sf1 its 36s dominates the aggregate ratio, so
+        // report the ratio with it excluded alongside the headline
+        val exLsh = "dedup_minhash_lsh"
+        val ratioExLsh = {
+          val o = perQuery.filterNot(_._1 == exLsh).values.sum
+          val sp = results.collect {
+            case (n, v) if perQuery.contains(n) && n != exLsh => v }.sum
+          if (o > 0) f""","spark_oracle_ratio_ex_lsh":${sp / o}%.2f""" else ""
+        }
         f""","oracle_queries":$oq,"oracle_total_sec":$oTotal%.4f""" +
           f""","spark_oracleable_sec":$sparkOracleable%.4f""" +
-          f""","spark_oracle_ratio":${sparkOracleable / oTotal}%.2f"""
+          f""","spark_oracle_ratio":${sparkOracleable / oTotal}%.2f""" + ratioExLsh
       case None => ""
     }
     // drain the async listener bus, then decompose each query's MIN run:
@@ -313,6 +337,9 @@ object Bench {
       f""","warmup_total":${warmup.values.sum}%.3f""" +
       s""","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"extra_passes":$extra""" +
       s""","prepared":$prepared,"build_ms":$buildJson""" +
+      dmlOut.map(d => s""","dml_passes":${d.passes.toSeq.sortBy(_._1)
+        .map { case (k, vs) => "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]") }
+        .mkString("{", ",", "}")}""").getOrElse("") +
       s""","query_profile":$profJson}}"""
     val json = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       oracleJson + "}"

@@ -1,0 +1,300 @@
+package graft
+
+import graft.commands.{LakeEngine, Merge}
+import graft.format._
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
+
+/** Timed DML/merge benchmark (round-11 verdict task 1): the reference's
+  * core value proposition is write-amplification-controlled CoW DML
+  * (UPDATE / DELETE / SCD merges — reference commands/Update.java,
+  * Delete.java, SCD1Merge.java), and until this round every timed bench
+  * entry was a read. Three scenarios on the `orders` table:
+  *
+  *  - `dml_update`  — UPDATE of a key range touching ~2 of 8
+  *    range-clustered files (stats-pruned probe + CoW rewrite + commit)
+  *  - `dml_delete`  — DELETE of a date range on a date-sorted table
+  *  - `dml_scd1_merge` — changes-mode SCD1 upsert: full-outer diff vs a
+  *    source batch (range-scoped updates + out-of-range inserts),
+  *    touched-file minimization, single rewrite commit
+  *
+  * The same-run DuckDB oracle performs the SAME CoW flow the reference
+  * engine drives through DuckDB SQL: probe the table's parquet data
+  * files for touched ones (footer-stat pruning), rewrite exactly those
+  * files (zstd parquet, sorted), plus the merge's full-outer diff and
+  * cardinality check — so the recorded ratio compares like-for-like
+  * file-swap work, not a weaker "SELECT the end state" shape.
+  *
+  * Isolation between passes: CoW never mutates committed data files, so
+  * each pass clones only the base table's METADATA tree into a fresh
+  * location (absolute data paths keep pointing at the base files) and
+  * runs the DML there — O(KB) setup per pass, and every pass sees the
+  * identical starting snapshot.
+  */
+object BenchDml {
+
+  /** min-run sample per scenario: (name, seconds, startMs, endMs) —
+    * start/end bracket the timed region so Bench's listener-based
+    * work/sched decomposition applies to DML samples too. */
+  final case class DmlSample(name: String, sec: Double, startMs: Long, endMs: Long)
+  final case class DmlOut(
+      mins: Seq[DmlSample],
+      passes: Map[String, Seq[Double]],
+      oracle: Map[String, Double])
+
+  private def copyTree(src: Path, dst: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+    }
+  }
+
+  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+  }
+
+  private val OrdersCols = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  def run(spark: SparkSession, sfDir: String, cpus: String, passes: Int): DmlOut = {
+    val root = Files.createTempDirectory("graft-dmlbench-")
+    try runIn(spark, sfDir, cpus, passes, root)
+    finally deleteTree(root)
+  }
+
+  private def runIn(spark: SparkSession, sfDir: String, cpus: String,
+      passes: Int, root: Path): DmlOut = {
+    val orders = Tables.orders(spark, sfDir)
+    val stats = orders.agg(
+      min(col("o_orderkey")), max(col("o_orderkey")),
+      min(col("o_orderdate")), max(col("o_orderdate")), count(lit(1))).head()
+    val (minK, maxK) = (stats.getLong(0), stats.getLong(1))
+    val (minD, maxD) = (stats.getAs[java.time.LocalDateTime](2), stats.getAs[java.time.LocalDateTime](3))
+    val n = stats.getLong(4)
+    val span = maxK - minK + 1
+    // key range covering ~15% of the span -> ~2 of 8 range-clustered files
+    val lo = minK + (span * 0.30).toLong
+    val hi = minK + (span * 0.45).toLong
+    val dSpanSec = java.time.Duration.between(minD, maxD).getSeconds
+    val d1 = minD.plusSeconds((dSpanSec * 0.30).toLong).withNano(0)
+    val d2 = minD.plusSeconds((dSpanSec * 0.45).toLong).withNano(0)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val (d1s, d2s) = (d1.format(fmt), d2.format(fmt))
+    // 8 files of equal record count, range-clustered by the sort column
+    val props = Map("write.max-records-per-file" -> math.max(n / 8, 1L).toString)
+
+    val catalog = new LakeCatalog(root.toString)
+    val engine = new LakeEngine(spark, catalog)
+    def build(name: String, sortCol: String): LakeTable = {
+      val t = catalog.createTable(name, orders.schema,
+        sortOrder = Seq(SortField(sortCol)), properties = props)
+      engine.insert(t, orders)
+      t
+    }
+    val baseUpd = build("orders_upd", "o_orderkey")
+    val baseDel = build("orders_del", "o_orderdate")
+    val baseScd = build("orders_scd", "o_orderkey")
+
+    var runIdx = 0
+    def freshClone(base: LakeTable): LakeTable = {
+      runIdx += 1
+      val loc = root.resolve(s"run-$runIdx")
+      copyTree(Paths.get(base.location, "metadata"), loc.resolve("metadata"))
+      Files.createDirectories(loc.resolve("data"))
+      LakeTable.load(loc.toString)
+    }
+
+    val updCond = s"o_orderkey >= $lo AND o_orderkey <= $hi"
+    val delCond = s"o_orderdate >= TIMESTAMP_NTZ'$d1s' AND o_orderdate < TIMESTAMP_NTZ'$d2s'"
+
+    def scd1Source() = {
+      val base = Tables.orders(spark, sfDir)
+      val upd = base
+        .filter(col("o_orderkey").between(lo, hi) && col("o_orderkey") % 20 === 7)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("op", lit("U"))
+      val ins = base.filter(col("o_orderkey") % 100 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + span)
+        .withColumn("op", lit("I"))
+      upd.unionByName(ins)
+    }
+
+    val scenarios: Seq[(String, LakeTable, LakeTable => Unit)] = Seq(
+      ("dml_update", baseUpd, (t: LakeTable) =>
+        { engine.update(t, updCond, Map("o_orderpriority" -> "'0-REWRITTEN'")); () }),
+      ("dml_delete", baseDel, (t: LakeTable) => { engine.delete(t, delCond); () }),
+      ("dml_scd1_merge", baseScd, (t: LakeTable) =>
+        { Merge.scd1(engine, t, scd1Source(), Merge.Scd1Options(
+            keyCols = Seq("o_orderkey"), operationTypeColumn = Some("op"))); () }))
+
+    // one untimed warmup per scenario (JIT/codegen) whose end state is
+    // VALIDATED against analytically-derived expectations — a bench run
+    // must never record timings for a wrong result
+    val exp = orders.agg(
+      count(lit(1)),
+      sum(col("o_totalprice")),
+      sum(when(col("o_orderkey").between(lo, hi), 1L).otherwise(0L)),
+      sum(when(col("o_orderdate") >= lit(d1).cast("timestamp_ntz") &&
+        col("o_orderdate") < lit(d2).cast("timestamp_ntz"), 1L).otherwise(0L)),
+      sum(when(col("o_orderkey").between(lo, hi) && col("o_orderkey") % 20 === 7, 1L).otherwise(0L)),
+      sum(when(col("o_orderkey") % 100 === 3, 1L).otherwise(0L)),
+      sum(when(col("o_orderkey") % 100 === 3, col("o_totalprice")).otherwise(lit(0.0)))).head()
+    val (sumPrice, updRange, delRange, scdUpd, scdIns, scdInsPrice) =
+      (exp.getDouble(1), exp.getLong(2), exp.getLong(3), exp.getLong(4), exp.getLong(5), exp.getDouble(6))
+    def check(name: String, cond: Boolean, msg: => String): Unit =
+      if (!cond) throw new IllegalStateException(s"[bench-dml] $name end-state mismatch: $msg")
+    scenarios.foreach { case (name, base, exec) =>
+      val t = freshClone(base)
+      exec(t)
+      val st = engine.scan(t).toDF().agg(
+        count(lit(1)), sum(col("o_totalprice")),
+        sum(when(col("o_orderpriority") === "0-REWRITTEN", 1L).otherwise(0L))).head()
+      val (cnt, price, rewritten) = (st.getLong(0), st.getDouble(1), st.getLong(2))
+      name match {
+        case "dml_update" =>
+          check(name, cnt == n && rewritten == updRange, s"cnt=$cnt/$n rewritten=$rewritten/$updRange")
+        case "dml_delete" =>
+          check(name, cnt == n - delRange, s"cnt=$cnt expected ${n - delRange}")
+        case "dml_scd1_merge" =>
+          val expPrice = sumPrice + 1.0 * scdUpd + scdInsPrice
+          check(name, cnt == n + scdIns && math.abs(price - expPrice) <= 1e-6 * math.abs(expPrice),
+            s"cnt=$cnt/${n + scdIns} price=$price/$expPrice")
+      }
+    }
+    val timed = (1 to passes).map { _ =>
+      scenarios.map { case (name, base, exec) =>
+        val t = freshClone(base)
+        val t0 = System.currentTimeMillis()
+        val n0 = System.nanoTime()
+        try exec(t)
+        catch { case NonFatal(e) => System.err.println(s"[bench-dml] $name failed: $e") }
+        val sec = (System.nanoTime() - n0) / 1e9
+        DmlSample(name, sec, t0, t0 + math.ceil(sec * 1000).toLong)
+      }
+    }
+    val mins = scenarios.map { case (name, _, _) =>
+      timed.flatten.filter(_.name == name).minBy(_.sec) }
+    val passMap = scenarios.map { case (name, _, _) =>
+      name -> timed.flatten.filter(_.name == name).map(_.sec) }.toMap
+
+    val oracle = oracleDml(sfDir, cpus,
+      Map("dml_update" -> baseUpd, "dml_delete" -> baseDel, "dml_scd1_merge" -> baseScd),
+      lo, hi, span, d1s, d2s).getOrElse(Map.empty)
+    DmlOut(mins, passMap, oracle)
+  }
+
+  /** Same-run DuckDB CoW oracle: per scenario, the timed region is the
+    * full file-swap flow (probe touched files -> rewrite them -> write
+    * upserts), min-of-5 after one warmup, identical input files to the
+    * Spark side (the base lake tables' own data files). */
+  private def oracleDml(sfDir: String, cpus: String, bases: Map[String, LakeTable],
+      lo: Long, hi: Long, span: Long, d1s: String, d2s: String): Option[Map[String, Double]] = {
+    def files(t: LakeTable): String =
+      t.currentFiles().map(f => "'" + f.path + "'").mkString("[", ",", "]")
+    val cols = OrdersCols.mkString(", ")
+    val updFiles = files(bases("dml_update"))
+    val delFiles = files(bases("dml_delete"))
+    val scdFiles = files(bases("dml_scd1_merge"))
+    val src = s"$sfDir/orders.parquet"
+    val differs = OrdersCols.filterNot(_ == "o_orderkey")
+      .map(c => s"t.$c IS DISTINCT FROM s.$c").mkString(" OR ")
+
+    // step types: sql (execute), probe (fetch touched file list),
+    // per_file (COPY template looped over probed files), copy_all (one
+    // COPY with {touched} = probed list)
+    def j(s: String) = jstr(s)
+    val spec =
+      s"""[
+         |{"name":"dml_update","steps":[
+         |  {"type":"probe","sql":${j(s"SELECT DISTINCT filename FROM read_parquet($updFiles, filename=true) WHERE o_orderkey >= $lo AND o_orderkey <= $hi")}},
+         |  {"type":"per_file","sql":${j(s"COPY (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, CASE WHEN o_orderkey >= $lo AND o_orderkey <= $hi THEN '0-REWRITTEN' ELSE o_orderpriority END AS o_orderpriority FROM read_parquet('{file}') ORDER BY o_orderkey) TO '{out}' (FORMAT PARQUET, COMPRESSION ZSTD)")}}
+         |]},
+         |{"name":"dml_delete","steps":[
+         |  {"type":"probe","sql":${j(s"SELECT DISTINCT filename FROM read_parquet($delFiles, filename=true) WHERE o_orderdate >= TIMESTAMP '$d1s' AND o_orderdate < TIMESTAMP '$d2s'")}},
+         |  {"type":"per_file","sql":${j(s"COPY (SELECT * FROM read_parquet('{file}') WHERE NOT (o_orderdate >= TIMESTAMP '$d1s' AND o_orderdate < TIMESTAMP '$d2s') ORDER BY o_orderdate) TO '{out}' (FORMAT PARQUET, COMPRESSION ZSTD)")}}
+         |]},
+         |{"name":"dml_scd1_merge","steps":[
+         |  {"type":"sql","sql":${j(s"CREATE OR REPLACE TEMP TABLE src AS SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority, 'U' AS op FROM read_parquet('$src') WHERE o_orderkey BETWEEN $lo AND $hi AND o_orderkey % 20 = 7 UNION ALL SELECT o_orderkey + $span, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, 'I' FROM read_parquet('$src') WHERE o_orderkey % 100 = 3")}},
+         |  {"type":"sql","sql":${j(s"CREATE OR REPLACE TEMP TABLE diff AS SELECT t.filename AS f, t.o_orderkey AS tk, s.o_orderkey AS sk, s.op, ($differs) AS differs FROM read_parquet($scdFiles, filename=true) t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey")}},
+         |  {"type":"sql","sql":${j("SELECT count(*) FROM (SELECT tk FROM diff WHERE tk IS NOT NULL AND sk IS NOT NULL GROUP BY tk HAVING count(*) > 1)")}},
+         |  {"type":"probe","sql":${j("SELECT DISTINCT f FROM diff WHERE tk IS NOT NULL AND sk IS NOT NULL AND differs")}},
+         |  {"type":"copy_all","sql":${j(s"COPY (SELECT $cols FROM read_parquet({touched}) WHERE o_orderkey NOT IN (SELECT tk FROM diff WHERE tk IS NOT NULL AND sk IS NOT NULL AND differs) UNION ALL SELECT $cols FROM src s WHERE s.o_orderkey IN (SELECT sk FROM diff WHERE sk IS NOT NULL AND (tk IS NULL OR differs)) ORDER BY o_orderkey) TO '{out}' (FORMAT PARQUET, COMPRESSION ZSTD)")}}
+         |]}
+         |]""".stripMargin
+
+    val py =
+      s"""
+         |import sys, json, os, time, tempfile, shutil
+         |import duckdb
+         |con = duckdb.connect()
+         |con.execute("SET threads=$cpus")
+         |spec = json.loads(sys.stdin.read())
+         |times = {}
+         |for _ in range(6):  # pass 0 = warmup
+         |    for scn in spec:
+         |        out = tempfile.mkdtemp(prefix="graft-dml-oracle-")
+         |        try:
+         |            t0 = time.perf_counter()
+         |            touched = []
+         |            for i, st in enumerate(scn["steps"]):
+         |                if st["type"] == "sql":
+         |                    con.execute(st["sql"]).fetchall()
+         |                elif st["type"] == "probe":
+         |                    touched = [r[0] for r in con.execute(st["sql"]).fetchall()]
+         |                elif st["type"] == "per_file":
+         |                    for k, f in enumerate(touched):
+         |                        con.execute(st["sql"].replace("{file}", f)
+         |                            .replace("{out}", os.path.join(out, f"rw-{k}.parquet")))
+         |                elif st["type"] == "copy_all":
+         |                    tl = "[" + ",".join("'" + f + "'" for f in touched) + "]"
+         |                    con.execute(st["sql"].replace("{touched}", tl)
+         |                        .replace("{out}", os.path.join(out, "rw-all.parquet")))
+         |            dt = time.perf_counter() - t0
+         |            if _ > 0:
+         |                times[scn["name"]] = min(times.get(scn["name"], 1e9), dt)
+         |        finally:
+         |            shutil.rmtree(out, ignore_errors=True)
+         |print(json.dumps(times))
+         |""".stripMargin
+    try {
+      val pb = new ProcessBuilder("python3", "-c", py)
+      val proc = pb.start()
+      val out = new java.io.ByteArrayOutputStream()
+      val w = proc.getOutputStream
+      w.write(spec.getBytes("UTF-8")); w.close()
+      val reader = new Thread(() => proc.getInputStream.transferTo(out))
+      val err = new java.io.ByteArrayOutputStream()
+      val errReader = new Thread(() => proc.getErrorStream.transferTo(err))
+      reader.start(); errReader.start()
+      if (!proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
+        proc.destroyForcibly(); return None
+      }
+      reader.join(5000); errReader.join(5000)
+      if (proc.exitValue() != 0) {
+        System.err.println(s"[bench-dml] oracle failed: ${err.toString("UTF-8").takeRight(500)}")
+        return None
+      }
+      val line = out.toString("UTF-8").trim.linesIterator.toSeq.lastOption.getOrElse("")
+      val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*([0-9.eE+-]+)""".r
+      val m = entry.findAllMatchIn(line).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      if (m.isEmpty) None else Some(m)
+    } catch { case NonFatal(_) => None }
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

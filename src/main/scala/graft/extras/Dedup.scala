@@ -189,17 +189,33 @@ object Dedup {
     * an (id, shh) table. `broadcastPairs = false` (full dedup): the
     * pair list joins shuffle-hash as build side — bounded hash tables
     * at any corpus size, shingles hash-shuffled once per side.
-    * `broadcastPairs = true` (incremental): the batch-proportional pair
-    * list broadcasts, so the corpus-sized shingle side STREAMS through
-    * both joins without shuffling at all. */
+    * `broadcastPairs = true` (incremental): the bare batch-proportional
+    * pair list broadcasts into BOTH array-attach joins, so the
+    * corpus-sized shingle side streams without shuffling; only the two
+    * batch-proportional attached halves meet in a shuffle. */
   private def verifyJaccard(
       cand: DataFrame, shh: DataFrame, threshold: Double,
       broadcastPairs: Boolean): DataFrame = {
-    val c = if (broadcastPairs) broadcast(cand) else cand.hint("shuffle_hash")
-    val withSh = c
-      .join(shh.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
-      .hint(if (broadcastPairs) "broadcast" else "shuffle_hash")
-      .join(shh.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
+    val withSh = if (broadcastPairs) {
+      // Broadcast ONLY the bare (id_a, id_b) list — never a join result
+      // carrying shingle arrays (pairs x multi-KB arrays would blow the
+      // broadcast limit / driver heap on long-document batches). Each
+      // side attaches its array with the corpus STREAMING past the
+      // broadcast pair list; the final (id_a, id_b) equi-join re-unites
+      // the two batch-proportional halves with a batch-proportional
+      // shuffle — nothing corpus-sized ever shuffles or broadcasts.
+      val bare = broadcast(cand)
+      val ja = shh.select(col("id").as("id_a"), col("shh").as("shh_a"))
+        .join(bare, "id_a")
+      val jb = shh.select(col("id").as("id_b"), col("shh").as("shh_b"))
+        .join(bare, "id_b")
+      ja.hint("shuffle_hash").join(jb, Seq("id_a", "id_b"))
+    } else {
+      cand.hint("shuffle_hash")
+        .join(shh.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
+        .hint("shuffle_hash")
+        .join(shh.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
+    }
     withSh.select(col("id_a"), col("id_b"),
         TextAnalysis.jaccardHashes(col("shh_a"), col("shh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

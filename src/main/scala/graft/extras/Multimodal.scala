@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * (the Scala analogue of `mapInPandas`: one iterator per partition,
   * batched work, Arrow-friendly shapes).
   *
-  * The actual codec step is a clearly-marked STUB — this container has no
-  * image/audio libraries — but everything Spark-side is real: the schema
-  * convention, the partition-parallel batch plumbing, and deterministic
-  * fake features (byte histograms) that tests can pin down.
+  * Codecs: four REAL pure-JVM decoders live in this file — PNG/JPEG/
+  * GIF/BMP via ImageIO (see `decodeImage`), WAV PCM (see `decodeWav`),
+  * MJPEG, and MP4/H.264 I_PCM frames (Exp-Golomb NAL parsing). Only
+  * entropy-coded video (CAVLC/CABAC macroblocks) degrades to the
+  * documented stub seam; deterministic byte-histogram features back the
+  * formats with no in-container decoder.
   */
 object Multimodal {
 

@@ -787,8 +787,16 @@ class LakeTable private (
   // convenience
   def appendFiles(files: Seq[FileEntry], branch: Option[String] = None): CommitMetrics =
     commit(CommitOp.Append(files, branch))
+  /** Overwrite commit. `fromSnapshotId` is the snapshot the writer PLANNED
+    * against and is deliberately non-defaulted: `None` means "planned
+    * against the empty table", so on a non-empty table every head file
+    * counts as concurrently added and the commit fails validation (the
+    * empty-table race fix in [[validateNoConflicts]]). Pass the real
+    * planning snapshot (`table.metadata.currentSnapshotId` captured at
+    * plan time); `conflictFilter = None` keeps the conservative
+    * any-change-conflicts check, a narrower Pred scopes it. */
   def overwriteFiles(add: Seq[FileEntry], removePaths: Set[String],
-      fromSnapshotId: Option[Long] = None, conflictFilter: Option[graft.scan.Pred] = None,
+      fromSnapshotId: Option[Long], conflictFilter: Option[graft.scan.Pred] = None,
       removeHints: Seq[FileEntry] = Seq.empty): CommitMetrics =
     commit(CommitOp.Overwrite(add, removePaths, None, fromSnapshotId, conflictFilter,
       removeHints = removeHints))

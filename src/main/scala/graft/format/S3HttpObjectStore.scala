@@ -1,0 +1,293 @@
+package graft.format
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** Static AWS-style credentials for [[S3HttpObjectStore]]. */
+final case class S3Credentials(
+    accessKey: String, secretKey: String, sessionToken: Option[String] = None)
+
+/** AWS Signature Version 4 request signing — implemented from the public
+  * specification (AWS General Reference, "Signature Version 4 signing
+  * process"; the same flow the reference's S3 FileIO gets from the AWS
+  * SDK, aws/SwiftLakeS3FileIO.java:41-163). Pure JDK: SHA-256 +
+  * HMAC-SHA256 via javax.crypto; no SDK dependency, so the client works
+  * against any S3-protocol endpoint (AWS, MinIO, Ceph, an in-process
+  * fake in tests).
+  *
+  * S3 canonicalization specifics honored here: the canonical URI is the
+  * URI-encoded absolute path with `/` preserved and NOT double-encoded
+  * (S3 differs from other services on this); the payload hash is always
+  * sent explicitly in `x-amz-content-sha256` (required by S3); query
+  * parameters are strictly RFC-3986 encoded and sorted by name. */
+object SigV4 {
+  private val AmzDateFmt =
+    DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(ZoneOffset.UTC)
+  private val DateFmt = DateTimeFormatter.ofPattern("yyyyMMdd").withZone(ZoneOffset.UTC)
+
+  def sha256Hex(bytes: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  /** RFC-3986 strict encoding (unreserved chars only), as the SigV4
+    * canonicalization requires; `keepSlash` for the URI path. */
+  def uriEncode(s: String, keepSlash: Boolean): String = {
+    val sb = new StringBuilder
+    s.getBytes(UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || c == '-' || c == '_' || c == '.' || c == '~' ||
+          (keepSlash && c == '/')) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** @return headers to add: (x-amz-date, x-amz-content-sha256,
+    *         [x-amz-security-token], authorization) */
+  def sign(method: String, path: String, query: Seq[(String, String)],
+      host: String, payloadSha256: String, creds: S3Credentials,
+      region: String, service: String = "s3",
+      now: Instant = Instant.now(),
+      extraSignedHeaders: Seq[(String, String)] = Nil): Seq[(String, String)] = {
+    val amzDate = AmzDateFmt.format(now)
+    val date = DateFmt.format(now)
+    val canonicalQuery = query
+      .map { case (k, v) => uriEncode(k, keepSlash = false) -> uriEncode(v, keepSlash = false) }
+      .sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("&")
+    val baseHeaders = Seq(
+      "host" -> host,
+      "x-amz-content-sha256" -> payloadSha256,
+      "x-amz-date" -> amzDate) ++
+      creds.sessionToken.map("x-amz-security-token" -> _) ++
+      extraSignedHeaders.map { case (k, v) => k.toLowerCase -> v }
+    val sortedHeaders = baseHeaders.sortBy(_._1)
+    val canonicalHeaders = sortedHeaders.map { case (k, v) => s"$k:${v.trim}\n" }.mkString
+    val signedHeaders = sortedHeaders.map(_._1).mkString(";")
+    val canonicalRequest = Seq(
+      method, uriEncode(path, keepSlash = true), canonicalQuery,
+      canonicalHeaders, signedHeaders, payloadSha256).mkString("\n")
+    val scope = s"$date/$region/$service/aws4_request"
+    val stringToSign = Seq(
+      "AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonicalRequest.getBytes(UTF_8))).mkString("\n")
+    val kDate = hmac(("AWS4" + creds.secretKey).getBytes(UTF_8), date)
+    val kRegion = hmac(kDate, region)
+    val kService = hmac(kRegion, service)
+    val kSigning = hmac(kService, "aws4_request")
+    val signature = hmac(kSigning, stringToSign).map("%02x".format(_)).mkString
+    val auth = s"AWS4-HMAC-SHA256 Credential=${creds.accessKey}/$scope, " +
+      s"SignedHeaders=$signedHeaders, Signature=$signature"
+    baseHeaders.filterNot(_._1 == "host") :+ ("authorization" -> auth)
+  }
+}
+
+/** Live S3-protocol [[ObjectStoreClient]]: the third binding of the
+  * metadata-plane seam (after [[InMemoryObjectStore]] and
+  * [[FsObjectStore]]), speaking the real wire protocol over
+  * `java.net.http.HttpClient` with SigV4 auth — conditional PUT via
+  * `If-None-Match: *` (HTTP 412 = lost the commit race, exactly the
+  * reference's S3 conditional-write commit), LIST via ListObjectsV2
+  * with `delimiter=/` + continuation tokens, mtime via HEAD.
+  *
+  * Path-style addressing (`endpoint/bucket/key`) so it works against
+  * MinIO/Ceph/in-process fakes as well as AWS virtual-hosted endpoints.
+  * Keys arriving from [[ObjectStoreCommitStore]] are absolute fs-like
+  * paths; the leading `/` is stripped so they become rooted object keys
+  * under an optional `keyPrefix`.
+  *
+  * Retries: idempotent reads (GET/HEAD/LIST) retry on 5xx/IO up to 3
+  * attempts with backoff. Conditional PUT is deliberately SINGLE-SHOT:
+  * after a network failure the first attempt may have landed, and a
+  * blind retry answering 412 would misreport "lost the race" for a
+  * commit that actually won — the caller's commit loop re-reads the
+  * head version and resolves the ambiguity there (same recovery path
+  * as any lost commit race). */
+final class S3HttpObjectStore(
+    endpoint: URI,
+    bucket: String,
+    region: String = "us-east-1",
+    credentials: Option[S3Credentials] = None,
+    keyPrefix: String = "") extends ObjectStoreClient {
+
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .build()
+  private val hostHeader = {
+    val p = endpoint.getPort
+    if (p == -1) endpoint.getHost else s"${endpoint.getHost}:$p"
+  }
+  private val EmptySha = SigV4.sha256Hex(Array.emptyByteArray)
+
+  private def objectKey(key: String): String = {
+    val k = key.stripPrefix("/")
+    if (keyPrefix.isEmpty) k else keyPrefix.stripSuffix("/") + "/" + k
+  }
+  private def objectPath(key: String): String = s"/$bucket/${objectKey(key)}"
+
+  private def request(method: String, path: String, query: Seq[(String, String)],
+      body: Array[Byte], extraHeaders: Seq[(String, String)]): HttpRequest = {
+    val qs = query.map { case (k, v) =>
+      s"${SigV4.uriEncode(k, keepSlash = false)}=${SigV4.uriEncode(v, keepSlash = false)}"
+    }.mkString("&")
+    val uri = URI.create(endpoint.toString.stripSuffix("/") +
+      SigV4.uriEncode(path, keepSlash = true) + (if (qs.isEmpty) "" else s"?$qs"))
+    val payloadSha = if (body.isEmpty) EmptySha else SigV4.sha256Hex(body)
+    var b = HttpRequest.newBuilder(uri)
+      .timeout(java.time.Duration.ofSeconds(30))
+    val signed = credentials.toSeq.flatMap(c =>
+      SigV4.sign(method, path, query, hostHeader, payloadSha, c, region))
+    (signed ++ extraHeaders).foreach { case (k, v) => b = b.header(k, v) }
+    if (credentials.isEmpty) b = b.header("x-amz-content-sha256", payloadSha)
+    method match {
+      case "GET" | "HEAD" | "DELETE" =>
+        b.method(method, HttpRequest.BodyPublishers.noBody()).build()
+      case _ => b.method(method, HttpRequest.BodyPublishers.ofByteArray(body)).build()
+    }
+  }
+
+  private def sendBytes(req: HttpRequest): HttpResponse[Array[Byte]] =
+    http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+
+  /** Bounded retry for idempotent calls only. */
+  private def withRetry[T](attempts: Int = 3)(f: => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return f
+      catch {
+        case e: RetryableStatus => last = e
+        case e: java.io.IOException => last = e
+      }
+      i += 1
+      if (i < attempts) Thread.sleep(50L << i)
+    }
+    throw last
+  }
+  private final class RetryableStatus(status: Int, path: String)
+    extends RuntimeException(s"S3 $status for $path")
+  private def failOn5xx(status: Int, path: String): Unit =
+    if (status >= 500) throw new RetryableStatus(status, path)
+
+  override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
+    val path = objectPath(key)
+    val resp = sendBytes(request("PUT", path, Nil, bytes,
+      Seq("if-none-match" -> "*")))
+    resp.statusCode() match {
+      case s if s >= 200 && s < 300 => true
+      // 412 PreconditionFailed is the spec answer; MinIO historically
+      // answered 409 on racing conditional writes — both mean "exists"
+      case 412 | 409 => false
+      case s => throw new java.io.IOException(s"S3 conditional PUT failed: $s for $path")
+    }
+  }
+
+  override def put(key: String, bytes: Array[Byte]): Unit = {
+    val path = objectPath(key)
+    val resp = sendBytes(request("PUT", path, Nil, bytes, Nil))
+    val s = resp.statusCode()
+    if (s < 200 || s >= 300)
+      throw new java.io.IOException(s"S3 PUT failed: $s for $path")
+  }
+
+  override def get(key: String): Array[Byte] = withRetry() {
+    val path = objectPath(key)
+    val resp = sendBytes(request("GET", path, Nil, Array.emptyByteArray, Nil))
+    resp.statusCode() match {
+      case 200 => resp.body()
+      case 404 => throw new java.io.FileNotFoundException(s"no such object: $key")
+      case s => failOn5xx(s, path)
+        throw new java.io.IOException(s"S3 GET failed: $s for $path")
+    }
+  }
+
+  override def list(prefix: String): Seq[String] = {
+    val p = objectKey(if (prefix.endsWith("/")) prefix else prefix + "/")
+    val out = Vector.newBuilder[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val query = Seq("list-type" -> "2", "prefix" -> p, "delimiter" -> "/") ++
+        token.map("continuation-token" -> _)
+      val (keys, next) = withRetry() {
+        val resp = sendBytes(request("GET", s"/$bucket", query, Array.emptyByteArray, Nil))
+        resp.statusCode() match {
+          case 200 => parseListing(resp.body())
+          case s => failOn5xx(s, s"/$bucket")
+            throw new java.io.IOException(s"S3 LIST failed: $s for prefix $p")
+        }
+      }
+      keys.foreach { k =>
+        val rel = k.stripPrefix(p)
+        if (rel.nonEmpty && !rel.contains('/')) out += rel
+      }
+      token = next
+      more = next.isDefined
+    }
+    out.result()
+  }
+
+  /** ListObjectsV2 XML: Contents/Key entries + NextContinuationToken.
+    * JDK DOM parser — handles XML escaping in keys. */
+  private def parseListing(xml: Array[Byte]): (Seq[String], Option[String]) = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(false)
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = dbf.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(xml))
+    def texts(tag: String): Seq[String] = {
+      val nl = doc.getElementsByTagName(tag)
+      (0 until nl.getLength).map(i => nl.item(i).getTextContent)
+    }
+    val keys = {
+      val contents = doc.getElementsByTagName("Contents")
+      (0 until contents.getLength).flatMap { i =>
+        val children = contents.item(i).getChildNodes
+        (0 until children.getLength).collectFirst {
+          case j if children.item(j).getNodeName == "Key" =>
+            children.item(j).getTextContent
+        }
+      }
+    }
+    val truncated = texts("IsTruncated").headOption.contains("true")
+    val next = if (truncated) texts("NextContinuationToken").headOption else None
+    (keys, next)
+  }
+
+  override def delete(key: String): Boolean = {
+    val path = objectPath(key)
+    // S3 DELETE is idempotent (204 for hit and miss alike); HEAD first
+    // to honor the trait's "did it exist" contract — delete is off the
+    // hot path (vacuum/maintenance), two RPCs are fine
+    val existed = lastModified(key) > 0
+    val resp = sendBytes(request("DELETE", path, Nil, Array.emptyByteArray, Nil))
+    val s = resp.statusCode()
+    if (s != 204 && s != 200 && s != 404)
+      throw new java.io.IOException(s"S3 DELETE failed: $s for $path")
+    existed
+  }
+
+  override def lastModified(key: String): Long = withRetry() {
+    val path = objectPath(key)
+    val resp = sendBytes(request("HEAD", path, Nil, Array.emptyByteArray, Nil))
+    resp.statusCode() match {
+      case 200 =>
+        resp.headers().firstValue("Last-Modified")
+          .map[Long](v => java.time.ZonedDateTime
+            .parse(v, DateTimeFormatter.RFC_1123_DATE_TIME).toInstant.toEpochMilli)
+          .orElse(0L)
+      case 404 => 0L
+      case s => failOn5xx(s, path); 0L
+    }
+  }
+}

@@ -374,7 +374,15 @@ final class AdaptiveLongSet {
     * needs to be self-consistent within one query. */
   def serialize(): Array[Byte] = {
     if (words == null) {
-      val bb = java.nio.ByteBuffer.allocate(2 + 4 + n * 8)
+      // size in Long: n > ~268M would overflow `2 + 4 + n * 8` in Int
+      // arithmetic into a negative allocate() argument — fail with the
+      // same guidance as the capacity guards instead
+      val size = 2L + 4L + n.toLong * 8L
+      if (size > Int.MaxValue - 16)
+        throw new IllegalStateException(
+          s"distinct-set serialized size $size exceeds array limits; " +
+            "use approx_count_distinct at this per-group cardinality")
+      val bb = java.nio.ByteBuffer.allocate(size.toInt)
       bb.put(0.toByte).put(if (hasZero) 1.toByte else 0.toByte)
       bb.putInt(n)
       var j = 0
@@ -403,8 +411,10 @@ object AdaptiveLongSet {
   val MaxHashCapacity: Int = 1 << 30
   /** Max bitmap bits per stored key: 128 bits = 16 bytes/key, the point
     * where the bitmap stops being smaller than the hash table arrays it
-    * replaces. */
-  val MaxBitsPerKey = 128
+    * replaces. Tunable (graft.distinct.maxBitsPerKey) for A/B harnesses:
+    * larger values convert dense-ish surrogate-key streams to the bitmap
+    * earlier at the cost of up-to-(value/8) bytes per key transiently. */
+  val MaxBitsPerKey: Int = Integer.getInteger("graft.distinct.maxBitsPerKey", 128)
   /** Hard cap on bitmap footprint: 2^21 words = 16 MiB = 128M key span.
     * Past this even a dense set stays hashed — bounded buffer memory
     * beats bitmap speed once the span stops fitting in cache anyway. */

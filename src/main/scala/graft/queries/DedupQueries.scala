@@ -333,8 +333,16 @@ object DedupQueries {
         val pipeline = Dedup.simhashPairs(c, "doc_id", "text", maxHamming = 3)
         val sigs = c.select(col("doc_id"),
           TextAnalysis.simhash64(TextAnalysis.tokens(col("text"))).as("sig"))
-        val brute = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-          .crossJoin(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")))
+        // The O(n²) brute leg runs over a BOUNDED deterministic subset
+        // (first 20k ids) so the gate stays sf-safe — the pigeonhole
+        // theorem holds for any subset, and at gate fixtures (sf <= 0.1,
+        // < 20k docs) the subset IS the whole corpus, so the checked
+        // output is unchanged. Both divergence legs compare within the
+        // same subset.
+        val capIds = sigs.orderBy("doc_id").limit(20000).select("doc_id")
+        val subSigs = sigs.join(broadcast(capIds), "doc_id")
+        val brute = subSigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+          .crossJoin(subSigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")))
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
             bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
@@ -345,10 +353,13 @@ object DedupQueries {
           .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
         val dupesFound = pipeline.join(identical, Seq("id_a", "id_b"), "left_semi")
           .select(col("id_a"), col("id_b"), col("hamming"), lit("dup").as("kind"))
-        val missing = brute.join(pipeline, Seq("id_a", "id_b"), "left_anti")
+        val pipelineSub = pipeline
+          .join(broadcast(capIds.withColumnRenamed("doc_id", "id_a")), Seq("id_a"), "left_semi")
+          .join(broadcast(capIds.withColumnRenamed("doc_id", "id_b")), Seq("id_b"), "left_semi")
+        val missing = brute.join(pipelineSub, Seq("id_a", "id_b"), "left_anti")
           .select(col("id_a"), col("id_b"), col("hamming"),
             lit("missing_from_pipeline").as("kind"))
-        val extra = pipeline.join(brute, Seq("id_a", "id_b"), "left_anti")
+        val extra = pipelineSub.join(brute, Seq("id_a", "id_b"), "left_anti")
           .select(col("id_a"), col("id_b"), col("hamming"),
             lit("not_in_bruteforce").as("kind"))
         dupesFound.unionByName(missing).unionByName(extra)

@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 A/B for q_distinct_agg's residual >2x work ratio (629 vs
+  * 249 ms at sf1): the verdict names the interpreted
+  * TypedImperativeAggregate update loop; round-10 already measured the
+  * boxing fast path and a fused 3-column aggregate as washes, so the
+  * candidates left are (a) EARLIER bitmap conversion for the orderkey
+  * set (MaxBitsPerKey 128 -> 512 converts at ~176k keys instead of
+  * ~786k, skipping the largest hash-probe/rehash phase at the cost of
+  * transient bitmap memory) and (b) a columnar floor probe — the same
+  * distinct computation hand-rolled over the vectorized parquet
+  * reader's ColumnarBatches with zero aggregate-operator machinery,
+  * which bounds what ANY dispatch-level fix could buy.
+  *
+  * Run twice to compare (the sys prop is read once per JVM):
+  *   sbt "runMain graft.tools.Exp16"
+  *   sbt -Dgraft.distinct.maxBitsPerKey=512 "runMain graft.tools.Exp16"
+  * Not part of the driver contract.
+  */
+object Exp16 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    println(s"maxBitsPerKey=${graft.functions.AdaptiveLongSet.MaxBitsPerKey}")
+
+    def time(name: String, reps: Int = 7)(body: => Unit): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"$name%-34s min=${times.min}%7.1fms med=${times.sorted.apply(reps / 2)}%7.1fms")
+    }
+
+    def l = graft.Tables.lineitem(spark, sfDir)
+
+    def current: DataFrame = l
+      .groupBy("l_returnflag")
+      .agg(call_function("graft_count_distinct", col("l_suppkey")).as("n_supp"),
+        call_function("graft_count_distinct", col("l_partkey")).as("n_part"),
+        call_function("graft_count_distinct", col("l_orderkey")).as("n_ord"))
+
+    // ---- columnar floor probe: same computation, no agg operator ----
+    // Pull the 4 columns through the vectorized parquet reader and run
+    // the AdaptiveLongSet updates straight off the column vectors: no
+    // SpecificInternalRow, no BoundReference eval, no per-row
+    // aggregate-iterator dispatch. What remains is scan + set updates —
+    // the floor any dispatch-level rewrite of the aggregate could reach.
+    def columnarFloor(): Array[(String, Long, Long, Long)] = {
+      val plan = l.select("l_returnflag", "l_suppkey", "l_partkey", "l_orderkey")
+        .queryExecution.executedPlan
+      // the columnar source is the scan under ColumnarToRow; its output
+      // order is the relation's, not the select's — resolve indices
+      val scan = plan.collect { case s if s.supportsColumnar => s }.last
+      val idx = Seq("l_returnflag", "l_suppkey", "l_partkey", "l_orderkey")
+        .map(c => scan.output.indexWhere(_.name == c))
+      require(idx.forall(_ >= 0), s"missing columns in ${scan.output}")
+      val Seq(fi, si, pi, oi) = idx
+      val batches = scan.executeColumnar()
+      val perPart = batches.mapPartitions { it =>
+        import graft.functions.AdaptiveLongSet
+        // returnflag has 3 values; index sets by first byte
+        val supp = new Array[AdaptiveLongSet](256)
+        val part = new Array[AdaptiveLongSet](256)
+        val ord = new Array[AdaptiveLongSet](256)
+        it.foreach { batch =>
+          val flagV = batch.column(fi)
+          val suppV = batch.column(si)
+          val partV = batch.column(pi)
+          val ordV = batch.column(oi)
+          val nRows = batch.numRows()
+          var i = 0
+          while (i < nRows) {
+            val f = flagV.getUTF8String(i).getByte(0) & 0xff
+            if (supp(f) == null) {
+              supp(f) = new AdaptiveLongSet; part(f) = new AdaptiveLongSet
+              ord(f) = new AdaptiveLongSet
+            }
+            supp(f).add(suppV.getLong(i))
+            part(f).add(partV.getLong(i))
+            ord(f).add(ordV.getLong(i))
+            i += 1
+          }
+        }
+        (0 until 256).iterator.filter(supp(_) != null).map(f =>
+          (f, supp(f).serialize(), part(f).serialize(), ord(f).serialize()))
+      }
+      val collected = perPart.collect()
+      collected.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, rows) =>
+        import graft.functions.AdaptiveLongSet
+        val s = new AdaptiveLongSet; val p = new AdaptiveLongSet; val o = new AdaptiveLongSet
+        rows.foreach { r =>
+          s.union(AdaptiveLongSet.deserialize(r._2))
+          p.union(AdaptiveLongSet.deserialize(r._3))
+          o.union(AdaptiveLongSet.deserialize(r._4))
+        }
+        (f.toChar.toString, s.size, p.size, o.size)
+      }.toArray
+    }
+
+    // warmup + correctness cross-check
+    val rows = current.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val floor = columnarFloor().sortBy(_._1)
+    require(rows.toSeq == floor.toSeq, s"floor mismatch: ${rows.toSeq} vs ${floor.toSeq}")
+    println(s"agree: ${rows.toSeq}")
+
+    time("q_distinct_agg (agg operator)") {
+      current.write.format("noop").mode("overwrite").save()
+    }
+    time("columnar floor (mapPartitions)") { columnarFloor() }
+  }
+}

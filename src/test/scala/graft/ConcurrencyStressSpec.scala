@@ -32,7 +32,19 @@ class ConcurrencyStressSpec extends SparkSpec {
   private val MaxAttempts = 15
 
   test("10 racing writers: dense linear history, scoped atomicity, bounded retries") {
-    val client = new FsObjectStore(Files.createTempDirectory("graft-stress-os-"))
+    stress(new FsObjectStore(Files.createTempDirectory("graft-stress-os-")))
+  }
+
+  test("same 10-writer stress through the HTTP S3-protocol client") {
+    // the commit protocol's real wire shape: every CAS is a SigV4-signed
+    // conditional PUT answered 200/412 by the S3 fake
+    val srv = new FakeS3Server(Some("AKID"))
+    try stress(new S3HttpObjectStore(srv.endpoint, "stress-bucket",
+      credentials = Some(S3Credentials("AKID", "SECRET"))))
+    finally srv.stop()
+  }
+
+  private def stress(client: ObjectStoreClient): Unit = {
     val store = new ObjectStoreCommitStore(client)
     val loc = Paths.get(
       Files.createTempDirectory("graft-stress-wh-").toString, "stress").toString

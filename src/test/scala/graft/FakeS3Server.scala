@@ -1,0 +1,140 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.{InetSocketAddress, URI, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import java.util.concurrent.ConcurrentHashMap
+
+/** In-process S3-protocol fake for [[graft.format.S3HttpObjectStore]]
+  * tests: PUT (with `If-None-Match: *` conditional semantics — atomic
+  * via ConcurrentHashMap.putIfAbsent, answering 412 on conflict), GET,
+  * HEAD (Last-Modified), DELETE, and ListObjectsV2 (prefix + delimiter
+  * + continuation-token paging, page size forced small so the client's
+  * continuation loop is actually exercised). Requires an
+  * `Authorization: AWS4-HMAC-SHA256 ...` header naming the expected
+  * access key plus the SigV4-mandated headers when credentials are
+  * configured — signature VALIDITY is pinned separately against the
+  * published AWS test vectors (see SigV4Spec), which avoids validating
+  * the signer against itself. */
+final class FakeS3Server(expectAccessKey: Option[String]) {
+  private case class Obj(bytes: Array[Byte], mtime: Instant)
+  private val objects = new ConcurrentHashMap[String, Obj]() // key = bucket/key
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  @volatile var failNextPuts: Int = 0 // inject 500s for retry-path tests
+  @volatile var failNextGets: Int = 0
+
+  val PageSize = 3
+
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.start()
+
+  def endpoint: URI = URI.create(s"http://127.0.0.1:${server.getAddress.getPort}")
+  def stop(): Unit = server.stop(0)
+  def objectCount: Int = objects.size()
+
+  private def respond(ex: HttpExchange, status: Int, body: Array[Byte] = Array.emptyByteArray,
+      headers: Seq[(String, String)] = Nil): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+    val len = if (ex.getRequestMethod == "HEAD") -1L else if (body.isEmpty) -1L else body.length.toLong
+    ex.sendResponseHeaders(status, len)
+    if (ex.getRequestMethod != "HEAD" && body.nonEmpty) ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private def authOk(ex: HttpExchange): Boolean = expectAccessKey match {
+    case None => true
+    case Some(ak) =>
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      auth.startsWith("AWS4-HMAC-SHA256 Credential=" + ak + "/") &&
+        auth.contains("SignedHeaders=") && auth.contains("Signature=") &&
+        ex.getRequestHeaders.containsKey("x-amz-date") &&
+        ex.getRequestHeaders.containsKey("x-amz-content-sha256")
+  }
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&').filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8)
+      }.toMap
+
+  private val Rfc1123 = DateTimeFormatter.RFC_1123_DATE_TIME.withZone(ZoneOffset.UTC)
+
+  private def handle(ex: HttpExchange): Unit = try {
+    if (!authOk(ex)) { respond(ex, 403); return }
+    val rawPath = ex.getRequestURI.getRawPath
+    val path = URLDecoder.decode(rawPath, UTF_8).stripPrefix("/") // bucket/key...
+    ex.getRequestMethod match {
+      case "PUT" =>
+        if (failNextPuts > 0) { failNextPuts -= 1; respond(ex, 500); return }
+        val body = ex.getRequestBody.readAllBytes()
+        val conditional = Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")
+        if (conditional) {
+          val won = objects.putIfAbsent(path, Obj(body, Instant.now())) == null
+          respond(ex, if (won) 200 else 412)
+        } else {
+          objects.put(path, Obj(body, Instant.now()))
+          respond(ex, 200)
+        }
+      case "GET" if path.indexOf('/') < 0 || query(ex).contains("list-type") =>
+        // bucket-level GET = ListObjectsV2
+        val q = query(ex)
+        val bucket = path.takeWhile(_ != '/')
+        val prefix = q.getOrElse("prefix", "")
+        val delim = q.get("delimiter")
+        val token = q.get("continuation-token")
+        import scala.jdk.CollectionConverters._
+        val all = objects.keySet().asScala.toSeq.sorted
+          .filter(_.startsWith(bucket + "/"))
+          .map(_.stripPrefix(bucket + "/"))
+          .filter(_.startsWith(prefix))
+        // with a delimiter, keys containing it past the prefix roll up
+        // into CommonPrefixes; only direct keys stay in Contents
+        val direct = delim match {
+          case Some(d) => all.filterNot(k => k.stripPrefix(prefix).contains(d))
+          case None => all
+        }
+        val from = token.map(t => direct.indexWhere(_ > t) match {
+          case -1 => direct.length
+          case i => i
+        }).getOrElse(0)
+        val page = direct.slice(from, from + PageSize)
+        val truncated = from + PageSize < direct.length
+        val nextTok = if (truncated) page.lastOption else None
+        def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        val xml =
+          s"""<?xml version="1.0" encoding="UTF-8"?>
+             |<ListBucketResult>
+             |<IsTruncated>$truncated</IsTruncated>
+             |${nextTok.map(t => s"<NextContinuationToken>${esc(t)}</NextContinuationToken>").getOrElse("")}
+             |${page.map(k => s"<Contents><Key>${esc(k)}</Key></Contents>").mkString("\n")}
+             |</ListBucketResult>""".stripMargin
+        respond(ex, 200, xml.getBytes(UTF_8), Seq("Content-Type" -> "application/xml"))
+      case "GET" =>
+        if (failNextGets > 0) { failNextGets -= 1; respond(ex, 500); return }
+        Option(objects.get(path)) match {
+          case Some(o) => respond(ex, 200, o.bytes,
+            Seq("Last-Modified" -> Rfc1123.format(o.mtime)))
+          case None => respond(ex, 404)
+        }
+      case "HEAD" =>
+        Option(objects.get(path)) match {
+          case Some(o) => respond(ex, 200,
+            headers = Seq("Last-Modified" -> Rfc1123.format(o.mtime),
+              "Content-Length" -> o.bytes.length.toString))
+          case None => respond(ex, 404)
+        }
+      case "DELETE" =>
+        objects.remove(path)
+        respond(ex, 204)
+      case _ => respond(ex, 405)
+    }
+  } catch {
+    case e: Throwable =>
+      System.err.println(s"[fake-s3] handler error: $e")
+      try respond(ex, 500) catch { case _: Throwable => () }
+  }
+}

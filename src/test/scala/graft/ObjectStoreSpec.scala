@@ -27,6 +27,37 @@ class ObjectStoreSpec extends SparkSpec {
     lifecycle(new FsObjectStore(Files.createTempDirectory("graft-fsos-")))
   }
 
+  test("same lifecycle against the HTTP S3-protocol client (third seam binding)") {
+    // real wire protocol: SigV4-signed requests against an in-process
+    // S3 fake (conditional PUT via If-None-Match, ListObjectsV2 paging
+    // with a 3-key page size so continuation tokens are exercised)
+    val srv = new FakeS3Server(Some("AKID"))
+    try lifecycle(new S3HttpObjectStore(srv.endpoint, "test-bucket",
+      credentials = Some(S3Credentials("AKID", "SECRET"))))
+    finally srv.stop()
+  }
+
+  test("HTTP client retries transient 5xx on reads; conditional PUT is single-shot") {
+    val srv = new FakeS3Server(Some("AKID"))
+    try {
+      val c = new S3HttpObjectStore(srv.endpoint, "rt-bucket",
+        credentials = Some(S3Credentials("AKID", "SECRET")))
+      assert(c.putIfNoneMatch("/a/b.txt", "x".getBytes("UTF-8")))
+      assert(!c.putIfNoneMatch("/a/b.txt", "y".getBytes("UTF-8")))
+      srv.failNextGets = 2
+      assert(new String(c.get("/a/b.txt"), "UTF-8") === "x") // retried through the 500s
+      assert(c.lastModified("/a/b.txt") > 0)
+      assert(c.lastModified("/a/missing.txt") === 0L)
+      intercept[java.io.FileNotFoundException](c.get("/a/nope.txt"))
+      // list pages through continuation tokens (server page size 3)
+      (0 until 8).foreach(i => c.put(s"/a/deep/f$i.json", Array[Byte](1)))
+      c.put("/a/deep/sub/nested.json", Array[Byte](2)) // rolls up, not listed
+      assert(c.list("/a/deep").toSet === (0 until 8).map(i => s"f$i.json").toSet)
+      assert(c.delete("/a/b.txt"))
+      assert(!c.delete("/a/b.txt"))
+    } finally srv.stop()
+  }
+
   private def lifecycle(client: ObjectStoreClient): Unit = {
     val store = new ObjectStoreCommitStore(client)
     val engine = new LakeEngine(spark, new LakeCatalog(warehouse))
@@ -68,6 +99,13 @@ class ObjectStoreSpec extends SparkSpec {
 
   test("concurrent commits race through O_EXCL on the filesystem client") {
     race(new FsObjectStore(Files.createTempDirectory("graft-fsos-race-")))
+  }
+
+  test("concurrent commits race through HTTP If-None-Match (412 = lost)") {
+    val srv = new FakeS3Server(Some("AKID"))
+    try race(new S3HttpObjectStore(srv.endpoint, "race-bucket",
+      credentials = Some(S3Credentials("AKID", "SECRET"))))
+    finally srv.stop()
   }
 
   private def race(client: ObjectStoreClient): Unit = {
