@@ -409,12 +409,20 @@ object AdaptiveLongSet {
     * arithmetic fits an Int). Reaching it (~805 M distinct keys in ONE
     * group's buffer) fails with a clear message instead of hanging. */
   val MaxHashCapacity: Int = 1 << 30
-  /** Max bitmap bits per stored key: 128 bits = 16 bytes/key, the point
-    * where the bitmap stops being smaller than the hash table arrays it
-    * replaces. Tunable (graft.distinct.maxBitsPerKey) for A/B harnesses:
-    * larger values convert dense-ish surrogate-key streams to the bitmap
-    * earlier at the cost of up-to-(value/8) bytes per key transiently. */
-  val MaxBitsPerKey: Int = Integer.getInteger("graft.distinct.maxBitsPerKey", 128)
+  /** Max bitmap bits per stored key — the conversion-eagerness knob.
+    * 128 bits/key is the memory-parity point (bitmap == hash-table
+    * bytes); the default is deliberately ABOVE parity because the
+    * bitmap's branch-free adds and word-OR merges beat the probe chain
+    * long before the sizes cross. Measured on the q_distinct_agg shape
+    * at sf1 (tools/Exp16 sweep, min-of-7 wall):
+    * 128→536 ms, 512→471, 1024→427, 2048→484, 4096→552 — converting
+    * the 90M-span orderkey stream at ~88k keys (1024 b/k) instead of
+    * ~786k (128 b/k) skips the largest hash-table phase; past that the
+    * early bitmap is too cold-sparse and loses it back. Transient
+    * worst case 128 B/key, still hard-capped by [[MaxWords]] (16 MiB
+    * per buffer) and gated on ConvertAt, with the revert path bounding
+    * adversarial streams. Tunable: graft.distinct.maxBitsPerKey. */
+  val MaxBitsPerKey: Int = Integer.getInteger("graft.distinct.maxBitsPerKey", 1024)
   /** Hard cap on bitmap footprint: 2^21 words = 16 MiB = 128M key span.
     * Past this even a dense set stays hashed — bounded buffer memory
     * beats bitmap speed once the span stops fitting in cache anyway. */

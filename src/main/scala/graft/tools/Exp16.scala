@@ -15,9 +15,24 @@ import org.apache.spark.sql.functions._
   * reader's ColumnarBatches with zero aggregate-operator machinery,
   * which bounds what ANY dispatch-level fix could buy.
   *
-  * Run twice to compare (the sys prop is read once per JVM):
+  * Run twice to compare (the sys prop is read once per forked JVM):
   *   sbt "runMain graft.tools.Exp16"
-  *   sbt -Dgraft.distinct.maxBitsPerKey=512 "runMain graft.tools.Exp16"
+  *   sbt 'set run/javaOptions += "-Dgraft.distinct.maxBitsPerKey=512"' \
+  *       "runMain graft.tools.Exp16"
+  *
+  * RESULTS (sf1, min-of-7, loadavg < 1.5):
+  *  - maxBitsPerKey sweep, agg operator: 128→536 ms, 512→471,
+  *    1024→427 (now the default; reproduced 427/430), 2048→484,
+  *    4096→552. Earlier bitmap conversion skips the largest
+  *    hash-probe/rehash phase of the 90M-span orderkey set; too early
+  *    and the cold-sparse bitmap loses it back.
+  *  - columnar floor tracked the operator at every setting (461 vs 536
+  *    at 128; 401 vs 427 at 1024): dispatch/row-iterator overhead is
+  *    ≤10% of the query — a dispatch-free aggregate rewrite (UnsafeRow
+  *    buffers, codegen) CANNOT close the remaining gap to DuckDB
+  *    (~249 ms); the bound is set-update memory access. NEGATIVE
+  *    result for the rewrite path; the eager-bitmap default is the
+  *    landed fix.
   * Not part of the driver contract.
   */
 object Exp16 {
