@@ -62,6 +62,63 @@ class PlanQualitySpec extends SparkSpec {
       s"q5 lost its broadcast dim joins:\n$q5")
   }
 
+  test("q5 fact path is shuffle-free: every join broadcasts, agg driver-merges") {
+    // the round-10 audited shape: composite ASIA dim + size-gated
+    // orders/customer broadcasts mean ONE codegen pass over lineitem
+    // with ZERO fact-side exchanges; the final agg merges on the driver
+    planOf("q5_local_supplier")
+    val q5 = graft.plans.DriverFinalAgg.lastSourcePlan
+    assert(q5.nonEmpty, "q5 no longer driver-merges (stale-plan guard)")
+    val bhj = "BroadcastHashJoin".r.findAllIn(q5).length
+    assert(bhj >= 3, s"q5 lost broadcast joins (found $bhj, expected >= 3):\n$q5")
+    // the stashed source plan keeps the final-agg exchange stub on
+    // n_name (it never executes — the driver merges the partials); any
+    // OTHER hash exchange means a fact-side shuffle crept in
+    val factEx = "Exchange hashpartitioning\\((\\w+)".r.findAllMatchIn(q5)
+      .map(_.group(1)).filterNot(_ == "n_name").toSeq
+    assert(factEx.isEmpty, s"q5's fact path shuffles on $factEx:\n$q5")
+  }
+
+  test("q18 pre-aggregates the fact before any dim join") {
+    // HAVING-on-sum(qty) runs on lineitem FIRST; its tiny output
+    // broadcasts into orders, so the ONLY hash exchange is the fact
+    // pre-aggregate's own shuffle on l_orderkey — orders and customer
+    // never shuffle
+    val q18 = planOf("q18_large_orders")
+    assert(q18.contains("BroadcastHashJoin"),
+      s"q18 lost its broadcast of the pre-aggregated big-order keys:\n$q18")
+    val bx = q18.indexOf("BroadcastExchange")
+    assert(bx >= 0 && q18.indexOf("HashAggregate", bx) > bx,
+      s"q18 no longer pre-aggregates lineitem under the broadcast:\n$q18")
+    assert(!q18.contains("hashpartitioning(o_orderkey") &&
+      !q18.contains("hashpartitioning(o_custkey") &&
+      !q18.contains("hashpartitioning(c_custkey"),
+      s"q18's orders/customer side is shuffling:\n$q18")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(q18).length
+    assert(hashEx <= 1,
+      s"q18 grew extra hash exchanges ($hashEx, expected <= 1):\n$q18")
+    assert(q18.contains("TakeOrderedAndProject"),
+      s"q18's top-100 regressed from TakeOrdered to a global sort:\n$q18")
+  }
+
+  test("q19 pushes the quantity envelope into the fact scan; no exchanges") {
+    // the OR-of-ANDs spans both join sides; Catalyst must still push
+    // the common l_quantity in [1,30] envelope to the parquet scan and
+    // keep the single broadcast join + driver-merged agg exchange-free
+    planOf("q19_disjunctive_pred")
+    val q19 = graft.plans.DriverFinalAgg.lastSourcePlan
+    assert(q19.nonEmpty, "q19 no longer driver-merges (stale-plan guard)")
+    assert(q19.contains("BroadcastHashJoin"),
+      s"q19 lost its broadcast part join:\n$q19")
+    // Catalyst pushes the full per-branch quantity disjunction (better
+    // than the common envelope); plan toString truncates the filter
+    // list, so pin the stable prefix
+    assert(q19.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"q19's quantity disjunction no longer pushes into the lineitem scan:\n$q19")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(q19).length
+    assert(hashEx === 0, s"q19 grew $hashEx hash exchange(s):\n$q19")
+  }
+
   test("q13 aggregates below the join: customer side never shuffles") {
     graft.plans.DriverFinalAgg.lastSourcePlan = ""
     planOf("q13_order_distribution")
