@@ -48,6 +48,9 @@ object Bench {
         s"""{"name":${jstr(q.name)},"sql":${jstr(
           q.benchOracleSql.getOrElse(q.oracle.get))}}""")
         .mkString("[", ",", "]")
+      // sf10-size runs: 5 oracle passes of the heavier baselines would
+      // dominate the whole bench's wall clock — allow fewer
+      val oraclePasses = sys.env.getOrElse("SPARK_GRAFT_ORACLE_PASSES", "5").toInt
       val py =
         s"""
            |import sys, json, glob, os, time
@@ -61,7 +64,7 @@ object Bench {
            |times = {}
            |for q in qs:  # warmup
            |    con.execute(q["sql"]).fetchall()
-           |for _ in range(5):
+           |for _ in range($oraclePasses):
            |    for q in qs:
            |        t0 = time.perf_counter()
            |        con.execute(q["sql"]).fetchall()
@@ -77,7 +80,8 @@ object Bench {
       writer.write(spec.getBytes("UTF-8")); writer.close()
       val reader = new Thread(() => proc.getInputStream.transferTo(out))
       reader.start()
-      if (!proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
+      val timeoutS = sys.env.getOrElse("SPARK_GRAFT_ORACLE_TIMEOUT", "300").toLong
+      if (!proc.waitFor(timeoutS, java.util.concurrent.TimeUnit.SECONDS)) {
         proc.destroyForcibly(); return None
       }
       reader.join(5000)

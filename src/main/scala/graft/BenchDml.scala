@@ -272,7 +272,8 @@ object BenchDml {
       val err = new java.io.ByteArrayOutputStream()
       val errReader = new Thread(() => proc.getErrorStream.transferTo(err))
       reader.start(); errReader.start()
-      if (!proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
+      val timeoutS = sys.env.getOrElse("SPARK_GRAFT_ORACLE_TIMEOUT", "300").toLong
+      if (!proc.waitFor(timeoutS, java.util.concurrent.TimeUnit.SECONDS)) {
         proc.destroyForcibly(); return None
       }
       reader.join(5000); errReader.join(5000)

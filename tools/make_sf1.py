@@ -1,18 +1,19 @@
 #!/usr/bin/env python3
-"""Generate the sf1 scale-proof dataset: 10x replication of sf0.1 with
+"""Generate scale-proof datasets: REPS-fold replication of sf0.1 with
 consistent key shifts (driver-side tooling — pyarrow preserves physical
 types, including the NANOS events timestamps). Usage:
-    python3 tools/make_sf1.py [src=/root/testdata/sf0.1] [dst=/tmp/sf1]
+    python3 tools/make_sf1.py [src=/root/testdata/sf0.1] [dst=/tmp/sf1] [reps=10]
+    python3 tools/make_sf1.py /root/testdata/sf0.1 /tmp/sf10 100   # sf10
 Joined keys shift together (orders.o_orderkey with lineitem.l_orderkey);
 dimension tables stay unreplicated, so join fan-outs scale like the facts.
-BENCH_sf1.json was recorded against this dataset."""
+BENCH_sf1.json / BENCH_sf10.json were recorded against these datasets."""
 import sys, os
 import pyarrow as pa, pyarrow.parquet as pq, pyarrow.compute as pc
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 os.makedirs(dst, exist_ok=True)
-REPS = 10
 shifts = {
     "orders":     {"o_orderkey": 10_000_000},
     "lineitem":   {"l_orderkey": 10_000_000},
