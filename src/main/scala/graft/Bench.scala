@@ -257,9 +257,15 @@ object Bench {
 
     val dmlSamples = dmlOut.toSeq.flatMap(_.mins.map(s =>
       s.name -> ExecSample(s.sec, s.startMs, s.startMs, s.endMs)))
-    val samples = headline.map(q => q.name -> passes.map(_(q.name)).minBy(_.sec)) ++
-      dmlSamples
-    val results = samples.map { case (n, s) => n -> s.sec }
+    val readSamples = headline.map(q => q.name -> passes.map(_(q.name)).minBy(_.sec))
+    val samples = readSamples ++ dmlSamples
+    // `total` / `spark_oracle_ratio*` cover the READ queries only, so
+    // the headline stays comparable across rounds whether or not the
+    // DML bench ran (ADVICE r11); DML wall-time is emitted under its own
+    // dml_total_sec / dml_oracle_sec / dml_ratio keys below.
+    val readResults = readSamples.map { case (n, s) => n -> s.sec }
+    val dmlResults = dmlSamples.map { case (n, s) => n -> s.sec }
+    val results = readResults ++ dmlResults
     // 4-decimal (0.1 ms) rendering everywhere: the driver recovers the
     // metric from a bounded tail of stdout, so the final line must stay
     // SHORT — full-precision doubles (19 chars each) pushed the line past
@@ -268,7 +274,7 @@ object Bench {
     def f4(v: Double): String = f"$v%.4f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = readResults.map(_._2).sum
     val passJson = totals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val oracleAfter = oracleTimes(sfDir, cpus)
     val oracleDml = dmlOut.map(_.oracle).getOrElse(Map.empty[String, Double])
@@ -280,9 +286,14 @@ object Bench {
     }).map(_ ++ oracleDml).orElse(if (oracleDml.nonEmpty) Some(oracleDml) else None)
     val oracleJson = oracleMerged match {
       case Some(perQuery) =>
-        val oTotal = perQuery.values.sum
-        val sparkOracleable = results.collect {
-          case (n, v) if perQuery.contains(n) => v }.sum
+        // ratio fields compare READ queries only (historical headline);
+        // the DML side gets its own dml_* keys so cross-round
+        // comparisons never silently shift with SPARK_GRAFT_DML
+        val readNames = readResults.map(_._1).toSet
+        val perRead = perQuery.filter { case (k, _) => readNames.contains(k) }
+        val oTotal = perRead.values.sum
+        val sparkOracleable = readResults.collect {
+          case (n, v) if perRead.contains(n) => v }.sum
         val oq = perQuery.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")
         // the LSH baseline is the same banded plan but with a far worse
@@ -291,15 +302,26 @@ object Bench {
         // report the ratio with it excluded alongside the headline
         val exLsh = "dedup_minhash_lsh"
         val ratioExLsh = {
-          val o = perQuery.filterNot(_._1 == exLsh).values.sum
-          val sp = results.collect {
-            case (n, v) if perQuery.contains(n) && n != exLsh => v }.sum
+          val o = perRead.filterNot(_._1 == exLsh).values.sum
+          val sp = readResults.collect {
+            case (n, v) if perRead.contains(n) && n != exLsh => v }.sum
           if (o > 0) f""","spark_oracle_ratio_ex_lsh":${sp / o}%.2f""" else ""
+        }
+        val dmlJson = {
+          val dTotal = dmlResults.map(_._2).sum
+          val dOracle = dmlResults.collect {
+            case (n, _) if perQuery.contains(n) => perQuery(n) }.sum
+          if (dmlResults.isEmpty) ""
+          else f""","dml_total_sec":$dTotal%.4f""" +
+            (if (dOracle > 0) f""","dml_oracle_sec":$dOracle%.4f,"dml_ratio":${dTotal / dOracle}%.2f"""
+             else "")
         }
         f""","oracle_queries":$oq,"oracle_total_sec":$oTotal%.4f""" +
           f""","spark_oracleable_sec":$sparkOracleable%.4f""" +
-          f""","spark_oracle_ratio":${sparkOracleable / oTotal}%.2f""" + ratioExLsh
-      case None => ""
+          f""","spark_oracle_ratio":${sparkOracleable / oTotal}%.2f""" + ratioExLsh + dmlJson
+      case None =>
+        if (dmlResults.isEmpty) ""
+        else f""","dml_total_sec":${dmlResults.map(_._2).sum}%.4f"""
     }
     // drain the async listener bus, then decompose each query's MIN run:
     // events were stamped at source, so windowing by [start, end] of the

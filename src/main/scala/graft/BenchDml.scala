@@ -172,8 +172,14 @@ object BenchDml {
         val t = freshClone(base)
         val t0 = System.currentTimeMillis()
         val n0 = System.nanoTime()
+        // A failed exec must ABORT the bench, not record the partial
+        // elapsed time: an early abort yields an artificially small
+        // sample and minBy(_.sec) would report that bogus-fast number
+        // as the scenario's headline result (ADVICE r11, medium).
         try exec(t)
-        catch { case NonFatal(e) => System.err.println(s"[bench-dml] $name failed: $e") }
+        catch { case NonFatal(e) =>
+          throw new IllegalStateException(s"[bench-dml] timed pass of $name failed — " +
+            "aborting so no bogus-fast sample is recorded", e) }
         val sec = (System.nanoTime() - n0) / 1e9
         DmlSample(name, sec, t0, t0 + math.ceil(sec * 1000).toLong)
       }

@@ -160,13 +160,18 @@ final class S3HttpObjectStore(
   private def sendBytes(req: HttpRequest): HttpResponse[Array[Byte]] =
     http.send(req, HttpResponse.BodyHandlers.ofByteArray())
 
-  /** Bounded retry for idempotent calls only. */
+  /** Bounded retry for idempotent calls only. A 404 is a DEFINITIVE
+    * answer, not a transient fault: FileNotFoundException propagates
+    * immediately (it extends IOException, so without the earlier case a
+    * missing object would cost 3 HTTP calls + ~300ms backoff and could
+    * even return data on a late retry after first observing 404). */
   private def withRetry[T](attempts: Int = 3)(f: => T): T = {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
       try return f
       catch {
+        case e: java.io.FileNotFoundException => throw e
         case e: RetryableStatus => last = e
         case e: java.io.IOException => last = e
       }
@@ -182,15 +187,31 @@ final class S3HttpObjectStore(
 
   override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
     val path = objectPath(key)
-    val resp = sendBytes(request("PUT", path, Nil, bytes,
-      Seq("if-none-match" -> "*")))
-    resp.statusCode() match {
-      case s if s >= 200 && s < 300 => true
-      // 412 PreconditionFailed is the spec answer; MinIO historically
-      // answered 409 on racing conditional writes — both mean "exists"
-      case 412 | 409 => false
-      case s => throw new java.io.IOException(s"S3 conditional PUT failed: $s for $path")
+    // 412 PreconditionFailed = the object definitively exists (lost the
+    // race). 409 ConditionalRequestConflict means a concurrent operation
+    // is IN FLIGHT — the object may NOT exist yet, and AWS's documented
+    // action is to retry the request; treating it as "exists" could
+    // misreport a CAS as lost when no commit landed (ADVICE r11). Retry
+    // the conditional PUT a bounded number of times on 409, then resolve
+    // the residual ambiguity with a HEAD existence check.
+    var attempt = 0
+    while (true) {
+      val resp = sendBytes(request("PUT", path, Nil, bytes,
+        Seq("if-none-match" -> "*")))
+      resp.statusCode() match {
+        case s if s >= 200 && s < 300 => return true
+        case 412 => return false
+        case 409 if attempt < 3 =>
+          attempt += 1
+          Thread.sleep(25L << attempt)
+        case 409 =>
+          if (exists(key)) return false
+          throw new java.io.IOException(
+            s"S3 conditional PUT still conflicted (409) after retries and object absent: $path")
+        case s => throw new java.io.IOException(s"S3 conditional PUT failed: $s for $path")
+      }
     }
+    false // unreachable
   }
 
   override def put(key: String, bytes: Array[Byte]): Unit = {
@@ -264,12 +285,30 @@ final class S3HttpObjectStore(
     (keys, next)
   }
 
+  /** Existence by HEAD STATUS (200 vs 404), never by the Last-Modified
+    * value — an object whose HEAD response lacks that header still
+    * exists (ADVICE r11). */
+  private def exists(key: String): Boolean = withRetry() {
+    val path = objectPath(key)
+    val resp = sendBytes(request("HEAD", path, Nil, Array.emptyByteArray, Nil))
+    resp.statusCode() match {
+      case 200 => true
+      case 404 => false
+      case s => failOn5xx(s, path)
+        throw new java.io.IOException(s"S3 HEAD failed: $s for $path")
+    }
+  }
+
   override def delete(key: String): Boolean = {
     val path = objectPath(key)
     // S3 DELETE is idempotent (204 for hit and miss alike); HEAD first
     // to honor the trait's "did it exist" contract — delete is off the
-    // hot path (vacuum/maintenance), two RPCs are fine
-    val existed = lastModified(key) > 0
+    // hot path (vacuum/maintenance), two RPCs are fine. The HEAD-then-
+    // DELETE pair is racy by nature (two concurrent deleters can both
+    // observe existed=true); that is benign on the maintenance path —
+    // the object ends deleted either way and nothing consumes `existed`
+    // transactionally.
+    val existed = exists(key)
     val resp = sendBytes(request("DELETE", path, Nil, Array.emptyByteArray, Nil))
     val s = resp.statusCode()
     if (s != 204 && s != 200 && s != 404)
