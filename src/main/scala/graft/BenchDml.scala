@@ -19,6 +19,11 @@ import scala.util.control.NonFatal
   *  - `dml_scd1_merge` — changes-mode SCD1 upsert: full-outer diff vs a
   *    source batch (range-scoped updates + out-of-range inserts),
   *    touched-file minimization, single rewrite commit
+  *  - `dml_scd2_merge` — changes-mode SCD2 merge on a versioned copy of
+  *    orders (effective_start/effective_end): close the current version
+  *    of each changed key, write new versions for changes + inserts —
+  *    the reference's most complex command (commands/SCD2Merge.java,
+  *    dao/scd2_merge.xml close-and-insert flow)
   *
   * The same-run DuckDB oracle performs the SAME CoW flow the reference
   * engine drives through DuckDB SQL: probe the table's parquet data
@@ -101,6 +106,24 @@ object BenchDml {
     val baseDel = build("orders_del", "o_orderdate")
     val baseScd = build("orders_scd", "o_orderkey")
 
+    // SCD2 base: orders + open version interval (start = corpus minD,
+    // end = NULL i.e. every row current)
+    import org.apache.spark.sql.types.{StructField, TimestampNTZType}
+    val scd2Schema = org.apache.spark.sql.types.StructType(orders.schema.fields ++ Seq(
+      StructField("effective_start", TimestampNTZType),
+      StructField("effective_end", TimestampNTZType)))
+    val ordersScd2 = orders
+      .withColumn("effective_start", lit(minD).cast("timestamp_ntz"))
+      .withColumn("effective_end", lit(null).cast("timestamp_ntz"))
+    val baseScd2 = {
+      val t = catalog.createTable("orders_scd2", scd2Schema,
+        sortOrder = Seq(SortField("o_orderkey")), properties = props)
+      engine.insert(t, ordersScd2)
+      t
+    }
+    val effTs = maxD.plusDays(1).withNano(0)
+    val effS = effTs.format(fmt)
+
     var runIdx = 0
     def freshClone(base: LakeTable): LakeTable = {
       runIdx += 1
@@ -131,7 +154,11 @@ object BenchDml {
       ("dml_delete", baseDel, (t: LakeTable) => { engine.delete(t, delCond); () }),
       ("dml_scd1_merge", baseScd, (t: LakeTable) =>
         { Merge.scd1(engine, t, scd1Source(), Merge.Scd1Options(
-            keyCols = Seq("o_orderkey"), operationTypeColumn = Some("op"))); () }))
+            keyCols = Seq("o_orderkey"), operationTypeColumn = Some("op"))); () }),
+      ("dml_scd2_merge", baseScd2, (t: LakeTable) =>
+        { Merge.scd2(engine, t, scd1Source(), Merge.Scd2Options(
+            keyCols = Seq("o_orderkey"), effectiveTimestamp = effTs,
+            operationTypeColumn = Some("op"))); () }))
 
     // one untimed warmup per scenario (JIT/codegen) whose end state is
     // VALIDATED against analytically-derived expectations — a bench run
@@ -152,19 +179,33 @@ object BenchDml {
     scenarios.foreach { case (name, base, exec) =>
       val t = freshClone(base)
       exec(t)
-      val st = engine.scan(t).toDF().agg(
-        count(lit(1)), sum(col("o_totalprice")),
-        sum(when(col("o_orderpriority") === "0-REWRITTEN", 1L).otherwise(0L))).head()
-      val (cnt, price, rewritten) = (st.getLong(0), st.getDouble(1), st.getLong(2))
-      name match {
-        case "dml_update" =>
-          check(name, cnt == n && rewritten == updRange, s"cnt=$cnt/$n rewritten=$rewritten/$updRange")
-        case "dml_delete" =>
-          check(name, cnt == n - delRange, s"cnt=$cnt expected ${n - delRange}")
-        case "dml_scd1_merge" =>
-          val expPrice = sumPrice + 1.0 * scdUpd + scdInsPrice
-          check(name, cnt == n + scdIns && math.abs(price - expPrice) <= 1e-6 * math.abs(expPrice),
-            s"cnt=$cnt/${n + scdIns} price=$price/$expPrice")
+      if (name == "dml_scd2_merge") {
+        // versioned end-state: history rows retained + closed, new
+        // versions current; price checked over CURRENT rows only
+        val st = engine.scan(t).toDF().agg(
+          count(lit(1)),
+          sum(when(col("effective_end").isNull, 1L).otherwise(0L)),
+          sum(when(col("effective_end").isNull, col("o_totalprice")).otherwise(lit(0.0)))).head()
+        val (cnt, cur, curPrice) = (st.getLong(0), st.getLong(1), st.getDouble(2))
+        val expPrice = sumPrice + 1.0 * scdUpd + scdInsPrice
+        check(name, cnt == n + scdUpd + scdIns && cur == n + scdIns &&
+          math.abs(curPrice - expPrice) <= 1e-6 * math.abs(expPrice),
+          s"cnt=$cnt/${n + scdUpd + scdIns} cur=$cur/${n + scdIns} price=$curPrice/$expPrice")
+      } else {
+        val st = engine.scan(t).toDF().agg(
+          count(lit(1)), sum(col("o_totalprice")),
+          sum(when(col("o_orderpriority") === "0-REWRITTEN", 1L).otherwise(0L))).head()
+        val (cnt, price, rewritten) = (st.getLong(0), st.getDouble(1), st.getLong(2))
+        name match {
+          case "dml_update" =>
+            check(name, cnt == n && rewritten == updRange, s"cnt=$cnt/$n rewritten=$rewritten/$updRange")
+          case "dml_delete" =>
+            check(name, cnt == n - delRange, s"cnt=$cnt expected ${n - delRange}")
+          case "dml_scd1_merge" =>
+            val expPrice = sumPrice + 1.0 * scdUpd + scdInsPrice
+            check(name, cnt == n + scdIns && math.abs(price - expPrice) <= 1e-6 * math.abs(expPrice),
+              s"cnt=$cnt/${n + scdIns} price=$price/$expPrice")
+        }
       }
     }
     val timed = (1 to passes).map { _ =>
@@ -190,8 +231,9 @@ object BenchDml {
       name -> timed.flatten.filter(_.name == name).map(_.sec) }.toMap
 
     val oracle = oracleDml(sfDir, cpus,
-      Map("dml_update" -> baseUpd, "dml_delete" -> baseDel, "dml_scd1_merge" -> baseScd),
-      lo, hi, span, d1s, d2s).getOrElse(Map.empty)
+      Map("dml_update" -> baseUpd, "dml_delete" -> baseDel,
+        "dml_scd1_merge" -> baseScd, "dml_scd2_merge" -> baseScd2),
+      lo, hi, span, d1s, d2s, effS).getOrElse(Map.empty)
     DmlOut(mins, passMap, oracle)
   }
 
@@ -200,13 +242,15 @@ object BenchDml {
     * upserts), min-of-5 after one warmup, identical input files to the
     * Spark side (the base lake tables' own data files). */
   private def oracleDml(sfDir: String, cpus: String, bases: Map[String, LakeTable],
-      lo: Long, hi: Long, span: Long, d1s: String, d2s: String): Option[Map[String, Double]] = {
+      lo: Long, hi: Long, span: Long, d1s: String, d2s: String,
+      effS: String): Option[Map[String, Double]] = {
     def files(t: LakeTable): String =
       t.currentFiles().map(f => "'" + f.path + "'").mkString("[", ",", "]")
     val cols = OrdersCols.mkString(", ")
     val updFiles = files(bases("dml_update"))
     val delFiles = files(bases("dml_delete"))
     val scdFiles = files(bases("dml_scd1_merge"))
+    val scd2Files = files(bases("dml_scd2_merge"))
     val src = s"$sfDir/orders.parquet"
     val differs = OrdersCols.filterNot(_ == "o_orderkey")
       .map(c => s"t.$c IS DISTINCT FROM s.$c").mkString(" OR ")
@@ -231,6 +275,13 @@ object BenchDml {
          |  {"type":"sql","sql":${j("SELECT count(*) FROM (SELECT tk FROM diff WHERE tk IS NOT NULL AND sk IS NOT NULL GROUP BY tk HAVING count(*) > 1)")}},
          |  {"type":"probe","sql":${j("SELECT DISTINCT f FROM diff WHERE tk IS NOT NULL AND sk IS NOT NULL AND differs")}},
          |  {"type":"copy_all","sql":${j(s"COPY (SELECT $cols FROM read_parquet({touched}) WHERE o_orderkey NOT IN (SELECT tk FROM diff WHERE tk IS NOT NULL AND sk IS NOT NULL AND differs) UNION ALL SELECT $cols FROM src s WHERE s.o_orderkey IN (SELECT sk FROM diff WHERE sk IS NOT NULL AND (tk IS NULL OR differs)) ORDER BY o_orderkey) TO '{out}' (FORMAT PARQUET, COMPRESSION ZSTD)")}}
+         |]},
+         |{"name":"dml_scd2_merge","steps":[
+         |  {"type":"sql","sql":${j(s"CREATE OR REPLACE TEMP TABLE src2 AS SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority, 'U' AS op FROM read_parquet('$src') WHERE o_orderkey BETWEEN $lo AND $hi AND o_orderkey % 20 = 7 UNION ALL SELECT o_orderkey + $span, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, 'I' FROM read_parquet('$src') WHERE o_orderkey % 100 = 3")}},
+         |  {"type":"sql","sql":${j(s"CREATE OR REPLACE TEMP TABLE diff2 AS SELECT t.filename AS f, t.o_orderkey AS tk, s.o_orderkey AS sk, s.op, ($differs) AS differs FROM (SELECT * FROM read_parquet($scd2Files, filename=true) WHERE effective_end IS NULL) t FULL OUTER JOIN src2 s ON t.o_orderkey = s.o_orderkey")}},
+         |  {"type":"sql","sql":${j("SELECT count(*) FROM (SELECT tk FROM diff2 WHERE tk IS NOT NULL AND sk IS NOT NULL GROUP BY tk HAVING count(*) > 1)")}},
+         |  {"type":"probe","sql":${j("SELECT DISTINCT f FROM diff2 WHERE tk IS NOT NULL AND sk IS NOT NULL AND differs")}},
+         |  {"type":"copy_all","sql":${j(s"COPY (SELECT $cols, effective_start, CASE WHEN effective_end IS NULL AND o_orderkey IN (SELECT tk FROM diff2 WHERE tk IS NOT NULL AND sk IS NOT NULL AND differs) THEN TIMESTAMP '$effS' ELSE effective_end END AS effective_end FROM read_parquet({touched}) UNION ALL SELECT $cols, TIMESTAMP '$effS' AS effective_start, CAST(NULL AS TIMESTAMP) AS effective_end FROM src2 s WHERE s.o_orderkey IN (SELECT sk FROM diff2 WHERE sk IS NOT NULL AND (tk IS NULL OR differs)) ORDER BY o_orderkey) TO '{out}' (FORMAT PARQUET, COMPRESSION ZSTD)")}}
          |]}
          |]""".stripMargin
 

@@ -133,10 +133,8 @@ object Merge {
     val diff = t.join(s, joinCond, "full_outer").withColumn(OpCol, op)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      cardinalityCheck(diff, tPresent && sPresent, tp("_file"), tp("_pos"))
-
-      val modified = diff.filter(col(OpCol).isin("U", "D"))
-        .select(tp("_file")).distinct().collect().map(_.getString(0)).toSet
+      val modified = probeCardinalityAndModified(diff, tPresent, sPresent,
+        tp("_file"), tp("_pos"), col(OpCol).isin("U", "D"))
       val upserts = diff.filter(col(OpCol).isin("I", "U"))
         .select(schema.fieldNames.map(c => col(sp(c)).as(c)).toSeq: _*)
 
@@ -242,10 +240,8 @@ object Merge {
     val diff = t.join(s, joinCond, "full_outer").withColumn(OpCol, op)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      cardinalityCheck(diff, tPresent && sPresent, tp("_file"), tp("_pos"))
-
-      val modified = diff.filter(col(OpCol).isin("U", "D"))
-        .select(tp("_file")).distinct().collect().map(_.getString(0)).toSet
+      val modified = probeCardinalityAndModified(diff, tPresent, sPresent,
+        tp("_file"), tp("_pos"), col(OpCol).isin("U", "D"))
 
       // new versions for I/U rows: start = effTs, end = NULL, flag = true
       val newVersions0 = diff.filter(col(OpCol).isin("I", "U"))
@@ -289,8 +285,6 @@ object Merge {
     } finally diff.unpersist()
   }
 
-  /** J4: a target row matched by more than one source row is an error
-    * (reference dao/common.xml:21-30). */
   // ===================================================================
   // General MERGE (ANSI MERGE INTO shape — beyond the reference's SCD
   // builders; the SQL facade routes MERGE INTO lake.<t> here)
@@ -383,11 +377,9 @@ object Merge {
       .withColumn(OpCol, op)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      cardinalityCheck(diff, tP && sP, s"$targetAlias.$FileC", s"$targetAlias.$PosC")
-
       val actioned = col(OpCol).between(0, 99) || col(OpCol).between(200, 299)
-      val modified = diff.filter(actioned)
-        .select(col(s"$targetAlias.$FileC")).distinct().collect().map(_.getString(0)).toSet
+      val modified = probeCardinalityAndModified(diff, tP, sP,
+        s"$targetAlias.$FileC", s"$targetAlias.$PosC", actioned)
       // every target-row action (matched or by-source), tagged by op value
       val targetActions = matched.zipWithIndex.map { case (a, i) => (i, a) } ++
         notMatchedBySource.zipWithIndex.map { case (a, i) => (200 + i, a) }
@@ -525,14 +517,31 @@ object Merge {
     }.reduceLeft[Pred](And.apply)
   }
 
-  private def cardinalityCheck(diff: DataFrame, bothPresent: Column,
-      fileCol: String, posCol: String): Unit = {
-    val dup = diff.filter(bothPresent)
-      .groupBy(col(fileCol), col(posCol)).count()
-      .filter(col("count") > 1).limit(1)
-    if (!dup.isEmpty)
+  /** Fused commit probe — ONE job over the materialized diff answers
+    * both questions the previous two-job flow asked separately: the J4
+    * cardinality guard (reference dao/common.xml:21-30 — a target row
+    * matched by more than one source row aborts) and the modified-file
+    * set (the files containing actioned rows, i.e. the only files the
+    * CoW rewrite touches). The inner grouping on (_file, _pos) is the
+    * same shuffle the old cardinality check paid on its own; the outer
+    * per-file rollup replaces the old second job's distinct. The collect
+    * returns one row per candidate FILE — metadata-bounded, like every
+    * driver collect on this path. */
+  private def probeCardinalityAndModified(diff: DataFrame, tPresent: Column,
+      sPresent: Column, fileCol: String, posCol: String,
+      modifiedCond: Column): Set[String] = {
+    val rows = diff.filter(tPresent)
+      .groupBy(col(fileCol), col(posCol))
+      .agg(
+        sum(when(sPresent, 1L).otherwise(0L)).as("__matches"),
+        max(when(modifiedCond, 1).otherwise(0)).as("__mod"))
+      .groupBy(col(fileCol))
+      .agg(max(col("__matches")).as("__max_matches"), max(col("__mod")).as("__any_mod"))
+      .collect()
+    if (rows.exists(_.getLong(1) > 1))
       throw new MergeCardinalityException(
         "merge source matches a target row more than once; " +
           "deduplicate the source on the merge keys")
+    rows.filter(_.getInt(2) == 1).map(_.getString(0)).toSet
   }
 }

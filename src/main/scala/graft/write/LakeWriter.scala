@@ -114,15 +114,22 @@ object LakeWriter extends Serializable {
     * a handful of listing RPCs, not one per file), then footer reads fan
     * out as a Spark job: at 10^5–10^6 files a commit parallelizes footer
     * IO across executors instead of serializing on the driver, which
-    * receives only the bounded FileEntry rows. A second, column-pruned
-    * scan computes per-file NaN counts for float/double columns (Iceberg
-    * nanValueCounts — parquet footers don't carry them; reference
-    * BaseDataFileWriter.java:353-484 collects them inline in its writer,
-    * which Spark's parquet sink doesn't expose). */
+    * receives only the bounded FileEntry rows. Per-file NaN counts for
+    * float/double columns (Iceberg nanValueCounts — parquet footers
+    * don't carry them) are counted INSIDE the same task through the same
+    * `ParquetFileReader` open, reading only those columns' pages via a
+    * projected requested-schema — one read-back job per commit instead
+    * of the two this used to take (reference
+    * BaseDataFileWriter.java:353-484 collects these inline in its
+    * writer, which Spark's parquet sink doesn't expose; the fused
+    * harvest is the closest a post-hoc pass can get). */
   def harvest(spark: SparkSession, table: LakeTable, staging: Path): Seq[FileEntry] = {
     val schema = table.schema
     val idByName = schema.fields.map(f => f.name -> FieldIds.of(f)).toMap
     val typeByName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val floatColNames = schema.fields.collect {
+      case f if f.dataType == FloatType || f.dataType == DoubleType => f.name
+    }
     val spec = table.metadata.partitionSpec
     val schemaId = table.metadata.currentSchemaId
     val specId = table.metadata.currentSpecId
@@ -184,53 +191,82 @@ object LakeWriter extends Serializable {
               }
             }
           }
+          val nanCounts = countNans(reader, floatColNames)
           val stats = statsByCol.flatMap { case (name, (mn, mx, nc)) =>
-            idByName.get(name).filter(_ > 0).map(id => id.toString -> ColumnStats(mn, mx, nc))
+            idByName.get(name).filter(_ > 0).map(id =>
+              id.toString -> ColumnStats(mn, mx, nc, nanCount = nanCounts.get(name)))
           }.toMap
           FileEntry(pathStr, partition, rowCount, len, schemaId, stats, specId)
         } finally reader.close()
       }
     }.collect().toSeq.sortBy(_.path)
-
-    withNanCounts(spark, schema, idByName, staging.toString, entries)
+    entries
   }
 
-  /** Per-file NaN counts for float/double columns: one aggregate job that
-    * reads ONLY those columns (column-pruned; skipped entirely when the
-    * schema has none). Attached to existing footer stats entries only —
-    * a column with no footer stats stays fully conservative. */
-  private def withNanCounts(
-      spark: SparkSession, schema: StructType, idByName: Map[String, Int],
-      stagingStr: String, entries: Seq[FileEntry]): Seq[FileEntry] = {
-    val floatFields = schema.fields.filter(
-      f => f.dataType == FloatType || f.dataType == DoubleType)
-    if (floatFields.isEmpty) return entries
-    val aggs = floatFields.map(f =>
-      sum(when(isnan(col(f.name)), 1L).otherwise(0L)).as(f.name))
-    val rows = spark.read
-      .schema(StructType(floatFields.map(f => StructField(f.name, f.dataType)).toSeq))
-      .option("recursiveFileLookup", "true") // no partition inference: leaf files only
-      .parquet(stagingStr)
-      .select(regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("__path")
-        +: floatFields.map(f => col(f.name)).toSeq: _*)
-      .groupBy("__path").agg(aggs.head, aggs.tail.toSeq: _*)
-      .collect()
-    val nanByFile: Map[String, Map[String, Long]] = rows.map { r =>
-      r.getString(0) ->
-        floatFields.indices.map(i => floatFields(i).name -> r.getLong(i + 1)).toMap
-    }.toMap
-    val nanIdByFile = nanByFile.view.mapValues(_.flatMap { case (n, cnt) =>
-      idByName.get(n).filter(_ > 0).map(id => id.toString -> cnt)
-    }).toMap
-    entries.map { e =>
-      nanIdByFile.get(e.path) match {
-        case None => e
-        case Some(byId) => e.copy(stats = e.stats.map { case (k, cs) =>
-          k -> byId.get(k).map(c => cs.copy(nanCount = Some(c))).getOrElse(cs)
-        })
+  /** Dummy record assembly for [[ColumnReadStoreImpl]] — values are read
+    * directly off the [[org.apache.parquet.column.ColumnReader]], never
+    * materialized through converters. */
+  private class NanGroupConverter extends org.apache.parquet.io.api.GroupConverter {
+    override def getConverter(fieldIndex: Int): org.apache.parquet.io.api.Converter =
+      new org.apache.parquet.io.api.PrimitiveConverter {}
+    override def start(): Unit = ()
+    override def end(): Unit = ()
+  }
+
+  /** NaN counts per top-level float/double column, read through an
+    * ALREADY-OPEN footer reader: `setRequestedSchema` restricts row-group
+    * reads to just those columns' pages, then a definition-level walk
+    * counts NaNs (top-level primitives: one value slot per row). Runs
+    * inside the distributed harvest task, so a commit makes exactly one
+    * pass over its new files. The per-value loop is slower per byte than
+    * Spark's vectorized reader, but it replaces an entire extra job +
+    * second file open + shuffle, and it touches only the float/double
+    * pages — a net win at every scale measured (and skipped entirely for
+    * schemas with no float/double columns). */
+  private def countNans(
+      reader: ParquetFileReader, floatColNames: Array[String]): Map[String, Long] = {
+    if (floatColNames.isEmpty) return Map.empty
+    val fileSchema = reader.getFooter.getFileMetaData.getSchema
+    val present = floatColNames.filter(fileSchema.containsField)
+    if (present.isEmpty) return Map.empty
+    val fieldTypes: java.util.List[org.apache.parquet.schema.Type] =
+      present.map(n => fileSchema.getType(Array(n): _*)).toList.asJava
+    val projected = new org.apache.parquet.schema.MessageType(
+      "graft_nan_projection", fieldTypes)
+    reader.setRequestedSchema(projected)
+    val createdBy = reader.getFooter.getFileMetaData.getCreatedBy
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    present.foreach(counts(_) = 0L)
+    var pages = reader.readNextRowGroup()
+    while (pages != null) {
+      val crs = new org.apache.parquet.column.impl.ColumnReadStoreImpl(
+        pages, new NanGroupConverter, projected, createdBy)
+      projected.getColumns.asScala.foreach { cd =>
+        val name = cd.getPath()(0)
+        val isDouble = cd.getPrimitiveType.getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE
+        val cr = crs.getColumnReader(cd)
+        val maxDef = cd.getMaxDefinitionLevel
+        val rows = pages.getRowCount
+        var i = 0L
+        var c = counts(name)
+        while (i < rows) {
+          if (cr.getCurrentDefinitionLevel == maxDef) {
+            val isNaN =
+              if (isDouble) java.lang.Double.isNaN(cr.getDouble)
+              else java.lang.Float.isNaN(cr.getFloat)
+            if (isNaN) c += 1
+          }
+          cr.consume()
+          i += 1
+        }
+        counts(name) = c
       }
+      pages = reader.readNextRowGroup()
     }
+    counts.toMap
   }
+
 
   private def plainPath(s: String): String = s.replaceFirst("^file:/+", "/")
 

@@ -6,7 +6,7 @@ types, including the NANOS events timestamps). Usage:
     python3 tools/make_sf1.py /root/testdata/sf0.1 /tmp/sf10 100   # sf10
 Joined keys shift together (orders.o_orderkey with lineitem.l_orderkey);
 dimension tables stay unreplicated, so join fan-outs scale like the facts.
-BENCH_sf1.json / BENCH_sf10.json were recorded against these datasets."""
+BENCH_sf1.json was recorded against the reps=10 dataset."""
 import sys, os
 import pyarrow as pa, pyarrow.parquet as pq, pyarrow.compute as pc
 
