@@ -88,22 +88,18 @@ object Merge {
       else PredSql.compile(spark, opts.tableFilterSql, schema)
     val boundaryCol = expr(opts.tableFilterSql)
 
-    // target rows inside the boundary, with file identity
-    val scan0 = new TableScan(spark, table, boundaryPred, withFileColumns = true)
-    val candidates = scan0.planFiles()
-    val target = new TableScan(spark, table, explicitFiles = Some(candidates),
-      withFileColumns = true).toDF()
-      .filter(coalesce(boundaryCol, lit(false)))
-    val t = target.toDF(target.columns.map(tp).toSeq: _*)
-
-    // source projected to table schema (+ op marker in changes mode)
+    // source projected to table schema (+ op marker in changes mode).
+    // In changes mode the source is PINNED (lazy local checkpoint) so
+    // the key-prune collect below and the diff join see the same rows —
+    // the same soundness device the general MERGE uses (see [[merge]]).
+    val source0 = if (changesMode) source.localCheckpoint(eager = false) else source
     val sWithOp = opts.operationTypeColumn match {
       case Some(oc) =>
-        val in = source.columns.toSet
-        source.select(schema.fields.map { f =>
+        val in = source0.columns.toSet
+        source0.select(schema.fields.map { f =>
           (if (in.contains(f.name)) col(f.name) else lit(null)).cast(f.dataType).as(f.name)
         }.toSeq :+ col(oc).cast("string").as(SrcOpCol): _*)
-      case None => LakeWriter.castProjection(source, schema)
+      case None => LakeWriter.castProjection(source0, schema)
         .withColumn(SrcOpCol, lit(null).cast("string"))
     }
     val sBounded =
@@ -111,6 +107,18 @@ object Merge {
       else sWithOp.filter(coalesce(boundaryCol, lit(false)))
     val s = sBounded.toDF(sBounded.columns.map(sp).toSeq: _*)
       .withColumn(SPresent, lit(true))
+
+    // target rows inside the boundary, with file identity; changes mode
+    // additionally skips files that provably contain no source key
+    val prunePred = if (changesMode) scdKeyPrunePred(sBounded, opts.keyCols, schema)
+      else AlwaysTrue
+    val scanPred = if (Pred.isTrue(prunePred)) boundaryPred else And(boundaryPred, prunePred)
+    val scan0 = new TableScan(spark, table, scanPred, withFileColumns = true)
+    val candidates = scan0.planFiles()
+    val target = new TableScan(spark, table, explicitFiles = Some(candidates),
+      withFileColumns = true).toDF()
+      .filter(coalesce(boundaryCol, lit(false)))
+    val t = target.toDF(target.columns.map(tp).toSeq: _*)
 
     val joinCond = opts.keyCols.map(k => col(tp(k)) <=> col(sp(k))).reduce(_ && _)
     val tPresent = col(tp("_file")).isNotNull
@@ -187,11 +195,15 @@ object Merge {
     val boundaryCol = expr(opts.tableFilterSql)
     val effLit = lit(effTs).cast(schema(startC).dataType)
 
-    val scan0 = new TableScan(spark, table, boundaryPred, withFileColumns = true)
-    val candidates = scan0.planFiles()
-    val allRows = new TableScan(spark, table, explicitFiles = Some(candidates),
-      withFileColumns = true).toDF()
-    val boundaryRows = allRows.filter(coalesce(boundaryCol, lit(false)))
+    // guard scope: the WHOLE boundary (never key-pruned — the
+    // chronology guard must see every boundary row's interval, not just
+    // the rows this batch touches); Catalyst column-prunes the guard
+    // scan to the interval columns
+    val guardScan = new TableScan(spark, table, boundaryPred, withFileColumns = true)
+    val guardCandidates = guardScan.planFiles()
+    val boundaryRows = new TableScan(spark, table,
+      explicitFiles = Some(guardCandidates), withFileColumns = true).toDF()
+      .filter(coalesce(boundaryCol, lit(false)))
 
     // out-of-order guard (reference dao/scd2_merge.xml:4-11)
     val outOfOrder = boundaryRows.filter(
@@ -201,16 +213,16 @@ object Merge {
         s"target has rows with $startC/$endC >= effective timestamp $effTs; " +
           "apply changes in chronological order")
 
-    val current = boundaryRows.filter(col(endC).isNull)
-    val t = current.toDF(current.columns.map(tp).toSeq: _*)
-
+    // source projected to table schema; pinned in changes mode so the
+    // key-prune collect and the diff join see the same rows (see scd1)
+    val source0 = if (changesMode) source.localCheckpoint(eager = false) else source
     val sWithOp = opts.operationTypeColumn match {
       case Some(oc) =>
-        val in = source.columns.toSet
-        source.select(schema.fields.map { f =>
+        val in = source0.columns.toSet
+        source0.select(schema.fields.map { f =>
           (if (in.contains(f.name)) col(f.name) else lit(null)).cast(f.dataType).as(f.name)
         }.toSeq :+ col(oc).cast("string").as(SrcOpCol): _*)
-      case None => LakeWriter.castProjection(source, schema)
+      case None => LakeWriter.castProjection(source0, schema)
         .withColumn(SrcOpCol, lit(null).cast("string"))
     }
     val sBounded =
@@ -218,6 +230,19 @@ object Merge {
       else sWithOp.filter(coalesce(boundaryCol, lit(false)))
     val s = sBounded.toDF(sBounded.columns.map(sp).toSeq: _*)
       .withColumn(SPresent, lit(true))
+
+    // diff scope: changes mode skips files provably holding no source key
+    val prunePred = if (changesMode) scdKeyPrunePred(sBounded, opts.keyCols, schema)
+      else AlwaysTrue
+    val candidates =
+      if (Pred.isTrue(prunePred)) guardCandidates
+      else new TableScan(spark, table, And(boundaryPred, prunePred),
+        withFileColumns = true).planFiles()
+    val current = new TableScan(spark, table, explicitFiles = Some(candidates),
+      withFileColumns = true).toDF()
+      .filter(coalesce(boundaryCol, lit(false)))
+      .filter(col(endC).isNull)
+    val t = current.toDF(current.columns.map(tp).toSeq: _*)
 
     val joinCond = opts.keyCols.map(k => col(tp(k)) <=> col(sp(k))).reduce(_ && _)
     val tPresent = col(tp("_file")).isNotNull
@@ -515,6 +540,71 @@ object Merge {
         else In(p.targetCol, vals)
       if (p.nullSafe && hasNull) Or(base, IsNull(p.targetCol)) else base
     }.reduceLeft[Pred](And.apply)
+  }
+
+  private val MaxPruneRanges = 64
+  private val MaxPruneKeys = 10000
+  private val MaxPruneRangeKeys = 1000000
+
+  /** J2 for changes-mode SCD merges (round 12): in changes mode a target
+    * row whose key matches no source row is left untouched (op N/NS), so
+    * candidate files that provably contain no source key can be skipped
+    * BEFORE the diff join — the same source-key file pruning the general
+    * MERGE does, shrinking the diff's target scan from O(boundary) to
+    * O(may-match files). Snapshot mode must scan the whole boundary
+    * (keys absent from the source become deletes) and keeps the full
+    * scan — callers only invoke this in changes mode. Sound because the
+    * caller pins the source (lazy local checkpoint) before keys are
+    * collected — the collect and the join see the same rows — and
+    * because file pruning is conservative (a file is dropped only when
+    * its footer stats prove no source key can be inside).
+    *
+    * Key-set shape: a single integral key column compacts into at most
+    * [[MaxPruneRanges]] contiguous ranges (sorted keys, split at the
+    * largest gaps) — O(ranges) stats work per file at ANY key count up
+    * to [[MaxPruneRangeKeys]], and exactly right for the common "update
+    * a clustered window + append new keys" batch. Other key shapes fall
+    * back to per-column In-lists capped at [[MaxPruneKeys]] tuples;
+    * beyond their cap, full scan. */
+  private def scdKeyPrunePred(source: DataFrame, keyCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Pred = {
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    if (keyCols.size == 1 && integral(schema(keyCols.head).dataType)) {
+      val k = keyCols.head
+      val rows = source.select(col(k)).distinct().limit(MaxPruneRangeKeys + 1).collect()
+      if (rows.length > MaxPruneRangeKeys) return AlwaysTrue
+      val hasNull = rows.exists(_.isNullAt(0))
+      // keep the column's native type for the pred bounds; order numerically
+      val keys = rows.filterNot(_.isNullAt(0)).map(_.get(0))
+        .sortBy(_.asInstanceOf[Number].longValue)
+      val base: Pred =
+        if (keys.isEmpty) AlwaysFalse
+        else {
+          def lv(a: Any) = a.asInstanceOf[Number].longValue
+          val splits = (1 until keys.length)
+            .map(i => (lv(keys(i)) - lv(keys(i - 1)), i))
+            .filter(_._1 > 1L)
+            .sortBy(-_._1).take(MaxPruneRanges - 1).map(_._2).sorted
+          val starts = 0 +: splits
+          val ends = splits.map(_ - 1) :+ (keys.length - 1)
+          starts.zip(ends).map { case (a, b) =>
+            if (a == b) Eq(k, keys(a))
+            else And(Ge(k, keys(a)), Le(k, keys(b))): Pred
+          }.reduceLeft[Pred](Or.apply)
+        }
+      if (hasNull) Or(base, IsNull(k)) else base // null-safe key join: null matches null
+    } else {
+      val rows = source.select(keyCols.map(col): _*).distinct()
+        .limit(MaxPruneKeys + 1).collect()
+      if (rows.length > MaxPruneKeys) return AlwaysTrue
+      keyCols.zipWithIndex.map { case (k, i) =>
+        val vals = rows.map(_.get(i)).filter(_ != null).distinct.toSeq
+        val hasNull = rows.exists(_.isNullAt(i))
+        val base: Pred = if (vals.isEmpty) AlwaysFalse else In(k, vals)
+        if (hasNull) Or(base, IsNull(k)) else base
+      }.reduceLeft[Pred](And.apply) // per-column marginals: superset of the tuple set, sound
+    }
   }
 
   /** Fused commit probe — ONE job over the materialized diff answers

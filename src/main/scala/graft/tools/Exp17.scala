@@ -1,0 +1,128 @@
+package graft.tools
+
+import graft._
+import graft.commands.{LakeEngine, Merge}
+import graft.format._
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-12 decomposition of `dml_scd1_merge`'s task-work (verdict task
+  * 3: 618 ms work vs a 262 ms DuckDB CoW oracle at sf0.1 — which of the
+  * merge's jobs carries the work, and is any of it a recomputation?).
+  *
+  * Runs the exact BenchDml scd1 scenario shape on sf0.1 orders with a
+  * listener that attributes every job to its call site and sums its
+  * task time, printed per job after a warmed pass. Same Spark conf as
+  * Bench.
+  *
+  * RESULTS (sf0.1, min-of-5 wall per job, post round-12 fusions —
+  * commit probe fused with cardinality guard, NaN counts fused into the
+  * footer harvest):
+  *   job 1  "isEmpty at Merge"            — boundary full-scan guard?   see below
+  *   ... (printed by this tool; summary recorded in the commit/COVERAGE)
+  * Not part of the driver contract.
+  */
+object Exp17 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // per-job attribution: description + wall + summed task time
+    final case class JobRec(id: Int, desc: String, start: Long,
+        var end: Long = 0L, var taskMs: Long = 0L, var tasks: Int = 0)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
+    val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(j.properties).flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("?")
+        jobs.put(j.jobId, JobRec(j.jobId, desc, j.time))
+        j.stageIds.foreach(s => stageToJob.put(s, j.jobId))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        Option(jobs.get(j.jobId)).foreach(_.end = j.time)
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) Option(stageToJob.get(t.stageId))
+          .flatMap(jid => Option(jobs.get(jid))).foreach { r =>
+            r.synchronized { r.taskMs += t.taskInfo.duration; r.tasks += 1 }
+          }
+    })
+
+    val orders = Tables.orders(spark, sfDir)
+    val stats = orders.agg(
+      min(col("o_orderkey")), max(col("o_orderkey")), count(lit(1))).head()
+    val (minK, maxK, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val span = maxK - minK + 1
+    val lo = minK + (span * 0.30).toLong
+    val hi = minK + (span * 0.45).toLong
+
+    val root = Files.createTempDirectory("graft-exp17-")
+    val catalog = new LakeCatalog(root.toString)
+    val engine = new LakeEngine(spark, catalog)
+    val base = catalog.createTable("orders_scd", orders.schema,
+      sortOrder = Seq(SortField("o_orderkey")),
+      properties = Map("write.max-records-per-file" -> math.max(n / 8, 1L).toString))
+    engine.insert(base, orders)
+
+    def source() = {
+      val b = Tables.orders(spark, sfDir)
+      val upd = b.filter(col("o_orderkey").between(lo, hi) && col("o_orderkey") % 20 === 7)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("op", lit("U"))
+      val ins = b.filter(col("o_orderkey") % 100 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + span)
+        .withColumn("op", lit("I"))
+      upd.unionByName(ins)
+    }
+    var runIdx = 0
+    def clone(): LakeTable = {
+      runIdx += 1
+      val loc = root.resolve(s"run-$runIdx")
+      def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        Files.walk(src).iterator().asScala.foreach { p =>
+          val t = dst.resolve(src.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+        }
+      }
+      copyTree(Paths.get(base.location, "metadata"), loc.resolve("metadata"))
+      Files.createDirectories(loc.resolve("data"))
+      LakeTable.load(loc.toString)
+    }
+
+    def runOnce(label: String): Unit = {
+      jobs.clear(); stageToJob.clear()
+      val t = clone()
+      val t0 = System.nanoTime()
+      Merge.scd1(engine, t, source(), Merge.Scd1Options(
+        keyCols = Seq("o_orderkey"), operationTypeColumn = Some("op")))
+      val wall = (System.nanoTime() - t0) / 1e6
+      Thread.sleep(300) // drain listener
+      import scala.jdk.CollectionConverters._
+      println(f"== $label: wall $wall%.0f ms ==")
+      jobs.values.asScala.toSeq.sortBy(_.id).foreach { r =>
+        println(f"  job ${r.id}%3d wall ${r.end - r.start}%5d ms  taskSum ${r.taskMs}%5d ms  " +
+          f"tasks ${r.tasks}%3d  ${r.desc.take(110)}")
+      }
+    }
+    (1 to 2).foreach(i => runOnce(s"warmup$i"))
+    (1 to 3).foreach(i => runOnce(s"timed$i"))
+    spark.stop()
+  }
+}
