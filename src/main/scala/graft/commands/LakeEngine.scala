@@ -317,7 +317,8 @@ final class LakeEngine(
     val touchedEntries = candidates.filter(f => touched.contains(f.path))
     val rows = new TableScan(spark, table, explicitFiles = Some(touchedEntries)).toDF()
     val rebuilt = rebuild(rows, cond)
-    val newFiles = LakeWriter.write(spark, table, rebuilt)
+    val newFiles = LakeWriter.write(spark, table, rebuilt,
+      clusterBounds = LakeWriter.clusterBoundsOf(table, touchedEntries))
     table.commit(CommitOp.Overwrite(newFiles, touched,
       fromSnapshotId = fromSnapshot, conflictFilter = Some(pred),
       removeHints = touchedEntries))

@@ -138,7 +138,13 @@ object Merge {
           .when(sPresent, "NS") // matched, no change: keep target row untouched
           .otherwise("N")
 
+    // after op is computed the target's VALUE columns are dead — only
+    // its row identity (_file,_pos) plus the source side feed the probe,
+    // the anti-join keys and the upserts, so project them away before
+    // the diff is persisted (halves the cached width)
     val diff = t.join(s, joinCond, "full_outer").withColumn(OpCol, op)
+      .select(col(OpCol) +: col(tp("_file")) +: col(tp("_pos")) +:
+        (schema.fieldNames.map(c => col(sp(c))).toSeq :+ col(SPresent)): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val modified = probeCardinalityAndModified(diff, tPresent, sPresent,
@@ -162,7 +168,9 @@ object Merge {
             .select(schema.fieldNames.map(col).toSeq: _*))
         }
       val newData = retained.map(_.unionByName(upserts)).getOrElse(upserts)
-      val newFiles = LakeWriter.write(spark, table, newData)
+      val bounds = LakeWriter.clusterBoundsOf(
+        table, candidates.filter(f => modified.contains(f.path)))
+      val newFiles = LakeWriter.write(spark, table, newData, clusterBounds = bounds)
       table.commit(CommitOp.Overwrite(newFiles, modified,
         fromSnapshotId = fromSnapshot, conflictFilter = Some(boundaryPred),
         removeHints = candidates.filter(f => modified.contains(f.path))))
@@ -262,7 +270,11 @@ object Merge {
           .when(sPresent, "NS")
           .otherwise("N")
 
+    // same width reduction as scd1: target value columns are dead after
+    // op classification
     val diff = t.join(s, joinCond, "full_outer").withColumn(OpCol, op)
+      .select(col(OpCol) +: col(tp("_file")) +: col(tp("_pos")) +:
+        (schema.fieldNames.map(c => col(sp(c))).toSeq :+ col(SPresent)): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val modified = probeCardinalityAndModified(diff, tPresent, sPresent,
@@ -301,7 +313,9 @@ object Merge {
             }.toSeq: _*))
         }
       val newData = rebuilt.map(_.unionByName(newVersions0)).getOrElse(newVersions0)
-      val newFiles = LakeWriter.write(spark, table, newData)
+      val bounds = LakeWriter.clusterBoundsOf(
+        table, candidates.filter(f => modified.contains(f.path)))
+      val newFiles = LakeWriter.write(spark, table, newData, clusterBounds = bounds)
       // conflict filter mirrors the reference scan filter: boundary OR still-open rows
       val conflict = Or(boundaryPred, Or(IsNull(endC), Ge(endC, effTs)))
       table.commit(CommitOp.Overwrite(newFiles, modified,
@@ -451,7 +465,9 @@ object Merge {
       if (pieces.isEmpty)
         return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
       val newData = pieces.reduce(_.unionByName(_))
-      val newFiles = LakeWriter.write(spark, table, newData)
+      val bounds = LakeWriter.clusterBoundsOf(
+        table, candidates.filter(f => modified.contains(f.path)))
+      val newFiles = LakeWriter.write(spark, table, newData, clusterBounds = bounds)
       if (newFiles.isEmpty && modified.isEmpty)
         return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
       // the key-bound predicate is also the conflict scope: a concurrent
@@ -566,7 +582,7 @@ object Merge {
     * a clustered window + append new keys" batch. Other key shapes fall
     * back to per-column In-lists capped at [[MaxPruneKeys]] tuples;
     * beyond their cap, full scan. */
-  private def scdKeyPrunePred(source: DataFrame, keyCols: Seq[String],
+  private[commands] def scdKeyPrunePred(source: DataFrame, keyCols: Seq[String],
       schema: org.apache.spark.sql.types.StructType): Pred = {
     import org.apache.spark.sql.types._
     val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)

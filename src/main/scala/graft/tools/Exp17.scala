@@ -41,8 +41,10 @@ object Exp17 {
     spark.sparkContext.setLogLevel("WARN")
 
     // per-job attribution: description + wall + summed task time
-    final case class JobRec(id: Int, desc: String, start: Long,
-        var end: Long = 0L, var taskMs: Long = 0L, var tasks: Int = 0)
+    final case class JobRec(id: Int, var desc: String, start: Long,
+        var end: Long = 0L, var taskMs: Long = 0L, var tasks: Int = 0,
+        val stageNames: java.util.concurrent.ConcurrentLinkedQueue[String] =
+          new java.util.concurrent.ConcurrentLinkedQueue[String]())
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -54,6 +56,10 @@ object Exp17 {
         jobs.put(j.jobId, JobRec(j.jobId, desc, j.time))
         j.stageIds.foreach(s => stageToJob.put(s, j.jobId))
       }
+      override def onStageSubmitted(s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        Option(stageToJob.get(s.stageInfo.stageId))
+          .flatMap(jid => Option(jobs.get(jid)))
+          .foreach(_.stageNames.add(s.stageInfo.name.take(60)))
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         Option(jobs.get(j.jobId)).foreach(_.end = j.time)
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
@@ -118,7 +124,7 @@ object Exp17 {
       println(f"== $label: wall $wall%.0f ms ==")
       jobs.values.asScala.toSeq.sortBy(_.id).foreach { r =>
         println(f"  job ${r.id}%3d wall ${r.end - r.start}%5d ms  taskSum ${r.taskMs}%5d ms  " +
-          f"tasks ${r.tasks}%3d  ${r.desc.take(110)}")
+          f"tasks ${r.tasks}%3d  stages [${r.stageNames.asScala.mkString(" | ")}]")
       }
     }
     (1 to 2).foreach(i => runOnce(s"warmup$i"))

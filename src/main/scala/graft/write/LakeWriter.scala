@@ -51,7 +51,24 @@ object LakeWriter extends Serializable {
       spark.conf.set(key, "TIMESTAMP_MICROS")
   }
 
-  def write(spark: SparkSession, table: LakeTable, input: DataFrame): Seq[FileEntry] = {
+  /** @param clusterBounds stats-derived range-clustering hint for CoW
+    *   rewrites (round 12): sorted unpartitioned tables normally range-
+    *   cluster via `repartitionByRange`, whose RangePartitioner runs a
+    *   SAMPLING job that recomputes the entire rewrite pipeline (scan +
+    *   diff anti-join) a second time — measured as a full extra pass on
+    *   every UPDATE/DELETE/merge (Exp17). A rewrite already KNOWS good
+    *   bounds: the touched files' existing sort-key ranges (footer
+    *   stats carried in their FileEntry rows). Callers pass those max
+    *   bounds (canonical stats strings, [[clusterBoundsOf]]) and the
+    *   write buckets rows by explicit bound comparison + a single hash
+    *   exchange — zero sampling, same non-overlapping file ranges.
+    *   (A persist-the-input alternative was A/B'd first and REJECTED:
+    *   the columnar cache build cost more than the recompute it saved —
+    *   sample job 1.2->2.4-3.6s taskSum at sf1.) Unsupported shapes
+    *   (descending/missing sort, float/decimal keys) fall back to
+    *   sampling. */
+  def write(spark: SparkSession, table: LakeTable, input: DataFrame,
+      clusterBounds: Option[Seq[String]] = None): Seq[FileEntry] = {
     val schema = table.schema
     val spec = table.metadata.partitionSpec
     val props = table.properties
@@ -76,17 +93,29 @@ object LakeWriter extends Serializable {
       }
     }
 
+    val ClusterCol = "__graft_cluster"
+    val bucketed = clusterBounds.filter(_ => spec.isEmpty && sortExprs.nonEmpty)
+      .flatMap(bs => boundsBucketExpr(table, bs))
     val distributed = (spec.nonEmpty, sortExprs.nonEmpty) match {
       case (true, _) if props.getOrElse("write.distribution-mode", "hash") == "hash" =>
         withParts.repartition(spec.map(pf => col(partColName(pf))): _*)
-      case (false, true) => // sorted table: range-cluster so file ranges don't overlap
-        withParts.repartitionByRange(sortExprs: _*)
+      case (false, true) =>
+        bucketed match {
+          // stats-guided clustering: explicit bound buckets + one hash
+          // exchange, no sampling pass (see scaladoc)
+          case Some((bucketExpr, nBuckets)) =>
+            withParts.withColumn(ClusterCol, bucketExpr)
+              .repartition(nBuckets, col(ClusterCol))
+          case None => // sorted table: range-cluster so file ranges don't overlap
+            withParts.repartitionByRange(sortExprs: _*)
+        }
       case _ => withParts
     }
-    val sorted =
+    val sorted0 =
       if (sortExprs.isEmpty) distributed
       else if (spec.isEmpty) distributed.sortWithinPartitions(sortExprs: _*)
       else distributed.sortWithinPartitions(spec.map(pf => col(partColName(pf))) ++ sortExprs: _*)
+    val sorted = if (bucketed.isDefined) sorted0.drop(ClusterCol) else sorted0
 
     val staging = table.dataDir.resolve(s"stage-${UUID.randomUUID().toString.take(8)}")
     var w = sorted.write.mode("overwrite")
@@ -107,6 +136,97 @@ object LakeWriter extends Serializable {
     w.parquet(staging.toString)
 
     harvest(spark, table, staging)
+  }
+
+  private val MaxClusterBuckets = 64
+
+  /** Upper bounds of the FIRST sort column across a rewrite's touched
+    * files (canonical stats strings), for [[write]]'s `clusterBounds` —
+    * None when the table's sort shape can't take the hint. */
+  def clusterBoundsOf(table: LakeTable, touched: Seq[FileEntry]): Option[Seq[String]] =
+    table.metadata.sortOrder.headOption.filter(_.ascending).flatMap { sf =>
+      if (!supportedClusterType(table.schema(sf.column).dataType)) None
+      else {
+        val id = FieldIds.of(table.schema(sf.column))
+        val maxes = touched.flatMap(_.stats.get(id.toString).flatMap(_.max))
+        if (maxes.isEmpty) None else Some(maxes)
+      }
+    }
+
+  private def supportedClusterType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | StringType => true
+    case _ => false
+  }
+
+  /** Bucket-assignment expression for stats-guided clustering: rows are
+    * compared against the sorted bound list (a when-chain, ≤
+    * [[MaxClusterBuckets]] arms — larger bound lists subsample evenly)
+    * and tagged with an int LABEL chosen so Spark's hash partitioner
+    * (murmur3 seed 42, pmod n) sends bucket i to its own partition —
+    * the labels are searched driver-side for injectivity, making
+    * `repartition(n, label)` an EXACT bucket->partition map. Bucket
+    * ranges are contiguous and ordered, so each output partition (and
+    * each maxRecordsPerFile split of it, which is sequential within the
+    * partition sort) covers a non-overlapping sort-key range — the same
+    * invariant repartitionByRange gives, without its sampling job. */
+  private def boundsBucketExpr(
+      table: LakeTable, boundsCanonical: Seq[String]): Option[(Column, Int)] = {
+    val sf = table.metadata.sortOrder.head
+    val dt = table.schema(sf.column).dataType
+    if (!supportedClusterType(dt)) return None
+    // sort + dedupe canonically, subsample to the bucket cap
+    val sortedB = boundsCanonical.distinct
+      .sortWith((a, b) => graft.scan.StatsCodec.cmp(
+        graft.scan.StatsCodec.statsKey(dt, a), graft.scan.StatsCodec.statsKey(dt, b)) < 0)
+    val capped =
+      if (sortedB.size <= MaxClusterBuckets - 1) sortedB
+      else {
+        val step = sortedB.size.toDouble / (MaxClusterBuckets - 1)
+        (1 to (MaxClusterBuckets - 1)).map(i => sortedB(math.min(
+          (i * step).toInt - 1, sortedB.size - 1))).distinct
+      }
+    val lits: Seq[Column] =
+      try capped.map(canonicalLit(dt, _))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val n = lits.size + 1 // + tail bucket for rows above every bound
+    // labels: smallest non-negative ints whose murmur3(seed 42) pmod n
+    // lands each bucket in its own partition (HashPartitioning's
+    // partition-id expression for an int column)
+    val labels = new Array[Int](n)
+    val takenBy = new Array[Boolean](n)
+    var found = 0
+    var cand = 0
+    while (found < n) {
+      val p = math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(cand, 42), n)
+      if (!takenBy(p)) { takenBy(p) = true; labels(p) = cand; found += 1 }
+      cand += 1
+    }
+    // bucket i (bound order) must land in partition i -> use the label
+    // that hashes to partition i
+    val k = col(sf.column)
+    val nullLabel = if (sf.nullsFirst) labels(0) else labels(n - 1)
+    val chain = lits.zipWithIndex.foldRight(lit(labels(n - 1)): Column) {
+      case ((b, i), els) => when(k <= b, lit(labels(i))).otherwise(els)
+    }
+    Some((when(k.isNull, lit(nullLabel)).otherwise(chain), n))
+  }
+
+  /** Canonical stats string -> typed literal Column for bound compares. */
+  private def canonicalLit(dt: DataType, s: String): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType => lit(s.toLong).cast(dt)
+    case DateType => lit(java.time.LocalDate.ofEpochDay(s.toLong))
+    case TimestampType =>
+      val us = s.toLong
+      lit(java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L))
+    case TimestampNTZType =>
+      val us = s.toLong
+      lit(java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+    case StringType => lit(s)
+    case other => throw new IllegalArgumentException(s"no cluster literal for $other")
   }
 
   /** S8: footer stats harvest, distributed. One recursive listing of the

@@ -1,0 +1,92 @@
+package graft.commands
+
+import graft._
+import graft.format._
+import graft.write.LakeWriter
+import org.apache.spark.sql.functions._
+
+/** Round-12 stats-guided clustering pins: CoW rewrites on sorted tables
+  * bucket by the touched files' existing sort-key bounds (one hash
+  * exchange, no RangePartitioner sampling job) — the rewritten files
+  * must still carry NON-OVERLAPPING sort-key ranges, or future stats
+  * pruning silently degrades. */
+class ClusterBoundsSpec extends SparkSpec {
+
+  private def keyRanges(t: LakeTable, keyCol: String): Seq[(Long, Long)] = {
+    val id = FieldIds.of(t.schema(keyCol)).toString
+    t.currentFiles().flatMap { f =>
+      for (cs <- f.stats.get(id); mn <- cs.min; mx <- cs.max)
+        yield (mn.toLong, mx.toLong)
+    }
+  }
+
+  private def assertNonOverlapping(ranges: Seq[(Long, Long)]): Unit = {
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping file ranges: ..$aMax vs $bMin..")
+      case _ =>
+    }
+  }
+
+  test("update rewrite keeps non-overlapping file ranges without a sampling pass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cb1-").toString
+    val catalog = new LakeCatalog(dir)
+    val engine = new LakeEngine(spark, catalog)
+    val df = spark.range(0, 8000).select(
+      col("id").as("k"), (col("id") % 13).cast("double").as("v"))
+    val t = catalog.createTable("t", df.schema,
+      sortOrder = Seq(SortField("k")),
+      properties = Map("write.max-records-per-file" -> "2000"))
+    engine.insert(t, df)
+    assertNonOverlapping(keyRanges(t, "k"))
+    engine.update(t, "k >= 2500 AND k < 5500", Map("v" -> "-1.0"))
+    val t2 = LakeTable.load(t.location)
+    assertNonOverlapping(keyRanges(t2, "k"))
+    val out = engine.scan(t2).toDF()
+    assert(out.filter(col("v") === -1.0).count() === 3000L)
+    assert(out.count() === 8000L)
+  }
+
+  test("changes-mode scd1 with inserts beyond every bound lands them in the tail bucket, ranges stay disjoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cb2-").toString
+    val catalog = new LakeCatalog(dir)
+    val engine = new LakeEngine(spark, catalog)
+    val df = spark.range(0, 8000).select(
+      col("id").as("k"), (col("id") % 13).cast("double").as("v"))
+    val t = catalog.createTable("t", df.schema,
+      sortOrder = Seq(SortField("k")),
+      properties = Map("write.max-records-per-file" -> "2000"))
+    engine.insert(t, df)
+    val src = spark.range(3000, 3200).select(
+        col("id").as("k"), lit(77.0).as("v"), lit("U").as("op"))
+      .unionByName(spark.range(20000, 20100).select(
+        col("id").as("k"), lit(1.0).as("v"), lit("I").as("op")))
+    Merge.scd1(engine, t, src, Merge.Scd1Options(
+      keyCols = Seq("k"), operationTypeColumn = Some("op")))
+    val t2 = LakeTable.load(t.location)
+    assertNonOverlapping(keyRanges(t2, "k"))
+    val out = engine.scan(t2).toDF()
+    assert(out.count() === 8100L)
+    assert(out.filter(col("v") === 77.0).count() === 200L)
+    // pruned point lookup still hits exactly one file for an untouched key
+    val scan = new graft.scan.TableScan(spark, t2, graft.scan.Eq("k", 100L))
+    assert(scan.planFiles().size === 1)
+  }
+
+  test("clusterBoundsOf declines descending and unsupported sort shapes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cb3-").toString
+    val catalog = new LakeCatalog(dir)
+    val engine = new LakeEngine(spark, catalog)
+    val df = spark.range(0, 100).select(
+      col("id").as("k"), col("id").cast("double").as("v"))
+    val t = catalog.createTable("t", df.schema,
+      sortOrder = Seq(SortField("k", ascending = false)))
+    engine.insert(t, df)
+    assert(LakeWriter.clusterBoundsOf(t, t.currentFiles()).isEmpty)
+    val t2 = catalog.createTable("t2", df.schema,
+      sortOrder = Seq(SortField("v"))) // double: unsupported key type
+    engine.insert(t2, df)
+    assert(LakeWriter.clusterBoundsOf(t2, t2.currentFiles()).isEmpty)
+  }
+}

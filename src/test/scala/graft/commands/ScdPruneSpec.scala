@@ -1,0 +1,76 @@
+package graft.commands
+
+import graft._
+import graft.format._
+import graft.scan._
+import org.apache.spark.sql.functions._
+
+/** Round-12 J2-for-SCD pins: changes-mode merges prune candidate files
+  * by source keys (Merge.scdKeyPrunePred) — the pred compacts clustered
+  * integral keys into ranges, the stats evaluator actually drops
+  * non-overlapping files, and the end-to-end merge rewrites only the
+  * touched file while producing the right rows. */
+class ScdPruneSpec extends SparkSpec {
+
+  private def mkTable(dir: String): (LakeEngine, LakeTable) = {
+    val catalog = new LakeCatalog(dir)
+    val engine = new LakeEngine(spark, catalog)
+    val df = spark.range(0, 4000).select(
+      col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+    val t = catalog.createTable("t", df.schema,
+      sortOrder = Seq(SortField("k")),
+      properties = Map("write.max-records-per-file" -> "1000"))
+    engine.insert(t, df)
+    assert(t.currentFiles().size == 4, "expected 4 range-clustered files")
+    (engine, t)
+  }
+
+  test("scdKeyPrunePred compacts clustered keys into ranges and planFiles drops untouched files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scdprune1-").toString
+    val (_, t) = mkTable(dir)
+    // two clusters: one inside file 2's range, one beyond every file
+    val src = spark.range(1200, 1261).select(col("id").as("k"))
+      .unionByName(spark.range(10000, 10010).select(col("id").as("k")))
+    val pred = Merge.scdKeyPrunePred(src, Seq("k"), t.schema)
+    // structure: a bounded Or-tree of ranges, not an In-list
+    def countRanges(p: Pred): Int = p match {
+      case Or(l, r) => countRanges(l) + countRanges(r)
+      case And(_: Ge, _: Le) => 1
+      case _: Eq => 1
+      case other => fail(s"unexpected pred node $other")
+    }
+    assert(countRanges(pred) == 2)
+    val planned = new TableScan(spark, t, pred, withFileColumns = true).planFiles()
+    assert(planned.size == 1, s"expected 1 may-match file, got ${planned.size}")
+  }
+
+  test("changes-mode scd1 rewrites only the touched file; results correct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scdprune2-").toString
+    val (engine, t) = mkTable(dir)
+    val before = t.currentFiles().map(_.path).toSet
+    val src = spark.range(1200, 1261).select(
+        col("id").as("k"), lit(99.0).as("v"), lit("U").as("op"))
+      .unionByName(spark.range(10000, 10010).select(
+        col("id").as("k"), lit(5.0).as("v"), lit("I").as("op")))
+    Merge.scd1(engine, t, src, Merge.Scd1Options(
+      keyCols = Seq("k"), operationTypeColumn = Some("op")))
+    val t2 = LakeTable.load(t.location)
+    val after = t2.currentFiles().map(_.path).toSet
+    assert((before -- after).size == 1,
+      s"expected exactly 1 original file rewritten, got ${(before -- after).size}")
+    val out = engine.scan(t2).toDF()
+    assert(out.count() == 4010)
+    assert(out.filter(col("v") === 99.0).count() === 61L)
+    assert(out.filter(col("k") >= 10000).count() === 10L)
+  }
+
+  test("snapshot-mode scd1 keeps the full scan (absent keys become deletes)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scdprune3-").toString
+    val (engine, t) = mkTable(dir)
+    // snapshot source: only keys 0..99 -> everything else is deleted
+    val src = spark.range(0, 100).select(col("id").as("k"), lit(1.0).as("v"))
+    Merge.scd1(engine, t, src, Merge.Scd1Options(keyCols = Seq("k")))
+    val out = engine.scan(LakeTable.load(t.location)).toDF()
+    assert(out.count() === 100L)
+  }
+}
