@@ -40,7 +40,16 @@ object Bench {
     * sessions.
     */
   private def oracleTimes(sfDir: String, cpus: String): Option[(Map[String, Double], Double)] = {
-    val oracles = Registry.all.filter(q => q.bench &&
+    // SPARK_GRAFT_ORACLE_SKIP (comma list): omit specific queries from
+    // the ORACLE side only — Spark still runs and records them. Needed
+    // at sf10, where the DuckDB LSH baseline alone runs for over an
+    // hour (47 s at sf1, superlinear in bucket volume); the recorded
+    // spark_oracle_ratio then covers the remaining queries, which is
+    // the ex-LSH headline anyway. The skip list is visible in the
+    // bench evidence line for audit.
+    val skip = sys.env.getOrElse("SPARK_GRAFT_ORACLE_SKIP", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val oracles = Registry.all.filter(q => q.bench && !skip.contains(q.name) &&
       (q.benchOracleSql.isDefined || (q.benchOracle && q.oracle.isDefined)))
     if (oracles.isEmpty) return None
     try {
@@ -124,6 +133,11 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.min(cpus.toInt, 4).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // survive multi-ten-second GC pauses on large-heap scale sweeps:
+      // the default 120s heartbeat window removed the local executor
+      // mid-bench at sf10 (a removed LOCAL executor is unrecoverable)
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
       // AQE re-plans per shuffle stage — pure job-submission overhead at
       // bench scale (sub-second queries, 8 shuffle partitions already)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
@@ -236,13 +250,20 @@ object Bench {
     // min-of-5: transient load spikes (chronic on this box) must persist
     // across every pass to inflate a recorded number
     val basePasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
-    val passes = scala.collection.mutable.ArrayBuffer.fill(basePasses)(pass())
+    // explicit GC between passes (outside every timed region): plan
+    // clones leave dead RDD graphs whose checkpoint/cache blocks the
+    // ContextCleaner only releases after a JVM GC notices the RDDs are
+    // unreachable. At sf>=10 those block sets are multi-GB per pass;
+    // letting them pile up ran the 64g driver into >120s full-GC pauses
+    // that tripped the executor-heartbeat timeout mid-bench.
+    def gcPass(): Map[String, ExecSample] = { val p = pass(); System.gc(); p }
+    val passes = scala.collection.mutable.ArrayBuffer.fill(basePasses)(gcPass())
     def totals = passes.map(_.values.map(_.sec).sum)
     var extra = 0
     while (extra < 2 && (totals.max - totals.min) / totals.min > 0.30) {
       System.err.println(
         f"[bench] pass totals disagree ${(totals.max / totals.min - 1) * 100}%.0f%% — extra pass")
-      passes += pass(); extra += 1
+      passes += gcPass(); extra += 1
     }
     // DML/merge bench (round 11): CoW UPDATE/DELETE/SCD1 wall-times with
     // a same-run DuckDB CoW oracle — the write path the reference engine
@@ -359,8 +380,12 @@ object Bench {
     // ever pushing the metric line past the capture window again.
     val buildJson = buildMs.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
       .mkString("{", ",", "}")
+    val oracleSkipJson = sys.env.getOrElse("SPARK_GRAFT_ORACLE_SKIP", "")
+      .split(',').map(_.trim).filter(_.nonEmpty)
+      .map(jstr).mkString("[", ",", "]")
     val evidence = s"""{"bench_evidence":{"pass_totals":$passJson""" +
       f""","warmup_total":${warmup.values.sum}%.3f""" +
+      s""","oracle_skip":$oracleSkipJson""" +
       s""","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"extra_passes":$extra""" +
       s""","prepared":$prepared,"build_ms":$buildJson""" +
       dmlOut.map(d => s""","dml_passes":${d.passes.toSeq.sortBy(_._1)

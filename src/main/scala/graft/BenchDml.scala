@@ -230,10 +230,14 @@ object BenchDml {
     val passMap = scenarios.map { case (name, _, _) =>
       name -> timed.flatten.filter(_.name == name).map(_.sec) }.toMap
 
-    val oracle = oracleDml(sfDir, cpus,
-      Map("dml_update" -> baseUpd, "dml_delete" -> baseDel,
-        "dml_scd1_merge" -> baseScd, "dml_scd2_merge" -> baseScd2),
-      lo, hi, span, d1s, d2s, effS).getOrElse(Map.empty)
+    // SPARK_GRAFT_DML_ORACLE=false skips the DuckDB side — for A/B
+    // harnesses (tools/Exp18) that only compare Spark variants
+    val oracle =
+      if (!sys.env.getOrElse("SPARK_GRAFT_DML_ORACLE", "true").toBoolean) Map.empty[String, Double]
+      else oracleDml(sfDir, cpus,
+        Map("dml_update" -> baseUpd, "dml_delete" -> baseDel,
+          "dml_scd1_merge" -> baseScd, "dml_scd2_merge" -> baseScd2),
+        lo, hi, span, d1s, d2s, effS).getOrElse(Map.empty)
     DmlOut(mins, passMap, oracle)
   }
 

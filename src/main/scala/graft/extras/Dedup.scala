@@ -187,12 +187,19 @@ object Dedup {
 
   /** Shared exact-Jaccard verification of a candidate pair list against
     * an (id, shh) table. `broadcastPairs = false` (full dedup): the
-    * pair list joins shuffle-hash as build side — bounded hash tables
-    * at any corpus size, shingles hash-shuffled once per side.
+    * BARE pair list (16 bytes/row) joins shuffle-hash as build side for
+    * the first array attach — a bounded hash table at any corpus size —
+    * and the second attach is a SORT-MERGE join: after the first join
+    * the pair side carries `shh_a` arrays, so a hash build there is
+    * pair-count x array-size and dies at scale (measured: an 8 GB
+    * single-partition LongHashedRelation at sf10, where the bare-pairs
+    * builds stayed in the MBs). SMJ sorts spill; nothing verify-side
+    * holds more than a partition's sort buffer in memory.
     * `broadcastPairs = true` (incremental): the bare batch-proportional
     * pair list broadcasts into BOTH array-attach joins, so the
-    * corpus-sized shingle side streams without shuffling; only the two
-    * batch-proportional attached halves meet in a shuffle. */
+    * corpus-sized shingle side streams without shuffling; the two
+    * batch-proportional attached halves — both carrying arrays — meet
+    * in a sort-merge join for the same reason. */
   private def verifyJaccard(
       cand: DataFrame, shh: DataFrame, threshold: Double,
       broadcastPairs: Boolean): DataFrame = {
@@ -209,11 +216,11 @@ object Dedup {
         .join(bare, "id_a")
       val jb = shh.select(col("id").as("id_b"), col("shh").as("shh_b"))
         .join(bare, "id_b")
-      ja.hint("shuffle_hash").join(jb, Seq("id_a", "id_b"))
+      ja.hint("merge").join(jb, Seq("id_a", "id_b"))
     } else {
       cand.hint("shuffle_hash")
         .join(shh.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(shh.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
     }
     withSh.select(col("id_a"), col("id_b"),

@@ -57,9 +57,13 @@ object TextQueries {
             length(col("text")).as("n_chars_obs"))
           .transform(Present.sortNarrow(_, col("doc_id")))
       },
+      // fairness-audited round 12: the split+filter formulation timed
+      // 114 ms vs 104 ms for this regexp_extract_all('\S+') variant at
+      // sf0.1 (verified row-identical) — the faster one is recorded so
+      // the 0.3-0.7x ratio Spark wins by is against DuckDB's best shape
       oracle = Some(s"""
         SELECT doc_id,
-          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
           CAST(length(text) AS INTEGER) AS n_chars_obs
         FROM documents ORDER BY doc_id"""),
