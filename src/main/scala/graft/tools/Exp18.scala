@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft.BenchDml
+import org.apache.spark.sql.SparkSession
+
+/** Round-12 A/B: join strategy inside the SCD/MERGE pipeline (the
+  * remaining >2x work-ratio path at sf1 — scd1 3.84x / scd2 3.63x task
+  * work vs the DuckDB CoW oracle in BENCH_sf1.json).
+  *
+  * Hypothesis: both >2x merges sort table-scale row sets twice under
+  * sort-merge joins whose OTHER side is batch-proportional — the
+  * changes-mode diff join (touched-file rows vs source batch) and the
+  * rewrite's (_file,_pos) anti/outer join (rebuilt-file rows vs
+  * actioned keys). A shuffled-hash build from the batch side skips the
+  * table-scale sorts; DuckDB's flow hash-joins everywhere, which is
+  * where its constant factor comes from.
+  *
+  * Runs BenchDml (same scenarios, same end-state validation — so each
+  * variant is also correctness-checked at this scale) once per knob
+  * combination in one JVM. Knobs: graft.merge.diffShj /
+  * graft.merge.rewriteShj (see Merge.knob).
+  *
+  * Not part of the driver contract.
+  */
+object Exp18 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
+      .config("spark.sql.shuffle.partitions", "4") // match Bench at this SF
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m") // match Bench
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // INTERLEAVED arms: a first block-ordered attempt showed ~25%
+    // within-JVM drift (a trailing knobs-off block ran as fast as the
+    // knob arms), so block ordering can't separate knob effect from
+    // JIT/page-cache warming. One discarded warmup block, then the two
+    // arms alternate; drift then hits both arms equally.
+    val combos = Seq(("warmdrop", false, false)) ++
+      (1 to 3).flatMap(i => Seq((s"off$i", false, false), (s"on$i", true, true)))
+    val samples = scala.collection.mutable.Map.empty[String, Seq[Double]]
+      .withDefaultValue(Seq.empty)
+    combos.foreach { case (label, diffShj, rewriteShj) =>
+      sys.props("graft.merge.diffShj") = diffShj.toString
+      sys.props("graft.merge.rewriteShj") = rewriteShj.toString
+      val out = BenchDml.run(spark, sfDir, cpus, passes)
+      val mins = out.mins.map(s => f"${s.name}=${s.sec}%.3f").mkString(" ")
+      println(s"== exp18 $label: $mins")
+      if (!label.startsWith("warm")) {
+        val arm = if (diffShj) "on" else "off"
+        out.passes.foreach { case (n, ps) =>
+          samples(s"$arm/$n") = samples(s"$arm/$n") ++ ps }
+      }
+    }
+    samples.toSeq.sortBy(_._1).foreach { case (k, ps) =>
+      println(f"== exp18 arm $k%-22s min ${ps.min}%.3f  med ${ps.sorted.apply(ps.size / 2)}%.3f  n=${ps.size}")
+    }
+    spark.stop()
+  }
+}
