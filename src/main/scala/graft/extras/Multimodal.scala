@@ -13,10 +13,13 @@ import org.apache.spark.sql.types._
   *
   * Codecs: four REAL pure-JVM decoders live in this file — PNG/JPEG/
   * GIF/BMP via ImageIO (see `decodeImage`), WAV PCM (see `decodeWav`),
-  * MJPEG, and MP4/H.264 I_PCM frames (Exp-Golomb NAL parsing). Only
-  * entropy-coded video (CAVLC/CABAC macroblocks) degrades to the
-  * documented stub seam; deterministic byte-histogram features back the
-  * formats with no in-container decoder.
+  * MJPEG, and MP4/H.264 — both I_PCM frames (Exp-Golomb NAL parsing)
+  * and, since round 12, CAVLC-entropy-coded I_16x16/DC slices
+  * (coeff_token + level + total_zeros decode, inverse Hadamard, DC
+  * dequant, intra DC prediction — [[H264.decodeI16DcLuma]], scope
+  * stated there). AC residuals / other intra modes / CABAC degrade to
+  * the documented stub seam; deterministic byte-histogram features
+  * back the formats with no in-container decoder.
   */
 object Multimodal {
 
@@ -184,6 +187,22 @@ object Multimodal {
         StructField("width", LongType), StructField("height", LongType),
         StructField("lum_sum", LongType), StructField("plane_bytes", LongType))),
       MediaSynth.mp4) { (id, f, planeBytes) =>
+      Row(id, f(0), f(1), f(2), f(3), planeBytes)
+    }
+
+  /** CAVLC variant of [[mp4FrameFeatures]]: per-id MP4s whose IDR
+    * frames are entropy-coded I_16x16/DC macroblocks
+    * ([[MediaSynth.mp4Cavlc]]), decoded by the real CAVLC + inverse
+    * Hadamard + dequant + intra-prediction chain
+    * ([[H264.decodeI16DcLuma]]); the luma sum is a closed-form
+    * function of the coded DC level, so the oracle needs no reference
+    * decoder. */
+  def mp4CavlcFrameFeatures(df: DataFrame, idCol: String): DataFrame =
+    videoFrameFeatures(df, idCol, "video/mp4", StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_frames", LongType),
+        StructField("width", LongType), StructField("height", LongType),
+        StructField("lum_sum", LongType), StructField("plane_bytes", LongType))),
+      MediaSynth.mp4Cavlc) { (id, f, planeBytes) =>
       Row(id, f(0), f(1), f(2), f(3), planeBytes)
     }
 
@@ -727,37 +746,6 @@ object MediaSynth {
     val h = hMb * 16
     val nFrames = (1 + id % 3).toInt
 
-    def nalSps(): Array[Byte] = {
-      val bw = new graft.extras.H264.BitWriter
-      bw.u(0x67, 8) // nal: ref_idc=3, type=7 (SPS)
-      bw.u(66, 8); bw.u(0, 8); bw.u(10, 8) // baseline, no constraints, level 1.0
-      bw.ue(0) // sps id
-      bw.ue(0) // log2_max_frame_num_minus4 -> 4 bits
-      bw.ue(2) // pic_order_cnt_type = 2 (no POC fields downstream)
-      bw.ue(0) // max_num_ref_frames
-      bw.u(0, 1) // gaps_in_frame_num_value_allowed_flag
-      bw.ue(wMb - 1); bw.ue(hMb - 1)
-      bw.u(1, 1) // frame_mbs_only_flag
-      bw.u(0, 1) // direct_8x8_inference_flag
-      bw.u(0, 1) // frame_cropping_flag
-      bw.u(0, 1) // vui_parameters_present_flag
-      bw.rbspTrailing()
-      graft.extras.H264.addEmulationPrevention(bw.result())
-    }
-    def nalPps(): Array[Byte] = {
-      val bw = new graft.extras.H264.BitWriter
-      bw.u(0x68, 8) // nal: type=8 (PPS)
-      bw.ue(0); bw.ue(0) // pps id, sps id
-      bw.u(0, 1) // entropy_coding_mode_flag = CAVLC
-      bw.u(0, 1) // bottom_field_pic_order_in_frame_present_flag
-      bw.ue(0) // num_slice_groups_minus1
-      bw.ue(0); bw.ue(0) // num_ref_idx_l0/l1_default_active_minus1
-      bw.u(0, 1); bw.u(0, 2) // weighted_pred_flag, weighted_bipred_idc
-      bw.se(0); bw.se(0); bw.se(0) // init_qp, init_qs, chroma_qp_offset
-      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1) // deblock_ctrl, constrained_intra, redundant_cnt
-      bw.rbspTrailing()
-      graft.extras.H264.addEmulationPrevention(bw.result())
-    }
     def nalIdr(f: Int): Array[Byte] = {
       val bw = new graft.extras.H264.BitWriter
       bw.u(0x65, 8) // nal: ref_idc=3, type=5 (IDR slice)
@@ -795,6 +783,109 @@ object MediaSynth {
       graft.extras.H264.addEmulationPrevention(bw.result())
     }
 
+    mp4Container(wMb, hMb, (0 until nFrames).map(nalIdr))
+  }
+
+  /** CAVLC sibling of [[mp4]] (round 12): the same ISO-BMFF container
+    * holding IDR frames whose macroblocks are ENTROPY-CODED — I_16x16,
+    * DC prediction, cbp 0, so each MB carries exactly one CAVLC
+    * Intra16x16DCLevel residual block. MB 0 codes a single DC level
+    * L = (1 + (id + f) % 8) * (id % 3 == 0 ? -1 : 1): |L| = 1 takes the
+    * trailing-ones sign path, |L| > 1 the level_prefix path, negative
+    * ids the sign mappings. Every other MB codes TotalCoeff = 0. At
+    * QP 51 (pic_init_qp 26 + slice_qp_delta 25) the 8.5.10 dequant
+    * chain gives each MB-0 pixel residual r = (56*L + 32) >> 6, and
+    * because every later MB reproduces its flat neighbors through DC
+    * prediction with zero residual, the WHOLE frame reconstructs to the
+    * flat value 128 + r — so the decoded luma sum is the closed form
+    * W*H*(128+r), oracle-checkable without any reference decoder. This
+    * writer shares NO table/code with [[H264.readResidualDcCavlc]]
+    * beyond the bit primitives, so a table error on either side fails
+    * the gate instead of cancelling out. */
+  def mp4Cavlc(id: Long): Array[Byte] = {
+    val wMb = (1 + id % 2).toInt
+    val hMb = (1 + (id / 2) % 2).toInt
+    val nFrames = (1 + id % 3).toInt
+
+    def nalIdr(f: Int): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x65, 8) // nal: ref_idc=3, type=5 (IDR slice)
+      bw.ue(0) // first_mb_in_slice
+      bw.ue(7) // slice_type: I (all slices in pic)
+      bw.ue(0) // pps id
+      bw.u(0, 4) // frame_num (log2_max_frame_num = 4)
+      bw.ue(0) // idr_pic_id
+      bw.u(0, 1); bw.u(0, 1) // no_output_of_prior_pics, long_term_reference
+      bw.se(25) // slice_qp_delta: QP = 26 + 25 = 51
+      val lvl = (1 + (id + f) % 8).toInt * (if (id % 3 == 0) -1 else 1)
+      var mb = 0
+      while (mb < wMb * hMb) {
+        bw.ue(3) // mb_type: I_16x16, predMode DC(2), cbp luma 0 chroma 0
+        bw.ue(0) // intra_chroma_pred_mode: DC
+        bw.se(0) // mb_qp_delta
+        // Intra16x16DCLevel, CAVLC, nC = 0 (no coded AC anywhere)
+        if (mb == 0) {
+          if (math.abs(lvl) == 1) {
+            bw.u(1, 2) // coeff_token "01": TotalCoeff=1, TrailingOnes=1
+            bw.u(if (lvl < 0) 1 else 0, 1) // trailing-one sign
+          } else {
+            bw.u(0x5, 6) // coeff_token "000101": TotalCoeff=1, T1=0
+            // level, suffixLength 0: encoder-side levelCode, minus the
+            // +2 the decoder re-adds for the first non-T1 level
+            val lc = (if (lvl > 0) 2 * lvl - 2 else -2 * lvl - 1) - 2
+            bw.u(0, lc); bw.u(1, 1) // level_prefix = lc, no suffix
+          }
+          bw.u(1, 1) // total_zeros = 0 ("1" in the TotalCoeff=1 column)
+        } else {
+          bw.u(1, 1) // coeff_token "1": TotalCoeff=0
+        }
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+    mp4Container(wMb, hMb, (0 until nFrames).map(nalIdr))
+  }
+
+  private def mp4SpsNal(wMb: Int, hMb: Int): Array[Byte] = {
+    val bw = new graft.extras.H264.BitWriter
+    bw.u(0x67, 8) // nal: ref_idc=3, type=7 (SPS)
+    bw.u(66, 8); bw.u(0, 8); bw.u(10, 8) // baseline, no constraints, level 1.0
+    bw.ue(0) // sps id
+    bw.ue(0) // log2_max_frame_num_minus4 -> 4 bits
+    bw.ue(2) // pic_order_cnt_type = 2 (no POC fields downstream)
+    bw.ue(0) // max_num_ref_frames
+    bw.u(0, 1) // gaps_in_frame_num_value_allowed_flag
+    bw.ue(wMb - 1); bw.ue(hMb - 1)
+    bw.u(1, 1) // frame_mbs_only_flag
+    bw.u(0, 1) // direct_8x8_inference_flag
+    bw.u(0, 1) // frame_cropping_flag
+    bw.u(0, 1) // vui_parameters_present_flag
+    bw.rbspTrailing()
+    graft.extras.H264.addEmulationPrevention(bw.result())
+  }
+
+  private def mp4PpsNal(): Array[Byte] = {
+    val bw = new graft.extras.H264.BitWriter
+    bw.u(0x68, 8) // nal: type=8 (PPS)
+    bw.ue(0); bw.ue(0) // pps id, sps id
+    bw.u(0, 1) // entropy_coding_mode_flag = CAVLC
+    bw.u(0, 1) // bottom_field_pic_order_in_frame_present_flag
+    bw.ue(0) // num_slice_groups_minus1
+    bw.ue(0); bw.ue(0) // num_ref_idx_l0/l1_default_active_minus1
+    bw.u(0, 1); bw.u(0, 2) // weighted_pred_flag, weighted_bipred_idc
+    bw.se(0); bw.se(0); bw.se(0) // init_qp, init_qs, chroma_qp_offset
+    bw.u(0, 1); bw.u(0, 1); bw.u(0, 1) // deblock_ctrl, constrained_intra, redundant_cnt
+    bw.rbspTrailing()
+    graft.extras.H264.addEmulationPrevention(bw.result())
+  }
+
+  /** Shared ISO-BMFF wrapping for the MP4 fixtures: ftyp + mdat (4-byte
+    * length-prefixed IDR NALs) + moov with avcC carrying the SPS/PPS. */
+  private def mp4Container(wMb: Int, hMb: Int, nals: Seq[Array[Byte]]): Array[Byte] = {
+    val w = wMb * 16
+    val h = hMb * 16
+    val nFrames = nals.length
     def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
       val len = 8 + payload.map(_.length).sum
       val bb = java.nio.ByteBuffer.allocate(len)
@@ -807,8 +898,7 @@ object MediaSynth {
     def be16(v: Int): Array[Byte] =
       java.nio.ByteBuffer.allocate(2).putShort(v.toShort).array()
 
-    val samples = (0 until nFrames).map { f =>
-      val nal = nalIdr(f)
+    val samples = nals.map { nal =>
       be32(nal.length) ++ nal // 4-byte NAL length prefix (avcC lengthSize 4)
     }
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(512),
@@ -816,7 +906,7 @@ object MediaSynth {
     val mdatPayloadOffset = ftyp.length + 8L
     val mdat = box("mdat", samples.flatten.toArray)
 
-    val sps = nalSps(); val pps = nalPps()
+    val sps = mp4SpsNal(wMb, hMb); val pps = mp4PpsNal()
     val avcC = box("avcC",
       Array[Byte](1, 66, 0, 10, (0xfc | 3).toByte, (0xe0 | 1).toByte),
       be16(sps.length), sps, Array[Byte](1), be16(pps.length), pps)
@@ -970,6 +1060,22 @@ private[extras] object H264 {
 
   final case class Sps(widthMbs: Int, heightMbs: Int, log2MaxFrameNum: Int)
 
+  /** Parse a PPS far enough to recover pic_init_qp_minus26 (needed by
+    * the CAVLC slice decoder; everything before it is fixed-position
+    * Exp-Golomb/flag fields — spec 7.3.2.2). */
+  def parsePpsInitQp(rbsp: Array[Byte]): Int = {
+    val r = new BitReader(rbsp)
+    r.u(8) // nal header
+    r.ue(); r.ue() // pps id, sps id
+    r.u(1) // entropy_coding_mode_flag
+    r.u(1) // bottom_field_pic_order_in_frame_present_flag
+    val nSliceGroups = r.ue().toInt + 1
+    if (nSliceGroups > 1) throw new java.io.IOException("FMO unsupported")
+    r.ue(); r.ue() // num_ref_idx_l0/l1_default_active_minus1
+    r.u(1); r.u(2) // weighted_pred_flag, weighted_bipred_idc
+    26 + r.se().toInt // pic_init_qp_minus26
+  }
+
   /** Parse the SPS fields up to frame geometry (baseline subset: no
     * chroma_format_idc branch — profile 66 never writes one). */
   def parseSps(rbsp: Array[Byte]): Sps = {
@@ -1037,6 +1143,201 @@ private[extras] object H264 {
       luma
     } catch { case scala.util.control.NonFatal(_) => null }
   }
+
+  // ------------------------------------------------------------------
+  // CAVLC I_16x16 DC-only decode (round 12) — one real step past I_PCM:
+  // entropy-coded DC levels (coeff_token, level_prefix/suffix,
+  // total_zeros), inverse 4x4 Hadamard, 8.5.10 DC dequantization and
+  // Intra_16x16 DC prediction. SCOPE, stated plainly: the coeff_token
+  // reader implements the nC<2 column for TotalCoeff<=1 only and the
+  // total_zeros reader the TotalCoeff=1 column — the exact code points
+  // a DC-only macroblock can emit — and run_before is never reached at
+  // TotalCoeff<=1. Level decoding (including the prefix>=15 escape
+  // paths) is general per spec 9.2.2.1. AC residuals, other intra
+  // modes, and the remaining VLC tables stay behind the documented
+  // entropy seam. No conformance streams are available offline; the
+  // multimodal_h264_cavlc gate pins this decoder against an
+  // arithmetic pixel oracle computed independently from the
+  // transform/prediction equations.
+  // ------------------------------------------------------------------
+
+  private val ZigZag4x4: Array[(Int, Int)] = Array(
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3))
+
+  /** LevelScale4x4(m, 0, 0) for m = qP % 6 (spec table 8-15 position
+    * (0,0) of the scaling matrix V). */
+  private val DcLevelScale: Array[Int] = Array(10, 11, 13, 14, 16, 18)
+
+  /** residual_block_cavlc (spec 9.2) for the DC-only subset: returns
+    * `maxNumCoeff` coefficient levels in zigzag scan order. Throws on
+    * any code point outside the subset (callers degrade to null). */
+  private[extras] def readResidualDcCavlc(
+      r: BitReader, maxNumCoeff: Int, nC: Int): Array[Int] = {
+    if (nC < 0 || nC >= 2)
+      throw new java.io.IOException("only the nC<2 coeff_token column is implemented")
+    // coeff_token, Table 9-5 column 0 <= nC < 2, TotalCoeff <= 1:
+    //   "1" -> (0,0)   "01" -> (1,1)   "000101" -> (1,0)
+    val (tc, t1) =
+      if (r.u(1) == 1) (0, 0)
+      else if (r.u(1) == 1) (1, 1)
+      else if (r.u(4) == 0x5) (1, 0)
+      else throw new java.io.IOException("coeff_token beyond the DC-only subset")
+    val out = new Array[Int](maxNumCoeff)
+    if (tc == 0) return out
+    // levels (spec 9.2.2.1; general, including the escape suffixes)
+    val level = new Array[Int](tc)
+    var suffixLength = if (tc > 10 && t1 < 3) 1 else 0
+    var i = 0
+    while (i < tc) {
+      if (i < t1) level(i) = if (r.u(1) == 1) -1 else 1
+      else {
+        var prefix = 0
+        while (r.u(1) == 0) {
+          prefix += 1
+          if (prefix > 47) throw new java.io.IOException("bad level_prefix")
+        }
+        var levelCode = math.min(15, prefix) << suffixLength
+        val suffixSize =
+          if (prefix >= 15) prefix - 3
+          else if (prefix == 14 && suffixLength == 0) 4
+          else suffixLength
+        if (suffixSize > 0) levelCode += r.u(suffixSize).toInt
+        if (prefix >= 15 && suffixLength == 0) levelCode += 15
+        if (prefix >= 16) levelCode += (1 << (prefix - 3)) - 4096
+        if (i == t1 && t1 < 3) levelCode += 2
+        level(i) = if (levelCode % 2 == 0) (levelCode + 2) >> 1 else -((levelCode + 1) >> 1)
+        if (suffixLength == 0) suffixLength = 1
+        if (math.abs(level(i)) > (3 << (suffixLength - 1)) && suffixLength < 6)
+          suffixLength += 1
+      }
+      i += 1
+    }
+    // total_zeros (Table 9-7, TotalCoeff = 1 column): "1"=0, then pairs
+    // 0^z 1 b -> 2z-1+(1-b), and the 8-zero tail code = 15
+    val totalZeros =
+      if (tc == maxNumCoeff) 0
+      else {
+        var z = 0
+        while (r.u(1) == 0) {
+          z += 1
+          if (z > 8) throw new java.io.IOException("bad total_zeros")
+        }
+        if (z == 0) 0
+        else if (z == 8) 15
+        else 2 * z - 1 + (1 - r.u(1).toInt)
+      }
+    // placement: with one coefficient there is no run_before; the
+    // single level sits total_zeros positions up the scan
+    out(tc + totalZeros - 1) = level(0)
+    out
+  }
+
+  /** Decode the luma plane of a CAVLC IDR slice whose macroblocks are
+    * all I_16x16 / DC-prediction / cbp 0 (DC residual only). Returns
+    * null outside that profile (caller degrades). */
+  def decodeI16DcLuma(rbsp: Array[Byte], sps: Sps, picInitQp: Int): Array[Byte] = {
+    try {
+      val r = new BitReader(rbsp)
+      val nalUnitType = (r.u(8) & 0x1f).toInt
+      if (nalUnitType != 5) return null
+      r.ue() // first_mb_in_slice
+      val sliceType = r.ue()
+      if (sliceType % 5 != 2) return null
+      r.ue() // pic_parameter_set_id
+      r.u(sps.log2MaxFrameNum) // frame_num
+      r.ue() // idr_pic_id
+      r.u(1); r.u(1) // dec_ref_pic_marking (IDR)
+      var qp = picInitQp + r.se().toInt // slice_qp_delta
+      val w = sps.widthMbs * 16
+      val h = sps.heightMbs * 16
+      val luma = new Array[Byte](w * h)
+      val nMbs = sps.widthMbs * sps.heightMbs
+      var mb = 0
+      while (mb < nMbs) {
+        val mbType = r.ue().toInt
+        // mb_type 1..4 = Intra_16x16, CodedBlockPattern luma 0 chroma 0
+        // (Table 7-11); prediction mode = mb_type - 1, DC (2) only here
+        if (mbType < 1 || mbType > 4 || mbType - 1 != 2) return null
+        if (r.ue() > 3) return null // intra_chroma_pred_mode
+        qp += r.se().toInt // mb_qp_delta (always present for I_16x16)
+        if (qp < 0 || qp > 51) return null
+        // cbpLuma = 0 -> every AC 4x4 block is uncoded, so the nnz
+        // prediction feeding the DC block's nC is 0 in this profile
+        val dcZig = readResidualDcCavlc(r, 16, 0)
+        // zigzag -> 4x4, inverse Hadamard f = H c H
+        val c = Array.ofDim[Int](4, 4)
+        var k = 0
+        while (k < 16) { val (zi, zj) = ZigZag4x4(k); c(zi)(zj) = dcZig(k); k += 1 }
+        val hM = Array(
+          Array(1, 1, 1, 1), Array(1, 1, -1, -1), Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+        val f = Array.ofDim[Int](4, 4)
+        var bi = 0
+        while (bi < 4) {
+          var bj = 0
+          while (bj < 4) {
+            var s = 0
+            var p = 0
+            while (p < 4) {
+              var q = 0
+              while (q < 4) { s += hM(p)(bi) * c(p)(q) * hM(q)(bj); q += 1 }
+              p += 1
+            }
+            f(bi)(bj) = s
+            bj += 1
+          }
+          bi += 1
+        }
+        // DC dequantization (spec 8.5.10)
+        val v = DcLevelScale(qp % 6)
+        val dcY = Array.ofDim[Int](4, 4)
+        bi = 0
+        while (bi < 4) {
+          var bj = 0
+          while (bj < 4) {
+            dcY(bi)(bj) =
+              if (qp >= 36) (f(bi)(bj) * v) << (qp / 6 - 6)
+              else (f(bi)(bj) * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+            bj += 1
+          }
+          bi += 1
+        }
+        // Intra_16x16 DC prediction (8.3.3.3) from reconstructed
+        // neighbor edges, then residual add: with zero AC the inverse
+        // core transform of a DC-only 4x4 block is flat (dc + 32) >> 6
+        val mbX = (mb % sps.widthMbs) * 16
+        val mbY = (mb / sps.widthMbs) * 16
+        val hasTop = mbY > 0
+        val hasLeft = mbX > 0
+        var sumT = 0
+        var sumL = 0
+        var t = 0
+        while (t < 16) {
+          if (hasTop) sumT += luma((mbY - 1) * w + mbX + t) & 0xff
+          if (hasLeft) sumL += luma((mbY + t) * w + mbX - 1) & 0xff
+          t += 1
+        }
+        val pred =
+          if (hasTop && hasLeft) (sumT + sumL + 16) >> 5
+          else if (hasTop) (sumT + 8) >> 4
+          else if (hasLeft) (sumL + 8) >> 4
+          else 128
+        var yy = 0
+        while (yy < 16) {
+          var xx = 0
+          while (xx < 16) {
+            val res = (dcY(yy / 4)(xx / 4) + 32) >> 6
+            val px = math.max(0, math.min(255, pred + res))
+            luma((mbY + yy) * w + mbX + xx) = px.toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        mb += 1
+      }
+      luma
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
 }
 
 /** REAL pure-JVM MP4/H.264 codec for the constrained profile a JVM can
@@ -1056,7 +1357,8 @@ object JvmMp4Codec extends MediaCodec {
     mime == "video/mp4" || mime == "video/avc" || mime == "video/h264"
 
   private final case class Mp4Track(
-      sps: H264.Sps, nalLenSize: Int, samples: Seq[(Long, Int)]) // (offset, size)
+      sps: H264.Sps, initQp: Int, nalLenSize: Int,
+      samples: Seq[(Long, Int)]) // (offset, size)
 
   private def be32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
@@ -1088,6 +1390,7 @@ object JvmMp4Codec extends MediaCodec {
         if (t0 == "moov") boxes(b, s0, e0) { (t1, s1, e1) =>
           if (t1 == "trak" && out.isEmpty) {
             var sps: H264.Sps = null
+            var initQp = 26
             var nalLen = 4
             var sizes: Seq[Int] = Nil
             var chunkOff = -1L
@@ -1115,6 +1418,16 @@ object JvmMp4Codec extends MediaCodec {
                                   val rbsp = H264.removeEmulationPrevention(
                                     b, o + 8, o + 8 + spsLen)
                                   sps = H264.parseSps(rbsp)
+                                  // PPS entries follow the SPS list; the
+                                  // CAVLC slice decoder needs pic_init_qp
+                                  val po = o + 8 + spsLen
+                                  if (po + 3 <= e7 && (b(po) & 0xff) >= 1) {
+                                    val ppsLen = ((b(po + 1) & 0xff) << 8) | (b(po + 2) & 0xff)
+                                    if (po + 3 + ppsLen <= e7)
+                                      try initQp = H264.parsePpsInitQp(
+                                        H264.removeEmulationPrevention(b, po + 3, po + 3 + ppsLen))
+                                      catch { case scala.util.control.NonFatal(_) => }
+                                  }
                                 }
                               }
                             }
@@ -1139,7 +1452,7 @@ object JvmMp4Codec extends MediaCodec {
               // single-chunk layout (what the synthesizer writes):
               // samples are contiguous from the chunk offset
               val offs = sizes.scanLeft(chunkOff)(_ + _)
-              out = Some(Mp4Track(sps, nalLen, offs.zip(sizes)))
+              out = Some(Mp4Track(sps, initQp, nalLen, offs.zip(sizes)))
             }
           }
         }
@@ -1162,7 +1475,11 @@ object JvmMp4Codec extends MediaCodec {
       if ((b(nalStart.toInt) & 0x1f) == 5) {
         val rbsp = H264.removeEmulationPrevention(
           b, nalStart.toInt, (nalStart + len).toInt)
-        return H264.decodeIPcmLuma(rbsp, t.sps)
+        // try raw-sample macroblocks first, then the CAVLC I_16x16
+        // DC-only profile; both return null outside their subset
+        val pcm = H264.decodeIPcmLuma(rbsp, t.sps)
+        return if (pcm != null) pcm
+          else H264.decodeI16DcLuma(rbsp, t.sps, t.initQp)
       }
       o = nalStart + len
     }

@@ -248,6 +248,38 @@ object MultimodalQueries {
                 + 3 * ((x2 * (1 + doc_id % 8)) // 4)
                 + 5 * ((y2 * (1 + doc_id % 6)) // 3)) % 256)))) AS BIGINT) AS resized_sum
         FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
-      doc = "real image resize: decode + nearest-neighbor thumbnail resample vs arithmetic oracle")
+      doc = "real image resize: decode + nearest-neighbor thumbnail resample vs arithmetic oracle"),
+
+    // ------------------------------------------------------------------
+    Q("multimodal_h264_cavlc",
+      (s, d) => {
+        // one real step past I_PCM (round 12): per-id MP4s whose IDR
+        // frames are ENTROPY-CODED — I_16x16/DC macroblocks carrying a
+        // CAVLC Intra16x16DCLevel block (coeff_token, trailing-one
+        // signs, level_prefix/suffix, total_zeros), reconstructed
+        // through the inverse 4x4 Hadamard, the 8.5.10 DC dequant and
+        // Intra_16x16 DC prediction. The coded DC level L makes every
+        // frame reconstruct flat at 128 + ((56L + 32) >> 6), so the
+        // decoded luma sum is a closed-form arithmetic fact — a decoder
+        // that skips any stage of the entropy/transform chain cannot
+        // produce it. Encoder and decoder share only bit primitives
+        // (separate tables), so a VLC error on either side fails here.
+        Multimodal.mp4CavlcFrameFeatures(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          1 + doc_id % 3 AS n_frames,
+          16 * (1 + doc_id % 2) AS width,
+          16 * (1 + (doc_id // 2) % 2) AS height,
+          CAST((16 * (1 + doc_id % 2)) * (16 * (1 + (doc_id // 2) % 2)) *
+            (128 + floor((56.0 * ((1 + doc_id % 8) *
+              (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END)) + 32) / 64.0))
+            AS BIGINT) AS lum_sum,
+          (1 + doc_id % 3) * (16 * (1 + doc_id % 2)) * (16 * (1 + (doc_id // 2) % 2))
+            AS plane_bytes
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+      doc = "CAVLC I-frame decode: entropy-coded DC levels + inverse Hadamard + dequant + intra DC pred vs closed-form pixel oracle")
   )
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.extras.{JvmMp4Codec, MediaSynth}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the CAVLC I_16x16 DC-only decode chain (round 12) against the
+  * closed-form pixel math, independently of Spark and of the gate: at
+  * QP 51 a coded DC level L reconstructs every frame flat at
+  * 128 + ((56*L + 32) >> 6), so the luma sum is W*H*(128+r). Exercises
+  * the trailing-one sign path (|L| = 1), the level_prefix path
+  * (|L| > 1) and both signs across ids. */
+class H264CavlcSpec extends AnyFunSuite {
+
+  private def expected(id: Long): (Long, Long, Long, Long) = {
+    val w = 16L * (1 + id % 2)
+    val h = 16L * (1 + (id / 2) % 2)
+    val n = 1 + id % 3
+    val lvl = (1 + (id + 0) % 8) * (if (id % 3 == 0) -1 else 1)
+    // arithmetic shift of negatives floors, match with floorDiv
+    val r = Math.floorDiv(56 * lvl + 32, 64)
+    (n, w, h, w * h * (128 + r))
+  }
+
+  test("CAVLC DC-only frames decode to the closed-form luma sums") {
+    (0L until 40L).foreach { id =>
+      val bytes = MediaSynth.mp4Cavlc(id)
+      val f = JvmMp4Codec.features(bytes, "video/mp4")
+      val (n, w, h, sum) = expected(id)
+      assert(f(0) == n, s"id $id frame count")
+      assert(f(1) == w && f(2) == h, s"id $id geometry")
+      assert(f(3) == sum,
+        s"id $id luma sum: got ${f(3)}, expected $sum (decode fell back?)")
+    }
+  }
+
+  test("later frames decode too (per-frame DC levels differ)") {
+    // id 5: 3 frames, L = 1+(5+f)%8 for f=0,1,2 -> 6,7,8; every decoded
+    // plane must be flat at 128 + ((56L+32)>>6)
+    val bytes = MediaSynth.mp4Cavlc(5)
+    val frames = JvmMp4Codec.sampleFrames(bytes, "video/mp4", 3)
+    assert(frames.size == 3)
+    frames.zipWithIndex.foreach { case (luma, f) =>
+      val lvl = 1 + (5 + f) % 8
+      val px = (128 + ((56 * lvl + 32) >> 6)).toByte
+      assert(luma.length == 32 * 16, s"frame $f plane size")
+      assert(luma.forall(_ == px), s"frame $f not flat at ${px & 0xff}")
+    }
+  }
+}
