@@ -130,7 +130,7 @@ final class LakeEngine(
   def update(table: LakeTable, conditionSql: String, set: Map[String, String]): CommitMetrics = {
     val schema = table.schema
     set.keys.foreach(c => require(schema.fieldNames.contains(c), s"unknown column $c"))
-    rewriteTouched(table, conditionSql) { (rows, cond) =>
+    rewriteTouched(table, conditionSql, modifiedCols = set.keySet) { (rows, cond) =>
       rows.select(schema.fields.map { f =>
         set.get(f.name) match {
           case Some(e) => when(cond, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
@@ -298,7 +298,23 @@ final class LakeEngine(
 
   /** Shared two-phase rewrite: prune candidates -> probe actually-touched
     * files -> rebuild only those. */
-  private def rewriteTouched(table: LakeTable, conditionSql: String)(
+  /** @param modifiedCols columns the rebuild may change — when none of
+    *   them is a sort column (DELETE changes none; most UPDATEs touch
+    *   value columns only) and the table is unpartitioned, the rewrite
+    *   takes the PASSTHROUGH path: scan the touched files with exactly
+    *   one split per file (an isolated `newSession` pins
+    *   maxPartitionBytes/openCostInBytes to the largest touched file,
+    *   so Spark's bin-packer can neither split a file nor pack two
+    *   together), rebuild, and write with the partitioning preserved —
+    *   zero exchange, zero sort, each task rewriting one file whose
+    *   rows are already in the file's own sort order. This is the
+    *   reference's per-file COPY flow (commands/Update.java:129-238
+    *   rewrites file-by-file) and the shape that scales: a CoW DELETE
+    *   touching K files is K independent tasks on any cluster size.
+    *   Sort-column-modifying UPDATEs fall back to the stats-guided
+    *   cluster exchange. */
+  private def rewriteTouched(table: LakeTable, conditionSql: String,
+      modifiedCols: Set[String] = Set.empty)(
       rebuild: (DataFrame, Column) => DataFrame): CommitMetrics = {
     val fromSnapshot = table.metadata.currentSnapshotId
     val pred = PredSql.compile(spark, conditionSql, table.schema)
@@ -315,10 +331,26 @@ final class LakeEngine(
     if (touched.isEmpty)
       return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
     val touchedEntries = candidates.filter(f => touched.contains(f.path))
-    val rows = new TableScan(spark, table, explicitFiles = Some(touchedEntries)).toDF()
+    val passthrough = table.metadata.partitionSpec.isEmpty &&
+      !table.metadata.sortOrder.exists(sf => modifiedCols.contains(sf.column)) &&
+      touchedEntries.forall(_.sizeBytes > 0)
+    val scanSession =
+      if (!passthrough) spark
+      else {
+        val s2 = spark.newSession()
+        val maxSz = touchedEntries.map(_.sizeBytes).max
+        s2.conf.set("spark.sql.files.maxPartitionBytes", maxSz.toString)
+        s2.conf.set("spark.sql.files.openCostInBytes", maxSz.toString)
+        s2
+      }
+    val rows = new TableScan(scanSession, table,
+      explicitFiles = Some(touchedEntries)).toDF()
     val rebuilt = rebuild(rows, cond)
-    val newFiles = LakeWriter.write(spark, table, rebuilt,
-      clusterBounds = LakeWriter.clusterBoundsOf(table, touchedEntries))
+    val newFiles =
+      if (passthrough)
+        LakeWriter.write(scanSession, table, rebuilt, preserveDistribution = true)
+      else LakeWriter.write(spark, table, rebuilt,
+        clusterBounds = LakeWriter.clusterBoundsOf(table, touchedEntries))
     table.commit(CommitOp.Overwrite(newFiles, touched,
       fromSnapshotId = fromSnapshot, conflictFilter = Some(pred),
       removeHints = touchedEntries))

@@ -67,8 +67,20 @@ object LakeWriter extends Serializable {
     *   sample job 1.2->2.4-3.6s taskSum at sf1.) Unsupported shapes
     *   (descending/missing sort, float/decimal keys) fall back to
     *   sampling. */
+  /** @param preserveDistribution CoW passthrough rewrites (round 12):
+    *   the input's partitions ARE the desired output files — one scan
+    *   split per touched file, rows still in the file's own sort order
+    *   (a filter/projection rebuild can't disturb it) — so the write
+    *   skips BOTH the cluster exchange and the within-partition sort.
+    *   Each task rewrites its file in place: zero shuffle at any scale,
+    *   which is the shape a 1000-executor CoW delete wants (K touched
+    *   files -> K tasks). Callers must guarantee (a) unpartitioned
+    *   table, (b) per-file input partitions, (c) the rebuild leaves
+    *   sort columns untouched — [[graft.commands.LakeEngine]] checks
+    *   all three before asking for it. */
   def write(spark: SparkSession, table: LakeTable, input: DataFrame,
-      clusterBounds: Option[Seq[String]] = None): Seq[FileEntry] = {
+      clusterBounds: Option[Seq[String]] = None,
+      preserveDistribution: Boolean = false): Seq[FileEntry] = {
     val schema = table.schema
     val spec = table.metadata.partitionSpec
     val props = table.properties
@@ -94,6 +106,10 @@ object LakeWriter extends Serializable {
     }
 
     val ClusterCol = "__graft_cluster"
+    if (preserveDistribution && spec.isEmpty) {
+      // passthrough: partitions and order arrive write-ready (scaladoc)
+      return finishWrite(spark, table, withParts, props, spec)
+    }
     val bucketed = clusterBounds.filter(_ => spec.isEmpty && sortExprs.nonEmpty)
       .flatMap(bs => boundsBucketExpr(table, bs))
     val distributed = (spec.nonEmpty, sortExprs.nonEmpty) match {
@@ -116,7 +132,14 @@ object LakeWriter extends Serializable {
       else if (spec.isEmpty) distributed.sortWithinPartitions(sortExprs: _*)
       else distributed.sortWithinPartitions(spec.map(pf => col(partColName(pf))) ++ sortExprs: _*)
     val sorted = if (bucketed.isDefined) sorted0.drop(ClusterCol) else sorted0
+    finishWrite(spark, table, sorted, props, spec)
+  }
 
+  /** Staging write + distributed footer harvest, shared by the
+    * clustered and passthrough paths. */
+  private def finishWrite(spark: SparkSession, table: LakeTable,
+      sorted: DataFrame, props: Map[String, String],
+      spec: Seq[graft.format.PartitionField]): Seq[FileEntry] = {
     val staging = table.dataDir.resolve(s"stage-${UUID.randomUUID().toString.take(8)}")
     var w = sorted.write.mode("overwrite")
       .option("compression", props.getOrElse("write.parquet.compression", "zstd"))

@@ -1,0 +1,89 @@
+package graft.commands
+
+import graft._
+import graft.format._
+import org.apache.spark.sql.functions._
+
+/** Round-12 pins for the CoW passthrough rewrite: when an UPDATE/DELETE
+  * can't disturb the sort order (DELETE always; UPDATE when no SET
+  * column is a sort column) the rewrite must run one-task-per-file with
+  * NO exchange — file count and per-file ranges preserved — and a
+  * sort-column-modifying UPDATE must fall back to the clustered path
+  * and still produce non-overlapping ranges. */
+class PassthroughRewriteSpec extends SparkSpec {
+
+  private def mkTable(dir: String, rows: Long = 4000): (LakeEngine, LakeTable) = {
+    val catalog = new LakeCatalog(dir)
+    val engine = new LakeEngine(spark, catalog)
+    val df = spark.range(0, rows).select(
+      col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+    val t = catalog.createTable("t", df.schema,
+      sortOrder = Seq(SortField("k")),
+      properties = Map("write.max-records-per-file" -> "1000"))
+    engine.insert(t, df)
+    assert(t.currentFiles().size == 4)
+    (engine, t)
+  }
+
+  private def keyRange(t: LakeTable, f: FileEntry): (Long, Long) = {
+    val id = FieldIds.of(t.schema("k")).toString
+    (f.stats(id).min.get.toLong, f.stats(id).max.get.toLong)
+  }
+
+  test("DELETE rewrites exactly the touched files, one output per input, ranges preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pass1-").toString
+    val (engine, t) = mkTable(dir)
+    val before = t.currentFiles().map(f => f.path -> keyRange(t, f)).toMap
+    engine.delete(t, "k >= 1500 AND k < 2500")
+    val t2 = LakeTable.load(t.location)
+    val after = t2.currentFiles()
+    assert(after.size == 4, s"expected 4 files after rewrite, got ${after.size}")
+    val fresh = after.filterNot(f => before.contains(f.path))
+    val replaced = (before.keySet -- after.map(_.path)).map(before)
+    assert(fresh.size == replaced.size && fresh.size == 2,
+      s"expected the 2 touched files rewritten 1:1, got ${fresh.size}/${replaced.size}")
+    // each rewritten file keeps its predecessor's range minus the
+    // deleted window — i.e. per-file granularity survived (no exchange
+    // merged or resplit them)
+    val freshRanges = fresh.map(f => keyRange(t2, f)).sortBy(_._1)
+    val oldRanges = replaced.toSeq.sortBy(_._1)
+    assert(freshRanges.size == 2)
+    assert(freshRanges(0) == (oldRanges(0)._1, 1499L), s"$freshRanges vs $oldRanges")
+    assert(freshRanges(1) == (2500L, oldRanges(1)._2), s"$freshRanges vs $oldRanges")
+    // rows correct
+    val n = engine.scan(t2).toDF().count()
+    assert(n == 3000)
+  }
+
+  test("UPDATE of a value column keeps per-file granularity; rows correct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pass2-").toString
+    val (engine, t) = mkTable(dir)
+    engine.update(t, "k >= 1500 AND k < 1700", Map("v" -> "99.0"))
+    val t2 = LakeTable.load(t.location)
+    assert(t2.currentFiles().size == 4)
+    val got = engine.scan(t2).toDF().filter(col("v") === 99.0).count()
+    assert(got == 200)
+    // untouched rows intact
+    assert(engine.scan(t2).toDF().count() == 4000)
+  }
+
+  test("UPDATE that modifies the sort column falls back to the clustered path, ranges stay non-overlapping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pass3-").toString
+    val (engine, t) = mkTable(dir)
+    // moves keys 1500..1599 to 500..599: file 1's range must widen via
+    // the clustered rewrite, not silently keep stale bounds
+    engine.update(t, "k >= 1500 AND k < 1600", Map("k" -> "k - 1000"))
+    val t2 = LakeTable.load(t.location)
+    val df = engine.scan(t2).toDF()
+    assert(df.count() == 4000)
+    assert(df.filter(col("k").between(500, 599)).count() == 200) // originals + moved
+    // stats still truthful: every row inside its file's recorded range
+    val id = FieldIds.of(t2.schema("k")).toString
+    t2.currentFiles().foreach { f =>
+      val (lo, hi) = (f.stats(id).min.get.toLong, f.stats(id).max.get.toLong)
+      val bad = new graft.scan.TableScan(spark, t2, explicitFiles = Some(Seq(f)))
+        .toDF().filter(col("k") < lo || col("k") > hi).count()
+      assert(bad == 0, s"file ${f.path} holds rows outside [$lo,$hi]")
+    }
+  }
+}
