@@ -35,11 +35,26 @@ object Hints {
 
   /** Broadcast `df` iff the size estimate of `bound` (a plan whose row
     * set provably contains `df`'s, e.g. the pre-join filtered side of a
-    * key-preserving join) is within the auto-broadcast threshold. */
-  def broadcastIfSmall(df: DataFrame, bound: DataFrame): DataFrame = {
+    * key-preserving join) is within the auto-broadcast threshold.
+    *
+    * When the gate FAILS, the degraded join must still not sort: the
+    * first sf10 sweep caught exactly this cliff — q5/q3's orders side
+    * outgrew the broadcast gate and Spark's default turned the fact
+    * join into a sort-merge that sorted 60M lineitem rows (q5 went
+    * 3.4x -> 15x vs the columnar oracle). The caller's `df` is the
+    * smaller side by construction, so the right fallback is a
+    * shuffled-hash build from it: both sides still exchange, nothing
+    * sorts, and the per-partition build is df-bytes/shuffle-partitions
+    * — bounded by the same shuffle-width knob every deployment already
+    * sizes. Caveat, stated plainly: Spark's hash build does not spill,
+    * so a caller whose df side can be BOTH huge and heavily skewed on
+    * the join key should pass `hashFallback = false` and keep the
+    * spill-safe sort-merge. */
+  def broadcastIfSmall(df: DataFrame, bound: DataFrame,
+      hashFallback: Boolean = true): DataFrame = {
     val threshold = autoBroadcastThreshold(df)
-    if (threshold <= 0) df
-    else if (sizeEstimate(bound) <= threshold) broadcast(df)
+    if (threshold > 0 && sizeEstimate(bound) <= threshold) broadcast(df)
+    else if (hashFallback) df.hint("shuffle_hash")
     else df
   }
 }

@@ -453,19 +453,36 @@ object CoreQueries {
         // graft_count_distinct = one-pass exact distinct (adaptive
         // hash-set/bitmap buffers, see [[graft.functions.ExactCountDistinct]])
         // instead of Spark's Expand x3 plan, which scans the input once
-        // per distinct aggregate. A two-level salted variant (disjoint
-        // orderkey sets per salt, set-merge level 2 — the cluster-scale
-        // skew answer, kept available as graft_distinct_set/
-        // graft_count_distinct_merge) A/B'd SLOWER at sf1 (tools/Exp14:
-        // 649 vs 465 ms — the extra exchange outweighs the parallel
-        // merge when one machine's memory bandwidth is the ceiling).
+        // per distinct aggregate. SHAPE IS VOLUME-ADAPTIVE (round 12):
+        // the one-level plan concentrates the final per-group set
+        // merges on #groups reduce tasks, which inverts at scale —
+        // measured crossover: sf1 (~100 MB input) one-level 465 ms vs
+        // salted 649 (tools/Exp14); sf10 (~1 GB) one-level 6.33 s vs
+        // salted 1.95 (tools/Exp19). Above the threshold the query
+        // takes the two-level salted shape (disjoint orderkey sets per
+        // salt, parallel set merges, level-2 sum/merge) — the same
+        // decision a CBO would make from input stats, taken here from
+        // Catalyst's own size estimate.
         graft.functions.GraftFunctions.register(s)
-        Tables.lineitem(s, d)
-          .groupBy("l_returnflag")
-          .agg(call_function("graft_count_distinct", col("l_suppkey")).as("n_supp"),
-            call_function("graft_count_distinct", col("l_partkey")).as("n_part"),
-            call_function("graft_count_distinct", col("l_orderkey")).as("n_ord"))
-          .transform(Present.sortSmall(_, col("l_returnflag")))
+        val l = Tables.lineitem(s, d)
+        val salted = graft.plans.Hints.sizeEstimate(l) > (256L << 20)
+        if (!salted)
+          l.groupBy("l_returnflag")
+            .agg(call_function("graft_count_distinct", col("l_suppkey")).as("n_supp"),
+              call_function("graft_count_distinct", col("l_partkey")).as("n_part"),
+              call_function("graft_count_distinct", col("l_orderkey")).as("n_ord"))
+            .transform(Present.sortSmall(_, col("l_returnflag")))
+        else
+          l.groupBy(col("l_returnflag"),
+              pmod(xxhash64(col("l_orderkey")), lit(8)).as("_salt"))
+            .agg(call_function("graft_distinct_set", col("l_suppkey")).as("ss"),
+              call_function("graft_distinct_set", col("l_partkey")).as("ps"),
+              call_function("graft_count_distinct", col("l_orderkey")).as("no"))
+            .groupBy("l_returnflag")
+            .agg(call_function("graft_count_distinct_merge", col("ss")).as("n_supp"),
+              call_function("graft_count_distinct_merge", col("ps")).as("n_part"),
+              sum("no").as("n_ord"))
+            .transform(Present.sortSmall(_, col("l_returnflag")))
       },
       oracle = Some("""
         SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,

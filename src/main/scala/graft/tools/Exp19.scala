@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 probe of the sf10 scale cliffs the first sf10 sweep
+  * surfaced (BENCH_sf10.json): q5 15.0x / q3 5.7x (broadcast gate
+  * degrading to a 60M-row sort-merge — fixed by the shuffled-hash
+  * fallback in Hints.broadcastIfSmall; this measures the fix at sf10)
+  * and q_distinct_agg 8.7x (3 reduce tasks merging huge bitmap
+  * partials — measures the benched one-level shape against the salted
+  * two-level shape and Spark's native Expand plan at THIS scale; the
+  * recorded sf1 result picked one-level, a choice that may invert).
+  *
+  * Same session shape as Bench at sf10 (local[32], 32 shuffle
+  * partitions, 4m splits, AQE off). Min-of-3 after warmup, per-variant.
+  * Not part of the driver contract.
+  */
+object Exp19 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.network.timeout", "600s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    val reg = Registry.all.map(q => q.name -> q).toMap
+    def q(name: String): DataFrame = reg(name).run(spark, sfDir)
+
+    // native Expand-plan multi distinct for comparison
+    def nativeDistinct: DataFrame = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_orderkey")).as("n_ord"))
+      .orderBy("l_returnflag")
+
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "q5_shjFallback" -> (() => q("q5_local_supplier")),
+      "q3_shjFallback" -> (() => q("q3_shipping_priority")),
+      "distinct_onelevel" -> (() => q("q_distinct_agg")),
+      "distinct_salted" -> (() => q("q_distinct_salted")),
+      "distinct_native" -> (() => nativeDistinct))
+
+    variants.foreach { case (name, mk) =>
+      val times = (0 to 3).map { i =>
+        val t0 = System.nanoTime()
+        val n = mk().collect().length
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (i > 0) Some((sec, n)) else None // pass 0 = warmup
+      }.flatten
+      System.gc()
+      println(f"== exp19 $name%-20s min ${times.map(_._1).min}%.3f  " +
+        f"passes ${times.map(t => f"${t._1}%.3f").mkString(", ")}  rows ${times.head._2}")
+    }
+    spark.stop()
+  }
+}
