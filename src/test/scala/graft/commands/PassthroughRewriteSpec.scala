@@ -67,6 +67,67 @@ class PassthroughRewriteSpec extends SparkSpec {
     assert(engine.scan(t2).toDF().count() == 4000)
   }
 
+  test("DELETE wiping a whole file's rows drops that file from the table (empty-task write)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pass4-").toString
+    val (engine, t) = mkTable(dir)
+    // span one full interior file plus slivers of both neighbors: the
+    // middle task produces zero rows and must yield no replacement file
+    val files = t.currentFiles().map(f => keyRange(t, f)).sortBy(_._1)
+    val (lo, hi) = (files(1)._1 - 10, files(2)._2 + 10) // all of files 1 and 2
+    engine.delete(t, s"k >= $lo AND k <= $hi")
+    val t2 = LakeTable.load(t.location)
+    val remaining = engine.scan(t2).toDF()
+    assert(remaining.count() == 4000 - (hi - lo + 1))
+    assert(remaining.filter(col("k").between(lo, hi)).count() == 0)
+    // files 1 and 2 fully deleted -> no rewritten output for them
+    assert(t2.currentFiles().size == 2,
+      s"expected only the 2 edge files to survive, got ${t2.currentFiles().size}")
+  }
+
+  test("passthrough rewrite across schema evolution: old-schema files rebuild with NULL-filled new column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pass5-").toString
+    val catalog = new LakeCatalog(dir)
+    val engine = new LakeEngine(spark, catalog)
+    val df1 = spark.range(0, 2000).select(
+      col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+    val t = catalog.createTable("t", df1.schema,
+      sortOrder = Seq(SortField("k")),
+      properties = Map("write.max-records-per-file" -> "1000"))
+    engine.insert(t, df1) // 2 files under schema v1
+    t.addColumn("w", org.apache.spark.sql.types.StringType)
+    val t1 = LakeTable.load(t.location)
+    engine.insert(t1, spark.range(2000, 3000).select(
+      col("id").as("k"), lit(1.0).as("v"), lit("new").as("w"))) // 1 file, schema v2
+    val t2 = LakeTable.load(t.location)
+    // touches one v1 file and the v2 file in ONE passthrough rewrite
+    engine.delete(t2, "k >= 1500 AND k < 2500")
+    val t3 = LakeTable.load(t.location)
+    val out = engine.scan(t3).toDF()
+    assert(out.count() == 2000)
+    assert(out.filter(col("k") < 1000 && col("w").isNull).count() ==
+      out.filter(col("k") < 1000).count(), "v1 rows must read w as NULL")
+    assert(out.filter(col("k") >= 2500).select("w").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("new"))
+  }
+
+  test("partitioned table DELETE skips passthrough and stays correct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pass6-").toString
+    val catalog = new LakeCatalog(dir)
+    val engine = new LakeEngine(spark, catalog)
+    val df = spark.range(0, 4000).select(
+      col("id").as("k"), (col("id") % 4).as("p"), (col("id") % 7).cast("double").as("v"))
+    val t = catalog.createTable("t", df.schema,
+      partitionSpec = Seq(PartitionField("p", "p", "identity")))
+    engine.insert(t, df)
+    engine.delete(t, "k >= 1000 AND k < 1400")
+    val t2 = LakeTable.load(t.location)
+    val out = engine.scan(t2).toDF()
+    assert(out.count() == 3600)
+    assert(out.filter(col("k").between(1000, 1399)).count() == 0)
+    // hive layout intact: rewritten rows still live under their partition
+    assert(out.groupBy("p").count().collect().map(_.getLong(1)).forall(_ == 900))
+  }
+
   test("UPDATE that modifies the sort column falls back to the clustered path, ranges stay non-overlapping") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pass3-").toString
     val (engine, t) = mkTable(dir)
