@@ -1,0 +1,41 @@
+package graft
+
+import graft.plans.Hints
+import org.apache.spark.sql.functions._
+
+/** Pins for the size-gated join-strategy helper after the round-12
+  * sf10 cliff: below the threshold the side broadcasts; above it the
+  * fallback must be a shuffled-hash build (NOT the silent sort-merge
+  * default that sorted 60M fact rows at sf10), and `hashFallback =
+  * false` must keep the join unhinted for the spill-safe path. */
+class HintsSpec extends SparkSpec {
+
+  private def bigSide = {
+    // force the gate to fail regardless of session threshold: a plan
+    // whose Catalyst estimate is far above any sane broadcast limit
+    spark.range(0, 1000).toDF("k")
+  }
+
+  test("gate pass: small bound broadcasts") {
+    val dim = spark.range(0, 100).toDF("k")
+    val fact = spark.range(0, 1000).toDF("k")
+    val j = fact.join(Hints.broadcastIfSmall(dim, bound = dim), "k")
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("gate fail: fallback is shuffled-hash, never sort-merge") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1") // 1 byte: gate must fail
+    try {
+      val fact = spark.range(0, 1000).toDF("k")
+      val side = Hints.broadcastIfSmall(bigSide, bound = bigSide)
+      val plan = fact.join(side, "k").queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), s"fallback not SHJ:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"sort-merge survived:\n$plan")
+
+      val unhinted = Hints.broadcastIfSmall(bigSide, bound = bigSide, hashFallback = false)
+      val plan2 = fact.join(unhinted, "k").queryExecution.optimizedPlan.toString
+      assert(!plan2.contains("shuffle_hash"), s"hashFallback=false still hinted:\n$plan2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
