@@ -276,17 +276,32 @@ object Bench {
       else None
     val loadEnd = loadavg
 
+    // streaming-ingest bench (round 14): timed exactly-once sink wall;
+    // oracle-less, reported under its own keys (SPARK_GRAFT_STREAM=false
+    // skips)
+    val streamOut =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM", "true").toBoolean)
+        try Some(BenchStream.run(spark, sfDir))
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] stream bench failed: $e"); None }
+      else None
+
     val dmlSamples = dmlOut.toSeq.flatMap(_.mins.map(s =>
       s.name -> ExecSample(s.sec, s.startMs, s.startMs, s.endMs)))
+    // streaming sample rides in the queries map + profile (its own keys
+    // below) but NEVER in the read total or dml_total_sec aggregates
+    val streamSamples = streamOut.toSeq.map(o =>
+      "streaming_ingest" -> ExecSample(o.wallSec, o.startMs, o.startMs, o.endMs))
     val readSamples = headline.map(q => q.name -> passes.map(_(q.name)).minBy(_.sec))
-    val samples = readSamples ++ dmlSamples
+    val samples = readSamples ++ dmlSamples ++ streamSamples
     // `total` / `spark_oracle_ratio*` cover the READ queries only, so
     // the headline stays comparable across rounds whether or not the
     // DML bench ran (ADVICE r11); DML wall-time is emitted under its own
     // dml_total_sec / dml_oracle_sec / dml_ratio keys below.
     val readResults = readSamples.map { case (n, s) => n -> s.sec }
     val dmlResults = dmlSamples.map { case (n, s) => n -> s.sec }
-    val results = readResults ++ dmlResults
+    val streamResults = streamSamples.map { case (n, s) => n -> s.sec }
+    val results = readResults ++ dmlResults ++ streamResults
     // 4-decimal (0.1 ms) rendering everywhere: the driver recovers the
     // metric from a bounded tail of stdout, so the final line must stay
     // SHORT — full-precision doubles (19 chars each) pushed the line past
@@ -392,8 +407,12 @@ object Bench {
         .map { case (k, vs) => "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]") }
         .mkString("{", ",", "}")}""").getOrElse("") +
       s""","query_profile":$profJson}}"""
+    val streamJson = streamOut.map(o =>
+      f""","streaming_rows":${o.rows},"streaming_rows_per_sec":${o.rowsPerSec}%.0f""" +
+        f""","streaming_batches":${o.batches},"streaming_avg_batch_ms":${o.avgBatchMs}%.0f""")
+      .getOrElse("")
     val json = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      oracleJson + "}"
+      oracleJson + streamJson + "}"
     // stdout lines (un-prefixed via build.sbt outputStrategy) + file copy so
     // the driver can recover the metric even if stdout is log-polluted
     // (bench_result.json is gitignored — a runtime artifact, not source)

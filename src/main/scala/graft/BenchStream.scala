@@ -1,0 +1,88 @@
+package graft
+
+import graft.commands.LakeEngine
+import graft.format.{LakeCatalog, SortField}
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Timed streaming-ingest benchmark (round-14 verdict task 7): the
+  * exactly-once lake sink surface had five correctness gates but zero
+  * timed evidence. One representative scenario:
+  *
+  *   `streaming_ingest` — the events fixture staged as 8 parquet files,
+  *   consumed as 8 micro-batches (`maxFilesPerTrigger=1`,
+  *   AvailableNow) through the exactly-once
+  *   [[graft.streaming.LakeStreamSink]] append path into a sorted lake
+  *   table: per batch, a sorted zstd parquet write + footer harvest +
+  *   a marker commit carrying the (queryKey, batchId) idempotence
+  *   marker. Reported: end-to-end wall (staging excluded — it models
+  *   the upstream producer), rows/s, and mean micro-batch latency from
+  *   the engine's own StreamingQueryProgress.
+  *
+  * No DuckDB oracle exists for a streaming commit protocol, so the
+  * numbers are reported under their own keys and never enter the
+  * read/DML ratio aggregates.
+  */
+object BenchStream {
+
+  final case class Out(
+      wallSec: Double, rows: Long, rowsPerSec: Double,
+      batches: Int, avgBatchMs: Double, startMs: Long, endMs: Long)
+
+  def run(spark: SparkSession, sfDir: String): Out = {
+    val root = Files.createTempDirectory("graft-streambench-")
+    try {
+      // --- stage: 8 single-file slices of the fixture (producer side,
+      // untimed), read with the same nanos handling as graft.Tables
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val fixture = java.nio.file.Paths.get(sfDir, "events.parquet").toString
+      val raw = spark.read.parquet(fixture)
+      val tsIsNanosLong = raw.schema("ts").dataType == LongType
+      val events = raw.select(col("event_id"),
+        (if (tsIsNanosLong) expr("timestamp_micros(ts div 1000)")
+         else col("ts").cast(TimestampType)).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val stageDir = root.resolve("stage")
+      events.repartitionByRange(8, col("event_id"))
+        .write.parquet(stageDir.toString)
+      val rows = events.count()
+
+      val catalog = new LakeCatalog(root.resolve("lake").toString)
+      val engine = new LakeEngine(spark, catalog)
+      val table = catalog.createTable("events_ingest",
+        events.schema, sortOrder = Seq(SortField("event_id")))
+
+      // --- timed region: the consumer pipeline
+      val t0 = System.currentTimeMillis()
+      val q = spark.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageDir.toString)
+        .writeStream
+        .format("graft-lake")
+        .option("path", table.location)
+        .option("checkpointLocation", root.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.currentTimeMillis() - t0) / 1000.0
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      val batchMs = progress.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+      val ingested = graft.format.LakeTable.load(table.location)
+        .currentFiles().map(_.recordCount).sum
+      require(ingested == rows, s"exactly-once ingest mismatch: $ingested != $rows")
+      Out(wall, rows, rows / math.max(wall, 1e-9),
+        progress.length,
+        if (batchMs.isEmpty) 0.0 else batchMs.sum / batchMs.length,
+        t0, t0 + math.ceil(wall * 1000).toLong)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+}

@@ -141,12 +141,28 @@ final class LakeEngine(
   }
 
   // ------------------------------------------------------------- D4
-  /** DELETE FROM t WHERE <condition> (reference commands/Delete.java:121-207). */
-  def delete(table: LakeTable, conditionSql: String): CommitMetrics =
+  /** DELETE FROM t WHERE <condition> (reference commands/Delete.java:121-207).
+    *
+    * The rebuild filters with a redundant PUSHABLE prefilter
+    * ([[graft.scan.Pred.notTrue]]) ahead of the exact 3VL keep filter:
+    * `!coalesce(cond, false)` alone reaches parquet as no filter at
+    * all, so every row group of a touched file is decoded — including
+    * groups the DELETE empties entirely. With the prefilter pushed,
+    * parquet's own row-group stats (and page indexes) skip
+    * fully-deleted groups without decoding them; a range DELETE on a
+    * sort-clustered table then decodes only the two BOUNDARY groups of
+    * each touched file. Correctness is untouched: the prefilter is
+    * implied by "cond is not true", and the exact filter still runs. */
+  def delete(table: LakeTable, conditionSql: String): CommitMetrics = {
+    val keepHint =
+      if (spark.conf.get("graft.dml.keepPrefilter", "true").toBoolean)
+        Pred.toColumn(Pred.notTrue(PredSql.compile(spark, conditionSql, table.schema)))
+      else lit(true)
     rewriteTouched(table, conditionSql) { (rows, cond) =>
-      rows.filter(!coalesce(cond, lit(false)))
+      rows.filter(keepHint).filter(!coalesce(cond, lit(false)))
         .select(table.schema.fieldNames.map(col).toSeq: _*)
     }
+  }
 
   /** Reference-parity query timeout (SwiftLakeEngine builder's
     * queryTimeoutInSeconds): run `body`'s Spark actions inside a job
@@ -326,7 +342,14 @@ final class LakeEngine(
       return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
     val candDF = new TableScan(spark, table, explicitFiles = Some(candidates),
       withFileColumns = true).toDF()
-    val touched = candDF.filter(coalesce(cond, lit(false)))
+    // redundant pushable prefilter ahead of the exact 3VL match: the
+    // coalesce wrapper alone reaches parquet as NO filter, so without
+    // this the probe decodes every row of every candidate file just to
+    // list touched ones; with it, parquet's row-group stats and page
+    // indexes skip the non-matching ranges (Pred.mayTrue is implied by
+    // the exact condition, so the touched set is unchanged)
+    val touched = candDF.filter(Pred.toColumn(Pred.mayTrue(pred)))
+      .filter(coalesce(cond, lit(false)))
       .select(candScan.FileCol).distinct().collect().map(_.getString(0)).toSet
     if (touched.isEmpty)
       return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
@@ -337,10 +360,31 @@ final class LakeEngine(
     val scanSession =
       if (!passthrough) spark
       else {
+        // The passthrough split plan (round 14): tasks must never MIX
+        // files (each output file inherits one input's sort run), but
+        // one-task-per-FILE starves the cluster when a DML touches
+        // fewer files than there are cores — the round-13 sf10 delete
+        // ran 3 tasks on 32 threads while the columnar oracle used all
+        // of them. Splitting a touched file at row-group boundaries
+        // keeps every guarantee (each slice is a consecutive, sorted,
+        // stats-tight run of one file) and restores the parallelism:
+        // maxPartitionBytes targets cores/files splits per file (8 MB
+        // slice floor so small files keep single-task rewrites), while
+        // openCostInBytes pinned to the SPLIT SIZE makes any cross-file
+        // packing overflow the bin (first chunk's length + open cost
+        // already exceeds maxPartitionBytes) — splits stay single-file
+        // whatever the file sizes. At 100 TB scale a DML touches >=
+        // cores files and this degrades to exactly the old
+        // one-task-per-file plan.
         val s2 = spark.newSession()
         val maxSz = touchedEntries.map(_.sizeBytes).max
-        s2.conf.set("spark.sql.files.maxPartitionBytes", maxSz.toString)
-        s2.conf.set("spark.sql.files.openCostInBytes", maxSz.toString)
+        val splitsPerFile =
+          if (!spark.conf.get("graft.dml.splitPassthrough", "true").toBoolean) 1L
+          else math.max(1L,
+            spark.sparkContext.defaultParallelism.toLong / touchedEntries.size)
+        val split = math.max(maxSz / splitsPerFile + 1L, 8L << 20)
+        s2.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+        s2.conf.set("spark.sql.files.openCostInBytes", split.toString)
         s2
       }
     val rows = new TableScan(scanSession, table,

@@ -232,19 +232,29 @@ object Merge {
     val boundaryCol = expr(opts.tableFilterSql)
     val effLit = lit(effTs).cast(schema(startC).dataType)
 
-    // guard scope: the WHOLE boundary (never key-pruned — the
-    // chronology guard must see every boundary row's interval, not just
-    // the rows this batch touches); Catalyst column-prunes the guard
-    // scan to the interval columns
-    val guardScan = new TableScan(spark, table, boundaryPred, withFileColumns = true)
-    val guardCandidates = guardScan.planFiles()
-    val boundaryRows = new TableScan(spark, table,
-      explicitFiles = Some(guardCandidates), withFileColumns = true).toDF()
-      .filter(coalesce(boundaryCol, lit(false)))
+    // diff scope: the WHOLE boundary (the guard below is never
+    // key-pruned — the chronology check must see every boundary row's
+    // interval, not just the rows this batch touches)
+    val guardCandidates = new TableScan(spark, table, boundaryPred,
+      withFileColumns = true).planFiles()
 
-    // out-of-order guard (reference dao/scd2_merge.xml:4-11)
-    val outOfOrder = boundaryRows.filter(
-      col(startC) >= effLit || (col(endC).isNotNull && col(endC) >= effLit))
+    // out-of-order guard (reference dao/scd2_merge.xml:4-11).
+    // Stats-first (round 14): a violating row needs startC >= eff or a
+    // non-null endC >= eff, and both columns carry footer min/max — so
+    // files whose recorded maxima sit below the effective timestamp are
+    // pruned METADATA-ONLY, which in the chronological steady state
+    // (every stored interval predates each new batch) is ALL of them:
+    // the guard costs zero data read instead of a full column-pruned
+    // boundary scan per merge. Survivors get the same predicate as a
+    // pushable row-group prefilter ahead of the exact 3VL check.
+    val violationPred = Or(Ge(startC, effTs), Ge(endC, effTs))
+    val guardFiles = new TableScan(spark, table,
+      And(boundaryPred, violationPred), withFileColumns = true).planFiles()
+    val outOfOrder = new TableScan(spark, table,
+      explicitFiles = Some(guardFiles), withFileColumns = true).toDF()
+      .filter(col(startC) >= effLit ||
+        (col(endC).isNotNull && col(endC) >= effLit)) // pushable: skips clean groups
+      .filter(coalesce(boundaryCol, lit(false)))
     if (!outOfOrder.isEmpty)
       throw new OutOfOrderMergeException(
         s"target has rows with $startC/$endC >= effective timestamp $effTs; " +

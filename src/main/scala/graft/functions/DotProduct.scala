@@ -116,6 +116,14 @@ object GraftFunctions {
         "graft_bounded_sorted_set",
         exprs => BoundedSortedCollect(
           exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      // fixed-point k-means kernels (see VecKernels.scala)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_to_fixed", exprs => FixedPointArray(
+          exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_l2_argmin", exprs => LongL2ArgMin(exprs(0), exprs(1)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_vec_sum", exprs => LongVecSum(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_ws_tokens", exprs => WsTokenCount(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

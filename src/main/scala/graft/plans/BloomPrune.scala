@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** Bloom semi-join prefilter: reduce the FACT side of an equi-join
+  * BEFORE its exchange/probe, using a bloom filter built from the
+  * build side's exact key set.
+  *
+  * This is the manual form of Spark's own `InjectRuntimeFilter`
+  * rewrite (which stays dormant here: its creation-side threshold
+  * reads Catalyst's static size estimate, and for a filtered fact
+  * slice that estimate is the unfiltered file size — the same
+  * blindness [[Hints.broadcastIfSmall]] works around). The round-14
+  * sf10 decomposition (tools/Exp21) showed q5's wall is join-input
+  * bound: one orders join adds 1.45 s over a 0.27 s lineitem scan
+  * floor, with ~85% of the 60M probe rows destined to miss. A bloom
+  * built from the ~2M-key build side costs one scan of that small
+  * side plus a codegen'd `might_contain` per fact row, and drops the
+  * misses before they are exchanged or probed.
+  *
+  * At cluster scale this matters MORE, not less: the pruned rows never
+  * leave the scan stage, so the fact exchange ships ~selectivity of
+  * the data. The bloom itself is a driver collect of `numBits/8` bytes
+  * (capped) fanned out with the task closure — same distribution cost
+  * class as a small broadcast.
+  *
+  * The filter is advisory (false positives pass, the join stays
+  * exact), so correctness never depends on it.
+  */
+object BloomPrune {
+
+  /** Hard cap on bloom size: 64 MB of bits serves ~50M keys at ~1%
+    * fpp; past that the driver collect and closure fan-out outgrow the
+    * benefit and the fact side keeps its full width. */
+  private val MaxBits: Long = 512L << 20
+
+  private def catalystColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column = {
+    // ExpressionUtils is private[sql]; its static forwarder is plain
+    // public bytecode, so reach it reflectively (no Column constructor
+    // is public in Spark 4's backend-agnostic API)
+    val cls = Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
+    cls.getMethod("column", classOf[org.apache.spark.sql.catalyst.expressions.Expression])
+      .invoke(null, e).asInstanceOf[Column]
+  }
+
+  private def catalystExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression = {
+    val cls = Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
+    cls.getMethod("expression", classOf[Column])
+      .invoke(null, c).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+  }
+
+  /** `fact` filtered to rows whose `factKey` MAY appear in `keys`'
+    * `keyCol` column (exact keys, 1% false positives, no misses).
+    * Degrades to `fact` unchanged when the key count exceeds the bloom
+    * cap, and to an empty filter when the build side is empty. Runs
+    * two small jobs at PLAN time (count + bloom build) — both scans of
+    * the small side, amortized under prepared execution exactly like
+    * [[Hints.broadcastIfSmall]]'s measured count. */
+  def pruned(fact: DataFrame, factKey: Column, keys: DataFrame, keyCol: Column): DataFrame = {
+    val n = keys.count()
+    if (n == 0) return fact.filter(lit(false))
+    val bits = n * 10 // ~1% fpp at 10 bits/key
+    if (bits > MaxBits) return fact
+    val hashed = catalystColumn(new XxHash64(Seq(catalystExpr(keyCol))))
+    val agg = catalystColumn(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        catalystExpr(hashed), Literal(n), Literal(bits))
+        .toAggregateExpression())
+    val bytes = keys.select(agg.as("bf")).head().getAs[Array[Byte]](0)
+    val probe = catalystColumn(BloomFilterMightContain(
+      Literal(bytes, BinaryType), new XxHash64(Seq(catalystExpr(factKey)))))
+    fact.filter(probe)
+  }
+}

@@ -33,6 +33,34 @@ object Hints {
   def sizeEstimate(df: DataFrame): BigInt =
     df.queryExecution.optimizedPlan.stats.sizeInBytes
 
+  /** Cap for the MEASURED broadcast path (see [[broadcastIfSmall]]'s
+    * `countOnFail`); "0" disables it. Deliberately looser than
+    * `spark.sql.autoBroadcastJoinThreshold`: that knob guards against
+    * Catalyst's blind size ESTIMATES (which without CBO can be off by
+    * orders of magnitude in either direction), while this one gates an
+    * exact executed COUNT times the schema width. The budget it has to
+    * fit is the executor-side hash relation (roughly 2-3x the raw
+    * bytes once UnsafeRows and the LongToUnsafeRowMap are built), so
+    * 128 MB raw stays under ~400 MB per executor — small against the
+    * multi-GB executor heaps any 100 TB deployment runs, and far
+    * cheaper than re-shuffling a fact table that is 3-4 orders of
+    * magnitude larger than the build side.
+    *
+    * DEFAULT OFF: on a single-JVM local[32] "cluster" the rescue is a
+    * measured NEGATIVE (tools/Exp21, sf10, exec-only with the count
+    * amortized at plan time: q5 2.55 s broadcast vs 2.34 s
+    * shuffled-hash, q3 2.16 vs 1.67, isolated orders join 2.00 vs
+    * 1.72) — a shuffle there is an in-memory copy, while every one of
+    * 32 threads contends on the single shared broadcast hash relation
+    * that also costs a per-execution collect+build. The economics
+    * invert on a real cluster, where the fact-side exchange crosses
+    * the network: set e.g. `graft.broadcast.measuredThreshold=128MB`
+    * there. */
+  def measuredBroadcastThreshold(df: DataFrame): Long =
+    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("graft.broadcast.measuredThreshold", "0"))
+    catch { case _: NumberFormatException => -1L }
+
   /** Broadcast `df` iff the size estimate of `bound` (a plan whose row
     * set provably contains `df`'s, e.g. the pre-join filtered side of a
     * key-preserving join) is within the auto-broadcast threshold.
@@ -49,12 +77,42 @@ object Hints {
     * sizes. Caveat, stated plainly: Spark's hash build does not spill,
     * so a caller whose df side can be BOTH huge and heavily skewed on
     * the join key should pass `hashFallback = false` and keep the
-    * spill-safe sort-merge. */
+    * spill-safe sort-merge.
+    *
+    * `countOnFail` (opt-in per call site) adds a SECOND chance before
+    * degrading: a plan that is cheap to execute and whose row count
+    * provably upper-bounds `df`'s (usually `df` itself when `df` is
+    * scan+filter+project, or the pre-join filtered input when `df`
+    * embeds a join that is expensive to run twice). On static-gate
+    * failure it is COUNTed — one real Spark job, paid only on the
+    * failure path — and `df` broadcasts anyway if
+    * rows x defaultSize(df.schema) fits [[measuredBroadcastThreshold]].
+    * This is the selectivity information a cost-based optimizer reads
+    * from table statistics, bought at the price of one scan of the
+    * small side: at sf10 the one-year orders slice in q5 is ~37 MB of
+    * exact rows — trivially broadcastable — but Catalyst's static
+    * estimate for it is the unfiltered file size, so without the count
+    * the whole 60M-row fact side pays an avoidable exchange. Callers
+    * whose `df` is itself expensive (e.g. an aggregation over the fact
+    * table) simply don't pass `countOnFail` and keep the old behavior.
+    * At 100 TB the measured bytes outgrow the cap and the path degrades
+    * to the same shuffled-hash join as before. */
   def broadcastIfSmall(df: DataFrame, bound: DataFrame,
-      hashFallback: Boolean = true): DataFrame = {
+      hashFallback: Boolean = true,
+      countOnFail: Option[DataFrame] = None): DataFrame = {
     val threshold = autoBroadcastThreshold(df)
     if (threshold > 0 && sizeEstimate(bound) <= threshold) broadcast(df)
-    else if (hashFallback) df.hint("shuffle_hash")
-    else df
+    else {
+      val cap = if (threshold > 0) measuredBroadcastThreshold(df) else -1L
+      val measuredFit = cap > 0 && countOnFail.exists { proxy =>
+        // defaultSize over-charges strings (flat 20 bytes) and never
+        // under-charges fixed-width types, so the product is a sane
+        // upper-ish bound on the raw broadcast payload.
+        proxy.count() * df.schema.defaultSize.toLong <= cap
+      }
+      if (measuredFit) broadcast(df)
+      else if (hashFallback) df.hint("shuffle_hash")
+      else df
+    }
   }
 }

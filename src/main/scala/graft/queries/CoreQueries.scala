@@ -96,11 +96,26 @@ object CoreQueries {
         // to a shuffle join at sf1, -13% measured on the projected
         // bound, tools/Exp8). Size-gated: at 100 TB this still degrades
         // to a shuffle join.
-        val oj = o.join(c, col("o_custkey") === col("c_custkey"))
+        // Both gates carry a countOnFail proxy: past the static bound
+        // (sf10+) the BUILDING-filtered oj slice is a few-MB exact
+        // count, and paying that one count job keeps the 60M-row fact
+        // side shuffle-free. c is scan-only, so counting it is cheap;
+        // oj's count reuses whatever join shape c's own gate picked,
+        // so it is one pass over orders, never over lineitem.
+        val cSmall = graft.plans.Hints.broadcastIfSmall(c, bound = c,
+          countOnFail = Some(c))
+        val oj = o.join(cSmall, col("o_custkey") === col("c_custkey"))
           .select("o_orderkey", "o_orderdate", "o_orderpriority")
         val ojBound = Tables.orders(s, d)
           .select("o_orderkey", "o_orderdate", "o_orderpriority")
-        l.join(graft.plans.Hints.broadcastIfSmall(oj, bound = ojBound),
+        // bloom prefilter on the (shipdate-filtered) fact side: only
+        // ~1/5 of its rows hit a BUILDING order — see q5's note
+        val lp =
+          if (s.conf.get("graft.bloom.semijoin", "true").toBoolean)
+            graft.plans.BloomPrune.pruned(l, col("l_orderkey"), oj, col("o_orderkey"))
+          else l
+        lp.join(graft.plans.Hints.broadcastIfSmall(oj, bound = ojBound,
+            countOnFail = Some(oj)),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
@@ -153,10 +168,29 @@ object CoreQueries {
             col("o_orderdate") < ts("1997-01-01 00:00:00"))
           .select("o_orderkey", "o_custkey")
         val oBound = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        val l = Tables.lineitem(s, d)
-        l.join(graft.plans.Hints.broadcastIfSmall(o, bound = oBound),
+        val l0 = Tables.lineitem(s, d)
+        // Bloom semi-join prefilter (round 14): ~6/7 of lineitem rows
+        // miss the one-year orders slice, and Exp21 showed this join's
+        // input volume IS q5's wall (one join = +1.45 s over a 0.27 s
+        // scan floor at sf10). The bloom drops misses inside the scan
+        // stage, before they are exchanged or probed — the shape that
+        // matters at 1000 executors, where pruned rows never hit the
+        // network. Advisory-only: false positives pass, the join stays
+        // exact, and BloomPrune degrades to a no-op past its key cap.
+        val l =
+          if (s.conf.get("graft.bloom.semijoin", "true").toBoolean)
+            graft.plans.BloomPrune.pruned(l0, col("l_orderkey"), o, col("o_orderkey"))
+          else l0
+        // countOnFail: past the static bound, the one-year slice is an
+        // exact ~2M-row/16B count (~34 MB at sf10) — broadcastable for
+        // the price of one pushed-filter orders scan, keeping the fact
+        // path exchange-free. Both proxies are scan+filter plans.
+        // (measuredThreshold defaults OFF locally — see Hints scaladoc)
+        l.join(graft.plans.Hints.broadcastIfSmall(o, bound = oBound,
+            countOnFail = Some(o)),
             col("l_orderkey") === col("o_orderkey"))
-          .join(graft.plans.Hints.broadcastIfSmall(c, bound = c),
+          .join(graft.plans.Hints.broadcastIfSmall(c, bound = c,
+            countOnFail = Some(c)),
             col("o_custkey") === col("c_custkey"))
           .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))

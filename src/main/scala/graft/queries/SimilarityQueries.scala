@@ -210,61 +210,68 @@ object SimilarityQueries {
     * bit-identical centroids at every iteration where any floating
     * formulation diverges on summation order.
     *
-    * Shape per iteration (the 100 TB-sound plan): the k-row centroid
-    * relation broadcasts and fans out via a constant-key HASH join
-    * (k x n intermediate, map-side); assignment is a min_by aggregation
-    * on vec_id; the update re-aggregates by (cid, pos) — two shuffles
-    * per iteration, both on bounded-width rows, never on raw text or
-    * full precision. Driver state is zero: centroids live in a
-    * broadcast relation, not a collect.
+    * Shape per iteration (the 100 TB-sound plan, rewritten round 14 —
+    * the first version exploded the fact k-fold through a constant-key
+    * join and paid interpreted `zip_with`+`aggregate` lambdas per
+    * (row, centroid): 57 s at sf10 for ~0.2 GFLOP of arithmetic):
+    * the k centroids collapse to ONE broadcast row
+    * (`collect_list(struct(cid, carr))`), assignment is a map-only
+    * projection through the native [[graft.functions.LongL2ArgMin]]
+    * kernel (tight primitive loop per row, ties to the smallest cid —
+    * same order the oracle's row_number ORDER BY dist, cid picks), and
+    * the update + cluster stats FUSE into a single groupBy(cid) whose
+    * [[graft.functions.LongVecSum]] buffers are k x dim longs — one
+    * bounded shuffle per iteration, no posexplode into n x dim rows,
+    * zero driver state. Identical exact integer arithmetic, so results
+    * stay bit-identical to the oracle at every iteration.
     */
   private def kmeansQ: Q = Q("sim_kmeans",
     (s, d) => {
       import org.apache.spark.sql.DataFrame
       import org.apache.spark.sql.types._
+      graft.functions.GraftFunctions.register(s)
       val k = 8
       val iters = 2
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"),
-          transform(col("embedding"),
-            x => round(x.cast(DoubleType) * lit(1000000.0), 0).cast(LongType))
-            .as("varr"))
-      def assign(cent: DataFrame): DataFrame = {
-        val fact = emb.withColumn("g", Present.constKey(col("vec_id") + lit(1L)))
-        val cdim = cent.withColumn("g", Present.constKey(col("cid") + lit(1)))
-        fact.join(broadcast(cdim), "g")
-          .withColumn("dist",
-            aggregate(zip_with(col("varr"), col("carr"), (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, x) => acc + x))
-          .groupBy("vec_id")
-          .agg(
-            min_by(struct(col("cid"), col("varr")),
-              struct(col("dist"), col("cid"))).as("a"),
-            min(struct(col("dist"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("a.cid").as("cid"), col("a.varr").as("varr"),
-            col("m.dist").as("dist"))
-      }
-      def update(assigned: DataFrame): DataFrame = assigned
-        .select(col("cid"), posexplode(col("varr")).as(Seq("pos", "vi")))
-        .groupBy("cid", "pos")
-        .agg(round(sum(col("vi")).cast(DoubleType) / count(lit(1)), 0)
-          .cast(LongType).as("ci"))
+          // native fixed-point conversion (FixedPointArray): identical
+          // to transform(round(cast * 1e6, 0).cast(long)) but one tight
+          // loop per row instead of an interpreted lambda per element
+          expr("graft_to_fixed(embedding, 6)").as("varr"))
+      // one-row relation holding every centroid; order inside the array
+      // is irrelevant (the kernel scans all k), sorted anyway for plan
+      // determinism
+      def centsRow(cent: DataFrame): DataFrame = cent
+        .agg(array_sort(collect_list(struct(col("cid"), col("carr")))).as("cents"))
+        // constKey over a DATA-DEPENDENT value (array size >= 1): a
+        // literal would constant-fold the equi-condition away and
+        // degrade the broadcast hash join to a nested loop
+        .withColumn("g", Present.constKey(size(col("cents")).cast("long") + 1L))
+      def assign(cent: DataFrame): DataFrame = emb
+        .withColumn("g", Present.constKey(col("vec_id") + lit(1L)))
+        .join(broadcast(centsRow(cent)), "g")
+        .withColumn("a", expr("graft_l2_argmin(varr, cents)"))
+        .select(col("vec_id"), col("a.cid").as("cid"), col("a.dist").as("dist"),
+          col("varr"))
+      // fused centroid update + cluster stats: one 8-group aggregation
+      def updateStats(assigned: DataFrame): DataFrame = assigned
         .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
-          x => x.getField("ci")).as("carr"))
+        .agg(expr("graft_vec_sum(varr)").as("vsum"),
+          count(lit(1)).as("n"), sum(col("dist")).as("ssd"))
+        .withColumn("carr", transform(col("vsum"),
+          x => round(x.cast(DoubleType) / col("n"), 0).cast(LongType)))
       var cent = emb.filter(col("vec_id") < k)
         .select(col("vec_id").cast(IntegerType).as("cid"), col("varr").as("carr"))
-      var lastAssign: DataFrame = null
+      var stats: DataFrame = null
       for (_ <- 1 to iters) {
-        lastAssign = assign(cent)
-        cent = update(lastAssign)
+        stats = updateStats(assign(cent))
+        cent = stats.select(col("cid"), col("carr"))
       }
-      val sizes = lastAssign.groupBy("cid")
-        .agg(count(lit(1)).as("n"), sum(col("dist")).as("ssd"))
-      val digest = cent.select(col("cid"),
-        element_at(col("carr"), 1).as("c0"), element_at(col("carr"), 2).as("c1"),
-        element_at(col("carr"), 3).as("c2"), element_at(col("carr"), 4).as("c3"))
-      sizes.join(broadcast(digest), "cid")
+      // sizes/ssd come from the LAST assignment, the digest from the
+      // centroids updated AFTER it — both live in the same fused row
+      stats.select(col("cid"), col("n"), col("ssd"),
+          element_at(col("carr"), 1).as("c0"), element_at(col("carr"), 2).as("c1"),
+          element_at(col("carr"), 3).as("c2"), element_at(col("carr"), 4).as("c3"))
         .transform(Present.driverAgg(_, "cid" -> true))
     },
     oracle = Some("""

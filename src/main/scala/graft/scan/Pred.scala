@@ -82,6 +82,60 @@ object Pred {
     case Opaque(sql)     => expr(sql)
   }
 
+  /** Pushdown-friendly over-approximation of "p is TRUE" (round 14):
+    * Opaque subtrees — which render to arbitrary `expr(sql)` that the
+    * parquet source cannot push — degrade to AlwaysTrue, everything
+    * else stays the exact pushable atom. `p true => mayTrue(p) true`,
+    * so filtering by `toColumn(mayTrue(p))` AHEAD of the exact match
+    * filter never drops a matching row; what it buys is parquet
+    * ROW-GROUP (and page-index) skipping inside files the file-level
+    * pruner could not exclude — the DML probe's `coalesce(cond,false)`
+    * wrapper blocks all pushdown on its own, so without this redundant
+    * prefilter every candidate row is decoded just to find touched
+    * files. */
+  def mayTrue(p: Pred): Pred = p match {
+    case And(l, r) => And(mayTrue(l), mayTrue(r))
+    case Or(l, r)  => Or(mayTrue(l), mayTrue(r))
+    case Opaque(_) => AlwaysTrue
+    case atom      => atom
+  }
+
+  /** Pushdown-friendly over-approximation of "p is NOT TRUE" — the
+    * rows a DELETE keeps under SQL 3VL (condition false OR null).
+    * Unlike [[negate]] (whose comparison flips deliberately drop NULL
+    * rows, matching row-filter semantics of NOT), every rewritten atom
+    * here re-admits NULLs via an OR IsNull disjunct, and atoms whose
+    * "not true" set has no pushable shape (NaN tests, prefix tests,
+    * Opaque) degrade to AlwaysTrue. Soundness: `p not-true =>
+    * notTrue(p) true`. Used as a redundant prefilter ahead of DELETE's
+    * exact keep filter: a row group whose stats prove the prefilter
+    * false everywhere is a FULLY-DELETED group, and parquet skips it
+    * without decoding a single page — the stats-only half of the
+    * reference's row-group-granular rewrite (commands/WriteUtil
+    * .java:367-450) for free. */
+  def notTrue(p: Pred): Pred = p match {
+    case AlwaysTrue   => AlwaysFalse
+    case AlwaysFalse  => AlwaysTrue
+    case And(l, r)    => Or(notTrue(l), notTrue(r))
+    case Or(l, r)     => And(notTrue(l), notTrue(r))
+    case Eq(c, v)     => Or(Ne(c, v), IsNull(c))
+    case Ne(c, v)     => Or(Eq(c, v), IsNull(c))
+    case Lt(c, v)     => Or(Ge(c, v), IsNull(c))
+    case Le(c, v)     => Or(Gt(c, v), IsNull(c))
+    case Gt(c, v)     => Or(Le(c, v), IsNull(c))
+    case Ge(c, v)     => Or(Lt(c, v), IsNull(c))
+    // a NULL in the list poisons both IN (null for every non-match,
+    // so "not true" is everything but exact matches — the NotIn column
+    // can't express that) and NOT IN (never true at all): degrade
+    case In(c, vs) if vs.contains(null)    => AlwaysTrue
+    case NotIn(c, vs) if vs.contains(null) => AlwaysTrue
+    case In(c, vs)    => Or(NotIn(c, vs), IsNull(c))
+    case NotIn(c, vs) => Or(In(c, vs), IsNull(c))
+    case IsNull(c)    => NotNull(c)
+    case NotNull(c)   => IsNull(c)
+    case _            => AlwaysTrue
+  }
+
   /** Columns referenced (for projection pushdown bookkeeping). */
   def references(p: Pred): Set[String] = p match {
     case And(l, r) => references(l) ++ references(r)

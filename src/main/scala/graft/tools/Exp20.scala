@@ -1,0 +1,84 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+
+/** Round-14 probe of the measured-broadcast path
+  * ([[graft.plans.Hints.broadcastIfSmall]] `countOnFail`): at sf10 the
+  * static gate rejects q5's one-year orders slice and q3's
+  * BUILDING-filtered oj side, so round-12 degraded both to a
+  * shuffled-hash join — the fact side paid an exchange the exact row
+  * count proves unnecessary (~34 MB / ~105 MB payloads). This measures
+  * the rescue against the round-12 fallback in the same JVM,
+  * interleaved A/B (the round-12 block-ordered probes drifted 25%
+  * within a JVM; interleaving is the recorded discipline).
+  *
+  * Same session shape as Bench at sf10. Not part of the driver
+  * contract.
+  */
+object Exp20 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.network.timeout", "600s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    val reg = Registry.all.map(q => q.name -> q).toMap
+    def build(name: String, measured: Boolean): DataFrame = {
+      spark.conf.set("graft.broadcast.measuredThreshold",
+        if (measured) "128MB" else "0")
+      try reg(name).run(spark, sfDir)
+      finally spark.conf.unset("graft.broadcast.measuredThreshold")
+    }
+
+    // one-off plan audit: did the measured path actually flip the join?
+    for (name <- Seq("q5_local_supplier", "q3_shipping_priority")) {
+      val on = build(name, measured = true).queryExecution.executedPlan.toString
+      val off = build(name, measured = false).queryExecution.executedPlan.toString
+      def shape(p: String) = s"BHJ=${p.sliding(17).count(_ == "BroadcastHashJoin")} " +
+        s"SHJ=${p.sliding(15).count(_ == "ShuffledHashJoin")} " +
+        s"SMJ=${p.sliding(13).count(_ == "SortMergeJoin")} " +
+        s"Exchange=${p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Broadcast"))}"
+      println(s"== exp20 plan $name  measured: ${shape(on)}   static: ${shape(off)}")
+    }
+
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "q5_measured" -> (() => build("q5_local_supplier", measured = true)),
+      "q5_static" -> (() => build("q5_local_supplier", measured = false)),
+      "q3_measured" -> (() => build("q3_shipping_priority", measured = true)),
+      "q3_static" -> (() => build("q3_shipping_priority", measured = false)))
+
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    // interleaved: warmup round 0 discarded, then round-robin passes
+    for (round <- 0 to passes; (name, mk) <- variants) {
+      val t0 = System.nanoTime()
+      val n = mk().collect().length
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (round > 0) times(name) = times(name) :+ sec
+      if (round == 0) println(f"== exp20 warmup $name rows $n")
+      System.gc()
+    }
+    variants.foreach { case (name, _) =>
+      val ts = times(name)
+      println(f"== exp20 $name%-14s min ${ts.min}%.3f  " +
+        f"passes ${ts.map(t => f"$t%.3f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-14 follow-up to Exp20: that probe timed BUILD+EXEC together,
+  * so the measured-broadcast arm was charged its count() job on every
+  * pass — but Bench's prepared mode (and any prepared-statement
+  * deployment) pays the count once at plan time. This probe separates
+  * them Bench-style: build each DataFrame once (count jobs land in
+  * build_ms), then time `executedPlan.clone().executeCollect()` per
+  * pass, interleaved. It also decomposes q5's wall into floors:
+  *
+  *   l_scan   — lineitem 4-col scan + scalar agg (the vectorized-scan
+  *              floor nothing can beat)
+  *   l_joino  — + the single orders join (SHJ vs measured-broadcast),
+  *              isolating what the join strategy is worth
+  *   q5/q3    — full queries, static vs measured arms
+  */
+object Exp21 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.network.timeout", "600s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    val reg = Registry.all.map(q => q.name -> q).toMap
+    def withCap[T](measured: Boolean)(body: => T): T = {
+      spark.conf.set("graft.broadcast.measuredThreshold",
+        if (measured) "128MB" else "0")
+      try body finally spark.conf.unset("graft.broadcast.measuredThreshold")
+    }
+
+    def lineitem4 = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    def oSlice = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    def joino(measured: Boolean) = withCap(measured) {
+      lineitem4.join(
+          graft.plans.Hints.broadcastIfSmall(oSlice, bound = oSlice,
+            countOnFail = if (measured) Some(oSlice) else None),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    }
+
+    val builds: Seq[(String, () => DataFrame)] = Seq(
+      "l_scan" -> (() => lineitem4
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))),
+      "l_joino_shj" -> (() => joino(measured = false)),
+      "l_joino_bcast" -> (() => joino(measured = true)),
+      "q5_static" -> (() => withCap(false)(reg("q5_local_supplier").run(spark, sfDir))),
+      "q5_measured" -> (() => withCap(true)(reg("q5_local_supplier").run(spark, sfDir))),
+      "q3_static" -> (() => withCap(false)(reg("q3_shipping_priority").run(spark, sfDir))),
+      "q3_measured" -> (() => withCap(true)(reg("q3_shipping_priority").run(spark, sfDir))))
+
+    val prepared = builds.map { case (name, mk) =>
+      val b0 = System.nanoTime()
+      val df = mk()
+      df.queryExecution.executedPlan
+      println(f"== exp21 build $name%-14s ${(System.nanoTime() - b0) / 1e9}%.3f s")
+      name -> df
+    }
+
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (round <- 0 to passes; (name, df) <- prepared) {
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.executedPlan.clone().executeCollect().length
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (round > 0) times(name) = times(name) :+ sec
+      if (round == 0) println(s"== exp21 warmup $name rows $n")
+      System.gc()
+    }
+    prepared.foreach { case (name, _) =>
+      val ts = times(name)
+      println(f"== exp21 $name%-14s min ${ts.min}%.3f  " +
+        f"passes ${ts.map(t => f"$t%.3f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,120 @@
+package graft.tools
+
+import graft._
+import graft.plans.{BloomPrune, Hints}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-14 probe: bloom semi-join prefilter for q5 at sf10.
+  *
+  * Exp21 established (a) measured-broadcast loses to SHJ at local[32]
+  * (shared-map probe vs cache-local partitioned builds) and (b) q5 is
+  * join-input bound: +1.45 s for one orders join over a 0.27 s scan
+  * floor, with ~6/7 of the 60M lineitem rows destined to miss the
+  * 1-year orders slice. This measures [[BloomPrune.pruned]] on the
+  * fact side, plus a q3 decomposition (orders-side vs lineitem-side
+  * walls) to locate its 2.4x. Bench-style: plans prepared once (count
+  * + bloom-build jobs land in build time), passes time
+  * `executedPlan.clone().executeCollect()`, interleaved.
+  */
+object Exp22 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.network.timeout", "600s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    val reg = Registry.all.map(q => q.name -> q).toMap
+    def ts(s: String) = lit(s).cast("timestamp_ntz")
+    def dsum(c: org.apache.spark.sql.Column, name: String) =
+      sum(c.cast("decimal(18,4)")).cast("double").as(name)
+
+    def q5bloom(prune: Boolean): DataFrame = {
+      val dim = Tables.supplier(spark, sfDir)
+        .join(broadcast(Tables.nation(spark, sfDir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey")
+      val l0 = Tables.lineitem(spark, sfDir)
+      val l = if (prune) BloomPrune.pruned(l0, col("l_orderkey"), o, col("o_orderkey")) else l0
+      l.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }
+
+    // q3 decomposition
+    def q3oj: DataFrame = {
+      val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      Tables.orders(spark, sfDir).filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s"))
+    }
+    def q3l: DataFrame = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+      .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s"))
+
+    def withCapOff[T](body: => T): T = {
+      spark.conf.set("graft.broadcast.measuredThreshold", "0")
+      try body finally spark.conf.unset("graft.broadcast.measuredThreshold")
+    }
+
+    val builds: Seq[(String, () => DataFrame)] = Seq(
+      "q5_static" -> (() => withCapOff(reg("q5_local_supplier").run(spark, sfDir))),
+      "q5_bloom" -> (() => q5bloom(prune = true)),
+      "q5_nobloom" -> (() => q5bloom(prune = false)),
+      "q3_static" -> (() => withCapOff(reg("q3_shipping_priority").run(spark, sfDir))),
+      "q3_ojonly" -> (() => q3oj),
+      "q3_lonly" -> (() => q3l))
+
+    val prepared = builds.map { case (name, mk) =>
+      val b0 = System.nanoTime()
+      val df = mk()
+      df.queryExecution.executedPlan
+      println(f"== exp22 build $name%-12s ${(System.nanoTime() - b0) / 1e9}%.3f s")
+      name -> df
+    }
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (round <- 0 to passes; (name, df) <- prepared) {
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.executedPlan.clone().executeCollect().length
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (round > 0) times(name) = times(name) :+ sec
+      if (round == 0) println(s"== exp22 warmup $name rows $n")
+      System.gc()
+    }
+    prepared.foreach { case (name, _) =>
+      val ts = times(name)
+      println(f"== exp22 $name%-12s min ${ts.min}%.3f  " +
+        f"passes ${ts.map(t => f"$t%.3f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,139 @@
+package graft.tools
+
+import graft._
+import graft.commands.LakeEngine
+import graft.format._
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-14 sf10 measurement of the three changes this round landed:
+  *
+  *  1. `sim_kmeans` rewrite (native argmin kernel + fused update) vs
+  *     the recorded 57.5 s wall.
+  *  2. Bloom semi-join prefilter inside the REGISTRY q5/q3 (on/off via
+  *     `graft.bloom.semijoin`), exec-only, plans prepared once.
+  *  3. DELETE keep-prefilter pushdown (`graft.dml.keepPrefilter`):
+  *     BenchDml's dml_delete scenario (8-file date-sorted orders, 15%
+  *     date-range DELETE), interleaved A/B on fresh metadata clones.
+  */
+object Exp23 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.network.timeout", "600s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    val reg = Registry.all.map(q => q.name -> q).toMap
+    def bloom[T](on: Boolean)(body: => T): T = {
+      spark.conf.set("graft.bloom.semijoin", on.toString)
+      try body finally spark.conf.unset("graft.bloom.semijoin")
+    }
+
+    // ---- read-side arms, Bench-style prepared ----
+    val builds: Seq[(String, () => DataFrame)] = Seq(
+      "kmeans_new" -> (() => reg("sim_kmeans").run(spark, sfDir)),
+      "q5_bloom" -> (() => bloom(true)(reg("q5_local_supplier").run(spark, sfDir))),
+      "q5_nobloom" -> (() => bloom(false)(reg("q5_local_supplier").run(spark, sfDir))),
+      "q3_bloom" -> (() => bloom(true)(reg("q3_shipping_priority").run(spark, sfDir))),
+      "q3_nobloom" -> (() => bloom(false)(reg("q3_shipping_priority").run(spark, sfDir))))
+    val prepared = builds.map { case (name, mk) =>
+      val b0 = System.nanoTime()
+      val df = mk()
+      df.queryExecution.executedPlan
+      println(f"== exp23 build $name%-12s ${(System.nanoTime() - b0) / 1e9}%.3f s")
+      name -> df
+    }
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (round <- 0 to passes; (name, df) <- prepared) {
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.executedPlan.clone().executeCollect().length
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (round > 0) times(name) = times(name) :+ sec
+      if (round == 0) println(s"== exp23 warmup $name rows $n")
+      System.gc()
+    }
+    prepared.foreach { case (name, _) =>
+      val ts = times(name)
+      println(f"== exp23 $name%-12s min ${ts.min}%.3f  " +
+        f"passes ${ts.map(t => f"$t%.3f").mkString(", ")}")
+    }
+
+    // ---- dml_delete A/B (BenchDml's scenario shape) ----
+    val root = Files.createTempDirectory("graft-exp23-")
+    try {
+      val orders = Tables.orders(spark, sfDir)
+      val stats = orders.agg(
+        min(col("o_orderdate")), max(col("o_orderdate")), count(lit(1))).head()
+      val (minD, maxD) =
+        (stats.getAs[java.time.LocalDateTime](0), stats.getAs[java.time.LocalDateTime](1))
+      val n = stats.getLong(2)
+      val dSpanSec = java.time.Duration.between(minD, maxD).getSeconds
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      val d1s = minD.plusSeconds((dSpanSec * 0.30).toLong).withNano(0).format(fmt)
+      val d2s = minD.plusSeconds((dSpanSec * 0.45).toLong).withNano(0).format(fmt)
+      val delCond = s"o_orderdate >= TIMESTAMP_NTZ'$d1s' AND o_orderdate < TIMESTAMP_NTZ'$d2s'"
+      val catalog = new LakeCatalog(root.toString)
+      val engine = new LakeEngine(spark, catalog)
+      val base = catalog.createTable("orders_del", orders.schema,
+        sortOrder = Seq(SortField("o_orderdate")),
+        properties = Map("write.max-records-per-file" -> math.max(n / 8, 1L).toString))
+      engine.insert(base, orders)
+      def copyTree(src: Path, dst: Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        Files.walk(src).iterator().asScala.foreach { p =>
+          val t = dst.resolve(src.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+        }
+      }
+      var runIdx = 0
+      def freshClone(): LakeTable = {
+        runIdx += 1
+        val loc = root.resolve(s"run-$runIdx")
+        copyTree(Paths.get(base.location, "metadata"), loc.resolve("metadata"))
+        Files.createDirectories(loc.resolve("data"))
+        LakeTable.load(loc.toString)
+      }
+      val dtimes = scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      for (round <- 0 to passes; on <- Seq(true, false)) {
+        spark.conf.set("graft.dml.keepPrefilter", on.toString)
+        val t = freshClone()
+        val t0 = System.nanoTime()
+        engine.delete(t, delCond)
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.conf.unset("graft.dml.keepPrefilter")
+        val name = if (on) "del_prefilter" else "del_plain"
+        if (round > 0) dtimes(name) = dtimes(name) :+ sec
+        System.gc()
+      }
+      Seq("del_prefilter", "del_plain").foreach { name =>
+        val ts = dtimes(name)
+        println(f"== exp23 $name%-13s min ${ts.min}%.3f  " +
+          f"passes ${ts.map(t => f"$t%.3f").mkString(", ")}")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    spark.stop()
+  }
+}

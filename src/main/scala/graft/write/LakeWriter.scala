@@ -143,7 +143,15 @@ object LakeWriter extends Serializable {
     val staging = table.dataDir.resolve(s"stage-${UUID.randomUUID().toString.take(8)}")
     var w = sorted.write.mode("overwrite")
       .option("compression", props.getOrElse("write.parquet.compression", "zstd"))
-      .option("parquet.block.size", props.getOrElse("write.parquet.row-group-size-bytes", (128 * 1024 * 1024).toString))
+      // 32 MB default row groups (vs parquet-mr's 128 MB): row-group
+      // stats/page-index pruning and the CoW rewrite's intra-file
+      // parallelism both work at GROUP granularity, and 128 MB buffered
+      // groups left a 50 MB data file with ~1 group — unsplittable for
+      // a rewrite and all-or-nothing for pruning. 32 MB keeps groups
+      // well above the size where per-group overhead shows while giving
+      // a file 4-8 independently skippable/rewritable slices (DuckDB's
+      // own layout runs ~122k-row groups for the same reason).
+      .option("parquet.block.size", props.getOrElse("write.parquet.row-group-size-bytes", (32 * 1024 * 1024).toString))
     props.get("write.max-records-per-file").foreach(v => w = w.option("maxRecordsPerFile", v))
     // `graft.write.bloom-columns` = comma list: parquet row-group bloom
     // filters for high-cardinality point-lookup columns — min/max pruning

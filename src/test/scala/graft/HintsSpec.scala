@@ -38,4 +38,68 @@ class HintsSpec extends SparkSpec {
       assert(!plan2.contains("shuffle_hash"), s"hashFallback=false still hinted:\n$plan2")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("measured path: exact count rescues a side the static gate rejects") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1") // static gate must fail
+    spark.conf.set("graft.broadcast.measuredThreshold", "128MB") // default-off: opt in
+    try {
+      val fact = spark.range(0, 1000).toDF("k")
+      // 100 rows x 8B long = 800B, far under the 128MB measured cap
+      val side = Hints.broadcastIfSmall(bigSide.limit(100), bound = bigSide,
+        countOnFail = Some(bigSide.limit(100)))
+      val plan = fact.join(side, "k").queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"measured count did not broadcast:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("graft.broadcast.measuredThreshold")
+    }
+  }
+
+  test("measured path is OFF by default (local negative, tools/Exp21)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val fact = spark.range(0, 1000).toDF("k")
+      val side = Hints.broadcastIfSmall(bigSide.limit(100), bound = bigSide,
+        countOnFail = Some(bigSide.limit(100)))
+      val plan = fact.join(side, "k").queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), s"default should stay SHJ:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("measured path: count above the cap still degrades to shuffled-hash") {
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    spark.conf.set("graft.broadcast.measuredThreshold", "64") // 64 BYTES: 1000x8B fails
+    try {
+      val fact = spark.range(0, 1000).toDF("k")
+      val side = Hints.broadcastIfSmall(bigSide, bound = bigSide,
+        countOnFail = Some(bigSide))
+      val plan = fact.join(side, "k").queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), s"over-cap count still broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"sort-merge survived:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.unset("graft.broadcast.measuredThreshold")
+    }
+  }
+
+  test("measured path: disabled broadcast (threshold<=0) skips the count entirely") {
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // a proxy that would THROW if executed: proves count() is never run
+      val poison = spark.range(0, 10).toDF("k")
+        .filter(org.apache.spark.sql.functions.udf((k: Long) => {
+          if (k >= 0) throw new IllegalStateException("counted a poison proxy")
+          true
+        }).apply(col("k")))
+      val side = Hints.broadcastIfSmall(bigSide, bound = bigSide,
+        countOnFail = Some(poison))
+      val plan = spark.range(0, 1000).toDF("k").join(side, "k")
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("broadcast"), s"broadcast hint with broadcasting disabled:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+  }
 }

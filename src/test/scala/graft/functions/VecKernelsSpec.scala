@@ -1,0 +1,91 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pins for the round-14 fixed-point vector kernels: each must be
+  * BIT-IDENTICAL to the SQL formulation it replaced (the k-means gate
+  * hash-compares against a DuckDB oracle built on the SQL semantics).
+  */
+class VecKernelsSpec extends SparkSpec {
+
+  private def embDF(n: Int, dim: Int, seed: Long) = {
+    graft.functions.GraftFunctions.register(spark)
+    val r = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.fill(dim)((r.nextFloat() * 2 - 1f)))
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+  }
+
+  test("graft_to_fixed == transform(round(cast*1e6,0).cast(long)) on fuzz + adversarial values") {
+    val base = embDF(2000, 16, seed = 42)
+    // adversarial: exact ties, near-ties, negatives, zero
+    val adversarial = Seq(
+      Array(0.0000005f, -0.0000005f, 0.0000015f, -0.0000015f),
+      Array(0.5f, -0.5f, 1.4999999f, -1.4999999f),
+      Array(0f, -0f, 1f, -1f, 0.9999999f)).zipWithIndex
+      .map { case (a, i) => (10000L + i, a) }
+    val df = base.unionByName(
+      spark.createDataFrame(adversarial).toDF("vec_id", "embedding"))
+    val both = df.select(
+      expr("graft_to_fixed(embedding, 6)").as("kernel"),
+      transform(col("embedding"),
+        x => round(x.cast(DoubleType) * lit(1000000.0), 0).cast(LongType)).as("sql"))
+    assert(both.filter(not(col("kernel") <=> col("sql"))).count() == 0)
+  }
+
+  test("graft_to_fixed: null array and null elements propagate") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.sql(
+      "SELECT graft_to_fixed(CAST(NULL AS ARRAY<FLOAT>), 6) AS a, " +
+        "graft_to_fixed(array(CAST(1.5 AS FLOAT), CAST(NULL AS FLOAT)), 6) AS b")
+    val r = df.head()
+    assert(r.isNullAt(0))
+    assert(r.getSeq[Any](1) == Seq(1500000L, null))
+  }
+
+  test("graft_l2_argmin matches the explode/min_by formulation incl. tie-breaks") {
+    val emb = embDF(500, 8, seed = 7)
+      .select(col("vec_id"), expr("graft_to_fixed(embedding, 6)").as("varr"))
+    // centroids: first 4 vectors, plus a DUPLICATE of cid 0 under cid 9
+    // so dist ties exist and must resolve to the smaller cid
+    val cent = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("varr").as("carr"))
+    val centDup = cent.unionByName(
+      cent.filter(col("cid") === 0).select(lit(9).as("cid"), col("carr")))
+    val centsRow = centDup
+      .agg(array_sort(collect_list(struct(col("cid"), col("carr")))).as("cents"))
+    val kernel = emb.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), expr("graft_l2_argmin(varr, cents)").as("a"))
+      .select(col("vec_id"), col("a.cid").as("cid"), col("a.dist").as("dist"))
+    val brute = emb.crossJoin(broadcast(centDup))
+      .withColumn("dist",
+        aggregate(zip_with(col("varr"), col("carr"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+    assert(kernel.join(brute, "vec_id")
+      .filter(kernel("cid") =!= brute("cid") || kernel("dist") =!= brute("dist"))
+      .count() == 0)
+    // every tie with the duplicated centroid resolved to cid 0, never 9
+    assert(kernel.filter(col("cid") === 9).count() == 0)
+  }
+
+  test("graft_vec_sum matches posexplode + per-position sums") {
+    val emb = embDF(800, 8, seed = 13)
+      .select(col("vec_id"), (col("vec_id") % 3).cast(IntegerType).as("g"),
+        expr("graft_to_fixed(embedding, 6)").as("varr"))
+    val kernel = emb.groupBy("g").agg(expr("graft_vec_sum(varr)").as("vsum"))
+    val brute = emb
+      .select(col("g"), posexplode(col("varr")).as(Seq("pos", "vi")))
+      .groupBy("g", "pos").agg(sum("vi").as("s"))
+      .groupBy("g")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("vsum"))
+    assert(kernel.join(brute, "g")
+      .filter(not(kernel("vsum") <=> brute("vsum"))).count() == 0)
+  }
+}

