@@ -340,17 +340,32 @@ final class LakeEngine(
     val candidates = candScan.planFiles()
     if (candidates.isEmpty)
       return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
-    val candDF = new TableScan(spark, table, explicitFiles = Some(candidates),
-      withFileColumns = true).toDF()
+    // Stats-decided probe split (round 14, after the Exp26 isolation
+    // put >half the sf10 delete wall in this probe): a candidate whose
+    // stats prove EVERY row matches (range fully covering the file's
+    // min/max, no nulls — `provablyAll` is sound because the compiled
+    // Pred is semantically the condition, with Opaque subtrees
+    // hardening to false) is touched with ZERO data read; only the
+    // boundary files whose stats are ambiguous pay the row probe. For
+    // a range DML on a sort-clustered table that is 2 files however
+    // many the range covers.
+    val evaluator = new StatsEvaluator(table.schema, table.metadata.specsById)
+    val (sureTouched, ambiguous) =
+      candidates.partition(f => evaluator.provablyAll(pred, f))
     // redundant pushable prefilter ahead of the exact 3VL match: the
     // coalesce wrapper alone reaches parquet as NO filter, so without
     // this the probe decodes every row of every candidate file just to
     // list touched ones; with it, parquet's row-group stats and page
     // indexes skip the non-matching ranges (Pred.mayTrue is implied by
     // the exact condition, so the touched set is unchanged)
-    val touched = candDF.filter(Pred.toColumn(Pred.mayTrue(pred)))
-      .filter(coalesce(cond, lit(false)))
-      .select(candScan.FileCol).distinct().collect().map(_.getString(0)).toSet
+    val probed =
+      if (ambiguous.isEmpty) Set.empty[String]
+      else new TableScan(spark, table, explicitFiles = Some(ambiguous),
+          withFileColumns = true).toDF()
+        .filter(Pred.toColumn(Pred.mayTrue(pred)))
+        .filter(coalesce(cond, lit(false)))
+        .select(candScan.FileCol).distinct().collect().map(_.getString(0)).toSet
+    val touched = sureTouched.map(_.path).toSet ++ probed
     if (touched.isEmpty)
       return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
     val touchedEntries = candidates.filter(f => touched.contains(f.path))

@@ -1,0 +1,102 @@
+package graft.tools
+
+import graft._
+import graft.commands.LakeEngine
+import graft.format._
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+/** Round-14 job-level decomposition of the sf10 dml_delete wall: the
+  * split passthrough + keep prefilter left the wall flat (~1.2 s,
+  * Exp24), so the bound is NOT the rewrite's decode/encode — this
+  * prints per-job wall times and gaps (driver-side work: planning,
+  * footer harvest, manifest commit) across one timed delete.
+  */
+object Exp25 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val orders = Tables.orders(spark, sfDir)
+    val stats = orders.agg(
+      min(col("o_orderdate")), max(col("o_orderdate")), count(lit(1))).head()
+    val (minD, maxD) =
+      (stats.getAs[java.time.LocalDateTime](0), stats.getAs[java.time.LocalDateTime](1))
+    val n = stats.getLong(2)
+    val dSpanSec = java.time.Duration.between(minD, maxD).getSeconds
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val d1s = minD.plusSeconds((dSpanSec * 0.30).toLong).withNano(0).format(fmt)
+    val d2s = minD.plusSeconds((dSpanSec * 0.45).toLong).withNano(0).format(fmt)
+    val delCond = s"o_orderdate >= TIMESTAMP_NTZ'$d1s' AND o_orderdate < TIMESTAMP_NTZ'$d2s'"
+
+    val root = Files.createTempDirectory("graft-exp25-")
+    try {
+      val catalog = new LakeCatalog(root.toString)
+      val engine = new LakeEngine(spark, catalog)
+      val base = catalog.createTable("orders_del", orders.schema,
+        sortOrder = Seq(SortField("o_orderdate")),
+        properties = Map("write.max-records-per-file" -> math.max(n / 8, 1L).toString))
+      engine.insert(base, orders)
+      def copyTree(src: Path, dst: Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        Files.walk(src).iterator().asScala.foreach { p =>
+          val t = dst.resolve(src.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+        }
+      }
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Int)]()
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          starts.put(j.jobId, (j.time, j.stageInfos.map(_.numTasks).sum))
+        override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+          Option(starts.get(j.jobId)).foreach { case (t0, nt) =>
+            jobs.put(j.jobId, (t0, j.time, nt))
+          }
+        }
+      })
+      for (pass <- 0 to 2) {
+        var idx = pass
+        val loc = root.resolve(s"run-$pass")
+        copyTree(Paths.get(base.location, "metadata"), loc.resolve("metadata"))
+        Files.createDirectories(loc.resolve("data"))
+        val t = LakeTable.load(loc.toString)
+        jobs.clear(); starts.clear()
+        val t0 = System.currentTimeMillis()
+        engine.delete(t, delCond)
+        val t1 = System.currentTimeMillis()
+        Thread.sleep(300)
+        import scala.jdk.CollectionConverters._
+        val js = jobs.asScala.toSeq.sortBy(_._2._1)
+        var cursor = t0
+        println(f"== exp25 pass $pass wall ${(t1 - t0) / 1000.0}%.3f s, ${js.size} jobs")
+        js.foreach { case (id, (s, e, nt)) =>
+          println(f"== exp25   gap ${math.max(0, s - cursor)}%5d ms | job $id%3d " +
+            f"${e - s}%5d ms  tasks $nt%3d")
+          cursor = math.max(cursor, e)
+        }
+        println(f"== exp25   tail gap ${math.max(0, t1 - cursor)}%5d ms (commit/driver)")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    spark.stop()
+  }
+}

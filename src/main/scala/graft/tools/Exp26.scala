@@ -1,0 +1,113 @@
+package graft.tools
+
+import graft._
+import graft.commands.LakeEngine
+import graft.format._
+import graft.scan.{Pred, PredSql, TableScan}
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-14 probe-shape isolation: Exp25 put ~55% of the sf10
+  * dml_delete wall in the touched-file PROBE job. Variants of just
+  * that job over the same table, interleaved:
+  *
+  *   probe_scan    — rewriteTouched's exact shape (TableScan with
+  *                   file columns, prefilter + exact filter, distinct)
+  *   probe_raw     — plain spark.read over the candidate paths with
+  *                   input_file_name(), same filters
+  *   probe_nopf    — probe_scan without the pushable prefilter
+  *   probe_count   — filter + count (scan floor, no file column)
+  */
+object Exp26 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val orders = Tables.orders(spark, sfDir)
+    val stats = orders.agg(
+      min(col("o_orderdate")), max(col("o_orderdate")), count(lit(1))).head()
+    val (minD, maxD) =
+      (stats.getAs[java.time.LocalDateTime](0), stats.getAs[java.time.LocalDateTime](1))
+    val n = stats.getLong(2)
+    val dSpanSec = java.time.Duration.between(minD, maxD).getSeconds
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val d1s = minD.plusSeconds((dSpanSec * 0.30).toLong).withNano(0).format(fmt)
+    val d2s = minD.plusSeconds((dSpanSec * 0.45).toLong).withNano(0).format(fmt)
+    val delCond = s"o_orderdate >= TIMESTAMP_NTZ'$d1s' AND o_orderdate < TIMESTAMP_NTZ'$d2s'"
+
+    val root = Files.createTempDirectory("graft-exp26-")
+    try {
+      val catalog = new LakeCatalog(root.toString)
+      val engine = new LakeEngine(spark, catalog)
+      val table = catalog.createTable("orders_del", orders.schema,
+        sortOrder = Seq(SortField("o_orderdate")),
+        properties = Map("write.max-records-per-file" -> math.max(n / 8, 1L).toString))
+      engine.insert(table, orders)
+
+      val pred = PredSql.compile(spark, delCond, table.schema)
+      val cond = expr(delCond)
+      val candScan = new TableScan(spark, table, pred, withFileColumns = true)
+      val candidates = candScan.planFiles()
+      println(s"== exp26 candidates ${candidates.size} of ${table.currentFiles().size} files")
+
+      def probeScan(pf: Boolean): Array[String] = {
+        val candDF = new TableScan(spark, table, explicitFiles = Some(candidates),
+          withFileColumns = true).toDF()
+        val base = if (pf) candDF.filter(Pred.toColumn(Pred.mayTrue(pred))) else candDF
+        base.filter(coalesce(cond, lit(false)))
+          .select(candScan.FileCol).distinct().collect().map(_.getString(0))
+      }
+      def probeRaw(): Array[String] = {
+        spark.read.parquet(candidates.map(_.path): _*)
+          .filter(Pred.toColumn(Pred.mayTrue(pred)))
+          .filter(coalesce(cond, lit(false)))
+          .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
+      }
+      def probeCount(): Long =
+        spark.read.parquet(candidates.map(_.path): _*)
+          .filter(Pred.toColumn(Pred.mayTrue(pred)))
+          .filter(coalesce(cond, lit(false))).count()
+
+      val variants: Seq[(String, () => Any)] = Seq(
+        "probe_scan" -> (() => probeScan(pf = true)),
+        "probe_nopf" -> (() => probeScan(pf = false)),
+        "probe_raw" -> (() => probeRaw()),
+        "probe_count" -> (() => probeCount()))
+      val times = scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      for (round <- 0 to 4; (name, mk) <- variants) {
+        val t0 = System.nanoTime()
+        val r = mk()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (round > 0) times(name) = times(name) :+ sec
+        if (round == 0) println(s"== exp26 warmup $name -> ${r match {
+          case a: Array[_] => a.length; case x => x }}")
+        System.gc()
+      }
+      variants.foreach { case (name, _) =>
+        val ts = times(name)
+        println(f"== exp26 $name%-12s min ${ts.min}%.3f  " +
+          f"passes ${ts.map(t => f"$t%.3f").mkString(", ")}")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    spark.stop()
+  }
+}
