@@ -206,6 +206,20 @@ object Multimodal {
       Row(id, f(0), f(1), f(2), f(3), planeBytes)
     }
 
+  /** AC variant of [[mp4CavlcFrameFeatures]] ([[MediaSynth.mp4CavlcAc]]
+    * fixtures): the decode path additionally exercises the general
+    * residual reader (run_before, tc=2 total_zeros, nC bookkeeping)
+    * and the full per-4x4 inverse core transform + AC dequant; the
+    * luma sum stays closed-form (see the encoder's scaladoc). */
+  def mp4CavlcAcFrameFeatures(df: DataFrame, idCol: String): DataFrame =
+    videoFrameFeatures(df, idCol, "video/mp4", StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_frames", LongType),
+        StructField("width", LongType), StructField("height", LongType),
+        StructField("lum_sum", LongType), StructField("plane_bytes", LongType))),
+      MediaSynth.mp4CavlcAc) { (id, f, planeBytes) =>
+      Row(id, f(0), f(1), f(2), f(3), planeBytes)
+    }
+
   /** Shared decode mapper for the PNG gates: synthesize the per-id PNG,
     * route it through the registered image codec, and project the
     * feature array ([w, h, lumSum] ++ 16-bin histogram) into `schema`.
@@ -847,6 +861,97 @@ object MediaSynth {
     mp4Container(wMb, hMb, (0 until nFrames).map(nalIdr))
   }
 
+  /** AC sibling of [[mp4Cavlc]] (round 14): every macroblock codes
+    * mb_type 15 — I_16x16, DC prediction, CodedBlockPattern luma 15 —
+    * so each MB carries the Intra16x16DCLevel block AND sixteen
+    * Intra16x16ACLevel blocks. The DC payload is identical to
+    * [[mp4Cavlc]] (MB 0 codes L(id, f), the rest zero). AC payloads sit
+    * ONLY in the raster-LAST macroblock (so DC flat-propagation to
+    * every other MB is untouched), in luma4x4 blocks 10, 12 and 15 —
+    * mutually non-adjacent in the 4x4 grid, hence nC = 0 for every
+    * coded block and for all that follow:
+    *
+    *   blk10: TotalCoeff 1, T1 0, level +5 at AC pos 4  -> d(0,2)=1120
+    *   blk12: TotalCoeff 1, T1 1, level -1 at AC pos 2  -> d(2,0)=-224
+    *   blk15: TotalCoeff 2, T1 1, -1 at AC pos 4, +2 at AC pos 2
+    *          (total_zeros 3 in the tc=2 column, run_before 1 at
+    *          zerosLeft 3)                -> d(0,2)=-224, d(2,0)=448
+    *
+    * At QP 51 the dequantized cells of the three inverse transforms
+    * form fixed multisets ({+-1120 x8}, {+-224 x8}, {+-224 x4,
+    * +-672 x4} around the block's DC term D), so the frame-0 luma sum
+    * stays a closed form:
+    *   W*H*(128 + floor((56L+32)/64))
+    *     + 8 f(1120) + 8 f(-1120) + 12 f(224) + 12 f(-224)
+    *     + 4 f(672) + 4 f(-672) - 48 f(0)
+    * with f(x) = floor((D + x + 32)/64) and D = 56L when the frame is
+    * a single MB (the last MB IS MB 0) else 0. No pixel clips (max
+    * |residual| 25 around a [121,135] base). Shares only bit
+    * primitives with the decoder — tables and placement are written
+    * independently on each side. */
+  def mp4CavlcAc(id: Long): Array[Byte] = {
+    val wMb = (1 + id % 2).toInt
+    val hMb = (1 + (id / 2) % 2).toInt
+    val nFrames = (1 + id % 3).toInt
+
+    def nalIdr(f: Int): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x65, 8)
+      bw.ue(0); bw.ue(7); bw.ue(0)
+      bw.u(0, 4); bw.ue(0)
+      bw.u(0, 1); bw.u(0, 1)
+      bw.se(25) // QP 51
+      val lvl = (1 + (id + f) % 8).toInt * (if (id % 3 == 0) -1 else 1)
+      val nMbs = wMb * hMb
+      var mb = 0
+      while (mb < nMbs) {
+        bw.ue(15) // mb_type: I_16x16, predMode DC(2), cbp luma 15 chroma 0
+        bw.ue(0) // intra_chroma_pred_mode: DC
+        bw.se(0) // mb_qp_delta
+        // Intra16x16DCLevel (nC = 0): same payload as mp4Cavlc
+        if (mb == 0) {
+          if (math.abs(lvl) == 1) {
+            bw.u(1, 2) // coeff_token "01": TotalCoeff=1, TrailingOnes=1
+            bw.u(if (lvl < 0) 1 else 0, 1)
+          } else {
+            bw.u(0x5, 6) // coeff_token "000101": TotalCoeff=1, T1=0
+            val lc = (if (lvl > 0) 2 * lvl - 2 else -2 * lvl - 1) - 2
+            bw.u(0, lc); bw.u(1, 1)
+          }
+          bw.u(1, 1) // total_zeros = 0
+        } else {
+          bw.u(1, 1) // TotalCoeff = 0
+        }
+        // Intra16x16ACLevel x16 (block-scan order), all nC = 0
+        var bi = 0
+        while (bi < 16) {
+          if (mb == nMbs - 1 && bi == 10) {
+            bw.u(0x5, 6) // coeff_token "000101": tc=1, t1=0
+            bw.u(0, 6); bw.u(1, 1) // level +5: prefix 6 (levelCode 8-2)
+            bw.u(2, 4) // total_zeros 4 (tc=1 column): "0010"
+          } else if (mb == nMbs - 1 && bi == 12) {
+            bw.u(1, 2) // coeff_token "01": tc=1, t1=1
+            bw.u(1, 1) // trailing-one sign: negative
+            bw.u(2, 3) // total_zeros 2 (tc=1 column): "010"
+          } else if (mb == nMbs - 1 && bi == 15) {
+            bw.u(0x4, 6) // coeff_token "000100": tc=2, t1=1
+            bw.u(1, 1) // T1 sign: -1 (highest-frequency coefficient)
+            bw.u(1, 1) // level +2: levelCode 2 - 2 re-add -> prefix 0
+            bw.u(0x4, 3) // total_zeros 3 (tc=2 column): "100"
+            bw.u(2, 2) // run_before 1 at zerosLeft 3: "10"
+          } else {
+            bw.u(1, 1) // TotalCoeff = 0
+          }
+          bi += 1
+        }
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+    mp4Container(wMb, hMb, (0 until nFrames).map(nalIdr))
+  }
+
   private def mp4SpsNal(wMb: Int, hMb: Int): Array[Byte] = {
     val bw = new graft.extras.H264.BitWriter
     bw.u(0x67, 8) // nal: ref_idc=3, type=7 (SPS)
@@ -1169,6 +1274,47 @@ private[extras] object H264 {
     * (0,0) of the scaling matrix V). */
   private val DcLevelScale: Array[Int] = Array(10, 11, 13, 14, 16, 18)
 
+  /** Full LevelScale4x4 rows (spec 8.5.9 normAdjust4x4): per m = qP%6,
+    * (a, b, c) for positions (even,even) / (odd,odd) / mixed. */
+  private val AcLevelScale: Array[Array[Int]] = Array(
+    Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+    Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+
+  /** AC coefficient dequantization (spec 8.5.12.1) for luma 4x4. */
+  private def dequantAc(c: Int, qp: Int, i: Int, j: Int): Int = {
+    val cls = if (i % 2 == 0 && j % 2 == 0) 0 else if (i % 2 == 1 && j % 2 == 1) 1 else 2
+    val ls = AcLevelScale(qp % 6)(cls)
+    if (qp >= 24) (c * ls) << (qp / 6 - 4)
+    else (c * ls + (1 << (3 - qp / 6))) >> (4 - qp / 6)
+  }
+
+  /** 4x4 inverse core transform (spec 8.5.12.2): the two-stage integer
+    * butterfly with >>1 half terms; output still carries the 2^6 gain
+    * (caller applies (x + 32) >> 6). */
+  private def inverse4x4(d: Array[Array[Int]]): Array[Array[Int]] = {
+    val f = Array.ofDim[Int](4, 4)
+    var i = 0
+    while (i < 4) { // rows
+      val e0 = d(i)(0) + d(i)(2)
+      val e1 = d(i)(0) - d(i)(2)
+      val e2 = (d(i)(1) >> 1) - d(i)(3)
+      val e3 = d(i)(1) + (d(i)(3) >> 1)
+      f(i)(0) = e0 + e3; f(i)(1) = e1 + e2; f(i)(2) = e1 - e2; f(i)(3) = e0 - e3
+      i += 1
+    }
+    val hOut = Array.ofDim[Int](4, 4)
+    var j = 0
+    while (j < 4) { // columns
+      val e0 = f(0)(j) + f(2)(j)
+      val e1 = f(0)(j) - f(2)(j)
+      val e2 = (f(1)(j) >> 1) - f(3)(j)
+      val e3 = f(1)(j) + (f(3)(j) >> 1)
+      hOut(0)(j) = e0 + e3; hOut(1)(j) = e1 + e2; hOut(2)(j) = e1 - e2; hOut(3)(j) = e0 - e3
+      j += 1
+    }
+    hOut
+  }
+
   /** residual_block_cavlc (spec 9.2) for the DC-only subset: returns
     * `maxNumCoeff` coefficient levels in zigzag scan order. Throws on
     * any code point outside the subset (callers degrade to null). */
@@ -1233,6 +1379,154 @@ private[extras] object H264 {
     out
   }
 
+  // ------------------------------------------------------------------
+  // General residual_block_cavlc (round 14, AC extension) — grows the
+  // DC-only reader to the TRANSCRIBED SUBSET of the CAVLC tables that
+  // the AC gate's streams (and any stream of the same shape) can emit:
+  //   coeff_token  Table 9-5: nC<2 rows through TotalCoeff 3 plus the
+  //                nC>=8 fixed-length column (algorithmic);
+  //   total_zeros  Table 9-7: TotalCoeff 1 (structural scheme, as the
+  //                DC reader) and the full TotalCoeff 2 column;
+  //   run_before   Table 9-10: zerosLeft 1-5 and the >6 column
+  //                (zerosLeft 6 stays behind the seam).
+  // Level decoding (9.2.2.1, incl. escapes) is general and shared in
+  // structure with the DC reader. Everything outside the subset throws
+  // and the caller degrades to null — the same honest-seam contract
+  // the DC decoder ships with.
+  // ------------------------------------------------------------------
+
+  /** @return (zigzag-scan coefficient array of maxNumCoeff, TotalCoeff) */
+  private[extras] def readResidualCavlc(
+      r: BitReader, maxNumCoeff: Int, nC: Int): (Array[Int], Int) = {
+    val (tc, t1) =
+      if (nC >= 0 && nC < 2) {
+        if (r.u(1) == 1) (0, 0)
+        else if (r.u(1) == 1) (1, 1)
+        else if (r.u(1) == 1) (2, 2)
+        else r.u(2) match {
+          case 3 => (3, 3) // "00011"
+          case 2 => if (r.u(1) == 1) (1, 0) else (2, 1) // "000101"/"000100"
+          case _ => throw new java.io.IOException("coeff_token beyond the nC<2 subset")
+        }
+      } else if (nC >= 8) {
+        // 6-bit fixed-length column: (TotalCoeff, T1) = (b>>2, b&3),
+        // with (0,0) coded as binary 000011
+        val b = r.u(6).toInt
+        if (b == 3) (0, 0)
+        else {
+          val v = (b >> 2, b & 3)
+          if (v._1 < 1 || v._1 > maxNumCoeff + 1 || v._2 > math.min(3, v._1))
+            throw new java.io.IOException("bad fixed-length coeff_token")
+          v
+        }
+      } else throw new java.io.IOException("coeff_token columns 2<=nC<8 not transcribed")
+    val out = new Array[Int](maxNumCoeff)
+    if (tc == 0) return (out, 0)
+    if (tc > maxNumCoeff) throw new java.io.IOException("TotalCoeff > maxNumCoeff")
+    // levels (spec 9.2.2.1) — same general path as the DC reader
+    val level = new Array[Int](tc)
+    var suffixLength = if (tc > 10 && t1 < 3) 1 else 0
+    var i = 0
+    while (i < tc) {
+      if (i < t1) level(i) = if (r.u(1) == 1) -1 else 1
+      else {
+        var prefix = 0
+        while (r.u(1) == 0) {
+          prefix += 1
+          if (prefix > 47) throw new java.io.IOException("bad level_prefix")
+        }
+        var levelCode = math.min(15, prefix) << suffixLength
+        val suffixSize =
+          if (prefix >= 15) prefix - 3
+          else if (prefix == 14 && suffixLength == 0) 4
+          else suffixLength
+        if (suffixSize > 0) levelCode += r.u(suffixSize).toInt
+        if (prefix >= 15 && suffixLength == 0) levelCode += 15
+        if (prefix >= 16) levelCode += (1 << (prefix - 3)) - 4096
+        if (i == t1 && t1 < 3) levelCode += 2
+        level(i) = if (levelCode % 2 == 0) (levelCode + 2) >> 1 else -((levelCode + 1) >> 1)
+        if (suffixLength == 0) suffixLength = 1
+        if (math.abs(level(i)) > (3 << (suffixLength - 1)) && suffixLength < 6)
+          suffixLength += 1
+      }
+      i += 1
+    }
+    // total_zeros (Table 9-7)
+    var zerosLeft =
+      if (tc == maxNumCoeff) 0
+      else tc match {
+        case 1 => // structural column: "1"=0, 0^z 1 b -> 2z-1+(1-b), tail
+          var z = 0
+          while (r.u(1) == 0) {
+            z += 1
+            if (z > 8) throw new java.io.IOException("bad total_zeros")
+          }
+          if (z == 0) 0
+          else if (z == 8) 15
+          else 2 * z - 1 + (1 - r.u(1).toInt)
+        case 2 =>
+          // full TotalCoeff=2 column: 111=0 110=1 101=2 100=3 011=4
+          // 0101=5 0100=6 0011=7 0010=8 00011=9 00010=10 000011=11
+          // 000010=12 000001=13 000000=14
+          val b3 = r.u(3).toInt
+          if (b3 >= 3) 7 - b3
+          else if (b3 == 2) 5 + (1 - r.u(1).toInt) // 0101/0100
+          else if (b3 == 1) 7 + (1 - r.u(1).toInt) // 0011/0010
+          else { // 000..., then: 11=9 10=10 011=11 010=12 001=13 000=14
+            val n2 = r.u(2).toInt
+            if (n2 == 3) 9
+            else if (n2 == 2) 10
+            else if (n2 == 1) 12 - r.u(1).toInt // 011=11 010=12
+            else 14 - r.u(1).toInt // 001=13 000=14
+          }
+        case _ => throw new java.io.IOException(
+          s"total_zeros column TotalCoeff=$tc not transcribed")
+      }
+    if (zerosLeft < 0 || tc + zerosLeft > maxNumCoeff)
+      throw new java.io.IOException("bad total_zeros")
+    // placement with run_before (Table 9-10), highest frequency first
+    var idx = tc + zerosLeft - 1
+    i = 0
+    while (i < tc) {
+      out(idx) = level(i)
+      if (i < tc - 1) {
+        val rb =
+          if (zerosLeft == 0) 0
+          else math.min(zerosLeft, 7) match {
+            case 1 => 1 - r.u(1).toInt
+            case 2 => if (r.u(1) == 1) 0 else (2 - r.u(1).toInt)
+            case 3 => 3 - r.u(2).toInt
+            case 4 =>
+              val b = r.u(2).toInt
+              if (b >= 1) 3 - b else (4 - r.u(1).toInt) // 001=3 000=4
+            case 5 =>
+              val b = r.u(2).toInt
+              if (b >= 2) 3 - b // 11=0 10=1
+              else if (b == 1) 3 - r.u(1).toInt // 011=2 010=3
+              else 5 - r.u(1).toInt // 001=4 000=5
+            case 6 => throw new java.io.IOException(
+              "run_before zerosLeft=6 column not transcribed")
+            case _ => // zerosLeft > 6
+              val b = r.u(3).toInt
+              if (b >= 1) 7 - b
+              else { // 000, then unary: 0001=7 00001=8 ...
+                var k = 0
+                while (r.u(1) == 0) {
+                  k += 1
+                  if (k > 8) throw new java.io.IOException("bad run_before")
+                }
+                7 + k
+              }
+          }
+        if (rb > zerosLeft) throw new java.io.IOException("run_before > zerosLeft")
+        zerosLeft -= rb
+        idx -= 1 + rb
+      }
+      i += 1
+    }
+    (out, tc)
+  }
+
   /** Decode the luma plane of a CAVLC IDR slice whose macroblocks are
     * all I_16x16 / DC-prediction / cbp 0 (DC residual only). Returns
     * null outside that profile (caller degrades). */
@@ -1253,18 +1547,61 @@ private[extras] object H264 {
       val h = sps.heightMbs * 16
       val luma = new Array[Byte](w * h)
       val nMbs = sps.widthMbs * sps.heightMbs
+      // per-4x4-block AC TotalCoeff in plane coordinates, for the nC
+      // neighbor prediction (9.2.1): left/top averaged when both
+      // available, copied when one is, 0 when neither
+      val w4 = sps.widthMbs * 4
+      val h4 = sps.heightMbs * 4
+      val nnz = new Array[Int](w4 * h4)
+      // luma4x4BlkIdx -> (x, y) in 4x4 units within the MB (6.4.3 scan)
+      val blkX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+      val blkY = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+      val idxAt = Array.ofDim[Int](16) // (y*4+x) -> blkIdx
+      var bi0 = 0
+      while (bi0 < 16) { idxAt(blkY(bi0) * 4 + blkX(bi0)) = bi0; bi0 += 1 }
       var mb = 0
       while (mb < nMbs) {
         val mbType = r.ue().toInt
-        // mb_type 1..4 = Intra_16x16, CodedBlockPattern luma 0 chroma 0
-        // (Table 7-11); prediction mode = mb_type - 1, DC (2) only here
-        if (mbType < 1 || mbType > 4 || mbType - 1 != 2) return null
+        // mb_type 1..24 = Intra_16x16 (Table 7-11): mbType-1 encodes
+        // predMode (%4), cbpChroma (/4 %3) and cbpLuma (>=12 -> 15).
+        // This profile: DC prediction (2), chroma cbp 0, luma cbp 0
+        // (DC-only residual) or 15 (round-14 AC extension)
+        if (mbType < 1 || mbType > 24) return null
+        val rem = (mbType - 1) % 12
+        val cbpLuma15 = mbType - 1 >= 12
+        if (rem % 4 != 2 || rem / 4 != 0) return null
         if (r.ue() > 3) return null // intra_chroma_pred_mode
         qp += r.se().toInt // mb_qp_delta (always present for I_16x16)
         if (qp < 0 || qp > 51) return null
-        // cbpLuma = 0 -> every AC 4x4 block is uncoded, so the nnz
-        // prediction feeding the DC block's nC is 0 in this profile
-        val dcZig = readResidualDcCavlc(r, 16, 0)
+        val gx0 = (mb % sps.widthMbs) * 4
+        val gy0 = (mb / sps.widthMbs) * 4
+        def ncOf(bi: Int): Int = {
+          val gx = gx0 + blkX(bi)
+          val gy = gy0 + blkY(bi)
+          val hasA = gx > 0
+          val hasB = gy > 0
+          if (hasA && hasB) (nnz(gy * w4 + gx - 1) + nnz((gy - 1) * w4 + gx) + 1) >> 1
+          else if (hasA) nnz(gy * w4 + gx - 1)
+          else if (hasB) nnz((gy - 1) * w4 + gx)
+          else 0
+        }
+        // Intra16x16DCLevel: nC predicted from luma4x4 block 0's
+        // neighbors (their recorded AC TotalCoeff)
+        val dcZig = readResidualCavlc(r, 16, ncOf(0))._1
+        // Intra16x16ACLevel x16 when cbpLuma == 15, in block-scan order
+        val ac: Array[Array[Int]] =
+          if (!cbpLuma15) null
+          else {
+            val out = new Array[Array[Int]](16)
+            var bi = 0
+            while (bi < 16) {
+              val (coeffs, tc) = readResidualCavlc(r, 15, ncOf(bi))
+              out(bi) = coeffs
+              nnz((gy0 + blkY(bi)) * w4 + gx0 + blkX(bi)) = tc
+              bi += 1
+            }
+            out
+          }
         // zigzag -> 4x4, inverse Hadamard f = H c H
         val c = Array.ofDim[Int](4, 4)
         var k = 0
@@ -1322,16 +1659,55 @@ private[extras] object H264 {
           else if (hasTop) (sumT + 8) >> 4
           else if (hasLeft) (sumL + 8) >> 4
           else 128
-        var yy = 0
-        while (yy < 16) {
-          var xx = 0
-          while (xx < 16) {
-            val res = (dcY(yy / 4)(xx / 4) + 32) >> 6
-            val px = math.max(0, math.min(255, pred + res))
-            luma((mbY + yy) * w + mbX + xx) = px.toByte
-            xx += 1
+        if (ac == null) {
+          // cbpLuma 0: the inverse core transform of a DC-only block is
+          // flat (dc + 32) >> 6 — keep the closed-form fill
+          var yy = 0
+          while (yy < 16) {
+            var xx = 0
+            while (xx < 16) {
+              val res = (dcY(yy / 4)(xx / 4) + 32) >> 6
+              val px = math.max(0, math.min(255, pred + res))
+              luma((mbY + yy) * w + mbX + xx) = px.toByte
+              xx += 1
+            }
+            yy += 1
           }
-          yy += 1
+        } else {
+          // cbpLuma 15: per 4x4 block, the core transform input is the
+          // Hadamard-decoded DC at (0,0) plus the dequantized AC
+          // coefficients (zigzag positions 1..15), one rounding
+          var by = 0
+          while (by < 4) {
+            var bx = 0
+            while (bx < 4) {
+              val d = Array.ofDim[Int](4, 4)
+              d(0)(0) = dcY(by)(bx)
+              val coeffs = ac(idxAt(by * 4 + bx))
+              var kk = 0
+              while (kk < 15) {
+                if (coeffs(kk) != 0) {
+                  val (zi, zj) = ZigZag4x4(kk + 1)
+                  d(zi)(zj) = dequantAc(coeffs(kk), qp, zi, zj)
+                }
+                kk += 1
+              }
+              val hh = inverse4x4(d)
+              var yy = 0
+              while (yy < 4) {
+                var xx = 0
+                while (xx < 4) {
+                  val res = (hh(yy)(xx) + 32) >> 6
+                  val px = math.max(0, math.min(255, pred + res))
+                  luma((mbY + by * 4 + yy) * w + mbX + bx * 4 + xx) = px.toByte
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
         }
         mb += 1
       }

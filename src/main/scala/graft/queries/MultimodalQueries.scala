@@ -280,6 +280,48 @@ object MultimodalQueries {
           (1 + doc_id % 3) * (16 * (1 + doc_id % 2)) * (16 * (1 + (doc_id // 2) % 2))
             AS plane_bytes
         FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
-      doc = "CAVLC I-frame decode: entropy-coded DC levels + inverse Hadamard + dequant + intra DC pred vs closed-form pixel oracle")
+      doc = "CAVLC I-frame decode: entropy-coded DC levels + inverse Hadamard + dequant + intra DC pred vs closed-form pixel oracle"),
+
+    // ------------------------------------------------------------------
+    Q("multimodal_h264_cavlc_ac",
+      (s, d) => {
+        // round-14 stretch: AC residuals. Every MB is I_16x16 / DC /
+        // cbpLuma 15, and the raster-LAST macroblock codes three AC
+        // blocks (TotalCoeff 1/1/2 with a level escape, a trailing-one
+        // sign, the tc=2 total_zeros column and a real run_before), so
+        // the decode exercises the general residual reader, the nC
+        // neighbor bookkeeping, per-position AC dequant and the full
+        // 4x4 inverse core transform. The coefficients are fixed, so
+        // the frame-0 luma sum is the DC closed form plus a floor-sum
+        // over the three blocks' fixed cell multisets — with the DC
+        // term D = 56L inside the rounding whenever the frame is a
+        // single MB (the last MB IS MB 0), else 0 (see
+        // MediaSynth.mp4CavlcAc's derivation).
+        Multimodal.mp4CavlcAcFrameFeatures(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+            16 * (1 + doc_id % 2) AS width,
+            16 * (1 + (doc_id // 2) % 2) AS height,
+            1 + doc_id % 3 AS n_frames,
+            ((1 + doc_id % 8) * (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END)) AS lvl,
+            CASE WHEN doc_id % 4 = 0
+              THEN 56 * ((1 + doc_id % 8) * (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END))
+              ELSE 0 END AS dd
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+          CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+          CAST(width * height * (128 + floor((56.0 * lvl + 32) / 64.0))
+            + 8 * floor((dd + 1152.0) / 64) + 8 * floor((dd - 1088.0) / 64)
+            + 12 * floor((dd + 256.0) / 64) + 12 * floor((dd - 192.0) / 64)
+            + 4 * floor((dd + 704.0) / 64) + 4 * floor((dd - 640.0) / 64)
+            - 48 * floor((dd + 32.0) / 64)
+            AS BIGINT) AS lum_sum,
+          CAST(n_frames * width * height AS BIGINT) AS plane_bytes
+        FROM p ORDER BY doc_id"""),
+      doc = "CAVLC AC residuals: general residual reader (run_before, tc=2 total_zeros, nC bookkeeping) + AC dequant + 4x4 inverse core transform vs closed-form floor-sum oracle")
   )
 }

@@ -1,0 +1,105 @@
+package graft.tools
+
+import graft._
+import graft.commands.{LakeEngine, Merge}
+import graft.format._
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-14 A/B: did the 32 MB row-group default (good for the CoW
+  * delete's pruning + split parallelism) tax the SCD merges? The r14
+  * sf10 sweep showed scd1/scd2 walls up ~0.5-0.8 s vs the r12 record —
+  * inside oracle drift, but the layout changed too. This isolates it:
+  * the BenchDml scd1 scenario with the merge table built at 32 MB vs
+  * 128 MB row groups, interleaved on fresh metadata clones.
+  */
+object Exp27 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.network.timeout", "600s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val orders = Tables.orders(spark, sfDir)
+    val stats = orders.agg(
+      min(col("o_orderkey")), max(col("o_orderkey")), count(lit(1))).head()
+    val (minK, maxK) = (stats.getLong(0), stats.getLong(1))
+    val n = stats.getLong(2)
+    val span = maxK - minK + 1
+    val (lo, hi) = (minK + (span * 0.30).toLong, minK + (span * 0.45).toLong)
+
+    val root = Files.createTempDirectory("graft-exp27-")
+    try {
+      val catalog = new LakeCatalog(root.toString)
+      val engine = new LakeEngine(spark, catalog)
+      def build(name: String, rg: Long): LakeTable = {
+        val t = catalog.createTable(name, orders.schema,
+          sortOrder = Seq(SortField("o_orderkey")),
+          properties = Map(
+            "write.max-records-per-file" -> math.max(n / 8, 1L).toString,
+            "write.parquet.row-group-size-bytes" -> rg.toString))
+        engine.insert(t, orders)
+        t
+      }
+      val base32 = build("scd_32m", 32L << 20)
+      val base128 = build("scd_128m", 128L << 20)
+      // BenchDml's scd1 source: range-scoped updates + out-of-range inserts
+      def source() = {
+        val upd = orders.filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        val ins = orders.filter(col("o_orderkey") > maxK - span / 100)
+          .withColumn("o_orderkey", col("o_orderkey") + span)
+        upd.unionByName(ins)
+      }
+      def copyTree(src: Path, dst: Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        Files.walk(src).iterator().asScala.foreach { p =>
+          val t = dst.resolve(src.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+        }
+      }
+      var runIdx = 0
+      def freshClone(base: LakeTable): LakeTable = {
+        runIdx += 1
+        val loc = root.resolve(s"run-$runIdx")
+        copyTree(Paths.get(base.location, "metadata"), loc.resolve("metadata"))
+        Files.createDirectories(loc.resolve("data"))
+        LakeTable.load(loc.toString)
+      }
+      val times = scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+      for (round <- 0 to passes; (name, base) <- Seq("scd1_32m" -> base32, "scd1_128m" -> base128)) {
+        val t = freshClone(base)
+        val t0 = System.nanoTime()
+        Merge.scd1(engine, t, source(), Merge.Scd1Options(keyCols = Seq("o_orderkey")))
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (round > 0) times(name) = times(name) :+ sec
+        System.gc()
+      }
+      Seq("scd1_32m", "scd1_128m").foreach { name =>
+        val ts = times(name)
+        println(f"== exp27 $name%-10s min ${ts.min}%.3f  " +
+          f"passes ${ts.map(t => f"$t%.3f").mkString(", ")}")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    spark.stop()
+  }
+}

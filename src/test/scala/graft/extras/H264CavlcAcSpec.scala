@@ -1,0 +1,85 @@
+package graft.extras
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Off-Spark pins for the round-14 CAVLC AC path: the full decode
+  * chain (container walk, slice parse, general residual reader, nC
+  * bookkeeping, AC dequant, 4x4 inverse core transform, DC prediction)
+  * against the closed-form floor-sum the oracle SQL uses — computed
+  * here independently from the derivation constants, NOT from decoder
+  * internals. */
+class H264CavlcAcSpec extends AnyFunSuite {
+
+  private def fl(x: Double): Long = math.floor(x / 64.0).toLong
+
+  /** The encoder scaladoc's closed form for frame 0's luma sum. */
+  private def expectedLumSum(id: Long): Long = {
+    val w = 16L * (1 + id % 2)
+    val h = 16L * (1 + (id / 2) % 2)
+    val lvl = (1 + id % 8) * (if (id % 3 == 0) -1 else 1)
+    val d = if (id % 4 == 0) 56.0 * lvl else 0.0
+    w * h * (128 + fl(56.0 * lvl + 32)) +
+      8 * fl(d + 1152) + 8 * fl(d - 1088) +
+      12 * fl(d + 256) + 12 * fl(d - 192) +
+      4 * fl(d + 704) + 4 * fl(d - 640) -
+      48 * fl(d + 32)
+  }
+
+  test("AC fixture decodes to the closed-form luma sum for 64 ids") {
+    (0L until 64L).foreach { id =>
+      val f = JvmMp4Codec.features(MediaSynth.mp4CavlcAc(id), "video/mp4")
+      assert(f(0) == 1 + id % 3, s"id=$id n_frames")
+      assert(f(1) == 16 * (1 + id % 2), s"id=$id width")
+      assert(f(3) == expectedLumSum(id), s"id=$id lum_sum")
+      // histogram rows account for every pixel of frame 0
+      assert(f.drop(4).sum == f(1) * f(2), s"id=$id hist mass")
+    }
+  }
+
+  test("DC-only fixture still decodes byte-identically after the generalization") {
+    (0L until 32L).foreach { id =>
+      val f = JvmMp4Codec.features(MediaSynth.mp4Cavlc(id), "video/mp4")
+      val w = 16L * (1 + id % 2)
+      val h = 16L * (1 + (id / 2) % 2)
+      val lvl = (1 + id % 8) * (if (id % 3 == 0) -1 else 1)
+      assert(f(3) == w * h * (128 + fl(56.0 * lvl + 32)), s"id=$id DC lum_sum")
+    }
+  }
+
+  test("general residual reader: tc=2 placement with run_before") {
+    // hand-built bitstream: coeff_token "000100" (tc2,t1 1), sign -,
+    // level +2 ("1"), total_zeros 3 ("100"), run_before 1 ("10") -->
+    // -1 at zigzag AC pos 4, +2 at pos 2
+    val bw = new H264.BitWriter
+    bw.u(0x4, 6); bw.u(1, 1); bw.u(1, 1); bw.u(0x4, 3); bw.u(2, 2)
+    bw.u(1, 1); bw.byteAlignZero()
+    val (coeffs, tc) = H264.readResidualCavlc(
+      new H264.BitReader(bw.result()), 15, 0)
+    assert(tc == 2)
+    assert(coeffs(4) == -1 && coeffs(2) == 2)
+    assert(coeffs.count(_ != 0) == 2)
+  }
+
+  test("untranscribed nC>=2 coeff_token column throws (documented seam)") {
+    // nC = 3 routes to the 2<=nC<4 column, which is behind the seam
+    val bw = new H264.BitWriter
+    bw.u(1, 1); bw.u(1, 1); bw.byteAlignZero()
+    intercept[java.io.IOException] {
+      H264.readResidualCavlc(new H264.BitReader(bw.result()), 15, 3)
+    }
+  }
+
+  test("out-of-subset streams degrade to null, never a bogus plane") {
+    // a cbpLuma-15 MB whose AC section truncates mid-block: the
+    // reader throws and decodeI16DcLuma returns null (callers then
+    // fall back to the stub feature path)
+    val bw = new H264.BitWriter
+    bw.u(0x65, 8); bw.ue(0); bw.ue(7); bw.ue(0)
+    bw.u(0, 4); bw.ue(0); bw.u(0, 1); bw.u(0, 1); bw.se(25)
+    bw.ue(15); bw.ue(0); bw.se(0)
+    bw.u(1, 1) // DC: TotalCoeff 0
+    // then NOTHING for the 16 AC blocks: rbsp trailing only
+    bw.u(1, 1); bw.byteAlignZero()
+    assert(H264.decodeI16DcLuma(bw.result(), H264.Sps(1, 1, 4), 26) == null)
+  }
+}
