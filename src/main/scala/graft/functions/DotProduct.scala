@@ -124,6 +124,12 @@ object GraftFunctions {
         "graft_l2_argmin", exprs => LongL2ArgMin(exprs(0), exprs(1)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_vec_sum", exprs => LongVecSum(exprs(0)), "scala_udf")
+      // fused dl + per-term frequency scan (text_bm25's hot cell)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_term_freqs", exprs => TermFreqs(exprs(0),
+          exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toArray[org.apache.spark.unsafe.types.UTF8String](
+              org.apache.spark.sql.types.StringType).map(_.toString).toSeq), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_ws_tokens", exprs => WsTokenCount(exprs(0)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

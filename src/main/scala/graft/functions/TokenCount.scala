@@ -561,3 +561,99 @@ case class Fingerprint(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TokenScan.fingerprint($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** `graft_term_freqs(text, array('t1','t2',...))` — fused document
+  * length + per-term frequency in ONE byte scan (round 14, the
+  * text_bm25 hot cell). Value-identical to the expression chain
+  *
+  *   words = filter(split(lower(trim(text)), "[\t\n\f\r ]+"), _ != "")
+  *   [ size(words), size(filter(words, _ == t1)), ... ]
+  *
+  * for ASCII-lowercase terms: tokens are maximal runs between exactly
+  * those five separator bytes (NOT \x0B — the split class differs from
+  * \s), the all-ASCII fast path lowercases bytewise, and any token
+  * containing a non-ASCII byte falls back to UTF8String.toLowerCase —
+  * the same call Catalyst's `lower()` makes — so exotic case mappings
+  * (Kelvin sign, dotted I) keep exact parity. The old chain evaluated
+  * an INTERPRETED lambda per word per term after materializing the
+  * words array; at sf10 that made tokenization the dominant wall of a
+  * two-pass query.
+  */
+case class TermFreqs(child: Expression, terms: Seq[String]) extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "graft_term_freqs"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if terms.nonEmpty && terms.forall(t =>
+      t.nonEmpty && t.forall(c => c < 0x80 && !Character.isUpperCase(c))) =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs non-empty ASCII-lowercase terms")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+
+  @transient private lazy val termBytes: Array[Array[Byte]] =
+    terms.map(_.getBytes("UTF-8")).toArray
+
+  @inline private def isSep(b: Byte): Boolean =
+    b == 0x20.toByte || b == 0x09.toByte || b == 0x0A.toByte ||
+      b == 0x0C.toByte || b == 0x0D.toByte
+
+  @inline private def lowerAscii(b: Byte): Byte =
+    if (b >= 'A'.toByte && b <= 'Z'.toByte) (b + 32).toByte else b
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes
+    val out = new Array[Long](1 + termBytes.length)
+    var i = 0
+    while (i < n) {
+      if (isSep(s.getByte(i))) i += 1
+      else {
+        val start = i
+        var ascii = true
+        while (i < n && !isSep(s.getByte(i))) {
+          if ((s.getByte(i) & 0x80) != 0) ascii = false
+          i += 1
+        }
+        out(0) += 1 // dl
+        val len = i - start
+        if (ascii) {
+          var t = 0
+          while (t < termBytes.length) {
+            val tb = termBytes(t)
+            if (tb.length == len) {
+              var k = 0
+              var eq = true
+              while (eq && k < len) {
+                if (lowerAscii(s.getByte(start + k)) != tb(k)) eq = false
+                k += 1
+              }
+              if (eq) out(1 + t) += 1
+            }
+            t += 1
+          }
+        } else {
+          // exact parity with lower(): UTF8String.toLowerCase on the
+          // byte-sliced token (substring() is char-indexed; these are
+          // byte offsets)
+          val raw = new Array[Byte](len)
+          var c = 0
+          while (c < len) { raw(c) = s.getByte(start + c); c += 1 }
+          val tok = UTF8String.fromBytes(raw).toLowerCase.toString
+          var t = 0
+          while (t < terms.length) {
+            if (tok == terms(t)) out(1 + t) += 1
+            t += 1
+          }
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -231,18 +231,26 @@ object TextQueries {
         // per-doc values stay pinned in TextSpec determinism tests.
         val docs = Tables.documents(s, d)
         val mh = slice(minhashFromText(col("text"), 3, 8), 1, 4)
-        val base = docs.select(col("doc_id"), col("text"),
+        // Round 14: the windows partition by the 16-byte md5 instead of
+        // the raw text (and the injectivity probe compares md5s) — the
+        // md5 IS the row's text identity for this gate's purposes, and
+        // shuffling it instead of multi-KB documents cuts both window
+        // exchanges and their sort keys by the document size factor.
+        // An md5 collision (p ~ n^2/2^128, far below the xxhash64
+        // collision bound this gate already accepts) is the only way
+        // the flags could differ from the text-keyed formulation.
+        val base = docs.select(col("doc_id"), md5(col("text")).as("text_md5"),
           fingerprint(col("text")).as("fp64"),
           mh.as("mh"),
           simhashFromText(col("text")).as("simhash"))
-        val byText = Window.partitionBy("text")
+        val byText = Window.partitionBy("text_md5")
         val byFp = Window.partitionBy("fp64")
-        base.select(col("doc_id"), md5(col("text")).as("text_md5"),
+        base.select(col("doc_id"), col("text_md5"),
             (min(col("fp64")).over(byText) === max(col("fp64")).over(byText) &&
               min(col("mh")).over(byText) === max(col("mh")).over(byText) &&
               min(col("simhash")).over(byText) === max(col("simhash")).over(byText))
               .as("fp_deterministic"),
-            (min(col("text")).over(byFp) === max(col("text")).over(byFp))
+            (min(col("text_md5")).over(byFp) === max(col("text_md5")).over(byFp))
               .as("fp_injective"))
           .transform(Present.sortNarrow(_, col("doc_id")))
       },
@@ -645,13 +653,18 @@ object TextQueries {
         // scoring scan; nothing shuffles per-document.
         val terms = Seq("spark", "merge", "vector")
         val docs = Tables.documents(s, d)
-        val base = docs.select(
-          col("doc_id") +: wordsOf(col("text")).as("words") +: Nil: _*)
+        graft.functions.GraftFunctions.register(s)
+        // fused native scan (TermFreqs): dl + all term frequencies in
+        // one pass over the raw bytes — value-identical to the
+        // wordsOf + per-term filter() chain, whose interpreted
+        // per-word-per-term lambdas were the sf10 wall of BOTH passes
+        val f = expr(s"graft_term_freqs(text, array(${
+          terms.map(t => s"'$t'").mkString(",")}))")
+        val base = docs.select(col("doc_id"), f.as("f"))
           .select(Seq(col("doc_id"),
-            size(col("words")).cast(DoubleType).as("dl")) ++
+            element_at(col("f"), 1).cast(DoubleType).as("dl")) ++
             terms.indices.map(i =>
-              size(filter(col("words"), w => w === lit(terms(i))))
-                .cast(DoubleType).as(s"tf$i")): _*)
+              element_at(col("f"), i + 2).cast(DoubleType).as(s"tf$i")): _*)
         // one-row stats attach via Present.constKey (broadcast hash
         // join, never a constant-folded cartesian)
         def one(x: Column): Column = Present.constKey(x)

@@ -1,0 +1,55 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+
+/** Round-14: wall of named registry queries under the Bench session
+  * shape, prepared-exec, min-of-N — generic re-measure tool
+  * (SPARK_GRAFT_QUERIES=a,b,c). Used for the text_bm25 TermFreqs
+  * kernel (recorded 19.5 s at sf10 on the lambda chain). */
+object Exp28 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val names = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "text_bm25")
+      .split(',').map(_.trim).filter(_.nonEmpty)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.network.timeout", "600s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val reg = Registry.all.map(q => q.name -> q).toMap
+    val prepared = names.toSeq.map { n =>
+      val df = reg(n).run(spark, sfDir)
+      df.queryExecution.executedPlan
+      n -> df
+    }
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (round <- 0 to passes; (n, df) <- prepared) {
+      val t0 = System.nanoTime()
+      df.queryExecution.executedPlan.clone().executeCollect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (round > 0) times(n) = times(n) :+ sec
+      System.gc()
+    }
+    prepared.foreach { case (n, _) =>
+      val ts = times(n)
+      println(f"== exp28 $n%-20s min ${ts.min}%.3f  " +
+        f"passes ${ts.map(t => f"$t%.3f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}

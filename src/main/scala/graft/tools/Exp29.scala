@@ -1,0 +1,97 @@
+package graft.tools
+
+import graft._
+import graft.plans.BloomPrune
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-14, q5's last lever: the registry shape joins the
+  * (bloom-pruned) fact to orders on orderkey and then RE-EXCHANGES the
+  * surviving ~8.6M fact rows on custkey to meet customer. The prejoin
+  * shape resolves orders><customer FIRST (2.2M >< 1.5M — both
+  * batch-scale) into (o_orderkey, c_nationkey), so the fact stream
+  * pays exactly ONE exchange. A/B'd against the registry q5 with
+  * identical session shape, prepared-exec, interleaved.
+  */
+object Exp29 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.network.timeout", "600s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val reg = Registry.all.map(q => q.name -> q).toMap
+    def ts(s: String) = lit(s).cast("timestamp_ntz")
+    def dsum(c: org.apache.spark.sql.Column, name: String) =
+      sum(c.cast("decimal(18,4)")).cast("double").as(name)
+
+    def q5prejoin(bloomOn: Boolean): DataFrame = {
+      val dim = Tables.supplier(spark, sfDir)
+        .join(broadcast(Tables.nation(spark, sfDir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey")
+      // prejoin: both sides batch-scale, SHJ from the orders slice
+      val ok = o.hint("shuffle_hash")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      val l0 = Tables.lineitem(spark, sfDir)
+      val l = if (bloomOn) BloomPrune.pruned(l0, col("l_orderkey"), o, col("o_orderkey")) else l0
+      l.join(ok.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+        .transform(graft.queries.Present.driverAgg(_, "revenue" -> false, "n_name" -> true))
+    }
+
+    val builds: Seq[(String, () => DataFrame)] = Seq(
+      "q5_registry" -> (() => reg("q5_local_supplier").run(spark, sfDir)),
+      "q5_prejoin" -> (() => q5prejoin(bloomOn = true)),
+      "q5_prejoin_nb" -> (() => q5prejoin(bloomOn = false)))
+    val prepared = builds.map { case (n, mk) =>
+      val df = mk(); df.queryExecution.executedPlan; n -> df
+    }
+    // result parity first
+    val ref = prepared.head._2.collect().map(_.toString).toSeq
+    prepared.tail.foreach { case (n, df) =>
+      val got = df.collect().map(_.toString).toSeq
+      println(s"== exp29 parity $n: ${got == ref}")
+    }
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (round <- 0 to passes; (n, df) <- prepared) {
+      val t0 = System.nanoTime()
+      df.queryExecution.executedPlan.clone().executeCollect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (round > 0) times(n) = times(n) :+ sec
+      System.gc()
+    }
+    prepared.foreach { case (n, _) =>
+      val ts2 = times(n)
+      println(f"== exp29 $n%-14s min ${ts2.min}%.3f  " +
+        f"passes ${ts2.map(t => f"$t%.3f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Round-14 pin: the fused TermFreqs scan must be VALUE-IDENTICAL to
+  * the wordsOf + per-term filter() chain it replaced in text_bm25 —
+  * including separator-class edge cases (\x0B is NOT a separator),
+  * case folding (incl. non-ASCII fallback), empties, and nulls. */
+class TermFreqsSpec extends SparkSpec {
+
+  test("fused scan == split/filter chain on adversarial corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val texts = Seq(
+      "spark merge vector",
+      "SPARK Spark sPaRk",
+      "  merge\tmerge\nmerge\fmerge\rmerge  ",
+      "nosplit on vertical tab sparkmerge", // \x0B inside a token
+      "", "   ", "\t\n\f\r",
+      "sparkmerge spark-merge spark.merge spark",
+      "VKector K vector VECTOR", // Kelvin sign
+      "İstanbul merge İ spark", // dotted I
+      "a spark b merge c vector d spark e",
+      null.asInstanceOf[String],
+      "x " * 500 + "spark" + " y" * 500)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val words = filter(split(lower(trim(col("text"))), "[\\t\\n\\f\\r ]+"),
+      w => w =!= lit(""))
+    val terms = Seq("spark", "merge", "vector")
+    val chain = df.select(Seq(col("doc_id").as("id"),
+      size(words).cast(DoubleType).as("dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(words, w => w === lit(t))).cast(DoubleType).as(s"tf$i") }: _*)
+      // size(null array) = -1 pre-legacy-off; normalize both sides via
+      // the same cast path the query uses: with sizeOfNull=false both
+      // are NULL, so no normalization needed — compare raw
+    val fused = df.select(col("doc_id").as("id"),
+        expr("graft_term_freqs(text, array('spark','merge','vector'))").as("f"))
+      .select(Seq(col("id"),
+        element_at(col("f"), 1).cast(DoubleType).as("dl")) ++
+          terms.indices.map(i =>
+            element_at(col("f"), i + 2).cast(DoubleType).as(s"tf$i")): _*)
+    val joined = chain.as("c").join(fused.as("k"), "id")
+    val bad = joined.filter(
+      not(col("c.dl") <=> col("k.dl")) ||
+        not(col("c.tf0") <=> col("k.tf0")) ||
+        not(col("c.tf1") <=> col("k.tf1")) ||
+        not(col("c.tf2") <=> col("k.tf2")))
+    assert(bad.count() == 0, bad.collect().mkString("\n"))
+  }
+
+  test("kernel evaluates once per row in the projected plan") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, "spark merge")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        expr("graft_term_freqs(text, array('spark','merge'))").as("f"))
+      .select(col("doc_id"),
+        element_at(col("f"), 1).as("dl"), element_at(col("f"), 2).as("tf0"))
+    val plan = df.queryExecution.executedPlan.toString
+    val calls = plan.sliding("graft_term_freqs".length)
+      .count(_ == "graft_term_freqs")
+    assert(calls <= 2, s"kernel duplicated into the projection:\n$plan")
+  }
+}
