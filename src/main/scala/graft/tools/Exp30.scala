@@ -1,0 +1,116 @@
+package graft.tools
+
+import graft._
+import graft.commands.{LakeEngine, Merge}
+import graft.format._
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+/** Round-14 closing probe: job-level decomposition of the sf10
+  * dml_scd2_merge wall (~4.4 s, the largest DML wall after this
+  * round's delete work) — where do the jobs and the driver gaps sit,
+  * to aim the next round's lever. BenchDml's scd2 scenario shape.
+  */
+object Exp30 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.network.timeout", "600s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val orders = Tables.orders(spark, sfDir)
+    val stats = orders.agg(
+      min(col("o_orderkey")), max(col("o_orderkey")),
+      min(col("o_orderdate")), count(lit(1))).head()
+    val (minK, maxK) = (stats.getLong(0), stats.getLong(1))
+    val minD = stats.getAs[java.time.LocalDateTime](2)
+    val n = stats.getLong(3)
+    val span = maxK - minK + 1
+    val (lo, hi) = (minK + (span * 0.30).toLong, minK + (span * 0.45).toLong)
+
+    val root = Files.createTempDirectory("graft-exp30-")
+    try {
+      val catalog = new LakeCatalog(root.toString)
+      val engine = new LakeEngine(spark, catalog)
+      import org.apache.spark.sql.types.{StructField, TimestampNTZType, StructType}
+      val scd2Schema = StructType(orders.schema.fields ++ Seq(
+        StructField("effective_start", TimestampNTZType),
+        StructField("effective_end", TimestampNTZType)))
+      val ordersScd2 = orders
+        .withColumn("effective_start", lit(minD).cast("timestamp_ntz"))
+        .withColumn("effective_end", lit(null).cast("timestamp_ntz"))
+      val base = catalog.createTable("orders_scd2", scd2Schema,
+        sortOrder = Seq(SortField("o_orderkey")),
+        properties = Map("write.max-records-per-file" -> math.max(n / 8, 1L).toString))
+      engine.insert(base, ordersScd2)
+      val eff = java.time.LocalDateTime.of(2099, 1, 1, 0, 0)
+      def source() = {
+        val upd = orders.filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("op", lit("U"))
+        val ins = orders.filter(col("o_orderkey") > maxK - span / 100)
+          .withColumn("o_orderkey", col("o_orderkey") + span)
+          .withColumn("op", lit("U"))
+        upd.unionByName(ins)
+      }
+      def copyTree(src: Path, dst: Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        Files.walk(src).iterator().asScala.foreach { p =>
+          val t = dst.resolve(src.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+        }
+      }
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Int)]()
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          starts.put(j.jobId, (j.time, j.stageInfos.map(_.numTasks).sum))
+        override def onJobEnd(j: SparkListenerJobEnd): Unit =
+          Option(starts.get(j.jobId)).foreach { case (t0, nt) =>
+            jobs.put(j.jobId, (t0, j.time, nt)) }
+      })
+      for (pass <- 0 to 2) {
+        val loc = root.resolve(s"run-$pass")
+        copyTree(Paths.get(base.location, "metadata"), loc.resolve("metadata"))
+        Files.createDirectories(loc.resolve("data"))
+        val t = LakeTable.load(loc.toString)
+        jobs.clear(); starts.clear()
+        val t0 = System.currentTimeMillis()
+        Merge.scd2(engine, t, source(), Merge.Scd2Options(
+          keyCols = Seq("o_orderkey"), effectiveTimestamp = eff,
+          operationTypeColumn = Some("op")))
+        val t1 = System.currentTimeMillis()
+        Thread.sleep(300)
+        import scala.jdk.CollectionConverters._
+        val js = jobs.asScala.toSeq.sortBy(_._2._1)
+        var cursor = t0
+        println(f"== exp30 pass $pass wall ${(t1 - t0) / 1000.0}%.3f s, ${js.size} jobs")
+        js.foreach { case (id, (s, e, nt)) =>
+          println(f"== exp30   gap ${math.max(0, s - cursor)}%5d ms | job $id%3d " +
+            f"${e - s}%5d ms  tasks $nt%3d")
+          cursor = math.max(cursor, e)
+        }
+        println(f"== exp30   tail ${math.max(0, t1 - cursor)}%5d ms")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    spark.stop()
+  }
+}
