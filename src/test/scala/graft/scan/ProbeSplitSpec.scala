@@ -1,0 +1,66 @@
+package graft.scan
+
+import graft.SparkSpec
+import graft.commands.LakeEngine
+import graft.format._
+import org.apache.spark.sql.functions._
+
+/** Round-14 pin for the stats-decided DML probe: a range condition
+  * fully covering a sort-clustered file must classify that file
+  * provably-all (touched with zero data read), boundary files
+  * ambiguous, and out-of-range files non-candidates — and the DELETE
+  * built on that split stays exact, including when a candidate file's
+  * matching rows are ONLY provable by the row probe. */
+class ProbeSplitSpec extends SparkSpec {
+
+  private def mkTable(dir: String): (LakeEngine, LakeTable) = {
+    val catalog = new LakeCatalog(dir)
+    val engine = new LakeEngine(spark, catalog)
+    val df = spark.range(0, 4000).select(
+      col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+    val t = catalog.createTable("t", df.schema,
+      sortOrder = Seq(SortField("k")),
+      properties = Map("write.max-records-per-file" -> "1000"))
+    engine.insert(t, df)
+    (engine, t)
+  }
+
+  test("provablyAll splits candidates into metadata-only vs row-probed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-psplit-").toString
+    val (_, t) = mkTable(dir)
+    // range [500, 2500): file0 boundary, file1 fully covered [1000,2000),
+    // file2 boundary, file3 out of range
+    val pred = PredSql.compile(spark, "k >= 500 AND k < 2500", t.schema)
+    val ev = new StatsEvaluator(t.schema, t.metadata.specsById)
+    val cands = new TableScan(spark, t, pred, withFileColumns = true).planFiles()
+    assert(cands.size == 3, s"expected 3 candidates of 4 files, got ${cands.size}")
+    val (sure, ambiguous) = cands.partition(f => ev.provablyAll(pred, f))
+    assert(sure.size == 1 && ambiguous.size == 2,
+      s"expected 1 provably-all + 2 boundary, got ${sure.size}/${ambiguous.size}")
+    val id = FieldIds.of(t.schema("k")).toString
+    assert(sure.head.stats(id).min.get.toLong == 1000L)
+  }
+
+  test("a null-bearing condition column never classifies provably-all") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-psplit2-").toString
+    val catalog = new LakeCatalog(dir)
+    val engine = new LakeEngine(spark, catalog)
+    val df = spark.range(0, 1000).select(
+      when(col("id") % 100 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    val t = catalog.createTable("t", df.schema, sortOrder = Seq(SortField("v")))
+    engine.insert(t, df)
+    val pred = PredSql.compile(spark, "k >= 0 AND k < 2000", t.schema)
+    val ev = new StatsEvaluator(t.schema, t.metadata.specsById)
+    // every row's k is in range EXCEPT the nulls -> 3VL says they don't
+    // match, so no file may be proven all-matching
+    t.currentFiles().foreach(f =>
+      assert(!ev.provablyAll(pred, f), s"null-bearing file classified all-match"))
+    // and the DELETE keeps exactly the null rows
+    engine.delete(t, "k >= 0 AND k < 2000")
+    val left = engine.scan(LakeTable.load(t.location)).toDF()
+    assert(left.count() == 10)
+    assert(left.filter(col("k").isNotNull).count() == 0)
+  }
+}
