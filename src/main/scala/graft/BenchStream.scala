@@ -67,7 +67,14 @@ object BenchStream {
         .option("checkpointLocation", root.resolve("chk").toString)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      // bounded wait: a wedged micro-batch must fail THIS scenario
+      // (Bench catches and omits the streaming keys), never hang the
+      // whole bench run the driver is timing
+      val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_STREAM_TIMEOUT_S", "600").toLong * 1000L
+      if (!q.awaitTermination(timeoutMs)) {
+        q.stop()
+        throw new RuntimeException(s"streaming ingest exceeded ${timeoutMs / 1000}s")
+      }
       val wall = (System.currentTimeMillis() - t0) / 1000.0
       val progress = q.recentProgress.filter(_.numInputRows > 0)
       val batchMs = progress.flatMap(p =>
