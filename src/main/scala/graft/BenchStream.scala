@@ -34,10 +34,14 @@ object BenchStream {
 
   def run(spark: SparkSession, sfDir: String): Out = {
     val root = Files.createTempDirectory("graft-streambench-")
+    // the nanos legacy flag is only needed for the fixture read; restore
+    // it after so the setting never leaks into later bench scenarios
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val savedNanos = spark.conf.getOption(nanosKey)
     try {
       // --- stage: 8 single-file slices of the fixture (producer side,
       // untimed), read with the same nanos handling as graft.Tables
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set(nanosKey, "true")
       val fixture = java.nio.file.Paths.get(sfDir, "events.parquet").toString
       val raw = spark.read.parquet(fixture)
       val tsIsNanosLong = raw.schema("ts").dataType == LongType
@@ -87,9 +91,14 @@ object BenchStream {
         if (batchMs.isEmpty) 0.0 else batchMs.sum / batchMs.length,
         t0, t0 + math.ceil(wall * 1000).toLong)
     } finally {
+      savedNanos.fold(spark.conf.unset(nanosKey))(spark.conf.set(nanosKey, _))
+      // best-effort cleanup: a file still held by a just-stopped query
+      // must never mask the primary (e.g. timeout) exception
       import scala.jdk.CollectionConverters._
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
+      scala.util.Try {
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f => scala.util.Try(Files.delete(f)))
+      }
     }
   }
 }

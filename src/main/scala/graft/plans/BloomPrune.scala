@@ -69,7 +69,23 @@ object BloomPrune {
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         catalystExpr(hashed), Literal(n), Literal(bits))
         .toAggregateExpression())
-    val bytes = keys.select(agg.as("bf")).head().getAs[Array[Byte]](0)
+    // BloomFilterAggregate silently clamps its item/bit arguments to the
+    // session's runtime-bloom-filter confs (defaults: 4M items / 64M bits
+    // = 8 MB), so past ~6.7M build keys the 10-bits/key sizing would be
+    // quietly truncated and the real fpp degrade far beyond 1%. Raise the
+    // confs to this object's cap for the one build action, then restore.
+    val spark = keys.sparkSession
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey  = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val saved = Seq(itemsKey, bitsKey).map(k => k -> spark.conf.getOption(k))
+    val bytes =
+      try {
+        spark.conf.set(itemsKey, math.max(n, 4000000L).toString)
+        spark.conf.set(bitsKey, MaxBits.toString)
+        keys.select(agg.as("bf")).head().getAs[Array[Byte]](0)
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
     val probe = catalystColumn(BloomFilterMightContain(
       Literal(bytes, BinaryType), new XxHash64(Seq(catalystExpr(factKey)))))
     fact.filter(probe)

@@ -105,14 +105,47 @@ object Hints {
     else {
       val cap = if (threshold > 0) measuredBroadcastThreshold(df) else -1L
       val measuredFit = cap > 0 && countOnFail.exists { proxy =>
-        // defaultSize over-charges strings (flat 20 bytes) and never
-        // under-charges fixed-width types, so the product is a sane
-        // upper-ish bound on the raw broadcast payload.
-        proxy.count() * df.schema.defaultSize.toLong <= cap
+        measuredBytes(df.schema, proxy).exists(_ <= cap)
       }
       if (measuredFit) broadcast(df)
       else if (hashFallback) df.hint("shuffle_hash")
       else df
     }
+  }
+
+  private def isFixedWidth(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | BooleanType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  /** Byte estimate for the broadcast payload behind the measured gate:
+    * fixed-width fields at their defaultSize, variable-width
+    * (string/binary) fields at their ACTUAL summed bytes, measured on
+    * `proxy` in the same single job that produces the row count.
+    * `StringType.defaultSize` is a flat 20 bytes that UNDER-charges real
+    * string data, so a rows x defaultSize product is not an upper bound
+    * for string-carrying sides — a side passing a 128 MB cap that way
+    * could broadcast gigabytes. None (gate stays closed) when a
+    * variable-width column of `df` is absent from `proxy` or is a nested
+    * type we don't measure. */
+  private def measuredBytes(schema: org.apache.spark.sql.types.StructType,
+      proxy: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val proxyCols = proxy.columns.toSet
+    val (fixed, variable) = schema.fields.partition(f => isFixedWidth(f.dataType))
+    val measurable = variable.forall(f =>
+      (f.dataType == StringType || f.dataType == BinaryType) && proxyCols.contains(f.name))
+    if (!measurable) return None
+    val aggs = count(lit(1)).cast("long") +:
+      variable.toSeq.map(f => coalesce(sum(octet_length(col(f.name)).cast("long")), lit(0L)))
+    val row = proxy.agg(aggs.head, aggs.tail: _*).head()
+    val rows = row.getLong(0)
+    // one 8-byte UnsafeRow slot per field on top of the data bytes
+    val perRowFixed = fixed.map(_.dataType.defaultSize.toLong).sum + 8L * schema.length
+    Some(rows * perRowFixed + (1 until row.length).map(row.getLong).sum)
   }
 }

@@ -78,6 +78,15 @@ object PredSql {
   private def convert(e: CExpr): Pred = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) => graft.scan.And(convert(l), convert(r))
     case org.apache.spark.sql.catalyst.expressions.Or(l, r)  => graft.scan.Or(convert(l), convert(r))
+    // NOT(a <=> b) is TRUE for rows where a IS NULL and b isn't (and vice
+    // versa) — negate(Eq) would compile to Ne and silently drop those rows,
+    // so the negated null-safe compare must stay exact or degrade to Opaque.
+    case Not(x @ EqualNullSafe(l, r)) =>
+      (attr(l), litVal(r), attr(r), litVal(l)) match {
+        case (Some(c), Some(null), _, _) => NotNull(c)
+        case (_, _, Some(c), Some(null)) => NotNull(c)
+        case _ => Opaque(Not(x).sql)
+      }
     case Not(c) => Pred.negate(convert(c))
     case Literal(true, BooleanType)  => AlwaysTrue
     case Literal(false, BooleanType) => AlwaysFalse
@@ -115,13 +124,19 @@ object PredSql {
   }
 
   /** col-vs-literal comparison, flipping the operator when the literal is
-    * on the left (reference "column-side normalization"). */
+    * on the left (reference "column-side normalization"). A NULL literal
+    * must compile to Opaque, NOT AlwaysFalse: `col = NULL` is indeed never
+    * TRUE, but the Pred algebra negates structurally — under NOT,
+    * AlwaysFalse would flip to AlwaysTrue while SQL `NOT (col = NULL)` is
+    * still never true, turning e.g. a no-op DELETE into a full-table wipe.
+    * Opaque degrades safely through negate / mayTrue / notTrue /
+    * provablyAll. */
   private def cmp(orig: CExpr, l: CExpr, r: CExpr,
       direct: (String, Any) => Pred, flipped: (String, Any) => Pred): Pred =
     (attr(l), litVal(r)) match {
-      case (Some(c), Some(v)) => if (v == null) AlwaysFalse else direct(c, v)
+      case (Some(c), Some(v)) => if (v == null) Opaque(orig.sql) else direct(c, v)
       case _ => (attr(r), litVal(l)) match {
-        case (Some(c), Some(v)) => if (v == null) AlwaysFalse else flipped(c, v)
+        case (Some(c), Some(v)) => if (v == null) Opaque(orig.sql) else flipped(c, v)
         case _ => Opaque(orig.sql)
       }
     }

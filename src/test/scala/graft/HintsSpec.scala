@@ -68,6 +68,32 @@ class HintsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("measured path: string bytes are measured, not defaultSize-guessed") {
+    // 200 rows x ~20KB strings = ~4MB real payload; StringType.defaultSize
+    // (20B flat) would claim ~5KB and pass a 64KB cap. The measured gate
+    // must see the real bytes and refuse the broadcast.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    spark.conf.set("graft.broadcast.measuredThreshold", "64KB")
+    try {
+      val fat = spark.range(0, 200).select(col("id").as("k"),
+        concat_ws("", (1 to 100).map(_ => lit("x" * 200)): _*).as("payload"))
+      val fact = spark.range(0, 1000).toDF("k")
+      val side = Hints.broadcastIfSmall(fat, bound = fat, countOnFail = Some(fat))
+      val plan = fact.join(side, "k").queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"string-heavy side broadcast past the measured cap:\n$plan")
+      // and a genuinely small string side still rescues
+      val thin = spark.range(0, 50).select(col("id").as("k"), lit("s").as("payload"))
+      val side2 = Hints.broadcastIfSmall(thin, bound = bigSide, countOnFail = Some(thin))
+      val plan2 = fact.join(side2, "k").queryExecution.executedPlan.toString
+      assert(plan2.contains("BroadcastHashJoin"), s"thin string side not rescued:\n$plan2")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("graft.broadcast.measuredThreshold")
+    }
+  }
+
   test("measured path: count above the cap still degrades to shuffled-hash") {
     val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")

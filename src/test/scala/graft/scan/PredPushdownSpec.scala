@@ -50,6 +50,52 @@ class PredPushdownSpec extends SparkSpec {
     }
   }
 
+  test("null-literal comparisons compile to Opaque and stay 3VL-exact under NOT") {
+    // NOT (x = NULL) is never true under 3VL; a structural negate of
+    // AlwaysFalse would claim AlwaysTrue and a DELETE on it would wipe
+    // the table. The compile must degrade to Opaque instead.
+    val sqls = Seq(
+      "NOT (x = NULL)", "x = NULL", "NOT (x <> NULL)", "NOT (x < NULL)",
+      "NOT (x <=> 2)", "NOT (x <=> NULL)")
+    sqls.foreach { sql =>
+      val p = PredSql.compile(spark, sql)
+      assert(p != AlwaysTrue && p != AlwaysFalse, s"$sql compiled to $p")
+      // row-exactness: Pred's column matches Spark's own evaluation
+      val viaPred = corpus.filter(coalesce(Pred.toColumn(p), lit(false)))
+        .selectExpr("coalesce(cast(x as string),'_') AS x")
+        .collect().map(_.getString(0)).sorted.toSeq
+      val viaSpark = corpus.filter(coalesce(expr(sql), lit(false)))
+        .selectExpr("coalesce(cast(x as string),'_') AS x")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(viaPred == viaSpark, s"$sql: pred rows $viaPred != spark rows $viaSpark")
+      // and the over-approximations stay sound for it
+      assert(Pred.mayTrue(p) == AlwaysTrue || Pred.toColumn(Pred.mayTrue(p)) != null)
+    }
+    // provablyAll must never claim a file for these (Opaque hardens false)
+    val eval = new StatsEvaluator(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType))),
+      Map.empty[Int, Seq[graft.format.PartitionField]])
+    val anyFile = graft.format.FileEntry("f", Map.empty, 10L, 1L, 0, Map.empty)
+    sqls.foreach { sql =>
+      val p = PredSql.compile(spark, sql)
+      assert(!eval.provablyAll(p, anyFile), s"provablyAll claimed file for $sql")
+    }
+  }
+
+  test("DELETE on a never-true NOT(col = NULL) condition is a no-op, not a wipe") {
+    import graft.format._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulllit-").toString
+    val catalog = new LakeCatalog(dir)
+    val engine = new graft.commands.LakeEngine(spark, catalog)
+    val df = spark.range(0, 1000).select(col("id").as("k"), (col("id") % 3).as("v"))
+    val t = catalog.createTable("t", df.schema, sortOrder = Seq(SortField("k")))
+    engine.insert(t, df)
+    engine.delete(t, "NOT (k = NULL)")
+    assert(engine.scan(LakeTable.load(t.location)).toDF().count() == 1000,
+      "DELETE NOT (k = NULL) must keep every row under 3VL")
+  }
+
   test("DELETE rebuild pushes the keep prefilter into the parquet scan") {
     import graft.format._
     val dir = java.nio.file.Files.createTempDirectory("graft-pushdown-").toString
