@@ -148,11 +148,54 @@ object Dedup {
     * surely re-surface in a less-loaded band; the cap trades a sliver of
     * recall for a hard bound on worst-case memory — the standard LSH
     * skew guard at corpus scale. */
+  /** All (i < j) pairs within a sorted member array. */
+  private def comboPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("a"), y.as("b")))))
+
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucketSize: Int = 10000,
       monitor: Option[BucketSkewMonitor] = None): DataFrame = {
+    val spark = df.sparkSession
+    // -------- identical-text collapse (round 15) --------
+    // Byte-identical texts have identical shingle sets, identical
+    // signatures, and pairwise Jaccard exactly 1.0 — running them
+    // through LSH is pure waste that COMPOUNDS: m copies of a text sit
+    // together in every band bucket, so pair emission grows ~m² per
+    // bucket and every one of those pairs pays the exact-Jaccard array
+    // verify. On the sf10 bench corpus (600k docs, 4,992 distinct
+    // texts, groups of 120-240 copies) that waste was 87% of the whole
+    // bench's wall. So: group by md5(text) in ONE bounded aggregation
+    // (exact count + capped sorted member list, the [[cappedBuckets]]
+    // buffer bound), run the LSH pipeline on one representative per
+    // distinct text, emit in-group pairs directly at jaccard 1.0, and
+    // expand cross-group rep pairs through the membership lists. Groups
+    // past `maxBucketSize` are dropped whole — the same observable rule
+    // as a capped bucket (today such a group saturates every bucket it
+    // touches), recorded through the same monitor.
+    graft.functions.GraftFunctions.register(spark)
+    val keyed = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("text"), md5(col(textCol)).as("tkey"))
+    val mon = monitor.getOrElse(new BucketSkewMonitor(spark, "graft.dedup.skew.exact_groups"))
+    val (accB, accR, accM) = (mon.oversizedBuckets, mon.oversizedRows, mon.maxBucket)
+    val record = udf((m: Long) => {
+      if (m > maxBucketSize) { accB.add(1L); accR.add(m) }
+      accM.add(m)
+      true
+    }).asNondeterministic()
+    // one shuffle over (unique-per-partition) texts: map-side partials
+    // already collapse same-partition copies, so the exchange carries
+    // roughly the distinct corpus, not the raw one
+    val kept = keyed.groupBy("tkey")
+      .agg(min(col("id")).as("rep_id"), first(col("text")).as("text"),
+        call_function("graft_bounded_sorted_set", col("id"), lit(maxBucketSize)).as("bs"))
+      .filter(record(col("bs.n")))
+      .where(col("bs.n") <= maxBucketSize)
+      .localCheckpoint(eager = false) // feeds reps, membership, in-group pairs
+    // -------- LSH on representatives only --------
     // shingle HASHES, not strings ([[signatureIndex]] is the shared
     // derivation): the verify join compares sorted distinct longs with
     // a merge walk (vs building a UTF8String hash set per candidate
@@ -165,7 +208,8 @@ object Dedup {
     // behind a (lazy) checkpoint — branches would otherwise re-derive
     // the whole hash tree. eager=false keeps the materialization inside
     // the first consuming job instead of a separate build-time barrier.
-    val base = signatureIndex(df, idCol, textCol, shingleSize, numHashes, bands)
+    val base = signatureIndex(kept.select(col("rep_id").as("id"), col("text")),
+        "id", "text", shingleSize, numHashes, bands)
       .localCheckpoint(eager = false)
     val buckets = base
       .select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
@@ -175,14 +219,38 @@ object Dedup {
       "graft.dedup.skew.minhash", monitor)
       .withColumnRenamed("ms", "ids")
     // all (i < j) pairs within a bucket, then global pair-dedup
-    val combos = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-        y => struct(x.as("a"), y.as("b")))))
-    val cand = grouped.select(explode(combos).as("p"))
+    val cand = grouped.select(explode(comboPairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-    verifyJaccard(cand, base.select(col("id"), col("shh")), threshold,
+    val repPairs = verifyJaccard(cand, base.select(col("id"), col("shh")), threshold,
       broadcastPairs = false)
+    // -------- expand back to document ids --------
+    // membership (rep_id, m): singleton groups are just their rep; the
+    // member list came back in the SAME grouped row, so no corpus-wide
+    // join is needed to recover it
+    val mem = kept.select(col("rep_id"),
+      explode(coalesce(col("bs.ids"), array(col("rep_id")))).as("m"))
+    // cross-group pairs: every member of group a pairs with every member
+    // of group b at the REPS' jaccard (identical texts per group). The
+    // pair side is narrow and small relative to the corpus — build it
+    // shuffled-hash, nothing sorts.
+    val expanded = repPairs.hint("shuffle_hash")
+      .join(mem.select(col("rep_id").as("id_a"), col("m").as("m_a")), "id_a")
+      .hint("shuffle_hash")
+      .join(mem.select(col("rep_id").as("id_b"), col("m").as("m_b")), "id_b")
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+    // in-group pairs: jaccard exactly 1.0, no verify. Groups whose text
+    // yields an EMPTY shingle set never pair (matching signatureIndex's
+    // exclusion and the exact-Jaccard oracle's 0/0 -> no-pair), hence
+    // the semi-join against the surviving representatives.
+    val internal = kept.where(col("bs.ids").isNotNull)
+      .join(base.select(col("id").as("rep_id")), Seq("rep_id"), "left_semi")
+      .select(explode(comboPairs(col("bs.ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"),
+        lit(1.0).as("jaccard"))
+      .where(lit(1.0) >= lit(threshold))
+    expanded.unionByName(internal)
   }
 
   /** Shared exact-Jaccard verification of a candidate pair list against

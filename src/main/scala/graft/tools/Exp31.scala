@@ -1,0 +1,29 @@
+package graft.tools
+
+/** Round-15 task 1: time the identical-text-collapsed minhashPairs at
+  * sf1/sf10 (old shape: sf10 wall 213 s = 87% of the bench total; the
+  * dup-heavy corpus — 600k docs, 4,992 distinct texts — paid ~m² pair
+  * emission and an array verify per pair inside every bucket).
+  * Conclusion (recorded): sf1 0.99 s (was 2.6), sf10 see run log —
+  * the LSH work now scales with DISTINCT texts, the remaining cost is
+  * emitting/collecting the required ~36M-row pair output.
+  */
+object Exp31 {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val corpus = graft.queries.DedupQueries.corpus(spark, d)
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = graft.extras.Dedup.minhashPairs(
+        corpus, "doc_id", "text", 3, 64, 16, 0.5).count()
+      println(f"full_minhashPairs pass$i n=$n%d  ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -187,10 +187,12 @@ class ExtrasSpec extends SparkSpec {
       s"unbounded collect_list must not appear in the bucket plan:\n$plan")
     assert(mp.count() === 0)
     val m = mon.stats
-    // 16 bands x 1 degenerate bucket each, all dropped (accumulators are
+    // since the round-15 identical-text collapse the 5000 clones form ONE
+    // over-cap text group, dropped whole BEFORE any band bucket exists —
+    // one observed drop carrying all 5000 rows (accumulators are
     // at-least-once, so assert floors not exact counts where retried
     // stages could inflate)
-    assert(m("oversized_buckets") >= 16L, s"cap drop not observed: $m")
+    assert(m("oversized_buckets") >= 1L, s"cap drop not observed: $m")
     assert(m("oversized_rows") >= 5000L, s"dropped rows not counted: $m")
     assert(m("max_bucket_size") === 5000L, s"max bucket wrong: $m")
 
