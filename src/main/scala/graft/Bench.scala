@@ -79,6 +79,17 @@ object Bench {
            |        con.execute(q["sql"]).fetchall()
            |        dt = time.perf_counter() - t0
            |        times[q["name"]] = min(times.get(q["name"], 1e9), dt)
+           |# single-pass runs (sf10 keeps ORACLE_PASSES=1 because some legs
+           |# run for minutes) still give SUB-5s legs a second timed pass:
+           |# one-pass ratios on sub-second oracle legs bounce +/-50%
+           |# (round-14 drift note), and re-running only the cheap legs
+           |# bounds the extra wall at ~the cheap legs' sum
+           |if $oraclePasses < 2:
+           |    for q in qs:
+           |        if times[q["name"]] < 5.0:
+           |            t0 = time.perf_counter()
+           |            con.execute(q["sql"]).fetchall()
+           |            times[q["name"]] = min(times[q["name"]], time.perf_counter() - t0)
            |print(json.dumps(times))
            |""".stripMargin
       val pb = new ProcessBuilder("python3", "-c", py)

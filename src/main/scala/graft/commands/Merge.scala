@@ -169,14 +169,26 @@ object Merge {
     // its row identity (_file,_pos) plus the source side feed the probe,
     // the anti-join keys and the upserts, so project them away before
     // the diff is persisted (halves the cached width)
-    val diff = t.join(shj(s, changesMode && knob("diffShj", true)), joinCond, "full_outer")
+    val joined = t.join(shj(s, changesMode && knob("diffShj", true)), joinCond, "full_outer")
+    // In CHANGES mode a target row with no source match is op N —
+    // untouched by every downstream consumer (the probe counts matches
+    // among source-present rows only, upserts are I/U, removed keys are
+    // U/D), so drop it AT THE JOIN: the source-present filter lets
+    // Catalyst eliminate the dead outer side (full_outer -> right_outer,
+    // the unmatched-target rows are never even emitted) and the persisted
+    // diff shrinks from O(candidate-file rows) to O(source). Snapshot
+    // mode keeps every target row — absent keys become deletes there.
+    val joinedKept = if (changesMode && knob("diffDropUnmatched", true))
+      joined.filter(coalesce(col(SPresent), lit(false))) else joined
+    val diff = joinedKept
       .withColumn(OpCol, op)
       .select(col(OpCol) +: col(tp("_file")) +: col(tp("_pos")) +:
         (schema.fieldNames.map(c => col(sp(c))).toSeq :+ col(SPresent)): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val modified = probeCardinalityAndModified(diff, tPresent, sPresent,
+      val probe = probeCardinalityAndModified(diff, tPresent, sPresent,
         tp("_file"), tp("_pos"), col(OpCol).isin("U", "D"))
+      val modified = probe.modified
       val upserts = diff.filter(col(OpCol).isin("I", "U"))
         .select(schema.fieldNames.map(c => col(sp(c)).as(c)).toSeq: _*)
 
@@ -192,7 +204,7 @@ object Merge {
             withFileColumns = true).toDF()
           val removedKeys = diff.filter(col(OpCol).isin("U", "D"))
             .select(col(tp("_file")).as("_file"), col(tp("_pos")).as("_pos"))
-          Some(full.join(shj(removedKeys, knob("rewriteShj", true)),
+          Some(full.join(rewriteSide(removedKeys, probe),
               Seq("_file", "_pos"), "left_anti")
             .select(schema.fieldNames.map(col).toSeq: _*))
         }
@@ -310,15 +322,20 @@ object Merge {
           .otherwise("N")
 
     // same width reduction as scd1: target value columns are dead after
-    // op classification
-    val diff = t.join(shj(s, changesMode && knob("diffShj", true)), joinCond, "full_outer")
+    // op classification; and in changes mode the same unmatched-target
+    // drop (op N rows feed nothing downstream — see scd1)
+    val joined = t.join(shj(s, changesMode && knob("diffShj", true)), joinCond, "full_outer")
+    val joinedKept = if (changesMode && knob("diffDropUnmatched", true))
+      joined.filter(coalesce(col(SPresent), lit(false))) else joined
+    val diff = joinedKept
       .withColumn(OpCol, op)
       .select(col(OpCol) +: col(tp("_file")) +: col(tp("_pos")) +:
         (schema.fieldNames.map(c => col(sp(c))).toSeq :+ col(SPresent)): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val modified = probeCardinalityAndModified(diff, tPresent, sPresent,
+      val probe = probeCardinalityAndModified(diff, tPresent, sPresent,
         tp("_file"), tp("_pos"), col(OpCol).isin("U", "D"))
+      val modified = probe.modified
 
       // new versions for I/U rows: start = effTs, end = NULL, flag = true
       val newVersions0 = diff.filter(col(OpCol).isin("I", "U"))
@@ -343,7 +360,7 @@ object Merge {
           val closingKeys = diff.filter(col(OpCol).isin("U", "D"))
             .select(col(tp("_file")).as("_file"), col(tp("_pos")).as("_pos"),
               lit(true).as("__close"))
-          Some(full.join(shj(closingKeys, knob("rewriteShj", true)),
+          Some(full.join(rewriteSide(closingKeys, probe),
               Seq("_file", "_pos"), "left_outer")
             .select(schema.fieldNames.map {
               case `endC` => when(col("__close"), effLit).otherwise(col(endC)).as(endC)
@@ -454,14 +471,20 @@ object Merge {
       .when(tP && !sP, bySourceOp).otherwise(lit(-1))
 
     // general MERGE sources are batch-proportional by construction
-    // (no snapshot mode), so the same build-from-source choice applies
-    val diff = target.join(shj(s, knob("diffShj", true)), expr(onSql), "full_outer")
+    // (no snapshot mode), so the same build-from-source choice applies;
+    // and without a BY SOURCE clause an unmatched target row can take no
+    // action (op -1) — drop it at the join like the changes-mode SCDs
+    val joined = target.join(shj(s, knob("diffShj", true)), expr(onSql), "full_outer")
+    val joinedKept = if (notMatchedBySource.isEmpty && knob("diffDropUnmatched", true))
+      joined.filter(coalesce(col(SPresent), lit(false))) else joined
+    val diff = joinedKept
       .withColumn(OpCol, op)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val actioned = col(OpCol).between(0, 99) || col(OpCol).between(200, 299)
-      val modified = probeCardinalityAndModified(diff, tP, sP,
+      val probe = probeCardinalityAndModified(diff, tP, sP,
         s"$targetAlias.$FileC", s"$targetAlias.$PosC", actioned)
+      val modified = probe.modified
       // every target-row action (matched or by-source), tagged by op value
       val targetActions = matched.zipWithIndex.map { case (a, i) => (i, a) } ++
         notMatchedBySource.zipWithIndex.map { case (a, i) => (200 + i, a) }
@@ -500,7 +523,7 @@ object Merge {
             withFileColumns = true).toDF()
           val actionedKeys = diff.filter(actioned)
             .select(col(s"$targetAlias.$FileC").as(FileC), col(s"$targetAlias.$PosC").as(PosC))
-          Some(full.join(shj(actionedKeys, knob("rewriteShj", true)),
+          Some(full.join(rewriteSide(actionedKeys, probe),
               Seq(FileC, PosC), "left_anti")
             .select(schema.fieldNames.toSeq.map(col): _*))
         }
@@ -679,19 +702,46 @@ object Merge {
     * driver collect on this path. */
   private def probeCardinalityAndModified(diff: DataFrame, tPresent: Column,
       sPresent: Column, fileCol: String, posCol: String,
-      modifiedCond: Column): Set[String] = {
+      modifiedCond: Column): ProbeResult = {
     val rows = diff.filter(tPresent)
       .groupBy(col(fileCol), col(posCol))
       .agg(
         sum(when(sPresent, 1L).otherwise(0L)).as("__matches"),
         max(when(modifiedCond, 1).otherwise(0)).as("__mod"))
       .groupBy(col(fileCol))
-      .agg(max(col("__matches")).as("__max_matches"), max(col("__mod")).as("__any_mod"))
+      .agg(max(col("__matches")).as("__max_matches"), max(col("__mod")).as("__any_mod"),
+        sum(col("__mod").cast("long")).as("__mod_rows"))
       .collect()
     if (rows.exists(_.getLong(1) > 1))
       throw new MergeCardinalityException(
         "merge source matches a target row more than once; " +
           "deduplicate the source on the merge keys")
-    rows.filter(_.getInt(2) == 1).map(_.getString(0)).toSet
+    val modified = rows.filter(_.getInt(2) == 1)
+    // broadcast-budget estimate for the actioned (_file,_pos) key list:
+    // path bytes + 8B pos + UnsafeRow/relation overhead per row
+    val keyBytes = modified.map(r => (r.getString(0).length + 40L) * r.getLong(3)).sum
+    ProbeResult(modified.map(_.getString(0)).toSet, keyBytes)
+  }
+
+  private final case class ProbeResult(modified: Set[String], actionedKeyBytes: Long)
+
+  /** Join-side wrapper for the rewrite's (_file,_pos) actioned-key list.
+    * The SHJ default still SHUFFLES the full-width rebuilt-file rows on
+    * (_file,_pos) just to meet a key list that is batch-proportional by
+    * construction — at sf10 that exchange is most of the rewrite wall.
+    * When the probe's exact byte estimate fits the budget, BROADCAST the
+    * key list instead: the full-width side then streams scan->join->
+    * clustered write with no exchange before the write's own clustering.
+    * Past the budget (one knob, a real cluster sizes it like any
+    * broadcast cap) the shape degrades to the spill-free shuffled hash
+    * as before. */
+  private def rewriteSide(keys: DataFrame, probe: ProbeResult): DataFrame = {
+    val cap = sys.props.get("graft.merge.rewriteBroadcastMax")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(64L << 20)
+    if (knob("rewriteBroadcast", true) && probe.actionedKeyBytes > 0 &&
+        probe.actionedKeyBytes <= cap)
+      broadcast(keys)
+    else shj(keys, knob("rewriteShj", true))
   }
 }

@@ -1,0 +1,83 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-15, q5's read residual (Exp20: 2.6 s wall over a 0.27 s scan
+  * floor, one SHJ +1.45 s; Exp21 broadcast-negative; Exp29
+  * orders><customer prejoin negative). Untried lever: the ASIA dim
+  * filters 80% of suppliers, and the dim join is BROADCAST — moving it
+  * FIRST (semi on l_suppkey inside the scan stage) drops ~80% of the
+  * bloom-surviving fact rows BEFORE the orders exchange, shrinking the
+  * one join that is the wall. Registry vs dim-first, same session,
+  * interleaved, exec-only over prepared plans.
+  */
+object Exp33 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def ts(s: String) = lit(java.time.LocalDateTime.parse(s.replace(" ", "T")))
+      .cast("timestamp_ntz")
+
+    def registry(): DataFrame = graft.Registry.all
+      .find(_.name == "q5_local_supplier").get.run(spark, sfDir)
+
+    def dimFirst(): DataFrame = {
+      val dim = Tables.supplier(spark, sfDir)
+        .join(broadcast(Tables.nation(spark, sfDir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey")
+      val l0 = Tables.lineitem(spark, sfDir)
+      val l = graft.plans.BloomPrune.pruned(l0, col("l_orderkey"), o, col("o_orderkey"))
+      l.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .join(graft.plans.Hints.broadcastIfSmall(c, bound = c, countOnFail = Some(c)),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }
+
+    val variants = Seq("registry" -> registry _, "dim_first" -> dimFirst _)
+    val dfs = variants.map { case (n, mk) =>
+      val df = mk(); df.queryExecution.executedPlan; n -> df }
+    // warmup + correctness cross-check
+    val res = dfs.map { case (n, df) =>
+      n -> df.collect().map(_.toString).mkString("|") }
+    println(s"== exp33 results match: ${res.map(_._2).distinct.size == 1}")
+    res.foreach { case (n, r) => println(s"== exp33 $n -> ${r.take(160)}") }
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (round <- 1 to 7; (n, df) <- dfs) {
+      val t0 = System.nanoTime()
+      df.queryExecution.executedPlan.clone().executeCollect()
+      times(n) = times(n) :+ (System.nanoTime() - t0) / 1e9
+      System.gc()
+    }
+    dfs.foreach { case (n, _) =>
+      println(f"== exp33 $n%-10s min ${times(n).min}%.3f  " +
+        f"passes ${times(n).map(t => f"$t%.2f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,86 @@
+package graft.tools
+
+import graft.commands.LakeEngine
+import graft.format.{LakeCatalog, SortField}
+import java.nio.file.Files
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Round-15 task 7: decompose the streaming sink's ~450 ms fixed
+  * per-batch cost at sf0.1 (BenchStream shape: 8 single-file batches).
+  * A job listener attributes every Spark job to write vs harvest vs
+  * other, and the gaps (driver/commit IO) fall out as batch wall minus
+  * job time.
+  */
+object Exp34 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("") +
+          " " + j.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString("|")
+        starts.put(j.jobId, (j.time, desc.take(120)))
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        Option(starts.get(j.jobId)).foreach { case (t0, d) =>
+          jobs.add((t0, j.time, d)) }
+    })
+
+    val root = Files.createTempDirectory("graft-exp34-")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fixture = java.nio.file.Paths.get(sfDir, "events.parquet").toString
+    val raw = spark.read.parquet(fixture)
+    val tsIsNanosLong = raw.schema("ts").dataType == LongType
+    val events = raw.select(col("event_id"),
+      (if (tsIsNanosLong) expr("timestamp_micros(ts div 1000)")
+       else col("ts").cast(TimestampType)).as("ts"),
+      col("user_id"), col("event_type"), col("value"))
+    val stageDir = root.resolve("stage")
+    events.repartitionByRange(8, col("event_id")).write.parquet(stageDir.toString)
+
+    val catalog = new LakeCatalog(root.resolve("lake").toString)
+    val engine = new LakeEngine(spark, catalog)
+    val table = catalog.createTable("events_ingest",
+      events.schema, sortOrder = Seq(SortField("event_id")))
+
+    val t0 = System.currentTimeMillis()
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+      .writeStream.format("graft-lake")
+      .option("path", table.location)
+      .option("checkpointLocation", root.resolve("chk").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(600000)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(500)
+    import scala.jdk.CollectionConverters._
+    val js = jobs.asScala.toSeq.sortBy(_._1)
+    println(f"== exp34 wall ${(t1 - t0) / 1000.0}%.2f s, ${js.size} jobs")
+    var cursor = t0
+    js.foreach { case (s, e, d) =>
+      println(f"== exp34 gap ${math.max(0, s - cursor)}%5d ms | job ${e - s}%5d ms  $d")
+      cursor = math.max(cursor, e)
+    }
+    println(f"== exp34 tail ${math.max(0, t1 - cursor)}%5d ms")
+    val prog = q.recentProgress.filter(_.numInputRows > 0)
+    prog.foreach(p => println(s"== exp34 batch ${p.batchId} trigger=" +
+      s"${p.durationMs.get("triggerExecution")}ms addBatch=${p.durationMs.get("addBatch")}ms"))
+    import scala.util.Try
+    Try { Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(f => Try(Files.delete(f))) }
+    spark.stop()
+  }
+}

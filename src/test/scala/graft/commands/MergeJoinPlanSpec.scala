@@ -57,7 +57,15 @@ class MergeJoinPlanSpec extends SparkSpec {
     (engine, t)
   }
 
-  test("changes-mode scd1: diff join is shuffled-hash (build source), rewrite anti join is shuffled-hash") {
+  test("changes-mode scd1: diff join drops unmatched target rows (right-outer SHJ), rewrite keys broadcast") {
+    // Round 15: the source-present filter lets Catalyst eliminate the
+    // dead outer side — the diff join must plan as RIGHT outer (the
+    // unmatched-target op-N rows are never emitted, so the persisted
+    // diff is O(source), not O(candidate-file rows)) and still build
+    // shuffled-hash from the batch-proportional source. The rewrite's
+    // bounded (_file,_pos) key list must BROADCAST into the anti join
+    // (Exp32: SHJ shuffles the full-width file rows for nothing), with
+    // the shuffled-hash fallback reserved for key lists past the budget.
     val dir = java.nio.file.Files.createTempDirectory("graft-mjp1-").toString
     val (engine, t) = mkTable(dir)
     val src = spark.range(1200, 1261).select(
@@ -68,12 +76,14 @@ class MergeJoinPlanSpec extends SparkSpec {
       Merge.scd1(engine, t, src, Merge.Scd1Options(
         keyCols = Seq("k"), operationTypeColumn = Some("op")))
     }
-    assert(plans.exists(p => p.contains("ShuffledHashJoin") && p.contains("FullOuter")),
-      s"no shuffled-hash full-outer diff join in any captured plan:\n${plans.mkString("\n---\n")}")
-    assert(plans.exists(p => p.contains("ShuffledHashJoin") && p.contains("LeftAnti")),
-      "rewrite (_file,_pos) anti join is not shuffled-hash")
-    assert(!plans.exists(p => p.contains("SortMergeJoin") && p.contains("FullOuter")),
-      "a full-outer sort-merge join survived in changes mode")
+    assert(plans.exists(p => p.contains("ShuffledHashJoin") && p.contains("RightOuter")),
+      s"no shuffled-hash right-outer diff join in any captured plan:\n${plans.mkString("\n---\n")}")
+    assert(!plans.exists(_.contains("FullOuter")),
+      "changes-mode diff stayed full-outer: unmatched-target drop did not fire")
+    assert(plans.exists(p => p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
+      "rewrite (_file,_pos) anti join did not broadcast the bounded key list")
+    assert(!plans.exists(p => p.contains("SortMergeJoin") && p.contains("RightOuter")),
+      "a right-outer sort-merge join survived in changes mode")
   }
 
   test("snapshot-mode scd1: no shuffle_hash hint injected — Catalyst decides from stats") {
