@@ -50,10 +50,12 @@ object LakeStreamSink {
     * no-op; a fresh one writes files and commits them together with the
     * batch marker and the durable high-water-mark property. */
   def appendBatch(engine: LakeEngine, table: LakeTable, queryKey: String,
-      batchId: Long, batch: DataFrame): Unit = {
+      batchId: Long, batch: DataFrame,
+      sizeHintBytes: Option[BigInt] = None): Unit = {
     table.refresh()
     if (lastCommittedBatch(table, queryKey).exists(_ >= batchId)) return
-    val files = LakeWriter.write(engine.spark, table, batch)
+    val files = LakeWriter.write(engine.spark, table, batch,
+      sizeHintBytes = sizeHintBytes)
     table.commit(CommitOp.Append(files, None,
       Map(QueryKey -> queryKey, BatchKey -> batchId.toString),
       Map(HwmPropPrefix + queryKey -> batchId.toString)))

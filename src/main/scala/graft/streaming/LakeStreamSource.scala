@@ -101,7 +101,12 @@ class LakeSourceProvider extends TableProvider with DataSourceRegister
           .resolveAndBind(qe.analyzed.output)
           .createDeserializer()
         val batch = spark.createDataFrame(qe.toRdd.map(r => deser(r.copy())), data.schema)
-        LakeStreamSink.appendBatch(engine, LakeTable.load(location), queryKey, batchId, batch)
+        // the rebound LogicalRDD can't estimate its size (defaults to
+        // "huge"), but the incremental execution's own optimized plan
+        // can — pass it through so a small micro-batch takes the
+        // single-file no-shuffle write path
+        LakeStreamSink.appendBatch(engine, LakeTable.load(location), queryKey, batchId, batch,
+          sizeHintBytes = Some(qe.optimizedPlan.stats.sizeInBytes))
       }
       override def toString: String = s"graft-lake sink [$location]"
     }

@@ -78,9 +78,15 @@ object LakeWriter extends Serializable {
     *   table, (b) per-file input partitions, (c) the rebuild leaves
     *   sort columns untouched — [[graft.commands.LakeEngine]] checks
     *   all three before asking for it. */
+  /** @param sizeHintBytes caller-known input size for the single-file
+    *   fast path, for inputs whose own plan cannot estimate (the
+    *   streaming sink's LogicalRDD batches default to "huge", which
+    *   would silently disable the fast path for exactly the micro-batch
+    *   appends it exists for). */
   def write(spark: SparkSession, table: LakeTable, input: DataFrame,
       clusterBounds: Option[Seq[String]] = None,
-      preserveDistribution: Boolean = false): Seq[FileEntry] = {
+      preserveDistribution: Boolean = false,
+      sizeHintBytes: Option[BigInt] = None): Seq[FileEntry] = {
     val schema = table.schema
     val spec = table.metadata.partitionSpec
     val props = table.properties
@@ -122,8 +128,29 @@ object LakeWriter extends Serializable {
           case Some((bucketExpr, nBuckets)) =>
             withParts.withColumn(ClusterCol, bucketExpr)
               .repartition(nBuckets, col(ClusterCol))
-          case None => // sorted table: range-cluster so file ranges don't overlap
-            withParts.repartitionByRange(sortExprs: _*)
+          case None =>
+            // micro-batch fast path (round 15, Exp34): a batch whose
+            // size estimate fits ONE target file needs no range
+            // clustering — collapse to a single sorted partition and
+            // write one tight file. The sampling branch below pays a
+            // RangePartitioner job that RE-EVALUATES the input, and
+            // worse, a small append fragments into up to
+            // shuffle-partition-count sliver files (a streaming sink
+            // commits one such append per micro-batch). Estimates from
+            // a scan are the file bytes (accurate for stream batches);
+            // an over-estimate just takes the sampling path, an
+            // under-estimate writes one larger sorted file — correct
+            // either way.
+            val singleFileBytes = org.apache.spark.network.util.JavaUtils
+              .byteStringAsBytes(spark.conf.get(
+                "graft.write.singleFileThreshold", "32MB"))
+            val est = sizeHintBytes.getOrElse(
+              withParts.queryExecution.optimizedPlan.stats.sizeInBytes)
+            // coalesce, not repartition: no exchange at all — the whole
+            // small write runs as ONE single-stage task
+            if (est <= singleFileBytes) withParts.coalesce(1)
+            // sorted table: range-cluster so file ranges don't overlap
+            else withParts.repartitionByRange(sortExprs: _*)
         }
       case _ => withParts
     }
@@ -300,8 +327,7 @@ object LakeWriter extends Serializable {
 
     // Configuration is not serializable; ship its entries and rebuild per task
     val confEntries = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
-    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
-    val entries = spark.sparkContext.parallelize(files, slices).mapPartitions { iter =>
+    def harvestPart(iter: Iterator[(String, Long)]): Iterator[FileEntry] = {
       val tconf = new Configuration(false)
       confEntries.foreach { case (k, v) => tconf.set(k, v) }
       iter.map { case (pathStr, len) =>
@@ -350,8 +376,17 @@ object LakeWriter extends Serializable {
           FileEntry(pathStr, partition, rowCount, len, schemaId, stats, specId)
         } finally reader.close()
       }
-    }.collect().toSeq.sortBy(_.path)
-    entries
+    }
+    // few-file commits (a streaming micro-batch, a small DML) read their
+    // footers straight on the driver — a whole Spark job's scheduling
+    // overhead for <= 4 footer opens costs more than the opens (Exp34:
+    // ~100 ms of a ~600 ms micro-batch trigger); past that the footer IO
+    // fans out across executors as before
+    val driverMax = spark.conf.get("graft.harvest.driverMaxFiles", "4").toInt
+    if (files.size <= driverMax) return harvestPart(files.iterator).toSeq.sortBy(_.path)
+    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(files, slices)
+      .mapPartitions(harvestPart).collect().toSeq.sortBy(_.path)
   }
 
   /** Dummy record assembly for [[ColumnReadStoreImpl]] — values are read
