@@ -1,0 +1,67 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-15 ceiling probes for the two 2.0-2.1x hoverers, one each:
+  *
+  *  dedup_exact — variants at sf10: the registry shape (md5-keyed
+  *  groupBy), a scan/count floor, an xxhash64-keyed ceiling (output-
+  *  incompatible: the gate's contract emits text_md5), and a text-keyed
+  *  group with md5 computed once per GROUP (output-compatible, but
+  *  shuffles text bytes instead of 32-char digests — wrong trade for
+  *  long documents at corpus scale).
+  *
+  *  q_distinct_agg — the registry salted shape vs a groupBy/count floor
+  *  (same scan, no distinct sets): how much of the wall is the
+  *  per-row distinct-set work that open-addressing already minimizes.
+  */
+object Exp35 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    def corpus = graft.queries.DedupQueries.corpus(spark, sfDir)
+
+    val variants: Seq[(String, () => Long)] = Seq(
+      "exact_registry" -> (() => graft.Registry.all.find(_.name == "dedup_exact").get
+        .run(spark, sfDir).count()),
+      "exact_floor_count" -> (() => corpus.select(col("text")).filter(length(col("text")) >= 0).count()),
+      "exact_xxh_ceiling" -> (() => corpus
+        .groupBy(xxhash64(col("text")).as("k"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt")).count()),
+      "exact_textkey" -> (() => corpus
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .select(md5(col("text")).as("text_md5"), col("keep_id"), col("dup_cnt")).count()),
+      "dist_registry" -> (() => graft.Registry.all.find(_.name == "q_distinct_agg").get
+        .run(spark, sfDir).count()),
+      "dist_floor_groupcount" -> (() => Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(col("l_suppkey")), count(col("l_partkey")), count(col("l_orderkey"))).count()))
+
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (round <- 0 to 4; (name, mk) <- variants) {
+      val t0 = System.nanoTime()
+      val n = mk()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (round > 0) times(name) = times(name) :+ sec
+      if (round == 0) println(s"== exp35 warmup $name n=$n")
+      System.gc()
+    }
+    variants.foreach { case (name, _) =>
+      println(f"== exp35 $name%-22s min ${times(name).min}%.3f  " +
+        f"passes ${times(name).map(t => f"$t%.2f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}
