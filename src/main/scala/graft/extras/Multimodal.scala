@@ -220,6 +220,37 @@ object Multimodal {
       Row(id, f(0), f(1), f(2), f(3), planeBytes)
     }
 
+  /** Inter (P_Skip) variant (round 15 stretch): fixtures whose first
+    * frame is a lossless I_PCM IDR and every later frame a non-IDR P
+    * slice of skipped macroblocks ([[MediaSynth.mp4PSkip]]). The decode
+    * walks ALL samples with reference propagation — P slice header
+    * parse, mb_skip_run, the 8.4.1.1 P_Skip zero-vector derivation,
+    * integer-pel motion compensation — so `lum_sum` here is the TOTAL
+    * across frames (n_frames * frame-0 sum, closed form). Map-only. */
+  def mp4PSkipFrameFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_frames", LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("lum_sum", LongType), StructField("plane_bytes", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        JvmMp4Codec.decodeAllLuma(MediaSynth.mp4PSkip(id)) match {
+          case Some((sps, frames)) =>
+            var sum = 0L
+            frames.foreach { f =>
+              var i = 0
+              while (i < f.length) { sum += f(i) & 0xff; i += 1 }
+            }
+            Row(id, frames.length.toLong, sps.widthMbs * 16L, sps.heightMbs * 16L,
+              sum, frames.map(_.length.toLong).sum)
+          case None => Row(id, -1L, -1L, -1L, -1L, -1L)
+        }
+      }
+    }(enc)
+  }
+
   /** Shared decode mapper for the PNG gates: synthesize the per-id PNG,
     * route it through the registered image codec, and project the
     * feature array ([w, h, lumSum] ++ 16-bin histogram) into `schema`.
@@ -952,14 +983,86 @@ object MediaSynth {
     mp4Container(wMb, hMb, (0 until nFrames).map(nalIdr))
   }
 
-  private def mp4SpsNal(wMb: Int, hMb: Int): Array[Byte] = {
+  /** Inter sibling of [[mp4]] (round 15 stretch): frame 0 is the same
+    * lossless I_PCM IDR (luma (id + 3x + 5y) % 256), and every later
+    * frame is a non-IDR P slice made ENTIRELY of skipped macroblocks —
+    * one mb_skip_run covering the frame. Under the spec 8.4.1.1 P_Skip
+    * derivation every skipped MB of such a frame predicts (0,0) from
+    * reference 0, so each P frame reconstructs frame 0 EXACTLY and the
+    * total decoded luma sum is the closed form n_frames * sum(frame 0).
+    * The writer emits the full non-IDR P slice header (ref-list
+    * override / modification / marking flags) so the decoder parses a
+    * real inter header, not a truncated one; it shares only the bit
+    * primitives with [[H264.decodePSkipLuma]]. */
+  def mp4PSkip(id: Long): Array[Byte] = {
+    val wMb = (1 + id % 2).toInt
+    val hMb = (1 + (id / 2) % 2).toInt
+    val nFrames = (2 + id % 3).toInt
+
+    def nalIdr: Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x65, 8) // nal: ref_idc=3, type=5 (IDR slice)
+      bw.ue(0) // first_mb_in_slice
+      bw.ue(7) // slice_type: I (all slices in pic)
+      bw.ue(0) // pps id
+      bw.u(0, 4) // frame_num
+      bw.ue(0) // idr_pic_id
+      bw.u(0, 1); bw.u(0, 1) // no_output_of_prior_pics, long_term_reference
+      bw.se(0) // slice_qp_delta
+      var mb = 0
+      while (mb < wMb * hMb) {
+        bw.ue(25) // mb_type I_PCM
+        bw.byteAlignZero() // pcm_alignment_zero_bit
+        val mbX = (mb % wMb) * 16
+        val mbY = (mb / wMb) * 16
+        val luma = new Array[Byte](256)
+        var yy = 0
+        while (yy < 16) {
+          var xx = 0
+          while (xx < 16) {
+            luma(yy * 16 + xx) =
+              ((id + 3 * (mbX + xx) + 5 * (mbY + yy)) % 256).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        bw.bytes(luma)
+        val chroma = new Array[Byte](128)
+        java.util.Arrays.fill(chroma, 128.toByte)
+        bw.bytes(chroma)
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+
+    def nalP(f: Int): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x41, 8) // nal: ref_idc=2, type=1 (non-IDR slice)
+      bw.ue(0) // first_mb_in_slice
+      bw.ue(5) // slice_type: P (all slices in pic)
+      bw.ue(0) // pps id
+      bw.u(f % 16, 4) // frame_num
+      bw.u(0, 1) // num_ref_idx_active_override_flag
+      bw.u(0, 1) // ref_pic_list_modification_flag_l0
+      bw.u(0, 1) // adaptive_ref_pic_marking_mode_flag
+      bw.se(0) // slice_qp_delta
+      bw.ue(wMb.toLong * hMb) // mb_skip_run: every MB skipped
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+    mp4Container(wMb, hMb, nalIdr +: (1 until nFrames).map(nalP),
+      maxRefFrames = 1)
+  }
+
+  private def mp4SpsNal(wMb: Int, hMb: Int, maxRefFrames: Int = 0): Array[Byte] = {
     val bw = new graft.extras.H264.BitWriter
     bw.u(0x67, 8) // nal: ref_idc=3, type=7 (SPS)
     bw.u(66, 8); bw.u(0, 8); bw.u(10, 8) // baseline, no constraints, level 1.0
     bw.ue(0) // sps id
     bw.ue(0) // log2_max_frame_num_minus4 -> 4 bits
     bw.ue(2) // pic_order_cnt_type = 2 (no POC fields downstream)
-    bw.ue(0) // max_num_ref_frames
+    bw.ue(maxRefFrames) // max_num_ref_frames (1 for the P_Skip fixtures)
     bw.u(0, 1) // gaps_in_frame_num_value_allowed_flag
     bw.ue(wMb - 1); bw.ue(hMb - 1)
     bw.u(1, 1) // frame_mbs_only_flag
@@ -987,7 +1090,8 @@ object MediaSynth {
 
   /** Shared ISO-BMFF wrapping for the MP4 fixtures: ftyp + mdat (4-byte
     * length-prefixed IDR NALs) + moov with avcC carrying the SPS/PPS. */
-  private def mp4Container(wMb: Int, hMb: Int, nals: Seq[Array[Byte]]): Array[Byte] = {
+  private def mp4Container(wMb: Int, hMb: Int, nals: Seq[Array[Byte]],
+      maxRefFrames: Int = 0): Array[Byte] = {
     val w = wMb * 16
     val h = hMb * 16
     val nFrames = nals.length
@@ -1011,7 +1115,7 @@ object MediaSynth {
     val mdatPayloadOffset = ftyp.length + 8L
     val mdat = box("mdat", samples.flatten.toArray)
 
-    val sps = mp4SpsNal(wMb, hMb); val pps = mp4PpsNal()
+    val sps = mp4SpsNal(wMb, hMb, maxRefFrames); val pps = mp4PpsNal()
     val avcC = box("avcC",
       Array[Byte](1, 66, 0, 10, (0xfc | 3).toByte, (0xe0 | 1).toByte),
       be16(sps.length), sps, Array[Byte](1), be16(pps.length), pps)
@@ -1244,6 +1348,93 @@ private[extras] object H264 {
         }
         r.readBytes(128) // Cb + Cr (4:2:0)
         mb += 1
+      }
+      luma
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  // ------------------------------------------------------------------
+  // P_Skip inter decode (round 15 stretch) — the first INTER coding
+  // step: non-IDR P slices whose macroblocks are all skipped. The
+  // decoder genuinely parses the P slice header (ref-list override /
+  // modification / marking flags included), reads mb_skip_run, runs the
+  // spec 8.4.1.1 P_Skip motion-vector derivation (mvSkip = 0 when a
+  // lateral neighbor is unavailable or predicts (0,0) with refIdx 0 —
+  // which by induction covers every MB of an all-skip frame), and
+  // motion-compensates each skipped MB from the reference plane at
+  // integer-pel with edge clamping. SCOPE, stated plainly: coded inter
+  // MB types, non-zero residuals in P slices, sub-pel interpolation
+  // (the 6-tap half-pel filter) and the median MV predictor's non-zero
+  // branch return null — the documented seam, exactly like the CAVLC
+  // decoders' entropy seam. The multimodal_h264_pskip gate pins this
+  // against a closed-form oracle (every P frame reconstructs the IDR
+  // frame exactly, so the total luma sum is n_frames * frame-0 sum).
+  // ------------------------------------------------------------------
+
+  /** Decode the luma plane of an all-P_Skip non-IDR slice NAL against
+    * `ref` (the previously decoded frame). Null outside the subset. */
+  def decodePSkipLuma(rbsp: Array[Byte], sps: Sps, ref: Array[Byte]): Array[Byte] = {
+    try {
+      if (ref == null) return null
+      val r = new BitReader(rbsp)
+      val nalHeader = r.u(8)
+      val nalRefIdc = ((nalHeader >> 5) & 3).toInt
+      if ((nalHeader & 0x1f).toInt != 1) return null // non-IDR slice only
+      if (r.ue() != 0) return null // first_mb_in_slice
+      if (r.ue() % 5 != 0) return null // P slice only
+      r.ue() // pic_parameter_set_id
+      r.u(sps.log2MaxFrameNum) // frame_num
+      // pic_order_cnt_type == 2 in this profile: no POC fields
+      if (r.u(1) == 1) r.ue() // num_ref_idx_active_override_flag -> l0 count
+      if (r.u(1) == 1) return null // ref_pic_list_modification_flag_l0
+      // weighted_pred_flag is 0 in this profile's PPS: no pred_weight_table
+      if (nalRefIdc != 0 && r.u(1) == 1) return null // adaptive marking
+      r.se() // slice_qp_delta
+      val w = sps.widthMbs * 16
+      val h = sps.heightMbs * 16
+      if (ref.length != w * h) return null
+      val nMbs = sps.widthMbs * sps.heightMbs
+      val luma = new Array[Byte](w * h)
+      // per-MB motion vectors (quarter-pel units) for the skip derivation
+      val mvx = new Array[Int](nMbs)
+      val mvy = new Array[Int](nMbs)
+      var mb = 0
+      while (mb < nMbs) {
+        val run = r.ue()
+        if (run != nMbs - mb) return null // a CODED inter MB follows: seam
+        var k = 0
+        while (k < run) {
+          val mbX = (mb % sps.widthMbs) * 16
+          val mbY = (mb / sps.widthMbs) * 16
+          // 8.4.1.1: P_Skip predicts (0,0) when the left or top neighbor
+          // is unavailable, or when either is ref-0 with a zero vector;
+          // otherwise the median predictor applies (outside this subset)
+          val leftAvail = mbX > 0
+          val topAvail = mbY > 0
+          val leftZero = leftAvail && mvx(mb - 1) == 0 && mvy(mb - 1) == 0
+          val topZero = topAvail &&
+            mvx(mb - sps.widthMbs) == 0 && mvy(mb - sps.widthMbs) == 0
+          if (!(!leftAvail || !topAvail || leftZero || topZero)) return null
+          mvx(mb) = 0; mvy(mb) = 0
+          // integer-pel motion compensation with edge clamping (the
+          // derived vector is (0,0) here, but the copy is written
+          // against the general full-pel offset)
+          val dx = mvx(mb) >> 2
+          val dy = mvy(mb) >> 2
+          var yy = 0
+          while (yy < 16) {
+            val sy = math.max(0, math.min(h - 1, mbY + yy + dy))
+            var xx = 0
+            while (xx < 16) {
+              val sx = math.max(0, math.min(w - 1, mbX + xx + dx))
+              luma((mbY + yy) * w + mbX + xx) = ref(sy * w + sx)
+              xx += 1
+            }
+            yy += 1
+          }
+          mb += 1
+          k += 1
+        }
       }
       luma
     } catch { case scala.util.control.NonFatal(_) => null }
@@ -1861,6 +2052,46 @@ object JvmMp4Codec extends MediaCodec {
     }
     null
   }
+
+  /** All frames' luma planes with REFERENCE propagation: IDR samples
+    * decode through the intra paths, non-IDR samples through the
+    * P_Skip inter path against the previously decoded frame. None when
+    * any sample falls outside the decodable subset (round 15). */
+  private[extras] def decodeAllLuma(b: Array[Byte]): Option[(H264.Sps, Seq[Array[Byte]])] =
+    parse(b).flatMap { t =>
+      var ref: Array[Byte] = null
+      val frames = Vector.newBuilder[Array[Byte]]
+      var i = 0
+      while (i < t.samples.length) {
+        val (off, size) = t.samples(i)
+        var o = off
+        val end = off + size
+        var luma: Array[Byte] = null
+        while (luma == null && o + t.nalLenSize <= end) {
+          var len = 0L
+          var j = 0
+          while (j < t.nalLenSize) { len = (len << 8) | (b((o + j).toInt) & 0xffL); j += 1 }
+          val nalStart = o + t.nalLenSize
+          if (len <= 0 || nalStart + len > end) return None
+          val nalType = b(nalStart.toInt) & 0x1f
+          if (nalType == 5 || nalType == 1) {
+            val rbsp = H264.removeEmulationPrevention(
+              b, nalStart.toInt, (nalStart + len).toInt)
+            luma =
+              if (nalType == 5) {
+                val pcm = H264.decodeIPcmLuma(rbsp, t.sps)
+                if (pcm != null) pcm else H264.decodeI16DcLuma(rbsp, t.sps, t.initQp)
+              } else H264.decodePSkipLuma(rbsp, t.sps, ref)
+          }
+          o = nalStart + len
+        }
+        if (luma == null) return None
+        frames += luma
+        ref = luma
+        i += 1
+      }
+      Some((t.sps, frames.result()))
+    }
 
   /** [frameCount, width, height, lumaSum] ++ 16-bin luma histogram of
     * the first frame (lossless I_PCM: the sum is an arithmetic fact). */

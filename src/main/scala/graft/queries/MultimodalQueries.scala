@@ -322,6 +322,37 @@ object MultimodalQueries {
             AS BIGINT) AS lum_sum,
           CAST(n_frames * width * height AS BIGINT) AS plane_bytes
         FROM p ORDER BY doc_id"""),
-      doc = "CAVLC AC residuals: general residual reader (run_before, tc=2 total_zeros, nC bookkeeping) + AC dequant + 4x4 inverse core transform vs closed-form floor-sum oracle")
+      doc = "CAVLC AC residuals: general residual reader (run_before, tc=2 total_zeros, nC bookkeeping) + AC dequant + 4x4 inverse core transform vs closed-form floor-sum oracle"),
+
+    // ------------------------------------------------------------------
+    Q("multimodal_h264_pskip",
+      (s, d) => {
+        // round-15 stretch: the first INTER step. Frame 0 is a lossless
+        // I_PCM IDR; every later frame a non-IDR P slice made entirely
+        // of skipped macroblocks. The decoder parses the real P slice
+        // header, reads mb_skip_run, derives the P_Skip motion vector
+        // per spec 8.4.1.1 (zero for every MB of an all-skip frame) and
+        // motion-compensates from the previous frame — so each P frame
+        // reconstructs frame 0 exactly and the TOTAL luma sum across
+        // frames is the closed form n_frames * sum(frame 0).
+        Multimodal.mp4PSkipFrameFeatures(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT d.doc_id,
+          2 + d.doc_id % 3 AS n_frames,
+          16 * (1 + d.doc_id % 2) AS width,
+          16 * (1 + (d.doc_id // 2) % 2) AS height,
+          CAST((2 + d.doc_id % 3) *
+            sum((d.doc_id + 3 * x.x + 5 * y.y) % 256) AS BIGINT) AS lum_sum,
+          CAST((2 + d.doc_id % 3) * 16 * (1 + d.doc_id % 2)
+            * 16 * (1 + (d.doc_id // 2) % 2) AS BIGINT) AS plane_bytes
+        FROM documents d, range(0, 32) x(x), range(0, 32) y(y)
+        WHERE d.doc_id < 200
+          AND x.x < 16 * (1 + d.doc_id % 2)
+          AND y.y < 16 * (1 + (d.doc_id // 2) % 2)
+        GROUP BY d.doc_id ORDER BY d.doc_id"""),
+      doc = "H.264 inter decode: P_Skip slices (header parse, mb_skip_run, 8.4.1.1 zero-MV derivation, motion compensation with reference propagation) vs closed-form oracle")
   )
 }

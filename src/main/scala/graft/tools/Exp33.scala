@@ -24,6 +24,11 @@ object Exp33 {
       .config("spark.sql.files.minPartitionNum", "1")
       .config("spark.locality.wait", "0")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // AQE OFF, matching Bench: under AQE a cloned plan SHARES the
+      // adaptive stage cache, so repeat executions reuse materialized
+      // shuffle stages and measure only the final stage (the first
+      // version of this Exp reported a fictional 0.085 s that way)
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,7 +63,63 @@ object Exp33 {
         .orderBy(desc("revenue"), asc("n_name"))
     }
 
-    val variants = Seq("registry" -> registry _, "dim_first" -> dimFirst _)
+    // isolation arms: the registry differs from dimFirst only in dsum
+    // (decimal-exact sum) and Present.driverAgg — which one is the 2s?
+    def dimFirstDsum(): DataFrame = {
+      // dimFirst with dsum's body in place of the double sum
+      graft.functions.GraftFunctions.register(spark)
+      def dsum(c: org.apache.spark.sql.Column) =
+        (sum(call_function("graft_dunscaled", c.cast("double"), lit(4)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / lit(10000L))
+          .cast("double").as("revenue")
+      val dim = Tables.supplier(spark, sfDir)
+        .join(broadcast(Tables.nation(spark, sfDir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey")
+      val l = graft.plans.BloomPrune.pruned(
+        Tables.lineitem(spark, sfDir), col("l_orderkey"), o, col("o_orderkey"))
+      l.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .join(c.hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }
+    def dimFirstDriverAgg(): DataFrame = {
+      val dim = Tables.supplier(spark, sfDir)
+        .join(broadcast(Tables.nation(spark, sfDir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey")
+      val l = graft.plans.BloomPrune.pruned(
+        Tables.lineitem(spark, sfDir), col("l_orderkey"), o, col("o_orderkey"))
+      l.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .join(c.hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .transform(graft.queries.Present.driverAgg(_, "revenue" -> false, "n_name" -> true))
+    }
+    val variants = Seq("registry" -> registry _, "dim_first" -> dimFirst _,
+      "df_dsum" -> dimFirstDsum _, "df_driverAgg" -> dimFirstDriverAgg _)
     val dfs = variants.map { case (n, mk) =>
       val df = mk(); df.queryExecution.executedPlan; n -> df }
     // warmup + correctness cross-check

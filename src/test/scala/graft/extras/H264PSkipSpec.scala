@@ -1,0 +1,76 @@
+package graft.extras
+
+import graft.SparkSpec
+
+/** Pins for the round-15 P_Skip inter decode: reference propagation,
+  * exact reconstruction, and the documented seam (anything beyond
+  * all-skip P slices degrades to None instead of guessing). */
+class H264PSkipSpec extends SparkSpec {
+
+  private def ipcmSum(id: Long, w: Int, h: Int): Long = {
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { s += (id + 3 * x + 5 * y) % 256; x += 1 }
+      y += 1
+    }
+    s
+  }
+
+  test("all-skip P frames reconstruct the IDR frame exactly") {
+    (0L to 24L).foreach { id =>
+      val bytes = MediaSynth.mp4PSkip(id)
+      val Some((sps, frames)) = JvmMp4Codec.decodeAllLuma(bytes): @unchecked
+      val w = sps.widthMbs * 16
+      val h = sps.heightMbs * 16
+      assert(w == 16 * (1 + id % 2) && h == 16 * (1 + (id / 2) % 2))
+      assert(frames.length == (2 + id % 3).toInt, s"id=$id frame count")
+      // frame 0 is the I_PCM pattern; every P frame is byte-identical
+      val f0 = frames.head
+      assert(f0.map(_ & 0xff).map(_.toLong).sum == ipcmSum(id, w, h), s"id=$id frame 0")
+      frames.tail.zipWithIndex.foreach { case (f, i) =>
+        assert(java.util.Arrays.equals(f, f0), s"id=$id P frame $i differs from IDR")
+      }
+    }
+  }
+
+  test("P_Skip decoder refuses streams outside its subset") {
+    // a coded inter MB after a short skip run must degrade, not guess
+    val bw = new H264.BitWriter
+    bw.u(0x41, 8) // non-IDR
+    bw.ue(0); bw.ue(5); bw.ue(0) // first_mb, slice_type P, pps
+    bw.u(1, 4) // frame_num
+    bw.u(0, 1); bw.u(0, 1); bw.u(0, 1) // override, modification, marking
+    bw.se(0)
+    bw.ue(0) // mb_skip_run = 0: a coded MB would follow
+    bw.ue(0) // mb_type P_L0_16x16 (unsupported)
+    bw.rbspTrailing()
+    val sps = H264.Sps(1, 1, 4)
+    val ref = new Array[Byte](256)
+    assert(H264.decodePSkipLuma(bw.result(), sps, ref) == null)
+    // and a missing reference frame degrades too
+    val good = new H264.BitWriter
+    good.u(0x41, 8); good.ue(0); good.ue(5); good.ue(0)
+    good.u(1, 4); good.u(0, 1); good.u(0, 1); good.u(0, 1); good.se(0)
+    good.ue(1); good.rbspTrailing()
+    assert(H264.decodePSkipLuma(good.result(), sps, null) == null)
+    assert(H264.decodePSkipLuma(good.result(), sps, ref) != null)
+  }
+
+  test("gate op emits the closed-form totals") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 12).select(col("id").as("doc_id"))
+    val out = Multimodal.mp4PSkipFrameFeatures(df, "doc_id")
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val n = 2 + id % 3
+      val w = 16 * (1 + id % 2)
+      val h = 16 * (1 + (id / 2) % 2)
+      assert(r.getLong(1) == n && r.getLong(2) == w && r.getLong(3) == h)
+      assert(r.getLong(4) == n * ipcmSum(id, w.toInt, h.toInt), s"id=$id lum_sum")
+      assert(r.getLong(5) == n * w * h)
+    }
+  }
+}
