@@ -196,25 +196,44 @@ object Merge {
         return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
 
       // rebuild modified files: every original row except replaced/deleted ones
-      val retained =
-        if (modified.isEmpty) None
-        else {
-          val entries = candidates.filter(f => modified.contains(f.path))
-          val full = new TableScan(spark, table, explicitFiles = Some(entries),
+      val entries = candidates.filter(f => modified.contains(f.path))
+      val removedKeys = diff.filter(col(OpCol).isin("U", "D"))
+        .select(col(tp("_file")).as("_file"), col(tp("_pos")).as("_pos"))
+      val (keysSide, keysBroadcast) = rewriteSide(removedKeys, probe)
+      val newFiles =
+        if (modified.nonEmpty && splitRewriteOk(table, entries, keysBroadcast, Set.empty)) {
+          // split rewrite: retained rows stream per file (no exchange,
+          // no sort), upserts cluster separately — see [[splitRewriteOk]]
+          val s2 = perFileSession(spark, entries)
+          val full = new TableScan(s2, table, explicitFiles = Some(entries),
             withFileColumns = true).toDF()
-          val removedKeys = diff.filter(col(OpCol).isin("U", "D"))
-            .select(col(tp("_file")).as("_file"), col(tp("_pos")).as("_pos"))
-          Some(full.join(rewriteSide(removedKeys, probe),
-              Seq("_file", "_pos"), "left_anti")
-            .select(schema.fieldNames.map(col).toSeq: _*))
+          val retained = full.join(keysSide, Seq("_file", "_pos"), "left_anti")
+            .select(schema.fieldNames.map(col).toSeq: _*)
+          val rebuilt = LakeWriter.write(s2, table, retained, preserveDistribution = true)
+          // cluster the appended rows by the touched files' bounds too:
+          // update-keyed rows unavoidably overlap their rebuilt file,
+          // but inserts beyond every bound get their own tail file
+          // instead of one wide file spanning both
+          val appended = if (upserts.isEmpty) Seq.empty
+            else LakeWriter.write(spark, table, upserts,
+              clusterBounds = LakeWriter.clusterBoundsOf(table, entries))
+          rebuilt ++ appended
+        } else {
+          val retained =
+            if (modified.isEmpty) None
+            else {
+              val full = new TableScan(spark, table, explicitFiles = Some(entries),
+                withFileColumns = true).toDF()
+              Some(full.join(keysSide, Seq("_file", "_pos"), "left_anti")
+                .select(schema.fieldNames.map(col).toSeq: _*))
+            }
+          val newData = retained.map(_.unionByName(upserts)).getOrElse(upserts)
+          val bounds = LakeWriter.clusterBoundsOf(table, entries)
+          LakeWriter.write(spark, table, newData, clusterBounds = bounds)
         }
-      val newData = retained.map(_.unionByName(upserts)).getOrElse(upserts)
-      val bounds = LakeWriter.clusterBoundsOf(
-        table, candidates.filter(f => modified.contains(f.path)))
-      val newFiles = LakeWriter.write(spark, table, newData, clusterBounds = bounds)
       table.commit(CommitOp.Overwrite(newFiles, modified,
         fromSnapshotId = fromSnapshot, conflictFilter = Some(boundaryPred),
-        removeHints = candidates.filter(f => modified.contains(f.path))))
+        removeHints = entries))
     } finally diff.unpersist()
   }
 
@@ -351,34 +370,49 @@ object Merge {
 
       // rebuild modified files: close U/D current rows, keep everything else
       // (history rows and out-of-boundary rows included, via (_file,_pos) match)
-      val rebuilt =
-        if (modified.isEmpty) None
-        else {
-          val entries = candidates.filter(f => modified.contains(f.path))
-          val full = new TableScan(spark, table, explicitFiles = Some(entries),
+      val entries = candidates.filter(f => modified.contains(f.path))
+      val closingKeys = diff.filter(col(OpCol).isin("U", "D"))
+        .select(col(tp("_file")).as("_file"), col(tp("_pos")).as("_pos"),
+          lit(true).as("__close"))
+      val (keysSide, keysBroadcast) = rewriteSide(closingKeys, probe)
+      def closeRewrite(full: DataFrame): DataFrame =
+        full.join(keysSide, Seq("_file", "_pos"), "left_outer")
+          .select(schema.fieldNames.map {
+            case `endC` => when(col("__close"), effLit).otherwise(col(endC)).as(endC)
+            case c if opts.currentFlagCol.contains(c) =>
+              when(col("__close"), lit(false).cast(schema(c).dataType))
+                .otherwise(col(c)).as(c)
+            case c => col(c)
+          }.toSeq: _*)
+      val scdCols: Set[String] = Set(endC) ++ opts.currentFlagCol
+      val newFiles =
+        if (modified.nonEmpty && splitRewriteOk(table, entries, keysBroadcast, scdCols)) {
+          // split rewrite: closing is a map-side column rewrite over the
+          // per-file scan (no exchange, no sort); new versions cluster
+          // separately — see [[splitRewriteOk]]
+          val s2 = perFileSession(spark, entries)
+          val full = new TableScan(s2, table, explicitFiles = Some(entries),
             withFileColumns = true).toDF()
-          val closingKeys = diff.filter(col(OpCol).isin("U", "D"))
-            .select(col(tp("_file")).as("_file"), col(tp("_pos")).as("_pos"),
-              lit(true).as("__close"))
-          Some(full.join(rewriteSide(closingKeys, probe),
-              Seq("_file", "_pos"), "left_outer")
-            .select(schema.fieldNames.map {
-              case `endC` => when(col("__close"), effLit).otherwise(col(endC)).as(endC)
-              case c if opts.currentFlagCol.contains(c) =>
-                when(col("__close"), lit(false).cast(schema(c).dataType))
-                  .otherwise(col(c)).as(c)
-              case c => col(c)
-            }.toSeq: _*))
+          val rebuilt = LakeWriter.write(s2, table, closeRewrite(full),
+            preserveDistribution = true)
+          val appended = if (newVersions0.isEmpty) Seq.empty
+            else LakeWriter.write(spark, table, newVersions0,
+              clusterBounds = LakeWriter.clusterBoundsOf(table, entries))
+          rebuilt ++ appended
+        } else {
+          val rebuilt =
+            if (modified.isEmpty) None
+            else Some(closeRewrite(new TableScan(spark, table,
+              explicitFiles = Some(entries), withFileColumns = true).toDF()))
+          val newData = rebuilt.map(_.unionByName(newVersions0)).getOrElse(newVersions0)
+          val bounds = LakeWriter.clusterBoundsOf(table, entries)
+          LakeWriter.write(spark, table, newData, clusterBounds = bounds)
         }
-      val newData = rebuilt.map(_.unionByName(newVersions0)).getOrElse(newVersions0)
-      val bounds = LakeWriter.clusterBoundsOf(
-        table, candidates.filter(f => modified.contains(f.path)))
-      val newFiles = LakeWriter.write(spark, table, newData, clusterBounds = bounds)
       // conflict filter mirrors the reference scan filter: boundary OR still-open rows
       val conflict = Or(boundaryPred, Or(IsNull(endC), Ge(endC, effTs)))
       table.commit(CommitOp.Overwrite(newFiles, modified,
         fromSnapshotId = fromSnapshot, conflictFilter = Some(conflict),
-        removeHints = candidates.filter(f => modified.contains(f.path))))
+        removeHints = entries))
     } finally diff.unpersist()
   }
 
@@ -515,26 +549,43 @@ object Merge {
             }.cast(f.dataType).as(f.name)
           }: _*))
 
-      val retained =
-        if (modified.isEmpty) None
-        else {
-          val entries = candidates.filter(f => modified.contains(f.path))
-          val full = new TableScan(spark, table, explicitFiles = Some(entries),
+      val entries = candidates.filter(f => modified.contains(f.path))
+      val actionedKeys = diff.filter(actioned)
+        .select(col(s"$targetAlias.$FileC").as(FileC), col(s"$targetAlias.$PosC").as(PosC))
+      val (keysSide, keysBroadcast) = rewriteSide(actionedKeys, probe)
+      val changed = (updated.toSeq ++ inserted.toSeq)
+        .reduceOption(_.unionByName(_))
+      val newFiles =
+        if (modified.nonEmpty && splitRewriteOk(table, entries, keysBroadcast, Set.empty)) {
+          // split rewrite: retained rows stream per file, the changed
+          // rows cluster separately — see [[splitRewriteOk]]
+          val s2 = perFileSession(spark, entries)
+          val full = new TableScan(s2, table, explicitFiles = Some(entries),
             withFileColumns = true).toDF()
-          val actionedKeys = diff.filter(actioned)
-            .select(col(s"$targetAlias.$FileC").as(FileC), col(s"$targetAlias.$PosC").as(PosC))
-          Some(full.join(rewriteSide(actionedKeys, probe),
-              Seq(FileC, PosC), "left_anti")
-            .select(schema.fieldNames.toSeq.map(col): _*))
+          val retained = full.join(keysSide, Seq(FileC, PosC), "left_anti")
+            .select(schema.fieldNames.toSeq.map(col): _*)
+          val rebuilt = LakeWriter.write(s2, table, retained, preserveDistribution = true)
+          val appended = changed.filterNot(_.isEmpty)
+            .map(d => LakeWriter.write(spark, table, d,
+              clusterBounds = LakeWriter.clusterBoundsOf(table, entries)))
+            .getOrElse(Seq.empty)
+          rebuilt ++ appended
+        } else {
+          val retained =
+            if (modified.isEmpty) None
+            else {
+              val full = new TableScan(spark, table, explicitFiles = Some(entries),
+                withFileColumns = true).toDF()
+              Some(full.join(keysSide, Seq(FileC, PosC), "left_anti")
+                .select(schema.fieldNames.toSeq.map(col): _*))
+            }
+          val pieces = (retained.toSeq ++ changed.toSeq)
+          if (pieces.isEmpty)
+            return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
+          val newData = pieces.reduce(_.unionByName(_))
+          val bounds = LakeWriter.clusterBoundsOf(table, entries)
+          LakeWriter.write(spark, table, newData, clusterBounds = bounds)
         }
-
-      val pieces = (retained.toSeq ++ updated.toSeq ++ inserted.toSeq)
-      if (pieces.isEmpty)
-        return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
-      val newData = pieces.reduce(_.unionByName(_))
-      val bounds = LakeWriter.clusterBoundsOf(
-        table, candidates.filter(f => modified.contains(f.path)))
-      val newFiles = LakeWriter.write(spark, table, newData, clusterBounds = bounds)
       if (newFiles.isEmpty && modified.isEmpty)
         return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
       // the key-bound predicate is also the conflict scope: a concurrent
@@ -543,7 +594,7 @@ object Merge {
       table.commit(CommitOp.Overwrite(newFiles, modified,
         fromSnapshotId = fromSnapshot,
         conflictFilter = if (Pred.isTrue(prunePred)) None else Some(prunePred),
-        removeHints = candidates.filter(f => modified.contains(f.path))))
+        removeHints = entries))
     } finally diff.unpersist()
   }
 
@@ -735,13 +786,45 @@ object Merge {
     * Past the budget (one knob, a real cluster sizes it like any
     * broadcast cap) the shape degrades to the spill-free shuffled hash
     * as before. */
-  private def rewriteSide(keys: DataFrame, probe: ProbeResult): DataFrame = {
+  private def rewriteSide(keys: DataFrame, probe: ProbeResult): (DataFrame, Boolean) = {
     val cap = sys.props.get("graft.merge.rewriteBroadcastMax")
       .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
       .getOrElse(64L << 20)
     if (knob("rewriteBroadcast", true) && probe.actionedKeyBytes > 0 &&
         probe.actionedKeyBytes <= cap)
-      broadcast(keys)
-    else shj(keys, knob("rewriteShj", true))
+      (broadcast(keys), true)
+    else (shj(keys, knob("rewriteShj", true)), false)
+  }
+
+  /** Split-rewrite eligibility (round 15): with the actioned keys
+    * BROADCAST, the retained-row rebuild is a map-side join over the
+    * modified files' scan — partitioning and intra-file order survive,
+    * so those full-width rows can be written back PER FILE with zero
+    * exchange and zero sort (LakeEngine's DML passthrough shape), while
+    * the batch-proportional new rows cluster separately. This is the
+    * reference's own flow: rewrite the touched files, append the new
+    * data as its own files. Ineligible when the table is partitioned,
+    * when the rebuild touches a sort column (per-file order would not
+    * survive), or when the keys didn't broadcast (an SHJ exchanges and
+    * re-partitions the full-width rows anyway). */
+  private def splitRewriteOk(table: LakeTable, entries: Seq[FileEntry],
+      keysBroadcast: Boolean, modifiedCols: Set[String]): Boolean =
+    knob("splitRewrite", true) && keysBroadcast &&
+      table.metadata.partitionSpec.isEmpty && entries.nonEmpty &&
+      entries.forall(_.sizeBytes > 0) &&
+      !table.metadata.sortOrder.exists(sf => modifiedCols.contains(sf.column))
+
+  /** Per-file-split scan session for passthrough rewrites: one split
+    * per (slice of a) touched file, no cross-file packing — the same
+    * bin-packing pin as LakeEngine's DML passthrough. */
+  private def perFileSession(spark: SparkSession, entries: Seq[FileEntry]): SparkSession = {
+    val s2 = spark.newSession()
+    val maxSz = entries.map(_.sizeBytes).max
+    val splitsPerFile =
+      math.max(1L, spark.sparkContext.defaultParallelism.toLong / entries.size)
+    val split = math.max(maxSz / splitsPerFile + 1L, 8L << 20)
+    s2.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+    s2.conf.set("spark.sql.files.openCostInBytes", split.toString)
+    s2
   }
 }

@@ -1,0 +1,119 @@
+package graft.tools
+
+import graft._
+import graft.commands.{LakeEngine, Merge}
+import graft.format._
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-15 follow-up A/B: graft.merge.splitRewrite — retained rows
+  * rebuilt per file with zero exchange/sort (broadcast keys map-side
+  * join), new rows clustered separately — vs the single clustered
+  * write. Arms interleave; scd1 and scd2 both measured.
+  */
+object Exp36 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.network.timeout", "600s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val orders = Tables.orders(spark, sfDir)
+    val stats = orders.agg(
+      min(col("o_orderkey")), max(col("o_orderkey")),
+      min(col("o_orderdate")), count(lit(1))).head()
+    val (minK, maxK) = (stats.getLong(0), stats.getLong(1))
+    val minD = stats.getAs[java.time.LocalDateTime](2)
+    val n = stats.getLong(3)
+    val span = maxK - minK + 1
+    val (lo, hi) = (minK + (span * 0.30).toLong, minK + (span * 0.45).toLong)
+
+    val root = Files.createTempDirectory("graft-exp32-")
+    try {
+      val catalog = new LakeCatalog(root.toString)
+      val engine = new LakeEngine(spark, catalog)
+      import org.apache.spark.sql.types.{StructField, StructType, TimestampNTZType}
+      val scd2Schema = StructType(orders.schema.fields ++ Seq(
+        StructField("effective_start", TimestampNTZType),
+        StructField("effective_end", TimestampNTZType)))
+      val ordersScd2 = orders
+        .withColumn("effective_start", lit(minD).cast("timestamp_ntz"))
+        .withColumn("effective_end", lit(null).cast("timestamp_ntz"))
+      val props = Map("write.max-records-per-file" -> math.max(n / 8, 1L).toString)
+      val base1 = catalog.createTable("orders_scd1", orders.schema,
+        sortOrder = Seq(SortField("o_orderkey")), properties = props)
+      engine.insert(base1, orders)
+      val base2 = catalog.createTable("orders_scd2", scd2Schema,
+        sortOrder = Seq(SortField("o_orderkey")), properties = props)
+      engine.insert(base2, ordersScd2)
+      val eff = java.time.LocalDateTime.of(2099, 1, 1, 0, 0)
+      def source() = {
+        val upd = orders
+          .filter(col("o_orderkey").between(lo, hi) && col("o_orderkey") % 20 === 7)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("op", lit("U"))
+        val ins = orders.filter(col("o_orderkey") % 100 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + span)
+          .withColumn("op", lit("I"))
+        upd.unionByName(ins)
+      }
+      def copyTree(src: Path, dst: Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        Files.walk(src).iterator().asScala.foreach { p =>
+          val t = dst.resolve(src.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+        }
+      }
+      var runIdx = 0
+      def fresh(base: LakeTable): LakeTable = {
+        runIdx += 1
+        val loc = root.resolve(s"run-$runIdx")
+        copyTree(Paths.get(base.location, "metadata"), loc.resolve("metadata"))
+        Files.createDirectories(loc.resolve("data"))
+        LakeTable.load(loc.toString)
+      }
+      val arms = Seq(("off  ", false, false), ("split", true, true))
+      val acc = scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      for (pass <- 0 to 3; (name, drop, bc) <- arms) {
+        sys.props("graft.merge.splitRewrite") = drop.toString
+        
+        val t1 = fresh(base1)
+        var t0 = System.nanoTime()
+        Merge.scd1(engine, t1, source(), Merge.Scd1Options(
+          keyCols = Seq("o_orderkey"), operationTypeColumn = Some("op")))
+        val w1 = (System.nanoTime() - t0) / 1e9
+        val t2 = fresh(base2)
+        t0 = System.nanoTime()
+        Merge.scd2(engine, t2, source(), Merge.Scd2Options(
+          keyCols = Seq("o_orderkey"), effectiveTimestamp = eff,
+          operationTypeColumn = Some("op")))
+        val w2 = (System.nanoTime() - t0) / 1e9
+        if (pass > 0) { // pass 0 = warmup
+          acc(s"scd1/$name") ::= w1; acc(s"scd2/$name") ::= w2
+        }
+        println(f"== exp32 pass $pass $name scd1 $w1%.2f s  scd2 $w2%.2f s")
+      }
+      acc.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        println(f"== exp32 MIN $k ${v.min}%.2f s  (n=${v.size})")
+      }
+    } finally {
+      sys.props.remove("graft.merge.splitRewrite")
+      
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    spark.stop()
+  }
+}

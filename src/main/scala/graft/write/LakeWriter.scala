@@ -382,11 +382,21 @@ object LakeWriter extends Serializable {
     // overhead for <= 4 footer opens costs more than the opens (Exp34:
     // ~100 ms of a ~600 ms micro-batch trigger); past that the footer IO
     // fans out across executors as before
+    // drop zero-row files (an empty cluster bucket can still emit a
+    // part file): their EMPTY stats would conservatively match every
+    // conflict filter / scan predicate, turning a disjoint-key
+    // concurrent merge into a spurious serializable conflict. The file
+    // itself stays on disk unreferenced — vacuum's job, like any other
+    // uncommitted write garbage.
     val driverMax = spark.conf.get("graft.harvest.driverMaxFiles", "4").toInt
-    if (files.size <= driverMax) return harvestPart(files.iterator).toSeq.sortBy(_.path)
-    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
-    spark.sparkContext.parallelize(files, slices)
-      .mapPartitions(harvestPart).collect().toSeq.sortBy(_.path)
+    val entries =
+      if (files.size <= driverMax) harvestPart(files.iterator).toSeq
+      else {
+        val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(files, slices)
+          .mapPartitions(harvestPart).collect().toSeq
+      }
+    entries.filter(_.recordCount > 0).sortBy(_.path)
   }
 
   /** Dummy record assembly for [[ColumnReadStoreImpl]] — values are read

@@ -48,8 +48,7 @@ class ClusterBoundsSpec extends SparkSpec {
     assert(out.count() === 8000L)
   }
 
-  test("changes-mode scd1 with inserts beyond every bound lands them in the tail bucket, ranges stay disjoint") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-cb2-").toString
+  private def scd1Scenario(dir: String): LakeTable = {
     val catalog = new LakeCatalog(dir)
     val engine = new LakeEngine(spark, catalog)
     val df = spark.range(0, 8000).select(
@@ -64,13 +63,57 @@ class ClusterBoundsSpec extends SparkSpec {
         col("id").as("k"), lit(1.0).as("v"), lit("I").as("op")))
     Merge.scd1(engine, t, src, Merge.Scd1Options(
       keyCols = Seq("k"), operationTypeColumn = Some("op")))
-    val t2 = LakeTable.load(t.location)
-    assertNonOverlapping(keyRanges(t2, "k"))
+    LakeTable.load(t.location)
+  }
+
+  private def checkScd1End(t2: LakeTable): Unit = {
+    val engine = new LakeEngine(spark, new LakeCatalog(
+      java.nio.file.Paths.get(t2.location).getParent.toString))
     val out = engine.scan(t2).toDF()
     assert(out.count() === 8100L)
     assert(out.filter(col("v") === 77.0).count() === 200L)
     // pruned point lookup still hits exactly one file for an untouched key
     val scan = new graft.scan.TableScan(spark, t2, graft.scan.Eq("k", 100L))
+    assert(scan.planFiles().size === 1)
+  }
+
+  test("changes-mode scd1 (clustered fallback): inserts land in the tail bucket, ranges stay disjoint") {
+    // pin the CLUSTERED rewrite (the splitRewrite fallback for SHJ keys
+    // / partitioned tables): one write, disjoint ranges everywhere
+    sys.props("graft.merge.splitRewrite") = "false"
+    try {
+      val t2 = scd1Scenario(
+        java.nio.file.Files.createTempDirectory("graft-cb2-").toString)
+      assertNonOverlapping(keyRanges(t2, "k"))
+      checkScd1End(t2)
+    } finally sys.props.remove("graft.merge.splitRewrite")
+  }
+
+  test("changes-mode scd1 (split rewrite, default): rebuilt files stay disjoint, new rows in their own files") {
+    // the round-15 split rewrite: retained rows rebuilt per file (no
+    // exchange/sort — their ranges must still be disjoint among
+    // themselves), upserts appended as separate files whose range MAY
+    // overlap the rebuilt ones (the reference's rewrite+append flow;
+    // the accepted pruning trade for never exchanging the full-width
+    // retained rows)
+    val t2 = scd1Scenario(
+      java.nio.file.Files.createTempDirectory("graft-cb2s-").toString)
+    checkScd1End(t2)
+    // rebuilt files keep their original (disjoint) ranges; appended
+    // upsert files are the only ones allowed to overlap them. Identify
+    // appended files by row count (the upsert batch is 300 rows across
+    // however many files; rebuilt files carry ~2000).
+    val files = t2.currentFiles()
+    val (appended, rebuilt) = files.partition(_.recordCount <= 300L)
+    assert(appended.nonEmpty && appended.map(_.recordCount).sum == 300L,
+      s"appended upsert rows: ${files.map(f => f.path -> f.recordCount)}")
+    val id = FieldIds.of(t2.schema("k")).toString
+    assertNonOverlapping(rebuilt.flatMap { f =>
+      for (cs <- f.stats.get(id); mn <- cs.min; mx <- cs.max)
+        yield (mn.toLong, mx.toLong)
+    })
+    // an untouched-range point lookup must still prune to one file
+    val scan = new graft.scan.TableScan(spark, t2, graft.scan.Eq("k", 6000L))
     assert(scan.planFiles().size === 1)
   }
 
