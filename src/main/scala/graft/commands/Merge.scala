@@ -808,11 +808,21 @@ object Merge {
     * survive), or when the keys didn't broadcast (an SHJ exchanges and
     * re-partitions the full-width rows anyway). */
   private def splitRewriteOk(table: LakeTable, entries: Seq[FileEntry],
-      keysBroadcast: Boolean, modifiedCols: Set[String]): Boolean =
+      keysBroadcast: Boolean, modifiedCols: Set[String]): Boolean = {
+    // the split saves the retained rows' cluster EXCHANGE + sort at the
+    // price of a second write job and a forked scan session — fixed
+    // costs that dominate when the rebuilt volume is tiny (measured at
+    // sf0.1: scd walls +60% with the split always-on, -19% at sf10).
+    // Engage only past a rebuilt-bytes floor, like the probe split.
+    val minBytes = sys.props.get("graft.merge.splitRewriteMinBytes")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(64L << 20)
     knob("splitRewrite", true) && keysBroadcast &&
       table.metadata.partitionSpec.isEmpty && entries.nonEmpty &&
       entries.forall(_.sizeBytes > 0) &&
+      entries.map(_.sizeBytes).sum >= minBytes &&
       !table.metadata.sortOrder.exists(sf => modifiedCols.contains(sf.column))
+  }
 
   /** Per-file-split scan session for passthrough rewrites: one split
     * per (slice of a) touched file, no cross-file packing — the same

@@ -89,7 +89,14 @@ class ClusterBoundsSpec extends SparkSpec {
     } finally sys.props.remove("graft.merge.splitRewrite")
   }
 
-  test("changes-mode scd1 (split rewrite, default): rebuilt files stay disjoint, new rows in their own files") {
+  test("changes-mode scd1 (split rewrite): rebuilt files stay disjoint, new rows in their own files") {
+    // drop the rebuilt-bytes floor so the split engages on test-sized data
+    sys.props("graft.merge.splitRewriteMinBytes") = "0"
+    try splitScenario()
+    finally sys.props.remove("graft.merge.splitRewriteMinBytes")
+  }
+
+  private def splitScenario(): Unit = {
     // the round-15 split rewrite: retained rows rebuilt per file (no
     // exchange/sort — their ranges must still be disjoint among
     // themselves), upserts appended as separate files whose range MAY
