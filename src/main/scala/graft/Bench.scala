@@ -129,6 +129,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Ambient box load, sampled BEFORE Spark init so the bench's own
+    // work can't pollute it. This is what the quiet-box rule checks:
+    // the ±30% evening drift (COVERAGE) made loaded-box artifacts look
+    // like regressions — now the artifact self-describes via
+    // "load_pre" and a "degraded" stamp instead of relying on the
+    // operator having checked /proc/loadavg by hand.
+    val loadPre =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case NonFatal(_) => -1.0 }
     val builder = SparkSession.builder()
       .withExtensions(new graft.sqlext.LakeSqlExtensions)
       .master(s"local[$cpus]")
@@ -422,8 +432,20 @@ object Bench {
       f""","streaming_rows":${o.rows},"streaming_rows_per_sec":${o.rowsPerSec}%.0f""" +
         f""","streaming_batches":${o.batches},"streaming_avg_batch_ms":${o.avgBatchMs}%.0f""")
       .getOrElse("")
+    // Load metadata in the COMPACT metric line (verdict r15 #5): the
+    // pre-Spark ambient load, the end-of-run load, and the pass count,
+    // plus a machine-checked degraded stamp when the box was not quiet
+    // at start (threshold overridable; 2.0 on 32 cpus ≈ the COVERAGE
+    // quiet-box rule with headroom for the driver's own sbt process).
+    val loadThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "2.0").toDouble
+    val degraded = loadPre >= 0 && loadPre > loadThreshold
+    val loadJson =
+      f""","load_pre":$loadPre%.2f,"load_end":$loadEnd%.2f""" +
+        s""","passes":${passes.size}""" +
+        (if (degraded) ""","degraded":true""" else "")
     val json = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      oracleJson + streamJson + "}"
+      oracleJson + streamJson + loadJson + "}"
     // stdout lines (un-prefixed via build.sbt outputStrategy) + file copy so
     // the driver can recover the metric even if stdout is log-polluted
     // (bench_result.json is gitignored — a runtime artifact, not source)

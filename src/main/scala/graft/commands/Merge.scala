@@ -829,6 +829,14 @@ object Merge {
     * bin-packing pin as LakeEngine's DML passthrough. */
   private def perFileSession(spark: SparkSession, entries: Seq[FileEntry]): SparkSession = {
     val s2 = spark.newSession()
+    // newSession() starts from defaults, NOT the parent's runtime conf —
+    // without this copy the split-rewrite's scan/write could run under
+    // different settings (session timezone, legacy parquet flags, caller
+    // overrides) than the probe/diff scans that decided which rows keep.
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (s2.conf.isModifiable(k) && s2.conf.getOption(k) != Some(v))
+        s2.conf.set(k, v)
+    }
     val maxSz = entries.map(_.sizeBytes).max
     val splitsPerFile =
       math.max(1L, spark.sparkContext.defaultParallelism.toLong / entries.size)

@@ -37,6 +37,12 @@ object BloomPrune {
     * benefit and the fact side keeps its full width. */
   private val MaxBits: Long = 512L << 20
 
+  /** One lock per live session, scoping the temporary bloom-conf
+    * mutation window in [[pruned]] (weak keys: sessions GC normally). */
+  private val buildLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, AnyRef]())
+
   private def catalystColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column = {
     // ExpressionUtils is private[sql]; its static forwarder is plain
     // public bytecode, so reach it reflectively (no Column constructor
@@ -77,8 +83,12 @@ object BloomPrune {
     val spark = keys.sparkSession
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey  = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val saved = Seq(itemsKey, bitsKey).map(k => k -> spark.conf.getOption(k))
-    val bytes =
+    // The set/build/restore window mutates session-wide runtime conf;
+    // interleaved builds on the same session would otherwise restore
+    // each other's temporary values. Serialize the window per-session.
+    val lock = buildLocks.computeIfAbsent(spark, _ => new AnyRef)
+    val bytes = lock.synchronized {
+      val saved = Seq(itemsKey, bitsKey).map(k => k -> spark.conf.getOption(k))
       try {
         spark.conf.set(itemsKey, math.max(n, 4000000L).toString)
         spark.conf.set(bitsKey, MaxBits.toString)
@@ -86,6 +96,7 @@ object BloomPrune {
       } finally saved.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
       }
+    }
     val probe = catalystColumn(BloomFilterMightContain(
       Literal(bytes, BinaryType), new XxHash64(Seq(catalystExpr(factKey)))))
     fact.filter(probe)

@@ -140,12 +140,21 @@ object Hints {
     val measurable = variable.forall(f =>
       (f.dataType == StringType || f.dataType == BinaryType) && proxyCols.contains(f.name))
     if (!measurable) return None
+    // UnsafeRow pads each variable-width value to an 8-byte boundary —
+    // sum the ALIGNED bytes per value, not the raw octet count, so a
+    // side sitting just under the cap can't exceed it in practice
     val aggs = count(lit(1)).cast("long") +:
-      variable.toSeq.map(f => coalesce(sum(octet_length(col(f.name)).cast("long")), lit(0L)))
+      variable.toSeq.map(f => coalesce(
+        // (n + 7) & ~7 — integer alignment; SQL `/` would widen to double
+        sum((octet_length(col(f.name)).cast("long") + lit(7L)).bitwiseAND(lit(-8L))),
+        lit(0L)))
     val row = proxy.agg(aggs.head, aggs.tail: _*).head()
     val rows = row.getLong(0)
-    // one 8-byte UnsafeRow slot per field on top of the data bytes
-    val perRowFixed = fixed.map(_.dataType.defaultSize.toLong).sum + 8L * schema.length
+    // one 8-byte UnsafeRow slot per field plus the null bitset (one
+    // 8-byte word per 64 fields) on top of the data bytes
+    val bitsetBytes = 8L * ((schema.length + 63) / 64)
+    val perRowFixed =
+      fixed.map(_.dataType.defaultSize.toLong).sum + 8L * schema.length + bitsetBytes
     Some(rows * perRowFixed + (1 until row.length).map(row.getLong).sum)
   }
 }

@@ -193,9 +193,11 @@ object CoreQueries {
         // leg moves to the customer join, same predicate set) drops
         // ~80% of the bloom-surviving fact rows inside the scan stage,
         // BEFORE the orders exchange that Exp20 showed was the wall.
-        // Measured sf10, interleaved exec-only, bit-identical results:
-        // 2.92 s -> 0.085 s. At cluster scale the same rows never reach
-        // the network.
+        // Measured sf10 in the AQE-off bench harness, bit-identical
+        // results: 2.63 s -> 1.345 s. (The first Exp33 run printed
+        // 0.085 s — an AQE-clone stage-cache artifact, retracted in
+        // COVERAGE; never cite it.) At cluster scale the same rows
+        // never reach the network.
         l.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
           .join(graft.plans.Hints.broadcastIfSmall(o, bound = oBound,
             countOnFail = Some(o)),

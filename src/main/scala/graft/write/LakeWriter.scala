@@ -146,9 +146,19 @@ object LakeWriter extends Serializable {
                 "graft.write.singleFileThreshold", "32MB"))
             val est = sizeHintBytes.getOrElse(
               withParts.queryExecution.optimizedPlan.stats.sizeInBytes)
-            // coalesce, not repartition: no exchange at all — the whole
-            // small write runs as ONE single-stage task
-            if (est <= singleFileBytes) withParts.coalesce(1)
+            // Trusted caller hint (the streaming sink measures its
+            // batch) -> coalesce(1): no exchange at all, the whole
+            // small write runs as ONE single-stage task. Stats-derived
+            // estimate -> repartition(1): coalesce would propagate the
+            // 1-partition constraint up the entire narrow stage, so an
+            // under-estimating plan (e.g. a selective filter feeding a
+            // large append) would silently serialize the whole
+            // scan+compute into one task — an exchange caps a wrong
+            // estimate at one small shuffle instead.
+            if (est <= singleFileBytes) {
+              if (sizeHintBytes.isDefined) withParts.coalesce(1)
+              else withParts.repartition(1)
+            }
             // sorted table: range-cluster so file ranges don't overlap
             else withParts.repartitionByRange(sortExprs: _*)
         }
