@@ -350,8 +350,55 @@ final class LakeEngine(
     // a range DML on a sort-clustered table that is 2 files however
     // many the range covers.
     val evaluator = new StatsEvaluator(table.schema, table.metadata.specsById)
-    val (sureTouched, ambiguous) =
+    val (sureTouched0, ambiguous0) =
       candidates.partition(f => evaluator.provablyAll(pred, f))
+    // Row-group-granular probe (round 16, after Exp26-r15 put the row
+    // probe at 0.52 s of the 0.96 s sf10 delete wall vs a 0.178 s bare
+    // count): a file-level-ambiguous candidate is re-classified from its
+    // FOOTER alone — file-level stats are the union of its groups, so a
+    // range predicate that only PARTIALLY covers a file usually fully
+    // covers its interior groups. Any group provably-all-matching
+    // => the file surely contains matching rows (touched, zero data
+    // read); no group may-matching => provably untouched; only files
+    // whose matching region stays inside a single ambiguous group (a
+    // point delete, a sub-group range) still pay the row probe. For the
+    // canonical range-DML-on-sort-clustered-table shape the row probe
+    // disappears: every boundary file has an interior provably-all
+    // group. The classification is sound for exactly the reason the
+    // file-level split is: the compiled Pred IS the condition
+    // (Opaque subtrees harden to false in provablyAll / true in
+    // mayContain), and group stats go through the same canonical codec
+    // as the write-time harvest.
+    val (sureTouched, ambiguous) =
+      if (ambiguous0.isEmpty ||
+          !spark.conf.get("graft.dml.rowGroupProbe", "true").toBoolean)
+        (sureTouched0, ambiguous0)
+      else {
+        val tRg0 = System.nanoTime()
+        val groupsByPath = LakeWriter.rowGroupStats(spark, table, ambiguous0)
+        if (sys.env.contains("GRAFT_PROBE_TIMING"))
+          System.err.println(f"[probe] rowGroupStats ${ambiguous0.size} files " +
+            f"${(System.nanoTime() - tRg0) / 1e9}%.3f s")
+        val extraSure = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+        val stillAmbiguous = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+        ambiguous0.foreach { f =>
+          groupsByPath.get(f.path).flatten match {
+            case None => stillAmbiguous += f // footer unreadable: row-probe
+            case Some(groups) =>
+              val may = groups.filter(g => evaluator.mayContain(pred, g))
+              if (sys.env.contains("GRAFT_PROBE_TIMING"))
+                System.err.println(s"[probe] rg-classify ${f.path.split('/').last}: " +
+                  s"groups=${groups.size} may=${may.size} " +
+                  s"sureAll=${may.count(g => evaluator.provablyAll(pred, g))} " +
+                  s"sampleStats=${groups.headOption.map(_.stats.take(2))}")
+              if (may.isEmpty) () // provably untouched, drop entirely
+              else if (may.exists(g => evaluator.provablyAll(pred, g)))
+                extraSure += f
+              else stillAmbiguous += f
+          }
+        }
+        (sureTouched0 ++ extraSure, stillAmbiguous.toSeq)
+      }
     // redundant pushable prefilter ahead of the exact 3VL match: the
     // coalesce wrapper alone reaches parquet as NO filter, so without
     // this the probe decodes every row of every candidate file just to
@@ -364,60 +411,229 @@ final class LakeEngine(
     // over the <= #files collected strings instead of the old
     // per-surviving-row regexp_replace (Exp26: the file-column assembly
     // was ~0.2 s of the 0.71 s sf10 probe)
-    val probed =
-      if (ambiguous.isEmpty) Set.empty[String]
-      else new TableScan(spark, table, explicitFiles = Some(ambiguous)).toDF()
+    /** One rewrite execution over `touchedEntries`; when `observeAmb` is
+      * non-empty, per-file matched-row counts for those files are
+      * collected DURING the rewrite job via `Dataset.observe` (a
+      * CollectMetrics node — accumulator-backed, zero extra pass; task
+      * retries can only inflate a count, and the decision below is
+      * count>0, so retry inflation is harmless). Returns the staged
+      * files plus the observed counts (None = metrics never arrived). */
+    def execRewrite(sureEntries: Seq[FileEntry],
+        observeAmb: Seq[FileEntry]): (Seq[FileEntry], Option[Seq[Long]]) = {
+      val touchedEntries = sureEntries ++ observeAmb
+      val passthrough = table.metadata.partitionSpec.isEmpty &&
+        !table.metadata.sortOrder.exists(sf => modifiedCols.contains(sf.column)) &&
+        touchedEntries.forall(_.sizeBytes > 0)
+      val scanSession =
+        if (!passthrough) spark
+        else {
+          // The passthrough split plan (round 14): tasks must never MIX
+          // files (each output file inherits one input's sort run), but
+          // one-task-per-FILE starves the cluster when a DML touches
+          // fewer files than there are cores — the round-13 sf10 delete
+          // ran 3 tasks on 32 threads while the columnar oracle used all
+          // of them. Splitting a touched file at row-group boundaries
+          // keeps every guarantee (each slice is a consecutive, sorted,
+          // stats-tight run of one file) and restores the parallelism:
+          // maxPartitionBytes targets cores/files splits per file (8 MB
+          // slice floor so small files keep single-task rewrites), while
+          // openCostInBytes pinned to the SPLIT SIZE makes any cross-file
+          // packing overflow the bin (first chunk's length + open cost
+          // already exceeds maxPartitionBytes) — splits stay single-file
+          // whatever the file sizes. At 100 TB scale a DML touches >=
+          // cores files and this degrades to exactly the old
+          // one-task-per-file plan.
+          val s2 = spark.newSession()
+          // newSession() starts from defaults, not the parent's runtime
+          // conf — copy it so the rewrite scan/write run under the same
+          // settings as the planning scans (same fix as Merge's fork)
+          spark.conf.getAll.foreach { case (k, v) =>
+            if (s2.conf.isModifiable(k) && s2.conf.getOption(k) != Some(v))
+              s2.conf.set(k, v)
+          }
+          val maxSz = touchedEntries.map(_.sizeBytes).max
+          val splitsPerFile =
+            if (!spark.conf.get("graft.dml.splitPassthrough", "true").toBoolean) 1L
+            else math.max(1L,
+              spark.sparkContext.defaultParallelism.toLong / touchedEntries.size)
+          val split = math.max(maxSz / splitsPerFile + 1L, 8L << 20)
+          s2.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+          s2.conf.set("spark.sql.files.openCostInBytes", split.toString)
+          s2
+        }
+      // Two scan branches, unioned: the provably-touched files scan
+      // plainly (the rebuild's pushable prefilter reaches their parquet
+      // readers — for a range DELETE the interior files' fully-deleted
+      // groups are skipped without decoding, the round-14 behavior),
+      // while the ambiguous files carry the CollectMetrics node. The
+      // metrics node is a deliberate pushdown BARRIER over exactly those
+      // files: the observed counts must see the pre-filter rows (a
+      // DELETE's rebuild drops the very rows being counted), and only
+      // the boundary files pay the full decode. `_metadata.file_path`
+      // is a deterministic metadata attribute (observed metrics reject
+      // input_file_name), compared against the manifest path's plausible
+      // URI renderings — cheap equality, no per-row regexp.
+      val (rowsIn, obsOpt) =
+        if (observeAmb.isEmpty)
+          (new TableScan(scanSession, table,
+            explicitFiles = Some(touchedEntries)).toDF(), None)
+        else {
+          val obs = new org.apache.spark.sql.Observation(
+            s"graft-probe-${java.util.UUID.randomUUID().toString.take(8)}")
+          val fp = col("_metadata.file_path")
+          val metrics = observeAmb.zipWithIndex.map { case (f, i) =>
+            val forms = Seq(f.path, s"file:${f.path}", s"file://${f.path}")
+            coalesce(sum(when(coalesce(cond, lit(false)) &&
+              fp.isin(forms.map(lit(_)): _*), 1L)), lit(0L)).as(s"m$i")
+          }
+          val ambScan = new TableScan(scanSession, table,
+            explicitFiles = Some(observeAmb)).toDF()
+            .observe(obs, metrics.head, metrics.tail: _*)
+          val combined =
+            if (sureEntries.isEmpty) ambScan
+            else new TableScan(scanSession, table,
+              explicitFiles = Some(sureEntries)).toDF().unionAll(ambScan)
+          (combined, Some(obs))
+        }
+      val rebuilt = rebuild(rowsIn, cond)
+      val tW0 = System.nanoTime()
+      val newFiles =
+        if (passthrough)
+          LakeWriter.write(scanSession, table, rebuilt, preserveDistribution = true)
+        else LakeWriter.write(spark, table, rebuilt,
+          clusterBounds = LakeWriter.clusterBoundsOf(table, touchedEntries))
+      if (sys.env.contains("GRAFT_PROBE_TIMING"))
+        System.err.println(f"[probe] rewriteWrite ${touchedEntries.size} files -> " +
+          f"${newFiles.size} ${(System.nanoTime() - tW0) / 1e9}%.3f s")
+      val observed = obsOpt.flatMap { obs =>
+        // the write action completed, so the metrics are normally
+        // already present; poll briefly rather than block forever on a
+        // listener-delivery quirk (None -> caller falls back to a probe)
+        // getOrEmpty is private[sql] (public bytecode — same reflective
+        // reach as BloomPrune's ExpressionUtils); get() would block
+        // forever if delivery failed, which is the one case this guards
+        val getOrEmpty = obs.getClass.getMethod("getOrEmpty")
+        def poll(): Map[String, Any] =
+          getOrEmpty.invoke(obs).asInstanceOf[Map[String, Any]]
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var m = poll()
+        while (m.isEmpty && System.nanoTime() < deadline) {
+          Thread.sleep(10); m = poll()
+        }
+        if (m.isEmpty) None
+        else Some(observeAmb.indices.map(i =>
+          m(s"m$i").asInstanceOf[java.lang.Number].longValue()).toSeq)
+      }
+      (newFiles, observed)
+    }
+
+    def commitTouched(newFiles: Seq[FileEntry], touchedEntries: Seq[FileEntry]): CommitMetrics = {
+      val tC0 = System.nanoTime()
+      val m = table.commit(CommitOp.Overwrite(newFiles, touchedEntries.map(_.path).toSet,
+        fromSnapshotId = fromSnapshot, conflictFilter = Some(pred),
+        removeHints = touchedEntries))
+      if (sys.env.contains("GRAFT_PROBE_TIMING"))
+        System.err.println(f"[probe] commit ${(System.nanoTime() - tC0) / 1e9}%.3f s")
+      m
+    }
+
+    def rowProbe(ambFiles: Seq[FileEntry]): Set[String] = {
+      // redundant pushable prefilter ahead of the exact 3VL match: the
+      // coalesce wrapper alone reaches parquet as NO filter, so without
+      // this the probe decodes every row of every candidate file just to
+      // list touched ones; with it, parquet's row-group stats and page
+      // indexes skip the non-matching ranges (Pred.mayTrue is implied by
+      // the exact condition, so the touched set is unchanged)
+      // the probe needs FILE identity only — scan without the metadata
+      // columns (no row_index generation) and read the file via
+      // input_file_name(), normalizing the file:/ URI form on the DRIVER
+      // over the <= #files collected strings instead of the old
+      // per-surviving-row regexp_replace (Exp26: the file-column assembly
+      // was ~0.2 s of the 0.71 s sf10 probe)
+      val tPr0 = System.nanoTime()
+      val probeDf = new TableScan(spark, table, explicitFiles = Some(ambFiles)).toDF()
         .filter(Pred.toColumn(Pred.mayTrue(pred)))
         .filter(coalesce(cond, lit(false)))
-        .select(input_file_name().as("_f")).distinct().collect()
-        .map(_.getString(0).replaceFirst("^file:/+", "/")).toSet
+        .select(input_file_name().as("_f"))
+      // single-stage distinct: a `.distinct()` would add an exchange +
+      // final-agg stage just to dedupe <= #files strings — instead each
+      // task dedupes its own run (input_file_name is constant per file
+      // chunk, so a last-seen check does almost all the work) and the
+      // driver unions the <= #files results. One stage, no shuffle.
+      val probed = probeDf.queryExecution.toRdd.mapPartitions { it =>
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        var last: String = null
+        while (it.hasNext) {
+          val f = it.next().getUTF8String(0).toString
+          if (f != last) { seen += f; last = f }
+        }
+        seen.iterator
+      }.collect().map(_.replaceFirst("^file:/+", "/")).toSet
+      if (sys.env.contains("GRAFT_PROBE_TIMING"))
+        System.err.println(f"[probe] rowProbe ${ambFiles.size} files " +
+          f"${(System.nanoTime() - tPr0) / 1e9}%.3f s")
+      probed
+    }
+
+    // Fused probe (round 16, verdict #1 shape b): when stats already
+    // prove SOME files touched, the rewrite job is happening regardless —
+    // so instead of paying a separate probe scan over the ambiguous
+    // files (a second full read of exactly the boundary files, plus a
+    // whole job's fixed cost), scan them WITH the rewrite and collect
+    // per-file matched-row counts as observed metrics of that same job.
+    // Ambiguous files that turn out untouched (rare for the range-DML
+    // shape: a boundary file of a stats-candidate range almost always
+    // contains matches) force a REDO without them — the speculative
+    // staging is abandoned uncommitted (vacuum-class garbage), bounded
+    // by the eligibility guard: ambiguous bytes <= provably-touched
+    // bytes, so the worst case re-writes at most 2x the certain volume.
+    // No-match DMLs never enter (sureTouched empty -> classic probe
+    // which commits nothing), and the commit still lists ONLY files
+    // that truly contain matching rows — reference write-amplification
+    // semantics (commands/Delete.java:121-207) are preserved exactly.
+    //
+    // DEFAULT OFF — measured negative (round 16, tools/Exp37, sf10
+    // interleaved A/B x3 runs): the CollectMetrics node is a pushdown
+    // barrier over the ambiguous files, so the DELETE's pushable
+    // prefilter no longer skips their fully-deleted ranges and the
+    // fused rewrite decodes the boundary files in full with the match
+    // counters evaluated interpreted — rewriteWrite 0.46-0.62 s
+    // (classic) vs 0.94-1.32 s (fused) on the same pass schedule, more
+    // than the ~0.15-0.20 s single-stage probe job it eliminates
+    // (delete walls: fused worse in 2 of 3 runs, update worse in 2 of
+    // 3). The shape is kept behind the flag because the trade reverses
+    // when the probe's job floor dominates (many tiny ambiguous files
+    // on a high-latency store).
+    val fuseEligible = ambiguous.nonEmpty && sureTouched.nonEmpty &&
+      spark.conf.get("graft.dml.fusedProbe", "false").toBoolean &&
+      ambiguous.size <= 64 &&
+      ambiguous.map(_.sizeBytes).sum <= sureTouched.map(_.sizeBytes).sum
+
+    if (fuseEligible) {
+      val (newFiles, observed) = execRewrite(sureTouched, ambiguous)
+      observed match {
+        case Some(counts) if counts.forall(_ > 0) =>
+          // every speculation confirmed
+          return commitTouched(newFiles, sureTouched ++ ambiguous)
+        case Some(counts) =>
+          // some ambiguous file had no matching rows: abandon the staged
+          // write, redo with the exact touched set
+          val matched = ambiguous.zip(counts).collect { case (f, c) if c > 0 => f }
+          val (redoFiles, _) = execRewrite(sureTouched ++ matched, Seq.empty)
+          return commitTouched(redoFiles, sureTouched ++ matched)
+        case None =>
+          // metrics lost: abandon the staged write, classic probe path
+          if (sys.env.contains("GRAFT_PROBE_TIMING"))
+            System.err.println("[probe] observe metrics missing — falling back")
+      }
+    }
+
+    val probed = if (ambiguous.isEmpty) Set.empty[String] else rowProbe(ambiguous)
     val touched = sureTouched.map(_.path).toSet ++ probed
     if (touched.isEmpty)
       return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
     val touchedEntries = candidates.filter(f => touched.contains(f.path))
-    val passthrough = table.metadata.partitionSpec.isEmpty &&
-      !table.metadata.sortOrder.exists(sf => modifiedCols.contains(sf.column)) &&
-      touchedEntries.forall(_.sizeBytes > 0)
-    val scanSession =
-      if (!passthrough) spark
-      else {
-        // The passthrough split plan (round 14): tasks must never MIX
-        // files (each output file inherits one input's sort run), but
-        // one-task-per-FILE starves the cluster when a DML touches
-        // fewer files than there are cores — the round-13 sf10 delete
-        // ran 3 tasks on 32 threads while the columnar oracle used all
-        // of them. Splitting a touched file at row-group boundaries
-        // keeps every guarantee (each slice is a consecutive, sorted,
-        // stats-tight run of one file) and restores the parallelism:
-        // maxPartitionBytes targets cores/files splits per file (8 MB
-        // slice floor so small files keep single-task rewrites), while
-        // openCostInBytes pinned to the SPLIT SIZE makes any cross-file
-        // packing overflow the bin (first chunk's length + open cost
-        // already exceeds maxPartitionBytes) — splits stay single-file
-        // whatever the file sizes. At 100 TB scale a DML touches >=
-        // cores files and this degrades to exactly the old
-        // one-task-per-file plan.
-        val s2 = spark.newSession()
-        val maxSz = touchedEntries.map(_.sizeBytes).max
-        val splitsPerFile =
-          if (!spark.conf.get("graft.dml.splitPassthrough", "true").toBoolean) 1L
-          else math.max(1L,
-            spark.sparkContext.defaultParallelism.toLong / touchedEntries.size)
-        val split = math.max(maxSz / splitsPerFile + 1L, 8L << 20)
-        s2.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
-        s2.conf.set("spark.sql.files.openCostInBytes", split.toString)
-        s2
-      }
-    val rows = new TableScan(scanSession, table,
-      explicitFiles = Some(touchedEntries)).toDF()
-    val rebuilt = rebuild(rows, cond)
-    val newFiles =
-      if (passthrough)
-        LakeWriter.write(scanSession, table, rebuilt, preserveDistribution = true)
-      else LakeWriter.write(spark, table, rebuilt,
-        clusterBounds = LakeWriter.clusterBoundsOf(table, touchedEntries))
-    table.commit(CommitOp.Overwrite(newFiles, touched,
-      fromSnapshotId = fromSnapshot, conflictFilter = Some(pred),
-      removeHints = touchedEntries))
+    val (newFiles, _) = execRewrite(touchedEntries, Seq.empty)
+    commitTouched(newFiles, touchedEntries)
   }
 }

@@ -1,0 +1,136 @@
+package graft.tools
+
+import graft._
+import graft.commands.LakeEngine
+import graft.format._
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-16 A/B: the fused DML probe (`graft.dml.fusedProbe` — probe
+  * counts observed inside the rewrite job) on the bench's exact
+  * dml_delete and dml_update shapes, with GRAFT_PROBE_TIMING phase
+  * decomposition (rowGroupStats / rowProbe / rewriteWrite / commit).
+  * Interleaved passes, end-state row counts validated equal across
+  * variants every pass.
+  *
+  * MEASURED (sf10, 3 runs, evening box loadavg 1.7-3.4): fused worse
+  * in 2 of 3 delete runs and 2 of 3 update runs — the CollectMetrics
+  * barrier forces full decode of the boundary files (no prefilter
+  * pushdown), rewriteWrite 0.94-1.32 s fused vs 0.46-0.62 s classic,
+  * exceeding the eliminated probe job (0.15-0.20 s after the
+  * single-stage toRdd dedup replaced `.distinct()`'s extra shuffle
+  * stage, itself measured 0.21-0.40 s before). Default flipped OFF.
+  * Also observed here: the bench table's files are single-row-group
+  * (32 range partitions x ~470k rows < one 32 MB group), so the
+  * row-group footer probe classifies nothing on THIS table shape —
+  * groups=1 means group stats == file stats; its win is multi-group
+  * files (RowGroupProbeSpec pins that behavior).
+  */
+object Exp37 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val orders = Tables.orders(spark, sfDir)
+    val stats = orders.agg(
+      min(col("o_orderkey")), max(col("o_orderkey")),
+      min(col("o_orderdate")), max(col("o_orderdate")), count(lit(1))).head()
+    val (minK, maxK) = (stats.getLong(0), stats.getLong(1))
+    val (minD, maxD) =
+      (stats.getAs[java.time.LocalDateTime](2), stats.getAs[java.time.LocalDateTime](3))
+    val n = stats.getLong(4)
+    val span = maxK - minK + 1
+    val lo = minK + (span * 0.30).toLong
+    val hi = minK + (span * 0.45).toLong
+    val dSpanSec = java.time.Duration.between(minD, maxD).getSeconds
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val d1s = minD.plusSeconds((dSpanSec * 0.30).toLong).withNano(0).format(fmt)
+    val d2s = minD.plusSeconds((dSpanSec * 0.45).toLong).withNano(0).format(fmt)
+    val delCond = s"o_orderdate >= TIMESTAMP_NTZ'$d1s' AND o_orderdate < TIMESTAMP_NTZ'$d2s'"
+    val updCond = s"o_orderkey >= $lo AND o_orderkey <= $hi"
+
+    val root = Files.createTempDirectory("graft-exp37-")
+    try {
+      val catalog = new LakeCatalog(root.toString)
+      val engine = new LakeEngine(spark, catalog)
+      val props = Map("write.max-records-per-file" -> math.max(n / 8, 1L).toString)
+      def build(name: String, sortCol: String): LakeTable = {
+        val t = catalog.createTable(name, orders.schema,
+          sortOrder = Seq(SortField(sortCol)), properties = props)
+        engine.insert(t, orders)
+        t
+      }
+      val baseDel = build("orders_del", "o_orderdate")
+      val baseUpd = build("orders_upd", "o_orderkey")
+
+      var runIdx = 0
+      def freshClone(base: LakeTable): LakeTable = {
+        runIdx += 1
+        val loc = root.resolve(s"run-$runIdx")
+        def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+          import scala.jdk.CollectionConverters._
+          Files.walk(src).iterator().asScala.foreach { p =>
+            val t = dst.resolve(src.relativize(p))
+            if (Files.isDirectory(p)) Files.createDirectories(t)
+            else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+          }
+        }
+        copyTree(Paths.get(base.location, "metadata"), loc.resolve("metadata"))
+        Files.createDirectories(loc.resolve("data"))
+        LakeTable.load(loc.toString)
+      }
+
+      // timed region = the DML alone (clone + validating count stay
+      // outside, matching the bench's timed shape)
+      val variants: Seq[(String, Boolean, LakeTable, LakeTable => Unit)] = Seq(
+        ("delete_fuse_on", true, baseDel, (t: LakeTable) => { engine.delete(t, delCond); () }),
+        ("delete_fuse_off", false, baseDel, (t: LakeTable) => { engine.delete(t, delCond); () }),
+        ("update_fuse_on", true, baseUpd, (t: LakeTable) =>
+          { engine.update(t, updCond, Map("o_orderpriority" -> "'0-REWRITTEN'")); () }),
+        ("update_fuse_off", false, baseUpd, (t: LakeTable) =>
+          { engine.update(t, updCond, Map("o_orderpriority" -> "'0-REWRITTEN'")); () }))
+
+      val times = scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      for (round <- 0 to 4; (name, fuse, base, exec) <- variants) {
+        spark.conf.set("graft.dml.fusedProbe", fuse.toString)
+        val t = freshClone(base)
+        val t0 = System.nanoTime()
+        exec(t)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val c = engine.scan(LakeTable.load(t.location)).toDF().count()
+        counts.get(name).foreach(prev => require(prev == c, s"$name count drift $prev != $c"))
+        counts(name) = c
+        if (round > 0) times(name) = times(name) :+ sec
+        if (round == 0) println(s"== exp37 warmup $name rows=$c")
+        System.gc()
+      }
+      require(counts("delete_fuse_on") == counts("delete_fuse_off"), "delete on/off diverged")
+      require(counts("update_fuse_on") == counts("update_fuse_off"), "update on/off diverged")
+      variants.foreach { case (name, _, _, _) =>
+        val ts = times(name)
+        println(f"== exp37 $name%-14s min ${ts.min}%.3f  " +
+          f"passes ${ts.map(t => f"$t%.3f").mkString(", ")}")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    spark.stop()
+  }
+}

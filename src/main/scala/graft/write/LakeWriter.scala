@@ -409,6 +409,77 @@ object LakeWriter extends Serializable {
     entries.filter(_.recordCount > 0).sortBy(_.path)
   }
 
+  /** Row-group-granular stats for already-committed files: per ROW GROUP
+    * of each input file, a synthetic [[FileEntry]] carrying that group's
+    * footer min/max/nullCount under the same canonical encoding as the
+    * write-time harvest — so [[graft.scan.StatsEvaluator]] evaluates
+    * predicates at group granularity with zero format change (the
+    * manifests keep file-level stats only). Used by the DML probe: a
+    * file-level-ambiguous candidate whose groups either all exclude the
+    * predicate (untouched) or include a provably-all group (touched) is
+    * classified from its FOOTER alone, no row scan. NaN counts are NOT
+    * re-derived per group (that would read the float pages — the very
+    * IO this path avoids); [[graft.scan.StatsEvaluator]] treats a
+    * missing nanCount conservatively. Footer IO is one driver-side open
+    * per file up to `graft.probe.driverMaxFiles` (default 8; a DML's
+    * ambiguous set is normally the few boundary files of a range), then
+    * fans out as a Spark job exactly like [[harvest]] — at 100 TB a
+    * wide ambiguous set parallelizes across executors. Files whose
+    * footer read fails map to None (caller falls back to the row probe). */
+  def rowGroupStats(spark: SparkSession, table: LakeTable,
+      files: Seq[FileEntry]): Map[String, Option[Seq[FileEntry]]] = {
+    if (files.isEmpty) return Map.empty
+    val schema = table.schema
+    val idByName = schema.fields.map(f => f.name -> FieldIds.of(f)).toMap
+    val typeByName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val conf = spark.sessionState.newHadoopConf()
+    val confEntries = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    def readPart(iter: Iterator[FileEntry]): Iterator[(String, Option[Seq[FileEntry]])] = {
+      val tconf = new Configuration(false)
+      confEntries.foreach { case (k, v) => tconf.set(k, v) }
+      iter.map { fe =>
+        fe.path -> (try {
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new HPath(fe.path), tconf))
+          try {
+            val groups = reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+              val stats = b.getColumns.asScala.flatMap { cc =>
+                val dotPath = cc.getPath.toDotString
+                if (dotPath.contains('.') || !idByName.contains(dotPath)) None
+                else {
+                  val st = cc.getStatistics
+                  val dt = typeByName(dotPath)
+                  val (mn, mx, nulls) =
+                    if (st == null || st.isEmpty) (None, None, 0L)
+                    else {
+                      val n = if (st.isNumNullsSet) st.getNumNulls else 0L
+                      if (!st.hasNonNullValue) (None, None, n)
+                      else (statToCanon(st.genericGetMin.asInstanceOf[AnyRef], dt, isMin = true),
+                        statToCanon(st.genericGetMax.asInstanceOf[AnyRef], dt, isMin = false), n)
+                    }
+                  idByName.get(dotPath).filter(_ > 0).map(id =>
+                    id.toString -> ColumnStats(mn, mx, nulls))
+                }
+              }.toMap
+              FileEntry(fe.path, fe.partition, b.getRowCount, b.getCompressedSize,
+                fe.schemaId, stats, fe.specId)
+            }
+            Some(groups)
+          } finally reader.close()
+        } catch { case scala.util.control.NonFatal(_) => None })
+      }
+    }
+    val driverMax = spark.conf.get("graft.probe.driverMaxFiles", "8").toInt
+    val out =
+      if (files.size <= driverMax) readPart(files.iterator).toSeq
+      else {
+        val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(files, slices)
+          .mapPartitions(readPart).collect().toSeq
+      }
+    out.toMap
+  }
+
   /** Dummy record assembly for [[ColumnReadStoreImpl]] — values are read
     * directly off the [[org.apache.parquet.column.ColumnReader]], never
     * materialized through converters. */
