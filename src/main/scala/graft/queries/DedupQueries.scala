@@ -248,7 +248,11 @@ object DedupQueries {
         Dedup.minhashPairs(corpus(s, d), "doc_id", "text",
             shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-          .transform(Present.sortNarrow(_, col("id_a"), col("id_b")))
+          // sortWide, not sortNarrow: at sf10 this result is 43.45M
+          // pairs — the one-task repartition(1) funnel WAS most of the
+          // bench wall (Exp38: warm compute ~4.5 s, collect 4-10 s,
+          // recorded wall 28.6 s with the single-thread sort)
+          .transform(Present.sortWide(_, col("id_a"), col("id_b")))
       },
       // EQUALITY oracle against the exact all-pairs Jaccard set: on this
       // fixture every true pair has j >= 0.85 (nothing in [0.45, 0.65)),

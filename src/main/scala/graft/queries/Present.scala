@@ -51,6 +51,17 @@ private[graft] object Present {
   def sortNarrow(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
 
+  /** Total-order presentation for a LARGE result: global range sort —
+    * parallel partitioned sort, executeCollect preserves cross-partition
+    * order. Pays orderBy's range-sampling pass (which re-executes the
+    * uncached part of the child twice), so only worth it when the
+    * result is far too big for [[sortNarrow]]'s one-task funnel: Exp38
+    * measured the 43.45M-pair LSH output spending most of its bench
+    * wall inside repartition(1)+local sort — a single task exchanging
+    * and sorting ~1 GB while 31 threads idle. */
+  def sortWide(df: DataFrame, cols: Column*): DataFrame =
+    df.orderBy(cols: _*)
+
   /** Finalize a BOUNDED-cardinality aggregation on the driver
     * ([[graft.plans.DriverFinalAgg]]): the partial stage still runs
     * distributed, but the tiny partial states merge coordinator-side —

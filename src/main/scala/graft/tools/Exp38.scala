@@ -1,0 +1,58 @@
+package graft.tools
+
+/** Round-16 verdict #2: decompose the ~28.6 s sf10 dedup_minhash_lsh
+  * residual. Pass 1 runs with GRAFT_LSH_TIMING stage forcing (each
+  * stage's own delta, checkpoint-pinned prefixes); passes 2-4 time the
+  * undisturbed query two ways — count() (no driver transfer) and the
+  * bench contract's executeCollect (full 43.45M-row materialization at
+  * the coordinator, mirroring the oracle's fetchall) — so the gap
+  * between them IS the driver-materialization cost.
+  */
+object Exp38 {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "128m"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPENCOST", "4194304"))
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val corpus = graft.queries.DedupQueries.corpus(spark, d)
+    def pairs(): org.apache.spark.sql.DataFrame = graft.extras.Dedup.minhashPairs(
+      corpus, "doc_id", "text", 3, 64, 16, 0.5)
+    // pass 1: stage decomposition (GRAFT_LSH_TIMING set by the caller)
+    locally {
+      val t0 = System.nanoTime()
+      val n = pairs().count()
+      println(f"== exp38 decomposed_count n=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      System.setProperty("graft.lsh.timing.off", "1") // later passes undisturbed
+    }
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    def gate(sort: String) = {
+      val p = pairs().select(col("id_a"), col("id_b"),
+        rnd(col("jaccard"), 6).as("jaccard"))
+      sort match {
+        case "narrow" => graft.queries.Present.sortNarrow(p, col("id_a"), col("id_b"))
+        case "wide"   => graft.queries.Present.sortWide(p, col("id_a"), col("id_b"))
+        case _        => p
+      }
+    }
+    (1 to 3).foreach { i =>
+      val r = Seq("none", "narrow", "wide").map { s =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val n = gate(s).queryExecution.executedPlan.executeCollect().length
+        f"$s=${(System.nanoTime() - t0) / 1e9}%.2f s (n=$n)"
+      }
+      println(s"== exp38 pass$i collect ${r.mkString("  ")}")
+    }
+    spark.stop()
+  }
+}
