@@ -198,6 +198,13 @@ object CoreQueries {
         // 0.085 s — an AQE-clone stage-cache artifact, retracted in
         // COVERAGE; never cite it.) At cluster scale the same rows
         // never reach the network.
+        //
+        // FLOOR (final, round 16): remaining wall = scan floor (Exp20:
+        // 0.27 s) + this one orders SHJ. Negatives ledger: broadcast
+        // rescue (Exp21), prejoin (Exp29), below-join partial
+        // aggregation (Exp39 — bit-identical but never faster and
+        // degrades under memory pressure). The cluster-scale lever is
+        // Hints' measured-broadcast rescue, documented there.
         l.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
           .join(graft.plans.Hints.broadcastIfSmall(o, bound = oBound,
             countOnFail = Some(o)),

@@ -1,0 +1,123 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Round-16 verdict #3: q5 partial aggregation below the orders join.
+  * After the dim-first broadcast every fact row carries n_name;
+  * revenue is additive and the downstream joins only FILTER (orders
+  * one-year slice, customer nation equality), so the fact side can
+  * pre-aggregate to (l_orderkey, n_name, s_nationkey, partial_rev)
+  * before the orders join — the explicit repartition(l_orderkey) both
+  * feeds the aggregation (HashPartitioning(l_orderkey) satisfies the
+  * wider clustering) and pre-satisfies the join's distribution, so the
+  * probe shrinks by the lineitems-per-(order, nation) factor with NO
+  * extra exchange. The unscaled-long partial sums re-sum exactly.
+  * Interleaved A/B vs the current shape, results compared exactly.
+  *
+  * MEASURED (sf10, prepared-plan clones, AQE off, 2 runs on a loaded
+  * evening box): NEGATIVE. Results bit-identical, but pre-agg never
+  * beat the current shape (min 1.794 vs 1.510; 1.595 vs 1.335) and
+  * showed a pathological tail under load (11-37 s passes) that the
+  * current shape never exhibited in the same interleaved schedule —
+  * the added complete aggregation (hash table over ~1.5M
+  * (order, nation) groups) costs at least what the ~1.7x-smaller join
+  * probe saves, and its memory footprint is what degrades under
+  * pressure. Joins Exp21 (broadcast rescue) and Exp29 (prejoin) in
+  * q5's negative ledger; the dim-first + bloom shape stands as final.
+  */
+object Exp39 {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def ts(s: String): Column = expr(s"TIMESTAMP_NTZ '$s'")
+    // local twin of CoreQueries.dsum (private[queries])
+    def dsum(c: Column, scale: Int, alias: String): Column = {
+      val pow = math.pow(10, scale).toLong
+      (sum(call_function("graft_dunscaled", c.cast(DoubleType), lit(scale)))
+        .cast(DecimalType(38, 0)) / lit(pow)).cast(DoubleType).as(alias)
+    }
+    def q5(preAgg: Boolean): DataFrame = {
+      val s = spark
+      val dim = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey")
+      val oBound = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val l0 = Tables.lineitem(s, d)
+      val l = graft.plans.BloomPrune.pruned(l0, col("l_orderkey"), o, col("o_orderkey"))
+      val lDim = l.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      val fact =
+        if (!preAgg) lDim
+        else lDim
+          .select(col("l_orderkey"), col("n_name"), col("s_nationkey"),
+            call_function("graft_dunscaled",
+              (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DoubleType),
+              lit(4)).as("rev_u"))
+          .repartition(col("l_orderkey"))
+          .groupBy("l_orderkey", "n_name", "s_nationkey")
+          .agg(sum(col("rev_u")).as("prev_u"))
+      val joined = fact
+        .join(graft.plans.Hints.broadcastIfSmall(o, bound = oBound, countOnFail = Some(o)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(graft.plans.Hints.broadcastIfSmall(c, bound = c, countOnFail = Some(c)),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+      val agg =
+        if (!preAgg) joined.groupBy("n_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
+        else joined.groupBy("n_name")
+          .agg((sum(col("prev_u")).cast(DecimalType(38, 0)) / lit(10000L))
+            .cast(DoubleType).as("revenue"))
+      agg.orderBy(col("revenue").desc, col("n_name"))
+    }
+
+    // result identity first
+    val base = q5(false).collect().map(_.toSeq).toSeq
+    val pre = q5(true).collect().map(_.toSeq).toSeq
+    require(base == pre, s"pre-agg diverged:\n$base\n$pre")
+    println(s"== exp39 results identical (${base.size} rows)")
+
+    // bench-shaped timing: plans prepared ONCE (bloom build amortized
+    // exactly like the bench's prepared execution), AQE off so cloned
+    // executions share no adaptive stage cache (the Exp33 trap)
+    val prepared = Seq(
+      "current" -> q5(false).queryExecution.executedPlan,
+      "preagg" -> q5(true).queryExecution.executedPlan)
+    val times = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    for (round <- 0 to 5; (name, plan) <- prepared) {
+      val t0 = System.nanoTime()
+      plan.clone().executeCollect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (round > 0) times(name) = times(name) :+ sec
+      System.gc()
+    }
+    Seq("current", "preagg").foreach { n =>
+      val ts0 = times(n)
+      println(f"== exp39 $n%-8s min ${ts0.min}%.3f  passes ${ts0.map(t => f"$t%.3f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}
