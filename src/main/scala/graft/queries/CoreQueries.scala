@@ -109,7 +109,11 @@ object CoreQueries {
         val ojBound = Tables.orders(s, d)
           .select("o_orderkey", "o_orderdate", "o_orderpriority")
         // bloom prefilter on the (shipdate-filtered) fact side: only
-        // ~1/5 of its rows hit a BUILDING order — see q5's note
+        // ~1/5 of its rows hit a BUILDING order — see q5's note.
+        // Re-validated at sf10 (round 16, tools/Exp40 prepared-clone
+        // A/B, bit-identical results): bloom on 1.02-1.26 s vs off
+        // 1.46-3.23 s — the build amortizes well past the Exp22
+        // sf0.1-class volumes, so no fact-volume gate is warranted.
         val lp =
           if (s.conf.get("graft.bloom.semijoin", "true").toBoolean)
             graft.plans.BloomPrune.pruned(l, col("l_orderkey"), oj, col("o_orderkey"))
@@ -744,6 +748,11 @@ object CoreQueries {
         // UTC (a non-whole-hour offset like +05:30 shifts the bucket
         // boundaries), so the fast path is gated on both the raw LONG
         // schema and a UTC session.
+        // FLOOR (final, round 16): the query sits AT the Exp24 scan
+        // floor; the one remaining per-row branch (the pre-epoch floor
+        // guard) measured 0.246 vs 0.233 s unguarded at sf10 (Exp40) —
+        // inside noise, and the guard is load-bearing for pre-epoch
+        // timestamps, so it stays.
         val raw = Tables.eventsRaw(s, d)
         val utcSession = s.conf.get("spark.sql.session.timeZone", "") == "UTC"
         // Raw-bucket fast path: group on the hour bucket as ONE integer

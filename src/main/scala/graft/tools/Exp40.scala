@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-16 verdict #6: one probe each for the two honest hoverers.
+  *
+  *  - q3: interleaved bloom on/off A/B at sf10 (Exp22 measured the
+  *    bloom's payback at sf0.1-class volumes only).
+  *  - q_events_hourly: the verdict's "coarser truncation" probe — the
+  *    query already groups on a raw integer hour division; the only
+  *    remaining per-row fat is the pre-epoch floor guard, so compare
+  *    the guarded div against an unguarded one (correct on this
+  *    fixture, NOT in general — probe only).
+  */
+object Exp40 {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def q(name: String) = graft.Registry.all.find(_.name == name).get
+
+    // prepare q3 under each bloom setting (the conf is read at plan time)
+    spark.conf.set("graft.bloom.semijoin", "true")
+    val q3on = q("q3_shipping_priority").run(spark, d).queryExecution.executedPlan
+    spark.conf.set("graft.bloom.semijoin", "false")
+    val q3off = q("q3_shipping_priority").run(spark, d).queryExecution.executedPlan
+    spark.conf.set("graft.bloom.semijoin", "true")
+
+    // events_hourly: current registered query vs unguarded-div probe
+    val evCur = q("q_events_hourly").run(spark, d).queryExecution.executedPlan
+    val evProbe = {
+      import graft.queries.Present
+      // this fixture generation stores MICROS NTZ — probe the unguarded
+      // division on the same numeric base the registered query uses
+      val e = graft.Tables.events(spark, d)
+        .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+      e.groupBy(expr("us div 3600000000").as("b"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(expr("cast(timestamp_micros(b * 3600000000) as timestamp_ntz)").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .transform(df => Present.driverAgg(df, "hour" -> true, "event_type" -> true))
+        .queryExecution.executedPlan
+    }
+
+    val plans = Seq("q3_bloom_on" -> q3on, "q3_bloom_off" -> q3off,
+      "ev_current" -> evCur, "ev_unguarded" -> evProbe)
+    // result parity for the q3 pair (ev probe differs in dsum rounding —
+    // rows-count check only)
+    val a = q3on.clone().executeCollect().map(_.toString).toSeq
+    val b = q3off.clone().executeCollect().map(_.toString).toSeq
+    require(a == b, "bloom on/off diverged")
+    println(s"== exp40 q3 results identical (${a.size} rows)")
+
+    val times = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    for (round <- 0 to 5; (name, plan) <- plans) {
+      val t0 = System.nanoTime()
+      plan.clone().executeCollect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (round > 0) times(name) = times(name) :+ sec
+      System.gc()
+    }
+    plans.foreach { case (name, _) =>
+      val ts = times(name)
+      println(f"== exp40 $name%-14s min ${ts.min}%.3f  passes ${ts.map(t => f"$t%.3f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}
