@@ -227,7 +227,23 @@ object Multimodal {
     * parse, mb_skip_run, the 8.4.1.1 P_Skip zero-vector derivation,
     * integer-pel motion compensation — so `lum_sum` here is the TOTAL
     * across frames (n_frames * frame-0 sum, closed form). Map-only. */
-  def mp4PSkipFrameFeatures(df: DataFrame, idCol: String): DataFrame = {
+  def mp4PSkipFrameFeatures(df: DataFrame, idCol: String): DataFrame =
+    mp4TotalFeatures(df, idCol, MediaSynth.mp4PSkip)
+
+  /** Coded-motion variant (round 16 stretch): [[MediaSynth.mp4PMv]]
+    * fixtures whose P frames carry real P_L0_16x16 macroblocks —
+    * Exp-Golomb mvd_l0 pairs through the 8.4.1.3 median predictor and
+    * quarter-pel 6-tap motion compensation — so `lum_sum` is the
+    * closed-form ramp total derived in the synthesizer's scaladoc.
+    * Map-only. */
+  def mp4PMvFrameFeatures(df: DataFrame, idCol: String): DataFrame =
+    mp4TotalFeatures(df, idCol, MediaSynth.mp4PMv)
+
+  /** Shared all-frame decode mapper for the inter-prediction gates:
+    * synthesize the per-id MP4, decode EVERY sample with reference
+    * propagation, and emit whole-stream totals. */
+  private def mp4TotalFeatures(df: DataFrame, idCol: String,
+      synth: Long => Array[Byte]): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("n_frames", LongType),
       StructField("width", LongType), StructField("height", LongType),
@@ -236,7 +252,7 @@ object Multimodal {
     df.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        JvmMp4Codec.decodeAllLuma(MediaSynth.mp4PSkip(id)) match {
+        JvmMp4Codec.decodeAllLuma(synth(id)) match {
           case Some((sps, frames)) =>
             var sum = 0L
             frames.foreach { f =>
@@ -1055,6 +1071,123 @@ object MediaSynth {
       maxRefFrames = 1)
   }
 
+  /** Coded-motion sibling of [[mp4PSkip]] (round 16 stretch): frame 0
+    * is a lossless I_PCM IDR whose luma is a VERTICAL ramp with
+    * constant rows (base + 4*y, base = 20 + id%50), and every later
+    * frame is a non-IDR P slice of coded P_L0_16x16 macroblocks with
+    * real Exp-Golomb mvd_l0 pairs and zero residual. The motion
+    * schedule makes the total decoded luma sum a closed form while
+    * still pinning the decoder's hard parts:
+    *
+    *  - ODD P frames carry per-MB HORIZONTAL motion with assorted
+    *    quarter/half-pel fractions (mvd_y = 0 everywhere; MB 0 is a
+    *    genuine P_Skip run of 1). Rows are constant, so a CORRECT
+    *    quarter-pel interpolator reproduces the frame exactly — but
+    *    only if the 6-tap (1,-5,20,20,-5,1) DC gain and the (+16)>>5
+    *    rounding are right, so the closed form pins the filter
+    *    arithmetic at every fraction the schedule sweeps.
+    *  - EVEN P frames shift the whole frame DOWN by k = 1 + id%5
+    *    integer pels using a single non-zero mvd on MB 0 only; every
+    *    other MB's vector must be reproduced by the 8.4.1.3 predictor
+    *    (the exactly-one-refIdx rule on 1-MB-wide frames, the
+    *    B/C/D-unavailable -> A rule on the top row, the median with
+    *    the D substitution elsewhere). A wrong predictor misaligns the
+    *    ramp in that MB and changes the sum. With edge-replicated
+    *    sampling the shifted ramp stays closed-form: cumulative shift
+    *    K gives sum_y (base + 4*min(y+K, h-1)) per column, and
+    *    consecutive downward shifts compose as K1+K2.
+    *
+    * Frame sums: S(K) = w*(base*h + 4*(h(h-1)/2 - K(K-1)/2 + K(h-1))),
+    * frames = [S(0), S(0), S(k), S(k), S(2k)] truncated to nFrames =
+    * 3 + id%3 — the multimodal_h264_pmv gate's oracle. */
+  def mp4PMv(id: Long): Array[Byte] = {
+    val wMb = (1 + id % 2).toInt
+    val hMb = (1 + (id / 2) % 2).toInt
+    val nFrames = (3 + id % 3).toInt
+    val base = (20 + id % 50).toInt
+    val k = (1 + id % 5).toInt
+    val nMbs = wMb * hMb
+
+    def nalIdr: Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x65, 8) // nal: ref_idc=3, type=5 (IDR slice)
+      bw.ue(0) // first_mb_in_slice
+      bw.ue(7) // slice_type: I (all slices in pic)
+      bw.ue(0) // pps id
+      bw.u(0, 4) // frame_num
+      bw.ue(0) // idr_pic_id
+      bw.u(0, 1); bw.u(0, 1) // no_output_of_prior_pics, long_term_reference
+      bw.se(0) // slice_qp_delta
+      var mb = 0
+      while (mb < nMbs) {
+        bw.ue(25) // mb_type I_PCM
+        bw.byteAlignZero() // pcm_alignment_zero_bit
+        val mbY = (mb / wMb) * 16
+        val luma = new Array[Byte](256)
+        var yy = 0
+        while (yy < 16) {
+          java.util.Arrays.fill(luma, yy * 16, yy * 16 + 16,
+            (base + 4 * (mbY + yy)).toByte) // constant rows: ramp in y
+          yy += 1
+        }
+        bw.bytes(luma)
+        val chroma = new Array[Byte](128)
+        java.util.Arrays.fill(chroma, 128.toByte)
+        bw.bytes(chroma)
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+
+    def nalP(f: Int): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x41, 8) // nal: ref_idc=2, type=1 (non-IDR slice)
+      bw.ue(0) // first_mb_in_slice
+      bw.ue(5) // slice_type: P (all slices in pic)
+      bw.ue(0) // pps id
+      bw.u(f % 16, 4) // frame_num
+      bw.u(0, 1) // num_ref_idx_active_override_flag
+      bw.u(0, 1) // ref_pic_list_modification_flag_l0
+      bw.u(0, 1) // adaptive_ref_pic_marking_mode_flag
+      bw.se(0) // slice_qp_delta
+      if (f % 2 == 1) {
+        // class A: horizontal fractional motion over constant rows.
+        // MB 0 rides a real P_Skip run; the rest are coded 16x16 MBs
+        // with varied mvd_x (both signs, all quarter fractions) and
+        // mvd_y = 0, so every derived vector keeps mv_y = 0. Each
+        // slice_data iteration is ONE mb_skip_run + ONE
+        // macroblock_layer, so MB 1's layer follows the run directly.
+        bw.ue(1) // mb_skip_run = 1 (MB 0)
+        var mb = 1
+        while (mb < nMbs) {
+          if (mb > 1) bw.ue(0) // next iteration's mb_skip_run = 0
+          bw.ue(0) // mb_type P_L0_16x16
+          bw.se(((id + 7 * f + 13 * mb) % 25) - 12) // mvd_x
+          bw.se(0) // mvd_y
+          bw.ue(0) // coded_block_pattern (inter): 0 -> no residual
+          mb += 1
+        }
+      } else {
+        // class B: uniform integer shift down by k pels. Only MB 0
+        // carries the vector; MBs 1.. must recover it via 8.4.1.3.
+        var mb = 0
+        while (mb < nMbs) {
+          bw.ue(0) // mb_skip_run = 0
+          bw.ue(0) // mb_type P_L0_16x16
+          bw.se(0) // mvd_x
+          bw.se(if (mb == 0) 4L * k else 0L) // mvd_y
+          bw.ue(0) // coded_block_pattern: 0
+          mb += 1
+        }
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+    mp4Container(wMb, hMb, nalIdr +: (1 until nFrames).map(nalP),
+      maxRefFrames = 1)
+  }
+
   private def mp4SpsNal(wMb: Int, hMb: Int, maxRefFrames: Int = 0): Array[Byte] = {
     val bw = new graft.extras.H264.BitWriter
     bw.u(0x67, 8) // nal: ref_idc=3, type=7 (SPS)
@@ -1354,26 +1487,149 @@ private[extras] object H264 {
   }
 
   // ------------------------------------------------------------------
-  // P_Skip inter decode (round 15 stretch) — the first INTER coding
-  // step: non-IDR P slices whose macroblocks are all skipped. The
-  // decoder genuinely parses the P slice header (ref-list override /
-  // modification / marking flags included), reads mb_skip_run, runs the
-  // spec 8.4.1.1 P_Skip motion-vector derivation (mvSkip = 0 when a
-  // lateral neighbor is unavailable or predicts (0,0) with refIdx 0 —
-  // which by induction covers every MB of an all-skip frame), and
-  // motion-compensates each skipped MB from the reference plane at
-  // integer-pel with edge clamping. SCOPE, stated plainly: coded inter
-  // MB types, non-zero residuals in P slices, sub-pel interpolation
-  // (the 6-tap half-pel filter) and the median MV predictor's non-zero
-  // branch return null — the documented seam, exactly like the CAVLC
-  // decoders' entropy seam. The multimodal_h264_pskip gate pins this
-  // against a closed-form oracle (every P frame reconstructs the IDR
-  // frame exactly, so the total luma sum is n_frames * frame-0 sum).
+  // P-slice inter decode (rounds 15-16) — the INTER coding path:
+  // non-IDR P slices made of P_Skip runs and coded P_L0_16x16
+  // macroblocks. The decoder genuinely parses the P slice header
+  // (ref-list override / modification / marking flags included),
+  // interleaves mb_skip_run with macroblock_layer, reads each coded
+  // MB's Exp-Golomb mvd_l0 pair, derives motion vectors through the
+  // FULL spec 8.4.1.3 luma MV predictor (component-wise median with
+  // the top-right->top-left C substitution, the exactly-one-matching-
+  // refIdx shortcut and the B/C/D-unavailable -> A rule) and the
+  // 8.4.1.1 P_Skip derivation on top of it, then motion-compensates at
+  // QUARTER-pel per 8.4.2.2.1: 6-tap (1,-5,20,20,-5,1) half-pel
+  // filtering horizontally/vertically, the centre position from
+  // unrounded intermediates with the (+512)>>10 rounding, and
+  // quarter positions by averaging — all with edge-replicated
+  // out-of-bounds sampling. SCOPE, stated plainly: partitioned inter
+  // MB types (16x8/8x16/8x8), non-zero residuals (coded_block_pattern
+  // beyond 0), more than one active reference and CABAC return null —
+  // the documented seam, exactly like the CAVLC decoders' entropy
+  // seam. The multimodal_h264_pskip gate pins the all-skip profile
+  // (each P frame reconstructs the IDR exactly) and the
+  // multimodal_h264_pmv gate pins the coded-MV profile against a
+  // closed-form ramp oracle (see MediaSynth.mp4PMv); H264PMvSpec pins
+  // the interpolation arithmetic against an independent full-plane
+  // upsampler built straight from the spec equations.
   // ------------------------------------------------------------------
 
-  /** Decode the luma plane of an all-P_Skip non-IDR slice NAL against
-    * `ref` (the previously decoded frame). Null outside the subset. */
-  def decodePSkipLuma(rbsp: Array[Byte], sps: Sps, ref: Array[Byte]): Array[Byte] = {
+  @inline private def clip255(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Quarter-pel luma sample at full-pel base (x, y) with fractional
+    * offsets (fx, fy) in quarter units, per spec 8.4.2.2.1. Out-of-
+    * bounds full-pel reads clamp to the plane edge (the spec's
+    * ClipH/ClipV on reference sampling). */
+  private[extras] def interpLumaQPel(ref: Array[Byte], w: Int, h: Int,
+      x: Int, y: Int, fx: Int, fy: Int): Int = {
+    @inline def p(i: Int, j: Int): Int = {
+      val ci = if (i < 0) 0 else if (i > w - 1) w - 1 else i
+      val cj = if (j < 0) 0 else if (j > h - 1) h - 1 else j
+      ref(cj * w + ci) & 0xff
+    }
+    if (fx == 0 && fy == 0) return p(x, y)
+    // unrounded 6-tap sums (the "1" intermediates of the spec)
+    def hRaw(i: Int, j: Int): Int =
+      p(i - 2, j) - 5 * p(i - 1, j) + 20 * p(i, j) +
+        20 * p(i + 1, j) - 5 * p(i + 2, j) + p(i + 3, j)
+    def vRaw(i: Int, j: Int): Int =
+      p(i, j - 2) - 5 * p(i, j - 1) + 20 * p(i, j) +
+        20 * p(i, j + 1) - 5 * p(i, j + 2) + p(i, j + 3)
+    // rounded half-pel samples b (horizontal), h (vertical), the next-
+    // column vertical half m, the next-row horizontal half s, and the
+    // centre j from unrounded vertical intermediates
+    def bS: Int = clip255((hRaw(x, y) + 16) >> 5)
+    def hS: Int = clip255((vRaw(x, y) + 16) >> 5)
+    def mS: Int = clip255((vRaw(x + 1, y) + 16) >> 5)
+    def sS: Int = clip255((hRaw(x, y + 1) + 16) >> 5)
+    def jS: Int = {
+      val t = vRaw(x - 2, y) - 5 * vRaw(x - 1, y) + 20 * vRaw(x, y) +
+        20 * vRaw(x + 1, y) - 5 * vRaw(x + 2, y) + vRaw(x + 3, y)
+      clip255((t + 512) >> 10)
+    }
+    ((fy << 2) | fx) match { // Table 8-12 sample positions
+      case 0x1 => (p(x, y) + bS + 1) >> 1 // a
+      case 0x2 => bS // b
+      case 0x3 => (p(x + 1, y) + bS + 1) >> 1 // c
+      case 0x4 => (p(x, y) + hS + 1) >> 1 // d
+      case 0x5 => (bS + hS + 1) >> 1 // e
+      case 0x6 => (bS + jS + 1) >> 1 // f
+      case 0x7 => (bS + mS + 1) >> 1 // g
+      case 0x8 => hS // h
+      case 0x9 => (hS + jS + 1) >> 1 // i
+      case 0xa => jS // j
+      case 0xb => (jS + mS + 1) >> 1 // k
+      case 0xc => (p(x, y + 1) + hS + 1) >> 1 // n
+      case 0xd => (hS + sS + 1) >> 1 // p
+      case 0xe => (jS + sS + 1) >> 1 // q
+      case _ => (mS + sS + 1) >> 1 // r
+    }
+  }
+
+  /** Spec 8.4.1.3 luma MV prediction for a whole-MB 16x16 P_L0
+    * partition over a raster-decoded all-inter slice: every decoded MB
+    * in this profile references picture 0 of list 0, so a neighbor's
+    * refIdx is 0 exactly when it exists (unavailable -> -1, mv (0,0)).
+    * C is the top-right macroblock, substituted by D (top-left) when
+    * outside the picture. */
+  private[extras] def mvPred16x16(mvx: Array[Int], mvy: Array[Int],
+      wMbs: Int, mbX: Int, mbY: Int): (Int, Int) = {
+    val mb = mbY * wMbs + mbX
+    val aAvail = mbX > 0
+    val bAvail = mbY > 0
+    val cIdx =
+      if (mbY > 0 && mbX < wMbs - 1) mb - wMbs + 1 // top-right
+      else if (mbY > 0 && mbX > 0) mb - wMbs - 1 // D substitution
+      else -1
+    val cAvail = cIdx >= 0
+    // 8.4.1.3.1 rule: B, C and D unavailable, A available -> mvA
+    if (!bAvail && !cAvail && aAvail) return (mvx(mb - 1), mvy(mb - 1))
+    val nAvail = (if (aAvail) 1 else 0) + (if (bAvail) 1 else 0) +
+      (if (cAvail) 1 else 0)
+    if (nAvail == 1) { // exactly one neighbor has refIdxN == refIdx
+      if (aAvail) (mvx(mb - 1), mvy(mb - 1))
+      else if (bAvail) (mvx(mb - wMbs), mvy(mb - wMbs))
+      else (mvx(cIdx), mvy(cIdx))
+    } else {
+      val ax = if (aAvail) mvx(mb - 1) else 0
+      val ay = if (aAvail) mvy(mb - 1) else 0
+      val bx = if (bAvail) mvx(mb - wMbs) else 0
+      val by = if (bAvail) mvy(mb - wMbs) else 0
+      val cx = if (cAvail) mvx(cIdx) else 0
+      val cy = if (cAvail) mvy(cIdx) else 0
+      @inline def med(p: Int, q: Int, r: Int): Int =
+        math.max(math.min(p, q), math.min(math.max(p, q), r))
+      (med(ax, bx, cx), med(ay, by, cy))
+    }
+  }
+
+  /** 8.4.1.1 P_Skip motion vector: (0,0) when the left or top neighbor
+    * is unavailable or is ref-0 with a zero vector, else the 8.4.1.3
+    * predictor. */
+  private def pSkipMv(mvx: Array[Int], mvy: Array[Int],
+      wMbs: Int, mbX: Int, mbY: Int): (Int, Int) = {
+    val mb = mbY * wMbs + mbX
+    val aAvail = mbX > 0
+    val bAvail = mbY > 0
+    val aZero = aAvail && mvx(mb - 1) == 0 && mvy(mb - 1) == 0
+    val bZero = bAvail && mvx(mb - wMbs) == 0 && mvy(mb - wMbs) == 0
+    if (!aAvail || !bAvail || aZero || bZero) (0, 0)
+    else mvPred16x16(mvx, mvy, wMbs, mbX, mbY)
+  }
+
+  /** Decode the luma plane of a non-IDR P slice NAL (P_Skip runs +
+    * coded P_L0_16x16 macroblocks, zero residual) against `ref` (the
+    * previously decoded frame). Null outside the subset. */
+  def decodePLuma(rbsp: Array[Byte], sps: Sps, ref: Array[Byte]): Array[Byte] =
+    decodePLumaWithMvs(rbsp, sps, ref) match {
+      case null => null
+      case (luma, _, _) => luma
+    }
+
+  /** [[decodePLuma]] plus the derived per-MB quarter-pel motion
+    * vectors (exposed for the spec's independent-median cross-check). */
+  private[extras] def decodePLumaWithMvs(rbsp: Array[Byte], sps: Sps,
+      ref: Array[Byte]): (Array[Byte], Array[Int], Array[Int]) = {
     try {
       if (ref == null) return null
       val r = new BitReader(rbsp)
@@ -1385,58 +1641,66 @@ private[extras] object H264 {
       r.ue() // pic_parameter_set_id
       r.u(sps.log2MaxFrameNum) // frame_num
       // pic_order_cnt_type == 2 in this profile: no POC fields
-      if (r.u(1) == 1) r.ue() // num_ref_idx_active_override_flag -> l0 count
+      val numRefL0 = // num_ref_idx_active_override_flag -> l0 count
+        if (r.u(1) == 1) r.ue().toInt + 1 else 1 // PPS default 0 -> 1
       if (r.u(1) == 1) return null // ref_pic_list_modification_flag_l0
       // weighted_pred_flag is 0 in this profile's PPS: no pred_weight_table
       if (nalRefIdc != 0 && r.u(1) == 1) return null // adaptive marking
       r.se() // slice_qp_delta
-      val w = sps.widthMbs * 16
+      val wMbs = sps.widthMbs
+      val w = wMbs * 16
       val h = sps.heightMbs * 16
       if (ref.length != w * h) return null
-      val nMbs = sps.widthMbs * sps.heightMbs
+      val nMbs = wMbs * sps.heightMbs
       val luma = new Array[Byte](w * h)
-      // per-MB motion vectors (quarter-pel units) for the skip derivation
+      // per-MB motion vectors in quarter-pel units (skip + pred inputs)
       val mvx = new Array[Int](nMbs)
       val mvy = new Array[Int](nMbs)
+      def compensate(mb: Int): Unit = {
+        val mbX = (mb % wMbs) * 16
+        val mbY = (mb / wMbs) * 16
+        val dx = mvx(mb) >> 2; val fx = mvx(mb) & 3
+        val dy = mvy(mb) >> 2; val fy = mvy(mb) & 3
+        var yy = 0
+        while (yy < 16) {
+          var xx = 0
+          while (xx < 16) {
+            luma((mbY + yy) * w + mbX + xx) =
+              interpLumaQPel(ref, w, h, mbX + xx + dx, mbY + yy + dy, fx, fy).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+      }
       var mb = 0
       while (mb < nMbs) {
-        val run = r.ue()
-        if (run != nMbs - mb) return null // a CODED inter MB follows: seam
+        val run = r.ue().toInt
+        if (run < 0 || mb + run > nMbs) return null
         var k = 0
-        while (k < run) {
-          val mbX = (mb % sps.widthMbs) * 16
-          val mbY = (mb / sps.widthMbs) * 16
-          // 8.4.1.1: P_Skip predicts (0,0) when the left or top neighbor
-          // is unavailable, or when either is ref-0 with a zero vector;
-          // otherwise the median predictor applies (outside this subset)
-          val leftAvail = mbX > 0
-          val topAvail = mbY > 0
-          val leftZero = leftAvail && mvx(mb - 1) == 0 && mvy(mb - 1) == 0
-          val topZero = topAvail &&
-            mvx(mb - sps.widthMbs) == 0 && mvy(mb - sps.widthMbs) == 0
-          if (!(!leftAvail || !topAvail || leftZero || topZero)) return null
-          mvx(mb) = 0; mvy(mb) = 0
-          // integer-pel motion compensation with edge clamping (the
-          // derived vector is (0,0) here, but the copy is written
-          // against the general full-pel offset)
-          val dx = mvx(mb) >> 2
-          val dy = mvy(mb) >> 2
-          var yy = 0
-          while (yy < 16) {
-            val sy = math.max(0, math.min(h - 1, mbY + yy + dy))
-            var xx = 0
-            while (xx < 16) {
-              val sx = math.max(0, math.min(w - 1, mbX + xx + dx))
-              luma((mbY + yy) * w + mbX + xx) = ref(sy * w + sx)
-              xx += 1
-            }
-            yy += 1
-          }
+        while (k < run) { // P_Skip macroblocks
+          val (sx, sy) = pSkipMv(mvx, mvy, wMbs, mb % wMbs, mb / wMbs)
+          mvx(mb) = sx; mvy(mb) = sy
+          compensate(mb)
           mb += 1
           k += 1
         }
+        if (mb < nMbs) { // macroblock_layer: one coded inter MB
+          if (r.ue() != 0) return null // mb_type P_L0_16x16 only
+          if (numRefL0 != 1) return null // ref_idx_l0 te(v): seam
+          val mvdX = r.se().toInt
+          val mvdY = r.se().toInt
+          val (px, py) = mvPred16x16(mvx, mvy, wMbs, mb % wMbs, mb / wMbs)
+          mvx(mb) = px + mvdX
+          mvy(mb) = py + mvdY
+          // coded_block_pattern me(v): inter mapping sends codeNum 0 to
+          // cbp 0 (no residual, no mb_qp_delta); any coded residual is
+          // the documented seam
+          if (r.ue() != 0) return null
+          compensate(mb)
+          mb += 1
+        }
       }
-      luma
+      (luma, mvx, mvy)
     } catch { case scala.util.control.NonFatal(_) => null }
   }
 
@@ -2055,8 +2319,9 @@ object JvmMp4Codec extends MediaCodec {
 
   /** All frames' luma planes with REFERENCE propagation: IDR samples
     * decode through the intra paths, non-IDR samples through the
-    * P_Skip inter path against the previously decoded frame. None when
-    * any sample falls outside the decodable subset (round 15). */
+    * P-slice inter path (P_Skip runs + coded P_L0_16x16 MBs) against
+    * the previously decoded frame. None when any sample falls outside
+    * the decodable subset (rounds 15-16). */
   private[extras] def decodeAllLuma(b: Array[Byte]): Option[(H264.Sps, Seq[Array[Byte]])] =
     parse(b).flatMap { t =>
       var ref: Array[Byte] = null
@@ -2081,7 +2346,7 @@ object JvmMp4Codec extends MediaCodec {
               if (nalType == 5) {
                 val pcm = H264.decodeIPcmLuma(rbsp, t.sps)
                 if (pcm != null) pcm else H264.decodeI16DcLuma(rbsp, t.sps, t.initQp)
-              } else H264.decodePSkipLuma(rbsp, t.sps, ref)
+              } else H264.decodePLuma(rbsp, t.sps, ref)
           }
           o = nalStart + len
         }

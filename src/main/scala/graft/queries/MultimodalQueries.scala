@@ -353,6 +353,53 @@ object MultimodalQueries {
           AND x.x < 16 * (1 + d.doc_id % 2)
           AND y.y < 16 * (1 + (d.doc_id // 2) % 2)
         GROUP BY d.doc_id ORDER BY d.doc_id"""),
-      doc = "H.264 inter decode: P_Skip slices (header parse, mb_skip_run, 8.4.1.1 zero-MV derivation, motion compensation with reference propagation) vs closed-form oracle")
+      doc = "H.264 inter decode: P_Skip slices (header parse, mb_skip_run, 8.4.1.1 zero-MV derivation, motion compensation with reference propagation) vs closed-form oracle"),
+
+    // ------------------------------------------------------------------
+    Q("multimodal_h264_pmv",
+      (s, d) => {
+        // round-16 stretch: coded inter motion. Frame 0 is an I_PCM
+        // vertical ramp (constant rows, base + 4*y); every later frame
+        // is a P slice of coded P_L0_16x16 MBs with real Exp-Golomb
+        // mvd_l0 pairs and zero residual. Odd P frames carry per-MB
+        // horizontal quarter/half-pel motion — constant rows make a
+        // CORRECT 6-tap interpolator reproduce the frame exactly (DC
+        // gain 32, (+16)>>5 rounding), so the sum pins the filter
+        // arithmetic. Even P frames shift the frame down k pels via ONE
+        // mvd on MB 0; every other MB's vector must be recovered by the
+        // 8.4.1.3 predictor (exactly-one-refIdx rule, B/C/D-unavail ->
+        // A rule, median with D substitution) or the ramp misaligns and
+        // the sum breaks. Cumulative shifts compose, so the total is
+        // the closed form in MediaSynth.mp4PMv's scaladoc.
+        Multimodal.mp4PMvFrameFeatures(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+            16 * (1 + doc_id % 2) AS w,
+            16 * (1 + (doc_id // 2) % 2) AS h,
+            3 + doc_id % 3 AS nf,
+            20 + doc_id % 50 AS base,
+            1 + doc_id % 5 AS k
+          FROM documents WHERE doc_id < 200),
+        s AS (
+          SELECT doc_id, w, h, nf,
+            w * base * h + 4 * w * ((h * (h - 1)) // 2) AS s0,
+            w * base * h + 4 * w * ((h * (h - 1)) // 2
+              - (k * (k - 1)) // 2 + k * (h - 1)) AS s1,
+            w * base * h + 4 * w * ((h * (h - 1)) // 2
+              - (2 * k * (2 * k - 1)) // 2 + 2 * k * (h - 1)) AS s2
+          FROM p)
+        SELECT doc_id,
+          CAST(nf AS BIGINT) AS n_frames,
+          CAST(w AS BIGINT) AS width,
+          CAST(h AS BIGINT) AS height,
+          CAST(2 * s0 + s1 + CASE WHEN nf >= 4 THEN s1 ELSE 0 END
+            + CASE WHEN nf = 5 THEN s2 ELSE 0 END AS BIGINT) AS lum_sum,
+          CAST(nf * w * h AS BIGINT) AS plane_bytes
+        FROM s ORDER BY doc_id"""),
+      doc = "H.264 coded inter motion: P_L0_16x16 MBs (Exp-Golomb MVD, 8.4.1.3 median MV prediction, quarter-pel 6-tap luma interpolation) vs closed-form ramp oracle")
   )
 }

@@ -1,0 +1,231 @@
+package graft.extras
+
+import graft.SparkSpec
+
+/** Pins for the round-16 coded-motion inter decode: quarter-pel luma
+  * interpolation against an independent full-plane upsampler built
+  * straight from the spec equations, the 8.4.1.3 MV predictor against
+  * hand-derived cases, bit-exact MVD recovery through the real slice
+  * parse, exact fixture reconstruction, and the documented seams
+  * (partitioned MB types / coded residuals / multi-ref degrade to
+  * null instead of guessing). */
+class H264PMvSpec extends SparkSpec {
+
+  // ------------------------------------------------------------------
+  // Independent quarter-pel oracle: edge-replicate the plane into a
+  // padded buffer, convolve FULL half-pel planes (rounded horizontal
+  // `b`, rounded vertical `h`, centre `j` from unrounded vertical
+  // intermediates), then average per Table 8-12. Structurally separate
+  // from the decoder's on-demand per-sample computation.
+  // ------------------------------------------------------------------
+  private val PAD = 8
+
+  private final class Planes(ref: Array[Byte], w: Int, h: Int) {
+    private val pw = w + 2 * PAD
+    private val ph = h + 2 * PAD
+    private val full = Array.tabulate(ph, pw) { (j, i) =>
+      val ci = math.max(0, math.min(w - 1, i - PAD))
+      val cj = math.max(0, math.min(h - 1, j - PAD))
+      ref(cj * w + ci) & 0xff
+    }
+    private def clip(v: Int) = math.max(0, math.min(255, v))
+    // unrounded horizontal and vertical 6-tap sums at padded coords
+    private def rawH(j: Int, i: Int): Int =
+      full(j)(i - 2) - 5 * full(j)(i - 1) + 20 * full(j)(i) +
+        20 * full(j)(i + 1) - 5 * full(j)(i + 2) + full(j)(i + 3)
+    private def rawV(j: Int, i: Int): Int =
+      full(j - 2)(i) - 5 * full(j - 1)(i) + 20 * full(j)(i) +
+        20 * full(j + 1)(i) - 5 * full(j + 2)(i) + full(j + 3)(i)
+    def at(x: Int, y: Int, fx: Int, fy: Int): Int = {
+      val i = x + PAD
+      val j = y + PAD
+      def g = full(j)(i)
+      def b = clip((rawH(j, i) + 16) >> 5)
+      def hh = clip((rawV(j, i) + 16) >> 5)
+      def m = clip((rawV(j, i + 1) + 16) >> 5)
+      def s = clip((rawH(j + 1, i) + 16) >> 5)
+      def cj = {
+        val t = rawV(j, i - 2) - 5 * rawV(j, i - 1) + 20 * rawV(j, i) +
+          20 * rawV(j, i + 1) - 5 * rawV(j, i + 2) + rawV(j, i + 3)
+        clip((t + 512) >> 10)
+      }
+      (fx, fy) match {
+        case (0, 0) => g
+        case (1, 0) => (g + b + 1) >> 1
+        case (2, 0) => b
+        case (3, 0) => (full(j)(i + 1) + b + 1) >> 1
+        case (0, 1) => (g + hh + 1) >> 1
+        case (1, 1) => (b + hh + 1) >> 1
+        case (2, 1) => (b + cj + 1) >> 1
+        case (3, 1) => (b + m + 1) >> 1
+        case (0, 2) => hh
+        case (1, 2) => (hh + cj + 1) >> 1
+        case (2, 2) => cj
+        case (3, 2) => (cj + m + 1) >> 1
+        case (0, 3) => (full(j + 1)(i) + hh + 1) >> 1
+        case (1, 3) => (hh + s + 1) >> 1
+        case (2, 3) => (cj + s + 1) >> 1
+        case _ => (m + s + 1) >> 1
+      }
+    }
+  }
+
+  test("quarter-pel interpolation matches the independent upsampler") {
+    val rnd = new scala.util.Random(42)
+    val w = 24; val h = 20
+    (0 until 3).foreach { trial =>
+      val ref = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val oracle = new Planes(ref, w, h)
+      // interior, every border and every corner, all 16 fractions
+      val xs = Seq(-3, -1, 0, 1, w / 2, w - 2, w - 1, w + 2)
+      val ys = Seq(-3, -1, 0, 1, h / 2, h - 2, h - 1, h + 2)
+      for (x <- xs; y <- ys; fx <- 0 to 3; fy <- 0 to 3) {
+        // keep padded-oracle reads in range: |off| <= PAD - 6-tap reach
+        assert(H264.interpLumaQPel(ref, w, h, x, y, fx, fy) ==
+          oracle.at(x, y, fx, fy),
+          s"trial=$trial pos=($x,$y) frac=($fx,$fy)")
+      }
+    }
+  }
+
+  test("half-pel filter arithmetic on hand-computed rows") {
+    // spike: taps (1,-5,20,20,-5,1) on [0,0,100,0,0,0] at the spike
+    val spike = Array[Byte](0, 0, 100, 0, 0, 0)
+    assert(H264.interpLumaQPel(spike, 6, 1, 2, 0, 2, 0) == (2000 + 16) >> 5)
+    // saturation high: a constant 255 row stays 255 through the filter
+    val white = Array.fill(6)(255.toByte)
+    assert(H264.interpLumaQPel(white, 6, 1, 2, 0, 2, 0) == 255)
+    // saturation low: negative raw sum clips to 0
+    val vee = Array[Byte](0, 255.toByte, 0, 0, 255.toByte, 0)
+    assert(H264.interpLumaQPel(vee, 6, 1, 2, 0, 2, 0) == 0)
+    // DC gain: any constant v reproduces v at every fraction
+    val grey = Array.fill(36)(137.toByte)
+    for (fx <- 0 to 3; fy <- 0 to 3)
+      assert(H264.interpLumaQPel(grey, 6, 6, 2, 2, fx, fy) == 137)
+  }
+
+  test("8.4.1.3 predictor: hand-derived cases") {
+    // layout 2x2 MBs; vectors set below per case
+    val mvx = new Array[Int](4)
+    val mvy = new Array[Int](4)
+    // top row, A available, B/C/D not -> mvA
+    mvx(0) = 9; mvy(0) = -4
+    assert(H264.mvPred16x16(mvx, mvy, 2, 1, 0) == ((9, -4)))
+    // 1-wide column: exactly one neighbor (B = MB 0) matches -> mvB,
+    // NOT the naive median (which would zero both components)
+    val cx = Array(8, 0); val cy = Array(20, 0)
+    assert(H264.mvPred16x16(cx, cy, 1, 0, 1) == ((8, 20)))
+    // full median with C present: med over {A=(6,-3) unavail->0s...}
+    mvx(0) = 6; mvy(0) = -3 // B for MB(0,1)
+    mvx(1) = 4; mvy(1) = -2 // C (top-right) for MB(0,1)
+    assert(H264.mvPred16x16(mvx, mvy, 2, 0, 1) == ((4, -2)))
+    // D substitution for MB(1,1): C outside -> D = MB(0,0)
+    mvx(2) = 5; mvy(2) = -1 // A
+    assert(H264.mvPred16x16(mvx, mvy, 2, 1, 1) == ((5, -2)))
+  }
+
+  test("MVD recovery through the real slice parse (hand-derived MVs)") {
+    val sps = H264.Sps(2, 2, 4)
+    val rnd = new scala.util.Random(7)
+    val ref = Array.fill(32 * 32)(rnd.nextInt(256).toByte)
+    val bw = new H264.BitWriter
+    bw.u(0x41, 8); bw.ue(0); bw.ue(5); bw.ue(0)
+    bw.u(1, 4); bw.u(0, 1); bw.u(0, 1); bw.u(0, 1); bw.se(0)
+    val mvds = Seq((6, -3), (-2, 1), (1, 1), (0, 0))
+    mvds.foreach { case (dx, dy) =>
+      bw.ue(0); bw.ue(0); bw.se(dx); bw.se(dy); bw.ue(0)
+    }
+    bw.rbspTrailing()
+    val (luma, mvx, mvy) =
+      H264.decodePLumaWithMvs(bw.result(), sps, ref): @unchecked
+    assert(luma != null)
+    // derived by hand in the spec: mb0 pred (0,0); mb1 rule-A; mb2
+    // median over (0s, B, C); mb3 median with D substitution
+    assert(mvx.toSeq == Seq(6, 4, 5, 5))
+    assert(mvy.toSeq == Seq(-3, -2, -1, -2))
+    // and the compensated plane matches the independent upsampler
+    val oracle = new Planes(ref, 32, 32)
+    for (mb <- 0 until 4) {
+      val mbX = (mb % 2) * 16; val mbY = (mb / 2) * 16
+      val dx = mvx(mb) >> 2; val fx = mvx(mb) & 3
+      val dy = mvy(mb) >> 2; val fy = mvy(mb) & 3
+      for (yy <- 0 until 16; xx <- 0 until 16)
+        assert((luma((mbY + yy) * 32 + mbX + xx) & 0xff) ==
+          oracle.at(mbX + xx + dx, mbY + yy + dy, fx, fy), s"mb=$mb ($xx,$yy)")
+    }
+  }
+
+  test("P decoder seams: coded residual and multi-ref degrade to null") {
+    val sps = H264.Sps(1, 1, 4)
+    val ref = new Array[Byte](256)
+    def slice(cbpCode: Long, overrideRefs: Boolean): Array[Byte] = {
+      val bw = new H264.BitWriter
+      bw.u(0x41, 8); bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
+      if (overrideRefs) { bw.u(1, 1); bw.ue(1) } // l0 count = 2
+      else bw.u(0, 1)
+      bw.u(0, 1); bw.u(0, 1); bw.se(0)
+      bw.ue(0); bw.ue(0); bw.se(2); bw.se(-1); bw.ue(cbpCode)
+      bw.rbspTrailing()
+      bw.result()
+    }
+    assert(H264.decodePLuma(slice(0, overrideRefs = false), sps, ref) != null)
+    assert(H264.decodePLuma(slice(3, overrideRefs = false), sps, ref) == null)
+    assert(H264.decodePLuma(slice(0, overrideRefs = true), sps, ref) == null)
+  }
+
+  // closed form from MediaSynth.mp4PMv's scaladoc
+  private def sK(w: Int, h: Int, base: Int, kk: Int): Long =
+    w.toLong * base * h + 4L * w *
+      (h.toLong * (h - 1) / 2 - kk.toLong * (kk - 1) / 2 + kk.toLong * (h - 1))
+
+  private def expectedTotal(id: Long): Long = {
+    val w = 16 * (1 + id % 2).toInt
+    val h = 16 * (1 + (id / 2) % 2).toInt
+    val nf = (3 + id % 3).toInt
+    val base = (20 + id % 50).toInt
+    val k = (1 + id % 5).toInt
+    2 * sK(w, h, base, 0) + sK(w, h, base, k) +
+      (if (nf >= 4) sK(w, h, base, k) else 0L) +
+      (if (nf == 5) sK(w, h, base, 2 * k) else 0L)
+  }
+
+  test("fixtures reconstruct the shifted ramp exactly, frame by frame") {
+    (0L to 23L).foreach { id =>
+      val Some((sps, frames)) =
+        JvmMp4Codec.decodeAllLuma(MediaSynth.mp4PMv(id)): @unchecked
+      val w = sps.widthMbs * 16
+      val h = sps.heightMbs * 16
+      val base = (20 + id % 50).toInt
+      val k = (1 + id % 5).toInt
+      assert(frames.length == (3 + id % 3).toInt, s"id=$id frame count")
+      var shift = 0
+      frames.zipWithIndex.foreach { case (f, fi) =>
+        if (fi > 0 && fi % 2 == 0) shift += k
+        val expected = Array.tabulate(w * h) { p =>
+          val y = p / w
+          (base + 4 * math.min(y + shift, h - 1)).toByte
+        }
+        assert(java.util.Arrays.equals(f, expected),
+          s"id=$id frame $fi (cumulative shift $shift)")
+      }
+      val total = frames.map(_.map(_ & 0xff).map(_.toLong).sum).sum
+      assert(total == expectedTotal(id), s"id=$id total")
+    }
+  }
+
+  test("gate op emits the closed-form totals") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 12).select(col("id").as("doc_id"))
+    val out = Multimodal.mp4PMvFrameFeatures(df, "doc_id")
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val nf = 3 + id % 3
+      val w = 16 * (1 + id % 2)
+      val h = 16 * (1 + (id / 2) % 2)
+      assert(r.getLong(1) == nf && r.getLong(2) == w && r.getLong(3) == h)
+      assert(r.getLong(4) == expectedTotal(id), s"id=$id lum_sum")
+      assert(r.getLong(5) == nf * w * h)
+    }
+  }
+}

@@ -35,27 +35,27 @@ class H264PSkipSpec extends SparkSpec {
     }
   }
 
-  test("P_Skip decoder refuses streams outside its subset") {
-    // a coded inter MB after a short skip run must degrade, not guess
+  test("P decoder refuses streams outside its subset") {
+    // a PARTITIONED inter MB (P_L0_L0_16x8) must degrade, not guess
     val bw = new H264.BitWriter
     bw.u(0x41, 8) // non-IDR
     bw.ue(0); bw.ue(5); bw.ue(0) // first_mb, slice_type P, pps
     bw.u(1, 4) // frame_num
     bw.u(0, 1); bw.u(0, 1); bw.u(0, 1) // override, modification, marking
     bw.se(0)
-    bw.ue(0) // mb_skip_run = 0: a coded MB would follow
-    bw.ue(0) // mb_type P_L0_16x16 (unsupported)
+    bw.ue(0) // mb_skip_run = 0: a coded MB follows
+    bw.ue(1) // mb_type P_L0_L0_16x8 (unsupported partition)
     bw.rbspTrailing()
     val sps = H264.Sps(1, 1, 4)
     val ref = new Array[Byte](256)
-    assert(H264.decodePSkipLuma(bw.result(), sps, ref) == null)
+    assert(H264.decodePLuma(bw.result(), sps, ref) == null)
     // and a missing reference frame degrades too
     val good = new H264.BitWriter
     good.u(0x41, 8); good.ue(0); good.ue(5); good.ue(0)
     good.u(1, 4); good.u(0, 1); good.u(0, 1); good.u(0, 1); good.se(0)
     good.ue(1); good.rbspTrailing()
-    assert(H264.decodePSkipLuma(good.result(), sps, null) == null)
-    assert(H264.decodePSkipLuma(good.result(), sps, ref) != null)
+    assert(H264.decodePLuma(good.result(), sps, null) == null)
+    assert(H264.decodePLuma(good.result(), sps, ref) != null)
   }
 
   test("gate op emits the closed-form totals") {
