@@ -1,0 +1,328 @@
+package graft.io
+
+import java.net.URI
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Data-file locality cache (reference analog: the local-disk tier of
+  * the two-tier cache — io/FileSystemCache.java:49-360 composed through
+  * io/DefaultCacheFileIO.java:39-230).
+  *
+  * The reference engine runs on one node and downloads every data file
+  * through a Caffeine-weighted local-disk cache before DuckDB reads it.
+  * On Spark the equivalent seam is the Hadoop `FileSystem` layer: the
+  * parquet reader opens files executor-side, so a caching `FileSystem`
+  * gives every executor its OWN local-disk cache with zero changes to
+  * the scan/write code — the scale-correct shape for 1000 executors,
+  * where a driver-side cache would serve nothing. Tables created at
+  * `gcache://...` locations keep that scheme in their manifests, so
+  * file-identity code (`_metadata.file_path` vs manifest paths) is
+  * untouched.
+  *
+  * Usage: set `fs.gcache.impl=graft.io.CachingFileSystem` and
+  * `graft.cache.inner.scheme=<s3a|slowfs|...>` in the Hadoop conf; a
+  * path `gcache://bucket/k` then delegates all IO to
+  * `<inner>://bucket/k`, caching whole files on first open.
+  *
+  * Behavior matched to the reference cache:
+  *  - size-bounded, byte-weighted LRU (`graft.cache.max.bytes`,
+  *    default 512 MiB like the reference's io.cache defaults);
+  *  - expire-after-access TTL (`graft.cache.expire.ms`, 0 = off);
+  *  - single-flight fetches (one download per key under concurrency);
+  *  - oversized files (`graft.cache.max.file.bytes`, default 256 MiB)
+  *    stream straight through without polluting the cache;
+  *  - hit/miss/eviction/byte counters ([[FileCacheStats]], the
+  *    FileSystemCacheMetrics analog — JVM-local because the cache runs
+  *    executor-side where driver collectors are unreachable).
+  *
+  * Correctness stance: lake data files are IMMUTABLE and uniquely
+  * named (the writer never rewrites a path in place), so a cached copy
+  * never goes stale; `graft.cache.assume.immutable=false` additionally
+  * revalidates (mtime, length) against the inner store on every hit
+  * for non-lake usage. Same-JVM mutations (create/delete/rename)
+  * always invalidate. Readers holding an open stream survive eviction:
+  * the entry file is unlinked, POSIX keeps the inode alive until the
+  * stream closes. Cache directories are per-JVM-lifetime — leftovers
+  * from a previous process are cleared on first use, mirroring the
+  * reference's UUID-named entries that are never reused across
+  * restarts.
+  */
+final class CachingFileSystem extends FileSystem {
+
+  private var myUri: URI = _
+  private var inner: FileSystem = _
+  private var innerScheme: String = _
+  private var state: FileCacheState = _
+  private var workDir: Path = _
+  private var assumeImmutable: Boolean = true
+  private var maxFileBytes: Long = _
+
+  override def getScheme: String = "gcache"
+
+  override def initialize(uri: URI, conf: Configuration): Unit = {
+    super.initialize(uri, conf)
+    setConf(conf)
+    innerScheme = conf.get("graft.cache.inner.scheme")
+    require(innerScheme != null && innerScheme.nonEmpty,
+      "graft.cache.inner.scheme must name the wrapped filesystem scheme")
+    val auth = Option(uri.getAuthority).getOrElse("")
+    myUri = URI.create(if (auth.isEmpty) "gcache:///" else s"gcache://$auth")
+    inner = FileSystem.get(URI.create(s"$innerScheme://$auth/"), conf)
+    val dir = conf.get("graft.cache.dir",
+      Paths.get(System.getProperty("java.io.tmpdir"), "graft-data-cache").toString)
+    val maxBytes = conf.getLong("graft.cache.max.bytes", 512L * 1024 * 1024)
+    val expireMs = conf.getLong("graft.cache.expire.ms", 0L)
+    maxFileBytes = conf.getLong("graft.cache.max.file.bytes", 256L * 1024 * 1024)
+    assumeImmutable = conf.getBoolean("graft.cache.assume.immutable", true)
+    state = FileCacheState.forDir(dir, maxBytes, expireMs)
+    workDir = new Path(s"gcache://$auth/")
+  }
+
+  override def getUri: URI = myUri
+
+  // ---- path translation -------------------------------------------------
+
+  private def toInner(p: Path): Path = {
+    val u = p.toUri
+    val auth = Option(u.getAuthority).getOrElse(Option(myUri.getAuthority).getOrElse(""))
+    new Path(URI.create(s"$innerScheme://$auth${u.getPath}"))
+  }
+
+  private def toOuter(p: Path): Path = {
+    val u = p.toUri
+    val auth = Option(u.getAuthority).getOrElse("")
+    new Path(URI.create(s"gcache://$auth${u.getPath}"))
+  }
+
+  private def rewrap(st: FileStatus): FileStatus = {
+    // permission/owner may be lazy on the inner status (RawLocal's
+    // deprecated status shells out on first access and rejects foreign
+    // schemes); degrade to defaults — the cache serves reads, not ACLs
+    val (perm, owner, group) =
+      try (st.getPermission, st.getOwner, st.getGroup)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          (if (st.isDirectory) FsPermission.getDirDefault
+           else FsPermission.getFileDefault, "", "")
+      }
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication, st.getBlockSize,
+      st.getModificationTime, st.getAccessTime, perm, owner, group,
+      toOuter(st.getPath))
+  }
+
+  // ---- read path ---------------------------------------------------------
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val ip = toInner(f)
+    val st = inner.getFileStatus(ip)
+    if (st.isDirectory)
+      throw new java.io.FileNotFoundException(s"$f is a directory")
+    if (st.getLen > maxFileBytes) { // stream-through: too big to pin locally
+      state.stats.bypass.incrementAndGet()
+      return inner.open(ip, bufferSize)
+    }
+    val local = state.ensureLocal(ip.toString, st.getLen, st.getModificationTime,
+      assumeImmutable, () => inner.open(ip))
+    openLocal(local)
+  }
+
+  private def openLocal(file: JPath): FSDataInputStream =
+    localFs.open(new Path(file.toUri))
+
+  private lazy val localFs: FileSystem =
+    FileSystem.getLocal(getConf).getRaw
+
+  // ---- write / mutation path (delegate + invalidate) ---------------------
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    state.invalidate(toInner(f).toString)
+    inner.create(toInner(f), permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream = {
+    state.invalidate(toInner(f).toString)
+    inner.append(toInner(f), bufferSize, progress)
+  }
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    state.invalidate(toInner(src).toString)
+    state.invalidate(toInner(dst).toString)
+    inner.rename(toInner(src), toInner(dst))
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    state.invalidate(toInner(f).toString)
+    inner.delete(toInner(f), recursive)
+  }
+
+  // ---- metadata (delegate with scheme rewrap) -----------------------------
+
+  override def listStatus(f: Path): Array[FileStatus] =
+    inner.listStatus(toInner(f)).map(rewrap)
+
+  override def getFileStatus(f: Path): FileStatus =
+    rewrap(inner.getFileStatus(toInner(f)))
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean =
+    inner.mkdirs(toInner(f), permission)
+
+  override def setWorkingDirectory(dir: Path): Unit = workDir = dir
+  override def getWorkingDirectory: Path = workDir
+}
+
+/** Counters for one cache directory (FileSystemCacheMetrics analog). */
+final class FileCacheStats {
+  val hits = new AtomicLong()
+  val misses = new AtomicLong()
+  val evictions = new AtomicLong()
+  val bytesFetched = new AtomicLong()
+  val bypass = new AtomicLong() // oversized stream-throughs
+  override def toString: String =
+    s"hits=${hits.get} misses=${misses.get} evictions=${evictions.get} " +
+      s"bytesFetched=${bytesFetched.get} bypass=${bypass.get}"
+}
+
+/** JVM-shared cache state for one directory: byte-weighted LRU with
+  * optional expire-after-access, single-flight downloads, atomic
+  * publication (fetch to a temp name, ATOMIC_MOVE into place). */
+final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) {
+
+  val stats = new FileCacheStats
+
+  private final case class Entry(file: JPath, len: Long, mtime: Long) {
+    @volatile var lastAccess: Long = System.currentTimeMillis()
+  }
+
+  // access-ordered LRU; all structural access synchronized on `lru`
+  private val lru = new java.util.LinkedHashMap[String, Entry](64, 0.75f, true)
+  private val totalBytes = new AtomicLong()
+  // single-flight: one lock object per in-progress key
+  private val fetchLocks = new ConcurrentHashMap[String, Object]()
+
+  /** Serve `key` from local disk, downloading at most once per miss
+    * even under concurrent callers. `mtime` participates in validity
+    * unless `assumeImmutable`. */
+  def ensureLocal(key: String, len: Long, mtime: Long, assumeImmutable: Boolean,
+      fetch: () => java.io.InputStream): JPath = {
+    val now = System.currentTimeMillis()
+    def lookup(): Option[JPath] = lru.synchronized {
+      Option(lru.get(key)).flatMap { e =>
+        val expired = expireMs > 0 && now - e.lastAccess > expireMs
+        val stale = e.len != len || (!assumeImmutable && e.mtime != mtime)
+        if (expired || stale || !Files.exists(e.file)) {
+          dropLocked(key, e)
+          None
+        } else {
+          e.lastAccess = now
+          Some(e.file)
+        }
+      }
+    }
+    lookup() match {
+      case Some(f) =>
+        stats.hits.incrementAndGet()
+        f
+      case None =>
+        val lock = fetchLocks.computeIfAbsent(key, _ => new Object)
+        try lock.synchronized {
+          lookup() match { // a racing fetch may have landed it
+            case Some(f) =>
+              stats.hits.incrementAndGet()
+              f
+            case None =>
+              stats.misses.incrementAndGet()
+              val target = dir.resolve(entryName(key, len, mtime))
+              val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+              val in = fetch()
+              try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+              finally in.close()
+              Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+                StandardCopyOption.REPLACE_EXISTING)
+              stats.bytesFetched.addAndGet(len)
+              lru.synchronized {
+                evictToFit(len)
+                Option(lru.put(key, Entry(target, len, mtime)))
+                  .foreach(old => totalBytes.addAndGet(-old.len))
+                totalBytes.addAndGet(len)
+              }
+              target
+          }
+        } finally fetchLocks.remove(key, lock)
+    }
+  }
+
+  def invalidate(key: String): Unit = lru.synchronized {
+    Option(lru.get(key)).foreach(e => dropLocked(key, e))
+  }
+
+  def entryCount: Int = lru.synchronized(lru.size)
+  def currentBytes: Long = totalBytes.get()
+
+  // callers hold lru's monitor
+  private def dropLocked(key: String, e: Entry): Unit = {
+    lru.remove(key)
+    totalBytes.addAndGet(-e.len)
+    try Files.deleteIfExists(e.file) catch { case _: java.io.IOException => () }
+  }
+
+  /** Evict least-recently-used entries until `incoming` fits. An open
+    * reader keeps the unlinked inode alive; new opens re-fetch. */
+  private def evictToFit(incoming: Long): Unit = {
+    val it = lru.entrySet().iterator()
+    while (totalBytes.get() + incoming > maxBytes && it.hasNext) {
+      val me = it.next()
+      it.remove()
+      totalBytes.addAndGet(-me.getValue.len)
+      stats.evictions.incrementAndGet()
+      try Files.deleteIfExists(me.getValue.file) catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private def entryName(key: String, len: Long, mtime: Long): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val h = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$h-$len-$mtime"
+  }
+}
+
+object FileCacheState {
+  private val states = new ConcurrentHashMap[String, FileCacheState]()
+
+  /** One shared state per canonical cache directory; the directory is
+    * cleared of previous-process leftovers when first claimed. */
+  def forDir(dir: String, maxBytes: Long, expireMs: Long): FileCacheState =
+    states.computeIfAbsent(Paths.get(dir).toAbsolutePath.normalize.toString, { key =>
+      val p = Paths.get(key)
+      Files.createDirectories(p)
+      val old = Files.list(p)
+      try old.forEach(f => { Files.deleteIfExists(f); () })
+      finally old.close()
+      new FileCacheState(p, maxBytes, expireMs)
+    })
+
+  /** Stats for a cache dir, if that cache has been initialized. */
+  def statsFor(dir: String): Option[FileCacheStats] =
+    Option(states.get(Paths.get(dir).toAbsolutePath.normalize.toString)).map(_.stats)
+
+  /** Test hook: drop the state (and its files) for a directory. */
+  private[graft] def reset(dir: String): Unit = {
+    val key = Paths.get(dir).toAbsolutePath.normalize.toString
+    Option(states.remove(key)).foreach { _ =>
+      val p = Paths.get(key)
+      if (Files.exists(p)) {
+        val ls = Files.list(p)
+        try ls.forEach(f => { Files.deleteIfExists(f); () })
+        finally ls.close()
+      }
+    }
+  }
+}

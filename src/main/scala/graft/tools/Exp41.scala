@@ -1,0 +1,101 @@
+package graft.tools
+
+import java.net.URI
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.{FSDataInputStream, Path, RawLocalFileSystem}
+import org.apache.spark.sql.SparkSession
+
+/** Round 16: quantify the data-file locality cache
+  * ([[graft.io.CachingFileSystem]]) on a real registered query.
+  *
+  * Model, stated plainly: no cloud store exists in this container, so
+  * remote reads are MODELED by a local filesystem that injects a fixed
+  * per-open latency (object-store GET first-byte time; default 100 ms,
+  * `GRAFT_EXP41_LATENCY_MS`). What the experiment then measures is
+  * real: how many inner opens each configuration performs, that the
+  * gcache warm path performs ZERO, and that results through the cache
+  * are bit-identical to the direct read. The wall-clock delta is
+  * (open count x modeled latency) by construction — report the open
+  * counts as the result, the walls as illustration.
+  *
+  * Three configurations over q1_pricing_summary at SPARK_GRAFT_SF_DIR:
+  *   direct    file://  baseline, no latency
+  *   slow      slowlat:// every pass pays per-open latency
+  *   gcache    gcache:// over slowlat://: cold pass fetches, warm
+  *             passes serve from executor-local disk
+  */
+object Exp41 {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val latencyMs = sys.env.getOrElse("GRAFT_EXP41_LATENCY_MS", "100").toLong
+    val cacheDir = java.nio.file.Files.createTempDirectory("exp41-cache").toString
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.slowlat.impl", classOf[SlowLatFileSystem].getName)
+    hc.set("fs.gcache.impl", classOf[graft.io.CachingFileSystem].getName)
+    hc.set("graft.cache.inner.scheme", "slowlat")
+    hc.set("graft.cache.dir", cacheDir)
+    hc.setLong("graft.cache.max.bytes", 8L * 1024 * 1024 * 1024)
+    hc.setLong("exp41.latency.ms", latencyMs)
+
+    def q1(dir: String): Array[org.apache.spark.sql.Row] =
+      graft.Registry.all.find(_.name == "q1_pricing_summary").get
+        .run(spark, dir).collect()
+
+    def timed(tag: String, dir: String): Array[org.apache.spark.sql.Row] = {
+      val o0 = SlowLatFileSystem.opens.get()
+      val t0 = System.nanoTime()
+      val r = q1(dir)
+      val ms = (System.nanoTime() - t0) / 1e6
+      val opens = SlowLatFileSystem.opens.get() - o0
+      println(f"[exp41] $tag%-14s wall=${ms}%8.1f ms  innerOpens=$opens")
+      r
+    }
+
+    val load0 = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    println(s"[exp41] latencyMs=$latencyMs sf=$d loadavg=$load0")
+
+    val direct = timed("direct-1", d)
+    timed("direct-2", d)
+    timed("slow-1", s"slowlat://$d")
+    timed("slow-2", s"slowlat://$d")
+    val cold = timed("gcache-cold", s"gcache://$d")
+    val warm1 = timed("gcache-warm-1", s"gcache://$d")
+    timed("gcache-warm-2", s"gcache://$d")
+    timed("gcache-warm-3", s"gcache://$d")
+
+    val same = direct.map(_.toString).sameElements(cold.map(_.toString)) &&
+      direct.map(_.toString).sameElements(warm1.map(_.toString))
+    println(s"[exp41] results identical across direct/cold/warm: $same")
+    graft.io.FileCacheState.statsFor(cacheDir)
+      .foreach(s => println(s"[exp41] cache stats: $s"))
+    val load1 = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    println(s"[exp41] loadavg end=$load1")
+    spark.stop()
+  }
+}
+
+/** Local filesystem under its own scheme that injects a fixed sleep
+  * per data open — the remote-GET latency model for Exp41. */
+class SlowLatFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "slowlat"
+  override def getUri: URI = URI.create("slowlat:///")
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    SlowLatFileSystem.opens.incrementAndGet()
+    val ms = getConf.getLong("exp41.latency.ms", 100L)
+    if (ms > 0) Thread.sleep(ms)
+    super.open(f, bufferSize)
+  }
+}
+
+object SlowLatFileSystem {
+  val opens = new AtomicLong()
+}

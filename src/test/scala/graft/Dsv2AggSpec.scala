@@ -132,21 +132,36 @@ class Dsv2AggSpec extends SparkSpec {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
           b.inputRDD.getNumPartitions
       }.getOrElse(fail("no BatchScanExec in plan"))
-    val full = scanParts(read)
-    val limited = scanParts(read.limit(5))
-    assert(limited < full, s"limited=$limited full=$full")
-    assert(read.limit(5).collect().length === 5)
-    // limit + filter compose: pruned first, then file-capped
-    assert(read.filter(col("o_orderkey") % 6 === 2).limit(3).collect().length === 3)
-    // and the invariant the file cap's soundness rests on: when a
-    // filter sits above the scan, the scan must NOT be file-capped
-    // (raw manifest counts can't bound post-filter rows) — the
-    // filtered+limited scan plans the same partitions as the filtered
-    // scan alone
-    val filteredOnly = scanParts(read.filter(col("o_orderkey") % 6 === 2))
-    val filteredLimited = scanParts(read.filter(col("o_orderkey") % 6 === 2).limit(3))
-    assert(filteredLimited === filteredOnly,
-      s"filtered scan was file-capped: $filteredLimited vs $filteredOnly")
+    // the file cap shrinks the planned FILE LIST; to observe it through
+    // partition counts, stop Spark's bin-packer from folding the six
+    // tiny files into one split (maxPartitionBytes/openCost are session
+    // state other suites legitimately tune — pin them here)
+    val prevMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+    try {
+      val full = scanParts(read)
+      val limited = scanParts(read.limit(5))
+      assert(limited < full, s"limited=$limited full=$full")
+      assert(read.limit(5).collect().length === 5)
+      // limit + filter compose: pruned first, then file-capped
+      assert(read.filter(col("o_orderkey") % 6 === 2).limit(3).collect().length === 3)
+      // and the invariant the file cap's soundness rests on: when a
+      // filter sits above the scan, the scan must NOT be file-capped
+      // (raw manifest counts can't bound post-filter rows) — the
+      // filtered+limited scan plans the same partitions as the filtered
+      // scan alone
+      val filteredOnly = scanParts(read.filter(col("o_orderkey") % 6 === 2))
+      val filteredLimited = scanParts(read.filter(col("o_orderkey") % 6 === 2).limit(3))
+      assert(filteredLimited === filteredOnly,
+        s"filtered scan was file-capped: $filteredLimited vs $filteredOnly")
+    } finally {
+      prevMax.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
+        spark.conf.set("spark.sql.files.maxPartitionBytes", _))
+      prevOpen.fold(spark.conf.unset("spark.sql.files.openCostInBytes"))(
+        spark.conf.set("spark.sql.files.openCostInBytes", _))
+    }
   }
 
   test("all-null column aggregates to NULL from metadata; empty table counts zero") {

@@ -1,0 +1,219 @@
+package graft.io
+
+import java.net.URI
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.SparkSpec
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path, RawLocalFileSystem}
+
+/** Instrumented inner store: a local filesystem under its own scheme
+  * that counts data opens, standing in for a slow object store. */
+object CountingFs {
+  val opens = new AtomicLong()
+}
+
+class CountingFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "slowfs"
+  override def getUri: URI = URI.create("slowfs:///")
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    CountingFs.opens.incrementAndGet()
+    super.open(f, bufferSize)
+  }
+}
+
+/** Pins for the data-file locality cache: single-flight fetch,
+  * byte-weighted LRU eviction, staleness/invalidations, oversize
+  * stream-through, and a Spark parquet round trip through the
+  * `gcache://` scheme where the SECOND read performs zero inner data
+  * opens. */
+class CachingFileSystemSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"gcache-$tag").toString
+    d
+  }
+
+  private def bytesOf(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  private def fetcher(data: Array[Byte], counter: AtomicLong): () => java.io.InputStream =
+    () => { counter.incrementAndGet(); new java.io.ByteArrayInputStream(data) }
+
+  test("cache state: fetch once, hit after, invalidate refetches") {
+    val dir = tmpDir("unit")
+    try {
+      val st = FileCacheState.forDir(dir, maxBytes = 1024 * 1024, expireMs = 0)
+      val n = new AtomicLong()
+      val data = bytesOf("hello parquet")
+      val f1 = st.ensureLocal("k1", data.length, 7L, assumeImmutable = true, fetcher(data, n))
+      assert(Files.readAllBytes(f1).sameElements(data))
+      assert(n.get() == 1 && st.stats.misses.get() == 1)
+      val f2 = st.ensureLocal("k1", data.length, 7L, assumeImmutable = true, fetcher(data, n))
+      assert(f2 == f1 && n.get() == 1 && st.stats.hits.get() == 1)
+      // changed length is staleness even under assume-immutable
+      st.ensureLocal("k1", data.length + 1, 7L, assumeImmutable = true,
+        fetcher(data :+ '!'.toByte, n))
+      assert(n.get() == 2)
+      // explicit invalidation drops the entry
+      st.invalidate("k1")
+      st.ensureLocal("k1", data.length + 1, 7L, assumeImmutable = true,
+        fetcher(data :+ '!'.toByte, n))
+      assert(n.get() == 3)
+      // mtime change only matters when immutability is NOT assumed
+      st.ensureLocal("k1", data.length + 1, 99L, assumeImmutable = true,
+        fetcher(data :+ '!'.toByte, n))
+      assert(n.get() == 3)
+      st.ensureLocal("k1", data.length + 1, 99L, assumeImmutable = false,
+        fetcher(data :+ '!'.toByte, n))
+      assert(n.get() == 4)
+    } finally FileCacheState.reset(dir)
+  }
+
+  test("cache state: byte-weighted LRU eviction keeps recent entries") {
+    val dir = tmpDir("lru")
+    try {
+      val st = FileCacheState.forDir(dir, maxBytes = 250, expireMs = 0)
+      val n = new AtomicLong()
+      val blob = bytesOf("x" * 100)
+      st.ensureLocal("a", 100, 0L, assumeImmutable = true, fetcher(blob, n))
+      st.ensureLocal("b", 100, 0L, assumeImmutable = true, fetcher(blob, n))
+      // touch a so b becomes the LRU victim
+      st.ensureLocal("a", 100, 0L, assumeImmutable = true, fetcher(blob, n))
+      st.ensureLocal("c", 100, 0L, assumeImmutable = true, fetcher(blob, n))
+      assert(st.currentBytes <= 250 && st.stats.evictions.get() == 1)
+      assert(n.get() == 3)
+      // a survived (hit), b was evicted (refetch)
+      st.ensureLocal("a", 100, 0L, assumeImmutable = true, fetcher(blob, n))
+      assert(n.get() == 3)
+      st.ensureLocal("b", 100, 0L, assumeImmutable = true, fetcher(blob, n))
+      assert(n.get() == 4)
+    } finally FileCacheState.reset(dir)
+  }
+
+  test("cache state: expire-after-access") {
+    val dir = tmpDir("ttl")
+    try {
+      val st = FileCacheState.forDir(dir, maxBytes = 1024, expireMs = 50)
+      val n = new AtomicLong()
+      val blob = bytesOf("ttl")
+      st.ensureLocal("k", 3, 0L, assumeImmutable = true, fetcher(blob, n))
+      st.ensureLocal("k", 3, 0L, assumeImmutable = true, fetcher(blob, n))
+      assert(n.get() == 1)
+      Thread.sleep(120)
+      st.ensureLocal("k", 3, 0L, assumeImmutable = true, fetcher(blob, n))
+      assert(n.get() == 2, "expired entry must refetch")
+    } finally FileCacheState.reset(dir)
+  }
+
+  test("cache state: single-flight under concurrent misses") {
+    val dir = tmpDir("flight")
+    try {
+      val st = FileCacheState.forDir(dir, maxBytes = 1024 * 1024, expireMs = 0)
+      val n = new AtomicLong()
+      val blob = bytesOf("y" * 1000)
+      val slowFetch: () => java.io.InputStream = () => {
+        n.incrementAndGet()
+        Thread.sleep(50)
+        new java.io.ByteArrayInputStream(blob)
+      }
+      val threads = (1 to 8).map { _ =>
+        new Thread(() => {
+          st.ensureLocal("hot", 1000, 0L, assumeImmutable = true, slowFetch)
+          ()
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(n.get() == 1, s"expected one fetch, saw ${n.get()}")
+      assert(st.stats.hits.get() == 7)
+    } finally FileCacheState.reset(dir)
+  }
+
+  private def gcacheConf(cacheDir: String): Configuration = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.gcache.impl", classOf[CachingFileSystem].getName)
+    conf.set("fs.slowfs.impl", classOf[CountingFileSystem].getName)
+    conf.set("graft.cache.inner.scheme", "slowfs")
+    conf.set("graft.cache.dir", cacheDir)
+    conf
+  }
+
+  test("filesystem: open caches, metadata delegates, oversize streams through") {
+    val cacheDir = tmpDir("fs")
+    val dataDir = Files.createTempDirectory("gcache-data")
+    try {
+      val conf = gcacheConf(cacheDir)
+      conf.setLong("graft.cache.max.file.bytes", 64)
+      val fs = FileSystem.newInstance(URI.create("gcache:///"), conf)
+      val small = dataDir.resolve("small.bin")
+      Files.write(small, bytesOf("s" * 32))
+      val big = dataDir.resolve("big.bin")
+      Files.write(big, bytesOf("B" * 1000))
+      val before = CountingFs.opens.get()
+      // small file: first open fetches, second is served locally
+      val p = new Path(s"gcache://$small")
+      def readAll(path: Path): Array[Byte] = {
+        val in = fs.open(path)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          out.toByteArray
+        } finally in.close()
+      }
+      assert(readAll(p).sameElements(Files.readAllBytes(small)))
+      assert(CountingFs.opens.get() == before + 1)
+      assert(readAll(p).sameElements(Files.readAllBytes(small)))
+      assert(CountingFs.opens.get() == before + 1, "second open must hit the cache")
+      // status / list delegate and keep the gcache scheme
+      val st = fs.getFileStatus(p)
+      assert(st.getLen == 32 && st.getPath.toUri.getScheme == "gcache")
+      val listed = fs.listStatus(new Path(s"gcache://$dataDir"))
+      assert(listed.length == 2 && listed.forall(_.getPath.toUri.getScheme == "gcache"))
+      // oversize: every open goes straight through, nothing cached
+      val pb = new Path(s"gcache://$big")
+      assert(readAll(pb).length == 1000)
+      assert(readAll(pb).length == 1000)
+      assert(CountingFs.opens.get() == before + 3)
+      val stats = FileCacheState.statsFor(cacheDir).get
+      assert(stats.bypass.get() == 2)
+      // same-JVM delete invalidates: recreate with new content, reread
+      fs.delete(p, false)
+      Files.write(small, bytesOf("t" * 32))
+      assert(readAll(p).head == 't'.toByte)
+      fs.close()
+    } finally {
+      FileCacheState.reset(cacheDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(dataDir.toFile)
+    }
+  }
+
+  test("spark parquet round trip through gcache: second read does zero inner opens") {
+    val cacheDir = tmpDir("spark")
+    val dataDir = Files.createTempDirectory("gcache-spark").toString
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.gcache.impl", classOf[CachingFileSystem].getName)
+      hc.set("fs.slowfs.impl", classOf[CountingFileSystem].getName)
+      hc.set("graft.cache.inner.scheme", "slowfs")
+      hc.set("graft.cache.dir", cacheDir)
+      import spark.implicits._
+      val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      // the WRITE goes through gcache too: create + committer rename delegate
+      val out = s"gcache://$dataDir/t"
+      df.write.mode("overwrite").parquet(out)
+      val firstOpens = CountingFs.opens.get()
+      val r1 = spark.read.parquet(out).count()
+      assert(r1 == 1000)
+      val afterFirst = CountingFs.opens.get()
+      assert(afterFirst > firstOpens, "first read must fetch through the inner store")
+      val r2 = spark.read.parquet(out).where($"id" > 500).count()
+      assert(r2 == 500)
+      assert(CountingFs.opens.get() == afterFirst,
+        "second read must be served entirely from the local cache")
+    } finally {
+      FileCacheState.reset(cacheDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dataDir))
+    }
+  }
+}
