@@ -239,6 +239,14 @@ object Multimodal {
   def mp4PMvFrameFeatures(df: DataFrame, idCol: String): DataFrame =
     mp4TotalFeatures(df, idCol, MediaSynth.mp4PMv)
 
+  /** Intra-refresh variant (round 16): [[MediaSynth.mp4PIntra]]
+    * fixtures whose P frames mix an INTRA I_16x16/DC refresh MB (CAVLC
+    * DC level, Hadamard, dequant, DC prediction) with P_Skip runs —
+    * `lum_sum` is the closed form in the synthesizer's scaladoc.
+    * Map-only. */
+  def mp4PIntraFrameFeatures(df: DataFrame, idCol: String): DataFrame =
+    mp4TotalFeatures(df, idCol, MediaSynth.mp4PIntra)
+
   /** Shared all-frame decode mapper for the inter-prediction gates:
     * synthesize the per-id MP4, decode EVERY sample with reference
     * propagation, and emit whole-stream totals. */
@@ -1188,6 +1196,100 @@ object MediaSynth {
       maxRefFrames = 1)
   }
 
+  /** Intra-refresh sibling of [[mp4PMv]] (round 16): frame 0 is a
+    * CONSTANT I_PCM IDR (luma v = 30 + id%180), and every later frame
+    * is a P slice whose macroblock 0 is an INTRA I_16x16/DC/cbp-0
+    * refresh MB carrying one CAVLC-coded DC level L_f (the shape every
+    * real encoder emits to stop error propagation) while the remaining
+    * macroblocks ride one P_Skip run. Under 8.4.1.1 every skipped MB
+    * derives mv (0,0): the first skipped MB after the intra MB has no
+    * top neighbor on the top row (or a zero-vector ref-0 neighbor
+    * below), and an INTRA left neighbor is neither "unavailable" nor
+    * "ref-0 with zero mv" — the closed form only needs the vector to
+    * be zero, which the derivation gives on every path here.
+    *
+    * MB 0 has no left/top neighbors, so its DC prediction is the
+    * constant 128 regardless of the reference, and at QP 51 (slice_qp
+    * delta 25, same as [[mp4Cavlc]]) its reconstruction is flat
+    *   m_f = 128 + floor((56*L_f + 32)/64),
+    * L_f = (1 + (id + f) % 8) * (id%3==0 ? -1 : 1). Skipped MBs copy
+    * the previous frame in place, so positions outside MB 0 stay v in
+    * every frame and the total decoded luma sum is the closed form
+    *   w*h*v + sum_f [256*m_f + (w*h - 256)*v]
+    * — the multimodal_h264_pintra gate's oracle. The DC bit payload is
+    * written with the same independent encoder patterns as
+    * [[mp4Cavlc]] (no shared tables with the decoder). */
+  def mp4PIntra(id: Long): Array[Byte] = {
+    val wMb = (1 + id % 2).toInt
+    val hMb = (1 + (id / 2) % 2).toInt
+    val nFrames = (2 + id % 3).toInt
+    val v = (30 + id % 180).toInt
+    val nMbs = wMb * hMb
+
+    def nalIdr: Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x65, 8) // nal: ref_idc=3, type=5 (IDR slice)
+      bw.ue(0) // first_mb_in_slice
+      bw.ue(7) // slice_type: I (all slices in pic)
+      bw.ue(0) // pps id
+      bw.u(0, 4) // frame_num
+      bw.ue(0) // idr_pic_id
+      bw.u(0, 1); bw.u(0, 1) // no_output_of_prior_pics, long_term_reference
+      bw.se(0) // slice_qp_delta
+      var mb = 0
+      while (mb < nMbs) {
+        bw.ue(25) // mb_type I_PCM
+        bw.byteAlignZero() // pcm_alignment_zero_bit
+        val luma = new Array[Byte](256)
+        java.util.Arrays.fill(luma, v.toByte)
+        bw.bytes(luma)
+        val chroma = new Array[Byte](128)
+        java.util.Arrays.fill(chroma, 128.toByte)
+        bw.bytes(chroma)
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+
+    def nalP(f: Int): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x41, 8) // nal: ref_idc=2, type=1 (non-IDR slice)
+      bw.ue(0) // first_mb_in_slice
+      bw.ue(5) // slice_type: P (all slices in pic)
+      bw.ue(0) // pps id
+      bw.u(f % 16, 4) // frame_num
+      bw.u(0, 1) // num_ref_idx_active_override_flag
+      bw.u(0, 1) // ref_pic_list_modification_flag_l0
+      bw.u(0, 1) // adaptive_ref_pic_marking_mode_flag
+      bw.se(25) // slice_qp_delta: QP = 26 + 25 = 51 (the 56L form)
+      // slice_data iteration 1: mb_skip_run 0, then the intra MB 0
+      bw.ue(0)
+      bw.ue(8) // mb_type: 5 + 3 = I_16x16, DC pred, cbp luma 0 chroma 0
+      bw.ue(0) // intra_chroma_pred_mode: DC
+      bw.se(0) // mb_qp_delta
+      val lvl = (1 + (id + f) % 8).toInt * (if (id % 3 == 0) -1 else 1)
+      // Intra16x16DCLevel (CAVLC, nC = 0) — same encoder-side bit
+      // patterns as mp4Cavlc, shared with the decoder only through
+      // the bit primitives
+      if (math.abs(lvl) == 1) {
+        bw.u(1, 2) // coeff_token "01": TotalCoeff=1, TrailingOnes=1
+        bw.u(if (lvl < 0) 1 else 0, 1) // trailing-one sign
+      } else {
+        bw.u(0x5, 6) // coeff_token "000101": TotalCoeff=1, T1=0
+        val lc = (if (lvl > 0) 2 * lvl - 2 else -2 * lvl - 1) - 2
+        bw.u(0, lc); bw.u(1, 1) // level_prefix = lc, no suffix
+      }
+      bw.u(1, 1) // total_zeros = 0 ("1" in the TotalCoeff=1 column)
+      // slice_data iteration 2: one skip run covers the rest
+      if (nMbs > 1) bw.ue(nMbs - 1L)
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+    mp4Container(wMb, hMb, nalIdr +: (1 until nFrames).map(nalP),
+      maxRefFrames = 1)
+  }
+
   private def mp4SpsNal(wMb: Int, hMb: Int, maxRefFrames: Int = 0): Array[Byte] = {
     val bw = new graft.extras.H264.BitWriter
     bw.u(0x67, 8) // nal: ref_idc=3, type=7 (SPS)
@@ -1567,13 +1669,15 @@ private[extras] object H264 {
   }
 
   /** Spec 8.4.1.3 luma MV prediction for a whole-MB 16x16 P_L0
-    * partition over a raster-decoded all-inter slice: every decoded MB
-    * in this profile references picture 0 of list 0, so a neighbor's
-    * refIdx is 0 exactly when it exists (unavailable -> -1, mv (0,0)).
-    * C is the top-right macroblock, substituted by D (top-left) when
-    * outside the picture. */
+    * partition over a raster-decoded slice. Every decoded INTER MB in
+    * this profile references picture 0 of list 0, so a neighbor's
+    * refIdx is 0 exactly when it exists AND is inter; an INTRA
+    * neighbor (round 16: intra-refresh MBs in P slices) is positionally
+    * available but carries refIdx -1 and mv (0,0), exactly as the spec
+    * assigns. C is the top-right macroblock, substituted by D
+    * (top-left) when outside the picture. */
   private[extras] def mvPred16x16(mvx: Array[Int], mvy: Array[Int],
-      wMbs: Int, mbX: Int, mbY: Int): (Int, Int) = {
+      inter: Array[Boolean], wMbs: Int, mbX: Int, mbY: Int): (Int, Int) = {
     val mb = mbY * wMbs + mbX
     val aAvail = mbX > 0
     val bAvail = mbY > 0
@@ -1582,21 +1686,25 @@ private[extras] object H264 {
       else if (mbY > 0 && mbX > 0) mb - wMbs - 1 // D substitution
       else -1
     val cAvail = cIdx >= 0
+    // an intra neighbor contributes mv (0,0); its refIdx is -1
+    @inline def mvOf(i: Int): (Int, Int) =
+      if (inter(i)) (mvx(i), mvy(i)) else (0, 0)
     // 8.4.1.3.1 rule: B, C and D unavailable, A available -> mvA
-    if (!bAvail && !cAvail && aAvail) return (mvx(mb - 1), mvy(mb - 1))
-    val nAvail = (if (aAvail) 1 else 0) + (if (bAvail) 1 else 0) +
-      (if (cAvail) 1 else 0)
-    if (nAvail == 1) { // exactly one neighbor has refIdxN == refIdx
-      if (aAvail) (mvx(mb - 1), mvy(mb - 1))
-      else if (bAvail) (mvx(mb - wMbs), mvy(mb - wMbs))
-      else (mvx(cIdx), mvy(cIdx))
+    // (positional availability — an intra A yields (0,0) via mvOf)
+    if (!bAvail && !cAvail && aAvail) return mvOf(mb - 1)
+    val aRef0 = aAvail && inter(mb - 1)
+    val bRef0 = bAvail && inter(mb - wMbs)
+    val cRef0 = cAvail && inter(cIdx)
+    val nRef0 = (if (aRef0) 1 else 0) + (if (bRef0) 1 else 0) +
+      (if (cRef0) 1 else 0)
+    if (nRef0 == 1) { // exactly one neighbor has refIdxN == refIdx
+      if (aRef0) mvOf(mb - 1)
+      else if (bRef0) mvOf(mb - wMbs)
+      else mvOf(cIdx)
     } else {
-      val ax = if (aAvail) mvx(mb - 1) else 0
-      val ay = if (aAvail) mvy(mb - 1) else 0
-      val bx = if (bAvail) mvx(mb - wMbs) else 0
-      val by = if (bAvail) mvy(mb - wMbs) else 0
-      val cx = if (cAvail) mvx(cIdx) else 0
-      val cy = if (cAvail) mvy(cIdx) else 0
+      val (ax, ay) = if (aAvail) mvOf(mb - 1) else (0, 0)
+      val (bx, by) = if (bAvail) mvOf(mb - wMbs) else (0, 0)
+      val (cx, cy) = if (cAvail) mvOf(cIdx) else (0, 0)
       @inline def med(p: Int, q: Int, r: Int): Int =
         math.max(math.min(p, q), math.min(math.max(p, q), r))
       (med(ax, bx, cx), med(ay, by, cy))
@@ -1605,23 +1713,26 @@ private[extras] object H264 {
 
   /** 8.4.1.1 P_Skip motion vector: (0,0) when the left or top neighbor
     * is unavailable or is ref-0 with a zero vector, else the 8.4.1.3
-    * predictor. */
+    * predictor. An intra neighbor is neither unavailable nor ref-0. */
   private def pSkipMv(mvx: Array[Int], mvy: Array[Int],
-      wMbs: Int, mbX: Int, mbY: Int): (Int, Int) = {
+      inter: Array[Boolean], wMbs: Int, mbX: Int, mbY: Int): (Int, Int) = {
     val mb = mbY * wMbs + mbX
     val aAvail = mbX > 0
     val bAvail = mbY > 0
-    val aZero = aAvail && mvx(mb - 1) == 0 && mvy(mb - 1) == 0
-    val bZero = bAvail && mvx(mb - wMbs) == 0 && mvy(mb - wMbs) == 0
+    val aZero = aAvail && inter(mb - 1) && mvx(mb - 1) == 0 && mvy(mb - 1) == 0
+    val bZero = bAvail && inter(mb - wMbs) &&
+      mvx(mb - wMbs) == 0 && mvy(mb - wMbs) == 0
     if (!aAvail || !bAvail || aZero || bZero) (0, 0)
-    else mvPred16x16(mvx, mvy, wMbs, mbX, mbY)
+    else mvPred16x16(mvx, mvy, inter, wMbs, mbX, mbY)
   }
 
-  /** Decode the luma plane of a non-IDR P slice NAL (P_Skip runs +
-    * coded P_L0_16x16 macroblocks, zero residual) against `ref` (the
+  /** Decode the luma plane of a non-IDR P slice NAL (P_Skip runs,
+    * coded P_L0_16x16 macroblocks with zero residual, and — round 16 —
+    * intra-refresh I_16x16/DC/cbp-0 macroblocks) against `ref` (the
     * previously decoded frame). Null outside the subset. */
-  def decodePLuma(rbsp: Array[Byte], sps: Sps, ref: Array[Byte]): Array[Byte] =
-    decodePLumaWithMvs(rbsp, sps, ref) match {
+  def decodePLuma(rbsp: Array[Byte], sps: Sps, ref: Array[Byte],
+      picInitQp: Int = 26): Array[Byte] =
+    decodePLumaWithMvs(rbsp, sps, ref, picInitQp) match {
       case null => null
       case (luma, _, _) => luma
     }
@@ -1629,7 +1740,7 @@ private[extras] object H264 {
   /** [[decodePLuma]] plus the derived per-MB quarter-pel motion
     * vectors (exposed for the spec's independent-median cross-check). */
   private[extras] def decodePLumaWithMvs(rbsp: Array[Byte], sps: Sps,
-      ref: Array[Byte]): (Array[Byte], Array[Int], Array[Int]) = {
+      ref: Array[Byte], picInitQp: Int = 26): (Array[Byte], Array[Int], Array[Int]) = {
     try {
       if (ref == null) return null
       val r = new BitReader(rbsp)
@@ -1646,7 +1757,8 @@ private[extras] object H264 {
       if (r.u(1) == 1) return null // ref_pic_list_modification_flag_l0
       // weighted_pred_flag is 0 in this profile's PPS: no pred_weight_table
       if (nalRefIdc != 0 && r.u(1) == 1) return null // adaptive marking
-      r.se() // slice_qp_delta
+      var qp = picInitQp + r.se().toInt // slice_qp_delta
+      if (qp < 0 || qp > 51) return null
       val wMbs = sps.widthMbs
       val w = wMbs * 16
       val h = sps.heightMbs * 16
@@ -1654,8 +1766,10 @@ private[extras] object H264 {
       val nMbs = wMbs * sps.heightMbs
       val luma = new Array[Byte](w * h)
       // per-MB motion vectors in quarter-pel units (skip + pred inputs)
+      // and the inter/intra flag feeding the refIdx semantics
       val mvx = new Array[Int](nMbs)
       val mvy = new Array[Int](nMbs)
+      val inter = new Array[Boolean](nMbs)
       def compensate(mb: Int): Unit = {
         val mbX = (mb % wMbs) * 16
         val mbY = (mb / wMbs) * 16
@@ -1678,30 +1792,122 @@ private[extras] object H264 {
         if (run < 0 || mb + run > nMbs) return null
         var k = 0
         while (k < run) { // P_Skip macroblocks
-          val (sx, sy) = pSkipMv(mvx, mvy, wMbs, mb % wMbs, mb / wMbs)
+          val (sx, sy) = pSkipMv(mvx, mvy, inter, wMbs, mb % wMbs, mb / wMbs)
           mvx(mb) = sx; mvy(mb) = sy
+          inter(mb) = true
           compensate(mb)
           mb += 1
           k += 1
         }
-        if (mb < nMbs) { // macroblock_layer: one coded inter MB
-          if (r.ue() != 0) return null // mb_type P_L0_16x16 only
-          if (numRefL0 != 1) return null // ref_idx_l0 te(v): seam
-          val mvdX = r.se().toInt
-          val mvdY = r.se().toInt
-          val (px, py) = mvPred16x16(mvx, mvy, wMbs, mb % wMbs, mb / wMbs)
-          mvx(mb) = px + mvdX
-          mvy(mb) = py + mvdY
-          // coded_block_pattern me(v): inter mapping sends codeNum 0 to
-          // cbp 0 (no residual, no mb_qp_delta); any coded residual is
-          // the documented seam
-          if (r.ue() != 0) return null
-          compensate(mb)
+        if (mb < nMbs) { // macroblock_layer: one coded MB
+          val mbType = r.ue().toInt
+          if (mbType == 0) { // P_L0_16x16
+            if (numRefL0 != 1) return null // ref_idx_l0 te(v): seam
+            val mvdX = r.se().toInt
+            val mvdY = r.se().toInt
+            val (px, py) = mvPred16x16(mvx, mvy, inter, wMbs, mb % wMbs, mb / wMbs)
+            mvx(mb) = px + mvdX
+            mvy(mb) = py + mvdY
+            inter(mb) = true
+            // coded_block_pattern me(v): inter mapping sends codeNum 0
+            // to cbp 0 (no residual, no mb_qp_delta); any coded inter
+            // residual is the documented seam
+            if (r.ue() != 0) return null
+            compensate(mb)
+          } else if (mbType == 8) {
+            // intra refresh: mb_type 5+3 = I_16x16, DC prediction,
+            // CodedBlockPattern 0 — the DC-only CAVLC profile the
+            // I-slice decoder ships, decoded against RECONSTRUCTED
+            // neighbor pixels (which here may be inter MBs). Other
+            // intra types in P slices stay behind the seam.
+            if (r.ue() > 3) return null // intra_chroma_pred_mode
+            qp += r.se().toInt // mb_qp_delta
+            if (qp < 0 || qp > 51) return null
+            // nC = 0: no macroblock in this profile codes AC residuals
+            val dcZig = readResidualDcCavlc(r, 16, 0)
+            val dcY = i16DcDequant(dcZig, qp)
+            val mbX = (mb % wMbs) * 16
+            val mbY = (mb / wMbs) * 16
+            val pred = i16DcPred(luma, w, mbX, mbY)
+            var yy = 0
+            while (yy < 16) {
+              var xx = 0
+              while (xx < 16) {
+                val res = (dcY(yy / 4)(xx / 4) + 32) >> 6
+                val px = math.max(0, math.min(255, pred + res))
+                luma((mbY + yy) * w + mbX + xx) = px.toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            inter(mb) = false // refIdx -1, mv (0,0) for neighbors
+          } else return null // partitioned inter / other intra: seam
           mb += 1
         }
       }
       (luma, mvx, mvy)
     } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Inverse 4x4 Hadamard + 8.5.10 DC dequantization of an I_16x16
+    * luma DC block (zigzag input) — shared by the I-slice decoder and
+    * the P-slice intra-refresh path. */
+  private def i16DcDequant(dcZig: Array[Int], qp: Int): Array[Array[Int]] = {
+    val c = Array.ofDim[Int](4, 4)
+    var k = 0
+    while (k < 16) { val (zi, zj) = ZigZag4x4(k); c(zi)(zj) = dcZig(k); k += 1 }
+    val hM = Array(
+      Array(1, 1, 1, 1), Array(1, 1, -1, -1), Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+    val f = Array.ofDim[Int](4, 4)
+    var bi = 0
+    while (bi < 4) {
+      var bj = 0
+      while (bj < 4) {
+        var s = 0
+        var p = 0
+        while (p < 4) {
+          var q = 0
+          while (q < 4) { s += hM(p)(bi) * c(p)(q) * hM(q)(bj); q += 1 }
+          p += 1
+        }
+        f(bi)(bj) = s
+        bj += 1
+      }
+      bi += 1
+    }
+    val v = DcLevelScale(qp % 6)
+    val dcY = Array.ofDim[Int](4, 4)
+    bi = 0
+    while (bi < 4) {
+      var bj = 0
+      while (bj < 4) {
+        dcY(bi)(bj) =
+          if (qp >= 36) (f(bi)(bj) * v) << (qp / 6 - 6)
+          else (f(bi)(bj) * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+        bj += 1
+      }
+      bi += 1
+    }
+    dcY
+  }
+
+  /** Intra_16x16 DC prediction (8.3.3.3) from reconstructed neighbor
+    * edges in `luma`. */
+  private def i16DcPred(luma: Array[Byte], w: Int, mbX: Int, mbY: Int): Int = {
+    val hasTop = mbY > 0
+    val hasLeft = mbX > 0
+    var sumT = 0
+    var sumL = 0
+    var t = 0
+    while (t < 16) {
+      if (hasTop) sumT += luma((mbY - 1) * w + mbX + t) & 0xff
+      if (hasLeft) sumL += luma((mbY + t) * w + mbX - 1) & 0xff
+      t += 1
+    }
+    if (hasTop && hasLeft) (sumT + sumL + 16) >> 5
+    else if (hasTop) (sumT + 8) >> 4
+    else if (hasLeft) (sumL + 8) >> 4
+    else 128
   }
 
   // ------------------------------------------------------------------
@@ -2057,63 +2263,16 @@ private[extras] object H264 {
             }
             out
           }
-        // zigzag -> 4x4, inverse Hadamard f = H c H
-        val c = Array.ofDim[Int](4, 4)
-        var k = 0
-        while (k < 16) { val (zi, zj) = ZigZag4x4(k); c(zi)(zj) = dcZig(k); k += 1 }
-        val hM = Array(
-          Array(1, 1, 1, 1), Array(1, 1, -1, -1), Array(1, -1, -1, 1), Array(1, -1, 1, -1))
-        val f = Array.ofDim[Int](4, 4)
-        var bi = 0
-        while (bi < 4) {
-          var bj = 0
-          while (bj < 4) {
-            var s = 0
-            var p = 0
-            while (p < 4) {
-              var q = 0
-              while (q < 4) { s += hM(p)(bi) * c(p)(q) * hM(q)(bj); q += 1 }
-              p += 1
-            }
-            f(bi)(bj) = s
-            bj += 1
-          }
-          bi += 1
-        }
-        // DC dequantization (spec 8.5.10)
-        val v = DcLevelScale(qp % 6)
-        val dcY = Array.ofDim[Int](4, 4)
-        bi = 0
-        while (bi < 4) {
-          var bj = 0
-          while (bj < 4) {
-            dcY(bi)(bj) =
-              if (qp >= 36) (f(bi)(bj) * v) << (qp / 6 - 6)
-              else (f(bi)(bj) * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
-            bj += 1
-          }
-          bi += 1
-        }
+        // zigzag -> 4x4, inverse Hadamard, 8.5.10 DC dequantization
+        // (shared with the P-slice intra-refresh path)
+        val dcY = i16DcDequant(dcZig, qp)
         // Intra_16x16 DC prediction (8.3.3.3) from reconstructed
         // neighbor edges, then residual add: with zero AC the inverse
         // core transform of a DC-only 4x4 block is flat (dc + 32) >> 6
         val mbX = (mb % sps.widthMbs) * 16
         val mbY = (mb / sps.widthMbs) * 16
-        val hasTop = mbY > 0
-        val hasLeft = mbX > 0
-        var sumT = 0
-        var sumL = 0
-        var t = 0
-        while (t < 16) {
-          if (hasTop) sumT += luma((mbY - 1) * w + mbX + t) & 0xff
-          if (hasLeft) sumL += luma((mbY + t) * w + mbX - 1) & 0xff
-          t += 1
-        }
-        val pred =
-          if (hasTop && hasLeft) (sumT + sumL + 16) >> 5
-          else if (hasTop) (sumT + 8) >> 4
-          else if (hasLeft) (sumL + 8) >> 4
-          else 128
+        // Intra_16x16 DC prediction (8.3.3.3), shared helper
+        val pred = i16DcPred(luma, w, mbX, mbY)
         if (ac == null) {
           // cbpLuma 0: the inverse core transform of a DC-only block is
           // flat (dc + 32) >> 6 — keep the closed-form fill
@@ -2346,7 +2505,7 @@ object JvmMp4Codec extends MediaCodec {
               if (nalType == 5) {
                 val pcm = H264.decodeIPcmLuma(rbsp, t.sps)
                 if (pcm != null) pcm else H264.decodeI16DcLuma(rbsp, t.sps, t.initQp)
-              } else H264.decodePLuma(rbsp, t.sps, ref)
+              } else H264.decodePLuma(rbsp, t.sps, ref, t.initQp)
           }
           o = nalStart + len
         }

@@ -400,6 +400,51 @@ object MultimodalQueries {
             + CASE WHEN nf = 5 THEN s2 ELSE 0 END AS BIGINT) AS lum_sum,
           CAST(nf * w * h AS BIGINT) AS plane_bytes
         FROM s ORDER BY doc_id"""),
-      doc = "H.264 coded inter motion: P_L0_16x16 MBs (Exp-Golomb MVD, 8.4.1.3 median MV prediction, quarter-pel 6-tap luma interpolation) vs closed-form ramp oracle")
+      doc = "H.264 coded inter motion: P_L0_16x16 MBs (Exp-Golomb MVD, 8.4.1.3 median MV prediction, quarter-pel 6-tap luma interpolation) vs closed-form ramp oracle"),
+
+    // ------------------------------------------------------------------
+    Q("multimodal_h264_pintra",
+      (s, d) => {
+        // round-16 follow-up: intra-refresh MBs inside P slices — the
+        // shape every real encoder emits to stop error propagation.
+        // Frame 0 is a constant I_PCM IDR; each P frame codes MB 0 as
+        // INTRA I_16x16/DC with one CAVLC DC level (entropy decode,
+        // inverse Hadamard, 8.5.10 dequant, DC prediction AGAINST the
+        // P frame's reconstructed plane) and skips the rest. Skipped
+        // MBs copy in place, so the total luma sum is closed-form;
+        // the intra MB's neighbors are inter MBs, pinning the
+        // intra/inter handoff (refIdx -1 semantics, nC bookkeeping)
+        // that neither the pure-I nor the pure-P gates can reach.
+        Multimodal.mp4PIntraFrameFeatures(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+            16 * (1 + doc_id % 2) AS w,
+            16 * (1 + (doc_id // 2) % 2) AS h,
+            2 + doc_id % 3 AS nf,
+            30 + doc_id % 180 AS v,
+            CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END AS sgn
+          FROM documents WHERE doc_id < 200),
+        m AS (
+          SELECT doc_id, w, h, nf, v,
+            128 + floor((56.0 * ((1 + (doc_id + 1) % 8) * sgn) + 32) / 64.0) AS m1,
+            128 + floor((56.0 * ((1 + (doc_id + 2) % 8) * sgn) + 32) / 64.0) AS m2,
+            128 + floor((56.0 * ((1 + (doc_id + 3) % 8) * sgn) + 32) / 64.0) AS m3
+          FROM p)
+        SELECT doc_id,
+          CAST(nf AS BIGINT) AS n_frames,
+          CAST(w AS BIGINT) AS width,
+          CAST(h AS BIGINT) AS height,
+          CAST(w * h * v
+            + (256 * m1 + (w * h - 256) * v)
+            + CASE WHEN nf >= 3 THEN 256 * m2 + (w * h - 256) * v ELSE 0 END
+            + CASE WHEN nf = 4 THEN 256 * m3 + (w * h - 256) * v ELSE 0 END
+            AS BIGINT) AS lum_sum,
+          CAST(nf * w * h AS BIGINT) AS plane_bytes
+        FROM m ORDER BY doc_id"""),
+      doc = "H.264 intra-refresh in P slices: I_16x16/DC MBs (CAVLC DC level, inverse Hadamard, dequant, DC prediction) mixed with P_Skip runs vs closed-form oracle")
   )
 }

@@ -1,0 +1,123 @@
+package graft.extras
+
+import graft.SparkSpec
+
+/** Pins for the round-16 intra-refresh-in-P decode: frame-exact
+  * reconstruction of the mixed intra/skip fixtures, the intra->inter
+  * neighbor handoff in MV prediction through the real slice parse,
+  * and the documented seams (non-DC intra types in P slices, coded
+  * chroma, unsupported mb_types degrade to null). */
+class H264PIntraSpec extends SparkSpec {
+
+  // closed form from MediaSynth.mp4PIntra's scaladoc
+  private def mOf(id: Long, f: Int): Int = {
+    val lvl = (1 + (id + f) % 8).toInt * (if (id % 3 == 0) -1 else 1)
+    128 + ((56 * lvl + 32) >> 6)
+  }
+
+  test("fixtures reconstruct exactly: intra MB 0 flat, skips copy in place") {
+    (0L to 23L).foreach { id =>
+      val Some((sps, frames)) =
+        JvmMp4Codec.decodeAllLuma(MediaSynth.mp4PIntra(id)): @unchecked
+      val w = sps.widthMbs * 16
+      val h = sps.heightMbs * 16
+      val v = (30 + id % 180).toInt
+      assert(frames.length == (2 + id % 3).toInt, s"id=$id frame count")
+      frames.zipWithIndex.foreach { case (frame, fi) =>
+        val expected = Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          (if (fi > 0 && x < 16 && y < 16) mOf(id, fi) else v).toByte
+        }
+        assert(java.util.Arrays.equals(frame, expected), s"id=$id frame $fi")
+      }
+    }
+  }
+
+  test("intra neighbor hands refIdx -1 to the next coded MB's predictor") {
+    // 2x1 frame, two variants differing ONLY in MB 0:
+    //   inter: MB 0 = P_L0_16x16 with mv (8,0)   -> MB 1 pred = mvA = (8,0)
+    //   intra: MB 0 = I_16x16/DC (zero level)    -> MB 1 pred = (0,0)
+    // MB 1 codes mvd (4,0) in both, so the derived vectors differ
+    // exactly by the intra/inter semantics of the predictor.
+    val sps = H264.Sps(2, 1, 4)
+    val ref = Array.tabulate(32 * 16)(i => (i % 251).toByte)
+    def slice(intraFirst: Boolean): Array[Byte] = {
+      val bw = new H264.BitWriter
+      bw.u(0x41, 8); bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0) // slice_qp_delta (qp 26)
+      bw.ue(0) // mb_skip_run = 0
+      if (intraFirst) {
+        bw.ue(8) // I_16x16, DC, cbp 0
+        bw.ue(0) // intra_chroma_pred_mode
+        bw.se(0) // mb_qp_delta
+        bw.u(1, 1) // Intra16x16DCLevel: TotalCoeff = 0
+      } else {
+        bw.ue(0) // P_L0_16x16
+        bw.se(8); bw.se(0) // mvd (8,0): pred (0,0) -> mv (8,0)
+        bw.ue(0) // cbp 0
+      }
+      bw.ue(0) // next iteration: mb_skip_run = 0
+      bw.ue(0) // MB 1: P_L0_16x16
+      bw.se(4); bw.se(0) // mvd (4,0)
+      bw.ue(0) // cbp 0
+      bw.rbspTrailing()
+      bw.result()
+    }
+    val (_, mvInter, _) =
+      H264.decodePLumaWithMvs(slice(intraFirst = false), sps, ref): @unchecked
+    assert(mvInter.toSeq == Seq(8, 12), "inter A: pred = mvA")
+    val (lumaIntra, mvIntra, _) =
+      H264.decodePLumaWithMvs(slice(intraFirst = true), sps, ref): @unchecked
+    assert(mvIntra.toSeq == Seq(0, 4), "intra A: pred = (0,0), refIdx -1")
+    // and the intra MB reconstructed flat at 128 (no neighbors in-frame)
+    assert((0 until 16).forall(y => (0 until 16).forall(x =>
+      (lumaIntra(y * 32 + x) & 0xff) == 128)))
+  }
+
+  test("P-slice intra seams: non-DC prediction, coded cbp, other types degrade") {
+    val sps = H264.Sps(1, 1, 4)
+    val ref = new Array[Byte](256)
+    def slice(mbType: Long): Array[Byte] = {
+      val bw = new H264.BitWriter
+      bw.u(0x41, 8); bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1); bw.se(0)
+      bw.ue(0) // mb_skip_run
+      bw.ue(mbType)
+      bw.rbspTrailing()
+      bw.result()
+    }
+    // I_16x16 with vertical prediction (5+1), with coded chroma
+    // (5+3+4=12 -> cbpChroma 1), cbpLuma 15 (5+15=20), I_4x4 (5+0),
+    // I_PCM (5+25=30), partitioned inter (1..4)
+    Seq(6L, 12L, 20L, 5L, 30L, 1L, 3L).foreach { t =>
+      assert(H264.decodePLuma(slice(t), sps, ref) == null, s"mb_type $t")
+    }
+    // while the supported type (8) with a zero DC level decodes
+    val ok = new H264.BitWriter
+    ok.u(0x41, 8); ok.ue(0); ok.ue(5); ok.ue(0); ok.u(1, 4)
+    ok.u(0, 1); ok.u(0, 1); ok.u(0, 1); ok.se(0)
+    ok.ue(0); ok.ue(8); ok.ue(0); ok.se(0); ok.u(1, 1)
+    ok.rbspTrailing()
+    assert(H264.decodePLuma(ok.result(), sps, ref) != null)
+  }
+
+  test("gate op emits the closed-form totals") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 12).select(col("id").as("doc_id"))
+    val out = Multimodal.mp4PIntraFrameFeatures(df, "doc_id")
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val nf = (2 + id % 3).toInt
+      val w = (16 * (1 + id % 2)).toInt
+      val h = (16 * (1 + (id / 2) % 2)).toInt
+      val v = (30 + id % 180).toInt
+      val expected = w.toLong * h * v +
+        (1 until nf).map(f => 256L * mOf(id, f) + (w.toLong * h - 256) * v).sum
+      assert(r.getLong(1) == nf && r.getLong(2) == w && r.getLong(3) == h)
+      assert(r.getLong(4) == expected, s"id=$id lum_sum")
+      assert(r.getLong(5) == nf.toLong * w * h)
+    }
+  }
+}

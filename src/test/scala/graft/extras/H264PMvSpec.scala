@@ -105,23 +105,33 @@ class H264PMvSpec extends SparkSpec {
   }
 
   test("8.4.1.3 predictor: hand-derived cases") {
-    // layout 2x2 MBs; vectors set below per case
+    // layout 2x2 MBs; vectors set below per case; all neighbors inter
     val mvx = new Array[Int](4)
     val mvy = new Array[Int](4)
+    val all = Array.fill(4)(true)
     // top row, A available, B/C/D not -> mvA
     mvx(0) = 9; mvy(0) = -4
-    assert(H264.mvPred16x16(mvx, mvy, 2, 1, 0) == ((9, -4)))
+    assert(H264.mvPred16x16(mvx, mvy, all, 2, 1, 0) == ((9, -4)))
     // 1-wide column: exactly one neighbor (B = MB 0) matches -> mvB,
     // NOT the naive median (which would zero both components)
     val cx = Array(8, 0); val cy = Array(20, 0)
-    assert(H264.mvPred16x16(cx, cy, 1, 0, 1) == ((8, 20)))
+    assert(H264.mvPred16x16(cx, cy, Array(true, true), 1, 0, 1) == ((8, 20)))
     // full median with C present: med over {A=(6,-3) unavail->0s...}
     mvx(0) = 6; mvy(0) = -3 // B for MB(0,1)
     mvx(1) = 4; mvy(1) = -2 // C (top-right) for MB(0,1)
-    assert(H264.mvPred16x16(mvx, mvy, 2, 0, 1) == ((4, -2)))
+    assert(H264.mvPred16x16(mvx, mvy, all, 2, 0, 1) == ((4, -2)))
     // D substitution for MB(1,1): C outside -> D = MB(0,0)
     mvx(2) = 5; mvy(2) = -1 // A
-    assert(H264.mvPred16x16(mvx, mvy, 2, 1, 1) == ((5, -2)))
+    assert(H264.mvPred16x16(mvx, mvy, all, 2, 1, 1) == ((5, -2)))
+    // INTRA neighbor semantics: an intra B is positionally available
+    // (so the B/C/D-unavailable rule does NOT fire) but carries
+    // refIdx -1 and mv (0,0) — with A and C(D) inter, the median runs
+    // over {A, 0, D}; with only C inter, exactly-one-refIdx picks C
+    val ix = Array(10, 2, 6, 0); val iy = Array(-8, 2, 4, 0)
+    assert(H264.mvPred16x16(ix, iy, Array(true, false, true, true), 2, 1, 1)
+      == ((6, 0))) // med(A=6, B=0, D=10)=6, med(4, 0, -8)=0
+    assert(H264.mvPred16x16(ix, iy, Array(false, true, false, true), 2, 1, 1)
+      == ((2, 2))) // A and D intra, only B inter -> exactly-one -> mvB
   }
 
   test("MVD recovery through the real slice parse (hand-derived MVs)") {
