@@ -297,14 +297,24 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
 object FileCacheState {
   private val states = new ConcurrentHashMap[String, FileCacheState]()
 
-  /** One shared state per canonical cache directory; the directory is
-    * cleared of previous-process leftovers when first claimed. */
+  /** Matches only names THIS cache writes: sha1-hex "-len-mtime"
+    * entries and in-flight ".tmp-" fetches — the startup sweep must
+    * never touch foreign files in a misconfigured cache dir. */
+  private val OwnEntry = "^[0-9a-f]{40}-[-0-9]+-[-0-9]+$".r
+
+  /** One shared state per canonical cache directory; previous-process
+    * leftovers (OUR naming only) are cleared when first claimed. */
   def forDir(dir: String, maxBytes: Long, expireMs: Long): FileCacheState =
     states.computeIfAbsent(Paths.get(dir).toAbsolutePath.normalize.toString, { key =>
       val p = Paths.get(key)
       Files.createDirectories(p)
       val old = Files.list(p)
-      try old.forEach(f => { Files.deleteIfExists(f); () })
+      try old.forEach { f =>
+        val n = f.getFileName.toString
+        if (n.startsWith(".tmp-") || OwnEntry.matches(n)) {
+          Files.deleteIfExists(f); ()
+        }
+      }
       finally old.close()
       new FileCacheState(p, maxBytes, expireMs)
     })

@@ -33,6 +33,35 @@ object StreamingQueries {
       doc = "readStream -> watermark -> tumbling window -> foreachBatch lake commit"),
 
     // ------------------------------------------------------------------
+    Q("streaming_dim_join",
+      (s, d) => {
+        // stream-static join: the event stream enriched per micro-batch
+        // against a STATIC lake dimension (the engine's own scan
+        // embedded in the streaming plan, broadcast), then the hourly
+        // per-segment aggregate through the transactional sink. Pins
+        // the integration point none of the other gates reach: a lake
+        // batch scan re-bound inside every streaming micro-batch.
+        val wh = Files.createTempDirectory("graft-stream-dim-").toString
+        val engine = new LakeEngine(s, new LakeCatalog(wh))
+        val customer = graft.Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val dim = engine.catalog.createTable("dim_customer", customer.schema)
+        engine.insert(dim, customer)
+        val t = engine.catalog.createTable("seg_hourly", StructType(Seq(
+          StructField("hour", TimestampNTZType), StructField("segment", StringType),
+          StructField("n", LongType), StructField("sum_value", DoubleType))))
+        StreamPipeline.ingestDimJoinAgg(s, engine, dim, t, d, s"$wh/checkpoint")
+        engine.scan(t).toDF().orderBy("hour", "segment")
+      },
+      oracle = Some("""
+        SELECT date_trunc('hour', e.ts) AS hour, c.c_mktsegment AS segment,
+          count(*) AS n,
+          CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2 ORDER BY hour, segment"""),
+      doc = "stream-static join: event stream enriched against a broadcast lake dimension inside each micro-batch, hourly per-segment aggregate through the exactly-once sink"),
+
+    // ------------------------------------------------------------------
     Q("streaming_sessionize",
       (s, d) => {
         // Session windows (30-minute gap) over the streamed fixture in

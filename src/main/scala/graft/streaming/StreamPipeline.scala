@@ -150,6 +150,38 @@ object StreamPipeline {
     q.awaitTermination()
   }
 
+  /** Stream-static enrichment join (round 16): the event stream joined
+    * per micro-batch against a STATIC lake dimension — the engine's own
+    * pruned scan embedded inside the streaming plan — then the hourly
+    * aggregate per customer segment. The dim is broadcast, so each
+    * micro-batch pays one tiny hash build and the stream side never
+    * shuffles for the join; at cluster scale the static side re-reads
+    * at most once per micro-batch and prunes like any batch scan. */
+  def ingestDimJoinAgg(
+      spark: SparkSession, engine: LakeEngine, dim: LakeTable, sink: LakeTable,
+      eventsDir: String, checkpoint: String): Unit = {
+    val dimDf = broadcast(engine.scan(dim).toDF()
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = readEventsStream(spark, eventsDir)
+      .join(dimDf, col("user_id") === col("c_custkey"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").cast(TimestampNTZType).as("hour"),
+        col("c_mktsegment").as("segment"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        engine.insertOverwrite(sink, batch, "true")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming session windows (30-min gap) per user — the stateful-
     * aggregation surface (SURVEY §2.7): watermark bounds state, sessions
     * emit when the watermark passes their close. */
