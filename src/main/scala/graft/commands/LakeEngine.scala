@@ -482,7 +482,9 @@ final class LakeEngine(
             s"graft-probe-${java.util.UUID.randomUUID().toString.take(8)}")
           val fp = col("_metadata.file_path")
           val metrics = observeAmb.zipWithIndex.map { case (f, i) =>
-            val forms = Seq(f.path, s"file:${f.path}", s"file://${f.path}")
+            val hp = new org.apache.hadoop.fs.Path(f.path)
+            val forms = Seq(f.path, s"file:${f.path}", s"file://${f.path}",
+              hp.toString, hp.toUri.toString).distinct
             coalesce(sum(when(coalesce(cond, lit(false)) &&
               fp.isin(forms.map(lit(_)): _*), 1L)), lit(0L)).as(s"m$i")
           }
@@ -568,7 +570,7 @@ final class LakeEngine(
           if (f != last) { seen += f; last = f }
         }
         seen.iterator
-      }.collect().map(_.replaceFirst("^file:/+", "/")).toSet
+      }.collect().map(LakeEngine.canonFile).toSet
       if (sys.env.contains("GRAFT_PROBE_TIMING"))
         System.err.println(f"[probe] rowProbe ${ambFiles.size} files " +
           f"${(System.nanoTime() - tPr0) / 1e9}%.3f s")
@@ -629,11 +631,40 @@ final class LakeEngine(
     }
 
     val probed = if (ambiguous.isEmpty) Set.empty[String] else rowProbe(ambiguous)
-    val touched = sureTouched.map(_.path).toSet ++ probed
+    // intersect on the CANONICAL rendering: manifest paths and
+    // runtime file strings may disagree on URI form for non-file
+    // schemes ("gcache:///x" vs "gcache:/x") even when they name the
+    // same object
+    val touched = sureTouched.map(f => LakeEngine.canonFile(f.path)).toSet ++ probed
     if (touched.isEmpty)
       return CommitMetrics(fromSnapshot.getOrElse(0L), 0, 0, 0, 0, 0)
-    val touchedEntries = candidates.filter(f => touched.contains(f.path))
+    val touchedEntries =
+      candidates.filter(f => touched.contains(LakeEngine.canonFile(f.path)))
+    // a probe string that names NO manifest entry is file-identity
+    // drift — silently rewriting a smaller set would leave matching
+    // rows behind, so fail loudly instead
+    if (touchedEntries.size < touched.size)
+      throw new IllegalStateException(
+        "DML probe returned file identities absent from the manifest " +
+          s"(probe ${touched.size}, matched ${touchedEntries.size}): " +
+          touched.diff(touchedEntries.map(f => LakeEngine.canonFile(f.path)).toSet)
+            .take(3).mkString(", "))
     val (newFiles, _) = execRewrite(touchedEntries, Seq.empty)
     commitTouched(newFiles, touchedEntries)
+  }
+}
+
+object LakeEngine {
+  /** Canonical rendering of a data-file identity string, applied to
+    * BOTH manifest paths and runtime `input_file_name`/
+    * `_metadata.file_path` values before comparison. Hadoop's Path
+    * constructor collapses URI-form differences ("scheme:///p" vs
+    * "scheme:/p"); the file scheme then strips to the plain local path
+    * (the form the writer records in manifests). */
+  private[commands] def canonFile(s: String): String = {
+    val norm =
+      try new org.apache.hadoop.fs.Path(s).toString
+      catch { case scala.util.control.NonFatal(_) => s }
+    if (norm.startsWith("file:")) norm.replaceFirst("^file:/+", "/") else norm
   }
 }

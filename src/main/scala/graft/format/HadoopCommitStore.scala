@@ -1,0 +1,117 @@
+package graft.format
+
+import java.nio.file.Path
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** [[CommitStore]] over a Hadoop `FileSystem` — the third live binding
+  * of the metadata-IO seam (reference analog: the HadoopFileIO side of
+  * the pluggable FileIO, next to the S3 client the
+  * [[ObjectStoreCommitStore]] models). Lets a table live at ANY
+  * Hadoop-resolvable location: `hdfs://`, a mounted DFS, or the
+  * round-16 `gcache://` caching wrapper — which closes the loop where
+  * the data plane already reads/writes through the Hadoop FS but the
+  * metadata plane was java.nio-only.
+  *
+  * Conditional put = write a temp object, then `FileSystem.rename`
+  * into the version name. Hadoop's rename contract FAILS when the
+  * destination exists and is atomic on HDFS-class stores — exactly the
+  * exclusive-publish primitive the commit protocol needs, with no
+  * partial-content window (readers only ever see fully-written
+  * objects). Two caveats, stated plainly: `RawLocalFileSystem`'s
+  * rename is exclusive but its exists-check is not a kernel-level CAS,
+  * so same-process racers are additionally serialized by a JVM lock
+  * (cross-process local racing is [[LocalCommitStore]]'s job — its
+  * hard-link CAS is the right local primitive); and raw object stores
+  * have NO atomic rename — use [[ObjectStoreCommitStore]] there, whose
+  * conditional PUT is the store's own primitive.
+  *
+  * `metadataDir` arrives as the engine's opaque java.nio form of the
+  * location string ("gcache:/tmp/wh/t/metadata" — java.nio collapses
+  * the scheme's double slash, which Hadoop's Path parser accepts). */
+final class HadoopCommitStore(conf: Configuration) extends CommitStore {
+
+  private val renameLock = new Object
+
+  private def hPath(dir: Path, name: String = null): HPath =
+    if (name == null) new HPath(dir.toString)
+    else new HPath(dir.toString, name)
+
+  private def fsOf(p: HPath): FileSystem = p.getFileSystem(conf)
+
+  override def putIfAbsent(metadataDir: Path, name: String, content: String): Boolean = {
+    val dst = hPath(metadataDir, name)
+    val fs = fsOf(dst)
+    if (fs.exists(dst)) return false // cheap fast path; rename re-checks
+    val tmp = hPath(metadataDir,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    try renameLock.synchronized {
+      // rename fails when dst exists (atomic on HDFS-class stores);
+      // the lock serializes same-JVM racers on local filesystems
+      if (fs.exists(dst)) false
+      else fs.rename(tmp, dst)
+    } finally {
+      if (fs.exists(tmp)) { fs.delete(tmp, false); () }
+    }
+  }
+
+  override def publishHint(metadataDir: Path, version: Int): Unit = {
+    val p = hPath(metadataDir, "version-hint.txt")
+    val out = fsOf(p).create(p, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  override def writeBytes(metadataDir: Path, name: String, bytes: Array[Byte]): Unit = {
+    val p = hPath(metadataDir, name)
+    val out = fsOf(p).create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  override def readBytes(metadataDir: Path, name: String): Array[Byte] = {
+    val p = hPath(metadataDir, name)
+    val fs = fsOf(p)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+
+  override def listNames(metadataDir: Path): Seq[String] = {
+    val p = hPath(metadataDir)
+    val fs = fsOf(p)
+    try {
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+    } catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  override def deleteIfExists(metadataDir: Path, name: String): Boolean = {
+    val p = hPath(metadataDir, name)
+    fsOf(p).delete(p, false)
+  }
+
+  override def lastModifiedMs(metadataDir: Path, name: String): Long = {
+    val p = hPath(metadataDir, name)
+    fsOf(p).getFileStatus(p).getModificationTime
+  }
+
+  override def prepareTable(tableDir: Path): Unit = {
+    val base = hPath(tableDir)
+    val fs = fsOf(base)
+    fs.mkdirs(new HPath(base, "metadata"))
+    fs.mkdirs(new HPath(base, "data"))
+    ()
+  }
+
+  override def dropTableDir(tableDir: Path): Unit = {
+    val p = hPath(tableDir)
+    val fs = fsOf(p)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+}

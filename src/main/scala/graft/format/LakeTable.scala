@@ -146,6 +146,13 @@ trait CommitStore {
     Files.createDirectories(tableDir.resolve("data"))
     ()
   }
+  /** Recursive table-directory removal (catalog DROP TABLE). */
+  def dropTableDir(tableDir: Path): Unit =
+    if (Files.exists(tableDir)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(tableDir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
 }
 
 /** Local-FS store: exclusive hard link (atomic on POSIX) is the
@@ -970,22 +977,27 @@ object LakeTable {
   }
 }
 
-/** Directory-tree catalog: warehouse/<db>/<table> (SURVEY §2.8). */
-class LakeCatalog(val warehouse: String) {
+/** Directory-tree catalog: warehouse/<db>/<table> (SURVEY §2.8). The
+  * optional `store` binds the metadata plane — [[LocalCommitStore]]
+  * (default), [[ObjectStoreCommitStore]], or [[HadoopCommitStore]] for
+  * scheme-prefixed warehouses (hdfs://, gcache://). */
+class LakeCatalog(val warehouse: String,
+    val store: CommitStore = LocalCommitStore) {
   private def loc(name: String) = Paths.get(warehouse, name.split('.'): _*).toString
   def createTable(name: String, schema: StructType,
       partitionSpec: Seq[PartitionField] = Seq.empty,
       sortOrder: Seq[SortField] = Seq.empty,
       properties: Map[String, String] = Map.empty): LakeTable =
-    LakeTable.create(loc(name), schema, partitionSpec, sortOrder, properties)
-  def loadTable(name: String): LakeTable = LakeTable.load(loc(name))
-  def tableExists(name: String): Boolean = LakeTable.exists(loc(name))
-  def dropTable(name: String): Unit = {
-    val p = Paths.get(loc(name))
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
-  }
+    LakeTable.create(loc(name), schema, partitionSpec, sortOrder, properties, store)
+  def loadTable(name: String): LakeTable = LakeTable.load(loc(name), store)
+  def tableExists(name: String): Boolean = LakeTable.exists(loc(name), store)
+  def dropTable(name: String): Unit =
+    if (store eq LocalCommitStore) {
+      val p = Paths.get(loc(name))
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    } else store.dropTableDir(Paths.get(loc(name)))
 }

@@ -113,9 +113,16 @@ final class TableScan(
       val clean = StructType(written.fields.map(f => f.copy(metadata = Metadata.empty)))
       val base = spark.read.schema(clean).parquet(fs.map(_.path): _*)
       val projected = project(base, written, cur)
-      if (withFileColumns) // normalize file:/ URIs to plain paths (manifest form)
+      if (withFileColumns)
+        // normalize to the manifest rendering: file:/ URIs strip to
+        // plain paths; other schemes collapse the URI's EMPTY-authority
+        // form ("gcache:///p") to Hadoop's canonical "gcache:/p" — a
+        // real authority ("s3a://bucket/p", exactly two slashes) is
+        // meaningful and passes through untouched
         projected.withColumn(FileCol,
-            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+            regexp_replace(
+              regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+              "^([a-zA-Z][a-zA-Z0-9+.-]*):/{3,}", "$1:/"))
           .withColumn(PosCol, col("_metadata.row_index"))
       else projected
     }

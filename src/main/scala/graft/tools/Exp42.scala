@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round 16: the freshly re-recorded sf10 artifact shows q18/q7/q3
+  * Spark walls up 35-65% vs the r15 artifact while their DuckDB
+  * oracle legs are unchanged. Two hypotheses: (a) a code regression
+  * somewhere in the round-16 commits, (b) the regenerated /tmp/sf10
+  * (same generator, this container's pyarrow) lays out row groups
+  * differently and hurts Spark's scan/split side specifically.
+  *
+  * This harness times the registered q18/q7/q3 (+q1 as a control)
+  * with fresh query executions (AQE off — a cloned adaptive plan
+  * reuses materialized stages and fabricates speedups, the Exp33
+  * lesson), min-of-5, Exp40's bench-like split conf. Run it from BOTH
+  * the r15 tree (git worktree at the r15 artifact commit) and HEAD on
+  * the SAME /tmp/sf10: if both trees read alike, the artifact delta is
+  * the dataset, not the code.
+  */
+object Exp42 {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def drain(name: String): Double = {
+      val q = graft.Registry.all.find(_.name == name).get
+      val t0 = System.nanoTime()
+      val rdd = q.run(spark, d).queryExecution.toRdd
+      rdd.foreachPartition(it => { while (it.hasNext) it.next(); () })
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val names = Seq("q1_pricing_summary", "q18_large_orders",
+      "q7_volume_shipping", "q3_shipping_priority")
+    names.foreach(n => drain(n)) // warm (page cache, codegen)
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+    (1 to 5).foreach { _ =>
+      names.foreach { n =>
+        times(n) = times.getOrElse(n, Vector.empty) :+ drain(n)
+      }
+    }
+    val load = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    println(s"[exp42] sf=$d loadavg=$load")
+    names.foreach { n =>
+      val t = times(n)
+      println(f"[exp42] $n%-24s min=${t.min}%6.3f  passes=${t.map(x => f"$x%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
