@@ -142,16 +142,29 @@ object Bench {
     val builder = SparkSession.builder()
       .withExtensions(new graft.sqlext.LakeSqlExtensions)
       .master(s"local[$cpus]")
-      // scans parallelize across all cores; shuffle partitions pinned low
-      // because with AQE off (below) the post-shuffle stage count is fixed
-      // and task-scheduling overhead dominates sub-second single-node jobs
-      // 4 post-shuffle partitions: final aggregates/windows at bench SF
-      // move a few thousand partial rows — 4 tasks amortize per-task
-      // launch cost while keeping the reduce side parallel (A/B'd vs 8:
-      // every shuffle-bearing query equal-or-faster; a real deployment
-      // sizes this by data volume or lets AQE coalesce)
+      // scans parallelize across all cores; shuffle width is sized by
+      // INPUT VOLUME, which is what a real deployment does (or lets AQE
+      // coalesce). At micro-bench scale (sf<=0.1, post-shuffle stages
+      // move a few thousand rows) 4 reduce tasks amortize launch cost —
+      // the round-9 A/B. But a pinned tiny width is exactly the shape
+      // that dies at 100x scale: Exp43 (sf10, widths interleaved,
+      // min-of-3) read q18 6.07 s at width 4 vs 2.93 s at 16, q7
+      // 2.57 -> 1.25, q3 2.81 -> 1.94, q_distinct_agg 2.42 -> 1.86,
+      // while at sf0.1 all widths tie within noise. >=256 MB of input
+      // parquet -> one reduce task per core.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.min(cpus.toInt, 4).toString))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", {
+          val dataBytes =
+            try {
+              val s = java.nio.file.Files.list(java.nio.file.Paths.get(sfDir))
+              try s.mapToLong(p =>
+                try java.nio.file.Files.size(p) catch { case NonFatal(_) => 0L }
+              ).sum()
+              finally s.close()
+            } catch { case NonFatal(_) => 0L }
+          (if (dataBytes >= (256L << 20)) cpus.toInt
+           else math.min(cpus.toInt, 4)).toString
+        }))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // survive multi-ten-second GC pauses on large-heap scale sweeps:
@@ -373,9 +386,15 @@ object Bench {
             (if (dOracle > 0) f""","dml_oracle_sec":$dOracle%.4f,"dml_ratio":${dTotal / dOracle}%.2f"""
              else "")
         }
+        // a missing READ oracle leg (timeout / crash in oracleTimes)
+        // must self-describe, not print a strict-JSON-invalid NaN ratio
+        val ratioJson =
+          if (oTotal > 0)
+            f""","spark_oracleable_sec":$sparkOracleable%.4f""" +
+              f""","spark_oracle_ratio":${sparkOracleable / oTotal}%.2f"""
+          else ""","oracle_read_missing":true"""
         f""","oracle_queries":$oq,"oracle_total_sec":$oTotal%.4f""" +
-          f""","spark_oracleable_sec":$sparkOracleable%.4f""" +
-          f""","spark_oracle_ratio":${sparkOracleable / oTotal}%.2f""" + ratioExLsh + dmlJson
+          ratioJson + ratioExLsh + dmlJson
       case None =>
         if (dmlResults.isEmpty) ""
         else f""","dml_total_sec":${dmlResults.map(_._2).sum}%.4f"""

@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round 16: is the bench's pinned shuffle width (min(cpus,4),
+  * A/B'd at sf0.1 where a post-shuffle stage moves a few thousand
+  * rows) strangling the shuffle-heavy queries at sf10?
+  *
+  * q18 aggregates ~15M groups at sf10; four reduce tasks on 32 cores
+  * is exactly the shape that does not survive a 100x scale-up. This
+  * harness replicates the bench conf per SparkSession (one JVM, one
+  * session per width — shuffle.partitions is plan-time but sessions
+  * are cheap here) and times fresh executions, min-of-3, for the
+  * shuffle-bearing weak entries plus q1 as a scan-bound control, at
+  * widths 4 / 16 / 32. Run at BOTH sf0.1 (regression guard for the
+  * original A/B) and sf10 (the scale claim).
+  */
+object Exp43 {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val widths = Seq(4, 16, 32)
+    val names = Seq("q1_pricing_summary", "q18_large_orders",
+      "q7_volume_shipping", "q3_shipping_priority", "q_distinct_agg")
+
+    def session(width: Int): SparkSession = {
+      val s = SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", width.toString)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "64k")
+        .config("spark.sql.files.minPartitionNum", "1")
+        .config("spark.locality.wait", "0")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      graft.functions.GraftFunctions.register(s)
+      s
+    }
+
+    // one base session for page-cache warmup; per-width sessions share
+    // the SparkContext but carry their own SQL conf
+    val base = session(4)
+    names.foreach { n =>
+      val q = graft.Registry.all.find(_.name == n).get
+      q.run(base, d).queryExecution.toRdd
+        .foreachPartition(it => { while (it.hasNext) it.next(); () })
+    }
+
+    val results = scala.collection.mutable.Map[(String, Int), Double]()
+    (1 to 3).foreach { _ =>
+      widths.foreach { w =>
+        val s = base.newSession()
+        graft.functions.GraftFunctions.register(s) // per-session registry
+        s.conf.set("spark.sql.shuffle.partitions", w.toString)
+        s.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+        s.conf.set("spark.sql.files.openCostInBytes", "64k")
+        s.conf.set("spark.sql.files.minPartitionNum", "1")
+        names.foreach { n =>
+          val q = graft.Registry.all.find(_.name == n).get
+          val t0 = System.nanoTime()
+          q.run(s, d).queryExecution.toRdd
+            .foreachPartition(it => { while (it.hasNext) it.next(); () })
+          val sec = (System.nanoTime() - t0) / 1e9
+          val k = (n, w)
+          results(k) = math.min(results.getOrElse(k, Double.MaxValue), sec)
+        }
+      }
+    }
+    val load = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    println(s"[exp43] sf=$d loadavg=$load (min of 3, widths interleaved)")
+    names.foreach { n =>
+      val row = widths.map(w => f"w$w=${results((n, w))}%6.3f").mkString("  ")
+      println(f"[exp43] $n%-24s $row")
+    }
+    base.stop()
+  }
+}

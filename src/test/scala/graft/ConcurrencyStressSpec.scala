@@ -44,8 +44,18 @@ class ConcurrencyStressSpec extends SparkSpec {
     finally srv.stop()
   }
 
-  private def stress(client: ObjectStoreClient): Unit = {
-    val store = new ObjectStoreCommitStore(client)
+  test("same 10-writer stress through the Hadoop FileSystem store") {
+    // round 16: the HadoopCommitStore binding (temp write + exclusive
+    // rename; same-JVM racers serialized by the store's lock) must
+    // hold the identical serializable-history contract
+    stressStore(new HadoopCommitStore(
+      spark.sparkContext.hadoopConfiguration))
+  }
+
+  private def stress(client: ObjectStoreClient): Unit =
+    stressStore(new ObjectStoreCommitStore(client))
+
+  private def stressStore(store: CommitStore): Unit = {
     val loc = Paths.get(
       Files.createTempDirectory("graft-stress-wh-").toString, "stress").toString
     val schema = Seq((0, 0L, "", "", 0)).toDF("part", "key", "val", "tag", "round").schema
@@ -125,9 +135,9 @@ class ConcurrencyStressSpec extends SparkSpec {
     val t = table()
     // ---- dense, parseable, LINEAR history --------------------------
     val v = LakeTable.currentVersion(loc, store)
-    val metaDir = Paths.get(loc, "metadata").toString
+    val metaDir = Paths.get(loc, "metadata")
     (1 to v).foreach { i =>
-      val body = new String(client.get(s"$metaDir/v$i.json"), "UTF-8")
+      val body = new String(store.readBytes(metaDir, s"v$i.json"), "UTF-8")
       Json.read(body, classOf[TableMetadata]) // parses
     }
     val snaps = t.metadata.snapshots
