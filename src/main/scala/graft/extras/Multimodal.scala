@@ -2454,6 +2454,7 @@ object JvmMp4Codec extends MediaCodec {
   /** Luma plane of sample `i`, or null when not decodable. */
   private def decodeSample(b: Array[Byte], t: Mp4Track, i: Int): Array[Byte] = {
     val (off, size) = t.samples(i)
+    if (off < 0 || size < 0 || off + size > b.length) return null
     var o = off
     val end = off + size
     while (o + t.nalLenSize <= end) {
@@ -2488,6 +2489,9 @@ object JvmMp4Codec extends MediaCodec {
       var i = 0
       while (i < t.samples.length) {
         val (off, size) = t.samples(i)
+        // sample table values come from the (possibly corrupt)
+        // container — never trust them against the real buffer
+        if (off < 0 || size < 0 || off + size > b.length) return None
         var o = off
         val end = off + size
         var luma: Array[Byte] = null

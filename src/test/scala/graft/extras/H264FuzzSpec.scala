@@ -1,0 +1,52 @@
+package graft.extras
+
+import graft.SparkSpec
+
+/** Robustness fuzz for the H.264 decode surface: arbitrary bytes and
+  * bit-flipped fixtures must DEGRADE (null / None / a differing but
+  * well-formed decode), never throw out of the decode entry points and
+  * never hang — the contract the map-only multimodal operators rely on
+  * when fed real-world corrupt media at scale. */
+class H264FuzzSpec extends SparkSpec {
+
+  test("random byte soup never escapes the decoders") {
+    val rnd = new scala.util.Random(1234)
+    val sps = H264.Sps(2, 2, 4)
+    val ref = new Array[Byte](32 * 32)
+    (1 to 500).foreach { i =>
+      val n = 1 + rnd.nextInt(200)
+      val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+      // every decoder entry point: must return (possibly null), not throw
+      H264.decodePLuma(junk, sps, ref)
+      H264.decodeIPcmLuma(junk, sps)
+      H264.decodeI16DcLuma(junk, sps, 26)
+      // and the container parser over junk
+      JvmMp4Codec.decodeAllLuma(junk)
+    }
+  }
+
+  test("single bit flips in real fixtures degrade, never throw") {
+    val rnd = new scala.util.Random(99)
+    Seq[Long => Array[Byte]](MediaSynth.mp4PSkip, MediaSynth.mp4PMv,
+        MediaSynth.mp4PIntra, MediaSynth.mp4Cavlc).foreach { synth =>
+      (0L to 3L).foreach { id =>
+        val good = synth(id)
+        (1 to 40).foreach { _ =>
+          val bytes = good.clone()
+          val pos = rnd.nextInt(bytes.length)
+          bytes(pos) = (bytes(pos) ^ (1 << rnd.nextInt(8))).toByte
+          // a flip may hit the container, a header, or coefficient
+          // bits; all outcomes are legal EXCEPT an uncaught throw
+          JvmMp4Codec.decodeAllLuma(bytes)
+        }
+      }
+    }
+  }
+
+  test("truncations of real fixtures degrade, never throw") {
+    val good = MediaSynth.mp4PMv(5L)
+    (1 until good.length by math.max(1, good.length / 60)).foreach { len =>
+      JvmMp4Codec.decodeAllLuma(java.util.Arrays.copyOf(good, len))
+    }
+  }
+}
