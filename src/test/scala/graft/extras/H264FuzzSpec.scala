@@ -49,4 +49,32 @@ class H264FuzzSpec extends SparkSpec {
       JvmMp4Codec.decodeAllLuma(java.util.Arrays.copyOf(good, len))
     }
   }
+
+  test("the whole codec registry absorbs junk and flipped media") {
+    val rnd = new scala.util.Random(7)
+    val codecs = MediaCodecs.current
+    val fixtures: Seq[(String, Array[Byte])] = Seq(
+      "image/png" -> MediaSynth.png(3L),
+      "audio/wav" -> MediaSynth.wav(3L),
+      "video/x-mjpeg" -> MediaSynth.mjpeg(3L),
+      "video/mp4" -> MediaSynth.mp4PIntra(3L))
+    fixtures.foreach { case (mime, good) =>
+      val codec = MediaCodecs.forMime(codecs, mime)
+      // junk of assorted sizes
+      (1 to 50).foreach { _ =>
+        val junk = Array.fill(1 + rnd.nextInt(300))(rnd.nextInt(256).toByte)
+        val f = codec.features(junk, mime)
+        assert(f != null && f.nonEmpty)
+        codec.sampleFrames(junk, mime, 2)
+      }
+      // flipped real fixtures
+      (1 to 40).foreach { _ =>
+        val bytes = good.clone()
+        val pos = rnd.nextInt(bytes.length)
+        bytes(pos) = (bytes(pos) ^ (1 << rnd.nextInt(8))).toByte
+        val f = codec.features(bytes, mime)
+        assert(f != null && f.nonEmpty, s"$mime flipped features")
+      }
+    }
+  }
 }
