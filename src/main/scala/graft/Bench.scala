@@ -154,12 +154,15 @@ object Bench {
       // parquet -> one reduce task per core.
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", {
-          val dataBytes =
-            try {
+          val dataBytes = // *.parquet regular files only (the oracle's
+            try {         // glob): stray files/dirs must not flip the width
               val s = java.nio.file.Files.list(java.nio.file.Paths.get(sfDir))
-              try s.mapToLong(p =>
-                try java.nio.file.Files.size(p) catch { case NonFatal(_) => 0L }
-              ).sum()
+              try s.mapToLong { p =>
+                val regularParquet = p.getFileName.toString.endsWith(".parquet") &&
+                  java.nio.file.Files.isRegularFile(p)
+                if (!regularParquet) 0L
+                else try java.nio.file.Files.size(p) catch { case NonFatal(_) => 0L }
+              }.sum()
               finally s.close()
             } catch { case NonFatal(_) => 0L }
           (if (dataBytes >= (256L << 20)) cpus.toInt

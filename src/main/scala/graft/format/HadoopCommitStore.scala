@@ -40,23 +40,67 @@ final class HadoopCommitStore(conf: Configuration) extends CommitStore {
 
   private def fsOf(p: HPath): FileSystem = p.getFileSystem(conf)
 
+  /** The commit scheme whose rename semantics actually apply: a
+    * `gcache://` path delegates mutations to its wrapped store, so the
+    * inner scheme is what matters for atomicity. */
+  private def effectiveScheme(p: HPath): String = {
+    var s = Option(p.toUri.getScheme).getOrElse("file")
+    if (s == "gcache")
+      s = Option(conf.get("graft.cache.inner.scheme")).getOrElse(s)
+    s
+  }
+
   override def putIfAbsent(metadataDir: Path, name: String, content: String): Boolean = {
     val dst = hPath(metadataDir, name)
+    val scheme = effectiveScheme(dst)
+    if (HadoopCommitStore.nonAtomicObjectStores(scheme))
+      throw new IllegalArgumentException(
+        s"HadoopCommitStore cannot provide exclusive commits on '$scheme://' — " +
+          "its rename is a non-atomic check-then-copy, so two committers can " +
+          "both win and silently lose a version. Use ObjectStoreCommitStore " +
+          "for the metadata plane (conditional PUT is the store's own " +
+          "primitive); data files may still ride gcache://.")
+    val trustedRename = HadoopCommitStore.atomicRenameSchemes(scheme)
     val fs = fsOf(dst)
     if (fs.exists(dst)) return false // cheap fast path; rename re-checks
     val tmp = hPath(metadataDir,
       s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val bytes = content.getBytes("UTF-8")
     val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
+    try out.write(bytes) finally out.close()
     try renameLock.synchronized {
       // rename fails when dst exists (atomic on HDFS-class stores);
       // the lock serializes same-JVM racers on local filesystems
       if (fs.exists(dst)) false
-      else fs.rename(tmp, dst)
+      else {
+        val won = fs.rename(tmp, dst)
+        // local-class renames REPLACE an existing destination (POSIX
+        // File.renameTo), so a cross-process racer can overwrite a
+        // rename that already "won". Read-back verify converts the
+        // got-replaced direction into a correct loss; the inverse
+        // window (we replaced a racer that already returned true) is
+        // why cross-process LOCAL racing belongs to LocalCommitStore's
+        // hard-link CAS, as the class doc states.
+        won && (trustedRename || readBackMatches(fs, dst, bytes))
+      }
     } finally {
       if (fs.exists(tmp)) { fs.delete(tmp, false); () }
     }
   }
+
+  private def readBackMatches(fs: FileSystem, p: HPath, expected: Array[Byte]): Boolean =
+    try {
+      val len = fs.getFileStatus(p).getLen
+      if (len != expected.length) false
+      else {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](expected.length)
+          in.readFully(0, buf)
+          java.util.Arrays.equals(buf, expected)
+        } finally in.close()
+      }
+    } catch { case _: java.io.IOException => false }
 
   override def publishHint(metadataDir: Path, version: Int): Unit = {
     val p = hPath(metadataDir, "version-hint.txt")
@@ -114,4 +158,17 @@ final class HadoopCommitStore(conf: Configuration) extends CommitStore {
     val fs = fsOf(p)
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
+}
+
+object HadoopCommitStore {
+  /** Filesystems whose `rename` is an atomic fails-if-destination-
+    * exists primitive — the exclusive-publish guarantee the commit
+    * protocol rides on. Everything else gets read-back verification. */
+  private[format] val atomicRenameSchemes: Set[String] =
+    Set("hdfs", "webhdfs", "swebhdfs", "viewfs", "ofs", "o3fs", "abfs", "abfss")
+
+  /** Object stores where rename is an emulated check-then-copy with no
+    * exclusivity at all — rejected outright for commits. */
+  private[format] val nonAtomicObjectStores: Set[String] =
+    Set("s3a", "s3n", "s3", "gs", "wasb", "wasbs", "swift", "oss", "cos", "cosn")
 }

@@ -991,13 +991,5 @@ class LakeCatalog(val warehouse: String,
     LakeTable.create(loc(name), schema, partitionSpec, sortOrder, properties, store)
   def loadTable(name: String): LakeTable = LakeTable.load(loc(name), store)
   def tableExists(name: String): Boolean = LakeTable.exists(loc(name), store)
-  def dropTable(name: String): Unit =
-    if (store eq LocalCommitStore) {
-      val p = Paths.get(loc(name))
-      if (Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
-    } else store.dropTableDir(Paths.get(loc(name)))
+  def dropTable(name: String): Unit = store.dropTableDir(Paths.get(loc(name)))
 }

@@ -127,9 +127,11 @@ final class CachingFileSystem extends FileSystem {
       state.stats.bypass.incrementAndGet()
       return inner.open(ip, bufferSize)
     }
-    val local = state.ensureLocal(ip.toString, st.getLen, st.getModificationTime,
-      assumeImmutable, () => inner.open(ip))
-    openLocal(local)
+    // the stream is opened INSIDE the cache's entry pin (lru monitor):
+    // a concurrent evictToFit/invalidate cannot unlink the entry file
+    // between lookup and open — once open, POSIX keeps the inode alive
+    state.ensureLocal(ip.toString, st.getLen, st.getModificationTime,
+      assumeImmutable, () => inner.open(ip))(openLocal)
   }
 
   private def openLocal(file: JPath): FSDataInputStream =
@@ -205,17 +207,24 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
   // access-ordered LRU; all structural access synchronized on `lru`
   private val lru = new java.util.LinkedHashMap[String, Entry](64, 0.75f, true)
   private val totalBytes = new AtomicLong()
-  // single-flight: one lock object per in-progress key
-  private val fetchLocks = new ConcurrentHashMap[String, Object]()
+  // single-flight: one future per in-progress key; losers await the
+  // winner instead of racing a removable lock object (which let a
+  // late-arriving thread mint a fresh lock while a waiter still held
+  // the old one, double-downloading and double-counting)
+  private val inFlight =
+    new ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[Unit]]()
 
   /** Serve `key` from local disk, downloading at most once per miss
     * even under concurrent callers. `mtime` participates in validity
-    * unless `assumeImmutable`. */
-  def ensureLocal(key: String, len: Long, mtime: Long, assumeImmutable: Boolean,
-      fetch: () => java.io.InputStream): JPath = {
-    val now = System.currentTimeMillis()
-    def lookup(): Option[JPath] = lru.synchronized {
+    * unless `assumeImmutable`. `use` runs while the entry is pinned
+    * under the lru monitor, so an eviction cannot unlink the file
+    * between lookup and the caller's open — keep it cheap (a local
+    * file open, not remote IO). */
+  def ensureLocal[A](key: String, len: Long, mtime: Long, assumeImmutable: Boolean,
+      fetch: () => java.io.InputStream)(use: JPath => A): A = {
+    def lookupAndUse(): Option[A] = lru.synchronized {
       Option(lru.get(key)).flatMap { e =>
+        val now = System.currentTimeMillis()
         val expired = expireMs > 0 && now - e.lastAccess > expireMs
         val stale = e.len != len || (!assumeImmutable && e.mtime != mtime)
         if (expired || stale || !Files.exists(e.file)) {
@@ -223,41 +232,54 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
           None
         } else {
           e.lastAccess = now
-          Some(e.file)
+          Some(use(e.file))
         }
       }
     }
-    lookup() match {
-      case Some(f) =>
-        stats.hits.incrementAndGet()
-        f
-      case None =>
-        val lock = fetchLocks.computeIfAbsent(key, _ => new Object)
-        try lock.synchronized {
-          lookup() match { // a racing fetch may have landed it
-            case Some(f) =>
-              stats.hits.incrementAndGet()
-              f
-            case None =>
-              stats.misses.incrementAndGet()
-              val target = dir.resolve(entryName(key, len, mtime))
-              val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-              val in = fetch()
-              try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
-              finally in.close()
-              Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-                StandardCopyOption.REPLACE_EXISTING)
-              stats.bytesFetched.addAndGet(len)
-              lru.synchronized {
-                evictToFit(len)
-                Option(lru.put(key, Entry(target, len, mtime)))
-                  .foreach(old => totalBytes.addAndGet(-old.len))
-                totalBytes.addAndGet(len)
+    while (true) {
+      lookupAndUse() match {
+        case Some(a) =>
+          stats.hits.incrementAndGet()
+          return a
+        case None =>
+          val mine = new java.util.concurrent.CompletableFuture[Unit]()
+          val existing = inFlight.putIfAbsent(key, mine)
+          if (existing != null) {
+            // someone else is fetching this key — await, then re-lookup
+            try existing.join()
+            catch { case _: java.util.concurrent.CompletionException => () }
+          } else {
+            try {
+              lookupAndUse() match { // a fetch may have landed before our claim
+                case Some(a) =>
+                  stats.hits.incrementAndGet()
+                  return a
+                case None =>
+                  stats.misses.incrementAndGet()
+                  val target = dir.resolve(entryName(key, len, mtime))
+                  val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+                  val in = fetch()
+                  try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+                  finally in.close()
+                  Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+                    StandardCopyOption.REPLACE_EXISTING)
+                  stats.bytesFetched.addAndGet(len)
+                  return lru.synchronized {
+                    evictToFit(len)
+                    Option(lru.put(key, Entry(target, len, mtime)))
+                      .foreach(old => totalBytes.addAndGet(-old.len))
+                    totalBytes.addAndGet(len)
+                    use(target) // still pinned: nothing can evict it yet
+                  }
               }
-              target
+            } finally {
+              mine.complete(())
+              inFlight.remove(key, mine)
+            }
           }
-        } finally fetchLocks.remove(key, lock)
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   def invalidate(key: String): Unit = lru.synchronized {

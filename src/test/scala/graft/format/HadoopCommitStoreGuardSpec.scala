@@ -1,0 +1,75 @@
+package graft.format
+
+import java.net.URI
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath, RawLocalFileSystem}
+
+/** A local filesystem whose rename REPLACES the destination and then
+  * lets a simulated cross-process racer overwrite it immediately —
+  * the exact hazard window of POSIX File.renameTo that
+  * [[HadoopCommitStore]]'s read-back verification must convert into a
+  * commit loss. */
+class RacyReplacingFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "racyfs"
+  override def getUri: URI = URI.create("racyfs:///")
+  override def rename(src: HPath, dst: HPath): Boolean = {
+    val ok = super.rename(src, dst)
+    if (ok && dst.getName.endsWith(".json")) {
+      val out = create(dst, true)
+      try out.write("""{"writer":"racer"}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+    ok
+  }
+}
+
+/** Pins for the commit-exclusivity guards: object-store schemes with
+  * emulated (non-atomic) rename are rejected outright, and on
+  * local-class filesystems a rename that "won" but was replaced by a
+  * racer is detected by read-back verification and reported as a
+  * loss — never a silent double-win. */
+class HadoopCommitStoreGuardSpec extends SparkSpec {
+
+  private def freshConf(): Configuration =
+    new Configuration(spark.sparkContext.hadoopConfiguration)
+
+  test("putIfAbsent rejects object-store schemes with non-atomic rename") {
+    val store = new HadoopCommitStore(freshConf())
+    val ex = intercept[IllegalArgumentException] {
+      store.putIfAbsent(Paths.get("s3a://bucket/t/metadata"), "v1.json", "{}")
+    }
+    assert(ex.getMessage.contains("ObjectStoreCommitStore"))
+  }
+
+  test("putIfAbsent resolves gcache:// to its inner scheme before deciding") {
+    val conf = freshConf()
+    conf.set("graft.cache.inner.scheme", "s3a")
+    val store = new HadoopCommitStore(conf)
+    intercept[IllegalArgumentException] {
+      store.putIfAbsent(Paths.get("gcache://bucket/t/metadata"), "v1.json", "{}")
+    }
+  }
+
+  test("read-back verify turns a replaced rename into a commit loss") {
+    val conf = freshConf()
+    conf.set("fs.racyfs.impl", classOf[RacyReplacingFileSystem].getName)
+    val wh = Files.createTempDirectory("racyfs-wh").toString
+    try {
+      val store = new HadoopCommitStore(conf)
+      val metaDir = Paths.get(s"racyfs://$wh", "t", "metadata")
+      store.prepareTable(Paths.get(s"racyfs://$wh", "t"))
+      // the rename itself succeeds, but the racer's overwrite lands
+      // before verification — the commit must report as LOST
+      assert(!store.putIfAbsent(metaDir, "v1.json", """{"writer":"me"}"""),
+        "a replaced commit must not be reported as won")
+      // and the surviving content is the racer's, untouched by us
+      val bytes = new String(store.readBytes(metaDir, "v1.json"), "UTF-8")
+      assert(bytes.contains("racer"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+    }
+  }
+}

@@ -46,26 +46,26 @@ class CachingFileSystemSpec extends SparkSpec {
       val st = FileCacheState.forDir(dir, maxBytes = 1024 * 1024, expireMs = 0)
       val n = new AtomicLong()
       val data = bytesOf("hello parquet")
-      val f1 = st.ensureLocal("k1", data.length, 7L, assumeImmutable = true, fetcher(data, n))
+      val f1 = st.ensureLocal("k1", data.length, 7L, assumeImmutable = true, fetcher(data, n))(identity)
       assert(Files.readAllBytes(f1).sameElements(data))
       assert(n.get() == 1 && st.stats.misses.get() == 1)
-      val f2 = st.ensureLocal("k1", data.length, 7L, assumeImmutable = true, fetcher(data, n))
+      val f2 = st.ensureLocal("k1", data.length, 7L, assumeImmutable = true, fetcher(data, n))(identity)
       assert(f2 == f1 && n.get() == 1 && st.stats.hits.get() == 1)
       // changed length is staleness even under assume-immutable
       st.ensureLocal("k1", data.length + 1, 7L, assumeImmutable = true,
-        fetcher(data :+ '!'.toByte, n))
+        fetcher(data :+ '!'.toByte, n))(identity)
       assert(n.get() == 2)
       // explicit invalidation drops the entry
       st.invalidate("k1")
       st.ensureLocal("k1", data.length + 1, 7L, assumeImmutable = true,
-        fetcher(data :+ '!'.toByte, n))
+        fetcher(data :+ '!'.toByte, n))(identity)
       assert(n.get() == 3)
       // mtime change only matters when immutability is NOT assumed
       st.ensureLocal("k1", data.length + 1, 99L, assumeImmutable = true,
-        fetcher(data :+ '!'.toByte, n))
+        fetcher(data :+ '!'.toByte, n))(identity)
       assert(n.get() == 3)
       st.ensureLocal("k1", data.length + 1, 99L, assumeImmutable = false,
-        fetcher(data :+ '!'.toByte, n))
+        fetcher(data :+ '!'.toByte, n))(identity)
       assert(n.get() == 4)
     } finally FileCacheState.reset(dir)
   }
@@ -76,17 +76,17 @@ class CachingFileSystemSpec extends SparkSpec {
       val st = FileCacheState.forDir(dir, maxBytes = 250, expireMs = 0)
       val n = new AtomicLong()
       val blob = bytesOf("x" * 100)
-      st.ensureLocal("a", 100, 0L, assumeImmutable = true, fetcher(blob, n))
-      st.ensureLocal("b", 100, 0L, assumeImmutable = true, fetcher(blob, n))
+      st.ensureLocal("a", 100, 0L, assumeImmutable = true, fetcher(blob, n))(identity)
+      st.ensureLocal("b", 100, 0L, assumeImmutable = true, fetcher(blob, n))(identity)
       // touch a so b becomes the LRU victim
-      st.ensureLocal("a", 100, 0L, assumeImmutable = true, fetcher(blob, n))
-      st.ensureLocal("c", 100, 0L, assumeImmutable = true, fetcher(blob, n))
+      st.ensureLocal("a", 100, 0L, assumeImmutable = true, fetcher(blob, n))(identity)
+      st.ensureLocal("c", 100, 0L, assumeImmutable = true, fetcher(blob, n))(identity)
       assert(st.currentBytes <= 250 && st.stats.evictions.get() == 1)
       assert(n.get() == 3)
       // a survived (hit), b was evicted (refetch)
-      st.ensureLocal("a", 100, 0L, assumeImmutable = true, fetcher(blob, n))
+      st.ensureLocal("a", 100, 0L, assumeImmutable = true, fetcher(blob, n))(identity)
       assert(n.get() == 3)
-      st.ensureLocal("b", 100, 0L, assumeImmutable = true, fetcher(blob, n))
+      st.ensureLocal("b", 100, 0L, assumeImmutable = true, fetcher(blob, n))(identity)
       assert(n.get() == 4)
     } finally FileCacheState.reset(dir)
   }
@@ -97,11 +97,11 @@ class CachingFileSystemSpec extends SparkSpec {
       val st = FileCacheState.forDir(dir, maxBytes = 1024, expireMs = 50)
       val n = new AtomicLong()
       val blob = bytesOf("ttl")
-      st.ensureLocal("k", 3, 0L, assumeImmutable = true, fetcher(blob, n))
-      st.ensureLocal("k", 3, 0L, assumeImmutable = true, fetcher(blob, n))
+      st.ensureLocal("k", 3, 0L, assumeImmutable = true, fetcher(blob, n))(identity)
+      st.ensureLocal("k", 3, 0L, assumeImmutable = true, fetcher(blob, n))(identity)
       assert(n.get() == 1)
       Thread.sleep(120)
-      st.ensureLocal("k", 3, 0L, assumeImmutable = true, fetcher(blob, n))
+      st.ensureLocal("k", 3, 0L, assumeImmutable = true, fetcher(blob, n))(identity)
       assert(n.get() == 2, "expired entry must refetch")
     } finally FileCacheState.reset(dir)
   }
@@ -119,7 +119,7 @@ class CachingFileSystemSpec extends SparkSpec {
       }
       val threads = (1 to 8).map { _ =>
         new Thread(() => {
-          st.ensureLocal("hot", 1000, 0L, assumeImmutable = true, slowFetch)
+          st.ensureLocal("hot", 1000, 0L, assumeImmutable = true, slowFetch)(identity)
           ()
         })
       }
@@ -127,6 +127,37 @@ class CachingFileSystemSpec extends SparkSpec {
       threads.foreach(_.join())
       assert(n.get() == 1, s"expected one fetch, saw ${n.get()}")
       assert(st.stats.hits.get() == 7)
+    } finally FileCacheState.reset(dir)
+  }
+
+  test("cache state: use-under-pin survives concurrent eviction pressure") {
+    // cache holds ONE of the two entries at a time, so every access by
+    // one key evicts the other; reading INSIDE `use` must never see an
+    // unlinked file (the pre-fix shape returned the path and read after
+    // the monitor was released, racing the other thread's evictToFit)
+    val dir = tmpDir("evict-race")
+    try {
+      val st = FileCacheState.forDir(dir, maxBytes = 150, expireMs = 0)
+      val blobs = Map("a" -> bytesOf("A" * 100), "b" -> bytesOf("B" * 100))
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 8).map { i =>
+        val key = if (i % 2 == 0) "a" else "b"
+        new Thread(() => {
+          try {
+            var k = 0
+            while (k < 50) {
+              val got = st.ensureLocal(key, 100, 0L, assumeImmutable = true,
+                () => new java.io.ByteArrayInputStream(blobs(key)))(Files.readAllBytes)
+              assert(got.sameElements(blobs(key)))
+              k += 1
+            }
+          } catch { case t: Throwable => failures.add(t); () }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(failures.isEmpty, s"reads failed under eviction pressure: ${failures.peek()}")
+      assert(st.currentBytes <= 150)
     } finally FileCacheState.reset(dir)
   }
 
