@@ -393,6 +393,80 @@ object LakeQueries {
       doc = "S4 schema evolution: rename+add resolved by field id, incl. inside map value structs"),
 
     // ------------------------------------------------------------------
+    Q("lake_scd2_evolution",
+      (s, d) => {
+        // SURVEY §7.4 hard-part 4 end-to-end: an SCD2 merge against a
+        // table whose data files PREDATE a schema evolution — the diff
+        // join must read old files through the field-id projection
+        // (rename resolved, added column NULL-filled) and compare the
+        // NULL-filled column null-safely, or unchanged rows churn.
+        // Reference anchor: sql/SchemaEvolution.java:328-404.
+        val (e, _) = freshEngine(s, "scd2evo")
+        val customer = Tables.customer(s, d)
+        val schema = StructType(customer.schema.fields ++ Seq(
+          StructField("effective_start", TimestampNTZType),
+          StructField("effective_end", TimestampNTZType),
+          StructField("is_current", BooleanType)))
+        val t = e.catalog.createTable("customer_dim_evo", schema)
+        e.insert(t, customer
+          .withColumn("effective_start", lit(ts0).cast(TimestampNTZType))
+          .withColumn("effective_end", lit(null).cast(TimestampNTZType))
+          .withColumn("is_current", lit(true)))
+        // evolve AFTER the insert: every data file is old-schema
+        t.renameColumn("c_acctbal", "balance")
+        t.addColumn("c_phone", StringType)
+        // new-schema snapshot source: %25==0 keys absent (-> closed),
+        // %4==0 balance bumped, %10==0 phone set (vs NULL-fill in old
+        // files), the rest UNCHANGED (old version must stay open), plus
+        // brand-new keys carrying phones
+        val src = customer.filter(col("c_custkey") % 25 =!= 0)
+          .withColumn("c_acctbal", when(col("c_custkey") % 4 === 0,
+            col("c_acctbal") + 50.0).otherwise(col("c_acctbal")))
+          .withColumnRenamed("c_acctbal", "balance")
+          .withColumn("c_phone", when(col("c_custkey") % 10 === 0,
+            concat(lit("PH-"), col("c_custkey").cast("string"))))
+          .unionByName(customer.filter(col("c_custkey") % 30 === 0)
+            .select((col("c_custkey") + 300000).as("c_custkey"), col("c_name"),
+              col("c_nationkey"), col("c_acctbal").as("balance"), col("c_mktsegment"),
+              concat(lit("PH-"), (col("c_custkey") + 300000).cast("string")).as("c_phone")))
+        Merge.scd2(e, t, src, Merge.Scd2Options(
+          keyCols = Seq("c_custkey"), effectiveTimestamp = ts1,
+          currentFlagCol = Some("is_current")))
+        e.scan(t).toDF().orderBy("c_custkey", "effective_start")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT * FROM customer)
+        -- unchanged rows: old version stays open, phone still NULL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal AS balance, c_mktsegment,
+          TIMESTAMP '2024-01-01' AS effective_start, CAST(NULL AS TIMESTAMP) AS effective_end,
+          TRUE AS is_current, CAST(NULL AS VARCHAR) AS c_phone
+        FROM base WHERE c_custkey % 25 <> 0 AND c_custkey % 4 <> 0 AND c_custkey % 10 <> 0
+        UNION ALL
+        -- closed versions of changed rows (balance bump or phone arrival)
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+          TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', FALSE, NULL
+        FROM base WHERE c_custkey % 25 <> 0 AND (c_custkey % 4 = 0 OR c_custkey % 10 = 0)
+        UNION ALL
+        -- new versions of changed rows
+        SELECT c_custkey, c_name, c_nationkey,
+          CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END, c_mktsegment,
+          TIMESTAMP '2024-02-01', NULL, TRUE,
+          CASE WHEN c_custkey % 10 = 0 THEN 'PH-' || CAST(c_custkey AS VARCHAR) ELSE NULL END
+        FROM base WHERE c_custkey % 25 <> 0 AND (c_custkey % 4 = 0 OR c_custkey % 10 = 0)
+        UNION ALL
+        -- closed versions of keys absent from the snapshot
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+          TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', FALSE, NULL
+        FROM base WHERE c_custkey % 25 = 0
+        UNION ALL
+        -- brand-new keys
+        SELECT c_custkey + 300000, c_name, c_nationkey, c_acctbal, c_mktsegment,
+          TIMESTAMP '2024-02-01', NULL, TRUE, 'PH-' || CAST(c_custkey + 300000 AS VARCHAR)
+        FROM base WHERE c_custkey % 30 = 0
+        ORDER BY c_custkey, effective_start"""),
+      doc = "D7+S4: SCD2 snapshot merge over pre-evolution data files (rename + NULL-filled add read through the field-id projection, null-safe change diff)"),
+
+    // ------------------------------------------------------------------
     Q("cdc_incremental_agg",
       (s, d) => {
         import org.apache.spark.sql.types.{DecimalType, DoubleType}

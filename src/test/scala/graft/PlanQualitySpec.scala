@@ -210,4 +210,60 @@ class PlanQualitySpec extends SparkSpec {
         s"$name regressed to a sampling range sort:\n$effective")
     }
   }
+
+  test("one-task funnels appear only in bench gates annotated with a row bound") {
+    // Exp38's find made structural: a repartition(1)/coalesce(1)
+    // presentation stage funnels the WHOLE result through one task —
+    // free for tiny final readouts, a silent scale killer when the
+    // result grows with the data (dedup_minhash_lsh hid ~20 s at sf10
+    // behind exactly this shape before round 16 moved it to a parallel
+    // range sort). Any bench gate whose executed plan funnels must be
+    // annotated here with the row bound that justifies it; a funnel
+    // with no annotation, or a result exceeding its bound, fails.
+    // Bounds document the justification and are checked against the
+    // actual count at test scale. Two classes:
+    //  - genuinely bounded readouts (fixed group keys, k centroids):
+    //    tight bounds;
+    //  - per-document readouts whose heavy kernel would RE-EXECUTE
+    //    under orderBy's range-sampling pass: the one-task sort of <=
+    //    10M skinny rows is sub-second and strictly cheaper — past
+    //    that, switch the gate to Present.sortWide (the LSH fix).
+    val smallResultBound: Map[String, Long] = Map(
+      "q6_forecast_revenue" -> 10L, // single-row revenue readout
+      "q19_disjunctive_pred" -> 10L, // single-row revenue readout
+      "q_distinct_agg" -> 100L, // bounded group keys (returnflag)
+      "sim_kmeans" -> 1000L, // k centroids
+      "text_tokens" -> 10000000L, // per-doc; kernel >> one-task sort
+      "text_fingerprint" -> 10000000L, // per-doc; kernel >> one-task sort
+      "text_bm25" -> 10000000L, // per-doc; fused kernel >> one-task sort
+      "dedup_exact" -> 10000000L) // per-group winners; hash-agg >> sort
+    val funnel = "(Coalesce 1|Exchange SinglePartition)".r
+    val offenders = scala.collection.mutable.Buffer[String]()
+    val funneling = scala.collection.mutable.Set[String]()
+    Registry.all.filter(_.bench).foreach { q =>
+      graft.plans.DriverFinalAgg.lastSourcePlan = ""
+      graft.queries.Present.clearFinishSource()
+      val df = q.run(spark, sf)
+      val effective = df.queryExecution.executedPlan.toString + "\n" +
+        graft.plans.DriverFinalAgg.lastSourcePlan + "\n" +
+        graft.queries.Present.lastSourcePlan
+      if (funnel.findFirstIn(effective).isDefined) {
+        funneling += q.name
+        val n = df.count()
+        smallResultBound.get(q.name) match {
+          case None =>
+            offenders += s"${q.name}: one-task funnel with no small-result annotation (rows=$n)"
+          case Some(bound) if n > bound =>
+            offenders += s"${q.name}: result $n exceeds its small-result bound $bound"
+          case _ => ()
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      "one-task funnels must carry a small-result row bound:\n" + offenders.mkString("\n"))
+    // annotations must stay exact: an entry for a gate that no longer
+    // funnels is stale cover a future funnel could hide behind
+    val stale = smallResultBound.keySet -- funneling
+    assert(stale.isEmpty, s"stale small-result annotations (gates no longer funnel): $stale")
+  }
 }
