@@ -46,9 +46,13 @@ import org.apache.hadoop.util.Progressable
   * never goes stale; `graft.cache.assume.immutable=false` additionally
   * revalidates (mtime, length) against the inner store on every hit
   * for non-lake usage. Same-JVM mutations (create/delete/rename)
-  * always invalidate. Readers holding an open stream survive eviction:
-  * the entry file is unlinked, POSIX keeps the inode alive until the
-  * stream closes. Cache directories are per-JVM-lifetime — leftovers
+  * always invalidate. Readers holding an open stream survive eviction
+  * via REFERENCE-COUNTED PINS: an entry with open streams is dropped
+  * from the index but its file is unlinked only on the last close —
+  * relying on POSIX inode liveness is NOT enough, because Hadoop's
+  * vectored read path (RawLocalFileSystem.readVectored) lazily
+  * re-opens the file BY PATH mid-stream. Cache directories are
+  * per-JVM-lifetime — leftovers
   * from a previous process are cleared on first use, mirroring the
   * reference's UUID-named entries that are never reused across
   * restarts.
@@ -127,15 +131,19 @@ final class CachingFileSystem extends FileSystem {
       state.stats.bypass.incrementAndGet()
       return inner.open(ip, bufferSize)
     }
-    // the stream is opened INSIDE the cache's entry pin (lru monitor):
-    // a concurrent evictToFit/invalidate cannot unlink the entry file
-    // between lookup and open — once open, POSIX keeps the inode alive
-    state.ensureLocal(ip.toString, st.getLen, st.getModificationTime,
-      assumeImmutable, () => inner.open(ip))(openLocal)
+    // the entry stays PINNED until the returned stream closes: eviction
+    // or invalidation meanwhile drops it from the index but defers the
+    // unlink to the last close, so mid-stream path re-opens (Hadoop
+    // vectored reads) keep working
+    state.ensurePinned(ip.toString, st.getLen, st.getModificationTime,
+      assumeImmutable, () => inner.open(ip)) { (file, release) =>
+      val in = try localFs.open(new Path(file.toUri))
+      catch { case e: Throwable => release(); throw e }
+      new FSDataInputStream(in) {
+        override def close(): Unit = try super.close() finally release()
+      }
+    }
   }
-
-  private def openLocal(file: JPath): FSDataInputStream =
-    localFs.open(new Path(file.toUri))
 
   private lazy val localFs: FileSystem =
     FileSystem.getLocal(getConf).getRaw
@@ -202,6 +210,10 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
 
   private final case class Entry(file: JPath, len: Long, mtime: Long) {
     @volatile var lastAccess: Long = System.currentTimeMillis()
+    /** Open streams on this entry; unlink defers to the last release. */
+    val pins = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Dropped from the index while pinned — delete on last release. */
+    @volatile var unlinked = false
   }
 
   // access-ordered LRU; all structural access synchronized on `lru`
@@ -215,14 +227,39 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
     new ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[Unit]]()
 
   /** Serve `key` from local disk, downloading at most once per miss
-    * even under concurrent callers. `mtime` participates in validity
-    * unless `assumeImmutable`. `use` runs while the entry is pinned
-    * under the lru monitor, so an eviction cannot unlink the file
-    * between lookup and the caller's open — keep it cheap (a local
-    * file open, not remote IO). */
+    * even under concurrent callers, holding the pin only for the span
+    * of `use`. `mtime` participates in validity unless
+    * `assumeImmutable`. */
   def ensureLocal[A](key: String, len: Long, mtime: Long, assumeImmutable: Boolean,
-      fetch: () => java.io.InputStream)(use: JPath => A): A = {
-    def lookupAndUse(): Option[A] = lru.synchronized {
+      fetch: () => java.io.InputStream)(use: JPath => A): A =
+    ensurePinned(key, len, mtime, assumeImmutable, fetch) { (file, release) =>
+      try use(file) finally release()
+    }
+
+  /** Like [[ensureLocal]] but the caller controls the pin's lifetime:
+    * `use` receives the local file AND a `release` thunk (idempotent)
+    * that MUST eventually be invoked — typically from a stream's
+    * close(). While pinned, eviction/invalidation drop the entry from
+    * the index but defer the unlink, so the path stays readable (Hadoop
+    * vectored reads re-open by path mid-stream). */
+  def ensurePinned[A](key: String, len: Long, mtime: Long, assumeImmutable: Boolean,
+      fetch: () => java.io.InputStream)(use: (JPath, () => Unit) => A): A = {
+    def releaseOf(e: Entry): () => Unit = {
+      val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+      () => if (released.compareAndSet(false, true)) lru.synchronized {
+        if (e.pins.decrementAndGet() == 0 && e.unlinked) {
+          // entry names are deterministic (key-len-mtime): a re-fetch
+          // after our index drop lands on the SAME path — never unlink
+          // a file a live entry now owns
+          val reowned = Option(lru.get(key)).exists(_.file == e.file)
+          if (!reowned)
+            try Files.deleteIfExists(e.file) catch { case _: java.io.IOException => () }
+        }
+      }
+    }
+    // pin acquisition happens under the lru monitor (entry proven live);
+    // `use` itself runs OUTSIDE it — the pin is what keeps the file
+    def lookupAndPin(): Option[(Entry, () => Unit)] = lru.synchronized {
       Option(lru.get(key)).flatMap { e =>
         val now = System.currentTimeMillis()
         val expired = expireMs > 0 && now - e.lastAccess > expireMs
@@ -232,15 +269,19 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
           None
         } else {
           e.lastAccess = now
-          Some(use(e.file))
+          e.pins.incrementAndGet()
+          Some((e, releaseOf(e)))
         }
       }
     }
+    def run(e: Entry, release: () => Unit): A =
+      try use(e.file, release)
+      catch { case t: Throwable => release(); throw t }
     while (true) {
-      lookupAndUse() match {
-        case Some(a) =>
+      lookupAndPin() match {
+        case Some((e, release)) =>
           stats.hits.incrementAndGet()
-          return a
+          return run(e, release)
         case None =>
           val mine = new java.util.concurrent.CompletableFuture[Unit]()
           val existing = inFlight.putIfAbsent(key, mine)
@@ -250,10 +291,10 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
             catch { case _: java.util.concurrent.CompletionException => () }
           } else {
             try {
-              lookupAndUse() match { // a fetch may have landed before our claim
-                case Some(a) =>
+              lookupAndPin() match { // a fetch may have landed before our claim
+                case Some((e, release)) =>
                   stats.hits.incrementAndGet()
-                  return a
+                  return run(e, release)
                 case None =>
                   stats.misses.incrementAndGet()
                   val target = dir.resolve(entryName(key, len, mtime))
@@ -261,16 +302,23 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
                   val in = fetch()
                   try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
                   finally in.close()
-                  Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-                    StandardCopyOption.REPLACE_EXISTING)
                   stats.bytesFetched.addAndGet(len)
-                  return lru.synchronized {
+                  val (e, release) = lru.synchronized {
+                    // publish (move) INSIDE the monitor: a zombie pin's
+                    // deferred delete for this same deterministic name
+                    // would otherwise race the window between the move
+                    // and the index insert and unlink the fresh file
+                    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+                      StandardCopyOption.REPLACE_EXISTING)
                     evictToFit(len)
-                    Option(lru.put(key, Entry(target, len, mtime)))
+                    val entry = Entry(target, len, mtime)
+                    Option(lru.put(key, entry))
                       .foreach(old => totalBytes.addAndGet(-old.len))
                     totalBytes.addAndGet(len)
-                    use(target) // still pinned: nothing can evict it yet
+                    entry.pins.incrementAndGet()
+                    (entry, releaseOf(entry))
                   }
+                  return run(e, release)
               }
             } finally {
               mine.complete(())
@@ -289,23 +337,27 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
   def entryCount: Int = lru.synchronized(lru.size)
   def currentBytes: Long = totalBytes.get()
 
-  // callers hold lru's monitor
+  // callers hold lru's monitor; a pinned entry's file outlives the
+  // index drop until its last release
   private def dropLocked(key: String, e: Entry): Unit = {
     lru.remove(key)
     totalBytes.addAndGet(-e.len)
-    try Files.deleteIfExists(e.file) catch { case _: java.io.IOException => () }
+    if (e.pins.get() > 0) e.unlinked = true
+    else try Files.deleteIfExists(e.file) catch { case _: java.io.IOException => () }
   }
 
-  /** Evict least-recently-used entries until `incoming` fits. An open
-    * reader keeps the unlinked inode alive; new opens re-fetch. */
+  /** Evict least-recently-used entries until `incoming` fits; pinned
+    * victims leave the index now, unlink on their last release. */
   private def evictToFit(incoming: Long): Unit = {
     val it = lru.entrySet().iterator()
     while (totalBytes.get() + incoming > maxBytes && it.hasNext) {
       val me = it.next()
+      val e = me.getValue
       it.remove()
-      totalBytes.addAndGet(-me.getValue.len)
+      totalBytes.addAndGet(-e.len)
       stats.evictions.incrementAndGet()
-      try Files.deleteIfExists(me.getValue.file) catch { case _: java.io.IOException => () }
+      if (e.pins.get() > 0) e.unlinked = true
+      else try Files.deleteIfExists(e.file) catch { case _: java.io.IOException => () }
     }
   }
 

@@ -1,0 +1,109 @@
+package graft.io
+
+import java.nio.file.Files
+
+import graft.{Registry, SparkSpec}
+
+/** Drives the ENTIRE bench read-query registry through the `gcache://`
+  * data-file locality cache (round-16 shipped it proven on one query;
+  * this spec is the whole-registry guarantee):
+  *
+  *  - every bench gate returns hash-identical rows when its inputs are
+  *    read through the cache instead of directly;
+  *  - a warm re-run of the full registry performs ZERO inner-store data
+  *    opens — no operator leaks a direct path past the cache;
+  *  - under a cache far smaller than the working set, eviction churns
+  *    (counters prove it) and results stay byte-identical — degraded
+  *    performance, never corruption;
+  *  - files over the pin limit stream through (bypass counted) with the
+  *    same results.
+  *
+  * Reference behavior matched: io/FileSystemCache.java:49-360 (TTL +
+  * weight eviction under concurrent readers).
+  */
+class CachingFsRegistrySpec extends SparkSpec {
+
+  private def benchGates = Registry.all.filter(_.bench)
+
+  private def withGcache[A](maxBytes: Long = 512L * 1024 * 1024,
+      maxFileBytes: Long = 256L * 1024 * 1024)(body: String => A): A = {
+    val cacheDir = Files.createTempDirectory("gcache-reg").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.gcache.impl", classOf[CachingFileSystem].getName)
+    // fresh FS instances per get: the Hadoop FS cache would otherwise
+    // pin the FIRST suite's cache dir/size for the whole JVM
+    hc.set("fs.gcache.impl.disable.cache", "true")
+    hc.set("fs.slowfs.impl", classOf[CountingFileSystem].getName)
+    hc.set("graft.cache.inner.scheme", "slowfs")
+    hc.set("graft.cache.dir", cacheDir)
+    hc.setLong("graft.cache.max.bytes", maxBytes)
+    hc.setLong("graft.cache.max.file.bytes", maxFileBytes)
+    try body(cacheDir)
+    finally {
+      hc.unset("graft.cache.max.bytes")
+      hc.unset("graft.cache.max.file.bytes")
+      FileCacheState.reset(cacheDir)
+    }
+  }
+
+  test("whole bench registry through gcache://: hash parity + zero inner opens when warm") {
+    withGcache() { cacheDir =>
+      val gDir = s"gcache://$sf"
+      // cold pass: parity against the direct-path plan, gate by gate
+      val coldCounts = benchGates.map { q =>
+        val direct = q.run(spark, sf).collect()
+        val cached = q.run(spark, gDir).collect()
+        assert(direct.length == cached.length,
+          s"${q.name}: ${direct.length} rows direct vs ${cached.length} through gcache")
+        assert(direct.sameElements(cached),
+          s"${q.name}: rows differ when read through the cache")
+        q.name -> direct.length
+      }.toMap
+      val stats = FileCacheState.statsFor(cacheDir).get
+      assert(stats.misses.get() > 0, "cold pass must have fetched through the cache")
+      // warm pass: the ENTIRE registry re-runs with zero inner data
+      // opens — any operator bypassing the cache shows up here
+      val innerOpens = CountingFs.opens.get()
+      benchGates.foreach { q =>
+        assert(q.run(spark, gDir).collect().length == coldCounts(q.name),
+          s"${q.name}: warm row count drifted")
+      }
+      assert(CountingFs.opens.get() == innerOpens,
+        s"warm registry run leaked ${CountingFs.opens.get() - innerOpens} inner opens past the cache")
+      val profile = s"registry cache profile: $stats (entries=${FileCacheState.statsFor(cacheDir).size})"
+      info(profile)
+    }
+  }
+
+  test("cache smaller than the working set: eviction churn, results stay correct") {
+    // sf0.001 inputs total ~460 KB; a 100 KB cache cannot hold even the
+    // two biggest tables at once, so cross-table queries evict under load
+    withGcache(maxBytes = 100L * 1024) { cacheDir =>
+      val gDir = s"gcache://$sf"
+      val churnGates = Seq("q3_shipping_priority", "q18_large_orders", "text_bm25",
+        "sim_kmeans").map(Registry.byName)
+      churnGates.foreach { q =>
+        val direct = q.run(spark, sf).collect()
+        val cached = q.run(spark, gDir).collect()
+        assert(direct.sameElements(cached), s"${q.name}: corruption under eviction pressure")
+      }
+      val stats = FileCacheState.statsFor(cacheDir).get
+      assert(stats.evictions.get() > 0, s"expected eviction churn, got $stats")
+      info(s"eviction-under-load profile: $stats")
+    }
+  }
+
+  test("files over the pin limit stream through with identical results") {
+    // 50 KB pin limit: documents/lineitem/embeddings (65-194 KB) bypass,
+    // small dims still cache — mixed-mode reads must stay correct
+    withGcache(maxFileBytes = 50L * 1024) { cacheDir =>
+      val gDir = s"gcache://$sf"
+      val q = Registry.byName("text_bm25")
+      val direct = q.run(spark, sf).collect()
+      val cached = q.run(spark, gDir).collect()
+      assert(direct.sameElements(cached), "stream-through changed results")
+      val stats = FileCacheState.statsFor(cacheDir).get
+      assert(stats.bypass.get() > 0, s"expected oversize bypasses, got $stats")
+    }
+  }
+}
