@@ -84,6 +84,18 @@ object Merge {
   private def shj(df: DataFrame, on: Boolean): DataFrame =
     if (on) df.hint("shuffle_hash") else df
 
+  /** Phase wall-clock decomposition (the LakeEngine GRAFT_PROBE_TIMING
+    * pattern applied to merges): set GRAFT_MERGE_TIMING to print each
+    * phase's elapsed seconds to stderr. Zero-cost when unset. */
+  private def mtimed[A](phase: String)(body: => A): A =
+    if (!sys.env.contains("GRAFT_MERGE_TIMING")) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally System.err.println(
+        f"[merge-timing] $phase ${(System.nanoTime() - t0) / 1e9}%.3fs")
+    }
+
   private def tp(c: String) = s"t_$c"
   private def sp(c: String) = s"s_$c"
 
@@ -137,11 +149,13 @@ object Merge {
 
     // target rows inside the boundary, with file identity; changes mode
     // additionally skips files that provably contain no source key
-    val prunePred = if (changesMode) scdKeyPrunePred(sBounded, opts.keyCols, schema)
+    val prunePred = mtimed("scd1.keyPrune") {
+      if (changesMode) scdKeyPrunePred(sBounded, opts.keyCols, schema)
       else AlwaysTrue
+    }
     val scanPred = if (Pred.isTrue(prunePred)) boundaryPred else And(boundaryPred, prunePred)
     val scan0 = new TableScan(spark, table, scanPred, withFileColumns = true)
-    val candidates = scan0.planFiles()
+    val candidates = mtimed("scd1.planFiles")(scan0.planFiles())
     val target = new TableScan(spark, table, explicitFiles = Some(candidates),
       withFileColumns = true).toDF()
       .filter(coalesce(boundaryCol, lit(false)))
@@ -186,8 +200,9 @@ object Merge {
         (schema.fieldNames.map(c => col(sp(c))).toSeq :+ col(SPresent)): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val probe = probeCardinalityAndModified(diff, tPresent, sPresent,
-        tp("_file"), tp("_pos"), col(OpCol).isin("U", "D"))
+      val probe = mtimed("scd1.diffProbe")(probeCardinalityAndModified(
+        diff, tPresent, sPresent,
+        tp("_file"), tp("_pos"), col(OpCol).isin("U", "D")))
       val modified = probe.modified
       val upserts = diff.filter(col(OpCol).isin("I", "U"))
         .select(schema.fieldNames.map(c => col(sp(c)).as(c)).toSeq: _*)
@@ -200,7 +215,7 @@ object Merge {
       val removedKeys = diff.filter(col(OpCol).isin("U", "D"))
         .select(col(tp("_file")).as("_file"), col(tp("_pos")).as("_pos"))
       val (keysSide, keysBroadcast) = rewriteSide(removedKeys, probe)
-      val newFiles =
+      val newFiles = mtimed("scd1.rewrite") {
         if (modified.nonEmpty && splitRewriteOk(table, entries, keysBroadcast, Set.empty)) {
           // split rewrite: retained rows stream per file (no exchange,
           // no sort), upserts cluster separately — see [[splitRewriteOk]]
@@ -209,14 +224,15 @@ object Merge {
             withFileColumns = true).toDF()
           val retained = full.join(keysSide, Seq("_file", "_pos"), "left_anti")
             .select(schema.fieldNames.map(col).toSeq: _*)
-          val rebuilt = LakeWriter.write(s2, table, retained, preserveDistribution = true)
+          val rebuilt = mtimed("scd1.rewrite.rebuilt")(
+            LakeWriter.write(s2, table, retained, preserveDistribution = true))
           // cluster the appended rows by the touched files' bounds too:
           // update-keyed rows unavoidably overlap their rebuilt file,
           // but inserts beyond every bound get their own tail file
           // instead of one wide file spanning both
           val appended = if (upserts.isEmpty) Seq.empty
-            else LakeWriter.write(spark, table, upserts,
-              clusterBounds = LakeWriter.clusterBoundsOf(table, entries))
+            else mtimed("scd1.rewrite.appended")(LakeWriter.write(spark, table, upserts,
+              clusterBounds = LakeWriter.clusterBoundsOf(table, entries)))
           rebuilt ++ appended
         } else {
           val retained =
@@ -231,9 +247,10 @@ object Merge {
           val bounds = LakeWriter.clusterBoundsOf(table, entries)
           LakeWriter.write(spark, table, newData, clusterBounds = bounds)
         }
-      table.commit(CommitOp.Overwrite(newFiles, modified,
+      }
+      mtimed("scd1.commit")(table.commit(CommitOp.Overwrite(newFiles, modified,
         fromSnapshotId = fromSnapshot, conflictFilter = Some(boundaryPred),
-        removeHints = entries))
+        removeHints = entries)))
     } finally diff.unpersist()
   }
 
@@ -266,8 +283,8 @@ object Merge {
     // diff scope: the WHOLE boundary (the guard below is never
     // key-pruned — the chronology check must see every boundary row's
     // interval, not just the rows this batch touches)
-    val guardCandidates = new TableScan(spark, table, boundaryPred,
-      withFileColumns = true).planFiles()
+    val guardCandidates = mtimed("scd2.planFiles")(new TableScan(spark, table,
+      boundaryPred, withFileColumns = true).planFiles())
 
     // out-of-order guard (reference dao/scd2_merge.xml:4-11).
     // Stats-first (round 14): a violating row needs startC >= eff or a
@@ -279,17 +296,19 @@ object Merge {
     // boundary scan per merge. Survivors get the same predicate as a
     // pushable row-group prefilter ahead of the exact 3VL check.
     val violationPred = Or(Ge(startC, effTs), Ge(endC, effTs))
-    val guardFiles = new TableScan(spark, table,
-      And(boundaryPred, violationPred), withFileColumns = true).planFiles()
-    val outOfOrder = new TableScan(spark, table,
-      explicitFiles = Some(guardFiles), withFileColumns = true).toDF()
-      .filter(col(startC) >= effLit ||
-        (col(endC).isNotNull && col(endC) >= effLit)) // pushable: skips clean groups
-      .filter(coalesce(boundaryCol, lit(false)))
-    if (!outOfOrder.isEmpty)
-      throw new OutOfOrderMergeException(
-        s"target has rows with $startC/$endC >= effective timestamp $effTs; " +
-          "apply changes in chronological order")
+    mtimed("scd2.orderGuard") {
+      val guardFiles = new TableScan(spark, table,
+        And(boundaryPred, violationPred), withFileColumns = true).planFiles()
+      val outOfOrder = new TableScan(spark, table,
+        explicitFiles = Some(guardFiles), withFileColumns = true).toDF()
+        .filter(col(startC) >= effLit ||
+          (col(endC).isNotNull && col(endC) >= effLit)) // pushable: skips clean groups
+        .filter(coalesce(boundaryCol, lit(false)))
+      if (!outOfOrder.isEmpty)
+        throw new OutOfOrderMergeException(
+          s"target has rows with $startC/$endC >= effective timestamp $effTs; " +
+            "apply changes in chronological order")
+    }
 
     // source projected to table schema; pinned in changes mode so the
     // key-prune collect and the diff join see the same rows (see scd1)
@@ -310,8 +329,10 @@ object Merge {
       .withColumn(SPresent, lit(true))
 
     // diff scope: changes mode skips files provably holding no source key
-    val prunePred = if (changesMode) scdKeyPrunePred(sBounded, opts.keyCols, schema)
+    val prunePred = mtimed("scd2.keyPrune") {
+      if (changesMode) scdKeyPrunePred(sBounded, opts.keyCols, schema)
       else AlwaysTrue
+    }
     val candidates =
       if (Pred.isTrue(prunePred)) guardCandidates
       else new TableScan(spark, table, And(boundaryPred, prunePred),
@@ -352,8 +373,9 @@ object Merge {
         (schema.fieldNames.map(c => col(sp(c))).toSeq :+ col(SPresent)): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val probe = probeCardinalityAndModified(diff, tPresent, sPresent,
-        tp("_file"), tp("_pos"), col(OpCol).isin("U", "D"))
+      val probe = mtimed("scd2.diffProbe")(probeCardinalityAndModified(
+        diff, tPresent, sPresent,
+        tp("_file"), tp("_pos"), col(OpCol).isin("U", "D")))
       val modified = probe.modified
 
       // new versions for I/U rows: start = effTs, end = NULL, flag = true
@@ -385,7 +407,7 @@ object Merge {
             case c => col(c)
           }.toSeq: _*)
       val scdCols: Set[String] = Set(endC) ++ opts.currentFlagCol
-      val newFiles =
+      val newFiles = mtimed("scd2.rewrite") {
         if (modified.nonEmpty && splitRewriteOk(table, entries, keysBroadcast, scdCols)) {
           // split rewrite: closing is a map-side column rewrite over the
           // per-file scan (no exchange, no sort); new versions cluster
@@ -393,11 +415,12 @@ object Merge {
           val s2 = perFileSession(spark, entries)
           val full = new TableScan(s2, table, explicitFiles = Some(entries),
             withFileColumns = true).toDF()
-          val rebuilt = LakeWriter.write(s2, table, closeRewrite(full),
-            preserveDistribution = true)
+          val rebuilt = mtimed("scd2.rewrite.rebuilt")(
+            LakeWriter.write(s2, table, closeRewrite(full),
+              preserveDistribution = true))
           val appended = if (newVersions0.isEmpty) Seq.empty
-            else LakeWriter.write(spark, table, newVersions0,
-              clusterBounds = LakeWriter.clusterBoundsOf(table, entries))
+            else mtimed("scd2.rewrite.appended")(LakeWriter.write(spark, table, newVersions0,
+              clusterBounds = LakeWriter.clusterBoundsOf(table, entries)))
           rebuilt ++ appended
         } else {
           val rebuilt =
@@ -408,11 +431,12 @@ object Merge {
           val bounds = LakeWriter.clusterBoundsOf(table, entries)
           LakeWriter.write(spark, table, newData, clusterBounds = bounds)
         }
+      }
       // conflict filter mirrors the reference scan filter: boundary OR still-open rows
       val conflict = Or(boundaryPred, Or(IsNull(endC), Ge(endC, effTs)))
-      table.commit(CommitOp.Overwrite(newFiles, modified,
+      mtimed("scd2.commit")(table.commit(CommitOp.Overwrite(newFiles, modified,
         fromSnapshotId = fromSnapshot, conflictFilter = Some(conflict),
-        removeHints = entries))
+        removeHints = entries)))
     } finally diff.unpersist()
   }
 

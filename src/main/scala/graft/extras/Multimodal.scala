@@ -247,6 +247,15 @@ object Multimodal {
   def mp4PIntraFrameFeatures(df: DataFrame, idCol: String): DataFrame =
     mp4TotalFeatures(df, idCol, MediaSynth.mp4PIntra)
 
+  /** Coded-inter-residual variant (round 17): [[MediaSynth.mp4PRes]]
+    * fixtures whose P frames carry P_L0_16x16 MBs with CodedBlockPattern
+    * luma 15 — CAVLC LumaLevel4x4 residuals (16-coeff blocks) decoded,
+    * dequantized and added onto the motion-compensated prediction.
+    * `lum_sum` is the closed form in the synthesizer's scaladoc.
+    * Map-only. */
+  def mp4PResFrameFeatures(df: DataFrame, idCol: String): DataFrame =
+    mp4TotalFeatures(df, idCol, MediaSynth.mp4PRes)
+
   /** Shared all-frame decode mapper for the inter-prediction gates:
     * synthesize the per-id MP4, decode EVERY sample with reference
     * propagation, and emit whole-stream totals. */
@@ -868,7 +877,7 @@ object MediaSynth {
     * prediction with zero residual, the WHOLE frame reconstructs to the
     * flat value 128 + r — so the decoded luma sum is the closed form
     * W*H*(128+r), oracle-checkable without any reference decoder. This
-    * writer shares NO table/code with [[H264.readResidualDcCavlc]]
+    * writer shares NO table/code with [[H264.readResidualCavlc]]
     * beyond the bit primitives, so a table error on either side fails
     * the gate instead of cancelling out. */
   def mp4Cavlc(id: Long): Array[Byte] = {
@@ -1283,6 +1292,109 @@ object MediaSynth {
       bw.u(1, 1) // total_zeros = 0 ("1" in the TotalCoeff=1 column)
       // slice_data iteration 2: one skip run covers the rest
       if (nMbs > 1) bw.ue(nMbs - 1L)
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+    mp4Container(wMb, hMb, nalIdr +: (1 until nFrames).map(nalP),
+      maxRefFrames = 1)
+  }
+
+  /** Coded-inter-residual sibling of [[mp4PMv]] (round 17): frame 0 is
+    * a CONSTANT I_PCM IDR (luma v = 60 + id%120); every later frame is
+    * a P slice whose raster-LAST macroblock is a coded P_L0_16x16 with
+    * CodedBlockPattern luma 15 / chroma 0 (inter me(v) codeNum 11,
+    * Table 9-4), mb_qp_delta to QP 51, zero motion, and CAVLC
+    * LumaLevel4x4 residuals in luma4x4 blocks 10, 12 and 15; every
+    * other MB rides one P_Skip run. Coefficients (16-coeff inter
+    * blocks — zigzag position 0 is a REGULAR coefficient here, the key
+    * shape difference from the Intra_16x16 15-AC blocks):
+    *
+    *   blk10: tc=1 T1=0, level +L (L = 2 + id%5) at zigzag pos 0 ->
+    *          d(0,0) = 224*L; its all-same-sign inverse transform makes
+    *          the block's pixel-residual sum S1 value-sensitive:
+    *          S1(2..6) = 112,176,224,288,336
+    *   blk12: tc=1 T1=1, -1 at zigzag pos 2 -> d(1,0) = -288, S2 = 4
+    *   blk15: tc=2 T1=1 (-1 at pos 4, +2 at pos 2 via total_zeros 3 +
+    *          run_before 1) -> S3 = 0
+    *
+    * Motion is zero everywhere (P_Skip derives (0,0); the coded MB's
+    * mvd is 0 against a zero median), so each P frame copies its
+    * reference and adds the SAME residual constants: pixels accumulate
+    * v + f*r with no clipping (max |r| = 21, v in [60,179], nf <= 4),
+    * giving the closed form
+    *   lum_sum = nf*w*h*v + (S1(L) + 4) * nf*(nf-1)/2
+    * — the multimodal_h264_pres gate's oracle. A wrong inter cbp
+    * mapping, missing mb_qp_delta, an intra-AC-shaped 15-coefficient
+    * read, bad nC bookkeeping or dequant/IDCT drift all move the sum.
+    * Shares only bit primitives with the decoder. */
+  def mp4PRes(id: Long): Array[Byte] = {
+    val wMb = (1 + id % 2).toInt
+    val hMb = (1 + (id / 2) % 2).toInt
+    val nFrames = (2 + id % 3).toInt
+    val v = (60 + id % 120).toInt
+    val lvl = (2 + id % 5).toInt
+    val nMbs = wMb * hMb
+
+    def nalIdr: Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x65, 8) // nal: ref_idc=3, type=5 (IDR slice)
+      bw.ue(0); bw.ue(7); bw.ue(0) // first_mb, slice_type I, pps id
+      bw.u(0, 4); bw.ue(0) // frame_num, idr_pic_id
+      bw.u(0, 1); bw.u(0, 1) // dec_ref_pic_marking (IDR)
+      bw.se(0) // slice_qp_delta
+      var mb = 0
+      while (mb < nMbs) {
+        bw.ue(25) // mb_type I_PCM
+        bw.byteAlignZero()
+        val luma = new Array[Byte](256)
+        java.util.Arrays.fill(luma, v.toByte)
+        bw.bytes(luma)
+        val chroma = new Array[Byte](128)
+        java.util.Arrays.fill(chroma, 128.toByte)
+        bw.bytes(chroma)
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+
+    def nalP(f: Int): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x41, 8) // nal: ref_idc=2, type=1 (non-IDR slice)
+      bw.ue(0) // first_mb_in_slice
+      bw.ue(5) // slice_type: P (all slices in pic)
+      bw.ue(0) // pps id
+      bw.u(f % 16, 4) // frame_num
+      bw.u(0, 1) // num_ref_idx_active_override_flag
+      bw.u(0, 1) // ref_pic_list_modification_flag_l0
+      bw.u(0, 1) // adaptive_ref_pic_marking_mode_flag
+      bw.se(0) // slice_qp_delta: QP 26 at slice level
+      bw.ue(nMbs - 1L) // mb_skip_run covers every MB but the last
+      bw.ue(0) // mb_type P_L0_16x16
+      bw.se(0); bw.se(0) // mvd_x, mvd_y: copy from reference
+      bw.ue(11) // coded_block_pattern me(v): inter codeNum 11 -> cbp 15
+      bw.se(25) // mb_qp_delta: 26 + 25 = 51 (the dequant constants above)
+      var bi = 0
+      while (bi < 16) {
+        if (bi == 10) {
+          bw.u(0x5, 6) // coeff_token "000101": tc=1, T1=0 (nC<2)
+          bw.u(0, 2 * lvl - 4); bw.u(1, 1) // level +lvl (levelCode 2L-2, re-add 2)
+          bw.u(1, 1) // total_zeros 0 -> coefficient at zigzag pos 0
+        } else if (bi == 12) {
+          bw.u(1, 2) // coeff_token "01": tc=1, T1=1
+          bw.u(1, 1) // trailing-one sign: -1
+          bw.u(2, 3) // total_zeros 2 -> pos 2
+        } else if (bi == 15) {
+          bw.u(0x4, 6) // coeff_token "000100": tc=2, T1=1
+          bw.u(1, 1) // T1 sign: -1 (highest-frequency coefficient)
+          bw.u(1, 1) // level +2 (levelCode 2 - 2 re-add -> prefix 0)
+          bw.u(0x4, 3) // total_zeros 3 (tc=2 column): "100"
+          bw.u(2, 2) // run_before 1 at zerosLeft 3: "10"
+        } else {
+          bw.u(1, 1) // TotalCoeff = 0 (every remaining nC stays < 2)
+        }
+        bi += 1
+      }
       bw.rbspTrailing()
       graft.extras.H264.addEmulationPrevention(bw.result())
     }
@@ -1770,6 +1882,22 @@ private[extras] object H264 {
       val mvx = new Array[Int](nMbs)
       val mvy = new Array[Int](nMbs)
       val inter = new Array[Boolean](nMbs)
+      // per-4x4-block AC TotalCoeff grid for 9.2.1 nC prediction —
+      // round 17: coded inter residuals make this live in P slices too
+      val w4 = wMbs * 4
+      val nnz = new Array[Int](w4 * sps.heightMbs * 4)
+      val blkX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+      val blkY = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+      def ncOf(mb: Int, bi: Int): Int = {
+        val gx = (mb % wMbs) * 4 + blkX(bi)
+        val gy = (mb / wMbs) * 4 + blkY(bi)
+        val hasA = gx > 0
+        val hasB = gy > 0
+        if (hasA && hasB) (nnz(gy * w4 + gx - 1) + nnz((gy - 1) * w4 + gx) + 1) >> 1
+        else if (hasA) nnz(gy * w4 + gx - 1)
+        else if (hasB) nnz((gy - 1) * w4 + gx)
+        else 0
+      }
       def compensate(mb: Int): Unit = {
         val mbX = (mb % wMbs) * 16
         val mbY = (mb / wMbs) * 16
@@ -1809,11 +1937,56 @@ private[extras] object H264 {
             mvx(mb) = px + mvdX
             mvy(mb) = py + mvdY
             inter(mb) = true
-            // coded_block_pattern me(v): inter mapping sends codeNum 0
-            // to cbp 0 (no residual, no mb_qp_delta); any coded inter
-            // residual is the documented seam
-            if (r.ue() != 0) return null
-            compensate(mb)
+            // coded_block_pattern me(v), Table 9-4 inter column: the
+            // two code points this profile decodes are codeNum 0 ->
+            // cbp 0 (no residual) and codeNum 11 -> cbp 15 (all four
+            // luma 8x8s coded, chroma 0). Other cbp values (partial
+            // luma, chroma residuals) stay behind the seam.
+            r.ue().toInt match {
+              case 0 =>
+                compensate(mb)
+              case 11 => // round 17: coded inter residuals
+                qp += r.se().toInt // mb_qp_delta (cbp > 0)
+                if (qp < 0 || qp > 51) return null
+                compensate(mb) // prediction first, residual adds on top
+                val mbX = (mb % wMbs) * 16
+                val mbY = (mb / wMbs) * 16
+                var bi = 0
+                while (bi < 16) {
+                  // LumaLevel4x4: 16-coeff blocks (zigzag position 0 is
+                  // a regular coefficient — unlike the Intra_16x16 AC
+                  // blocks, there is no separate DC plane)
+                  val (coeffs, tc) = readResidualCavlc(r, 16, ncOf(mb, bi))
+                  nnz(((mb / wMbs) * 4 + blkY(bi)) * w4 +
+                    (mb % wMbs) * 4 + blkX(bi)) = tc
+                  if (tc > 0) {
+                    val d = Array.ofDim[Int](4, 4)
+                    var kk = 0
+                    while (kk < 16) {
+                      if (coeffs(kk) != 0) {
+                        val (zi, zj) = ZigZag4x4(kk)
+                        d(zi)(zj) = dequantAc(coeffs(kk), qp, zi, zj)
+                      }
+                      kk += 1
+                    }
+                    val hh = inverse4x4(d)
+                    var yy = 0
+                    while (yy < 4) {
+                      var xx = 0
+                      while (xx < 4) {
+                        val o = (mbY + blkY(bi) * 4 + yy) * w +
+                          mbX + blkX(bi) * 4 + xx
+                        val px0 = (luma(o) & 0xff) + ((hh(yy)(xx) + 32) >> 6)
+                        luma(o) = math.max(0, math.min(255, px0)).toByte
+                        xx += 1
+                      }
+                      yy += 1
+                    }
+                  }
+                  bi += 1
+                }
+              case _ => return null // partial-cbp / chroma residual: seam
+            }
           } else if (mbType == 8) {
             // intra refresh: mb_type 5+3 = I_16x16, DC prediction,
             // CodedBlockPattern 0 — the DC-only CAVLC profile the
@@ -1823,8 +1996,10 @@ private[extras] object H264 {
             if (r.ue() > 3) return null // intra_chroma_pred_mode
             qp += r.se().toInt // mb_qp_delta
             if (qp < 0 || qp > 51) return null
-            // nC = 0: no macroblock in this profile codes AC residuals
-            val dcZig = readResidualDcCavlc(r, 16, 0)
+            // Intra16x16DCLevel nC predicted from luma block 0's
+            // neighbors (9.2.1) — live since coded inter MBs record AC
+            // counts; in the all-uncoded fixtures this stays 0
+            val dcZig = readResidualCavlc(r, 16, ncOf(mb, 0))._1
             val dcY = i16DcDequant(dcZig, qp)
             val mbX = (mb % wMbs) * 16
             val mbY = (mb / wMbs) * 16
@@ -1974,70 +2149,6 @@ private[extras] object H264 {
       j += 1
     }
     hOut
-  }
-
-  /** residual_block_cavlc (spec 9.2) for the DC-only subset: returns
-    * `maxNumCoeff` coefficient levels in zigzag scan order. Throws on
-    * any code point outside the subset (callers degrade to null). */
-  private[extras] def readResidualDcCavlc(
-      r: BitReader, maxNumCoeff: Int, nC: Int): Array[Int] = {
-    if (nC < 0 || nC >= 2)
-      throw new java.io.IOException("only the nC<2 coeff_token column is implemented")
-    // coeff_token, Table 9-5 column 0 <= nC < 2, TotalCoeff <= 1:
-    //   "1" -> (0,0)   "01" -> (1,1)   "000101" -> (1,0)
-    val (tc, t1) =
-      if (r.u(1) == 1) (0, 0)
-      else if (r.u(1) == 1) (1, 1)
-      else if (r.u(4) == 0x5) (1, 0)
-      else throw new java.io.IOException("coeff_token beyond the DC-only subset")
-    val out = new Array[Int](maxNumCoeff)
-    if (tc == 0) return out
-    // levels (spec 9.2.2.1; general, including the escape suffixes)
-    val level = new Array[Int](tc)
-    var suffixLength = if (tc > 10 && t1 < 3) 1 else 0
-    var i = 0
-    while (i < tc) {
-      if (i < t1) level(i) = if (r.u(1) == 1) -1 else 1
-      else {
-        var prefix = 0
-        while (r.u(1) == 0) {
-          prefix += 1
-          if (prefix > 47) throw new java.io.IOException("bad level_prefix")
-        }
-        var levelCode = math.min(15, prefix) << suffixLength
-        val suffixSize =
-          if (prefix >= 15) prefix - 3
-          else if (prefix == 14 && suffixLength == 0) 4
-          else suffixLength
-        if (suffixSize > 0) levelCode += r.u(suffixSize).toInt
-        if (prefix >= 15 && suffixLength == 0) levelCode += 15
-        if (prefix >= 16) levelCode += (1 << (prefix - 3)) - 4096
-        if (i == t1 && t1 < 3) levelCode += 2
-        level(i) = if (levelCode % 2 == 0) (levelCode + 2) >> 1 else -((levelCode + 1) >> 1)
-        if (suffixLength == 0) suffixLength = 1
-        if (math.abs(level(i)) > (3 << (suffixLength - 1)) && suffixLength < 6)
-          suffixLength += 1
-      }
-      i += 1
-    }
-    // total_zeros (Table 9-7, TotalCoeff = 1 column): "1"=0, then pairs
-    // 0^z 1 b -> 2z-1+(1-b), and the 8-zero tail code = 15
-    val totalZeros =
-      if (tc == maxNumCoeff) 0
-      else {
-        var z = 0
-        while (r.u(1) == 0) {
-          z += 1
-          if (z > 8) throw new java.io.IOException("bad total_zeros")
-        }
-        if (z == 0) 0
-        else if (z == 8) 15
-        else 2 * z - 1 + (1 - r.u(1).toInt)
-      }
-    // placement: with one coefficient there is no run_before; the
-    // single level sits total_zeros positions up the scan
-    out(tc + totalZeros - 1) = level(0)
-    out
   }
 
   // ------------------------------------------------------------------

@@ -445,6 +445,41 @@ object MultimodalQueries {
             AS BIGINT) AS lum_sum,
           CAST(nf * w * h AS BIGINT) AS plane_bytes
         FROM m ORDER BY doc_id"""),
-      doc = "H.264 intra-refresh in P slices: I_16x16/DC MBs (CAVLC DC level, inverse Hadamard, dequant, DC prediction) mixed with P_Skip runs vs closed-form oracle")
+      doc = "H.264 intra-refresh in P slices: I_16x16/DC MBs (CAVLC DC level, inverse Hadamard, dequant, DC prediction) mixed with P_Skip runs vs closed-form oracle"),
+
+    // ------------------------------------------------------------------
+    Q("multimodal_h264_pres",
+      (s, d) => {
+        // round-17 stretch: CODED INTER RESIDUALS. Frame 0 is a
+        // constant I_PCM IDR; every later frame is a P slice whose last
+        // MB is a coded P_L0_16x16 with CodedBlockPattern luma 15
+        // (inter me(v) mapping), mb_qp_delta, and CAVLC LumaLevel4x4
+        // residuals — 16-coefficient blocks where zigzag position 0 is
+        // a regular coefficient (the shape difference from intra AC),
+        // dequantized and added onto the motion-compensated prediction
+        // with per-block nC bookkeeping. Motion is zero so residuals
+        // accumulate across frames and the total stays closed-form.
+        Multimodal.mp4PResFrameFeatures(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+            16 * (1 + doc_id % 2) AS w,
+            16 * (1 + (doc_id // 2) % 2) AS h,
+            2 + doc_id % 3 AS nf,
+            60 + doc_id % 120 AS v,
+            CASE doc_id % 5 WHEN 0 THEN 112 WHEN 1 THEN 176 WHEN 2 THEN 224
+              WHEN 3 THEN 288 ELSE 336 END AS s1
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id,
+          CAST(nf AS BIGINT) AS n_frames,
+          CAST(w AS BIGINT) AS width,
+          CAST(h AS BIGINT) AS height,
+          CAST(nf * w * h * v + (s1 + 4) * ((nf * (nf - 1)) // 2) AS BIGINT) AS lum_sum,
+          CAST(nf * w * h AS BIGINT) AS plane_bytes
+        FROM p ORDER BY doc_id"""),
+      doc = "H.264 coded inter residuals: P_L0_16x16 with cbp 15 (inter me(v) mapping, mb_qp_delta, 16-coeff CAVLC LumaLevel4x4, dequant + IDCT onto the MC prediction, nC bookkeeping) vs closed-form accumulation oracle")
   )
 }

@@ -213,13 +213,52 @@ object LakeWriter extends Serializable {
     * None when the table's sort shape can't take the hint. */
   def clusterBoundsOf(table: LakeTable, touched: Seq[FileEntry]): Option[Seq[String]] =
     table.metadata.sortOrder.headOption.filter(_.ascending).flatMap { sf =>
-      if (!supportedClusterType(table.schema(sf.column).dataType)) None
+      val dt = table.schema(sf.column).dataType
+      if (!supportedClusterType(dt)) None
       else {
         val id = FieldIds.of(table.schema(sf.column))
-        val maxes = touched.flatMap(_.stats.get(id.toString).flatMap(_.max))
+        val maxes = touched.flatMap { f =>
+          val st = f.stats.get(id.toString)
+          val mx = st.flatMap(_.max)
+          // write-parallelism splits (round 17): one bucket per touched
+          // file caps a CoW rewrite at #files tasks — at sf10 the scd
+          // rewrite funneled ~115MB of sort+zstd-encode through 3 reduce
+          // tasks on 32 cores. For integer-canonical sort keys the
+          // footer (min,max) lets us add interior bounds by closed-form
+          // interpolation — NO sampling job — keeping ranges contiguous
+          // and disjoint (stats pruning unchanged; output files smaller
+          // but never overlapping). Volume-gated: files under the
+          // per-task target contribute no interior points, so
+          // small-scale writes keep their exact one-file-one-bucket
+          // shape. Skew inside a file degrades a split's balance, never
+          // correctness — and parallelism never drops below the
+          // unsplit shape.
+          val interior: Seq[String] = (st.flatMap(_.min), mx) match {
+            case (Some(lo), Some(hi)) if integerCanonical(dt) && f.sizeBytes > 0 =>
+              try {
+                val target = sys.props.get("graft.write.clusterSplitTargetBytes")
+                  .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+                  .getOrElse(8L << 20)
+                val n = math.min(math.max(f.sizeBytes / target, 1L), 8L)
+                val (blo, bhi) = (BigInt(lo), BigInt(hi))
+                (1L until n).map(i => (blo + (bhi - blo) * i / n).toString)
+                  .filterNot(b => b == lo || b == hi)
+              } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+            case _ => Seq.empty
+          }
+          interior ++ mx
+        }
         if (maxes.isEmpty) None else Some(maxes)
       }
     }
+
+  /** Sort-key types whose canonical stats strings are plain integers —
+    * the ones [[clusterBoundsOf]] can split by interpolation. */
+  private def integerCanonical(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
 
   private def supportedClusterType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |

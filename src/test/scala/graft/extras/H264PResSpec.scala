@@ -1,0 +1,107 @@
+package graft.extras
+
+import graft.SparkSpec
+
+/** Pins for the round-17 coded-inter-residual decode: frame-exact
+  * reconstruction of the cbp-15 P_L0_16x16 fixtures against an
+  * INDEPENDENT reimplementation of the dequant + inverse transform
+  * (written fresh here, shared with the decoder only through the spec
+  * text), residual accumulation across the copy chain, and the
+  * documented seams (partial-cbp code points degrade to null). */
+class H264PResSpec extends SparkSpec {
+
+  // independent 8.5.12 arithmetic: normAdjust4x4 rows and the two-stage
+  // integer butterfly, re-derived here rather than imported
+  private def dequant(c: Int, qp: Int, i: Int, j: Int): Int = {
+    val m = Array(
+      Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+      Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+    val cls =
+      if (i % 2 == 0 && j % 2 == 0) 0 else if (i % 2 == 1 && j % 2 == 1) 1 else 2
+    (c * m(qp % 6)(cls)) << (qp / 6 - 4) // qp 51 here, always the shift arm
+  }
+
+  private def idct(d: Array[Array[Int]]): Array[Array[Int]] = {
+    val f = Array.ofDim[Int](4, 4)
+    for (i <- 0 until 4) {
+      val e0 = d(i)(0) + d(i)(2); val e1 = d(i)(0) - d(i)(2)
+      val e2 = (d(i)(1) >> 1) - d(i)(3); val e3 = d(i)(1) + (d(i)(3) >> 1)
+      f(i)(0) = e0 + e3; f(i)(1) = e1 + e2; f(i)(2) = e1 - e2; f(i)(3) = e0 - e3
+    }
+    val h = Array.ofDim[Int](4, 4)
+    for (j <- 0 until 4) {
+      val e0 = f(0)(j) + f(2)(j); val e1 = f(0)(j) - f(2)(j)
+      val e2 = (f(1)(j) >> 1) - f(3)(j); val e3 = f(1)(j) + (f(3)(j) >> 1)
+      h(0)(j) = e0 + e3; h(1)(j) = e1 + e2; h(2)(j) = e1 - e2; h(3)(j) = e0 - e3
+    }
+    h
+  }
+
+  /** Per-pixel residual of one P frame of mp4PRes(id): nonzero only in
+    * the last MB's luma4x4 blocks 10 (at 0,12), 12 (at 8,8) and
+    * 15 (at 12,12). */
+  private def residualPlane(id: Long, w: Int, h: Int): Array[Int] = {
+    val lvl = (2 + id % 5).toInt
+    val r = new Array[Int](w * h)
+    val mbX = w - 16
+    val mbY = h - 16
+    def add(bx: Int, by: Int, d: Array[Array[Int]]): Unit = {
+      val hh = idct(d)
+      for (yy <- 0 until 4; xx <- 0 until 4)
+        r((mbY + by + yy) * w + mbX + bx + xx) = (hh(yy)(xx) + 32) >> 6
+    }
+    val d10 = Array.ofDim[Int](4, 4)
+    d10(0)(0) = dequant(lvl, 51, 0, 0) // +L at zigzag pos 0
+    add(0, 12, d10)
+    val d12 = Array.ofDim[Int](4, 4)
+    d12(1)(0) = dequant(-1, 51, 1, 0) // -1 at zigzag pos 2
+    add(8, 8, d12)
+    val d15 = Array.ofDim[Int](4, 4)
+    d15(1)(1) = dequant(-1, 51, 1, 1) // T1 -1 at zigzag pos 4
+    d15(1)(0) = dequant(2, 51, 1, 0) // +2 at zigzag pos 2
+    add(12, 12, d15)
+    r
+  }
+
+  test("fixtures reconstruct exactly: residuals accumulate along the copy chain") {
+    (0L to 23L).foreach { id =>
+      val Some((sps, frames)) =
+        JvmMp4Codec.decodeAllLuma(MediaSynth.mp4PRes(id)): @unchecked
+      val w = sps.widthMbs * 16
+      val h = sps.heightMbs * 16
+      val v = (60 + id % 120).toInt
+      assert(frames.length == (2 + id % 3).toInt, s"id=$id frame count")
+      val r = residualPlane(id, w, h)
+      frames.zipWithIndex.foreach { case (frame, fi) =>
+        val expected = Array.tabulate(w * h)(p => (v + fi * r(p)).toByte)
+        assert(java.util.Arrays.equals(frame, expected), s"id=$id frame $fi")
+      }
+    }
+  }
+
+  test("partial-cbp inter code points stay behind the seam") {
+    // same slice as the fixture but coded_block_pattern codeNum 2
+    // (inter cbp 1: one luma 8x8) — the decoder must degrade, not
+    // misparse the residual that follows
+    val sps = H264.Sps(1, 1, 4)
+    val ref = Array.fill(256)(100.toByte)
+    val bw = new H264.BitWriter
+    bw.u(0x41, 8); bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
+    bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+    bw.se(0) // slice_qp_delta
+    bw.ue(0) // mb_skip_run
+    bw.ue(0) // P_L0_16x16
+    bw.se(0); bw.se(0) // mvd
+    bw.ue(2) // cbp codeNum 2: partial luma — outside the subset
+    bw.rbspTrailing()
+    val rbsp = H264.addEmulationPrevention(bw.result())
+    assert(H264.decodePLuma(rbsp, sps, ref) == null)
+  }
+
+  test("cbp-15 path requires a parsable residual: truncation degrades") {
+    val good = MediaSynth.mp4PRes(7L)
+    (1 until good.length by math.max(1, good.length / 50)).foreach { len =>
+      JvmMp4Codec.decodeAllLuma(java.util.Arrays.copyOf(good, len)) // no throw
+    }
+  }
+}
