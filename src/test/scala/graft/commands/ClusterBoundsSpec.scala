@@ -124,6 +124,45 @@ class ClusterBoundsSpec extends SparkSpec {
     assert(scan.planFiles().size === 1)
   }
 
+  test("interior write-parallelism splits: volume-gated, ranges stay disjoint") {
+    // round 17: files over the split target contribute interpolated
+    // interior bounds (more buckets, same contiguity); files under it
+    // contribute only their max — the sf0.1-scale shape is unchanged
+    val dir = java.nio.file.Files.createTempDirectory("graft-cb4-").toString
+    val catalog = new LakeCatalog(dir)
+    val engine = new LakeEngine(spark, catalog)
+    val df = spark.range(0, 8000).select(
+      col("id").as("k"), (col("id") % 13).cast("double").as("v"))
+    val t = catalog.createTable("t", df.schema,
+      sortOrder = Seq(SortField("k")),
+      properties = Map("write.max-records-per-file" -> "4000"))
+    engine.insert(t, df)
+    val files = t.currentFiles()
+    // default target (8m) >> these tiny files: bounds = per-file maxes only
+    assert(LakeWriter.clusterBoundsOf(t, files).get.size == files.size)
+    // force the gate open: target below the file size adds interior
+    // bounds between each file's (min, max), capped at 8 splits/file
+    sys.props("graft.write.clusterSplitTargetBytes") = "1"
+    try {
+      val bounds = LakeWriter.clusterBoundsOf(t, files).get
+      assert(bounds.size == files.size * 8, s"expected 8 splits/file, got $bounds")
+      val id = FieldIds.of(t.schema("k")).toString
+      files.foreach { f =>
+        val (mn, mx) = (f.stats(id).min.get.toLong, f.stats(id).max.get.toLong)
+        // interior points sit strictly inside the file's range
+        assert(bounds.map(_.toLong).count(b => b > mn && b < mx) >= 7)
+      }
+      // a CoW rewrite under the forced splits still yields
+      // non-overlapping rewritten ranges and correct rows
+      engine.update(t, "k >= 1000 AND k < 7000", Map("v" -> "-2.0"))
+      val t2 = LakeTable.load(t.location)
+      assertNonOverlapping(keyRanges(t2, "k"))
+      val out = engine.scan(t2).toDF()
+      assert(out.filter(col("v") === -2.0).count() === 6000L)
+      assert(out.count() === 8000L)
+    } finally sys.props.remove("graft.write.clusterSplitTargetBytes")
+  }
+
   test("clusterBoundsOf declines descending and unsupported sort shapes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cb3-").toString
     val catalog = new LakeCatalog(dir)
