@@ -256,6 +256,14 @@ object Multimodal {
   def mp4PResFrameFeatures(df: DataFrame, idCol: String): DataFrame =
     mp4TotalFeatures(df, idCol, MediaSynth.mp4PRes)
 
+  /** Multi-reference variant (round 17): [[MediaSynth.mp4PMRef]]
+    * fixtures whose P slices override the active-reference count and
+    * pick per-MB te(v) reference indices from a sliding 2-frame DPB.
+    * `lum_sum` is the closed form in the synthesizer's scaladoc.
+    * Map-only. */
+  def mp4PMRefFrameFeatures(df: DataFrame, idCol: String): DataFrame =
+    mp4TotalFeatures(df, idCol, MediaSynth.mp4PMRef)
+
   /** Shared all-frame decode mapper for the inter-prediction gates:
     * synthesize the per-id MP4, decode EVERY sample with reference
     * propagation, and emit whole-stream totals. */
@@ -1402,6 +1410,120 @@ object MediaSynth {
       maxRefFrames = 1)
   }
 
+  /** Multi-reference sibling (round 17): pins te(v) ref_idx parsing,
+    * the sliding decoded-picture buffer, and per-reference motion
+    * compensation. Frames:
+    *
+    *   0: I_PCM IDR, constant vA = 50 + id%100
+    *   1: P slice, ALL macroblocks intra-refresh I_16x16/DC at QP 51 —
+    *      MB 0 carries one CAVLC DC level Lb (the 56L closed form),
+    *      later MBs level 0 and DC-predict from reconstructed
+    *      neighbors, so the whole frame lands on the constant
+    *      vB = 128 + ((56*Lb + 32) >> 6)
+    *   2: P slice with num_ref_idx_active override to 2: every MB is
+    *      P_L0_16x16 / zero mvd / cbp 0 with an EXPLICIT te(v)
+    *      ref_idx — even MBs take ref 0 (frame 1 = vB), odd MBs ref 1
+    *      (frame 0 = vA); a decoder that drops the te(v) bit misparses
+    *      everything after, one that ignores refIdx sums wrong
+    *   3 (when nf = 4): override to 2 again, ALL MBs ref 1 — by now
+    *      the DPB slid to [frame2, frame1], so ref 1 is frame 1 (vB):
+    *      wrong DPB order or a missing slide changes the sum
+    *
+    * lum_sum = w*h*(vA + vB) + 256*(ceil(n/2)*vB + floor(n/2)*vA)
+    *           + (nf == 4 ? w*h*vB : 0),  n = macroblock count
+    * — the multimodal_h264_mref gate's oracle. */
+  def mp4PMRef(id: Long): Array[Byte] = {
+    val wMb = (1 + id % 2).toInt
+    val hMb = (1 + (id / 2) % 2).toInt
+    val nFrames = (3 + id % 2).toInt
+    val vA = (50 + id % 100).toInt
+    val lb = (1 + id % 8).toInt * (if (id % 3 == 0) -1 else 1)
+    val nMbs = wMb * hMb
+
+    def nalIdr: Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x65, 8)
+      bw.ue(0); bw.ue(7); bw.ue(0)
+      bw.u(0, 4); bw.ue(0)
+      bw.u(0, 1); bw.u(0, 1)
+      bw.se(0)
+      var mb = 0
+      while (mb < nMbs) {
+        bw.ue(25) // mb_type I_PCM
+        bw.byteAlignZero()
+        val luma = new Array[Byte](256)
+        java.util.Arrays.fill(luma, vA.toByte)
+        bw.bytes(luma)
+        val chroma = new Array[Byte](128)
+        java.util.Arrays.fill(chroma, 128.toByte)
+        bw.bytes(chroma)
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+
+    def pHeader(bw: graft.extras.H264.BitWriter, f: Int, twoRefs: Boolean): Unit = {
+      bw.u(0x41, 8) // nal: ref_idc=2, type=1 (non-IDR slice)
+      bw.ue(0); bw.ue(5); bw.ue(0) // first_mb, P slice, pps id
+      bw.u(f % 16, 4) // frame_num
+      if (twoRefs) { bw.u(1, 1); bw.ue(1) } // override -> l0 count 2
+      else bw.u(0, 1)
+      bw.u(0, 1) // ref_pic_list_modification_flag_l0
+      bw.u(0, 1) // adaptive_ref_pic_marking_mode_flag
+    }
+
+    // frame 1: all-intra refresh to the constant vB (QP 51 DC form)
+    def nalIntra(f: Int): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      pHeader(bw, f, twoRefs = false)
+      bw.se(25) // slice_qp_delta: QP 51
+      var mb = 0
+      while (mb < nMbs) {
+        bw.ue(0) // mb_skip_run
+        bw.ue(8) // mb_type 5+3: I_16x16, DC pred, cbp 0
+        bw.ue(0) // intra_chroma_pred_mode
+        bw.se(0) // mb_qp_delta
+        if (mb == 0) {
+          if (math.abs(lb) == 1) {
+            bw.u(1, 2) // coeff_token "01": tc=1, T1=1
+            bw.u(if (lb < 0) 1 else 0, 1)
+          } else {
+            bw.u(0x5, 6) // coeff_token "000101": tc=1, T1=0
+            val lc = (if (lb > 0) 2 * lb - 2 else -2 * lb - 1) - 2
+            bw.u(0, lc); bw.u(1, 1)
+          }
+          bw.u(1, 1) // total_zeros = 0
+        } else bw.u(1, 1) // TotalCoeff = 0: DC-predict from neighbors
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+
+    // frames 2+: explicit per-MB te(v) ref_idx against a 2-entry list
+    def nalMRef(f: Int, refOf: Int => Int): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      pHeader(bw, f, twoRefs = true)
+      bw.se(0) // slice_qp_delta
+      var mb = 0
+      while (mb < nMbs) {
+        bw.ue(0) // mb_skip_run
+        bw.ue(0) // mb_type P_L0_16x16
+        bw.u(1 - refOf(mb), 1) // ref_idx_l0 te(v), cMax 1: value = !bit
+        bw.se(0); bw.se(0) // mvd
+        bw.ue(0) // coded_block_pattern: 0
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+
+    val nals = Seq(nalIdr, nalIntra(1), nalMRef(2, mb => mb % 2)) ++
+      (if (nFrames == 4) Seq(nalMRef(3, _ => 1)) else Seq.empty)
+    mp4Container(wMb, hMb, nals, maxRefFrames = 2)
+  }
+
   private def mp4SpsNal(wMb: Int, hMb: Int, maxRefFrames: Int = 0): Array[Byte] = {
     val bw = new graft.extras.H264.BitWriter
     bw.u(0x67, 8) // nal: ref_idc=3, type=7 (SPS)
@@ -1614,7 +1736,8 @@ private[extras] object H264 {
     }
   }
 
-  final case class Sps(widthMbs: Int, heightMbs: Int, log2MaxFrameNum: Int)
+  final case class Sps(widthMbs: Int, heightMbs: Int, log2MaxFrameNum: Int,
+      maxNumRefFrames: Int = 1)
 
   /** Parse a PPS far enough to recover pic_init_qp_minus26 (needed by
     * the CAVLC slice decoder; everything before it is fixed-position
@@ -1650,11 +1773,11 @@ private[extras] object H264 {
       var i = 0
       while (i < n) { r.se(); i += 1 }
     }
-    r.ue() // max_num_ref_frames
+    val maxRef = r.ue().toInt // max_num_ref_frames
     r.u(1) // gaps_in_frame_num_value_allowed_flag
     val wmb = r.ue().toInt + 1
     val hmb = r.ue().toInt + 1
-    Sps(wmb, hmb, log2MaxFrameNum)
+    Sps(wmb, hmb, log2MaxFrameNum, math.max(1, maxRef))
   }
 
   /** Decode the luma plane of an I_PCM-only IDR slice NAL (CAVLC
@@ -1789,7 +1912,7 @@ private[extras] object H264 {
     * assigns. C is the top-right macroblock, substituted by D
     * (top-left) when outside the picture. */
   private[extras] def mvPred16x16(mvx: Array[Int], mvy: Array[Int],
-      inter: Array[Boolean], wMbs: Int, mbX: Int, mbY: Int): (Int, Int) = {
+      refIdx: Array[Int], wMbs: Int, mbX: Int, mbY: Int, curRef: Int): (Int, Int) = {
     val mb = mbY * wMbs + mbX
     val aAvail = mbX > 0
     val bAvail = mbY > 0
@@ -1798,20 +1921,20 @@ private[extras] object H264 {
       else if (mbY > 0 && mbX > 0) mb - wMbs - 1 // D substitution
       else -1
     val cAvail = cIdx >= 0
-    // an intra neighbor contributes mv (0,0); its refIdx is -1
+    // an intra neighbor (refIdx -1) contributes mv (0,0)
     @inline def mvOf(i: Int): (Int, Int) =
-      if (inter(i)) (mvx(i), mvy(i)) else (0, 0)
+      if (refIdx(i) >= 0) (mvx(i), mvy(i)) else (0, 0)
     // 8.4.1.3.1 rule: B, C and D unavailable, A available -> mvA
     // (positional availability — an intra A yields (0,0) via mvOf)
     if (!bAvail && !cAvail && aAvail) return mvOf(mb - 1)
-    val aRef0 = aAvail && inter(mb - 1)
-    val bRef0 = bAvail && inter(mb - wMbs)
-    val cRef0 = cAvail && inter(cIdx)
-    val nRef0 = (if (aRef0) 1 else 0) + (if (bRef0) 1 else 0) +
-      (if (cRef0) 1 else 0)
-    if (nRef0 == 1) { // exactly one neighbor has refIdxN == refIdx
-      if (aRef0) mvOf(mb - 1)
-      else if (bRef0) mvOf(mb - wMbs)
+    val aSame = aAvail && refIdx(mb - 1) == curRef
+    val bSame = bAvail && refIdx(mb - wMbs) == curRef
+    val cSame = cAvail && refIdx(cIdx) == curRef
+    val nSame = (if (aSame) 1 else 0) + (if (bSame) 1 else 0) +
+      (if (cSame) 1 else 0)
+    if (nSame == 1) { // exactly one neighbor has refIdxN == refIdx
+      if (aSame) mvOf(mb - 1)
+      else if (bSame) mvOf(mb - wMbs)
       else mvOf(cIdx)
     } else {
       val (ax, ay) = if (aAvail) mvOf(mb - 1) else (0, 0)
@@ -1825,36 +1948,54 @@ private[extras] object H264 {
 
   /** 8.4.1.1 P_Skip motion vector: (0,0) when the left or top neighbor
     * is unavailable or is ref-0 with a zero vector, else the 8.4.1.3
-    * predictor. An intra neighbor is neither unavailable nor ref-0. */
+    * predictor (P_Skip always references picture 0). An intra neighbor
+    * is neither unavailable nor ref-0. */
   private def pSkipMv(mvx: Array[Int], mvy: Array[Int],
-      inter: Array[Boolean], wMbs: Int, mbX: Int, mbY: Int): (Int, Int) = {
+      refIdx: Array[Int], wMbs: Int, mbX: Int, mbY: Int): (Int, Int) = {
     val mb = mbY * wMbs + mbX
     val aAvail = mbX > 0
     val bAvail = mbY > 0
-    val aZero = aAvail && inter(mb - 1) && mvx(mb - 1) == 0 && mvy(mb - 1) == 0
-    val bZero = bAvail && inter(mb - wMbs) &&
+    val aZero = aAvail && refIdx(mb - 1) == 0 && mvx(mb - 1) == 0 && mvy(mb - 1) == 0
+    val bZero = bAvail && refIdx(mb - wMbs) == 0 &&
       mvx(mb - wMbs) == 0 && mvy(mb - wMbs) == 0
     if (!aAvail || !bAvail || aZero || bZero) (0, 0)
-    else mvPred16x16(mvx, mvy, inter, wMbs, mbX, mbY)
+    else mvPred16x16(mvx, mvy, refIdx, wMbs, mbX, mbY, curRef = 0)
   }
 
   /** Decode the luma plane of a non-IDR P slice NAL (P_Skip runs,
-    * coded P_L0_16x16 macroblocks with zero residual, and — round 16 —
+    * coded P_L0_16x16 macroblocks — zero-residual or cbp-15 — and
     * intra-refresh I_16x16/DC/cbp-0 macroblocks) against `ref` (the
     * previously decoded frame). Null outside the subset. */
   def decodePLuma(rbsp: Array[Byte], sps: Sps, ref: Array[Byte],
       picInitQp: Int = 26): Array[Byte] =
-    decodePLumaWithMvs(rbsp, sps, ref, picInitQp) match {
+    decodePLuma(rbsp, sps, if (ref == null) Vector.empty else Vector(ref), picInitQp)
+
+  /** Multi-reference variant (round 17): `refs` is RefPicList0 in
+    * decode order, most recent first — the list pic_order_cnt_type 2
+    * with no reordering yields. */
+  def decodePLuma(rbsp: Array[Byte], sps: Sps, refs: IndexedSeq[Array[Byte]],
+      picInitQp: Int): Array[Byte] =
+    decodePLumaWithMvs(rbsp, sps, refs, picInitQp) match {
       case null => null
       case (luma, _, _) => luma
     }
 
+  private[extras] def decodePLumaWithMvs(rbsp: Array[Byte], sps: Sps,
+      ref: Array[Byte], picInitQp: Int): (Array[Byte], Array[Int], Array[Int]) =
+    decodePLumaWithMvs(rbsp, sps,
+      if (ref == null) Vector.empty else Vector(ref), picInitQp)
+
+  private[extras] def decodePLumaWithMvs(rbsp: Array[Byte], sps: Sps,
+      ref: Array[Byte]): (Array[Byte], Array[Int], Array[Int]) =
+    decodePLumaWithMvs(rbsp, sps, ref, 26)
+
   /** [[decodePLuma]] plus the derived per-MB quarter-pel motion
     * vectors (exposed for the spec's independent-median cross-check). */
   private[extras] def decodePLumaWithMvs(rbsp: Array[Byte], sps: Sps,
-      ref: Array[Byte], picInitQp: Int = 26): (Array[Byte], Array[Int], Array[Int]) = {
+      refs: IndexedSeq[Array[Byte]],
+      picInitQp: Int = 26): (Array[Byte], Array[Int], Array[Int]) = {
     try {
-      if (ref == null) return null
+      if (refs == null || refs.isEmpty || refs.exists(_ == null)) return null
       val r = new BitReader(rbsp)
       val nalHeader = r.u(8)
       val nalRefIdc = ((nalHeader >> 5) & 3).toInt
@@ -1866,6 +2007,7 @@ private[extras] object H264 {
       // pic_order_cnt_type == 2 in this profile: no POC fields
       val numRefL0 = // num_ref_idx_active_override_flag -> l0 count
         if (r.u(1) == 1) r.ue().toInt + 1 else 1 // PPS default 0 -> 1
+      if (numRefL0 > refs.length) return null // list exceeds the DPB we hold
       if (r.u(1) == 1) return null // ref_pic_list_modification_flag_l0
       // weighted_pred_flag is 0 in this profile's PPS: no pred_weight_table
       if (nalRefIdc != 0 && r.u(1) == 1) return null // adaptive marking
@@ -1874,14 +2016,15 @@ private[extras] object H264 {
       val wMbs = sps.widthMbs
       val w = wMbs * 16
       val h = sps.heightMbs * 16
-      if (ref.length != w * h) return null
+      if (refs.exists(_.length != w * h)) return null
       val nMbs = wMbs * sps.heightMbs
       val luma = new Array[Byte](w * h)
       // per-MB motion vectors in quarter-pel units (skip + pred inputs)
-      // and the inter/intra flag feeding the refIdx semantics
+      // and each MB's reference index (-1 = intra) feeding the
+      // same-refIdx predictor semantics
       val mvx = new Array[Int](nMbs)
       val mvy = new Array[Int](nMbs)
-      val inter = new Array[Boolean](nMbs)
+      val refIdxArr = Array.fill(nMbs)(-1)
       // per-4x4-block AC TotalCoeff grid for 9.2.1 nC prediction —
       // round 17: coded inter residuals make this live in P slices too
       val w4 = wMbs * 4
@@ -1899,6 +2042,7 @@ private[extras] object H264 {
         else 0
       }
       def compensate(mb: Int): Unit = {
+        val refPlane = refs(refIdxArr(mb))
         val mbX = (mb % wMbs) * 16
         val mbY = (mb / wMbs) * 16
         val dx = mvx(mb) >> 2; val fx = mvx(mb) & 3
@@ -1908,7 +2052,7 @@ private[extras] object H264 {
           var xx = 0
           while (xx < 16) {
             luma((mbY + yy) * w + mbX + xx) =
-              interpLumaQPel(ref, w, h, mbX + xx + dx, mbY + yy + dy, fx, fy).toByte
+              interpLumaQPel(refPlane, w, h, mbX + xx + dx, mbY + yy + dy, fx, fy).toByte
             xx += 1
           }
           yy += 1
@@ -1920,9 +2064,9 @@ private[extras] object H264 {
         if (run < 0 || mb + run > nMbs) return null
         var k = 0
         while (k < run) { // P_Skip macroblocks
-          val (sx, sy) = pSkipMv(mvx, mvy, inter, wMbs, mb % wMbs, mb / wMbs)
+          val (sx, sy) = pSkipMv(mvx, mvy, refIdxArr, wMbs, mb % wMbs, mb / wMbs)
           mvx(mb) = sx; mvy(mb) = sy
-          inter(mb) = true
+          refIdxArr(mb) = 0 // P_Skip always references picture 0
           compensate(mb)
           mb += 1
           k += 1
@@ -1930,13 +2074,20 @@ private[extras] object H264 {
         if (mb < nMbs) { // macroblock_layer: one coded MB
           val mbType = r.ue().toInt
           if (mbType == 0) { // P_L0_16x16
-            if (numRefL0 != 1) return null // ref_idx_l0 te(v): seam
+            // ref_idx_l0 te(v): absent for a 1-entry list, one inverted
+            // bit for a 2-entry list, ue(v) past that (spec 9.1.1)
+            val refIdxMb =
+              if (numRefL0 == 1) 0
+              else if (numRefL0 == 2) 1 - r.u(1).toInt
+              else r.ue().toInt
+            if (refIdxMb < 0 || refIdxMb >= numRefL0) return null
             val mvdX = r.se().toInt
             val mvdY = r.se().toInt
-            val (px, py) = mvPred16x16(mvx, mvy, inter, wMbs, mb % wMbs, mb / wMbs)
+            val (px, py) = mvPred16x16(mvx, mvy, refIdxArr, wMbs,
+              mb % wMbs, mb / wMbs, curRef = refIdxMb)
             mvx(mb) = px + mvdX
             mvy(mb) = py + mvdY
-            inter(mb) = true
+            refIdxArr(mb) = refIdxMb
             // coded_block_pattern me(v), Table 9-4 inter column: the
             // two code points this profile decodes are codeNum 0 ->
             // cbp 0 (no residual) and codeNum 11 -> cbp 15 (all four
@@ -2015,7 +2166,7 @@ private[extras] object H264 {
               }
               yy += 1
             }
-            inter(mb) = false // refIdx -1, mv (0,0) for neighbors
+            refIdxArr(mb) = -1 // intra: refIdx -1, mv (0,0) for neighbors
           } else return null // partitioned inter / other intra: seam
           mb += 1
         }
@@ -2595,7 +2746,9 @@ object JvmMp4Codec extends MediaCodec {
     * the decodable subset (rounds 15-16). */
   private[extras] def decodeAllLuma(b: Array[Byte]): Option[(H264.Sps, Seq[Array[Byte]])] =
     parse(b).flatMap { t =>
-      var ref: Array[Byte] = null
+      // sliding decoded-picture buffer, most recent first (RefPicList0
+      // under pic_order_cnt_type 2 with no reordering); IDR resets it
+      var refs: Vector[Array[Byte]] = Vector.empty
       val frames = Vector.newBuilder[Array[Byte]]
       var i = 0
       while (i < t.samples.length) {
@@ -2616,17 +2769,17 @@ object JvmMp4Codec extends MediaCodec {
           if (nalType == 5 || nalType == 1) {
             val rbsp = H264.removeEmulationPrevention(
               b, nalStart.toInt, (nalStart + len).toInt)
-            luma =
-              if (nalType == 5) {
-                val pcm = H264.decodeIPcmLuma(rbsp, t.sps)
-                if (pcm != null) pcm else H264.decodeI16DcLuma(rbsp, t.sps, t.initQp)
-              } else H264.decodePLuma(rbsp, t.sps, ref, t.initQp)
+            if (nalType == 5) {
+              val pcm = H264.decodeIPcmLuma(rbsp, t.sps)
+              luma = if (pcm != null) pcm else H264.decodeI16DcLuma(rbsp, t.sps, t.initQp)
+              if (luma != null) refs = Vector.empty // IDR resets the DPB
+            } else luma = H264.decodePLuma(rbsp, t.sps, refs, t.initQp)
           }
           o = nalStart + len
         }
         if (luma == null) return None
         frames += luma
-        ref = luma
+        refs = (luma +: refs).take(math.max(1, t.sps.maxNumRefFrames))
         i += 1
       }
       Some((t.sps, frames.result()))

@@ -480,6 +480,42 @@ object MultimodalQueries {
           CAST(nf * w * h * v + (s1 + 4) * ((nf * (nf - 1)) // 2) AS BIGINT) AS lum_sum,
           CAST(nf * w * h AS BIGINT) AS plane_bytes
         FROM p ORDER BY doc_id"""),
-      doc = "H.264 coded inter residuals: P_L0_16x16 with cbp 15 (inter me(v) mapping, mb_qp_delta, 16-coeff CAVLC LumaLevel4x4, dequant + IDCT onto the MC prediction, nC bookkeeping) vs closed-form accumulation oracle")
+      doc = "H.264 coded inter residuals: P_L0_16x16 with cbp 15 (inter me(v) mapping, mb_qp_delta, 16-coeff CAVLC LumaLevel4x4, dequant + IDCT onto the MC prediction, nC bookkeeping) vs closed-form accumulation oracle"),
+
+    // ------------------------------------------------------------------
+    Q("multimodal_h264_mref",
+      (s, d) => {
+        // round-17 follow-up: MULTI-REFERENCE P slices. A frame
+        // sequence (I_PCM constant vA -> all-intra refresh to constant
+        // vB -> P slices overriding num_ref_idx_active to 2) whose MBs
+        // pick explicit te(v) reference indices against a sliding
+        // 2-frame decoded-picture buffer; the final frame re-selects
+        // ref 1 AFTER the buffer slid, so wrong DPB order, a dropped
+        // te(v) bit, or refIdx-blind compensation all move the sum.
+        Multimodal.mp4PMRefFrameFeatures(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+            16 * (1 + doc_id % 2) AS w,
+            16 * (1 + (doc_id // 2) % 2) AS h,
+            3 + doc_id % 2 AS nf,
+            50 + doc_id % 100 AS va,
+            128 + floor((56.0 * ((1 + doc_id % 8) *
+              (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END)) + 32) / 64.0) AS vb,
+            (1 + doc_id % 2) * (1 + (doc_id // 2) % 2) AS nmbs
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id,
+          CAST(nf AS BIGINT) AS n_frames,
+          CAST(w AS BIGINT) AS width,
+          CAST(h AS BIGINT) AS height,
+          CAST(w * h * va + w * h * vb
+            + 256 * (((nmbs + 1) // 2) * vb + (nmbs // 2) * va)
+            + CASE WHEN nf = 4 THEN w * h * vb ELSE 0 END AS BIGINT) AS lum_sum,
+          CAST(nf * w * h AS BIGINT) AS plane_bytes
+        FROM p ORDER BY doc_id"""),
+      doc = "H.264 multi-reference P slices: num_ref_idx override, te(v) ref_idx, sliding DPB, per-reference motion compensation vs closed-form oracle")
   )
 }

@@ -28,7 +28,8 @@ class H264FuzzSpec extends SparkSpec {
   test("single bit flips in real fixtures degrade, never throw") {
     val rnd = new scala.util.Random(99)
     Seq[Long => Array[Byte]](MediaSynth.mp4PSkip, MediaSynth.mp4PMv,
-        MediaSynth.mp4PIntra, MediaSynth.mp4PRes, MediaSynth.mp4Cavlc).foreach { synth =>
+        MediaSynth.mp4PIntra, MediaSynth.mp4PRes, MediaSynth.mp4PMRef,
+        MediaSynth.mp4Cavlc).foreach { synth =>
       (0L to 3L).foreach { id =>
         val good = synth(id)
         (1 to 40).foreach { _ =>

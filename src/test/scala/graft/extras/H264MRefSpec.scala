@@ -1,0 +1,97 @@
+package graft.extras
+
+import graft.SparkSpec
+
+/** Pins for the round-17 multi-reference P-slice decode: frame-exact
+  * reconstruction of the sliding-DPB fixtures, the te(v) ref_idx parse
+  * through a real slice, refIdx-aware motion-vector prediction, and
+  * the documented seams (reference list longer than the held DPB,
+  * out-of-range ue(v) indices). */
+class H264MRefSpec extends SparkSpec {
+
+  test("fixtures reconstruct exactly: per-MB reference selection + DPB slide") {
+    (0L to 23L).foreach { id =>
+      val Some((sps, frames)) =
+        JvmMp4Codec.decodeAllLuma(MediaSynth.mp4PMRef(id)): @unchecked
+      val w = sps.widthMbs * 16
+      val h = sps.heightMbs * 16
+      val vA = (50 + id % 100).toInt
+      val lb = (1 + id % 8).toInt * (if (id % 3 == 0) -1 else 1)
+      val vB = 128 + ((56 * lb + 32) >> 6)
+      assert(frames.length == (3 + id % 2).toInt, s"id=$id frame count")
+      assert(frames(0).forall(_ == vA.toByte), s"id=$id frame 0")
+      assert(frames(1).forall(_ == vB.toByte), s"id=$id frame 1")
+      // frame 2: even MBs copy frame 1 (vB), odd MBs frame 0 (vA)
+      val f2 = frames(2)
+      for (mb <- 0 until sps.widthMbs * sps.heightMbs) {
+        val expect = (if (mb % 2 == 0) vB else vA).toByte
+        val mbX = (mb % sps.widthMbs) * 16
+        val mbY = (mb / sps.widthMbs) * 16
+        for (yy <- 0 until 16; xx <- 0 until 16)
+          assert(f2((mbY + yy) * w + mbX + xx) == expect, s"id=$id f2 mb=$mb")
+      }
+      // frame 3 (when present): ref 1 of the SLID buffer [f2, f1] = vB
+      if (frames.length == 4)
+        assert(frames(3).forall(_ == vB.toByte), s"id=$id frame 3 (DPB slide)")
+    }
+  }
+
+  test("refIdx-aware prediction through the real slice parse") {
+    // 2x2 frame, two constant reference planes; per-MB hand derivation:
+    //   MB0 ref1 mvd(8,0)  -> no neighbors -> mv (8,0)
+    //   MB1 ref0 mvd(12,0) -> B/C/D unavail, A avail -> mvA=(8,0) -> (20,0)
+    //   MB2 ref1 mvd 0     -> only B (MB0) shares ref 1 -> (8,0)
+    //   MB3 ref0 mvd 0     -> only B (MB1) shares ref 0 -> (20,0)
+    val sps = H264.Sps(2, 2, 4, maxNumRefFrames = 2)
+    val ref0 = Array.fill(32 * 32)(90.toByte)
+    val ref1 = Array.fill(32 * 32)(200.toByte)
+    val bw = new H264.BitWriter
+    bw.u(0x41, 8); bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
+    bw.u(1, 1); bw.ue(1) // override: num_ref_idx_l0_active = 2
+    bw.u(0, 1); bw.u(0, 1)
+    bw.se(0) // slice_qp_delta
+    val plan = Seq((1, 8L), (0, 12L), (1, 0L), (0, 0L)) // (refIdx, mvd_x)
+    plan.foreach { case (ri, mx) =>
+      bw.ue(0) // mb_skip_run
+      bw.ue(0) // P_L0_16x16
+      bw.u(1 - ri, 1) // te(v) ref_idx
+      bw.se(mx); bw.se(0)
+      bw.ue(0) // cbp
+    }
+    bw.rbspTrailing()
+    val (luma, mvx, mvy) =
+      H264.decodePLumaWithMvs(bw.result(), sps, Vector(ref0, ref1), 26): @unchecked
+    assert(mvx.toSeq == Seq(8, 20, 8, 20) && mvy.forall(_ == 0),
+      s"mvx=${mvx.toSeq} mvy=${mvy.toSeq}")
+    // compensation must read the SELECTED plane (constants survive MC)
+    val expectByMb = Seq(200, 90, 200, 90).map(_.toByte)
+    for (mb <- 0 until 4) {
+      val mbX = (mb % 2) * 16; val mbY = (mb / 2) * 16
+      assert(luma(mbY * 32 + mbX) == expectByMb(mb), s"mb=$mb")
+    }
+  }
+
+  test("reference-list seams degrade to null") {
+    val sps = H264.Sps(1, 1, 4, maxNumRefFrames = 2)
+    val ref = Array.fill(256)(100.toByte)
+    def slice(numRef: Int, refIdx: Int): Array[Byte] = {
+      val bw = new H264.BitWriter
+      bw.u(0x41, 8); bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
+      bw.u(1, 1); bw.ue(numRef - 1L)
+      bw.u(0, 1); bw.u(0, 1)
+      bw.se(0)
+      bw.ue(0); bw.ue(0) // run, P_L0_16x16
+      if (numRef == 2) bw.u(1 - refIdx, 1) else bw.ue(refIdx.toLong)
+      bw.se(0); bw.se(0); bw.ue(0)
+      bw.rbspTrailing()
+      bw.result()
+    }
+    // list longer than the DPB we hold
+    assert(H264.decodePLuma(slice(2, 0), sps, Vector(ref), 26) == null)
+    // ue(v)-coded index beyond the active list
+    assert(H264.decodePLuma(slice(3, 5), sps, Vector(ref, ref, ref), 26) == null)
+    // in-range cases decode
+    assert(H264.decodePLuma(slice(2, 1), sps, Vector(ref, ref), 26) != null)
+    assert(H264.decodePLuma(slice(3, 2), sps, Vector(ref, ref, ref), 26) != null)
+  }
+}

@@ -108,30 +108,39 @@ class H264PMvSpec extends SparkSpec {
     // layout 2x2 MBs; vectors set below per case; all neighbors inter
     val mvx = new Array[Int](4)
     val mvy = new Array[Int](4)
-    val all = Array.fill(4)(true)
+    val all = Array.fill(4)(0) // refIdx 0 everywhere (single-ref world)
     // top row, A available, B/C/D not -> mvA
     mvx(0) = 9; mvy(0) = -4
-    assert(H264.mvPred16x16(mvx, mvy, all, 2, 1, 0) == ((9, -4)))
+    assert(H264.mvPred16x16(mvx, mvy, all, 2, 1, 0, 0) == ((9, -4)))
     // 1-wide column: exactly one neighbor (B = MB 0) matches -> mvB,
     // NOT the naive median (which would zero both components)
     val cx = Array(8, 0); val cy = Array(20, 0)
-    assert(H264.mvPred16x16(cx, cy, Array(true, true), 1, 0, 1) == ((8, 20)))
+    assert(H264.mvPred16x16(cx, cy, Array(0, 0), 1, 0, 1, 0) == ((8, 20)))
     // full median with C present: med over {A=(6,-3) unavail->0s...}
     mvx(0) = 6; mvy(0) = -3 // B for MB(0,1)
     mvx(1) = 4; mvy(1) = -2 // C (top-right) for MB(0,1)
-    assert(H264.mvPred16x16(mvx, mvy, all, 2, 0, 1) == ((4, -2)))
+    assert(H264.mvPred16x16(mvx, mvy, all, 2, 0, 1, 0) == ((4, -2)))
     // D substitution for MB(1,1): C outside -> D = MB(0,0)
     mvx(2) = 5; mvy(2) = -1 // A
-    assert(H264.mvPred16x16(mvx, mvy, all, 2, 1, 1) == ((5, -2)))
+    assert(H264.mvPred16x16(mvx, mvy, all, 2, 1, 1, 0) == ((5, -2)))
     // INTRA neighbor semantics: an intra B is positionally available
     // (so the B/C/D-unavailable rule does NOT fire) but carries
     // refIdx -1 and mv (0,0) — with A and C(D) inter, the median runs
     // over {A, 0, D}; with only C inter, exactly-one-refIdx picks C
     val ix = Array(10, 2, 6, 0); val iy = Array(-8, 2, 4, 0)
-    assert(H264.mvPred16x16(ix, iy, Array(true, false, true, true), 2, 1, 1)
+    assert(H264.mvPred16x16(ix, iy, Array(0, -1, 0, 0), 2, 1, 1, 0)
       == ((6, 0))) // med(A=6, B=0, D=10)=6, med(4, 0, -8)=0
-    assert(H264.mvPred16x16(ix, iy, Array(false, true, false, true), 2, 1, 1)
+    assert(H264.mvPred16x16(ix, iy, Array(-1, 0, -1, 0), 2, 1, 1, 0)
       == ((2, 2))) // A and D intra, only B inter -> exactly-one -> mvB
+    // multi-ref: exactly-one counts SAME-refIdx neighbors — with A on
+    // ref 1 and B on ref 0, a ref-1 MB takes mvA, a ref-0 MB takes mvB
+    val rx = Array(0, 0, 12, 0); val ry = Array(0, 0, -6, 0)
+    val mixed = Array(0, 0, 1, 0) // only MB2 (A of MB3) is on ref 1
+    rx(1) = 4; ry(1) = 8
+    // For MB(1,1): A=MB2 (ref1, (12,-6)), B=MB1 (ref0, (4,8)), D=MB0 (ref0,(0,0))
+    assert(H264.mvPred16x16(rx, ry, mixed, 2, 1, 1, 1) == ((12, -6))) // only A same
+    assert(H264.mvPred16x16(rx, ry, mixed, 2, 1, 1, 9) ==
+      ((4, 0))) // no same-ref neighbor -> median med(12,4,0), med(-6,8,0)
   }
 
   test("MVD recovery through the real slice parse (hand-derived MVs)") {
@@ -165,7 +174,12 @@ class H264PMvSpec extends SparkSpec {
     }
   }
 
-  test("P decoder seams: coded residual and multi-ref degrade to null") {
+  test("P decoder seams: partial-cbp residual and over-DPB ref lists degrade to null") {
+    // (round 17 moved the seams: cbp 15 now decodes — code 3 is a
+    // PARTIAL cbp, still behind the seam — and multi-ref is supported,
+    // so the override case nulls because the held DPB has ONE frame,
+    // not because the list is multi-entry; H264MRefSpec covers the
+    // in-range multi-ref decode)
     val sps = H264.Sps(1, 1, 4)
     val ref = new Array[Byte](256)
     def slice(cbpCode: Long, overrideRefs: Boolean): Array[Byte] = {
