@@ -264,6 +264,13 @@ object Multimodal {
   def mp4PMRefFrameFeatures(df: DataFrame, idCol: String): DataFrame =
     mp4TotalFeatures(df, idCol, MediaSynth.mp4PMRef)
 
+  /** Partitioned-macroblock variant (round 17): [[MediaSynth.mp4PPart]]
+    * fixtures whose P slices code P_L0_L0_16x8 / 8x16 macroblocks with
+    * per-partition references. `lum_sum` is the closed form in the
+    * synthesizer's scaladoc. Map-only. */
+  def mp4PPartFrameFeatures(df: DataFrame, idCol: String): DataFrame =
+    mp4TotalFeatures(df, idCol, MediaSynth.mp4PPart)
+
   /** Shared all-frame decode mapper for the inter-prediction gates:
     * synthesize the per-id MP4, decode EVERY sample with reference
     * propagation, and emit whole-stream totals. */
@@ -1524,6 +1531,115 @@ object MediaSynth {
     mp4Container(wMb, hMb, nals, maxRefFrames = 2)
   }
 
+  /** Partitioned-macroblock sibling (round 17): pins P_L0_L0_16x8 /
+    * P_L0_L0_8x16 parsing (7.3.5.1 order: every partition's te(v)
+    * ref_idx BEFORE the mvd pairs) and per-PARTITION reference
+    * selection + compensation. Frames (vA/vB as in [[mp4PMRef]]):
+    *
+    *   0: I_PCM IDR, constant vA
+    *   1: all-intra refresh to constant vB
+    *   2: 16x8 MBs over a 2-entry list — upper partition ref 0
+    *      (frame 1 = vB), lower ref 1 (frame 0 = vA): horizontal
+    *      half-MB stripes; a decoder that compensates whole MBs or
+    *      swaps the partition order sums wrong
+    *   3 (nf = 4): 8x16 MBs after the DPB slid to [frame2, frame1] —
+    *      LEFT partition ref 0 (= the STRIPED frame 2, vB over vA),
+    *      right partition ref 1 (= frame 1, vB)
+    *
+    * All mvds are zero (every predictor input is zero), so the sums
+    * are exact constants:
+    *   lum_sum = w*h*(vA + vB) + (w*h/2)*(vA + vB)
+    *             + (nf = 4 ? (3*w*h/4)*vB + (w*h/4)*vA : 0)
+    * — the multimodal_h264_ppart gate's oracle. The directional
+    * 8.4.1.3 predictor rules are pinned separately by
+    * H264PPartSpec's hand-derived nonzero-motion slices. */
+  def mp4PPart(id: Long): Array[Byte] = {
+    val wMb = (1 + id % 2).toInt
+    val hMb = (1 + (id / 2) % 2).toInt
+    val nFrames = (3 + id % 2).toInt
+    val vA = (50 + id % 100).toInt
+    val lb = (1 + id % 8).toInt * (if (id % 3 == 0) -1 else 1)
+    val nMbs = wMb * hMb
+
+    def nalIdr: Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x65, 8)
+      bw.ue(0); bw.ue(7); bw.ue(0)
+      bw.u(0, 4); bw.ue(0)
+      bw.u(0, 1); bw.u(0, 1)
+      bw.se(0)
+      var mb = 0
+      while (mb < nMbs) {
+        bw.ue(25); bw.byteAlignZero()
+        val luma = new Array[Byte](256)
+        java.util.Arrays.fill(luma, vA.toByte)
+        bw.bytes(luma)
+        val chroma = new Array[Byte](128)
+        java.util.Arrays.fill(chroma, 128.toByte)
+        bw.bytes(chroma)
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+
+    def pHeader(bw: graft.extras.H264.BitWriter, f: Int, twoRefs: Boolean): Unit = {
+      bw.u(0x41, 8)
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(f % 16, 4)
+      if (twoRefs) { bw.u(1, 1); bw.ue(1) } else bw.u(0, 1)
+      bw.u(0, 1); bw.u(0, 1)
+    }
+
+    def nalIntra(f: Int): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      pHeader(bw, f, twoRefs = false)
+      bw.se(25) // QP 51
+      var mb = 0
+      while (mb < nMbs) {
+        bw.ue(0); bw.ue(8); bw.ue(0); bw.se(0)
+        if (mb == 0) {
+          if (math.abs(lb) == 1) {
+            bw.u(1, 2); bw.u(if (lb < 0) 1 else 0, 1)
+          } else {
+            bw.u(0x5, 6)
+            val lc = (if (lb > 0) 2 * lb - 2 else -2 * lb - 1) - 2
+            bw.u(0, lc); bw.u(1, 1)
+          }
+          bw.u(1, 1)
+        } else bw.u(1, 1)
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+
+    // mbType 1 = P_L0_L0_16x8, 2 = P_L0_L0_8x16; partition 0 takes
+    // ref 0, partition 1 ref 1 — te(v) bits for both come first
+    def nalPart(f: Int, mbType: Int): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      pHeader(bw, f, twoRefs = true)
+      bw.se(0)
+      var mb = 0
+      while (mb < nMbs) {
+        bw.ue(0) // mb_skip_run
+        bw.ue(mbType.toLong)
+        bw.u(1, 1) // ref_idx_l0[0] te(v): bit 1 -> 0
+        bw.u(0, 1) // ref_idx_l0[1] te(v): bit 0 -> 1
+        bw.se(0); bw.se(0) // mvd_l0[0]
+        bw.se(0); bw.se(0) // mvd_l0[1]
+        bw.ue(0) // coded_block_pattern
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+
+    val nals = Seq(nalIdr, nalIntra(1), nalPart(2, 1)) ++
+      (if (nFrames == 4) Seq(nalPart(3, 2)) else Seq.empty)
+    mp4Container(wMb, hMb, nals, maxRefFrames = 2)
+  }
+
   private def mp4SpsNal(wMb: Int, hMb: Int, maxRefFrames: Int = 0): Array[Byte] = {
     val bw = new graft.extras.H264.BitWriter
     bw.u(0x67, 8) // nal: ref_idc=3, type=7 (SPS)
@@ -1911,55 +2027,94 @@ private[extras] object H264 {
     * available but carries refIdx -1 and mv (0,0), exactly as the spec
     * assigns. C is the top-right macroblock, substituted by D
     * (top-left) when outside the picture. */
-  private[extras] def mvPred16x16(mvx: Array[Int], mvy: Array[Int],
-      refIdx: Array[Int], wMbs: Int, mbX: Int, mbY: Int, curRef: Int): (Int, Int) = {
-    val mb = mbY * wMbs + mbX
-    val aAvail = mbX > 0
-    val bAvail = mbY > 0
-    val cIdx =
-      if (mbY > 0 && mbX < wMbs - 1) mb - wMbs + 1 // top-right
-      else if (mbY > 0 && mbX > 0) mb - wMbs - 1 // D substitution
-      else -1
-    val cAvail = cIdx >= 0
-    // an intra neighbor (refIdx -1) contributes mv (0,0)
-    @inline def mvOf(i: Int): (Int, Int) =
-      if (refIdx(i) >= 0) (mvx(i), mvy(i)) else (0, 0)
-    // 8.4.1.3.1 rule: B, C and D unavailable, A available -> mvA
+  /** "Not yet decoded" sentinel for the block-granular refIdx grid
+    * (distinct from -1 = decoded intra). */
+  private[extras] val BlkNA = Int.MinValue
+
+  /** Partition-shape selector for [[mvPredBlock]]'s 8.4.1.3 directional
+    * rules: 0 = none (16x16 / 8x8), 1 = 16x8 upper, 2 = 16x8 lower,
+    * 3 = 8x16 left, 4 = 8x16 right. */
+  private[extras] def mvPredBlock(bmvx: Array[Int], bmvy: Array[Int],
+      bref: Array[Int], w4: Int, h4: Int,
+      x0: Int, y0: Int, w4p: Int, curRef: Int, rule: Int): (Int, Int) = {
+    // 4x4-block neighbors of the partition (6.4.11 shape): A left of
+    // the top-left block, B above it, C above-right of the top-right
+    // block with D = above-left substitution when C is unavailable.
+    // Availability = in bounds AND already decoded (BlkNA sentinel) —
+    // raster decode order makes this exact, including partition 1
+    // seeing partition 0 of the same macroblock.
+    @inline def avail(bx: Int, by: Int): Boolean =
+      bx >= 0 && by >= 0 && bx < w4 && by < h4 && bref(by * w4 + bx) != BlkNA
+    @inline def refOf(bx: Int, by: Int): Int = bref(by * w4 + bx)
+    @inline def mvOf(bx: Int, by: Int): (Int, Int) = {
+      val i = by * w4 + bx
+      if (bref(i) >= 0) (bmvx(i), bmvy(i)) else (0, 0) // intra -> (0,0)
+    }
+    val aAvail = avail(x0 - 1, y0)
+    val bAvail = avail(x0, y0 - 1)
+    val (cx, cy, cAvail) =
+      if (avail(x0 + w4p, y0 - 1)) (x0 + w4p, y0 - 1, true)
+      else if (avail(x0 - 1, y0 - 1)) (x0 - 1, y0 - 1, true) // D substitution
+      else (-1, -1, false)
+    // 8.4.1.3 directional rules for the two-partition shapes, tried
+    // BEFORE the general process (each conditioned on that neighbor
+    // carrying the partition's own reference)
+    rule match {
+      case 1 if bAvail && refOf(x0, y0 - 1) == curRef => return mvOf(x0, y0 - 1)
+      case 2 if aAvail && refOf(x0 - 1, y0) == curRef => return mvOf(x0 - 1, y0)
+      case 3 if aAvail && refOf(x0 - 1, y0) == curRef => return mvOf(x0 - 1, y0)
+      case 4 if cAvail && refOf(cx, cy) == curRef => return mvOf(cx, cy)
+      case _ => ()
+    }
+    // 8.4.1.3.1: B, C and D unavailable, A available -> mvA
     // (positional availability — an intra A yields (0,0) via mvOf)
-    if (!bAvail && !cAvail && aAvail) return mvOf(mb - 1)
-    val aSame = aAvail && refIdx(mb - 1) == curRef
-    val bSame = bAvail && refIdx(mb - wMbs) == curRef
-    val cSame = cAvail && refIdx(cIdx) == curRef
+    if (!bAvail && !cAvail && aAvail) return mvOf(x0 - 1, y0)
+    val aSame = aAvail && refOf(x0 - 1, y0) == curRef
+    val bSame = bAvail && refOf(x0, y0 - 1) == curRef
+    val cSame = cAvail && refOf(cx, cy) == curRef
     val nSame = (if (aSame) 1 else 0) + (if (bSame) 1 else 0) +
       (if (cSame) 1 else 0)
     if (nSame == 1) { // exactly one neighbor has refIdxN == refIdx
-      if (aSame) mvOf(mb - 1)
-      else if (bSame) mvOf(mb - wMbs)
-      else mvOf(cIdx)
+      if (aSame) mvOf(x0 - 1, y0)
+      else if (bSame) mvOf(x0, y0 - 1)
+      else mvOf(cx, cy)
     } else {
-      val (ax, ay) = if (aAvail) mvOf(mb - 1) else (0, 0)
-      val (bx, by) = if (bAvail) mvOf(mb - wMbs) else (0, 0)
-      val (cx, cy) = if (cAvail) mvOf(cIdx) else (0, 0)
+      val (ax, ay) = if (aAvail) mvOf(x0 - 1, y0) else (0, 0)
+      val (bx2, by2) = if (bAvail) mvOf(x0, y0 - 1) else (0, 0)
+      val (cx2, cy2) = if (cAvail) mvOf(cx, cy) else (0, 0)
       @inline def med(p: Int, q: Int, r: Int): Int =
         math.max(math.min(p, q), math.min(math.max(p, q), r))
-      (med(ax, bx, cx), med(ay, by, cy))
+      (med(ax, bx2, cx2), med(ay, by2, cy2))
     }
   }
 
-  /** 8.4.1.1 P_Skip motion vector: (0,0) when the left or top neighbor
-    * is unavailable or is ref-0 with a zero vector, else the 8.4.1.3
-    * predictor (P_Skip always references picture 0). An intra neighbor
-    * is neither unavailable nor ref-0. */
-  private def pSkipMv(mvx: Array[Int], mvy: Array[Int],
-      refIdx: Array[Int], wMbs: Int, mbX: Int, mbY: Int): (Int, Int) = {
-    val mb = mbY * wMbs + mbX
-    val aAvail = mbX > 0
-    val bAvail = mbY > 0
-    val aZero = aAvail && refIdx(mb - 1) == 0 && mvx(mb - 1) == 0 && mvy(mb - 1) == 0
-    val bZero = bAvail && refIdx(mb - wMbs) == 0 &&
-      mvx(mb - wMbs) == 0 && mvy(mb - wMbs) == 0
-    if (!aAvail || !bAvail || aZero || bZero) (0, 0)
-    else mvPred16x16(mvx, mvy, refIdx, wMbs, mbX, mbY, curRef = 0)
+  /** Macroblock-granular 8.4.1.3 shim for a 16x16 partition (spec
+    * cross-check entry point): expands the per-MB arrays to the block
+    * grid and delegates to [[mvPredBlock]] — one real implementation. */
+  private[extras] def mvPred16x16(mvx: Array[Int], mvy: Array[Int],
+      refIdx: Array[Int], wMbs: Int, mbX: Int, mbY: Int, curRef: Int): (Int, Int) = {
+    val hMbs = refIdx.length / wMbs
+    val w4 = wMbs * 4
+    val h4 = hMbs * 4
+    val bmvx = new Array[Int](w4 * h4)
+    val bmvy = new Array[Int](w4 * h4)
+    val bref = new Array[Int](w4 * h4)
+    var m = 0
+    while (m < refIdx.length) {
+      val gx0 = (m % wMbs) * 4; val gy0 = (m / wMbs) * 4
+      var by = 0
+      while (by < 4) {
+        var bx = 0
+        while (bx < 4) {
+          val i = (gy0 + by) * w4 + gx0 + bx
+          bmvx(i) = mvx(m); bmvy(i) = mvy(m); bref(i) = refIdx(m)
+          bx += 1
+        }
+        by += 1
+      }
+      m += 1
+    }
+    mvPredBlock(bmvx, bmvy, bref, w4, h4, mbX * 4, mbY * 4, 4, curRef, rule = 0)
   }
 
   /** Decode the luma plane of a non-IDR P slice NAL (P_Skip runs,
@@ -1990,8 +2145,32 @@ private[extras] object H264 {
     decodePLumaWithMvs(rbsp, sps, ref, 26)
 
   /** [[decodePLuma]] plus the derived per-MB quarter-pel motion
-    * vectors (exposed for the spec's independent-median cross-check). */
+    * vectors (each MB's FIRST partition — exposed for the specs'
+    * independent-median cross-checks; all gates use single-partition
+    * MBs). */
   private[extras] def decodePLumaWithMvs(rbsp: Array[Byte], sps: Sps,
+      refs: IndexedSeq[Array[Byte]],
+      picInitQp: Int = 26): (Array[Byte], Array[Int], Array[Int]) =
+    decodePLumaBlockMvs(rbsp, sps, refs, picInitQp) match {
+      case null => null
+      case (luma, bmvx, bmvy) =>
+        val wMbs = sps.widthMbs
+        val w4 = wMbs * 4
+        val nMbs = wMbs * sps.heightMbs
+        val mvx = new Array[Int](nMbs)
+        val mvy = new Array[Int](nMbs)
+        var m = 0
+        while (m < nMbs) {
+          val i = ((m / wMbs) * 4) * w4 + (m % wMbs) * 4
+          mvx(m) = bmvx(i); mvy(m) = bmvy(i)
+          m += 1
+        }
+        (luma, mvx, mvy)
+    }
+
+  /** Core decode, returning the 4x4-BLOCK-granular motion grid (the
+    * spec's resolution; partition vectors visible individually). */
+  private[extras] def decodePLumaBlockMvs(rbsp: Array[Byte], sps: Sps,
       refs: IndexedSeq[Array[Byte]],
       picInitQp: Int = 26): (Array[Byte], Array[Int], Array[Int]) = {
     try {
@@ -2019,16 +2198,30 @@ private[extras] object H264 {
       if (refs.exists(_.length != w * h)) return null
       val nMbs = wMbs * sps.heightMbs
       val luma = new Array[Byte](w * h)
-      // per-MB motion vectors in quarter-pel units (skip + pred inputs)
-      // and each MB's reference index (-1 = intra) feeding the
-      // same-refIdx predictor semantics
-      val mvx = new Array[Int](nMbs)
-      val mvy = new Array[Int](nMbs)
-      val refIdxArr = Array.fill(nMbs)(-1)
-      // per-4x4-block AC TotalCoeff grid for 9.2.1 nC prediction —
-      // round 17: coded inter residuals make this live in P slices too
+      // motion state at 4x4-BLOCK granularity (the spec's resolution —
+      // round 17: partitioned macroblocks make sub-MB vectors real):
+      // quarter-pel vectors + per-block reference index, BlkNA until a
+      // block is decoded, -1 for intra
       val w4 = wMbs * 4
-      val nnz = new Array[Int](w4 * sps.heightMbs * 4)
+      val h4 = sps.heightMbs * 4
+      val bmvx = new Array[Int](w4 * h4)
+      val bmvy = new Array[Int](w4 * h4)
+      val bref = Array.fill(w4 * h4)(BlkNA)
+      def fillPart(x0: Int, y0: Int, w4p: Int, h4p: Int,
+          mx: Int, my: Int, ri: Int): Unit = {
+        var by = y0
+        while (by < y0 + h4p) {
+          var bx = x0
+          while (bx < x0 + w4p) {
+            val i = by * w4 + bx
+            bmvx(i) = mx; bmvy(i) = my; bref(i) = ri
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      // per-4x4-block AC TotalCoeff grid for 9.2.1 nC prediction
+      val nnz = new Array[Int](w4 * h4)
       val blkX = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
       val blkY = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
       def ncOf(mb: Int, bi: Int): Int = {
@@ -2041,22 +2234,41 @@ private[extras] object H264 {
         else if (hasB) nnz((gy - 1) * w4 + gx)
         else 0
       }
-      def compensate(mb: Int): Unit = {
-        val refPlane = refs(refIdxArr(mb))
-        val mbX = (mb % wMbs) * 16
-        val mbY = (mb / wMbs) * 16
-        val dx = mvx(mb) >> 2; val fx = mvx(mb) & 3
-        val dy = mvy(mb) >> 2; val fy = mvy(mb) & 3
+      // motion-compensate a pixel region from one reference plane
+      def compensateRegion(px0: Int, py0: Int, wp: Int, hp: Int,
+          mx: Int, my: Int, ri: Int): Unit = {
+        val refPlane = refs(ri)
+        val dx = mx >> 2; val fx = mx & 3
+        val dy = my >> 2; val fy = my & 3
         var yy = 0
-        while (yy < 16) {
+        while (yy < hp) {
           var xx = 0
-          while (xx < 16) {
-            luma((mbY + yy) * w + mbX + xx) =
-              interpLumaQPel(refPlane, w, h, mbX + xx + dx, mbY + yy + dy, fx, fy).toByte
+          while (xx < wp) {
+            luma((py0 + yy) * w + px0 + xx) =
+              interpLumaQPel(refPlane, w, h, px0 + xx + dx, py0 + yy + dy, fx, fy).toByte
             xx += 1
           }
           yy += 1
         }
+      }
+      // te(v) ref_idx: absent for a 1-entry list, one inverted bit for
+      // a 2-entry list, ue(v) past that (spec 9.1.1); -1 on overflow
+      def readRefIdx(): Int = {
+        val v =
+          if (numRefL0 == 1) 0
+          else if (numRefL0 == 2) 1 - r.u(1).toInt
+          else r.ue().toInt
+        if (v < 0 || v >= numRefL0) -1 else v
+      }
+      // derive + record + compensate ONE inter partition (block coords)
+      def interPart(x0: Int, y0: Int, w4p: Int, h4p: Int,
+          mvdX: Int, mvdY: Int, ri: Int, rule: Int): Unit = {
+        val (px, py) = mvPredBlock(bmvx, bmvy, bref, w4, h4, x0, y0, w4p,
+          curRef = ri, rule = rule)
+        val mx = px + mvdX
+        val my = py + mvdY
+        fillPart(x0, y0, w4p, h4p, mx, my, ri)
+        compensateRegion(x0 * 4, y0 * 4, w4p * 4, h4p * 4, mx, my, ri)
       }
       var mb = 0
       while (mb < nMbs) {
@@ -2064,42 +2276,59 @@ private[extras] object H264 {
         if (run < 0 || mb + run > nMbs) return null
         var k = 0
         while (k < run) { // P_Skip macroblocks
-          val (sx, sy) = pSkipMv(mvx, mvy, refIdxArr, wMbs, mb % wMbs, mb / wMbs)
-          mvx(mb) = sx; mvy(mb) = sy
-          refIdxArr(mb) = 0 // P_Skip always references picture 0
-          compensate(mb)
+          val x0 = (mb % wMbs) * 4
+          val y0 = (mb / wMbs) * 4
+          // 8.4.1.1: zero vector when the left or top block neighbor is
+          // unavailable or is ref-0 with a zero vector, else 8.4.1.3
+          @inline def zeroRef0(bx: Int, by: Int): Boolean = {
+            val i = by * w4 + bx
+            bref(i) == 0 && bmvx(i) == 0 && bmvy(i) == 0
+          }
+          val aAv = x0 > 0 && bref(y0 * w4 + x0 - 1) != BlkNA
+          val bAv = y0 > 0 && bref((y0 - 1) * w4 + x0) != BlkNA
+          val (sx, sy) =
+            if (!aAv || !bAv || zeroRef0(x0 - 1, y0) || zeroRef0(x0, y0 - 1)) (0, 0)
+            else mvPredBlock(bmvx, bmvy, bref, w4, h4, x0, y0, 4, curRef = 0, rule = 0)
+          fillPart(x0, y0, 4, 4, sx, sy, 0) // P_Skip references picture 0
+          compensateRegion(x0 * 4, y0 * 4, 16, 16, sx, sy, 0)
           mb += 1
           k += 1
         }
         if (mb < nMbs) { // macroblock_layer: one coded MB
           val mbType = r.ue().toInt
-          if (mbType == 0) { // P_L0_16x16
-            // ref_idx_l0 te(v): absent for a 1-entry list, one inverted
-            // bit for a 2-entry list, ue(v) past that (spec 9.1.1)
-            val refIdxMb =
-              if (numRefL0 == 1) 0
-              else if (numRefL0 == 2) 1 - r.u(1).toInt
-              else r.ue().toInt
-            if (refIdxMb < 0 || refIdxMb >= numRefL0) return null
-            val mvdX = r.se().toInt
-            val mvdY = r.se().toInt
-            val (px, py) = mvPred16x16(mvx, mvy, refIdxArr, wMbs,
-              mb % wMbs, mb / wMbs, curRef = refIdxMb)
-            mvx(mb) = px + mvdX
-            mvy(mb) = py + mvdY
-            refIdxArr(mb) = refIdxMb
+          val x0 = (mb % wMbs) * 4
+          val y0 = (mb / wMbs) * 4
+          if (mbType <= 2) { // P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16
+            // 7.3.5.1 mb_pred order: ref_idx for EVERY partition first,
+            // then the mvd pairs
+            val nParts = if (mbType == 0) 1 else 2
+            val ri0 = readRefIdx()
+            val ri1 = if (nParts == 2) readRefIdx() else 0
+            if (ri0 < 0 || ri1 < 0) return null
+            val mvd0x = r.se().toInt; val mvd0y = r.se().toInt
+            val (mvd1x, mvd1y) =
+              if (nParts == 2) (r.se().toInt, r.se().toInt) else (0, 0)
+            mbType match {
+              case 0 =>
+                interPart(x0, y0, 4, 4, mvd0x, mvd0y, ri0, rule = 0)
+              case 1 => // 16x8: upper then lower (directional rules)
+                interPart(x0, y0, 4, 2, mvd0x, mvd0y, ri0, rule = 1)
+                interPart(x0, y0 + 2, 4, 2, mvd1x, mvd1y, ri1, rule = 2)
+              case 2 => // 8x16: left then right
+                interPart(x0, y0, 2, 4, mvd0x, mvd0y, ri0, rule = 3)
+                interPart(x0 + 2, y0, 2, 4, mvd1x, mvd1y, ri1, rule = 4)
+            }
             // coded_block_pattern me(v), Table 9-4 inter column: the
             // two code points this profile decodes are codeNum 0 ->
             // cbp 0 (no residual) and codeNum 11 -> cbp 15 (all four
             // luma 8x8s coded, chroma 0). Other cbp values (partial
             // luma, chroma residuals) stay behind the seam.
             r.ue().toInt match {
-              case 0 =>
-                compensate(mb)
+              case 0 => ()
               case 11 => // round 17: coded inter residuals
                 qp += r.se().toInt // mb_qp_delta (cbp > 0)
                 if (qp < 0 || qp > 51) return null
-                compensate(mb) // prediction first, residual adds on top
+                // prediction is already written; residual adds on top
                 val mbX = (mb % wMbs) * 16
                 val mbY = (mb / wMbs) * 16
                 var bi = 0
@@ -2166,12 +2395,12 @@ private[extras] object H264 {
               }
               yy += 1
             }
-            refIdxArr(mb) = -1 // intra: refIdx -1, mv (0,0) for neighbors
-          } else return null // partitioned inter / other intra: seam
+            fillPart(x0, y0, 4, 4, 0, 0, -1) // intra: refIdx -1, mv (0,0)
+          } else return null // sub-8x8 partitions / other intra: seam
           mb += 1
         }
       }
-      (luma, mvx, mvy)
+      (luma, bmvx, bmvy)
     } catch { case scala.util.control.NonFatal(_) => null }
   }
 

@@ -516,6 +516,43 @@ object MultimodalQueries {
             + CASE WHEN nf = 4 THEN w * h * vb ELSE 0 END AS BIGINT) AS lum_sum,
           CAST(nf * w * h AS BIGINT) AS plane_bytes
         FROM p ORDER BY doc_id"""),
-      doc = "H.264 multi-reference P slices: num_ref_idx override, te(v) ref_idx, sliding DPB, per-reference motion compensation vs closed-form oracle")
+      doc = "H.264 multi-reference P slices: num_ref_idx override, te(v) ref_idx, sliding DPB, per-reference motion compensation vs closed-form oracle"),
+
+    // ------------------------------------------------------------------
+    Q("multimodal_h264_ppart",
+      (s, d) => {
+        // round-17 follow-up: PARTITIONED macroblocks. P slices of
+        // P_L0_L0_16x8 then P_L0_L0_8x16 MBs, each partition with its
+        // own te(v) reference (7.3.5.1 order: all ref_idx before all
+        // mvds) compensated independently — half-MB stripes whose sums
+        // break under whole-MB compensation, swapped partition order,
+        // or a misparsed ref/mvd interleave. The 8.4.1.3 directional
+        // predictor rules are pinned by H264PPartSpec's hand-derived
+        // nonzero-motion slices.
+        Multimodal.mp4PPartFrameFeatures(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+            16 * (1 + doc_id % 2) AS w,
+            16 * (1 + (doc_id // 2) % 2) AS h,
+            3 + doc_id % 2 AS nf,
+            50 + doc_id % 100 AS va,
+            128 + floor((56.0 * ((1 + doc_id % 8) *
+              (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END)) + 32) / 64.0) AS vb
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id,
+          CAST(nf AS BIGINT) AS n_frames,
+          CAST(w AS BIGINT) AS width,
+          CAST(h AS BIGINT) AS height,
+          CAST(w * h * (va + vb) + (w * h // 2) * (va + vb)
+            + CASE WHEN nf = 4
+                THEN (3 * w * h // 4) * vb + (w * h // 4) * va
+                ELSE 0 END AS BIGINT) AS lum_sum,
+          CAST(nf * w * h AS BIGINT) AS plane_bytes
+        FROM p ORDER BY doc_id"""),
+      doc = "H.264 partitioned macroblocks: P_L0_L0_16x8/8x16 (per-partition te(v) refs before mvds, independent compensation, block-granular MV state) vs closed-form stripe oracle")
   )
 }

@@ -29,7 +29,7 @@ class H264FuzzSpec extends SparkSpec {
     val rnd = new scala.util.Random(99)
     Seq[Long => Array[Byte]](MediaSynth.mp4PSkip, MediaSynth.mp4PMv,
         MediaSynth.mp4PIntra, MediaSynth.mp4PRes, MediaSynth.mp4PMRef,
-        MediaSynth.mp4Cavlc).foreach { synth =>
+        MediaSynth.mp4PPart, MediaSynth.mp4Cavlc).foreach { synth =>
       (0L to 3L).foreach { id =>
         val good = synth(id)
         (1 to 40).foreach { _ =>

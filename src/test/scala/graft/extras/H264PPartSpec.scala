@@ -1,0 +1,124 @@
+package graft.extras
+
+import graft.SparkSpec
+
+/** Pins for the round-17 partitioned-macroblock decode: frame-exact
+  * reconstruction of the half-MB stripe fixtures, and the 8.4.1.3
+  * DIRECTIONAL predictor rules (16x8 upper->B, 16x8 lower->A,
+  * 8x16 right->C) hand-derived from the spec text on slices where the
+  * directional pick provably differs from the median — a decoder that
+  * medians everywhere fails these exact vectors. */
+class H264PPartSpec extends SparkSpec {
+
+  test("fixtures reconstruct exactly: per-partition reference stripes") {
+    (0L to 23L).foreach { id =>
+      val Some((sps, frames)) =
+        JvmMp4Codec.decodeAllLuma(MediaSynth.mp4PPart(id)): @unchecked
+      val w = sps.widthMbs * 16
+      val h = sps.heightMbs * 16
+      val vA = (50 + id % 100).toInt
+      val lb = (1 + id % 8).toInt * (if (id % 3 == 0) -1 else 1)
+      val vB = 128 + ((56 * lb + 32) >> 6)
+      assert(frames.length == (3 + id % 2).toInt, s"id=$id frame count")
+      assert(frames(0).forall(_ == vA.toByte) && frames(1).forall(_ == vB.toByte))
+      // frame 2 (16x8): upper half of every MB = vB, lower half = vA
+      val f2 = frames(2)
+      for (y <- 0 until h; x <- 0 until w) {
+        val expect = (if (y % 16 < 8) vB else vA).toByte
+        assert(f2(y * w + x) == expect, s"id=$id f2 ($x,$y)")
+      }
+      // frame 3 (8x16 after the DPB slide): partition 0 = LEFT half
+      // takes ref 0 = the striped frame 2; right half ref 1 = vB
+      if (frames.length == 4) {
+        val f3 = frames(3)
+        for (y <- 0 until h; x <- 0 until w) {
+          val expect = (if (x % 16 >= 8) vB
+            else if (y % 16 < 8) vB else vA).toByte
+          assert(f3(y * w + x) == expect, s"id=$id f3 ($x,$y)")
+        }
+      }
+    }
+  }
+
+  private def header(bw: H264.BitWriter): Unit = {
+    bw.u(0x41, 8); bw.ue(0); bw.ue(5); bw.ue(0); bw.u(1, 4)
+    bw.u(0, 1) // single-reference list
+    bw.u(0, 1); bw.u(0, 1)
+    bw.se(0)
+  }
+
+  // one slice_data iteration: zero skip run + a 16x16 MB layer
+  private def mb16x16(bw: H264.BitWriter, mx: Long): Unit = {
+    bw.ue(0); bw.ue(0); bw.se(mx); bw.se(0); bw.ue(0)
+  }
+
+  test("16x8 directional rules: upper takes B, lower takes A (not the median)") {
+    // 2x2 frame, hand-derived per 8.4.1.3:
+    //   MB0 16x16 mvd(8,0)   -> (8,0)
+    //   MB1 16x16 mvd(-4,0)  -> pred mvA=(8,0) -> (4,0)
+    //   MB2 16x8 upper mvd(12,0): directional B=MB0 (8,0) -> (20,0)
+    //            [median would be med(unavail=0, 8, C=MB1 4) = 4]
+    //       lower mvd(8,0): A unavail -> exactly-one (B=upper) -> (28,0)
+    //   MB3 16x8 upper mvd 0: directional B=MB1 -> (4,0)
+    //            [median med(A=MB2u 20, 4, D=MB0 8) = 8]
+    //       lower mvd 0: directional A=MB2 lower -> (28,0)
+    //            [median med(28, B=MB3u 4, D=MB2u 20) = 20]
+    val sps = H264.Sps(2, 2, 4)
+    val ref = Array.fill(32 * 32)(77.toByte)
+    val bw = new H264.BitWriter
+    header(bw)
+    mb16x16(bw, 8)
+    mb16x16(bw, -4)
+    bw.ue(0); bw.ue(1) // P_L0_L0_16x8
+    bw.se(12); bw.se(0); bw.se(8); bw.se(0); bw.ue(0)
+    bw.ue(0); bw.ue(1)
+    bw.se(0); bw.se(0); bw.se(0); bw.se(0); bw.ue(0)
+    bw.rbspTrailing()
+    val (_, bmvx, bmvy) =
+      H264.decodePLumaBlockMvs(bw.result(), sps, Vector(ref), 26): @unchecked
+    val w4 = 8
+    def mvAt(bx: Int, by: Int): Int = bmvx(by * w4 + bx)
+    assert(bmvy.forall(_ == 0))
+    assert(mvAt(0, 0) == 8 && mvAt(4, 0) == 4, "16x16 row")
+    assert(mvAt(0, 4) == 20, s"MB2 upper: directional B expected 20, got ${mvAt(0, 4)}")
+    assert(mvAt(0, 6) == 28, s"MB2 lower: exactly-one B expected 28, got ${mvAt(0, 6)}")
+    assert(mvAt(4, 4) == 4, s"MB3 upper: directional B expected 4, got ${mvAt(4, 4)}")
+    assert(mvAt(4, 6) == 28, s"MB3 lower: directional A expected 28, got ${mvAt(4, 6)}")
+  }
+
+  test("8x16 directional rule: right partition takes C (not the median)") {
+    // 2x2 frame:
+    //   MB0 16x16 mvd(8,0) -> (8,0); MB1 16x16 mvd(-2,0) -> (6,0)
+    //   MB2 8x16 left mvd 0: A unavail, B=C=MB0 -> median(0,8,8)=(8,0)
+    //       right mvd 0: C=(4,3)=MB1 (6,0) -> directional -> (6,0)
+    //            [median med(A=left 8, B=MB0 8, C=6) = 8]
+    //   MB3 16x16 mvd 0: median(A=MB2r 6, B=MB1 6, D=MB0 8) -> (6,0)
+    val sps = H264.Sps(2, 2, 4)
+    val ref = Array.fill(32 * 32)(77.toByte)
+    val bw = new H264.BitWriter
+    header(bw)
+    mb16x16(bw, 8)
+    mb16x16(bw, -2)
+    bw.ue(0); bw.ue(2) // P_L0_L0_8x16
+    bw.se(0); bw.se(0); bw.se(0); bw.se(0); bw.ue(0)
+    mb16x16(bw, 0)
+    bw.rbspTrailing()
+    val (_, bmvx, _) =
+      H264.decodePLumaBlockMvs(bw.result(), sps, Vector(ref), 26): @unchecked
+    val w4 = 8
+    def mvAt(bx: Int, by: Int): Int = bmvx(by * w4 + bx)
+    assert(mvAt(0, 4) == 8, s"MB2 left: median expected 8, got ${mvAt(0, 4)}")
+    assert(mvAt(2, 4) == 6, s"MB2 right: directional C expected 6, got ${mvAt(2, 4)}")
+    assert(mvAt(4, 4) == 6, s"MB3: median expected 6, got ${mvAt(4, 4)}")
+  }
+
+  test("sub-8x8 partition types stay behind the seam") {
+    val sps = H264.Sps(1, 1, 4)
+    val ref = Array.fill(256)(100.toByte)
+    val bw = new H264.BitWriter
+    header(bw)
+    bw.ue(0); bw.ue(3) // P_8x8: not decoded
+    bw.rbspTrailing()
+    assert(H264.decodePLuma(bw.result(), sps, ref) == null)
+  }
+}
