@@ -245,14 +245,31 @@ object DedupQueries {
     // ------------------------------------------------------------------
     Q("dedup_minhash_lsh",
       (s, d) => {
-        Dedup.minhashPairs(corpus(s, d), "doc_id", "text",
+        val c = corpus(s, d)
+        val pairs = Dedup.minhashPairs(c, "doc_id", "text",
             shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-          // sortWide, not sortNarrow: at sf10 this result is 43.45M
-          // pairs — the one-task repartition(1) funnel WAS most of the
-          // bench wall (Exp38: warm compute ~4.5 s, collect 4-10 s,
-          // recorded wall 28.6 s with the single-thread sort)
-          .transform(Present.sortWide(_, col("id_a"), col("id_b")))
+        // parallel range sort, not sortNarrow: at sf10 this result is
+        // 43.45M pairs — the one-task repartition(1) funnel WAS most of
+        // the bench wall (Exp38: recorded wall 28.6 s with the
+        // single-thread sort). VOLUME-ADAPTIVE presentation (round 17,
+        // Exp45, the q_distinct_agg pattern): above the threshold, one
+        // cheap doc_id-bounds agg feeds Present.sortBounded — the
+        // sampling-free parallel range sort, which replaces orderBy's
+        // range-sampling pass (that pass re-executes the whole 13-stage
+        // LSH child: ~1.7 s of the sf10 wall and its ±25% run-to-run
+        // variance). Below it, the extra agg job costs more than the
+        // sampling it saves (sf0.1: +90 ms), so orderBy stands.
+        // Threshold sits between the column-pruned corpus estimates at
+        // sf1 (1.3MB, sampling cheap) and sf10 (12.7MB) with ~3x margin.
+        val big = graft.plans.Hints.sizeEstimate(c) > (4L << 20)
+        val bounds = if (big) Some(c.agg(min(col("doc_id")), max(col("doc_id"))).head())
+          else None
+        bounds.filterNot(_.isNullAt(0)) match {
+          case Some(b) => Present.sortBounded(pairs, col("id_a"),
+            b.getLong(0), b.getLong(1), col("id_a"), col("id_b"))
+          case None => Present.sortWide(pairs, col("id_a"), col("id_b"))
+        }
       },
       // EQUALITY oracle against the exact all-pairs Jaccard set: on this
       // fixture every true pair has j >= 0.85 (nothing in [0.45, 0.65)),

@@ -58,9 +58,56 @@ private[graft] object Present {
     * result is far too big for [[sortNarrow]]'s one-task funnel: Exp38
     * measured the 43.45M-pair LSH output spending most of its bench
     * wall inside repartition(1)+local sort — a single task exchanging
-    * and sorting ~1 GB while 31 threads idle. */
+    * and sorting ~1 GB while 31 threads idle. When the leading sort
+    * key's bounds are KNOWN, prefer [[sortBounded]] — same parallel
+    * shape, no sampling pass. */
   def sortWide(df: DataFrame, cols: Column*): DataFrame =
     df.orderBy(cols: _*)
+
+  /** Sampling-free parallel total-order sort for a LARGE result whose
+    * leading integral sort key has KNOWN bounds [minV, maxV] (round 17
+    * — the write side's stats-guided clustering applied to result
+    * presentation): rows bucket by a closed-form range split of the
+    * key, the bucket labels are chosen driver-side so Spark's hash
+    * partitioner maps bucket i to partition i EXACTLY (injective
+    * murmur3 search, same device as LakeWriter's clustered writes),
+    * and each partition sorts locally — contiguous ordered buckets +
+    * executeCollect's partition order = the identical total order
+    * orderBy produces, without the range-sampling pass that re-executes
+    * the child (Exp38/45: the sampling pass was both ~2 s of the LSH
+    * wall and its ±25% run-to-run variance). Null keys sort first
+    * (Catalyst asc default). Skewed keys degrade bucket balance, never
+    * order. */
+  def sortBounded(df: DataFrame, key: Column, minV: Long, maxV: Long,
+      cols: Column*): DataFrame = {
+    val n = math.max(1, df.sparkSession.sparkContext.defaultParallelism * 4)
+    val labels = new Array[Int](n)
+    val taken = new Array[Boolean](n)
+    var found = 0
+    var cand = 0
+    while (found < n) {
+      val p = math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(cand, 42), n)
+      if (!taken(p)) { taken(p) = true; labels(p) = cand; found += 1 }
+      cand += 1
+    }
+    val span = math.max(1L, maxV - minV + 1)
+    // bucket index by linear key scaling, clamped into [0, n)
+    val idx = org.apache.spark.sql.functions.least(
+      org.apache.spark.sql.functions.lit(n - 1),
+      org.apache.spark.sql.functions.greatest(
+        org.apache.spark.sql.functions.lit(0),
+        ((key.cast("long") - minV) * n / span).cast("int")))
+    val labelArr = org.apache.spark.sql.functions.lit(labels)
+    val bucket = org.apache.spark.sql.functions.when(key.isNull,
+      org.apache.spark.sql.functions.lit(labels(0)))
+      .otherwise(org.apache.spark.sql.functions.element_at(labelArr, idx + 1))
+    val B = "__graft_present_bucket"
+    df.withColumn(B, bucket)
+      .repartition(n, col(B))
+      .sortWithinPartitions(cols: _*)
+      .drop(B)
+  }
 
   /** Finalize a BOUNDED-cardinality aggregation on the driver
     * ([[graft.plans.DriverFinalAgg]]): the partial stage still runs

@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round 17: A/B the LSH presentation sort — orderBy's sampling range
+  * sort (r16 shape) vs the new sampling-free [[graft.queries.Present
+  * .sortBounded]] (closed-form buckets from the known doc_id bounds).
+  * Times the REGISTERED gate end-to-end the bench way (executeCollect
+  * on a fresh cloned plan), min-of-3 after warmup, plus the same
+  * pipeline with the old sortWide inlined for the control arm. */
+object Exp45 {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, round => rnd, min => mn, max => mx}
+
+    val c = graft.queries.DedupQueries.corpus(spark, d)
+    println(s"[exp45] corpus sizeEstimate=${graft.plans.Hints.sizeEstimate(c)} " +
+      s"(gate threshold ${16L << 20})")
+    def pairs() = graft.extras.Dedup.minhashPairs(c, "doc_id", "text", 3, 64, 16, 0.5)
+      .select(col("id_a"), col("id_b"), rnd(col("jaccard"), 6).as("jaccard"))
+    val b = c.agg(mn(col("doc_id")), mx(col("doc_id"))).head()
+    def bounded() = graft.queries.Present.sortBounded(pairs(), col("id_a"),
+      b.getLong(0), b.getLong(1), col("id_a"), col("id_b"))
+    def sampled() = graft.queries.Present.sortWide(pairs(), col("id_a"), col("id_b"))
+
+    def time(dfb: () => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val rows = dfb().queryExecution.executedPlan.clone().executeCollect()
+      require(rows.length == rows.length)
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(bounded); time(sampled) // warm
+    val arms = Seq("bounded" -> (bounded _), "sampled" -> (sampled _))
+    val res = scala.collection.mutable.Map[String, Vector[Double]]()
+    (1 to 3).foreach { _ =>
+      arms.foreach { case (l, f) => res(l) = res.getOrElse(l, Vector.empty) :+ time(f) }
+    }
+    val load = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    println(s"[exp45] sf=$d loadavg=$load")
+    res.toSeq.sortBy(_._1).foreach { case (k, t) =>
+      println(f"[exp45] $k%-8s min=${t.min}%6.2f passes=${t.map(x => f"$x%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
