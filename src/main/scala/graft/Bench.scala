@@ -135,10 +135,29 @@ object Bench {
     // like regressions — now the artifact self-describes via
     // "load_pre" and a "degraded" stamp instead of relying on the
     // operator having checked /proc/loadavg by hand.
-    val loadPre =
+    def sampleLoad(): Double =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0).toDouble
       catch { case NonFatal(_) => -1.0 }
+    val loadFirst = sampleLoad()
+    // Quiet-wait (round 18): two consecutive official artifacts were
+    // stamped degraded because the box was still settling from the
+    // driver's own pre-bench work, forcing a hand-recorded quiet-box
+    // reference to bracket the number. The bench now defends itself:
+    // poll loadavg (bounded, default 5 min) until the 1-minute load
+    // falls under the wait target before ANY timed work starts, and
+    // record the wait in the load metadata.
+    val loadWaitTarget =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_TARGET", "1.0").toDouble
+    val loadWaitMaxMs =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MAX_MS", "300000").toLong
+    var loadWaitedMs = 0L
+    var loadPre = loadFirst
+    while (loadPre >= 0 && loadPre > loadWaitTarget && loadWaitedMs < loadWaitMaxMs) {
+      Thread.sleep(5000)
+      loadWaitedMs += 5000
+      loadPre = sampleLoad()
+    }
     val builder = SparkSession.builder()
       .withExtensions(new graft.sqlext.LakeSqlExtensions)
       .master(s"local[$cpus]")
@@ -465,6 +484,9 @@ object Bench {
     val loadJson =
       f""","load_pre":$loadPre%.2f,"load_end":$loadEnd%.2f""" +
         s""","passes":${passes.size}""" +
+        (if (loadWaitedMs > 0)
+           f""","load_first":$loadFirst%.2f,"load_wait_sec":${loadWaitedMs / 1000}"""
+         else "") +
         (if (degraded) ""","degraded":true""" else "")
     val json = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       oracleJson + streamJson + loadJson + "}"

@@ -271,6 +271,14 @@ object Multimodal {
   def mp4PPartFrameFeatures(df: DataFrame, idCol: String): DataFrame =
     mp4TotalFeatures(df, idCol, MediaSynth.mp4PPart)
 
+  /** Non-reference-frame variant (round 18): [[MediaSynth.mp4PNonRef]]
+    * fixtures whose refresh frame carries nal_ref_idc = 0 — output but
+    * excluded from the DPB, so later P_Skip frames copy the IDR, not
+    * the refresh. `lum_sum` is the closed form in the synthesizer's
+    * scaladoc. Map-only. */
+  def mp4PNonRefFrameFeatures(df: DataFrame, idCol: String): DataFrame =
+    mp4TotalFeatures(df, idCol, MediaSynth.mp4PNonRef)
+
   /** Shared all-frame decode mapper for the inter-prediction gates:
     * synthesize the per-id MP4, decode EVERY sample with reference
     * propagation, and emit whole-stream totals. */
@@ -1529,6 +1537,102 @@ object MediaSynth {
     val nals = Seq(nalIdr, nalIntra(1), nalMRef(2, mb => mb % 2)) ++
       (if (nFrames == 4) Seq(nalMRef(3, _ => 1)) else Seq.empty)
     mp4Container(wMb, hMb, nals, maxRefFrames = 2)
+  }
+
+  /** Non-reference-frame sibling (round 18, from the round-17 review):
+    * frame 1 refreshes the picture to constant vB but carries
+    * nal_ref_idc = 0 — a DISPOSABLE frame that is output yet must NOT
+    * enter the decoded-picture buffer (14496-10 §7.4.1), so the later
+    * all-skip P frames copy frame 0's constant vA, not vB. A decoder
+    * that pushes every decoded frame into the DPB (the pre-round-18
+    * behavior) reconstructs vB in frames 2+ and moves the sum. Frames:
+    *
+    *   0: I_PCM IDR, constant vA                      (ref_idc 3)
+    *   1: all-intra refresh to constant vB            (ref_idc 0)
+    *   2: all-P_Skip -> RefPicList0[0] = frame 0 = vA (ref_idc 2)
+    *   3 (nf = 4): all-P_Skip -> frame 2 = vA         (ref_idc 2)
+    *
+    * lum_sum = w*h*(vA + vB + vA (+ vA when nf = 4)) — the
+    * multimodal_h264_nonref gate's closed-form oracle. */
+  def mp4PNonRef(id: Long): Array[Byte] = {
+    val wMb = (1 + id % 2).toInt
+    val hMb = (1 + (id / 2) % 2).toInt
+    val nFrames = (3 + id % 2).toInt
+    val vA = (50 + id % 100).toInt
+    val lb = (1 + id % 8).toInt * (if (id % 3 == 0) -1 else 1)
+    val nMbs = wMb * hMb
+
+    def nalIdr: Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      bw.u(0x65, 8)
+      bw.ue(0); bw.ue(7); bw.ue(0)
+      bw.u(0, 4); bw.ue(0)
+      bw.u(0, 1); bw.u(0, 1)
+      bw.se(0)
+      var mb = 0
+      while (mb < nMbs) {
+        bw.ue(25); bw.byteAlignZero()
+        val luma = new Array[Byte](256)
+        java.util.Arrays.fill(luma, vA.toByte)
+        bw.bytes(luma)
+        val chroma = new Array[Byte](128)
+        java.util.Arrays.fill(chroma, 128.toByte)
+        bw.bytes(chroma)
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+
+    def pHeader(bw: graft.extras.H264.BitWriter, f: Int, refIdc: Int): Unit = {
+      bw.u((refIdc << 5) | 1, 8) // nal: forbidden_zero=0, ref_idc, type=1
+      bw.ue(0); bw.ue(5); bw.ue(0) // first_mb, P slice, pps id
+      bw.u(f % 16, 4) // frame_num (ignored under poc type 2, no reorder)
+      bw.u(0, 1) // num_ref_idx_active_override_flag
+      bw.u(0, 1) // ref_pic_list_modification_flag_l0
+      if (refIdc != 0) bw.u(0, 1) // adaptive_ref_pic_marking (ref only)
+    }
+
+    // frame 1: all-intra refresh to constant vB, marked NON-REFERENCE
+    def nalIntraNonRef(f: Int): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      pHeader(bw, f, refIdc = 0)
+      bw.se(25) // slice_qp_delta: QP 51
+      var mb = 0
+      while (mb < nMbs) {
+        bw.ue(0) // mb_skip_run
+        bw.ue(8) // mb_type 5+3: I_16x16, DC pred, cbp 0
+        bw.ue(0) // intra_chroma_pred_mode
+        bw.se(0) // mb_qp_delta
+        if (mb == 0) {
+          if (math.abs(lb) == 1) {
+            bw.u(1, 2) // coeff_token "01": tc=1, T1=1
+            bw.u(if (lb < 0) 1 else 0, 1)
+          } else {
+            bw.u(0x5, 6) // coeff_token "000101": tc=1, T1=0
+            val lc = (if (lb > 0) 2 * lb - 2 else -2 * lb - 1) - 2
+            bw.u(0, lc); bw.u(1, 1)
+          }
+          bw.u(1, 1) // total_zeros = 0
+        } else bw.u(1, 1) // TotalCoeff = 0: DC-predict from neighbors
+        mb += 1
+      }
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+
+    def nalSkip(f: Int): Array[Byte] = {
+      val bw = new graft.extras.H264.BitWriter
+      pHeader(bw, f, refIdc = 2)
+      bw.se(0) // slice_qp_delta
+      bw.ue(nMbs.toLong) // mb_skip_run: every MB skipped
+      bw.rbspTrailing()
+      graft.extras.H264.addEmulationPrevention(bw.result())
+    }
+
+    val nals = Seq(nalIdr, nalIntraNonRef(1), nalSkip(1)) ++
+      (if (nFrames == 4) Seq(nalSkip(2)) else Seq.empty)
+    mp4Container(wMb, hMb, nals, maxRefFrames = 1)
   }
 
   /** Partitioned-macroblock sibling (round 17): pins P_L0_L0_16x8 /
@@ -2988,6 +3092,7 @@ object JvmMp4Codec extends MediaCodec {
         var o = off
         val end = off + size
         var luma: Array[Byte] = null
+        var isRef = true // nal_ref_idc of the NAL that produced `luma`
         while (luma == null && o + t.nalLenSize <= end) {
           var len = 0L
           var j = 0
@@ -3003,12 +3108,19 @@ object JvmMp4Codec extends MediaCodec {
               luma = if (pcm != null) pcm else H264.decodeI16DcLuma(rbsp, t.sps, t.initQp)
               if (luma != null) refs = Vector.empty // IDR resets the DPB
             } else luma = H264.decodePLuma(rbsp, t.sps, refs, t.initQp)
+            // nal_ref_idc == 0 marks a non-reference picture: it is
+            // OUTPUT but must NOT enter the DPB, or every later frame's
+            // RefPicList0 shifts and decodes silently wrong (14496-10
+            // §7.4.1; flagged by round-17 review — all fixtures use
+            // ref_idc=2, so this is the spec path, not a behavior change)
+            if (luma != null) isRef = ((b(nalStart.toInt) >> 5) & 0x3) != 0
           }
           o = nalStart + len
         }
         if (luma == null) return None
         frames += luma
-        refs = (luma +: refs).take(math.max(1, t.sps.maxNumRefFrames))
+        if (isRef)
+          refs = (luma +: refs).take(math.max(1, t.sps.maxNumRefFrames))
         i += 1
       }
       Some((t.sps, frames.result()))

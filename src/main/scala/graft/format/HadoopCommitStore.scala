@@ -88,19 +88,36 @@ final class HadoopCommitStore(conf: Configuration) extends CommitStore {
     }
   }
 
-  private def readBackMatches(fs: FileSystem, p: HPath, expected: Array[Byte]): Boolean =
-    try {
-      val len = fs.getFileStatus(p).getLen
-      if (len != expected.length) false
-      else {
+  /** Verify the rename's destination holds OUR bytes. A transient read
+    * failure must NOT be reported as a lost commit — that would make a
+    * genuinely-won rename rebase on its own content and re-apply the
+    * same operation at the next version (duplicate commit). Retry a
+    * bounded number of times; if the file stays unreadable, rethrow so
+    * the committer surfaces an error instead of inventing an outcome. */
+  private def readBackMatches(fs: FileSystem, p: HPath, expected: Array[Byte]): Boolean = {
+    val attempts = 3
+    var i = 0
+    while (true) {
+      try {
+        val len = fs.getFileStatus(p).getLen
+        if (len != expected.length) return false
         val in = fs.open(p)
         try {
           val buf = new Array[Byte](expected.length)
           in.readFully(0, buf)
-          java.util.Arrays.equals(buf, expected)
+          return java.util.Arrays.equals(buf, expected)
         } finally in.close()
+      } catch {
+        case e: java.io.IOException =>
+          i += 1
+          if (i >= attempts) throw new java.io.IOException(
+            s"commit read-back verify failed ${attempts}x at $p; " +
+              "refusing to guess whether the rename won", e)
+          Thread.sleep(10L << i)
       }
-    } catch { case _: java.io.IOException => false }
+    }
+    false // unreachable
+  }
 
   override def publishHint(metadataDir: Path, version: Int): Unit = {
     val p = hPath(metadataDir, "version-hint.txt")

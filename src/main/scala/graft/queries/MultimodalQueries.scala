@@ -519,6 +519,39 @@ object MultimodalQueries {
       doc = "H.264 multi-reference P slices: num_ref_idx override, te(v) ref_idx, sliding DPB, per-reference motion compensation vs closed-form oracle"),
 
     // ------------------------------------------------------------------
+    Q("multimodal_h264_nonref",
+      (s, d) => {
+        // round-18 hardening (from the round-17 review): NON-REFERENCE
+        // frames. Frame 1 refreshes to constant vB but carries
+        // nal_ref_idc = 0, so it is OUTPUT yet must not enter the DPB
+        // (14496-10 §7.4.1) — the later all-skip P frames copy frame
+        // 0's vA. A decoder that pushes every frame into the DPB
+        // reconstructs vB in frames 2+ and moves the sum.
+        Multimodal.mp4PNonRefFrameFeatures(
+            Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+            16 * (1 + doc_id % 2) AS w,
+            16 * (1 + (doc_id // 2) % 2) AS h,
+            3 + doc_id % 2 AS nf,
+            50 + doc_id % 100 AS va,
+            128 + floor((56.0 * ((1 + doc_id % 8) *
+              (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END)) + 32) / 64.0) AS vb
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id,
+          CAST(nf AS BIGINT) AS n_frames,
+          CAST(w AS BIGINT) AS width,
+          CAST(h AS BIGINT) AS height,
+          CAST(w * h * (2 * va + vb)
+            + CASE WHEN nf = 4 THEN w * h * va ELSE 0 END AS BIGINT) AS lum_sum,
+          CAST(nf * w * h AS BIGINT) AS plane_bytes
+        FROM p ORDER BY doc_id"""),
+      doc = "H.264 non-reference frames: nal_ref_idc=0 pictures are output but excluded from the DPB, so later P_Skip frames compensate from the IDR vs closed-form oracle"),
+
+    // ------------------------------------------------------------------
     Q("multimodal_h264_ppart",
       (s, d) => {
         // round-17 follow-up: PARTITIONED macroblocks. P slices of

@@ -80,6 +80,21 @@ private[graft] object Present {
     * order. */
   def sortBounded(df: DataFrame, key: Column, minV: Long, maxV: Long,
       cols: Column*): DataFrame = {
+    require(cols.nonEmpty, "sortBounded: pass the full sort column list")
+    require(leadsWithKeyAsc(cols.head, key),
+      "sortBounded: cols.head must be the bucketing key, ascending - " +
+        "the total-order claim depends on it")
+    // Overflow safety (round 18): the bucket index must be MONOTONE in
+    // the key or the total order silently breaks. Spans that don't fit
+    // in a Long (e.g. Long.MinValue..Long.MaxValue, where even
+    // `key - minV` wraps) fall back to sortWide - correct, just pays
+    // orderBy's sampling pass. PropertySpec sweeps random and extreme
+    // spans against orderBy parity.
+    val diff = try Some(Math.subtractExact(maxV, minV)) catch {
+      case _: ArithmeticException => None
+    }
+    if (diff.isEmpty || diff.get == Long.MaxValue)
+      return sortWide(df, cols: _*)
     val n = math.max(1, df.sparkSession.sparkContext.defaultParallelism * 4)
     val labels = new Array[Int](n)
     val taken = new Array[Boolean](n)
@@ -91,13 +106,18 @@ private[graft] object Present {
       if (!taken(p)) { taken(p) = true; labels(p) = cand; found += 1 }
       cand += 1
     }
-    val span = math.max(1L, maxV - minV + 1)
-    // bucket index by linear key scaling, clamped into [0, n)
+    val span = math.max(1L, diff.get + 1)
+    // bucket index, monotone in the key, clamped into [0, n): linear
+    // scaling when the product provably fits in a Long; otherwise the
+    // ceil-step division form, whose numerator is bounded by the span
+    // (which fits by the guard above) so it cannot overflow
+    val raw =
+      if (span <= Long.MaxValue / n) (key.cast("long") - minV) * n / span
+      else (key.cast("long") - minV) / ((span - 1) / n + 1)
     val idx = org.apache.spark.sql.functions.least(
       org.apache.spark.sql.functions.lit(n - 1),
       org.apache.spark.sql.functions.greatest(
-        org.apache.spark.sql.functions.lit(0),
-        ((key.cast("long") - minV) * n / span).cast("int")))
+        org.apache.spark.sql.functions.lit(0), raw.cast("int")))
     val labelArr = org.apache.spark.sql.functions.lit(labels)
     val bucket = org.apache.spark.sql.functions.when(key.isNull,
       org.apache.spark.sql.functions.lit(labels(0)))
@@ -108,6 +128,17 @@ private[graft] object Present {
       .sortWithinPartitions(cols: _*)
       .drop(B)
   }
+
+  /** True when `c` sorts by exactly `key` ascending — either the bare
+    * column (sortWithinPartitions' asc default) or an explicit
+    * `key.asc`. Unresolved columns compare structurally; resolved ones
+    * semantically. */
+  private def leadsWithKeyAsc(c: Column, key: Column): Boolean =
+    // Column.equals compares normalized ColumnNodes (origins stripped),
+    // so this accepts exactly `key` bare (sortWithinPartitions' asc
+    // default) or an explicit `key.asc` — and rejects desc, a different
+    // nulls ordering, or any other column
+    c == key || c == key.asc
 
   /** Finalize a BOUNDED-cardinality aggregation on the driver
     * ([[graft.plans.DriverFinalAgg]]): the partial stage still runs

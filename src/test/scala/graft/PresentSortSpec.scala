@@ -1,0 +1,98 @@
+package graft
+
+import graft.queries.Present
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Round-18 hardening for [[Present.sortBounded]] (the sampling-free
+  * parallel presentation sort): the round-17 review flagged that the
+  * linear bucket expression `(key - minV) * n / span` silently wraps
+  * Long when the key span exceeds Long.MaxValue / n, breaking the
+  * documented "identical total order to orderBy" guarantee with no
+  * error. The fix routes wide spans through an overflow-free division
+  * form and full-Long spans to the orderBy fallback; this spec proves
+  * byte-identical output vs orderBy across random and extreme spans,
+  * including the exact span classes that used to overflow.
+  */
+class PresentSortSpec extends SparkSpec {
+
+  /** Rows with key values hugging both bounds plus random interior
+    * points, duplicate keys (tiebreaker column exercised), and nulls. */
+  private def data(minV: Long, maxV: Long, rows: Int, seed: Long,
+      withNulls: Boolean): DataFrame = {
+    val rnd = new Random(seed)
+    val span = BigInt(maxV) - BigInt(minV)
+    def interior(): Long =
+      (BigInt(minV) + (BigInt(rnd.nextLong()).abs mod (span + 1))).toLong
+    val keys: Seq[java.lang.Long] =
+      Seq[java.lang.Long](minV, maxV, minV, maxV) ++
+        (0 until rows).map(_ => java.lang.Long.valueOf(interior())) ++
+        (if (withNulls) Seq[java.lang.Long](null, null) else Seq.empty)
+    import spark.implicits._
+    // duplicate every key once so the tiebreaker column matters
+    val dup = keys ++ keys
+    dup.zipWithIndex.map { case (k, i) =>
+      (if (k == null) None else Some(k.longValue()), i % 7, s"p$i")
+    }.toDF("k", "tie", "payload")
+      // spread across partitions so bucket->partition mapping is real
+      .repartition(8)
+  }
+
+  private def check(minV: Long, maxV: Long, seed: Long,
+      withNulls: Boolean = true): Unit = {
+    val df = data(minV, maxV, 200, seed, withNulls)
+    val expect = df.orderBy(col("k").asc, col("tie").asc, col("payload").asc)
+      .collect().toSeq
+    val got = Present.sortBounded(df, col("k"), minV, maxV,
+      col("k").asc, col("tie").asc, col("payload").asc).collect().toSeq
+    assert(got == expect,
+      s"sortBounded([$minV,$maxV]) diverged from orderBy at seed $seed")
+  }
+
+  test("narrow spans: linear bucket form matches orderBy") {
+    check(0L, 10000L, seed = 1)
+    check(-5000L, 5000L, seed = 2)
+    check(42L, 42L, seed = 3) // degenerate single-value span
+  }
+
+  test("wide spans beyond Long.MaxValue/n: division form matches orderBy") {
+    // spans in (Long.MaxValue/128, Long.MaxValue] — the class that
+    // used to wrap the linear multiplication silently
+    check(0L, Long.MaxValue / 64, seed = 4)
+    check(-(Long.MaxValue / 4), Long.MaxValue / 4, seed = 5)
+    check(Long.MinValue / 2 + 1, Long.MaxValue / 2, seed = 6)
+  }
+
+  test("full-Long and overflowing spans fall back to orderBy parity") {
+    check(Long.MinValue, Long.MaxValue, seed = 7)
+    check(Long.MinValue, Long.MaxValue - 1, seed = 8)
+    check(Long.MinValue + 1, Long.MaxValue, seed = 9)
+  }
+
+  test("random spans, including sign-straddling, match orderBy") {
+    val rnd = new Random(1018)
+    for (i <- 0 until 12) {
+      val a = rnd.nextLong()
+      val b = rnd.nextLong()
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      check(lo, hi, seed = 100 + i, withNulls = i % 2 == 0)
+    }
+  }
+
+  test("leading sort column must be the bucketing key ascending") {
+    val df = data(0L, 100L, 20, seed = 10, withNulls = false)
+    intercept[IllegalArgumentException] {
+      Present.sortBounded(df, col("k"), 0L, 100L, col("tie").asc)
+    }
+    intercept[IllegalArgumentException] {
+      Present.sortBounded(df, col("k"), 0L, 100L, col("k").desc)
+    }
+    intercept[IllegalArgumentException] {
+      Present.sortBounded(df, col("k"), 0L, 100L)
+    }
+    // bare column counts as ascending (sortWithinPartitions default)
+    val ok = Present.sortBounded(df, col("k"), 0L, 100L, col("k"), col("payload"))
+    assert(ok.collect().nonEmpty)
+  }
+}

@@ -1,0 +1,36 @@
+package graft.extras
+
+import graft.SparkSpec
+
+/** Round-18 pin for non-reference pictures (found by the round-17
+  * review): a decoded frame with nal_ref_idc = 0 must be OUTPUT but
+  * never enter the sliding DPB — a decoder that pushes every frame
+  * into the reference list builds a wrong RefPicList0 for everything
+  * after it and decodes silently wrong. [[MediaSynth.mp4PNonRef]]
+  * refreshes frame 1 to constant vB as a disposable picture, then
+  * codes all-skip P frames whose compensation must read the IDR's vA.
+  */
+class H264NonRefSpec extends SparkSpec {
+
+  test("non-reference refresh frame is output but skipped by the DPB") {
+    (0L to 23L).foreach { id =>
+      val Some((sps, frames)) =
+        JvmMp4Codec.decodeAllLuma(MediaSynth.mp4PNonRef(id)): @unchecked
+      val vA = (50 + id % 100).toInt
+      val lb = (1 + id % 8).toInt * (if (id % 3 == 0) -1 else 1)
+      val vB = 128 + ((56 * lb + 32) >> 6)
+      assert(frames.length == (3 + id % 2).toInt, s"id=$id frame count")
+      assert(frames(0).forall(_ == vA.toByte), s"id=$id frame 0 (IDR)")
+      // the disposable frame IS decoded and output...
+      assert(frames(1).forall(_ == vB.toByte), s"id=$id frame 1 (non-ref)")
+      // ...but every later P_Skip frame compensates from the IDR: a
+      // DPB that admitted frame 1 would reproduce vB here instead
+      frames.drop(2).zipWithIndex.foreach { case (f, i) =>
+        assert(f.forall(_ == vA.toByte),
+          s"id=$id frame ${i + 2} must copy the IDR (vA=$vA), " +
+            s"not the non-reference refresh (vB=$vB)")
+      }
+      assert(sps.widthMbs == (1 + id % 2).toInt)
+    }
+  }
+}

@@ -26,6 +26,29 @@ class RacyReplacingFileSystem extends RawLocalFileSystem {
   }
 }
 
+/** A local filesystem whose open() fails transiently (first N calls per
+  * path) or persistently — pins that [[HadoopCommitStore]]'s read-back
+  * verification never converts a READ failure into a "commit lost"
+  * answer (round-18 fix: a false loss makes the committer rebase on its
+  * own content and re-apply the same operation at the next version). */
+class FlakyOpenFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "flakyfs"
+  override def getUri: URI = URI.create("flakyfs:///")
+  override def open(p: HPath, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    if (p.getName.endsWith(".json")) {
+      val n = FlakyOpenFileSystem.fails.merge(p.getName, 1,
+        (a: Integer, b: Integer) => Integer.valueOf(a + b))
+      if (FlakyOpenFileSystem.alwaysFail || n <= 2)
+        throw new java.io.IOException(s"transient open failure #$n at $p")
+    }
+    super.open(p, bufferSize)
+  }
+}
+object FlakyOpenFileSystem {
+  val fails = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  @volatile var alwaysFail = false
+}
+
 /** Pins for the commit-exclusivity guards: object-store schemes with
   * emulated (non-atomic) rename are rejected outright, and on
   * local-class filesystems a rename that "won" but was replaced by a
@@ -69,6 +92,45 @@ class HadoopCommitStoreGuardSpec extends SparkSpec {
       val bytes = new String(store.readBytes(metaDir, "v1.json"), "UTF-8")
       assert(bytes.contains("racer"))
     } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+    }
+  }
+
+  test("transient read-back failure retries; a won rename stays won") {
+    val conf = freshConf()
+    conf.set("fs.flakyfs.impl", classOf[FlakyOpenFileSystem].getName)
+    val wh = Files.createTempDirectory("flakyfs-wh").toString
+    FlakyOpenFileSystem.fails.clear()
+    FlakyOpenFileSystem.alwaysFail = false
+    try {
+      val store = new HadoopCommitStore(conf)
+      val metaDir = Paths.get(s"flakyfs://$wh", "t", "metadata")
+      store.prepareTable(Paths.get(s"flakyfs://$wh", "t"))
+      // open() fails twice, then succeeds: the bounded retry must reach
+      // the real bytes and report the commit WON, not lost
+      assert(store.putIfAbsent(metaDir, "v1.json", """{"writer":"me"}"""),
+        "a transient read failure must not be reported as a lost commit")
+      assert(FlakyOpenFileSystem.fails.get("v1.json") >= 2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+    }
+  }
+
+  test("persistent read-back failure surfaces as an error, not an outcome") {
+    val conf = freshConf()
+    conf.set("fs.flakyfs.impl", classOf[FlakyOpenFileSystem].getName)
+    val wh = Files.createTempDirectory("flakyfs-wh2").toString
+    FlakyOpenFileSystem.fails.clear()
+    FlakyOpenFileSystem.alwaysFail = true
+    try {
+      val store = new HadoopCommitStore(conf)
+      val metaDir = Paths.get(s"flakyfs://$wh", "t", "metadata")
+      store.prepareTable(Paths.get(s"flakyfs://$wh", "t"))
+      intercept[java.io.IOException] {
+        store.putIfAbsent(metaDir, "v1.json", """{"writer":"me"}""")
+      }
+    } finally {
+      FlakyOpenFileSystem.alwaysFail = false
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
     }
   }
