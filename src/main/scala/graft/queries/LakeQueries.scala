@@ -467,6 +467,70 @@ object LakeQueries {
       doc = "D7+S4: SCD2 snapshot merge over pre-evolution data files (rename + NULL-filled add read through the field-id projection, null-safe change diff)"),
 
     // ------------------------------------------------------------------
+    Q("lake_update_evolution",
+      (s, d) => {
+        // round-18 (round-17 verdict #4): UPDATE against a table whose
+        // data files PREDATE a schema evolution. The rewrite must read
+        // old files through the field-id projection (rename resolved,
+        // added column NULL-filled), evaluate the predicate over the
+        // NULL-filled column with sound 3VL, and PASS THROUGH untouched
+        // rows of touched files without inventing values. Reference
+        // anchor: sql/SchemaEvolution.java:328-404.
+        val (e, _) = freshEngine(s, "updevo")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders_updevo", orders.schema)
+        e.insert(t, orders) // every data file is old-schema
+        t.renameColumn("o_totalprice", "price_usd")
+        t.addColumn("channel", StringType)
+        // the `channel = 'never'` disjunct is NULL for every pre-evolution
+        // row: (pred OR NULL) must update only where pred is TRUE
+        e.update(t,
+          "(o_orderkey % 7 = 0 AND price_usd < 150000) OR channel = 'never'",
+          Map("price_usd" -> "price_usd + 100", "channel" -> "'adj'"))
+        e.scan(t).toDF()
+          .select(col("o_orderkey"), col("price_usd"), col("channel"),
+            col("o_orderstatus"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 AND o_totalprice < 150000
+               THEN o_totalprice + 100 ELSE o_totalprice END AS price_usd,
+          CASE WHEN o_orderkey % 7 = 0 AND o_totalprice < 150000
+               THEN 'adj' ELSE NULL END AS channel,
+          o_orderstatus
+        FROM orders ORDER BY o_orderkey"""),
+      doc = "D3+S4: UPDATE over pre-evolution data files (field-id projection on the rewrite, 3VL over the NULL-filled added column, passthrough rows preserved)"),
+
+    // ------------------------------------------------------------------
+    Q("lake_delete_evolution",
+      (s, d) => {
+        // DELETE sibling of lake_update_evolution: the rewrite of
+        // touched pre-evolution files keeps survivors byte-faithful
+        // through the projection, and the NULL-filled added column's
+        // disjunct must never widen the delete set (3VL).
+        val (e, _) = freshEngine(s, "delevo")
+        val orders = Tables.orders(s, d)
+        val t = e.catalog.createTable("orders_delevo", orders.schema)
+        e.insert(t, orders)
+        t.renameColumn("o_totalprice", "price_usd")
+        t.addColumn("channel", StringType)
+        e.delete(t,
+          "(price_usd < 60000 AND o_orderstatus = 'F') OR channel = 'never'")
+        e.scan(t).toDF()
+          .select(col("o_orderkey"), col("price_usd"), col("channel"),
+            col("o_orderstatus"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice AS price_usd,
+          CAST(NULL AS VARCHAR) AS channel, o_orderstatus
+        FROM orders
+        WHERE NOT (o_totalprice < 60000 AND o_orderstatus = 'F')
+        ORDER BY o_orderkey"""),
+      doc = "D4+S4: DELETE over pre-evolution data files (survivor passthrough through the field-id projection, NULL disjunct never widens the delete set)"),
+
+    // ------------------------------------------------------------------
     Q("cdc_incremental_agg",
       (s, d) => {
         import org.apache.spark.sql.types.{DecimalType, DoubleType}
