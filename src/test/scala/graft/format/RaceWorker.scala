@@ -1,0 +1,67 @@
+package graft.format
+
+/** Child-JVM entry point for [[CrossProcessCommitRaceSpec]]: races
+  * `putIfAbsent` against a sibling PROCESS on the same metadata
+  * directory — the claim the in-JVM ConcurrencyStressSpec cannot test,
+  * because both local commit bindings' exclusivity arguments are
+  * kernel-level (hard-link CAS, rename), not JVM-level.
+  *
+  * Protocol: args = (storeKind, metadataDir, workerId, rounds). The
+  * worker spin-waits for the parent's START file, then attempts every
+  * version 1..rounds in order — the optimistic-retry shape: a loser
+  * rebases and moves to the next version, it never re-contests one.
+  * One line per attempt on stdout: `WIN <v>` / `LOSE <v>` / `ERR <v>`.
+  */
+object RaceWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(kind, dir, workerId, roundsStr) = args
+    val rounds = roundsStr.toInt
+    val metaDir = java.nio.file.Paths.get(dir)
+    val put: (String, String) => Boolean = kind match {
+      case "local" => (n, c) => LocalCommitStore.putIfAbsent(metaDir, n, c)
+      case "hadoop" =>
+        val store = new HadoopCommitStore(new org.apache.hadoop.conf.Configuration())
+        (n, c) => store.putIfAbsent(metaDir, n, c)
+      case other => sys.error(s"unknown store kind: $other")
+    }
+    // two-way barrier: announce READY (after one warm-up put against a
+    // scratch name, so classloading/JIT happens before the race), then
+    // spin for the parent's START — which the parent only writes once
+    // BOTH workers' READY files exist
+    put(s".warmup-$workerId.json", "{}")
+    java.nio.file.Files.writeString(metaDir.resolve(s"READY-$workerId"), "r")
+    val start = metaDir.resolve("START")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    // spin until START exists AND its epoch payload is fully written
+    // (a bare exists() check can observe the parent's in-flight write)
+    var epoch = -1L
+    while (epoch < 0) {
+      if (System.nanoTime() > deadline) sys.error("START never appeared")
+      if (java.nio.file.Files.exists(start)) {
+        val txt = java.nio.file.Files.readString(start).trim
+        if (txt.nonEmpty && txt.forall(_.isDigit)) epoch = txt.toLong
+      }
+      Thread.onSpinWait()
+    }
+    // START carries a shared wall-clock epoch; each version's attempt
+    // is pinned to its own slot so EVERY round is contested — a pure
+    // sprint degenerates into leader-lock (the round-1 winner stays a
+    // half-round ahead and wins everything, observed before this slot
+    // alignment landed)
+    val t0 = epoch
+    val slotMs = 5L
+    val out = new StringBuilder
+    var v = 1
+    while (v <= rounds) {
+      val slot = t0 + v * slotMs
+      while (System.currentTimeMillis() < slot) Thread.onSpinWait()
+      val line =
+        try (if (put(s"v$v.json", s"""{"writer":"$workerId","v":$v}""")) "WIN "
+             else "LOSE ") + v
+        catch { case e: java.io.IOException => s"ERR $v ${e.getClass.getName}" }
+      out.append(line).append('\n')
+      v += 1
+    }
+    print(out.toString)
+  }
+}
