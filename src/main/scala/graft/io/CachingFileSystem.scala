@@ -210,15 +210,32 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
 
   private final case class Entry(file: JPath, len: Long, mtime: Long) {
     @volatile var lastAccess: Long = System.currentTimeMillis()
-    /** Open streams on this entry; unlink defers to the last release. */
-    val pins = new java.util.concurrent.atomic.AtomicInteger(0)
-    /** Dropped from the index while pinned — delete on last release. */
-    @volatile var unlinked = false
   }
 
   // access-ordered LRU; all structural access synchronized on `lru`
   private val lru = new java.util.LinkedHashMap[String, Entry](64, 0.75f, true)
   private val totalBytes = new AtomicLong()
+
+  // FILE-IDENTITY reference counts, guarded by lru's monitor (round 18,
+  // from the adversarial sweep): entry names are deterministic
+  // (key-len-mtime), so two GENERATIONS of one key share a path — a
+  // later generation evicted with zero pins of its OWN must not delete
+  // the path an earlier generation's live stream still reads. A path is
+  // deletable only when no index entry owns it AND no pin (of any
+  // generation) references it.
+  private val pathPins = new java.util.HashMap[JPath, Integer]()
+  private val pathOwners = new java.util.HashMap[JPath, Integer]()
+
+  /** Adjust a path refcount map; the path leaves the map at zero. */
+  private def bump(m: java.util.HashMap[JPath, Integer], f: JPath, d: Int): Unit = {
+    val n = m.merge(f, d, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+    if (n <= 0) { m.remove(f); () }
+  }
+
+  /** Unlink `f` iff nothing references it (callers hold lru's monitor). */
+  private def deleteIfUnreferenced(f: JPath): Unit =
+    if (!pathPins.containsKey(f) && !pathOwners.containsKey(f))
+      try { Files.deleteIfExists(f); () } catch { case _: java.io.IOException => () }
   // single-flight: one future per in-progress key; losers await the
   // winner instead of racing a removable lock object (which let a
   // late-arriving thread mint a fresh lock while a waiter still held
@@ -247,14 +264,8 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
     def releaseOf(e: Entry): () => Unit = {
       val released = new java.util.concurrent.atomic.AtomicBoolean(false)
       () => if (released.compareAndSet(false, true)) lru.synchronized {
-        if (e.pins.decrementAndGet() == 0 && e.unlinked) {
-          // entry names are deterministic (key-len-mtime): a re-fetch
-          // after our index drop lands on the SAME path — never unlink
-          // a file a live entry now owns
-          val reowned = Option(lru.get(key)).exists(_.file == e.file)
-          if (!reowned)
-            try Files.deleteIfExists(e.file) catch { case _: java.io.IOException => () }
-        }
+        bump(pathPins, e.file, -1)
+        deleteIfUnreferenced(e.file)
       }
     }
     // pin acquisition happens under the lru monitor (entry proven live);
@@ -269,7 +280,7 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
           None
         } else {
           e.lastAccess = now
-          e.pins.incrementAndGet()
+          bump(pathPins, e.file, 1)
           Some((e, releaseOf(e)))
         }
       }
@@ -310,12 +321,19 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
                     // and the index insert and unlink the fresh file
                     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
                       StandardCopyOption.REPLACE_EXISTING)
+                    // claim ownership BEFORE evicting: a same-path
+                    // victim inside evictToFit must not zero the count
+                    // and unlink the file just moved into place
+                    bump(pathOwners, target, 1)
                     evictToFit(len)
                     val entry = Entry(target, len, mtime)
-                    Option(lru.put(key, entry))
-                      .foreach(old => totalBytes.addAndGet(-old.len))
+                    Option(lru.put(key, entry)).foreach { old =>
+                      totalBytes.addAndGet(-old.len)
+                      bump(pathOwners, old.file, -1)
+                      deleteIfUnreferenced(old.file)
+                    }
                     totalBytes.addAndGet(len)
-                    entry.pins.incrementAndGet()
+                    bump(pathPins, target, 1)
                     (entry, releaseOf(entry))
                   }
                   return run(e, release)
@@ -337,13 +355,13 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
   def entryCount: Int = lru.synchronized(lru.size)
   def currentBytes: Long = totalBytes.get()
 
-  // callers hold lru's monitor; a pinned entry's file outlives the
-  // index drop until its last release
+  // callers hold lru's monitor; a pinned path outlives the index drop
+  // until its last release (file-identity counts, any generation)
   private def dropLocked(key: String, e: Entry): Unit = {
     lru.remove(key)
     totalBytes.addAndGet(-e.len)
-    if (e.pins.get() > 0) e.unlinked = true
-    else try Files.deleteIfExists(e.file) catch { case _: java.io.IOException => () }
+    bump(pathOwners, e.file, -1)
+    deleteIfUnreferenced(e.file)
   }
 
   /** Evict least-recently-used entries until `incoming` fits; pinned
@@ -356,8 +374,8 @@ final class FileCacheState private (dir: JPath, maxBytes: Long, expireMs: Long) 
       it.remove()
       totalBytes.addAndGet(-e.len)
       stats.evictions.incrementAndGet()
-      if (e.pins.get() > 0) e.unlinked = true
-      else try Files.deleteIfExists(e.file) catch { case _: java.io.IOException => () }
+      bump(pathOwners, e.file, -1)
+      deleteIfUnreferenced(e.file)
     }
   }
 

@@ -178,4 +178,75 @@ class ClusterBoundsSpec extends SparkSpec {
     engine.insert(t2, df)
     assert(LakeWriter.clusterBoundsOf(t2, t2.currentFiles()).isEmpty)
   }
+
+  // ------------------------------------------------------------------
+  // Round-18 adversarial sweep (round-17 verdict #6): the bound list is
+  // a HINT — any list, however degenerate, must leave content exact and
+  // file ranges disjoint, because boundsBucketExpr canonicalizes
+  // (sort + dedupe + cap) before bucketing and the per-partition sort
+  // still orders rows within every bucket.
+
+  private def writeWithBounds(bounds: Seq[String], label: String): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-cbadv-").toString
+    val catalog = new LakeCatalog(dir)
+    val engine = new LakeEngine(spark, catalog)
+    val df = spark.range(0, 4000).select(
+      col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+    val t = catalog.createTable("t", df.schema,
+      sortOrder = Seq(SortField("k")),
+      properties = Map("write.max-records-per-file" -> "1500"))
+    val entries = LakeWriter.write(spark, t, df, clusterBounds = Some(bounds))
+    t.appendFiles(entries)
+    val t2 = LakeTable.load(t.location)
+    assertNonOverlapping(keyRanges(t2, "k"))
+    val out = new LakeEngine(spark, catalog).scan(t2).toDF()
+    assert(out.count() === 4000L, s"$label: row count")
+    assert(out.agg(sum(col("k"))).head().getLong(0) === (0L until 4000L).sum,
+      s"$label: content drifted")
+  }
+
+  test("adversarial bound lists: duplicates, reversed, out-of-range, single, empty-ish") {
+    writeWithBounds(Seq("1000", "1000", "2000", "2000", "1000"), "duplicates")
+    writeWithBounds(Seq("3000", "2000", "1000"), "reversed order")
+    writeWithBounds(Seq("-500", "999999", "100"), "bounds outside the data range")
+    writeWithBounds(Seq("0"), "single bound at the data minimum")
+    writeWithBounds(Seq("3999"), "single bound at the data maximum")
+    writeWithBounds((0 until 500).map(i => (i * 8).toString), "500 bounds (cap subsample)")
+    writeWithBounds(Seq(Long.MinValue.toString, Long.MaxValue.toString), "extreme Long bounds")
+  }
+
+  test("clusterBoundsOf survives degenerate footer stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cbadv2-").toString
+    val catalog = new LakeCatalog(dir)
+    val engine = new LakeEngine(spark, catalog)
+    val df = spark.range(0, 100).select(
+      col("id").as("k"), col("id").cast("double").as("v"))
+    val t = catalog.createTable("t", df.schema, sortOrder = Seq(SortField("k")))
+    engine.insert(t, df)
+    val id = FieldIds.of(t.schema("k")).toString
+    def entry(mn: Option[String], mx: Option[String], size: Long) = FileEntry(
+      "fake.parquet", Map.empty, 10L, size, t.metadata.currentSchemaId,
+      Map(id -> ColumnStats(mn, mx, 0L)))
+    // min == max (single-key file, big enough to ask for splits):
+    // interpolation must not emit bounds outside [lo, hi]
+    val same = LakeWriter.clusterBoundsOf(t, Seq(entry(Some("42"), Some("42"), 100L << 20)))
+    assert(same.exists(_.forall(_ == "42")), s"min==max bounds: $same")
+    // corrupt stats (min > max): whatever comes back must still write
+    // exactly (canonicalization makes any list safe)
+    LakeWriter.clusterBoundsOf(t, Seq(entry(Some("900"), Some("100"), 100L << 20)))
+      .foreach(bs => writeWithBounds(bs, "min>max corrupt stats"))
+    // absent stats on one file, present on another
+    val mixed = LakeWriter.clusterBoundsOf(t,
+      Seq(entry(None, None, 100L << 20), entry(Some("10"), Some("90"), 1L)))
+    assert(mixed.exists(_.contains("90")), s"mixed stats: $mixed")
+    // full-Long span: BigInt interpolation must not throw or emit junk
+    val wide = LakeWriter.clusterBoundsOf(t, Seq(
+      entry(Some(Long.MinValue.toString), Some(Long.MaxValue.toString), 100L << 20)))
+    assert(wide.isDefined)
+    wide.foreach { bs =>
+      bs.foreach(b => assert(BigInt(b) >= BigInt(Long.MinValue) &&
+        BigInt(b) <= BigInt(Long.MaxValue), s"bound outside Long: $b"))
+      writeWithBounds(bs, "full-Long interpolated bounds")
+    }
+  }
 }

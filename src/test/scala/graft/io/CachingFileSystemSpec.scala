@@ -161,6 +161,111 @@ class CachingFileSystemSpec extends SparkSpec {
     } finally FileCacheState.reset(dir)
   }
 
+  test("cache state: a pinned path survives LATER generations' eviction") {
+    // Round-18 adversarial sweep (round-17 verdict #6). Entry names are
+    // deterministic (key-len-mtime), so two GENERATIONS of the same key
+    // share one path. Found by this sweep: generation B evicted with
+    // zero pins deleted the path while generation A's pin — taken
+    // before A was evicted from the index — was still live; A's reader
+    // then crashed on re-open. Deletion must be gated on file-identity
+    // reference counts (any generation's pin, any index owner), not on
+    // the evicted ENTRY's own pin count.
+    val dir = tmpDir("zombie-gen")
+    try {
+      val st = FileCacheState.forDir(dir, maxBytes = 150, expireMs = 0)
+      val blobK = bytesOf("K" * 100)
+      val blobO = bytesOf("O" * 100)
+      // generation A of key "k": take the pin and HOLD it (a long-lived
+      // open stream)
+      var pathA: java.nio.file.Path = null
+      var releaseA: () => Unit = null
+      st.ensurePinned("k", 100, 0L, assumeImmutable = true,
+        () => new java.io.ByteArrayInputStream(blobK)) { (f, rel) =>
+        pathA = f; releaseA = rel
+      }
+      // evict A from the index (cache fits one entry)
+      st.ensureLocal("o1", 100, 0L, assumeImmutable = true,
+        () => new java.io.ByteArrayInputStream(blobO))(identity)
+      // generation B of "k": same deterministic path, pin released at
+      // the end of the call
+      st.ensureLocal("k", 100, 0L, assumeImmutable = true,
+        () => new java.io.ByteArrayInputStream(blobK))(identity)
+      // evict B (pins == 0): the path must SURVIVE — A's pin is live
+      st.ensureLocal("o2", 100, 0L, assumeImmutable = true,
+        () => new java.io.ByteArrayInputStream(blobO))(identity)
+      assert(Files.exists(pathA),
+        "generation B's eviction deleted a path generation A still pins")
+      assert(Files.readAllBytes(pathA).sameElements(blobK))
+      // last release drops the file-identity count to zero -> unlink
+      releaseA()
+      assert(!Files.exists(pathA), "released+unowned path must be unlinked")
+    } finally FileCacheState.reset(dir)
+  }
+
+  test("cache state: chaotic open/evict/invalidate/hold loops stay consistent") {
+    // 8 threads × 200 ops over 4 keys in a cache that holds ~1.5
+    // entries, each thread randomly reading, invalidating, or taking a
+    // pin it releases a few ops LATER (long-lived streams overlapping
+    // evictions and re-fetches of the same deterministic path). Every
+    // read — immediate or under a held pin — must see the key's exact
+    // bytes; no unlink-under-pin, no torn content, and the cache budget
+    // holds at the end.
+    val dir = tmpDir("chaos")
+    try {
+      val st = FileCacheState.forDir(dir, maxBytes = 150, expireMs = 0)
+      val keys = Vector("a", "b", "c", "d")
+      val blobs = keys.map(k => k -> bytesOf(k * 100)).toMap
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 8).map { ti =>
+        new Thread(() => {
+          val rnd = new scala.util.Random(1000 + ti)
+          // (path, release, expected) of pins this thread still holds
+          val held = scala.collection.mutable.Queue
+            .empty[(java.nio.file.Path, () => Unit, Array[Byte])]
+          def releaseOne(): Unit = if (held.nonEmpty) {
+            val (p, rel, expect) = held.dequeue()
+            try {
+              // the pin must keep the PATH readable no matter how many
+              // generations were evicted/invalidated since
+              assert(Files.readAllBytes(p).sameElements(expect),
+                s"held pin saw wrong bytes at $p")
+            } finally rel()
+          }
+          try {
+            var i = 0
+            while (i < 200) {
+              val k = keys(rnd.nextInt(keys.size))
+              rnd.nextInt(4) match {
+                case 0 => st.invalidate(k)
+                case 1 => // read-now
+                  val got = st.ensureLocal(k, 100, 0L, assumeImmutable = true,
+                    () => new java.io.ByteArrayInputStream(blobs(k)))(Files.readAllBytes)
+                  assert(got.sameElements(blobs(k)), s"read-now saw wrong bytes for $k")
+                case 2 => // take a pin and hold it across future ops
+                  st.ensurePinned(k, 100, 0L, assumeImmutable = true,
+                    () => new java.io.ByteArrayInputStream(blobs(k))) { (f, rel) =>
+                    held.enqueue((f, rel, blobs(k)))
+                  }
+                  if (held.size > 3) releaseOne()
+                case 3 => releaseOne()
+              }
+              i += 1
+            }
+            while (held.nonEmpty) releaseOne()
+          } catch { case t: Throwable => failures.add(t); () }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(failures.isEmpty, s"chaos loop failed: ${failures.peek()}")
+      assert(st.currentBytes <= 150)
+      // quiesced: every surviving on-disk file is index-owned (no leaks
+      // from deferred unlinks that never fired)
+      val onDisk = java.nio.file.Files.list(Paths.get(dir)).count()
+      assert(onDisk <= 2, s"leaked cache files: $onDisk on disk for a 1.5-entry budget")
+    } finally FileCacheState.reset(dir)
+  }
+
   private def gcacheConf(cacheDir: String): Configuration = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.set("fs.gcache.impl", classOf[CachingFileSystem].getName)
