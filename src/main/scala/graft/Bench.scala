@@ -189,6 +189,16 @@ object Bench {
         }))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // fetchall parity (round 18, found by the sf50 sweep): the bench
+      // times executeCollect — the DuckDB oracle's fetchall — and the
+      // LSH pair ledger at sf50 (~220M rows) tripped the default 1g
+      // maxResultSize, aborting the query. The oracle side has no such
+      // cap, so the harness shouldn't either: unlimited by default
+      // (bounded by the driver heap, which scale sweeps already size);
+      // a DEPLOYMENT never fetches such a result — it lands as a table
+      // write — so this is a harness-parity setting, not engine advice.
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("SPARK_GRAFT_MAXRESULT", "0"))
       // survive multi-ten-second GC pauses on large-heap scale sweeps:
       // the default 120s heartbeat window removed the local executor
       // mid-bench at sf10 (a removed LOCAL executor is unrecoverable)

@@ -19,6 +19,7 @@ object Exp45 {
       .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.files.minPartitionNum", "1")
       .config("spark.locality.wait", "0")
+      .config("spark.driver.maxResultSize", "0") // fetchall parity (sf50 ledger)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-18 probe: run the streaming-ingest bench scenario ALONE on a
+  * quiet box, N times — the full bench runs it last, after ~20 minutes
+  * of passes, where a slow reading could be either a regression or
+  * end-of-run box heat. Isolating it decides which.
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/sf10 sbt "runMain graft.tools.StreamProbe"
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "3").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.network.timeout", "600s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    (1 to n).foreach { i =>
+      val o = graft.BenchStream.run(spark, sfDir)
+      println(f"[streamprobe] pass $i: wall=${o.wallSec}%.2f s " +
+        f"rows=${o.rows} rate=${o.rowsPerSec}%.0f rows/s " +
+        f"batches=${o.batches} avgBatchMs=${o.avgBatchMs}%.0f")
+    }
+    spark.stop()
+  }
+}
