@@ -309,8 +309,16 @@ object Bench {
     // recorded ratio in either direction
     val oracleBefore = oracleTimes(sfDir, cpus)
     // two warmup passes: one pass leaves C2 JIT compilation still in
-    // flight on the hot query paths (pass totals keep dropping otherwise)
-    val warmup = (1 to 2).flatMap(_ => headline.map(q => q.name -> exec(q).sec)).toMap
+    // flight on the hot query paths (pass totals keep dropping otherwise).
+    // GC between them like the timed passes (untimed, so free): at sf50
+    // the now-successful LSH fetch holds a multi-GB result array, and
+    // two back-to-back warmup sweeps of every query without a GC blew
+    // an 80g heap on accumulated plan-clone garbage
+    val warmup = (1 to 2).flatMap { _ =>
+      val w = headline.map(q => q.name -> exec(q).sec)
+      System.gc()
+      w
+    }.toMap
     def pass(): Map[String, ExecSample] = headline.map(q => q.name -> exec(q)).toMap
 
     // min-of-5: transient load spikes (chronic on this box) must persist
