@@ -153,10 +153,16 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MAX_MS", "300000").toLong
     var loadWaitedMs = 0L
     var loadPre = loadFirst
+    if (loadPre >= 0 && loadPre > loadWaitTarget)
+      System.err.println(f"[bench] load-waiting: 1-min load $loadPre%.2f > " +
+        f"target $loadWaitTarget%.2f (max ${loadWaitMaxMs / 1000}s)")
     while (loadPre >= 0 && loadPre > loadWaitTarget && loadWaitedMs < loadWaitMaxMs) {
       Thread.sleep(5000)
       loadWaitedMs += 5000
       loadPre = sampleLoad()
+      // one line per poll so an operator sees load-waiting, not a hang
+      System.err.println(f"[bench] load-wait ${loadWaitedMs / 1000}s: " +
+        f"load $loadPre%.2f (target $loadWaitTarget%.2f)")
     }
     val builder = SparkSession.builder()
       .withExtensions(new graft.sqlext.LakeSqlExtensions)

@@ -68,21 +68,24 @@ final class HadoopCommitStore(conf: Configuration) extends CommitStore {
     val bytes = content.getBytes("UTF-8")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    try renameLock.synchronized {
-      // rename fails when dst exists (atomic on HDFS-class stores);
-      // the lock serializes same-JVM racers on local filesystems
-      if (fs.exists(dst)) false
-      else {
-        val won = fs.rename(tmp, dst)
-        // local-class renames REPLACE an existing destination (POSIX
-        // File.renameTo), so a cross-process racer can overwrite a
-        // rename that already "won". Read-back verify converts the
-        // got-replaced direction into a correct loss; the inverse
-        // window (we replaced a racer that already returned true) is
-        // why cross-process LOCAL racing belongs to LocalCommitStore's
-        // hard-link CAS, as the class doc states.
-        won && (trustedRename || readBackMatches(fs, dst, bytes))
+    try {
+      val won = renameLock.synchronized {
+        // rename fails when dst exists (atomic on HDFS-class stores);
+        // the lock serializes same-JVM racers on local filesystems
+        if (fs.exists(dst)) false
+        else fs.rename(tmp, dst)
       }
+      // local-class renames REPLACE an existing destination (POSIX
+      // File.renameTo), so a cross-process racer can overwrite a
+      // rename that already "won". Read-back verify converts the
+      // got-replaced direction into a correct loss; the inverse
+      // window (we replaced a racer that already returned true) is
+      // why cross-process LOCAL racing belongs to LocalCommitStore's
+      // hard-link CAS, as the class doc states. The verify runs
+      // OUTSIDE renameLock: the rename outcome is already decided, and
+      // its bounded retry backoff must not stall other same-JVM
+      // committers (possibly on unrelated tables) behind the lock.
+      won && (trustedRename || readBackMatches(fs, dst, bytes))
     } finally {
       if (fs.exists(tmp)) { fs.delete(tmp, false); () }
     }

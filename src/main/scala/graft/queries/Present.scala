@@ -77,7 +77,10 @@ private[graft] object Present {
     * the child (Exp38/45: the sampling pass was both ~2 s of the LSH
     * wall and its ±25% run-to-run variance). Null keys sort first
     * (Catalyst asc default). Skewed keys degrade bucket balance, never
-    * order. */
+    * order. Contract: `cols.head` must be `key` ascending, passed as
+    * the SAME Column expression as `key` — bare `key`, `key.asc`, or
+    * `key.asc_nulls_first` (equality is structural on normalized
+    * ColumnNodes, so `col("k")` and `df("k")` forms don't mix). */
   def sortBounded(df: DataFrame, key: Column, minV: Long, maxV: Long,
       cols: Column*): DataFrame = {
     require(cols.nonEmpty, "sortBounded: pass the full sort column list")
@@ -129,16 +132,17 @@ private[graft] object Present {
       .drop(B)
   }
 
-  /** True when `c` sorts by exactly `key` ascending — either the bare
-    * column (sortWithinPartitions' asc default) or an explicit
-    * `key.asc`. Unresolved columns compare structurally; resolved ones
-    * semantically. */
+  /** True when `c` sorts by exactly `key` ascending with nulls first —
+    * the bare column (sortWithinPartitions' asc default), an explicit
+    * `key.asc`, or `key.asc_nulls_first` (asc's default null ordering
+    * spelled out). Column.equals compares normalized ColumnNodes
+    * (origins stripped) — STRUCTURAL equality, so the caller must pass
+    * the same Column expression as both `cols.head` and `key` (e.g.
+    * both `col("k")` or both `df("k")`; a resolved `df("k")` is a
+    * different node than an unresolved `col("k")` and is rejected).
+    * Rejects desc, nulls-last, or any other column. */
   private def leadsWithKeyAsc(c: Column, key: Column): Boolean =
-    // Column.equals compares normalized ColumnNodes (origins stripped),
-    // so this accepts exactly `key` bare (sortWithinPartitions' asc
-    // default) or an explicit `key.asc` — and rejects desc, a different
-    // nulls ordering, or any other column
-    c == key || c == key.asc
+    c == key || c == key.asc || c == key.asc_nulls_first
 
   /** Finalize a BOUNDED-cardinality aggregation on the driver
     * ([[graft.plans.DriverFinalAgg]]): the partial stage still runs

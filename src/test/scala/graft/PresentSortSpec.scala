@@ -91,8 +91,17 @@ class PresentSortSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Present.sortBounded(df, col("k"), 0L, 100L)
     }
+    intercept[IllegalArgumentException] { // nulls-last breaks the order claim
+      Present.sortBounded(df, col("k"), 0L, 100L, col("k").asc_nulls_last)
+    }
     // bare column counts as ascending (sortWithinPartitions default)
     val ok = Present.sortBounded(df, col("k"), 0L, 100L, col("k"), col("payload"))
     assert(ok.collect().nonEmpty)
+    // asc and asc_nulls_first are asc's default spelled out — both accepted
+    val ok2 = Present.sortBounded(df, col("k"), 0L, 100L, col("k").asc, col("payload"))
+    assert(ok2.collect().nonEmpty)
+    val ok3 = Present.sortBounded(
+      df, col("k"), 0L, 100L, col("k").asc_nulls_first, col("payload"))
+    assert(ok3.collect().nonEmpty)
   }
 }

