@@ -1,0 +1,177 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Round 19, verdict task 2: phase-decompose `q_events_hourly` — the
+  * new marginal weak entry (0.241 s vs oracle 0.108 s = 2.24x at sf10
+  * in BENCH_sf10.json r18) — the way Exp44 did for scd1.
+  *
+  * The query is a single windowed agg over events (50M rows at sf10
+  * fixture scale) that already sits at the Exp24/Exp40 scan floor, so
+  * the hypothesis is per-job fixed cost, but the verdict is right that
+  * no ledger exists. Decomposition, bench-identical config, arms
+  * interleaved, min-of-N with per-exec plan/work/sched attribution
+  * (same time-window listener technique as Bench):
+  *
+  *  - scan_floor   : ungrouped count+sum over the same three columns
+  *                   (ts, event_type, value) — the cheapest possible
+  *                   distributed pass over the same bytes; no shuffle,
+  *                   no group state.
+  *  - agg_nopresent: the registered query's grouped agg WITHOUT the
+  *                   driverAgg presentation (raw exchange + final agg
+  *                   + collect of ~few-thousand rows).
+  *  - full         : the registered q_events_hourly (driverAgg collapses
+  *                   the final-agg exchange; presentation sort driver-side).
+  *
+  * Reading the ledger: if full - scan_floor is dominated by sched_ms
+  * (stage/driver latency) rather than work_ms, the entry is job fixed
+  * cost — the floor-pin holds and DuckDB's in-process fetch simply has
+  * no analogous term at a 240 ms wall. If work_ms grows between
+  * scan_floor and full, there is real per-row fat to chase.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/tmp/sf10 sbt -batch "runMain graft.tools.Exp46"
+  */
+object Exp46 {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val passes = sys.env.getOrElse("EXP46_PASSES", "7").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    // Bench's attribution listener: jobs/stages/tasks stamped with their
+    // own times; each exec attributes by wall-clock window.
+    val jobTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val taskIv = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobTimes.add(j.time)
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskIv.add((t.taskInfo.launchTime, t.taskInfo.finishTime))
+    })
+
+    def q(name: String) = graft.Registry.all.find(_.name == name).get
+
+    val fullPlan = q("q_events_hourly").run(spark, d).queryExecution.executedPlan
+
+    // Same three columns the query reads, no grouping: the distributed
+    // scan floor over identical bytes. value sums as double here (floor
+    // probe, not an oracle query — dsum's decimal cast is presentation).
+    val raw = graft.Tables.eventsRaw(spark, d)
+    val scanFloorPlan = raw
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("double")).as("s"),
+        min(col("ts")).as("m"), max(col("event_type")).as("k"))
+      .queryExecution.executedPlan
+
+    // absolute floor: count rows touching only the ts column
+    val countOnlyPlan = raw.select(col("ts"))
+      .agg(count(col("ts")).as("n")).queryExecution.executedPlan
+
+    // The grouped agg exactly as registered, but presented with a plain
+    // distributed exchange + collect instead of driverAgg.
+    val aggNoPresentPlan = {
+      import org.apache.spark.sql.types.LongType
+      // mirror the registered query's arm selection: nanos-as-long
+      // fixture buckets the raw long; micros-NTZ buckets unix_micros
+      val (src, b) =
+        if (raw.schema("ts").dataType == LongType)
+          (raw, when(col("ts") >= 0, expr("ts div 3600000000000"))
+            .otherwise(expr("((ts + 1) div 3600000000000) - 1")))
+        else {
+          val e = graft.Tables.events(spark, d)
+            .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+          (e, when(col("us") >= 0, expr("us div 3600000000"))
+            .otherwise(expr("((us + 1) div 3600000000) - 1")))
+        }
+      // inline of CoreQueries.dsum(value, 6, "sum_value") (private[queries])
+      val dsum6 = {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        (sum(call_function("graft_dunscaled", col("value").cast(DoubleType), lit(6)))
+          .cast(DecimalType(38, 0)) / lit(1000000L)).cast(DoubleType).as("sum_value")
+      }
+      src.groupBy(b.as("b"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum6)
+        .select(
+          expr("cast(timestamp_micros(b * 3600000000) as timestamp_ntz)").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+        .queryExecution.executedPlan
+    }
+
+    // A/B: date_trunc directly on the NTZ column (pure micros
+    // arithmetic on this fixture generation — no NTZ->TZ cast, no
+    // unix_micros) with the same driverAgg presentation as `full`.
+    val truncDriverAggPlan = {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampNTZType}
+      val dsum6 = (sum(call_function("graft_dunscaled",
+        col("value").cast(DoubleType), lit(6)))
+        .cast(DecimalType(38, 0)) / lit(1000000L)).cast(DoubleType).as("sum_value")
+      graft.Tables.events(spark, d)
+        .groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum6)
+        .transform(graft.queries.Present.driverAgg(_, "hour" -> true, "event_type" -> true))
+        .queryExecution.executedPlan
+    }
+
+    val arms = Seq(
+      "count_only" -> countOnlyPlan,
+      "scan_floor" -> scanFloorPlan,
+      "agg_nopresent" -> aggNoPresentPlan,
+      "trunc_driveragg" -> truncDriverAggPlan,
+      "full" -> fullPlan)
+
+    final case class Sample(sec: Double, jobs: Int, workMs: Long, schedMs: Long)
+    val samples =
+      scala.collection.mutable.Map.empty[String, List[Sample]].withDefaultValue(Nil)
+    for (round <- 0 to passes; (name, plan) <- arms) {
+      val t0 = System.currentTimeMillis()
+      val n0 = System.nanoTime()
+      plan.clone().executeCollect()
+      val sec = (System.nanoTime() - n0) / 1e9
+      val t1 = t0 + math.ceil(sec * 1000).toLong
+      Thread.sleep(50) // let async listener events drain before reading
+      import scala.jdk.CollectionConverters._
+      val jobs = jobTimes.asScala.count(t => t >= t0 && t <= t1)
+      // union length of task-run intervals clipped to the exec window
+      val iv = taskIv.asScala.toSeq
+        .map { case (a, b) => (math.max(a, t0), math.min(b, t1)) }
+        .filter { case (a, b) => b > a }.sortBy(_._1)
+      var work = 0L
+      var end = Long.MinValue; var start = Long.MinValue
+      iv.foreach { case (a, b) =>
+        if (start == Long.MinValue) { start = a; end = b }
+        else if (a <= end) { if (b > end) end = b }
+        else { work += end - start; start = a; end = b }
+      }
+      if (start != Long.MinValue) work += end - start
+      val sched = math.max(0L, math.ceil(sec * 1000).toLong - work)
+      if (round > 0)
+        samples(name) = samples(name) :+ Sample(sec, jobs, work, sched)
+      jobTimes.clear(); taskIv.clear()
+      System.gc()
+    }
+
+    arms.foreach { case (name, _) =>
+      val ss = samples(name)
+      val best = ss.minBy(_.sec)
+      println(f"== exp46 $name%-14s min ${best.sec}%.3f s  jobs ${best.jobs}  " +
+        f"work ${best.workMs} ms  sched ${best.schedMs} ms  " +
+        f"passes ${ss.map(s => f"${s.sec}%.3f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}
