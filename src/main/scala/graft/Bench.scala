@@ -358,13 +358,37 @@ object Bench {
 
     // streaming-ingest bench (round 14): timed exactly-once sink wall;
     // oracle-less, reported under its own keys (SPARK_GRAFT_STREAM=false
-    // skips)
-    val streamOut =
-      if (sys.env.getOrElse("SPARK_GRAFT_STREAM", "true").toBoolean)
-        try Some(BenchStream.run(spark, sfDir))
-        catch { case NonFatal(e) =>
-          System.err.println(s"[bench] stream bench failed: $e"); None }
-      else None
+    // skips). Round 19 (verdict #5): streaming runs LAST, after ~20 min
+    // of passes at big SF — its r18 reading swung 11.4->21.4->10.7 s on
+    // end-of-run box heat alone. The bench now (a) settles first — GC +
+    // a bounded quiet-wait like the pre-pass one — and (b) runs the
+    // scenario multiple times, recording EVERY wall in the artifact so
+    // the variance band is pinned in the JSON, with the min pass's
+    // phase decomposition alongside.
+    var streamSettleSec = 0.0
+    val streamPasses = scala.collection.mutable.ArrayBuffer.empty[BenchStream.Out]
+    if (sys.env.getOrElse("SPARK_GRAFT_STREAM", "true").toBoolean) {
+      System.gc()
+      val settleMax =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SETTLE_MAX_MS", "120000").toLong
+      var waited = 0L
+      var l = loadavg
+      while (l >= 0 && l > loadWaitTarget && waited < settleMax) {
+        Thread.sleep(5000); waited += 5000; l = loadavg
+        System.err.println(f"[bench] stream settle-wait ${waited / 1000}s: " +
+          f"load $l%.2f (target $loadWaitTarget%.2f)")
+      }
+      streamSettleSec = waited / 1000.0
+      val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_PASSES", "3").toInt
+      (1 to n).foreach { i =>
+        try {
+          streamPasses += BenchStream.run(spark, sfDir)
+          System.gc()
+        } catch { case NonFatal(e) =>
+          System.err.println(s"[bench] stream bench pass $i failed: $e") }
+      }
+    }
+    val streamOut = streamPasses.sortBy(_.wallSec).headOption
 
     val dmlSamples = dmlOut.toSeq.flatMap(_.mins.map(s =>
       s.name -> ExecSample(s.sec, s.startMs, s.startMs, s.endMs)))
@@ -493,10 +517,17 @@ object Bench {
         .map { case (k, vs) => "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]") }
         .mkString("{", ",", "}")}""").getOrElse("") +
       s""","query_profile":$profJson}}"""
-    val streamJson = streamOut.map(o =>
+    val streamJson = streamOut.map { o =>
+      val walls = streamPasses.map(p => f"${p.wallSec}%.3f").mkString("[", ",", "]")
+      val phases = o.phaseMs.toSeq.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
       f""","streaming_rows":${o.rows},"streaming_rows_per_sec":${o.rowsPerSec}%.0f""" +
-        f""","streaming_batches":${o.batches},"streaming_avg_batch_ms":${o.avgBatchMs}%.0f""")
-      .getOrElse("")
+        f""","streaming_batches":${o.batches},"streaming_avg_batch_ms":${o.avgBatchMs}%.0f""" +
+        f""","streaming_walls":$walls,"streaming_settle_wait_sec":$streamSettleSec%.0f""" +
+        f""","streaming_batch_ms_min":${o.batchMsMin}%.0f""" +
+        f""","streaming_batch_ms_max":${o.batchMsMax}%.0f""" +
+        s""","streaming_phase_ms":$phases"""
+    }.getOrElse("")
     // Load metadata in the COMPACT metric line (verdict r15 #5): the
     // pre-Spark ambient load, the end-of-run load, and the pass count,
     // plus a machine-checked degraded stamp when the box was not quiet

@@ -30,7 +30,19 @@ object BenchStream {
 
   final case class Out(
       wallSec: Double, rows: Long, rowsPerSec: Double,
-      batches: Int, avgBatchMs: Double, startMs: Long, endMs: Long)
+      batches: Int, avgBatchMs: Double, startMs: Long, endMs: Long,
+      // Round 19 (verdict #5): per-batch phase decomposition from the
+      // engine's own StreamingQueryProgress.durationMs, mean ms/batch —
+      // addBatch (sink write+commit work), getBatch/latestOffset
+      // (source), queryPlanning (Catalyst), walCommit/commitOffsets
+      // (checkpoint) — plus the min/max batch band, so the artifact
+      // itself pins where a slow reading spent its time.
+      phaseMs: Map[String, Double] = Map.empty,
+      batchMsMin: Double = 0.0, batchMsMax: Double = 0.0)
+
+  /** durationMs keys harvested into [[Out.phaseMs]]. */
+  private val PhaseKeys = Seq("triggerExecution", "addBatch", "getBatch",
+    "latestOffset", "queryPlanning", "walCommit", "commitOffsets")
 
   def run(spark: SparkSession, sfDir: String): Out = {
     val root = Files.createTempDirectory("graft-streambench-")
@@ -86,10 +98,17 @@ object BenchStream {
       val ingested = graft.format.LakeTable.load(table.location)
         .currentFiles().map(_.recordCount).sum
       require(ingested == rows, s"exactly-once ingest mismatch: $ingested != $rows")
+      val phases = PhaseKeys.flatMap { k =>
+        val vs = progress.flatMap(p => Option(p.durationMs.get(k)).map(_.toDouble))
+        if (vs.isEmpty) None else Some(k -> vs.sum / vs.length)
+      }.toMap
       Out(wall, rows, rows / math.max(wall, 1e-9),
         progress.length,
         if (batchMs.isEmpty) 0.0 else batchMs.sum / batchMs.length,
-        t0, t0 + math.ceil(wall * 1000).toLong)
+        t0, t0 + math.ceil(wall * 1000).toLong,
+        phaseMs = phases,
+        batchMsMin = if (batchMs.isEmpty) 0.0 else batchMs.min,
+        batchMsMax = if (batchMs.isEmpty) 0.0 else batchMs.max)
     } finally {
       savedNanos.fold(spark.conf.unset(nanosKey))(spark.conf.set(nanosKey, _))
       // best-effort cleanup: a file still held by a just-stopped query

@@ -46,20 +46,50 @@ object Hints {
     * cheaper than re-shuffling a fact table that is 3-4 orders of
     * magnitude larger than the build side.
     *
-    * DEFAULT OFF: on a single-JVM local[32] "cluster" the rescue is a
-    * measured NEGATIVE (tools/Exp21, sf10, exec-only with the count
-    * amortized at plan time: q5 2.55 s broadcast vs 2.34 s
-    * shuffled-hash, q3 2.16 vs 1.67, isolated orders join 2.00 vs
-    * 1.72) — a shuffle there is an in-memory copy, while every one of
-    * 32 threads contends on the single shared broadcast hash relation
-    * that also costs a per-execution collect+build. The economics
-    * invert on a real cluster, where the fact-side exchange crosses
-    * the network: set e.g. `graft.broadcast.measuredThreshold=128MB`
-    * there. */
+    * DEFAULT UNSET ("0"): on a single-JVM local[32] "cluster" at
+    * sf10-class volumes the rescue is a measured NEGATIVE
+    * (tools/Exp21, sf10, exec-only with the count amortized at plan
+    * time: q5 2.55 s broadcast vs 2.34 s shuffled-hash, q3 2.16 vs
+    * 1.67, isolated orders join 2.00 vs 1.72) — a shuffle there is an
+    * in-memory copy, while every one of 32 threads contends on the
+    * single shared broadcast hash relation that also costs a
+    * per-execution collect+build. The economics invert as the fact
+    * side grows (sf50: q3 -12%, q5 tie — same probe, same box) and
+    * far earlier on a real cluster, where the fact-side exchange
+    * crosses the network. When unset, the fact-volume auto-engage
+    * ([[autoEngageFactBytes]]) applies; set this explicitly (e.g.
+    * `128MB`) to force the measured path at any volume, or `-1` to
+    * disable the measured path including auto-engage. */
   def measuredBroadcastThreshold(df: DataFrame): Long =
     try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       df.sparkSession.conf.get("graft.broadcast.measuredThreshold", "0"))
     catch { case _: NumberFormatException => -1L }
+
+  /** Fact-volume floor above which the measured-broadcast rescue
+    * engages AUTOMATICALLY when the operator left
+    * `graft.broadcast.measuredThreshold` unset (round 19, from the
+    * sf50 trend line). Exp21's single-JVM A/B made the rescue a
+    * measured negative at sf10 (fact ~1 GB: q5 2.55 s broadcast vs
+    * 2.34 s shuffled-hash) but the sign INVERTS as the fact side
+    * grows: at sf50 (fact ~4.9 GB) the same interleaved A/B read q3
+    * static-SHJ 6.14 s vs measured-broadcast 5.39 s (-12%) and q5
+    * ~tie — one build + many probes beats re-exchanging the fact even
+    * where the exchange is only an in-memory copy, and on a real
+    * cluster (where it crosses the network) the crossover comes far
+    * earlier. Callers that know their fact side pass it via
+    * [[broadcastIfSmall]]'s `factSide`; when its size estimate clears
+    * this floor the measured path engages with
+    * [[AutoMeasuredCapBytes]] as the cap. "0" disables auto-engage;
+    * an explicit `graft.broadcast.measuredThreshold` always wins. */
+  def autoEngageFactBytes(df: DataFrame): Long =
+    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("graft.broadcast.autoEngageFactBytes", "4g"))
+    catch { case _: NumberFormatException => -1L }
+
+  /** Measured cap used by the auto-engaged rescue: 128 MB of exact
+    * measured bytes builds to a ~400 MB executor hash relation — the
+    * documented cluster guidance for the explicit knob. */
+  val AutoMeasuredCapBytes: Long = 128L << 20
 
   /** Broadcast `df` iff the size estimate of `bound` (a plan whose row
     * set provably contains `df`'s, e.g. the pre-join filtered side of a
@@ -99,11 +129,29 @@ object Hints {
     * to the same shuffled-hash join as before. */
   def broadcastIfSmall(df: DataFrame, bound: DataFrame,
       hashFallback: Boolean = true,
-      countOnFail: Option[DataFrame] = None): DataFrame = {
+      countOnFail: Option[DataFrame] = None,
+      factSide: Option[DataFrame] = None): DataFrame = {
     val threshold = autoBroadcastThreshold(df)
     if (threshold > 0 && sizeEstimate(bound) <= threshold) broadcast(df)
     else {
-      val cap = if (threshold > 0) measuredBroadcastThreshold(df) else -1L
+      // Cap for the measured second chance: the operator's explicit
+      // graft.broadcast.measuredThreshold when set; otherwise the
+      // fact-volume auto-engage (see [[autoEngageFactBytes]]) — a
+      // caller-supplied fact side whose size estimate clears the floor
+      // is exactly the shape where the sf50 trend line shows the
+      // rescue catching the static shuffled-hash arm.
+      val cap =
+        if (threshold <= 0) -1L // session disabled broadcasting entirely
+        else {
+          val explicit = measuredBroadcastThreshold(df)
+          if (explicit != 0L) explicit
+          else {
+            val floor = autoEngageFactBytes(df)
+            if (floor > 0 && factSide.exists(f => sizeEstimate(f) >= floor))
+              AutoMeasuredCapBytes
+            else 0L
+          }
+        }
       val measuredFit = cap > 0 && countOnFail.exists { proxy =>
         measuredBytes(df.schema, proxy).exists(_ <= cap)
       }

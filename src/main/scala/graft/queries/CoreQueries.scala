@@ -119,7 +119,7 @@ object CoreQueries {
             graft.plans.BloomPrune.pruned(l, col("l_orderkey"), oj, col("o_orderkey"))
           else l
         lp.join(graft.plans.Hints.broadcastIfSmall(oj, bound = ojBound,
-            countOnFail = Some(oj)),
+            countOnFail = Some(oj), factSide = Some(l)),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, "revenue"))
@@ -209,12 +209,17 @@ object CoreQueries {
         // aggregation (Exp39 — bit-identical but never faster and
         // degrades under memory pressure). The cluster-scale lever is
         // Hints' measured-broadcast rescue, documented there.
+        // factSide = the RAW lineitem scan (provable volume bound —
+        // the bloom-pruned l's estimate shape is join-dependent): above
+        // the auto-engage fact-volume floor (sf50+ shape) the measured
+        // rescue flips these gates to the broadcast arm per the Exp21
+        // sf50 trend.
         l.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
           .join(graft.plans.Hints.broadcastIfSmall(o, bound = oBound,
-            countOnFail = Some(o)),
+            countOnFail = Some(o), factSide = Some(l0)),
             col("l_orderkey") === col("o_orderkey"))
           .join(graft.plans.Hints.broadcastIfSmall(c, bound = c,
-            countOnFail = Some(c)),
+            countOnFail = Some(c), factSide = Some(l0)),
             col("o_custkey") === col("c_custkey") &&
               col("c_nationkey") === col("s_nationkey"))
           .groupBy("n_name")

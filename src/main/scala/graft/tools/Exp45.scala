@@ -36,17 +36,30 @@ object Exp45 {
       b.getLong(0), b.getLong(1), col("id_a"), col("id_b"))
     def sampled() = graft.queries.Present.sortWide(pairs(), col("id_a"), col("id_b"))
 
+    // NOTE (round 19, verdict #3): the collected array must be DEAD
+    // before the inter-pass GC or the GC is useless — at sf50 each pass
+    // materializes a multi-GB pair ledger, and the r18 run (no GC) as
+    // well as a first r19 attempt (GC inside the timing method, array
+    // still live on the stack) both thrashed to GC-overhead death at
+    // 80g. time() returns only the row count; the caller GCs after.
     def time(dfb: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val rows = dfb().queryExecution.executedPlan.clone().executeCollect()
-      require(rows.length == rows.length)
+      val n = dfb().queryExecution.executedPlan.clone().executeCollect().length
+      require(n >= 0)
       (System.nanoTime() - t0) / 1e9
     }
-    time(bounded); time(sampled) // warm
+    def timedPass(dfb: () => org.apache.spark.sql.DataFrame): Double = {
+      val sec = time(dfb) // array unreachable once time() returns
+      System.gc()
+      sec
+    }
+    val passes = sys.env.getOrElse("EXP45_PASSES", "3").toInt
+    timedPass(bounded); timedPass(sampled) // warm
     val arms = Seq("bounded" -> (bounded _), "sampled" -> (sampled _))
     val res = scala.collection.mutable.Map[String, Vector[Double]]()
-    (1 to 3).foreach { _ =>
-      arms.foreach { case (l, f) => res(l) = res.getOrElse(l, Vector.empty) :+ time(f) }
+    (1 to passes).foreach { _ =>
+      arms.foreach { case (l, f) =>
+        res(l) = res.getOrElse(l, Vector.empty) :+ timedPass(f) }
     }
     val load = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
     println(s"[exp45] sf=$d loadavg=$load")

@@ -68,6 +68,55 @@ class HintsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("auto-engage: sf50-shape fact volume flips the measured rescue on") {
+    // Round 19: the Exp21 sf50 trend line (q3 broadcast -12%, q5 ~tie
+    // vs the sf10 negative) wired the rescue to engage automatically
+    // when the caller's fact side clears graft.broadcast.autoEngageFactBytes
+    // (default 4g) and no explicit measuredThreshold is set.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1") // static gate fails
+    try {
+      val fact = spark.range(0, 1000).toDF("k")
+      // sf50-shape stats: 1G rows x 8B = 8 GiB estimate, never executed
+      val bigFact = spark.range(0, 1L << 30).toDF("k")
+      val side = Hints.broadcastIfSmall(bigSide.limit(100), bound = bigSide,
+        countOnFail = Some(bigSide.limit(100)), factSide = Some(bigFact))
+      val plan = fact.join(side, "k").queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"sf50-shape fact did not auto-engage the measured rescue:\n$plan")
+
+      // sf1-shape stats: a few MB of fact — the measured NEGATIVE band;
+      // must stay on the static shuffled-hash arm
+      val smallFact = spark.range(0, 1000).toDF("k")
+      val side2 = Hints.broadcastIfSmall(bigSide.limit(100), bound = bigSide,
+        countOnFail = Some(bigSide.limit(100)), factSide = Some(smallFact))
+      val plan2 = fact.join(side2, "k").queryExecution.executedPlan.toString
+      assert(plan2.contains("ShuffledHashJoin"),
+        s"sf1-shape fact flipped the rescue (below-crossover regression):\n$plan2")
+
+      // explicit -1 disables the measured path INCLUDING auto-engage
+      spark.conf.set("graft.broadcast.measuredThreshold", "-1")
+      val side3 = Hints.broadcastIfSmall(bigSide.limit(100), bound = bigSide,
+        countOnFail = Some(bigSide.limit(100)), factSide = Some(bigFact))
+      val plan3 = fact.join(side3, "k").queryExecution.executedPlan.toString
+      assert(plan3.contains("ShuffledHashJoin"),
+        s"measuredThreshold=-1 did not veto auto-engage:\n$plan3")
+
+      // auto floor set to 0 disables auto-engage
+      spark.conf.unset("graft.broadcast.measuredThreshold")
+      spark.conf.set("graft.broadcast.autoEngageFactBytes", "0")
+      val side4 = Hints.broadcastIfSmall(bigSide.limit(100), bound = bigSide,
+        countOnFail = Some(bigSide.limit(100)), factSide = Some(bigFact))
+      val plan4 = fact.join(side4, "k").queryExecution.executedPlan.toString
+      assert(plan4.contains("ShuffledHashJoin"),
+        s"autoEngageFactBytes=0 did not disable auto-engage:\n$plan4")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("graft.broadcast.measuredThreshold")
+      spark.conf.unset("graft.broadcast.autoEngageFactBytes")
+    }
+  }
+
   test("measured path: string bytes are measured, not defaultSize-guessed") {
     // 200 rows x ~20KB strings = ~4MB real payload; StringType.defaultSize
     // (20B flat) would claim ~5KB and pass a 64KB cap. The measured gate

@@ -1,0 +1,78 @@
+package graft.format
+
+import java.nio.file.{Files, Path, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Round 19 adversarial sweep (round-18 verdict #6): crash-consistency
+  * of the hard-link CAS. [[CrossProcessCommitRaceSpec]] proved
+  * exclusivity between two LIVE processes; this spec SIGKILLs racing
+  * committers mid-`putIfAbsent` — repeatedly, at varied points in the
+  * loop — and asserts the invariants a crash must not break:
+  *
+  *  1. every surviving version file is COMPLETE (hard-link publishes
+  *     only after the temp write returned, so a partially-written
+  *     commit must never become a version, no matter where the kill
+  *     landed);
+  *  2. versions form a contiguous 1..max prefix (each committer only
+  *     attempts max+1, so a gap would mean a lost or phantom commit);
+  *  3. the table is not wedged: a fresh committer wins max+1
+  *     immediately, and orphaned `.tmp-*` files from the killed
+  *     processes never collide with or block future commits.
+  */
+class CrashCommitConsistencySpec extends AnyFunSuite {
+
+  private def spawn(dir: Path, id: String): Process = {
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    new ProcessBuilder(
+      (Seq(javaBin, "-Xmx128m", "-cp", sys.props("java.class.path"),
+        "graft.format.CrashWorker", dir.toString, id)): _*)
+      .redirectError(dir.resolve(s"stderr-$id").toFile)
+      .start()
+  }
+
+  test("SIGKILL mid-putIfAbsent never publishes a torn or out-of-order version") {
+    val iterations = 6
+    (1 to iterations).foreach { i =>
+      val dir = Files.createTempDirectory(s"crash-cas-$i-")
+      try {
+        val a = spawn(dir, "A")
+        val b = spawn(dir, "B")
+        // wait for the FIRST commit to land (JVM startup is ~hundreds
+        // of ms), then let them race for a varied window and SIGKILL
+        // both cold mid-loop
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        while (!Files.exists(dir.resolve("v1.json"))) {
+          assert(System.nanoTime() < deadline, s"iter $i: no first commit in 15s")
+          Thread.sleep(5)
+        }
+        Thread.sleep(30L + 40L * i)
+        a.destroyForcibly(); b.destroyForcibly()
+        a.waitFor(); b.waitFor()
+
+        val versions = Files.list(dir).iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("v") && n.endsWith(".json"))
+          .map(n => n.substring(1, n.length - 5).toInt)
+          .toSeq.sorted
+        assert(versions.nonEmpty, s"iter $i: workers never committed — widen the window")
+
+        // 1. completeness: the terminal marker is present in every survivor
+        versions.foreach { v =>
+          val txt = Files.readString(dir.resolve(s"v$v.json"))
+          assert(txt.startsWith("""{"writer":"""") && txt.endsWith(""""end":"#END"}"""),
+            s"iter $i: v$v.json is torn (${txt.length} bytes)")
+        }
+        // 2. contiguity: no gaps, starts at 1
+        assert(versions == (1 to versions.max),
+          s"iter $i: version set has gaps: $versions")
+        // 3. liveness after crash: a fresh committer proceeds at max+1
+        val next = versions.max + 1
+        assert(LocalCommitStore.putIfAbsent(dir, s"v$next.json", """{"writer":"recovery"}"""),
+          s"iter $i: post-crash commit of v$next lost with no racer alive")
+        assert(!LocalCommitStore.putIfAbsent(dir, s"v$next.json", """{"writer":"dupe"}"""),
+          s"iter $i: CAS let a duplicate through post-crash")
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+}

@@ -1,0 +1,37 @@
+package graft.format
+
+/** Child-JVM entry point for [[CrashCommitConsistencySpec]]: commits
+  * versions through [[LocalCommitStore]]'s hard-link CAS as fast as it
+  * can until the parent SIGKILLs it mid-flight. Each attempt targets
+  * `v<currentMax+1>.json` (the optimistic-retry shape); the content
+  * carries the writer id, the version, a ~32 KB pad that widens the
+  * mid-write kill window, and a terminal marker the parent asserts on —
+  * a version file that exists but lacks the marker would mean the CAS
+  * published a partially-written commit.
+  */
+object CrashWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, workerId) = args
+    val metaDir = java.nio.file.Paths.get(dir)
+    val pad = "x" * 32768
+    var v = 1
+    while (true) { // runs until SIGKILL
+      // rebase: next version is one past the highest that exists
+      var max = v - 1
+      val it = java.nio.file.Files.list(metaDir).iterator()
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("v") && n.endsWith(".json")) {
+          val num = n.substring(1, n.length - 5)
+          if (num.nonEmpty && num.forall(_.isDigit) && num.toInt > max)
+            max = num.toInt
+        }
+      }
+      v = max + 1
+      val content =
+        s"""{"writer":"$workerId","v":$v,"pad":"$pad","end":"#END"}"""
+      try { LocalCommitStore.putIfAbsent(metaDir, s"v$v.json", content); () }
+      catch { case _: java.io.IOException => () }
+    }
+  }
+}

@@ -116,6 +116,43 @@ class HadoopCommitStoreGuardSpec extends SparkSpec {
     }
   }
 
+  test("read-back retry budget is per-commit: alternating transient/persistent sequences") {
+    // Round 19 adversarial sweep (verdict #6): the retry loop is one
+    // round old — prove its attempt counter never leaks across calls.
+    // v1 fails twice then succeeds (won); v2 fails persistently (must
+    // surface as an error even though v1 just consumed failures); v3
+    // fails twice then succeeds again (a fresh budget, not a drained one).
+    val conf = freshConf()
+    conf.set("fs.flakyfs.impl", classOf[FlakyOpenFileSystem].getName)
+    val wh = Files.createTempDirectory("flakyfs-wh3").toString
+    FlakyOpenFileSystem.fails.clear()
+    FlakyOpenFileSystem.alwaysFail = false
+    try {
+      val store = new HadoopCommitStore(conf)
+      val metaDir = Paths.get(s"flakyfs://$wh", "t", "metadata")
+      store.prepareTable(Paths.get(s"flakyfs://$wh", "t"))
+      assert(store.putIfAbsent(metaDir, "v1.json", """{"writer":"me"}"""),
+        "transient-then-ok: commit must be won")
+      FlakyOpenFileSystem.alwaysFail = true
+      intercept[java.io.IOException] {
+        store.putIfAbsent(metaDir, "v2.json", """{"writer":"me"}""")
+      }
+      // the failed VERIFY must not have invented an outcome: the rename
+      // itself landed, so a later reader sees v2's bytes — but the
+      // committer was told "error", never "lost" or "won"
+      FlakyOpenFileSystem.alwaysFail = false
+      FlakyOpenFileSystem.fails.clear()
+      assert(store.putIfAbsent(metaDir, "v3.json", """{"writer":"me"}"""),
+        "fresh commit after a persistent-failure commit must get a fresh retry budget")
+      assert(FlakyOpenFileSystem.fails.get("v3.json") >= 2,
+        "v3 did not exercise the transient window")
+    } finally {
+      FlakyOpenFileSystem.alwaysFail = false
+      FlakyOpenFileSystem.fails.clear()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+    }
+  }
+
   test("persistent read-back failure surfaces as an error, not an outcome") {
     val conf = freshConf()
     conf.set("fs.flakyfs.impl", classOf[FlakyOpenFileSystem].getName)

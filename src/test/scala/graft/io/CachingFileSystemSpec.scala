@@ -40,6 +40,66 @@ class CachingFileSystemSpec extends SparkSpec {
   private def fetcher(data: Array[Byte], counter: AtomicLong): () => java.io.InputStream =
     () => { counter.incrementAndGet(); new java.io.ByteArrayInputStream(data) }
 
+  test("cache state: invalidate racing an in-flight publish neither wedges nor leaks") {
+    // Round 19 adversarial sweep (verdict #6): the publish protocol is
+    // one round old — drive invalidate() through its exact windows:
+    // (a) DURING the fetch, before the entry exists (must be a no-op,
+    //     not a crash, and must not suppress the publish);
+    // (b) UNDER a live pin after publish (index drops now, the file
+    //     must survive until the last release, then unlink — a leaked
+    //     owner/pin refcount would keep it on disk forever).
+    val dir = tmpDir("invpub")
+    try {
+      val st = FileCacheState.forDir(dir, maxBytes = 1024 * 1024, expireMs = 0)
+      val data = bytesOf("payload-under-invalidate")
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val unblock = new java.util.concurrent.CountDownLatch(1)
+      val n = new AtomicLong()
+      val gated: () => java.io.InputStream = () => {
+        n.incrementAndGet()
+        entered.countDown()
+        assert(unblock.await(10, java.util.concurrent.TimeUnit.SECONDS))
+        new java.io.ByteArrayInputStream(data)
+      }
+      val got = new java.util.concurrent.atomic.AtomicReference[Array[Byte]]()
+      val t = new Thread(() => got.set(
+        st.ensureLocal("k", data.length, 5L, assumeImmutable = true, gated)(
+          f => Files.readAllBytes(f))))
+      t.start()
+      assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      st.invalidate("k") // window (a): nothing published yet
+      unblock.countDown()
+      t.join(10000)
+      assert(!t.isAlive, "fetch thread wedged by a mid-flight invalidate")
+      assert(java.util.Arrays.equals(got.get(), data))
+      assert(st.entryCount == 1, "mid-flight invalidate suppressed the publish")
+
+      // window (b): pin the entry, invalidate under the pin
+      var pinnedFile: java.nio.file.Path = null
+      var release: () => Unit = null
+      st.ensurePinned("k", data.length, 5L, assumeImmutable = true, gated) {
+        (f, rel) => pinnedFile = f; release = rel; ()
+      }
+      assert(n.get() == 1, "pin lookup refetched a live entry")
+      st.invalidate("k")
+      assert(st.entryCount == 0)
+      assert(Files.exists(pinnedFile), "invalidate unlinked a pinned file")
+      assert(new String(Files.readAllBytes(pinnedFile), "UTF-8") ==
+        "payload-under-invalidate")
+      release()
+      assert(!Files.exists(pinnedFile),
+        "last release left the invalidated file on disk (leaked refcount)")
+      release() // idempotent: second call must not throw or double-free
+
+      // liveness: the key refetches cleanly after the churn
+      unblock.countDown() // already counted down; keep the gate open
+      val again = st.ensureLocal("k", data.length, 5L, assumeImmutable = true,
+        fetcher(data, n))(f => Files.readAllBytes(f))
+      assert(java.util.Arrays.equals(again, data))
+      assert(st.entryCount == 1)
+    } finally FileCacheState.reset(dir)
+  }
+
   test("cache state: fetch once, hit after, invalidate refetches") {
     val dir = tmpDir("unit")
     try {
