@@ -36,15 +36,25 @@ object Exp45 {
       b.getLong(0), b.getLong(1), col("id_a"), col("id_b"))
     def sampled() = graft.queries.Present.sortWide(pairs(), col("id_a"), col("id_b"))
 
-    // NOTE (round 19, verdict #3): the collected array must be DEAD
-    // before the inter-pass GC or the GC is useless — at sf50 each pass
-    // materializes a multi-GB pair ledger, and the r18 run (no GC) as
-    // well as a first r19 attempt (GC inside the timing method, array
-    // still live on the stack) both thrashed to GC-overhead death at
-    // 80g. time() returns only the row count; the caller GCs after.
+    // NOTE (round 19, verdict #3): the A/B question — sortBounded's
+    // closed-form buckets vs orderBy's sampling pass — lives in the
+    // exchange + sort stages, which this consumes to exhaustion
+    // executor-side. The driver FETCH of the ~hundreds-of-millions-row
+    // sf50 ledger is IDENTICAL in both arms and is what killed two
+    // prior probe attempts (r18: no inter-pass GC; first r19 attempt:
+    // GC with the array still stack-live — both GC-overhead death at
+    // 80g even for a single collect, because the probe's raw-pairs
+    // array + per-thread sort buffers coexist in one JVM, unlike the
+    // bench's registered gate whose presentation bounds the fetch). A
+    // per-partition count keeps every distributed stage, including
+    // orderBy's range-sampling job, and drops only the arm-invariant
+    // driver materialization.
     def time(dfb: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val n = dfb().queryExecution.executedPlan.clone().executeCollect().length
+      val n = dfb().queryExecution.executedPlan.clone().execute()
+        .mapPartitions { it =>
+          var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator.single(n)
+        }.collect().sum
       require(n >= 0)
       (System.nanoTime() - t0) / 1e9
     }

@@ -1,0 +1,18 @@
+#!/usr/bin/env python3
+"""Round 19 (verdict #1): emit the top-N-walls sf10-vs-sf50 scaling table
+from two committed bench artifacts. Data grows 5x between the fixtures;
+a leg whose wall grows <= ~6x is at-or-under linear (the extra slack is
+shuffle-width and spill effects a single box amplifies)."""
+import json, sys
+
+a_path, b_path, n = (sys.argv + ["/root/repo/BENCH_sf10.json", "/root/repo/BENCH_sf50.json", "6"])[1:4]
+a = json.load(open(a_path)); b = json.load(open(b_path))
+qa, qb = a["queries"], b["queries"]
+walls = sorted(((k, qb[k]) for k in qb if k in qa), key=lambda kv: -kv[1])[:int(n)]
+print(f"| leg | sf10 wall | sf50 wall | growth (data 5x) |")
+print(f"|---|---|---|---|")
+for k, w50 in walls:
+    g = w50 / qa[k] if qa[k] else float("inf")
+    print(f"| {k} | {qa[k]:.2f} s | {w50:.2f} s | {g:.1f}x |")
+for key in ("streaming_rows_per_sec", "dml_ratio", "spark_oracle_ratio", "spark_oracle_ratio_ex_lsh", "value"):
+    print(f"{key}: sf10={a.get(key)} sf50={b.get(key)}")
