@@ -29,6 +29,49 @@ import scala.util.control.NonFatal
   */
 object Bench {
 
+  /** The driver recovers the compact metric line from a bounded tail of
+    * stdout — measured at 2000 chars (BENCH_r18's `tail` field is
+    * exactly 2000 long and parsed; r19's 2013-byte line came back
+    * HEAD-truncated and `parsed: null`). The budget leaves margin for
+    * the trailing newline and any final log framing. Everything beyond
+    * the driver contract (per-query oracle walls, pass bands, phase
+    * splits) belongs on the evidence line / bench_result.json, which
+    * have no window. */
+  val CompactLineBudget = 1900
+
+  /** Enforce [[CompactLineBudget]] deterministically: when the rendered
+    * compact line is over budget, drop the per-query oracle map (its
+    * largest optional field — always mirrored on the evidence line) and
+    * stamp `"oracle_queries_in_evidence":true` so the omission is
+    * auditable, never silent. Aggregate ratio fields are untouched. */
+  def enforceCompactBudget(json: String, oracleQueriesField: String): String =
+    if (json.length <= CompactLineBudget || oracleQueriesField.isEmpty ||
+        !json.contains("," + oracleQueriesField)) json
+    else json.replace("," + oracleQueriesField,
+      ""","oracle_queries_in_evidence":true""")
+
+  /** Assemble the driver-parsed metric line, budget-enforced. */
+  def renderCompactLine(total: Double, qs: String, sfDir: String,
+      oracleJson: String, oracleQueriesField: String,
+      streamCompact: String, loadJson: String): String =
+    enforceCompactBudget(
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        oracleJson + streamCompact + loadJson + "}",
+      oracleQueriesField)
+
+  /** A typo'd SPARK_GRAFT_SKIP / SPARK_GRAFT_ORACLE_SKIP name must fail
+    * the run loudly, not silently skip nothing (round-20 adversarial
+    * sweep): a silent no-match would record a full run while the
+    * operator believes a leg was excluded — or, worse, believe a leg
+    * ran that the next round's env actually skipped. */
+  def validateSkipNames(names: Set[String], benched: Set[String], envVar: String): Unit = {
+    val unknown = names -- benched
+    require(unknown.isEmpty,
+      s"$envVar contains names not in the benched query set: " +
+        unknown.toSeq.sorted.mkString(", ") +
+        s" (benched: ${benched.toSeq.sorted.mkString(", ")})")
+  }
+
   /** Same-run DuckDB oracle timing for the benched queries that have an
     * oracle SQL: min-of-5 after one warmup pass, on the machine's
     * python3+duckdb (the driver-side oracle stack — measurement only,
@@ -250,6 +293,12 @@ object Bench {
     // instead of a fetch the fixture made impossible by construction.
     val benchSkip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val benchedNames = Registry.all.filter(_.bench).map(_.name).toSet
+    validateSkipNames(benchSkip, benchedNames, "SPARK_GRAFT_SKIP")
+    validateSkipNames(
+      sys.env.getOrElse("SPARK_GRAFT_ORACLE_SKIP", "")
+        .split(',').map(_.trim).filter(_.nonEmpty).toSet,
+      benchedNames, "SPARK_GRAFT_ORACLE_SKIP")
     val headline = Registry.all.filter(q => q.bench && !benchSkip.contains(q.name))
 
     // Per-query decomposition evidence: a listener records every job
@@ -437,6 +486,10 @@ object Bench {
           k -> math.min(a.getOrElse(k, 1e9), b.getOrElse(k, 1e9))).toMap)
       case (a, b) => a.orElse(b).map(_._1)
     }).map(_ ++ oracleDml).orElse(if (oracleDml.nonEmpty) Some(oracleDml) else None)
+    // the "oracle_queries":{...} field text, kept separately so it can
+    // (a) always ride on the evidence line and (b) be dropped from the
+    // compact line by the budget guard without touching the ratios
+    var oracleQueriesField = ""
     val oracleJson = oracleMerged match {
       case Some(perQuery) =>
         // ratio fields compare READ queries only (historical headline);
@@ -449,6 +502,7 @@ object Bench {
           case (n, v) if perRead.contains(n) => v }.sum
         val oq = perQuery.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")
+        oracleQueriesField = s""""oracle_queries":$oq"""
         // the LSH baseline is the same banded plan but with a far worse
         // constant factor in DuckDB SQL (range-join minhash vs fused
         // byte-scan); at sf1 its 36s dominates the aggregate ratio, so
@@ -476,7 +530,7 @@ object Bench {
             f""","spark_oracleable_sec":$sparkOracleable%.4f""" +
               f""","spark_oracle_ratio":${sparkOracleable / oTotal}%.2f"""
           else ""","oracle_read_missing":true"""
-        f""","oracle_queries":$oq,"oracle_total_sec":$oTotal%.4f""" +
+        f""",$oracleQueriesField,"oracle_total_sec":$oTotal%.4f""" +
           ratioJson + ratioExLsh + dmlJson
       case None =>
         if (dmlResults.isEmpty) ""
@@ -521,6 +575,28 @@ object Bench {
     val oracleSkipJson = sys.env.getOrElse("SPARK_GRAFT_ORACLE_SKIP", "")
       .split(',').map(_.trim).filter(_.nonEmpty)
       .map(jstr).mkString("[", ",", "]")
+    // Streaming on the COMPACT line: headline fields only. The r19
+    // variance band + phase split grew the compact line past the
+    // driver's 2000-char tail window (BENCH_r19.json came back
+    // head-truncated, parsed:null) — they carry the same information on
+    // the evidence line, which has no window.
+    val streamCompact = streamOut.map { o =>
+      f""","streaming_rows":${o.rows},"streaming_rows_per_sec":${o.rowsPerSec}%.0f""" +
+        f""","streaming_batches":${o.batches},"streaming_avg_batch_ms":${o.avgBatchMs}%.0f"""
+    }.getOrElse("")
+    val streamEvidence = streamOut.map { o =>
+      val walls = streamPasses.map(p => f"${p.wallSec}%.3f").mkString("[", ",", "]")
+      val phases = o.phaseMs.toSeq.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
+      f""","streaming_walls":$walls,"streaming_settle_wait_sec":$streamSettleSec%.0f""" +
+        f""","streaming_batch_ms_min":${o.batchMsMin}%.0f""" +
+        f""","streaming_batch_ms_max":${o.batchMsMax}%.0f""" +
+        s""","streaming_phase_ms":$phases"""
+    }.getOrElse("")
+    // per-query oracle walls always ride the evidence line too, so the
+    // compact-budget guard can drop them from the metric line losslessly
+    val oracleEvidence =
+      if (oracleQueriesField.isEmpty) "" else "," + oracleQueriesField
     val evidence = s"""{"bench_evidence":{"pass_totals":$passJson""" +
       f""","warmup_total":${warmup.values.sum}%.3f""" +
       s""","oracle_skip":$oracleSkipJson""" +
@@ -530,18 +606,7 @@ object Bench {
       dmlOut.map(d => s""","dml_passes":${d.passes.toSeq.sortBy(_._1)
         .map { case (k, vs) => "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]") }
         .mkString("{", ",", "}")}""").getOrElse("") +
-      s""","query_profile":$profJson}}"""
-    val streamJson = streamOut.map { o =>
-      val walls = streamPasses.map(p => f"${p.wallSec}%.3f").mkString("[", ",", "]")
-      val phases = o.phaseMs.toSeq.sortBy(_._1)
-        .map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
-      f""","streaming_rows":${o.rows},"streaming_rows_per_sec":${o.rowsPerSec}%.0f""" +
-        f""","streaming_batches":${o.batches},"streaming_avg_batch_ms":${o.avgBatchMs}%.0f""" +
-        f""","streaming_walls":$walls,"streaming_settle_wait_sec":$streamSettleSec%.0f""" +
-        f""","streaming_batch_ms_min":${o.batchMsMin}%.0f""" +
-        f""","streaming_batch_ms_max":${o.batchMsMax}%.0f""" +
-        s""","streaming_phase_ms":$phases"""
-    }.getOrElse("")
+      s""","query_profile":$profJson""" + streamEvidence + oracleEvidence + "}}"
     // Load metadata in the COMPACT metric line (verdict r15 #5): the
     // pre-Spark ambient load, the end-of-run load, and the pass count,
     // plus a machine-checked degraded stamp when the box was not quiet
@@ -560,8 +625,12 @@ object Bench {
         (if (benchSkip.nonEmpty)
            s""","bench_skip":${benchSkip.toSeq.sorted.map(jstr).mkString("[", ",", "]")}"""
          else "")
-    val json = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      oracleJson + streamJson + loadJson + "}"
+    val json = renderCompactLine(total, qs, sfDir, oracleJson,
+      oracleQueriesField, streamCompact, loadJson)
+    if (json.length > CompactLineBudget)
+      System.err.println(s"[bench] WARNING: compact metric line is " +
+        s"${json.length} bytes (> budget $CompactLineBudget) even after " +
+        "dropping oracle_queries — the driver tail may truncate it")
     // stdout lines (un-prefixed via build.sbt outputStrategy) + file copy so
     // the driver can recover the metric even if stdout is log-polluted
     // (bench_result.json is gitignored — a runtime artifact, not source)

@@ -56,14 +56,19 @@ object Hints {
     * per-execution collect+build. The economics invert as the fact
     * side grows (sf50: q3 -12%, q5 tie — same probe, same box) and
     * far earlier on a real cluster, where the fact-side exchange
-    * crosses the network. When unset, the fact-volume auto-engage
+    * crosses the network. When UNSET, the fact-volume auto-engage
     * ([[autoEngageFactBytes]]) applies; set this explicitly (e.g.
-    * `128MB`) to force the measured path at any volume, or `-1` to
-    * disable the measured path including auto-engage. */
-  def measuredBroadcastThreshold(df: DataFrame): Long =
-    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      df.sparkSession.conf.get("graft.broadcast.measuredThreshold", "0"))
-    catch { case _: NumberFormatException => -1L }
+    * `128MB`) to force the measured path at any volume, or `0`/`-1` to
+    * disable the measured path including auto-engage. An explicit `0`
+    * is a DISABLE, not "unset": operators who set the historical
+    * documented disable value must never be silently routed into the
+    * auto-engage path (round-20 ADVICE). Returns None when unset,
+    * Some(bytes) when set (unparseable values behave as disable). */
+  def measuredBroadcastThreshold(df: DataFrame): Option[Long] =
+    df.sparkSession.conf.getOption("graft.broadcast.measuredThreshold").map { v =>
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+      catch { case _: NumberFormatException => -1L }
+    }
 
   /** Fact-volume floor above which the measured-broadcast rescue
     * engages AUTOMATICALLY when the operator left
@@ -142,15 +147,16 @@ object Hints {
       // rescue catching the static shuffled-hash arm.
       val cap =
         if (threshold <= 0) -1L // session disabled broadcasting entirely
-        else {
-          val explicit = measuredBroadcastThreshold(df)
-          if (explicit != 0L) explicit
-          else {
+        else measuredBroadcastThreshold(df) match {
+          // explicitly set: the operator's value wins outright — a set
+          // "0" (the documented disable) or "-1" keeps the gate closed
+          // and never falls through to auto-engage
+          case Some(explicit) => explicit
+          case None =>
             val floor = autoEngageFactBytes(df)
             if (floor > 0 && factSide.exists(f => sizeEstimate(f) >= floor))
               AutoMeasuredCapBytes
             else 0L
-          }
         }
       val measuredFit = cap > 0 && countOnFail.exists { proxy =>
         measuredBytes(df.schema, proxy).exists(_ <= cap)

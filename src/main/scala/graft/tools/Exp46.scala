@@ -143,8 +143,20 @@ object Exp46 {
       plan.clone().executeCollect()
       val sec = (System.nanoTime() - n0) / 1e9
       val t1 = t0 + math.ceil(sec * 1000).toLong
-      Thread.sleep(50) // let async listener events drain before reading
+      // Drain the async listener bus before reading the ledgers: a fixed
+      // sleep is not a completion guarantee (late TaskEnd events would be
+      // mis-attributed to the next arm's window). The bus interface is
+      // private[spark], so poll the ledgers for quiescence instead —
+      // done when two consecutive polls see no new events, bounded at 2s.
       import scala.jdk.CollectionConverters._
+      var quiet = 0
+      var lastSeen = (jobTimes.size, taskIv.size)
+      var polledMs = 0
+      while (quiet < 2 && polledMs < 2000) {
+        Thread.sleep(25); polledMs += 25
+        val now = (jobTimes.size, taskIv.size)
+        if (now == lastSeen) quiet += 1 else { quiet = 0; lastSeen = now }
+      }
       val jobs = jobTimes.asScala.count(t => t >= t0 && t <= t1)
       // union length of task-run intervals clipped to the exec window
       val iv = taskIv.asScala.toSeq

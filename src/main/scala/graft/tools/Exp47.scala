@@ -1,0 +1,114 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round 20, verdict task 3: give `q3_shipping_priority` its own
+  * floor-pin — it is weak at sf10 (2.13x, first crossed on the noisy
+  * r19 re-record) and sf50 (3.46x) but has only borrowed q5's ledger
+  * (Exp20/21/29/39). Exp21-style prepared-clone interleaved A/B, q3
+  * only, with the arms the verdict names plus the floors that
+  * decompose the residual:
+  *
+  *   l_floor      — shipdate-filtered lineitem, q3's 4 columns, scalar
+  *                  agg: the vectorized-scan floor nothing can beat
+  *   joinonly_shj — floor + the single oj (BUILDING orders) join as a
+  *                  static shuffled-hash, scalar agg: what the join
+  *                  adds over the scan
+  *   q3_static    — full query, measuredThreshold=0 (explicit disable:
+  *                  static SHJ arm; post-ADVICE this no longer falls
+  *                  through to auto-engage)
+  *   q3_auto      — full query, conf unset: the REGISTERED default —
+  *                  auto-engage decides from the fact-side estimate
+  *   q3_bcast     — full query, measuredThreshold=1g: broadcast arm
+  *                  forced regardless of the oj slice's measured bytes
+  *   q3_nobloom   — static arm with graft.bloom.semijoin=false: what
+  *                  the bloom prefilter is worth at this scale
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/tmp/sf50 sbt -batch "runMain graft.tools.Exp47"
+  */
+object Exp47 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf50")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.network.timeout", "600s")
+      .config("spark.driver.maxResultSize", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    val q3 = Registry.byName("q3_shipping_priority")
+    def withConf[T](kvs: (String, String)*)(body: => T): T = {
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+
+    def ts(s: String) = lit(s).cast("timestamp_ntz")
+    def lFloor = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+      .select("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+    def ojSlice = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+      .join(Tables.customer(spark, sfDir)
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .hint("broadcast"),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+
+    val builds: Seq[(String, () => DataFrame)] = Seq(
+      "l_floor" -> (() => lFloor
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))),
+      "joinonly_shj" -> (() => lFloor
+        .join(ojSlice.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))),
+      "q3_static" -> (() => withConf("graft.broadcast.measuredThreshold" -> "0")(
+        q3.run(spark, sfDir))),
+      "q3_auto" -> (() => q3.run(spark, sfDir)),
+      "q3_bcast" -> (() => withConf("graft.broadcast.measuredThreshold" -> "1g")(
+        q3.run(spark, sfDir))),
+      "q3_nobloom" -> (() => withConf(
+        "graft.broadcast.measuredThreshold" -> "0",
+        "graft.bloom.semijoin" -> "false")(q3.run(spark, sfDir))))
+
+    val prepared = builds.map { case (name, mk) =>
+      val b0 = System.nanoTime()
+      val df = mk()
+      df.queryExecution.executedPlan
+      println(f"== exp47 build $name%-13s ${(System.nanoTime() - b0) / 1e9}%.3f s")
+      name -> df
+    }
+
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (round <- 0 to passes; (name, df) <- prepared) {
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.executedPlan.clone().executeCollect().length
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (round > 0) times(name) = times(name) :+ sec
+      if (round == 0) println(s"== exp47 warmup $name rows $n")
+      System.gc()
+    }
+    prepared.foreach { case (name, _) =>
+      val ts = times(name)
+      println(f"== exp47 $name%-13s min ${ts.min}%.3f  " +
+        f"passes ${ts.map(t => f"$t%.3f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,126 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Round 20, verdict task 5: pin `q_date_extract` (2.24x sf50, 0.55 s
+  * absolute) to the scan floor it is asserted to sit at — the same
+  * Exp46 treatment that retired q_events_hourly, one interleaved
+  * min-of-N run with work/sched attribution:
+  *
+  *   count_only    — count over o_orderdate alone (absolute floor)
+  *   scan_floor    — the query's 2 columns, ungrouped scalar agg: the
+  *                   vectorized decode floor over identical bytes
+  *   agg_nopresent — year/month groupBy exactly as registered, plain
+  *                   exchange + orderBy instead of driverAgg
+  *   full          — the registered query
+  *
+  * If full ~= scan_floor, the residual vs DuckDB is the per-thread
+  * parquet-decode constant (the q_events_hourly class), not a plan
+  * defect; if full >> scan_floor the gap is in the agg/presentation.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/tmp/sf50 sbt -batch "runMain graft.tools.Exp48"
+  */
+object Exp48 {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf50")
+    val passes = sys.env.getOrElse("EXP48_PASSES", "7").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    val jobTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val taskIv = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobTimes.add(j.time)
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskIv.add((t.taskInfo.launchTime, t.taskInfo.finishTime))
+    })
+
+    val fullPlan = Registry.byName("q_date_extract").run(spark, d)
+      .queryExecution.executedPlan
+
+    val two = Tables.orders(spark, d).select("o_orderdate", "o_totalprice")
+    val scanFloorPlan = two
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("double")).as("s"),
+        min(col("o_orderdate")).as("m"))
+      .queryExecution.executedPlan
+
+    val countOnlyPlan = Tables.orders(spark, d).select("o_orderdate")
+      .agg(count(col("o_orderdate")).as("n")).queryExecution.executedPlan
+
+    // inline of CoreQueries.dsum(o_totalprice, 2, "total") (private[queries])
+    val dsum2 = (sum(call_function("graft_dunscaled",
+      col("o_totalprice").cast(DoubleType), lit(2)))
+      .cast(DecimalType(38, 0)) / lit(100L)).cast(DoubleType).as("total")
+    val aggNoPresentPlan = Tables.orders(spark, d)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), dsum2)
+      .orderBy("y", "m")
+      .queryExecution.executedPlan
+
+    val arms = Seq(
+      "count_only" -> countOnlyPlan,
+      "scan_floor" -> scanFloorPlan,
+      "agg_nopresent" -> aggNoPresentPlan,
+      "full" -> fullPlan)
+
+    final case class Sample(sec: Double, jobs: Int, workMs: Long, schedMs: Long)
+    val samples =
+      scala.collection.mutable.Map.empty[String, List[Sample]].withDefaultValue(Nil)
+    for (round <- 0 to passes; (name, plan) <- arms) {
+      val t0 = System.currentTimeMillis()
+      val n0 = System.nanoTime()
+      plan.clone().executeCollect()
+      val sec = (System.nanoTime() - n0) / 1e9
+      val t1 = t0 + math.ceil(sec * 1000).toLong
+      // ledger quiescence poll (Exp46, post-ADVICE): done when two
+      // consecutive 25ms polls see no new listener events, bounded 2s
+      import scala.jdk.CollectionConverters._
+      var quiet = 0; var lastSeen = (jobTimes.size, taskIv.size); var polled = 0
+      while (quiet < 2 && polled < 2000) {
+        Thread.sleep(25); polled += 25
+        val now = (jobTimes.size, taskIv.size)
+        if (now == lastSeen) quiet += 1 else { quiet = 0; lastSeen = now }
+      }
+      val jobs = jobTimes.asScala.count(t => t >= t0 && t <= t1)
+      val iv = taskIv.asScala.toSeq
+        .map { case (a, b) => (math.max(a, t0), math.min(b, t1)) }
+        .filter { case (a, b) => b > a }.sortBy(_._1)
+      var work = 0L; var start = Long.MinValue; var end = Long.MinValue
+      iv.foreach { case (a, b) =>
+        if (start == Long.MinValue) { start = a; end = b }
+        else if (a <= end) { if (b > end) end = b }
+        else { work += end - start; start = a; end = b }
+      }
+      if (start != Long.MinValue) work += end - start
+      val sched = math.max(0L, math.ceil(sec * 1000).toLong - work)
+      if (round > 0) samples(name) = samples(name) :+ Sample(sec, jobs, work, sched)
+      jobTimes.clear(); taskIv.clear()
+      System.gc()
+    }
+
+    arms.foreach { case (name, _) =>
+      val ss = samples(name)
+      val best = ss.minBy(_.sec)
+      println(f"== exp48 $name%-14s min ${best.sec}%.3f s  jobs ${best.jobs}  " +
+        f"work ${best.workMs} ms  sched ${best.schedMs} ms  " +
+        f"passes ${ss.map(s => f"${s.sec}%.3f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}

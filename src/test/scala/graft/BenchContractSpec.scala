@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's compact-metric-line contract (round 20): the driver
+  * recovers the line from a 2000-char stdout tail, and round 19's line
+  * grew to 2013 bytes when the streaming variance band + phase split
+  * were added to it — `BENCH_r19.json` came back head-truncated with
+  * `parsed: null`, failing [[ArtifactContractSpec]]. The band/phase
+  * fields now live on the evidence line; this spec keeps the class of
+  * regression from recurring by rendering the line for the FULL benched
+  * query set with worst-case field widths and asserting the budget.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  private def f4(v: Double) = f"$v%.4f"
+
+  test("compact metric line for the full benched set fits the driver tail window") {
+    val readNames = Registry.all.filter(_.bench).map(_.name)
+    assert(readNames.nonEmpty)
+    val dmlNames = Seq("dml_update", "dml_delete", "dml_scd1_merge", "dml_scd2_merge")
+    val allNames = readNames ++ dmlNames :+ "streaming_ingest"
+    // worst-case widths: 3-digit walls at 4 decimals (sf50-class runs)
+    val qs = allNames.map(n => "\"" + n + "\":" + f4(123.4567)).mkString("{", ",", "}")
+    val oq = (readNames ++ dmlNames).sorted
+      .map(n => "\"" + n + "\":" + f4(123.4567)).mkString("{", ",", "}")
+    val oracleQueriesField = s""""oracle_queries":$oq"""
+    val oracleJson = s""",$oracleQueriesField""" +
+      s""","oracle_total_sec":333.4567,"spark_oracleable_sec":123.4567""" +
+      s""","spark_oracle_ratio":1.02,"spark_oracle_ratio_ex_lsh":1.68""" +
+      s""","dml_total_sec":12.3456,"dml_oracle_sec":12.3456,"dml_ratio":6.83"""
+    val streamCompact =
+      s""","streaming_rows":50000000,"streaming_rows_per_sec":1034567""" +
+        s""","streaming_batches":8,"streaming_avg_batch_ms":8433"""
+    // every optional load field present at once (degraded + waited + skip)
+    val loadJson = s""","load_pre":0.97,"load_end":9.74,"passes":7""" +
+      s""","load_first":3.10,"load_wait_sec":300,"degraded":true""" +
+      s""","bench_skip":["dedup_minhash_lsh"]"""
+    val line = Bench.renderCompactLine(333.4567, qs, "/tmp/sf50", oracleJson,
+      oracleQueriesField, streamCompact, loadJson)
+    assert(line.length <= Bench.CompactLineBudget,
+      s"compact line ${line.length}B exceeds budget ${Bench.CompactLineBudget}")
+    // the driver contract survives budget enforcement
+    assert(line.contains("\"metric\":\"total\""))
+    assert(line.contains("\"value\":"))
+    assert(line.contains("\"queries\":"))
+    assert(line.contains("\"spark_oracle_ratio\":"))
+    assert(line.contains("\"spark_oracle_ratio_ex_lsh\":"))
+  }
+
+  test("budget guard drops only oracle_queries when over budget, auditable") {
+    val oq = """"oracle_queries":{""" +
+      (1 to 50).map(i => s""""q$i":1.2345""").mkString(",") + "}"
+    // under budget: untouched
+    val small = s"""{"metric":"total","value":1.0,$oq,"spark_oracle_ratio":1.0}"""
+    assert(Bench.enforceCompactBudget(small, oq) == small)
+    // over budget: the per-query oracle map is replaced by an audit stamp
+    val big = s"""{"metric":"total","value":1.0,$oq,"pad":"${"p" * 2000}","spark_oracle_ratio":1.0}"""
+    val out = Bench.enforceCompactBudget(big, oq)
+    assert(!out.contains("\"oracle_queries\":"), "oracle_queries not dropped")
+    assert(out.contains("\"oracle_queries_in_evidence\":true"))
+    assert(out.contains("\"spark_oracle_ratio\":1.0"))
+    assert(out.contains("\"value\":1.0"))
+  }
+
+  test("typo'd SPARK_GRAFT_SKIP / ORACLE_SKIP names fail loudly, not silently") {
+    val benched = Set("q1_pricing_summary", "dedup_minhash_lsh")
+    Bench.validateSkipNames(Set("dedup_minhash_lsh"), benched, "SPARK_GRAFT_SKIP")
+    Bench.validateSkipNames(Set.empty, benched, "SPARK_GRAFT_SKIP")
+    val e = intercept[IllegalArgumentException] {
+      Bench.validateSkipNames(Set("dedup_minhash_lsh", "dedup_mihash_lsh"),
+        benched, "SPARK_GRAFT_SKIP")
+    }
+    assert(e.getMessage.contains("dedup_mihash_lsh"))
+    assert(!e.getMessage.contains("silently skip")) // message names the var + typo
+    assert(e.getMessage.contains("SPARK_GRAFT_SKIP"))
+  }
+}

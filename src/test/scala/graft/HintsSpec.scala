@@ -117,6 +117,123 @@ class HintsSpec extends SparkSpec {
     }
   }
 
+  test("explicit measuredThreshold=0 is a DISABLE, not unset (no auto-engage)") {
+    // Round-20 ADVICE: "0" was the historical documented disable value;
+    // treating an explicit 0 as "unset" silently routed it into the 4g
+    // auto-engage path, flipping plans the operator had pinned off.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1") // static gate fails
+    spark.conf.set("graft.broadcast.measuredThreshold", "0")
+    try {
+      val fact = spark.range(0, 1000).toDF("k")
+      val bigFact = spark.range(0, 1L << 30).toDF("k") // clears the 4g floor
+      val side = Hints.broadcastIfSmall(bigSide.limit(100), bound = bigSide,
+        countOnFail = Some(bigSide.limit(100)), factSide = Some(bigFact))
+      val plan = fact.join(side, "k").queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"explicit measuredThreshold=0 fell through to auto-engage:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("graft.broadcast.measuredThreshold")
+    }
+  }
+
+  test("auto-engage pathological stats: empty-relation fact never engages") {
+    // Round-20 adversarial sweep (a): a factSide with degenerate stats —
+    // an empty relation's ~0-byte estimate — must stay on the static
+    // shuffled-hash arm, not engage the rescue.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val fact = spark.range(0, 1000).toDF("k")
+      val emptyFact = spark.range(0, 0).toDF("k")
+      val side = Hints.broadcastIfSmall(bigSide.limit(100), bound = bigSide,
+        countOnFail = Some(bigSide.limit(100)), factSide = Some(emptyFact))
+      val plan = fact.join(side, "k").queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"empty-relation fact engaged the measured rescue:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("auto-engage pathological stats: inflated post-filter estimate only reaches the MEASURED gate") {
+    // A filter whose Catalyst estimate stays at the unfiltered child's
+    // size (the default) can spuriously clear the 4g floor — fail-safe
+    // by construction: the worst it can do is take the measured arm,
+    // whose exact-bytes cap still decides. Pin both halves: the inflated
+    // estimate does engage, and the decision is the measured one.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val fact = spark.range(0, 1000).toDF("k")
+      // 8 GiB child estimate; the filter keeps ~nothing but Catalyst's
+      // default selectivity leaves the estimate above the 4g floor
+      val inflated = spark.range(0, 1L << 30).toDF("k").filter(col("k") < 10)
+      val side = Hints.broadcastIfSmall(bigSide.limit(100), bound = bigSide,
+        countOnFail = Some(bigSide.limit(100)), factSide = Some(inflated))
+      val plan = fact.join(side, "k").queryExecution.executedPlan.toString
+      // small measured side -> rescue fires (engage happened, cap passed)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"inflated estimate did not reach the measured gate:\n$plan")
+      // same inflated fact, but a side whose measured bytes exceed a
+      // 64-byte cap standing in for the auto cap: the measured gate must
+      // REFUSE — an absurd estimate can never bypass the byte cap
+      spark.conf.set("graft.broadcast.measuredThreshold", "64")
+      val side2 = Hints.broadcastIfSmall(bigSide, bound = bigSide,
+        countOnFail = Some(bigSide), factSide = Some(inflated))
+      val plan2 = fact.join(side2, "k").queryExecution.executedPlan.toString
+      assert(plan2.contains("ShuffledHashJoin"),
+        s"inflated estimate bypassed the measured cap:\n$plan2")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("graft.broadcast.measuredThreshold")
+    }
+  }
+
+  test("measured count runs ONCE at build time, never per execution") {
+    // Round-20 adversarial sweep (a): the rescue's count job is paid at
+    // plan-build time inside broadcastIfSmall; re-executing the returned
+    // plan (the bench's prepared-statement shape) must not re-count.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    spark.conf.set("graft.broadcast.measuredThreshold", "128MB")
+    val jobCount = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // the listener bus is private[spark]; poll the counter to quiescence
+    // (stable across one 50ms window, bounded at 5s) instead
+    def settle(): Long = {
+      var last = -1L; var cur = jobCount.get(); var spins = 0
+      while (cur != last && spins < 100) {
+        Thread.sleep(50); last = cur; cur = jobCount.get(); spins += 1
+      }
+      cur
+    }
+    def jobsDuring[A](body: => A): Long = {
+      val before = settle(); body; settle() - before
+    }
+    try {
+      val small = spark.range(0, 100).toDF("k")
+      var side: org.apache.spark.sql.DataFrame = null
+      val buildJobs = jobsDuring {
+        side = Hints.broadcastIfSmall(small, bound = bigSide, countOnFail = Some(small))
+      }
+      assert(buildJobs >= 1, "measured count never ran a Spark job at build time")
+      val joined = spark.range(0, 1000).toDF("k").join(side, "k")
+      val j1 = jobsDuring(joined.collect())
+      val j2 = jobsDuring(joined.collect())
+      assert(j2 <= j1,
+        s"steady-state re-execution ran MORE jobs than the first ($j2 vs $j1) — " +
+          "the measured count is being re-paid per execution")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("graft.broadcast.measuredThreshold")
+    }
+  }
+
   test("measured path: string bytes are measured, not defaultSize-guessed") {
     // 200 rows x ~20KB strings = ~4MB real payload; StringType.defaultSize
     // (20B flat) would claim ~5KB and pass a 64KB cap. The measured gate

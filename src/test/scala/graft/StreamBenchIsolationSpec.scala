@@ -1,0 +1,26 @@
+package graft
+
+/** Round-20 adversarial sweep (b): the multi-pass streaming bench
+  * (SPARK_GRAFT_STREAM_PASSES, round 19) must isolate passes — each
+  * [[BenchStream.run]] call gets a fresh temp root (stage dir,
+  * checkpoint, lake table), so no cross-pass checkpoint reuse or
+  * already-ingested table can inflate rows/s. The isolation is
+  * structural (Files.createTempDirectory per call) and self-checking:
+  * a leaked checkpoint would make the second pass's AvailableNow
+  * trigger see zero new files, ingest 0 rows, and fail run()'s own
+  * `require(ingested == rows)` exactly-once assertion; a leaked table
+  * would fail it from the other side (ingested == 2x rows). Two
+  * back-to-back runs therefore pin the property.
+  */
+class StreamBenchIsolationSpec extends SparkSpec {
+
+  test("back-to-back BenchStream.run passes are fully isolated") {
+    val a = BenchStream.run(spark, sf)
+    val b = BenchStream.run(spark, sf)
+    assert(a.rows > 0, "first pass ingested nothing")
+    assert(b.rows == a.rows,
+      s"second pass saw different input (${b.rows} vs ${a.rows}) — state leaked across passes")
+    assert(a.batches > 0 && b.batches == a.batches,
+      s"batch counts differ (${b.batches} vs ${a.batches}) — checkpoint state leaked")
+  }
+}

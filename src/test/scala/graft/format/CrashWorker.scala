@@ -18,15 +18,22 @@ object CrashWorker {
     while (true) { // runs until SIGKILL
       // rebase: next version is one past the highest that exists
       var max = v - 1
-      val it = java.nio.file.Files.list(metaDir).iterator()
-      while (it.hasNext) {
-        val n = it.next().getFileName.toString
-        if (n.startsWith("v") && n.endsWith(".json")) {
-          val num = n.substring(1, n.length - 5)
-          if (num.nonEmpty && num.forall(_.isDigit) && num.toInt > max)
-            max = num.toInt
+      // close the listing stream per iteration: this loop runs thousands
+      // of times a second until SIGKILL, and an unclosed Files.list leaks
+      // one directory FD each pass — EMFILE would quietly kill the worker
+      // before the parent's kill window and weaken the race
+      val s = java.nio.file.Files.list(metaDir)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith("v") && n.endsWith(".json")) {
+            val num = n.substring(1, n.length - 5)
+            if (num.nonEmpty && num.forall(_.isDigit) && num.toInt > max)
+              max = num.toInt
+          }
         }
-      }
+      } finally s.close()
       v = max + 1
       val content =
         s"""{"writer":"$workerId","v":$v,"pad":"$pad","end":"#END"}"""

@@ -3,9 +3,16 @@
 from two committed bench artifacts. Data grows 5x between the fixtures;
 a leg whose wall grows <= ~6x is at-or-under linear (the extra slack is
 shuffle-width and spill effects a single box amplifies)."""
-import json, sys
+import argparse, json
 
-a_path, b_path, n = (sys.argv + ["/root/repo/BENCH_sf10.json", "/root/repo/BENCH_sf50.json", "6"])[1:4]
+# positional args with per-index defaults: the old `(sys.argv + defaults)[1:4]`
+# only worked with exactly 0 or 3 args (round-20 ADVICE)
+_p = argparse.ArgumentParser(description=__doc__)
+_p.add_argument("a_path", nargs="?", default="/root/repo/BENCH_sf10.json")
+_p.add_argument("b_path", nargs="?", default="/root/repo/BENCH_sf50.json")
+_p.add_argument("n", nargs="?", default="6")
+_a = _p.parse_args()
+a_path, b_path, n = _a.a_path, _a.b_path, _a.n
 a = json.load(open(a_path)); b = json.load(open(b_path))
 qa, qb = a["queries"], b["queries"]
 walls = sorted(((k, qb[k]) for k in qb if k in qa), key=lambda kv: -kv[1])[:int(n)]
