@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Round 20 (verdict #2): merge N same-SF bench recordings into one
+artifact by per-leg MIN on BOTH sides (Spark walls and oracle walls),
+recomputing the aggregate fields from the merged legs. A 32-thread
+engine is more load-sensitive than the oracle's bounded-thread legs,
+so a single recording carries asymmetric noise even on a quiet box;
+min-of-recordings bounds it symmetrically. The merged artifact is
+stamped (`min_of_recordings`, `source_totals`) so it can never pass
+as a single run.
+
+Usage: min_merge_bench.py OUT.json RUN1.json [RUN2.json ...]
+Each RUN may be a bench_result.json copy (evidence line + compact
+line) or a bare compact-line JSON file.
+"""
+import json
+import sys
+
+EX_LSH = "dedup_minhash_lsh"
+DML = ("dml_update", "dml_delete", "dml_scd1_merge", "dml_scd2_merge")
+
+
+def load(path):
+    lines = [ln for ln in open(path).read().strip().split("\n") if ln.strip()]
+    compact = json.loads(lines[-1])
+    oq = compact.get("oracle_queries")
+    if oq is None and len(lines) > 1:  # budget guard moved it to evidence
+        oq = json.loads(lines[0])["bench_evidence"].get("oracle_queries")
+    compact["oracle_queries"] = oq or {}
+    return compact
+
+
+def main():
+    out_path, run_paths = sys.argv[1], sys.argv[2:]
+    runs = [load(p) for p in run_paths]
+    assert len({r["sf"] for r in runs}) == 1, "mixed sf dirs"
+    base = runs[0]
+    queries = {k: min(r["queries"][k] for r in runs if k in r["queries"])
+               for k in base["queries"]}
+    oq = {k: min(r["oracle_queries"][k] for r in runs if k in r["oracle_queries"])
+          for k in base["oracle_queries"]}
+    read = {k: v for k, v in queries.items()
+            if k not in DML and k != "streaming_ingest"}
+    merged = dict(base)
+    merged["queries"] = {k: round(v, 4) for k, v in queries.items()}
+    merged["oracle_queries"] = {k: round(v, 4) for k, v in sorted(oq.items())}
+    merged["value"] = round(sum(read.values()), 4)
+    o_read = {k: v for k, v in oq.items() if k in read}
+    merged["oracle_total_sec"] = round(sum(o_read.values()), 4)
+    sp = sum(read[k] for k in o_read)
+    merged["spark_oracleable_sec"] = round(sp, 4)
+    merged["spark_oracle_ratio"] = round(sp / sum(o_read.values()), 2)
+    o_ex = {k: v for k, v in o_read.items() if k != EX_LSH}
+    merged["spark_oracle_ratio_ex_lsh"] = round(
+        sum(read[k] for k in o_ex) / sum(o_ex.values()), 2)
+    dml_t = sum(queries[k] for k in DML if k in queries)
+    dml_o = sum(oq[k] for k in DML if k in oq)
+    merged["dml_total_sec"] = round(dml_t, 4)
+    merged["dml_oracle_sec"] = round(dml_o, 4)
+    merged["dml_ratio"] = round(dml_t / dml_o, 2)
+    # streaming: best pass across recordings (rows identical by contract)
+    best = min(runs, key=lambda r: r["queries"].get("streaming_ingest", 1e9))
+    for k in ("streaming_rows", "streaming_rows_per_sec", "streaming_batches",
+              "streaming_avg_batch_ms"):
+        if k in best:
+            merged[k] = best[k]
+    merged["min_of_recordings"] = len(runs)
+    merged["source_totals"] = [round(sum(
+        v for k, v in r["queries"].items()
+        if k not in DML and k != "streaming_ingest"), 4) for r in runs]
+    merged["load_pre"] = max(r.get("load_pre", -1) for r in runs)
+    merged["load_end"] = max(r.get("load_end", -1) for r in runs)
+    json.dump(merged, open(out_path, "w"), indent=1)
+    print(f"merged {len(runs)} recordings -> {out_path}: "
+          f"total {merged['value']} ratio {merged['spark_oracle_ratio']} "
+          f"ex_lsh {merged['spark_oracle_ratio_ex_lsh']} dml {merged['dml_ratio']}")
+    weak = {k: round(read[k] / o_read[k], 2) for k in o_read
+            if read[k] / o_read[k] > 2.0}
+    print("legs >2x:", dict(sorted(weak.items(), key=lambda kv: -kv[1])))
+
+
+if __name__ == "__main__":
+    main()
