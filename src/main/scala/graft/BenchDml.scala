@@ -211,6 +211,14 @@ object BenchDml {
     val timed = (1 to passes).map { _ =>
       scenarios.map { case (name, base, exec) =>
         val t = freshClone(base)
+        // GC before the clock starts (round 20, Exp44-at-sf50 finding):
+        // without it, the first merge of each pass pays the preceding
+        // scenarios' accumulated garbage inside ITS timed window — at
+        // sf50 heap pressure that inflated dml_scd1_merge to 22.7 s in
+        // the r19 artifact while Exp44's isolated GC'd clones measure
+        // scd1/scd2 as 15.1/15.3 s twins. Same rule as Bench.gcPass:
+        // collections happen, but never inside a timed region.
+        System.gc()
         val t0 = System.currentTimeMillis()
         val n0 = System.nanoTime()
         // A failed exec must ABORT the bench, not record the partial

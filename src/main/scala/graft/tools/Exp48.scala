@@ -73,10 +73,32 @@ object Exp48 {
       .orderBy("y", "m")
       .queryExecution.executedPlan
 
+    // Two-level arm: the per-row work in `full` is two calendar
+    // decompositions (year, month) per 75M rows; grouping by the DAY
+    // first costs one cheap micros->days division (NTZ cast to date is
+    // zone-free arithmetic), leaving the calendar work to the ~2.4k
+    // distinct day groups. Exact: sums/counts are associative, and the
+    // unscaled-long dsum kernel re-aggregates losslessly.
+    val twoLevelPlan = {
+      val dayAgg = Tables.orders(spark, d)
+        .groupBy(col("o_orderdate").cast("date").as("dd"))
+        .agg(count(lit(1)).as("n"),
+          sum(call_function("graft_dunscaled",
+            col("o_totalprice").cast(DoubleType), lit(2))).as("u"))
+      dayAgg
+        .groupBy(year(col("dd")).as("y"), month(col("dd")).as("m"))
+        .agg(sum(col("n")).as("n"),
+          (sum(col("u")).cast(DecimalType(38, 0)) / lit(100L))
+            .cast(DoubleType).as("total"))
+        .orderBy("y", "m")
+        .queryExecution.executedPlan
+    }
+
     val arms = Seq(
       "count_only" -> countOnlyPlan,
       "scan_floor" -> scanFloorPlan,
       "agg_nopresent" -> aggNoPresentPlan,
+      "two_level" -> twoLevelPlan,
       "full" -> fullPlan)
 
     final case class Sample(sec: Double, jobs: Int, workMs: Long, schedMs: Long)
