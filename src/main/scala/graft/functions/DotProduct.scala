@@ -107,9 +107,19 @@ object GraftFunctions {
       // sets, level 2 merges them) — see q_distinct_agg
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_distinct_set", exprs => ExactDistinctSet(exprs(0)), "scala_udf")
+      // fused triple-distinct (one buffer + one update dispatch per row
+      // for q_distinct_agg's three key columns); 4th arg: emit sets
+      // (two-level level 1) vs counts (one-level) — see ExactDistinctTriple
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_distinct_triple", exprs => ExactDistinctTriple(
+          exprs(0), exprs(1), exprs(2),
+          emitSets = exprs(3).eval().asInstanceOf[Boolean]), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_count_distinct_merge",
         exprs => ExactCountDistinctMerge(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_distinct_set_merge",
+        exprs => ExactDistinctSetMerge(exprs(0)), "scala_udf")
       // bounded exact bucket collection (count + smallest-cap member
       // list in one buffer) — the LSH skew guard, see Dedup.cappedBuckets
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1,0 +1,193 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-20: re-decompose `q_distinct_agg` at sf10 with BENCH-FAITHFUL
+  * methodology. The prior floor pin (Exp35) timed `.count()` over the
+  * aggregated frame — but a count over an Aggregate lets Catalyst's
+  * ColumnPruning DROP the unused distinct-set aggregate expressions
+  * (guide §1.4: "`df.count()` lets the optimizer prune columns and
+  * sometimes whole subtrees"), so the 0.551 s "registry" reading
+  * plausibly measured a plan with the distinct work pruned out, while
+  * the bench's `executeCollect` of the real result reads 1.70 s
+  * (BENCH_sf10.json, min-of-2 recordings) vs DuckDB 0.835 s = 2.04x.
+  *
+  * Arms (all but the floors produce the identical 3-row result; floors
+  * bound the scan+group cost without distinct-set work):
+  *   registry   — Registry shape (volume-adaptive; salted-8 at sf10)
+  *   onelevel   — one-level graft_count_distinct x3
+  *   salt16/32  — two-level with 16 / 32 salts
+  *   native     — Spark native count(DISTINCT x) x3 (Expand plan)
+  *   floor_cnt  — groupBy(flag).agg(count(col) x3): same 4 columns
+  *                decoded, no distinct-set work
+  *
+  * Methodology: bench harness config (local[32], shuffle 32, AQE off,
+  * maxPartitionBytes 4m), prepared plans, per-pass
+  * `executedPlan.clone().executeCollect()`, interleaved, min-of-5,
+  * System.gc() between passes — the same clock Bench.scala runs.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/tmp/sf10 sbt -batch "runMain graft.tools.Exp49"
+  */
+object Exp49 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val passes = sys.env.getOrElse("EXP49_PASSES", "5").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def salted(n: Int): DataFrame =
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"),
+          pmod(xxhash64(col("l_orderkey")), lit(n)).as("_salt"))
+        .agg(call_function("graft_distinct_set", col("l_suppkey")).as("ss"),
+          call_function("graft_distinct_set", col("l_partkey")).as("ps"),
+          call_function("graft_count_distinct", col("l_orderkey")).as("no"))
+        .groupBy("l_returnflag")
+        .agg(call_function("graft_count_distinct_merge", col("ss")).as("n_supp"),
+          call_function("graft_count_distinct_merge", col("ps")).as("n_part"),
+          sum("no").as("n_ord"))
+        .orderBy("l_returnflag")
+
+    def fusedSalted(n: Int): DataFrame =
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"),
+          pmod(xxhash64(col("l_orderkey")), lit(n)).as("_salt"))
+        .agg(call_function("graft_distinct_triple",
+          col("l_suppkey"), col("l_partkey"), col("l_orderkey"), lit(true)).as("t"))
+        .groupBy("l_returnflag")
+        .agg(call_function("graft_count_distinct_merge", col("t.ss")).as("n_supp"),
+          call_function("graft_count_distinct_merge", col("t.ps")).as("n_part"),
+          sum("t.no").as("n_ord"))
+        .orderBy("l_returnflag")
+
+    val fusedOne: DataFrame =
+      Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(call_function("graft_distinct_triple",
+          col("l_suppkey"), col("l_partkey"), col("l_orderkey"), lit(false)).as("t"))
+        .select(col("l_returnflag"), col("t.n1").as("n_supp"),
+          col("t.n2").as("n_part"), col("t.n3").as("n_ord"))
+        .orderBy("l_returnflag")
+
+    // kernel arm: replace the map-side ObjectHashAggregate update loop
+    // with a mapPartitions kernel over InternalRows — array-indexed
+    // (flag, salt) cells, salt = orderkey & 7 (any consistent partition
+    // of orderkeys works; disjointness across salts is all level 2
+    // needs). The exchange + merge levels stay the engine's own
+    // aggregates, so the partial-buffer bytes shipped are the same.
+    val kernel: DataFrame = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val base4 = Tables.lineitem(spark, sfDir).select(
+        col("l_returnflag"), col("l_suppkey"), col("l_partkey"), col("l_orderkey"))
+      val schema = StructType(Seq(
+        StructField("l_returnflag", StringType), StructField("_salt", IntegerType),
+        StructField("ss", BinaryType), StructField("ps", BinaryType),
+        StructField("os", BinaryType)))
+      val rdd = base4.queryExecution.toRdd.mapPartitions { it =>
+        val cells = new java.util.HashMap[String, Array[graft.functions.TripleDistinctBuffer]]()
+        while (it.hasNext) {
+          val r = it.next()
+          val flag = r.getUTF8String(0).toString
+          var arr = cells.get(flag)
+          if (arr == null) {
+            arr = new Array[graft.functions.TripleDistinctBuffer](8)
+            var i = 0; while (i < 8) { arr(i) = new graft.functions.TripleDistinctBuffer; i += 1 }
+            cells.put(flag, arr)
+          }
+          val ord = r.getLong(3)
+          val c = arr((ord & 7).toInt)
+          c.add(0, r.getLong(1)); c.add(1, r.getLong(2)); c.add(2, ord)
+        }
+        import scala.jdk.CollectionConverters._
+        cells.asScala.iterator.flatMap { case (flag, arr) =>
+          arr.iterator.zipWithIndex.map { case (b, salt) =>
+            Row(flag, salt, b.sets(0).serialize(), b.sets(1).serialize(),
+              b.sets(2).serialize())
+          }
+        }
+      }
+      spark.createDataFrame(rdd, schema)
+        .groupBy("l_returnflag", "_salt")
+        .agg(call_function("graft_distinct_set_merge", col("ss")).as("ss"),
+          call_function("graft_distinct_set_merge", col("ps")).as("ps"),
+          call_function("graft_count_distinct_merge", col("os")).as("no"))
+        .groupBy("l_returnflag")
+        .agg(call_function("graft_count_distinct_merge", col("ss")).as("n_supp"),
+          call_function("graft_count_distinct_merge", col("ps")).as("n_part"),
+          sum("no").as("n_ord"))
+        .orderBy("l_returnflag")
+    }
+
+    val variants: Seq[(String, DataFrame)] = Seq(
+      "registry" -> Registry.byName("q_distinct_agg").run(spark, sfDir),
+      "fused8" -> fusedSalted(8),
+      "fusedone" -> fusedOne,
+      "kernel" -> kernel,
+      "onelevel" -> Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(call_function("graft_count_distinct", col("l_suppkey")).as("n_supp"),
+          call_function("graft_count_distinct", col("l_partkey")).as("n_part"),
+          call_function("graft_count_distinct", col("l_orderkey")).as("n_ord"))
+        .orderBy("l_returnflag"),
+      "salt16" -> salted(16),
+      "salt32" -> salted(32),
+      "native" -> Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          countDistinct(col("l_orderkey")).as("n_ord"))
+        .orderBy("l_returnflag"),
+      "floor_cnt" -> Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(count(col("l_suppkey")).as("n_supp"),
+          count(col("l_partkey")).as("n_part"),
+          count(col("l_orderkey")).as("n_ord"))
+        .orderBy("l_returnflag"))
+
+    // EXP49_ARMS (comma list) narrows the arm set for focused A/Bs
+    val armSel = sys.env.get("EXP49_ARMS").map(_.split(',').map(_.trim).toSet)
+    val arms = armSel.map(s => variants.filter(v => s.contains(v._1))).getOrElse(variants)
+
+    // prepare once (bench PREPARE=true semantics)
+    arms.foreach { case (_, df) => df.queryExecution.executedPlan }
+    // result-equality check across the real arms (not floors)
+    val expected = variants.head._2.collect().map(_.toString).toSeq
+    arms.map(_._1).filterNot(n => n == "registry" || n == "floor_cnt").foreach { n =>
+      val got = variants.find(_._1 == n).get._2.collect().map(_.toString).toSeq
+      require(got == expected, s"$n result mismatch: $got vs $expected")
+    }
+
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (p <- 0 to passes; (name, df) <- arms) {
+      val t0 = System.nanoTime()
+      df.queryExecution.executedPlan.clone().executeCollect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (p > 0) times(name) = times(name) :+ sec
+      System.gc()
+    }
+    def load = try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).trim catch { case _: Throwable => "?" }
+    println(s"[exp49] sf=$sfDir loadavg=$load passes=$passes")
+    arms.foreach { case (name, _) =>
+      println(f"[exp49] $name%-10s min ${times(name).min}%.3f  " +
+        f"passes ${times(name).map(t => f"$t%.2f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}
