@@ -3,17 +3,40 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev utility: dump formatted plans for plan-quality review (pushdown,
-  * pruning, codegen spans, join strategies). */
+  * pruning, codegen spans, join strategies).
+  *
+  * Coordinator-finish queries ([[graft.plans.LazyLocal]] wrappers built
+  * by Present.driverAgg / driverSortBy) used to dump as a 7-line
+  * `LazyLocal(...)` leaf with no scan/exchange/PushedFilters — 13 of 21
+  * committed r20 dumps were evidentially empty (r20 verdict #2). The
+  * dump now renders the DISTRIBUTED SOURCE PLAN captured at rewrite
+  * time ([[graft.plans.DriverFinalAgg.lastSourcePlan]] /
+  * [[graft.queries.Present.lastSourcePlan]]) beneath the wrapper, so
+  * every committed dump shows the plan that actually executes.
+  *
+  * Usage: runMain graft.Explain [sfDir] [query...]
+  *   EXPLAIN_OUT_DIR   — also write one <query>_<suffix>.txt per query
+  *   EXPLAIN_SUFFIX    — file suffix (default "plan"; use before/after)
+  *
+  * Session conf mirrors the bench harness's planner-relevant settings
+  * (AQE off, split sizing). Parallelism/shuffle width default to the
+  * bench's volume-adaptive rule at sf<=0.1 (local[8], width 8 ~ the
+  * small-volume band); Exchange partition COUNTS in a dump therefore
+  * match the bench only when the dumped SF is in the same volume band —
+  * shapes (node kinds, join strategies, pushdowns) match regardless.
+  * Override with EXPLAIN_CPUS / EXPLAIN_SHUFFLE to reproduce an exact
+  * width.
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("EXPLAIN_CPUS", "8")
     val spark = SparkSession.builder()
       .withExtensions(new graft.sqlext.LakeSqlExtensions)
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("EXPLAIN_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
-      // mirror the bench harness (Bench.scala) so committed plan dumps
-      // show the planned shapes the bench actually executes
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "64k")
@@ -23,9 +46,40 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q6_forecast_revenue", "q5_local_supplier", "lake_roundtrip_pruned_read")
+    val outDir = sys.env.get("EXPLAIN_OUT_DIR")
+    val suffix = sys.env.getOrElse("EXPLAIN_SUFFIX", "plan")
     names.foreach { n =>
-      println(s"===== $n =====")
-      Registry.byName(n).run(spark, sfDir).explain("formatted")
+      // reset both capture points so a previous query's source plan can
+      // never masquerade as this one's
+      graft.plans.DriverFinalAgg.lastSourcePlan = ""
+      graft.queries.Present.clearFinishSource()
+      val df = Registry.byName(n).run(spark, sfDir)
+      val wrapper = {
+        // force planning so rewrite-time captures fire before we read them
+        df.queryExecution.executedPlan
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      }
+      val source =
+        Seq(graft.plans.DriverFinalAgg.lastSourcePlan,
+          graft.queries.Present.lastSourcePlan)
+          .find(_.nonEmpty)
+      val txt = new StringBuilder
+      txt ++= s"===== $n =====\n"
+      txt ++= wrapper
+      source.foreach { s =>
+        txt ++= "\n===== distributed source plan (captured at coordinator-finish rewrite; "
+        txt ++= "this is the plan the LazyLocal wrapper executes per action) =====\n"
+        txt ++= s
+        txt ++= "\n"
+      }
+      print(txt)
+      outDir.foreach { dir =>
+        val d = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.write(d.resolve(s"${n}_$suffix.txt"),
+          txt.toString.getBytes("UTF-8"))
+      }
     }
     spark.stop()
   }

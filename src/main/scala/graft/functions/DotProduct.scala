@@ -111,9 +111,20 @@ object GraftFunctions {
       // for q_distinct_agg's three key columns); 4th arg: emit sets
       // (two-level level 1) vs counts (one-level) — see ExactDistinctTriple
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_distinct_triple", exprs => ExactDistinctTriple(
-          exprs(0), exprs(1), exprs(2),
-          emitSets = exprs(3).eval().asInstanceOf[Boolean]), "scala_udf")
+        "graft_distinct_triple", exprs => {
+          // clean analysis error on misuse (ADVICE r20): wrong arity or a
+          // non-literal/non-boolean 4th arg must not surface as
+          // IndexOutOfBounds/ClassCastException during analysis
+          if (exprs.length != 4)
+            throw new IllegalArgumentException(
+              s"graft_distinct_triple expects 4 arguments (k1, k2, k3, emitSets), got ${exprs.length}")
+          val emit = exprs(3) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, BooleanType) => b
+            case other => throw new IllegalArgumentException(
+              s"graft_distinct_triple expects a boolean literal 4th argument, got ${other.sql}")
+          }
+          ExactDistinctTriple(exprs(0), exprs(1), exprs(2), emitSets = emit)
+        }, "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_count_distinct_merge",
         exprs => ExactCountDistinctMerge(exprs(0)), "scala_udf")

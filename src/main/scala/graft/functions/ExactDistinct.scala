@@ -619,7 +619,8 @@ object TripleDistinctBuffer {
   *           two-level salted plan (orderkey emitted as a plain count —
   *           the salt makes per-cell orderkey sets disjoint, so level 2
   *           sums them);
-  *   false — struct(n_supp, n_part, n_ord BIGINT): the one-level plan.
+  *   false — struct(n1, n2, n3 BIGINT) (the distinct counts of k1/k2/k3;
+  *           callers select t.n1/t.n2/t.n3): the one-level plan.
   */
 case class ExactDistinctTriple(
     k1: Expression, k2: Expression, k3: Expression,

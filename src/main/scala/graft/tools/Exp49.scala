@@ -109,6 +109,10 @@ object Exp49 {
             var i = 0; while (i < 8) { arr(i) = new graft.functions.TripleDistinctBuffer; i += 1 }
             cells.put(flag, arr)
           }
+          // NON-NULL assumption: TPC-H lineitem keys are non-null by
+          // construction; the aggregate arms null-skip, so a null here
+          // would read 0 and diverge — the require() equality check
+          // below is what proves the assumption holds on this fixture
           val ord = r.getLong(3)
           val c = arr((ord & 7).toInt)
           c.add(0, r.getLong(1)); c.add(1, r.getLong(2)); c.add(2, ord)

@@ -19,13 +19,33 @@ EX_LSH = "dedup_minhash_lsh"
 DML = ("dml_update", "dml_delete", "dml_scd1_merge", "dml_scd2_merge")
 
 
+STREAM_HEADLINE = ("streaming_rows", "streaming_rows_per_sec",
+                   "streaming_batches", "streaming_avg_batch_ms")
+# evidence-line streaming fields: must travel WITH the headline fields
+# from the same recording, or the artifact is internally inconsistent
+# (r20 ADVICE: BENCH_sf50.json reported a wall lower than every entry in
+# its own stale streaming_walls list)
+STREAM_EVIDENCE = ("streaming_walls", "streaming_settle_wait_sec",
+                   "streaming_batch_ms_min", "streaming_batch_ms_max",
+                   "streaming_phase_ms")
+
+
 def load(path):
     lines = [ln for ln in open(path).read().strip().split("\n") if ln.strip()]
     compact = json.loads(lines[-1])
+    evidence = {}
+    if len(lines) > 1:
+        try:
+            evidence = json.loads(lines[0])["bench_evidence"]
+        except (json.JSONDecodeError, KeyError):
+            evidence = {}
     oq = compact.get("oracle_queries")
-    if oq is None and len(lines) > 1:  # budget guard moved it to evidence
-        oq = json.loads(lines[0])["bench_evidence"].get("oracle_queries")
+    if oq is None:  # budget guard moved it to evidence
+        oq = evidence.get("oracle_queries")
     compact["oracle_queries"] = oq or {}
+    for k in STREAM_EVIDENCE:  # stale copies in compact lose to evidence
+        if k in evidence:
+            compact[k] = evidence[k]
     return compact
 
 
@@ -57,12 +77,20 @@ def main():
     merged["dml_total_sec"] = round(dml_t, 4)
     merged["dml_oracle_sec"] = round(dml_o, 4)
     merged["dml_ratio"] = round(dml_t / dml_o, 2)
-    # streaming: best pass across recordings (rows identical by contract)
-    best = min(runs, key=lambda r: r["queries"].get("streaming_ingest", 1e9))
-    for k in ("streaming_rows", "streaming_rows_per_sec", "streaming_batches",
-              "streaming_avg_batch_ms"):
+    # streaming: best pass across recordings (rows identical by contract).
+    # ALL streaming fields — headline and evidence (walls, phase split,
+    # batch min/max, settle) — come from the SAME best recording, and the
+    # merged artifact stamps which one, so no field can be a stale copy
+    # from a different recording than the reported wall (r20 ADVICE).
+    best_i = min(range(len(runs)),
+                 key=lambda i: runs[i]["queries"].get("streaming_ingest", 1e9))
+    best = runs[best_i]
+    for k in STREAM_HEADLINE + STREAM_EVIDENCE:
         if k in best:
             merged[k] = best[k]
+        elif k in merged:
+            del merged[k]  # never keep base's copy for a missing field
+    merged["streaming_fields_from_recording"] = best_i + 1
     merged["min_of_recordings"] = len(runs)
     merged["source_totals"] = [round(sum(
         v for k, v in r["queries"].items()
