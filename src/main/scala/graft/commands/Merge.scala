@@ -156,8 +156,16 @@ object Merge {
     val scanPred = if (Pred.isTrue(prunePred)) boundaryPred else And(boundaryPred, prunePred)
     val scan0 = new TableScan(spark, table, scanPred, withFileColumns = true)
     val candidates = mtimed("scd1.planFiles")(scan0.planFiles())
-    val target = new TableScan(spark, table, explicitFiles = Some(candidates),
-      withFileColumns = true).toDF()
+    // round 21 (diffProbe attack): in changes mode the key-prune ranges
+    // ride the DIFF scan as its residual predicate — they reach the
+    // parquet reader as PushedFilters, so row groups of candidate files
+    // that provably hold no source key are skipped before the join. Rows
+    // outside the ranges can't match any source key (the ranges are a
+    // superset of the source keys) and would be op N, which the
+    // changes-mode diff drops anyway; snapshot mode has prunePred ==
+    // AlwaysTrue and keeps the full scan (absent keys become deletes).
+    val target = new TableScan(spark, table, pred = residualOf(prunePred),
+      explicitFiles = Some(candidates), withFileColumns = true).toDF()
       .filter(coalesce(boundaryCol, lit(false)))
     val t = target.toDF(target.columns.map(tp).toSeq: _*)
 
@@ -337,8 +345,9 @@ object Merge {
       if (Pred.isTrue(prunePred)) guardCandidates
       else new TableScan(spark, table, And(boundaryPred, prunePred),
         withFileColumns = true).planFiles()
-    val current = new TableScan(spark, table, explicitFiles = Some(candidates),
-      withFileColumns = true).toDF()
+    // key-prune ranges as the diff scan's pushed residual — see scd1
+    val current = new TableScan(spark, table, pred = residualOf(prunePred),
+      explicitFiles = Some(candidates), withFileColumns = true).toDF()
       .filter(coalesce(boundaryCol, lit(false)))
       .filter(col(endC).isNull)
     val t = current.toDF(current.columns.map(tp).toSeq: _*)
@@ -702,7 +711,58 @@ object Merge {
 
   private val MaxPruneRanges = 64
   private val MaxPruneKeys = 10000
-  private val MaxPruneRangeKeys = 1000000
+  /** Range cap for the ROW-LEVEL residual on the diff scan. File
+    * pruning evaluates the pred once per file, so 64 ranges are free
+    * there — but as a per-row filter a 64-range OR generates a
+    * comparison chain big enough to blow the JIT inlining budget
+    * (measured: scd1 sf10 diffProbe 2.3 s -> 9.0 s with the full pred
+    * as residual). 4 ranges = at most 8 long compares per row. */
+  private val MaxResidualRanges = 4
+
+  /** Coarsen a [[scdKeyPrunePred]] range pred to at most `maxRanges`
+    * ranges (merge the smallest inter-range gaps first) for use as a
+    * per-row residual. Coarsening only widens coverage — still a
+    * superset of the source keys, so dropping non-matching rows stays
+    * sound. Any unexpected pred shape returns AlwaysTrue (no residual). */
+  private[commands] def residualOf(pred: Pred, maxRanges: Int = MaxResidualRanges): Pred = {
+    def lv(a: Any) = a.asInstanceOf[Number].longValue
+    // collect (lo, hi) leaves and an optional IsNull; bail on anything else
+    var col: String = null
+    var hasNull = false
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+    def walk(p: Pred): Boolean = p match {
+      case Or(l, r) => walk(l) && walk(r)
+      case And(Ge(c, a), Le(c2, b)) if c == c2 && (col == null || col == c) =>
+        col = c; ranges += ((a, b)); true
+      case Eq(c, a) if col == null || col == c =>
+        col = c; ranges += ((a, a)); true
+      case IsNull(c) if col == null || col == c =>
+        col = c; hasNull = true; true
+      case _ => false
+    }
+    if (!walk(pred) || ranges.isEmpty) return AlwaysTrue
+    val sorted = ranges.sortBy(r => lv(r._1)).toSeq
+    val out = scala.collection.mutable.ArrayBuffer[(Any, Any)](sorted.head)
+    if (sorted.length > maxRanges) {
+      // keep only the maxRanges-1 largest gaps as splits
+      val keep = sorted.sliding(2).zipWithIndex.collect {
+        case (scala.collection.Seq((_, e), (s, _)), i) => (lv(s) - lv(e), i)
+      }.toSeq.sortBy(-_._1).take(maxRanges - 1).map(_._2).toSet
+      sorted.zipWithIndex.drop(1).foreach { case ((a, b), i) =>
+        if (keep.contains(i - 1)) out += ((a, b))
+        else out(out.length - 1) = (out.last._1, b)
+      }
+    } else out ++= sorted.drop(1)
+    val base = out.map { case (a, b) =>
+      if (a == b) Eq(col, a) else And(Ge(col, a), Le(col, b)): Pred
+    }.reduceLeft[Pred](Or.apply)
+    if (hasNull) Or(base, IsNull(col)) else base
+  }
+  /** Bucket count for the distributed range compaction: fine enough to
+    * find every gap wider than span/4096, coarse enough that the
+    * per-bucket (min, max) collect stays a few-thousand-row metadata
+    * fetch at any source size. */
+  private val PruneBuckets = 4096L
 
   /** J2 for changes-mode SCD merges (round 12): in changes mode a target
     * row whose key matches no source row is left untouched (op N/NS), so
@@ -718,40 +778,82 @@ object Merge {
     * its footer stats prove no source key can be inside).
     *
     * Key-set shape: a single integral key column compacts into at most
-    * [[MaxPruneRanges]] contiguous ranges (sorted keys, split at the
-    * largest gaps) — O(ranges) stats work per file at ANY key count up
-    * to [[MaxPruneRangeKeys]], and exactly right for the common "update
-    * a clustered window + append new keys" batch. Other key shapes fall
-    * back to per-column In-lists capped at [[MaxPruneKeys]] tuples;
-    * beyond their cap, full scan. */
+    * [[MaxPruneRanges]] contiguous ranges via a DISTRIBUTED bucket
+    * aggregation ([[PruneBuckets]] cells over [min, max]; runs of
+    * adjacent non-empty buckets merge, the largest inter-run gaps
+    * split) — O(ranges) stats work per file at ANY key count, exactly
+    * right for the common "update a clustered window + append new keys"
+    * batch. Other key shapes fall back to per-column In-lists capped at
+    * [[MaxPruneKeys]] tuples; beyond their cap, full scan. */
   private[commands] def scdKeyPrunePred(source: DataFrame, keyCols: Seq[String],
       schema: org.apache.spark.sql.types.StructType): Pred = {
     import org.apache.spark.sql.types._
     val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
     if (keyCols.size == 1 && integral(schema(keyCols.head).dataType)) {
+      // Round 21 (diffProbe attack): the range compaction is now
+      // DISTRIBUTED — keys bucket into <= PruneBuckets cells over the
+      // observed [min, max] and only per-bucket (bucket, min, max) rows
+      // are collected, so the driver work is bounded at ANY key count.
+      // The previous shape collected up to 1M distinct keys (0.9 s at
+      // sf50) and silently fell to AlwaysTrue — a FULL-table diff scan —
+      // the moment the batch crossed the cap, which is exactly what the
+      // sf50 bench batch (1.31M keys) did. Runs of adjacent non-empty
+      // buckets merge into one range (per-bucket min/max keep the range
+      // ends exact); interior gaps smaller than a bucket are absorbed —
+      // a superset of the key set either way, so pruning stays sound.
       val k = keyCols.head
-      val rows = source.select(col(k)).distinct().limit(MaxPruneRangeKeys + 1).collect()
-      if (rows.length > MaxPruneRangeKeys) return AlwaysTrue
-      val hasNull = rows.exists(_.isNullAt(0))
-      // keep the column's native type for the pred bounds; order numerically
-      val keys = rows.filterNot(_.isNullAt(0)).map(_.get(0))
-        .sortBy(_.asInstanceOf[Number].longValue)
-      val base: Pred =
-        if (keys.isEmpty) AlwaysFalse
+      val mm = source.agg(
+        min(col(k)).as("mn"), max(col(k)).as("mx"),
+        max(when(col(k).isNull, 1).otherwise(0)).as("hasNull")).head()
+      val hasNull = !mm.isNullAt(2) && mm.getInt(2) == 1
+      def withNull(base: Pred): Pred = if (hasNull) Or(base, IsNull(k)) else base
+      if (mm.isNullAt(0)) // empty source or all-null keys
+        return withNull(AlwaysFalse)
+      def lv(a: Any) = a.asInstanceOf[Number].longValue
+      val (mn, mx) = (lv(mm.get(0)), lv(mm.get(1)))
+      val span = try Math.subtractExact(mx, mn) catch {
+        case _: ArithmeticException => return AlwaysTrue // > Long range: rare, keep full scan
+      }
+      if (span <= 0) return withNull(Eq(k, mm.get(0)))
+      // bucket width: ceil(span+1 / PruneBuckets), >= 1
+      val width = math.max(span / PruneBuckets + 1L, 1L)
+      // floor of the double division is monotone in the key (double
+      // rounding preserves order), so bucket ranges never interleave
+      // even past 2^53 where the quotient loses precision
+      val buckets = source.filter(col(k).isNotNull)
+        .groupBy(floor((col(k) - lit(mn)).cast(LongType).cast(DoubleType) / lit(width.toDouble))
+          .cast(LongType).as("__b"))
+        .agg(min(col(k)).as("mn"), max(col(k)).as("mx"))
+        .collect()
+        .sortBy(_.getLong(0))
+      // merge runs of adjacent buckets, then keep only the
+      // MaxPruneRanges-1 largest inter-run gaps (merge the rest)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Any, Any)] // (lastBucket, mn, mx)
+      buckets.foreach { r =>
+        val (b, bmn, bmx) = (r.getLong(0), r.get(1), r.get(2))
+        if (runs.nonEmpty && runs.last._1 + 1 >= b)
+          runs(runs.length - 1) = (b, runs.last._2, bmx)
+        else runs += ((b, bmn, bmx))
+      }
+      val ranges0 = runs.toSeq.map { case (_, a, b) => (a, b) }
+      val ranges =
+        if (ranges0.length <= MaxPruneRanges) ranges0
         else {
-          def lv(a: Any) = a.asInstanceOf[Number].longValue
-          val splits = (1 until keys.length)
-            .map(i => (lv(keys(i)) - lv(keys(i - 1)), i))
-            .filter(_._1 > 1L)
-            .sortBy(-_._1).take(MaxPruneRanges - 1).map(_._2).sorted
-          val starts = 0 +: splits
-          val ends = splits.map(_ - 1) :+ (keys.length - 1)
-          starts.zip(ends).map { case (a, b) =>
-            if (a == b) Eq(k, keys(a))
-            else And(Ge(k, keys(a)), Le(k, keys(b))): Pred
-          }.reduceLeft[Pred](Or.apply)
+          // close the smallest gaps first until within the cap
+          val keepGaps = ranges0.sliding(2).zipWithIndex.collect {
+            case (scala.collection.Seq((_, e), (s, _)), i) => (lv(s) - lv(e), i)
+          }.toSeq.sortBy(-_._1).take(MaxPruneRanges - 1).map(_._2).toSet
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+          ranges0.zipWithIndex.foreach { case ((a, b), i) =>
+            if (out.isEmpty || keepGaps.contains(i - 1)) out += ((a, b))
+            else out(out.length - 1) = (out.last._1, b)
+          }
+          out.toSeq
         }
-      if (hasNull) Or(base, IsNull(k)) else base // null-safe key join: null matches null
+      val base = ranges.map { case (a, b) =>
+        if (a == b) Eq(k, a) else And(Ge(k, a), Le(k, b)): Pred
+      }.reduceLeft[Pred](Or.apply)
+      withNull(base) // null-safe key join: null matches null
     } else {
       val rows = source.select(keyCols.map(col): _*).distinct()
         .limit(MaxPruneKeys + 1).collect()
@@ -778,6 +880,9 @@ object Merge {
   private def probeCardinalityAndModified(diff: DataFrame, tPresent: Column,
       sPresent: Column, fileCol: String, posCol: String,
       modifiedCond: Column): ProbeResult = {
+    if (sys.env.contains("GRAFT_MERGE_DEBUG_PLAN"))
+      System.err.println("[merge-plan] diff executed plan:\n" +
+        diff.queryExecution.executedPlan.treeString)
     val rows = diff.filter(tPresent)
       .groupBy(col(fileCol), col(posCol))
       .agg(

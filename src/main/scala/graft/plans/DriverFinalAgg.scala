@@ -93,30 +93,9 @@ object DriverFinalAgg {
     case other => other
   }
 
-  // AQE wraps the physical plan and defers the preparation rules
-  // (codegen collapse, columnar-to-row transitions) to per-stage
-  // materialization, so neither its wrapper nor its inputPlan is safely
-  // executable outside AQE. Re-plan the analyzed logical plan through a
-  // cloned session with AQE off: same optimizer, same physical
-  // strategies, a fully prepared static plan. Cached per session.
-  private val noAqe = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.sql.SparkSession, org.apache.spark.sql.classic.SparkSession]
-  private def staticQe(df: DataFrame): org.apache.spark.sql.execution.QueryExecution = {
-    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val qe = df.queryExecution
-    if (!classic.sessionState.conf.adaptiveExecutionEnabled) qe
-    else {
-      // newSession: isolated SQL conf over the same SparkContext; the
-      // plan is already analyzed, so the fresh (empty) catalog and
-      // function registry are never consulted
-      val s = noAqe.getOrElseUpdate(classic, {
-        val c = classic.newSession()
-        c.conf.set("spark.sql.adaptive.enabled", "false")
-        c
-      })
-      s.sessionState.executePlan(qe.analyzed)
-    }
-  }
+  // no-AQE static re-plan, shared with BatchKernels — see [[StaticPlan]]
+  private def staticQe(df: DataFrame): org.apache.spark.sql.execution.QueryExecution =
+    StaticPlan.qe(df)
 
   private def rewrite0(
       df: DataFrame, maxPartialRows: Int,

@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Re-plan a DataFrame's analyzed plan through a no-AQE cloned session.
+  *
+  * AQE wraps the physical plan and defers the preparation rules (codegen
+  * collapse, columnar-to-row transitions) to per-stage materialization,
+  * so neither its wrapper nor its inputPlan is safely executable outside
+  * AQE. Re-planning the analyzed logical plan through a cloned session
+  * with AQE off gives the same optimizer and physical strategies but a
+  * fully prepared static plan. Cached per session.
+  *
+  * Extracted from [[DriverFinalAgg]] (round 20) so the round-21 columnar
+  * aggregate kernels ([[BatchKernels]]) share the identical mechanism —
+  * both rewrites must engage under ANY session AQE setting (the verify
+  * gate runs AQE-default, the bench runs AQE-off; an AQE-dependent
+  * engage would let the oracle validate a different execution path than
+  * the bench times).
+  */
+private[graft] object StaticPlan {
+
+  private val noAqe = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.SparkSession, org.apache.spark.sql.classic.SparkSession]
+
+  def qe(df: DataFrame): QueryExecution = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val queryExec = df.queryExecution
+    if (!classic.sessionState.conf.adaptiveExecutionEnabled) queryExec
+    else {
+      // newSession: isolated SQL conf over the same SparkContext; the
+      // plan is already analyzed, so the fresh (empty) catalog and
+      // function registry are never consulted
+      val s = noAqe.getOrElseUpdate(classic, {
+        val c = classic.newSession()
+        c.conf.set("spark.sql.adaptive.enabled", "false")
+        c
+      })
+      s.sessionState.executePlan(queryExec.analyzed)
+    }
+  }
+}

@@ -527,6 +527,14 @@ object CoreQueries {
         // Catalyst's own size estimate.
         graft.functions.GraftFunctions.register(s)
         val l = Tables.lineitem(s, d)
+        // NOT adopted (round 21): the columnar-batch variant of this
+        // aggregation (BatchKernels.distinctTriple, same shape as the
+        // adopted q_date_extract/q_events_hourly kernels) measured a
+        // WASH at sf10 — Exp50 min-of-7: kernel 2.228 s vs this salted
+        // plan 2.286 s — because the cost is the distinct-SET inserts
+        // and merges themselves (Exp49's pin), which the kernel keeps
+        // identical; only the already-cheap row iteration changed.
+        // Registry shape stays volume-adaptive as before.
         val salted = graft.plans.Hints.sizeEstimate(l) > (256L << 20)
         if (!salted)
           l.groupBy("l_returnflag")
@@ -662,9 +670,24 @@ object CoreQueries {
     // ------------------------------------------------------------------
     Q("q_date_extract",
       (s, d) => {
-        Tables.orders(s, d)
-          .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
-          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2, "total"))
+        // Columnar-batch kernel (round 21, guide §1.2 step 2 / §4): the
+        // Exp48 pin showed the residual over the 2-column scan floor is
+        // the row-at-a-time (year, month)-keyed HashAggregate constant,
+        // not decode or plan shape. The kernel aggregates batch-at-a-time
+        // over the parquet reader's own column vectors keyed on the raw
+        // epoch day (one floorDiv/row; calendar math once per DISTINCT
+        // day), then the engine's own groupBy(y,m) + dsum finish merges
+        // the partials — bit-identical results (oracle-pinned), same
+        // distributed shape. Falls back to the row plan whenever the
+        // scan isn't the expected bare columnar scan.
+        val orders = Tables.orders(s, d)
+        graft.plans.BatchKernels.dateExtract(
+          orders.select(col("o_orderdate"), col("o_totalprice")))
+          .getOrElse {
+            orders
+              .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+              .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2, "total"))
+          }
           .transform(Present.driverAgg(_, "y" -> true, "m" -> true))
       },
       oracle = Some("""
@@ -780,15 +803,27 @@ object CoreQueries {
                 col("event_type"), col("n"), col("sum_value"))
               .transform(Present.driverAgg(_, "hour" -> true, "event_type" -> true))
           case TimestampNTZType if utcSession =>
-            val e = Tables.events(s, d)
-              .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
-            val b = when(col("us") >= 0, expr("us div 3600000000"))
-              .otherwise(expr("((us + 1) div 3600000000) - 1"))
-            e.groupBy(b.as("b"), col("event_type"))
-              .agg(count(lit(1)).as("n"), dsum(col("value"), 6, "sum_value"))
-              .select(
-                expr("cast(timestamp_micros(b * 3600000000) as timestamp_ntz)").as("hour"),
-                col("event_type"), col("n"), col("sum_value"))
+            // Columnar-batch kernel (round 21): same shape as the
+            // q_date_extract kernel — the Exp46 pin left a ~2x residual
+            // that is the per-row (bucket, type)-keyed HashAggregate
+            // constant; batch-at-a-time accumulation over the reader's
+            // column vectors removes it, the engine's own
+            // groupBy(b, event_type) + dsum finish merges partials.
+            // Falls back to the row plan on any unexpected scan shape.
+            val events = Tables.events(s, d)
+            graft.plans.BatchKernels.eventsHourly(
+              events.select(col("ts"), col("event_type"), col("value")))
+              .getOrElse {
+                val e = events
+                  .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+                val b = when(col("us") >= 0, expr("us div 3600000000"))
+                  .otherwise(expr("((us + 1) div 3600000000) - 1"))
+                e.groupBy(b.as("b"), col("event_type"))
+                  .agg(count(lit(1)).as("n"), dsum(col("value"), 6, "sum_value"))
+                  .select(
+                    expr("cast(timestamp_micros(b * 3600000000) as timestamp_ntz)").as("hour"),
+                    col("event_type"), col("n"), col("sum_value"))
+              }
               .transform(Present.driverAgg(_, "hour" -> true, "event_type" -> true))
           case _ =>
             Tables.events(s, d)

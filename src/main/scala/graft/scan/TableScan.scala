@@ -127,7 +127,15 @@ final class TableScan(
       else projected
     }
     val unioned = parts.reduce(_.unionByName(_))
-    if (Pred.isTrue(pred) || explicitFiles.isDefined) unioned
+    // explicitFiles + pred (round 21): the changes-mode merge diff scans
+    // its candidate files WITH the source-key prune predicate as the
+    // residual, so it reaches the parquet scan as PushedFilters and
+    // row-group stats skip the non-overlapping groups inside candidate
+    // files — rows outside the ranges cannot match any source key, and
+    // unmatched target rows are dropped by the diff anyway. Every other
+    // explicitFiles caller passes AlwaysTrue (rebuild scans must keep
+    // every row) and is unchanged.
+    if (Pred.isTrue(pred)) unioned
     else unioned.filter(Pred.toColumn(pred))
   }
 

@@ -1,0 +1,122 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-21: A/B the columnar-batch aggregate kernels
+  * ([[graft.plans.BatchKernels]]) against the row plans they replace,
+  * with the bench's own clocks (prepared plans, per-pass
+  * `executedPlan.clone().executeCollect()`, interleaved, min-of-N,
+  * System.gc() between passes), for the three pinned per-row-constant
+  * queries:
+  *
+  *   de_* — q_date_extract   (kernel vs row HashAggregate on (y, m))
+  *   eh_* — q_events_hourly  (kernel vs row HashAggregate on (b, type))
+  *   da_* — q_distinct_agg   (kernel vs salted-8 ObjectHashAggregate)
+  *
+  * `*_reg` arms run the REGISTRY query (kernels engaged since round 21);
+  * `*_row` arms reconstruct the exact pre-round-21 plan, same
+  * presentation. Results are required equal before anything is timed.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/tmp/sf10 sbt -batch "runMain graft.tools.Exp50"
+  *      EXP50_ARMS=de_reg,de_row narrows; EXP50_PASSES=N (default 5)
+  */
+object Exp50 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val passes = sys.env.getOrElse("EXP50_PASSES", "5").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def dsum(c: org.apache.spark.sql.Column, scale: Int, alias: String) = {
+      val pow = math.pow(10, scale).toLong
+      (sum(call_function("graft_dunscaled", c.cast(DoubleType), lit(scale)))
+        .cast(DecimalType(38, 0)) / lit(pow)).cast(DoubleType).as(alias)
+    }
+
+    // exact pre-round-21 row plans, same presentation as the registry
+    val deRow = Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2, "total"))
+      .transform(graft.queries.Present.driverAgg(_, "y" -> true, "m" -> true))
+    val ehRow = {
+      val e = Tables.events(spark, sfDir)
+        .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+      val b = when(col("us") >= 0, expr("us div 3600000000"))
+        .otherwise(expr("((us + 1) div 3600000000) - 1"))
+      e.groupBy(b.as("b"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6, "sum_value"))
+        .select(
+          expr("cast(timestamp_micros(b * 3600000000) as timestamp_ntz)").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .transform(graft.queries.Present.driverAgg(_, "hour" -> true, "event_type" -> true))
+    }
+    val daRow = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"),
+        pmod(xxhash64(col("l_orderkey")), lit(8)).as("_salt"))
+      .agg(call_function("graft_distinct_set", col("l_suppkey")).as("ss"),
+        call_function("graft_distinct_set", col("l_partkey")).as("ps"),
+        call_function("graft_count_distinct", col("l_orderkey")).as("no"))
+      .groupBy("l_returnflag")
+      .agg(call_function("graft_count_distinct_merge", col("ss")).as("n_supp"),
+        call_function("graft_count_distinct_merge", col("ps")).as("n_part"),
+        sum("no").as("n_ord"))
+      .transform(graft.queries.Present.sortSmall(_, col("l_returnflag")))
+
+    val variants: Seq[(String, DataFrame)] = Seq(
+      "de_reg" -> Registry.byName("q_date_extract").run(spark, sfDir),
+      "de_row" -> deRow,
+      "eh_reg" -> Registry.byName("q_events_hourly").run(spark, sfDir),
+      "eh_row" -> ehRow,
+      "da_reg" -> Registry.byName("q_distinct_agg").run(spark, sfDir),
+      "da_row" -> daRow)
+
+    val armSel = sys.env.get("EXP50_ARMS").map(_.split(',').map(_.trim).toSet)
+    val arms = armSel.map(s => variants.filter(v => s.contains(v._1))).getOrElse(variants)
+
+    // prepare + result-equality check per pair
+    arms.foreach { case (_, df) => df.queryExecution.executedPlan }
+    Seq("de", "eh", "da").foreach { p =>
+      (variants.find(_._1 == s"${p}_reg"), variants.find(_._1 == s"${p}_row")) match {
+        case (Some((_, a)), Some((_, b)))
+          if arms.exists(_._1.startsWith(p)) =>
+          val ra = a.collect().map(_.toString).toSeq
+          val rb = b.collect().map(_.toString).toSeq
+          require(ra == rb, s"$p result mismatch:\n reg=${ra.take(3)}\n row=${rb.take(3)}")
+        case _ =>
+      }
+    }
+
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (p <- 0 to passes; (name, df) <- arms) {
+      val t0 = System.nanoTime()
+      df.queryExecution.executedPlan.clone().executeCollect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (p > 0) times(name) = times(name) :+ sec
+      System.gc()
+    }
+    def load = try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).trim catch { case _: Throwable => "?" }
+    println(s"[exp50] sf=$sfDir loadavg=$load passes=$passes")
+    arms.foreach { case (name, _) =>
+      println(f"[exp50] $name%-8s min ${times(name).min}%.3f  " +
+        f"passes ${times(name).map(t => f"$t%.2f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,189 @@
+package graft.tools
+
+import graft.commands.{LakeEngine, Merge}
+import graft.format._
+import graft.Tables
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-21 scd1/scd2 diffProbe+rewrite attack (verdict item 3):
+  * reproduce BenchDml's exact scd scenarios and time them min-of-N with
+  * the GRAFT_MERGE_TIMING phase split, END-STATE-CHECKED (count + price
+  * sums must match the analytically-derived expectation every pass —
+  * a phase probe must never time a wrong merge).
+  *
+  * Arms (env EXP51_ARMS, comma list, default "base"):
+  *   base   — current tree defaults
+  *   zstd1  — rewrite/append writes at zstd level 1 (-Dgraft.write.zstdLevel=1)
+  *   noprune— key-prune disabled via knob? (not wired; see base-vs-before
+  *            tree comparison instead: the BEFORE arm is this same tool
+  *            run from the pre-round-21 worktree)
+  *
+  * Run: GRAFT_MERGE_TIMING=1 SPARK_GRAFT_SF_DIR=/tmp/sf50 \
+  *        sbt -batch -J-Xmx80g "runMain graft.tools.Exp51"
+  */
+object Exp51 {
+
+  private def copyTree(src: Path, dst: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf50")
+    val passes = sys.env.getOrElse("EXP51_PASSES", "3").toInt
+    val armNames = sys.env.getOrElse("EXP51_ARMS", "base")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.sqlext.LakeSqlExtensions)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = Files.createTempDirectory("graft-exp51-")
+    val orders = Tables.orders(spark, d)
+    val stats = orders.agg(
+      min(col("o_orderkey")), max(col("o_orderkey")),
+      min(col("o_orderdate")), max(col("o_orderdate")), count(lit(1))).head()
+    val (minK, maxK) = (stats.getLong(0), stats.getLong(1))
+    val minD = stats.getAs[java.time.LocalDateTime](2)
+    val maxD = stats.getAs[java.time.LocalDateTime](3)
+    val n = stats.getLong(4)
+    val span = maxK - minK + 1
+    val lo = minK + (span * 0.30).toLong
+    val hi = minK + (span * 0.45).toLong
+    val props = Map("write.max-records-per-file" -> math.max(n / 8, 1L).toString)
+
+    val catalog = new LakeCatalog(root.toString)
+    val engine = new LakeEngine(spark, catalog)
+    val baseScd = {
+      val t = catalog.createTable("orders_scd", orders.schema,
+        sortOrder = Seq(SortField("o_orderkey")), properties = props)
+      engine.insert(t, orders)
+      t
+    }
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampNTZType}
+    val scd2Schema = StructType(orders.schema.fields ++ Seq(
+      StructField("effective_start", TimestampNTZType),
+      StructField("effective_end", TimestampNTZType)))
+    val baseScd2 = {
+      val t = catalog.createTable("orders_scd2", scd2Schema,
+        sortOrder = Seq(SortField("o_orderkey")), properties = props)
+      engine.insert(t, orders
+        .withColumn("effective_start", lit(minD).cast("timestamp_ntz"))
+        .withColumn("effective_end", lit(null).cast("timestamp_ntz")))
+      t
+    }
+    val effTs = maxD.plusDays(1).withNano(0)
+
+    def scd1Source() = {
+      val base = Tables.orders(spark, d)
+      val upd = base
+        .filter(col("o_orderkey").between(lo, hi) && col("o_orderkey") % 20 === 7)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("op", lit("U"))
+      val ins = base.filter(col("o_orderkey") % 100 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + span)
+        .withColumn("op", lit("I"))
+      upd.unionByName(ins)
+    }
+
+    // analytically-derived end-state expectations (BenchDml's check)
+    val exp = orders.agg(
+      sum(col("o_totalprice")),
+      sum(when(col("o_orderkey").between(lo, hi) && col("o_orderkey") % 20 === 7, 1L).otherwise(0L)),
+      sum(when(col("o_orderkey") % 100 === 3, 1L).otherwise(0L)),
+      sum(when(col("o_orderkey") % 100 === 3, col("o_totalprice")).otherwise(lit(0.0)))).head()
+    val (sumPrice, scdUpd, scdIns, scdInsPrice) =
+      (exp.getDouble(0), exp.getLong(1), exp.getLong(2), exp.getDouble(3))
+    val expPrice = sumPrice + 1.0 * scdUpd + scdInsPrice
+    def check(name: String, cond: Boolean, msg: => String): Unit =
+      if (!cond) throw new IllegalStateException(s"[exp51] $name end-state mismatch: $msg")
+
+    var runIdx = 0
+    def freshClone(base: LakeTable): LakeTable = {
+      runIdx += 1
+      val loc = root.resolve(s"run-$runIdx")
+      copyTree(Paths.get(base.location, "metadata"), loc.resolve("metadata"))
+      Files.createDirectories(loc.resolve("data"))
+      LakeTable.load(loc.toString)
+    }
+
+    def runScd1(): Double = {
+      val t = freshClone(baseScd)
+      System.gc()
+      val t0 = System.nanoTime()
+      Merge.scd1(engine, t, scd1Source(), Merge.Scd1Options(
+        keyCols = Seq("o_orderkey"), operationTypeColumn = Some("op")))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val t2 = LakeTable.load(t.location)
+      val st = engine.scan(t2).toDF().agg(count(lit(1)), sum(col("o_totalprice"))).head()
+      check("scd1", st.getLong(0) == n + scdIns &&
+        math.abs(st.getDouble(1) - expPrice) <= 1e-6 * math.abs(expPrice),
+        s"cnt=${st.getLong(0)}/${n + scdIns} price=${st.getDouble(1)}/$expPrice")
+      sec
+    }
+    def runScd2(): Double = {
+      val t = freshClone(baseScd2)
+      System.gc()
+      val t0 = System.nanoTime()
+      Merge.scd2(engine, t, scd1Source(), Merge.Scd2Options(
+        keyCols = Seq("o_orderkey"), effectiveTimestamp = effTs,
+        operationTypeColumn = Some("op")))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val t2 = LakeTable.load(t.location)
+      val st = engine.scan(t2).toDF().agg(
+        count(lit(1)),
+        sum(when(col("effective_end").isNull, 1L).otherwise(0L)),
+        sum(when(col("effective_end").isNull, col("o_totalprice")).otherwise(lit(0.0)))).head()
+      check("scd2", st.getLong(0) == n + scdUpd + scdIns &&
+        st.getLong(1) == n + scdIns &&
+        math.abs(st.getDouble(2) - expPrice) <= 1e-6 * math.abs(expPrice),
+        s"cnt=${st.getLong(0)}/${n + scdUpd + scdIns} cur=${st.getLong(1)}/${n + scdIns} " +
+          s"price=${st.getDouble(2)}/$expPrice")
+      sec
+    }
+
+    // warmup (JIT/codegen) — one per scenario, untimed (still checked)
+    runScd1(); runScd2()
+
+    def withArm[A](arm: String)(body: => A): A = arm match {
+      case "zstd1" =>
+        sys.props("graft.write.zstdLevel") = "1"
+        try body finally sys.props.remove("graft.write.zstdLevel")
+      case _ => body
+    }
+
+    val results = scala.collection.mutable.Map[String, Vector[Double]]()
+    (1 to passes).foreach { p =>
+      armNames.foreach { arm =>
+        System.err.println(s"--- pass $p scd1 $arm ---")
+        results(s"scd1 $arm") =
+          results.getOrElse(s"scd1 $arm", Vector.empty) :+ withArm(arm)(runScd1())
+        System.err.println(s"--- pass $p scd2 $arm ---")
+        results(s"scd2 $arm") =
+          results.getOrElse(s"scd2 $arm", Vector.empty) :+ withArm(arm)(runScd2())
+      }
+    }
+    val load = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    println(s"[exp51] sf=$d loadavg=$load passes=$passes")
+    results.toSeq.sortBy(_._1).foreach { case (k, t) =>
+      println(f"[exp51] $k%-12s min=${t.min}%6.3f  passes=${t.map(x => f"$x%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

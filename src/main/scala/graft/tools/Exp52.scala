@@ -1,0 +1,169 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-21 q3 pre-aggregation-below-the-join arm (verdict item 6:
+  * "one real attempt at the q5/q3 single-box join residual beyond
+  * re-measuring ... partial aggregation pushed below the join").
+  *
+  * q3's final aggregation groups by (l_orderkey, o_orderdate,
+  * o_orderpriority); o_* are CONSTANT per orderkey (o_orderkey is
+  * unique), so the revenue sum can be partially aggregated by
+  * l_orderkey BEFORE the fact join — the join then moves ~1 row per
+  * (partition, orderkey) instead of ~4 lineitem rows, and the bytes are
+  * (orderkey, unscaled-long) instead of 4 columns (guide §2.3
+  * "aggregate before you shuffle"). Exactness: dsum is a sum of
+  * unscaled longs — associative — and the existing post-join
+  * aggregation merges the partials, so results are bit-identical.
+  *
+  * Arms:
+  *   reg     — registry q3 (bloom prefilter + broadcast/SHJ + post-join agg)
+  *   preagg  — same bloom prefilter, then a mapPartitions RUN aggregator
+  *             over the clustered scan (lineitem arrives ordered by
+  *             l_orderkey: consecutive equal keys fold with O(1) state,
+  *             no hash table, no exchange), then the same join + agg
+  *   pgspark — same but the pre-agg is a plain Spark groupBy (adds an
+  *             exchange; measures how much the run kernel matters)
+  *
+  * q5 gets NO pre-agg arm: its fact join keys (l_orderkey, l_suppkey)
+  * are ~unique per lineitem row (reduction factor ~1), so there is
+  * nothing to pre-aggregate — recorded in OPTIMIZATION_r21.md.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/tmp/sf50 sbt -batch -J-Xmx80g "runMain graft.tools.Exp52"
+  */
+object Exp52 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val passes = sys.env.getOrElse("EXP52_PASSES", "5").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.driver.maxResultSize", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def ts(s: String) = expr(s"TIMESTAMP_NTZ '$s'")
+    def ojSlice(): (DataFrame, DataFrame, DataFrame) = {
+      val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(spark, sfDir).filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+      val l = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+      val cSmall = graft.plans.Hints.broadcastIfSmall(c, bound = c, countOnFail = Some(c))
+      val oj = o.join(cSmall, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      (l, oj, Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    }
+
+    def finishJoin(fact: DataFrame, revCol: String, l: DataFrame, oj: DataFrame,
+        ojBound: DataFrame): DataFrame =
+      fact.join(graft.plans.Hints.broadcastIfSmall(oj, bound = ojBound,
+          countOnFail = Some(oj), factSide = Some(l)),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((sum(col(revCol)).cast(DecimalType(38, 0)) / lit(10000L))
+          .cast(DoubleType).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+
+    // preagg arm: bloom prefilter as the registry, then a run aggregator
+    val preagg: DataFrame = {
+      val (l, oj, ojBound) = ojSlice()
+      val lp = graft.plans.BloomPrune.pruned(l, col("l_orderkey"), oj, col("o_orderkey"))
+      val base = lp.select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DoubleType).as("v"))
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("rev", LongType)))
+      import org.apache.spark.sql.Row
+      val rdd = base.queryExecution.toRdd.mapPartitions { it =>
+        // clustered input: fold consecutive equal orderkeys, O(1) state;
+        // unclustered input still correct (more partial rows, the
+        // post-join agg merges them)
+        val out = Vector.newBuilder[Row]
+        var curKey = 0L
+        var haveKey = false
+        var acc = 0L
+        var accHas = false
+        def flush(): Unit = if (haveKey) {
+          out += Row(curKey, if (accHas) java.lang.Long.valueOf(acc) else null)
+          haveKey = false; acc = 0L; accHas = false
+        }
+        while (it.hasNext) {
+          val r = it.next()
+          // l_orderkey is non-null in TPC-H; a null key row would be
+          // dropped by the inner join either way — skip it here
+          if (!r.isNullAt(0)) {
+            val k = r.getLong(0)
+            if (!haveKey || k != curKey) { flush(); curKey = k; haveKey = true }
+            if (!r.isNullAt(1)) {
+              val v = r.getDouble(1)
+              val x = v * 10000.0
+              val u: java.lang.Long =
+                if (graft.functions.DoubleUnscaled.isFast(x)) Math.round(x)
+                else graft.functions.DoubleUnscaled.slow(v, 4)
+              if (u != null) { acc += u.longValue(); accHas = true }
+            }
+          }
+        }
+        flush()
+        out.result().iterator
+      }
+      finishJoin(spark.createDataFrame(rdd, schema), "rev", l, oj, ojBound)
+    }
+
+    // pgspark arm: plain Spark partial agg (groupBy adds an exchange)
+    val pgspark: DataFrame = {
+      val (l, oj, ojBound) = ojSlice()
+      val lp = graft.plans.BloomPrune.pruned(l, col("l_orderkey"), oj, col("o_orderkey"))
+      val lagg = lp.groupBy("l_orderkey")
+        .agg(sum(call_function("graft_dunscaled",
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DoubleType),
+          lit(4))).as("rev"))
+      finishJoin(lagg, "rev", l, oj, ojBound)
+    }
+
+    val variants: Seq[(String, DataFrame)] = Seq(
+      "reg" -> Registry.byName("q3_shipping_priority").run(spark, sfDir),
+      "preagg" -> preagg,
+      "pgspark" -> pgspark)
+    val armSel = sys.env.get("EXP52_ARMS").map(_.split(',').map(_.trim).toSet)
+    val arms = armSel.map(s => variants.filter(v => s.contains(v._1))).getOrElse(variants)
+
+    arms.foreach { case (_, df) => df.queryExecution.executedPlan }
+    val expected = variants.head._2.collect().map(_.toString).toSeq
+    arms.filterNot(_._1 == "reg").foreach { case (n, df) =>
+      val got = df.collect().map(_.toString).toSeq
+      require(got == expected, s"$n result mismatch:\n got=$got\n exp=$expected")
+    }
+
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (p <- 0 to passes; (name, df) <- arms) {
+      val t0 = System.nanoTime()
+      df.queryExecution.executedPlan.clone().executeCollect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (p > 0) times(name) = times(name) :+ sec
+      System.gc()
+    }
+    def load = try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).trim catch { case _: Throwable => "?" }
+    println(s"[exp52] sf=$sfDir loadavg=$load passes=$passes")
+    arms.foreach { case (name, _) =>
+      println(f"[exp52] $name%-8s min ${times(name).min}%.3f  " +
+        f"passes ${times(name).map(t => f"$t%.2f").mkString(", ")}")
+    }
+    spark.stop()
+  }
+}

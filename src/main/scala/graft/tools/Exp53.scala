@@ -1,0 +1,67 @@
+package graft.tools
+
+import graft.BenchStream
+import org.apache.spark.sql.SparkSession
+
+/** Round-21 streaming addBatch arm (verdict item 7): the sf50 trigger is
+  * write-bandwidth-bound (addBatch 8.33 of 8.43 s/trigger), and the sink
+  * write is a sorted ZSTD parquet encode. Parquet-mr encodes zstd at
+  * level 3 by default; level 1 is a storage property (identical logical
+  * rows, modestly larger files) that roughly halves the zstd encode
+  * cost. A/B the exact BenchStream scenario per level.
+  *
+  * Arms (EXP53_ARMS, default "z3,z1"): z3 = default level, z1 =
+  * -Dgraft.write.zstdLevel=1 applied around the run.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/tmp/sf50 sbt -batch -J-Xmx48g "runMain graft.tools.Exp53"
+  */
+object Exp53 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
+    val passes = sys.env.getOrElse("EXP53_PASSES", "3").toInt
+    val arms = sys.env.getOrElse("EXP53_ARMS", "z3,z1")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.sqlext.LakeSqlExtensions)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def withArm[A](arm: String)(body: => A): A = arm match {
+      case "z1" =>
+        sys.props("graft.write.zstdLevel") = "1"
+        try body finally sys.props.remove("graft.write.zstdLevel")
+      case _ => body
+    }
+
+    val results = scala.collection.mutable.Map[String, Vector[BenchStream.Out]]()
+    // warmup (untimed record)
+    arms.foreach(a => withArm(a)(BenchStream.run(spark, sfDir)))
+    (1 to passes).foreach { p =>
+      arms.foreach { a =>
+        System.err.println(s"--- pass $p $a ---")
+        val o = withArm(a)(BenchStream.run(spark, sfDir))
+        results(a) = results.getOrElse(a, Vector.empty) :+ o
+        System.gc()
+      }
+    }
+    val load = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    println(s"[exp53] sf=$sfDir loadavg=$load passes=$passes")
+    arms.foreach { a =>
+      val os = results(a)
+      val best = os.minBy(_.wallSec)
+      println(f"[exp53] $a%-4s wall_min=${best.wallSec}%6.3f  walls=${os.map(o => f"${o.wallSec}%.2f").mkString(",")}  " +
+        f"addBatch_ms=${best.phaseMs.getOrElse("addBatch", -1.0)}%.0f  trigger_ms=${best.phaseMs.getOrElse("triggerExecution", -1.0)}%.0f")
+    }
+    spark.stop()
+  }
+}

@@ -189,6 +189,14 @@ object LakeWriter extends Serializable {
       // a file 4-8 independently skippable/rewritable slices (DuckDB's
       // own layout runs ~122k-row groups for the same reason).
       .option("parquet.block.size", props.getOrElse("write.parquet.row-group-size-bytes", (32 * 1024 * 1024).toString))
+    // zstd compression level for written parquet (parquet-mr default 3).
+    // Storage property, not a semantic one: the logical rows are
+    // identical at any level. Settable per table
+    // (write.parquet.zstd-level) or process-wide for A/Bs
+    // (-Dgraft.write.zstdLevel=N) — see tools/Exp51.
+    props.get("write.parquet.zstd-level")
+      .orElse(sys.props.get("graft.write.zstdLevel"))
+      .foreach(v => w = w.option("parquet.compression.codec.zstd.level", v))
     props.get("write.max-records-per-file").foreach(v => w = w.option("maxRecordsPerFile", v))
     // `graft.write.bloom-columns` = comma list: parquet row-group bloom
     // filters for high-cardinality point-lookup columns — min/max pruning

@@ -138,6 +138,31 @@ class HintsSpec extends SparkSpec {
     }
   }
 
+  test("blank-string measuredThreshold is a DISABLE, never a crash or auto-engage (round 21)") {
+    // Round-21 adversarial sweep (verdict item 8): a blank value — an
+    // operator templating `--conf graft.broadcast.measuredThreshold=$X`
+    // with X unset — must behave like the documented unparseable-value
+    // semantics (disable), not throw at plan time and not fall through
+    // to auto-engage as if unset.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    spark.conf.set("graft.broadcast.measuredThreshold", "")
+    try {
+      assert(Hints.measuredBroadcastThreshold(bigSide) == Some(-1L),
+        "blank threshold should parse to the disable sentinel")
+      val fact = spark.range(0, 1000).toDF("k")
+      val bigFact = spark.range(0, 1L << 30).toDF("k") // clears the 4g floor
+      val side = Hints.broadcastIfSmall(bigSide.limit(100), bound = bigSide,
+        countOnFail = Some(bigSide.limit(100)), factSide = Some(bigFact))
+      val plan = fact.join(side, "k").queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"blank measuredThreshold fell through to auto-engage:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("graft.broadcast.measuredThreshold")
+    }
+  }
+
   test("auto-engage pathological stats: empty-relation fact never engages") {
     // Round-20 adversarial sweep (a): a factSide with degenerate stats —
     // an empty relation's ~0-byte estimate — must stay on the static

@@ -64,6 +64,61 @@ class ScdPruneSpec extends SparkSpec {
     assert(out.filter(col("k") >= 10000).count() === 10L)
   }
 
+  test("range compaction stays bounded past the old 1M-key cap (round 21)") {
+    // 1.2M distinct keys in two clusters: the old implementation
+    // collected distinct keys and fell to AlwaysTrue past 1M — a full
+    // table scan at exactly the batch sizes where pruning matters most.
+    // The bucketized compaction must return the two ranges instead.
+    val dir = java.nio.file.Files.createTempDirectory("graft-scdprune4-").toString
+    val (_, t) = mkTable(dir)
+    val src = spark.range(0, 600000).select((col("id") * 2 + 1200).as("k"))
+      .unionByName(spark.range(0, 600000).select((col("id") * 2 + 100000000L).as("k")))
+    val pred = Merge.scdKeyPrunePred(src, Seq("k"), t.schema)
+    def ranges(p: Pred): Seq[(Long, Long)] = p match {
+      case Or(l, r) => ranges(l) ++ ranges(r)
+      case And(Ge(_, a), Le(_, b)) =>
+        Seq((a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue))
+      case Eq(_, a) =>
+        val v = a.asInstanceOf[Number].longValue; Seq((v, v))
+      case other => fail(s"unexpected pred node $other")
+    }
+    val rs = ranges(pred)
+    assert(rs.length == 2, s"expected 2 ranges, got $rs")
+    assert(rs.contains((1200L, 1200L + 599999 * 2)))
+    assert(rs.contains((100000000L, 100000000L + 599999 * 2)))
+  }
+
+  test("residualOf caps the per-row range count, coverage only widens (round 21)") {
+    // 100 single-key ranges with uniform gaps: residualOf must merge
+    // down to <= 4 ranges whose union still covers every key
+    val keys = (0 until 100).map(i => i.toLong * 1000)
+    val pred = keys.map(k => Eq("k", k): Pred).reduceLeft[Pred](Or.apply)
+    val resid = Merge.residualOf(pred)
+    def ranges(p: Pred): Seq[(Long, Long)] = p match {
+      case Or(l, r) => ranges(l) ++ ranges(r)
+      case And(Ge(_, a), Le(_, b)) =>
+        Seq((a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue))
+      case Eq(_, a) =>
+        val v = a.asInstanceOf[Number].longValue; Seq((v, v))
+      case other => fail(s"unexpected pred node $other")
+    }
+    val rs = ranges(resid)
+    assert(rs.length <= 4, s"residual not capped: $rs")
+    keys.foreach(k => assert(rs.exists { case (a, b) => k >= a && k <= b },
+      s"key $k not covered by residual $rs"))
+    // null-safe: IsNull rides through
+    val residNull = Merge.residualOf(Or(pred, IsNull("k")))
+    def hasIsNull(p: Pred): Boolean = p match {
+      case Or(l, r) => hasIsNull(l) || hasIsNull(r)
+      case IsNull(_) => true
+      case _ => false
+    }
+    assert(hasIsNull(residNull))
+    // unexpected shapes degrade to AlwaysTrue, never a wrong residual
+    assert(Merge.residualOf(In("k", Seq(1, 2))) == AlwaysTrue)
+    assert(Merge.residualOf(AlwaysTrue) == AlwaysTrue)
+  }
+
   test("snapshot-mode scd1 keeps the full scan (absent keys become deletes)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scdprune3-").toString
     val (engine, t) = mkTable(dir)

@@ -54,10 +54,23 @@ def main():
     runs = [load(p) for p in run_paths]
     assert len({r["sf"] for r in runs}) == 1, "mixed sf dirs"
     base = runs[0]
-    queries = {k: min(r["queries"][k] for r in runs if k in r["queries"])
-               for k in base["queries"]}
+    # mismatched Spark-side query sets must FAIL, not silently min over
+    # whatever overlaps: a leg recorded in only one run would ride a
+    # min_of_recordings=N stamp it never earned (round-21 sweep)
+    key_sets = [frozenset(r["queries"]) for r in runs]
+    if len(set(key_sets)) != 1:
+        union = set().union(*key_sets)
+        diff = {p: sorted(union - set(ks)) for p, ks in zip(run_paths, key_sets)
+                if union - set(ks)}
+        raise SystemExit(f"recordings have mismatched query sets: {diff}")
+    queries = {k: min(r["queries"][k] for r in runs) for k in base["queries"]}
+    # oracle legs may legitimately differ (timeouts omit legs); min over
+    # the runs that have each leg, and stamp uneven coverage
+    o_union = set().union(*[set(r["oracle_queries"]) for r in runs])
     oq = {k: min(r["oracle_queries"][k] for r in runs if k in r["oracle_queries"])
-          for k in base["oracle_queries"]}
+          for k in o_union}
+    oracle_uneven = sorted(k for k in o_union
+                           if any(k not in r["oracle_queries"] for r in runs))
     read = {k: v for k, v in queries.items()
             if k not in DML and k != "streaming_ingest"}
     merged = dict(base)
@@ -76,7 +89,8 @@ def main():
     dml_o = sum(oq[k] for k in DML if k in oq)
     merged["dml_total_sec"] = round(dml_t, 4)
     merged["dml_oracle_sec"] = round(dml_o, 4)
-    merged["dml_ratio"] = round(dml_t / dml_o, 2)
+    if dml_o > 0:
+        merged["dml_ratio"] = round(dml_t / dml_o, 2)
     # streaming: best pass across recordings (rows identical by contract).
     # ALL streaming fields — headline and evidence (walls, phase split,
     # batch min/max, settle) — come from the SAME best recording, and the
@@ -91,6 +105,8 @@ def main():
         elif k in merged:
             del merged[k]  # never keep base's copy for a missing field
     merged["streaming_fields_from_recording"] = best_i + 1
+    if oracle_uneven:
+        merged["oracle_uneven_legs"] = oracle_uneven
     merged["min_of_recordings"] = len(runs)
     merged["source_totals"] = [round(sum(
         v for k, v in r["queries"].items()
@@ -100,7 +116,7 @@ def main():
     json.dump(merged, open(out_path, "w"), indent=1)
     print(f"merged {len(runs)} recordings -> {out_path}: "
           f"total {merged['value']} ratio {merged['spark_oracle_ratio']} "
-          f"ex_lsh {merged['spark_oracle_ratio_ex_lsh']} dml {merged['dml_ratio']}")
+          f"ex_lsh {merged['spark_oracle_ratio_ex_lsh']} dml {merged.get('dml_ratio')}")
     weak = {k: round(read[k] / o_read[k], 2) for k in o_read
             if read[k] / o_read[k] > 2.0}
     print("legs >2x:", dict(sorted(weak.items(), key=lambda kv: -kv[1])))
